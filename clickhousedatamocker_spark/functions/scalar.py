@@ -1,0 +1,97 @@
+"""Scalar functions the reference's query surface needs.
+
+Both are pure Column-expression compositions (JVM-side, whole-stage
+codegen'd) — no Python UDFs in the query hot path. They are additionally
+registered as Spark SQL *SQL-defined functions* so the reference's queries
+(``sql/query_parts.sql:7,18``) run verbatim through ``spark.sql``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
+
+# ClickHouse formatReadableSize unit ladder (binary units, 2 decimals).
+_UNITS = ["B", "KiB", "MiB", "GiB", "TiB", "PiB", "EiB"]
+
+
+def to_yyyymmddhh(col: Column | str) -> Column:
+    """ClickHouse ``toYYYYMMDDhh(DateTime) -> UInt32`` (create_local.sql:18).
+
+    e.g. 2026-01-01 12:34:56 -> 2026010112. Pure date_format -> int cast:
+    stays inside codegen; usable as a partition expression.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.date_format(c, "yyyyMMddHH").cast("int")
+
+
+def format_readable_size(col: Column | str) -> Column:
+    """ClickHouse ``formatReadableSize(x)`` (query_parts.sql:7): binary units,
+    2 decimals — 1023 -> '1023.00 B', 1536 -> '1.50 KiB'.
+
+    Chain of WHEN over the unit ladder; division + format_string only — no UDF.
+    """
+    b = (F.col(col) if isinstance(col, str) else col).cast("double")
+    expr = F.format_string("%.2f EiB", b / float(1024 ** 6))
+    # Build from largest to smallest so the first matching WHEN wins.
+    for power in range(len(_UNITS) - 2, -1, -1):
+        threshold = float(1024 ** (power + 1))
+        scaled = b / float(1024 ** power) if power else b
+        expr = F.when(b < threshold, F.format_string(f"%.2f {_UNITS[power]}", scaled)).otherwise(expr)
+    return expr
+
+
+def register_sql_functions(spark: SparkSession) -> None:
+    """Register ``toYYYYMMDDhh`` / ``formatReadableSize`` as SQL-defined
+    functions (Spark 4 SQL UDFs — still native expressions after inlining),
+    so the reference's .sql files execute verbatim.
+    """
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION toYYYYMMDDhh(t TIMESTAMP)
+        RETURNS INT
+        RETURN CAST(date_format(t, 'yyyyMMddHH') AS INT)
+        """
+    )
+    # ClickHouse spells it camelCase (sql/query_parts.sql:9, create_distributed.sql:6)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION currentDatabase()
+        RETURNS STRING
+        RETURN current_database()
+        """
+    )
+    # Same WHEN ladder as format_readable_size, spelled in SQL.
+    cases = []
+    for power, unit in enumerate(_UNITS[:-1]):
+        threshold = float(1024 ** (power + 1))
+        scaled = "CAST(x AS DOUBLE)" if power == 0 else f"CAST(x AS DOUBLE) / {float(1024 ** power)!r}"
+        cases.append(f"WHEN CAST(x AS DOUBLE) < {threshold!r} THEN format_string('%.2f {unit}', {scaled})")
+    cases_sql = "\n          ".join(cases)
+    spark.sql(
+        f"""
+        CREATE OR REPLACE TEMPORARY FUNCTION formatReadableSize(x BIGINT)
+        RETURNS STRING
+        RETURN CASE
+          {cases_sql}
+          ELSE format_string('%.2f EiB', CAST(x AS DOUBLE) / {float(1024 ** 6)!r})
+        END
+        """
+    )
+
+
+def format_readable_size_oracle_sql(expr: str) -> str:
+    """DuckDB-dialect equivalent of :func:`format_readable_size` applied to
+    ``expr`` — used to build oracle SQL strings that must hash-match Spark.
+    """
+    cases = []
+    for power, unit in enumerate(_UNITS[:-1]):
+        threshold = float(1024 ** (power + 1))
+        scaled = f"CAST({expr} AS DOUBLE)" if power == 0 else f"CAST({expr} AS DOUBLE) / {float(1024 ** power)!r}"
+        cases.append(f"WHEN CAST({expr} AS DOUBLE) < {threshold!r} THEN printf('%.2f {unit}', {scaled})")
+    cases_sql = "\n  ".join(cases)
+    return (
+        "CASE\n  "
+        + cases_sql
+        + f"\n  ELSE printf('%.2f EiB', CAST({expr} AS DOUBLE) / {float(1024 ** 6)!r})\nEND"
+    )

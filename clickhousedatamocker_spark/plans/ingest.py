@@ -1,0 +1,152 @@
+"""Partitioned batched ingest — the reference's data path, Spark-first.
+
+``scripts/insert_data.sh:27-51`` pipes TSV through clickhouse-client into a
+Distributed table; the server splits each block by ``toYYYYMMDDhh(event_time)``
+into up to 24 new parts per insert. Here the same contract is one parallel,
+shuffle-free Parquet append:
+
+    batch DF → withColumn(event_hour) → sortWithinPartitions(event_time, id)
+      → write.partitionBy(event_hour).mode(append)
+
+- No shuffle: partitionBy on write splits files per task without exchanging
+  rows. At 100 TB the append scales linearly with executors.
+- ``sortWithinPartitions`` reproduces the MergeTree ordering key
+  (create_local.sql:19); Parquet row-group min/max stats then give the same
+  pruning effect as the sparse primary index.
+- Admission control (plans/flow_control.py) runs before the write, keyed on
+  the manifest's active-part count — O(1), no data scan.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from clickhousedatamocker_spark.functions.scalar import to_yyyymmddhh
+from clickhousedatamocker_spark.plans.catalog import TableHandle
+from clickhousedatamocker_spark.plans.flow_control import FlowController
+from clickhousedatamocker_spark.plans.parts import PartsInventory
+
+
+@dataclass
+class InsertResult:
+    rows: int
+    bytes_on_disk: int
+    new_parts: int
+    partitions_touched: int
+    elapsed_s: float
+    delay_s: float
+
+
+class Writer:
+    def __init__(self, parts: PartsInventory, flow: FlowController, metrics=None):
+        self.parts = parts
+        self.flow = flow
+        self.metrics = metrics
+
+    def insert(self, handle: TableHandle, df: DataFrame, *, enforce_partition_cap: bool = False) -> InsertResult:
+        """Admission-controlled append of one batch (insert_data.sh parity,
+        including the per-batch wall-clock timing at insert_data.sh:31,46-47).
+        """
+        t0 = time.monotonic()
+        table = handle.name
+
+        parts_count = self.parts.active_parts_count(table, handle.path)
+        decision = self.flow.admit(parts_count, handle.settings)
+
+        part_col = handle.partition_column
+        if part_col and part_col not in df.columns:
+            # event_hour = toYYYYMMDDhh(event_time)  (create_local.sql:18)
+            df = df.withColumn(part_col, to_yyyymmddhh(F.col("event_time")))
+
+        if enforce_partition_cap and part_col:
+            n_parts = df.select(F.countDistinct(part_col).alias("n")).first()["n"]
+            self.flow.check_partitions(n_parts, handle.settings, enforce=True)
+
+        if part_col:
+            # One shuffle keyed on the partition column so each insert creates
+            # exactly one part (file) per touched partition — the MergeTree
+            # "block split" semantics (≤24 new parts/insert, CLAUDE.md:429-432)
+            # and the standard small-files defense at scale. For very large
+            # batches this becomes repartition(n, part_col) via the
+            # files_per_partition table setting.
+            fpp = int(handle.settings.get("files_per_partition", 1))
+            if fpp > 1:
+                salt = F.pmod(F.xxhash64(*[F.col(c) for c in (handle.order_columns or [part_col])]), F.lit(fpp))
+                df = df.repartition(fpp * 24, F.col(part_col), salt)
+            else:
+                df = df.repartition(F.col(part_col))
+        if handle.order_columns:
+            df = df.sortWithinPartitions(*handle.order_columns)
+
+        before = self.parts.snapshot_files(handle.path)
+        writer = df.write.mode("append").format("parquet")
+        if part_col:
+            writer = writer.partitionBy(part_col)
+        writer.save(handle.path)
+
+        new_parts = self.parts.record_commit(table, handle.path, before)
+        rows = sum(p["rows"] for p in new_parts)
+        nbytes = sum(p["bytes_on_disk"] for p in new_parts)
+        if self.metrics is not None:
+            self.metrics.incr("InsertedRows", rows)
+            self.metrics.incr("InsertedBytes", nbytes)
+            self.metrics.set("PartsActive", self.parts.active_parts_count(table, handle.path))
+            self.metrics.set("PartsCommitted", self.parts.active_parts_count(table, handle.path))
+        return InsertResult(
+            rows=rows,
+            bytes_on_disk=nbytes,
+            new_parts=len(new_parts),
+            partitions_touched=len({p["partition"] for p in new_parts}),
+            elapsed_s=time.monotonic() - t0,
+            delay_s=decision.delay_s,
+        )
+
+    def optimize(self, spark, handle: TableHandle) -> int:
+        """Compact each partition's parts into one (≈ CH background merge /
+        OPTIMIZE TABLE). Old parts are retired (active=false) in the manifest
+        and their files removed. Returns number of partitions compacted.
+        """
+        import os
+        import shutil
+
+        table = handle.name
+        self.parts.load(table, handle.path)
+        by_partition: dict[str, list[dict]] = {}
+        for p in self.parts._manifest[table]:
+            if p["active"]:
+                by_partition.setdefault(p["partition"], []).append(p)
+
+        compacted = 0
+        for partition, plist in by_partition.items():
+            if len(plist) < 2:
+                continue
+            part_dir = os.path.join(handle.path, f"{handle.partition_column}={partition}")
+            staging = part_dir + ".compact.tmp"
+            (
+                spark.read.schema(handle.schema).parquet(part_dir)
+                .sortWithinPartitions(*handle.order_columns)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(staging)
+            )
+            old_files = [os.path.join(part_dir, os.path.basename(p["name"])) for p in plist]
+            new_files = [f for f in os.listdir(staging) if f.endswith(".parquet")]
+            for f in new_files:
+                shutil.move(os.path.join(staging, f), os.path.join(part_dir, f))
+            shutil.rmtree(staging, ignore_errors=True)
+            for f in old_files:
+                if os.path.exists(f):
+                    os.remove(f)
+            self.parts.retire(table, handle.path, [p["name"] for p in plist])
+            compacted += 1
+        # register the newly-written compacted files (anything on disk not yet known)
+        known = {p["name"] for p in self.parts._manifest[table]}
+        self.parts.record_commit(table, handle.path, known)
+        if self.metrics is not None:
+            self.metrics.set("PartsActive", self.parts.active_parts_count(table, handle.path))
+            self.metrics.set("PartsCommitted", self.parts.active_parts_count(table, handle.path))
+        return compacted

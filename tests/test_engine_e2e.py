@@ -1,0 +1,89 @@
+"""M1 acceptance + miniature harness run (SURVEY §5.2(2), §7 M1)."""
+
+import pyspark.sql.functions as F
+
+from clickhousedatamocker_spark.config import HarnessConfig
+from clickhousedatamocker_spark.engine import Engine
+from clickhousedatamocker_spark.harness import QUERY_PARTS_SQL, run_harness
+from clickhousedatamocker_spark.schema import test_local_spec as make_spec
+from clickhousedatamocker_spark.sources.generator import BatchGenerator
+
+
+def test_m1_end_to_end_parts_query(spark, tmp_warehouse):
+    """Generate a batch, append, run the reference's deepest query
+    (sql/query_parts.sql:1-12) through spark.sql — correct top-k answer."""
+    engine = Engine(spark, tmp_warehouse)
+    engine.create_table(make_spec())
+    gen = BatchGenerator(spark, seed=42, base_time="2026-01-01 12:00:00")
+    res = engine.insert("test_local", gen.batch_with_partition(5000))
+    assert res.rows == 5000
+    assert 1 < res.partitions_touched <= 24
+    assert res.new_parts >= res.partitions_touched
+
+    out = engine.sql(QUERY_PARTS_SQL.format(database="default", table="test_local"))
+    rows = out.collect()
+    assert 0 < len(rows) <= 20
+    assert rows[0]["parts_count"] >= rows[-1]["parts_count"]  # ORDER BY DESC
+    assert sum(r["total_rows"] for r in rows) <= 5000
+    assert all(r["total_size"].split(" ")[1] in {"B", "KiB", "MiB"} for r in rows)
+
+    # readback: row fidelity through partitioned parquet
+    back = engine.read_table("test_local")
+    assert back.count() == 5000
+    assert back.select(F.countDistinct("event_hour")).first()[0] == res.partitions_touched
+
+
+def test_insert_appends_and_counts_parts(spark, tmp_warehouse):
+    engine = Engine(spark, tmp_warehouse)
+    engine.create_table(make_spec())
+    gen = BatchGenerator(spark, seed=1, base_time="2026-01-01 12:00:00")
+    r1 = engine.insert("test_local", gen.batch_with_partition(1000, batch_no=0))
+    r2 = engine.insert("test_local", gen.batch_with_partition(1000, batch_no=1))
+    status = engine.flow_status("test_local")
+    assert status.active_parts == r1.new_parts + r2.new_parts
+    assert engine.read_table("test_local").count() == 2000
+
+
+def test_alias_insert_routes_to_local(spark, tmp_warehouse):
+    """test_distributed AS test_local (create_distributed.sql) — writes through
+    the alias land in the physical table."""
+    engine = Engine(spark, tmp_warehouse)
+    engine.create_table(make_spec())
+    engine.create_alias("test_distributed", "test_local")
+    gen = BatchGenerator(spark, seed=2, base_time="2026-01-01 12:00:00")
+    engine.insert("test_distributed", gen.batch_with_partition(500))
+    assert engine.read_table("test_local").count() == 500
+
+
+def test_optimize_compacts_parts(spark, tmp_warehouse):
+    engine = Engine(spark, tmp_warehouse)
+    engine.create_table(make_spec())
+    gen = BatchGenerator(spark, seed=3, base_time="2026-01-01 12:00:00")
+    for b in range(3):
+        engine.insert("test_local", gen.batch_with_partition(1000, batch_no=b))
+    before = engine.flow_status("test_local").active_parts
+    engine.optimize("test_local")
+    after = engine.flow_status("test_local").active_parts
+    assert after < before
+    assert engine.read_table("test_local").count() == 3000  # no data loss
+    # history retained like system.parts: inactive rows still visible
+    parts = engine.system_parts()
+    assert parts.filter(~F.col("active")).count() > 0
+
+
+def test_miniature_harness_flow_control_triggers(spark, tmp_warehouse):
+    """setup.sh contract: delay warning precedes throw; loop stops at throw."""
+    cfg = HarnessConfig(
+        batch_size=500,
+        parts_to_delay_insert=5,
+        parts_to_throw_insert=10,
+        insert_interval_s=0.0,
+        max_insert_count=60,
+        base_time="2026-01-01 12:00:00",
+    )
+    res = run_harness(spark, tmp_warehouse, cfg)
+    assert res.flow_control_triggered
+    assert res.throw_triggered
+    assert res.inserts_attempted < 60  # early stop, not loop exhaustion
+    assert res.rows_inserted > 0
+    assert res.final_active_parts >= 10
