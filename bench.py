@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Benchmark harness — run headline queries + the reference ingest operating
+point at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+The reference's baseline (BASELINE.md): generate+append a 100k-row batch into
+the 24-way hourly-partitioned table in <1 s steady-state; monitoring queries
+run alongside each second. `ingest_100k_batch` measures exactly that cycle
+(generate -> admission check -> partitioned append -> parts/metrics query).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from clickhousedatamocker_spark.session import get_spark
+    from clickhousedatamocker_spark.queries import REGISTRY
+
+    spark = get_spark(app_name="bench")
+    timings: dict[str, float] = {}
+
+    headline = [name for name, spec in REGISTRY.items() if spec.headline]
+    # warm up the JVM/IO path once with the first headline query
+    REGISTRY[headline[0]].fn(spark, sf_dir).collect()
+
+    for name in headline:
+        t0 = time.monotonic()
+        REGISTRY[name].fn(spark, sf_dir).collect()
+        timings[name] = round(time.monotonic() - t0, 4)
+
+    # reference operating point: one 100k-row generated batch appended to the
+    # hourly-partitioned table + the per-second monitoring queries
+    from clickhousedatamocker_spark.engine import Engine
+    from clickhousedatamocker_spark.harness import QUERY_METRICS_SQL, QUERY_PARTS_SQL
+    from clickhousedatamocker_spark.schema import test_local_spec
+    from clickhousedatamocker_spark.sources.generator import BatchGenerator
+
+    with tempfile.TemporaryDirectory(prefix="bench_wh_") as wh:
+        engine = Engine(spark, wh)
+        engine.create_table(test_local_spec())
+        gen = BatchGenerator(spark, seed=42, base_time="2026-01-01 12:00:00")
+        engine.insert("test_local", gen.batch_with_partition(100_000, batch_no=0))  # warm
+        t0 = time.monotonic()
+        engine.insert("test_local", gen.batch_with_partition(100_000, batch_no=1))
+        timings["ingest_100k_batch"] = round(time.monotonic() - t0, 4)
+        t0 = time.monotonic()
+        engine.sql(QUERY_METRICS_SQL).collect()
+        engine.sql(QUERY_PARTS_SQL.format(database="default", table="test_local")).collect()
+        timings["monitoring_queries"] = round(time.monotonic() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline queries + 100k-batch partitioned ingest + monitoring, seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,141 @@
+"""Tier-A-shaped queries (SURVEY §2.1): the reference's generator and its
+monitoring-query shapes, re-targeted at the fixture tables so the duckdb
+oracle can check them, plus the as-of join operator.
+
+The generator queries are the flagship: the reference's core capability
+(random batch generation, generate_data.py:12-36) made *verifiable* —
+hash-arithmetic columns mean DuckDB can recompute the exact same batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clickhousedatamocker_spark.functions.scalar import (
+    format_readable_size,
+    format_readable_size_oracle_sql,
+    to_yyyymmddhh,
+)
+from clickhousedatamocker_spark.operators.asof import asof_join
+from clickhousedatamocker_spark.queries.base import dsum, register, t
+from clickhousedatamocker_spark.sources.generator import BatchGenerator, gen_oracle_sql
+
+_BASE_TIME = "2026-01-01 12:00:00"
+_GEN_N = 20_000
+
+
+# -------------------------------------------------------------------------
+@register(
+    "gen_test_local_batch",
+    gen_oracle_sql(_GEN_N, seed=42, base_time=_BASE_TIME),
+    headline=True,
+    description="The reference's 10-column random batch (generate_data.py:22-36) "
+    "as pure column arithmetic over spark.range — deterministic, shuffle-free, "
+    "embarrassingly parallel at any scale, and exactly recomputable by the oracle.",
+)
+def gen_test_local_batch(spark, sf_dir):
+    return BatchGenerator(spark, seed=42, base_time=_BASE_TIME).batch(_GEN_N)
+
+
+# -------------------------------------------------------------------------
+@register(
+    "gen_partition_histogram",
+    f"""
+SELECT CAST(strftime(event_time, '%Y%m%d%H') AS INT) AS event_hour,
+       COUNT(*) AS n_rows
+FROM ({gen_oracle_sql(_GEN_N, seed=42, base_time=_BASE_TIME)})
+GROUP BY 1 ORDER BY 1
+""",
+    description="Partition-pressure histogram: the 24-way hourly spread that "
+    "drives the reference's flow-control trigger (generate_data.py:24-25).",
+)
+def gen_partition_histogram(spark, sf_dir):
+    df = BatchGenerator(spark, seed=42, base_time=_BASE_TIME).batch(_GEN_N)
+    return (
+        df.select(to_yyyymmddhh("event_time").alias("event_hour"))
+        .groupBy("event_hour")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("event_hour")
+    )
+
+
+# -------------------------------------------------------------------------
+@register(
+    "monitor_inlist_filter",
+    """
+SELECT event_type,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value
+FROM events
+WHERE event_type IN ('click', 'purchase', 'signup')
+GROUP BY event_type
+ORDER BY event_type
+""",
+    description="The query_metrics.sql shape (sql/query_metrics.sql:7-19): "
+    "IN-list membership filter + ascending sort, over the events fixture.",
+)
+def monitor_inlist_filter(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase", "signup"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", 10, 2).alias("total_value"))
+        .orderBy("event_type")
+    )
+
+
+# -------------------------------------------------------------------------
+_O_BYTES = "CAST(floor(value * 100 + 0.5) AS BIGINT) * 1024"
+
+@register(
+    "monitor_parts_style_report",
+    f"""
+SELECT event_type, CAST(strftime(ts, '%Y%m%d%H') AS INT) AS event_hour,
+  COUNT(*) AS parts_count,
+  CAST(SUM({_O_BYTES}) AS BIGINT) AS total_bytes,
+  {format_readable_size_oracle_sql(f"SUM({_O_BYTES})")} AS total_size
+FROM events
+GROUP BY event_type, CAST(strftime(ts, '%Y%m%d%H') AS INT)
+ORDER BY parts_count DESC, event_type, event_hour
+LIMIT 20
+""",
+    description="The query_parts.sql shape (sql/query_parts.sql:1-12): 2-key "
+    "hash agg + formatReadableSize + toYYYYMMDDhh + descending top-20, over the "
+    "events fixture (value*100 as a deterministic bytes proxy).",
+)
+def monitor_parts_style_report(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    bytes_col = (F.floor(F.col("value") * 100 + 0.5).cast("long") * 1024).alias("bytes")
+    return (
+        ev.select("event_type", to_yyyymmddhh("ts").alias("event_hour"), bytes_col)
+        .groupBy("event_type", "event_hour")
+        .agg(F.count(F.lit(1)).alias("parts_count"), F.sum("bytes").alias("total_bytes"))
+        .withColumn("total_size", format_readable_size("total_bytes"))
+        .orderBy(F.desc("parts_count"), "event_type", "event_hour")
+        .limit(20)
+    )
+
+
+# -------------------------------------------------------------------------
+@register(
+    "asof_join_last_click",
+    """
+SELECT e.event_id, e.user_id, e.ts, c.ts AS ts_asof
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON e.user_id = c.user_id AND e.ts >= c.ts
+ORDER BY e.event_id
+""",
+    description="As-of join (operators/asof.py): for each error event, the most "
+    "recent click by the same user at-or-before it. Union+window: one shuffle "
+    "on user_id — no O(n*m) range join.",
+)
+def asof_join_last_click(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error")
+    clicks = ev.filter(F.col("event_type") == "click")
+    return (
+        asof_join(errors, clicks, on="user_id", left_ts="ts", right_ts="ts", value_cols=["ts"])
+        .select("event_id", "user_id", "ts", "ts_asof")
+        .orderBy("event_id")
+    )

@@ -1,0 +1,746 @@
+"""Tier-C relational surface (SURVEY §2.3): thin declared passthroughs to
+built-in Spark primitives, each with a DuckDB oracle.
+
+Scale notes live on each query: what shuffles, what broadcasts, and why the
+plan survives 100 TB. All money math follows queries/base.py's decimal rules.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from clickhousedatamocker_spark.queries.base import (
+    davg,
+    dec,
+    dsum,
+    o_davg,
+    o_dsum,
+    register,
+    t,
+    views,
+)
+
+# one-minus-discount / one-plus-tax as exact decimals (see base.py rules)
+def _one():
+    return F.lit(1).cast("decimal(3,2)")
+
+
+def _disc_price():  # l_extendedprice * (1 - l_discount), exact
+    return dec("l_extendedprice", 12, 2) * (_one() - dec("l_discount", 3, 2))
+
+
+def _charge():  # ... * (1 + l_tax), exact
+    return _disc_price() * (_one() + dec("l_tax", 3, 2))
+
+
+_O_DISC = "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
+_O_CHARGE = f"({_O_DISC}) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))"
+
+
+# -------------------------------------------------------------------------
+@register(
+    "q1_pricing_summary",
+    f"""
+SELECT l_returnflag, l_linestatus,
+  {o_dsum('l_quantity', 12, 2)} AS sum_qty,
+  {o_dsum('l_extendedprice', 12, 2)} AS sum_base_price,
+  CAST(SUM({_O_DISC}) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM({_O_CHARGE}) AS DOUBLE) AS sum_charge,
+  {o_davg('l_quantity', 12, 2)} AS avg_qty,
+  {o_davg('l_extendedprice', 12, 2)} AS avg_price,
+  {o_davg('l_discount', 3, 2)} AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+    headline=True,
+    description="TPC-H Q1 pricing summary: filter -> 2-key hash agg -> sort. "
+    "Scale: partial (map-side) aggregation before one shuffle on 6 distinct keys; "
+    "scan prunes to 7 columns with the shipdate filter pushed to parquet.",
+)
+def q1_pricing_summary(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", 12, 2).alias("sum_qty"),
+            dsum("l_extendedprice", 12, 2).alias("sum_base_price"),
+            F.sum(_disc_price()).cast("double").alias("sum_disc_price"),
+            F.sum(_charge()).cast("double").alias("sum_charge"),
+            davg("l_quantity", 12, 2).alias("avg_qty"),
+            davg("l_extendedprice", 12, 2).alias("avg_price"),
+            davg("l_discount", 3, 2).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# -------------------------------------------------------------------------
+@register(
+    "q3_shipping_priority",
+    f"""
+SELECT l_orderkey,
+  CAST(SUM({_O_DISC}) AS DOUBLE) AS revenue,
+  o_orderdate, o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+    headline=True,
+    description="TPC-H Q3: 3-way join -> agg -> top-k. Scale: customer filter first "
+    "(selective dim), broadcast customer into orders, one shuffle join with lineitem "
+    "on orderkey; top-k is TakeOrderedAndProject (no global sort). Unique tiebreak "
+    "(l_orderkey) keeps LIMIT deterministic.",
+)
+def q3_shipping_priority(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-03-15")
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-03-15")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+# -------------------------------------------------------------------------
+@register(
+    "q5_local_supplier_volume",
+    f"""
+SELECT n_name, CAST(SUM({_O_DISC}) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""",
+    headline=True,
+    description="TPC-H Q5: 6-way join. Scale: region/nation/supplier/customer are "
+    "broadcast dims (Catalyst picks BroadcastHashJoin under the 10MB default); the "
+    "only big shuffle is lineitem⋈orders on orderkey. AQE re-plans if a dim "
+    "outgrows the broadcast threshold.",
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    views(spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region")
+    return spark.sql(
+        f"""
+        SELECT n_name, CAST(SUM({_O_DISC}) AS DOUBLE) AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+        """
+    )
+
+
+# -------------------------------------------------------------------------
+@register(
+    "join_broadcast_dims",
+    f"""
+SELECT r_name, COUNT(*) AS n_customers, {o_dsum('c_acctbal', 12, 2)} AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+""",
+    description="Star join of fact->two dims. Scale: both dims broadcast; zero "
+    "shuffle until the 5-group aggregate.",
+)
+def join_broadcast_dims(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"), dsum("c_acctbal", 12, 2).alias("total_acctbal"))
+        .orderBy("r_name")
+    )
+
+
+# -------------------------------------------------------------------------
+@register(
+    "join_semi_anti",
+    """
+SELECT tag, n_name, n AS n_customers FROM (
+  SELECT 'with_orders' AS tag, n_name, COUNT(*) AS n
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  GROUP BY n_name
+  UNION ALL
+  SELECT 'without_orders' AS tag, n_name, COUNT(*) AS n
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  GROUP BY n_name
+) ORDER BY tag, n_name
+""",
+    description="left_semi (EXISTS) + left_anti (NOT EXISTS). Scale: semi/anti "
+    "joins ship only the join key of the probe side; no payload shuffle.",
+)
+def join_semi_anti(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    orders = t(spark, sf_dir, "orders").select("o_custkey")
+    with_o = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("tag", F.lit("with_orders"))
+    )
+    without_o = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("tag", F.lit("without_orders"))
+    )
+    return (
+        with_o.unionByName(without_o)
+        .select("tag", "n_name", F.col("n").alias("n_customers"))
+        .orderBy("tag", "n_name")
+    )
+
+
+# -------------------------------------------------------------------------
+@register(
+    "join_outer_counts",
+    """
+SELECT n_name, COUNT(s_suppkey) AS n_suppliers
+FROM nation LEFT JOIN supplier ON s_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+""",
+    description="LEFT OUTER join preserving empty groups; COUNT(col) counts "
+    "non-null matches only.",
+)
+def join_outer_counts(spark, sf_dir):
+    nation = t(spark, sf_dir, "nation")
+    supp = t(spark, sf_dir, "supplier")
+    return (
+        nation.join(supp, supp.s_nationkey == nation.n_nationkey, "left")
+        .groupBy("n_name")
+        .agg(F.count("s_suppkey").alias("n_suppliers"))
+        .orderBy("n_name")
+    )
+
+
+# -------------------------------------------------------------------------
+@register(
+    "window_rank_top_customers",
+    """
+SELECT c_mktsegment, c_custkey, c_acctbal, rn, rnk, drnk FROM (
+  SELECT c_mktsegment, c_custkey, c_acctbal,
+    ROW_NUMBER()  OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn,
+    RANK()        OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rnk,
+    DENSE_RANK()  OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS drnk
+  FROM customer
+) WHERE rn <= 5
+ORDER BY c_mktsegment, rn
+""",
+    description="Ranking window functions, top-5 per segment. Scale: one shuffle "
+    "on the partition key; rank filter pushed via WindowGroupLimit in Spark 3.5+ "
+    "(avoids materializing full partitions).",
+)
+def window_rank_top_customers(spark, sf_dir):
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.col("c_custkey"))
+    return (
+        t(spark, sf_dir, "customer")
+        .select(
+            "c_mktsegment",
+            "c_custkey",
+            "c_acctbal",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 5)
+        .orderBy("c_mktsegment", "rn")
+    )
+
+
+# -------------------------------------------------------------------------
+@register(
+    "window_running_and_lag",
+    """
+SELECT user_id, event_id, ts,
+  CAST(SUM(CAST(value AS DECIMAL(10,2))) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
+  LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+  LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+FROM events
+WHERE user_id <= 5
+ORDER BY user_id, ts, event_id
+""",
+    description="Running aggregate + lag/lead. Decimal inside the frame sum keeps "
+    "the running value order-independent-exact across engines.",
+)
+def window_running_and_lag(spark, sf_dir):
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id") <= 5)
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.sum(dec("value", 10, 2)).over(w.rowsBetween(W.unboundedPreceding, 0)).cast("double").alias("running_value"),
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+    )
+
+
+# -------------------------------------------------------------------------
+@register(
+    "setops_customer_segments",
+    """
+SELECT 'building_with_orders' AS tag, c_custkey FROM (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  INTERSECT
+  SELECT o_custkey FROM orders
+)
+UNION ALL
+SELECT 'building_without_orders' AS tag, c_custkey FROM (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  EXCEPT
+  SELECT o_custkey FROM orders
+)
+ORDER BY tag, c_custkey
+""",
+    description="INTERSECT / EXCEPT (distinct set semantics in both engines) "
+    "tagged and unioned.",
+)
+def setops_customer_segments(spark, sf_dir):
+    building = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    orderers = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    both = building.intersect(orderers).withColumn("tag", F.lit("building_with_orders"))
+    only = building.exceptAll(orderers).distinct().withColumn("tag", F.lit("building_without_orders"))
+    return both.unionByName(only).select("tag", "c_custkey").orderBy("tag", "c_custkey")
+
+
+# -------------------------------------------------------------------------
+@register(
+    "agg_rollup_region_nation",
+    f"""
+SELECT r_name, n_name, COUNT(*) AS n_customers, {o_dsum('c_acctbal', 12, 2)} AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
+""",
+    description="ROLLUP hierarchy totals (region -> nation -> grand total).",
+)
+def agg_rollup_region_nation(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"), dsum("c_acctbal", 12, 2).alias("total_acctbal"))
+        .orderBy(F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first())
+    )
+
+
+# -------------------------------------------------------------------------
+@register(
+    "agg_cube_orders",
+    f"""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders, {o_dsum('o_totalprice', 12, 2)} AS total_price
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+""",
+    description="CUBE over status x priority (all 2^2 grouping sets).",
+)
+def agg_cube_orders(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", 12, 2).alias("total_price"))
+        .orderBy(F.col("o_orderstatus").asc_nulls_first(), F.col("o_orderpriority").asc_nulls_first())
+    )
+
+
+# -------------------------------------------------------------------------
+@register(
+    "agg_grouping_sets",
+    f"""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders, {o_dsum('o_totalprice', 12, 2)} AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+""",
+    description="Explicit GROUPING SETS (two single-key sets + grand total).",
+)
+def agg_grouping_sets(spark, sf_dir):
+    views(spark, sf_dir, "orders")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+               {o_dsum('o_totalprice', 12, 2)} AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        """
+    )
+
+
+# -------------------------------------------------------------------------
+@register(
+    "agg_distinct_counts",
+    """
+SELECT l_returnflag,
+  COUNT(DISTINCT l_suppkey) AS n_suppliers,
+  COUNT(DISTINCT l_partkey) AS n_parts,
+  COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    description="Multiple DISTINCT aggregates. Scale: Spark expands to "
+    "two-phase distinct aggregation (partial dedup before the shuffle).",
+)
+def agg_distinct_counts(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# -------------------------------------------------------------------------
+@register(
+    "topk_orders_by_price",
+    """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 15
+""",
+    description="Global top-k -> TakeOrderedAndProject (per-partition heaps, "
+    "no full sort). Unique tiebreak keeps it deterministic.",
+)
+def topk_orders_by_price(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(15)
+    )
+
+
+# -------------------------------------------------------------------------
+@register(
+    "pivot_linestatus",
+    """
+SELECT l_returnflag,
+  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS "O",
+  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS "F"
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    description="Pivot on a low-cardinality column with explicit values "
+    "(= conditional aggregation; no extra pass to discover values).",
+)
+def pivot_linestatus(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(dec("l_quantity", 12, 2)).cast("double"))
+        .orderBy("l_returnflag")
+    )
+
+
+# -------------------------------------------------------------------------
+@register(
+    "having_cte_big_customers",
+    f"""
+WITH rev AS (
+  SELECT o_custkey, {o_dsum('o_totalprice', 12, 2)} AS total_spent, COUNT(*) AS n_orders
+  FROM orders
+  GROUP BY o_custkey
+  HAVING COUNT(*) >= 15
+)
+SELECT c_custkey, c_name, total_spent, n_orders
+FROM rev JOIN customer ON c_custkey = o_custkey
+ORDER BY total_spent DESC, c_custkey
+LIMIT 25
+""",
+    description="CTE + HAVING + join-back + top-k.",
+)
+def having_cte_big_customers(spark, sf_dir):
+    views(spark, sf_dir, "orders", "customer")
+    return spark.sql(
+        f"""
+        WITH rev AS (
+          SELECT o_custkey, {o_dsum('o_totalprice', 12, 2)} AS total_spent, COUNT(*) AS n_orders
+          FROM orders
+          GROUP BY o_custkey
+          HAVING COUNT(*) >= 15
+        )
+        SELECT c_custkey, c_name, total_spent, n_orders
+        FROM rev JOIN customer ON c_custkey = o_custkey
+        ORDER BY total_spent DESC, c_custkey
+        LIMIT 25
+        """
+    )
+
+
+# -------------------------------------------------------------------------
+@register(
+    "subquery_scalar_above_avg",
+    f"""
+SELECT c_custkey, c_acctbal
+FROM customer
+WHERE c_acctbal > (SELECT {o_dsum('c_acctbal', 12, 2)} / COUNT(*) FROM customer)
+ORDER BY c_custkey
+""",
+    description="Uncorrelated scalar subquery (exact-decimal avg; one broadcast "
+    "of a single value).",
+)
+def subquery_scalar_above_avg(spark, sf_dir):
+    views(spark, sf_dir, "customer")
+    return spark.sql(
+        f"""
+        SELECT c_custkey, c_acctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT {o_dsum('c_acctbal', 12, 2)} / COUNT(*) FROM customer)
+        ORDER BY c_custkey
+        """
+    )
+
+
+# -------------------------------------------------------------------------
+@register(
+    "subquery_in_max_quantity",
+    """
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity = 50)
+ORDER BY o_orderkey
+""",
+    description="IN-subquery -> decorrelated to a left-semi join by Catalyst.",
+)
+def subquery_in_max_quantity(spark, sf_dir):
+    views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity = 50)
+        ORDER BY o_orderkey
+        """
+    )
+
+
+# -------------------------------------------------------------------------
+@register(
+    "scalar_fn_showcase",
+    """
+SELECT p_partkey,
+  upper(p_brand) AS brand_upper,
+  lower(p_type) AS type_lower,
+  substring(p_name, 1, 8) AS name_prefix,
+  length(p_name) AS name_len,
+  replace(p_brand, 'Brand#', 'B') AS brand_short,
+  concat(p_brand, '/', p_type) AS brand_type,
+  abs(p_size - 25) AS size_dist,
+  p_retailprice / 100 AS price_hund,
+  CASE WHEN p_size >= 40 THEN 'large' WHEN p_size >= 15 THEN 'medium' ELSE 'small' END AS size_class,
+  coalesce(nullif(p_brand, 'Brand#11'), 'OTHER') AS brand_nullif
+FROM part
+WHERE p_partkey <= 500
+ORDER BY p_partkey
+""",
+    description="String/math/conditional scalar-function surface, row-parallel, "
+    "all whole-stage-codegen builtins.",
+)
+def scalar_fn_showcase(spark, sf_dir):
+    p = t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.expr("replace(p_brand, 'Brand#', 'B')").alias("brand_short"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.abs(F.col("p_size") - 25).alias("size_dist"),
+        (F.col("p_retailprice") / 100).alias("price_hund"),
+        F.when(F.col("p_size") >= 40, "large").when(F.col("p_size") >= 15, "medium").otherwise("small").alias("size_class"),
+        F.coalesce(F.nullif("p_brand", F.lit("Brand#11")), F.lit("OTHER")).alias("brand_nullif"),
+    ).orderBy("p_partkey")
+
+
+# -------------------------------------------------------------------------
+@register(
+    "date_fn_showcase",
+    """
+SELECT o_orderkey,
+  CAST(year(o_orderdate) AS INT) AS yr,
+  CAST(month(o_orderdate) AS INT) AS mo,
+  CAST(dayofmonth(o_orderdate) AS INT) AS dom,
+  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+  CAST(datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INT) AS days_since_epoch_start,
+  strftime(o_orderdate, '%Y-%m') AS ym
+FROM orders
+WHERE o_orderkey <= 2000
+ORDER BY o_orderkey
+""",
+    description="Temporal function surface (extract/trunc/diff/format).",
+)
+def date_fn_showcase(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias("days_since_epoch_start"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+    ).orderBy("o_orderkey")
+
+
+# -------------------------------------------------------------------------
+@register(
+    "json_extract_props",
+    """
+SELECT event_type,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+  COUNT(*) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    description="JSON field extraction from a string column + aggregation.",
+)
+def json_extract_props(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "events")
+        .select("event_type", F.get_json_object("props", "$.k").cast("int").alias("k"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
+# -------------------------------------------------------------------------
+@register(
+    "tumbling_window_hourly",
+    """
+SELECT date_trunc('hour', ts) AS hour_start, event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+ORDER BY hour_start, event_type
+""",
+    description="Tumbling 1-hour event-time windows (batch equivalent of the "
+    "Structured Streaming windowed agg; same expression works under readStream).",
+)
+def tumbling_window_hourly(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour_start"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", 10, 2).alias("total_value"))
+        .orderBy("hour_start", "event_type")
+    )
+
+
+# -------------------------------------------------------------------------
+@register(
+    "sessionize_events",
+    """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         OR epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+         THEN 1 ELSE 0 END AS is_new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts, event_id,
+    SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events, min(ts) AS session_start
+FROM sessions
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+""",
+    description="Gap-based sessionization (30-min inactivity) via lag + running "
+    "sum — the batch shape of a session window; one shuffle on user_id.",
+)
+def sessionize_events(spark, sf_dir):
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = (
+        t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(
+                F.lag("ts").over(w).isNull()
+                | ((F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))) > 1_800_000_000),
+                1,
+            )
+            .otherwise(0)
+            .alias("is_new_session"),
+        )
+    )
+    sessions = marked.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum("is_new_session").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("session_id"),
+    )
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.min("ts").alias("session_start"))
+        .orderBy("user_id", "session_id")
+    )

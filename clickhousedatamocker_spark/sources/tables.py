@@ -20,8 +20,21 @@ TABLE_NAMES = [
 ]
 
 
+# columns stored as parquet TIMESTAMP(NANOS) — Spark reads them as long only
+# (spark.sql.legacy.parquet.nanosAsLong, set in session.py); convert to
+# microsecond timestamps on load, matching DuckDB's ns->us truncation.
+_NANO_TS_COLS = {"events": ["ts"]}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in _NANO_TS_COLS.get(name, []):
+        if dict(df.dtypes).get(col) == "bigint":
+            from pyspark.sql import functions as F
+
+            # integer `div`, not `/`: ns epochs (~1.7e18) exceed double precision
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:

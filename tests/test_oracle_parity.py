@@ -1,0 +1,61 @@
+"""Every registered query vs its DuckDB oracle — mimics the driver's t2 gate
+(row-count + schema-width + order-insensitive value comparison) at sf0.001.
+
+Run with SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01 for the full-size check.
+"""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from clickhousedatamocker_spark.queries import REGISTRY
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def _normalize(rows, columns):
+    """Sort columns by name, then rows — the driver's order-insensitive compare."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float):
+                v = round(v, 9) if not math.isnan(v) else "nan"
+            vals.append(repr(v))
+        out.append(tuple(vals))
+    return sorted(out)
+
+
+ORACLED = [name for name, spec in REGISTRY.items() if spec.oracle is not None]
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_query_matches_oracle(spark, duck, name):
+    spec = REGISTRY[name]
+    sdf = spec.fn(spark, SF_DIR)
+    srows = sdf.collect()
+    scols = sdf.columns
+
+    cur = duck.execute(spec.oracle)
+    ocols = [d[0] for d in cur.description]
+    orows = cur.fetchall()
+
+    assert len(srows) == len(orows), f"{name}: row count {len(srows)} != oracle {len(orows)}"
+    assert sorted(scols) == sorted(ocols), f"{name}: columns {sorted(scols)} != {sorted(ocols)}"
+    snorm = _normalize([tuple(r) for r in srows], scols)
+    onorm = _normalize(orows, ocols)
+    mismatches = [(a, b) for a, b in zip(snorm, onorm) if a != b]
+    assert not mismatches, f"{name}: {len(mismatches)} mismatched rows; first: {mismatches[0]}"
