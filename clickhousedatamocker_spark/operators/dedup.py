@@ -1,0 +1,232 @@
+"""Deduplication operators for LLM-data pipelines (SURVEY §2.4 Tier B).
+
+Ladder of fidelity/cost, all shuffle-disciplined for 100 TB:
+
+- exact_dedup: one hash aggregation on the key (map-side partial combine).
+- ngram_jaccard_pairs: exact near-dup pairs by shingle Jaccard. Quadratic —
+  the *verifier*, not the scale path; a size-ratio prefilter (provably
+  lossless at the threshold) plus same-language blocking bound the pair space.
+- minhash_lsh_pairs: the scale path. Shingles → k min-hashes → b bands →
+  candidates meet only within a band bucket (linear-ish in corpus size),
+  then exact Jaccard verification of candidates only.
+- simhash_64: 64-bit fingerprints; near-dups differ in few bits; bucketing
+  on 16-bit chunks finds all pairs within Hamming distance 3 (pigeonhole).
+
+All hashing is xxhash64 (JVM-side, whole-stage codegen) — no Python in any
+hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, " ")
+
+
+def shingles(col: str | Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (JVM-side transform)."""
+    tk = tokens(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(tk) - (n - 1), F.lit(0)))
+    gram = lambda i: F.concat_ws(" ", *[F.element_at(tk, i + j) for j in range(n)])  # noqa: E731
+    return F.array_distinct(F.transform(idx, gram))
+
+
+def exact_dedup(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
+    """Keep the minimum-``order_col`` row per key group — deterministic
+    (dropDuplicates keeps an arbitrary row; this is the reproducible form).
+    One shuffle on the keys."""
+    canonical = df.groupBy(*keys).agg(F.min(order_col).alias(order_col))
+    return df.join(canonical, keys + [order_col], "left_semi")
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    return inter / (F.size(a) + F.size(b) - F.size(F.array_intersect(a, b)))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_cols: list[str] | None = None,
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact near-duplicate pairs: shingle-Jaccard >= threshold.
+
+    Lossless prefilters before the quadratic compare:
+    - blocking on ``block_cols`` (e.g. language) — near-dups share them;
+    - size ratio: J(A,B) >= t  ⇒  t·|A| <= |B| and t·|B| <= |A|
+      (since |A∩B| <= min and >= t·max), so wildly different-size pairs
+      are skipped without changing the result set.
+    """
+    block_cols = block_cols or []
+    base = docs.select(
+        F.col(id_col), *[F.col(c) for c in block_cols], shingles(text_col, n).alias("__sg")
+    ).withColumn("__n", F.size("__sg")).filter(F.col("__n") > 0)
+
+    a = base.alias("a")
+    b = base.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    cond = cond & (F.col("a.__n") * threshold <= F.col("b.__n"))
+    cond = cond & (F.col("b.__n") * threshold <= F.col("a.__n"))
+
+    j = jaccard(F.col("a.__sg"), F.col("b.__sg"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            j.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    n: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature: for each of ``num_hashes`` seeded hash
+    functions, the min xxhash64 over the doc's shingles.
+
+    Single explode + one grouped aggregation with ``num_hashes`` min()
+    columns — one shuffle on the doc id, no Python.
+    """
+    sh = docs.select(F.col(id_col), F.explode(shingles(text_col, n)).alias("__sg"))
+    aggs = [F.min(F.xxhash64(F.lit(i), F.col("__sg"))).alias(f"h{i}") for i in range(num_hashes)]
+    sig = sh.groupBy(id_col).agg(*aggs)
+    return sig.select(F.col(id_col), F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.2,
+    verify: bool = True,
+) -> DataFrame:
+    """MinHash-LSH near-dup candidates, optionally verified by exact Jaccard.
+
+    banding: signature split into ``bands`` bands of r = num_hashes/bands
+    rows; docs colliding on any band's hash become candidates. Collision
+    probability 1-(1-J^r)^b. Scale: candidate generation is a self-join on
+    (band, band_hash) buckets — linear in corpus + bucket sizes, never a
+    full cross join. Skewed buckets (boilerplate shingles) are the known
+    hazard: AQE skew-join splits them.
+    """
+    r = num_hashes // bands
+    sig = minhash_signatures(docs, id_col, text_col, num_hashes, n)
+    band_cols = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.xxhash64(*[F.col("signature")[i * r + j] for j in range(r)]).alias("bh"),
+        )
+        for i in range(bands)
+    ]
+    buckets = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("b")).select(
+        id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    if not verify:
+        return candidates
+    sg = docs.select(F.col(id_col), shingles(text_col, n).alias("__sg"))
+    return (
+        candidates.join(sg.select(F.col(id_col).alias("id_a"), F.col("__sg").alias("__sga")), "id_a")
+        .join(sg.select(F.col(id_col).alias("id_b"), F.col("__sg").alias("__sgb")), "id_b")
+        .select("id_a", "id_b", jaccard(F.col("__sga"), F.col("__sgb")).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _bit(i: int):
+    """Bit-i mask as a signed long literal (bit 63 is the sign bit)."""
+    return F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")
+
+
+def simhash_64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document: per bit, sum +-1 votes of each distinct
+    token's xxhash64 bit; sign of the sum is the fingerprint bit.
+
+    Pure column expressions: explode tokens → 64 sum() aggs → bit assembly.
+    """
+    tk = docs.select(F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("__t"))
+    h = F.xxhash64(F.col("__t"))
+    votes = [
+        F.sum(F.when(h.bitwiseAND(_bit(i)) != 0, 1).otherwise(-1)).alias(f"v{i}")
+        for i in range(64)
+    ]
+    voted = tk.groupBy(id_col).agg(*votes)
+    fp = None
+    for i in range(64):
+        bit = F.when(F.col(f"v{i}") > 0, _bit(i)).otherwise(F.lit(0).cast("long"))
+        fp = bit if fp is None else fp.bitwiseOR(bit)
+    return voted.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs within Hamming distance ``max_hamming`` of their SimHashes.
+
+    Pigeonhole bucketing: split 64 bits into max_hamming+1 chunks; any pair
+    within the distance agrees on >=1 full chunk, so candidates only meet
+    inside a chunk-value bucket — no quadratic pass.
+    """
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    fp = simhash_64(docs, id_col, text_col)
+    chunk_cols = [
+        F.struct(
+            F.lit(i).alias("chunk"),
+            F.shiftrightunsigned(F.col("simhash"), i * width)
+            .bitwiseAND(F.lit((1 << width) - 1).cast("long"))
+            .alias("cv"),
+        )
+        for i in range(chunks)
+    ]
+    buckets = fp.select(id_col, "simhash", F.explode(F.array(*chunk_cols)).alias("c")).select(
+        id_col, "simhash", F.col("c.chunk").alias("chunk"), F.col("c.cv").alias("cv")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,157 @@
+"""Multimodal column support (SURVEY §2.4 Tier B).
+
+Image/audio/video payloads are opaque ``binary`` columns with a typed
+metadata struct; per-item compute (decode, feature extraction, resize,
+frame sampling) runs as Arrow-batched ``mapInPandas`` — the Spark-side
+plumbing (schema, partitioning, UDF signatures, batch shapes) is real and
+tested, while the codec step itself is STUBBED: the image/audio libraries
+are not in this container, so ``decode=...`` either raises a clearly-marked
+NotImplementedError or substitutes a deterministic fake payload.
+
+Scale: media rows are large — the operators preserve the incoming
+partitioning (mapInPandas is a narrow transformation) and never collect
+binary data to the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("uri", T.StringType(), False),
+        T.StructField("mime", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("data", T.BinaryType(), False),
+    ]
+)
+
+_MIMES = ["image/png", "image/jpeg", "audio/wav", "video/mp4"]
+
+FEATURE_DIM = 16
+
+
+def attach_fake_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic synthetic media column keyed on ``id_col`` — payload
+    bytes derive from sha2 of the id (pure column exprs, no Python)."""
+    key = F.col(id_col).cast("string")
+    payload = F.to_binary(
+        F.concat(*[F.sha2(F.concat(key, F.lit(f":{i}")), 256) for i in range(4)]), F.lit("hex")
+    )
+    mime = F.element_at(
+        F.array(*[F.lit(m) for m in _MIMES]), (F.pmod(F.xxhash64(key), F.lit(4)) + 1).cast("int")
+    )
+    return df.withColumn(
+        "media",
+        F.struct(
+            F.concat(F.lit("synth://media/"), key).alias("uri"),
+            mime.alias("mime"),
+            F.length(payload).cast("long").alias("n_bytes"),
+            payload.alias("data"),
+        ),
+    )
+
+
+def decode_media(df: DataFrame, deterministic_fake: bool = False) -> DataFrame:
+    """Decode payloads to (width, height, n_channels).
+
+    Real decoding needs PIL/ffmpeg — NOT available in this container, so the
+    default path raises NotImplementedError. ``deterministic_fake=True``
+    derives dimensions from the payload header bytes instead, keeping the
+    downstream plumbing (schema, batch shape) exercised end-to-end.
+    """
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "media codecs (PIL/ffmpeg) are not installed in this environment; "
+            "pass deterministic_fake=True to exercise the pipeline with "
+            "header-derived dimensions"
+        )
+    out_schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+            T.StructField("n_channels", T.IntegerType(), True),
+        ]
+    )
+
+    def decode(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            data = pdf["media"].map(lambda m: m["data"])
+            pdf = pdf.copy()
+            # fake decode: dimensions from the first payload bytes
+            pdf["width"] = data.map(lambda b: 64 + b[0] % 192).astype("int32")
+            pdf["height"] = data.map(lambda b: 64 + b[1] % 192).astype("int32")
+            pdf["n_channels"] = data.map(lambda b: 1 + b[2] % 4).astype("int32")
+            yield pdf
+
+    return df.mapInPandas(decode, out_schema)
+
+
+def extract_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """Fixed-dim float feature vector per media payload via Arrow-batched
+    mapInPandas (numpy over the raw bytes — the real plumbing a learned
+    encoder would use; the 'model' is a byte-histogram projection)."""
+    import numpy as np  # noqa: F401 (imported on executors)
+
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField("features", T.ArrayType(T.FloatType()), True)]
+    )
+
+    def featurize(batches: Iterator) -> Iterator:
+        import numpy as np
+
+        for pdf in batches:
+            feats = []
+            for m in pdf["media"]:
+                arr = np.frombuffer(m["data"], dtype=np.uint8).astype(np.float32)
+                # deterministic projection: strided byte means, L2-normalized
+                chunks = np.array_split(arr, dim)
+                v = np.array([c.mean() if len(c) else 0.0 for c in chunks], dtype=np.float32)
+                norm = float(np.linalg.norm(v)) or 1.0
+                feats.append((v / norm).tolist())
+            pdf = pdf.copy()
+            pdf["features"] = feats
+            yield pdf
+
+    return df.mapInPandas(featurize, out_schema)
+
+
+def sample_frames(df: DataFrame, every_n_bytes: int = 32) -> DataFrame:
+    """'Frame sampling' over video payloads: one row per sampled offset —
+    the explode-shaped UDTF a real video pipeline needs (ffmpeg STUBBED;
+    offsets/byte windows are real)."""
+    out_schema = T.StructType(
+        [
+            df.schema["media"],
+            T.StructField("frame_no", T.IntegerType(), False),
+            T.StructField("frame_offset", T.LongType(), False),
+            T.StructField("frame_bytes", T.BinaryType(), False),
+        ]
+    )
+
+    def sample(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for m in pdf["media"]:
+                if not m["mime"].startswith("video/"):
+                    continue
+                data = m["data"]
+                for i, off in enumerate(range(0, len(data), every_n_bytes)):
+                    rows.append(
+                        {
+                            "media": m,
+                            "frame_no": i,
+                            "frame_offset": off,
+                            "frame_bytes": data[off : off + every_n_bytes],
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["media", "frame_no", "frame_offset", "frame_bytes"])
+
+    return df.select("media").mapInPandas(sample, out_schema)

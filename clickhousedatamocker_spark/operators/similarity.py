@@ -1,0 +1,155 @@
+"""Similarity search over embedding columns (SURVEY §2.4 Tier B).
+
+- brute_force_topk: exact cosine top-k of every query vector — the baseline
+  and the verifier. Broadcast the (small) query set against the corpus: one
+  scan, no corpus shuffle, per-partition top-k via window rank.
+- lsh_ann_topk: the scale path — random-hyperplane LSH buckets shrink the
+  candidate set to (roughly) corpus/2^planes per probe, then exact rerank.
+  Deterministic: hyperplanes derive from a seeded hash, not RNG state.
+
+All vector math is JVM-side (zip_with/aggregate over array<double>); Python
+never touches row data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_double(vec: str | Column) -> Column:
+    c = F.col(vec) if isinstance(vec, str) else vec
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-to-right product sum (deterministic)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / F.sqrt(dot(a, a) * dot(b, b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k neighbors per query vector (self excluded).
+
+    Scale: ``broadcast(queries)`` → the corpus is scanned once with no
+    shuffle; the rank window shuffles only (n_queries × corpus) scored rows —
+    use LSH below when that product is too big.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def _hyperplanes(num_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (driver-side constants, tiny)."""
+    planes = []
+    state = seed * 6364136223846793005 % (2**63)
+    for p in range(num_planes):
+        w = []
+        for d in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (2**64)
+            w.append(((state >> 11) % 2_000_001) / 1_000_000.0 - 1.0)  # [-1, 1]
+        planes.append(w)
+    return planes
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id of a vector under the hyperplane set."""
+    bucket = F.lit(0).cast("long")
+    for i, w in enumerate(planes):
+        proj = dot(vec, F.array(*[F.lit(x) for x in w]))
+        bucket = bucket.bitwiseOR(F.when(proj >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long")))
+    return bucket
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    num_planes: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket, then exact
+    cosine rerank. One bucketed equi-join instead of a full cross product —
+    at 100 TB this is the difference between feasible and not.
+
+    Multi-probe: each query also probes buckets within Hamming distance
+    ``probe_hamming`` of its own (bit flips), the standard recall boost —
+    only the tiny broadcast query side fans out, the corpus is never
+    duplicated. Recall tuning: fewer planes or more probes → bigger
+    candidate sets → higher recall & cost.
+    """
+    planes = _hyperplanes(num_planes, dim, seed)
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")).withColumn(
+        "bucket", lsh_bucket(F.col("cv"), planes)
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")).withColumn(
+        "bucket", lsh_bucket(F.col("qv"), planes)
+    )
+    if probe_hamming >= 1:
+        flips = [F.col("bucket")] + [
+            F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long")) for i in range(num_planes)
+        ]
+        q = q.withColumn("bucket", F.explode(F.array(*flips)))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    num_planes: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH blocking + exact verify."""
+    planes = _hyperplanes(num_planes, dim, seed)
+    e = corpus.select(F.col(id_col), as_double(vec_col).alias("v")).withColumn(
+        "bucket", lsh_bucket(F.col("v"), planes)
+    )
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

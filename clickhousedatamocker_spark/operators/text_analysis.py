@@ -1,0 +1,116 @@
+"""Text-analysis operators (SURVEY §2.4 Tier B): language ID, quality
+scoring, token counting, document fingerprinting.
+
+Every operator is a pure column expression (codegen'd, row-parallel, zero
+shuffle) and formula-identical to an ANSI-SQL oracle — see queries/llm.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# frequent English function words — the signal for the stopword-fraction
+# language heuristic and the quality score
+EN_STOPWORDS = [
+    "the", "a", "of", "and", "to", "in", "is", "that", "for", "on",
+    "it", "as", "with",
+]
+
+_FP_PRIME = 1_000_000_007
+
+
+def tokens(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, " ")
+
+
+def token_count(col: str | Column) -> Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def stopword_count(col: str | Column, stopwords: list[str] | None = None) -> Column:
+    sw = stopwords or EN_STOPWORDS
+    arr = F.array(*[F.lit(s) for s in sw])
+    return F.size(F.filter(tokens(col), lambda t: F.array_contains(arr, t))).cast("long")
+
+
+def stopword_ratio(col: str | Column) -> Column:
+    return stopword_count(col).cast("double") / token_count(col)
+
+
+def mean_token_len(col: str | Column) -> Column:
+    """(chars - separators) / tokens — avoids a per-token aggregate."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = token_count(col)
+    return (F.length(c).cast("double") - (n - 1)) / n
+
+
+def distinct_token_ratio(col: str | Column) -> Column:
+    return F.size(F.array_distinct(tokens(col))).cast("double") / token_count(col)
+
+
+def quality_score(col: str | Column) -> Column:
+    """Heuristic document quality in [0,1]:
+    0.4 * stopword presence (connective tissue of natural language)
+    + 0.3 * length credit (saturates at 200 tokens)
+    + 0.3 * lexical diversity (distinct-token ratio).
+    Same closed formula as the SQL oracle — one pass, no UDF.
+    """
+    length_credit = F.least(token_count(col).cast("double") / 200.0, F.lit(1.0))
+    return 0.4 * stopword_ratio(col) + 0.3 * length_credit + 0.3 * distinct_token_ratio(col)
+
+
+def langid_en(col: str | Column, threshold: float = 0.05) -> Column:
+    """'en' when the English-stopword fraction clears the threshold.
+
+    The honest n-gram version of this (char-trigram profiles per language)
+    is the same shape — a dot product of per-doc trigram counts with a
+    per-language profile vector; the stopword fraction is its 1-feature
+    special case and is what the fixtures can exercise.
+    """
+    return F.when(stopword_ratio(col) >= threshold, F.lit("en")).otherwise(F.lit("unknown"))
+
+
+def fingerprint(col: str | Column) -> Column:
+    """Order-sensitive rolling document hash: polynomial over the character
+    stream, mod a 30-bit prime so every intermediate fits a long in both
+    Spark and the SQL oracle (no overflow, identical wrap behavior).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    chars = F.filter(F.split(c, ""), lambda ch: ch != "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * 31 + F.coalesce(F.ascii(ch), F.lit(0))) % F.lit(_FP_PRIME),
+    )
+
+
+def oracle_snippets() -> dict[str, str]:
+    """DuckDB-dialect expressions, formula-identical to the columns above
+    (single source for queries/llm.py oracle SQL)."""
+    sw = ", ".join(f"'{s}'" for s in EN_STOPWORDS)
+    tk = "string_split(text, ' ')"
+    n_tokens = f"len({tk})"
+    n_stop = f"len(list_filter({tk}, t -> t IN ({sw})))"
+    stop_ratio = f"({n_stop} * 1.0 / {n_tokens})"
+    mean_len = f"((length(text) * 1.0 - ({n_tokens} - 1)) / {n_tokens})"
+    distinct_ratio = f"(len(list_distinct({tk})) * 1.0 / {n_tokens})"
+    length_credit = f"least({n_tokens} * 1.0 / 200.0, 1.0)"
+    quality = f"(0.4 * {stop_ratio} + 0.3 * {length_credit} + 0.3 * {distinct_ratio})"
+    langid = f"CASE WHEN {stop_ratio} >= 0.05 THEN 'en' ELSE 'unknown' END"
+    fingerprint_sql = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(string_split(text, ''), ch -> CAST(ascii(ch) AS BIGINT))), "
+        f"(acc, x) -> (acc * 31 + x) % {_FP_PRIME})"
+    )
+    return {
+        "n_tokens": f"CAST({n_tokens} AS BIGINT)",
+        "n_stopwords": f"CAST({n_stop} AS BIGINT)",
+        "stopword_ratio": stop_ratio,
+        "mean_token_len": mean_len,
+        "distinct_token_ratio": distinct_ratio,
+        "quality_score": quality,
+        "langid": langid,
+        "fingerprint": f"CAST({fingerprint_sql} AS BIGINT)",
+    }

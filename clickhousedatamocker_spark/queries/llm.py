@@ -11,6 +11,18 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from clickhousedatamocker_spark.operators import text_analysis as ta
+from clickhousedatamocker_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from clickhousedatamocker_spark.operators.multimodal import attach_fake_media, extract_features
+from clickhousedatamocker_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    lsh_ann_topk,
+)
 from clickhousedatamocker_spark.queries.base import register, t
 
 
@@ -80,3 +92,224 @@ def text_token_stats(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# -------------------------------------------------------------------------
+_O = ta.oracle_snippets()
+
+
+@register(
+    "text_analysis_profile",
+    f"""
+SELECT doc_id,
+  {_O['n_tokens']} AS n_tokens,
+  {_O['n_stopwords']} AS n_stopwords,
+  {_O['stopword_ratio']} AS stopword_ratio,
+  {_O['mean_token_len']} AS mean_token_len,
+  {_O['distinct_token_ratio']} AS distinct_token_ratio,
+  {_O['quality_score']} AS quality_score
+FROM documents
+ORDER BY doc_id
+""",
+    headline=True,
+    description="Per-document text profile: token counts, stopword ratio, "
+    "mean token length, lexical diversity, composite quality score — all "
+    "pure column expressions (codegen, zero shuffle, linear scan).",
+)
+def text_analysis_profile(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            ta.token_count("text").alias("n_tokens"),
+            ta.stopword_count("text").alias("n_stopwords"),
+            ta.stopword_ratio("text").alias("stopword_ratio"),
+            ta.mean_token_len("text").alias("mean_token_len"),
+            ta.distinct_token_ratio("text").alias("distinct_token_ratio"),
+            ta.quality_score("text").alias("quality_score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# -------------------------------------------------------------------------
+@register(
+    "text_langid",
+    f"""
+SELECT {_O['langid']} AS predicted_lang, COUNT(*) AS n_docs
+FROM documents
+GROUP BY 1
+ORDER BY 1
+""",
+    description="Stopword-fraction language ID (the 1-feature form of an "
+    "n-gram profile classifier), aggregated per predicted language.",
+)
+def text_langid(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "documents")
+        .select(ta.langid_en("text").alias("predicted_lang"))
+        .groupBy("predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("predicted_lang")
+    )
+
+
+# -------------------------------------------------------------------------
+@register(
+    "text_fingerprint",
+    f"""
+SELECT doc_id, {_O['fingerprint']} AS fingerprint
+FROM documents
+WHERE doc_id < 200
+ORDER BY doc_id
+""",
+    description="Order-sensitive rolling polynomial hash over the character "
+    "stream (mod 30-bit prime: identical overflow-free arithmetic in Spark "
+    "and the oracle).",
+)
+def text_fingerprint(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", ta.fingerprint("text").alias("fingerprint"))
+        .orderBy("doc_id")
+    )
+
+
+# -------------------------------------------------------------------------
+@register(
+    "dedup_ngram_jaccard_pairs",
+    """
+WITH dd AS (
+  SELECT doc_id, lang, string_split(text,' ') tk FROM documents
+), sh AS (
+  SELECT doc_id, lang,
+    list_distinct(list_transform(generate_series(1, len(tk)-2),
+                                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) sg
+  FROM dd WHERE len(tk) >= 3
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  len(list_intersect(a.sg, b.sg)) * 1.0
+    / (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND a.lang = b.lang
+WHERE len(list_intersect(a.sg, b.sg)) * 1.0
+    / (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))) >= 0.2
+ORDER BY id_a, id_b
+""",
+    description="Exact near-dup pairs by 3-gram-shingle Jaccard >= 0.2 with "
+    "language blocking + lossless size-ratio prefilter (operators/dedup.py). "
+    "The quadratic verifier; minhash_lsh below is the linear-ish scale path.",
+)
+def dedup_ngram_jaccard_pairs(spark, sf_dir):
+    return (
+        ngram_jaccard_pairs(
+            t(spark, sf_dir, "documents"), block_cols=["lang"], n=3, threshold=0.2
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+# -------------------------------------------------------------------------
+@register(
+    "dedup_minhash_lsh_pairs",
+    None,  # xxhash64 signatures are not oracle-expressible -> rows-only check
+    headline=True,
+    description="MinHash-LSH near-dup candidates (32 hashes, 8 bands) verified "
+    "by exact Jaccard >= 0.2. The 100TB dedup path: explode->min aggs->band "
+    "bucket self-join; never a cross join. Recall vs the exact pairs is "
+    "asserted in tests/test_llm_ops.py.",
+)
+def dedup_minhash_lsh_pairs(spark, sf_dir):
+    return minhash_lsh_pairs(
+        t(spark, sf_dir, "documents"), num_hashes=32, bands=8, n=3, threshold=0.2
+    ).orderBy("id_a", "id_b")
+
+
+# -------------------------------------------------------------------------
+@register(
+    "dedup_simhash_pairs",
+    None,  # xxhash64 bit votes not oracle-expressible -> rows-only check
+    description="SimHash-64 near-dup pairs within Hamming distance 3 via "
+    "pigeonhole chunk bucketing (4 x 16-bit chunks) — no quadratic pass.",
+)
+def dedup_simhash_pairs(spark, sf_dir):
+    return simhash_near_pairs(t(spark, sf_dir, "documents"), max_hamming=3).orderBy("id_a", "id_b")
+
+
+# -------------------------------------------------------------------------
+@register(
+    "similarity_topk_bruteforce",
+    """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+    round(list_dot_product(q.qv, e.v)
+      / sqrt(list_dot_product(q.qv, q.qv) * list_dot_product(e.v, e.v)), 6) AS cosine
+  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, rank, neighbor_id, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 10
+ORDER BY query_id, rank
+""",
+    headline=True,
+    description="Exact cosine top-10 for 5 query vectors: broadcast queries "
+    "against the corpus (one scan, no corpus shuffle), JVM-side zip_with/"
+    "aggregate dot products, window rank. The ANN baseline/verifier.",
+)
+def similarity_topk_bruteforce(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10).orderBy("query_id", "rank")
+
+
+# -------------------------------------------------------------------------
+@register(
+    "similarity_topk_lsh",
+    None,  # approximate: contents depend on LSH bucketing -> rows-only check
+    description="LSH-bucketed approximate top-k (random-hyperplane signs, "
+    "deterministic seeded planes) + exact rerank of candidates. The scale "
+    "path; recall vs brute force asserted in tests/test_llm_ops.py.",
+)
+def similarity_topk_lsh(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    return lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, num_planes=3).orderBy(
+        "query_id", "rank"
+    )
+
+
+# -------------------------------------------------------------------------
+@register(
+    "dedup_embedding_cosine_pairs",
+    None,  # LSH-blocked -> rows-only; exactness covered by unit test at t=0.3
+    description="Embedding-cosine near-dup pairs via LSH blocking + exact "
+    "verify (threshold 0.9; empty on the random fixture — asserted non-vacuous "
+    "on injected duplicates in tests).",
+)
+def dedup_embedding_cosine_pairs(spark, sf_dir):
+    return embedding_near_dup_pairs(t(spark, sf_dir, "embeddings"), threshold=0.9).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# -------------------------------------------------------------------------
+@register(
+    "multimodal_features",
+    None,  # binary payloads + mapInPandas -> rows-only check
+    description="Multimodal plumbing end-to-end: deterministic binary media "
+    "column (struct uri/mime/n_bytes/data) -> Arrow-batched mapInPandas "
+    "feature extraction (16-dim L2-normalized). Codec decode itself is "
+    "stubbed (no PIL/ffmpeg in container); schema/partitioning/batching real.",
+)
+def multimodal_features(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 100)
+    with_media = attach_fake_media(docs, "doc_id")
+    feats = extract_features(with_media)
+    return feats.select(
+        "doc_id",
+        F.col("media.mime").alias("mime"),
+        F.col("media.n_bytes").alias("n_bytes"),
+        F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"),
+        F.size("features").alias("feature_dim"),
+    ).orderBy("doc_id")

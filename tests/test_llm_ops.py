@@ -1,0 +1,141 @@
+"""Tier-B operator tests: LSH recall, simhash sensitivity, multimodal
+plumbing, embedding dedup — on fixtures plus injected near-duplicates
+(the random fixture has no true dups; injection makes the checks non-vacuous).
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from clickhousedatamocker_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from clickhousedatamocker_spark.operators.multimodal import (
+    attach_fake_media,
+    decode_media,
+    extract_features,
+    sample_frames,
+)
+from clickhousedatamocker_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    lsh_ann_topk,
+)
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    """Fixture docs + near-duplicate copies of docs 0-19 (last token tweaked,
+    ids offset by 100000)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    dups = (
+        docs.filter(F.col("doc_id") < 20)
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" perturbed")))
+    )
+    return docs.unionByName(dups).cache()
+
+
+def test_exact_dedup_deterministic(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    doubled = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 100000))
+    out = exact_dedup(doubled, keys=["text"], order_col="doc_id")
+    assert out.count() == docs.count()
+    # canonical = min id -> the original rows survive
+    assert out.filter(F.col("doc_id") >= 100000).count() == 0
+
+
+def test_minhash_recall_vs_exact(spark, docs_with_dups):
+    # no lang blocking here: the fixture contains true cross-language
+    # near-dups (J~0.99), which unblocked LSH rightly finds
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs_with_dups, threshold=0.5).collect()
+    }
+    assert len(exact) >= 20  # the injected dups are found by the verifier
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs_with_dups, num_hashes=32, bands=8, threshold=0.5).collect()
+    }
+    # LSH never invents pairs above threshold (verify step) ...
+    assert lsh <= exact
+    # ... and at J>=0.5 with b=8,r=4 recall should be high
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.8, f"recall {recall}"
+
+
+def test_minhash_pairs_are_verified(spark, docs_with_dups):
+    rows = minhash_lsh_pairs(docs_with_dups, threshold=0.5).collect()
+    assert all(r["jaccard"] >= 0.5 for r in rows)
+
+
+def test_simhash_finds_injected_dups(spark, docs_with_dups):
+    # fixture docs are 23-88 tokens, so a one-token perturbation flips
+    # ~1-10 simhash bits (measured); hamming<=7 captures nearly all
+    pairs = simhash_near_pairs(docs_with_dups, max_hamming=7).collect()
+    injected = {(r["id_a"], r["id_b"]) for r in pairs if r["id_b"] - r["id_a"] == 100000}
+    assert len(injected) >= 15
+    assert all(r["hamming"] <= 7 for r in pairs)
+
+
+def test_ann_recall_vs_bruteforce(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, queries, k=10).collect()
+    approx = lsh_ann_topk(emb, queries, k=10, num_planes=3).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q]) for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls  # 3 planes -> 1/8 corpus per bucket
+
+
+def test_embedding_near_dup_on_injected(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    dups = emb.filter(F.col("vec_id") < 10).withColumn("vec_id", F.col("vec_id") + 100000)
+    with_dups = emb.unionByName(dups)
+    pairs = embedding_near_dup_pairs(with_dups, threshold=0.999).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    # identical vectors always share every LSH bucket -> all 10 found
+    assert {(i, i + 100000) for i in range(10)} <= found
+
+
+def test_multimodal_pipeline(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id").limit(50)
+    media = attach_fake_media(docs, "doc_id")
+    assert media.schema["media"].dataType.names == ["uri", "mime", "n_bytes", "data"]
+
+    decoded = decode_media(media, deterministic_fake=True)
+    drows = decoded.collect()
+    assert len(drows) == 50
+    assert all(64 <= r["width"] <= 255 and 1 <= r["n_channels"] <= 4 for r in drows)
+
+    feats = extract_features(media)
+    frows = feats.collect()
+    assert all(len(r["features"]) == 16 for r in frows)
+    norms = [sum(x * x for x in r["features"]) for r in frows]
+    assert all(abs(n - 1.0) < 1e-3 for n in norms)  # L2-normalized
+
+    # determinism: same ids -> same features
+    again = {r["doc_id"]: r["features"] for r in extract_features(media).collect()}
+    assert all(again[r["doc_id"]] == r["features"] for r in frows)
+
+    frames = sample_frames(media.filter(F.col("media.mime").startswith("video/")))
+    fr = frames.collect()
+    if fr:  # mime assignment is hash-based; video rows exist for 50 ids w.h.p.
+        assert all(r["frame_offset"] == r["frame_no"] * 32 for r in fr)
+
+
+def test_decode_without_codecs_raises(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id").limit(1)
+    media = attach_fake_media(docs, "doc_id")
+    with pytest.raises(NotImplementedError):
+        decode_media(media)
