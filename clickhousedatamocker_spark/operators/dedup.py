@@ -27,12 +27,24 @@ def tokens(col: str | Column) -> Column:
     return F.split(c, " ")
 
 
-def shingles(col: str | Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a text column (JVM-side transform)."""
-    tk = tokens(col)
+def shingles_of_tokens(tk: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a *materialized* token-array column.
+
+    The token array MUST be a real column, not a ``split(...)`` expression:
+    Catalyst does no common-subexpression elimination inside lambda
+    functions, so an inline split would be re-evaluated for every
+    ``element_at`` — O(tokens²) per row.
+    """
     idx = F.sequence(F.lit(1), F.greatest(F.size(tk) - (n - 1), F.lit(0)))
     gram = lambda i: F.concat_ws(" ", *[F.element_at(tk, i + j) for j in range(n)])  # noqa: E731
     return F.array_distinct(F.transform(idx, gram))
+
+
+def shingles(col: str | Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column. Prefer materializing
+    ``tokens(col)`` first and calling :func:`shingles_of_tokens` in hot paths
+    (see its docstring)."""
+    return shingles_of_tokens(tokens(col), n)
 
 
 def exact_dedup(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
@@ -65,9 +77,16 @@ def ngram_jaccard_pairs(
       are skipped without changing the result set.
     """
     block_cols = block_cols or []
-    base = docs.select(
-        F.col(id_col), *[F.col(c) for c in block_cols], shingles(text_col, n).alias("__sg")
-    ).withColumn("__n", F.size("__sg")).filter(F.col("__n") > 0)
+    base = (
+        docs.select(F.col(id_col), *[F.col(c) for c in block_cols], tokens(text_col).alias("__tk"))
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in block_cols],
+            shingles_of_tokens(F.col("__tk"), n).alias("__sg"),
+        )
+        .withColumn("__n", F.size("__sg"))
+        .filter(F.col("__n") > 0)
+    )
 
     a = base.alias("a")
     b = base.alias("b")
@@ -102,8 +121,26 @@ def minhash_signatures(
     Single explode + one grouped aggregation with ``num_hashes`` min()
     columns — one shuffle on the doc id, no Python.
     """
-    sh = docs.select(F.col(id_col), F.explode(shingles(text_col, n)).alias("__sg"))
-    aggs = [F.min(F.xxhash64(F.lit(i), F.col("__sg"))).alias(f"h{i}") for i in range(num_hashes)]
+    # repartition on the id FIRST: (a) shuffles the small pre-explode rows,
+    # not the ~50x larger shingle rows, (b) parallelizes shingling even when
+    # the source is a single file, (c) the groupBy below reuses the hash
+    # partitioning — no second shuffle (one exchange in the whole plan).
+    # hash each token to a long ONCE (one string scan per token), then a
+    # shingle's digest is one xxhash64 over n longs — no per-shingle string
+    # concat, and the k-member hash family is k cheap long-input hashes of
+    # that digest. Token arrays are materialized columns (no CSE inside
+    # lambdas — see shingles_of_tokens).
+    th = (
+        docs.repartition(F.col(id_col))
+        .select(F.col(id_col), tokens(text_col).alias("__tk"))
+        .select(F.col(id_col), F.transform(F.col("__tk"), lambda t: F.xxhash64(t)).alias("__th"))
+    )
+    idx = F.sequence(F.lit(1), F.greatest(F.size(F.col("__th")) - (n - 1), F.lit(0)))
+    gram_h = lambda i: F.xxhash64(*[F.element_at(F.col("__th"), i + j) for j in range(n)])  # noqa: E731
+    sh = th.select(
+        F.col(id_col), F.explode(F.array_distinct(F.transform(idx, gram_h))).alias("__h0")
+    )
+    aggs = [F.min(F.xxhash64(F.lit(i), F.col("__h0"))).alias(f"h{i}") for i in range(num_hashes)]
     sig = sh.groupBy(id_col).agg(*aggs)
     return sig.select(F.col(id_col), F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature"))
 
@@ -152,7 +189,9 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return candidates
-    sg = docs.select(F.col(id_col), shingles(text_col, n).alias("__sg"))
+    sg = docs.select(F.col(id_col), tokens(text_col).alias("__tk")).select(
+        F.col(id_col), shingles_of_tokens(F.col("__tk"), n).alias("__sg")
+    )
     return (
         candidates.join(sg.select(F.col(id_col).alias("id_a"), F.col("__sg").alias("__sga")), "id_a")
         .join(sg.select(F.col(id_col).alias("id_b"), F.col("__sg").alias("__sgb")), "id_b")
@@ -172,7 +211,11 @@ def simhash_64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
 
     Pure column expressions: explode tokens → 64 sum() aggs → bit assembly.
     """
-    tk = docs.select(F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("__t"))
+    # repartition on the id: parallel even from a 1-file source, and the
+    # 64-agg groupBy reuses the partitioning (single exchange of small rows)
+    tk = docs.repartition(F.col(id_col)).select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("__t")
+    )
     h = F.xxhash64(F.col("__t"))
     votes = [
         F.sum(F.when(h.bitwiseAND(_bit(i)) != 0, 1).otherwise(-1)).alias(f"v{i}")

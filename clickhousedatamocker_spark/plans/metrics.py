@@ -56,4 +56,6 @@ class MetricsStore:
                 (name, int(self._values.get(name, 0)), METRIC_CATALOG.get(name, ""))
                 for name in sorted(set(METRIC_CATALOG) | set(self._values))
             ]
-        return spark.createDataFrame(rows, SYSTEM_METRICS_SCHEMA)
+        # tiny driver-local table: build on ONE slice — the default 32-slice
+        # layout costs a Python-worker spin-up per slice on every query
+        return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), SYSTEM_METRICS_SCHEMA)

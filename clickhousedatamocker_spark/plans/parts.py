@@ -110,7 +110,9 @@ class PartsInventory:
                         datetime.strptime(p["modification_time"], "%Y-%m-%d %H:%M:%S"),
                     )
                 )
-        return spark.createDataFrame(rows, SYSTEM_PARTS_SCHEMA)
+        # metadata-sized table (one row per part file): build on ONE slice —
+        # avoids a Python-worker spin-up per default slice on every query
+        return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), SYSTEM_PARTS_SCHEMA)
 
 
 def _walk_parquet(table_path: str):
