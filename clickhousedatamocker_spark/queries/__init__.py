@@ -13,5 +13,6 @@ from clickhousedatamocker_spark.queries.base import REGISTRY, QuerySpec, registe
 from clickhousedatamocker_spark.queries import relational  # noqa: E402,F401
 from clickhousedatamocker_spark.queries import monitoring  # noqa: E402,F401
 from clickhousedatamocker_spark.queries import llm  # noqa: E402,F401
+from clickhousedatamocker_spark.queries import streaming_q  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "register"]

@@ -59,18 +59,23 @@ class BatchGenerator:
         ``batch_no`` offsets the index space so successive batches don't
         repeat rows (the reference reseeds `random` per process instead).
         """
-        seed = self.seed
         df = self.spark.range(0, n, 1, num_partitions) if num_partitions else self.spark.range(n)
         if batch_no:
             df = df.withColumn("id", F.col("id") + F.lit(batch_no * n))
+        return self.from_index(df)
 
-        if self.base_time is None:
+    def from_index(self, df: DataFrame, base_time: str | None = None) -> DataFrame:
+        """Apply the full generated-column family to any DataFrame carrying a
+        long ``id`` index column (``spark.range`` output, a rate-source
+        ``value``, ...) — the streaming and batch paths share this projection.
+        """
+        seed = self.seed
+        base = base_time or self.base_time
+        if base is None:
             # wall-clock base, constant per batch (generate_data.py:19)
             from datetime import datetime
 
             base = datetime.now().strftime("%Y-%m-%d %H:%M:%S")
-        else:
-            base = self.base_time
         base_ts = F.lit(base).cast("timestamp")
 
         def h(salt: int) -> Column:

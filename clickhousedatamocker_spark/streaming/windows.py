@@ -1,0 +1,86 @@
+"""Event-time window aggregations, batch/stream polymorphic.
+
+Each helper is a plain DataFrame transform built only from built-in
+operators (``F.window`` / ``F.session_window`` + hash aggregation), so:
+
+- applied to ``spark.readStream...`` it is an incremental, watermarked,
+  late-data-correct streaming aggregation (state store backed);
+- applied to a batch DataFrame it is an ordinary groupBy — which is what
+  the DuckDB oracle checks (queries/streaming_q.py registers batch-mode
+  equivalents of each).
+
+Watermarks bound state at scale: a 100 TB/day stream with a 2-hour
+watermark keeps only ~2h of window state per key in the store. Watermarks
+are a no-op on batch inputs, so the same function serves both.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _maybe_watermark(df: DataFrame, ts_col: str, watermark: str | None) -> DataFrame:
+    if watermark and df.isStreaming:
+        return df.withWatermark(ts_col, watermark)
+    return df
+
+
+def tumbling_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    duration: str = "1 hour",
+    watermark: str | None = "2 hours",
+    group_cols: list[str] | None = None,
+    aggs: list[Column] | None = None,
+) -> DataFrame:
+    """Non-overlapping fixed windows: count + sum(value) per window
+    (per extra group col if given)."""
+    df = _maybe_watermark(events, ts_col, watermark)
+    aggs = aggs or [F.count(F.lit(1)).alias("n_events")]
+    keys = [F.window(ts_col, duration).alias("w"), *(group_cols or [])]
+    out = df.groupBy(*keys).agg(*aggs)
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        *[c for c in out.columns if c != "w"],
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    duration: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str | None = "2 hours",
+    aggs: list[Column] | None = None,
+) -> DataFrame:
+    """Overlapping windows (each event lands in duration/slide windows)."""
+    df = _maybe_watermark(events, ts_col, watermark)
+    aggs = aggs or [F.count(F.lit(1)).alias("n_events")]
+    out = df.groupBy(F.window(ts_col, duration, slide).alias("w")).agg(*aggs)
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        *[c for c in out.columns if c != "w"],
+    )
+
+
+def session_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "10 minutes",
+    key_col: str = "user_id",
+    watermark: str | None = "2 hours",
+    aggs: list[Column] | None = None,
+) -> DataFrame:
+    """Dynamic-gap session windows per key (``F.session_window``): a session
+    extends while consecutive events arrive within ``gap``."""
+    df = _maybe_watermark(events, ts_col, watermark)
+    aggs = aggs or [F.count(F.lit(1)).alias("n_events")]
+    out = df.groupBy(F.session_window(ts_col, gap).alias("w"), key_col).agg(*aggs)
+    return out.select(
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        *[c for c in out.columns if c != "w"],
+    )

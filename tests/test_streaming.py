@@ -1,0 +1,134 @@
+"""Structured-Streaming tier tests.
+
+Strategy: drive each streaming operator with a FILE source over the events
+fixture split into 3 chunks (3 micro-batches via availableNow), land results
+in a memory sink, and assert equality with the batch-mode run of the SAME
+helper — the incremental == batch law that defines correct streaming aggs.
+The rate-source ingest harness is exercised end-to-end with tiny thresholds.
+"""
+
+import os
+import time
+
+import pyspark.sql.functions as F
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+def _events(spark):
+    from clickhousedatamocker_spark.sources.tables import load_table
+
+    return load_table(spark, SF_DIR, "events")
+
+
+@pytest.fixture(scope="module")
+def chunked_events(spark, tmp_path_factory):
+    """events fixture (ts converted to proper timestamps) written as 3
+    parquet chunk-files in one dir — 3 micro-batches under availableNow."""
+    d = str(tmp_path_factory.mktemp("stream_src"))
+    ev = _events(spark)
+    for i in range(3):
+        ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+    return d
+
+
+def _run_stream(spark, src_dir, transform, out_name, schema, output_mode="complete"):
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src_dir)
+    q = (
+        transform(stream)
+        .writeStream.format("memory")
+        .queryName(out_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(out_name)
+
+
+def _norm(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_tumbling_stream_equals_batch(spark, chunked_events):
+    from clickhousedatamocker_spark.streaming.windows import tumbling_counts
+
+    ev = _events(spark)
+    fn = lambda df: tumbling_counts(df, ts_col="ts", duration="1 hour")  # noqa: E731
+    got = _run_stream(spark, chunked_events, fn, "tumble_out", ev.schema)
+    want = fn(ev)
+    cols = ["window_start", "window_end", "n_events"]
+    assert _norm(got, cols) == _norm(want, cols)
+
+
+def test_sliding_stream_equals_batch(spark, chunked_events):
+    from clickhousedatamocker_spark.streaming.windows import sliding_counts
+
+    ev = _events(spark)
+    fn = lambda df: sliding_counts(df, ts_col="ts", duration="1 hour", slide="30 minutes")  # noqa: E731
+    got = _run_stream(spark, chunked_events, fn, "slide_out", ev.schema)
+    cols = ["window_start", "window_end", "n_events"]
+    assert _norm(got, cols) == _norm(fn(ev), cols)
+
+
+def test_session_stream_equals_batch(spark, chunked_events):
+    from clickhousedatamocker_spark.streaming.windows import session_agg
+
+    ev = _events(spark)
+    # watermark=None: the chunk files are NOT time-ordered, and session-window
+    # state drops watermark-late input even in complete mode (unlike
+    # tumbling/sliding, whose complete-mode state keeps all windows alive)
+    fn = lambda df: session_agg(df, ts_col="ts", gap="10 minutes", key_col="user_id", watermark=None)  # noqa: E731
+    got = _run_stream(spark, chunked_events, fn, "sess_out", ev.schema)
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+    assert _norm(got, cols) == _norm(fn(ev), cols)
+
+
+def test_stateful_running_profile(spark, chunked_events):
+    from clickhousedatamocker_spark.streaming.stateful import (
+        user_running_profile,
+        user_running_profile_batch,
+    )
+
+    ev = _events(spark)
+    sel = lambda df: user_running_profile(df.select("user_id", "ts", "value"))  # noqa: E731
+    got = _run_stream(spark, chunked_events, sel, "state_out", ev.schema, output_mode="update")
+    # update mode re-emits a row per user per batch; the LAST emission per
+    # user carries the final running totals == the batch aggregation
+    final = (
+        got.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "total_value", "first_ts", "last_ts")).alias("s"))
+        .select("user_id", "s.n_events", "s.total_value", "s.first_ts", "s.last_ts")
+    )
+    want = user_running_profile_batch(ev.select("user_id", "ts", "value"))
+    cols = ["user_id", "n_events", "first_ts", "last_ts"]
+    assert _norm(final, cols) == _norm(want, cols)
+    # float sums: compare with tolerance
+    g = {r["user_id"]: r["total_value"] for r in final.collect()}
+    w = {r["user_id"]: r["total_value"] for r in want.collect()}
+    assert all(abs(g[u] - w[u]) < 1e-6 for u in w)
+
+
+def test_streaming_ingest_harness(spark, tmp_path):
+    from clickhousedatamocker_spark.config import HarnessConfig
+    from clickhousedatamocker_spark.streaming.ingest import run_streaming_harness
+
+    cfg = HarnessConfig(
+        batch_size=5000,
+        parts_to_delay_insert=5,
+        parts_to_throw_insert=10,
+        insert_interval_s=1,
+        base_time="2026-01-01 12:00:00",
+    )
+    t0 = time.monotonic()
+    res = run_streaming_harness(spark, str(tmp_path / "wh"), cfg, timeout_s=90)
+    assert res.batches >= 1
+    assert res.rows_inserted > 0
+    assert res.throw_triggered, res
+    assert res.final_active_parts >= 10
+    # checkpoint dir exists (restartable stream)
+    assert os.path.isdir(str(tmp_path / "wh" / "_streaming_checkpoint"))
+    assert time.monotonic() - t0 < 90
