@@ -1,0 +1,124 @@
+"""Physical-plan regression tests — the 100 TB discipline, asserted.
+
+Correctness tests prove WHAT is computed; these prove HOW: dimension joins
+broadcast (no shuffle of the fact side), filters and projections reach the
+parquet scan, partition pruning fires on the hourly layout, and the heavy
+LLM operators keep their exchange budget. A plan regression here is a scale
+bug even when every value is still right.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from clickhousedatamocker_spark.queries import REGISTRY
+from tests.conftest import SF_DIR
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_tpch_joins_broadcast_small_sides(spark):
+    """At any SF, region/nation/supplier dims are broadcast-able; the
+    lineitem fact side must never be shuffled for them."""
+    for name in ["q3_shipping_priority", "q5_local_supplier_volume", "join_broadcast_dims"]:
+        plan = plan_of(REGISTRY[name].fn(spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, f"{name}: dim join fell back to sort-merge"
+
+
+def test_q1_partial_aggregation(spark):
+    """Map-side combine: two HashAggregates (partial+final) around one
+    exchange — never a raw shuffle of lineitem rows."""
+    plan = plan_of(REGISTRY["q1_pricing_summary"].fn(spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 2
+    # exactly: agg exchange + final sort exchange
+    assert plan.count("Exchange") == 2, plan.count("Exchange")
+
+
+def test_filter_and_projection_pushdown(spark):
+    """Predicate + column pruning must reach the parquet scan."""
+    df = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .filter(F.col("l_shipdate") <= "1998-09-02")
+        .select("l_returnflag", "l_quantity")
+    )
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # ReadSchema must contain only the 3 needed columns
+    rs = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert "l_returnflag" in rs and "l_quantity" in rs and "l_shipdate" in rs
+    assert "l_extendedprice" not in rs and "l_orderkey" not in rs
+
+
+def test_partition_pruning_on_hourly_layout(spark, tmp_path):
+    """A filter on event_hour must prune partition directories at plan time
+    (the toYYYYMMDDhh layout exists exactly for this)."""
+    from clickhousedatamocker_spark.engine import Engine
+    from clickhousedatamocker_spark.schema import test_local_spec
+    from clickhousedatamocker_spark.sources.generator import BatchGenerator
+
+    engine = Engine(spark, str(tmp_path / "wh"))
+    engine.create_table(test_local_spec())
+    gen = BatchGenerator(spark, seed=7, base_time="2026-01-01 12:00:00")
+    engine.insert("test_local", gen.batch_with_partition(2000, batch_no=0))
+
+    df = engine.read_table("test_local").filter(F.col("event_hour") == 2026010112)
+    plan = plan_of(df)
+    assert "PartitionFilters" in plan
+    # the pruning predicate on event_hour must appear inside PartitionFilters
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "event_hour" in pf and "2026010112" in pf
+    # pruned scan must read exactly 1 of the 24 hourly partitions
+    scanned = df.count()
+    per_hour = engine.read_table("test_local").groupBy("event_hour").count()
+    expect = {r["event_hour"]: r["count"] for r in per_hour.collect()}[2026010112]
+    assert scanned == expect
+
+
+def test_minhash_single_exchange(spark):
+    """Signature computation: repartition + reused partitioning in groupBy
+    = exactly one exchange (see operators/dedup.py)."""
+    from clickhousedatamocker_spark.operators.dedup import minhash_signatures
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(minhash_signatures(docs))
+    assert plan.count("Exchange") == 1, plan.count("Exchange")
+
+
+def test_brute_force_topk_no_corpus_shuffle(spark):
+    """Query vectors broadcast; the corpus-side scan feeds the join without
+    an exchange below the join."""
+    from clickhousedatamocker_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = plan_of(brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=5))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    join_part = plan.split("Join")[0] if "Join" in plan else plan
+    # only exchanges allowed: the rank window's (post-join) partitioning
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_generator_is_shuffle_free(spark):
+    """Batch generation must be pure projection over range — zero exchanges,
+    whole-stage codegen'd."""
+    from clickhousedatamocker_spark.sources.generator import BatchGenerator
+
+    gen = BatchGenerator(spark, seed=1, base_time="2026-01-01 12:00:00")
+    plan = plan_of(gen.batch(10_000))
+    assert "Exchange" not in plan
+    assert plan.lstrip().startswith("*("), "not whole-stage codegen'd"
+
+
+def test_no_python_udfs_in_relational_tier(spark):
+    """Tier A/C queries must stay JVM-side (no BatchEvalPython/ArrowEval in
+    their plans); only multimodal ops may use Python."""
+    for name, spec in REGISTRY.items():
+        if name.startswith("multimodal"):
+            continue
+        plan = plan_of(spec.fn(spark, SF_DIR))
+        assert "BatchEvalPython" not in plan, f"{name} uses a row-at-a-time Python UDF"
