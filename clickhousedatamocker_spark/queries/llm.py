@@ -21,6 +21,7 @@ from clickhousedatamocker_spark.operators.multimodal import attach_fake_media, e
 from clickhousedatamocker_spark.operators.similarity import (
     brute_force_topk,
     embedding_near_dup_pairs,
+    ivf_topk,
     lsh_ann_topk,
 )
 from clickhousedatamocker_spark.queries.base import register, t
@@ -277,6 +278,22 @@ def similarity_topk_lsh(spark, sf_dir):
     return lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, num_planes=3).orderBy(
         "query_id", "rank"
     )
+
+
+# -------------------------------------------------------------------------
+@register(
+    "similarity_topk_ivf",
+    None,  # approximate: contents depend on learned centroids -> rows-only
+    description="IVF approximate top-k: deterministic distributed k-means "
+    "codebook (driver-held, broadcast as literals -> zero-shuffle "
+    "assignment), nprobe bucketed candidate join, exact rerank. The "
+    "data-adaptive scale path; recall asserted in tests/test_llm_ops.py.",
+)
+def similarity_topk_ivf(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, n_centroids=8, nprobe=3
+    ).orderBy("query_id", "rank")
 
 
 # -------------------------------------------------------------------------

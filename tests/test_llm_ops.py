@@ -98,6 +98,29 @@ def test_ann_recall_vs_bruteforce(spark):
     assert sum(recalls) / len(recalls) >= 0.5, recalls  # 3 planes -> 1/8 corpus per bucket
 
 
+def test_ivf_recall_vs_bruteforce(spark):
+    from clickhousedatamocker_spark.operators.similarity import ivf_topk, ivf_train
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, queries, k=10).collect()
+    centroids = ivf_train(emb, n_centroids=8, n_iters=2)
+    assert len(centroids) == 8 and all(len(c) == 64 for c in centroids)
+    # determinism: retraining gives the identical codebook
+    assert centroids == ivf_train(emb, n_centroids=8, n_iters=2)
+    approx = ivf_topk(emb, queries, k=10, nprobe=3, centroids=centroids).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q]) for q in exact_sets
+    ]
+    # 3/8 of the corpus probed; on random vectors recall tracks coverage
+    assert sum(recalls) / len(recalls) >= 0.3, recalls
+
+
 def test_embedding_near_dup_on_injected(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     dups = emb.filter(F.col("vec_id") < 10).withColumn("vec_id", F.col("vec_id") + 100000)
