@@ -29,6 +29,19 @@ def token_count(col: str | Column) -> Column:
     return F.size(tokens(col)).cast("long")
 
 
+# GPT-2-style pretokenizer, simplified to the RE2-compatible subset (no
+# lookahead) so Spark's Java regex and DuckDB's RE2 match identically:
+# contraction suffixes | space?+letters | space?+digits | space?+punct | spaces
+BPE_PATTERN = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+
+
+def bpe_token_count(col: str | Column) -> Column:
+    """Token count under a BPE-ish pretokenization regex (the
+    whitespace-split counter above undercounts punctuation-heavy text)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_PATTERN), F.lit(0))).cast("long")
+
+
 def stopword_count(col: str | Column, stopwords: list[str] | None = None) -> Column:
     sw = stopwords or EN_STOPWORDS
     arr = F.array(*[F.lit(s) for s in sw])
@@ -104,7 +117,9 @@ def oracle_snippets() -> dict[str, str]:
         "list_transform(string_split(text, ''), ch -> CAST(ascii(ch) AS BIGINT))), "
         f"(acc, x) -> (acc * 31 + x) % {_FP_PRIME})"
     )
+    bpe = BPE_PATTERN.replace("'", "''")
     return {
+        "n_bpe_tokens": f"CAST(len(regexp_extract_all(text, '{bpe}')) AS BIGINT)",
         "n_tokens": f"CAST({n_tokens} AS BIGINT)",
         "n_stopwords": f"CAST({n_stop} AS BIGINT)",
         "stopword_ratio": stop_ratio,

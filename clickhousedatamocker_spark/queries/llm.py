@@ -135,6 +135,77 @@ def text_analysis_profile(spark, sf_dir):
 
 # -------------------------------------------------------------------------
 @register(
+    "text_bpe_token_count",
+    f"""
+SELECT doc_id, {_O['n_bpe_tokens']} AS n_bpe_tokens, {_O['n_tokens']} AS n_ws_tokens
+FROM documents
+WHERE doc_id < 300
+ORDER BY doc_id
+""",
+    description="BPE-ish regex pretokenizer count vs whitespace count — the "
+    "regex is restricted to the RE2-compatible subset so Spark (Java regex) "
+    "and the oracle (RE2) tokenize identically.",
+)
+def text_bpe_token_count(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select(
+            "doc_id",
+            ta.bpe_token_count("text").alias("n_bpe_tokens"),
+            ta.token_count("text").alias("n_ws_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# -------------------------------------------------------------------------
+@register(
+    "pipeline_clean_corpus",
+    f"""
+WITH scored AS (
+  SELECT doc_id, source, text,
+         {_O['quality_score']} AS q,
+         {_O['langid']} AS predicted_lang,
+         {_O['fingerprint']} AS fp
+  FROM documents
+), kept AS (
+  SELECT * FROM scored WHERE q >= 0.5
+), canonical AS (
+  SELECT * FROM kept WHERE doc_id IN (SELECT MIN(doc_id) FROM kept GROUP BY fp)
+)
+SELECT predicted_lang, COUNT(*) AS n_docs,
+       ROUND(AVG(q), 6) AS avg_quality
+FROM canonical
+GROUP BY predicted_lang
+ORDER BY predicted_lang
+""",
+    description="End-to-end corpus-cleaning composition: quality filter -> "
+    "fingerprint dedup (keep min doc_id) -> per-language counts. The whole "
+    "pipeline is one declarative plan: scan once, two shuffles (dedup agg + "
+    "final agg).",
+)
+def pipeline_clean_corpus(spark, sf_dir):
+    from clickhousedatamocker_spark.operators.dedup import exact_dedup
+
+    scored = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        ta.quality_score("text").alias("q"),
+        ta.langid_en("text").alias("predicted_lang"),
+        ta.fingerprint("text").alias("fp"),
+    )
+    kept = scored.filter(F.col("q") >= 0.5)
+    canonical = exact_dedup(kept, keys=["fp"], order_col="doc_id")
+    return (
+        canonical.groupBy("predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.round(F.avg("q"), 6).alias("avg_quality"))
+        .orderBy("predicted_lang")
+    )
+
+
+# -------------------------------------------------------------------------
+@register(
     "text_langid",
     f"""
 SELECT {_O['langid']} AS predicted_lang, COUNT(*) AS n_docs
