@@ -190,6 +190,35 @@ def join_broadcast_dims(spark, sf_dir):
 
 # -------------------------------------------------------------------------
 @register(
+    "join_salted_skew",
+    f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_items,
+       {o_dsum('l_extendedprice')} AS total_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    description="Deterministically salted skew join (operators/skew.py): "
+    "lineitem scattered over 8 sub-keys per order key, orders replicated 8x. "
+    "The oracle is the PLAIN join — salting must be invisible in the result.",
+)
+def join_salted_skew(spark, sf_dir):
+    from clickhousedatamocker_spark.operators.skew import salted_join
+
+    li = t(spark, sf_dir, "lineitem").withColumnRenamed("l_orderkey", "okey")
+    orders = t(spark, sf_dir, "orders").withColumnRenamed("o_orderkey", "okey").select(
+        "okey", "o_orderpriority"
+    )
+    joined = salted_join(li, orders, on=["okey"], salt=8)
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_items"), dsum("l_extendedprice").alias("total_price"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
     "join_semi_anti",
     """
 SELECT tag, n_name, n AS n_customers FROM (
