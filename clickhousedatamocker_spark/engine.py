@@ -44,6 +44,7 @@ class Engine:
         self.parts = PartsInventory(database)
         self.flow = FlowController(metrics=self.metrics)
         self.writer = Writer(self.parts, self.flow, metrics=self.metrics)
+        self._registered_versions: dict[str, int] = {}
         register_sql_functions(spark)
 
     # -- connectivity probe (setup.sh:94-99) ------------------------------
@@ -80,7 +81,14 @@ class Engine:
 
     # -- introspection ----------------------------------------------------
     def refresh_system_views(self) -> None:
-        """(Re)register system_metrics / system_parts temp views + data tables."""
+        """(Re)register system_metrics / system_parts temp views + data tables.
+
+        The system views are rebuilt every call (their contents are the
+        engine's live counters — tiny single-slice DataFrames). Data-table
+        views re-register only when the table's part inventory changed since
+        the last registration: a parquet re-read costs a file listing, and
+        the reference runs this monitoring pair once per second alongside
+        ingest (monitor_metrics.sh per-iteration envelope)."""
         tables = {
             name: self.catalog.table_path(name)
             for name in self.catalog.list_tables()
@@ -90,12 +98,16 @@ class Engine:
         self.metrics.to_df(self.spark).createOrReplaceTempView("system_metrics")
         for name in self.catalog.list_tables():
             handle = self.catalog.get(self.catalog.resolve(name))
+            version = self.parts.inventory_version(handle.name)
+            if self._registered_versions.get(name) == version:
+                continue
             if os.path.isdir(handle.path) and any(
                 True for _ in os.scandir(handle.path) if _.name.endswith(".parquet") or "=" in _.name
             ):
                 self.spark.read.schema(_schema_with_partition(handle)).parquet(handle.path).createOrReplaceTempView(
                     name
                 )
+                self._registered_versions[name] = version
 
     def system_metrics(self) -> DataFrame:
         return self.metrics.to_df(self.spark)

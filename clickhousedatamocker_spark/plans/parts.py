@@ -28,6 +28,14 @@ class PartsInventory:
         self.database = database
         # manifest: table -> list of part dicts
         self._manifest: dict[str, list[dict]] = {}
+        # bumped on every commit/retire — lets readers cache derived state
+        self._versions: dict[str, int] = {}
+
+    def inventory_version(self, table: str) -> int:
+        return self._versions.get(table, 0)
+
+    def _bump(self, table: str) -> None:
+        self._versions[table] = self._versions.get(table, 0) + 1
 
     # -- manifest maintenance --------------------------------------------
     def _manifest_path(self, table_path: str) -> str:
@@ -69,6 +77,7 @@ class PartsInventory:
             }
             new_parts.append(part)
         self._manifest[table].extend(new_parts)
+        self._bump(table)
         self.save(table, table_path)
         return new_parts
 
@@ -81,6 +90,7 @@ class PartsInventory:
         for part in self._manifest.get(table, []):
             if part["name"] in names_set:
                 part["active"] = False
+        self._bump(table)
         self.save(table, table_path)
 
     # -- introspection ----------------------------------------------------
