@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from clickhousedatamocker_spark.operators import text_analysis as ta
 from clickhousedatamocker_spark.operators.dedup import (
+    connected_components,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_near_pairs,
@@ -278,6 +279,61 @@ def dedup_ngram_jaccard_pairs(spark, sf_dir):
             t(spark, sf_dir, "documents"), block_cols=["lang"], n=3, threshold=0.2
         )
         .orderBy("id_a", "id_b")
+    )
+
+
+# -------------------------------------------------------------------------
+_PAIRS_CTE = """
+dd AS (
+  SELECT doc_id, string_split(text,' ') tk FROM documents
+), sh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(generate_series(1, len(tk)-2),
+                                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) sg
+  FROM dd WHERE len(tk) >= 3
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.sg, b.sg)) * 1.0
+      / (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))) >= 0.5
+)
+"""
+
+
+@register(
+    "dedup_fuzzy_clusters",
+    f"""
+WITH RECURSIVE {_PAIRS_CTE},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node
+)
+SELECT MIN(lbl) AS component, COUNT(DISTINCT node) AS cluster_size,
+       MIN(node) AS canonical_id
+FROM (SELECT node, MIN(lbl) AS lbl FROM reach GROUP BY node)
+GROUP BY lbl
+ORDER BY component
+""",
+    description="Fuzzy-dedup resolution: near-dup pairs (3-gram Jaccard >= "
+    "0.5) -> connected components by iterative min-label propagation -> one "
+    "canonical doc per cluster. Oracle computes the same closure with a "
+    "recursive CTE — a full hash-check of an iterative distributed algorithm.",
+)
+def dedup_fuzzy_clusters(spark, sf_dir):
+    pairs = ngram_jaccard_pairs(t(spark, sf_dir, "documents"), threshold=0.5)
+    comp = connected_components(pairs)
+    return (
+        comp.groupBy("component")
+        .agg(
+            F.countDistinct("node").alias("cluster_size"),
+            F.min("node").alias("canonical_id"),
+        )
+        .orderBy("component")
     )
 
 

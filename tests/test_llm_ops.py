@@ -98,6 +98,33 @@ def test_ann_recall_vs_bruteforce(spark):
     assert sum(recalls) / len(recalls) >= 0.5, recalls  # 3 planes -> 1/8 corpus per bucket
 
 
+def test_connected_components_known_graph(spark):
+    from clickhousedatamocker_spark.operators.dedup import connected_components
+
+    # two chains and one isolated pair: {1-2-3-4}, {10-11}, {20-21-22}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20), (21, 22)], ["id_a", "id_b"]
+    )
+    comp = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_fuzzy_dedup_canonical_keeps_one_per_cluster(spark, docs_with_dups):
+    from clickhousedatamocker_spark.operators.dedup import fuzzy_dedup_canonical
+
+    pairs = ngram_jaccard_pairs(docs_with_dups, threshold=0.5)
+    kept = fuzzy_dedup_canonical(docs_with_dups, pairs)
+    # every injected near-dup (id >= 100000, J~0.99 to its source) is dropped
+    assert kept.filter(F.col("doc_id") >= 100000).count() == 0
+    # and at most one survivor per pair-cluster remains overall
+    from clickhousedatamocker_spark.operators.dedup import connected_components
+
+    comp = connected_components(pairs)
+    survivors = kept.join(comp, kept.doc_id == comp.node, "inner")
+    per_cluster = survivors.groupBy("component").count().agg(F.max("count")).first()[0]
+    assert per_cluster == 1
+
+
 def test_ivf_recall_vs_bruteforce(spark):
     from clickhousedatamocker_spark.operators.similarity import ivf_topk, ivf_train
 
