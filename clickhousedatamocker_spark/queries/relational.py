@@ -480,6 +480,67 @@ def agg_distinct_counts(spark, sf_dir):
 
 # -------------------------------------------------------------------------
 @register(
+    "agg_approx_distinct_and_quantiles",
+    None,  # sketch results are engine-specific -> rows-only + bounded-error test
+    description="ClickHouse uniq()/quantile() analogues: HyperLogLog++ "
+    "approx_count_distinct and approx_percentile sketches over lineitem — "
+    "mergeable partial sketches, one shuffle of sketch bytes (not rows). "
+    "Error bounds vs exact asserted in tests/test_approx.py.",
+)
+def agg_approx_distinct_and_quantiles(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("uniq_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("uniq_parts"),
+        F.approx_percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), 10000).alias(
+            "price_quantiles"
+        ),
+    )
+
+
+@register(
+    "q18_large_volume_customers",
+    f"""
+SELECT c_name, c_custkey, o_orderkey,
+       CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_totalprice,
+       {o_dsum('l_quantity', 12, 2)} AS sum_qty
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 212
+)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+LIMIT 100
+""",
+    description="TPC-H Q18: large-volume customers — grouped-HAVING subquery "
+    "as a semi-join into a 3-table join + re-aggregation + top-100.",
+)
+def q18_large_volume_customers(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity", 12, 2)).alias("q"))
+        .filter(F.col("q") > 212)
+        .select("l_orderkey")
+    )
+    orders = t(spark, sf_dir, "orders").withColumn(
+        "o_orderdate", F.col("o_orderdate").cast("timestamp")
+    )
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(t(spark, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum("l_quantity", 12, 2).alias("sum_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+        .limit(100)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+    )
+
+
+@register(
     "topk_orders_by_price",
     """
 SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
