@@ -69,6 +69,13 @@ class Engine:
         handle = self.catalog.get(self.catalog.resolve(table))
         return self.writer.insert(handle, df, **kwargs)
 
+    def delete_where(self, table: str, predicate: str) -> int:
+        """``ALTER TABLE … DELETE WHERE predicate`` (synchronous mutation:
+        partition-pruned rewrite of affected parts, old parts retired,
+        ``PartsMutations`` incremented). Returns rows deleted."""
+        handle = self.catalog.get(self.catalog.resolve(table))
+        return self.writer.mutate_delete(self.spark, handle, predicate)
+
     def optimize(self, table: str) -> int:
         handle = self.catalog.get(self.catalog.resolve(table))
         return self.writer.optimize(self.spark, handle)

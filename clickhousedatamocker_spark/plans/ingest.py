@@ -31,6 +31,18 @@ from clickhousedatamocker_spark.plans.flow_control import FlowController
 from clickhousedatamocker_spark.plans.parts import PartsInventory
 
 
+def _mutation_schema(handle: TableHandle):
+    from pyspark.sql import types as T
+
+    if not handle.partition_column or handle.partition_column in [
+        f.name for f in handle.schema.fields
+    ]:
+        return handle.schema
+    return T.StructType(
+        list(handle.schema.fields) + [T.StructField(handle.partition_column, T.IntegerType(), True)]
+    )
+
+
 @dataclass
 class InsertResult:
     rows: int
@@ -104,6 +116,78 @@ class Writer:
             elapsed_s=time.monotonic() - t0,
             delay_s=decision.delay_s,
         )
+
+    def mutate_delete(self, spark, handle: TableHandle, predicate: str) -> int:
+        """ClickHouse ``ALTER TABLE … DELETE WHERE predicate`` semantics:
+        rewrite only the parts whose partition might contain matching rows,
+        retiring the old parts (CH runs this as an async mutation; here it is
+        synchronous). Partition pruning on the predicate keeps the rewrite
+        scoped: untouched partitions' files are never read or rewritten.
+        Returns the number of rows deleted.
+        """
+        import os
+        import shutil
+
+        from pyspark.sql import functions as F  # noqa: F811
+
+        table = handle.name
+        self.parts.load(table, handle.path)
+        part_col = handle.partition_column
+
+        full = spark.read.schema(_mutation_schema(handle)).parquet(handle.path)
+        # partitions that contain at least one matching row (pruned scan)
+        if part_col:
+            hit_parts = [
+                r[part_col]
+                for r in full.filter(F.expr(predicate)).select(part_col).distinct().collect()
+            ]
+        else:
+            hit_parts = [None]
+        if not hit_parts:
+            return 0
+
+        deleted = 0
+        for pv in hit_parts:
+            part_dir = (
+                os.path.join(handle.path, f"{part_col}={pv}") if part_col else handle.path
+            )
+            old = [
+                p
+                for p in self.parts._manifest[table]
+                if p["active"] and (str(p["partition"]) == str(pv) or part_col is None)
+            ]
+            sub = spark.read.schema(handle.schema).parquet(part_dir)
+            if part_col:
+                # partition value isn't stored in the files; materialize it
+                # so predicates may reference it, drop it again pre-write
+                sub = sub.withColumn(part_col, F.lit(pv).cast("int"))
+            keep = sub.filter(~F.expr(predicate))
+            if part_col:
+                keep = keep.drop(part_col)
+            n_before = sub.count()
+            n_after = keep.count()
+            deleted += n_before - n_after
+            staging = part_dir + ".mutate.tmp"
+            w = keep
+            if handle.order_columns:
+                w = w.sortWithinPartitions(*handle.order_columns)
+            w.coalesce(max(1, len(old))).write.mode("overwrite").parquet(staging)
+            for p in old:
+                f = os.path.join(handle.path, p["name"])
+                if os.path.exists(f):
+                    os.remove(f)
+            for f in os.listdir(staging):
+                if f.endswith(".parquet"):
+                    shutil.move(os.path.join(staging, f), os.path.join(part_dir, f))
+            shutil.rmtree(staging, ignore_errors=True)
+            self.parts.retire(table, handle.path, [p["name"] for p in old])
+        known = {p["name"] for p in self.parts._manifest[table]}
+        self.parts.record_commit(table, handle.path, known)
+        if self.metrics is not None:
+            self.metrics.incr("PartsMutations")
+            self.metrics.set("PartsActive", self.parts.active_parts_count(table, handle.path))
+            self.metrics.set("PartsCommitted", self.parts.active_parts_count(table, handle.path))
+        return deleted
 
     def optimize(self, spark, handle: TableHandle) -> int:
         """Compact each partition's parts into one (≈ CH background merge /

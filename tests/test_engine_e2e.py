@@ -87,3 +87,55 @@ def test_miniature_harness_flow_control_triggers(spark, tmp_warehouse):
     assert res.inserts_attempted < 60  # early stop, not loop exhaustion
     assert res.rows_inserted > 0
     assert res.final_active_parts >= 10
+
+
+def test_mutation_delete_where(spark, tmp_warehouse):
+    """ALTER DELETE semantics: predicate rows gone, untouched partitions'
+    parts untouched, PartsMutations incremented, manifest consistent."""
+    import pyspark.sql.functions as F
+
+    from clickhousedatamocker_spark.engine import Engine
+    from clickhousedatamocker_spark.schema import test_local_spec
+    from clickhousedatamocker_spark.sources.generator import BatchGenerator
+
+    engine = Engine(spark, tmp_warehouse)
+    engine.create_table(test_local_spec())
+    gen = BatchGenerator(spark, seed=11, base_time="2026-01-01 12:00:00")
+    engine.insert("test_local", gen.batch_with_partition(20_000, batch_no=0))
+
+    before = engine.read_table("test_local")
+    n_before = before.count()
+    n_match = before.filter("status < 64").count()
+    assert 0 < n_match < n_before
+
+    parts_before = {
+        (p["partition"], p["name"])
+        for p in engine.parts._manifest["test_local"]
+        if p["active"]
+    }
+
+    deleted = engine.delete_where("test_local", "status < 64")
+    assert deleted == n_match
+
+    after = engine.read_table("test_local")
+    assert after.count() == n_before - n_match
+    assert after.filter("status < 64").count() == 0
+    # every value column survives intact for kept rows
+    assert after.filter(F.col("event_time").isNull()).count() == 0
+
+    assert engine.metrics.get("PartsMutations") == 1
+    # partition-scoped predicate: delete from one hour only rewrites that hour
+    one_hour = after.select("event_hour").first()["event_hour"]
+    parts_mid = {
+        (p["partition"], p["name"])
+        for p in engine.parts._manifest["test_local"]
+        if p["active"]
+    }
+    engine.delete_where("test_local", f"event_hour = {one_hour} AND status < 128")
+    parts_after = {
+        (p["partition"], p["name"])
+        for p in engine.parts._manifest["test_local"]
+        if p["active"]
+    }
+    changed = {p for p in parts_mid ^ parts_after}
+    assert all(str(part) == str(one_hour) for part, _ in changed), changed
