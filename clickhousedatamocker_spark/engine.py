@@ -76,6 +76,12 @@ class Engine:
         handle = self.catalog.get(self.catalog.resolve(table))
         return self.writer.mutate_delete(self.spark, handle, predicate)
 
+    def update_where(self, table: str, assignments: dict[str, str], predicate: str) -> int:
+        """``ALTER TABLE … UPDATE col=expr WHERE predicate`` (synchronous
+        mutation; see delete_where). Returns rows updated."""
+        handle = self.catalog.get(self.catalog.resolve(table))
+        return self.writer.mutate_update(self.spark, handle, assignments, predicate)
+
     def optimize(self, table: str) -> int:
         handle = self.catalog.get(self.catalog.resolve(table))
         return self.writer.optimize(self.spark, handle)

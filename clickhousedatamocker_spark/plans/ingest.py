@@ -189,6 +189,88 @@ class Writer:
             self.metrics.set("PartsCommitted", self.parts.active_parts_count(table, handle.path))
         return deleted
 
+    def mutate_update(
+        self, spark, handle: TableHandle, assignments: dict[str, str], predicate: str
+    ) -> int:
+        """``ALTER TABLE … UPDATE col = expr, … WHERE predicate``: same
+        partition-pruned rewrite as :meth:`mutate_delete`, but matching rows
+        are rewritten with the assignment expressions instead of dropped.
+        Returns the number of rows updated. The partition column itself is
+        not assignable (CH shares this restriction — it would move rows
+        between partitions)."""
+        import os
+        import shutil
+
+        from pyspark.sql import functions as F  # noqa: F811
+
+        part_col = handle.partition_column
+        if part_col and part_col in assignments:
+            raise ValueError(f"cannot UPDATE the partition column {part_col!r}")
+        table = handle.name
+        self.parts.load(table, handle.path)
+
+        full = spark.read.schema(_mutation_schema(handle)).parquet(handle.path)
+        if part_col:
+            hit_parts = [
+                r[part_col]
+                for r in full.filter(F.expr(predicate)).select(part_col).distinct().collect()
+            ]
+        else:
+            hit_parts = [None]
+        if not hit_parts:
+            return 0
+
+        updated = 0
+        for pv in hit_parts:
+            part_dir = (
+                os.path.join(handle.path, f"{part_col}={pv}") if part_col else handle.path
+            )
+            old = [
+                p
+                for p in self.parts._manifest[table]
+                if p["active"] and (str(p["partition"]) == str(pv) or part_col is None)
+            ]
+            sub = spark.read.schema(handle.schema).parquet(part_dir)
+            if part_col:
+                sub = sub.withColumn(part_col, F.lit(pv).cast("int"))
+            match = F.expr(predicate)
+            updated += sub.filter(match).count()
+            new = sub.select(
+                *[
+                    (
+                        F.when(match, F.expr(assignments[c])).otherwise(F.col(c)).cast(
+                            dict(sub.dtypes)[c]
+                        )
+                        if c in assignments
+                        else F.col(c)
+                    ).alias(c)
+                    for c in sub.columns
+                ]
+            )
+            if part_col:
+                new = new.drop(part_col)
+            staging = part_dir + ".mutate.tmp"
+            w = new
+            if handle.order_columns:
+                w = w.sortWithinPartitions(*handle.order_columns)
+            w.coalesce(max(1, len(old))).write.mode("overwrite").parquet(staging)
+            for p in old:
+                f = os.path.join(handle.path, p["name"])
+                if os.path.exists(f):
+                    os.remove(f)
+            for f in os.listdir(staging):
+                if f.endswith(".parquet"):
+                    shutil.move(os.path.join(staging, f), os.path.join(part_dir, f))
+            shutil.rmtree(staging, ignore_errors=True)
+            self.parts.retire(table, handle.path, [p["name"] for p in old])
+        known = {p["name"] for p in self.parts._manifest[table]}
+        self.parts.record_commit(table, handle.path, known)
+        if self.metrics is not None:
+            self.metrics.incr("PartsMutations")
+            self.metrics.set("PartsActive", self.parts.active_parts_count(table, handle.path))
+            self.metrics.set("PartsCommitted", self.parts.active_parts_count(table, handle.path))
+        return updated
+
     def optimize(self, spark, handle: TableHandle) -> int:
         """Compact each partition's parts into one (≈ CH background merge /
         OPTIMIZE TABLE). Old parts are retired (active=false) in the manifest

@@ -139,3 +139,38 @@ def test_mutation_delete_where(spark, tmp_warehouse):
     }
     changed = {p for p in parts_mid ^ parts_after}
     assert all(str(part) == str(one_hour) for part, _ in changed), changed
+
+
+def test_mutation_update_where(spark, tmp_warehouse):
+    """ALTER UPDATE: assignments applied to matching rows only, row count
+    unchanged, partition column guarded."""
+    import pytest as _pytest
+
+    from clickhousedatamocker_spark.engine import Engine
+    from clickhousedatamocker_spark.schema import test_local_spec
+    from clickhousedatamocker_spark.sources.generator import BatchGenerator
+
+    engine = Engine(spark, tmp_warehouse)
+    engine.create_table(test_local_spec())
+    gen = BatchGenerator(spark, seed=13, base_time="2026-01-01 12:00:00")
+    engine.insert("test_local", gen.batch_with_partition(10_000, batch_no=0))
+
+    n = engine.read_table("test_local").count()
+    n_match = engine.read_table("test_local").filter("event_type = 'click'").count()
+
+    updated = engine.update_where(
+        "test_local",
+        {"status": "255", "metadata": "'{\"flagged\":true}'"},
+        "event_type = 'click'",
+    )
+    assert updated == n_match
+
+    after = engine.read_table("test_local")
+    assert after.count() == n  # updates never change cardinality
+    assert after.filter("event_type = 'click' AND status <> 255").count() == 0
+    assert after.filter("event_type = 'click' AND metadata <> '{\"flagged\":true}'").count() == 0
+    # non-matching rows untouched
+    assert after.filter("event_type <> 'click' AND metadata <> '{}'").count() == 0
+
+    with _pytest.raises(ValueError):
+        engine.update_where("test_local", {"event_hour": "0"}, "true")
