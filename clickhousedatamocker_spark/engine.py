@@ -149,9 +149,34 @@ class Engine:
 
     def sql(self, query: str) -> DataFrame:
         """Run SQL with system views refreshed; accepts ClickHouse dialect
-        spellings via the compat shim, so the reference's .sql files run
-        verbatim (monitor_metrics.sh:41-86 parity)."""
-        from clickhousedatamocker_spark.functions.compat import translate_ch_sql
+        spellings via the compat shim, so the reference's .sql files — BOTH
+        the monitoring queries AND the DDL (create_local.sql,
+        create_distributed.sql, the set_flow_control.sh ALTERs) — run
+        verbatim. DDL routes to catalog ops and returns an empty result set
+        (what clickhouse-client prints for DDL)."""
+        from clickhousedatamocker_spark.functions.compat import parse_ch_ddl, translate_ch_sql
+        from clickhousedatamocker_spark.schema import TableSpec
+
+        ddl = parse_ch_ddl(query)
+        if ddl is not None:
+            if ddl["op"] == "create":
+                self.create_table(
+                    TableSpec(
+                        name=ddl["name"],
+                        schema=ddl["schema"],
+                        partition_column=ddl["partition_column"],
+                        order_columns=ddl["order_columns"],
+                        settings=ddl["settings"],
+                    ),
+                    if_not_exists=ddl["if_not_exists"],
+                )
+            elif ddl["op"] == "alias":
+                self.create_alias(ddl["name"], ddl["of"])
+            elif ddl["op"] == "drop":
+                self.drop_table(ddl["name"], if_exists=ddl["if_exists"])
+            elif ddl["op"] == "alter_setting":
+                self.alter_setting(ddl["name"], **ddl["settings"])
+            return self.spark.createDataFrame([], "result string")
 
         self.refresh_system_views()
         return self.spark.sql(translate_ch_sql(query))
