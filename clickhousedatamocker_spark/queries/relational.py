@@ -480,6 +480,45 @@ def agg_distinct_counts(spark, sf_dir):
 
 # -------------------------------------------------------------------------
 @register(
+    "join_range_bucketed",
+    """
+WITH months AS (
+  SELECT DISTINCT CAST(date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS TIMESTAMP) AS win_lo,
+         CAST(date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) + INTERVAL 3 MONTH AS TIMESTAMP) AS win_hi
+  FROM orders
+)
+SELECT win_lo, COUNT(*) AS n_shipments
+FROM lineitem JOIN months
+  ON CAST(l_shipdate AS TIMESTAMP) >= win_lo AND CAST(l_shipdate AS TIMESTAMP) < win_hi
+GROUP BY win_lo
+ORDER BY win_lo
+""",
+    description="Point-in-interval range join via interval bucketing "
+    "(operators/rangejoin.py): sliding 3-month windows x lineitem ship "
+    "dates. The oracle is the PLAIN range join — bucketing must be invisible "
+    "in the result; the Spark plan is an equi hash join, never BNLJ.",
+)
+def join_range_bucketed(spark, sf_dir):
+    from clickhousedatamocker_spark.operators.rangejoin import range_join_points
+
+    months = (
+        t(spark, sf_dir, "orders")
+        .select(F.date_trunc("month", F.col("o_orderdate").cast("timestamp")).alias("win_lo"))
+        .distinct()
+        .withColumn("win_hi", F.col("win_lo") + F.expr("INTERVAL 3 MONTH"))
+    )
+    points = t(spark, sf_dir, "lineitem").select(
+        F.col("l_shipdate").cast("timestamp").alias("ship_ts")
+    )
+    joined = range_join_points(points, months, "ship_ts", "win_lo", "win_hi", bucket_days=92)
+    return (
+        joined.groupBy("win_lo")
+        .agg(F.count(F.lit(1)).alias("n_shipments"))
+        .orderBy("win_lo")
+    )
+
+
+@register(
     "agg_approx_distinct_and_quantiles",
     None,  # sketch results are engine-specific -> rows-only + bounded-error test
     description="ClickHouse uniq()/quantile() analogues: HyperLogLog++ "

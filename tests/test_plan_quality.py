@@ -122,3 +122,11 @@ def test_no_python_udfs_in_relational_tier(spark):
             continue
         plan = plan_of(spec.fn(spark, SF_DIR))
         assert "BatchEvalPython" not in plan, f"{name} uses a row-at-a-time Python UDF"
+
+
+def test_range_join_is_equi_not_bnlj(spark):
+    """The bucketed range join must plan as a hash join on the bucket key —
+    never BroadcastNestedLoopJoin (the naive range-condition plan)."""
+    plan = plan_of(REGISTRY["join_range_bucketed"].fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan  # broadcast or shuffled — either is fine
