@@ -121,6 +121,47 @@ def extract_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     return df.mapInPandas(featurize, out_schema)
 
 
+def resize_media(
+    df: DataFrame, width: int, height: int, deterministic_fake: bool = False
+) -> DataFrame:
+    """Resize image payloads to (width, height).
+
+    Real resizing needs PIL — NOT in this container, so the default path
+    raises NotImplementedError. ``deterministic_fake=True`` replaces the
+    payload with a size-proportional deterministic slice (|bytes| scaled by
+    the pixel ratio vs the fake-decoded dims), keeping schema/batch plumbing
+    — including the media struct rewrite — exercised end-to-end.
+    """
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "image codecs (PIL) are not installed in this environment; pass "
+            "deterministic_fake=True to exercise the pipeline"
+        )
+
+    def do_resize(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            pdf = pdf.copy()
+            out = []
+            for m in pdf["media"]:
+                data = m["data"]
+                w0, h0 = 64 + data[0] % 192, 64 + data[1] % 192  # fake-decode dims
+                ratio = (width * height) / float(w0 * h0)
+                n = max(1, min(len(data), int(len(data) * ratio)))
+                resized = (data * (n // len(data) + 1))[:n]
+                out.append(
+                    {
+                        "uri": m["uri"],
+                        "mime": m["mime"],
+                        "n_bytes": n,
+                        "data": resized,
+                    }
+                )
+            pdf["media"] = out
+            yield pdf
+
+    return df.mapInPandas(do_resize, df.schema)
+
+
 def sample_frames(df: DataFrame, every_n_bytes: int = 32) -> DataFrame:
     """'Frame sampling' over video payloads: one row per sampled offset —
     the explode-shaped UDTF a real video pipeline needs (ffmpeg STUBBED;

@@ -184,6 +184,22 @@ def test_multimodal_pipeline(spark):
         assert all(r["frame_offset"] == r["frame_no"] * 32 for r in fr)
 
 
+def test_resize_media_plumbing(spark):
+    from clickhousedatamocker_spark.operators.multimodal import resize_media
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id").limit(20)
+    media = attach_fake_media(docs, "doc_id")
+    resized = resize_media(media, 32, 32, deterministic_fake=True)
+    assert resized.schema == media.schema  # struct shape preserved
+    rows = resized.collect()
+    assert all(r["media"]["n_bytes"] == len(r["media"]["data"]) for r in rows)
+    # 32x32 is smaller than every fake-decoded dim (>=64x64): payload shrinks
+    orig = {r["doc_id"]: r["media"]["n_bytes"] for r in media.collect()}
+    assert all(r["media"]["n_bytes"] < orig[r["doc_id"]] for r in rows)
+    with pytest.raises(NotImplementedError):
+        resize_media(media, 32, 32)
+
+
 def test_decode_without_codecs_raises(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id").limit(1)
     media = attach_fake_media(docs, "doc_id")
