@@ -163,6 +163,111 @@ def q5_local_supplier_volume(spark, sf_dir):
 
 # -------------------------------------------------------------------------
 @register(
+    "q7_volume_shipping",
+    f"""
+SELECT supp_nation, cust_nation, l_year, {o_dsum('volume', 14, 4)} AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         EXTRACT(year FROM CAST(l_shipdate AS TIMESTAMP)) AS l_year,
+         CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS volume
+  FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+                JOIN orders ON o_orderkey = l_orderkey
+                JOIN customer ON c_custkey = o_custkey
+                JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND CAST(l_shipdate AS TIMESTAMP) >= TIMESTAMP '1995-01-01'
+    AND CAST(l_shipdate AS TIMESTAMP) < TIMESTAMP '1997-01-01'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""",
+    description="TPC-H Q7: bi-national shipping volume — 6-table join with a "
+    "disjunctive cross-nation predicate, year extraction, 3-key aggregation.",
+)
+def q7_volume_shipping(spark, sf_dir):
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    li = t(spark, sf_dir, "lineitem").withColumn(
+        "ship_ts", F.col("l_shipdate").cast("timestamp")
+    )
+    joined = (
+        t(spark, sf_dir, "supplier")
+        .join(li, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t(spark, sf_dir, "orders"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t(spark, sf_dir, "customer"), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            (
+                ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+                | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+            )
+            & (F.col("ship_ts") >= "1995-01-01")
+            & (F.col("ship_ts") < "1997-01-01")
+        )
+    )
+    volume = dec("l_extendedprice", 12, 2) * (F.lit(1) - dec("l_discount", 12, 2))
+    return (
+        joined.withColumn("l_year", F.year("ship_ts").cast("long"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum(volume.cast("decimal(14,4)")).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "q10_returned_items",
+    f"""
+SELECT c_custkey, c_name, {o_dsum('volume', 14, 4)} AS revenue, n_name
+FROM (
+  SELECT c_custkey, c_name, n_name,
+         CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS volume
+  FROM customer JOIN orders ON c_custkey = o_custkey
+                JOIN lineitem ON l_orderkey = o_orderkey
+                JOIN nation ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+    AND CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '1995-10-01'
+    AND CAST(o_orderdate AS TIMESTAMP) < TIMESTAMP '1996-01-01'
+)
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+    description="TPC-H Q10: returned-item reporting — selective fact filter, "
+    "4-table join, revenue agg, top-20 by revenue (TakeOrderedAndProject).",
+)
+def q10_returned_items(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders").withColumn(
+        "order_ts", F.col("o_orderdate").cast("timestamp")
+    )
+    joined = (
+        t(spark, sf_dir, "customer")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(t(spark, sf_dir, "lineitem"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t(spark, sf_dir, "nation")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .filter(
+            (F.col("l_returnflag") == "R")
+            & (F.col("order_ts") >= "1995-10-01")
+            & (F.col("order_ts") < "1996-01-01")
+        )
+    )
+    volume = dec("l_extendedprice", 12, 2) * (F.lit(1) - dec("l_discount", 12, 2))
+    return (
+        joined.groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(volume.cast("decimal(14,4)")).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "n_name")
+    )
+
+
+@register(
     "join_broadcast_dims",
     f"""
 SELECT r_name, COUNT(*) AS n_customers, {o_dsum('c_acctbal', 12, 2)} AS total_acctbal
