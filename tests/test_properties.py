@@ -1,0 +1,78 @@
+"""Property-based tests (SURVEY §5.2(4)) — hypothesis drives the inputs,
+one Spark job verifies a whole batch of examples at once (Spark job latency
+makes per-example jobs impractical)."""
+
+import math
+
+import pyspark.sql.functions as F
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from clickhousedatamocker_spark.functions.scalar import format_readable_size
+from clickhousedatamocker_spark.sources.generator import BatchGenerator
+
+_UNITS = ["B", "KiB", "MiB", "GiB", "TiB", "PiB", "EiB"]
+
+
+def _format_reference(n: int) -> str:
+    """Driver-side reference implementation of ClickHouse formatReadableSize."""
+    x = float(n)
+    for unit in _UNITS:
+        if x < 1024.0 or unit == _UNITS[-1]:
+            return f"{x:.2f} {unit}"
+        x /= 1024.0
+    raise AssertionError
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**62), min_size=1, max_size=50))
+def test_format_readable_size_matches_reference(spark, values):
+    df = spark.createDataFrame([(v,) for v in values], "b long").select(
+        "b", format_readable_size("b").alias("s")
+    )
+    got = {r["b"]: r["s"] for r in df.collect()}
+    for v in values:
+        assert got[v] == _format_reference(v), v
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    n=st.integers(min_value=1, max_value=2000),
+)
+def test_generator_domains_hold_for_any_seed(spark, seed, n):
+    gen = BatchGenerator(spark, seed=seed, base_time="2026-01-01 12:00:00")
+    row = (
+        gen.batch(n)
+        .agg(
+            F.min("id").alias("id_lo"),
+            F.max("id").alias("id_hi"),
+            F.min("user_id").alias("u_lo"),
+            F.max("user_id").alias("u_hi"),
+            F.min("status").alias("s_lo"),
+            F.max("status").alias("s_hi"),
+            F.min("value").alias("v_lo"),
+            F.max("value").alias("v_hi"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.countDistinct(F.date_format("event_time", "yyyyMMddHH")).alias("n_hours"),
+            F.min(F.length("description")).alias("d_lo"),
+            F.max(F.length("description")).alias("d_hi"),
+        )
+        .first()
+    )
+    assert 1 <= row["id_lo"] and row["id_hi"] < 10**18
+    assert 1 <= row["u_lo"] and row["u_hi"] <= 1_000_000
+    assert 0 <= row["s_lo"] and row["s_hi"] <= 255
+    assert 0 <= row["v_lo"] and row["v_hi"] < 10_000
+    assert 1 <= row["n_types"] <= 4
+    assert 1 <= row["n_hours"] <= 24  # the 0-23h partition-spread law
+    assert row["d_lo"] == row["d_hi"] == 50
+
+
+@settings(max_examples=3, deadline=None)
+@given(seed=st.integers(min_value=0, max_value=2**31 - 1))
+def test_generator_deterministic_under_repartitioning(spark, seed):
+    gen = BatchGenerator(spark, seed=seed, base_time="2026-01-01 12:00:00")
+    a = gen.batch(500, num_partitions=1).orderBy("id").collect()
+    b = gen.batch(500, num_partitions=7).orderBy("id").collect()
+    assert a == b
