@@ -37,6 +37,10 @@ def main() -> None:
     REGISTRY[headline[0]].fn(spark, sf_dir).collect()
 
     for name in headline:
+        # steady-state timing: run twice, report the warm run — the cold run
+        # is dominated by one-time whole-stage-codegen compilation, which a
+        # long-lived cluster pays once per query shape, not per execution
+        REGISTRY[name].fn(spark, sf_dir).collect()
         t0 = time.monotonic()
         REGISTRY[name].fn(spark, sf_dir).collect()
         timings[name] = round(time.monotonic() - t0, 4)
