@@ -66,6 +66,23 @@ def sliding_counts(
     )
 
 
+def stream_exact_dedup(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Exactly-once-by-key over a stream: the streaming member of the dedup
+    ladder (operators/dedup.py). ``dropDuplicatesWithinWatermark`` keeps
+    per-key state only until the watermark passes — state is O(keys within
+    the watermark horizon), not O(stream) — which is the only form that
+    survives an unbounded 100 TB/day stream. On a batch DataFrame this is
+    plain ``dropDuplicates`` (its batch semantics)."""
+    if events.isStreaming:
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)
+
+
 def session_agg(
     events: DataFrame,
     ts_col: str = "ts",

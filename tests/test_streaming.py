@@ -112,6 +112,25 @@ def test_stateful_running_profile(spark, chunked_events):
     assert all(abs(g[u] - w[u]) < 1e-6 for u in w)
 
 
+def test_stream_dedup_across_microbatches(spark, tmp_path):
+    """Duplicated event_ids spanning micro-batches collapse to one row each
+    (state persists across batches within the watermark)."""
+    from clickhousedatamocker_spark.streaming.windows import stream_exact_dedup
+
+    ev = _events(spark).limit(200)
+    d = str(tmp_path / "dup_src")
+    # chunk 1: all 200; chunk 2: the same 200 again (cross-batch duplicates)
+    ev.coalesce(1).write.mode("append").parquet(d)
+    ev.coalesce(1).write.mode("append").parquet(d)
+
+    fn = lambda df: stream_exact_dedup(df, ["event_id"], ts_col="ts")  # noqa: E731
+    got = _run_stream(spark, d, fn, "dedup_out", ev.schema, output_mode="append")
+    assert got.count() == 200
+    assert got.select("event_id").distinct().count() == 200
+    # batch form agrees
+    assert fn(ev.unionByName(ev)).count() == 200
+
+
 def test_streaming_ingest_harness(spark, tmp_path):
     from clickhousedatamocker_spark.config import HarnessConfig
     from clickhousedatamocker_spark.streaming.ingest import run_streaming_harness
