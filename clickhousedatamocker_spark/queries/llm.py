@@ -438,6 +438,31 @@ def dedup_embedding_cosine_pairs(spark, sf_dir):
 
 
 # -------------------------------------------------------------------------
+from clickhousedatamocker_spark.operators.funnel import funnel_oracle_sql, window_funnel  # noqa: E402
+
+_FUNNEL_STEPS = ["click", "view", "purchase"]
+# 2 days gives a discriminating depth mix on the fixture (1: ~72, 2: ~46,
+# 3: ~32 users at sf0.01) instead of everyone completing
+_FUNNEL_WINDOW_S = 2 * 86400
+
+
+@register(
+    "funnel_click_view_purchase",
+    funnel_oracle_sql(_FUNNEL_STEPS, _FUNNEL_WINDOW_S),
+    description="ClickHouse windowFunnel parity: per-user deepest "
+    "click->view->purchase prefix within a 30-day window of the chain's "
+    "first click, 2-day window (greedy earliest-chain fold, documented in "
+    "operators/funnel.py). One shuffle on user_id; the fold is a JVM-side "
+    "aggregate over the sorted per-user event array. Oracle implements the "
+    "identical fold via DuckDB list_reduce - hash-exact.",
+)
+def funnel_click_view_purchase(spark, sf_dir):
+    return window_funnel(
+        t(spark, sf_dir, "events"), _FUNNEL_STEPS, _FUNNEL_WINDOW_S
+    ).orderBy("user_id")
+
+
+# -------------------------------------------------------------------------
 @register(
     "multimodal_features",
     None,  # binary payloads + mapInPandas -> rows-only check

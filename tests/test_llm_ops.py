@@ -205,3 +205,32 @@ def test_decode_without_codecs_raises(spark):
     media = attach_fake_media(docs, "doc_id")
     with pytest.raises(NotImplementedError):
         decode_media(media)
+
+
+def test_window_funnel_semantics(spark):
+    """Hand-built scenario pinning the greedy earliest-chain semantics."""
+    from clickhousedatamocker_spark.operators.funnel import window_funnel
+
+    rows = [
+        # user 1: full funnel inside the 1h window of the first click -> depth 3
+        (1, "2026-01-01 00:00:00", "click"),
+        (1, "2026-01-01 00:20:00", "view"),
+        (1, "2026-01-01 00:40:00", "purchase"),
+        # user 2: purchase BEFORE view -> depth 2 (order matters)
+        (2, "2026-01-01 00:00:00", "click"),
+        (2, "2026-01-01 00:30:00", "purchase"),
+        (2, "2026-01-01 01:00:00", "view"),
+        # user 3: view outside the 1h window of the first click -> depth 1
+        (3, "2026-01-01 00:00:00", "click"),
+        (3, "2026-01-01 02:00:00", "view"),
+        # user 4: no step-1 event at all -> depth 0
+        (4, "2026-01-01 00:00:00", "login"),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "event_type"]).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    got = {
+        r["user_id"]: r["funnel_depth"]
+        for r in window_funnel(ev, ["click", "view", "purchase"], 3600).collect()
+    }
+    assert got == {1: 3, 2: 2, 3: 1, 4: 0}
