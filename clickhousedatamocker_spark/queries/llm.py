@@ -464,6 +464,40 @@ def funnel_click_view_purchase(spark, sf_dir):
 
 # -------------------------------------------------------------------------
 @register(
+    "retention_analysis",
+    """
+WITH per_user AS (
+  SELECT user_id,
+    MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS r1,
+    MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c2,
+    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c3
+  FROM events GROUP BY user_id
+)
+SELECT SUM(r1) AS cohort,
+       SUM(r1 * c2) AS retained_click,
+       SUM(r1 * c3) AS retained_purchase
+FROM per_user
+""",
+    description="ClickHouse retention() parity: per-user condition flags "
+    "(r1 AND r_i semantics), summed into cohort retention counts — one "
+    "hash aggregation, map-side combined.",
+)
+def retention_analysis(spark, sf_dir):
+    flag = lambda v: F.max(F.when(F.col("event_type") == v, 1).otherwise(0))  # noqa: E731
+    per_user = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(flag("signup").alias("r1"), flag("click").alias("c2"), flag("purchase").alias("c3"))
+    )
+    return per_user.agg(
+        F.sum("r1").alias("cohort"),
+        F.sum(F.col("r1") * F.col("c2")).alias("retained_click"),
+        F.sum(F.col("r1") * F.col("c3")).alias("retained_purchase"),
+    )
+
+
+# -------------------------------------------------------------------------
+@register(
     "multimodal_features",
     None,  # binary payloads + mapInPandas -> rows-only check
     description="Multimodal plumbing end-to-end: deterministic binary media "
