@@ -624,6 +624,35 @@ def join_range_bucketed(spark, sf_dir):
 
 
 @register(
+    "agg_quantiles_exact",
+    """
+SELECT l_returnflag,
+       ROUND(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE), 4) AS p50,
+       ROUND(CAST(quantile_cont(l_extendedprice, 0.9) AS DOUBLE), 4) AS p90,
+       ROUND(CAST(quantile_cont(l_extendedprice, 0.99) AS DOUBLE), 4) AS p99
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    description="Exact continuous quantiles per group (ClickHouse "
+    "quantileExact family): percentile() with linear interpolation — "
+    "identical definition to the oracle's quantile_cont, rounded to 4dp for "
+    "cross-engine float identity.",
+)
+def agg_quantiles_exact(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
     "agg_approx_distinct_and_quantiles",
     None,  # sketch results are engine-specific -> rows-only + bounded-error test
     description="ClickHouse uniq()/quantile() analogues: HyperLogLog++ "
