@@ -35,6 +35,12 @@ class HarnessConfig:
     insert_interval_s: float = 1.0
     max_insert_count: int = 60
 
+    # background-merge simulation: compact every N inserts (0 = off, the
+    # reference's pessimal mode — CH merges intentionally can't keep up
+    # there, CLAUDE.md:429-433). Non-zero shows the real CH steady state
+    # where merges race inserts and bound the active part count.
+    optimize_every: int = 0
+
     # generation determinism
     seed: int = 42
     base_time: str | None = None  # None → wall clock (reference behavior); fixed str for tests

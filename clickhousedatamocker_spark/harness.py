@@ -137,6 +137,11 @@ def run_harness(
                 i, ins.rows, ins.new_parts, ins.partitions_touched, ins.elapsed_s, ins.delay_s,
             )
 
+            # background-merge simulation (≈ CH merge scheduler racing inserts)
+            if cfg.optimize_every and i % cfg.optimize_every == 0:
+                merged = engine.optimize(cfg.table)
+                log.info("optimize after insert %d: %d partitions compacted", i, merged)
+
             # flow status check + early stop (setup.sh:137-145)
             status = engine.flow_status(cfg.table)
             if status.zone == "throw":

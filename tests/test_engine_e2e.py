@@ -174,3 +174,27 @@ def test_mutation_update_where(spark, tmp_warehouse):
 
     with _pytest.raises(ValueError):
         engine.update_where("test_local", {"event_hour": "0"}, "true")
+
+
+def test_harness_with_background_merges_stays_below_throw(spark, tmp_warehouse):
+    """With compaction racing inserts (the real-ClickHouse steady state),
+    active parts stay bounded and flow control never throws — the inverse
+    of the reference's deliberately pessimal no-merge mode."""
+    from clickhousedatamocker_spark.config import HarnessConfig
+    from clickhousedatamocker_spark.harness import run_harness
+
+    cfg = HarnessConfig(
+        batch_size=5000,
+        max_insert_count=6,
+        insert_interval_s=0.0,
+        parts_to_delay_insert=50,
+        parts_to_throw_insert=100,
+        optimize_every=2,
+        base_time="2026-01-01 12:00:00",
+    )
+    res = run_harness(spark, tmp_warehouse, cfg)
+    assert res.inserts_succeeded == 6
+    assert not res.throw_triggered
+    # each insert adds <=24 parts; compaction every 2 inserts caps actives
+    # at ~48 + the 24 from the freshest batch
+    assert res.final_active_parts <= 72
