@@ -714,6 +714,70 @@ def q18_large_volume_customers(spark, sf_dir):
 
 
 @register(
+    "limit_by_per_group",
+    """
+SELECT c_custkey, o_orderkey, o_totalprice FROM (
+  SELECT c_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY c_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM customer JOIN orders ON c_custkey = o_custkey
+  WHERE c_custkey < 100
+) WHERE rn <= 2
+ORDER BY c_custkey, o_totalprice DESC, o_orderkey
+""",
+    description="ClickHouse LIMIT n BY col parity: top-2 orders per customer "
+    "— rank window inside each group, one shuffle on the group key, "
+    "deterministic tiebreak.",
+)
+def limit_by_per_group(spark, sf_dir):
+    joined = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 100)
+        .join(t(spark, sf_dir, "orders"), F.col("c_custkey") == F.col("o_custkey"))
+    )
+    w = W.partitionBy("c_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("c_custkey", "o_orderkey", "o_totalprice")
+        .orderBy("c_custkey", F.desc("o_totalprice"), "o_orderkey")
+    )
+
+
+@register(
+    "agg_if_combinators",
+    """
+SELECT l_returnflag,
+       COUNT(*) FILTER (WHERE l_discount > 0.05) AS count_if_disc,
+       CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                     THEN CAST(l_extendedprice AS DECIMAL(12,2)) END) AS DOUBLE) AS sum_if_recent,
+       CAST(AVG(CASE WHEN l_quantity > 25 THEN l_quantity END) AS DOUBLE) AS avg_if_bulk
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    description="ClickHouse -If aggregate combinators (countIf/sumIf/avgIf): "
+    "conditional aggregation inside ONE hash-agg pass (no extra scans or "
+    "joins per condition).",
+)
+def agg_if_combinators(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("count_if_disc"),
+            F.sum(F.when(F.col("l_shipdate") >= "1997-01-01", dec("l_extendedprice", 12, 2)))
+            .cast("double")
+            .alias("sum_if_recent"),
+            F.avg(F.when(F.col("l_quantity") > 25, F.col("l_quantity")))
+            .cast("double")
+            .alias("avg_if_bulk"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
     "topk_orders_by_price",
     """
 SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
