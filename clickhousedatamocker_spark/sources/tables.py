@@ -27,6 +27,14 @@ _NANO_TS_COLS = {"events": ["ts"]}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Sessions we didn't build (an external driver's, a bare spark-shell) won't
+    # have the nanos conf, and without it the events.parquet read throws
+    # PARQUET_TYPE_ILLEGAL before the bigint fallback below can run. The conf
+    # is runtime-settable, so set it here rather than relying on session.py.
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # locked-down conf (e.g. Spark Connect) — fall through to the read
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANO_TS_COLS.get(name, []):
         if dict(df.dtypes).get(col) == "bigint":
