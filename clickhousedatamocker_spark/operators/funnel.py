@@ -4,15 +4,24 @@
 ``steps`` completed in order, with every step inside ``window_s`` seconds of
 the chain's first-step event.
 
-Semantics (documented, deterministic): the chain anchors on the user's
-EARLIEST step-1 event; each later step completes at its earliest qualifying
-event (greedy earliest-chain, the common windowFunnel mode). Implementation
-is one hash aggregation (collect per-user events) + a JVM-side fold over the
-sorted array — no Python, state O(#steps). The DuckDB oracle implements the
-IDENTICAL fold (queries/llm.py), so results are hash-exact.
+Semantics (ClickHouse parity): a chain may anchor on ANY of the user's
+step-1 events — the result is the MAX depth over all candidate anchors
+(anchoring only on the earliest step-1 event undercounts, e.g. click@t0,
+click@t100, view@t101 with window 10s is depth 2, not 1). For a fixed
+anchor the chain is greedy: each later step completes at its earliest
+qualifying event after the previous step. Ties in timestamp are ordered by
+(t, event_type) — deterministic and mirrored exactly by the oracle.
+
+Implementation is one hash aggregation (collect per-user events) + JVM-side
+array HOFs: an aggregate fold per anchor over the events after it, then
+array_max over anchors. No Python, state O(#steps) per anchor. The DuckDB
+oracle implements the IDENTICAL per-anchor fold (queries/llm.py), so
+results are hash-exact.
 
 Scale: one shuffle on the user key; per-user arrays are bounded by per-user
 activity (salt heavy users if a key exceeds memory — operators/skew.py).
+Per-anchor work is O(#anchors x #events) worst-case per user — the same
+bound as ClickHouse's implementation.
 """
 
 from __future__ import annotations
@@ -42,61 +51,84 @@ def window_funnel(
         .agg(F.sort_array(F.collect_list("e")).alias("evs"))
     )
 
-    zero = F.struct(*[F.lit(None).cast("long").alias(f"t{i+1}") for i in range(k)])
-
-    def step(acc: Column, e: Column) -> Column:
-        fields = []
-        for i in range(k):
-            prev_done = acc[f"t{i}"].isNotNull() if i else F.lit(True)
-            in_window = (e["t"] - acc["t1"] <= window_s) if i else F.lit(True)
+    def fold_step(acc: Column, e: Column) -> Column:
+        """Advance the chain state (t1 fixed at the anchor) by one event."""
+        fields = [acc["t1"].alias("t1")]
+        for i in range(1, k):
+            prev_done = acc[f"t{i}"].isNotNull()
+            in_window = e["t"] - acc["t1"] <= window_s
             hit = (e["y"] == steps[i]) & prev_done & in_window
             fields.append(F.coalesce(acc[f"t{i+1}"], F.when(hit, e["t"])).alias(f"t{i+1}"))
         return F.struct(*fields)
 
-    final = F.aggregate(F.col("evs"), zero, step)
-    depth = F.lit(0)
-    for i in range(k):
-        depth = F.when(final[f"t{i+1}"].isNotNull(), i + 1).otherwise(depth)
+    def depth_for_anchor(p: Column) -> Column:
+        """Greedy chain depth anchored at events[p] (1-based position)."""
+        seed = F.struct(
+            F.element_at(F.col("evs"), p)["t"].alias("t1"),
+            *[F.lit(None).cast("long").alias(f"t{i+1}") for i in range(1, k)],
+        )
+        rest = F.slice(F.col("evs"), p + 1, F.greatest(F.size("evs") - p, F.lit(0)))
+        final = F.aggregate(rest, seed, fold_step)
+        depth = F.lit(1)
+        for i in range(1, k):
+            depth = F.when(final[f"t{i+1}"].isNotNull(), i + 1).otherwise(depth)
+        return depth
+
+    anchors = F.filter(
+        F.sequence(F.lit(1), F.size("evs")),
+        lambda p: F.element_at(F.col("evs"), p)["y"] == steps[0],
+    )
+    depths = F.transform(anchors, depth_for_anchor)
+    depth = F.coalesce(F.array_max(depths), F.lit(0))
     return evs.select(F.col(user_col), depth.cast("int").alias("funnel_depth"))
 
 
 def funnel_oracle_sql(
     steps: list[str], window_s: int, table: str = "events"
 ) -> str:
-    """DuckDB SQL implementing the identical greedy earliest-chain fold.
+    """DuckDB SQL implementing the identical any-anchor max-depth fold.
 
     DuckDB's 2-arg ``list_reduce`` requires accumulator and element types to
-    unify, so the fold runs over ONE struct type carrying both the event
-    fields (t, y) and the chain state (t1..tk); an all-null seed is
-    prepended as the initial accumulator.
+    unify, so every event struct carries null chain-state fields (t1..tk)
+    and the per-anchor seed sets t1 to the anchor's timestamp; the fold runs
+    over the events strictly after the anchor position.
     """
     k = len(steps)
     state_nulls = ", ".join(f"t{i+1} := CAST(NULL AS BIGINT)" for i in range(k))
-    seed = f"struct_pack(t := CAST(NULL AS BIGINT), y := CAST(NULL AS VARCHAR), {state_nulls})"
     elem = f"struct_pack(t := epoch(ts)::BIGINT, y := event_type, {state_nulls})"
-    assigns = ["t := e.t", "y := e.y"]
-    for i in range(k):
-        prev = f"acc.t{i} IS NOT NULL AND " if i else ""
-        win = f"e.t - acc.t1 <= {window_s} AND " if i else ""
+    seed_state = ", ".join(
+        ["t1 := evs[p].t"] + [f"t{i+1} := CAST(NULL AS BIGINT)" for i in range(1, k)]
+    )
+    seed = f"struct_pack(t := CAST(NULL AS BIGINT), y := CAST(NULL AS VARCHAR), {seed_state})"
+    assigns = ["t := e.t", "y := e.y", "t1 := acc.t1"]
+    for i in range(1, k):
         assigns.append(
-            f"t{i+1} := COALESCE(acc.t{i+1}, CASE WHEN {prev}{win}e.y = '{steps[i]}' THEN e.t END)"
+            f"t{i+1} := COALESCE(acc.t{i+1}, CASE WHEN acc.t{i} IS NOT NULL "
+            f"AND e.t - acc.t1 <= {window_s} AND e.y = '{steps[i]}' THEN e.t END)"
         )
     fold_fields = ", ".join(assigns)
     depth = "CASE "
-    for i in range(k, 0, -1):
+    for i in range(k, 1, -1):
         depth += f"WHEN f.t{i} IS NOT NULL THEN {i} "
-    depth += "ELSE 0 END"
+    depth += "ELSE 1 END"
     return f"""
 WITH per_user AS (
   SELECT user_id, list_sort(list({elem})) AS evs
   FROM {table}
   GROUP BY user_id
-), folded AS (
+), anchored AS (
   SELECT user_id,
-         list_reduce(list_prepend({seed}, evs), (acc, e) -> struct_pack({fold_fields})) AS f
+    list_transform(
+      list_filter(generate_series(1, len(evs)), p -> evs[p].y = '{steps[0]}'),
+      p -> list_reduce(
+             list_prepend({seed}, array_slice(evs, p + 1, len(evs))),
+             (acc, e) -> struct_pack({fold_fields})))
+    AS finals
   FROM per_user
 )
-SELECT user_id, CAST({depth} AS INT) AS funnel_depth
-FROM folded
+SELECT user_id,
+       CAST(COALESCE(list_max(list_transform(finals, f -> {depth})), 0) AS INT)
+         AS funnel_depth
+FROM anchored
 ORDER BY user_id
 """.strip()

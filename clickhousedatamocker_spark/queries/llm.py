@@ -450,11 +450,12 @@ _FUNNEL_WINDOW_S = 2 * 86400
     "funnel_click_view_purchase",
     funnel_oracle_sql(_FUNNEL_STEPS, _FUNNEL_WINDOW_S),
     description="ClickHouse windowFunnel parity: per-user deepest "
-    "click->view->purchase prefix within a 30-day window of the chain's "
-    "first click, 2-day window (greedy earliest-chain fold, documented in "
-    "operators/funnel.py). One shuffle on user_id; the fold is a JVM-side "
-    "aggregate over the sorted per-user event array. Oracle implements the "
-    "identical fold via DuckDB list_reduce - hash-exact.",
+    "click->view->purchase prefix completed within a 2-day window of the "
+    "chain's anchor click — max depth over chains anchored at ANY click "
+    "(CH semantics; operators/funnel.py). One shuffle on user_id; the fold "
+    "is a JVM-side aggregate per anchor over the sorted per-user event "
+    "array. Oracle implements the identical fold via DuckDB list_reduce — "
+    "hash-exact.",
 )
 def funnel_click_view_purchase(spark, sf_dir):
     return window_funnel(

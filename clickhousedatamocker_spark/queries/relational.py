@@ -662,12 +662,18 @@ def agg_quantiles_exact(spark, sf_dir):
 )
 def agg_approx_distinct_and_quantiles(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
+    # scalar columns only (p50/p95/p99 via element_at, not one array column):
+    # the external comparator canonicalizes rows with a sort, and array cells
+    # are unhashable there
+    q = F.approx_percentile(
+        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), 10000
+    )
     return li.agg(
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("uniq_orders"),
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("uniq_parts"),
-        F.approx_percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), 10000).alias(
-            "price_quantiles"
-        ),
+        F.element_at(q, 1).alias("price_p50"),
+        F.element_at(q, 2).alias("price_p95"),
+        F.element_at(q, 3).alias("price_p99"),
     )
 
 

@@ -208,7 +208,7 @@ def test_decode_without_codecs_raises(spark):
 
 
 def test_window_funnel_semantics(spark):
-    """Hand-built scenario pinning the greedy earliest-chain semantics."""
+    """Hand-built scenario pinning the any-anchor max-depth semantics."""
     from clickhousedatamocker_spark.operators.funnel import window_funnel
 
     rows = [
@@ -225,6 +225,11 @@ def test_window_funnel_semantics(spark):
         (3, "2026-01-01 02:00:00", "view"),
         # user 4: no step-1 event at all -> depth 0
         (4, "2026-01-01 00:00:00", "login"),
+        # user 5: the view is outside the FIRST click's window but inside the
+        # SECOND's — CH windowFunnel anchors on any step-1 event -> depth 2
+        (5, "2026-01-01 00:00:00", "click"),
+        (5, "2026-01-01 02:00:00", "click"),
+        (5, "2026-01-01 02:10:00", "view"),
     ]
     ev = spark.createDataFrame(rows, ["user_id", "ts", "event_type"]).withColumn(
         "ts", F.col("ts").cast("timestamp")
@@ -233,4 +238,4 @@ def test_window_funnel_semantics(spark):
         r["user_id"]: r["funnel_depth"]
         for r in window_funnel(ev, ["click", "view", "purchase"], 3600).collect()
     }
-    assert got == {1: 3, 2: 2, 3: 1, 4: 0}
+    assert got == {1: 3, 2: 2, 3: 1, 4: 0, 5: 2}
