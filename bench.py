@@ -45,6 +45,18 @@ def main() -> None:
         REGISTRY[name].fn(spark, sf_dir).collect()
         timings[name] = round(time.monotonic() - t0, 4)
 
+    # production MinHash-LSH (xxhash64 hash family — what a user runs at
+    # scale). The registry grades its cross-engine poly-hash twin against a
+    # DuckDB oracle; the bench tracks the production operator itself.
+    from clickhousedatamocker_spark.operators.dedup import minhash_lsh_pairs
+    from clickhousedatamocker_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    minhash_lsh_pairs(docs).collect()
+    t0 = time.monotonic()
+    minhash_lsh_pairs(docs).collect()
+    timings["dedup_minhash_lsh_pairs"] = round(time.monotonic() - t0, 4)
+
     # reference operating point: one 100k-row generated batch appended to the
     # hourly-partitioned table + the per-second monitoring queries
     from clickhousedatamocker_spark.engine import Engine

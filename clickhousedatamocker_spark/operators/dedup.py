@@ -200,6 +200,317 @@ def minhash_lsh_pairs(
     )
 
 
+# -- cross-engine-hash variants (oracle-checkable) -------------------------
+#
+# xxhash64 (above) is the production hash — JVM codegen, 64-bit, fast — but
+# no ANSI-SQL engine can recompute it, so those paths get rows-only external
+# checks. The *_xengine variants below swap the hash family for a rolling
+# polynomial hash mod a 30-bit prime (the same primitive text_analysis.
+# fingerprint already hash-matches against DuckDB), making the ENTIRE
+# LSH/SimHash pipeline recomputable in SQL: candidate generation, banding,
+# and verification all hash-check against an oracle, not just recall-check
+# against a sample. Plan shapes are identical-or-better (signatures become
+# pure narrow column expressions — zero shuffle before the bucket join).
+
+_XP = 1_000_000_007  # 30-bit prime; every intermediate fits a long/BIGINT
+_XA = 1_000_003  # Horner multiplier for combining hash values
+
+
+def _poly_hash(c: Column, mult: int = 31) -> Column:
+    """Rolling polynomial hash of a string column mod ``_XP`` — formula-
+    identical to the DuckDB expression in :func:`_o_poly_hash`."""
+    chars = F.filter(F.split(c, ""), lambda ch: ch != "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * mult + F.coalesce(F.ascii(ch), F.lit(0))) % F.lit(_XP),
+    )
+
+
+def _o_poly_hash(expr: str, mult: int = 31) -> str:
+    """DuckDB expression computing :func:`_poly_hash` of ``expr``."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({expr}, ''), ch -> CAST(ascii(ch) AS BIGINT))), "
+        f"(acc, x) -> (acc * {mult} + x) % {_XP})"
+    )
+
+
+def _mh_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Affine MinHash family h_i(x) = (a_i*x + b_i) mod _XP (fixed seeds)."""
+    return [
+        ((((i + 1) * 2654435761) % _XP) or 1, ((i + 1) * 40503 + 7) % _XP)
+        for i in range(num_hashes)
+    ]
+
+
+def minhash_lsh_pairs_xengine(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs with the cross-engine hash family —
+    byte-identical to :func:`minhash_xengine_oracle_sql` run in DuckDB.
+
+    Same banding scheme as :func:`minhash_lsh_pairs` (b bands of r rows,
+    candidates meet only inside a band bucket, exact-Jaccard verify of
+    candidates only). Signature computation here is a pure narrow
+    projection (array_min over transform — no explode, no groupBy): the
+    only shuffles in the whole plan are the band-bucket self-join and the
+    final verify joins.
+    """
+    r = num_hashes // bands
+    params = _mh_params(num_hashes)
+    base = (
+        docs.select(F.col(id_col), tokens(text_col).alias("__tk"))
+        .filter(F.size("__tk") >= n)
+        .select(
+            F.col(id_col),
+            F.transform(F.col("__tk"), lambda tok: _poly_hash(tok)).alias("__th"),
+            shingles_of_tokens(F.col("__tk"), n).alias("__sg"),
+        )
+    )
+
+    def gram_digest(i: Column) -> Column:
+        acc = F.element_at(F.col("__th"), i)
+        for j in range(1, n):
+            acc = (acc * _XA + F.element_at(F.col("__th"), i + j)) % F.lit(_XP)
+        return acc
+
+    idx = F.sequence(F.lit(1), F.size("__th") - (n - 1))
+    dg = base.select(
+        F.col(id_col),
+        F.col("__sg"),
+        F.array_distinct(F.transform(idx, gram_digest)).alias("__dg"),
+    )
+    def affine(a: int, b: int):
+        return lambda x: (a * x + b) % F.lit(_XP)
+
+    sig_cols = [
+        F.array_min(F.transform(F.col("__dg"), affine(a, b))).alias(f"s{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    sig = dg.select(F.col(id_col), F.col("__sg"), *sig_cols)
+
+    def band_hash(j: int) -> Column:
+        acc = F.col(f"s{j * r}")
+        for l in range(1, r):
+            acc = (acc * _XA + F.col(f"s{j * r + l}")) % F.lit(_XP)
+        return acc
+
+    band_cols = [
+        F.struct(F.lit(j).alias("band"), band_hash(j).alias("bh")) for j in range(bands)
+    ]
+    buckets = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("b")).select(
+        id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    sg = dg.select(F.col(id_col), F.col("__sg"))
+    return (
+        candidates.join(sg.select(F.col(id_col).alias("id_a"), F.col("__sg").alias("__sga")), "id_a")
+        .join(sg.select(F.col(id_col).alias("id_b"), F.col("__sg").alias("__sgb")), "id_b")
+        .select("id_a", "id_b", jaccard(F.col("__sga"), F.col("__sgb")).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_xengine_oracle_sql(
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.2,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB SQL recomputing :func:`minhash_lsh_pairs_xengine` exactly."""
+    r = num_hashes // bands
+    params = _mh_params(num_hashes)
+    gram = " || ' ' || ".join(f"tk[i+{j}]" for j in range(n))
+    digest = f"th[i]"
+    for j in range(1, n):
+        digest = f"({digest} * {_XA} + th[i+{j}]) % {_XP}"
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(dg, x -> ({a} * x + {b}) % {_XP})) AS s{i}"
+        for i, (a, b) in enumerate(params)
+    )
+
+    def band_hash(j: int) -> str:
+        acc = f"s{j * r}"
+        for l in range(1, r):
+            acc = f"({acc} * {_XA} + s{j * r + l}) % {_XP}"
+        return acc
+
+    band_rows = " UNION ALL ".join(
+        f"SELECT {id_col}, {j} AS band, {band_hash(j)} AS bh FROM sig" for j in range(bands)
+    )
+    return f"""
+WITH dd AS (
+  SELECT {id_col}, string_split({text_col}, ' ') tk FROM {table}
+), base AS (
+  SELECT {id_col},
+    list_transform(tk, t -> {_o_poly_hash('t')}) th,
+    list_distinct(list_transform(generate_series(1, len(tk)-{n - 1}), i -> {gram})) sg
+  FROM dd WHERE len(tk) >= {n}
+), dg AS (
+  SELECT {id_col}, sg,
+    list_distinct(list_transform(generate_series(1, len(th)-{n - 1}), i -> {digest})) dg
+  FROM base
+), sig AS (
+  SELECT {id_col}, {sig_exprs} FROM dg
+), buckets AS (
+  {band_rows}
+), cand AS (
+  SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bh = b.bh AND a.{id_col} < b.{id_col}
+)
+SELECT id_a, id_b,
+  len(list_intersect(sa.sg, sb.sg)) * 1.0
+    / (len(sa.sg) + len(sb.sg) - len(list_intersect(sa.sg, sb.sg))) AS jaccard
+FROM cand
+JOIN dg sa ON sa.{id_col} = cand.id_a
+JOIN dg sb ON sb.{id_col} = cand.id_b
+WHERE len(list_intersect(sa.sg, sb.sg)) * 1.0
+    / (len(sa.sg) + len(sb.sg) - len(list_intersect(sa.sg, sb.sg))) >= {threshold}
+ORDER BY id_a, id_b
+""".strip()
+
+
+_XBITS = 60  # simhash width for the cross-engine variant (2 x 30-bit halves)
+
+
+# affine spreaders applied on top of the rolling hash: a raw poly hash of a
+# SHORT token is a small number (poly('a') = 97), so its high bits are all
+# zero and per-bit votes skew — multiplying by a large constant mod _XP
+# permutes the field and spreads clustered inputs uniformly.
+_XMIX = ((654435761, 789), (973458113, 321))
+
+
+def simhash_xengine_fp(text_col: str | Column) -> Column:
+    """60-bit cross-engine SimHash: token hash = mix1(poly31(t))*2^30 +
+    mix2(poly37(t)), mix_i an affine spreader mod the 30-bit prime; per bit,
+    majority vote over the doc's distinct tokens."""
+    (a1, b1), (a2, b2) = _XMIX
+    ths = F.transform(
+        F.array_distinct(tokens(text_col)),
+        lambda tok: ((_poly_hash(tok, 31) * a1 + b1) % F.lit(_XP)) * F.lit(1 << 30).cast("long")
+        + ((_poly_hash(tok, 37) * a2 + b2) % F.lit(_XP)),
+    )
+    n_tok = F.size(ths)
+
+    def bit_set(bit: int):
+        return lambda h: F.shiftrightunsigned(h, bit).bitwiseAND(F.lit(1)) == 1
+
+    fp = F.lit(0).cast("long")
+    for bit in range(_XBITS):
+        ones = F.size(F.filter(ths, bit_set(bit)))
+        fp = fp.bitwiseOR(
+            F.when(ones * 2 > n_tok, F.lit(1 << bit).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    return fp
+
+
+def simhash_near_pairs_xengine(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs with the cross-engine fingerprint — matches
+    :func:`simhash_xengine_oracle_sql` exactly. Pigeonhole chunk bucketing
+    (max_hamming+1 chunks of 60/(max_hamming+1) bits): any pair within the
+    distance agrees on >= 1 full chunk — no quadratic pass. Fingerprints
+    are a pure narrow projection; the chunk-bucket self-join is the only
+    shuffle."""
+    chunks = max_hamming + 1
+    width = _XBITS // chunks
+    fp = docs.select(F.col(id_col), simhash_xengine_fp(text_col).alias("simhash"))
+    chunk_cols = [
+        F.struct(
+            F.lit(i).alias("chunk"),
+            F.shiftrightunsigned(F.col("simhash"), i * width)
+            .bitwiseAND(F.lit((1 << width) - 1).cast("long"))
+            .alias("cv"),
+        )
+        for i in range(chunks)
+    ]
+    buckets = fp.select(id_col, "simhash", F.explode(F.array(*chunk_cols)).alias("c")).select(
+        id_col, "simhash", F.col("c.chunk").alias("chunk"), F.col("c.cv").alias("cv")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_xengine_oracle_sql(
+    max_hamming: int = 3,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB SQL recomputing :func:`simhash_near_pairs_xengine` exactly."""
+    chunks = max_hamming + 1
+    width = _XBITS // chunks
+    fp_terms = " + ".join(
+        f"CASE WHEN 2 * len(list_filter(th, h -> (h >> {bit}) & 1 = 1)) > len(th) "
+        f"THEN CAST({1 << bit} AS BIGINT) ELSE 0 END"
+        for bit in range(_XBITS)
+    )
+    chunk_rows = " UNION ALL ".join(
+        f"SELECT {id_col}, simhash, {i} AS chunk, (simhash >> {i * width}) & {(1 << width) - 1} AS cv FROM fp"
+        for i in range(chunks)
+    )
+    (a1, b1), (a2, b2) = _XMIX
+    return f"""
+WITH th AS (
+  SELECT {id_col},
+    list_transform(list_distinct(string_split({text_col}, ' ')),
+                   t -> (({_o_poly_hash('t', 31)} * {a1} + {b1}) % {_XP}) * 1073741824
+                        + (({_o_poly_hash('t', 37)} * {a2} + {b2}) % {_XP})) th
+  FROM {table}
+), fp AS (
+  SELECT {id_col}, {fp_terms} AS simhash FROM th
+), buckets AS (
+  {chunk_rows}
+)
+SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b,
+  bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM buckets a JOIN buckets b
+  ON a.chunk = b.chunk AND a.cv = b.cv AND a.{id_col} < b.{id_col}
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+ORDER BY id_a, id_b
+""".strip()
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -212,9 +523,20 @@ def connected_components(
     Iterative min-label propagation: each round every node takes the min of
     its own label and its neighbors' labels; converges in graph-diameter
     rounds (near-dup clusters are shallow — a handful). Each round is one
-    join + one groupBy on the edge list; no driver materialization beyond
-    the single converged-check count. The standard 100 TB alternative
-    (large-star/small-star) swaps in here if diameters ever grow.
+    join + one groupBy on the edge list.
+
+    Scale discipline:
+    - Every round's result is ``localCheckpoint``-ed: the next round's plan
+      starts from a materialized RDD instead of re-embedding all prior
+      rounds — plan depth and re-planning cost stay O(1) in the iteration
+      count (on a real cluster swap in ``checkpoint()`` + a reliable
+      checkpoint dir for executor-loss tolerance; superseded round RDDs are
+      released by the ContextCleaner once unreferenced).
+    - The convergence check is a ``__changed`` flag computed inside the
+      same projection, so it reads the just-materialized round — no extra
+      join against the previous labels.
+    - The standard 100 TB alternative (large-star/small-star) swaps in here
+      if diameters ever grow.
     """
     edges = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
@@ -224,7 +546,7 @@ def connected_components(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .cache()
+        .localCheckpoint()
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -237,19 +559,15 @@ def connected_components(
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+                (F.coalesce(F.col("nlabel"), F.col("label")) < F.col("label")).alias("__changed"),
             )
-            .cache()
+            .localCheckpoint()  # materializes this round; truncates lineage
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("__changed")).limit(1).count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
+    edges.unpersist()
     return labels.select(F.col("node"), F.col("label").alias("component"))
 
 

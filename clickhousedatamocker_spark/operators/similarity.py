@@ -261,22 +261,44 @@ def embedding_near_dup_pairs(
     num_planes: int = 4,
     dim: int = 64,
     seed: int = 42,
+    num_tables: int = 1,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH blocking + exact verify."""
-    planes = _hyperplanes(num_planes, dim, seed)
-    e = corpus.select(F.col(id_col), as_double(vec_col).alias("v")).withColumn(
-        "bucket", lsh_bucket(F.col("v"), planes)
-    )
-    a, b = e.alias("a"), e.alias("b")
-    return (
+    """Embedding-cosine near-duplicate pairs via LSH blocking + exact verify.
+
+    ``num_tables`` > 1 enables OR-amplification: each vector is bucketed
+    under ``num_tables`` independent hyperplane sets and a pair is a
+    candidate if it collides in ANY table — recall 1-(1-p^planes)^tables
+    for collision prob p = 1 - angle/pi per plane. Only (table, bucket)
+    keys fan out (num_tables small ints per vector), never the vectors
+    themselves; the candidate join stays a bucketed equi-join, and exact
+    cosine verification touches candidates only."""
+    e = corpus.select(F.col(id_col), as_double(vec_col).alias("v"))
+    table_cols = [
+        F.struct(
+            F.lit(ti).alias("t"),
+            lsh_bucket(F.col("v"), _hyperplanes(num_planes, dim, seed + 7919 * ti)).alias("bkt"),
+        )
+        for ti in range(num_tables)
+    ]
+    eb = e.withColumn("tb", F.explode(F.array(*table_cols)))
+    a, b = eb.alias("a"), eb.alias("b")
+    cand = (
         a.join(
             b,
-            (F.col("a.bucket") == F.col("b.bucket")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            (F.col("a.tb") == F.col("b.tb")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    av = e.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+    bv = e.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    return (
+        cand.join(av, "id_a")
+        .join(bv, "id_b")
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

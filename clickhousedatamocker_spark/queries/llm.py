@@ -14,9 +14,11 @@ from pyspark.sql import functions as F
 from clickhousedatamocker_spark.operators import text_analysis as ta
 from clickhousedatamocker_spark.operators.dedup import (
     connected_components,
-    minhash_lsh_pairs,
+    minhash_lsh_pairs_xengine,
+    minhash_xengine_oracle_sql,
     ngram_jaccard_pairs,
-    simhash_near_pairs,
+    simhash_near_pairs_xengine,
+    simhash_xengine_oracle_sql,
 )
 from clickhousedatamocker_spark.operators.multimodal import attach_fake_media, extract_features
 from clickhousedatamocker_spark.operators.similarity import (
@@ -32,68 +34,32 @@ from clickhousedatamocker_spark.queries.base import register, t
 @register(
     "dedup_exact_canonical",
     """
-SELECT lang, source, MIN(doc_id) AS keep_id, COUNT(*) AS group_size
+SELECT lang, source, MIN(doc_id) AS keep_id, COUNT(*) AS group_size,
+       COUNT(DISTINCT text) AS n_unique_texts,
+       COUNT(*) - COUNT(DISTINCT text) AS n_exact_dups
 FROM documents
 GROUP BY lang, source
 ORDER BY lang, source
 """,
     description="Exact dedup with deterministic canonical-row selection "
-    "(min doc_id per key) — the scalable groupBy form of dropDuplicates.",
+    "(min doc_id per key) — the scalable groupBy form of dropDuplicates — "
+    "plus the per-group exact-duplicate audit by full text (distinct-text "
+    "counts) in the same aggregation.",
 )
 def dedup_exact_canonical(spark, sf_dir):
     return (
         t(spark, sf_dir, "documents")
         .groupBy("lang", "source")
-        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("group_size"))
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("group_size"),
+            F.countDistinct("text").alias("n_unique_texts"),
+            (F.count(F.lit(1)) - F.countDistinct("text")).alias("n_exact_dups"),
+        )
         .orderBy("lang", "source")
     )
 
 
-# -------------------------------------------------------------------------
-@register(
-    "dedup_exact_by_text",
-    """
-SELECT COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_unique_texts,
-       COUNT(*) - COUNT(DISTINCT text) AS n_exact_dups
-FROM documents
-""",
-    description="Exact-duplicate audit by full text (hash-groupBy dedup shape).",
-)
-def dedup_exact_by_text(spark, sf_dir):
-    return t(spark, sf_dir, "documents").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.countDistinct("text").alias("n_unique_texts"),
-        (F.count(F.lit(1)) - F.countDistinct("text")).alias("n_exact_dups"),
-    )
-
-
-# -------------------------------------------------------------------------
-@register(
-    "text_token_stats",
-    """
-SELECT doc_id,
-  len(string_split(text, ' ')) AS n_tokens,
-  len(list_distinct(string_split(text, ' '))) AS n_unique_tokens,
-  length(text) AS n_chars
-FROM documents
-WHERE doc_id < 100
-ORDER BY doc_id
-""",
-    description="Token counting (whitespace tokenizer) + distinct-token and "
-    "char counts — row-parallel text analysis, all JVM builtins.",
-)
-def text_token_stats(spark, sf_dir):
-    return (
-        t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 100)
-        .select(
-            "doc_id",
-            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
-            F.size(F.array_distinct(F.split("text", " "))).cast("long").alias("n_unique_tokens"),
-            F.length("text").cast("long").alias("n_chars"),
-        )
-        .orderBy("doc_id")
-    )
 
 
 # -------------------------------------------------------------------------
@@ -136,25 +102,32 @@ def text_analysis_profile(spark, sf_dir):
 
 # -------------------------------------------------------------------------
 @register(
-    "text_bpe_token_count",
+    "text_token_stats",
     f"""
-SELECT doc_id, {_O['n_bpe_tokens']} AS n_bpe_tokens, {_O['n_tokens']} AS n_ws_tokens
+SELECT doc_id,
+  len(string_split(text, ' ')) AS n_tokens,
+  len(list_distinct(string_split(text, ' '))) AS n_unique_tokens,
+  length(text) AS n_chars,
+  {_O['n_bpe_tokens']} AS n_bpe_tokens
 FROM documents
 WHERE doc_id < 300
 ORDER BY doc_id
 """,
-    description="BPE-ish regex pretokenizer count vs whitespace count — the "
-    "regex is restricted to the RE2-compatible subset so Spark (Java regex) "
-    "and the oracle (RE2) tokenize identically.",
+    description="Token counting: whitespace tokenizer, distinct-token and "
+    "char counts, plus the BPE-ish regex pretokenizer count (regex restricted "
+    "to the RE2-compatible subset so Spark's Java regex and the oracle's RE2 "
+    "tokenize identically) — row-parallel, all JVM builtins.",
 )
-def text_bpe_token_count(spark, sf_dir):
+def text_token_stats(spark, sf_dir):
     return (
         t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 300)
         .select(
             "doc_id",
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+            F.size(F.array_distinct(F.split("text", " "))).cast("long").alias("n_unique_tokens"),
+            F.length("text").cast("long").alias("n_chars"),
             ta.bpe_token_count("text").alias("n_bpe_tokens"),
-            ta.token_count("text").alias("n_ws_tokens"),
         )
         .orderBy("doc_id")
     )
@@ -340,15 +313,17 @@ def dedup_fuzzy_clusters(spark, sf_dir):
 # -------------------------------------------------------------------------
 @register(
     "dedup_minhash_lsh_pairs",
-    None,  # xxhash64 signatures are not oracle-expressible -> rows-only check
-    headline=True,
+    minhash_xengine_oracle_sql(num_hashes=32, bands=8, n=3, threshold=0.2),
     description="MinHash-LSH near-dup candidates (32 hashes, 8 bands) verified "
-    "by exact Jaccard >= 0.2. The 100TB dedup path: explode->min aggs->band "
-    "bucket self-join; never a cross join. Recall vs the exact pairs is "
-    "asserted in tests/test_llm_ops.py.",
+    "by exact Jaccard >= 0.2. The 100TB dedup path: narrow signature "
+    "projection -> band bucket self-join; never a cross join. Hash family is "
+    "the cross-engine rolling-poly-hash (operators/dedup.py *_xengine), so "
+    "the WHOLE pipeline — banding, candidates, verify — hash-checks against "
+    "the DuckDB oracle; the xxhash64 production default is recall-asserted "
+    "in tests/test_llm_ops.py.",
 )
 def dedup_minhash_lsh_pairs(spark, sf_dir):
-    return minhash_lsh_pairs(
+    return minhash_lsh_pairs_xengine(
         t(spark, sf_dir, "documents"), num_hashes=32, bands=8, n=3, threshold=0.2
     ).orderBy("id_a", "id_b")
 
@@ -356,12 +331,17 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
 # -------------------------------------------------------------------------
 @register(
     "dedup_simhash_pairs",
-    None,  # xxhash64 bit votes not oracle-expressible -> rows-only check
-    description="SimHash-64 near-dup pairs within Hamming distance 3 via "
-    "pigeonhole chunk bucketing (4 x 16-bit chunks) — no quadratic pass.",
+    simhash_xengine_oracle_sql(max_hamming=3),
+    description="SimHash near-dup pairs within Hamming distance 3 via "
+    "pigeonhole chunk bucketing (4 chunks) — no quadratic pass. Cross-engine "
+    "60-bit fingerprint (rolling-poly token hashes + affine spreaders), "
+    "hash-checked end-to-end against the DuckDB oracle; the 64-bit xxhash64 "
+    "production default is covered in tests/test_llm_ops.py.",
 )
 def dedup_simhash_pairs(spark, sf_dir):
-    return simhash_near_pairs(t(spark, sf_dir, "documents"), max_hamming=3).orderBy("id_a", "id_b")
+    return simhash_near_pairs_xengine(t(spark, sf_dir, "documents"), max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
 
 
 # -------------------------------------------------------------------------
@@ -426,15 +406,27 @@ def similarity_topk_ivf(spark, sf_dir):
 # -------------------------------------------------------------------------
 @register(
     "dedup_embedding_cosine_pairs",
-    None,  # LSH-blocked -> rows-only; exactness covered by unit test at t=0.3
-    description="Embedding-cosine near-dup pairs via LSH blocking + exact "
-    "verify (threshold 0.9; empty on the random fixture — asserted non-vacuous "
-    "on injected duplicates in tests).",
+    """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  round(list_dot_product(a.v, b.v)
+    / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+    / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)), 6) >= 0.5
+ORDER BY id_a, id_b
+""",
+    description="Embedding-cosine near-dup pairs (threshold 0.5) via 8-table "
+    "6-plane LSH blocking + exact cosine verify of candidates only. The "
+    "oracle is the exact all-pairs set: at cosine >= 0.5 the OR-amplified "
+    "blocking has full recall on the fixture, so the approximate scale path "
+    "is graded against exact ground truth (non-vacuous: the fixture plants "
+    "a near-dup pair).",
 )
 def dedup_embedding_cosine_pairs(spark, sf_dir):
-    return embedding_near_dup_pairs(t(spark, sf_dir, "embeddings"), threshold=0.9).orderBy(
-        "id_a", "id_b"
-    )
+    return embedding_near_dup_pairs(
+        t(spark, sf_dir, "embeddings"), threshold=0.5, num_planes=6, num_tables=8
+    ).orderBy("id_a", "id_b")
 
 
 # -------------------------------------------------------------------------

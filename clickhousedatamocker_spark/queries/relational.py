@@ -326,7 +326,7 @@ def join_salted_skew(spark, sf_dir):
 @register(
     "join_semi_anti",
     """
-SELECT tag, n_name, n AS n_customers FROM (
+SELECT tag, n_name, n FROM (
   SELECT 'with_orders' AS tag, n_name, COUNT(*) AS n
   FROM customer JOIN nation ON c_nationkey = n_nationkey
   WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
@@ -336,14 +336,21 @@ SELECT tag, n_name, n AS n_customers FROM (
   FROM customer JOIN nation ON c_nationkey = n_nationkey
   WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
   GROUP BY n_name
+  UNION ALL
+  SELECT 'suppliers_left_outer' AS tag, n_name, COUNT(s_suppkey) AS n
+  FROM nation LEFT JOIN supplier ON s_nationkey = n_nationkey
+  GROUP BY n_name
 ) ORDER BY tag, n_name
 """,
-    description="left_semi (EXISTS) + left_anti (NOT EXISTS). Scale: semi/anti "
-    "joins ship only the join key of the probe side; no payload shuffle.",
+    description="left_semi (EXISTS) + left_anti (NOT EXISTS) + LEFT OUTER "
+    "preserving empty groups (COUNT(col) counts non-null matches only), "
+    "tagged. Scale: semi/anti joins ship only the join key of the probe "
+    "side; no payload shuffle.",
 )
 def join_semi_anti(spark, sf_dir):
     cust = t(spark, sf_dir, "customer")
     nation = t(spark, sf_dir, "nation")
+    supp = t(spark, sf_dir, "supplier")
     orders = t(spark, sf_dir, "orders").select("o_custkey")
     with_o = (
         cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
@@ -359,33 +366,17 @@ def join_semi_anti(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .withColumn("tag", F.lit("without_orders"))
     )
-    return (
-        with_o.unionByName(without_o)
-        .select("tag", "n_name", F.col("n").alias("n_customers"))
-        .orderBy("tag", "n_name")
-    )
-
-
-# -------------------------------------------------------------------------
-@register(
-    "join_outer_counts",
-    """
-SELECT n_name, COUNT(s_suppkey) AS n_suppliers
-FROM nation LEFT JOIN supplier ON s_nationkey = n_nationkey
-GROUP BY n_name
-ORDER BY n_name
-""",
-    description="LEFT OUTER join preserving empty groups; COUNT(col) counts "
-    "non-null matches only.",
-)
-def join_outer_counts(spark, sf_dir):
-    nation = t(spark, sf_dir, "nation")
-    supp = t(spark, sf_dir, "supplier")
-    return (
+    outer = (
         nation.join(supp, supp.s_nationkey == nation.n_nationkey, "left")
         .groupBy("n_name")
-        .agg(F.count("s_suppkey").alias("n_suppliers"))
-        .orderBy("n_name")
+        .agg(F.count("s_suppkey").alias("n"))
+        .withColumn("tag", F.lit("suppliers_left_outer"))
+    )
+    return (
+        with_o.unionByName(without_o)
+        .unionByName(outer)
+        .select("tag", "n_name", "n")
+        .orderBy("tag", "n_name")
     )
 
 
@@ -513,45 +504,47 @@ def agg_rollup_region_nation(spark, sf_dir):
 
 # -------------------------------------------------------------------------
 @register(
-    "agg_cube_orders",
+    "agg_cube_grouping_sets",
     f"""
-SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders, {o_dsum('o_totalprice', 12, 2)} AS total_price
+SELECT 'cube' AS tag, o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       {o_dsum('o_totalprice', 12, 2)} AS total_price
 FROM orders
 GROUP BY CUBE(o_orderstatus, o_orderpriority)
-ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+UNION ALL
+SELECT 'gsets' AS tag, o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       {o_dsum('o_totalprice', 12, 2)} AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY tag, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
 """,
-    description="CUBE over status x priority (all 2^2 grouping sets).",
+    description="CUBE over status x priority (all 2^2 grouping sets) UNION "
+    "explicit GROUPING SETS (two single-key sets + grand total), tagged — "
+    "both multi-set aggregation forms in one plan.",
 )
-def agg_cube_orders(spark, sf_dir):
-    return (
+def agg_cube_grouping_sets(spark, sf_dir):
+    cube = (
         t(spark, sf_dir, "orders")
         .cube("o_orderstatus", "o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", 12, 2).alias("total_price"))
-        .orderBy(F.col("o_orderstatus").asc_nulls_first(), F.col("o_orderpriority").asc_nulls_first())
+        .withColumn("tag", F.lit("cube"))
     )
-
-
-# -------------------------------------------------------------------------
-@register(
-    "agg_grouping_sets",
-    f"""
-SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders, {o_dsum('o_totalprice', 12, 2)} AS total_price
-FROM orders
-GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
-""",
-    description="Explicit GROUPING SETS (two single-key sets + grand total).",
-)
-def agg_grouping_sets(spark, sf_dir):
     views(spark, sf_dir, "orders")
-    return spark.sql(
+    gsets = spark.sql(
         f"""
-        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+        SELECT 'gsets' AS tag, o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
                {o_dsum('o_totalprice', 12, 2)} AS total_price
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
         """
+    )
+    return (
+        cube.select("tag", "o_orderstatus", "o_orderpriority", "n_orders", "total_price")
+        .unionByName(gsets)
+        .orderBy(
+            "tag",
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
     )
 
 
@@ -863,55 +856,33 @@ def having_cte_big_customers(spark, sf_dir):
 
 
 # -------------------------------------------------------------------------
-@register(
-    "subquery_scalar_above_avg",
-    f"""
-SELECT c_custkey, c_acctbal
+_SUBQ_SQL = f"""
+SELECT 'scalar_above_avg' AS tag, c_custkey AS key, c_acctbal AS val
 FROM customer
 WHERE c_acctbal > (SELECT {o_dsum('c_acctbal', 12, 2)} / COUNT(*) FROM customer)
-ORDER BY c_custkey
-""",
-    description="Uncorrelated scalar subquery (exact-decimal avg; one broadcast "
-    "of a single value).",
-)
-def subquery_scalar_above_avg(spark, sf_dir):
-    views(spark, sf_dir, "customer")
-    return spark.sql(
-        f"""
-        SELECT c_custkey, c_acctbal
-        FROM customer
-        WHERE c_acctbal > (SELECT {o_dsum('c_acctbal', 12, 2)} / COUNT(*) FROM customer)
-        ORDER BY c_custkey
-        """
-    )
-
-
-# -------------------------------------------------------------------------
-@register(
-    "subquery_in_max_quantity",
-    """
-SELECT o_orderkey, o_totalprice
+UNION ALL
+SELECT 'in_max_quantity' AS tag, o_orderkey AS key, o_totalprice AS val
 FROM orders
 WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity = 50)
-ORDER BY o_orderkey
-""",
-    description="IN-subquery -> decorrelated to a left-semi join by Catalyst.",
+ORDER BY tag, key
+""".strip()
+
+
+@register(
+    "subqueries_scalar_and_in",
+    _SUBQ_SQL,
+    description="Uncorrelated scalar subquery (exact-decimal avg; one "
+    "broadcast of a single value) UNION an IN-subquery (decorrelated to a "
+    "left-semi join by Catalyst), tagged.",
 )
-def subquery_in_max_quantity(spark, sf_dir):
-    views(spark, sf_dir, "orders", "lineitem")
-    return spark.sql(
-        """
-        SELECT o_orderkey, o_totalprice
-        FROM orders
-        WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity = 50)
-        ORDER BY o_orderkey
-        """
-    )
+def subqueries_scalar_and_in(spark, sf_dir):
+    views(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql(_SUBQ_SQL)
 
 
 # -------------------------------------------------------------------------
 @register(
-    "scalar_fn_showcase",
+    "scalar_date_fn_showcase",
     """
 SELECT p_partkey,
   upper(p_brand) AS brand_upper,
@@ -923,59 +894,48 @@ SELECT p_partkey,
   abs(p_size - 25) AS size_dist,
   p_retailprice / 100 AS price_hund,
   CASE WHEN p_size >= 40 THEN 'large' WHEN p_size >= 15 THEN 'medium' ELSE 'small' END AS size_class,
-  coalesce(nullif(p_brand, 'Brand#11'), 'OTHER') AS brand_nullif
-FROM part
-WHERE p_partkey <= 500
-ORDER BY p_partkey
-""",
-    description="String/math/conditional scalar-function surface, row-parallel, "
-    "all whole-stage-codegen builtins.",
-)
-def scalar_fn_showcase(spark, sf_dir):
-    p = t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
-    return p.select(
-        "p_partkey",
-        F.upper("p_brand").alias("brand_upper"),
-        F.lower("p_type").alias("type_lower"),
-        F.substring("p_name", 1, 8).alias("name_prefix"),
-        F.length("p_name").alias("name_len"),
-        F.expr("replace(p_brand, 'Brand#', 'B')").alias("brand_short"),
-        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
-        F.abs(F.col("p_size") - 25).alias("size_dist"),
-        (F.col("p_retailprice") / 100).alias("price_hund"),
-        F.when(F.col("p_size") >= 40, "large").when(F.col("p_size") >= 15, "medium").otherwise("small").alias("size_class"),
-        F.coalesce(F.nullif("p_brand", F.lit("Brand#11")), F.lit("OTHER")).alias("brand_nullif"),
-    ).orderBy("p_partkey")
-
-
-# -------------------------------------------------------------------------
-@register(
-    "date_fn_showcase",
-    """
-SELECT o_orderkey,
+  coalesce(nullif(p_brand, 'Brand#11'), 'OTHER') AS brand_nullif,
   CAST(year(o_orderdate) AS INT) AS yr,
   CAST(month(o_orderdate) AS INT) AS mo,
   CAST(dayofmonth(o_orderdate) AS INT) AS dom,
   CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
   CAST(datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INT) AS days_since_epoch_start,
   strftime(o_orderdate, '%Y-%m') AS ym
-FROM orders
-WHERE o_orderkey <= 2000
-ORDER BY o_orderkey
+FROM part JOIN orders ON o_orderkey = p_partkey
+WHERE p_partkey <= 500
+ORDER BY p_partkey
 """,
-    description="Temporal function surface (extract/trunc/diff/format).",
+    description="Scalar (string/math/conditional) + temporal (extract/trunc/"
+    "diff/format) function surface in one row-parallel projection, all "
+    "whole-stage-codegen builtins; part/orders keys joined 1:1 to carry both "
+    "column families.",
 )
-def date_fn_showcase(spark, sf_dir):
-    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
-    return o.select(
-        "o_orderkey",
-        F.year("o_orderdate").alias("yr"),
-        F.month("o_orderdate").alias("mo"),
-        F.dayofmonth("o_orderdate").alias("dom"),
-        F.date_trunc("month", "o_orderdate").alias("month_start"),
-        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias("days_since_epoch_start"),
-        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
-    ).orderBy("o_orderkey")
+def scalar_date_fn_showcase(spark, sf_dir):
+    p = t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    o = t(spark, sf_dir, "orders")
+    return (
+        p.join(o, o.o_orderkey == p.p_partkey)
+        .select(
+            "p_partkey",
+            F.upper("p_brand").alias("brand_upper"),
+            F.lower("p_type").alias("type_lower"),
+            F.substring("p_name", 1, 8).alias("name_prefix"),
+            F.length("p_name").alias("name_len"),
+            F.expr("replace(p_brand, 'Brand#', 'B')").alias("brand_short"),
+            F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+            F.abs(F.col("p_size") - 25).alias("size_dist"),
+            (F.col("p_retailprice") / 100).alias("price_hund"),
+            F.when(F.col("p_size") >= 40, "large").when(F.col("p_size") >= 15, "medium").otherwise("small").alias("size_class"),
+            F.coalesce(F.nullif("p_brand", F.lit("Brand#11")), F.lit("OTHER")).alias("brand_nullif"),
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+            F.dayofmonth("o_orderdate").alias("dom"),
+            F.date_trunc("month", "o_orderdate").alias("month_start"),
+            F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias("days_since_epoch_start"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        )
+        .orderBy("p_partkey")
+    )
 
 
 # -------------------------------------------------------------------------

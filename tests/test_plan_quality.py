@@ -130,3 +130,17 @@ def test_range_join_is_equi_not_bnlj(spark):
     plan = plan_of(REGISTRY["join_range_bucketed"].fn(spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashJoin" in plan  # broadcast or shuffled — either is fine
+
+
+def test_connected_components_bounded_plan(spark):
+    """Lineage must be truncated per round: after convergence the result
+    plan is a projection over a materialized RDD, not 12 nested joins."""
+    from clickhousedatamocker_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(12)], ["id_a", "id_b"])
+    comp = connected_components(pairs, max_iter=15)
+    rows = {r["node"]: r["component"] for r in comp.collect()}
+    assert rows == {i: 0 for i in range(13)}
+    plan = optimized_of(comp)
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan
+    assert "Join" not in plan, "per-round joins still embedded in the final plan"
