@@ -94,13 +94,16 @@ class Writer:
         if handle.order_columns:
             df = df.sortWithinPartitions(*handle.order_columns)
 
-        before = self.parts.snapshot_files(handle.path)
+        # watermark taken before the write: commit discovery then walks only
+        # partition dirs the write touched — O(#partitions + new files) per
+        # insert, independent of accumulated part count (plans/parts.py)
+        wm = time.time_ns()
         writer = df.write.mode("append").format("parquet")
         if part_col:
             writer = writer.partitionBy(part_col)
         writer.save(handle.path)
 
-        new_parts = self.parts.record_commit(table, handle.path, before)
+        new_parts = self.parts.record_commit(table, handle.path, since_ns=wm)
         rows = sum(p["rows"] for p in new_parts)
         nbytes = sum(p["bytes_on_disk"] for p in new_parts)
         if self.metrics is not None:
@@ -181,8 +184,8 @@ class Writer:
                     shutil.move(os.path.join(staging, f), os.path.join(part_dir, f))
             shutil.rmtree(staging, ignore_errors=True)
             self.parts.retire(table, handle.path, [p["name"] for p in old])
-        known = {p["name"] for p in self.parts._manifest[table]}
-        self.parts.record_commit(table, handle.path, known)
+        self.parts.record_commit(table, handle.path)
+        self.parts.save(table, handle.path)  # rewrite paths compact the log
         if self.metrics is not None:
             self.metrics.incr("PartsMutations")
             self.metrics.set("PartsActive", self.parts.active_parts_count(table, handle.path))
@@ -263,8 +266,8 @@ class Writer:
                     shutil.move(os.path.join(staging, f), os.path.join(part_dir, f))
             shutil.rmtree(staging, ignore_errors=True)
             self.parts.retire(table, handle.path, [p["name"] for p in old])
-        known = {p["name"] for p in self.parts._manifest[table]}
-        self.parts.record_commit(table, handle.path, known)
+        self.parts.record_commit(table, handle.path)
+        self.parts.save(table, handle.path)  # rewrite paths compact the log
         if self.metrics is not None:
             self.metrics.incr("PartsMutations")
             self.metrics.set("PartsActive", self.parts.active_parts_count(table, handle.path))
@@ -310,8 +313,8 @@ class Writer:
             self.parts.retire(table, handle.path, [p["name"] for p in plist])
             compacted += 1
         # register the newly-written compacted files (anything on disk not yet known)
-        known = {p["name"] for p in self.parts._manifest[table]}
-        self.parts.record_commit(table, handle.path, known)
+        self.parts.record_commit(table, handle.path)
+        self.parts.save(table, handle.path)  # rewrite paths compact the log
         if self.metrics is not None:
             self.metrics.set("PartsActive", self.parts.active_parts_count(table, handle.path))
             self.metrics.set("PartsCommitted", self.parts.active_parts_count(table, handle.path))

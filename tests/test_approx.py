@@ -20,7 +20,7 @@ def test_approx_distinct_within_rsd(spark):
 def test_approx_quantiles_bracket_exact(spark):
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     row = REGISTRY["agg_approx_distinct_and_quantiles"].fn(spark, SF_DIR).first()
-    q50, q95, q99 = row["price_quantiles"]
+    q50, q95, q99 = row["price_p50"], row["price_p95"], row["price_p99"]
     assert q50 < q95 < q99
     exact = li.approxQuantile("l_extendedprice", [0.5, 0.95, 0.99], 0.0)
     for got, want in zip((q50, q95, q99), exact):

@@ -198,3 +198,56 @@ def test_harness_with_background_merges_stays_below_throw(spark, tmp_warehouse):
     # each insert adds <=24 parts; compaction every 2 inserts caps actives
     # at ~48 + the 24 from the freshest batch
     assert res.final_active_parts <= 72
+
+
+def test_commit_walk_scoped_to_touched_partitions(spark, tmp_warehouse, monkeypatch):
+    """Per-insert manifest cost must not grow with accumulated part count:
+    commit discovery may list only the partition dirs the write touched
+    (mtime watermark), never the whole table."""
+    import os
+
+    import clickhousedatamocker_spark.plans.parts as parts_mod
+
+    engine = Engine(spark, tmp_warehouse)
+    engine.create_table(make_spec())
+    gen = BatchGenerator(spark, seed=3, base_time="2026-01-01 12:00:00")
+    # several 24-partition inserts accumulate parts across 24 dirs
+    for batch_no in range(3):
+        engine.insert("test_local", gen.batch_with_partition(2000, batch_no=batch_no))
+
+    one_hour = gen.batch(500).withColumn(
+        "event_time", F.lit("2026-01-01 12:30:00").cast("timestamp")
+    )
+    listed: list[str] = []
+    real_listdir = parts_mod.os.listdir
+
+    def spy_listdir(path):
+        listed.append(str(path))
+        return real_listdir(path)
+
+    monkeypatch.setattr(parts_mod.os, "listdir", spy_listdir)
+    res = engine.insert("test_local", one_hour)
+    assert res.new_parts == 1 and res.partitions_touched == 1
+    part_dirs = {p for p in listed if "=" in os.path.basename(p)}
+    assert len(part_dirs) == 1, f"walked untouched partition dirs: {sorted(part_dirs)}"
+
+
+def test_manifest_log_survives_reload(spark, tmp_warehouse):
+    """The append-only commit log replays to the same inventory (incl.
+    retired parts) in a fresh PartsInventory."""
+    from clickhousedatamocker_spark.plans.parts import PartsInventory
+
+    engine = Engine(spark, tmp_warehouse)
+    engine.create_table(make_spec())
+    gen = BatchGenerator(spark, seed=4, base_time="2026-01-01 12:00:00")
+    engine.insert("test_local", gen.batch_with_partition(2000, batch_no=0))
+    engine.insert("test_local", gen.batch_with_partition(2000, batch_no=1))
+    engine.optimize("test_local")
+    handle = engine.catalog.get("test_local")
+    want_active = engine.parts.active_parts_count("test_local", handle.path)
+    want_total = len(engine.parts._manifest["test_local"])
+
+    fresh = PartsInventory()
+    fresh.load("test_local", handle.path)
+    assert fresh.active_parts_count("test_local", handle.path) == want_active == 24
+    assert len(fresh._manifest["test_local"]) == want_total
