@@ -56,37 +56,90 @@ def attach_fake_media(df: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-def decode_media(df: DataFrame, deterministic_fake: bool = False) -> DataFrame:
-    """Decode payloads to (width, height, n_channels).
+def attach_synth_png(df: DataFrame, id_col: str, size: int = 8) -> DataFrame:
+    """Deterministic REAL PNG payloads keyed on ``id_col``: a size x size
+    RGB image whose pixels derive from sha256 of the id, encoded with the
+    vendored spec-conformant codec (operators/png.py). Arrow-batched
+    mapInPandas — narrow, no driver materialization of binary."""
+    out_schema = T.StructType(df.schema.fields + [T.StructField("media", MEDIA_SCHEMA, False)])
 
-    Real decoding needs PIL/ffmpeg — NOT available in this container, so the
-    default path raises NotImplementedError. ``deterministic_fake=True``
-    derives dimensions from the payload header bytes instead, keeping the
-    downstream plumbing (schema, batch shape) exercised end-to-end.
+    def synth(batches: Iterator) -> Iterator:
+        import hashlib
+
+        from clickhousedatamocker_spark.operators.png import encode_png
+
+        n_px = size * size * 3
+        for pdf in batches:
+            media = []
+            for key in pdf[id_col].astype(str):
+                px = bytearray()
+                i = 0
+                while len(px) < n_px:
+                    px.extend(hashlib.sha256(f"{key}:{i}".encode()).digest())
+                    i += 1
+                data = encode_png(size, size, bytes(px[:n_px]), color_type=2)
+                media.append(
+                    {
+                        "uri": f"synth://png/{key}",
+                        "mime": "image/png",
+                        "n_bytes": len(data),
+                        "data": data,
+                    }
+                )
+            pdf = pdf.copy()
+            pdf["media"] = media
+            yield pdf
+
+    return df.mapInPandas(synth, out_schema)
+
+
+def decode_media(df: DataFrame, deterministic_fake: bool = False) -> DataFrame:
+    """Decode payloads to (width, height, n_channels, pixel_sum).
+
+    ``image/png`` payloads are REALLY decoded — vendored pure-stdlib codec
+    (operators/png.py): signature + per-chunk CRC validation, zlib
+    inflate, scanline unfiltering — and ``pixel_sum`` is the sum of decoded
+    pixel bytes (a value only a correct decode can produce). Other formats
+    need PIL/ffmpeg, which are NOT in this container: they raise a
+    clearly-marked NotImplementedError unless ``deterministic_fake=True``
+    substitutes header-derived dimensions (pixel_sum NULL).
     """
-    if not deterministic_fake:
-        raise NotImplementedError(
-            "media codecs (PIL/ffmpeg) are not installed in this environment; "
-            "pass deterministic_fake=True to exercise the pipeline with "
-            "header-derived dimensions"
-        )
     out_schema = T.StructType(
         df.schema.fields
         + [
             T.StructField("width", T.IntegerType(), True),
             T.StructField("height", T.IntegerType(), True),
             T.StructField("n_channels", T.IntegerType(), True),
+            T.StructField("pixel_sum", T.LongType(), True),
         ]
     )
 
     def decode(batches: Iterator) -> Iterator:
+        from clickhousedatamocker_spark.operators.png import decode_png
+
         for pdf in batches:
-            data = pdf["media"].map(lambda m: m["data"])
+            ws, hs, cs, sums = [], [], [], []
+            for m in pdf["media"]:
+                mime, data = m["mime"], m["data"]
+                if mime == "image/png" and not deterministic_fake:
+                    w, h, c, px = decode_png(bytes(data))
+                    ws.append(w), hs.append(h), cs.append(c), sums.append(sum(px))
+                elif deterministic_fake:
+                    ws.append(64 + data[0] % 192)
+                    hs.append(64 + data[1] % 192)
+                    cs.append(1 + data[2] % 4)
+                    sums.append(None)
+                else:
+                    raise NotImplementedError(
+                        f"no codec for {mime!r} in this environment (PIL/ffmpeg "
+                        "not installed); pass deterministic_fake=True to "
+                        "exercise the pipeline with header-derived dimensions"
+                    )
             pdf = pdf.copy()
-            # fake decode: dimensions from the first payload bytes
-            pdf["width"] = data.map(lambda b: 64 + b[0] % 192).astype("int32")
-            pdf["height"] = data.map(lambda b: 64 + b[1] % 192).astype("int32")
-            pdf["n_channels"] = data.map(lambda b: 1 + b[2] % 4).astype("int32")
+            pdf["width"] = ws
+            pdf["height"] = hs
+            pdf["n_channels"] = cs
+            pdf["pixel_sum"] = sums
             yield pdf
 
     return df.mapInPandas(decode, out_schema)

@@ -20,7 +20,11 @@ from clickhousedatamocker_spark.operators.dedup import (
     simhash_near_pairs_xengine,
     simhash_xengine_oracle_sql,
 )
-from clickhousedatamocker_spark.operators.multimodal import attach_fake_media, extract_features
+from clickhousedatamocker_spark.operators.multimodal import (
+    attach_synth_png,
+    decode_media,
+    extract_features,
+)
 from clickhousedatamocker_spark.operators.similarity import (
     brute_force_topk,
     embedding_near_dup_pairs,
@@ -490,22 +494,43 @@ def retention_analysis(spark, sf_dir):
 
 
 # -------------------------------------------------------------------------
+# pixel_sum oracle: the synthetic 8x8 RGB image's 192 pixel bytes are the
+# first 6 sha256 digests of "doc_id:i" — DuckDB re-derives them and sums
+# the bytes. Only a correct PNG encode -> (CRC-checked, inflated,
+# unfiltered) decode roundtrip reproduces the same sum on the Spark side.
+_PNG_HH = "||".join(f"sha256(doc_id::VARCHAR || ':{i}')" for i in range(6))
+_PNG_ORACLE = f"""
+SELECT doc_id, 8 AS width, 8 AS height, 3 AS n_channels,
+  list_sum(list_transform(generate_series(0, 191), j ->
+    16 * (strpos('0123456789abcdef', substr(hh, 2*j+1, 1)) - 1)
+       + (strpos('0123456789abcdef', substr(hh, 2*j+2, 1)) - 1))) AS pixel_sum,
+  16 AS feature_dim
+FROM (SELECT doc_id, {_PNG_HH} AS hh FROM documents WHERE doc_id < 50)
+ORDER BY doc_id
+""".strip()
+
+
 @register(
-    "multimodal_features",
-    None,  # binary payloads + mapInPandas -> rows-only check
-    description="Multimodal plumbing end-to-end: deterministic binary media "
-    "column (struct uri/mime/n_bytes/data) -> Arrow-batched mapInPandas "
-    "feature extraction (16-dim L2-normalized). Codec decode itself is "
-    "stubbed (no PIL/ffmpeg in container); schema/partitioning/batching real.",
+    "multimodal_png_pipeline",
+    _PNG_ORACLE,
+    description="Multimodal end-to-end with a REAL codec: synthetic valid "
+    "PNGs (vendored pure-stdlib encoder, operators/png.py) -> spec-"
+    "conformant decode (per-chunk CRC validation, zlib inflate, scanline "
+    "unfiltering) -> Arrow-batched mapInPandas feature extraction, all "
+    "narrow transforms, no driver collect of binary. The oracle re-derives "
+    "the expected pixel byte sums from the sha256 pixel source — a value "
+    "only a correct encode/decode roundtrip produces. Formats needing "
+    "PIL/ffmpeg (jpeg/wav/mp4) stay stub-gated in operators/multimodal.py.",
 )
-def multimodal_features(spark, sf_dir):
-    docs = t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 100)
-    with_media = attach_fake_media(docs, "doc_id")
-    feats = extract_features(with_media)
+def multimodal_png_pipeline(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 50)
+    decoded = decode_media(attach_synth_png(docs, "doc_id"))
+    feats = extract_features(decoded)
     return feats.select(
         "doc_id",
-        F.col("media.mime").alias("mime"),
-        F.col("media.n_bytes").alias("n_bytes"),
-        F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"),
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("n_channels").cast("int").alias("n_channels"),
+        F.col("pixel_sum").cast("long").alias("pixel_sum"),
         F.size("features").alias("feature_dim"),
     ).orderBy("doc_id")

@@ -27,35 +27,26 @@ _GEN_N = 20_000
 # -------------------------------------------------------------------------
 @register(
     "gen_test_local_batch",
-    gen_oracle_sql(_GEN_N, seed=42, base_time=_BASE_TIME),
+    f"""
+SELECT g.*, CAST(strftime(event_time, '%Y%m%d%H') AS INT) AS event_hour,
+       COUNT(*) OVER (PARTITION BY strftime(event_time, '%Y%m%d%H')) AS n_in_hour
+FROM ({gen_oracle_sql(_GEN_N, seed=42, base_time=_BASE_TIME)}) g
+""",
     headline=True,
     description="The reference's 10-column random batch (generate_data.py:22-36) "
     "as pure column arithmetic over spark.range — deterministic, shuffle-free, "
-    "embarrassingly parallel at any scale, and exactly recomputable by the oracle.",
+    "embarrassingly parallel at any scale, and exactly recomputable by the "
+    "oracle — with each row carrying its toYYYYMMDDhh partition and the "
+    "per-hour row count (the 24-way partition-pressure histogram that drives "
+    "the reference's flow-control trigger, generate_data.py:24-25).",
 )
 def gen_test_local_batch(spark, sf_dir):
-    return BatchGenerator(spark, seed=42, base_time=_BASE_TIME).batch(_GEN_N)
+    from pyspark.sql import Window
 
-
-# -------------------------------------------------------------------------
-@register(
-    "gen_partition_histogram",
-    f"""
-SELECT CAST(strftime(event_time, '%Y%m%d%H') AS INT) AS event_hour,
-       COUNT(*) AS n_rows
-FROM ({gen_oracle_sql(_GEN_N, seed=42, base_time=_BASE_TIME)})
-GROUP BY 1 ORDER BY 1
-""",
-    description="Partition-pressure histogram: the 24-way hourly spread that "
-    "drives the reference's flow-control trigger (generate_data.py:24-25).",
-)
-def gen_partition_histogram(spark, sf_dir):
     df = BatchGenerator(spark, seed=42, base_time=_BASE_TIME).batch(_GEN_N)
-    return (
-        df.select(to_yyyymmddhh("event_time").alias("event_hour"))
-        .groupBy("event_hour")
-        .agg(F.count(F.lit(1)).alias("n_rows"))
-        .orderBy("event_hour")
+    df = df.withColumn("event_hour", to_yyyymmddhh("event_time"))
+    return df.withColumn(
+        "n_in_hour", F.count(F.lit(1)).over(Window.partitionBy("event_hour"))
     )
 
 

@@ -201,10 +201,58 @@ def test_resize_media_plumbing(spark):
 
 
 def test_decode_without_codecs_raises(spark):
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id").limit(1)
-    media = attach_fake_media(docs, "doc_id")
-    with pytest.raises(NotImplementedError):
-        decode_media(media)
+    """Non-PNG mimes stay stub-gated: the real-decode path raises a
+    clearly-marked NotImplementedError (surfaced from the executor) unless
+    deterministic_fake=True."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id").limit(8)
+    media = attach_fake_media(docs, "doc_id")  # mixed mimes incl. non-PNG
+    non_png = media.filter(F.col("media.mime") != "image/png")
+    with pytest.raises(Exception, match="no codec"):
+        decode_media(non_png).collect()
+
+
+def test_png_codec_roundtrip():
+    """Vendored codec: encode->decode is identity for every filter type and
+    supported color type; corrupted bytes are rejected by CRC."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from clickhousedatamocker_spark.operators.png import decode_png, encode_png
+
+    px = b"".join(hashlib.sha256(str(i).encode()).digest() for i in range(20))
+    for color_type, ch in [(0, 1), (2, 3), (4, 2), (6, 4)]:
+        for ft in range(5):
+            w, h = 10, 6
+            pixels = px[: w * h * ch]
+            data = encode_png(w, h, pixels, color_type=color_type, filter_type=ft)
+            gw, gh, gch, gpx = decode_png(data)
+            assert (gw, gh, gch) == (w, h, ch), (color_type, ft)
+            assert gpx == pixels, f"roundtrip mismatch color={color_type} filter={ft}"
+    good = encode_png(4, 4, px[: 4 * 4 * 3], color_type=2)
+    corrupted = good[:40] + bytes([good[40] ^ 0xFF]) + good[41:]
+    with _pytest.raises(ValueError, match="CRC"):
+        decode_png(corrupted)
+
+
+def test_png_decode_media_real(spark):
+    """decode_media really decodes synthetic PNGs: dims match the encoder's
+    and pixel_sum equals the sha256-derived source bytes."""
+    import hashlib
+
+    from clickhousedatamocker_spark.operators.multimodal import attach_synth_png
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id").limit(10)
+    decoded = decode_media(attach_synth_png(docs, "doc_id")).collect()
+    assert len(decoded) == 10
+    for r in decoded:
+        assert (r["width"], r["height"], r["n_channels"]) == (8, 8, 3)
+        px = bytearray()
+        i = 0
+        while len(px) < 192:
+            px.extend(hashlib.sha256(f"{r['doc_id']}:{i}".encode()).digest())
+            i += 1
+        assert r["pixel_sum"] == sum(px[:192])
 
 
 def test_window_funnel_semantics(spark):
