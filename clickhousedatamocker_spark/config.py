@@ -48,3 +48,55 @@ class HarnessConfig:
     cleanup: bool = False  # CLEANUP=true → drop tables first (setup.sh:102-104)
 
     extra: dict[str, str] = field(default_factory=dict)
+
+    # shell-var name (as sourced by the reference's scripts) → field here
+    _CONF_KEYS = {
+        "CH_DATABASE": "database",
+        "PARTS_TO_DELAY_INSERT": "parts_to_delay_insert",
+        "PARTS_TO_THROW_INSERT": "parts_to_throw_insert",
+        "MAX_PARTITIONS_PER_INSERT_BLOCK": "max_partitions_per_insert_block",
+        "BATCH_SIZE": "batch_size",
+        "INSERT_INTERVAL": "insert_interval_s",
+        "MAX_INSERT_COUNT": "max_insert_count",
+        "CLEANUP": "cleanup",
+        "SEED": "seed",
+    }
+
+    @classmethod
+    def from_conf_file(cls, path: str, **overrides) -> "HarnessConfig":
+        """Build a config from the reference's shell-style conf file
+        (``config/clickhouse.conf.example`` — ``KEY="value"`` lines meant to
+        be ``source``d, ``scripts/setup.sh:12-18``). Known keys map onto
+        fields; connection/logging keys (CH_HOST, CH_PORT, CH_USER,
+        CH_PASSWORD, LOG_LEVEL) have no server counterpart here and land in
+        ``extra`` untouched. Keyword ``overrides`` win over file values."""
+        import re
+
+        values: dict[str, object] = {}
+        extra: dict[str, str] = {}
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                m = re.match(r"([A-Za-z_][A-Za-z0-9_]*)=(.*)$", line)
+                if not m:
+                    continue
+                key, raw = m.group(1), m.group(2).strip()
+                val = raw[1:-1] if len(raw) >= 2 and raw[0] == raw[-1] and raw[0] in "'\"" else raw
+                field_name = cls._CONF_KEYS.get(key)
+                if field_name is None:
+                    extra[key] = val
+                    continue
+                ftype = cls.__dataclass_fields__[field_name].type
+                if field_name == "cleanup":
+                    values[field_name] = val.lower() in ("true", "1", "yes")
+                elif ftype == "int":
+                    values[field_name] = int(val)
+                elif ftype == "float":
+                    values[field_name] = float(val)
+                else:
+                    values[field_name] = val
+        values["extra"] = extra
+        values.update(overrides)
+        return cls(**values)

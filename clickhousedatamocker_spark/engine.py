@@ -14,6 +14,7 @@ import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from clickhousedatamocker_spark.functions.scalar import register_sql_functions
 from clickhousedatamocker_spark.plans.catalog import Catalog, TableHandle
@@ -37,14 +38,24 @@ class FlowStatus:
 
 
 class Engine:
-    def __init__(self, spark: SparkSession, warehouse_dir: str, database: str = "default"):
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse_dir: str,
+        database: str = "default",
+        clusters: dict[str, int] | None = None,
+    ):
         self.spark = spark
         self.catalog = Catalog(warehouse_dir, database)
         self.metrics = MetricsStore()
         self.parts = PartsInventory(database)
         self.flow = FlowController(metrics=self.metrics)
         self.writer = Writer(self.parts, self.flow, metrics=self.metrics)
-        self._registered_versions: dict[str, int] = {}
+        self._registered_versions: dict[str, object] = {}
+        # cluster name -> shard count. The reference's 'default' cluster is
+        # single-node (create_distributed.sql:6 — and its comment says "no
+        # sharding_key"), so Distributed there degenerates to a plain alias.
+        self.clusters = {"default": 1, **(clusters or {})}
         register_sql_functions(spark)
 
     # -- connectivity probe (setup.sh:94-99) ------------------------------
@@ -55,8 +66,8 @@ class Engine:
     def create_table(self, spec: TableSpec, if_not_exists: bool = True) -> TableHandle:
         return self.catalog.create_table(spec, if_not_exists)
 
-    def create_alias(self, name: str, of: str) -> TableHandle:
-        return self.catalog.create_alias(name, of)
+    def create_alias(self, name: str, of: str, distributed: dict | None = None) -> TableHandle:
+        return self.catalog.create_alias(name, of, distributed=distributed)
 
     def drop_table(self, name: str, if_exists: bool = True) -> None:
         self.catalog.drop_table(name, if_exists)
@@ -64,10 +75,130 @@ class Engine:
     def alter_setting(self, name: str, **settings) -> None:
         self.catalog.alter_setting(name, **settings)
 
+    # -- Distributed-table topology ---------------------------------------
+    def _distributed_spec(self, table: str) -> tuple[dict, int] | None:
+        """(distributed meta, n_shards) when ``table`` is a Distributed alias
+        over a multi-shard cluster; None for plain tables/aliases."""
+        if not self.catalog.exists(table):
+            return None
+        meta = self.catalog.get(table)
+        if meta.alias_of is None or not meta.distributed:
+            return None
+        n = int(self.clusters.get(meta.distributed["cluster"], 1))
+        return (meta.distributed, n) if n > 1 else None
+
+    def shard_tables(self, table: str) -> list[str]:
+        """Physical shard tables behind a Distributed alias. Shard 0 is the
+        underlying local table itself; shards 1..n-1 are clones
+        ``<local>__shard<i>`` auto-created on first use — the single-
+        warehouse stand-in for the per-node local tables of a real cluster."""
+        spec = self._distributed_spec(table)
+        base = self.catalog.resolve(table)
+        if spec is None:
+            return [base]
+        _, n = spec
+        base_h = self.catalog.get(base)
+        names = [base]
+        for i in range(1, n):
+            shard = f"{base}__shard{i}"
+            if not self.catalog.exists(shard):
+                self.catalog.create_table(
+                    TableSpec(
+                        name=shard,
+                        schema=base_h.schema,
+                        partition_column=base_h.partition_column,
+                        order_columns=base_h.order_columns,
+                        settings=dict(base_h.settings),
+                    )
+                )
+            names.append(shard)
+        return names
+
+    def _shard_expr(self, df: DataFrame, key: str, n: int):
+        """ClickHouse routing: integral sharding keys shard by value modulo
+        shard count; non-integral expressions hash first."""
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        expr = F.expr(key)
+        dtype = df.select(expr.alias("k")).schema[0].dataType
+        if not isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            expr = F.xxhash64(expr)
+        return F.pmod(expr, F.lit(n)).cast("int")
+
     # -- DML --------------------------------------------------------------
-    def insert(self, table: str, df: DataFrame, **kwargs) -> InsertResult:
+    def insert(self, table: str, df: DataFrame, *, async_insert: bool = False, **kwargs) -> InsertResult:
+        if async_insert:
+            return self._spool_insert(table, df)
+        spec = self._distributed_spec(table)
+        if spec is not None:
+            dist, n = spec
+            key = dist.get("sharding_key")
+            if not key:
+                raise ValueError(
+                    f"Distributed table {table!r} spans {n} shards but has no "
+                    "sharding_key — ClickHouse rejects such writes too"
+                )
+            shard_col = self._shard_expr(df, key, n)
+            routed = df.withColumn("__shard", shard_col).persist()
+            try:
+                results = []
+                for i, shard in enumerate(self.shard_tables(table)):
+                    handle = self.catalog.get(shard)
+                    sub = routed.filter(F.col("__shard") == i).drop("__shard")
+                    results.append(self.writer.insert(handle, sub, **kwargs))
+            finally:
+                routed.unpersist()
+            return InsertResult(
+                rows=sum(r.rows for r in results),
+                bytes_on_disk=sum(r.bytes_on_disk for r in results),
+                new_parts=sum(r.new_parts for r in results),
+                partitions_touched=sum(r.partitions_touched for r in results),
+                elapsed_s=sum(r.elapsed_s for r in results),
+                delay_s=max(r.delay_s for r in results),
+            )
         handle = self.catalog.get(self.catalog.resolve(table))
         return self.writer.insert(handle, df, **kwargs)
+
+    # -- async Distributed spool (DistributedFilesToInsert) ----------------
+    def _spool_dir(self, table: str) -> str:
+        return os.path.join(self.catalog.warehouse_dir, ".spool", table)
+
+    def _pending_spool(self, table: str) -> list[str]:
+        d = self._spool_dir(table)
+        if not os.path.isdir(d):
+            return []
+        return sorted(os.path.join(d, b) for b in os.listdir(d) if b.startswith("batch_"))
+
+    def _spool_insert(self, table: str, df: DataFrame) -> InsertResult:
+        """Asynchronous insert into a Distributed table: the block is spooled
+        to a per-table directory and only pushed to the shard tables by
+        :meth:`flush_distributed` — ClickHouse's distributed_directory_monitor
+        model. ``DistributedFilesToInsert`` counts the backlog (the metric the
+        reference's monitoring loop watches, query_metrics.sql)."""
+        import time as _time
+
+        if self.catalog.get(table).alias_of is None:
+            raise ValueError(f"async_insert targets a Distributed table; {table!r} is local")
+        batch_dir = os.path.join(self._spool_dir(table), f"batch_{_time.time_ns():020d}")
+        df.coalesce(1).write.parquet(batch_dir)
+        self.metrics.set("DistributedFilesToInsert", len(self._pending_spool(table)))
+        # metadata-only count: parquet footers, no data scan
+        rows = self.spark.read.parquet(batch_dir).count()
+        return InsertResult(rows=rows, bytes_on_disk=0, new_parts=0, partitions_touched=0, elapsed_s=0.0, delay_s=0.0)
+
+    def flush_distributed(self, table: str, **kwargs) -> list[InsertResult]:
+        """Drain the async-insert spool into the shard tables (oldest first),
+        decrementing ``DistributedFilesToInsert`` as each block lands."""
+        import shutil
+
+        results = []
+        for batch_dir in self._pending_spool(table):
+            block = self.spark.read.parquet(batch_dir)
+            results.append(self.insert(table, block, **kwargs))
+            shutil.rmtree(batch_dir)
+            self.metrics.set("DistributedFilesToInsert", len(self._pending_spool(table)))
+        return results
 
     def delete_where(self, table: str, predicate: str) -> int:
         """``ALTER TABLE … DELETE WHERE predicate`` (synchronous mutation:
@@ -87,7 +218,18 @@ class Engine:
         return self.writer.optimize(self.spark, handle)
 
     def read_table(self, table: str) -> DataFrame:
-        handle = self.catalog.get(self.catalog.resolve(table))
+        if self._distributed_spec(table) is not None:
+            # Distributed SELECT: union over shard-local scans (what the CH
+            # initiator node does by fanning the query out per shard)
+            parts = [self._read_physical(s) for s in self.shard_tables(table)]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out
+        return self._read_physical(self.catalog.resolve(table))
+
+    def _read_physical(self, name: str) -> DataFrame:
+        handle = self.catalog.get(name)
         if not any(os.scandir(handle.path)) if os.path.isdir(handle.path) else True:
             return self.spark.createDataFrame([], handle.schema)
         return self.spark.read.schema(_schema_with_partition(handle)).parquet(handle.path)
@@ -110,6 +252,12 @@ class Engine:
         self.parts.to_df(self.spark, tables).createOrReplaceTempView("system_parts")
         self.metrics.to_df(self.spark).createOrReplaceTempView("system_metrics")
         for name in self.catalog.list_tables():
+            if self._distributed_spec(name) is not None:
+                version = tuple(self.parts.inventory_version(s) for s in self.shard_tables(name))
+                if self._registered_versions.get(name) != version:
+                    self.read_table(name).createOrReplaceTempView(name)
+                    self._registered_versions[name] = version
+                continue
             handle = self.catalog.get(self.catalog.resolve(name))
             version = self.parts.inventory_version(handle.name)
             if self._registered_versions.get(name) == version:
@@ -171,7 +319,7 @@ class Engine:
                     if_not_exists=ddl["if_not_exists"],
                 )
             elif ddl["op"] == "alias":
-                self.create_alias(ddl["name"], ddl["of"])
+                self.create_alias(ddl["name"], ddl["of"], distributed=ddl.get("distributed"))
             elif ddl["op"] == "drop":
                 self.drop_table(ddl["name"], if_exists=ddl["if_exists"])
             elif ddl["op"] == "alter_setting":

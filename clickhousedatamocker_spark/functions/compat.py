@@ -57,6 +57,69 @@ _CH_TYPES: dict[str, T.DataType] = {
 }
 
 
+def _split_top(s: str, sep: str = ",") -> list[str]:
+    """Split on ``sep`` at paren depth 0, outside string literals — so
+    parameterized types (``Decimal(10,2)``, ``Enum8('a'=1,'b'=2)``) and
+    quoted defaults never split a column definition in half."""
+    out, depth, quote, start = [], 0, None, 0
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if quote:
+            if c == quote:
+                quote = None
+            elif c == "\\":
+                i += 1
+        elif c in "'\"":
+            quote = c
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == sep and depth == 0:
+            out.append(s[start:i])
+            start = i + 1
+        i += 1
+    out.append(s[start:])
+    return [p for p in (p.strip() for p in out) if p]
+
+
+def parse_ch_type(tstr: str) -> tuple[T.DataType, bool]:
+    """ClickHouse type string → (Spark DataType, nullable). Handles the
+    wrapper/parameterized forms: Nullable, LowCardinality, Array,
+    Decimal(p,s) / Decimal32/64/128(s), DateTime('tz') / DateTime64(p[,tz]),
+    Enum8/16(...), FixedString(n)."""
+    s = tstr.strip()
+    m = re.match(r"(\w+)\s*(?:\((.*)\))?$", s, re.DOTALL)
+    if not m:
+        raise NotImplementedError(f"unparseable ClickHouse type {tstr!r}")
+    base, args = m.group(1).lower(), m.group(2)
+    if base == "nullable":
+        inner, _ = parse_ch_type(args)
+        return inner, True
+    if base == "lowcardinality":
+        return parse_ch_type(args)  # a storage hint, not a logical type
+    if base == "array":
+        inner, inner_null = parse_ch_type(args)
+        return T.ArrayType(inner, inner_null), False
+    if base == "decimal":
+        p, sc = (int(x) for x in _split_top(args))
+        return T.DecimalType(p, sc), False
+    if base in ("decimal32", "decimal64", "decimal128"):
+        prec = {"decimal32": 9, "decimal64": 18, "decimal128": 38}[base]
+        return T.DecimalType(prec, int(args)), False
+    if base in ("datetime", "datetime64"):
+        return T.TimestampType(), False  # tz/precision args accepted, dropped
+    if base in ("enum8", "enum16"):
+        return T.StringType(), False  # enums surface as their string labels
+    if base == "fixedstring":
+        return T.StringType(), False
+    dt = _CH_TYPES.get(base)
+    if dt is None:
+        raise NotImplementedError(f"unsupported ClickHouse type {tstr!r}")
+    return dt, False
+
+
 def _strip(sql: str) -> str:
     sql = re.sub(r"--[^\n]*", "", sql)  # line comments (create_local.sql:1-2)
     return sql.strip().rstrip(";").strip()
@@ -84,19 +147,49 @@ def parse_ch_ddl(sql: str) -> dict | None:
         return {"op": "alter_setting", "name": m.group(1), "settings": settings}
 
     m = re.match(
-        r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s+AS\s+(\w+)",
+        r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s+AS\s+(\w+)\s*(.*)$",
         s,
-        re.IGNORECASE,
+        re.IGNORECASE | re.DOTALL,
     )
-    if m:
-        # the Distributed wrapper adds nothing on Spark (every DataFrame is
-        # already executor-partitioned) — a catalog alias preserves the API
+    if m and m.group(3).upper() not in ("SELECT", "WITH"):
+        if_not_exists, name, of, tail = bool(m.group(1)), m.group(2), m.group(3), m.group(4).strip()
+        # CREATE TABLE x AS other [ENGINE = Distributed(cluster, db, table
+        # [, sharding_key])] — schema-copying alias (create_distributed.sql).
+        # A tail that is neither empty nor an ENGINE clause means this is
+        # some other statement (e.g. CTAS with a parenthesized select) —
+        # fall through rather than silently aliasing.
+        distributed = None
+        if tail:
+            em = re.match(r"ENGINE\s*=\s*Distributed\s*\((.*)\)\s*$", tail, re.IGNORECASE | re.DOTALL)
+            if em is None:
+                raise NotImplementedError(
+                    f"unsupported CREATE TABLE ... AS tail {tail!r} (only "
+                    "ENGINE = Distributed(...) aliases are modeled)"
+                )
+            args = _split_top(em.group(1))
+            if len(args) not in (3, 4):
+                raise NotImplementedError(
+                    "ENGINE = Distributed expects (cluster, database, table"
+                    "[, sharding_key])"
+                )
+            distributed = {
+                "cluster": args[0].strip("'\""),
+                "sharding_key": args[3] if len(args) == 4 else None,
+            }
         return {
             "op": "alias",
-            "name": m.group(2),
-            "of": m.group(3),
-            "if_not_exists": bool(m.group(1)),
+            "name": name,
+            "of": of,
+            "if_not_exists": if_not_exists,
+            "distributed": distributed,
         }
+    if re.match(r"CREATE\s+TABLE\s", s, re.IGNORECASE) and re.search(
+        r"\bAS\s*\(?\s*(SELECT|WITH)\b", s, re.IGNORECASE
+    ):
+        raise NotImplementedError(
+            "CREATE TABLE ... AS SELECT (CTAS) is not part of the modeled "
+            "DDL surface; materialize via Engine.insert instead"
+        )
 
     m = re.match(
         r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\((.*)\)\s*ENGINE\s*=\s*MergeTree\(\)\s*(.*)$",
@@ -111,15 +204,15 @@ def parse_ch_ddl(sql: str) -> dict | None:
             m.group(4),
         )
         fields = []
-        for coldef in cols_src.split(","):
-            coldef = coldef.strip()
-            if not coldef:
-                continue
-            cname, ctype = coldef.split()[:2]
-            dt = _CH_TYPES.get(ctype.lower())
-            if dt is None:
-                raise NotImplementedError(f"unsupported ClickHouse type {ctype!r}")
-            fields.append(T.StructField(cname, dt, False))
+        for coldef in _split_top(cols_src):
+            cm = re.match(r"(\w+)\s+(.+)$", coldef, re.DOTALL)
+            if not cm:
+                raise NotImplementedError(f"unparseable column definition {coldef!r}")
+            cname, rest = cm.group(1), cm.group(2).strip()
+            # drop DEFAULT/CODEC/COMMENT tails after the type expression
+            rest = re.split(r"\s+(DEFAULT|MATERIALIZED|CODEC|COMMENT|TTL)\s", rest, flags=re.IGNORECASE)[0]
+            dt, nullable = parse_ch_type(rest)
+            fields.append(T.StructField(cname, dt, nullable))
 
         partition_column = None
         pm = re.search(r"PARTITION\s+BY\s+toYYYYMMDDhh\((\w+)\)", tail, re.IGNORECASE)
@@ -141,7 +234,7 @@ def parse_ch_ddl(sql: str) -> dict | None:
         settings: dict[str, int] = {}
         sm = re.search(r"SETTINGS\s+(.*)$", tail, re.IGNORECASE | re.DOTALL)
         if sm:
-            for part in sm.group(1).split(","):
+            for part in _split_top(sm.group(1)):
                 k, v = part.split("=")
                 settings[k.strip()] = int(v.strip())
 

@@ -38,6 +38,9 @@ class TableHandle:
     order_columns: list[str]
     settings: dict[str, Any] = field(default_factory=dict)
     alias_of: str | None = None
+    # ENGINE = Distributed(cluster, db, table[, sharding_key]) metadata:
+    # {"cluster": str, "sharding_key": str | None} — None for plain aliases
+    distributed: dict[str, Any] | None = None
 
 
 class Catalog:
@@ -71,8 +74,16 @@ class Catalog:
         self._write_meta(spec.name, meta)
         return self.get(spec.name)
 
-    def create_alias(self, name: str, of: str, if_not_exists: bool = True) -> TableHandle:
-        """CREATE TABLE name AS of — schema-copying alias (create_distributed.sql)."""
+    def create_alias(
+        self,
+        name: str,
+        of: str,
+        if_not_exists: bool = True,
+        distributed: dict[str, Any] | None = None,
+    ) -> TableHandle:
+        """CREATE TABLE name AS of — schema-copying alias (create_distributed.sql).
+        ``distributed`` carries the Distributed-engine metadata (cluster name +
+        optional sharding key) used by Engine for multi-shard routing."""
         if self.exists(name):
             if if_not_exists:
                 return self.get(name)
@@ -85,6 +96,7 @@ class Catalog:
             "order_columns": base.order_columns,
             "settings": dict(base.settings),
             "alias_of": of,
+            "distributed": distributed,
         }
         self._write_meta(name, meta)
         return self.get(name)
@@ -125,6 +137,7 @@ class Catalog:
             order_columns=list(meta["order_columns"]),
             settings=dict(meta["settings"]),
             alias_of=meta["alias_of"],
+            distributed=meta.get("distributed"),
         )
 
     def resolve(self, name: str) -> str:
