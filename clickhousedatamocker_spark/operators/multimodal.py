@@ -145,6 +145,101 @@ def decode_media(df: DataFrame, deterministic_fake: bool = False) -> DataFrame:
     return df.mapInPandas(decode, out_schema)
 
 
+def attach_synth_wav(
+    df: DataFrame, id_col: str, n_samples: int = 96, sample_rate: int = 8000
+) -> DataFrame:
+    """Deterministic REAL WAV payloads keyed on ``id_col``: mono 16-bit PCM
+    whose samples derive from sha256 of the id, framed by the stdlib
+    ``wave`` module (RIFF/WAVE is a public format; the module is pure
+    stdlib — no PIL/ffmpeg needed). Arrow-batched mapInPandas, narrow."""
+    out_schema = T.StructType(df.schema.fields + [T.StructField("media", MEDIA_SCHEMA, False)])
+
+    def synth(batches: Iterator) -> Iterator:
+        import hashlib
+        import io
+        import wave
+
+        n_bytes = n_samples * 2  # 16-bit mono
+        for pdf in batches:
+            media = []
+            for key in pdf[id_col].astype(str):
+                raw = bytearray()
+                i = 0
+                while len(raw) < n_bytes:
+                    raw.extend(hashlib.sha256(f"{key}:{i}".encode()).digest())
+                    i += 1
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(sample_rate)
+                    w.writeframes(bytes(raw[:n_bytes]))
+                data = buf.getvalue()
+                media.append(
+                    {
+                        "uri": f"synth://wav/{key}",
+                        "mime": "audio/wav",
+                        "n_bytes": len(data),
+                        "data": data,
+                    }
+                )
+            pdf = pdf.copy()
+            pdf["media"] = media
+            yield pdf
+
+    return df.mapInPandas(synth, out_schema)
+
+
+def decode_audio(df: DataFrame) -> DataFrame:
+    """Decode ``audio/wav`` payloads to (sample_rate, n_audio_samples,
+    n_audio_channels, sample_sum) with the stdlib ``wave`` reader —
+    ``sample_sum`` is the sum of signed 16-bit samples, a value only a
+    correct RIFF parse + PCM interpretation produces. Non-WAV mimes raise
+    the same clearly-marked NotImplementedError as decode_media."""
+    out_schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField("sample_rate", T.IntegerType(), True),
+            T.StructField("n_audio_samples", T.IntegerType(), True),
+            T.StructField("n_audio_channels", T.IntegerType(), True),
+            T.StructField("sample_sum", T.LongType(), True),
+        ]
+    )
+
+    def decode(batches: Iterator) -> Iterator:
+        import io
+        import struct
+        import wave
+
+        for pdf in batches:
+            rates, ns, cs, sums = [], [], [], []
+            for m in pdf["media"]:
+                mime, data = m["mime"], m["data"]
+                if mime != "audio/wav":
+                    raise NotImplementedError(
+                        f"no codec for {mime!r} in this environment (ffmpeg "
+                        "not installed)"
+                    )
+                with wave.open(io.BytesIO(bytes(data))) as w:
+                    if w.getsampwidth() != 2:
+                        raise ValueError("only 16-bit PCM supported")
+                    frames = w.readframes(w.getnframes())
+                    n = w.getnframes() * w.getnchannels()
+                    samples = struct.unpack(f"<{n}h", frames)
+                    rates.append(w.getframerate())
+                    ns.append(w.getnframes())
+                    cs.append(w.getnchannels())
+                    sums.append(sum(samples))
+            pdf = pdf.copy()
+            pdf["sample_rate"] = rates
+            pdf["n_audio_samples"] = ns
+            pdf["n_audio_channels"] = cs
+            pdf["sample_sum"] = sums
+            yield pdf
+
+    return df.mapInPandas(decode, out_schema)
+
+
 def extract_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     """Fixed-dim float feature vector per media payload via Arrow-batched
     mapInPandas (numpy over the raw bytes — the real plumbing a learned

@@ -22,6 +22,8 @@ from clickhousedatamocker_spark.operators.dedup import (
 )
 from clickhousedatamocker_spark.operators.multimodal import (
     attach_synth_png,
+    attach_synth_wav,
+    decode_audio,
     decode_media,
     extract_features,
 )
@@ -494,43 +496,69 @@ def retention_analysis(spark, sf_dir):
 
 
 # -------------------------------------------------------------------------
-# pixel_sum oracle: the synthetic 8x8 RGB image's 192 pixel bytes are the
-# first 6 sha256 digests of "doc_id:i" — DuckDB re-derives them and sums
-# the bytes. Only a correct PNG encode -> (CRC-checked, inflated,
-# unfiltered) decode roundtrip reproduces the same sum on the Spark side.
-_PNG_HH = "||".join(f"sha256(doc_id::VARCHAR || ':{i}')" for i in range(6))
-_PNG_ORACLE = f"""
-SELECT doc_id, 8 AS width, 8 AS height, 3 AS n_channels,
-  list_sum(list_transform(generate_series(0, 191), j ->
-    16 * (strpos('0123456789abcdef', substr(hh, 2*j+1, 1)) - 1)
-       + (strpos('0123456789abcdef', substr(hh, 2*j+2, 1)) - 1))) AS pixel_sum,
+# Multimodal checksum oracles. Both synthetic payloads derive their content
+# bytes from the first 6 sha256 digests of "doc_id:i"; DuckDB re-derives
+# those 192 bytes and recomputes the checksum each decode must reproduce:
+# - image: pixel_sum = sum of unsigned pixel bytes (only a correct PNG
+#   encode -> CRC-checked, inflated, unfiltered decode yields it)
+# - audio: sample_sum = sum of signed 16-bit LE PCM samples (only a correct
+#   RIFF/WAVE parse + PCM interpretation yields it)
+_MM_HH = "||".join(f"sha256(doc_id::VARCHAR || ':{i}')" for i in range(6))
+_HEX = "strpos('0123456789abcdef', substr(hh, {pos}, 1)) - 1"
+_BYTE = f"(16 * ({_HEX.format(pos='{p1}')}) + ({_HEX.format(pos='{p2}')}))"
+# unsigned byte j of the 192-byte stream (hex chars 2j+1, 2j+2)
+_U8 = _BYTE.format(p1="2*j+1", p2="2*j+2")
+# 16-bit LE sample j: lo byte at 2j (hex 4j+1,4j+2), hi byte at 2j+1 (hex 4j+3,4j+4)
+_S16_RAW = (
+    f"({_BYTE.format(p1='4*j+1', p2='4*j+2')} + 256 * {_BYTE.format(p1='4*j+3', p2='4*j+4')})"
+)
+_MM_ORACLE = f"""
+WITH src AS (SELECT doc_id, {_MM_HH} AS hh FROM documents WHERE doc_id < 50)
+SELECT doc_id, 'image' AS modality, 8 AS dim_a, 8 AS dim_b, 3 AS channels,
+  list_sum(list_transform(generate_series(0, 191), j -> {_U8})) AS checksum,
   16 AS feature_dim
-FROM (SELECT doc_id, {_PNG_HH} AS hh FROM documents WHERE doc_id < 50)
-ORDER BY doc_id
+FROM src
+UNION ALL
+SELECT doc_id, 'audio' AS modality, 96 AS dim_a, 8000 AS dim_b, 1 AS channels,
+  list_sum(list_transform(list_transform(generate_series(0, 95), j -> {_S16_RAW}),
+    v -> v - 65536 * CAST(v >= 32768 AS INTEGER))) AS checksum,
+  16 AS feature_dim
+FROM src
+ORDER BY doc_id, modality
 """.strip()
 
 
 @register(
-    "multimodal_png_pipeline",
-    _PNG_ORACLE,
-    description="Multimodal end-to-end with a REAL codec: synthetic valid "
-    "PNGs (vendored pure-stdlib encoder, operators/png.py) -> spec-"
-    "conformant decode (per-chunk CRC validation, zlib inflate, scanline "
-    "unfiltering) -> Arrow-batched mapInPandas feature extraction, all "
-    "narrow transforms, no driver collect of binary. The oracle re-derives "
-    "the expected pixel byte sums from the sha256 pixel source — a value "
-    "only a correct encode/decode roundtrip produces. Formats needing "
-    "PIL/ffmpeg (jpeg/wav/mp4) stay stub-gated in operators/multimodal.py.",
+    "multimodal_decode_pipeline",
+    _MM_ORACLE,
+    description="Multimodal end-to-end with REAL codecs for two modalities: "
+    "synthetic valid PNGs (vendored pure-stdlib encoder/decoder, "
+    "operators/png.py: per-chunk CRC validation, zlib inflate, scanline "
+    "unfiltering) and synthetic WAV audio (stdlib wave RIFF framing, signed "
+    "16-bit PCM) -> Arrow-batched mapInPandas decode + feature extraction, "
+    "all narrow transforms, no driver collect of binary. The oracle "
+    "re-derives each modality's checksum from the sha256 content source — "
+    "values only correct encode/decode roundtrips produce. Formats needing "
+    "PIL/ffmpeg (jpeg/mp4) stay stub-gated in operators/multimodal.py.",
 )
-def multimodal_png_pipeline(spark, sf_dir):
+def multimodal_decode_pipeline(spark, sf_dir):
     docs = t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 50)
-    decoded = decode_media(attach_synth_png(docs, "doc_id"))
-    feats = extract_features(decoded)
-    return feats.select(
+    img = extract_features(decode_media(attach_synth_png(docs, "doc_id"))).select(
         "doc_id",
-        F.col("width").cast("int").alias("width"),
-        F.col("height").cast("int").alias("height"),
-        F.col("n_channels").cast("int").alias("n_channels"),
-        F.col("pixel_sum").cast("long").alias("pixel_sum"),
+        F.lit("image").alias("modality"),
+        F.col("width").cast("int").alias("dim_a"),
+        F.col("height").cast("int").alias("dim_b"),
+        F.col("n_channels").cast("int").alias("channels"),
+        F.col("pixel_sum").cast("long").alias("checksum"),
         F.size("features").alias("feature_dim"),
-    ).orderBy("doc_id")
+    )
+    aud = extract_features(decode_audio(attach_synth_wav(docs, "doc_id"))).select(
+        "doc_id",
+        F.lit("audio").alias("modality"),
+        F.col("n_audio_samples").cast("int").alias("dim_a"),
+        F.col("sample_rate").cast("int").alias("dim_b"),
+        F.col("n_audio_channels").cast("int").alias("channels"),
+        F.col("sample_sum").cast("long").alias("checksum"),
+        F.size("features").alias("feature_dim"),
+    )
+    return img.unionByName(aud).orderBy("doc_id", "modality")

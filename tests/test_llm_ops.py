@@ -255,6 +255,28 @@ def test_png_decode_media_real(spark):
         assert r["pixel_sum"] == sum(px[:192])
 
 
+def test_wav_decode_media_real(spark):
+    """decode_audio really parses the RIFF framing: params match the
+    encoder's and sample_sum equals the signed-16-bit view of the
+    sha256-derived source bytes."""
+    import hashlib
+    import struct
+
+    from clickhousedatamocker_spark.operators.multimodal import attach_synth_wav, decode_audio
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id").limit(10)
+    decoded = decode_audio(attach_synth_wav(docs, "doc_id")).collect()
+    assert len(decoded) == 10
+    for r in decoded:
+        assert (r["sample_rate"], r["n_audio_samples"], r["n_audio_channels"]) == (8000, 96, 1)
+        raw = bytearray()
+        i = 0
+        while len(raw) < 192:
+            raw.extend(hashlib.sha256(f"{r['doc_id']}:{i}".encode()).digest())
+            i += 1
+        assert r["sample_sum"] == sum(struct.unpack("<96h", bytes(raw[:192])))
+
+
 def test_window_funnel_semantics(spark):
     """Hand-built scenario pinning the any-anchor max-depth semantics."""
     from clickhousedatamocker_spark.operators.funnel import window_funnel
