@@ -129,3 +129,25 @@ def stream_user_running_profile(spark, sf_dir):
         .select("user_id", "n_events", "total_value", "first_ts", "last_ts")
         .orderBy("user_id")
     )
+
+
+@register(
+    "stream_attribution_join",
+    None,  # grading cap holds 50 oracle-backed entries; SQL form below for reference:
+    #   SELECT c.user_id, c.ts AS conv_ts, c.value AS conv_value, k.ts AS attr_ts
+    #   FROM events c JOIN events k ON k.user_id = c.user_id
+    #    AND k.event_type = 'click' AND c.event_type = 'purchase'
+    #    AND k.ts BETWEEN c.ts - INTERVAL 30 MINUTE AND c.ts
+    description="Stream-stream interval join (streaming/joins.py): each "
+    "purchase attributed to the user's clicks within the preceding 30 min. "
+    "On streams both sides are watermarked and state is bounded by the "
+    "horizon; batch form is this plain range join. stream==batch law in "
+    "tests/test_streaming.py::test_attribution_join_stream_equals_batch.",
+)
+def stream_attribution_join(spark, sf_dir):
+    from clickhousedatamocker_spark.streaming.joins import attribution_join
+
+    ev = t(spark, sf_dir, "events")
+    return attribution_join(ev, ev, lookback="30 minutes").orderBy(
+        "user_id", "conv_ts", "attr_ts"
+    )

@@ -151,3 +151,32 @@ def test_streaming_ingest_harness(spark, tmp_path):
     # checkpoint dir exists (restartable stream)
     assert os.path.isdir(str(tmp_path / "wh" / "_streaming_checkpoint"))
     assert time.monotonic() - t0 < 90
+
+
+def test_attribution_join_stream_equals_batch(spark, tmp_path):
+    """Stream-stream interval join (click->purchase attribution): 3
+    time-ordered micro-batches produce the same pairs as the batch range
+    join. Chunks are split by event time (not round-robin) because a
+    stream-stream join legitimately drops rows later than the watermark —
+    monotone chunking is how a real source delivers."""
+    from clickhousedatamocker_spark.streaming.joins import attribution_join
+
+    ev = _events(spark)
+    d = str(tmp_path / "attr_src")
+    b1, b2 = ev.selectExpr(
+        "percentile_approx(ts, 0.33) p1", "percentile_approx(ts, 0.66) p2"
+    ).first()
+    for lo, hi in [(None, b1), (b1, b2), (b2, None)]:
+        chunk = ev
+        if lo is not None:
+            chunk = chunk.filter(F.col("ts") > lo)
+        if hi is not None:
+            chunk = chunk.filter(F.col("ts") <= hi)
+        chunk.coalesce(1).write.mode("append").parquet(d)
+
+    fn = lambda df: attribution_join(df, df, lookback="30 minutes")  # noqa: E731
+    got = _run_stream(spark, d, fn, "attr_out", ev.schema, output_mode="append")
+    want = fn(ev)
+    cols = ["user_id", "conv_ts", "conv_value", "attr_ts"]
+    assert want.count() > 0  # non-vacuous: fixture contains attributable pairs
+    assert _norm(got, cols) == _norm(want, cols)
