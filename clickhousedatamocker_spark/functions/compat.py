@@ -237,6 +237,10 @@ def parse_ch_ddl(sql: str) -> dict | None:
             for part in _split_top(sm.group(1)):
                 k, v = part.split("=")
                 settings[k.strip()] = int(v.strip())
+        if partition_column == "event_hour":
+            # hourly partitioning: a daily-horizon batch touches ≤24 values;
+            # lets the writer size its shuffle to the key cardinality
+            settings.setdefault("partition_buckets", 24)
 
         return {
             "op": "create",

@@ -81,5 +81,11 @@ def test_local_spec() -> TableSpec:
         schema=TEST_LOCAL_SCHEMA,
         partition_column=PARTITION_COLUMN,
         order_columns=list(ORDER_COLUMNS),
-        settings={"parts_to_delay_insert": 150, "parts_to_throw_insert": 300},
+        settings={
+            "parts_to_delay_insert": 150,
+            "parts_to_throw_insert": 300,
+            # toYYYYMMDDhh over the generator's 1-day spread → 24 distinct
+            # partition values per batch; sizes the ingest shuffle (ingest.py)
+            "partition_buckets": 24,
+        },
     )

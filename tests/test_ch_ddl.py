@@ -27,7 +27,11 @@ def test_reference_sql_lifecycle_verbatim(spark, tmp_warehouse):
     local = engine.catalog.get("test_local")
     assert local.partition_column == "event_hour"
     assert local.order_columns == ["event_time", "id"]
-    assert local.settings == {"parts_to_delay_insert": 150, "parts_to_throw_insert": 300}
+    assert local.settings == {
+        "parts_to_delay_insert": 150,
+        "parts_to_throw_insert": 300,
+        "partition_buckets": 24,  # derived: hourly partitioning => <=24 values/day
+    }
     assert [f.name for f in local.schema.fields] == [
         "id", "event_time", "user_id", "event_type", "value",
         "status", "description", "metadata", "created_at", "updated_at",
