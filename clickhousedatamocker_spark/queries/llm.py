@@ -108,23 +108,28 @@ def text_analysis_profile(spark, sf_dir):
 
 # -------------------------------------------------------------------------
 @register(
-    "text_token_stats",
+    "text_tokens_lang_fingerprint",
     f"""
 SELECT doc_id,
   len(string_split(text, ' ')) AS n_tokens,
   len(list_distinct(string_split(text, ' '))) AS n_unique_tokens,
   length(text) AS n_chars,
-  {_O['n_bpe_tokens']} AS n_bpe_tokens
+  {_O['n_bpe_tokens']} AS n_bpe_tokens,
+  {_O['langid']} AS predicted_lang,
+  {_O['fingerprint']} AS fingerprint
 FROM documents
 WHERE doc_id < 300
 ORDER BY doc_id
 """,
-    description="Token counting: whitespace tokenizer, distinct-token and "
-    "char counts, plus the BPE-ish regex pretokenizer count (regex restricted "
-    "to the RE2-compatible subset so Spark's Java regex and the oracle's RE2 "
-    "tokenize identically) — row-parallel, all JVM builtins.",
+    description="Per-document token stats + language ID + fingerprint in one "
+    "scan: whitespace tokenizer, distinct-token and char counts, the BPE-ish "
+    "regex pretokenizer count (regex restricted to the RE2-compatible subset "
+    "so Spark's Java regex and the oracle's RE2 tokenize identically), "
+    "stopword-fraction langid, and the order-sensitive rolling polynomial "
+    "hash (mod 30-bit prime: overflow-free in both engines) — row-parallel, "
+    "all JVM builtins, zero shuffle.",
 )
-def text_token_stats(spark, sf_dir):
+def text_tokens_lang_fingerprint(spark, sf_dir):
     return (
         t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 300)
@@ -134,6 +139,8 @@ def text_token_stats(spark, sf_dir):
             F.size(F.array_distinct(F.split("text", " "))).cast("long").alias("n_unique_tokens"),
             F.length("text").cast("long").alias("n_chars"),
             ta.bpe_token_count("text").alias("n_bpe_tokens"),
+            ta.langid_en("text").alias("predicted_lang"),
+            ta.fingerprint("text").alias("fingerprint"),
         )
         .orderBy("doc_id")
     )
@@ -181,50 +188,6 @@ def pipeline_clean_corpus(spark, sf_dir):
         canonical.groupBy("predicted_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.round(F.avg("q"), 6).alias("avg_quality"))
         .orderBy("predicted_lang")
-    )
-
-
-# -------------------------------------------------------------------------
-@register(
-    "text_langid",
-    f"""
-SELECT {_O['langid']} AS predicted_lang, COUNT(*) AS n_docs
-FROM documents
-GROUP BY 1
-ORDER BY 1
-""",
-    description="Stopword-fraction language ID (the 1-feature form of an "
-    "n-gram profile classifier), aggregated per predicted language.",
-)
-def text_langid(spark, sf_dir):
-    return (
-        t(spark, sf_dir, "documents")
-        .select(ta.langid_en("text").alias("predicted_lang"))
-        .groupBy("predicted_lang")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .orderBy("predicted_lang")
-    )
-
-
-# -------------------------------------------------------------------------
-@register(
-    "text_fingerprint",
-    f"""
-SELECT doc_id, {_O['fingerprint']} AS fingerprint
-FROM documents
-WHERE doc_id < 200
-ORDER BY doc_id
-""",
-    description="Order-sensitive rolling polynomial hash over the character "
-    "stream (mod 30-bit prime: identical overflow-free arithmetic in Spark "
-    "and the oracle).",
-)
-def text_fingerprint(spark, sf_dir):
-    return (
-        t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 200)
-        .select("doc_id", ta.fingerprint("text").alias("fingerprint"))
-        .orderBy("doc_id")
     )
 
 

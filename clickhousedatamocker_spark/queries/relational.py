@@ -478,92 +478,100 @@ def setops_customer_segments(spark, sf_dir):
 
 # -------------------------------------------------------------------------
 @register(
-    "agg_rollup_region_nation",
+    "agg_grouping_analytics",
     f"""
-SELECT r_name, n_name, COUNT(*) AS n_customers, {o_dsum('c_acctbal', 12, 2)} AS total_acctbal
+SELECT 'rollup' AS tag, r_name AS k1, n_name AS k2, COUNT(*) AS n_rows,
+       {o_dsum('c_acctbal', 12, 2)} AS total
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY ROLLUP(r_name, n_name)
-ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
-""",
-    description="ROLLUP hierarchy totals (region -> nation -> grand total).",
-)
-def agg_rollup_region_nation(spark, sf_dir):
-    cust = t(spark, sf_dir, "customer")
-    nation = t(spark, sf_dir, "nation")
-    region = t(spark, sf_dir, "region")
-    return (
-        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .rollup("r_name", "n_name")
-        .agg(F.count(F.lit(1)).alias("n_customers"), dsum("c_acctbal", 12, 2).alias("total_acctbal"))
-        .orderBy(F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first())
-    )
-
-
-# -------------------------------------------------------------------------
-@register(
-    "agg_cube_grouping_sets",
-    f"""
-SELECT 'cube' AS tag, o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
-       {o_dsum('o_totalprice', 12, 2)} AS total_price
+UNION ALL
+SELECT 'cube' AS tag, o_orderstatus AS k1, o_orderpriority AS k2, COUNT(*) AS n_rows,
+       {o_dsum('o_totalprice', 12, 2)} AS total
 FROM orders
 GROUP BY CUBE(o_orderstatus, o_orderpriority)
 UNION ALL
-SELECT 'gsets' AS tag, o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
-       {o_dsum('o_totalprice', 12, 2)} AS total_price
+SELECT 'gsets' AS tag, o_orderstatus AS k1, o_orderpriority AS k2, COUNT(*) AS n_rows,
+       {o_dsum('o_totalprice', 12, 2)} AS total
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-ORDER BY tag, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+ORDER BY tag, k1 NULLS FIRST, k2 NULLS FIRST
 """,
-    description="CUBE over status x priority (all 2^2 grouping sets) UNION "
-    "explicit GROUPING SETS (two single-key sets + grand total), tagged — "
-    "both multi-set aggregation forms in one plan.",
+    description="The three multi-set aggregation forms in one tagged plan: "
+    "ROLLUP hierarchy totals (region -> nation -> grand total over the "
+    "broadcast dim join), CUBE over status x priority (all 2^2 sets), and "
+    "explicit GROUPING SETS (two single-key sets + grand total). Spark "
+    "expands each to a single Expand + hash aggregate - no extra scans.",
 )
-def agg_cube_grouping_sets(spark, sf_dir):
+def agg_grouping_analytics(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    rollup = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_rows"), dsum("c_acctbal", 12, 2).alias("total"))
+        .select(
+            F.lit("rollup").alias("tag"),
+            F.col("r_name").alias("k1"),
+            F.col("n_name").alias("k2"),
+            "n_rows",
+            "total",
+        )
+    )
     cube = (
         t(spark, sf_dir, "orders")
         .cube("o_orderstatus", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", 12, 2).alias("total_price"))
-        .withColumn("tag", F.lit("cube"))
+        .agg(F.count(F.lit(1)).alias("n_rows"), dsum("o_totalprice", 12, 2).alias("total"))
+        .select(
+            F.lit("cube").alias("tag"),
+            F.col("o_orderstatus").alias("k1"),
+            F.col("o_orderpriority").alias("k2"),
+            "n_rows",
+            "total",
+        )
     )
     views(spark, sf_dir, "orders")
     gsets = spark.sql(
         f"""
-        SELECT 'gsets' AS tag, o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
-               {o_dsum('o_totalprice', 12, 2)} AS total_price
+        SELECT 'gsets' AS tag, o_orderstatus AS k1, o_orderpriority AS k2,
+               COUNT(*) AS n_rows, {o_dsum('o_totalprice', 12, 2)} AS total
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
     )
     return (
-        cube.select("tag", "o_orderstatus", "o_orderpriority", "n_orders", "total_price")
+        rollup.unionByName(cube)
         .unionByName(gsets)
-        .orderBy(
-            "tag",
-            F.col("o_orderstatus").asc_nulls_first(),
-            F.col("o_orderpriority").asc_nulls_first(),
-        )
+        .orderBy("tag", F.col("k1").asc_nulls_first(), F.col("k2").asc_nulls_first())
     )
 
 
 # -------------------------------------------------------------------------
 @register(
-    "agg_distinct_counts",
+    "agg_distinct_and_quantiles_exact",
     """
 SELECT l_returnflag,
   COUNT(DISTINCT l_suppkey) AS n_suppliers,
   COUNT(DISTINCT l_partkey) AS n_parts,
-  COUNT(*) AS n_rows
+  COUNT(*) AS n_rows,
+  ROUND(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE), 4) AS p50,
+  ROUND(CAST(quantile_cont(l_extendedprice, 0.9) AS DOUBLE), 4) AS p90,
+  ROUND(CAST(quantile_cont(l_extendedprice, 0.99) AS DOUBLE), 4) AS p99
 FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
 """,
-    description="Multiple DISTINCT aggregates. Scale: Spark expands to "
-    "two-phase distinct aggregation (partial dedup before the shuffle).",
+    description="Multiple DISTINCT aggregates + exact continuous quantiles "
+    "(ClickHouse quantileExact family) in one grouped pass. Scale: Spark "
+    "expands distincts to two-phase aggregation (partial dedup before the "
+    "shuffle); percentile() uses the same linear-interpolation definition as "
+    "the oracle's quantile_cont, rounded to 4dp for cross-engine float "
+    "identity.",
 )
-def agg_distinct_counts(spark, sf_dir):
+def agg_distinct_and_quantiles_exact(spark, sf_dir):
     return (
         t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
@@ -571,6 +579,9 @@ def agg_distinct_counts(spark, sf_dir):
             F.countDistinct("l_suppkey").alias("n_suppliers"),
             F.countDistinct("l_partkey").alias("n_parts"),
             F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
         )
         .orderBy("l_returnflag")
     )
@@ -613,35 +624,6 @@ def join_range_bucketed(spark, sf_dir):
         joined.groupBy("win_lo")
         .agg(F.count(F.lit(1)).alias("n_shipments"))
         .orderBy("win_lo")
-    )
-
-
-@register(
-    "agg_quantiles_exact",
-    """
-SELECT l_returnflag,
-       ROUND(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE), 4) AS p50,
-       ROUND(CAST(quantile_cont(l_extendedprice, 0.9) AS DOUBLE), 4) AS p90,
-       ROUND(CAST(quantile_cont(l_extendedprice, 0.99) AS DOUBLE), 4) AS p99
-FROM lineitem
-GROUP BY l_returnflag
-ORDER BY l_returnflag
-""",
-    description="Exact continuous quantiles per group (ClickHouse "
-    "quantileExact family): percentile() with linear interpolation — "
-    "identical definition to the oracle's quantile_cont, rounded to 4dp for "
-    "cross-engine float identity.",
-)
-def agg_quantiles_exact(spark, sf_dir):
-    li = t(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
-            F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
-            F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
-        )
-        .orderBy("l_returnflag")
     )
 
 
@@ -821,41 +803,6 @@ def pivot_linestatus(spark, sf_dir):
 
 
 # -------------------------------------------------------------------------
-@register(
-    "having_cte_big_customers",
-    f"""
-WITH rev AS (
-  SELECT o_custkey, {o_dsum('o_totalprice', 12, 2)} AS total_spent, COUNT(*) AS n_orders
-  FROM orders
-  GROUP BY o_custkey
-  HAVING COUNT(*) >= 15
-)
-SELECT c_custkey, c_name, total_spent, n_orders
-FROM rev JOIN customer ON c_custkey = o_custkey
-ORDER BY total_spent DESC, c_custkey
-LIMIT 25
-""",
-    description="CTE + HAVING + join-back + top-k.",
-)
-def having_cte_big_customers(spark, sf_dir):
-    views(spark, sf_dir, "orders", "customer")
-    return spark.sql(
-        f"""
-        WITH rev AS (
-          SELECT o_custkey, {o_dsum('o_totalprice', 12, 2)} AS total_spent, COUNT(*) AS n_orders
-          FROM orders
-          GROUP BY o_custkey
-          HAVING COUNT(*) >= 15
-        )
-        SELECT c_custkey, c_name, total_spent, n_orders
-        FROM rev JOIN customer ON c_custkey = o_custkey
-        ORDER BY total_spent DESC, c_custkey
-        LIMIT 25
-        """
-    )
-
-
-# -------------------------------------------------------------------------
 _SUBQ_SQL = f"""
 SELECT 'scalar_above_avg' AS tag, c_custkey AS key, c_acctbal AS val
 FROM customer
@@ -864,18 +811,32 @@ UNION ALL
 SELECT 'in_max_quantity' AS tag, o_orderkey AS key, o_totalprice AS val
 FROM orders
 WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity = 50)
+UNION ALL
+SELECT 'having_cte_topk' AS tag, key, val FROM (
+  WITH rev AS (
+    SELECT o_custkey, {o_dsum('o_totalprice', 12, 2)} AS total_spent, COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 15
+  )
+  SELECT c_custkey AS key, total_spent AS val
+  FROM rev JOIN customer ON c_custkey = o_custkey
+  ORDER BY total_spent DESC, c_custkey
+  LIMIT 25
+)
 ORDER BY tag, key
 """.strip()
 
 
 @register(
-    "subqueries_scalar_and_in",
+    "subqueries_cte_having",
     _SUBQ_SQL,
-    description="Uncorrelated scalar subquery (exact-decimal avg; one "
-    "broadcast of a single value) UNION an IN-subquery (decorrelated to a "
-    "left-semi join by Catalyst), tagged.",
+    description="Subquery/CTE surface in one tagged plan: uncorrelated "
+    "scalar subquery (exact-decimal avg; one broadcast of a single value), "
+    "IN-subquery (decorrelated to a left-semi join by Catalyst), and a "
+    "CTE + HAVING + join-back + top-k block.",
 )
-def subqueries_scalar_and_in(spark, sf_dir):
+def subqueries_cte_having(spark, sf_dir):
     views(spark, sf_dir, "customer", "orders", "lineitem")
     return spark.sql(_SUBQ_SQL)
 
