@@ -589,6 +589,183 @@ def agg_distinct_and_quantiles_exact(spark, sf_dir):
 
 # -------------------------------------------------------------------------
 @register(
+    "agg_ch_showcase",
+    """
+WITH am AS (
+  SELECT DISTINCT event_type,
+    first_value(user_id) OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS argmax_user,
+    first_value(user_id) OVER (PARTITION BY event_type ORDER BY value, event_id) AS argmin_user,
+    first_value(user_id) OVER (PARTITION BY event_type ORDER BY epoch_us(ts), event_id) AS first_user
+  FROM events
+), uc AS (
+  SELECT event_type, user_id, COUNT(*) AS c FROM events GROUP BY 1, 2
+), rk AS (
+  SELECT event_type, user_id, c,
+         row_number() OVER (PARTITION BY event_type ORDER BY c DESC, user_id) AS rn
+  FROM uc
+), top3 AS (
+  SELECT event_type, string_agg(user_id || ':' || c, ',' ORDER BY rn) AS top3_users
+  FROM rk WHERE rn <= 3 GROUP BY 1
+), dw AS (
+  SELECT event_type, dayofweek(ts) AS dow,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS s
+  FROM events GROUP BY 1, 2
+), smap AS (
+  SELECT event_type, string_agg(dow || ':' || s, ',' ORDER BY dow) AS summap_dow
+  FROM dw GROUP BY 1
+)
+SELECT event_type, argmax_user, argmin_user, first_user, top3_users, summap_dow
+FROM am JOIN top3 USING (event_type) JOIN smap USING (event_type)
+ORDER BY event_type
+""",
+    description="ClickHouse aggregate-function showcase in one plan: "
+    "argMax/argMin via max_by/min_by with a struct ordering key (value, "
+    "event_id tiebreak - deterministic under ties, unlike raw argMax), "
+    "anyFirst-by-time via min_by on (ts, event_id), topK(3) heavy hitters "
+    "per group (exact two-level count + rank: the scale path is one shuffle "
+    "on (type,user) with partial aggregation, never a sketch collect), and "
+    "sumMap over dynamic day-of-week keys (exploded entries -> grouped "
+    "exact-decimal sums -> canonical 'key:sum' string, order-independent). "
+    "All sub-aggregations reduce to <=5-row outputs joined broadcast-style.",
+)
+def agg_ch_showcase(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    am = ev.groupBy("event_type").agg(
+        F.max_by(
+            "user_id", F.struct(F.col("value"), (-F.col("event_id")).alias("nid"))
+        ).alias("argmax_user"),
+        F.min_by("user_id", F.struct(F.col("value"), F.col("event_id"))).alias("argmin_user"),
+        F.min_by("user_id", F.struct(F.col("ts"), F.col("event_id"))).alias("first_user"),
+    )
+    uc = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("c"))
+    w = W.partitionBy("event_type").orderBy(F.desc("c"), F.asc("user_id"))
+    top3 = (
+        uc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .groupBy("event_type")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("rn", F.concat_ws(":", "user_id", "c").alias("s"))
+                        )
+                    ),
+                    lambda x: x["s"],
+                ),
+                ",",
+            ).alias("top3_users")
+        )
+    )
+    dw = ev.groupBy("event_type", (F.dayofweek("ts") - 1).alias("dow")).agg(
+        F.sum(dec("value", 18, 4)).alias("s")
+    )
+    smap = dw.groupBy("event_type").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "dow",
+                            F.concat_ws(":", F.col("dow"), F.col("s").cast("string")).alias("kv"),
+                        )
+                    )
+                ),
+                lambda x: x["kv"],
+            ),
+            ",",
+        ).alias("summap_dow")
+    )
+    return (
+        am.join(F.broadcast(top3), "event_type")
+        .join(F.broadcast(smap), "event_type")
+        .orderBy("event_type")
+    )
+
+
+# -------------------------------------------------------------------------
+@register(
+    "array_hof_showcase",
+    """
+WITH tk AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents WHERE doc_id < 200
+)
+SELECT doc_id,
+  CAST(len(list_filter(toks, t -> length(t) > 4)) AS BIGINT) AS n_long_tokens,
+  CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS total_token_chars,
+  array_to_string(list_sort(list_distinct(toks))[1:3], ' ') AS first3_sorted,
+  CAST(list_contains(toks, 'the') AS INT) AS has_the
+FROM tk
+ORDER BY doc_id
+""",
+    description="ClickHouse array-function surface (arrayFilter / arrayMap / "
+    "arrayReduce / arraySort / arrayDistinct / arraySlice / has) as Spark "
+    "higher-order functions: filter + size, aggregate-fold of mapped token "
+    "lengths, sort+distinct+slice+join, array_contains. The token array is "
+    "materialized once per row (no repeated-split CSE trap); every lambda "
+    "runs inside codegen - zero Python, zero shuffle, linear scan.",
+)
+def array_hof_showcase(spark, sf_dir):
+    toks = F.col("toks")
+    return (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .withColumn("toks", F.split("text", " "))
+        .select(
+            "doc_id",
+            F.size(F.filter(toks, lambda x: F.length(x) > 4)).cast("long").alias("n_long_tokens"),
+            F.aggregate(
+                toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x).cast("long")
+            ).alias("total_token_chars"),
+            F.array_join(F.slice(F.array_sort(F.array_distinct(toks)), 1, 3), " ").alias(
+                "first3_sorted"
+            ),
+            F.array_contains(toks, "the").cast("int").alias("has_the"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# -------------------------------------------------------------------------
+@register(
+    "sample_histogram_events",
+    f"""
+WITH sampled AS (
+  SELECT * FROM events
+  WHERE (event_id * 2654435761) % 4294967296 < 429496730
+), b AS (
+  SELECT CAST(LEAST(FLOOR(value / 10.0), 9) AS INT) AS bucket,
+         COUNT(*) AS n, {o_dsum('value', 18, 4)} AS bucket_sum
+  FROM sampled GROUP BY 1
+)
+SELECT bucket, n, bucket_sum FROM b ORDER BY bucket
+""",
+    description="ClickHouse SAMPLE-clause parity: deterministic ~10% sample "
+    "via a Knuth multiplicative hash of the row id against a fixed threshold "
+    "- the same rows are selected on every engine and every run (unlike "
+    "TABLESAMPLE's partition-dependent Bernoulli draw), which is exactly how "
+    "CH's SAMPLE key works. Over the sample, a fixed-width histogram() of "
+    "value (10 buckets, exact-decimal per-bucket sums). Scale: the sample "
+    "predicate is a pure row-local filter pushed to the scan - no shuffle "
+    "until the 10-row aggregate.",
+)
+def sample_histogram_events(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    sampled = ev.filter(
+        F.pmod(F.col("event_id") * F.lit(2654435761), F.lit(4294967296)) < F.lit(429496730)
+    )
+    return (
+        sampled.groupBy(
+            F.least(F.floor(F.col("value") / 10.0), F.lit(9)).cast("int").alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", 18, 4).alias("bucket_sum"))
+        .orderBy("bucket")
+    )
+
+
+# -------------------------------------------------------------------------
+@register(
     "join_range_bucketed",
     """
 WITH months AS (
