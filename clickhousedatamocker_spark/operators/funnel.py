@@ -37,8 +37,16 @@ def window_funnel(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    seq_match_col: str | None = None,
 ) -> DataFrame:
-    """→ (user_col, funnel_depth) with depth in 0..len(steps)."""
+    """→ (user_col, funnel_depth) with depth in 0..len(steps).
+
+    ``seq_match_col``: also emit ClickHouse ``sequenceMatch`` over the same
+    sorted per-user events — 1 iff the steps occur as a time-ordered
+    subsequence with ANY events in between (the ``(?1).*(?2).*(?3)`` pattern,
+    no window constraint). Computed as a regex over the per-event step codes,
+    reusing the single per-user aggregation.
+    """
     k = len(steps)
     evs = (
         events.select(
@@ -80,11 +88,29 @@ def window_funnel(
     )
     depths = F.transform(anchors, depth_for_anchor)
     depth = F.coalesce(F.array_max(depths), F.lit(0))
-    return evs.select(F.col(user_col), depth.cast("int").alias("funnel_depth"))
+    cols = [F.col(user_col), depth.cast("int").alias("funnel_depth")]
+    if seq_match_col:
+        code = _step_code_column(steps)
+        seq = F.array_join(F.transform(F.col("evs"), code), "")
+        pat = ".*".join(chr(ord("A") + i) for i in range(k))
+        cols.append(seq.rlike(pat).cast("int").alias(seq_match_col))
+    return evs.select(*cols)
+
+
+def _step_code_column(steps: list[str]):
+    """Per-event single-char step code: steps[i] -> chr('A'+i), other -> 'z'."""
+
+    def code(e: Column) -> Column:
+        c = F.lit("z")
+        for i in range(len(steps) - 1, -1, -1):
+            c = F.when(e["y"] == steps[i], chr(ord("A") + i)).otherwise(c)
+        return c
+
+    return code
 
 
 def funnel_oracle_sql(
-    steps: list[str], window_s: int, table: str = "events"
+    steps: list[str], window_s: int, table: str = "events", seq_match_col: str | None = None
 ) -> str:
     """DuckDB SQL implementing the identical any-anchor max-depth fold.
 
@@ -111,13 +137,23 @@ def funnel_oracle_sql(
     for i in range(k, 1, -1):
         depth += f"WHEN f.t{i} IS NOT NULL THEN {i} "
     depth += "ELSE 1 END"
+    seq_select = ""
+    if seq_match_col:
+        case = "CASE " + " ".join(
+            f"WHEN e.y = '{s}' THEN '{chr(ord('A') + i)}'" for i, s in enumerate(steps)
+        ) + " ELSE 'z' END"
+        pat = ".*".join(chr(ord("A") + i) for i in range(k))
+        seq_select = (
+            f",\n       CAST(regexp_matches(array_to_string("
+            f"list_transform(evs, e -> {case}), ''), '{pat}') AS INT) AS {seq_match_col}"
+        )
     return f"""
 WITH per_user AS (
   SELECT user_id, list_sort(list({elem})) AS evs
   FROM {table}
   GROUP BY user_id
 ), anchored AS (
-  SELECT user_id,
+  SELECT user_id, evs,
     list_transform(
       list_filter(generate_series(1, len(evs)), p -> evs[p].y = '{steps[0]}'),
       p -> list_reduce(
@@ -128,7 +164,7 @@ WITH per_user AS (
 )
 SELECT user_id,
        CAST(COALESCE(list_max(list_transform(finals, f -> {depth})), 0) AS INT)
-         AS funnel_depth
+         AS funnel_depth{seq_select}
 FROM anchored
 ORDER BY user_id
 """.strip()

@@ -71,6 +71,109 @@ def dedup_exact_canonical(spark, sf_dir):
 # -------------------------------------------------------------------------
 _O = ta.oracle_snippets()
 
+# PII-scrubbing regexes — identical source text in Spark (Java regex) and the
+# oracle (RE2): restricted to the syntax subset both engines parse the same.
+_RE_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_RE_PHONE = r"\b555-[0-9]{3,4}\b"
+_RE_IP = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+@register(
+    "pipeline_pii_chunking",
+    f"""
+WITH base AS (
+  SELECT doc_id,
+    text || ' Contact jdoe' || doc_id || '@example.com or call 555-' ||
+      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' from 10.0.' ||
+      (doc_id % 256) || '.9' AS enriched
+  FROM documents WHERE doc_id < 150
+), scrub AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(regexp_replace(enriched,
+      '{_RE_EMAIL}', '<EMAIL>', 'g'),
+      '{_RE_PHONE}', '<PHONE>', 'g'),
+      '{_RE_IP}', '<IP>', 'g') AS scrubbed
+  FROM base
+), tk AS (
+  SELECT doc_id, scrubbed, string_split(scrubbed, ' ') AS toks,
+         CAST(len(string_split(scrubbed, ' ')) AS BIGINT) AS n
+  FROM scrub
+), ch AS (
+  SELECT doc_id, toks, n,
+         CAST(len(string_split(scrubbed, '<EMAIL>')) - 1 AS BIGINT) AS n_emails,
+         CAST(len(string_split(scrubbed, '<PHONE>')) - 1 AS BIGINT) AS n_phones,
+         CAST(len(string_split(scrubbed, '<IP>')) - 1 AS BIGINT) AS n_ips,
+         unnest(generate_series(0, (GREATEST(0, n - 50) + 39) // 40)) AS k
+  FROM tk
+)
+SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+       CAST(k * 40 + 1 AS BIGINT) AS chunk_start,
+       CAST(len(list_slice(toks, k * 40 + 1, LEAST(k * 40 + 50, n))) AS BIGINT) AS n_chunk_tokens,
+       toks[CAST(k * 40 + 1 AS BIGINT)] AS first_token,
+       toks[CAST(LEAST(k * 40 + 50, n) AS BIGINT)] AS last_token,
+       n_emails, n_phones, n_ips
+FROM ch
+ORDER BY doc_id, chunk_id
+""",
+    description="Training-data pipeline: PII scrubbing + overlapping document "
+    "chunking in one declarative plan. The fixture corpus is synthetic and "
+    "PII-free, so the query first plants deterministic synthetic PII (email/"
+    "phone/IP derived from doc_id - identical text in both engines), then "
+    "redacts it with engine-portable regexes and counts redactions per class, "
+    "then splits the scrubbed text into 50-token chunks with stride 40 "
+    "(sequence+explode; one output row per chunk). Scale: every step is a "
+    "row-local projection - the explode multiplies rows ~(n_tokens/40)x with "
+    "zero shuffle; chunk rows inherit the scan's partitioning.",
+)
+def pipeline_pii_chunking(spark, sf_dir):
+    base = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 150)
+        .withColumn(
+            "enriched",
+            F.concat(
+                F.col("text"),
+                F.lit(" Contact jdoe"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or call 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                F.lit(" from 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".9"),
+            ),
+        )
+        .withColumn(
+            "scrubbed",
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(F.col("enriched"), _RE_EMAIL, "<EMAIL>"),
+                    _RE_PHONE,
+                    "<PHONE>",
+                ),
+                _RE_IP,
+                "<IP>",
+            ),
+        )
+        .withColumn("toks", F.split("scrubbed", " "))
+        .withColumn("n", F.size("toks").cast("long"))
+        .withColumn("n_emails", (F.size(F.split("scrubbed", "<EMAIL>")) - 1).cast("long"))
+        .withColumn("n_phones", (F.size(F.split("scrubbed", "<PHONE>")) - 1).cast("long"))
+        .withColumn("n_ips", (F.size(F.split("scrubbed", "<IP>")) - 1).cast("long"))
+        .withColumn("k", F.explode(F.sequence(F.lit(0), F.expr("(greatest(0, n - 50) + 39) div 40"))))
+        .withColumn("st", (F.col("k") * 40 + 1).cast("int"))
+    )
+    return base.select(
+        "doc_id",
+        F.col("k").cast("long").alias("chunk_id"),
+        F.col("st").cast("long").alias("chunk_start"),
+        F.size(F.slice(F.col("toks"), F.col("st"), F.lit(50))).cast("long").alias("n_chunk_tokens"),
+        F.element_at("toks", F.col("st")).alias("first_token"),
+        F.element_at("toks", F.least(F.col("st") + 49, F.col("n")).cast("int")).alias("last_token"),
+        "n_emails",
+        "n_phones",
+        "n_ips",
+    ).orderBy("doc_id", "chunk_id")
+
 
 @register(
     "text_analysis_profile",
@@ -409,18 +512,23 @@ _FUNNEL_WINDOW_S = 2 * 86400
 
 @register(
     "funnel_click_view_purchase",
-    funnel_oracle_sql(_FUNNEL_STEPS, _FUNNEL_WINDOW_S),
+    funnel_oracle_sql(_FUNNEL_STEPS, _FUNNEL_WINDOW_S, seq_match_col="seq_match_cvp"),
     description="ClickHouse windowFunnel parity: per-user deepest "
     "click->view->purchase prefix completed within a 2-day window of the "
     "chain's anchor click — max depth over chains anchored at ANY click "
-    "(CH semantics; operators/funnel.py). One shuffle on user_id; the fold "
-    "is a JVM-side aggregate per anchor over the sorted per-user event "
-    "array. Oracle implements the identical fold via DuckDB list_reduce — "
-    "hash-exact.",
+    "(CH semantics; operators/funnel.py). Plus sequenceMatch('(?1).*(?2)"
+    ".*(?3)') over the same sorted per-user events (time-ordered "
+    "subsequence, no window), from the same single aggregation. One "
+    "shuffle on user_id; the fold is a JVM-side aggregate per anchor over "
+    "the sorted per-user event array. Oracle implements the identical "
+    "fold via DuckDB list_reduce — hash-exact.",
 )
 def funnel_click_view_purchase(spark, sf_dir):
     return window_funnel(
-        t(spark, sf_dir, "events"), _FUNNEL_STEPS, _FUNNEL_WINDOW_S
+        t(spark, sf_dir, "events"),
+        _FUNNEL_STEPS,
+        _FUNNEL_WINDOW_S,
+        seq_match_col="seq_match_cvp",
     ).orderBy("user_id")
 
 

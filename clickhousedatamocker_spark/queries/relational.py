@@ -830,6 +830,43 @@ def agg_approx_distinct_and_quantiles(spark, sf_dir):
 
 
 @register(
+    "q6_forecast_revenue",
+    """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    description="TPC-H Q6 forecasting revenue change: the canonical "
+    "pushdown showcase - a pure scan+filter+global-aggregate with zero "
+    "joins. All three predicates and the 3-column projection reach the "
+    "parquet scan (PushedFilters + ReadSchema); the aggregate is partial "
+    "(map-side) into a single-row final - no data shuffle at all, only "
+    "the scalar partials move.",
+)
+def q6_forecast_revenue(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(dec("l_extendedprice", 12, 2) * dec("l_discount", 3, 2))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
     "q18_large_volume_customers",
     f"""
 SELECT c_name, c_custkey, o_orderkey,

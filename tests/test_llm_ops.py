@@ -309,3 +309,63 @@ def test_window_funnel_semantics(spark):
         for r in window_funnel(ev, ["click", "view", "purchase"], 3600).collect()
     }
     assert got == {1: 3, 2: 2, 3: 1, 4: 0, 5: 2}
+
+
+def test_contamination_check_exact(spark):
+    """Hash-path contamination counts must equal a string-level
+    array_intersect ground truth on the same docs, and flag exactly the
+    planted leaks."""
+    import pyspark.sql.functions as F
+
+    from clickhousedatamocker_spark.operators.contamination import contamination_check
+    from clickhousedatamocker_spark.operators.dedup import shingles, tokens  # noqa: F401
+
+    leak = "the quick brown fox jumps over the lazy dog again"
+    clean = "completely different words in this training document entirely"
+    train = spark.createDataFrame(
+        [
+            (1, f"prefix words here {leak} suffix words"),
+            (2, clean + " more filler tokens to pad the text"),
+            (3, f"{leak} and then some other unrelated content follows"),
+        ],
+        ["doc_id", "text"],
+    )
+    test = spark.createDataFrame(
+        [(100, f"eval question: {leak} answer choices")], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: (r["n_overlapping_grams"], r["contaminated"])
+        for r in contamination_check(train, test, n=8).collect()
+    }
+    assert got[2] == (0, False)
+    assert got[1][1] and got[3][1]
+
+    # ground truth: string-level intersect of 8-gram sets
+    tr = train.select("doc_id", shingles("text", 8).alias("g"))
+    te = test.select(shingles("text", 8).alias("tg"))
+    truth = {
+        r["doc_id"]: r["n"]
+        for r in tr.crossJoin(te)
+        .select("doc_id", F.size(F.array_intersect("g", "tg")).alias("n"))
+        .groupBy("doc_id")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    }
+    for d in (1, 2, 3):
+        assert got[d][0] == truth[d], (d, got[d], truth[d])
+
+
+def test_contamination_broadcasts_test_side(spark):
+    """The train corpus must never shuffle: the test-gram join is broadcast."""
+    from clickhousedatamocker_spark.operators.contamination import contamination_check
+
+    train = spark.createDataFrame([(1, "a b c d e f g h i j k l")], ["doc_id", "text"])
+    test = spark.createDataFrame([(9, "a b c d e f g h")], ["doc_id", "text"])
+    plan = contamination_check(train, test)._jdf.queryExecution().executedPlan().toString()
+    # the gram-level join (train-corpus side) must be broadcast on the hash
+    assert "BroadcastHashJoin [__gh" in plan
+    # the only sort-merge allowed is the final doc-id result join, where both
+    # sides are doc-cardinality aggregates (not broadcastable at corpus scale)
+    for line in plan.splitlines():
+        if "SortMergeJoin" in line:
+            assert "doc_id" in line, line

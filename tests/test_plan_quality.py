@@ -144,3 +144,41 @@ def test_connected_components_bounded_plan(spark):
     plan = optimized_of(comp)
     assert "ExistingRDD" in plan or "LogicalRDD" in plan
     assert "Join" not in plan, "per-round joins still embedded in the final plan"
+
+
+def test_q6_pushdown_and_single_exchange(spark):
+    """Q6 is the pushdown showcase: all three predicates reach the parquet
+    scan and the only exchange is the scalar-partials gather — never a data
+    shuffle."""
+    plan = plan_of(REGISTRY["q6_forecast_revenue"].fn(spark, SF_DIR))
+    assert "PushedFilters" in plan
+    pf = plan.split("PushedFilters: ")[1].split("\n")[0]
+    assert "l_shipdate" in pf and "l_discount" in pf and "l_quantity" in pf
+    assert plan.count("Exchange") == 1, plan.count("Exchange")
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_sample_filter_precedes_shuffle(spark):
+    """The deterministic SAMPLE predicate is row-local: it must run in the
+    scan stage, before the histogram aggregation's exchange."""
+    plan = plan_of(REGISTRY["sample_histogram_events"].fn(spark, SF_DIR))
+    assert plan.count("Exchange") <= 2  # agg + final sort, nothing else
+    first_exchange = plan.index("Exchange")
+    assert "Filter" in plan[first_exchange:], "sample filter missing entirely"
+    # the filter on the scan side (bottom of the plan tree prints last)
+    assert plan.rindex("Filter") > first_exchange
+
+
+def test_pii_chunking_single_exchange(spark):
+    """PII scrub + explode chunking is row-local; the only exchange is the
+    presentation sort."""
+    plan = plan_of(REGISTRY["pipeline_pii_chunking"].fn(spark, SF_DIR))
+    assert plan.count("Exchange") == 1, plan.count("Exchange")
+    assert "Generate explode" in plan or "Generate" in plan
+
+
+def test_ch_showcase_broadcasts_tiny_aggregates(spark):
+    """The three <=5-row sub-aggregates join broadcast — never sort-merge."""
+    plan = plan_of(REGISTRY["agg_ch_showcase"].fn(spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan

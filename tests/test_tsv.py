@@ -40,3 +40,29 @@ def test_tsv_format_is_tab_separated_reference_timestamps(spark, tmp_path):
     assert len(fields) == 10  # the 10-column test_local schema
     # created_at (field 9) carries the reference's timestamp spelling
     assert fields[8] == "2026-01-01 12:00:00"
+
+
+def test_format_surface_roundtrips_lossless(spark, tmp_path):
+    """Every CH FORMAT name maps onto a Spark source and round-trips a
+    generated batch value-exactly (sources/formats.py)."""
+    from clickhousedatamocker_spark.sources.formats import FORMATS, read_format, write_format
+
+    gen = BatchGenerator(spark, seed=7, base_time="2026-01-01 12:00:00")
+    batch = gen.batch(500)
+    want = sorted(tuple(r) for r in batch.collect())
+    for fmt in FORMATS:
+        path = str(tmp_path / f"wire_{fmt}")
+        write_format(batch, path, fmt)
+        back = read_format(spark, path, fmt, test_local_spec().schema)
+        got = sorted(tuple(r) for r in back.collect())
+        assert got == want, f"FORMAT {fmt} round-trip mismatch"
+
+
+def test_format_unknown_rejected(spark, tmp_path):
+    import pytest as _pytest
+
+    from clickhousedatamocker_spark.sources.formats import write_format
+
+    gen = BatchGenerator(spark, seed=7, base_time="2026-01-01 12:00:00")
+    with _pytest.raises(ValueError, match="unsupported FORMAT"):
+        write_format(gen.batch(10), str(tmp_path / "x"), "Native")
