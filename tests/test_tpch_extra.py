@@ -1,0 +1,133 @@
+"""Extended TPC-H coverage beyond the registry's graded slots.
+
+The driver grades exactly 50 registry entries; these queries extend SQL
+coverage without consuming slots — each SQL text is dialect-portable and
+runs VERBATIM on both Spark SQL and DuckDB, then compares with the same
+order-insensitive normalization as tests/test_oracle_parity.py.
+
+Queries adapted to the fixture's reduced TPC-H schema (no partsupp, no
+l_commitdate/l_receiptdate/l_shipmode, no p_container/o_comment/c_phone —
+so q2/q4/q9/q11/q12/q16/q19/q20/q21/q22 are out of reach, and q13/q17 run
+in '-shaped' form with the missing-column predicates dropped; deviations
+noted per query):
+
+- q8  market-share: nested 7-table join, share-of-total division
+- q13 customer order-count distribution (no o_comment filter)
+- q14 promo revenue percentage
+- q15 top supplier by revenue (CTE + scalar-subquery max)
+- q17 small-quantity-order revenue (correlated scalar subquery;
+      p_brand+p_size instead of p_container)
+
+Float discipline (queries/base.py rules): every sum is exact-decimal cast
+to double; ratios divide two such doubles — one IEEE op, identical on both
+engines.
+"""
+
+import duckdb
+import pytest
+
+from tests.conftest import SF_DIR
+from tests.test_oracle_parity import TABLES, _normalize
+
+_VOLUME = (
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * "
+    "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
+)
+_DSUM_DISC = f"SUM({_VOLUME})"
+
+QUERIES = {
+    "q8_market_share": f"""
+SELECT YEAR(o_orderdate) AS o_year,
+  CAST(SUM(CASE WHEN n2.n_name = 'BRAZIL' THEN {_VOLUME} ELSE CAST(0 AS DECIMAL(14,4)) END) AS DOUBLE)
+    / CAST(SUM({_VOLUME}) AS DOUBLE) AS mkt_share,
+  COUNT(*) AS n_rows
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey AND p_type = 'PROMO'
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region   ON n1.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <= TIMESTAMP '1997-12-31 00:00:00'
+GROUP BY YEAR(o_orderdate)
+ORDER BY o_year
+""",
+    "q13_order_count_distribution": """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+    "q14_promo_revenue": f"""
+SELECT
+  CAST(SUM(CASE WHEN p_type = 'PROMO'
+      THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+      ELSE CAST(0 AS DECIMAL(14,4)) END) AS DOUBLE) * 100.0
+    / CAST({_DSUM_DISC} AS DOUBLE) AS promo_revenue_pct,
+  COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+""",
+    "q15_top_supplier": f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no, CAST({_DSUM_DISC} AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+""",
+    "q17_small_quantity_revenue": """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#23' AND p_size < 15
+  AND l_quantity < (
+    SELECT 0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
+    FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey
+  )
+""",
+}
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+@pytest.fixture(scope="module")
+def spark_views(spark):
+    from clickhousedatamocker_spark.sources.tables import register_views
+
+    register_views(spark, SF_DIR, list(TABLES))
+    return spark
+
+
+@pytest.mark.parametrize("name", list(QUERIES))
+def test_tpch_extra_portable_sql(spark_views, duck, name):
+    sql = QUERIES[name]
+    sdf = spark_views.sql(sql)
+    srows = [tuple(r) for r in sdf.collect()]
+    cur = duck.execute(sql)
+    ocols = [d[0] for d in cur.description]
+    orows = cur.fetchall()
+    assert len(srows) == len(orows), f"{name}: {len(srows)} vs {len(orows)}"
+    assert sorted(sdf.columns) == sorted(ocols)
+    snorm = _normalize(srows, sdf.columns)
+    onorm = _normalize(orows, ocols)
+    bad = [(a, b) for a, b in zip(snorm, onorm) if a != b]
+    assert not bad, f"{name}: {len(bad)} mismatches; first {bad[0]}"
