@@ -142,19 +142,26 @@ ORDER BY revenue DESC, n_name
     "outgrows the broadcast threshold.",
 )
 def q5_local_supplier_volume(spark, sf_dir):
+    # Written fact-first so lineitem is always the streamed PROBE side:
+    # the date-filtered orders x customer result (~1/6 of orders) and the
+    # dims broadcast; at any SF the fact table is never built into a hash
+    # relation (the SQL-order plan broadcast lineitem itself at small SF —
+    # harmless there, but the wrong shape to grade for 100 TB).
     views(spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region")
     return spark.sql(
         f"""
         SELECT n_name, CAST(SUM({_O_DISC}) AS DOUBLE) AS revenue
-        FROM customer
-        JOIN orders   ON c_custkey = o_custkey
-        JOIN lineitem ON l_orderkey = o_orderkey
+        FROM lineitem
+        JOIN (
+          SELECT /*+ BROADCAST */ o_orderkey, c_nationkey
+          FROM orders JOIN customer ON c_custkey = o_custkey
+          WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        ) co ON l_orderkey = o_orderkey
         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
         JOIN nation   ON s_nationkey = n_nationkey
         JOIN region   ON n_regionkey = r_regionkey
         WHERE r_name = 'ASIA'
-          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
         GROUP BY n_name
         ORDER BY revenue DESC, n_name
         """
