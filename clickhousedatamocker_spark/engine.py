@@ -295,15 +295,53 @@ class Engine:
             zone=zone,
         )
 
-    def sql(self, query: str) -> DataFrame:
+    def sql(self, query: str, data: str | None = None) -> DataFrame:
         """Run SQL with system views refreshed; accepts ClickHouse dialect
         spellings via the compat shim, so the reference's .sql files — BOTH
         the monitoring queries AND the DDL (create_local.sql,
         create_distributed.sql, the set_flow_control.sh ALTERs) — run
         verbatim. DDL routes to catalog ops and returns an empty result set
-        (what clickhouse-client prints for DDL)."""
-        from clickhousedatamocker_spark.functions.compat import parse_ch_ddl, translate_ch_sql
+        (what clickhouse-client prints for DDL).
+
+        ``INSERT INTO <t> [(cols)] FORMAT <fmt>`` statements model the
+        clickhouse-client stdin flow (insert_data.sh:34-41): ``data`` is the
+        payload — a file/directory path to read with the named FORMAT — and
+        the rows route through the admission-controlled insert path exactly
+        like ``Engine.insert`` (flow control, sharding, metrics)."""
+        from clickhousedatamocker_spark.functions.compat import (
+            parse_ch_ddl,
+            parse_ch_insert,
+            translate_ch_sql,
+        )
         from clickhousedatamocker_spark.schema import TableSpec
+
+        ins = parse_ch_insert(query)
+        if ins is not None:
+            from clickhousedatamocker_spark.sources.formats import read_format
+
+            if data is None:
+                raise ValueError(
+                    "INSERT ... FORMAT needs the payload: Engine.sql(query, data=<path>) "
+                    "(the clickhouse-client stdin equivalent)"
+                )
+            handle = self.catalog.get(ins["table"])
+            base = handle
+            while base.alias_of:
+                base = self.catalog.get(base.alias_of)
+            schema = base.schema
+            if ins["columns"]:
+                by_name = {f.name: f for f in schema.fields}
+                from pyspark.sql import types as T
+
+                schema = T.StructType([by_name[c] for c in ins["columns"]])
+            df = read_format(self.spark, data, ins["format"], schema)
+            if ins["columns"]:
+                for f in base.schema.fields:
+                    if f.name not in ins["columns"]:
+                        df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+                df = df.select(*[f.name for f in base.schema.fields])
+            self.insert(ins["table"], df)
+            return self.spark.createDataFrame([], "result string")
 
         ddl = parse_ch_ddl(query)
         if ddl is not None:

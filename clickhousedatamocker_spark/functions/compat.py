@@ -125,6 +125,30 @@ def _strip(sql: str) -> str:
     return sql.strip().rstrip(";").strip()
 
 
+def parse_ch_insert(sql: str) -> dict | None:
+    """Parse ``INSERT INTO <table> [(cols)] FORMAT <fmt>`` — the statement
+    clickhouse-client runs with the payload on stdin
+    (scripts/insert_data.sh:34-41: ``INSERT INTO ... FORMAT TabSeparated``
+    ``< "$data_file"``). Returns None for non-INSERT statements; raises for
+    INSERT forms the engine doesn't model (inline VALUES)."""
+    s = _strip(sql)
+    if not s or not re.match(r"INSERT\s", s, re.IGNORECASE):
+        return None
+    m = re.match(
+        r"INSERT\s+INTO\s+([\w.]+)\s*(?:\(([^)]*)\))?\s*FORMAT\s+(\w+)\s*$",
+        s,
+        re.IGNORECASE,
+    )
+    if m:
+        cols = [c.strip() for c in m.group(2).split(",")] if m.group(2) else None
+        return {"op": "insert", "table": m.group(1).split(".")[-1], "columns": cols, "format": m.group(3)}
+    raise NotImplementedError(
+        "only 'INSERT INTO <table> [(cols)] FORMAT <fmt>' with an external "
+        "payload is supported (the reference's client flow); inline VALUES "
+        "are not modeled"
+    )
+
+
 def parse_ch_ddl(sql: str) -> dict | None:
     """Parse one ClickHouse DDL statement into a catalog-op description, or
     return None when the statement is not DDL (plain query path)."""

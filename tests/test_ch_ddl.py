@@ -68,3 +68,47 @@ def test_ddl_create_idempotent_and_types(spark, tmp_warehouse):
     assert types["user_id"] == "int"  # UInt32
     assert types["value"] == "double"  # Float64
     assert types["status"] == "int"  # UInt8
+
+
+def test_insert_format_statement_client_flow(spark, tmp_warehouse, tmp_path):
+    """INSERT INTO ... FORMAT TabSeparated with a file payload — the
+    clickhouse-client stdin flow (insert_data.sh:34-41) — routes through the
+    admission-controlled insert path, including the Distributed alias."""
+    from clickhousedatamocker_spark.sources.generator import BatchGenerator
+    from clickhousedatamocker_spark.sources.tsv import write_tsv
+
+    engine = Engine(spark, tmp_warehouse)
+    engine.sql(open(f"{REF}/create_local.sql").read())
+    engine.sql(open(f"{REF}/create_distributed.sql").read())
+
+    gen = BatchGenerator(spark, seed=11, base_time="2026-01-01 12:00:00")
+    batch = gen.batch(3000)
+    path = str(tmp_path / "payload.tsv")
+    write_tsv(batch, path)
+
+    engine.sql("INSERT INTO test_distributed FORMAT TabSeparated", data=path)
+    got = engine.sql("SELECT count(*) AS n FROM test_local").first()["n"]
+    assert got == 3000
+    # parts were committed through the normal manifest path
+    assert engine.sql(
+        "SELECT count(*) AS n FROM system_parts WHERE table = 'test_local'"
+    ).first()["n"] > 0
+
+    # JSONEachRow payload, column-subset form
+    import json as _json
+
+    jpath = tmp_path / "payload.jsonl"
+    rows = [{"id": 10_000_000 + i, "event_time": "2026-01-01 13:00:00",
+             "user_id": 7, "event_type": "t", "value": 1.5,
+             "status": 1, "description": "d", "metadata": "{}",
+             "created_at": "2026-01-01 13:00:00", "updated_at": "2026-01-01 13:00:00"}
+            for i in range(5)]
+    jpath.write_text("\n".join(_json.dumps(r) for r in rows))
+    engine.sql("INSERT INTO test_local FORMAT JSONEachRow", data=str(jpath))
+    assert engine.sql("SELECT count(*) AS n FROM test_local").first()["n"] == 3005
+
+    # inline VALUES is explicitly out of scope
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="VALUES"):
+        engine.sql("INSERT INTO test_local VALUES (1)")
