@@ -343,6 +343,22 @@ class Engine:
             self.insert(ins["table"], df)
             return self.spark.createDataFrame([], "result string")
 
+        # SELECT ... FORMAT <fmt> — clickhouse-client's output direction.
+        # With data=<path> the result is written in that wire format (the
+        # `--query "SELECT ..." > file` flow); the DataFrame is returned
+        # either way.
+        import re as _re
+
+        mfmt = _re.search(r"\sFORMAT\s+(\w+)\s*$", query, _re.IGNORECASE)
+        if mfmt is not None and _re.match(r"\s*(SELECT|WITH)\b", query, _re.IGNORECASE):
+            from clickhousedatamocker_spark.sources.formats import write_format
+
+            self.refresh_system_views()
+            df = self.spark.sql(translate_ch_sql(query[: mfmt.start()]))
+            if data is not None:
+                write_format(df, data, mfmt.group(1))
+            return df
+
         ddl = parse_ch_ddl(query)
         if ddl is not None:
             if ddl["op"] == "create":

@@ -25,6 +25,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def enrich_with_dim(
+    events: DataFrame,
+    dim: DataFrame,
+    key: str,
+    dim_key: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment: join a (possibly streaming) event flow to a
+    STATIC dimension table, broadcast to every task.
+
+    The canonical per-event lookup (user profile, geo table, experiment
+    assignment) — on a stream Spark re-plans the static side per micro-batch
+    but never holds join state for it (unlike stream-stream joins, no
+    watermark is needed); on a batch input it is a plain broadcast hash
+    join. Scale: the stream side is NEVER shuffled — the dim broadcast is
+    the entire data movement, so throughput is flat in stream volume.
+    """
+    return events.join(F.broadcast(dim), events[key] == dim[dim_key], how).drop(dim_key)
+
+
 def attribution_join(
     left_events: DataFrame,
     right_events: DataFrame,

@@ -112,3 +112,27 @@ def test_insert_format_statement_client_flow(spark, tmp_warehouse, tmp_path):
 
     with _pytest.raises(NotImplementedError, match="VALUES"):
         engine.sql("INSERT INTO test_local VALUES (1)")
+
+
+def test_select_format_output_flow(spark, tmp_warehouse, tmp_path):
+    """SELECT ... FORMAT <fmt> writes the result in the named wire format —
+    the clickhouse-client '--query > file' output direction."""
+    from clickhousedatamocker_spark.sources.generator import BatchGenerator
+
+    engine = Engine(spark, tmp_warehouse)
+    engine.sql(open(f"{REF}/create_local.sql").read())
+    engine.insert(
+        "test_local",
+        BatchGenerator(spark, seed=5, base_time="2026-01-01 12:00:00").batch_with_partition(
+            2000, batch_no=0
+        ),
+    )
+    out = str(tmp_path / "out_csv")
+    df = engine.sql(
+        "SELECT event_type, count(*) AS n FROM test_local GROUP BY event_type FORMAT CSVWithNames",
+        data=out,
+    )
+    assert df.count() > 0
+    back = spark.read.option("header", "true").csv(out)
+    assert sorted(back.columns) == ["event_type", "n"]
+    assert back.count() == df.count()

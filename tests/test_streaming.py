@@ -180,3 +180,24 @@ def test_attribution_join_stream_equals_batch(spark, tmp_path):
     cols = ["user_id", "conv_ts", "conv_value", "attr_ts"]
     assert want.count() > 0  # non-vacuous: fixture contains attributable pairs
     assert _norm(got, cols) == _norm(want, cols)
+
+
+def test_enrich_with_dim_stream_equals_batch(spark, chunked_events):
+    """Stream-static enrichment: per-event dim lookup over 3 micro-batches
+    equals the batch broadcast join, and the stream side is never shuffled."""
+    from clickhousedatamocker_spark.streaming.joins import enrich_with_dim
+
+    ev = _events(spark)
+    dim = spark.createDataFrame(
+        [(i, f"segment_{i % 4}") for i in range(200)], ["uid", "segment"]
+    )
+    fn = lambda df: enrich_with_dim(df, dim, "user_id", "uid").select(  # noqa: E731
+        "event_id", "user_id", "segment"
+    )
+    got = _run_stream(spark, chunked_events, fn, "enrich_out", ev.schema, output_mode="append")
+    want = fn(ev)
+    cols = ["event_id", "user_id", "segment"]
+    assert _norm(got, cols) == _norm(want, cols)
+
+    plan = want._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
