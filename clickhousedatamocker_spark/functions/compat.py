@@ -6,6 +6,10 @@ Queries: small textual rewrites so the reference's monitoring .sql files
 - ``count()``            → ``count(*)``      (CH allows zero-arg count)
 - ``system.metrics``     → ``system_metrics`` (our introspection views)
 - ``system.parts``       → ``system_parts``
+- CH aggregate spellings → Spark aggregates (uniqExact/uniq/countIf/
+  anyLast/quantileExact(p)(x)/groupArray/groupUniqArray); the scalar
+  vocabulary (toStartOfHour, toYYYYMMDD, intDiv, …) is registered as
+  inlined SQL UDFs in functions/scalar.py instead.
 
 ``toYYYYMMDDhh`` / ``formatReadableSize`` / ``currentDatabase`` need no
 rewriting — they are registered as SQL-defined functions
@@ -28,6 +32,23 @@ _REWRITES = [
     (re.compile(r"\bcount\(\s*\)", re.IGNORECASE), "count(*)"),
     (re.compile(r"\bsystem\.metrics\b", re.IGNORECASE), "system_metrics"),
     (re.compile(r"\bsystem\.parts\b", re.IGNORECASE), "system_parts"),
+    # CH aggregate spellings → Spark aggregates (name-only rewrites: the
+    # argument list that follows is valid for the target function, so a
+    # paren-aware parser isn't needed). SQL UDFs can't define aggregates,
+    # hence text rewrites rather than register_sql_functions entries.
+    (re.compile(r"\buniqExact\(", re.IGNORECASE), "count(DISTINCT "),
+    (re.compile(r"\buniq(?:Combined|HLL12)?\(", re.IGNORECASE), "approx_count_distinct("),
+    (re.compile(r"\bcountIf\(", re.IGNORECASE), "count_if("),
+    (re.compile(r"\banyLast\(", re.IGNORECASE), "last("),
+    # parametric form quantileExact(p)(expr) → percentile(expr, p); the
+    # inner-arg pattern is paren-free — enough for column refs, the
+    # overwhelmingly common case
+    (
+        re.compile(r"\bquantileExact\(([0-9.]+)\)\(([^()]*)\)", re.IGNORECASE),
+        r"percentile(\2, \1)",
+    ),
+    (re.compile(r"\bgroupArray\(", re.IGNORECASE), "collect_list("),
+    (re.compile(r"\bgroupUniqArray\(", re.IGNORECASE), "collect_set("),
 ]
 
 

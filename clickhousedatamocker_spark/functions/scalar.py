@@ -61,6 +61,33 @@ def register_sql_functions(spark: SparkSession) -> None:
         RETURN current_database()
         """
     )
+    # -- broader CH scalar vocabulary -------------------------------------
+    # Each is a Spark-4 SQL UDF: inlined into the plan at analysis time, so
+    # these are zero-overhead native expressions, not callbacks. Coverage is
+    # the high-frequency functions a ClickHouse user types reflexively
+    # (date truncation, digit-date keys, int division) — aggregates with CH
+    # spellings (uniq, countIf, …) are textual rewrites in
+    # functions/compat.py because SQL UDFs cannot define aggregates.
+    for name, sig, ret, body in [
+        ("toStartOfHour", "(t TIMESTAMP)", "TIMESTAMP", "date_trunc('hour', t)"),
+        ("toStartOfMinute", "(t TIMESTAMP)", "TIMESTAMP", "date_trunc('minute', t)"),
+        ("toStartOfDay", "(t TIMESTAMP)", "TIMESTAMP", "date_trunc('day', t)"),
+        ("toStartOfMonth", "(t TIMESTAMP)", "DATE", "CAST(date_trunc('month', t) AS DATE)"),
+        ("toYYYYMMDD", "(t TIMESTAMP)", "INT", "CAST(date_format(t, 'yyyyMMdd') AS INT)"),
+        ("toDate", "(t TIMESTAMP)", "DATE", "CAST(t AS DATE)"),
+        ("toHour", "(t TIMESTAMP)", "INT", "hour(t)"),
+        ("toMinute", "(t TIMESTAMP)", "INT", "minute(t)"),
+        # CH: 1 = Monday … 7 = Sunday; Spark dayofweek: 1 = Sunday
+        ("toDayOfWeek", "(t TIMESTAMP)", "INT", "((dayofweek(t) + 5) % 7) + 1"),
+        ("intDiv", "(a BIGINT, b BIGINT)", "BIGINT", "a div b"),
+        ("modulo", "(a BIGINT, b BIGINT)", "BIGINT", "a % b"),
+        ("empty", "(s STRING)", "BOOLEAN", "s IS NULL OR length(s) = 0"),
+        ("notEmpty", "(s STRING)", "BOOLEAN", "s IS NOT NULL AND length(s) > 0"),
+    ]:
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{sig} RETURNS {ret} RETURN {body}"
+        )
+
     # Same WHEN ladder as format_readable_size, spelled in SQL.
     cases = []
     for power, unit in enumerate(_UNITS[:-1]):

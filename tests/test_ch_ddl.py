@@ -136,3 +136,49 @@ def test_select_format_output_flow(spark, tmp_warehouse, tmp_path):
     back = spark.read.option("header", "true").csv(out)
     assert sorted(back.columns) == ["event_type", "n"]
     assert back.count() == df.count()
+
+
+def test_ch_query_dialect_vocabulary(spark, tmp_warehouse):
+    """A ClickHouse user's reflexive query spellings run through Engine.sql:
+    date helpers (toStartOfHour/toYYYYMMDD/toDayOfWeek), intDiv, and the
+    aggregate rewrites (uniqExact/uniq/countIf/anyLast/quantileExact/
+    groupUniqArray)."""
+    from clickhousedatamocker_spark.sources.generator import BatchGenerator
+
+    engine = Engine(spark, tmp_warehouse)
+    engine.sql(open(f"{REF}/create_local.sql").read())
+    engine.insert(
+        "test_local",
+        BatchGenerator(spark, seed=9, base_time="2026-01-01 12:00:00").batch_with_partition(
+            5000, batch_no=0
+        ),
+    )
+    row = engine.sql(
+        """
+        SELECT
+          uniqExact(user_id)                          AS u_exact,
+          uniq(user_id)                               AS u_approx,
+          countIf(value > 50)                         AS n_big,
+          quantileExact(0.5)(value)                   AS med,
+          toYYYYMMDD(toStartOfHour(min(event_time)))  AS day_key,
+          toDayOfWeek(min(event_time))                AS dow,
+          intDiv(count(), 7)                          AS per_day
+        FROM test_local
+        """
+    ).first()
+    assert row["u_exact"] > 0 and row["u_approx"] > 0
+    assert 0 < row["n_big"] < 5000
+    assert row["med"] > 0
+    ref = engine.sql(
+        "SELECT CAST(date_format(min(event_time), 'yyyyMMdd') AS INT) AS dk, "
+        "((dayofweek(min(event_time)) + 5) % 7) + 1 AS dw FROM test_local"
+    ).first()
+    assert row["day_key"] == ref["dk"]
+    assert row["dow"] == ref["dw"]
+    assert row["per_day"] == 5000 // 7
+
+    got = engine.sql(
+        "SELECT event_type, size(groupUniqArray(status)) AS n_statuses "
+        "FROM test_local GROUP BY event_type ORDER BY event_type"
+    ).collect()
+    assert len(got) == 4 and all(r["n_statuses"] >= 1 for r in got)  # generator domain: 4 event types
