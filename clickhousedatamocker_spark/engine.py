@@ -52,6 +52,7 @@ class Engine:
         self.flow = FlowController(metrics=self.metrics)
         self.writer = Writer(self.parts, self.flow, metrics=self.metrics)
         self._registered_versions: dict[str, object] = {}
+        self._materialized_views: dict[str, dict] = {}
         # cluster name -> shard count. The reference's 'default' cluster is
         # single-node (create_distributed.sql:6 — and its comment says "no
         # sharding_key"), so Distributed there degenerates to a plain alias.
@@ -70,6 +71,7 @@ class Engine:
         return self.catalog.create_alias(name, of, distributed=distributed)
 
     def drop_table(self, name: str, if_exists: bool = True) -> None:
+        self._materialized_views.pop(name, None)
         self.catalog.drop_table(name, if_exists)
 
     def alter_setting(self, name: str, **settings) -> None:
@@ -158,7 +160,46 @@ class Engine:
                 delay_s=max(r.delay_s for r in results),
             )
         handle = self.catalog.get(self.catalog.resolve(table))
-        return self.writer.insert(handle, df, **kwargs)
+        result = self.writer.insert(handle, df, **kwargs)
+        self._maintain_materialized_views(handle.name, df)
+        return result
+
+    # -- materialized views (CH CREATE MATERIALIZED VIEW ... AS SELECT) ----
+    def create_materialized_view(self, name: str, src_table: str, select_sql: str) -> None:
+        """ClickHouse materialized-view semantics: the SELECT runs over each
+        INSERTED BLOCK (never retroactively over existing rows — CH's
+        documented behavior), and its partial result appends to the view's
+        backing table. Queries over the view re-aggregate the partials —
+        the same discipline CH requires of SummingMergeTree readers.
+
+        Scale: maintenance cost is O(batch) per insert regardless of view
+        size (the select runs on the in-flight DataFrame, pre-write
+        lineage — no re-scan of the base table, no shuffle beyond what the
+        rollup itself needs).
+        """
+        src = self.catalog.resolve(src_table)
+        probe = self._select_over_batch(select_sql, src, self.read_table(src).limit(0))
+        from clickhousedatamocker_spark.schema import TableSpec
+
+        self.create_table(TableSpec(name=name, schema=probe.schema), if_not_exists=False)
+        self._materialized_views[name] = {"src": src, "sql": select_sql}
+
+    def _select_over_batch(self, select_sql: str, src: str, batch: DataFrame) -> DataFrame:
+        import re as _re
+
+        from clickhousedatamocker_spark.functions.compat import translate_ch_sql
+
+        batch.createOrReplaceTempView("__mv_batch")
+        rewritten = _re.sub(rf"\b{_re.escape(src)}\b", "__mv_batch", translate_ch_sql(select_sql))
+        return self.spark.sql(rewritten)
+
+    def _maintain_materialized_views(self, base_table: str, batch: DataFrame) -> None:
+        for mv_name, mv in self._materialized_views.items():
+            if mv["src"] != base_table:
+                continue
+            part = self._select_over_batch(mv["sql"], base_table, batch)
+            mv_handle = self.catalog.get(mv_name)
+            self.writer.insert(mv_handle, part)
 
     # -- async Distributed spool (DistributedFilesToInsert) ----------------
     def _spool_dir(self, table: str) -> str:
@@ -372,6 +413,9 @@ class Engine:
                     ),
                     if_not_exists=ddl["if_not_exists"],
                 )
+            elif ddl["op"] == "mv":
+                if not (ddl["if_not_exists"] and ddl["name"] in self._materialized_views):
+                    self.create_materialized_view(ddl["name"], ddl["src"], ddl["select"])
             elif ddl["op"] == "alias":
                 self.create_alias(ddl["name"], ddl["of"], distributed=ddl.get("distributed"))
             elif ddl["op"] == "drop":

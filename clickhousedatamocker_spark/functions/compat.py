@@ -182,6 +182,25 @@ def parse_ch_ddl(sql: str) -> dict | None:
         return {"op": "drop", "name": m.group(2), "if_exists": bool(m.group(1))}
 
     m = re.match(
+        r"CREATE\s+MATERIALIZED\s+VIEW\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s+"
+        r"(?:ENGINE\s*=\s*\w+(?:\([^)]*\))?\s+)?AS\s+(SELECT\b.*)$",
+        s,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        select = m.group(3).rstrip().rstrip(";")
+        fm = re.search(r"\bFROM\s+([\w.]+)", select, re.IGNORECASE)
+        if not fm:
+            raise NotImplementedError("materialized view SELECT needs a plain FROM <table>")
+        return {
+            "op": "mv",
+            "name": m.group(2),
+            "if_not_exists": bool(m.group(1)),
+            "src": fm.group(1).split(".")[-1],
+            "select": select,
+        }
+
+    m = re.match(
         r"ALTER\s+TABLE\s+(\w+)\s+MODIFY\s+SETTING\s+(.+)$", s, re.IGNORECASE | re.DOTALL
     )
     if m:

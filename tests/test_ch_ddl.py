@@ -182,3 +182,54 @@ def test_ch_query_dialect_vocabulary(spark, tmp_warehouse):
         "FROM test_local GROUP BY event_type ORDER BY event_type"
     ).collect()
     assert len(got) == 4 and all(r["n_statuses"] >= 1 for r in got)  # generator domain: 4 event types
+def test_materialized_view_incremental_rollup(spark, tmp_warehouse):
+    """CH materialized-view semantics: the SELECT runs per inserted block,
+    partials append to the view table, readers re-aggregate (SummingMergeTree
+    discipline). Re-aggregated view == the same rollup over the full base."""
+    from clickhousedatamocker_spark.sources.generator import BatchGenerator
+
+    engine = Engine(spark, tmp_warehouse)
+    engine.sql(open(f"{REF}/create_local.sql").read())
+    engine.sql(
+        """
+        CREATE MATERIALIZED VIEW mv_hourly ENGINE = SummingMergeTree AS
+        SELECT toYYYYMMDDhh(event_time) AS hour_key, event_type,
+               count() AS n, sum(value) AS total_value
+        FROM test_local
+        GROUP BY toYYYYMMDDhh(event_time), event_type
+        """
+    )
+    gen = BatchGenerator(spark, seed=13, base_time="2026-01-01 12:00:00")
+    for b in range(3):
+        engine.insert("test_local", gen.batch_with_partition(4000, batch_no=b))
+
+    # per-block partials: one MV row per (insert, hour, type) combination —
+    # at least as many rows as distinct groups; readers re-aggregate
+    partial_rows = engine.sql("SELECT count(*) AS n FROM mv_hourly").first()["n"]
+    groups = engine.sql(
+        "SELECT count(*) AS n FROM (SELECT DISTINCT toYYYYMMDDhh(event_time), event_type FROM test_local)"
+    ).first()["n"]
+    assert partial_rows >= groups > 0
+
+    got = {
+        (r["hour_key"], r["event_type"]): (r["n"], round(r["tv"], 6))
+        for r in engine.sql(
+            "SELECT hour_key, event_type, sum(n) AS n, sum(total_value) AS tv "
+            "FROM mv_hourly GROUP BY hour_key, event_type"
+        ).collect()
+    }
+    want = {
+        (r["hour_key"], r["event_type"]): (r["n"], round(r["tv"], 6))
+        for r in engine.sql(
+            "SELECT toYYYYMMDDhh(event_time) AS hour_key, event_type, "
+            "count() AS n, sum(value) AS tv FROM test_local "
+            "GROUP BY toYYYYMMDDhh(event_time), event_type"
+        ).collect()
+    }
+    assert got == want
+
+    # IF NOT EXISTS is a no-op; DROP removes the trigger
+    engine.sql("CREATE MATERIALIZED VIEW IF NOT EXISTS mv_hourly AS SELECT count() AS n FROM test_local")
+    engine.sql("DROP TABLE IF EXISTS mv_hourly")
+    engine.insert("test_local", gen.batch_with_partition(1000, batch_no=9))
+    assert not engine.catalog.exists("mv_hourly")
