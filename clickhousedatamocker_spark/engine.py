@@ -292,6 +292,7 @@ class Engine:
         }
         self.parts.to_df(self.spark, tables).createOrReplaceTempView("system_parts")
         self.metrics.to_df(self.spark).createOrReplaceTempView("system_metrics")
+        self._register_introspection_views()
         for name in self.catalog.list_tables():
             if self._distributed_spec(name) is not None:
                 version = tuple(self.parts.inventory_version(s) for s in self.shard_tables(name))
@@ -310,6 +311,29 @@ class Engine:
                     name
                 )
                 self._registered_versions[name] = version
+
+    def _register_introspection_views(self) -> None:
+        """system.tables / system.columns analogues (CH's catalog
+        introspection surface) — tiny driver-built frames over the catalog."""
+        trows, crows = [], []
+        for name in self.catalog.list_tables():
+            h = self.catalog.get(name)
+            kind = "MaterializedView" if name in self._materialized_views else (
+                "Distributed" if h.alias_of else "MergeTree"
+            )
+            trows.append((self.catalog.database, name, kind, h.alias_of,
+                          h.partition_column, ",".join(h.order_columns or [])))
+            base = self.catalog.get(self.catalog.resolve(name))
+            for pos, f in enumerate(base.schema.fields):
+                crows.append((self.catalog.database, name, f.name, f.dataType.simpleString(), pos))
+        self.spark.createDataFrame(
+            trows or [(self.catalog.database, "", "", None, None, "")],
+            "database string, name string, engine string, alias_of string, partition_key string, sorting_key string",
+        ).filter(F.col("name") != "").createOrReplaceTempView("system_tables")
+        self.spark.createDataFrame(
+            crows or [(self.catalog.database, "", "", "", 0)],
+            "database string, table string, name string, type string, position int",
+        ).filter(F.col("table") != "").createOrReplaceTempView("system_columns")
 
     def system_metrics(self) -> DataFrame:
         return self.metrics.to_df(self.spark)

@@ -233,3 +233,23 @@ def test_materialized_view_incremental_rollup(spark, tmp_warehouse):
     engine.sql("DROP TABLE IF EXISTS mv_hourly")
     engine.insert("test_local", gen.batch_with_partition(1000, batch_no=9))
     assert not engine.catalog.exists("mv_hourly")
+
+
+def test_system_tables_and_columns_introspection(spark, tmp_warehouse):
+    """system.tables / system.columns run with CH spellings and reflect the
+    catalog (engine kind, partition/sorting keys, column types/positions)."""
+    engine = Engine(spark, tmp_warehouse)
+    engine.sql(open(f"{REF}/create_local.sql").read())
+    engine.sql(open(f"{REF}/create_distributed.sql").read())
+
+    tbls = {r["name"]: r for r in engine.sql("SELECT * FROM system.tables").collect()}
+    assert tbls["test_local"]["engine"] == "MergeTree"
+    assert tbls["test_local"]["partition_key"] == "event_hour"
+    assert tbls["test_local"]["sorting_key"] == "event_time,id"
+    assert tbls["test_distributed"]["alias_of"] == "test_local"
+
+    cols = engine.sql(
+        "SELECT name, type FROM system.columns WHERE table = 'test_local' ORDER BY position"
+    ).collect()
+    assert [c["name"] for c in cols][:3] == ["id", "event_time", "user_id"]
+    assert cols[0]["type"] == "bigint"
