@@ -191,7 +191,10 @@ class Engine:
 
         batch.createOrReplaceTempView("__mv_batch")
         rewritten = _re.sub(rf"\b{_re.escape(src)}\b", "__mv_batch", translate_ch_sql(select_sql))
-        return self.spark.sql(rewritten)
+        # under foreachBatch the batch DataFrame lives in a cloned
+        # micro-batch session — its temp view is only visible there, so the
+        # rollup must run on that session, not the engine's root one
+        return batch.sparkSession.sql(rewritten)
 
     def _maintain_materialized_views(self, base_table: str, batch: DataFrame) -> None:
         for mv_name, mv in self._materialized_views.items():

@@ -201,3 +201,44 @@ def test_enrich_with_dim_stream_equals_batch(spark, chunked_events):
 
     plan = want._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_materialized_view_maintained_by_stream(spark, tmp_path, chunked_events):
+    """MVs are maintained inside streaming ingest for free: foreachBatch
+    routes through Engine.insert, so each micro-batch appends its rollup
+    partials; the re-aggregated view equals the full-table rollup."""
+    from clickhousedatamocker_spark.engine import Engine
+    from clickhousedatamocker_spark.schema import TableSpec
+
+    ev = _events(spark)
+    engine = Engine(spark, str(tmp_path / "wh"))
+    engine.create_table(TableSpec(name="ev_sink", schema=ev.schema))
+    engine.sql(
+        "CREATE MATERIALIZED VIEW mv_type_counts AS "
+        "SELECT event_type, count() AS n, sum(value) AS tv FROM ev_sink GROUP BY event_type"
+    )
+
+    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(chunked_events)
+    q = (
+        stream.writeStream.foreachBatch(lambda df, _eid: engine.insert("ev_sink", df) and None)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["event_type"]: (r["n"], round(r["tv"], 6))
+        for r in engine.sql(
+            "SELECT event_type, sum(n) AS n, sum(tv) AS tv FROM mv_type_counts GROUP BY event_type"
+        ).collect()
+    }
+    want = {
+        r["event_type"]: (r["n"], round(r["tv"], 6))
+        for r in engine.sql(
+            "SELECT event_type, count() AS n, sum(value) AS tv FROM ev_sink GROUP BY event_type"
+        ).collect()
+    }
+    assert got == want and len(got) >= 3
+    # partials from >1 micro-batch are visible pre-aggregation
+    assert engine.sql("SELECT count(*) AS c FROM mv_type_counts").first()["c"] > len(got)
