@@ -440,6 +440,31 @@ class Engine:
                     ),
                     if_not_exists=ddl["if_not_exists"],
                 )
+            elif ddl["op"] == "mutate_delete":
+                n = self.delete_where(ddl["name"], ddl["predicate"])
+                return self.spark.createDataFrame([(n,)], "rows_deleted bigint")
+            elif ddl["op"] == "mutate_update":
+                n = self.update_where(ddl["name"], ddl["assignments"], ddl["predicate"])
+                return self.spark.createDataFrame([(n,)], "rows_updated bigint")
+            elif ddl["op"] == "optimize":
+                n = self.optimize(ddl["name"])
+                return self.spark.createDataFrame([(n,)], "parts_merged bigint")
+            elif ddl["op"] == "truncate":
+                if self.catalog.exists(ddl["name"]) or not ddl["if_exists"]:
+                    n = self.delete_where(ddl["name"], "true")
+                    return self.spark.createDataFrame([(n,)], "rows_deleted bigint")
+            elif ddl["op"] == "show_tables":
+                self.refresh_system_views()
+                return self.spark.sql("SELECT name FROM system_tables ORDER BY name")
+            elif ddl["op"] == "describe":
+                self.refresh_system_views()
+                return self.spark.sql(
+                    f"SELECT name, type FROM system_columns WHERE table = '{ddl['name']}' ORDER BY position"
+                )
+            elif ddl["op"] == "exists":
+                return self.spark.createDataFrame(
+                    [(1 if self.catalog.exists(ddl["name"]) else 0,)], "result int"
+                )
             elif ddl["op"] == "mv":
                 if not (ddl["if_not_exists"] and ddl["name"] in self._materialized_views):
                     self.create_materialized_view(ddl["name"], ddl["src"], ddl["select"])

@@ -202,6 +202,45 @@ def parse_ch_ddl(sql: str) -> dict | None:
             "select": select,
         }
 
+    m = re.match(r"ALTER\s+TABLE\s+(\w+)\s+DELETE\s+WHERE\s+(.+)$", s, re.IGNORECASE | re.DOTALL)
+    if m:
+        return {"op": "mutate_delete", "name": m.group(1), "predicate": m.group(2).rstrip(";").strip()}
+
+    m = re.match(
+        r"ALTER\s+TABLE\s+(\w+)\s+UPDATE\s+(.+?)\s+WHERE\s+(.+)$", s, re.IGNORECASE | re.DOTALL
+    )
+    if m:
+        assignments = {}
+        for part in _split_top(m.group(2)):
+            k, v = part.split("=", 1)
+            assignments[k.strip()] = v.strip()
+        return {
+            "op": "mutate_update",
+            "name": m.group(1),
+            "assignments": assignments,
+            "predicate": m.group(3).rstrip(";").strip(),
+        }
+
+    m = re.match(r"OPTIMIZE\s+TABLE\s+(\w+)(\s+FINAL)?\s*;?\s*$", s, re.IGNORECASE)
+    if m:
+        return {"op": "optimize", "name": m.group(1)}
+
+    m = re.match(r"TRUNCATE\s+TABLE\s+(IF\s+EXISTS\s+)?(\w+)\s*;?\s*$", s, re.IGNORECASE)
+    if m:
+        return {"op": "truncate", "name": m.group(2), "if_exists": bool(m.group(1))}
+
+    m = re.match(r"SHOW\s+TABLES\s*;?\s*$", s, re.IGNORECASE)
+    if m:
+        return {"op": "show_tables"}
+
+    m = re.match(r"(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?(\w+)\s*;?\s*$", s, re.IGNORECASE)
+    if m:
+        return {"op": "describe", "name": m.group(1)}
+
+    m = re.match(r"EXISTS\s+(?:TABLE\s+)?(\w+)\s*;?\s*$", s, re.IGNORECASE)
+    if m:
+        return {"op": "exists", "name": m.group(1)}
+
     m = re.match(
         r"ALTER\s+TABLE\s+(\w+)\s+MODIFY\s+SETTING\s+(.+)$", s, re.IGNORECASE | re.DOTALL
     )

@@ -253,3 +253,46 @@ def test_system_tables_and_columns_introspection(spark, tmp_warehouse):
     ).collect()
     assert [c["name"] for c in cols][:3] == ["id", "event_time", "user_id"]
     assert cols[0]["type"] == "bigint"
+
+
+def test_dml_and_admin_statement_forms(spark, tmp_warehouse):
+    """The CH statements a user types at the client: ALTER DELETE/UPDATE,
+    OPTIMIZE TABLE FINAL, TRUNCATE, SHOW TABLES, DESCRIBE, EXISTS — all as
+    SQL through Engine.sql, routed onto the mutation/compaction engine."""
+    from clickhousedatamocker_spark.sources.generator import BatchGenerator
+
+    engine = Engine(spark, tmp_warehouse)
+    engine.sql(open(f"{REF}/create_local.sql").read())
+    gen = BatchGenerator(spark, seed=21, base_time="2026-01-01 12:00:00")
+    for b in range(2):
+        engine.insert("test_local", gen.batch_with_partition(3000, batch_no=b))
+
+    assert engine.sql("EXISTS TABLE test_local").first()["result"] == 1
+    assert "test_local" in [r["name"] for r in engine.sql("SHOW TABLES").collect()]
+    desc = engine.sql("DESCRIBE TABLE test_local").collect()
+    assert desc[0]["name"] == "id" and desc[0]["type"] == "bigint"
+
+    before = engine.sql("SELECT count(*) AS n FROM test_local").first()["n"]
+    assert before == 6000
+    deleted = engine.sql("ALTER TABLE test_local DELETE WHERE status = 1").first()["rows_deleted"]
+    assert deleted > 0
+    assert engine.sql("SELECT count(*) AS n FROM test_local").first()["n"] == before - deleted
+    assert engine.sql("SELECT countIf(status = 1) AS n FROM test_local").first()["n"] == 0
+
+    natural_99 = engine.sql("SELECT countIf(status = 99) AS n FROM test_local").first()["n"]
+    updated = engine.sql(
+        "ALTER TABLE test_local UPDATE value = value * 2, status = 99 WHERE status = 2"
+    ).first()["rows_updated"]
+    assert updated > 0
+    assert (
+        engine.sql("SELECT countIf(status = 99) AS n FROM test_local").first()["n"]
+        == natural_99 + updated
+    )
+    assert engine.sql("SELECT countIf(status = 2) AS n FROM test_local").first()["n"] == 0
+
+    merged = engine.sql("OPTIMIZE TABLE test_local FINAL").first()["parts_merged"]
+    assert merged >= 0
+    assert engine.sql("SELECT count(*) AS n FROM test_local").first()["n"] == before - deleted
+
+    engine.sql("TRUNCATE TABLE test_local")
+    assert engine.sql("SELECT count(*) AS n FROM test_local").first()["n"] == 0
