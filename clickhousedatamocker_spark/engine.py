@@ -440,6 +440,31 @@ class Engine:
                     ),
                     if_not_exists=ddl["if_not_exists"],
                 )
+            elif ddl["op"] == "ctas":
+                if not (ddl["if_not_exists"] and self.catalog.exists(ddl["name"])):
+                    self.refresh_system_views()
+                    df = self.spark.sql(translate_ch_sql(ddl["select"]))
+                    self.create_table(
+                        TableSpec(name=ddl["name"], schema=df.schema),
+                        if_not_exists=ddl["if_not_exists"],
+                    )
+                    self.insert(ddl["name"], df)
+            elif ddl["op"] == "insert_select":
+                self.refresh_system_views()
+                df = self.spark.sql(translate_ch_sql(ddl["select"]))
+                base = self.catalog.get(self.catalog.resolve(ddl["name"]))
+                if ddl["columns"]:
+                    df = df.toDF(*ddl["columns"])
+                    for f in base.schema.fields:
+                        if f.name not in ddl["columns"]:
+                            df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+                else:
+                    df = df.toDF(*[f.name for f in base.schema.fields])
+                df = df.select(
+                    *[F.col(f.name).cast(f.dataType) for f in base.schema.fields]
+                )
+                self.insert(ddl["name"], df)
+                return self.spark.createDataFrame([], "result string")
             elif ddl["op"] == "mutate_delete":
                 n = self.delete_where(ddl["name"], ddl["predicate"])
                 return self.spark.createDataFrame([(n,)], "rows_deleted bigint")

@@ -51,6 +51,8 @@ _REWRITES = [
     ),
     (re.compile(r"\bgroupArray\(", re.IGNORECASE), "collect_list("),
     (re.compile(r"\bgroupUniqArray\(", re.IGNORECASE), "collect_set("),
+    # table-expanding: CH arrayJoin(arr) in a SELECT == Spark explode(arr)
+    (re.compile(r"\barrayJoin\(", re.IGNORECASE), "explode("),
 ]
 
 
@@ -165,10 +167,12 @@ def parse_ch_insert(sql: str) -> dict | None:
     if m:
         cols = [c.strip() for c in m.group(2).split(",")] if m.group(2) else None
         return {"op": "insert", "table": m.group(1).split(".")[-1], "columns": cols, "format": m.group(3)}
+    if re.match(r"INSERT\s+INTO\s+[\w.]+\s*(?:\([^)]*\))?\s*\(?\s*(SELECT|WITH)\b", s, re.IGNORECASE):
+        return None  # INSERT ... SELECT — handled as a statement by parse_ch_ddl
     raise NotImplementedError(
         "only 'INSERT INTO <table> [(cols)] FORMAT <fmt>' with an external "
-        "payload is supported (the reference's client flow); inline VALUES "
-        "are not modeled"
+        "payload and 'INSERT INTO <table> SELECT ...' are supported (the "
+        "reference's client flows); inline VALUES are not modeled"
     )
 
 
@@ -288,13 +292,35 @@ def parse_ch_ddl(sql: str) -> dict | None:
             "if_not_exists": if_not_exists,
             "distributed": distributed,
         }
-    if re.match(r"CREATE\s+TABLE\s", s, re.IGNORECASE) and re.search(
-        r"\bAS\s*\(?\s*(SELECT|WITH)\b", s, re.IGNORECASE
-    ):
-        raise NotImplementedError(
-            "CREATE TABLE ... AS SELECT (CTAS) is not part of the modeled "
-            "DDL surface; materialize via Engine.insert instead"
-        )
+    m = re.match(
+        r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s+"
+        r"(?:ENGINE\s*=\s*\w+(?:\([^)]*\))?\s+)?AS\s*\(?\s*((?:SELECT|WITH)\b.*)$",
+        s,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        select = m.group(3).rstrip().rstrip(";").rstrip()
+        if select.endswith(")") and select.count("(") < select.count(")"):
+            select = select[:-1].rstrip()
+        return {
+            "op": "ctas",
+            "name": m.group(2),
+            "if_not_exists": bool(m.group(1)),
+            "select": select,
+        }
+
+    m = re.match(
+        r"INSERT\s+INTO\s+([\w.]+)\s*(?:\(([^)]*)\))?\s*((?:SELECT|WITH)\b.*)$",
+        s,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        return {
+            "op": "insert_select",
+            "name": m.group(1).split(".")[-1],
+            "columns": [c.strip() for c in m.group(2).split(",")] if m.group(2) else None,
+            "select": m.group(3).rstrip().rstrip(";"),
+        }
 
     m = re.match(
         r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\((.*)\)\s*ENGINE\s*=\s*MergeTree\(\)\s*(.*)$",

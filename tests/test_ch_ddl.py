@@ -296,3 +296,39 @@ def test_dml_and_admin_statement_forms(spark, tmp_warehouse):
 
     engine.sql("TRUNCATE TABLE test_local")
     assert engine.sql("SELECT count(*) AS n FROM test_local").first()["n"] == 0
+
+
+def test_ctas_insert_select_arrayjoin(spark, tmp_warehouse):
+    """CTAS, INSERT ... SELECT, and arrayJoin() — the remaining statement
+    forms a CH user reaches for when reshaping tables."""
+    from clickhousedatamocker_spark.sources.generator import BatchGenerator
+
+    engine = Engine(spark, tmp_warehouse)
+    engine.sql(open(f"{REF}/create_local.sql").read())
+    gen = BatchGenerator(spark, seed=31, base_time="2026-01-01 12:00:00")
+    engine.insert("test_local", gen.batch_with_partition(4000, batch_no=0))
+
+    engine.sql(
+        "CREATE TABLE type_rollup ENGINE = MergeTree AS "
+        "SELECT event_type, count() AS n, sum(value) AS tv FROM test_local GROUP BY event_type"
+    )
+    base = {
+        r["event_type"]: r["n"]
+        for r in engine.sql("SELECT event_type, n FROM type_rollup").collect()
+    }
+    assert sum(base.values()) == 4000
+
+    # INSERT ... SELECT doubles the rollup rows
+    engine.sql("INSERT INTO type_rollup SELECT event_type, count() AS n, sum(value) AS tv FROM test_local GROUP BY event_type")
+    doubled = engine.sql("SELECT count(*) AS c FROM type_rollup").first()["c"]
+    assert doubled == 2 * len(base)
+
+    # arrayJoin == explode
+    rows = engine.sql(
+        "SELECT arrayJoin(split(event_type, 'i')) AS piece FROM test_local LIMIT 10"
+    ).collect()
+    assert len(rows) == 10
+
+    # IF NOT EXISTS CTAS is a no-op on an existing table
+    engine.sql("CREATE TABLE IF NOT EXISTS type_rollup AS SELECT 1 AS x")
+    assert engine.sql("SELECT count(*) AS c FROM type_rollup").first()["c"] == doubled
