@@ -53,6 +53,29 @@ _REWRITES = [
     (re.compile(r"\bgroupUniqArray\(", re.IGNORECASE), "collect_set("),
     # table-expanding: CH arrayJoin(arr) in a SELECT == Spark explode(arr)
     (re.compile(r"\barrayJoin\(", re.IGNORECASE), "explode("),
+    # JSON accessors: CH JSONExtract<T>(json, 'key') → typed get_json_object.
+    # Key-literal form only (the overwhelmingly common call shape); paths
+    # with nesting should use get_json_object directly.
+    (
+        re.compile(r"\bJSONExtractString\(\s*('[^']*'|[^,()]+?)\s*,\s*'([^']+)'\s*\)", re.IGNORECASE),
+        r"get_json_object(\1, '$.\2')",
+    ),
+    (
+        re.compile(r"\bJSONExtract(?:Int|UInt)\(\s*('[^']*'|[^,()]+?)\s*,\s*'([^']+)'\s*\)", re.IGNORECASE),
+        r"CAST(get_json_object(\1, '$.\2') AS BIGINT)",
+    ),
+    (
+        re.compile(r"\bJSONExtractFloat\(\s*('[^']*'|[^,()]+?)\s*,\s*'([^']+)'\s*\)", re.IGNORECASE),
+        r"CAST(get_json_object(\1, '$.\2') AS DOUBLE)",
+    ),
+    (
+        re.compile(r"\bJSONExtractBool\(\s*('[^']*'|[^,()]+?)\s*,\s*'([^']+)'\s*\)", re.IGNORECASE),
+        r"CAST(get_json_object(\1, '$.\2') AS BOOLEAN)",
+    ),
+    (
+        re.compile(r"\bJSONHas\(\s*('[^']*'|[^,()]+?)\s*,\s*'([^']+)'\s*\)", re.IGNORECASE),
+        r"(get_json_object(\1, '$.\2') IS NOT NULL)",
+    ),
 ]
 
 

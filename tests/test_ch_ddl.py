@@ -332,3 +332,22 @@ def test_ctas_insert_select_arrayjoin(spark, tmp_warehouse):
     # IF NOT EXISTS CTAS is a no-op on an existing table
     engine.sql("CREATE TABLE IF NOT EXISTS type_rollup AS SELECT 1 AS x")
     assert engine.sql("SELECT count(*) AS c FROM type_rollup").first()["c"] == doubled
+
+
+def test_json_extract_rewrites(spark, tmp_warehouse):
+    """CH JSONExtract* spellings translate to typed get_json_object calls
+    through Engine.sql (the generated metadata column is '{}' — reference
+    parity — so literals exercise the value paths)."""
+    engine = Engine(spark, tmp_warehouse)
+    row = engine.sql(
+        """
+        SELECT JSONExtractString('{"name": "ab", "n": 7, "x": 1.5, "b": true}', 'name') AS s,
+               JSONExtractInt('{"n": 7}', 'n') AS i,
+               JSONExtractFloat('{"x": 1.5}', 'x') AS f,
+               JSONExtractBool('{"b": true}', 'b') AS bl,
+               JSONHas('{"k": 1}', 'k') AS present,
+               JSONHas('{"k": 1}', 'missing') AS absent
+        """
+    ).first()
+    assert (row["s"], row["i"], row["f"], row["bl"]) == ("ab", 7, 1.5, True)
+    assert row["present"] and not row["absent"]
