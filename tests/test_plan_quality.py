@@ -182,3 +182,41 @@ def test_ch_showcase_broadcasts_tiny_aggregates(spark):
     plan = plan_of(REGISTRY["agg_ch_showcase"].fn(spark, SF_DIR))
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Same-bucketed tables join WITHOUT any shuffle: pay the exchange once
+    at write time, never again per join (plans/bucketing.py)."""
+    import uuid
+
+    from clickhousedatamocker_spark.plans.bucketing import bucketed_join, write_bucketed
+    from clickhousedatamocker_spark.sources.tables import load_table
+
+    suffix = uuid.uuid4().hex[:8]
+    orders = load_table(spark, SF_DIR, "orders")
+    lineitem = load_table(spark, SF_DIR, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+    ta, tb = f"b_orders_{suffix}", f"b_lineitem_{suffix}"
+    # at fixture scale Catalyst would broadcast the small side (bucketing
+    # "disabled by query planner"); pin the 100TB shape — SMJ — to show the
+    # bucket layout eliminates its exchanges
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    saved_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        write_bucketed(orders, ta, "o_orderkey", 8)
+        write_bucketed(lineitem, tb, "o_orderkey", 8)
+        joined = bucketed_join(spark, ta, tb, "o_orderkey")
+        plan = plan_of(joined)
+        assert "Exchange" not in plan, "bucketed join still shuffles"
+        assert "SortMergeJoin" in plan
+        assert "Bucketed: true" in plan
+        assert joined.count() == lineitem.join(orders, "o_orderkey").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        if saved_aqe is not None:
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", saved_aqe)
+        else:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.sql(f"DROP TABLE IF EXISTS {ta}")
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")
