@@ -53,6 +53,8 @@ class Engine:
         self.writer = Writer(self.parts, self.flow, metrics=self.metrics)
         self._registered_versions: dict[str, object] = {}
         self._materialized_views: dict[str, dict] = {}
+        self._catalog_version = 0
+        self._introspection_version = -1
         # cluster name -> shard count. The reference's 'default' cluster is
         # single-node (create_distributed.sql:6 — and its comment says "no
         # sharding_key"), so Distributed there degenerates to a plain alias.
@@ -65,16 +67,20 @@ class Engine:
 
     # -- DDL --------------------------------------------------------------
     def create_table(self, spec: TableSpec, if_not_exists: bool = True) -> TableHandle:
+        self._catalog_version += 1
         return self.catalog.create_table(spec, if_not_exists)
 
     def create_alias(self, name: str, of: str, distributed: dict | None = None) -> TableHandle:
+        self._catalog_version += 1
         return self.catalog.create_alias(name, of, distributed=distributed)
 
     def drop_table(self, name: str, if_exists: bool = True) -> None:
         self._materialized_views.pop(name, None)
+        self._catalog_version += 1
         self.catalog.drop_table(name, if_exists)
 
     def alter_setting(self, name: str, **settings) -> None:
+        self._catalog_version += 1
         self.catalog.alter_setting(name, **settings)
 
     # -- Distributed-table topology ---------------------------------------
@@ -104,6 +110,7 @@ class Engine:
         for i in range(1, n):
             shard = f"{base}__shard{i}"
             if not self.catalog.exists(shard):
+                self._catalog_version += 1
                 self.catalog.create_table(
                     TableSpec(
                         name=shard,
@@ -317,7 +324,13 @@ class Engine:
 
     def _register_introspection_views(self) -> None:
         """system.tables / system.columns analogues (CH's catalog
-        introspection surface) — tiny driver-built frames over the catalog."""
+        introspection surface) — tiny driver-built frames over the catalog.
+        Rebuilt only when the catalog changed: the reference polls the
+        system views at 1 Hz alongside ingest, and two createDataFrame
+        round-trips per poll would eat into that envelope."""
+        if self._introspection_version == self._catalog_version:
+            return
+        self._introspection_version = self._catalog_version
         trows, crows = [], []
         for name in self.catalog.list_tables():
             h = self.catalog.get(name)

@@ -58,12 +58,13 @@ def test_parse_ch_type_rejects_unknown():
         parse_ch_type("AggregateFunction(sum, UInt64)")
 
 
-def test_ctas_rejected_not_swallowed():
-    """CREATE TABLE ... AS SELECT must error, not silently become an alias."""
-    with pytest.raises(NotImplementedError, match="CTAS"):
-        parse_ch_ddl("CREATE TABLE t AS SELECT 1")
-    with pytest.raises(NotImplementedError, match="CTAS"):
-        parse_ch_ddl("CREATE TABLE t AS (SELECT * FROM other)")
+def test_ctas_parses_as_ctas_not_alias():
+    """CREATE TABLE ... AS SELECT must become a ctas op — never silently an
+    alias (the round-1 misparse). Execution is covered in test_ch_ddl.py."""
+    out = parse_ch_ddl("CREATE TABLE t AS SELECT 1")
+    assert out["op"] == "ctas" and out["select"] == "SELECT 1"
+    out = parse_ch_ddl("CREATE TABLE t AS (SELECT * FROM other)")
+    assert out["op"] == "ctas" and out["select"] == "SELECT * FROM other"
 
 
 def test_parse_distributed_engine_args():
