@@ -32,12 +32,17 @@ def format_readable_size(col: Column | str) -> Column:
     Chain of WHEN over the unit ladder; division + format_string only — no UDF.
     """
     b = (F.col(col) if isinstance(col, str) else col).cast("double")
-    expr = F.format_string("%.2f EiB", b / float(1024 ** 6))
+    # bround (HALF_EVEN) before %.2f: Java's Formatter rounds HALF_UP, but
+    # C/Python printf — the reference behavior and the DuckDB oracle — round
+    # half-even (1152/1024 = 1.125 must print '1.12 KiB', not '1.13 KiB')
+    expr = F.format_string("%.2f EiB", F.bround(b / float(1024 ** 6), 2))
     # Build from largest to smallest so the first matching WHEN wins.
     for power in range(len(_UNITS) - 2, -1, -1):
         threshold = float(1024 ** (power + 1))
         scaled = b / float(1024 ** power) if power else b
-        expr = F.when(b < threshold, F.format_string(f"%.2f {_UNITS[power]}", scaled)).otherwise(expr)
+        expr = F.when(
+            b < threshold, F.format_string(f"%.2f {_UNITS[power]}", F.bround(scaled, 2))
+        ).otherwise(expr)
     return expr
 
 
@@ -93,7 +98,10 @@ def register_sql_functions(spark: SparkSession) -> None:
     for power, unit in enumerate(_UNITS[:-1]):
         threshold = float(1024 ** (power + 1))
         scaled = "CAST(x AS DOUBLE)" if power == 0 else f"CAST(x AS DOUBLE) / {float(1024 ** power)!r}"
-        cases.append(f"WHEN CAST(x AS DOUBLE) < {threshold!r} THEN format_string('%.2f {unit}', {scaled})")
+        # bround = HALF_EVEN, matching C/Python printf (see format_readable_size)
+        cases.append(
+            f"WHEN CAST(x AS DOUBLE) < {threshold!r} THEN format_string('%.2f {unit}', bround({scaled}, 2))"
+        )
     cases_sql = "\n          ".join(cases)
     spark.sql(
         f"""
@@ -101,7 +109,7 @@ def register_sql_functions(spark: SparkSession) -> None:
         RETURNS STRING
         RETURN CASE
           {cases_sql}
-          ELSE format_string('%.2f EiB', CAST(x AS DOUBLE) / {float(1024 ** 6)!r})
+          ELSE format_string('%.2f EiB', bround(CAST(x AS DOUBLE) / {float(1024 ** 6)!r}, 2))
         END
         """
     )
