@@ -264,8 +264,27 @@ class Engine:
         handle = self.catalog.get(self.catalog.resolve(table))
         return self.writer.mutate_update(self.spark, handle, assignments, predicate)
 
-    def optimize(self, table: str) -> int:
+    def apply_ttl(self, table: str, now: str | None = None) -> int:
+        """Evict expired rows per the table's TTL expression (``TTL col +
+        INTERVAL n unit`` in the DDL): delete WHERE expiry < now. Runs as a
+        partition-pruned mutation — untouched partitions are never read.
+        ``now`` (ISO timestamp) defaults to wall clock; pin it in tests.
+        Returns rows evicted (0 for tables without TTL)."""
         handle = self.catalog.get(self.catalog.resolve(table))
+        if not handle.ttl:
+            return 0
+        if now is None:
+            import datetime
+
+            now = datetime.datetime.now().strftime("%Y-%m-%d %H:%M:%S")
+        return self.delete_where(table, f"({handle.ttl}) < TIMESTAMP '{now}'")
+
+    def optimize(self, table: str, now: str | None = None) -> int:
+        """Background-merge equivalent; like ClickHouse, OPTIMIZE also
+        applies the table's TTL eviction before compacting."""
+        handle = self.catalog.get(self.catalog.resolve(table))
+        if handle.ttl:
+            self.apply_ttl(table, now=now)
         return self.writer.optimize(self.spark, handle)
 
     def read_table(self, table: str) -> DataFrame:
@@ -450,6 +469,7 @@ class Engine:
                         partition_column=ddl["partition_column"],
                         order_columns=ddl["order_columns"],
                         settings=ddl["settings"],
+                        ttl=ddl.get("ttl"),
                     ),
                     if_not_exists=ddl["if_not_exists"],
                 )

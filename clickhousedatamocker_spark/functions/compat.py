@@ -385,6 +385,11 @@ def parse_ch_ddl(sql: str) -> dict | None:
         if om:
             order_columns = [c.strip() for c in om.group(1).split(",")]
 
+        ttl = None
+        tm = re.search(r"\bTTL\s+(.+?)(?=\s+SETTINGS\b|$)", tail, re.IGNORECASE | re.DOTALL)
+        if tm:
+            ttl = " ".join(tm.group(1).split())
+
         settings: dict[str, int] = {}
         sm = re.search(r"SETTINGS\s+(.*)$", tail, re.IGNORECASE | re.DOTALL)
         if sm:
@@ -404,6 +409,7 @@ def parse_ch_ddl(sql: str) -> dict | None:
             "partition_column": partition_column,
             "order_columns": order_columns,
             "settings": settings,
+            "ttl": ttl,
         }
 
     return None

@@ -38,6 +38,7 @@ class TableHandle:
     order_columns: list[str]
     settings: dict[str, Any] = field(default_factory=dict)
     alias_of: str | None = None
+    ttl: str | None = None
     # ENGINE = Distributed(cluster, db, table[, sharding_key]) metadata:
     # {"cluster": str, "sharding_key": str | None} — None for plain aliases
     distributed: dict[str, Any] | None = None
@@ -69,6 +70,7 @@ class Catalog:
             "order_columns": spec.order_columns,
             "settings": dict(spec.settings),
             "alias_of": None,
+            "ttl": spec.ttl,
         }
         os.makedirs(self.table_path(spec.name), exist_ok=True)
         self._write_meta(spec.name, meta)
@@ -97,6 +99,7 @@ class Catalog:
             "settings": dict(base.settings),
             "alias_of": of,
             "distributed": distributed,
+            "ttl": base.ttl,
         }
         self._write_meta(name, meta)
         return self.get(name)
@@ -138,6 +141,7 @@ class Catalog:
             settings=dict(meta["settings"]),
             alias_of=meta["alias_of"],
             distributed=meta.get("distributed"),
+            ttl=meta.get("ttl"),
         )
 
     def resolve(self, name: str) -> str:

@@ -66,6 +66,9 @@ class TableSpec:
     partition_column: str | None = None
     order_columns: list[str] = field(default_factory=list)
     settings: dict[str, int] = field(default_factory=dict)
+    # MergeTree TTL expression, e.g. "event_time + INTERVAL 7 DAY" — rows
+    # expire when the expression falls before now (applied on OPTIMIZE)
+    ttl: str | None = None
 
     def ddl(self) -> str:
         """Emit Spark SQL DDL (parity artifact for create_local.sql)."""

@@ -351,3 +351,32 @@ def test_json_extract_rewrites(spark, tmp_warehouse):
     ).first()
     assert (row["s"], row["i"], row["f"], row["bl"]) == ("ab", 7, 1.5, True)
     assert row["present"] and not row["absent"]
+
+
+def test_table_ttl_eviction(spark, tmp_warehouse):
+    """MergeTree TTL: rows whose `event_time + INTERVAL 1 DAY` falls before
+    now are evicted by OPTIMIZE (CH applies TTL during merges), as a
+    partition-pruned mutation."""
+    engine = Engine(spark, tmp_warehouse)
+    ddl = open(f"{REF}/create_local.sql").read()
+    assert "SETTINGS" in ddl
+    ddl = ddl.replace("SETTINGS", "TTL event_time + INTERVAL 1 DAY SETTINGS", 1)
+    engine.sql(ddl)
+    assert engine.catalog.get("test_local").ttl == "event_time + INTERVAL 1 DAY"
+
+    gen = BatchGenerator(spark, seed=23, base_time="2026-01-01 12:00:00")
+    engine.insert("test_local", gen.batch_with_partition(3000, batch_no=0))
+    total = engine.sql("SELECT count(*) AS n FROM test_local").first()["n"]
+    assert total == 3000
+
+    # pinned "now": one day after the batch window's start — the generator
+    # spreads events over ~24h around base_time, so a strict subset expires
+    expired = engine.sql(
+        "SELECT count(*) AS n FROM test_local WHERE event_time + INTERVAL 1 DAY < TIMESTAMP '2026-01-01 20:00:00'"
+    ).first()["n"]
+    assert 0 < expired < total
+    evicted = engine.optimize("test_local", now="2026-01-01 20:00:00")
+    assert engine.sql("SELECT count(*) AS n FROM test_local").first()["n"] == total - expired
+
+    # idempotent at the same instant
+    assert engine.apply_ttl("test_local", now="2026-01-01 20:00:00") == 0
