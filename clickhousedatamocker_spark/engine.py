@@ -470,6 +470,7 @@ class Engine:
                         order_columns=ddl["order_columns"],
                         settings=ddl["settings"],
                         ttl=ddl.get("ttl"),
+                        engine=ddl.get("engine"),
                     ),
                     if_not_exists=ddl["if_not_exists"],
                 )

@@ -346,7 +346,8 @@ def parse_ch_ddl(sql: str) -> dict | None:
         }
 
     m = re.match(
-        r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\((.*)\)\s*ENGINE\s*=\s*MergeTree\(\)\s*(.*)$",
+        r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\((.*)\)\s*"
+        r"ENGINE\s*=\s*(MergeTree|ReplacingMergeTree|SummingMergeTree)\s*\(([^)]*)\)\s*(.*)$",
         s,
         re.IGNORECASE | re.DOTALL,
     )
@@ -355,8 +356,12 @@ def parse_ch_ddl(sql: str) -> dict | None:
             bool(m.group(1)),
             m.group(2),
             m.group(3),
-            m.group(4),
+            m.group(6),
         )
+        engine = {
+            "family": m.group(4),
+            "args": [a.strip() for a in m.group(5).split(",") if a.strip()],
+        }
         fields = []
         for coldef in _split_top(cols_src):
             cm = re.match(r"(\w+)\s+(.+)$", coldef, re.DOTALL)
@@ -410,6 +415,7 @@ def parse_ch_ddl(sql: str) -> dict | None:
             "order_columns": order_columns,
             "settings": settings,
             "ttl": ttl,
+            "engine": engine,
         }
 
     return None

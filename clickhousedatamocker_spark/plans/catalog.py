@@ -39,6 +39,7 @@ class TableHandle:
     settings: dict[str, Any] = field(default_factory=dict)
     alias_of: str | None = None
     ttl: str | None = None
+    engine: dict | None = None
     # ENGINE = Distributed(cluster, db, table[, sharding_key]) metadata:
     # {"cluster": str, "sharding_key": str | None} — None for plain aliases
     distributed: dict[str, Any] | None = None
@@ -71,6 +72,7 @@ class Catalog:
             "settings": dict(spec.settings),
             "alias_of": None,
             "ttl": spec.ttl,
+            "engine": spec.engine,
         }
         os.makedirs(self.table_path(spec.name), exist_ok=True)
         self._write_meta(spec.name, meta)
@@ -100,6 +102,7 @@ class Catalog:
             "alias_of": of,
             "distributed": distributed,
             "ttl": base.ttl,
+            "engine": base.engine,
         }
         self._write_meta(name, meta)
         return self.get(name)
@@ -142,6 +145,7 @@ class Catalog:
             alias_of=meta["alias_of"],
             distributed=meta.get("distributed"),
             ttl=meta.get("ttl"),
+            engine=meta.get("engine"),
         )
 
     def resolve(self, name: str) -> str:

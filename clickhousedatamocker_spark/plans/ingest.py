@@ -31,6 +31,54 @@ from clickhousedatamocker_spark.plans.flow_control import FlowController
 from clickhousedatamocker_spark.plans.parts import PartsInventory
 
 
+def _merge_collapse(df: DataFrame, handle: TableHandle, family: str) -> DataFrame:
+    """Merge-time collapse semantics of the MergeTree engine families
+    (applied per partition during OPTIMIZE, exactly where ClickHouse applies
+    them):
+
+    - ReplacingMergeTree([ver]): one row per ORDER BY key — the max-``ver``
+      row (or, with no version column, a deterministic representative:
+      ordered by all non-key columns descending, where CH keeps an
+      arbitrary "last" row).
+    - SummingMergeTree: one row per ORDER BY key with numeric non-key
+      columns summed; non-numeric non-key columns keep their MIN (CH keeps
+      an arbitrary value; MIN is the deterministic choice).
+    """
+    if family == "MergeTree":
+        return df
+    from pyspark.sql import Window as W
+    from pyspark.sql import types as T
+
+    keys = handle.order_columns or [df.columns[0]]
+    others = [c for c in df.columns if c not in keys]
+    if family == "ReplacingMergeTree":
+        ver = (handle.engine or {}).get("args") or []
+        order = (
+            [F.col(ver[0]).desc()]
+            if ver
+            else [F.col(c).desc() for c in others]
+        )
+        w = W.partitionBy(*keys).orderBy(*order)
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    if family == "SummingMergeTree":
+        numeric = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                   T.FloatType, T.DoubleType, T.DecimalType)
+        aggs = []
+        for f in df.schema.fields:
+            if f.name in keys:
+                continue
+            if isinstance(f.dataType, numeric):
+                aggs.append(F.sum(f.name).cast(f.dataType).alias(f.name))
+            else:
+                aggs.append(F.min(f.name).alias(f.name))
+        return df.groupBy(*keys).agg(*aggs).select(*df.columns)
+    raise NotImplementedError(f"unsupported MergeTree family {family!r}")
+
+
 def _mutation_schema(handle: TableHandle):
     from pyspark.sql import types as T
 
@@ -300,15 +348,20 @@ class Writer:
             if p["active"]:
                 by_partition.setdefault(p["partition"], []).append(p)
 
+        family = (handle.engine or {}).get("family", "MergeTree")
         compacted = 0
         for partition, plist in by_partition.items():
-            if len(plist) < 2:
+            # plain MergeTree: single-part partitions need no merge; the
+            # collapsing families must still process them (duplicates can
+            # live INSIDE one part — CH's OPTIMIZE FINAL does the same)
+            if len(plist) < 2 and family == "MergeTree":
                 continue
             part_dir = os.path.join(handle.path, f"{handle.partition_column}={partition}")
             staging = part_dir + ".compact.tmp"
+            merged = spark.read.schema(handle.schema).parquet(part_dir)
+            merged = _merge_collapse(merged, handle, family)
             (
-                spark.read.schema(handle.schema).parquet(part_dir)
-                .sortWithinPartitions(*handle.order_columns)
+                merged.sortWithinPartitions(*handle.order_columns)
                 .coalesce(1)
                 .write.mode("overwrite")
                 .parquet(staging)

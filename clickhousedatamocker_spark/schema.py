@@ -69,6 +69,10 @@ class TableSpec:
     # MergeTree TTL expression, e.g. "event_time + INTERVAL 7 DAY" — rows
     # expire when the expression falls before now (applied on OPTIMIZE)
     ttl: str | None = None
+    # MergeTree family: {"family": "MergeTree" | "ReplacingMergeTree" |
+    # "SummingMergeTree", "args": [...]} — Replacing keeps the newest row
+    # per ORDER BY key at merge time, Summing collapses to sums
+    engine: dict | None = None
 
     def ddl(self) -> str:
         """Emit Spark SQL DDL (parity artifact for create_local.sql)."""

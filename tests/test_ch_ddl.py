@@ -380,3 +380,64 @@ def test_table_ttl_eviction(spark, tmp_warehouse):
 
     # idempotent at the same instant
     assert engine.apply_ttl("test_local", now="2026-01-01 20:00:00") == 0
+
+
+def test_replacing_and_summing_mergetree_collapse(spark, tmp_warehouse):
+    """ReplacingMergeTree keeps the max-version row per ORDER BY key and
+    SummingMergeTree collapses to sums — at OPTIMIZE time, like CH merges."""
+    engine = Engine(spark, tmp_warehouse)
+    engine.sql(
+        """
+        CREATE TABLE kv (
+            k UInt32,
+            event_time DateTime,
+            ver UInt32,
+            v Float64
+        ) ENGINE = ReplacingMergeTree(ver)
+        PARTITION BY toYYYYMMDDhh(event_time)
+        ORDER BY (k)
+        """
+    )
+    rows = [
+        (1, "2026-01-01 05:00:00", 1, 10.0),
+        (1, "2026-01-01 05:10:00", 3, 30.0),
+        (1, "2026-01-01 05:20:00", 2, 20.0),
+        (2, "2026-01-01 05:30:00", 1, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "k int, event_time string, ver int, v double").selectExpr(
+        "k", "CAST(event_time AS TIMESTAMP) AS event_time", "ver", "v"
+    )
+    engine.insert("kv", df)
+    assert engine.sql("SELECT count(*) AS n FROM kv").first()["n"] == 4
+    engine.sql("OPTIMIZE TABLE kv FINAL")
+    got = {r["k"]: (r["ver"], r["v"]) for r in engine.sql("SELECT k, ver, v FROM kv").collect()}
+    assert got == {1: (3, 30.0), 2: (1, 5.0)}
+
+    engine.sql(
+        """
+        CREATE TABLE sums (
+            k UInt32,
+            event_time DateTime,
+            n UInt64,
+            total Float64,
+            label String
+        ) ENGINE = SummingMergeTree()
+        PARTITION BY toYYYYMMDDhh(event_time)
+        ORDER BY (k)
+        """
+    )
+    sdf = spark.createDataFrame(
+        [
+            (1, "2026-01-01 06:00:00", 2, 1.5, "b"),
+            (1, "2026-01-01 06:30:00", 3, 2.5, "a"),
+            (2, "2026-01-01 06:45:00", 1, 1.0, "c"),
+        ],
+        "k int, event_time string, n bigint, total double, label string",
+    ).selectExpr("k", "CAST(event_time AS TIMESTAMP) AS event_time", "n", "total", "label")
+    engine.insert("sums", sdf)
+    engine.sql("OPTIMIZE TABLE sums")
+    got = {
+        r["k"]: (r["n"], r["total"], r["label"])
+        for r in engine.sql("SELECT k, n, total, label FROM sums").collect()
+    }
+    assert got == {1: (5, 4.0, "a"), 2: (1, 1.0, "c")}
