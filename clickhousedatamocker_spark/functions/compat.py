@@ -16,10 +16,14 @@ rewriting — they are registered as SQL-defined functions
 (functions/scalar.py).
 
 DDL: :func:`parse_ch_ddl` parses the reference's DDL dialect — CREATE TABLE
-with ENGINE=MergeTree/PARTITION BY/ORDER BY/SETTINGS (create_local.sql),
-CREATE TABLE … AS … ENGINE=Distributed (create_distributed.sql), DROP TABLE,
-and ALTER … MODIFY SETTING (set_flow_control.sh:35-40) — into catalog calls,
-so the COMPLETE reference SQL surface (DDL + queries) runs verbatim.
+with ENGINE=MergeTree/ReplacingMergeTree/SummingMergeTree, PARTITION BY/
+ORDER BY/TTL/SETTINGS (create_local.sql), CREATE TABLE … AS … ENGINE=
+Distributed (create_distributed.sql), DROP TABLE, and ALTER … MODIFY
+SETTING (set_flow_control.sh:35-40) — into catalog calls, so the COMPLETE
+reference SQL surface (DDL + queries) runs verbatim. Beyond the reference:
+CTAS, CREATE MATERIALIZED VIEW, INSERT … SELECT / … FORMAT,
+ALTER … DELETE/UPDATE WHERE, OPTIMIZE/TRUNCATE/SHOW/DESCRIBE/EXISTS
+(:func:`parse_ch_insert` + the statement ops below).
 """
 
 from __future__ import annotations
