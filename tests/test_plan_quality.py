@@ -220,3 +220,28 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
             spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         spark.sql(f"DROP TABLE IF EXISTS {ta}")
         spark.sql(f"DROP TABLE IF EXISTS {tb}")
+
+
+def test_mv_maintenance_never_rescans_base(spark, tmp_path):
+    """Materialized-view maintenance is O(batch): the rollup plan reads the
+    in-flight batch lineage, never the base table's files."""
+    from clickhousedatamocker_spark.engine import Engine
+    from clickhousedatamocker_spark.schema import test_local_spec
+    from clickhousedatamocker_spark.sources.generator import BatchGenerator
+
+    engine = Engine(spark, str(tmp_path / "wh"))
+    engine.create_table(test_local_spec())
+    engine.sql(
+        "CREATE MATERIALIZED VIEW mv_probe AS "
+        "SELECT event_type, count() AS n FROM test_local GROUP BY event_type"
+    )
+    gen = BatchGenerator(spark, seed=3, base_time="2026-01-01 12:00:00")
+    engine.insert("test_local", gen.batch_with_partition(5000, batch_no=0))
+
+    batch = gen.batch_with_partition(5000, batch_no=1)
+    part = engine._select_over_batch(
+        engine._materialized_views["mv_probe"]["sql"], "test_local", batch
+    )
+    plan = plan_of(part)
+    assert "test_local" not in plan, "MV rollup re-scans the base table"
+    assert "FileScan" not in plan and "Scan parquet" not in plan
