@@ -129,3 +129,48 @@ def oracle_snippets() -> dict[str, str]:
         "langid": langid,
         "fingerprint": f"CAST({fingerprint_sql} AS BIGINT)",
     }
+
+
+def top_bigram_fraction(tk: Column) -> Column:
+    """Gopher-style repetition signal (Rae et al. 2021, §A1.1 'repetition'
+    filters): the fraction of the document occupied by its single most
+    frequent word bigram. Natural text stays low; boilerplate/template spam
+    scores high — a standard pretraining quality filter.
+
+    Pure array HOFs over a MATERIALIZED token-array column (pass ``tokens``
+    through a real column first — lambda CSE trap, see shingles_of_tokens):
+    build the bigram list, then fold once over its distinct values counting
+    occurrences of the running-max bigram. O(distinct x total) comparisons
+    per row worst case — all codegen, zero shuffle, no explode (the exploded
+    form shuffles #bigram rows; this keeps the computation row-local, the
+    100 TB-friendly shape for a per-document score)."""
+    n = F.size(tk)
+    idx = F.sequence(F.lit(1), F.greatest(n - 1, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.element_at(tk, i), F.element_at(tk, i + 1))
+    )
+    counts = F.transform(
+        F.array_distinct(grams),
+        lambda g: F.size(F.filter(grams, lambda x: x == g)),
+    )
+    top = F.coalesce(F.array_max(counts), F.lit(0))
+    return top.cast("double") / F.greatest(F.size(grams), F.lit(1))
+
+
+def dup_token_fraction(col: str | Column) -> Column:
+    """1 - distinct/total tokens — the token-level duplication companion
+    signal to :func:`top_bigram_fraction`."""
+    return F.lit(1.0) - distinct_token_ratio(col)
+
+
+def repetition_filter(
+    df, text_col: str = "text", max_top_bigram: float = 0.18, max_dup_tokens: float = 0.60
+):
+    """Drop documents failing the repetition thresholds (defaults in the
+    range the Gopher paper uses for its 2-gram/duplicate filters)."""
+    tk = F.split(F.col(text_col), " ")
+    d = df.withColumn("__tk", tk)
+    keep = (top_bigram_fraction(F.col("__tk")) <= max_top_bigram) & (
+        dup_token_fraction(text_col) <= max_dup_tokens
+    )
+    return d.filter(keep).drop("__tk")

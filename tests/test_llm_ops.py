@@ -369,3 +369,65 @@ def test_contamination_broadcasts_test_side(spark):
     for line in plan.splitlines():
         if "SortMergeJoin" in line:
             assert "doc_id" in line, line
+
+
+def test_repetition_signals_match_duckdb(spark):
+    """Gopher repetition signals: the row-local HOF computation must equal a
+    DuckDB ground truth computed the explode-and-group way, on the real
+    documents fixture."""
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from clickhousedatamocker_spark.operators.text_analysis import (
+        dup_token_fraction,
+        top_bigram_fraction,
+    )
+    from clickhousedatamocker_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").filter(F.col("doc_id") < 120)
+    got = {
+        r["doc_id"]: (round(r["tbf"], 9), round(r["dtf"], 9))
+        for r in docs.withColumn("__tk", F.split("text", " "))
+        .select(
+            "doc_id",
+            top_bigram_fraction(F.col("__tk")).alias("tbf"),
+            dup_token_fraction("text").alias("dtf"),
+        )
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'")
+    want = {
+        int(r[0]): (round(r[1], 9), round(r[2], 9))
+        for r in con.execute(
+            """
+            WITH tk AS (
+              SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 120
+            ), grams AS (
+              SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g
+              FROM tk, LATERAL unnest(range(1, greatest(len(toks), 1))) t(i)
+            ), counts AS (
+              SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY 1, 2
+            ), top AS (
+              SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_grams FROM counts GROUP BY 1
+            )
+            SELECT tk.doc_id,
+                   CAST(COALESCE(top_c, 0) AS DOUBLE) / GREATEST(COALESCE(n_grams, 0), 1) AS tbf,
+                   1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS dtf
+            FROM tk LEFT JOIN top ON tk.doc_id = top.doc_id
+            """
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_repetition_filter_drops_boilerplate(spark):
+    """A planted template-spam doc is dropped; natural-ish fixture docs pass."""
+    from clickhousedatamocker_spark.operators.text_analysis import repetition_filter
+
+    spam = " ".join(["buy now cheap deals"] * 30)
+    natural = "the quick brown fox jumps over a lazy dog near the riverbank today"
+    df = spark.createDataFrame([(1, spam), (2, natural)], ["doc_id", "text"])
+    kept = [r["doc_id"] for r in repetition_filter(df).collect()]
+    assert kept == [2]
