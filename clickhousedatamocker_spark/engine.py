@@ -443,20 +443,26 @@ class Engine:
             self.insert(ins["table"], df)
             return self.spark.createDataFrame([], "result string")
 
-        # SELECT ... FORMAT <fmt> — clickhouse-client's output direction.
-        # With data=<path> the result is written in that wire format (the
-        # `--query "SELECT ..." > file` flow); the DataFrame is returned
+        # SELECT ... [INTO OUTFILE 'path'] [FORMAT <fmt>] — clickhouse-
+        # client's output directions: INTO OUTFILE is CH's own file-export
+        # clause; a bare FORMAT suffix writes to data=<path> (the
+        # `--query "SELECT ..." > file` flow). The DataFrame is returned
         # either way.
         import re as _re
 
-        mfmt = _re.search(r"\sFORMAT\s+(\w+)\s*$", query, _re.IGNORECASE)
+        mfmt = _re.search(
+            r"(?:\sINTO\s+OUTFILE\s+'([^']+)')?\s+FORMAT\s+(\w+)\s*;?\s*$",
+            query,
+            _re.IGNORECASE,
+        )
         if mfmt is not None and _re.match(r"\s*(SELECT|WITH)\b", query, _re.IGNORECASE):
             from clickhousedatamocker_spark.sources.formats import write_format
 
             self.refresh_system_views()
             df = self.spark.sql(translate_ch_sql(query[: mfmt.start()]))
-            if data is not None:
-                write_format(df, data, mfmt.group(1))
+            out = mfmt.group(1) or data
+            if out is not None:
+                write_format(df, out, mfmt.group(2))
             return df
 
         ddl = parse_ch_ddl(query)

@@ -441,3 +441,24 @@ def test_replacing_and_summing_mergetree_collapse(spark, tmp_warehouse):
         for r in engine.sql("SELECT k, n, total, label FROM sums").collect()
     }
     assert got == {1: (5, 4.0, "a"), 2: (1, 1.0, "c")}
+
+
+def test_select_into_outfile(spark, tmp_warehouse, tmp_path):
+    """CH's own export clause: SELECT ... INTO OUTFILE 'path' FORMAT CSV."""
+    from clickhousedatamocker_spark.sources.generator import BatchGenerator
+
+    engine = Engine(spark, tmp_warehouse)
+    engine.sql(open(f"{REF}/create_local.sql").read())
+    engine.insert(
+        "test_local",
+        BatchGenerator(spark, seed=5, base_time="2026-01-01 12:00:00").batch_with_partition(
+            1000, batch_no=0
+        ),
+    )
+    out = str(tmp_path / "export_csv")
+    df = engine.sql(
+        f"SELECT event_type, count(*) AS n FROM test_local GROUP BY event_type "
+        f"INTO OUTFILE '{out}' FORMAT CSVWithNames"
+    )
+    back = spark.read.option("header", "true").csv(out)
+    assert back.count() == df.count() > 0
