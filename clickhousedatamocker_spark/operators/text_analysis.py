@@ -174,3 +174,42 @@ def repetition_filter(
         dup_token_fraction(text_col) <= max_dup_tokens
     )
     return d.filter(keep).drop("__tk")
+
+
+def token_document_frequency(df, text_col: str = "text"):
+    """Corpus-level document frequency: one row per token with the number of
+    documents containing it. The foundation for corpus-adaptive stopword
+    discovery and IDF weighting (the data-driven alternative to the fixed
+    stopword list used by :func:`langid_en`).
+
+    Scale: explode DISTINCT tokens per document (array_distinct before the
+    explode keeps the exploded row count at sum(distinct-per-doc), not
+    sum(total tokens)), then one partially-aggregated groupBy on the token.
+    """
+    tk = F.array_distinct(F.split(F.col(text_col), " "))
+    return (
+        df.select(F.explode(tk).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
+
+
+def common_token_fraction(df, df_table, text_col: str = "text", top_k: int = 30):
+    """Per-document fraction of tokens that belong to the corpus's ``top_k``
+    highest-document-frequency tokens — a corpus-adaptive 'connective
+    tissue' signal (high for natural prose, low for codes/IDs/boilerplate).
+
+    The top-K token set is collected (K rows, driver-tiny) and folded into
+    a literal array: the per-doc computation is then a row-local HOF —
+    no join, no shuffle of the corpus.
+    """
+    top = [
+        r["token"]
+        for r in df_table.orderBy(F.desc("doc_freq"), "token").limit(top_k).collect()
+    ]
+    lit_top = F.array(*[F.lit(t) for t in top])
+    tk = F.split(F.col(text_col), " ")
+    frac = F.size(F.filter(tk, lambda x: F.array_contains(lit_top, x))).cast(
+        "double"
+    ) / F.greatest(F.size(tk), F.lit(1))
+    return df.withColumn("common_token_fraction", frac)

@@ -431,3 +431,42 @@ def test_repetition_filter_drops_boilerplate(spark):
     df = spark.createDataFrame([(1, spam), (2, natural)], ["doc_id", "text"])
     kept = [r["doc_id"] for r in repetition_filter(df).collect()]
     assert kept == [2]
+
+
+def test_token_document_frequency_matches_duckdb(spark):
+    """DF table equals DuckDB's distinct-unnest ground truth; the
+    corpus-adaptive common-token fraction is computed without joining the
+    corpus (plan-asserted)."""
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from clickhousedatamocker_spark.operators.text_analysis import (
+        common_token_fraction,
+        token_document_frequency,
+    )
+    from clickhousedatamocker_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    dft = token_document_frequency(docs)
+    got = {r["token"]: r["doc_freq"] for r in dft.collect()}
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'")
+    want = dict(
+        con.execute(
+            "SELECT t.token, COUNT(*) FROM ("
+            " SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token"
+            " FROM documents) t GROUP BY 1"
+        ).fetchall()
+    )
+    assert got == want
+
+    scored = common_token_fraction(docs, dft, top_k=10)
+    rows = scored.select("doc_id", "common_token_fraction").collect()
+    assert len(rows) == docs.count()
+    assert all(0.0 <= r["common_token_fraction"] <= 1.0 for r in rows)
+    # the corpus's own most-common words must appear in most docs
+    assert sum(r["common_token_fraction"] > 0 for r in rows) > len(rows) * 0.9
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Exchange" not in plan  # row-local fold
