@@ -341,6 +341,32 @@ class Engine:
                 )
                 self._registered_versions[name] = version
 
+    def _rewrite_final_reads(self, query: str) -> str:
+        """``FROM <table> FINAL`` — ClickHouse's read-time merge modifier:
+        the query sees the table AS IF all pending merges had run, i.e. the
+        engine family's collapse (Replacing keep-newest / Summing sums)
+        applied over the CURRENT rows without rewriting any part. Registered
+        as a ``<table>__final`` temp view over the collapse transform; plain
+        MergeTree tables read unchanged (CH semantics)."""
+        import re as _re
+
+        from clickhousedatamocker_spark.plans.ingest import _merge_collapse
+
+        def sub(m: "_re.Match[str]") -> str:
+            name = m.group(1)
+            if not self.catalog.exists(name):
+                return m.group(0)
+            handle = self.catalog.get(self.catalog.resolve(name))
+            family = (handle.engine or {}).get("family", "MergeTree")
+            if family == "MergeTree":
+                return f"FROM {name}"
+            self.refresh_system_views()
+            view = f"{name}__final"
+            _merge_collapse(self.read_table(name), handle, family).createOrReplaceTempView(view)
+            return f"FROM {view}"
+
+        return _re.sub(r"\bFROM\s+(\w+)\s+FINAL\b", sub, query, flags=_re.IGNORECASE)
+
     def _register_introspection_views(self) -> None:
         """system.tables / system.columns analogues (CH's catalog
         introspection surface) — tiny driver-built frames over the catalog.
@@ -464,6 +490,8 @@ class Engine:
             if out is not None:
                 write_format(df, out, mfmt.group(2))
             return df
+
+        query = self._rewrite_final_reads(query)
 
         ddl = parse_ch_ddl(query)
         if ddl is not None:

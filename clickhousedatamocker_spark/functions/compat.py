@@ -57,6 +57,9 @@ _REWRITES = [
     (re.compile(r"\bgroupUniqArray\(", re.IGNORECASE), "collect_set("),
     # table-expanding: CH arrayJoin(arr) in a SELECT == Spark explode(arr)
     (re.compile(r"\barrayJoin\(", re.IGNORECASE), "explode("),
+    # PREWHERE is CH's manual two-stage filter optimization; with columnar
+    # scans + pushdown the distinction is moot — same semantics as WHERE
+    (re.compile(r"\bPREWHERE\b", re.IGNORECASE), "WHERE"),
     # JSON accessors: CH JSONExtract<T>(json, 'key') → typed get_json_object.
     # Key-literal form only (the overwhelmingly common call shape); paths
     # with nesting should use get_json_object directly.

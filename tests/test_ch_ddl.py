@@ -462,3 +462,34 @@ def test_select_into_outfile(spark, tmp_warehouse, tmp_path):
     )
     back = spark.read.option("header", "true").csv(out)
     assert back.count() == df.count() > 0
+
+
+def test_select_final_and_prewhere(spark, tmp_warehouse):
+    """FROM t FINAL applies the engine family's merge-collapse at read time
+    without touching parts; PREWHERE reads as WHERE."""
+    engine = Engine(spark, tmp_warehouse)
+    engine.sql(
+        """
+        CREATE TABLE kvf (
+            k UInt32, event_time DateTime, ver UInt32, v Float64
+        ) ENGINE = ReplacingMergeTree(ver)
+        PARTITION BY toYYYYMMDDhh(event_time)
+        ORDER BY (k)
+        """
+    )
+    df = spark.createDataFrame(
+        [(1, "2026-01-01 05:00:00", 1, 10.0), (1, "2026-01-01 05:10:00", 2, 20.0),
+         (2, "2026-01-01 05:30:00", 1, 5.0)],
+        "k int, event_time string, ver int, v double",
+    ).selectExpr("k", "CAST(event_time AS TIMESTAMP) AS event_time", "ver", "v")
+    engine.insert("kvf", df)
+
+    # unmerged read sees 3 rows; FINAL collapses to newest-per-key
+    assert engine.sql("SELECT count(*) AS n FROM kvf").first()["n"] == 3
+    got = {r["k"]: r["v"] for r in engine.sql("SELECT k, v FROM kvf FINAL").collect()}
+    assert got == {1: 20.0, 2: 5.0}
+    # parts untouched: plain read still 3 rows
+    assert engine.sql("SELECT count(*) AS n FROM kvf").first()["n"] == 3
+
+    n = engine.sql("SELECT count(*) AS n FROM kvf FINAL PREWHERE v > 6").first()["n"]
+    assert n == 1
