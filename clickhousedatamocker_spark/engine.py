@@ -367,6 +367,30 @@ class Engine:
 
         return _re.sub(r"\bFROM\s+(\w+)\s+FINAL\b", sub, query, flags=_re.IGNORECASE)
 
+    def _rewrite_sample_reads(self, query: str) -> str:
+        """``FROM <table> SAMPLE <fraction>`` — CH's deterministic sampling
+        clause, keyed on the table's SAMPLE BY column: the same rows are
+        selected on every run and every engine (a hash-threshold predicate,
+        pushed into a subquery). Requires SAMPLE BY in the DDL, as CH does."""
+        import re as _re
+
+        def sub(m: "_re.Match[str]") -> str:
+            name, frac = m.group(1), float(m.group(2))
+            if not self.catalog.exists(name):
+                return m.group(0)
+            handle = self.catalog.get(self.catalog.resolve(name))
+            if not handle.sample_by:
+                raise ValueError(
+                    f"SAMPLE over {name!r} needs SAMPLE BY in its DDL (ClickHouse requires this too)"
+                )
+            threshold = int(frac * 4294967296)
+            return (
+                f"FROM (SELECT * FROM {name} WHERE "
+                f"pmod(xxhash64({handle.sample_by}), 4294967296) < {threshold}) AS {name}"
+            )
+
+        return _re.sub(r"\bFROM\s+(\w+)\s+SAMPLE\s+(0?\.\d+)", sub, query, flags=_re.IGNORECASE)
+
     def _register_introspection_views(self) -> None:
         """system.tables / system.columns analogues (CH's catalog
         introspection surface) — tiny driver-built frames over the catalog.
@@ -491,7 +515,7 @@ class Engine:
                 write_format(df, out, mfmt.group(2))
             return df
 
-        query = self._rewrite_final_reads(query)
+        query = self._rewrite_final_reads(self._rewrite_sample_reads(query))
 
         ddl = parse_ch_ddl(query)
         if ddl is not None:
@@ -505,6 +529,7 @@ class Engine:
                         settings=ddl["settings"],
                         ttl=ddl.get("ttl"),
                         engine=ddl.get("engine"),
+                        sample_by=ddl.get("sample_by"),
                     ),
                     if_not_exists=ddl["if_not_exists"],
                 )

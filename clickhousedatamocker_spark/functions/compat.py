@@ -402,6 +402,11 @@ def parse_ch_ddl(sql: str) -> dict | None:
         if tm:
             ttl = " ".join(tm.group(1).split())
 
+        sample_by = None
+        sbm = re.search(r"\bSAMPLE\s+BY\s+(\w+)", tail, re.IGNORECASE)
+        if sbm:
+            sample_by = sbm.group(1)
+
         settings: dict[str, int] = {}
         sm = re.search(r"SETTINGS\s+(.*)$", tail, re.IGNORECASE | re.DOTALL)
         if sm:
@@ -423,6 +428,7 @@ def parse_ch_ddl(sql: str) -> dict | None:
             "settings": settings,
             "ttl": ttl,
             "engine": engine,
+            "sample_by": sample_by,
         }
 
     return None

@@ -40,6 +40,7 @@ class TableHandle:
     alias_of: str | None = None
     ttl: str | None = None
     engine: dict | None = None
+    sample_by: str | None = None
     # ENGINE = Distributed(cluster, db, table[, sharding_key]) metadata:
     # {"cluster": str, "sharding_key": str | None} — None for plain aliases
     distributed: dict[str, Any] | None = None
@@ -73,6 +74,7 @@ class Catalog:
             "alias_of": None,
             "ttl": spec.ttl,
             "engine": spec.engine,
+            "sample_by": spec.sample_by,
         }
         os.makedirs(self.table_path(spec.name), exist_ok=True)
         self._write_meta(spec.name, meta)
@@ -103,6 +105,7 @@ class Catalog:
             "distributed": distributed,
             "ttl": base.ttl,
             "engine": base.engine,
+            "sample_by": base.sample_by,
         }
         self._write_meta(name, meta)
         return self.get(name)
@@ -146,6 +149,7 @@ class Catalog:
             distributed=meta.get("distributed"),
             ttl=meta.get("ttl"),
             engine=meta.get("engine"),
+            sample_by=meta.get("sample_by"),
         )
 
     def resolve(self, name: str) -> str:

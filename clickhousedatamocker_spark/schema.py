@@ -73,6 +73,8 @@ class TableSpec:
     # "SummingMergeTree", "args": [...]} — Replacing keeps the newest row
     # per ORDER BY key at merge time, Summing collapses to sums
     engine: dict | None = None
+    # SAMPLE BY column: key for the deterministic SAMPLE read clause
+    sample_by: str | None = None
 
     def ddl(self) -> str:
         """Emit Spark SQL DDL (parity artifact for create_local.sql)."""

@@ -493,3 +493,30 @@ def test_select_final_and_prewhere(spark, tmp_warehouse):
 
     n = engine.sql("SELECT count(*) AS n FROM kvf FINAL PREWHERE v > 6").first()["n"]
     assert n == 1
+
+
+def test_sample_by_clause(spark, tmp_warehouse):
+    """SAMPLE BY in DDL + FROM t SAMPLE f: deterministic hash-threshold
+    subset — same rows every run; errors without a SAMPLE BY key (as CH)."""
+    engine = Engine(spark, tmp_warehouse)
+    ddl = open(f"{REF}/create_local.sql").read().replace(
+        "SETTINGS", "SAMPLE BY id SETTINGS", 1
+    )
+    engine.sql(ddl)
+    assert engine.catalog.get("test_local").sample_by == "id"
+    engine.insert(
+        "test_local",
+        BatchGenerator(spark, seed=29, base_time="2026-01-01 12:00:00").batch_with_partition(
+            5000, batch_no=0
+        ),
+    )
+    n1 = engine.sql("SELECT count(*) AS n FROM test_local SAMPLE 0.1").first()["n"]
+    n2 = engine.sql("SELECT count(*) AS n FROM test_local SAMPLE 0.1").first()["n"]
+    assert n1 == n2  # deterministic
+    assert 0 < n1 < 5000 and abs(n1 - 500) < 200  # ~10%
+
+    engine.sql("CREATE TABLE nosample (k UInt32) ENGINE = MergeTree() ORDER BY (k)")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="SAMPLE BY"):
+        engine.sql("SELECT count(*) FROM nosample SAMPLE 0.5")
