@@ -60,6 +60,11 @@ _REWRITES = [
     # PREWHERE is CH's manual two-stage filter optimization; with columnar
     # scans + pushdown the distinction is moot — same semantics as WHERE
     (re.compile(r"\bPREWHERE\b", re.IGNORECASE), "WHERE"),
+    # numbers(N) table function → Spark's range(N), column renamed to CH's
+    (
+        re.compile(r"\bnumbers\(\s*(\d+)\s*\)", re.IGNORECASE),
+        r"(SELECT id AS number FROM range(\1))",
+    ),
     # JSON accessors: CH JSONExtract<T>(json, 'key') → typed get_json_object.
     # Key-literal form only (the overwhelmingly common call shape); paths
     # with nesting should use get_json_object directly.

@@ -88,6 +88,8 @@ def register_sql_functions(spark: SparkSession) -> None:
         ("modulo", "(a BIGINT, b BIGINT)", "BIGINT", "a % b"),
         ("empty", "(s STRING)", "BOOLEAN", "s IS NULL OR length(s) = 0"),
         ("notEmpty", "(s STRING)", "BOOLEAN", "s IS NOT NULL AND length(s) > 0"),
+        ("today", "()", "DATE", "current_date()"),
+        ("yesterday", "()", "DATE", "date_sub(current_date(), 1)"),
     ]:
         spark.sql(
             f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{sig} RETURNS {ret} RETURN {body}"

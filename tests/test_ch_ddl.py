@@ -520,3 +520,11 @@ def test_sample_by_clause(spark, tmp_warehouse):
 
     with _pytest.raises(ValueError, match="SAMPLE BY"):
         engine.sql("SELECT count(*) FROM nosample SAMPLE 0.5")
+
+
+def test_numbers_table_function_and_date_scalars(spark, tmp_warehouse):
+    engine = Engine(spark, tmp_warehouse)
+    rows = engine.sql("SELECT sum(number) AS s, count(*) AS n FROM numbers(100)").first()
+    assert (rows["s"], rows["n"]) == (4950, 100)
+    d = engine.sql("SELECT today() AS t, yesterday() AS y").first()
+    assert (d["t"] - d["y"]).days == 1
