@@ -65,6 +65,14 @@ _REWRITES = [
         re.compile(r"\bnumbers\(\s*(\d+)\s*\)", re.IGNORECASE),
         r"(SELECT id AS number FROM range(\1))",
     ),
+    # GROUP BY k1, k2 WITH TOTALS == GROUPING SETS ((k1,k2), ()) — the
+    # grouped rows plus one grand-total row. Documented deviation: the
+    # totals row carries NULL keys (SQL convention) where CH renders type
+    # defaults ('', 0).
+    (
+        re.compile(r"GROUP\s+BY\s+(.+?)\s+WITH\s+TOTALS", re.IGNORECASE | re.DOTALL),
+        r"GROUP BY GROUPING SETS ((\1), ())",
+    ),
     # JSON accessors: CH JSONExtract<T>(json, 'key') → typed get_json_object.
     # Key-literal form only (the overwhelmingly common call shape); paths
     # with nesting should use get_json_object directly.

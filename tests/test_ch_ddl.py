@@ -528,3 +528,26 @@ def test_numbers_table_function_and_date_scalars(spark, tmp_warehouse):
     assert (rows["s"], rows["n"]) == (4950, 100)
     d = engine.sql("SELECT today() AS t, yesterday() AS y").first()
     assert (d["t"] - d["y"]).days == 1
+
+
+def test_with_totals(spark, tmp_warehouse):
+    """GROUP BY ... WITH TOTALS: grouped rows plus a grand-total row
+    (GROUPING SETS form; totals keys are NULL — documented deviation from
+    CH's type-default rendering)."""
+    from clickhousedatamocker_spark.sources.generator import BatchGenerator
+
+    engine = Engine(spark, tmp_warehouse)
+    engine.sql(open(f"{REF}/create_local.sql").read())
+    engine.insert(
+        "test_local",
+        BatchGenerator(spark, seed=41, base_time="2026-01-01 12:00:00").batch_with_partition(
+            2000, batch_no=0
+        ),
+    )
+    rows = engine.sql(
+        "SELECT event_type, count(*) AS n FROM test_local GROUP BY event_type WITH TOTALS"
+    ).collect()
+    groups = [r for r in rows if r["event_type"] is not None]
+    totals = [r for r in rows if r["event_type"] is None]
+    assert len(totals) == 1 and len(groups) == 4
+    assert totals[0]["n"] == sum(r["n"] for r in groups) == 2000
