@@ -543,9 +543,9 @@ WITH per_user AS (
     MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c3
   FROM events GROUP BY user_id
 )
-SELECT SUM(r1) AS cohort,
-       SUM(r1 * c2) AS retained_click,
-       SUM(r1 * c3) AS retained_purchase
+SELECT CAST(SUM(r1) AS BIGINT) AS cohort,
+       CAST(SUM(r1 * c2) AS BIGINT) AS retained_click,
+       CAST(SUM(r1 * c3) AS BIGINT) AS retained_purchase
 FROM per_user
 """,
     description="ClickHouse retention() parity: per-user condition flags "
@@ -586,13 +586,13 @@ _S16_RAW = (
 _MM_ORACLE = f"""
 WITH src AS (SELECT doc_id, {_MM_HH} AS hh FROM documents WHERE doc_id < 50)
 SELECT doc_id, 'image' AS modality, 8 AS dim_a, 8 AS dim_b, 3 AS channels,
-  list_sum(list_transform(generate_series(0, 191), j -> {_U8})) AS checksum,
+  CAST(list_sum(list_transform(generate_series(0, 191), j -> {_U8})) AS BIGINT) AS checksum,
   16 AS feature_dim
 FROM src
 UNION ALL
 SELECT doc_id, 'audio' AS modality, 96 AS dim_a, 8000 AS dim_b, 1 AS channels,
-  list_sum(list_transform(list_transform(generate_series(0, 95), j -> {_S16_RAW}),
-    v -> v - 65536 * CAST(v >= 32768 AS INTEGER))) AS checksum,
+  CAST(list_sum(list_transform(list_transform(generate_series(0, 95), j -> {_S16_RAW}),
+    v -> v - 65536 * CAST(v >= 32768 AS INTEGER))) AS BIGINT) AS checksum,
   16 AS feature_dim
 FROM src
 ORDER BY doc_id, modality

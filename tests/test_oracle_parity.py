@@ -49,9 +49,21 @@ def test_query_matches_oracle(spark, duck, name):
     srows = sdf.collect()
     scols = sdf.columns
 
-    cur = duck.execute(spec.oracle)
-    ocols = [d[0] for d in cur.description]
-    orows = cur.fetchall()
+    rel = duck.sql(spec.oracle)
+    ocols = list(rel.columns)
+    otypes = [str(t) for t in rel.types]
+    orows = rel.fetchall()
+    # The driver fetches the DuckDB side through pandas, where HUGEINT (the
+    # result type of SUM(int)/list_sum(int)) coerces to float64 — so `150`
+    # becomes `150.0` and the value hash diverges from Spark's BIGINT even
+    # when the answers are identical. fetchall() hands back Python ints and
+    # hid that for two rounds; reproduce the lossy path here.
+    hugeint_cols = {i for i, t in enumerate(otypes) if t in ("HUGEINT", "UHUGEINT")}
+    if hugeint_cols:
+        orows = [
+            tuple(float(v) if i in hugeint_cols and v is not None else v for i, v in enumerate(r))
+            for r in orows
+        ]
 
     assert len(srows) == len(orows), f"{name}: row count {len(srows)} != oracle {len(orows)}"
     assert sorted(scols) == sorted(ocols), f"{name}: columns {sorted(scols)} != {sorted(ocols)}"
@@ -59,6 +71,20 @@ def test_query_matches_oracle(spark, duck, name):
     onorm = _normalize(orows, ocols)
     mismatches = [(a, b) for a, b in zip(snorm, onorm) if a != b]
     assert not mismatches, f"{name}: {len(mismatches)} mismatched rows; first: {mismatches[0]}"
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_oracle_emits_no_hugeint(duck, name):
+    """Registry-wide lint: an oracle whose output schema contains HUGEINT
+    (un-cast SUM/list_sum over integers) will hash-mismatch under the
+    driver's pandas fetch no matter what values it holds. Relation .types
+    is resolved without executing the query, so this is cheap."""
+    types = [str(t) for t in duck.sql(REGISTRY[name].oracle).types]
+    bad = [t for t in types if t in ("HUGEINT", "UHUGEINT")]
+    assert not bad, (
+        f"{name}: oracle output contains {bad} — wrap the aggregate in "
+        f"CAST(... AS BIGINT) so the driver's canonicalizer sees int64"
+    )
 
 
 def test_oracled_queries_precede_rows_only():
