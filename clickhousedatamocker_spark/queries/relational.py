@@ -143,17 +143,20 @@ ORDER BY revenue DESC, n_name
 )
 def q5_local_supplier_volume(spark, sf_dir):
     # Written fact-first so lineitem is always the streamed PROBE side:
-    # the date-filtered orders x customer result (~1/6 of orders) and the
-    # dims broadcast; at any SF the fact table is never built into a hash
-    # relation (the SQL-order plan broadcast lineitem itself at small SF —
-    # harmless there, but the wrong shape to grade for 100 TB).
+    # the date-filtered orders x customer result (~1/6 of orders) joins as
+    # the BUILD side of a shuffled hash join — NOT broadcast: that side
+    # grows linearly with SF, and a /*+ BROADCAST */ hint would override
+    # AQE's size threshold and OOM the driver at 100x scale. SHUFFLE_HASH
+    # partitions the build side across executors (per-partition memory,
+    # no sort), so the shape survives any SF; the true dims
+    # (supplier/nation/region) stay Catalyst-broadcast.
     views(spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region")
     return spark.sql(
         f"""
-        SELECT n_name, CAST(SUM({_O_DISC}) AS DOUBLE) AS revenue
+        SELECT /*+ SHUFFLE_HASH(co) */ n_name, CAST(SUM({_O_DISC}) AS DOUBLE) AS revenue
         FROM lineitem
         JOIN (
-          SELECT /*+ BROADCAST */ o_orderkey, c_nationkey
+          SELECT o_orderkey, c_nationkey
           FROM orders JOIN customer ON c_custkey = o_custkey
           WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
             AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'

@@ -20,28 +20,37 @@ TABLE_NAMES = [
 ]
 
 
-# columns stored as parquet TIMESTAMP(NANOS) — Spark reads them as long only
-# (spark.sql.legacy.parquet.nanosAsLong, set in session.py); convert to
-# microsecond timestamps on load, matching DuckDB's ns->us truncation.
+# columns stored as parquet TIMESTAMP(NANOS). Spark's read shape for these
+# has changed across versions: <=4.0 needs spark.sql.legacy.parquet.nanosAsLong
+# (else PARQUET_TYPE_ILLEGAL) and yields bigint; 4.1+ reads them natively as
+# timestamp_ntz (micros, ns floor-truncated). Normalize BOTH shapes to a
+# UTC-instant TIMESTAMP on load, matching DuckDB's ns->us truncation, so
+# every downstream query sees one stable type under any session/timezone.
 _NANO_TS_COLS = {"events": ["ts"]}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Sessions we didn't build (an external driver's, a bare spark-shell) won't
-    # have the nanos conf, and without it the events.parquet read throws
-    # PARQUET_TYPE_ILLEGAL before the bigint fallback below can run. The conf
-    # is runtime-settable, so set it here rather than relying on session.py.
+    # have the nanos conf; on Spark <=4.0 the events.parquet read throws
+    # PARQUET_TYPE_ILLEGAL without it. The conf is runtime-settable, so set it
+    # here rather than relying on session.py. (On 4.1+ it is a no-op.)
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass  # locked-down conf (e.g. Spark Connect) — fall through to the read
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANO_TS_COLS.get(name, []):
-        if dict(df.dtypes).get(col) == "bigint":
-            from pyspark.sql import functions as F
+        dtype = dict(df.dtypes).get(col)
+        from pyspark.sql import functions as F
 
+        if dtype == "bigint":
             # integer `div`, not `/`: ns epochs (~1.7e18) exceed double precision
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+        elif dtype == "timestamp_ntz":
+            # interpret the NTZ wall time as a UTC instant explicitly —
+            # independent of spark.sql.session.timeZone, so an external
+            # driver session in any zone sees the same instants as DuckDB.
+            df = df.withColumn(col, F.to_utc_timestamp(F.col(col), "UTC"))
     return df
 
 

@@ -31,6 +31,49 @@ def test_tpch_joins_broadcast_small_sides(spark):
         assert "SortMergeJoin" not in plan, f"{name}: dim join fell back to sort-merge"
 
 
+def test_q5_fact_never_broadcast_and_never_build_side(spark):
+    """q5's orders x customer subquery grows linearly with SF: it must join
+    as the BUILD side of a ShuffledHashJoin (per-partition memory), never a
+    hinted broadcast; lineitem must be the streamed probe side. The only
+    BroadcastExchanges allowed are the true dims (supplier/nation/region +
+    the customer dim inside the subquery)."""
+    plan = plan_of(REGISTRY["q5_local_supplier_volume"].fn(spark, SF_DIR))
+    assert "ShuffledHashJoin" in plan, "orders x customer lost its shuffle-hash shape"
+    # fact-derived side must not be broadcast: every BroadcastExchange subtree
+    # must be dim-sized — none may contain the lineitem or orders scan on the
+    # *outer* join level. Indentation-parse: a broadcast subtree ends when
+    # the tree dedents back past the exchange's own depth.
+    for sub in _broadcast_subtrees(plan):
+        assert "lineitem" not in sub, "lineitem inside a BroadcastExchange"
+
+
+def _broadcast_subtrees(plan: str) -> list[str]:
+    """Extract each BroadcastExchange node's subtree from a toString() plan
+    using the tree-drawing indentation (':-', '+-', spaces)."""
+    lines = plan.split("\n")
+
+    def depth(line: str) -> int:
+        i = 0
+        while i < len(line) and line[i] in " :+-*(0123456789)":
+            if line[i] not in " :":
+                break
+            i += 1
+        return i
+
+    subtrees = []
+    for i, line in enumerate(lines):
+        if "BroadcastExchange" not in line:
+            continue
+        d = depth(line)
+        body = [line]
+        for nxt in lines[i + 1 :]:
+            if nxt.strip() and depth(nxt) <= d:
+                break
+            body.append(nxt)
+        subtrees.append("\n".join(body))
+    return subtrees
+
+
 def test_q1_partial_aggregation(spark):
     """Map-side combine: two HashAggregates (partial+final) around one
     exchange — never a raw shuffle of lineitem rows."""
