@@ -15,11 +15,23 @@ binary data to the driver.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# Spark Python workers inherit neither the driver's sys.path edits nor its
+# cwd, so a session started outside the repo (an external driver's) spawns
+# workers that cannot import this package. The repo root is captured here on
+# the DRIVER at import time and each worker closure carries it as a plain
+# string local, prepending it to sys.path before any package-internal
+# import — the closure must reference NO module globals, or cloudpickle
+# serializes them by reference and the worker fails at unpickle time, before
+# any bootstrap can run. (Local mode and any cluster with a shared
+# filesystem; otherwise ship the package via --py-files as usual.)
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -63,9 +75,14 @@ def attach_synth_png(df: DataFrame, id_col: str, size: int = 8) -> DataFrame:
     mapInPandas — narrow, no driver materialization of binary."""
     out_schema = T.StructType(df.schema.fields + [T.StructField("media", MEDIA_SCHEMA, False)])
 
+    repo_root = _REPO_ROOT  # captured by value — see module comment
+
     def synth(batches: Iterator) -> Iterator:
         import hashlib
+        import sys
 
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
         from clickhousedatamocker_spark.operators.png import encode_png
 
         n_px = size * size * 3
@@ -114,7 +131,13 @@ def decode_media(df: DataFrame, deterministic_fake: bool = False) -> DataFrame:
         ]
     )
 
+    repo_root = _REPO_ROOT  # captured by value — see module comment
+
     def decode(batches: Iterator) -> Iterator:
+        import sys
+
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
         from clickhousedatamocker_spark.operators.png import decode_png
 
         for pdf in batches:

@@ -302,3 +302,289 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-engine twins (the operators/dedup.py *_xengine pattern).
+#
+# The production LSH/IVF paths above bucket on floating-point projections,
+# whose signs an independent engine cannot be guaranteed to reproduce
+# bit-for-bit. These twins quantize every vector to integers
+# (floor(x * 1e6) as 64-bit int — exact for any IEEE double in both
+# engines) and do ALL bucketing math in integer arithmetic, so a DuckDB
+# oracle can recompute the WHOLE pipeline — hyperplane buckets / codebook
+# selection, candidate equi-joins, exact cosine rerank — hash-exactly.
+# Magnitudes: |q| <= ~2^21 for unit-ish embeddings, so every intermediate
+# (projections ~1e10, squared distances ~1e14) is exactly representable
+# even where an engine promotes to double. The plan SHAPE is identical to
+# the production paths: bucketed equi-join + broadcast query side, never a
+# cross join.
+
+
+def _int_hyperplanes(num_planes: int, dim: int, seed: int = 42) -> list[list[int]]:
+    """Deterministic integer hyperplanes, coefficients in [-500, 500]."""
+    planes = []
+    state = (seed * 6364136223846793005 + 99991) % (2**64)
+    for _ in range(num_planes):
+        w = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (2**64)
+            w.append(int((state >> 17) % 1001) - 500)
+        planes.append(w)
+    return planes
+
+
+_QSCALE = 1_000_000
+
+
+def quantize_vec(vec: Column) -> Column:
+    """floor(x * 1e6) per component as long — exact and engine-independent."""
+    return F.transform(vec, lambda x: F.floor(x.cast("double") * F.lit(float(_QSCALE))).cast("long"))
+
+
+def _int_dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+
+
+def lsh_bucket_int(qvec: Column, planes: list[list[int]]) -> Column:
+    bucket = F.lit(0).cast("long")
+    for i, w in enumerate(planes):
+        proj = _int_dot(qvec, F.array(*[F.lit(x).cast("long") for x in w]))
+        bucket = bucket.bitwiseOR(
+            F.when(proj >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    return bucket
+
+
+def lsh_ann_topk_xengine(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    num_planes: int = 3,
+    dim: int = 64,
+    seed: int = 42,
+    probe_hamming: int = 1,
+    out_prefix: str = "lsh_",
+) -> DataFrame:
+    """LSH ANN with integer-quantized bucketing; same join discipline as
+    :func:`lsh_ann_topk`. Output: (query_id, rank, <prefix>neighbor_id,
+    <prefix>cosine)."""
+    planes = _int_hyperplanes(num_planes, dim, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
+    ).withColumn("bucket", lsh_bucket_int(quantize_vec(F.col("cv")), planes))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
+    ).withColumn("bucket", lsh_bucket_int(quantize_vec(F.col("qv")), planes))
+    if probe_hamming >= 1:
+        flips = [F.col("bucket")] + [
+            F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long")) for i in range(num_planes)
+        ]
+        q = q.withColumn("bucket", F.explode(F.array(*flips)))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            F.col("neighbor_id").alias(f"{out_prefix}neighbor_id"),
+            F.col("cosine").alias(f"{out_prefix}cosine"),
+        )
+    )
+
+
+# deterministic integer id-hash for codebook row selection (both engines can
+# evaluate it): h(id) = (a*id + b) mod p, ties broken by id
+_IVF_HA, _IVF_HB, _IVF_HP = 48271, 11, 1_000_003
+
+
+def ivf_codebook_xengine(
+    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", n_centroids: int = 8
+) -> list[list[int]]:
+    """Sample-codebook IVF 'train': the ``n_centroids`` corpus rows with
+    smallest (h(id), id), quantized. Driver state is k x dim ints — at 100 TB
+    the selection is one TakeOrdered, nothing else concentrates."""
+    h = (F.lit(_IVF_HA) * F.col(id_col) + F.lit(_IVF_HB)) % F.lit(_IVF_HP)
+    rows = (
+        corpus.select(F.col(id_col), quantize_vec(as_double(vec_col)).alias("qv"), h.alias("h"))
+        .orderBy("h", id_col)
+        .limit(n_centroids)
+        .collect()
+    )
+    return [list(r["qv"]) for r in rows]
+
+
+def _int_centroid_array(centroids: list[list[int]]) -> Column:
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cid"),
+                F.array(*[F.lit(int(x)).cast("long") for x in c]).alias("cv"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+
+
+def _int_probe_cids(qvec: Column, centroids: list[list[int]], nprobe: int) -> Column:
+    """The nprobe nearest centroid ids by exact integer squared L2, ties by
+    cid — array of ints."""
+    d2 = lambda c: F.aggregate(  # noqa: E731
+        F.zip_with(qvec, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    scored = F.transform(
+        _int_centroid_array(centroids),
+        lambda c: F.struct(d2(c["cv"]).alias("d"), c["cid"].alias("cid")),
+    )
+    return F.transform(F.slice(F.array_sort(scored), 1, nprobe), lambda s: s["cid"])
+
+
+def ivf_topk_xengine(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 3,
+    out_prefix: str = "ivf_",
+) -> DataFrame:
+    """IVF ANN with the integer sample codebook; same join discipline as
+    :func:`ivf_topk`. Output: (query_id, rank, <prefix>neighbor_id,
+    <prefix>cosine)."""
+    centroids = ivf_codebook_xengine(corpus, id_col, vec_col, n_centroids)
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"))
+    c = c.withColumn(
+        "bucket", F.element_at(_int_probe_cids(quantize_vec(F.col("cv")), centroids, 1), 1)
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
+    q = q.withColumn("bucket", F.explode(_int_probe_cids(quantize_vec(F.col("qv")), centroids, nprobe)))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            F.col("neighbor_id").alias(f"{out_prefix}neighbor_id"),
+            F.col("cosine").alias(f"{out_prefix}cosine"),
+        )
+    )
+
+
+def ann_xengine_oracle_sql(
+    k: int = 10,
+    num_planes: int = 3,
+    dim: int = 64,
+    seed: int = 42,
+    n_centroids: int = 8,
+    nprobe: int = 3,
+    query_pred: str = "vec_id < 5",
+) -> str:
+    """DuckDB SQL recomputing lsh_ann_topk_xengine JOIN ivf_topk_xengine
+    exactly — including hyperplane bucketing, multiprobe bit flips, codebook
+    selection, nearest/probed-centroid assignment and the cosine rerank.
+    Every bucketing intermediate is an integer or an exactly-representable
+    double, so both engines agree bit-for-bit on the candidate sets; the
+    rerank rounds cosine to 6 places (the established cross-engine float
+    discipline from the brute-force oracle)."""
+    planes = _int_hyperplanes(num_planes, dim, seed)
+
+    def bucket_expr(qv: str) -> str:
+        parts = []
+        for i, w in enumerate(planes):
+            arr = "[" + ", ".join(f"{x}.0" for x in w) + "]"
+            proj = f"list_dot_product(list_transform({qv}, x -> CAST(x AS DOUBLE)), {arr})"
+            parts.append(f"(CASE WHEN {proj} >= 0 THEN {1 << i} ELSE 0 END)")
+        return "(" + " + ".join(parts) + ")"
+
+    probes = "[CAST(bucket AS BIGINT)" + "".join(
+        f", xor(CAST(bucket AS BIGINT), {1 << i})" for i in range(num_planes)
+    ) + "]"
+    cos = (
+        "round(list_dot_product({a}, {b}) / sqrt(list_dot_product({a}, {a}) "
+        "* list_dot_product({b}, {b})), 6)"
+    )
+    d2 = (
+        f"list_sum(list_transform(generate_series(1, {dim}), "
+        "j -> CAST(e.qv[j] - cb.cv[j] AS DOUBLE) * CAST(e.qv[j] - cb.cv[j] AS DOUBLE)))"
+    )
+    hid = f"({_IVF_HA} * vec_id + {_IVF_HB}) % {_IVF_HP}"
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_transform(embedding::DOUBLE[], x -> CAST(floor(x * {_QSCALE}) AS BIGINT)) AS qv
+  FROM embeddings
+),
+lb AS (SELECT vec_id, v, {bucket_expr('qv')} AS bucket FROM e),
+lq AS (
+  SELECT vec_id, v, unnest({probes}) AS bucket FROM lb WHERE {query_pred}
+),
+lsh_topk AS (
+  SELECT query_id, CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank,
+         neighbor_id, cosine
+  FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {cos.format(a='q.v', b='c.v')} AS cosine
+    FROM lq q JOIN lb c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+  )
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) <= {k}
+),
+cb AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY {hid}, vec_id) AS INT) - 1 AS cid, qv AS cv
+  FROM e
+  QUALIFY ROW_NUMBER() OVER (ORDER BY {hid}, vec_id) <= {n_centroids}
+),
+ad AS (
+  SELECT e.vec_id, cb.cid, {d2} AS d2 FROM e CROSS JOIN cb
+),
+assign AS (
+  SELECT vec_id, cid AS bucket FROM ad
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1
+),
+iq AS (
+  SELECT vec_id, cid AS bucket FROM ad WHERE {query_pred}
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) <= {nprobe}
+),
+ivf_topk AS (
+  SELECT query_id, CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank,
+         neighbor_id, cosine
+  FROM (
+    SELECT q.vec_id AS query_id, ca.vec_id AS neighbor_id,
+           {cos.format(a='qe.v', b='ce.v')} AS cosine
+    FROM iq q
+    JOIN e qe ON qe.vec_id = q.vec_id
+    JOIN assign ca ON ca.bucket = q.bucket AND ca.vec_id <> q.vec_id
+    JOIN e ce ON ce.vec_id = ca.vec_id
+  )
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) <= {k}
+)
+SELECT l.query_id, l.rank,
+       l.neighbor_id AS lsh_neighbor_id, l.cosine AS lsh_cosine,
+       i.neighbor_id AS ivf_neighbor_id, i.cosine AS ivf_cosine
+FROM lsh_topk l JOIN ivf_topk i ON i.query_id = l.query_id AND i.rank = l.rank
+ORDER BY l.query_id, l.rank
+""".strip()

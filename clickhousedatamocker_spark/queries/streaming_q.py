@@ -104,29 +104,63 @@ def stream_session_windows(spark, sf_dir):
 @register(
     "stream_user_running_profile",
     f"""
-SELECT user_id, COUNT(*) AS n_events, {o_dsum('value', 18, 3)} AS total_value,
-       MIN(ts) AS first_ts, MAX(ts) AS last_ts
-FROM events
-GROUP BY user_id
-ORDER BY user_id
+WITH attr AS (
+  SELECT c.user_id,
+         COUNT(*) AS n_attr_pairs,
+         COUNT(DISTINCT c.ts) AS n_attr_convs
+  FROM events c JOIN events k ON k.user_id = c.user_id
+   AND c.event_type = 'purchase' AND k.event_type = 'click'
+   AND k.ts >= c.ts - INTERVAL 30 MINUTE AND k.ts <= c.ts
+  GROUP BY c.user_id
+)
+SELECT e.user_id, COUNT(*) AS n_events, {o_dsum('value', 18, 3)} AS total_value,
+       MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+       CAST(COALESCE(MAX(attr.n_attr_pairs), 0) AS BIGINT) AS n_attr_pairs,
+       CAST(COALESCE(MAX(attr.n_attr_convs), 0) AS BIGINT) AS n_attr_convs
+FROM events e LEFT JOIN attr ON attr.user_id = e.user_id
+GROUP BY e.user_id
+ORDER BY e.user_id
 """,
     description="Batch oracle of the applyInPandasWithState running-profile "
     "operator (streaming/stateful.py); stream==batch equivalence is asserted "
-    "in tests/test_streaming.py.",
+    "in tests/test_streaming.py. Also folds in the stream-stream interval "
+    "join (streaming/joins.py attribution_join): per-user counts of "
+    "(purchase, click-within-30min) attribution pairs and of attributed "
+    "conversions — making the interval-join semantics driver-graded; the "
+    "stream==batch law for the join itself is "
+    "tests/test_streaming.py::test_attribution_join_stream_equals_batch.",
 )
 def stream_user_running_profile(spark, sf_dir):
+    from clickhousedatamocker_spark.streaming.joins import attribution_join
     from clickhousedatamocker_spark.streaming.stateful import user_running_profile_batch
 
-    ev = t(spark, sf_dir, "events").select("user_id", "ts", "value")
-    out = user_running_profile_batch(ev)
+    ev = t(spark, sf_dir, "events")
+    out = user_running_profile_batch(ev.select("user_id", "ts", "value"))
+    attr = (
+        attribution_join(ev, ev, lookback="30 minutes")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_attr_pairs"),
+            F.countDistinct("conv_ts").alias("n_attr_convs"),
+        )
+    )
     # decimal-exact sum for cross-engine hash equality (queries/base.py rules)
     return (
         out.drop("total_value")
         .join(
-            t(spark, sf_dir, "events").groupBy("user_id").agg(dsum("value", 18, 3).alias("total_value")),
+            ev.groupBy("user_id").agg(dsum("value", 18, 3).alias("total_value")),
             "user_id",
         )
-        .select("user_id", "n_events", "total_value", "first_ts", "last_ts")
+        .join(attr, "user_id", "left")
+        .select(
+            "user_id",
+            "n_events",
+            "total_value",
+            "first_ts",
+            "last_ts",
+            F.coalesce(F.col("n_attr_pairs"), F.lit(0)).cast("long").alias("n_attr_pairs"),
+            F.coalesce(F.col("n_attr_convs"), F.lit(0)).cast("long").alias("n_attr_convs"),
+        )
         .orderBy("user_id")
     )
 

@@ -1,0 +1,116 @@
+"""The external-driver contract, exercised the way the driver actually runs:
+a FRESH interpreter, a BARE SparkSession (none of session.py's confs — no
+nanos conf, no UTC timezone pin, no Arrow flag), import ``__spark_entry__``
+from its file path, run the queries that have historically broken only
+under a foreign session:
+
+- nanos parquet reads (events.ts: bigint on Spark<=4.0, timestamp_ntz on
+  4.1+ — round-2 regression class),
+- HUGEINT-producing oracles (DuckDB SUM(int)/list_sum through the driver's
+  float-coercing pandas fetch — the round-2 48/50 failure class),
+- array-typed outputs (the round-1 canonicalizer crash class).
+
+Everything runs in a subprocess so the repo's session fixture can't leak
+configuration into the system under test.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+_PROBE = r"""
+import json, math, sys
+sys.path.insert(0, %(repo)r)
+import __spark_entry__ as m
+from pyspark.sql import SparkSession
+
+# the bare session an external driver would build — deliberately NO repo confs
+spark = (
+    SparkSession.builder.master("local[4]")
+    .appName("driver-contract")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+import duckdb
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '%(sf)s/{t}.parquet'")
+
+def canon(v):
+    # normalize pandas/numpy scalars to plain Python before repr (pandas
+    # Timestamp and np.int64 repr differently from datetime/int even when
+    # the values are identical)
+    if hasattr(v, "to_pydatetime"):
+        v = v.to_pydatetime()
+    elif hasattr(v, "item") and type(v).__module__.startswith("numpy"):
+        v = v.item()
+    if isinstance(v, float):
+        return "nan" if math.isnan(v) else repr(round(v, 9))
+    return repr(v)
+
+out = {}
+queries, oracles = m.queries(), m.oracle_sql()
+for name in %(names)r:
+    try:
+        sdf = queries[name](spark, %(sf)r)
+        scols = sorted(sdf.columns)
+        srows = sorted(tuple(canon(row[c]) for c in scols) for row in sdf.collect())
+        if name in oracles:
+            rel = con.sql(oracles[name])
+            ocols = sorted(rel.columns)
+            odf = rel.df()  # the driver's float-coercing pandas path
+            # column-wise access: row-wise iloc would upcast mixed int/float
+            # rows to float64, a coercion the driver does NOT perform
+            colvals = {c: list(odf[c]) for c in ocols}
+            orows = sorted(
+                tuple(canon(colvals[c][i]) for c in ocols) for i in range(len(odf))
+            )
+            out[name] = {
+                "rows": len(srows) == len(orows),
+                "cols": scols == ocols,
+                "values": srows == orows,
+            }
+        else:
+            out[name] = {"rows": len(srows) >= 0, "cols": True, "values": True}
+    except Exception as e:  # noqa: BLE001
+        out[name] = {"error": f"{type(e).__name__}: {e}"}
+
+out["entry_rows"] = m.entry(spark).count()
+spark.stop()
+print("CONTRACT_JSON " + json.dumps(out))
+"""
+
+
+def test_contract_under_bare_session():
+    names = [
+        "sessionize_events",       # nanos events read + unix_micros arithmetic
+        "tumbling_window_hourly",  # events timestamps under a foreign timezone conf
+        "retention_analysis",      # HUGEINT-oracle class (casts must hold)
+        "multimodal_decode_pipeline",  # list_sum HUGEINT class + Arrow mapInPandas
+        "agg_approx_distinct_and_quantiles",  # flattened array-output class (rows-only)
+    ]
+    script = _PROBE % {"repo": REPO, "sf": SF_DIR, "names": names}
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd="/tmp",  # not the repo: import must work from anywhere
+        env={**os.environ, "PYTHONPATH": ""},
+    )
+    line = next(
+        (l for l in proc.stdout.splitlines() if l.startswith("CONTRACT_JSON ")), None
+    )
+    assert line, f"probe produced no report\nstdout:{proc.stdout[-2000:]}\nstderr:{proc.stderr[-2000:]}"
+    report = json.loads(line[len("CONTRACT_JSON "):])
+    entry_rows = report.pop("entry_rows")
+    assert entry_rows > 0, "entry() returned no rows under a bare session"
+    bad = {n: r for n, r in report.items() if not (r.get("rows") and r.get("cols") and r.get("values"))}
+    assert not bad, f"driver-contract failures under bare session: {bad}"
