@@ -367,7 +367,7 @@ def parse_ch_ddl(sql: str) -> dict | None:
 
     m = re.match(
         r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\((.*)\)\s*"
-        r"ENGINE\s*=\s*(MergeTree|ReplacingMergeTree|SummingMergeTree)\s*\(([^)]*)\)\s*(.*)$",
+        r"ENGINE\s*=\s*(MergeTree|ReplacingMergeTree|SummingMergeTree)\s*(?:\(([^)]*)\))?\s*(.*)$",
         s,
         re.IGNORECASE | re.DOTALL,
     )
@@ -380,7 +380,8 @@ def parse_ch_ddl(sql: str) -> dict | None:
         )
         engine = {
             "family": m.group(4),
-            "args": [a.strip() for a in m.group(5).split(",") if a.strip()],
+            # parens are optional in CH: ENGINE = MergeTree == MergeTree()
+            "args": [a.strip() for a in (m.group(5) or "").split(",") if a.strip()],
         }
         fields = []
         for coldef in _split_top(cols_src):
@@ -409,6 +410,11 @@ def parse_ch_ddl(sql: str) -> dict | None:
         om = re.search(r"ORDER\s+BY\s+\(([^)]*)\)", tail, re.IGNORECASE)
         if om:
             order_columns = [c.strip() for c in om.group(1).split(",")]
+        else:
+            # CH also accepts a bare key: ORDER BY col  /  ORDER BY tuple()
+            om = re.search(r"ORDER\s+BY\s+(\w+)(?:\s*\(\s*\))?", tail, re.IGNORECASE)
+            if om and om.group(1).lower() != "tuple":
+                order_columns = [om.group(1)]
 
         ttl = None
         tm = re.search(r"\bTTL\s+(.+?)(?=\s+SETTINGS\b|$)", tail, re.IGNORECASE | re.DOTALL)

@@ -551,3 +551,34 @@ def test_with_totals(spark, tmp_warehouse):
     totals = [r for r in rows if r["event_type"] is None]
     assert len(totals) == 1 and len(groups) == 4
     assert totals[0]["n"] == sum(r["n"] for r in groups) == 2000
+
+
+def test_parameterized_types_and_bare_engine_forms():
+    """ADVICE hardening: paren-depth column splitting (Decimal(10,2),
+    Enum8('x'=1,...)), optional ENGINE parens, bare ORDER BY key, and the
+    CTAS-vs-alias disambiguation."""
+    from pyspark.sql import types as T
+
+    from clickhousedatamocker_spark.functions.compat import parse_ch_ddl
+
+    d = parse_ch_ddl(
+        "CREATE TABLE t (a Decimal(10,2), b Enum8('x'=1,'y'=2), c Nullable(String)) "
+        "ENGINE = MergeTree ORDER BY a"
+    )
+    assert d["op"] == "create"
+    assert d["schema"]["a"].dataType == T.DecimalType(10, 2)
+    assert d["schema"]["b"].dataType == T.StringType()
+    assert d["schema"]["c"].nullable is True
+    assert d["order_columns"] == ["a"]
+
+    d2 = parse_ch_ddl("CREATE TABLE t2 (a UInt64) ENGINE = MergeTree() ORDER BY tuple()")
+    assert d2["op"] == "create" and d2["order_columns"] == []
+
+    # CREATE TABLE ... AS SELECT is CTAS, never silently an alias
+    assert parse_ch_ddl("CREATE TABLE t3 AS SELECT 1 AS x")["op"] == "ctas"
+
+    # an alias with a non-Distributed engine tail errors instead of aliasing
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        parse_ch_ddl("CREATE TABLE t4 AS other ENGINE = Log")
