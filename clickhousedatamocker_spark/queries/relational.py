@@ -569,7 +569,11 @@ SELECT l_returnflag,
   COUNT(*) AS n_rows,
   ROUND(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE), 4) AS p50,
   ROUND(CAST(quantile_cont(l_extendedprice, 0.9) AS DOUBLE), 4) AS p90,
-  ROUND(CAST(quantile_cont(l_extendedprice, 0.99) AS DOUBLE), 4) AS p99
+  ROUND(CAST(quantile_cont(l_extendedprice, 0.99) AS DOUBLE), 4) AS p99,
+  CAST(TRUE AS BOOLEAN) AS hll_suppliers_in_bound,
+  CAST(TRUE AS BOOLEAN) AS hll_parts_in_bound,
+  CAST(TRUE AS BOOLEAN) AS sketch_p50_in_bound,
+  CAST(TRUE AS BOOLEAN) AS sketch_p99_in_bound
 FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
@@ -579,10 +583,21 @@ ORDER BY l_returnflag
     "expands distincts to two-phase aggregation (partial dedup before the "
     "shuffle); percentile() uses the same linear-interpolation definition as "
     "the oracle's quantile_cont, rounded to 4dp for cross-engine float "
-    "identity.",
+    "identity. The *_in_bound columns grade the APPROX siblings (ClickHouse "
+    "uniq()/quantile() analogues: HyperLogLog++ approx_count_distinct at "
+    "rsd=0.02, approx_percentile sketches at accuracy 10000) against the "
+    "exact values computed in the same pass: the sketches are deterministic "
+    "for a given dataset, so 'within 5% of exact' is a stable, "
+    "driver-checkable fact the oracle asserts as literal TRUE — a broken "
+    "sketch implementation fails the hash.",
 )
 def agg_distinct_and_quantiles_exact(spark, sf_dir):
-    return (
+    qs = F.approx_percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.99)), 10000)
+
+    def in_bound(approx, exact, rel=0.05):
+        return (F.abs(approx.cast("double") - exact) <= rel * F.abs(exact)).alias
+
+    g = (
         t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
@@ -592,6 +607,25 @@ def agg_distinct_and_quantiles_exact(spark, sf_dir):
             F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
             F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
             F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
+            F.approx_count_distinct("l_suppkey", rsd=0.02).alias("__hs"),
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("__hp"),
+            F.element_at(qs, 1).alias("__q50"),
+            F.element_at(qs, 2).alias("__q99"),
+        )
+    )
+    return (
+        g.select(
+            "l_returnflag",
+            "n_suppliers",
+            "n_parts",
+            "n_rows",
+            "p50",
+            "p90",
+            "p99",
+            in_bound(F.col("__hs"), F.col("n_suppliers"))("hll_suppliers_in_bound"),
+            in_bound(F.col("__hp"), F.col("n_parts"))("hll_parts_in_bound"),
+            in_bound(F.col("__q50"), F.col("p50"))("sketch_p50_in_bound"),
+            in_bound(F.col("__q99"), F.col("p99"))("sketch_p99_in_bound"),
         )
         .orderBy("l_returnflag")
     )
