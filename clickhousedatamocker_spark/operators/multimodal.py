@@ -110,16 +110,67 @@ def attach_synth_png(df: DataFrame, id_col: str, size: int = 8) -> DataFrame:
     return df.mapInPandas(synth, out_schema)
 
 
+def attach_synth_jpeg(df: DataFrame, id_col: str, size: int = 16) -> DataFrame:
+    """Deterministic REAL JPEG payloads keyed on ``id_col``: a size x size
+    grayscale image of constant 8x8 blocks whose values derive from sha256
+    of the id, encoded with the vendored baseline codec (operators/jpeg.py,
+    all-ones quant tables). Constant blocks are DC-only, so the lossy format
+    round-trips these payloads EXACTLY — pixel_sum is predictable by an
+    independent engine from the sha256 source alone. Arrow-batched
+    mapInPandas — narrow, no driver materialization of binary."""
+    if size % 8:
+        raise ValueError("size must be a multiple of 8")
+    out_schema = T.StructType(df.schema.fields + [T.StructField("media", MEDIA_SCHEMA, False)])
+    repo_root = _REPO_ROOT  # captured by value — see module comment
+
+    def synth(batches: Iterator) -> Iterator:
+        import hashlib
+        import sys
+
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
+        import numpy as np
+
+        from clickhousedatamocker_spark.operators.jpeg import encode_jpeg
+
+        nb = size // 8
+        for pdf in batches:
+            media = []
+            for key in pdf[id_col].astype(str):
+                vals = hashlib.sha256(f"{key}:jpg".encode()).digest()[: nb * nb]
+                px = np.zeros((size, size), dtype=np.uint8)
+                for k in range(nb * nb):
+                    by, bx = divmod(k, nb)
+                    px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = vals[k]
+                data = encode_jpeg(size, size, px.tobytes(), 1)
+                media.append(
+                    {
+                        "uri": f"synth://jpg/{key}",
+                        "mime": "image/jpeg",
+                        "n_bytes": len(data),
+                        "data": data,
+                    }
+                )
+            pdf = pdf.copy()
+            pdf["media"] = media
+            yield pdf
+
+    return df.mapInPandas(synth, out_schema)
+
+
 def decode_media(df: DataFrame, deterministic_fake: bool = False) -> DataFrame:
     """Decode payloads to (width, height, n_channels, pixel_sum).
 
     ``image/png`` payloads are REALLY decoded — vendored pure-stdlib codec
     (operators/png.py): signature + per-chunk CRC validation, zlib
-    inflate, scanline unfiltering — and ``pixel_sum`` is the sum of decoded
-    pixel bytes (a value only a correct decode can produce). Other formats
-    need PIL/ffmpeg, which are NOT in this container: they raise a
-    clearly-marked NotImplementedError unless ``deterministic_fake=True``
-    substitutes header-derived dimensions (pixel_sum NULL).
+    inflate, scanline unfiltering. ``image/jpeg`` payloads are REALLY
+    decoded too — vendored baseline-DCT codec (operators/jpeg.py: marker
+    parse, canonical Huffman, dequant, IDCT). ``pixel_sum`` is the sum of
+    decoded pixel bytes (a value only a correct decode can produce).
+    Remaining formats (video) need ffmpeg, which is NOT in this container:
+    they raise a clearly-marked NotImplementedError unless
+    ``deterministic_fake=True`` substitutes header-derived dimensions
+    (pixel_sum NULL).
     """
     out_schema = T.StructType(
         df.schema.fields
@@ -138,6 +189,7 @@ def decode_media(df: DataFrame, deterministic_fake: bool = False) -> DataFrame:
 
         if repo_root not in sys.path:
             sys.path.insert(0, repo_root)
+        from clickhousedatamocker_spark.operators.jpeg import decode_jpeg
         from clickhousedatamocker_spark.operators.png import decode_png
 
         for pdf in batches:
@@ -146,6 +198,9 @@ def decode_media(df: DataFrame, deterministic_fake: bool = False) -> DataFrame:
                 mime, data = m["mime"], m["data"]
                 if mime == "image/png" and not deterministic_fake:
                     w, h, c, px = decode_png(bytes(data))
+                    ws.append(w), hs.append(h), cs.append(c), sums.append(sum(px))
+                elif mime == "image/jpeg" and not deterministic_fake:
+                    w, h, c, px = decode_jpeg(bytes(data))
                     ws.append(w), hs.append(h), cs.append(c), sums.append(sum(px))
                 elif deterministic_fake:
                     ws.append(64 + data[0] % 192)

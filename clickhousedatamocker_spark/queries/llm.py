@@ -21,6 +21,7 @@ from clickhousedatamocker_spark.operators.dedup import (
     simhash_xengine_oracle_sql,
 )
 from clickhousedatamocker_spark.operators.multimodal import (
+    attach_synth_jpeg,
     attach_synth_png,
     attach_synth_wav,
     decode_audio,
@@ -587,8 +588,14 @@ _U8 = _BYTE.format(p1="2*j+1", p2="2*j+2")
 _S16_RAW = (
     f"({_BYTE.format(p1='4*j+1', p2='4*j+2')} + 256 * {_BYTE.format(p1='4*j+3', p2='4*j+4')})"
 )
+# jpeg: 16x16 grayscale of four constant 8x8 blocks whose values are the
+# first 4 bytes of sha256(doc_id || ':jpg'). Constant blocks are DC-only
+# under the all-ones quant table, so the lossy codec reproduces them
+# EXACTLY and pixel_sum = 64 * (b0+b1+b2+b3) is engine-independent.
+_JPG_HH = "sha256(doc_id::VARCHAR || ':jpg')"
 _MM_ORACLE = f"""
-WITH src AS (SELECT doc_id, {_MM_HH} AS hh FROM documents WHERE doc_id < 50)
+WITH src AS (SELECT doc_id, {_MM_HH} AS hh FROM documents WHERE doc_id < 50),
+jsrc AS (SELECT doc_id, {_JPG_HH} AS hh FROM documents WHERE doc_id < 50)
 SELECT doc_id, 'image' AS modality, 8 AS dim_a, 8 AS dim_b, 3 AS channels,
   CAST(list_sum(list_transform(generate_series(0, 191), j -> {_U8})) AS BIGINT) AS checksum,
   16 AS feature_dim
@@ -599,6 +606,11 @@ SELECT doc_id, 'audio' AS modality, 96 AS dim_a, 8000 AS dim_b, 1 AS channels,
     v -> v - 65536 * CAST(v >= 32768 AS INTEGER))) AS BIGINT) AS checksum,
   16 AS feature_dim
 FROM src
+UNION ALL
+SELECT doc_id, 'image_jpeg' AS modality, 16 AS dim_a, 16 AS dim_b, 1 AS channels,
+  CAST(64 * list_sum(list_transform(generate_series(0, 3), j -> {_U8})) AS BIGINT) AS checksum,
+  16 AS feature_dim
+FROM jsrc
 ORDER BY doc_id, modality
 """.strip()
 
@@ -606,21 +618,33 @@ ORDER BY doc_id, modality
 @register(
     "multimodal_decode_pipeline",
     _MM_ORACLE,
-    description="Multimodal end-to-end with REAL codecs for two modalities: "
-    "synthetic valid PNGs (vendored pure-stdlib encoder/decoder, "
+    description="Multimodal end-to-end with REAL codecs for three "
+    "modalities: synthetic valid PNGs (vendored pure-stdlib codec, "
     "operators/png.py: per-chunk CRC validation, zlib inflate, scanline "
-    "unfiltering) and synthetic WAV audio (stdlib wave RIFF framing, signed "
-    "16-bit PCM) -> Arrow-batched mapInPandas decode + feature extraction, "
-    "all narrow transforms, no driver collect of binary. The oracle "
-    "re-derives each modality's checksum from the sha256 content source — "
-    "values only correct encode/decode roundtrips produce. Formats needing "
-    "PIL/ffmpeg (jpeg/mp4) stay stub-gated in operators/multimodal.py.",
+    "unfiltering), synthetic baseline JPEGs (vendored pure-numpy codec, "
+    "operators/jpeg.py: marker segments, canonical Huffman entropy coding, "
+    "zigzag/dequant/IDCT — constant DC-only blocks make the lossy format "
+    "oracle-exact), and synthetic WAV audio (stdlib wave RIFF framing, "
+    "signed 16-bit PCM) -> Arrow-batched mapInPandas decode + feature "
+    "extraction, all narrow transforms, no driver collect of binary. The "
+    "oracle re-derives each modality's checksum from the sha256 content "
+    "source — values only correct encode/decode roundtrips produce. Video "
+    "stays stub-gated (no ffmpeg in this container).",
 )
 def multimodal_decode_pipeline(spark, sf_dir):
     docs = t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 50)
     img = extract_features(decode_media(attach_synth_png(docs, "doc_id"))).select(
         "doc_id",
         F.lit("image").alias("modality"),
+        F.col("width").cast("int").alias("dim_a"),
+        F.col("height").cast("int").alias("dim_b"),
+        F.col("n_channels").cast("int").alias("channels"),
+        F.col("pixel_sum").cast("long").alias("checksum"),
+        F.size("features").alias("feature_dim"),
+    )
+    jpg = extract_features(decode_media(attach_synth_jpeg(docs, "doc_id"))).select(
+        "doc_id",
+        F.lit("image_jpeg").alias("modality"),
         F.col("width").cast("int").alias("dim_a"),
         F.col("height").cast("int").alias("dim_b"),
         F.col("n_channels").cast("int").alias("channels"),
@@ -636,4 +660,4 @@ def multimodal_decode_pipeline(spark, sf_dir):
         F.col("sample_sum").cast("long").alias("checksum"),
         F.size("features").alias("feature_dim"),
     )
-    return img.unionByName(aud).orderBy("doc_id", "modality")
+    return img.unionByName(aud).unionByName(jpg).orderBy("doc_id", "modality")

@@ -470,3 +470,65 @@ def test_token_document_frequency_matches_duckdb(spark):
     assert sum(r["common_token_fraction"] > 0 for r in rows) > len(rows) * 0.9
     plan = scored._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "Exchange" not in plan  # row-local fold
+
+
+# ---------------------------------------------------------------------------
+# vendored baseline JPEG codec (operators/jpeg.py)
+
+
+def test_jpeg_constant_blocks_roundtrip_exactly():
+    """All-ones quant + constant 8x8 blocks => DC-only spectra => the lossy
+    format reproduces the pixels bit-exactly (the multimodal-oracle law)."""
+    import hashlib
+
+    import numpy as np
+
+    from clickhousedatamocker_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    for key in ["0", "17", "999"]:
+        vals = hashlib.sha256(f"{key}:jpg".encode()).digest()[:4]
+        px = np.zeros((16, 16), dtype=np.uint8)
+        for k in range(4):
+            by, bx = divmod(k, 2)
+            px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = vals[k]
+        w, h, c, out = decode_jpeg(encode_jpeg(16, 16, px.tobytes(), 1))
+        assert (w, h, c) == (16, 16, 1)
+        assert np.array_equal(np.frombuffer(out, dtype=np.uint8).reshape(16, 16), px)
+        assert sum(out) == 64 * sum(vals)
+
+
+def test_jpeg_general_content_roundtrips_within_one():
+    """Arbitrary grayscale content: the only loss under all-ones quant is
+    float DCT/IDCT rounding — each pixel within +-1."""
+    import numpy as np
+
+    from clickhousedatamocker_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, (24, 40), dtype=np.uint8)
+    w, h, c, out = decode_jpeg(encode_jpeg(40, 24, px.tobytes(), 1))
+    assert (w, h, c) == (40, 24, 1)
+    err = np.abs(np.frombuffer(out, dtype=np.uint8).reshape(24, 40).astype(int) - px.astype(int))
+    assert int(err.max()) <= 1
+
+
+def test_jpeg_rgb_roundtrip_bounded_and_structure_checks():
+    import numpy as np
+    import pytest
+
+    from clickhousedatamocker_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    data = encode_jpeg(16, 16, px.tobytes(), 3)
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    w, h, c, out = decode_jpeg(data)
+    assert (w, h, c) == (16, 16, 3)
+    err = np.abs(np.frombuffer(out, dtype=np.uint8).reshape(16, 16, 3).astype(int) - px.astype(int))
+    assert int(err.max()) <= 3  # YCbCr<->RGB rounding, not DCT loss
+
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01" + data[2:])  # corrupt SOI
+    # subsampled / progressive inputs are honestly gated, not mis-decoded
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(data[: data.index(b"\xff\xc0")] + b"\xff\xc2" + data[data.index(b"\xff\xc0") + 2 :])
