@@ -288,3 +288,13 @@ def test_mv_maintenance_never_rescans_base(spark, tmp_path):
     plan = plan_of(part)
     assert "test_local" not in plan, "MV rollup re-scans the base table"
     assert "FileScan" not in plan and "Scan parquet" not in plan
+
+
+def test_ann_xengine_is_bucketed_equijoin(spark):
+    """The graded ANN pipeline must keep the production shape: bucketed
+    equi-joins with the tiny query side broadcast — never a cross join of
+    the corpus (BroadcastNestedLoopJoin is the naive ANN plan)."""
+    plan = plan_of(REGISTRY["similarity_ann_lsh_ivf"].fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan, "ANN fell back to a cross join"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # query-side broadcast into the buckets
