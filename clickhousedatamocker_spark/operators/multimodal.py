@@ -2,11 +2,13 @@
 
 Image/audio/video payloads are opaque ``binary`` columns with a typed
 metadata struct; per-item compute (decode, feature extraction, resize,
-frame sampling) runs as Arrow-batched ``mapInPandas`` — the Spark-side
-plumbing (schema, partitioning, UDF signatures, batch shapes) is real and
-tested, while the codec step itself is STUBBED: the image/audio libraries
-are not in this container, so ``decode=...`` either raises a clearly-marked
-NotImplementedError or substitutes a deterministic fake payload.
+frame sampling) runs as Arrow-batched ``mapInPandas``. All four supported
+mimes decode for REAL with vendored pure-Python codecs — PNG
+(operators/png.py), baseline JPEG (operators/jpeg.py), WAV (stdlib
+``wave``), and the ISO-BMFF container layer for MP4 (operators/bmff.py —
+box walk for duration/tracks/fourcc/dimensions; frame decode would need
+ffmpeg, which this container lacks, and stays out of scope). Unknown
+mimes raise a clearly-marked "no codec" NotImplementedError.
 
 Scale: media rows are large — the operators preserve the incoming
 partitioning (mapInPandas is a narrow transformation) and never collect
@@ -47,25 +49,144 @@ _MIMES = ["image/png", "image/jpeg", "audio/wav", "video/mp4"]
 FEATURE_DIM = 16
 
 
+# ---------------------------------------------------------------------------
+# Deterministic per-mime payload builders. Every builder derives its content
+# from sha256 of the row key, so an independent engine (the DuckDB oracle)
+# can re-derive the decoded checksums without running our codecs. These run
+# on EXECUTORS — callers import them inside the mapInPandas closure after the
+# sys.path bootstrap (see the _REPO_ROOT comment above).
+# ---------------------------------------------------------------------------
+
+
+def _sha_stream(key: str, n_bytes: int, salt: str = "") -> bytes:
+    import hashlib
+
+    out = bytearray()
+    i = 0
+    while len(out) < n_bytes:
+        out.extend(hashlib.sha256(f"{key}{salt}:{i}".encode()).digest())
+        i += 1
+    return bytes(out[:n_bytes])
+
+
+def _png_payload(key: str, size: int = 8) -> bytes:
+    from clickhousedatamocker_spark.operators.png import encode_png
+
+    return encode_png(size, size, _sha_stream(key, size * size * 3), color_type=2)
+
+
+def _jpeg_payload(key: str, size: int = 16) -> bytes:
+    """size x size grayscale of constant 8x8 blocks (DC-only → the lossy
+    format round-trips EXACTLY; see attach_synth_jpeg docstring)."""
+    import hashlib
+
+    import numpy as np
+
+    from clickhousedatamocker_spark.operators.jpeg import encode_jpeg
+
+    nb = size // 8
+    vals = hashlib.sha256(f"{key}:jpg".encode()).digest()[: nb * nb]
+    px = np.zeros((size, size), dtype=np.uint8)
+    for k in range(nb * nb):
+        by, bx = divmod(k, nb)
+        px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = vals[k]
+    return encode_jpeg(size, size, px.tobytes(), 1)
+
+
+def _wav_payload(key: str, n_samples: int = 96, sample_rate: int = 8000) -> bytes:
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(_sha_stream(key, n_samples * 2))
+    return buf.getvalue()
+
+
+_MP4_FOURCCS = ["avc1", "hev1", "mp4v", "av01"]
+
+
+def _mp4_params(key: str) -> dict:
+    """Container parameters derived from sha256(key || ':mp4') — each field
+    reads one digest byte, so the DuckDB oracle re-derives them from the
+    hex digest alone (see queries/llm.py multimodal oracle)."""
+    import hashlib
+
+    d = hashlib.sha256(f"{key}:mp4".encode()).digest()
+    return {
+        "duration": 1000 + ((d[0] << 8 | d[1]) % 50000),  # in 600-unit timescale
+        "width": 16 * (16 + d[2] % 64),
+        "height": 16 * (9 + d[3] % 36),
+        "has_audio": d[4] % 2 == 1,
+        "fourcc": _MP4_FOURCCS[d[5] % 4],
+    }
+
+
+def _mp4_payload(key: str) -> bytes:
+    from clickhousedatamocker_spark.operators.bmff import encode_mp4
+
+    p = _mp4_params(key)
+    tracks = [
+        {"handler": "vide", "fourcc": p["fourcc"], "width": p["width"], "height": p["height"]}
+    ]
+    if p["has_audio"]:
+        tracks.append({"handler": "soun", "fourcc": "mp4a", "sample_rate": 48000})
+    return encode_mp4(600, p["duration"], tracks)
+
+
 def attach_fake_media(df: DataFrame, id_col: str) -> DataFrame:
-    """Deterministic synthetic media column keyed on ``id_col`` — payload
-    bytes derive from sha2 of the id (pure column exprs, no Python)."""
+    """Deterministic synthetic media column keyed on ``id_col``: the mime is
+    hash-assigned (xxhash64 of the key, JVM-side), and the payload is a
+    VALID instance of that mime built by the matching per-mime encoder —
+    every row survives a real ``decode_media``. Arrow-batched mapInPandas,
+    narrow, no driver materialization of binary."""
     key = F.col(id_col).cast("string")
-    payload = F.to_binary(
-        F.concat(*[F.sha2(F.concat(key, F.lit(f":{i}")), 256) for i in range(4)]), F.lit("hex")
-    )
     mime = F.element_at(
         F.array(*[F.lit(m) for m in _MIMES]), (F.pmod(F.xxhash64(key), F.lit(4)) + 1).cast("int")
     )
-    return df.withColumn(
-        "media",
-        F.struct(
-            F.concat(F.lit("synth://media/"), key).alias("uri"),
-            mime.alias("mime"),
-            F.length(payload).cast("long").alias("n_bytes"),
-            payload.alias("data"),
-        ),
-    )
+    keyed = df.withColumn("__media_key", key).withColumn("__media_mime", mime)
+    out_schema = T.StructType(df.schema.fields + [T.StructField("media", MEDIA_SCHEMA, False)])
+
+    repo_root = _REPO_ROOT  # captured by value — see module comment
+
+    def synth(batches: Iterator) -> Iterator:
+        import sys
+
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
+        from clickhousedatamocker_spark.operators.multimodal import (
+            _jpeg_payload,
+            _mp4_payload,
+            _png_payload,
+            _wav_payload,
+        )
+
+        builders = {
+            "image/png": _png_payload,
+            "image/jpeg": _jpeg_payload,
+            "audio/wav": _wav_payload,
+            "video/mp4": _mp4_payload,
+        }
+        for pdf in batches:
+            media = []
+            for key, mime in zip(pdf["__media_key"], pdf["__media_mime"]):
+                data = builders[mime](key)
+                media.append(
+                    {
+                        "uri": f"synth://media/{key}",
+                        "mime": mime,
+                        "n_bytes": len(data),
+                        "data": data,
+                    }
+                )
+            pdf = pdf.drop(columns=["__media_key", "__media_mime"]).copy()
+            pdf["media"] = media
+            yield pdf
+
+    return keyed.mapInPandas(synth, out_schema)
 
 
 def attach_synth_png(df: DataFrame, id_col: str, size: int = 8) -> DataFrame:
@@ -73,32 +194,33 @@ def attach_synth_png(df: DataFrame, id_col: str, size: int = 8) -> DataFrame:
     RGB image whose pixels derive from sha256 of the id, encoded with the
     vendored spec-conformant codec (operators/png.py). Arrow-batched
     mapInPandas — narrow, no driver materialization of binary."""
-    out_schema = T.StructType(df.schema.fields + [T.StructField("media", MEDIA_SCHEMA, False)])
+    return _attach_synth(df, id_col, "image/png", "png", "_png_payload", {"size": size})
 
+
+def _attach_synth(
+    df: DataFrame, id_col: str, mime: str, tag: str, builder_name: str, kwargs: dict
+) -> DataFrame:
+    """Shared mapInPandas harness for the per-mime synth encoders: attach a
+    valid ``mime`` payload built by the named module-level builder."""
+    out_schema = T.StructType(df.schema.fields + [T.StructField("media", MEDIA_SCHEMA, False)])
     repo_root = _REPO_ROOT  # captured by value — see module comment
 
     def synth(batches: Iterator) -> Iterator:
-        import hashlib
         import sys
 
         if repo_root not in sys.path:
             sys.path.insert(0, repo_root)
-        from clickhousedatamocker_spark.operators.png import encode_png
+        from clickhousedatamocker_spark.operators import multimodal as mm
 
-        n_px = size * size * 3
+        builder = getattr(mm, builder_name)
         for pdf in batches:
             media = []
             for key in pdf[id_col].astype(str):
-                px = bytearray()
-                i = 0
-                while len(px) < n_px:
-                    px.extend(hashlib.sha256(f"{key}:{i}".encode()).digest())
-                    i += 1
-                data = encode_png(size, size, bytes(px[:n_px]), color_type=2)
+                data = builder(key, **kwargs)
                 media.append(
                     {
-                        "uri": f"synth://png/{key}",
-                        "mime": "image/png",
+                        "uri": f"synth://{tag}/{key}",
+                        "mime": mime,
                         "n_bytes": len(data),
                         "data": data,
                     }
@@ -120,57 +242,36 @@ def attach_synth_jpeg(df: DataFrame, id_col: str, size: int = 16) -> DataFrame:
     mapInPandas — narrow, no driver materialization of binary."""
     if size % 8:
         raise ValueError("size must be a multiple of 8")
-    out_schema = T.StructType(df.schema.fields + [T.StructField("media", MEDIA_SCHEMA, False)])
-    repo_root = _REPO_ROOT  # captured by value — see module comment
-
-    def synth(batches: Iterator) -> Iterator:
-        import hashlib
-        import sys
-
-        if repo_root not in sys.path:
-            sys.path.insert(0, repo_root)
-        import numpy as np
-
-        from clickhousedatamocker_spark.operators.jpeg import encode_jpeg
-
-        nb = size // 8
-        for pdf in batches:
-            media = []
-            for key in pdf[id_col].astype(str):
-                vals = hashlib.sha256(f"{key}:jpg".encode()).digest()[: nb * nb]
-                px = np.zeros((size, size), dtype=np.uint8)
-                for k in range(nb * nb):
-                    by, bx = divmod(k, nb)
-                    px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = vals[k]
-                data = encode_jpeg(size, size, px.tobytes(), 1)
-                media.append(
-                    {
-                        "uri": f"synth://jpg/{key}",
-                        "mime": "image/jpeg",
-                        "n_bytes": len(data),
-                        "data": data,
-                    }
-                )
-            pdf = pdf.copy()
-            pdf["media"] = media
-            yield pdf
-
-    return df.mapInPandas(synth, out_schema)
+    return _attach_synth(df, id_col, "image/jpeg", "jpg", "_jpeg_payload", {"size": size})
 
 
-def decode_media(df: DataFrame, deterministic_fake: bool = False) -> DataFrame:
+def attach_synth_mp4(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic REAL MP4 containers keyed on ``id_col``: duration,
+    dimensions, codec fourcc, and audio-track presence each read one byte of
+    sha256(key || ':mp4') (see ``_mp4_params``), encoded as a structurally
+    valid ISO-BMFF box tree by the vendored codec (operators/bmff.py). An
+    independent engine re-derives the parsed metadata from the digest alone.
+    Arrow-batched mapInPandas, narrow."""
+    return _attach_synth(df, id_col, "video/mp4", "mp4", "_mp4_payload", {})
+
+
+def decode_media(df: DataFrame) -> DataFrame:
     """Decode payloads to (width, height, n_channels, pixel_sum).
 
     ``image/png`` payloads are REALLY decoded — vendored pure-stdlib codec
     (operators/png.py): signature + per-chunk CRC validation, zlib
-    inflate, scanline unfiltering. ``image/jpeg`` payloads are REALLY
-    decoded too — vendored baseline-DCT codec (operators/jpeg.py: marker
-    parse, canonical Huffman, dequant, IDCT). ``pixel_sum`` is the sum of
-    decoded pixel bytes (a value only a correct decode can produce).
-    Remaining formats (video) need ffmpeg, which is NOT in this container:
-    they raise a clearly-marked NotImplementedError unless
-    ``deterministic_fake=True`` substitutes header-derived dimensions
-    (pixel_sum NULL).
+    inflate, scanline unfiltering. ``image/jpeg`` payloads too — vendored
+    baseline-DCT codec (operators/jpeg.py: marker parse, canonical Huffman,
+    dequant, IDCT). ``pixel_sum`` is the sum of decoded pixel bytes (a
+    value only a correct decode can produce). ``video/mp4`` payloads go
+    through the vendored ISO-BMFF box parser (operators/bmff.py): width/
+    height come from the video track's tkhd, ``n_channels`` carries the
+    track count, and ``pixel_sum`` carries the movie duration in timescale
+    units — values only a correct box walk produces (frame decode would
+    need ffmpeg, absent here). ``audio/wav`` routes through the stdlib
+    ``wave`` parser (width = n_samples, height = sample_rate, pixel_sum =
+    unsigned byte sum of the PCM payload; ``decode_audio`` gives the typed
+    audio view). Unknown mimes raise a clearly-marked NotImplementedError.
     """
     out_schema = T.StructType(
         df.schema.fields
@@ -185,10 +286,13 @@ def decode_media(df: DataFrame, deterministic_fake: bool = False) -> DataFrame:
     repo_root = _REPO_ROOT  # captured by value — see module comment
 
     def decode(batches: Iterator) -> Iterator:
+        import io
         import sys
+        import wave
 
         if repo_root not in sys.path:
             sys.path.insert(0, repo_root)
+        from clickhousedatamocker_spark.operators.bmff import parse_mp4
         from clickhousedatamocker_spark.operators.jpeg import decode_jpeg
         from clickhousedatamocker_spark.operators.png import decode_png
 
@@ -196,22 +300,29 @@ def decode_media(df: DataFrame, deterministic_fake: bool = False) -> DataFrame:
             ws, hs, cs, sums = [], [], [], []
             for m in pdf["media"]:
                 mime, data = m["mime"], m["data"]
-                if mime == "image/png" and not deterministic_fake:
+                if mime == "image/png":
                     w, h, c, px = decode_png(bytes(data))
                     ws.append(w), hs.append(h), cs.append(c), sums.append(sum(px))
-                elif mime == "image/jpeg" and not deterministic_fake:
+                elif mime == "image/jpeg":
                     w, h, c, px = decode_jpeg(bytes(data))
                     ws.append(w), hs.append(h), cs.append(c), sums.append(sum(px))
-                elif deterministic_fake:
-                    ws.append(64 + data[0] % 192)
-                    hs.append(64 + data[1] % 192)
-                    cs.append(1 + data[2] % 4)
-                    sums.append(None)
+                elif mime == "video/mp4":
+                    meta = parse_mp4(bytes(data))
+                    vid = next(
+                        (tr for tr in meta["tracks"] if tr["handler"] == "vide"),
+                        {"width": 0, "height": 0},
+                    )
+                    ws.append(vid["width"]), hs.append(vid["height"])
+                    cs.append(meta["n_tracks"]), sums.append(meta["duration"])
+                elif mime == "audio/wav":
+                    with wave.open(io.BytesIO(bytes(data))) as w:
+                        frames = w.readframes(w.getnframes())
+                        ws.append(w.getnframes()), hs.append(w.getframerate())
+                        cs.append(w.getnchannels()), sums.append(sum(frames))
                 else:
                     raise NotImplementedError(
                         f"no codec for {mime!r} in this environment (PIL/ffmpeg "
-                        "not installed); pass deterministic_fake=True to "
-                        "exercise the pipeline with header-derived dimensions"
+                        "not installed)"
                     )
             pdf = pdf.copy()
             pdf["width"] = ws
@@ -230,42 +341,14 @@ def attach_synth_wav(
     whose samples derive from sha256 of the id, framed by the stdlib
     ``wave`` module (RIFF/WAVE is a public format; the module is pure
     stdlib — no PIL/ffmpeg needed). Arrow-batched mapInPandas, narrow."""
-    out_schema = T.StructType(df.schema.fields + [T.StructField("media", MEDIA_SCHEMA, False)])
-
-    def synth(batches: Iterator) -> Iterator:
-        import hashlib
-        import io
-        import wave
-
-        n_bytes = n_samples * 2  # 16-bit mono
-        for pdf in batches:
-            media = []
-            for key in pdf[id_col].astype(str):
-                raw = bytearray()
-                i = 0
-                while len(raw) < n_bytes:
-                    raw.extend(hashlib.sha256(f"{key}:{i}".encode()).digest())
-                    i += 1
-                buf = io.BytesIO()
-                with wave.open(buf, "wb") as w:
-                    w.setnchannels(1)
-                    w.setsampwidth(2)
-                    w.setframerate(sample_rate)
-                    w.writeframes(bytes(raw[:n_bytes]))
-                data = buf.getvalue()
-                media.append(
-                    {
-                        "uri": f"synth://wav/{key}",
-                        "mime": "audio/wav",
-                        "n_bytes": len(data),
-                        "data": data,
-                    }
-                )
-            pdf = pdf.copy()
-            pdf["media"] = media
-            yield pdf
-
-    return df.mapInPandas(synth, out_schema)
+    return _attach_synth(
+        df,
+        id_col,
+        "audio/wav",
+        "wav",
+        "_wav_payload",
+        {"n_samples": n_samples, "sample_rate": sample_rate},
+    )
 
 
 def decode_audio(df: DataFrame) -> DataFrame:
@@ -347,38 +430,56 @@ def extract_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     return df.mapInPandas(featurize, out_schema)
 
 
-def resize_media(
-    df: DataFrame, width: int, height: int, deterministic_fake: bool = False
-) -> DataFrame:
-    """Resize image payloads to (width, height).
-
-    Real resizing needs PIL — NOT in this container, so the default path
-    raises NotImplementedError. ``deterministic_fake=True`` replaces the
-    payload with a size-proportional deterministic slice (|bytes| scaled by
-    the pixel ratio vs the fake-decoded dims), keeping schema/batch plumbing
-    — including the media struct rewrite — exercised end-to-end.
+def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
+    """REALLY resize image payloads to (width, height) with nearest-neighbor
+    resampling through the vendored codecs: PNG decodes (CRC-checked),
+    resamples, and re-encodes losslessly; grayscale baseline JPEG decodes,
+    resamples, and re-encodes through the same quant tables. Non-image
+    mimes raise NotImplementedError (resampling audio/video needs DSP/
+    ffmpeg, absent here). Arrow-batched mapInPandas, narrow.
     """
-    if not deterministic_fake:
-        raise NotImplementedError(
-            "image codecs (PIL) are not installed in this environment; pass "
-            "deterministic_fake=True to exercise the pipeline"
-        )
+    repo_root = _REPO_ROOT  # captured by value — see module comment
 
     def do_resize(batches: Iterator) -> Iterator:
+        import sys
+
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
+        import numpy as np
+
+        from clickhousedatamocker_spark.operators.jpeg import decode_jpeg, encode_jpeg
+        from clickhousedatamocker_spark.operators.png import decode_png, encode_png
+
+        # nearest-neighbor index maps are shared across rows of equal dims
+        def nn(px: bytes, w0: int, h0: int, c: int) -> bytes:
+            arr = np.frombuffer(px, dtype=np.uint8).reshape(h0, w0, c)
+            ys = (np.arange(height) * h0) // height
+            xs = (np.arange(width) * w0) // width
+            return arr[ys][:, xs].tobytes()
+
+        png_color_type = {1: 0, 2: 4, 3: 2, 4: 6}
         for pdf in batches:
             pdf = pdf.copy()
             out = []
             for m in pdf["media"]:
-                data = m["data"]
-                w0, h0 = 64 + data[0] % 192, 64 + data[1] % 192  # fake-decode dims
-                ratio = (width * height) / float(w0 * h0)
-                n = max(1, min(len(data), int(len(data) * ratio)))
-                resized = (data * (n // len(data) + 1))[:n]
+                data = bytes(m["data"])
+                if m["mime"] == "image/png":
+                    w0, h0, c, px = decode_png(data)
+                    resized = encode_png(width, height, nn(px, w0, h0, c), png_color_type[c])
+                elif m["mime"] == "image/jpeg":
+                    w0, h0, c, px = decode_jpeg(data)
+                    if c != 1:
+                        raise NotImplementedError("jpeg resize supports grayscale only")
+                    resized = encode_jpeg(width, height, nn(px, w0, h0, 1), 1)
+                else:
+                    raise NotImplementedError(
+                        f"resize supports image payloads only, got {m['mime']!r}"
+                    )
                 out.append(
                     {
                         "uri": m["uri"],
                         "mime": m["mime"],
-                        "n_bytes": n,
+                        "n_bytes": len(resized),
                         "data": resized,
                     }
                 )

@@ -22,6 +22,7 @@ from clickhousedatamocker_spark.operators.dedup import (
 )
 from clickhousedatamocker_spark.operators.multimodal import (
     attach_synth_jpeg,
+    attach_synth_mp4,
     attach_synth_png,
     attach_synth_wav,
     decode_audio,
@@ -593,9 +594,17 @@ _S16_RAW = (
 # under the all-ones quant table, so the lossy codec reproduces them
 # EXACTLY and pixel_sum = 64 * (b0+b1+b2+b3) is engine-independent.
 _JPG_HH = "sha256(doc_id::VARCHAR || ':jpg')"
+# mp4: ISO-BMFF container params each read one byte of sha256(doc_id||':mp4')
+# (operators/multimodal._mp4_params): duration = 1000 + ((b0<<8|b1) % 50000),
+# width = 16*(16 + b2%64), height = 16*(9 + b3%36), n_tracks = 1 + b4%2. Only
+# a correct box walk (mvhd/tkhd/trak traversal) reproduces them from bytes.
+_MP4_HH = "sha256(doc_id::VARCHAR || ':mp4')"
+# unsigned byte k of the digest behind alias `hh` (hex chars 2k+1, 2k+2)
+_MB = [_BYTE.format(p1=str(2 * k + 1), p2=str(2 * k + 2)) for k in range(6)]
 _MM_ORACLE = f"""
 WITH src AS (SELECT doc_id, {_MM_HH} AS hh FROM documents WHERE doc_id < 50),
-jsrc AS (SELECT doc_id, {_JPG_HH} AS hh FROM documents WHERE doc_id < 50)
+jsrc AS (SELECT doc_id, {_JPG_HH} AS hh FROM documents WHERE doc_id < 50),
+msrc AS (SELECT doc_id, {_MP4_HH} AS hh FROM documents WHERE doc_id < 50)
 SELECT doc_id, 'image' AS modality, 8 AS dim_a, 8 AS dim_b, 3 AS channels,
   CAST(list_sum(list_transform(generate_series(0, 191), j -> {_U8})) AS BIGINT) AS checksum,
   16 AS feature_dim
@@ -611,6 +620,14 @@ SELECT doc_id, 'image_jpeg' AS modality, 16 AS dim_a, 16 AS dim_b, 1 AS channels
   CAST(64 * list_sum(list_transform(generate_series(0, 3), j -> {_U8})) AS BIGINT) AS checksum,
   16 AS feature_dim
 FROM jsrc
+UNION ALL
+SELECT doc_id, 'video' AS modality,
+  CAST(16 * (16 + ({_MB[2]}) % 64) AS INTEGER) AS dim_a,
+  CAST(16 * (9 + ({_MB[3]}) % 36) AS INTEGER) AS dim_b,
+  CAST(1 + ({_MB[4]}) % 2 AS INTEGER) AS channels,
+  CAST(1000 + (256 * ({_MB[0]}) + ({_MB[1]})) % 50000 AS BIGINT) AS checksum,
+  16 AS feature_dim
+FROM msrc
 ORDER BY doc_id, modality
 """.strip()
 
@@ -618,18 +635,20 @@ ORDER BY doc_id, modality
 @register(
     "multimodal_decode_pipeline",
     _MM_ORACLE,
-    description="Multimodal end-to-end with REAL codecs for three "
+    description="Multimodal end-to-end with REAL codecs for all four "
     "modalities: synthetic valid PNGs (vendored pure-stdlib codec, "
     "operators/png.py: per-chunk CRC validation, zlib inflate, scanline "
     "unfiltering), synthetic baseline JPEGs (vendored pure-numpy codec, "
     "operators/jpeg.py: marker segments, canonical Huffman entropy coding, "
     "zigzag/dequant/IDCT — constant DC-only blocks make the lossy format "
-    "oracle-exact), and synthetic WAV audio (stdlib wave RIFF framing, "
-    "signed 16-bit PCM) -> Arrow-batched mapInPandas decode + feature "
-    "extraction, all narrow transforms, no driver collect of binary. The "
-    "oracle re-derives each modality's checksum from the sha256 content "
-    "source — values only correct encode/decode roundtrips produce. Video "
-    "stays stub-gated (no ffmpeg in this container).",
+    "oracle-exact), synthetic WAV audio (stdlib wave RIFF framing, signed "
+    "16-bit PCM), and synthetic MP4 containers (vendored ISO-BMFF codec, "
+    "operators/bmff.py: ftyp/moov/trak box walk for duration, track count, "
+    "dimensions — frame decode needs ffmpeg, absent here) -> Arrow-batched "
+    "mapInPandas decode + feature extraction, all narrow transforms, no "
+    "driver collect of binary. The oracle re-derives each modality's "
+    "checksum from the sha256 content source — values only correct "
+    "encode/decode roundtrips produce.",
 )
 def multimodal_decode_pipeline(spark, sf_dir):
     docs = t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 50)
@@ -660,4 +679,13 @@ def multimodal_decode_pipeline(spark, sf_dir):
         F.col("sample_sum").cast("long").alias("checksum"),
         F.size("features").alias("feature_dim"),
     )
-    return img.unionByName(aud).unionByName(jpg).orderBy("doc_id", "modality")
+    vid = extract_features(decode_media(attach_synth_mp4(docs, "doc_id"))).select(
+        "doc_id",
+        F.lit("video").alias("modality"),
+        F.col("width").cast("int").alias("dim_a"),
+        F.col("height").cast("int").alias("dim_b"),
+        F.col("n_channels").cast("int").alias("channels"),
+        F.col("pixel_sum").cast("long").alias("checksum"),
+        F.size("features").alias("feature_dim"),
+    )
+    return img.unionByName(aud).unionByName(jpg).unionByName(vid).orderBy("doc_id", "modality")

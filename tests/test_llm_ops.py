@@ -159,14 +159,28 @@ def test_embedding_near_dup_on_injected(spark):
 
 
 def test_multimodal_pipeline(spark):
+    """attach_fake_media emits a VALID payload for every hash-assigned mime,
+    so the whole mixed-mime column survives a real decode_media."""
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id").limit(50)
     media = attach_fake_media(docs, "doc_id")
     assert media.schema["media"].dataType.names == ["uri", "mime", "n_bytes", "data"]
 
-    decoded = decode_media(media, deterministic_fake=True)
+    decoded = decode_media(media)
     drows = decoded.collect()
     assert len(drows) == 50
-    assert all(64 <= r["width"] <= 255 and 1 <= r["n_channels"] <= 4 for r in drows)
+    by_mime = {}
+    for r in drows:
+        by_mime.setdefault(r["media"]["mime"], []).append(r)
+    assert set(by_mime) == {"image/png", "image/jpeg", "audio/wav", "video/mp4"}
+    assert all((r["width"], r["height"], r["n_channels"]) == (8, 8, 3) for r in by_mime["image/png"])
+    assert all(
+        (r["width"], r["height"], r["n_channels"]) == (16, 16, 1) for r in by_mime["image/jpeg"]
+    )
+    assert all((r["width"], r["height"]) == (96, 8000) for r in by_mime["audio/wav"])
+    for r in by_mime["video/mp4"]:  # tkhd dims + mvhd duration, per _mp4_params
+        assert r["width"] % 16 == 0 and 256 <= r["width"] <= 16 * 79
+        assert r["height"] % 16 == 0 and 144 <= r["height"] <= 16 * 44
+        assert r["n_channels"] in (1, 2) and 1000 <= r["pixel_sum"] < 51000
 
     feats = extract_features(media)
     frows = feats.collect()
@@ -180,35 +194,67 @@ def test_multimodal_pipeline(spark):
 
     frames = sample_frames(media.filter(F.col("media.mime").startswith("video/")))
     fr = frames.collect()
-    if fr:  # mime assignment is hash-based; video rows exist for 50 ids w.h.p.
-        assert all(r["frame_offset"] == r["frame_no"] * 32 for r in fr)
+    assert fr  # video rows exist among 50 hash-assigned ids
+    assert all(r["frame_offset"] == r["frame_no"] * 32 for r in fr)
 
 
-def test_resize_media_plumbing(spark):
-    from clickhousedatamocker_spark.operators.multimodal import resize_media
+def test_resize_media_real(spark):
+    """resize_media REALLY resamples: the resized payload decodes to the
+    target dims, and PNG content equals an independent nearest-neighbor
+    resample of the original pixels."""
+    from clickhousedatamocker_spark.operators.multimodal import attach_synth_png, resize_media
+    from clickhousedatamocker_spark.operators.png import decode_png
 
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id").limit(20)
-    media = attach_fake_media(docs, "doc_id")
-    resized = resize_media(media, 32, 32, deterministic_fake=True)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id").limit(10)
+    media = attach_synth_png(docs, "doc_id")  # 8x8 RGB
+    resized = resize_media(media, 4, 4)
     assert resized.schema == media.schema  # struct shape preserved
-    rows = resized.collect()
-    assert all(r["media"]["n_bytes"] == len(r["media"]["data"]) for r in rows)
-    # 32x32 is smaller than every fake-decoded dim (>=64x64): payload shrinks
-    orig = {r["doc_id"]: r["media"]["n_bytes"] for r in media.collect()}
-    assert all(r["media"]["n_bytes"] < orig[r["doc_id"]] for r in rows)
-    with pytest.raises(NotImplementedError):
-        resize_media(media, 32, 32)
+    orig = {r["doc_id"]: bytes(r["media"]["data"]) for r in media.collect()}
+    for r in resized.collect():
+        w, h, c, px = decode_png(bytes(r["media"]["data"]))
+        assert (w, h, c) == (4, 4, 3)
+        assert r["media"]["n_bytes"] == len(r["media"]["data"])
+        _, _, _, src = decode_png(orig[r["doc_id"]])
+        # nearest-neighbor 8->4 keeps pixels at even source coords
+        expect = b"".join(
+            src[(2 * y * 8 + 2 * x) * 3 : (2 * y * 8 + 2 * x) * 3 + 3]
+            for y in range(4)
+            for x in range(4)
+        )
+        assert px == expect
+    with pytest.raises(Exception, match="image payloads only"):
+        from clickhousedatamocker_spark.operators.multimodal import attach_synth_wav
+
+        resize_media(attach_synth_wav(docs, "doc_id"), 4, 4).collect()
 
 
-def test_decode_without_codecs_raises(spark):
-    """Non-PNG mimes stay stub-gated: the real-decode path raises a
-    clearly-marked NotImplementedError (surfaced from the executor) unless
-    deterministic_fake=True."""
+def test_decode_unknown_mime_raises(spark):
+    """Mimes with no vendored codec (real video codecs need ffmpeg) raise a
+    clearly-marked NotImplementedError, surfaced from the executor."""
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id").limit(8)
-    media = attach_fake_media(docs, "doc_id")  # mixed mimes incl. non-PNG
-    non_png = media.filter(F.col("media.mime") != "image/png")
+    media = attach_fake_media(docs, "doc_id").withColumn(
+        "media",
+        F.struct(
+            F.col("media.uri").alias("uri"),
+            F.lit("video/webm").alias("mime"),
+            F.col("media.n_bytes").alias("n_bytes"),
+            F.col("media.data").alias("data"),
+        ),
+    )
     with pytest.raises(Exception, match="no codec"):
-        decode_media(non_png).collect()
+        decode_media(media).collect()
+    # corrupt payloads under a supported mime get the codec's own clear error
+    garbage = attach_fake_media(docs, "doc_id").withColumn(
+        "media",
+        F.struct(
+            F.col("media.uri").alias("uri"),
+            F.lit("image/jpeg").alias("mime"),
+            F.col("media.n_bytes").alias("n_bytes"),
+            F.sha2(F.col("media.uri"), 256).cast("binary").alias("data"),
+        ),
+    )
+    with pytest.raises(Exception, match="not a JPEG"):
+        decode_media(garbage).collect()
 
 
 def test_png_codec_roundtrip():
@@ -275,6 +321,50 @@ def test_wav_decode_media_real(spark):
             raw.extend(hashlib.sha256(f"{r['doc_id']}:{i}".encode()).digest())
             i += 1
         assert r["sample_sum"] == sum(struct.unpack("<96h", bytes(raw[:192])))
+
+
+def test_mp4_codec_roundtrip():
+    """Vendored ISO-BMFF codec: encode->parse recovers brand, timescale,
+    duration, and per-track handler/fourcc/dims; truncated or non-BMFF
+    input raises ValueError."""
+    from clickhousedatamocker_spark.operators.bmff import encode_mp4, parse_mp4
+
+    data = encode_mp4(
+        600,
+        36000,
+        [
+            {"handler": "vide", "fourcc": "avc1", "width": 640, "height": 360},
+            {"handler": "soun", "fourcc": "mp4a", "sample_rate": 48000},
+        ],
+    )
+    meta = parse_mp4(data)
+    assert meta["major_brand"] == "isom"
+    assert (meta["timescale"], meta["duration"], meta["duration_ms"]) == (600, 36000, 60000)
+    assert meta["n_tracks"] == 2
+    assert meta["tracks"][0] == {"handler": "vide", "fourcc": "avc1", "width": 640, "height": 360}
+    assert meta["tracks"][1]["handler"] == "soun"
+    assert meta["tracks"][1]["fourcc"] == "mp4a"
+    for bad in [b"", b"\x00" * 12, data[:40], b"junk" + data]:
+        with pytest.raises(ValueError):
+            parse_mp4(bad)
+
+
+def test_mp4_decode_media_real(spark):
+    """decode_media really walks the box tree: every parsed field matches
+    the sha256-derived parameters the synth encoder embedded."""
+    import hashlib
+
+    from clickhousedatamocker_spark.operators.multimodal import attach_synth_mp4
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id").limit(10)
+    decoded = decode_media(attach_synth_mp4(docs, "doc_id")).collect()
+    assert len(decoded) == 10
+    for r in decoded:
+        d = hashlib.sha256(f"{r['doc_id']}:mp4".encode()).digest()
+        assert r["width"] == 16 * (16 + d[2] % 64)
+        assert r["height"] == 16 * (9 + d[3] % 36)
+        assert r["n_channels"] == 1 + d[4] % 2
+        assert r["pixel_sum"] == 1000 + ((d[0] << 8 | d[1]) % 50000)
 
 
 def test_window_funnel_semantics(spark):

@@ -5,7 +5,7 @@ round-tripping a generated batch through TSV must be lossless."""
 
 import pyspark.sql.functions as F
 
-from clickhousedatamocker_spark.schema import test_local_spec
+from clickhousedatamocker_spark.schema import test_local_spec as _test_local_spec  # noqa: N813 - pytest must not collect it
 from clickhousedatamocker_spark.sources.generator import BatchGenerator
 from clickhousedatamocker_spark.sources.tsv import read_tsv, write_tsv
 
@@ -16,7 +16,7 @@ def test_tsv_roundtrip_lossless(spark, tmp_path):
     path = str(tmp_path / "wire.tsv")
     write_tsv(batch, path)
 
-    back = read_tsv(spark, path, test_local_spec().schema)
+    back = read_tsv(spark, path, _test_local_spec().schema)
     assert back.count() == 2000
     # same names/types (nullability legitimately differs: csv reads nullable)
     assert [(f.name, f.dataType) for f in back.schema.fields] == [
@@ -53,7 +53,7 @@ def test_format_surface_roundtrips_lossless(spark, tmp_path):
     for fmt in FORMATS:
         path = str(tmp_path / f"wire_{fmt}")
         write_format(batch, path, fmt)
-        back = read_format(spark, path, fmt, test_local_spec().schema)
+        back = read_format(spark, path, fmt, _test_local_spec().schema)
         got = sorted(tuple(r) for r in back.collect())
         assert got == want, f"FORMAT {fmt} round-trip mismatch"
 
