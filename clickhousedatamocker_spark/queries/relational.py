@@ -99,9 +99,11 @@ LIMIT 10
 """,
     headline=True,
     description="TPC-H Q3: 3-way join -> agg -> top-k. Scale: customer filter first "
-    "(selective dim), broadcast customer into orders, one shuffle join with lineitem "
-    "on orderkey; top-k is TakeOrderedAndProject (no global sort). Unique tiebreak "
-    "(l_orderkey) keeps LIMIT deterministic.",
+    "(selective, but the BUILDING segment is ~1/5 of customers and grows LINEARLY "
+    "with SF — so it joins as the BUILD side of a ShuffledHashJoin, never a hinted "
+    "broadcast that would OOM executors at sf1000); lineitem⋈orders is the one big "
+    "orderkey shuffle; top-k is TakeOrderedAndProject (no global sort). Unique "
+    "tiebreak (l_orderkey) keeps LIMIT deterministic.",
 )
 def q3_shipping_priority(spark, sf_dir):
     cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
@@ -109,7 +111,7 @@ def q3_shipping_priority(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-03-15")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust.hint("SHUFFLE_HASH"), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")

@@ -25,26 +25,54 @@ def optimized_of(df) -> str:
 def test_tpch_joins_broadcast_small_sides(spark):
     """At any SF, region/nation/supplier dims are broadcast-able; the
     lineitem fact side must never be shuffled for them."""
-    for name in ["q3_shipping_priority", "q5_local_supplier_volume", "join_broadcast_dims"]:
+    for name in ["q5_local_supplier_volume", "join_broadcast_dims"]:
         plan = plan_of(REGISTRY[name].fn(spark, SF_DIR))
         assert "BroadcastHashJoin" in plan, name
         assert "SortMergeJoin" not in plan, f"{name}: dim join fell back to sort-merge"
 
 
-def test_q5_fact_never_broadcast_and_never_build_side(spark):
-    """q5's orders x customer subquery grows linearly with SF: it must join
-    as the BUILD side of a ShuffledHashJoin (per-partition memory), never a
-    hinted broadcast; lineitem must be the streamed probe side. The only
-    BroadcastExchanges allowed are the true dims (supplier/nation/region +
-    the customer dim inside the subquery)."""
-    plan = plan_of(REGISTRY["q5_local_supplier_volume"].fn(spark, SF_DIR))
-    assert "ShuffledHashJoin" in plan, "orders x customer lost its shuffle-hash shape"
-    # fact-derived side must not be broadcast: every BroadcastExchange subtree
-    # must be dim-sized — none may contain the lineitem or orders scan on the
-    # *outer* join level. Indentation-parse: a broadcast subtree ends when
-    # the tree dedents back past the exchange's own depth.
-    for sub in _broadcast_subtrees(plan):
-        assert "lineitem" not in sub, "lineitem inside a BroadcastExchange"
+def test_linear_growth_sides_never_broadcast(spark):
+    """Any side that grows linearly with SF (lineitem/orders scans, or a
+    constant-fraction customer filter like q3's BUILDING segment) must never
+    be broadcast by an EXPLICIT hint: a hint overrides AQE's size check and
+    OOMs every executor at sf1000. (Catalyst choosing to broadcast a
+    statistics-small unhinted side at test SF is fine — that decision
+    self-adjusts with scale.) Checked at the analyzed plan, where every
+    broadcast hint is still a visible ResolvedHint subtree; plus the
+    executed-plan ban on lineitem-in-BroadcastExchange, and q3/q5's pinned
+    ShuffledHashJoin shape."""
+    for name in ["q3_shipping_priority", "q5_local_supplier_volume", "q10_returned_items"]:
+        df = REGISTRY[name].fn(spark, SF_DIR)
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        for sub in _hint_subtrees(analyzed):
+            for banned in ("customer", "lineitem", "orders"):
+                assert banned not in sub, f"{name}: broadcast hint on linear-growth {banned}"
+    # where the join strategy IS pinned by a hint (q3/q5's SHUFFLE_HASH),
+    # the executed plan must keep lineitem out of every BroadcastExchange
+    # and keep the shuffle-hash shape (q10 is unhinted: AQE may broadcast
+    # its statistics-small sides at test SF, which is the correct behavior)
+    for name in ["q3_shipping_priority", "q5_local_supplier_volume"]:
+        plan = plan_of(REGISTRY[name].fn(spark, SF_DIR))
+        for sub in _broadcast_subtrees(plan):
+            assert "lineitem" not in sub, f"{name}: lineitem inside a BroadcastExchange"
+        assert "ShuffledHashJoin" in plan, f"{name} lost its shuffle-hash shape"
+
+
+def _hint_subtrees(analyzed: str) -> list[str]:
+    """Subtrees under broadcast ResolvedHint nodes in an analyzed plan."""
+    lines = analyzed.split("\n")
+    subtrees = []
+    for i, line in enumerate(lines):
+        if "ResolvedHint" not in line or "broadcast" not in line.lower():
+            continue
+        d = len(line) - len(line.lstrip(" :+-"))
+        body = [line]
+        for nxt in lines[i + 1 :]:
+            if nxt.strip() and (len(nxt) - len(nxt.lstrip(" :+-"))) <= d:
+                break
+            body.append(nxt)
+        subtrees.append("\n".join(body))
+    return subtrees
 
 
 def _broadcast_subtrees(plan: str) -> list[str]:
