@@ -411,10 +411,20 @@ def parse_ch_ddl(sql: str) -> dict | None:
         if om:
             order_columns = [c.strip() for c in om.group(1).split(",")]
         else:
-            # CH also accepts a bare key: ORDER BY col  /  ORDER BY tuple()
-            om = re.search(r"ORDER\s+BY\s+(\w+)(?:\s*\(\s*\))?", tail, re.IGNORECASE)
-            if om and om.group(1).lower() != "tuple":
-                order_columns = [om.group(1)]
+            # CH also accepts a bare key: ORDER BY col  /  ORDER BY tuple().
+            # A bare word followed by a non-empty "(...)" is an EXPRESSION
+            # key (ORDER BY intDiv(ts, 3600)) — reject it explicitly rather
+            # than silently treating the function name as a column.
+            om = re.search(r"ORDER\s+BY\s+(\w+)\s*(\(\s*[^)]*?\s*\))?", tail, re.IGNORECASE)
+            if om:
+                word, parens = om.group(1), om.group(2)
+                if parens is not None and parens.strip("() \t\n"):
+                    raise NotImplementedError(
+                        f"expression ORDER BY keys are not supported: "
+                        f"ORDER BY {word}{parens}"
+                    )
+                if word.lower() != "tuple":
+                    order_columns = [word]
 
         ttl = None
         tm = re.search(r"\bTTL\s+(.+?)(?=\s+SETTINGS\b|$)", tail, re.IGNORECASE | re.DOTALL)

@@ -273,11 +273,22 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
+        # the spec allows any number of 0xFF fill bytes before a marker id
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(data):
+            raise ValueError("truncated JPEG (fill bytes run to end of data)")
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
             raise ValueError("EOI before SOS")
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            continue  # TEM/RSTn/SOI are standalone — no length field
+        if pos + 2 > len(data):
+            raise ValueError("truncated JPEG segment header")
         (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        if seglen < 2 or pos + seglen > len(data):
+            raise ValueError("truncated JPEG segment")
         payload = data[pos + 2 : pos + seglen]
         if marker == 0xDB:
             p = 0
@@ -285,15 +296,21 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 pq, tq = payload[p] >> 4, payload[p] & 0x0F
                 if pq != 0:
                     raise NotImplementedError("16-bit quant tables unsupported")
+                if p + 65 > len(payload):
+                    raise ValueError("truncated DQT segment")
                 tbl = np.zeros((8, 8), dtype=np.int64)
                 for k, (i, j) in enumerate(_ZZ):
                     tbl[i, j] = payload[p + 1 + k]
                 qtables[tq] = tbl
                 p += 65
         elif marker == 0xC0:
+            if len(payload) < 6:
+                raise ValueError("truncated SOF0 segment")
             prec, height, width, nc = struct.unpack(">BHHB", payload[:6])
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision")
+            if len(payload) < 6 + 3 * nc:
+                raise ValueError("truncated SOF0 component list")
             for c in range(nc):
                 cid, samp, tq = payload[6 + 3 * c : 9 + 3 * c]
                 if samp != 0x11:
@@ -306,19 +323,29 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
         elif marker == 0xC4:
             p = 0
             while p < len(payload):
+                if p + 17 > len(payload):
+                    raise ValueError("truncated DHT segment")
                 cls, tid = payload[p] >> 4, payload[p] & 0x0F
                 bits = list(payload[p + 1 : p + 17])
                 nsym = sum(bits)
+                if p + 17 + nsym > len(payload):
+                    raise ValueError("truncated DHT symbol list")
                 syms = list(payload[p + 17 : p + 17 + nsym])
                 htables[(cls, tid)] = _build_decoder(bits, syms)
                 p += 17 + nsym
         elif marker == 0xDD:
             raise NotImplementedError("restart markers unsupported")
         elif marker == 0xDA:
+            if not payload or len(payload) < 1 + 2 * payload[0]:
+                raise ValueError("truncated SOS segment")
             ns = payload[0]
             for c in range(ns):
                 cid, tt = payload[1 + 2 * c], payload[2 + 2 * c]
-                ci = next(i for i, (id_, _) in enumerate(comps) if id_ == cid)
+                ci = next(
+                    (i for i, (id_, _) in enumerate(comps) if id_ == cid), None
+                )
+                if ci is None:
+                    raise ValueError("SOS references a component missing from SOF0")
                 scan.append((ci, tt >> 4, tt & 0x0F))
             pos += seglen
             break
@@ -332,31 +359,38 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     nbx, nby = (width + 7) // 8, (height + 7) // 8
     planes = [np.zeros((nby * 8, nbx * 8)) for _ in comps]
     prev_dc = [0] * len(comps)
-    for by in range(nby):
-        for bx in range(nbx):
-            for ci, dct, act in scan:
-                q = qtables[comps[ci][1]]
-                coef = np.zeros((8, 8), dtype=np.int64)
-                s = _read_huff(br, htables[(0, dct)])
-                prev_dc[ci] += _extend(br.bits(s), s)
-                coef[0, 0] = prev_dc[ci]
-                k = 1
-                while k < 64:
-                    sym = _read_huff(br, htables[(1, act)])
-                    if sym == 0x00:  # EOB
-                        break
-                    run, s = sym >> 4, sym & 0x0F
-                    if s == 0:
-                        if run != 15:
-                            raise ValueError("invalid AC symbol")
-                        k += 16  # ZRL
-                        continue
-                    k += run
-                    i, j = _ZZ[k]
-                    coef[i, j] = _extend(br.bits(s), s)
-                    k += 1
-                block = _T.T @ (coef * q).astype(np.float64) @ _T
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+    try:
+        for by in range(nby):
+            for bx in range(nbx):
+                for ci, dct, act in scan:
+                    q = qtables[comps[ci][1]]
+                    coef = np.zeros((8, 8), dtype=np.int64)
+                    s = _read_huff(br, htables[(0, dct)])
+                    prev_dc[ci] += _extend(br.bits(s), s)
+                    coef[0, 0] = prev_dc[ci]
+                    k = 1
+                    while k < 64:
+                        sym = _read_huff(br, htables[(1, act)])
+                        if sym == 0x00:  # EOB
+                            break
+                        run, s = sym >> 4, sym & 0x0F
+                        if s == 0:
+                            if run != 15:
+                                raise ValueError("invalid AC symbol")
+                            k += 16  # ZRL
+                            continue
+                        k += run
+                        if k > 63:
+                            raise ValueError("AC run-length past end of block")
+                        i, j = _ZZ[k]
+                        coef[i, j] = _extend(br.bits(s), s)
+                        k += 1
+                    block = _T.T @ (coef * q).astype(np.float64) @ _T
+                    planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+    except (IndexError, KeyError) as e:
+        # _BitReader running off the data / a table id the header never
+        # defined — consistent corrupt-input contract (ValueError)
+        raise ValueError(f"truncated or corrupt JPEG entropy stream: {e!r}") from e
     # trailing EOI check (skip pad bits / stuffing remainder)
     tail = data[pos + br.pos :]
     if b"\xff\xd9" not in tail[:4]:

@@ -47,10 +47,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # integer `div`, not `/`: ns epochs (~1.7e18) exceed double precision
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
         elif dtype == "timestamp_ntz":
-            # interpret the NTZ wall time as a UTC instant explicitly —
-            # independent of spark.sql.session.timeZone, so an external
-            # driver session in any zone sees the same instants as DuckDB.
-            df = df.withColumn(col, F.to_utc_timestamp(F.col(col), "UTC"))
+            # interpret the NTZ wall time as a UTC instant WITHOUT going
+            # through spark.sql.session.timeZone: a plain cast (and
+            # to_utc_timestamp, which implicitly casts first) shifts the
+            # instant in non-UTC sessions and hits DST gaps/folds. The
+            # NTZ->NTZ microsecond delta from the epoch is a pure wall-time
+            # difference, so timestamp_micros() of it is the UTC instant
+            # with the same wall time in any session zone.
+            df = df.withColumn(
+                col,
+                F.expr(
+                    "timestamp_micros(timestampdiff(MICROSECOND, "
+                    f"TIMESTAMP_NTZ '1970-01-01 00:00:00', `{col}`))"
+                ),
+            )
     return df
 
 

@@ -582,3 +582,9 @@ def test_parameterized_types_and_bare_engine_forms():
 
     with _pytest.raises(NotImplementedError):
         parse_ch_ddl("CREATE TABLE t4 AS other ENGINE = Log")
+
+    # an expression sort key must error, not parse as the function's name
+    with _pytest.raises(NotImplementedError, match="expression ORDER BY"):
+        parse_ch_ddl(
+            "CREATE TABLE t5 (ts DateTime) ENGINE = MergeTree ORDER BY intDiv(ts, 3600)"
+        )

@@ -29,12 +29,14 @@ import __spark_entry__ as m
 from pyspark.sql import SparkSession
 
 # the bare session an external driver would build — deliberately NO repo confs
-spark = (
+builder = (
     SparkSession.builder.master("local[4]")
     .appName("driver-contract")
     .config("spark.ui.enabled", "false")
-    .getOrCreate()
 )
+if %(session_tz)r:
+    builder = builder.config("spark.sql.session.timeZone", %(session_tz)r)
+spark = builder.getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
 
 import duckdb
@@ -88,15 +90,8 @@ print("CONTRACT_JSON " + json.dumps(out))
 """
 
 
-def test_contract_under_bare_session():
-    names = [
-        "sessionize_events",       # nanos events read + unix_micros arithmetic
-        "tumbling_window_hourly",  # events timestamps under a foreign timezone conf
-        "retention_analysis",      # HUGEINT-oracle class (casts must hold)
-        "multimodal_decode_pipeline",  # list_sum HUGEINT class + Arrow mapInPandas
-        "agg_approx_distinct_and_quantiles",  # flattened array-output class (rows-only)
-    ]
-    script = _PROBE % {"repo": REPO, "sf": SF_DIR, "names": names}
+def _run_probe(names, session_tz=None):
+    script = _PROBE % {"repo": REPO, "sf": SF_DIR, "names": names, "session_tz": session_tz}
     proc = subprocess.run(
         [sys.executable, "-c", script],
         capture_output=True,
@@ -113,4 +108,28 @@ def test_contract_under_bare_session():
     entry_rows = report.pop("entry_rows")
     assert entry_rows > 0, "entry() returned no rows under a bare session"
     bad = {n: r for n, r in report.items() if not (r.get("rows") and r.get("cols") and r.get("values"))}
-    assert not bad, f"driver-contract failures under bare session: {bad}"
+    assert not bad, f"driver-contract failures under bare session (tz={session_tz}): {bad}"
+
+
+def test_contract_under_bare_session():
+    _run_probe(
+        [
+            "sessionize_events",       # nanos events read + unix_micros arithmetic
+            "tumbling_window_hourly",  # events timestamps under a foreign timezone conf
+            "retention_analysis",      # HUGEINT-oracle class (casts must hold)
+            "multimodal_decode_pipeline",  # list_sum HUGEINT class + Arrow mapInPandas
+            "agg_approx_distinct_and_quantiles",  # flattened array-output class (rows-only)
+        ]
+    )
+
+
+def test_contract_under_non_utc_session():
+    """An external driver session pinned to a non-UTC zone must still see
+    the same UTC instants as the DuckDB oracle: the events.ts NTZ read must
+    derive its instants timezone-free (a plain cast — or to_utc_timestamp,
+    which implicitly casts first — shifts them by the session offset and
+    hits DST gaps/folds). Exercises the instant-based event queries."""
+    _run_probe(
+        ["sessionize_events", "tumbling_window_hourly"],
+        session_tz="America/New_York",
+    )

@@ -622,3 +622,28 @@ def test_jpeg_rgb_roundtrip_bounded_and_structure_checks():
     # subsampled / progressive inputs are honestly gated, not mis-decoded
     with pytest.raises(NotImplementedError):
         decode_jpeg(data[: data.index(b"\xff\xc0")] + b"\xff\xc2" + data[data.index(b"\xff\xc0") + 2 :])
+
+
+def test_jpeg_corrupt_input_contract():
+    """Truncation at ANY byte raises ValueError (never IndexError or
+    struct.error), and spec-legal noise the marker loop must tolerate —
+    0xFF fill bytes, standalone TEM — parses through."""
+    import numpy as np
+    import pytest
+
+    from clickhousedatamocker_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+    data = encode_jpeg(8, 8, px.tobytes(), 1)
+
+    for cut in range(2, len(data) - 1, 7):
+        with pytest.raises(ValueError):
+            decode_jpeg(data[:cut])
+
+    # fill bytes before a marker id + a standalone TEM marker are legal
+    sof = data.index(b"\xff\xc0")
+    padded = data[:sof] + b"\xff\xff\xff" + data[sof + 1 :]
+    assert decode_jpeg(padded) == decode_jpeg(data)
+    tem = data[:sof] + b"\xff\x01" + data[sof:]
+    assert decode_jpeg(tem) == decode_jpeg(data)
