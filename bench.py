@@ -54,21 +54,60 @@ def main() -> None:
         timings[name] = round(min(runs), 4)
         all_runs[name] = [round(r, 4) for r in runs]
 
-    # production MinHash-LSH (xxhash64 hash family — what a user runs at
-    # scale). The registry grades its cross-engine poly-hash twin against a
-    # DuckDB oracle; the bench tracks the production operator itself.
+    # Production twins (xxhash64 / float-hash paths — what a user runs at
+    # scale). The registry grades their cross-engine quantized/poly-hash
+    # twins against DuckDB oracles; the bench tracks the production
+    # operators themselves so perf regressions stay visible despite their
+    # rows-only grading.
     from clickhousedatamocker_spark.operators.dedup import minhash_lsh_pairs
     from clickhousedatamocker_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    minhash_lsh_pairs(docs).collect()
-    runs = []
-    for _ in range(2):
-        t0 = time.monotonic()
-        minhash_lsh_pairs(docs).collect()
-        runs.append(time.monotonic() - t0)
-    timings["dedup_minhash_lsh_pairs"] = round(min(runs), 4)
-    all_runs["dedup_minhash_lsh_pairs"] = [round(r, 4) for r in runs]
+
+    def timed(label: str, mk) -> None:
+        mk().collect()  # warm codegen for this plan shape
+        runs = []
+        for _ in range(2):
+            t0 = time.monotonic()
+            mk().collect()
+            runs.append(time.monotonic() - t0)
+        timings[label] = round(min(runs), 4)
+        all_runs[label] = [round(r, 4) for r in runs]
+
+    timed("dedup_minhash_lsh_pairs", lambda: minhash_lsh_pairs(docs))
+    for twin in ("similarity_topk_lsh", "similarity_topk_ivf", "stream_attribution_join"):
+        timed(twin, lambda twin=twin: REGISTRY[twin].fn(spark, sf_dir))
+
+    # text_analysis_profile cost attribution: the headline number includes
+    # the presentation ORDER BY (whose range-sampling re-runs the
+    # projection) — publish the scan-only and compute-only splits so scope
+    # changes stay distinguishable from regressions round-over-round.
+    # Diagnostics, NOT counted into the total (they re-measure work the
+    # headline entry already paid for).
+    import pyspark.sql.functions as F
+
+    breakdown: dict[str, float] = {}
+
+    def timed_diag(label: str, mk) -> None:
+        mk().collect()
+        runs = []
+        for _ in range(2):
+            t0 = time.monotonic()
+            mk().collect()
+            runs.append(time.monotonic() - t0)
+        breakdown[label] = round(min(runs), 4)
+
+    def ta_compute_only():
+        df = REGISTRY["text_analysis_profile"].fn(spark, sf_dir)
+        return df.select(F.xxhash64(*df.columns).alias("h")).agg(F.bit_xor("h"))
+
+    timed_diag("text_analysis_profile_compute_only", ta_compute_only)
+    timed_diag(
+        "text_analysis_profile_scan_only",
+        lambda: load_table(spark, sf_dir, "documents")
+        .select(F.xxhash64("doc_id").alias("h"))
+        .agg(F.bit_xor("h")),
+    )
 
     # reference operating point: one 100k-row generated batch appended to the
     # hourly-partitioned table + the per-second monitoring queries
@@ -115,6 +154,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "runs": all_runs,
+                "breakdown": breakdown,
                 "sf": sf,
             }
         )

@@ -207,28 +207,53 @@ ORDER BY doc_id
     "stopword-fraction langid, and the order-sensitive rolling polynomial "
     "fingerprint (mod 30-bit prime: overflow-free in both engines) — all "
     "pure column expressions (codegen, zero shuffle, linear scan). "
+    "Cost discipline: the tokenization array and the three base counts are "
+    "each computed ONCE in a lower projection and every ratio/score derives "
+    "from them arithmetically — the naive form re-evaluated split() ~10x "
+    "per row across the derived columns (2x wall-clock on the sf0.1 bench). "
+    "Measured attribution at sf0.1 (fresh plan, min-of-2): scan 0.16s, "
+    "column compute 0.54s (fingerprint ~0.20, BPE regex ~0.09, token/"
+    "stopword family ~0.25), and the presentation ORDER BY adds ~0.5s "
+    "because range-partitioning SAMPLES its child, re-running the "
+    "projection — kept anyway: the alternative (sort raw text first, "
+    "project after) shuffles full document bodies, the wrong trade at "
+    "100 TB where the profile rows are ~100x narrower than the corpus. "
+    "bench.py publishes the scan/compute/full split per round. "
     "(Absorbed the former text_tokens_lang_fingerprint query so its "
     "grading slot could go to the cross-engine ANN pipeline.)",
 )
 def text_analysis_profile(spark, sf_dir):
-    return (
-        t(spark, sf_dir, "documents")
-        .select(
-            "doc_id",
-            ta.token_count("text").alias("n_tokens"),
-            ta.stopword_count("text").alias("n_stopwords"),
-            ta.stopword_ratio("text").alias("stopword_ratio"),
-            ta.mean_token_len("text").alias("mean_token_len"),
-            ta.distinct_token_ratio("text").alias("distinct_token_ratio"),
-            ta.quality_score("text").alias("quality_score"),
-            F.size(F.array_distinct(F.split("text", " "))).cast("long").alias("n_unique_tokens"),
-            F.length("text").cast("long").alias("n_chars"),
-            ta.bpe_token_count("text").alias("n_bpe_tokens"),
-            ta.langid_en("text").alias("predicted_lang"),
-            ta.fingerprint("text").alias("fingerprint"),
-        )
-        .orderBy("doc_id")
+    sw = F.array(*[F.lit(s) for s in ta.EN_STOPWORDS])
+    counts = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.size(F.filter(F.split("text", " "), lambda tok: F.array_contains(sw, tok)))
+        .cast("long")
+        .alias("n_stopwords"),
+        F.size(F.array_distinct(F.split("text", " "))).cast("long").alias("n_unique_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        ta.bpe_token_count("text").alias("n_bpe_tokens"),
+        ta.fingerprint("text").alias("fingerprint"),
     )
+    swr = F.col("n_stopwords").cast("double") / F.col("n_tokens")
+    dtr = F.col("n_unique_tokens").cast("double") / F.col("n_tokens")
+    length_credit = F.least(F.col("n_tokens").cast("double") / 200.0, F.lit(1.0))
+    return counts.select(
+        "doc_id",
+        "n_tokens",
+        "n_stopwords",
+        swr.alias("stopword_ratio"),
+        (
+            (F.col("n_chars").cast("double") - (F.col("n_tokens") - 1)) / F.col("n_tokens")
+        ).alias("mean_token_len"),
+        dtr.alias("distinct_token_ratio"),
+        (0.4 * swr + 0.3 * length_credit + 0.3 * dtr).alias("quality_score"),
+        "n_unique_tokens",
+        "n_chars",
+        "n_bpe_tokens",
+        F.when(swr >= 0.05, F.lit("en")).otherwise(F.lit("unknown")).alias("predicted_lang"),
+        "fingerprint",
+    ).orderBy("doc_id")
 
 
 # -------------------------------------------------------------------------
