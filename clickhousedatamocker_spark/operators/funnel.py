@@ -19,15 +19,23 @@ oracle implements the IDENTICAL per-anchor fold (queries/llm.py), so
 results are hash-exact.
 
 Scale: one shuffle on the user key; per-user arrays are bounded by per-user
-activity (salt heavy users if a key exceeds memory — operators/skew.py).
-Per-anchor work is O(#anchors x #events) worst-case per user — the same
-bound as ClickHouse's implementation.
+activity. Per-anchor work is O(#anchors x #events) worst-case per user —
+the same bound as ClickHouse's implementation. A single HOT user (bot
+traffic: 10^6+ events) blows both bounds at once — the collect_list buffer
+grows unboundedly in ONE aggregation task and the anchor fold goes
+quadratic. ``max_events_per_user`` is the guard: a windowed row_number
+pre-filter keeps each user's EARLIEST N events (deterministic (t, y, tie)
+order). The window sort is external (UnsafeExternalSorter spills), so the
+pre-filter itself is hot-key-safe; after it, every downstream buffer is
+<= N structs and the fold is <= N^2. Users under the cap are untouched —
+exactness for them is preserved (pinned by the planted-hot-key test).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 
 def window_funnel(
@@ -38,6 +46,7 @@ def window_funnel(
     ts_col: str = "ts",
     type_col: str = "event_type",
     seq_match_col: str | None = None,
+    max_events_per_user: int | None = None,
 ) -> DataFrame:
     """→ (user_col, funnel_depth) with depth in 0..len(steps).
 
@@ -46,10 +55,23 @@ def window_funnel(
     subsequence with ANY events in between (the ``(?1).*(?2).*(?3)`` pattern,
     no window constraint). Computed as a regex over the per-event step codes,
     reusing the single per-user aggregation.
+
+    ``max_events_per_user``: skew guard for hot keys (see module docstring).
+    ``None`` (default) keeps exact CH semantics for every user; set it (e.g.
+    10_000) on corpora where bot users exist — users at or under the cap
+    still get exact results.
     """
     k = len(steps)
+    src = events
+    if max_events_per_user is not None:
+        w = W.partitionBy(user_col).orderBy(ts_col, type_col)
+        src = (
+            events.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= max_events_per_user)
+            .drop("__rn")
+        )
     evs = (
-        events.select(
+        src.select(
             F.col(user_col),
             F.struct(
                 F.unix_timestamp(F.col(ts_col)).alias("t"), F.col(type_col).alias("y")

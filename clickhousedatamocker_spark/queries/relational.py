@@ -1228,7 +1228,13 @@ GROUP BY user_id, session_id
 ORDER BY user_id, session_id
 """,
     description="Gap-based sessionization (30-min inactivity) via lag + running "
-    "sum — the batch shape of a session window; one shuffle on user_id.",
+    "sum — the batch shape of a session window; one shuffle on user_id. "
+    "Hot-key-safe by construction: sort-based Window operators stream rows "
+    "through an EXTERNAL sort (UnsafeExternalSorter spills to disk) and the "
+    "running-sum frame buffers O(1) rows, so a bot user with 10^6+ events "
+    "is slow-but-bounded, never an OOM — unlike collect_list shapes "
+    "(windowFunnel's guard for those is max_events_per_user, "
+    "operators/funnel.py).",
 )
 def sessionize_events(spark, sf_dir):
     w = W.partitionBy("user_id").orderBy("ts", "event_id")

@@ -367,6 +367,69 @@ def test_mp4_decode_media_real(spark):
         assert r["pixel_sum"] == 1000 + ((d[0] << 8 | d[1]) % 50000)
 
 
+def test_window_funnel_hot_key_guard(spark):
+    """A bot user with 60k events (nearly all of them funnel anchors — the
+    quadratic worst case) completes fast under max_events_per_user, normal
+    users' results are EXACTLY the uncapped ones, and the guard is a
+    spill-safe Window pre-filter (external sort), not a bigger in-memory
+    buffer."""
+    import time as _time
+
+    from clickhousedatamocker_spark.operators.funnel import window_funnel
+
+    base = F.lit("2026-01-01 00:00:00").cast("timestamp")
+    # hot user 999: 60k events, clicks everywhere; one view at position 100;
+    # the only purchase at the very END — beyond any reasonable cap
+    hot = spark.range(60_000).select(
+        F.lit(999).alias("user_id"),
+        (base + F.make_interval(secs=F.col("id").cast("double"))).alias("ts"),
+        F.when(F.col("id") == 100, "view")
+        .when(F.col("id") == 59_999, "purchase")
+        .otherwise("click")
+        .alias("event_type"),
+    )
+    # 50 normal users x 20 events: deterministic mix of steps
+    normal = spark.range(1000).select(
+        (F.col("id") % 50).alias("user_id"),
+        (base + F.make_interval(secs=(F.col("id") * 7).cast("double"))).alias("ts"),
+        F.element_at(
+            F.array(F.lit("click"), F.lit("view"), F.lit("login"), F.lit("purchase")),
+            (F.pmod(F.xxhash64("id"), F.lit(4)) + 1).cast("int"),
+        ).alias("event_type"),
+    )
+    steps = ["click", "view", "purchase"]
+    week = 7 * 86400
+
+    t0 = _time.monotonic()
+    capped = {
+        r["user_id"]: r["funnel_depth"]
+        for r in window_funnel(
+            hot.unionByName(normal), steps, week, max_events_per_user=1000
+        ).collect()
+    }
+    elapsed = _time.monotonic() - t0
+    assert elapsed < 60, f"hot-key run took {elapsed:.0f}s — guard not bounding the fold"
+
+    # the hot user's first 1000 events hold click anchors + the view but NOT
+    # the final purchase -> depth exactly 2 under the cap
+    assert capped[999] == 2
+    # normal users (under the cap) must match the exact, uncapped semantics
+    exact = {
+        r["user_id"]: r["funnel_depth"] for r in window_funnel(normal, steps, week).collect()
+    }
+    assert {u: d for u, d in capped.items() if u != 999} == exact
+
+    # the guard is a row_number Window (external sort, spills) feeding the
+    # aggregate — visible in the executed plan
+    plan = (
+        window_funnel(hot, steps, week, max_events_per_user=1000)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" in plan and "row_number" in plan
+
+
 def test_window_funnel_semantics(spark):
     """Hand-built scenario pinning the any-anchor max-depth semantics."""
     from clickhousedatamocker_spark.operators.funnel import window_funnel
