@@ -17,6 +17,16 @@ noted per query):
 - q15 top supplier by revenue (CTE + scalar-subquery max)
 - q17 small-quantity-order revenue (correlated scalar subquery;
       p_brand+p_size instead of p_container)
+- q4  order-priority checking ('-shaped': the correlated EXISTS keeps its
+      decorrelate-to-left-semi-join shape, with late-shipped lines
+      (l_shipdate > o_orderdate) standing in for the missing
+      l_commitdate < l_receiptdate)
+- q12 priority CASE-counting ('-shaped': grouped by l_linestatus for the
+      missing l_shipmode; the IN-list CASE sums and the AND-range
+      predicates are the original shape)
+- q19 OR-of-ANDs disjunctive pushdown ('-shaped': three brand/size/
+      quantity AND-groups OR'd, p_size for the missing p_container —
+      the disjunction-over-conjunctions scan shape is the point)
 
 Float discipline (queries/base.py rules): every sum is exact-decimal cast
 to double; ratios divide two such doubles — one IEEE op, identical on both
@@ -97,6 +107,39 @@ WHERE p_brand = 'Brand#23' AND p_size < 15
     SELECT 0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
     FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey
   )
+""",
+    "q4_order_priority": """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (
+    SELECT * FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    "q12_priority_case_counts": """
+SELECT l_linestatus,
+  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_returnflag IN ('A', 'R')
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+""",
+    "q19_disjunctive_pushdown": f"""
+SELECT CAST({_DSUM_DISC} AS DOUBLE) AS revenue, COUNT(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
 """,
 }
 
