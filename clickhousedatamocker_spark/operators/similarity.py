@@ -72,10 +72,15 @@ def _hyperplanes(num_planes: int, dim: int, seed: int = 42) -> list[list[float]]
 
 
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit bucket id of a vector under the hyperplane set."""
+    """Sign-bit bucket id of a vector under the hyperplane set.
+
+    Each plane ships as ONE array literal (``F.lit(list)``), not ``dim``
+    scalar literals — a 64x smaller expression tree, which is what keeps
+    Catalyst analysis + codegen fast when the codebook/plane set rebuilds
+    per call."""
     bucket = F.lit(0).cast("long")
     for i, w in enumerate(planes):
-        proj = dot(vec, F.array(*[F.lit(x) for x in w]))
+        proj = dot(vec, F.lit([float(x) for x in w]))
         bucket = bucket.bitwiseOR(F.when(proj >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long")))
     return bucket
 
@@ -128,12 +133,11 @@ def lsh_ann_topk(
 
 def _centroid_array(centroids: list[list[float]]) -> Column:
     """Centroid set as a literal array<struct<cid,cv>> column (tiny: the
-    whole IVF codebook is driver-held and ships inside the plan)."""
+    whole IVF codebook is driver-held and ships inside the plan). Each
+    centroid vector is ONE array literal — see lsh_bucket."""
     return F.array(
         *[
-            F.struct(
-                F.lit(i).alias("cid"), F.array(*[F.lit(float(x)) for x in c]).alias("cv")
-            )
+            F.struct(F.lit(i).alias("cid"), F.lit([float(x) for x in c]).alias("cv"))
             for i, c in enumerate(centroids)
         ]
     )
@@ -141,19 +145,10 @@ def _centroid_array(centroids: list[list[float]]) -> Column:
 
 def _nearest_cid(vec: Column, centroids: list[list[float]]) -> Column:
     """Index of the nearest centroid (squared L2) — pure fold over the
-    literal codebook, zero shuffle, zero Python."""
-    d2 = lambda c: F.aggregate(  # noqa: E731
-        F.zip_with(vec, c, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda a, x: a + x
-    )
-    acc0 = F.struct(F.lit(-1).alias("cid"), F.lit(float("inf")).alias("d"))
-    best = F.aggregate(
-        _centroid_array(centroids),
-        acc0,
-        lambda acc, c: F.when(
-            d2(c["cv"]) < acc["d"], F.struct(c["cid"].alias("cid"), d2(c["cv"]).alias("d"))
-        ).otherwise(acc),
-    )
-    return best["cid"]
+    literal codebook, zero shuffle, zero Python; d2 evaluated ONCE per
+    centroid (sort of (d, cid) structs), not twice as a compare-and-keep
+    fold would."""
+    return F.element_at(_probe_cids(vec, centroids, 1), 1)
 
 
 def _probe_cids(vec: Column, centroids: list[list[float]], nprobe: int) -> Column:
@@ -176,6 +171,7 @@ def ivf_train(
     n_centroids: int = 16,
     n_iters: int = 2,
     seed: int = 42,
+    train_sample_mod: int | None = None,
 ) -> list[list[float]]:
     """Deterministic distributed k-means codebook (the IVF 'train' step).
 
@@ -185,8 +181,18 @@ def ivf_train(
     codebook; the update is one (cid, dim) grouped mean — the only shuffle,
     over posexploded (cid, pos, x) rows. Centroids (k x dim doubles) live on
     the driver: at 100 TB the data never concentrates anywhere.
+
+    ``train_sample_mod``: at scale, train on the deterministic 1/mod hash
+    sample of the corpus (``xxhash64(id, seed) % mod == 0``) — codebook
+    quality needs a sample, not the corpus; this bounds every Lloyd pass
+    (k-means on a 100 TB corpus is pointless and slow; on a 1/10^4 sample
+    it is neither). ``None`` trains on everything.
     """
     vecs = corpus.select(F.col(id_col), as_double(vec_col).alias("v"))
+    if train_sample_mod is not None:
+        vecs = vecs.filter(
+            F.pmod(F.xxhash64(F.col(id_col), F.lit(seed + 1)), F.lit(train_sample_mod)) == 0
+        )
     init = (
         vecs.withColumn("__r", F.xxhash64(F.col(id_col), F.lit(seed)))
         .orderBy("__r")
@@ -351,7 +357,7 @@ def _int_dot(a: Column, b: Column) -> Column:
 def lsh_bucket_int(qvec: Column, planes: list[list[int]]) -> Column:
     bucket = F.lit(0).cast("long")
     for i, w in enumerate(planes):
-        proj = _int_dot(qvec, F.array(*[F.lit(x).cast("long") for x in w]))
+        proj = _int_dot(qvec, F.lit([int(x) for x in w]).cast("array<bigint>"))
         bucket = bucket.bitwiseOR(
             F.when(proj >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
         )
@@ -431,7 +437,7 @@ def _int_centroid_array(centroids: list[list[int]]) -> Column:
         *[
             F.struct(
                 F.lit(i).alias("cid"),
-                F.array(*[F.lit(int(x)).cast("long") for x in c]).alias("cv"),
+                F.lit([int(x) for x in c]).cast("array<bigint>").alias("cv"),
             )
             for i, c in enumerate(centroids)
         ]

@@ -497,7 +497,13 @@ def similarity_topk_lsh(spark, sf_dir):
     description="IVF approximate top-k: deterministic distributed k-means "
     "codebook (driver-held, broadcast as literals -> zero-shuffle "
     "assignment), nprobe bucketed candidate join, exact rerank. The "
-    "data-adaptive scale path; recall asserted in tests/test_llm_ops.py.",
+    "data-adaptive scale path; recall asserted in tests/test_llm_ops.py. "
+    "Bench note: the benched seconds are dominated by FIXED per-call cost "
+    "— k-means trains fresh (3 driver actions) and the new codebook "
+    "literals force whole-stage-codegen recompilation (~0.35s to plan one "
+    "assignment at any SF); execution itself scales with data and the "
+    "fixed cost amortizes to noise at scale (train once, reuse centroids "
+    "via ivf_topk(centroids=...), sample with train_sample_mod).",
 )
 def similarity_topk_ivf(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
