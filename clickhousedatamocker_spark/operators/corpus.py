@@ -1,0 +1,245 @@
+"""Corpus-governance operators for training-data pipelines (Tier B).
+
+Three op families a 100 TB pretraining pipeline runs between crawl and
+tokenizer, absent from the reference (whose data model is a 10-column
+metrics row — scripts/generate_data.py) and from this repo's document
+tier so far:
+
+- **Segment-level exact dedup** (C4/CCNet-style): documents are exploded
+  into segments, each segment's corpus-wide frequency and canonical first
+  occurrence are computed in ONE hash aggregation, and documents are
+  reassembled keeping a segment only where it is canonical or under the
+  duplication threshold. Boilerplate (cookie banners, navigation chrome)
+  dies here, not at whole-document granularity.
+- **URL governance**: normalization (scheme/host case, default ports,
+  query/fragment stripping), registrable-domain extraction, blocklist
+  filtering, and per-domain quotas — the crawl-side fairness control that
+  stops one domain from dominating a mixture.
+- **Deterministic mixture sampling**: per-stratum hash-threshold sampling
+  (exact, replayable, partition-stable — no RNG state) and
+  temperature-flattened mixture rates (w_s ∝ n_s^(1/T), the standard
+  multilingual/multi-source rebalancing formula).
+
+Scale notes per op in the docstrings; everything is column expressions +
+bounded aggregations — no Python row path, no driver materialization of
+row data (the temperature mix collects one row per SOURCE, not per row).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# segment-level exact dedup
+
+
+def explode_segments(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    segment_tokens: int = 16,
+) -> DataFrame:
+    """→ (id_col, seg_no, segment): fixed-width token windows of the text.
+
+    Real corpora segment on newline/sentence boundaries; the fixture's text
+    has neither, so the window width stands in for the boundary rule — the
+    pipeline shape (explode → per-segment ops → reassemble) is identical.
+    Narrow: one generator expression, no shuffle.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_segs = F.ceil(F.size(toks) / F.lit(segment_tokens)).cast("int")
+    return df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_segs - 1),
+                lambda i: F.array_join(
+                    F.slice(toks, i * segment_tokens + 1, segment_tokens), " "
+                ),
+            )
+        ).alias("seg_no", "segment"),
+    )
+
+
+def segment_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    segment_tokens: int = 16,
+    max_duplication: int = 1,
+) -> DataFrame:
+    """C4-style corpus-wide segment dedup: a segment that occurs in more
+    than ``max_duplication`` documents survives ONLY in its canonical
+    first occurrence (smallest (doc_id, seg_no)); every other copy is
+    dropped, and documents are reassembled from their surviving segments
+    in order. → (id_col, text, n_segments, n_dropped_segments).
+
+    Scale: two shuffles total — (1) the segment-frequency aggregation
+    (partial/map-side combined; the canonical keeper rides in the same
+    aggregate as a min struct, so no second pass), (2) the join back on
+    the segment key, then one per-document reassembly aggregation.
+    Hot segments ("click here to subscribe" x 10^9) are ONE aggregation
+    row each — frequency skew concentrates into counters, not memory.
+    The joined-back dictionary row is (segment, count, canonical) — no
+    document payload travels twice.
+    """
+    segs = explode_segments(df, id_col, text_col, segment_tokens)
+    # corpus-wide per-segment stats: frequency + canonical first occurrence
+    stats = segs.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("seg_count"),
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("seg_no").alias("s"))).alias("canon"),
+    )
+    kept = (
+        segs.join(stats, "segment")
+        .withColumn(
+            "keep",
+            (F.col("seg_count") <= max_duplication)
+            | ((F.col("canon.d") == F.col(id_col)) & (F.col("canon.s") == F.col("seg_no"))),
+        )
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("keep"),
+                                F.struct(F.col("seg_no").alias("s"), F.col("segment").alias("t")),
+                            )
+                        )
+                    ),
+                    lambda e: e["t"],
+                ),
+                " ",
+            ).alias(text_col),
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+            F.sum(F.when(F.col("keep"), 0).otherwise(1)).cast("long").alias("n_dropped_segments"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL governance
+
+_DEFAULT_PORTS = {"http": 80, "https": 443}
+
+
+def normalize_url(col: str | Column) -> Column:
+    """Canonical URL form: lowercase scheme+host, default port dropped,
+    query string and fragment stripped, trailing slash trimmed (path-only).
+    Pure regexp expressions — codegen, zero shuffle."""
+    c = F.col(col) if isinstance(col, str) else col
+    no_frag = F.regexp_replace(c, r"#.*$", "")
+    no_query = F.regexp_replace(no_frag, r"\?.*$", "")
+    scheme = F.lower(F.regexp_extract(no_query, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.lower(F.regexp_extract(no_query, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1))
+    port = F.regexp_extract(no_query, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]+:(\d+)", 1)
+    path = F.regexp_extract(no_query, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(/[^?#]*)?", 1)
+    keep_port = (port != "") & ~(
+        ((scheme == "http") & (port == "80")) | ((scheme == "https") & (port == "443"))
+    )
+    norm_path = F.regexp_replace(path, r"/+$", "")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        norm_path,
+    )
+
+
+def url_domain(col: str | Column) -> Column:
+    """Registrable domain: last two host labels (the public-suffix-list
+    refinement is a data file, not a different plan shape)."""
+    c = F.col(col) if isinstance(col, str) else col
+    host = F.lower(F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1))
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    return F.when(
+        n >= 2, F.concat(F.element_at(labels, n - 1), F.lit("."), F.element_at(labels, n))
+    ).otherwise(host)
+
+
+def filter_blocklisted(
+    df: DataFrame, url_col: str, blocklist: list[str], domain_alias: str = "domain"
+) -> DataFrame:
+    """Drop rows whose registrable domain is blocklisted. The blocklist is
+    a literal array (real ones are ~10^5 entries — still a broadcast-sized
+    hash set; swap the isin for a broadcast anti-join when it outgrows a
+    literal). Adds the extracted domain column."""
+    out = df.withColumn(domain_alias, url_domain(url_col))
+    return out.filter(~F.col(domain_alias).isin(blocklist))
+
+
+def cap_per_domain(
+    df: DataFrame,
+    url_col: str,
+    quota: int,
+    order_col: str | None = None,
+    domain_alias: str = "domain",
+) -> DataFrame:
+    """Keep at most ``quota`` rows per registrable domain, preferring
+    smallest ``order_col`` (deterministic). One shuffle on the domain key;
+    the row_number window sorts EXTERNALLY (spills), so a mega-domain is
+    slow-but-bounded, never an OOM — same discipline as sessionize."""
+    out = df.withColumn(domain_alias, url_domain(url_col))
+    w = Window.partitionBy(domain_alias).orderBy(order_col or F.monotonically_increasing_id())
+    return out.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= quota).drop("__rn")
+
+
+# ---------------------------------------------------------------------------
+# deterministic mixture sampling
+
+_SA, _SB, _SP = 48271, 11, 2_147_483_647  # Lehmer-style; both engines exact
+
+
+def _sample_key(id_col: Column) -> Column:
+    """Deterministic pseudo-uniform key in [0, 1): portable across engines
+    (exact integer arithmetic mod a 31-bit prime — DuckDB computes the
+    identical value, unlike xxhash64). TWO Lehmer rounds: one round leaves
+    small ids (id << p/a) clustered near 0 — the second multiplication
+    wraps them around the modulus and mixes."""
+    r1 = (F.lit(_SA) * id_col + F.lit(_SB)) % F.lit(_SP)
+    r2 = (F.lit(_SA) * r1 + F.lit(_SB)) % F.lit(_SP)
+    return r2.cast("double") / F.lit(float(_SP))
+
+
+def stratified_sample(
+    df: DataFrame, rates: dict[str, float], strata_col: str = "source", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-stratum deterministic sample: row survives iff its hash key is
+    under the stratum's rate. Replayable (no RNG state), partition-stable,
+    and a pure filter — the scan prunes with zero shuffle at any scale.
+    Strata absent from ``rates`` are dropped (rate 0)."""
+    # single CASE chain: source -> rate (0.0 default drops unknown strata)
+    expr = F.lit(0.0)
+    for s, r in rates.items():
+        expr = F.when(F.col(strata_col) == s, F.lit(float(r))).otherwise(expr)
+    return df.filter(_sample_key(F.col(id_col)) < expr)
+
+
+def temperature_mix_rates(
+    df: DataFrame,
+    temperature: float,
+    target_rows: int,
+    strata_col: str = "source",
+) -> dict[str, float]:
+    """Temperature-flattened mixture: stratum weight w_s ∝ n_s^(1/T),
+    scaled so the expected sample size is ``target_rows``; per-stratum
+    rates are capped at 1 (no upsampling — this is a filter, not a
+    replicator). T=1 keeps natural proportions; T→∞ approaches uniform.
+
+    Driver state: ONE row per stratum (the per-source counts) — the only
+    collect, bounded by the source vocabulary, not the corpus.
+    """
+    counts = {r[strata_col]: r["n"] for r in df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n")).collect()}
+    weights = {s: n ** (1.0 / temperature) for s, n in counts.items()}
+    z = sum(weights.values())
+    rates = {}
+    for s, n in counts.items():
+        want = target_rows * weights[s] / z
+        rates[s] = min(1.0, want / n)
+    return rates

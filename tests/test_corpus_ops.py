@@ -1,0 +1,183 @@
+"""Corpus-governance operators (operators/corpus.py): segment-level exact
+dedup, URL governance, deterministic mixture sampling.
+
+Segment dedup and stratified sampling are checked against DuckDB
+implementing the IDENTICAL logic (the same cross-engine discipline as
+tests/test_oracle_parity.py — every hash/struct-min intermediate is exact
+integer arithmetic both engines agree on). URL normalization is golden-
+tested: pure string functions, engine-independent by construction.
+"""
+
+import duckdb
+import pyspark.sql.functions as F
+import pytest
+
+from clickhousedatamocker_spark.operators.corpus import (
+    cap_per_domain,
+    filter_blocklisted,
+    normalize_url,
+    segment_dedup,
+    stratified_sample,
+    temperature_mix_rates,
+    url_domain,
+)
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'")
+    return con
+
+
+def test_segment_dedup_matches_duckdb(spark, duck):
+    """Fixture docs + exact copies (ids offset by 100000): every copied
+    segment's canonical occurrence is in the original, so copies collapse;
+    result matches a DuckDB reimplementation row-for-row."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") < 10).withColumn("doc_id", F.col("doc_id") + 100000)
+    out = segment_dedup(docs.unionByName(dups), segment_tokens=16, max_duplication=1)
+    got = {
+        r["doc_id"]: (r["text"], r["n_segments"], r["n_dropped_segments"]) for r in out.collect()
+    }
+
+    want_rows = duck.execute(
+        """
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 10
+), base AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM all_docs
+), segs AS (
+  SELECT doc_id, i AS seg_no,
+         array_to_string(toks[i*16+1 : i*16+16], ' ') AS segment
+  FROM base, UNNEST(generate_series(0, CAST(ceil(len(toks)/16.0) AS INT) - 1)) AS t(i)
+), stats AS (
+  SELECT segment, COUNT(*) AS c,
+         MIN(struct_pack(d := doc_id, s := seg_no)) AS canon
+  FROM segs GROUP BY segment
+), kept AS (
+  SELECT s.doc_id, s.seg_no, s.segment,
+         (st.c <= 1 OR (st.canon.d = s.doc_id AND st.canon.s = s.seg_no)) AS keep
+  FROM segs s JOIN stats st USING (segment)
+)
+SELECT doc_id,
+  COALESCE(array_to_string(
+    list_transform(
+      list_sort(list(struct_pack(s := seg_no, t := segment)) FILTER (WHERE keep)),
+      e -> e.t), ' '), '') AS text,
+  COUNT(*) AS n_segments,
+  SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS n_dropped
+FROM kept GROUP BY doc_id
+"""
+    ).fetchall()
+    want = {r[0]: (r[1], r[2], r[3]) for r in want_rows}
+    assert got == want
+    # non-vacuous: the copies lost ALL their segments (canonical is original)
+    for i in range(10):
+        assert got[100000 + i][0] == ""
+        assert got[100000 + i][2] == got[100000 + i][1]  # all dropped
+    # originals with unique text are untouched
+    some_intact = [d for d, (t, n, dropped) in got.items() if d < 100000 and dropped == 0]
+    assert some_intact
+
+
+def test_normalize_url_and_domain_golden(spark):
+    cases = [
+        # (raw, normalized, domain)
+        ("HTTPS://WWW.Example.COM:443/Path/?q=1#frag", "https://www.example.com/Path", "example.com"),
+        ("http://example.com:80/", "http://example.com", "example.com"),
+        ("http://example.com:8080/a/b/", "http://example.com:8080/a/b", "example.com"),
+        ("https://a.b.c.co.uk/x", "https://a.b.c.co.uk/x", "co.uk"),
+        ("http://HOST", "http://host", "host"),
+        ("https://site.org/deep/path?utm_source=x&y=2", "https://site.org/deep/path", "site.org"),
+    ]
+    df = spark.createDataFrame([(r,) for r, _, _ in cases], ["url"]).select(
+        "url", normalize_url("url").alias("norm"), url_domain("url").alias("dom")
+    )
+    got = {r["url"]: (r["norm"], r["dom"]) for r in df.collect()}
+    for raw, norm, dom in cases:
+        assert got[raw] == (norm, dom), raw
+
+
+def test_blocklist_and_domain_quota(spark):
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id")
+        .withColumn(
+            "url",
+            F.concat(
+                F.lit("https://sub.site"),
+                (F.col("doc_id") % 5).cast("string"),
+                F.lit(".example.com/doc/"),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+    )
+    # registrable domain is example.com for every planted URL -> blocklist kills all
+    assert filter_blocklisted(docs, "url", ["example.com"]).count() == 0
+    assert filter_blocklisted(docs, "url", ["other.com"]).count() == docs.count()
+
+    # per-domain quota: distinct registrable domain per doc_id%5 bucket needs
+    # distinct domains — replant with the bucket in the registrable part
+    docs2 = docs.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://www.site"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(".com/doc/"),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+    capped = cap_per_domain(docs2, "url", quota=7, order_col="doc_id")
+    counts = {r["domain"]: r["n"] for r in capped.groupBy("domain").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {f"site{i}.com" for i in range(5)}
+    assert all(n == 7 for n in counts.values())
+    # deterministic preference: smallest doc_ids survive
+    kept_ids = sorted(r["doc_id"] for r in capped.filter(F.col("domain") == "site0.com").collect())
+    assert kept_ids == [0, 5, 10, 15, 20, 25, 30]
+
+
+def test_stratified_sample_matches_duckdb(spark, duck):
+    rates = {"src0": 0.5, "src1": 0.25, "src2": 1.0}  # src3+ dropped
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = sorted(r["doc_id"] for r in stratified_sample(docs, rates).collect())
+    want = sorted(
+        r[0]
+        for r in duck.execute(
+            """
+SELECT doc_id FROM documents
+WHERE ((48271 * ((48271 * doc_id + 11) % 2147483647) + 11) % 2147483647) / 2147483647.0 <
+  CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.25 WHEN 'src2' THEN 1.0 ELSE 0.0 END
+"""
+        ).fetchall()
+    )
+    assert got == want
+    assert got  # non-vacuous
+
+
+def test_temperature_mix_rates(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    counts = {r["source"]: r["n"] for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+
+    # T=1: natural proportions -> every stratum gets the same rate
+    rates1 = temperature_mix_rates(docs, temperature=1.0, target_rows=100)
+    total = sum(counts.values())
+    for s, n in counts.items():
+        assert rates1[s] == pytest.approx(min(1.0, 100 / total), rel=1e-9)
+
+    # high T flattens: expected per-stratum yields approach equality
+    rates_hot = temperature_mix_rates(docs, temperature=100.0, target_rows=100)
+    yields = sorted(rates_hot[s] * counts[s] for s in counts)
+    assert yields[-1] - yields[0] < 5  # near-uniform contribution
+
+    # expected total sample size ~= target (no stratum capped here)
+    assert sum(rates_hot[s] * counts[s] for s in counts) == pytest.approx(100, rel=0.01)
+
+    # end-to-end: applying the rates samples close to target, deterministically
+    sampled = stratified_sample(docs, rates_hot)
+    n1, n2 = sampled.count(), sampled.count()
+    assert n1 == n2
+    assert abs(n1 - 100) < 40  # hash-threshold sampling variance at n=100
