@@ -465,6 +465,40 @@ class Engine:
         )
         from clickhousedatamocker_spark.schema import TableSpec
 
+        import re as _re0
+
+        # EXPLAIN [AST|SYNTAX|PLAN|PIPELINE|ESTIMATE] <select> — ClickHouse's
+        # introspection statement family, mapped onto Catalyst's stages: AST ->
+        # parsed logical plan, SYNTAX -> the dialect-translated SQL (shows
+        # exactly what the compat shim rewrote), PLAN (default) -> optimized
+        # logical plan, PIPELINE -> physical/executed plan, ESTIMATE ->
+        # optimizer statistics. One output row per line, as clickhouse-client
+        # prints.
+        mex = _re0.match(
+            r"\s*EXPLAIN(?:\s+(AST|SYNTAX|PLAN|PIPELINE|ESTIMATE))?\s+(.*?);?\s*$",
+            query,
+            _re0.IGNORECASE | _re0.DOTALL,
+        )
+        if mex is not None:
+            mode = (mex.group(1) or "PLAN").upper()
+            inner = self._rewrite_final_reads(self._rewrite_sample_reads(mex.group(2)))
+            translated = translate_ch_sql(inner)
+            if mode == "SYNTAX":
+                lines = translated.splitlines() or [translated]
+            else:
+                self.refresh_system_views()
+                qe = self.spark.sql(translated)._jdf.queryExecution()
+                if mode == "AST":
+                    txt = qe.logical().toString()
+                elif mode == "PIPELINE":
+                    txt = qe.executedPlan().toString()
+                elif mode == "ESTIMATE":
+                    txt = qe.optimizedPlan().stats().toString()
+                else:
+                    txt = qe.optimizedPlan().toString()
+                lines = txt.splitlines()
+            return self.spark.createDataFrame([(ln,) for ln in lines], "explain string")
+
         ins = parse_ch_insert(query)
         if ins is not None:
             from clickhousedatamocker_spark.sources.formats import read_format

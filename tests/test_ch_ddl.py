@@ -588,3 +588,46 @@ def test_parameterized_types_and_bare_engine_forms():
         parse_ch_ddl(
             "CREATE TABLE t5 (ts DateTime) ENGINE = MergeTree ORDER BY intDiv(ts, 3600)"
         )
+
+
+def test_explain_statement_family(spark, tmp_path):
+    """CH's EXPLAIN family maps onto Catalyst's stages; EXPLAIN SYNTAX
+    surfaces the dialect translation itself."""
+    from clickhousedatamocker_spark.engine import Engine
+    from clickhousedatamocker_spark.schema import test_local_spec
+    from clickhousedatamocker_spark.sources.generator import BatchGenerator
+
+    engine = Engine(spark, str(tmp_path / "wh"))
+    engine.create_table(test_local_spec())
+    engine.insert(
+        "test_local",
+        BatchGenerator(spark, seed=3, base_time="2026-01-01 12:00:00").batch_with_partition(
+            2000, batch_no=0
+        ),
+    )
+
+    plan = [r["explain"] for r in engine.sql(
+        "EXPLAIN SELECT event_type, uniqExact(user_id) FROM test_local GROUP BY event_type"
+    ).collect()]
+    assert any("Aggregate" in ln for ln in plan)
+
+    syntax = "\n".join(
+        r["explain"]
+        for r in engine.sql(
+            "EXPLAIN SYNTAX SELECT toStartOfHour(event_time), countIf(status > 128) "
+            "FROM test_local GROUP BY 1"
+        ).collect()
+    )
+    # aggregate spellings are text-rewritten (countIf -> count_if); scalar
+    # vocabulary like toStartOfHour survives as a registered SQL UDF — both
+    # are Spark-executable, which is the contract
+    assert "countIf(" not in syntax and "count_if(" in syntax
+    assert spark.sql(syntax).collect()  # the shown text actually runs
+
+    pipeline = [r["explain"] for r in engine.sql(
+        "EXPLAIN PIPELINE SELECT count() FROM test_local WHERE status > 10"
+    ).collect()]
+    assert any("HashAggregate" in ln or "Scan" in ln for ln in pipeline)
+
+    est = [r["explain"] for r in engine.sql("EXPLAIN ESTIMATE SELECT * FROM test_local").collect()]
+    assert any("sizeInBytes" in ln for ln in est)
