@@ -57,6 +57,9 @@ _REWRITES = [
     (re.compile(r"\bgroupUniqArray\(", re.IGNORECASE), "collect_set("),
     # table-expanding: CH arrayJoin(arr) in a SELECT == Spark explode(arr)
     (re.compile(r"\barrayJoin\(", re.IGNORECASE), "explode("),
+    # dateDiff('unit', a, b) → timestampdiff(UNIT, a, b): the unit moves
+    # from a string literal to a keyword, so it must be a text rewrite
+    (re.compile(r"\bdateDiff\(\s*'(\w+)'\s*,", re.IGNORECASE), r"timestampdiff(\1,"),
     # PREWHERE is CH's manual two-stage filter optimization; with columnar
     # scans + pushdown the distinction is moot — same semantics as WHERE
     (re.compile(r"\bPREWHERE\b", re.IGNORECASE), "WHERE"),

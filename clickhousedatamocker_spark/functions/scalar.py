@@ -90,6 +90,31 @@ def register_sql_functions(spark: SparkSession) -> None:
         ("notEmpty", "(s STRING)", "BOOLEAN", "s IS NOT NULL AND length(s) > 0"),
         ("today", "()", "DATE", "current_date()"),
         ("yesterday", "()", "DATE", "date_sub(current_date(), 1)"),
+        # string vocabulary (CH camelCase / arg-order spellings)
+        (
+            "splitByChar",
+            "(sep STRING, s STRING)",
+            "ARRAY<STRING>",
+            r"split(s, concat('\\Q', sep, '\\E'))",  # \Q..\E: literal, not regex
+        ),
+        ("arrayStringConcat", "(arr ARRAY<STRING>, sep STRING)", "STRING", "array_join(arr, sep)"),
+        # (startsWith/endsWith need no shim: Spark's startswith/endswith
+        # builtins share CH's name — case-insensitive — and argument order)
+        ("has", "(arr ARRAY<STRING>, x STRING)", "BOOLEAN", "array_contains(arr, x)"),
+        ("lengthUTF8", "(s STRING)", "INT", "length(s)"),
+        ("substringUTF8", "(s STRING, p INT, n INT)", "STRING", "substring(s, p, n)"),
+        # time arithmetic / conversions
+        ("toUnixTimestamp", "(t TIMESTAMP)", "BIGINT", "unix_timestamp(t)"),
+        ("fromUnixTimestamp", "(x BIGINT)", "TIMESTAMP", "to_timestamp(x)"),
+        ("addDays", "(t TIMESTAMP, n INT)", "TIMESTAMP", "t + make_interval(0, 0, 0, n)"),
+        ("subtractDays", "(t TIMESTAMP, n INT)", "TIMESTAMP", "t - make_interval(0, 0, 0, n)"),
+        ("addHours", "(t TIMESTAMP, n INT)", "TIMESTAMP", "t + make_interval(0, 0, 0, 0, n)"),
+        ("subtractHours", "(t TIMESTAMP, n INT)", "TIMESTAMP", "t - make_interval(0, 0, 0, 0, n)"),
+        # numeric casts (CH to<T> spellings; DOUBLE input lets ints/strings
+        # arrive via implicit cast)
+        ("toInt64", "(x DOUBLE)", "BIGINT", "CAST(x AS BIGINT)"),
+        ("toInt32", "(x DOUBLE)", "INT", "CAST(x AS INT)"),
+        ("toFloat64", "(x STRING)", "DOUBLE", "CAST(x AS DOUBLE)"),
     ]:
         spark.sql(
             f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{sig} RETURNS {ret} RETURN {body}"

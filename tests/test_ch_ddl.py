@@ -182,6 +182,34 @@ def test_ch_query_dialect_vocabulary(spark, tmp_warehouse):
         "FROM test_local GROUP BY event_type ORDER BY event_type"
     ).collect()
     assert len(got) == 4 and all(r["n_statuses"] >= 1 for r in got)  # generator domain: 4 event types
+
+    # round-4 vocabulary: string helpers, time arithmetic, casts, dateDiff
+    r2 = engine.sql(
+        """
+        SELECT
+          splitByChar('-', 'a-b-c')                       AS parts,
+          arrayStringConcat(splitByChar('-', 'a-b-c'), '/') AS joined,
+          has(splitByChar('-', 'a-b-c'), 'b')             AS has_b,
+          startsWith(description, substringUTF8(description, 1, 3)) AS sw,
+          endsWith('abcdef', 'def')                       AS ew,
+          lengthUTF8(description)                         AS dlen,
+          toUnixTimestamp(min(event_time))                AS ut,
+          fromUnixTimestamp(toUnixTimestamp(min(event_time))) = min(event_time) AS ut_rt,
+          addDays(min(event_time), 2) > min(event_time)   AS ad,
+          subtractHours(min(event_time), 1) < min(event_time) AS sh,
+          toInt64(12.9)                                   AS i64,
+          toInt32('41')                                   AS i32,
+          toFloat64('2.5')                                AS f64,
+          dateDiff('hour', min(event_time), addDays(min(event_time), 1)) AS dd
+        FROM test_local GROUP BY description LIMIT 1
+        """
+    ).first()
+    assert r2["parts"] == ["a", "b", "c"] and r2["joined"] == "a/b/c" and r2["has_b"]
+    assert r2["sw"] and r2["ew"] and r2["dlen"] == 50
+    assert r2["ut"] > 0 and r2["ut_rt"] and r2["ad"] and r2["sh"]
+    assert (r2["i64"], r2["i32"], r2["f64"], r2["dd"]) == (12, 41, 2.5, 24)
+
+
 def test_materialized_view_incremental_rollup(spark, tmp_warehouse):
     """CH materialized-view semantics: the SELECT runs per inserted block,
     partials append to the view table, readers re-aggregate (SummingMergeTree
