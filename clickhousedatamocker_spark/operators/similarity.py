@@ -311,6 +311,86 @@ def embedding_near_dup_pairs(
 
 
 # ---------------------------------------------------------------------------
+# persisted IVF index: pay the assignment once, prune partitions per query
+
+
+def build_ann_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+) -> list[list[float]]:
+    """Persist an IVF index: every corpus vector written under its
+    nearest-centroid bucket as a Hive partition (``bucket=<cid>/``), with
+    the codebook in a JSON sidecar. The assignment pass is paid ONCE; every
+    later query batch scans only its probed buckets via partition pruning —
+    the difference between touching nprobe/k of the corpus and all of it,
+    which at 100 TB is the entire game for repeated-query serving.
+    Writing is a narrow projection + partitioned append (no shuffle beyond
+    the write's own file layout)."""
+    import json
+    import os
+
+    if centroids is None:
+        centroids = ivf_train(corpus, id_col, vec_col, n_centroids, seed=seed)
+    assigned = corpus.select(F.col(id_col), F.col(vec_col)).withColumn(
+        "bucket", _nearest_cid(as_double(vec_col), centroids)
+    )
+    assigned.write.partitionBy("bucket").mode("overwrite").parquet(path)
+    with open(os.path.join(path, "_codebook.json"), "w") as fh:
+        json.dump(centroids, fh)
+    return centroids
+
+
+def ann_query_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Top-k over a :func:`build_ann_index` index. The probed bucket ids are
+    computed driver-side from the sidecar codebook (bounded: n_queries x
+    nprobe ints — query batches are small by contract) and pushed as a
+    STATIC partition filter, so the scan reads only the probed
+    ``bucket=<cid>/`` directories (``PartitionFilters`` in the plan, pinned
+    by test). Candidates then join the broadcast query set and rerank
+    exactly — identical results to :func:`ivf_topk` with the same codebook.
+    """
+    import json
+    import os
+
+    with open(os.path.join(path, "_codebook.json")) as fh:
+        centroids = json.load(fh)
+    q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
+    q = q.withColumn("bucket", F.explode(_probe_cids(F.col("qv"), centroids, nprobe)))
+    probed = sorted({r["bucket"] for r in q.select("bucket").distinct().collect()})
+    c = (
+        spark.read.parquet(path)
+        .filter(F.col("bucket").isin(probed))
+        .select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"), "bucket")
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Cross-engine twins (the operators/dedup.py *_xengine pattern).
 #
 # The production LSH/IVF paths above bucket on floating-point projections,

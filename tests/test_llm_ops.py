@@ -323,6 +323,34 @@ def test_wav_decode_media_real(spark):
         assert r["sample_sum"] == sum(struct.unpack("<96h", bytes(raw[:192])))
 
 
+def test_ann_index_persisted_and_partition_pruned(spark, tmp_path):
+    """build_ann_index + ann_query_indexed: results are IDENTICAL to the
+    in-memory ivf_topk under the same codebook, and the index scan reads
+    only the probed bucket partitions (PartitionFilters on bucket)."""
+    from clickhousedatamocker_spark.operators.similarity import (
+        ann_query_indexed,
+        build_ann_index,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    path = str(tmp_path / "ann_index")
+    cb = build_ann_index(emb, path, n_centroids=8)
+
+    indexed = ann_query_indexed(spark, path, q, k=10, nprobe=3)
+    direct = ivf_topk(emb, q, k=10, n_centroids=8, nprobe=3, centroids=cb)
+    got = sorted(tuple(r) for r in indexed.collect())
+    want = sorted(tuple(r) for r in direct.collect())
+    assert got == want and got
+
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.split("\n") if "PartitionFilters" in ln]
+    assert pf and any("bucket" in ln for ln in pf), "bucket filter not pushed to partitions"
+    # and the filter is static (bucket IN (...)), visible in the scan
+    assert any("bucket" in ln and ("IN" in ln or "in(" in ln.lower()) for ln in pf)
+
+
 def test_mp4_codec_roundtrip():
     """Vendored ISO-BMFF codec: encode->parse recovers brand, timescale,
     duration, and per-track handler/fourcc/dims; truncated or non-BMFF
