@@ -164,18 +164,8 @@ def minhash_lsh_pairs(
     full cross join. Skewed buckets (boilerplate shingles) are the known
     hazard: AQE skew-join splits them.
     """
-    r = num_hashes // bands
     sig = minhash_signatures(docs, id_col, text_col, num_hashes, n)
-    band_cols = [
-        F.struct(
-            F.lit(i).alias("band"),
-            F.xxhash64(*[F.col("signature")[i * r + j] for j in range(r)]).alias("bh"),
-        )
-        for i in range(bands)
-    ]
-    buckets = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("b")).select(
-        id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
-    )
+    buckets = _band_buckets(sig, id_col, num_hashes, bands)
     a, b = buckets.alias("a"), buckets.alias("b")
     candidates = (
         a.join(
@@ -197,6 +187,119 @@ def minhash_lsh_pairs(
         .join(sg.select(F.col(id_col).alias("id_b"), F.col("__sg").alias("__sgb")), "id_b")
         .select("id_a", "id_b", jaccard(F.col("__sga"), F.col("__sgb")).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# -- incremental dedup index ------------------------------------------------
+#
+# The batch path above re-signatures the whole corpus per run. A crawl
+# pipeline instead signatures each day's batch ONCE and checks it against
+# the accumulated index: persist (id, signature) plus the exploded
+# (band, bh, id) bucket table; a new batch's buckets BROADCAST against the
+# index scan, so the index is never shuffled — the per-batch cost is
+# O(batch + matching buckets), not O(corpus). Verification uses the
+# signature-agreement estimate (matching minhash fraction ~ Jaccard), so
+# the index never stores document text.
+
+
+def _band_buckets(sig: DataFrame, id_col: str, num_hashes: int, bands: int) -> DataFrame:
+    r = num_hashes // bands
+    band_cols = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.xxhash64(*[F.col("signature")[i * r + j] for j in range(r)]).alias("bh"),
+        )
+        for i in range(bands)
+    ]
+    return sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("b")).select(
+        id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+
+
+def build_dedup_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the MinHash dedup index for :func:`incremental_dedup_pairs`:
+    ``<path>/signatures`` (id, signature) and ``<path>/buckets`` (band-
+    partitioned (bh, id)), plus a params sidecar so queries can't drift
+    from the index's hash family. ``mode='append'`` adds a new batch to an
+    existing index (after checking it for dups!)."""
+    import json
+    import os
+
+    params = {"num_hashes": num_hashes, "bands": bands, "n": n, "id_col": id_col}
+    sidecar = os.path.join(path, "_dedup_params.json")
+    if mode == "append" and os.path.exists(sidecar):
+        with open(sidecar) as fh:
+            if json.load(fh) != params:
+                raise ValueError("index exists with different parameters")
+    sig = minhash_signatures(docs, id_col, text_col, num_hashes, n)
+    sig.write.mode(mode).parquet(os.path.join(path, "signatures"))
+    _band_buckets(sig, id_col, num_hashes, bands).write.partitionBy("band").mode(mode).parquet(
+        os.path.join(path, "buckets")
+    )
+    os.makedirs(path, exist_ok=True)
+    with open(sidecar, "w") as fh:
+        json.dump(params, fh)
+
+
+def incremental_dedup_pairs(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """→ (index_id, new_id, est_jaccard): near-duplicates of a NEW batch
+    against the persisted index, WITHOUT touching index text or shuffling
+    the index. The batch's signatures/buckets are computed fresh (one
+    shuffle over the batch only) and BROADCAST into the index bucket scan;
+    candidates join the two signature tables and keep pairs whose
+    signature-agreement estimate clears ``threshold``. est_jaccard is the
+    matching-component fraction — the standard unbiased MinHash estimator.
+    """
+    import json
+    import os
+
+    with open(os.path.join(path, "_dedup_params.json")) as fh:
+        params = json.load(fh)
+    num_hashes, bands, n = params["num_hashes"], params["bands"], params["n"]
+    sig_new = minhash_signatures(new_docs, id_col, text_col, num_hashes, n)
+    bk_new = _band_buckets(sig_new, id_col, num_hashes, bands).select(
+        F.col(id_col).alias("new_id"), "band", "bh"
+    )
+    bk_idx = spark.read.parquet(os.path.join(path, "buckets")).select(
+        F.col(id_col).alias("index_id"), "band", "bh"
+    )
+    cand = (
+        bk_idx.join(F.broadcast(bk_new), ["band", "bh"])
+        .select("index_id", "new_id")
+        .distinct()
+    )
+    sig_idx = spark.read.parquet(os.path.join(path, "signatures")).select(
+        F.col(id_col).alias("index_id"), F.col("signature").alias("sig_a")
+    )
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("double") / F.lit(float(num_hashes))
+    return (
+        cand.join(sig_idx, "index_id")
+        .join(
+            F.broadcast(sig_new.select(F.col(id_col).alias("new_id"), F.col("signature").alias("sig_b"))),
+            "new_id",
+        )
+        .select("index_id", "new_id", F.round(est, 6).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
     )
 
 

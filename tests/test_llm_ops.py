@@ -323,6 +323,48 @@ def test_wav_decode_media_real(spark):
         assert r["sample_sum"] == sum(struct.unpack("<96h", bytes(raw[:192])))
 
 
+def test_incremental_dedup_index(spark, tmp_path):
+    """build_dedup_index + incremental_dedup_pairs: a new batch checks
+    against the persisted corpus index without re-signaturing or shuffling
+    it — exact copies estimate 1.0, perturbed copies clear the threshold,
+    genuinely-new docs match nothing, and every join keeps the index side
+    un-shuffled (no SortMergeJoin; new side broadcast)."""
+    from clickhousedatamocker_spark.operators.dedup import (
+        build_dedup_index,
+        incremental_dedup_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    path = str(tmp_path / "dedup_index")
+    build_dedup_index(docs, path)
+
+    exact = docs.filter(F.col("doc_id") < 10).withColumn("doc_id", F.col("doc_id") + 200000)
+    perturbed = (
+        docs.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 20))
+        .withColumn("doc_id", F.col("doc_id") + 200000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" tail perturbation token")))
+    )
+    fresh = spark.range(300000, 300010).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", *[F.sha2(F.concat(F.col("id").cast("string"), F.lit(f":{i}")), 256) for i in range(8)]
+        ).alias("text"),
+    )
+    batch = exact.unionByName(perturbed).unionByName(fresh)
+
+    pairs = incremental_dedup_pairs(spark, path, batch, threshold=0.5)
+    got = {(r["index_id"], r["new_id"]): r["est_jaccard"] for r in pairs.collect()}
+    for i in range(10):  # exact copies: all 32 minhashes agree
+        assert got.get((i, 200000 + i)) == 1.0
+    for i in range(10, 20):  # perturbed copies: found, high estimate
+        assert got.get((i, 200000 + i), 0.0) >= 0.5
+    assert not any(new_id >= 300000 for _, new_id in got)  # fresh docs clean
+
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, "index side got co-shuffled"
+    assert plan.count("BroadcastHashJoin") >= 2  # bucket join + signature join
+
+
 def test_ann_index_persisted_and_partition_pruned(spark, tmp_path):
     """build_ann_index + ann_query_indexed: results are IDENTICAL to the
     in-memory ivf_topk under the same codebook, and the index scan reads
