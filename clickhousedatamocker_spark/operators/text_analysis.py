@@ -99,6 +99,117 @@ def fingerprint(col: str | Column) -> Column:
     )
 
 
+# ---------------------------------------------------------------------------
+# Bigram LM perplexity scoring (the CCNet/KenLM-style quality gate, Spark-first)
+
+
+def train_bigram_lm(
+    docs,
+    text_col: str = "text",
+    vocab_size: int = 4096,
+    max_bigrams: int = 65536,
+    alpha: float = 0.4,
+):
+    """Train a bigram language model over the corpus: token-bigram and
+    unigram counts with stupid-backoff weight ``alpha`` (Brants et al. —
+    the web-scale standard precisely because it needs no normalization
+    pass). Returns a driver-held model dict:
+    ``{"log_bigram": {(a,b): logP}, "log_unigram": {a: logP}, ...}``.
+
+    Scale: ONE aggregation over exploded bigrams + one over tokens, both
+    map-side combined; vocabulary truncation is a TakeOrdered (top
+    ``vocab_size`` tokens), the vocab filter on the bigram side is a
+    BROADCAST semi join (never a 4096-literal IN list in the plan), and
+    the bigram table keeps the ``max_bigrams`` most frequent entries — so
+    driver state is bounded by the model size, not the corpus (the same
+    contract as the IVF codebook).
+    """
+    import math
+
+    spark = docs.sparkSession
+    toks = docs.select(F.split(F.col(text_col), " ").alias("t"))
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "w")
+        .limit(vocab_size)
+        .collect()
+    )
+    vocab = {r["w"]: r["c"] for r in uni}
+    total = sum(vocab.values())
+    vocab_df = spark.createDataFrame([(w,) for w in vocab], ["w"])
+    pairs = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice("t", 1, F.greatest(F.size("t") - 1, F.lit(0))),
+                F.slice("t", 2, F.greatest(F.size("t") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    in_vocab = (
+        pairs.join(F.broadcast(vocab_df.withColumnRenamed("w", "a")), "a", "left_semi")
+        .join(F.broadcast(vocab_df.withColumnRenamed("w", "b")), "b", "left_semi")
+    )
+    big = (
+        in_vocab.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "a", "b")
+        .limit(max_bigrams)
+        .collect()
+    )
+    log_bigram = {(r["a"], r["b"]): math.log(r["c"] / vocab[r["a"]]) for r in big}
+    log_unigram = {w: math.log(c / total) for w, c in vocab.items()}
+    return {
+        "log_bigram": log_bigram,
+        "log_unigram": log_unigram,
+        "log_alpha": math.log(alpha),
+        "log_oov": math.log(1.0 / total),
+    }
+
+
+def score_bigram_logprob(docs, model, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document mean token log-probability under the bigram model
+    (higher = more fluent under the corpus LM; gate on a threshold to drop
+    gibberish). → (id_col, n_scored_tokens, mean_logprob).
+
+    The model ships as TWO map literals (bigram and unigram log-probs) —
+    broadcast inside the plan, scored by zip_with + aggregate: pure
+    codegen'd column expressions, zero shuffle, no Python on the row path.
+    Stupid backoff: P(b|a) = bigram if seen, else alpha * P(b), else
+    alpha * P_oov.
+    """
+    bg_keys = [f"{a}\x00{b}" for (a, b) in model["log_bigram"]]
+    bg_vals = list(model["log_bigram"].values())
+    uni_keys = list(model["log_unigram"])
+    uni_vals = list(model["log_unigram"].values())
+    bg_map = F.map_from_arrays(F.lit(bg_keys), F.lit(bg_vals)) if bg_keys else F.map_from_arrays(
+        F.array().cast("array<string>"), F.array().cast("array<double>")
+    )
+    uni_map = F.map_from_arrays(F.lit(uni_keys), F.lit(uni_vals))
+    la, loov = model["log_alpha"], model["log_oov"]
+
+    toks = F.split(F.col(text_col), " ")
+    grams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit("\x00"), b),
+    )
+    uni_of = lambda g: F.element_at(uni_map, F.split(g, "\x00")[1])  # noqa: E731
+    lp = lambda g: F.coalesce(  # noqa: E731
+        F.element_at(bg_map, g),
+        F.lit(la) + F.coalesce(uni_of(g), F.lit(loov)),
+    )
+    total_lp = F.aggregate(grams, F.lit(0.0), lambda acc, g: acc + lp(g))
+    n = F.size(grams)
+    return docs.select(
+        F.col(id_col),
+        n.cast("long").alias("n_scored_tokens"),
+        F.when(n > 0, total_lp / n).otherwise(F.lit(None)).alias("mean_logprob"),
+    )
+
+
 def oracle_snippets() -> dict[str, str]:
     """DuckDB-dialect expressions, formula-identical to the columns above
     (single source for queries/llm.py oracle SQL)."""
