@@ -276,7 +276,17 @@ def incremental_dedup_pairs(
     bk_new = _band_buckets(sig_new, id_col, num_hashes, bands).select(
         F.col(id_col).alias("new_id"), "band", "bh"
     )
-    bk_idx = spark.read.parquet(os.path.join(path, "buckets")).select(
+
+    def _read_or_empty(sub: str, schema: str):
+        # an index seeded from zero rows has no parquet footers yet (an
+        # empty partitioned write emits only _SUCCESS) — that's a valid
+        # empty index, not an error
+        try:
+            return spark.read.parquet(os.path.join(path, sub))
+        except Exception:
+            return spark.createDataFrame([], schema)
+
+    bk_idx = _read_or_empty("buckets", f"{id_col} long, bh long, band int").select(
         F.col(id_col).alias("index_id"), "band", "bh"
     )
     cand = (
@@ -284,7 +294,7 @@ def incremental_dedup_pairs(
         .select("index_id", "new_id")
         .distinct()
     )
-    sig_idx = spark.read.parquet(os.path.join(path, "signatures")).select(
+    sig_idx = _read_or_empty("signatures", f"{id_col} long, signature array<long>").select(
         F.col(id_col).alias("index_id"), F.col("signature").alias("sig_a")
     )
     est = F.aggregate(

@@ -66,6 +66,58 @@ def sliding_counts(
     )
 
 
+def stream_incremental_near_dedup(
+    spark,
+    stream_df,
+    index_path: str,
+    sink_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+):
+    """Always-on crawl ingest with near-dup admission: each micro-batch is
+    checked against the persisted MinHash index (operators/dedup.py
+    build_dedup_index), matching docs are dropped, survivors append to the
+    sink AND to the index — so later batches dedup against earlier ones.
+
+    foreachBatch gives exactly-once appends under the checkpoint; per-batch
+    cost is O(batch + matching buckets) — the index is scanned, never
+    shuffled (the batch side broadcasts), matching the offline operator's
+    plan discipline. Returns the StreamingQuery.
+    """
+    from clickhousedatamocker_spark.operators.dedup import (
+        build_dedup_index,
+        incremental_dedup_pairs,
+    )
+
+    def admit(batch_df, _epoch_id):
+        batch_df = batch_df.persist()
+        try:
+            dup_ids = (
+                incremental_dedup_pairs(
+                    spark, index_path, batch_df, id_col, text_col, threshold
+                )
+                .select(F.col("new_id").alias(id_col))
+                .distinct()
+            )
+            fresh = batch_df.join(dup_ids, id_col, "left_anti").persist()
+            try:
+                fresh.write.mode("append").parquet(sink_path)
+                build_dedup_index(fresh, index_path, id_col, text_col, mode="append")
+            finally:
+                fresh.unpersist()
+        finally:
+            batch_df.unpersist()
+
+    return (
+        stream_df.writeStream.foreachBatch(admit)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_exact_dedup(
     events: DataFrame,
     keys: list[str],

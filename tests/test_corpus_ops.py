@@ -84,6 +84,21 @@ FROM kept GROUP BY doc_id
     assert some_intact
 
 
+def test_segment_dedup_plan_budget(spark):
+    """Exchange budget: segment explode is narrow; the whole dedup is the
+    frequency agg + the join back + the reassembly agg — and never a
+    cartesian/broadcast-of-the-corpus shape."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    plan = (
+        segment_dedup(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # partial aggregation fires on both aggs (map-side combine before the wire)
+    assert plan.count("HashAggregate") + plan.count("ObjectHashAggregate") >= 4
+    n_exchanges = plan.count("Exchange")
+    assert n_exchanges <= 4, f"{n_exchanges} exchanges — segment dedup shape regressed"
+
+
 def test_normalize_url_and_domain_golden(spark):
     cases = [
         # (raw, normalized, domain)

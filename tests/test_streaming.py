@@ -242,3 +242,69 @@ def test_materialized_view_maintained_by_stream(spark, tmp_path, chunked_events)
     assert got == want and len(got) >= 3
     # partials from >1 micro-batch are visible pre-aggregation
     assert engine.sql("SELECT count(*) AS c FROM mv_type_counts").first()["c"] > len(got)
+
+
+def test_stream_incremental_near_dedup(spark, tmp_path):
+    """Crawl-ingest admission: micro-batch 2 repeats half of micro-batch 1's
+    documents (new ids) — the repeats are dropped against the index the
+    first batch appended, fresh docs pass, and the index grows so a THIRD
+    batch repeating batch-2 content is also caught."""
+    from clickhousedatamocker_spark.operators.dedup import build_dedup_index
+    from clickhousedatamocker_spark.streaming.windows import stream_incremental_near_dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+
+    src = str(tmp_path / "src")
+    # batch 1: docs 0-49 verbatim. batch 2: docs 100-149 (fresh) + copies of
+    # docs 0-24 under new ids 500000+. batch 3: copies of docs 100-124 under
+    # new ids 600000+ (dups only against what batch 2 added).
+    b1 = docs.filter(F.col("doc_id") < 50)
+    b2 = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 150)).unionByName(
+        docs.filter(F.col("doc_id") < 25).withColumn("doc_id", F.col("doc_id") + 500000)
+    )
+    b3 = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 125)).withColumn(
+        "doc_id", F.col("doc_id") + 600000
+    )
+    for b in (b1, b2, b3):
+        b.coalesce(1).write.mode("append").parquet(src)
+
+    index = str(tmp_path / "index")
+    sink = str(tmp_path / "sink")
+    # seed an EMPTY index (schema + params) so batch 1 checks against nothing
+    build_dedup_index(docs.limit(0), index)
+
+    stream = spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = stream_incremental_near_dedup(
+        spark, stream, index, sink, str(tmp_path / "ckpt"), threshold=0.9
+    )
+    q.awaitTermination(240)
+
+    kept = {r["doc_id"] for r in spark.read.parquet(sink).select("doc_id").collect()}
+
+    # stream == offline law: replaying the same batches through the offline
+    # operators admits the identical set (deterministic hashes, no RNG)
+    from clickhousedatamocker_spark.operators.dedup import incremental_dedup_pairs
+
+    index2 = str(tmp_path / "index_offline")
+    build_dedup_index(docs.limit(0), index2)
+    expected = set()
+    for b in (b1, b2, b3):
+        dup_ids = {
+            r["new_id"]
+            for r in incremental_dedup_pairs(spark, index2, b, threshold=0.9).collect()
+        }
+        fresh = b.filter(~F.col("doc_id").isin(list(dup_ids) or [-1]))
+        expected |= {r["doc_id"] for r in fresh.select("doc_id").collect()}
+        build_dedup_index(fresh, index2, mode="append")
+    assert kept == expected
+
+    # the planted cross-batch copies (ids >= 500000) were all rejected
+    assert not any(d >= 500000 for d in kept), "cross-batch duplicates admitted"
+    # batch-1 originals all admitted (index was empty when they arrived)
+    assert set(range(50)) <= kept
+    # the index accumulated exactly the admitted docs
+    idx_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{index}/signatures").select("doc_id").collect()
+    }
+    assert idx_ids == kept
