@@ -64,15 +64,16 @@ def main() -> None:
 
     docs = load_table(spark, sf_dir, "documents")
 
-    def timed(label: str, mk) -> None:
+    def timed(label: str, mk, dest: dict | None = None) -> None:
         mk().collect()  # warm codegen for this plan shape
         runs = []
         for _ in range(2):
             t0 = time.monotonic()
             mk().collect()
             runs.append(time.monotonic() - t0)
-        timings[label] = round(min(runs), 4)
-        all_runs[label] = [round(r, 4) for r in runs]
+        (dest if dest is not None else timings)[label] = round(min(runs), 4)
+        if dest is None:
+            all_runs[label] = [round(r, 4) for r in runs]
 
     timed("dedup_minhash_lsh_pairs", lambda: minhash_lsh_pairs(docs))
     for twin in ("similarity_topk_lsh", "similarity_topk_ivf", "stream_attribution_join"):
@@ -89,13 +90,7 @@ def main() -> None:
     breakdown: dict[str, float] = {}
 
     def timed_diag(label: str, mk) -> None:
-        mk().collect()
-        runs = []
-        for _ in range(2):
-            t0 = time.monotonic()
-            mk().collect()
-            runs.append(time.monotonic() - t0)
-        breakdown[label] = round(min(runs), 4)
+        timed(label, mk, dest=breakdown)
 
     def ta_compute_only():
         df = REGISTRY["text_analysis_profile"].fn(spark, sf_dir)

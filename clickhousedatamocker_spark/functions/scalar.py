@@ -110,10 +110,12 @@ def register_sql_functions(spark: SparkSession) -> None:
         ("subtractDays", "(t TIMESTAMP, n INT)", "TIMESTAMP", "t - make_interval(0, 0, 0, n)"),
         ("addHours", "(t TIMESTAMP, n INT)", "TIMESTAMP", "t + make_interval(0, 0, 0, 0, n)"),
         ("subtractHours", "(t TIMESTAMP, n INT)", "TIMESTAMP", "t - make_interval(0, 0, 0, 0, n)"),
-        # numeric casts (CH to<T> spellings; DOUBLE input lets ints/strings
-        # arrive via implicit cast)
-        ("toInt64", "(x DOUBLE)", "BIGINT", "CAST(x AS BIGINT)"),
-        ("toInt32", "(x DOUBLE)", "INT", "CAST(x AS INT)"),
+        # numeric casts (CH to<T> spellings). STRING input + DECIMAL(38,9)
+        # intermediate: exact for the whole int64 range (a DOUBLE funnel
+        # would silently round ints above 2^53) while still truncating
+        # fractional inputs like CH does.
+        ("toInt64", "(x STRING)", "BIGINT", "CAST(CAST(x AS DECIMAL(38,9)) AS BIGINT)"),
+        ("toInt32", "(x STRING)", "INT", "CAST(CAST(x AS DECIMAL(38,9)) AS INT)"),
         ("toFloat64", "(x STRING)", "DOUBLE", "CAST(x AS DOUBLE)"),
     ]:
         spark.sql(

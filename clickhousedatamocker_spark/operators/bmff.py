@@ -196,6 +196,9 @@ def parse_mp4(data: bytes) -> dict:
             if btype == b"mvhd":
                 version, p = _parse_fullbox(data, ps, pe)
                 p += 16 if version == 1 else 8  # creation + modification times
+                need = 12 if version == 1 else 8  # timescale + duration
+                if p + need > pe:
+                    raise ValueError("truncated mvhd payload")
                 if version == 1:
                     out["timescale"] = struct.unpack_from(">I", data, p)[0]
                     out["duration"] = struct.unpack_from(">Q", data, p + 4)[0]
@@ -207,14 +210,22 @@ def parse_mp4(data: bytes) -> dict:
                 walk(ps, pe, tr)
             elif btype == b"tkhd" and track is not None:
                 version, p = _parse_fullbox(data, ps, pe)
-                # skip to the trailing width/height (last 8 payload bytes)
+                # the trailing width/height are the last 8 payload bytes —
+                # a well-sized box with a short payload must not read the
+                # PREVIOUS box's bytes
+                if pe - 8 < p:
+                    raise ValueError("truncated tkhd payload")
                 w16, h16 = struct.unpack_from(">II", data, pe - 8)
                 track["width"], track["height"] = w16 >> 16, h16 >> 16
             elif btype == b"hdlr" and track is not None:
                 _, p = _parse_fullbox(data, ps, pe)
+                if p + 8 > pe:
+                    raise ValueError("truncated hdlr payload")
                 track["handler"] = data[p + 4 : p + 8].decode("latin1")
             elif btype == b"stsd" and track is not None:
                 _, p = _parse_fullbox(data, ps, pe)
+                if p + 4 > pe:
+                    raise ValueError("truncated stsd payload")
                 n_entries = struct.unpack_from(">I", data, p)[0]
                 if n_entries:
                     for etype, _, _ in _iter_boxes(data, p + 4, pe):

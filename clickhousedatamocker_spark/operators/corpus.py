@@ -45,9 +45,11 @@ def explode_segments(
     Real corpora segment on newline/sentence boundaries; the fixture's text
     has neither, so the window width stands in for the boundary rule — the
     pipeline shape (explode → per-segment ops → reassemble) is identical.
-    Narrow: one generator expression, no shuffle.
+    Narrow: one generator expression, no shuffle. NULL text is treated as
+    empty (one empty segment), so the document survives reassembly —
+    posexplode over a NULL array would silently DROP the row.
     """
-    toks = F.split(F.col(text_col), " ")
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
     n_segs = F.ceil(F.size(toks) / F.lit(segment_tokens)).cast("int")
     return df.select(
         F.col(id_col),

@@ -225,12 +225,19 @@ def build_dedup_index(
     bands: int = 8,
     n: int = 3,
     mode: str = "overwrite",
+    signatures: DataFrame | None = None,
 ) -> None:
     """Persist the MinHash dedup index for :func:`incremental_dedup_pairs`:
-    ``<path>/signatures`` (id, signature) and ``<path>/buckets`` (band-
-    partitioned (bh, id)), plus a params sidecar so queries can't drift
-    from the index's hash family. ``mode='append'`` adds a new batch to an
-    existing index (after checking it for dups!)."""
+    ``<path>/signatures`` (id, signature) plus a params sidecar so queries
+    can't drift from the index's hash family. Band buckets are DERIVED at
+    query time from the signature scan (8 xxhash64 calls per row — a
+    narrow projection, far cheaper than maintaining a second table
+    consistently). ``mode='append'`` adds a new batch to an existing index
+    (after checking it for dups!).
+
+    ``signatures``: precomputed :func:`minhash_signatures` output for
+    ``docs`` (e.g. cached by the streaming admit path) — passing it avoids
+    recomputing the dominant shingle+minhash pass."""
     import json
     import os
 
@@ -240,14 +247,89 @@ def build_dedup_index(
         with open(sidecar) as fh:
             if json.load(fh) != params:
                 raise ValueError("index exists with different parameters")
-    sig = minhash_signatures(docs, id_col, text_col, num_hashes, n)
+    sig = signatures
+    if sig is None:
+        sig = minhash_signatures(docs, id_col, text_col, num_hashes, n)
     sig.write.mode(mode).parquet(os.path.join(path, "signatures"))
-    _band_buckets(sig, id_col, num_hashes, bands).write.partitionBy("band").mode(mode).parquet(
-        os.path.join(path, "buckets")
-    )
     os.makedirs(path, exist_ok=True)
     with open(sidecar, "w") as fh:
         json.dump(params, fh)
+
+
+def load_dedup_params(path: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(path, "_dedup_params.json")) as fh:
+        return json.load(fh)
+
+
+def signature_est_pairs(
+    sig_a: DataFrame,
+    sig_b: DataFrame,
+    num_hashes: int,
+    bands: int,
+    id_col: str,
+    threshold: float,
+    broadcast_b: bool = True,
+    self_pairs: bool = False,
+) -> DataFrame:
+    """→ (id_a, id_b, est_jaccard): banded candidate generation between two
+    signature tables + the signature-agreement estimate filter. With
+    ``self_pairs`` the two inputs are the same table and only ``id_a <
+    id_b`` pairs emit (within-batch dedup). ``broadcast_b`` keeps the a
+    side un-shuffled (the index-vs-batch shape)."""
+    bk_a = _band_buckets(sig_a, id_col, num_hashes, bands).select(
+        F.col(id_col).alias("id_a"), "band", "bh"
+    )
+    bk_b = _band_buckets(sig_b, id_col, num_hashes, bands).select(
+        F.col(id_col).alias("id_b"), "band", "bh"
+    )
+    if broadcast_b:
+        bk_b = F.broadcast(bk_b)
+    cand = bk_a.join(bk_b, ["band", "bh"]).select("id_a", "id_b")
+    if self_pairs:
+        cand = cand.filter(F.col("id_a") < F.col("id_b"))
+    cand = cand.distinct()
+    sa = sig_a.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
+    sb = sig_b.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
+    if broadcast_b:
+        sb = F.broadcast(sb)
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("double") / F.lit(float(num_hashes))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def read_index_signatures(spark, path: str, id_col: str = "doc_id") -> DataFrame:
+    """The index's (id, signature) table; an index seeded from zero rows has
+    no parquet footers yet (an empty partitioned write emits only _SUCCESS)
+    — that's a valid empty index. Only the path-not-found / no-footer
+    AnalysisException is treated as empty: real read failures (corrupt
+    footers, permissions) RAISE — silently treating them as an empty index
+    would admit every duplicate."""
+    return _read_or_empty(spark, path, "signatures", f"{id_col} long, signature array<long>")
+
+
+def _read_or_empty(spark, path: str, sub: str, schema: str) -> DataFrame:
+    import os
+
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(os.path.join(path, sub))
+    except AnalysisException as e:
+        cond = getattr(e, "getCondition", lambda: "")() or str(e)
+        if "PATH_NOT_FOUND" in cond or "UNABLE_TO_INFER_SCHEMA" in cond:
+            return spark.createDataFrame([], schema)
+        raise
 
 
 def incremental_dedup_pairs(
@@ -257,59 +339,26 @@ def incremental_dedup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """→ (index_id, new_id, est_jaccard): near-duplicates of a NEW batch
     against the persisted index, WITHOUT touching index text or shuffling
     the index. The batch's signatures/buckets are computed fresh (one
-    shuffle over the batch only) and BROADCAST into the index bucket scan;
-    candidates join the two signature tables and keep pairs whose
-    signature-agreement estimate clears ``threshold``. est_jaccard is the
-    matching-component fraction — the standard unbiased MinHash estimator.
+    shuffle over the batch only; pass ``signatures`` to reuse a cached
+    pass) and BROADCAST into the index bucket scan; candidates join the
+    two signature tables and keep pairs whose signature-agreement estimate
+    clears ``threshold`` — the standard unbiased MinHash estimator.
     """
-    import json
-    import os
-
-    with open(os.path.join(path, "_dedup_params.json")) as fh:
-        params = json.load(fh)
+    params = load_dedup_params(path)
     num_hashes, bands, n = params["num_hashes"], params["bands"], params["n"]
-    sig_new = minhash_signatures(new_docs, id_col, text_col, num_hashes, n)
-    bk_new = _band_buckets(sig_new, id_col, num_hashes, bands).select(
-        F.col(id_col).alias("new_id"), "band", "bh"
-    )
-
-    def _read_or_empty(sub: str, schema: str):
-        # an index seeded from zero rows has no parquet footers yet (an
-        # empty partitioned write emits only _SUCCESS) — that's a valid
-        # empty index, not an error
-        try:
-            return spark.read.parquet(os.path.join(path, sub))
-        except Exception:
-            return spark.createDataFrame([], schema)
-
-    bk_idx = _read_or_empty("buckets", f"{id_col} long, bh long, band int").select(
-        F.col(id_col).alias("index_id"), "band", "bh"
-    )
-    cand = (
-        bk_idx.join(F.broadcast(bk_new), ["band", "bh"])
-        .select("index_id", "new_id")
-        .distinct()
-    )
-    sig_idx = _read_or_empty("signatures", f"{id_col} long, signature array<long>").select(
-        F.col(id_col).alias("index_id"), F.col("signature").alias("sig_a")
-    )
-    est = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    ).cast("double") / F.lit(float(num_hashes))
-    return (
-        cand.join(sig_idx, "index_id")
-        .join(
-            F.broadcast(sig_new.select(F.col(id_col).alias("new_id"), F.col("signature").alias("sig_b"))),
-            "new_id",
-        )
-        .select("index_id", "new_id", F.round(est, 6).alias("est_jaccard"))
-        .filter(F.col("est_jaccard") >= threshold)
+    sig_new = signatures
+    if sig_new is None:
+        sig_new = minhash_signatures(new_docs, id_col, text_col, num_hashes, n)
+    sig_idx = read_index_signatures(spark, path, id_col)
+    return signature_est_pairs(
+        sig_idx, sig_new, num_hashes, bands, id_col, threshold, broadcast_b=True
+    ).select(
+        F.col("id_a").alias("index_id"), F.col("id_b").alias("new_id"), "est_jaccard"
     )
 
 

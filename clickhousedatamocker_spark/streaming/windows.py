@@ -78,36 +78,59 @@ def stream_incremental_near_dedup(
 ):
     """Always-on crawl ingest with near-dup admission: each micro-batch is
     checked against the persisted MinHash index (operators/dedup.py
-    build_dedup_index), matching docs are dropped, survivors append to the
-    sink AND to the index — so later batches dedup against earlier ones.
+    build_dedup_index) AND against itself (the same page fetched twice in
+    one batch keeps only the smallest id); survivors append to the sink
+    and to the index — so later batches dedup against earlier ones.
 
-    foreachBatch gives exactly-once appends under the checkpoint; per-batch
-    cost is O(batch + matching buckets) — the index is scanned, never
-    shuffled (the batch side broadcasts), matching the offline operator's
-    plan discipline. Returns the StreamingQuery.
+    Delivery semantics: the SINK write is idempotent under epoch retries —
+    rows land in an ``__epoch=<id>`` partition written with dynamic
+    partition overwrite, so a foreachBatch re-run replaces its own epoch
+    instead of duplicating it. The index append is at-least-once (a retry
+    may re-append the same signatures); duplicate index entries are
+    semantically harmless for admission — they produce the same rejections
+    — at the cost of index bloat, and they never reach the sink.
+
+    Cost: the batch's signatures are computed ONCE (persisted across the
+    index check, the self check, and the index append); the index is
+    scanned, never shuffled (the batch side broadcasts), matching the
+    offline operator's plan discipline. Returns the StreamingQuery.
     """
     from clickhousedatamocker_spark.operators.dedup import (
         build_dedup_index,
         incremental_dedup_pairs,
+        load_dedup_params,
+        minhash_signatures,
+        signature_est_pairs,
     )
 
-    def admit(batch_df, _epoch_id):
+    def admit(batch_df, epoch_id):
+        params = load_dedup_params(index_path)
+        num_hashes, bands, n = params["num_hashes"], params["bands"], params["n"]
         batch_df = batch_df.persist()
+        sig = minhash_signatures(batch_df, id_col, text_col, num_hashes, n).persist()
         try:
-            dup_ids = (
-                incremental_dedup_pairs(
-                    spark, index_path, batch_df, id_col, text_col, threshold
-                )
-                .select(F.col("new_id").alias(id_col))
-                .distinct()
-            )
+            index_dups = incremental_dedup_pairs(
+                spark, index_path, batch_df, id_col, text_col, threshold, signatures=sig
+            ).select(F.col("new_id").alias(id_col))
+            # within-batch: of each near-dup pair keep the smaller id
+            self_dups = signature_est_pairs(
+                sig, sig, num_hashes, bands, id_col, threshold, self_pairs=True
+            ).select(F.col("id_b").alias(id_col))
+            dup_ids = index_dups.unionByName(self_dups).distinct()
             fresh = batch_df.join(dup_ids, id_col, "left_anti").persist()
             try:
-                fresh.write.mode("append").parquet(sink_path)
-                build_dedup_index(fresh, index_path, id_col, text_col, mode="append")
+                fresh.withColumn("__epoch", F.lit(int(epoch_id))).write.option(
+                    "partitionOverwriteMode", "dynamic"
+                ).mode("overwrite").partitionBy("__epoch").parquet(sink_path)
+                fresh_sig = sig.join(fresh.select(id_col), id_col, "left_semi")
+                build_dedup_index(
+                    fresh, index_path, id_col, text_col, num_hashes, bands, n,
+                    mode="append", signatures=fresh_sig,
+                )
             finally:
                 fresh.unpersist()
         finally:
+            sig.unpersist()
             batch_df.unpersist()
 
     return (

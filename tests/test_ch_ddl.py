@@ -198,6 +198,7 @@ def test_ch_query_dialect_vocabulary(spark, tmp_warehouse):
           addDays(min(event_time), 2) > min(event_time)   AS ad,
           subtractHours(min(event_time), 1) < min(event_time) AS sh,
           toInt64(12.9)                                   AS i64,
+          toInt64(9007199254740993)                       AS i64_big,
           toInt32('41')                                   AS i32,
           toFloat64('2.5')                                AS f64,
           dateDiff('hour', min(event_time), addDays(min(event_time), 1)) AS dd
@@ -208,6 +209,8 @@ def test_ch_query_dialect_vocabulary(spark, tmp_warehouse):
     assert r2["sw"] and r2["ew"] and r2["dlen"] == 50
     assert r2["ut"] > 0 and r2["ut_rt"] and r2["ad"] and r2["sh"]
     assert (r2["i64"], r2["i32"], r2["f64"], r2["dd"]) == (12, 41, 2.5, 24)
+    # exact above 2^53 — a DOUBLE funnel would round this to ...992
+    assert r2["i64_big"] == 9007199254740993
 
 
 def test_materialized_view_incremental_rollup(spark, tmp_warehouse):

@@ -99,6 +99,18 @@ def test_segment_dedup_plan_budget(spark):
     assert n_exchanges <= 4, f"{n_exchanges} exchanges — segment dedup shape regressed"
 
 
+def test_segment_dedup_preserves_null_text_docs(spark):
+    """A NULL text must not silently drop the document (posexplode over a
+    NULL array emits no rows) — it is treated as empty and survives."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, None), (3, "")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in segment_dedup(docs, segment_tokens=4).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["text"] == "alpha beta gamma"
+    assert out[2]["text"] == "" and out[3]["text"] == ""
+
+
 def test_normalize_url_and_domain_golden(spark):
     cases = [
         # (raw, normalized, domain)

@@ -418,6 +418,21 @@ def test_mp4_codec_roundtrip():
         with pytest.raises(ValueError):
             parse_mp4(bad)
 
+    # well-sized boxes with SHORT payloads must raise, not read the
+    # neighboring box's bytes
+    import struct as _s
+
+    box = lambda t, p: _s.pack(">I4s", 8 + len(p), t) + p  # noqa: E731
+    ftyp = box(b"ftyp", b"isom" + b"\x00" * 4 + b"isom")
+    for crafted in [
+        box(b"moov", box(b"mvhd", b"\x00" * 6)),
+        box(b"moov", box(b"trak", box(b"tkhd", b"\x00" * 6))),
+        box(b"moov", box(b"trak", box(b"hdlr", b"\x00" * 6))),
+        box(b"moov", box(b"trak", box(b"stsd", b"\x00" * 2))),
+    ]:
+        with pytest.raises(ValueError, match="truncated|missing"):
+            parse_mp4(ftyp + crafted)
+
 
 def test_mp4_decode_media_real(spark):
     """decode_media really walks the box tree: every parsed field matches

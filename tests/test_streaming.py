@@ -282,16 +282,29 @@ def test_stream_incremental_near_dedup(spark, tmp_path):
     kept = {r["doc_id"] for r in spark.read.parquet(sink).select("doc_id").collect()}
 
     # stream == offline law: replaying the same batches through the offline
-    # operators admits the identical set (deterministic hashes, no RNG)
-    from clickhousedatamocker_spark.operators.dedup import incremental_dedup_pairs
+    # operators (index check + within-batch self check, like admit) yields
+    # the identical set (deterministic hashes, no RNG)
+    from clickhousedatamocker_spark.operators.dedup import (
+        incremental_dedup_pairs,
+        minhash_signatures,
+        signature_est_pairs,
+    )
 
     index2 = str(tmp_path / "index_offline")
     build_dedup_index(docs.limit(0), index2)
     expected = set()
     for b in (b1, b2, b3):
+        sig = minhash_signatures(b, "doc_id", "text", 32, 3)
         dup_ids = {
             r["new_id"]
-            for r in incremental_dedup_pairs(spark, index2, b, threshold=0.9).collect()
+            for r in incremental_dedup_pairs(
+                spark, index2, b, threshold=0.9, signatures=sig
+            ).collect()
+        } | {
+            r["id_b"]
+            for r in signature_est_pairs(
+                sig, sig, 32, 8, "doc_id", 0.9, self_pairs=True
+            ).collect()
         }
         fresh = b.filter(~F.col("doc_id").isin(list(dup_ids) or [-1]))
         expected |= {r["doc_id"] for r in fresh.select("doc_id").collect()}
@@ -300,8 +313,10 @@ def test_stream_incremental_near_dedup(spark, tmp_path):
 
     # the planted cross-batch copies (ids >= 500000) were all rejected
     assert not any(d >= 500000 for d in kept), "cross-batch duplicates admitted"
-    # batch-1 originals all admitted (index was empty when they arrived)
-    assert set(range(50)) <= kept
+    # batch 1 mostly admitted (the index was empty when it arrived; the few
+    # drops are the fixture's NATURAL within-batch near-dups, e.g. doc 12,
+    # which the self-dedup step correctly rejects in favor of a smaller id)
+    assert len(kept & set(range(50))) >= 45
     # the index accumulated exactly the admitted docs
     idx_ids = {
         r["doc_id"]
