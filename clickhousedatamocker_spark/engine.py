@@ -605,6 +605,10 @@ class Engine:
                 if self.catalog.exists(ddl["name"]) or not ddl["if_exists"]:
                     n = self.delete_where(ddl["name"], "true")
                     return self.spark.createDataFrame([(n,)], "rows_deleted bigint")
+            elif ddl["op"] == "show_create":
+                return self.spark.createDataFrame(
+                    [(self._render_create_ddl(ddl["name"]),)], "statement string"
+                )
             elif ddl["op"] == "show_tables":
                 self.refresh_system_views()
                 return self.spark.sql("SELECT name FROM system_tables ORDER BY name")
@@ -630,6 +634,61 @@ class Engine:
 
         self.refresh_system_views()
         return self.spark.sql(translate_ch_sql(query))
+
+    def _render_create_ddl(self, name: str) -> str:
+        """SHOW CREATE TABLE: reconstruct ClickHouse-dialect DDL from the
+        catalog metadata. Signedness is not recoverable from Spark types
+        (UInt64 and Int64 both land in LongType), so integer columns render
+        as their signed CH types — the documented deviation."""
+        h = self.catalog.get(name)
+        if h.alias_of:
+            base = self.catalog.get(self.catalog.resolve(name))
+            dist = h.distributed or {}
+            key = f", {dist['sharding_key']}" if dist.get("sharding_key") else ""
+            return (
+                f"CREATE TABLE {name} AS {h.alias_of} ENGINE = Distributed("
+                f"'{dist.get('cluster', 'default')}', currentDatabase(), {h.alias_of}{key})"
+            )
+        cols = ",\n    ".join(
+            f"{f.name} {_spark_to_ch_type(f.dataType, f.nullable)}" for f in h.schema.fields
+        )
+        eng = (h.engine or {}).get("family", "MergeTree")
+        ver = (h.engine or {}).get("version_column")
+        lines = [f"CREATE TABLE {name}\n(\n    {cols}\n)"]
+        lines.append(f"ENGINE = {eng}({ver})" if ver else f"ENGINE = {eng}()")
+        if h.partition_column == "event_hour":
+            lines.append("PARTITION BY toYYYYMMDDhh(event_time)")
+        order = ", ".join(h.order_columns)
+        lines.append(f"ORDER BY ({order})" if order else "ORDER BY tuple()")
+        if h.sample_by:
+            lines.append(f"SAMPLE BY {h.sample_by}")
+        if h.ttl:
+            lines.append(f"TTL {h.ttl}")
+        settings = {k: v for k, v in (h.settings or {}).items() if k != "partition_buckets"}
+        if settings:
+            lines.append("SETTINGS " + ", ".join(f"{k} = {v}" for k, v in settings.items()))
+        return "\n".join(lines)
+
+
+def _spark_to_ch_type(dt, nullable: bool) -> str:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.DecimalType):
+        ch = f"Decimal({dt.precision}, {dt.scale})"
+    else:
+        ch = {
+            T.LongType(): "Int64",
+            T.IntegerType(): "Int32",
+            T.ShortType(): "Int16",
+            T.ByteType(): "Int8",
+            T.DoubleType(): "Float64",
+            T.FloatType(): "Float32",
+            T.StringType(): "String",
+            T.TimestampType(): "DateTime",
+            T.DateType(): "Date",
+            T.BooleanType(): "Bool",
+        }.get(dt, str(dt.simpleString()))
+    return f"Nullable({ch})" if nullable else ch
 
 
 def _schema_with_partition(handle: TableHandle):

@@ -60,6 +60,18 @@ _REWRITES = [
     # dateDiff('unit', a, b) → timestampdiff(UNIT, a, b): the unit moves
     # from a string literal to a keyword, so it must be a text rewrite
     (re.compile(r"\bdateDiff\(\s*'(\w+)'\s*,", re.IGNORECASE), r"timestampdiff(\1,"),
+    # CH GLOBAL JOIN / GLOBAL IN force the right side to the initiator and
+    # broadcast it to every shard — in Spark that IS the engine's job
+    # (broadcast/shuffle chosen by Catalyst), so the modifier drops out.
+    # (ANY/ASOF join strictness keywords are NOT silently dropped — they
+    # change semantics and would fail Spark's parser loudly, as intended.)
+    (
+        re.compile(
+            r"\bGLOBAL\s+(?=(?:INNER|LEFT|RIGHT|FULL|CROSS|JOIN\b|(?:NOT\s+)?IN\b))",
+            re.IGNORECASE,
+        ),
+        "",
+    ),
     # PREWHERE is CH's manual two-stage filter optimization; with columnar
     # scans + pushdown the distinction is moot — same semantics as WHERE
     (re.compile(r"\bPREWHERE\b", re.IGNORECASE), "WHERE"),
@@ -278,6 +290,10 @@ def parse_ch_ddl(sql: str) -> dict | None:
     m = re.match(r"TRUNCATE\s+TABLE\s+(IF\s+EXISTS\s+)?(\w+)\s*;?\s*$", s, re.IGNORECASE)
     if m:
         return {"op": "truncate", "name": m.group(2), "if_exists": bool(m.group(1))}
+
+    m = re.match(r"SHOW\s+CREATE\s+(?:TABLE\s+)?(\w+)\s*;?\s*$", s, re.IGNORECASE)
+    if m:
+        return {"op": "show_create", "name": m.group(1)}
 
     m = re.match(r"SHOW\s+TABLES\s*;?\s*$", s, re.IGNORECASE)
     if m:

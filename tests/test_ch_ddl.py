@@ -621,6 +621,66 @@ def test_parameterized_types_and_bare_engine_forms():
         )
 
 
+def test_show_create_table_roundtrips(spark, tmp_path):
+    """SHOW CREATE TABLE renders CH-dialect DDL that our own parser accepts
+    back into an equivalent spec (the strongest self-consistency check);
+    the Distributed alias renders its engine clause."""
+    from clickhousedatamocker_spark.engine import Engine
+    from clickhousedatamocker_spark.functions.compat import parse_ch_ddl
+
+    engine = Engine(spark, str(tmp_path / "wh"))
+    engine.sql(open(f"{REF}/create_local.sql").read())
+    engine.sql(open(f"{REF}/create_distributed.sql").read())
+
+    stmt = engine.sql("SHOW CREATE TABLE test_local").first()["statement"]
+    d = parse_ch_ddl(stmt)
+    orig = engine.catalog.get("test_local")
+    assert d["op"] == "create"
+    assert list(d["schema"].fieldNames()) == [f.name for f in orig.schema.fields]
+    assert [f.dataType for f in d["schema"].fields] == [f.dataType for f in orig.schema.fields]
+    assert d["partition_column"] == "event_hour"
+    assert d["order_columns"] == orig.order_columns
+    assert d["settings"]["parts_to_delay_insert"] == orig.settings["parts_to_delay_insert"]
+    assert d["settings"]["parts_to_throw_insert"] == orig.settings["parts_to_throw_insert"]
+
+    d2 = parse_ch_ddl(engine.sql("SHOW CREATE test_distributed").first()["statement"])
+    assert d2["op"] == "alias" and d2["of"] == "test_local"
+
+
+def test_global_join_and_in_modifiers(spark, tmp_path):
+    """CH's GLOBAL JOIN / GLOBAL IN force-and-broadcast semantics are the
+    engine's own job in Spark — the modifier drops out and the statements
+    run; results equal the modifier-free forms."""
+    from clickhousedatamocker_spark.engine import Engine
+    from clickhousedatamocker_spark.schema import test_local_spec
+    from clickhousedatamocker_spark.sources.generator import BatchGenerator
+
+    engine = Engine(spark, str(tmp_path / "wh"))
+    engine.create_table(test_local_spec())
+    engine.insert(
+        "test_local",
+        BatchGenerator(spark, seed=5, base_time="2026-01-01 12:00:00").batch_with_partition(
+            3000, batch_no=0
+        ),
+    )
+    n_global = engine.sql(
+        "SELECT count() AS n FROM test_local WHERE user_id GLOBAL IN "
+        "(SELECT user_id FROM test_local WHERE status > 200)"
+    ).first()["n"]
+    n_plain = engine.sql(
+        "SELECT count() AS n FROM test_local WHERE user_id IN "
+        "(SELECT user_id FROM test_local WHERE status > 200)"
+    ).first()["n"]
+    assert n_global == n_plain > 0
+
+    j_global = engine.sql(
+        "SELECT count() AS n FROM test_local a GLOBAL LEFT JOIN "
+        "(SELECT user_id, count() AS c FROM test_local GROUP BY user_id) b "
+        "ON a.user_id = b.user_id"
+    ).first()["n"]
+    assert j_global == 3000
+
+
 def test_explain_statement_family(spark, tmp_path):
     """CH's EXPLAIN family maps onto Catalyst's stages; EXPLAIN SYNTAX
     surfaces the dialect translation itself."""
