@@ -53,6 +53,7 @@ class Engine:
         self.writer = Writer(self.parts, self.flow, metrics=self.metrics)
         self._registered_versions: dict[str, object] = {}
         self._materialized_views: dict[str, dict] = {}
+        self._query_log: list[tuple] = []
         self._catalog_version = 0
         self._introspection_version = -1
         # cluster name -> shard count. The reference's 'default' cluster is
@@ -64,6 +65,35 @@ class Engine:
     # -- connectivity probe (setup.sh:94-99) ------------------------------
     def probe(self) -> bool:
         return self.spark.sql("SELECT 1").first()[0] == 1
+
+    # -- system.query_log analog ------------------------------------------
+    _QUERY_LOG_CAP = 10_000
+
+    def _log_query(self, query: str, duration_ms: float) -> None:
+        """Ring-buffer of executed statements (CH system.query_log analog).
+        duration covers the time spent INSIDE Engine.sql — parse, dialect
+        translation, catalog ops, and any eager execution; a SELECT's
+        distributed execution is lazy and bills to the caller's action, so
+        its row is the submission record (CH's QueryStart view of it)."""
+        import datetime
+
+        kind = (query.strip().split(None, 1) or ["?"])[0].upper()
+        self._query_log.append(
+            (
+                datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None),
+                " ".join(query.split())[:1024],
+                kind,
+                round(duration_ms, 3),
+            )
+        )
+        if len(self._query_log) > self._QUERY_LOG_CAP:
+            del self._query_log[: -self._QUERY_LOG_CAP]
+
+    def _register_query_log_view(self) -> None:
+        self.spark.createDataFrame(
+            self._query_log or [],
+            "event_time timestamp, query string, query_kind string, duration_ms double",
+        ).createOrReplaceTempView("system_query_log")
 
     # -- DDL --------------------------------------------------------------
     def create_table(self, spec: TableSpec, if_not_exists: bool = True) -> TableHandle:
@@ -321,6 +351,7 @@ class Engine:
         }
         self.parts.to_df(self.spark, tables).createOrReplaceTempView("system_parts")
         self.metrics.to_df(self.spark).createOrReplaceTempView("system_metrics")
+        self._register_query_log_view()
         self._register_introspection_views()
         for name in self.catalog.list_tables():
             if self._distributed_spec(name) is not None:
@@ -446,6 +477,17 @@ class Engine:
         )
 
     def sql(self, query: str, data: str | None = None) -> DataFrame:
+        """See :meth:`_sql_impl`; this wrapper records the statement into
+        the ``system_query_log`` view (CH system.query_log analog)."""
+        import time as _time
+
+        t0 = _time.monotonic()
+        try:
+            return self._sql_impl(query, data)
+        finally:
+            self._log_query(query, (_time.monotonic() - t0) * 1000.0)
+
+    def _sql_impl(self, query: str, data: str | None = None) -> DataFrame:
         """Run SQL with system views refreshed; accepts ClickHouse dialect
         spellings via the compat shim, so the reference's .sql files — BOTH
         the monitoring queries AND the DDL (create_local.sql,

@@ -722,3 +722,28 @@ def test_explain_statement_family(spark, tmp_path):
 
     est = [r["explain"] for r in engine.sql("EXPLAIN ESTIMATE SELECT * FROM test_local").collect()]
     assert any("sizeInBytes" in ln for ln in est)
+
+
+def test_system_query_log(spark, tmp_path):
+    """Every Engine.sql statement lands in the system.query_log analog with
+    its kind and in-engine duration; the CH spelling queries it."""
+    from clickhousedatamocker_spark.engine import Engine
+
+    engine = Engine(spark, str(tmp_path / "wh"))
+    engine.sql("CREATE TABLE ql (k UInt32) ENGINE = MergeTree ORDER BY (k)")
+    engine.sql("INSERT INTO ql SELECT 1 AS k")
+    engine.sql("SELECT count() FROM ql")
+    engine.sql("SHOW TABLES")
+    rows = engine.sql(
+        "SELECT query_kind, count() AS n FROM system.query_log "
+        "GROUP BY query_kind ORDER BY query_kind"
+    ).collect()
+    kinds = {r["query_kind"]: r["n"] for r in rows}
+    assert kinds.get("CREATE", 0) >= 1
+    assert kinds.get("INSERT", 0) >= 1
+    assert kinds.get("SELECT", 0) >= 1
+    assert kinds.get("SHOW", 0) >= 1
+    detail = engine.sql(
+        "SELECT query, duration_ms FROM system.query_log WHERE query_kind = 'CREATE'"
+    ).first()
+    assert "CREATE TABLE ql" in detail["query"] and detail["duration_ms"] >= 0
