@@ -131,6 +131,22 @@ WHERE l_returnflag IN ('A', 'R')
 GROUP BY l_linestatus
 ORDER BY l_linestatus
 """,
+    "q22_global_sales_opportunity": """
+SELECT cntry, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+FROM (
+  SELECT c_nationkey AS cntry, c_acctbal, c_custkey FROM customer
+  WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+    AND c_acctbal > (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+      FROM customer
+      WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+    )
+    AND NOT EXISTS (SELECT * FROM orders WHERE o_custkey = c_custkey)
+) prospects
+GROUP BY cntry
+ORDER BY cntry
+""",
     "q19_disjunctive_pushdown": f"""
 SELECT CAST({_DSUM_DISC} AS DOUBLE) AS revenue, COUNT(*) AS n_lines
 FROM lineitem JOIN part ON p_partkey = l_partkey
