@@ -1,0 +1,58 @@
+"""Gap filling — ClickHouse ``ORDER BY … WITH FILL [FROM/TO/STEP]`` as an
+operator (reference: CH's fill transform; the SQL-clause spelling needs a
+plan restructuring — a grid join — so it is an operator here, not a text
+rewrite).
+
+A rollup over sparse data has holes (hours with no events); downstream
+consumers (charts, window diffs, exports) want the full grid. The grid is
+generated engine-side (``sequence`` over a 2-value driver bound — never a
+collected data pass), and the fill is ONE left join of grid → data: at any
+scale the cost is the join shuffle over grid+data keys, and with a small
+grid Catalyst broadcasts it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def fill_gaps(
+    df: DataFrame,
+    key_col: str,
+    step: int = 1,
+    from_val: int | None = None,
+    to_val: int | None = None,
+    fill_values: dict[str, object] | None = None,
+) -> DataFrame:
+    """→ ``df`` plus one row for every missing grid point
+    ``from_val, from_val+step, … <= to_val`` of the integer/long ``key_col``
+    (CH WITH FILL semantics: bounds default to the data's min/max — a
+    2-value driver fetch; absent columns take ``fill_values`` or NULL,
+    where CH renders type defaults).
+
+    For timestamp grids convert to epoch first (``unix_timestamp``) and
+    back after — exactly what CH's DateTime STEP does internally.
+    """
+    if from_val is None or to_val is None:
+        bounds = df.agg(
+            F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
+        ).first()
+        if bounds["lo"] is None:
+            return df  # empty input: nothing to anchor a grid on
+        from_val = int(bounds["lo"]) if from_val is None else from_val
+        to_val = int(bounds["hi"]) if to_val is None else to_val
+    spark = df.sparkSession
+    grid = spark.range(from_val, to_val + 1, step).select(
+        F.col("id").cast(dict(df.dtypes)[key_col]).alias(key_col)
+    )
+    fills = fill_values or {}
+    out_cols: list[Column] = [F.col(key_col)]
+    for name in df.columns:
+        if name == key_col:
+            continue
+        c = F.col(name)
+        if name in fills:
+            c = F.coalesce(c, F.lit(fills[name]))
+        out_cols.append(c.alias(name))
+    return grid.join(df, key_col, "left").select(*out_cols)

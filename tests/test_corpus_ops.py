@@ -281,3 +281,45 @@ def test_training_mix_pipeline_end_to_end(spark):
     assert sorted(r["doc_id"] for r in mixed.collect()) == sorted(
         r["doc_id"] for r in again.collect()
     )
+
+
+def test_fill_gaps_matches_duckdb(spark, duck):
+    """WITH FILL semantics: an hourly rollup over sparse doc_ids gains one
+    row per missing grid point, zero-filled counts; matches a DuckDB
+    generate_series left join exactly."""
+    from clickhousedatamocker_spark.operators.fill import fill_gaps
+
+    rollup = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter(F.pmod(F.col("doc_id"), F.lit(7)) == 0)  # sparse keys
+        .withColumn("bucket", F.floor(F.col("doc_id") / 50).cast("long"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    filled = fill_gaps(rollup, "bucket", step=1, fill_values={"n": 0})
+    got = sorted((r["bucket"], r["n"]) for r in filled.collect())
+
+    want = sorted(
+        tuple(r)
+        for r in duck.execute(
+            """
+WITH rollup AS (
+  SELECT CAST(floor(doc_id / 50.0) AS BIGINT) AS bucket, COUNT(*) AS n
+  FROM documents WHERE doc_id % 7 = 0 GROUP BY 1
+), grid AS (
+  SELECT UNNEST(generate_series((SELECT MIN(bucket) FROM rollup),
+                                (SELECT MAX(bucket) FROM rollup))) AS bucket
+)
+SELECT g.bucket, COALESCE(r.n, 0) AS n FROM grid g LEFT JOIN rollup r USING (bucket)
+"""
+        ).fetchall()
+    )
+    assert got == want
+    # contiguous grid, no holes
+    buckets = [b for b, _ in got]
+    assert buckets == list(range(buckets[0], buckets[-1] + 1))
+    # explicit bounds extend past the data
+    wide = fill_gaps(rollup, "bucket", from_val=-2, to_val=buckets[-1] + 2, fill_values={"n": 0})
+    assert wide.count() == len(buckets) + 4
+    # empty input passes through
+    assert fill_gaps(rollup.filter("bucket < -99"), "bucket").count() == 0
