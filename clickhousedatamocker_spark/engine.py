@@ -66,6 +66,17 @@ class Engine:
     def probe(self) -> bool:
         return self.spark.sql("SELECT 1").first()[0] == 1
 
+    # -- dictionaries (CH external dictionaries, in-engine form) -----------
+    def create_dictionary(self, name: str, df: DataFrame, key_col: str) -> None:
+        """Register a dictionary: a keyed lookup table reachable from SQL
+        via ``dictGet('name', 'attr', key_expr)`` (rewritten by the compat
+        shim to a correlated scalar subquery, which Catalyst decorrelates
+        into a join — broadcast when the dictionary is small, exactly how
+        CH ships dictionaries to every server). The key column is
+        standardized to ``__dict_key`` so the rewrite needs no per-dict
+        metadata."""
+        df.withColumnRenamed(key_col, "__dict_key").createOrReplaceTempView(f"dict_{name}")
+
     # -- system.query_log analog ------------------------------------------
     _QUERY_LOG_CAP = 10_000
 

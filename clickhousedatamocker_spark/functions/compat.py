@@ -61,6 +61,33 @@ _REWRITES = [
     # dateDiff('unit', a, b) → timestampdiff(UNIT, a, b): the unit moves
     # from a string literal to a keyword, so it must be a text rewrite
     (re.compile(r"\bdateDiff\(\s*'(\w+)'\s*,", re.IGNORECASE), r"timestampdiff(\1,"),
+    # dictGet('dict', 'attr', key) → correlated scalar subquery over the
+    # registered dict_<name> view (Engine.create_dictionary). Catalyst
+    # decorrelates it into a join — broadcast for small dictionaries, the
+    # same shipping model as CH. Key expression: paren-free or one
+    # balanced paren group (covers column refs and simple casts/calls).
+    (
+        re.compile(
+            r"\bdictGetOrDefault\(\s*'(\w+)'\s*,\s*'(\w+)'\s*,\s*"
+            r"((?:[^(),]|\([^()]*\))+?)\s*,\s*((?:[^(),]|\([^()]*\))+?)\s*\)",
+            re.IGNORECASE,
+        ),
+        r"coalesce((SELECT max(\2) FROM dict_\1 WHERE __dict_key = \3), \4)",
+    ),
+    (
+        re.compile(
+            r"\bdictGet\(\s*'(\w+)'\s*,\s*'(\w+)'\s*,\s*((?:[^(),]|\([^()]*\))+?)\s*\)",
+            re.IGNORECASE,
+        ),
+        r"(SELECT max(\2) FROM dict_\1 WHERE __dict_key = \3)",
+    ),
+    (
+        re.compile(
+            r"\bdictHas\(\s*'(\w+)'\s*,\s*((?:[^(),]|\([^()]*\))+?)\s*\)",
+            re.IGNORECASE,
+        ),
+        r"EXISTS (SELECT 1 FROM dict_\1 WHERE __dict_key = \2)",
+    ),
     # CH GLOBAL JOIN / GLOBAL IN force the right side to the initiator and
     # broadcast it to every shard — in Spark that IS the engine's job
     # (broadcast/shuffle chosen by Catalyst), so the modifier drops out.

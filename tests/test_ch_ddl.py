@@ -747,3 +747,65 @@ def test_system_query_log(spark, tmp_path):
         "SELECT query, duration_ms FROM system.query_log WHERE query_kind = 'CREATE'"
     ).first()
     assert "CREATE TABLE ql" in detail["query"] and detail["duration_ms"] >= 0
+
+
+def test_dictionaries_dictget(spark, tmp_path):
+    """CH external dictionaries: create_dictionary + dictGet/
+    dictGetOrDefault/dictHas spellings. The correlated scalar subquery the
+    rewrite produces decorrelates into a join, and results match a plain
+    join exactly."""
+    from clickhousedatamocker_spark.engine import Engine
+    from clickhousedatamocker_spark.schema import test_local_spec
+    from clickhousedatamocker_spark.sources.generator import BatchGenerator
+
+    engine = Engine(spark, str(tmp_path / "wh"))
+    engine.create_table(test_local_spec())
+    engine.insert(
+        "test_local",
+        BatchGenerator(spark, seed=8, base_time="2026-01-01 12:00:00").batch_with_partition(
+            2000, batch_no=0
+        ),
+    )
+    seg = spark.createDataFrame(
+        [("click", "organic"), ("view", "organic"), ("purchase", "paid")],
+        ["event_type", "segment"],
+    )
+    engine.create_dictionary("seg", seg, key_col="event_type")
+
+    got = {
+        (r["event_type"], r["segment"]): r["n"]
+        for r in engine.sql(
+            "SELECT event_type, dictGet('seg', 'segment', event_type) AS segment, "
+            "count() AS n FROM test_local GROUP BY event_type, 2 ORDER BY 1"
+        ).collect()
+    }
+    # login is not in the dictionary -> NULL segment
+    assert got and all(
+        (seg_ == "organic") == (et in ("click", "view"))
+        and (seg_ == "paid") == (et == "purchase")
+        and (seg_ is None) == (et == "login")
+        for (et, seg_), _ in got.items()
+    )
+    want = {
+        (r["event_type"], r["segment"]): r["n"]
+        for r in engine.sql(
+            "SELECT t.event_type, d.segment, count() AS n FROM test_local t "
+            "LEFT JOIN dict_seg d ON t.event_type = d.__dict_key "
+            "GROUP BY t.event_type, d.segment ORDER BY 1"
+        ).collect()
+    }
+    assert got == want
+
+    defaulted = engine.sql(
+        "SELECT count() AS n FROM test_local "
+        "WHERE dictGetOrDefault('seg', 'segment', event_type, 'other') = 'other'"
+    ).first()["n"]
+    n_login = engine.sql(
+        "SELECT count() AS n FROM test_local WHERE event_type = 'login'"
+    ).first()["n"]
+    assert defaulted == n_login > 0
+
+    n_has = engine.sql(
+        "SELECT count() AS n FROM test_local WHERE dictHas('seg', event_type)"
+    ).first()["n"]
+    assert n_has == 2000 - n_login
