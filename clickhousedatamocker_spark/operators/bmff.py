@@ -86,6 +86,11 @@ def _visual_sample_entry(fourcc: bytes, width: int, height: int) -> bytes:
 
 
 def _audio_sample_entry(fourcc: bytes, sample_rate: int) -> bytes:
+    if not 0 < sample_rate <= 0xFFFF:
+        # the AudioSampleEntry samplerate field is 16.16 fixed point — the
+        # integer part is 16 bits, so >=65536 Hz cannot be represented here
+        # (real muxers carry high rates in an esds/srat box, out of scope)
+        raise ValueError(f"sample_rate {sample_rate} does not fit 16.16 fixed point")
     payload = (
         b"\x00" * 6
         + struct.pack(">H", 1)  # data_reference_index
