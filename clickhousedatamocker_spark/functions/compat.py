@@ -431,7 +431,28 @@ def parse_ch_ddl(sql: str) -> dict | None:
             "args": [a.strip() for a in (m.group(5) or "").split(",") if a.strip()],
         }
         fields = []
+        skip_indexes = []
         for coldef in _split_top(cols_src):
+            # data-skipping index clause: INDEX name expr TYPE kind [GRANULARITY g].
+            # Accepted and recorded: the minmax kind is what Parquet row-group
+            # statistics already provide natively under our sorted-within-part
+            # layout (SURVEY §4.1); set/bloom_filter kinds are metadata-only.
+            im = re.match(
+                r"INDEX\s+(\w+)\s+(.+?)\s+TYPE\s+(\w+(?:\([^)]*\))?)"
+                r"(?:\s+GRANULARITY\s+(\d+))?\s*$",
+                coldef,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if im:
+                skip_indexes.append(
+                    {
+                        "name": im.group(1),
+                        "expr": " ".join(im.group(2).split()),
+                        "kind": im.group(3),
+                        "granularity": int(im.group(4) or 1),
+                    }
+                )
+                continue
             cm = re.match(r"(\w+)\s+(.+)$", coldef, re.DOTALL)
             if not cm:
                 raise NotImplementedError(f"unparseable column definition {coldef!r}")
@@ -505,6 +526,7 @@ def parse_ch_ddl(sql: str) -> dict | None:
             "ttl": ttl,
             "engine": engine,
             "sample_by": sample_by,
+            "skip_indexes": skip_indexes,
         }
 
     return None

@@ -809,3 +809,28 @@ def test_dictionaries_dictget(spark, tmp_path):
         "SELECT count() AS n FROM test_local WHERE dictHas('seg', event_type)"
     ).first()["n"]
     assert n_has == 2000 - n_login
+
+
+def test_skip_index_clauses_accepted(spark, tmp_path):
+    """CH data-skipping INDEX clauses parse and the table creates; minmax is
+    what Parquet row-group statistics already provide under the sorted
+    layout, so the clause is recorded, not re-implemented."""
+    from clickhousedatamocker_spark.engine import Engine
+    from clickhousedatamocker_spark.functions.compat import parse_ch_ddl
+
+    ddl = """CREATE TABLE skips (
+      id UInt64,
+      v Float64,
+      s String,
+      INDEX idx_v v TYPE minmax GRANULARITY 4,
+      INDEX idx_s lower(s) TYPE bloom_filter(0.01) GRANULARITY 1
+    ) ENGINE = MergeTree ORDER BY (id)"""
+    d = parse_ch_ddl(ddl)
+    assert [f.name for f in d["schema"].fields] == ["id", "v", "s"]
+    assert d["skip_indexes"] == [
+        {"name": "idx_v", "expr": "v", "kind": "minmax", "granularity": 4},
+        {"name": "idx_s", "expr": "lower(s)", "kind": "bloom_filter(0.01)", "granularity": 1},
+    ]
+    engine = Engine(spark, str(tmp_path / "wh"))
+    engine.sql(ddl)
+    assert engine.catalog.exists("skips")
