@@ -617,6 +617,7 @@ class Engine:
                         ttl=ddl.get("ttl"),
                         engine=ddl.get("engine"),
                         sample_by=ddl.get("sample_by"),
+                        skip_indexes=ddl.get("skip_indexes") or [],
                     ),
                     if_not_exists=ddl["if_not_exists"],
                 )
@@ -702,9 +703,15 @@ class Engine:
                 f"CREATE TABLE {name} AS {h.alias_of} ENGINE = Distributed("
                 f"'{dist.get('cluster', 'default')}', currentDatabase(), {h.alias_of}{key})"
             )
-        cols = ",\n    ".join(
+        col_lines = [
             f"{f.name} {_spark_to_ch_type(f.dataType, f.nullable)}" for f in h.schema.fields
-        )
+        ]
+        for ix in getattr(h, "skip_indexes", None) or []:
+            col_lines.append(
+                f"INDEX {ix['name']} {ix['expr']} TYPE {ix['kind']} "
+                f"GRANULARITY {ix['granularity']}"
+            )
+        cols = ",\n    ".join(col_lines)
         eng = (h.engine or {}).get("family", "MergeTree")
         ver = (h.engine or {}).get("version_column")
         lines = [f"CREATE TABLE {name}\n(\n    {cols}\n)"]

@@ -41,6 +41,7 @@ class TableHandle:
     ttl: str | None = None
     engine: dict | None = None
     sample_by: str | None = None
+    skip_indexes: list = field(default_factory=list)
     # ENGINE = Distributed(cluster, db, table[, sharding_key]) metadata:
     # {"cluster": str, "sharding_key": str | None} — None for plain aliases
     distributed: dict[str, Any] | None = None
@@ -75,6 +76,7 @@ class Catalog:
             "ttl": spec.ttl,
             "engine": spec.engine,
             "sample_by": spec.sample_by,
+            "skip_indexes": spec.skip_indexes,
         }
         os.makedirs(self.table_path(spec.name), exist_ok=True)
         self._write_meta(spec.name, meta)
@@ -150,6 +152,7 @@ class Catalog:
             ttl=meta.get("ttl"),
             engine=meta.get("engine"),
             sample_by=meta.get("sample_by"),
+            skip_indexes=meta.get("skip_indexes") or [],
         )
 
     def resolve(self, name: str) -> str:

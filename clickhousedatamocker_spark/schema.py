@@ -75,6 +75,9 @@ class TableSpec:
     engine: dict | None = None
     # SAMPLE BY column: key for the deterministic SAMPLE read clause
     sample_by: str | None = None
+    # CH data-skipping INDEX clauses, recorded metadata (minmax == Parquet
+    # row-group stats natively; see functions/compat.py)
+    skip_indexes: list = field(default_factory=list)
 
     def ddl(self) -> str:
         """Emit Spark SQL DDL (parity artifact for create_local.sql)."""

@@ -834,3 +834,7 @@ def test_skip_index_clauses_accepted(spark, tmp_path):
     engine = Engine(spark, str(tmp_path / "wh"))
     engine.sql(ddl)
     assert engine.catalog.exists("skips")
+    # metadata is durable and SHOW CREATE round-trips the clauses
+    assert engine.catalog.get("skips").skip_indexes == d["skip_indexes"]
+    rendered = engine.sql("SHOW CREATE TABLE skips").first()["statement"]
+    assert parse_ch_ddl(rendered)["skip_indexes"] == d["skip_indexes"]
