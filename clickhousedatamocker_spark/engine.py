@@ -604,6 +604,56 @@ class Engine:
 
         query = self._rewrite_final_reads(self._rewrite_sample_reads(query))
 
+        # ORDER BY <col> WITH FILL [FROM f] [TO t] [STEP s] — CH's grid
+        # filling. The fill applies to the RESULT, so it composes as the
+        # fill_gaps operator over the inner query (integer keys; CH's
+        # DateTime STEP is the same thing over epochs).
+        mfill = _re.search(
+            r"ORDER\s+BY\s+(\w+)\s+WITH\s+FILL"
+            r"(?:\s+FROM\s+(-?\d+))?(?:\s+TO\s+(-?\d+))?(?:\s+STEP\s+(\d+))?\s*;?\s*$",
+            query,
+            _re.IGNORECASE,
+        )
+        if mfill is not None and _re.match(r"\s*(SELECT|WITH)\b", query, _re.IGNORECASE):
+            from clickhousedatamocker_spark.operators.fill import fill_gaps
+
+            key = mfill.group(1)
+            inner = query[: mfill.start()] + f" ORDER BY {key}"
+            df = self._sql_impl(inner)
+            filled = fill_gaps(
+                df,
+                key,
+                step=int(mfill.group(4) or 1),
+                from_val=int(mfill.group(2)) if mfill.group(2) else None,
+                to_val=int(mfill.group(3)) if mfill.group(3) else None,
+            )
+            return filled.orderBy(key)
+
+        # SELECT ... ORDER BY o LIMIT n BY c1[, c2...] — CH's per-group
+        # limit. Requires the ORDER BY (the rewrite's row_number needs a
+        # deterministic order; CH's unordered form is doc-order, which has
+        # no distributed meaning).
+        mlby = _re.search(
+            r"ORDER\s+BY\s+(.+?)\s+LIMIT\s+(\d+)\s+BY\s+([\w\s,]+?)\s*;?\s*$",
+            query,
+            _re.IGNORECASE | _re.DOTALL,
+        )
+        if mlby is not None and _re.match(r"\s*(SELECT|WITH)\b", query, _re.IGNORECASE):
+            order, n, by = mlby.group(1).strip(), int(mlby.group(2)), mlby.group(3).strip()
+            inner = translate_ch_sql(query[: mlby.start()])
+            self.refresh_system_views()
+            return self.spark.sql(
+                f"SELECT * EXCEPT (__rn) FROM (SELECT *, row_number() OVER "
+                f"(PARTITION BY {by} ORDER BY {order}) AS __rn FROM ({inner})) "
+                f"WHERE __rn <= {n} ORDER BY {by}, __rn"
+            )
+        if _re.search(r"\bLIMIT\s+\d+\s+BY\s+\w", query, _re.IGNORECASE):
+            raise NotImplementedError(
+                "LIMIT n BY requires an ORDER BY clause (the per-group limit "
+                "needs a deterministic order; ClickHouse's unordered form is "
+                "document order, which has no distributed meaning)"
+            )
+
         ddl = parse_ch_ddl(query)
         if ddl is not None:
             if ddl["op"] == "create":

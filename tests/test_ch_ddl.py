@@ -838,3 +838,55 @@ def test_skip_index_clauses_accepted(spark, tmp_path):
     assert engine.catalog.get("skips").skip_indexes == d["skip_indexes"]
     rendered = engine.sql("SHOW CREATE TABLE skips").first()["statement"]
     assert parse_ch_ddl(rendered)["skip_indexes"] == d["skip_indexes"]
+
+
+def test_limit_by_and_with_fill_sql_forms(spark, tmp_path):
+    """CH's LIMIT n BY and ORDER BY ... WITH FILL statement forms through
+    Engine.sql, equal to their operator/window equivalents."""
+    from clickhousedatamocker_spark.engine import Engine
+    from clickhousedatamocker_spark.schema import test_local_spec
+    from clickhousedatamocker_spark.sources.generator import BatchGenerator
+    import pytest as _pytest
+
+    engine = Engine(spark, str(tmp_path / "wh"))
+    engine.create_table(test_local_spec())
+    engine.insert(
+        "test_local",
+        BatchGenerator(spark, seed=6, base_time="2026-01-01 12:00:00").batch_with_partition(
+            3000, batch_no=0
+        ),
+    )
+
+    got = engine.sql(
+        "SELECT event_type, id, value FROM test_local "
+        "ORDER BY value DESC, id LIMIT 2 BY event_type"
+    ).collect()
+    assert len(got) == 8  # 4 event types x 2
+    per = {}
+    for r in got:
+        per.setdefault(r["event_type"], []).append((r["value"], r["id"]))
+    want = engine.sql(
+        "SELECT event_type, max(value) AS m FROM test_local GROUP BY event_type"
+    ).collect()
+    maxes = {r["event_type"]: r["m"] for r in want}
+    for et, vals in per.items():
+        assert len(vals) == 2 and vals[0][0] == maxes[et]  # top value per group
+
+    with _pytest.raises(NotImplementedError, match="ORDER BY"):
+        engine.sql("SELECT event_type FROM test_local LIMIT 2 BY event_type")
+
+    # WITH FILL over a sparse status rollup: the grid closes every hole
+    filled = engine.sql(
+        "SELECT status, count() AS n FROM test_local WHERE status < 40 "
+        "GROUP BY status ORDER BY status WITH FILL FROM 0 TO 39"
+    ).collect()
+    assert [r["status"] for r in filled] == list(range(40))
+    n_by_status = {r["status"]: r["n"] for r in filled}
+    sparse = {
+        r["status"]: r["n"]
+        for r in engine.sql(
+            "SELECT status, count() AS n FROM test_local WHERE status < 40 GROUP BY status"
+        ).collect()
+    }
+    for s in range(40):
+        assert n_by_status[s] == sparse.get(s)  # missing grid rows are NULL (CH default)
