@@ -54,6 +54,8 @@ class Engine:
         self._registered_versions: dict[str, object] = {}
         self._materialized_views: dict[str, dict] = {}
         self._query_log: list[tuple] = []
+        self._query_log_version = 0
+        self._query_log_registered_version = -1
         self._catalog_version = 0
         self._introspection_version = -1
         # cluster name -> shard count. The reference's 'default' cluster is
@@ -91,7 +93,10 @@ class Engine:
         kind = (query.strip().split(None, 1) or ["?"])[0].upper()
         self._query_log.append(
             (
-                datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None),
+                # tz-aware: createDataFrame converts the instant correctly
+                # under ANY session timezone (a naive UTC datetime would be
+                # re-interpreted in the session zone and skew)
+                datetime.datetime.now(datetime.timezone.utc),
                 " ".join(query.split())[:1024],
                 kind,
                 round(duration_ms, 3),
@@ -99,12 +104,19 @@ class Engine:
         )
         if len(self._query_log) > self._QUERY_LOG_CAP:
             del self._query_log[: -self._QUERY_LOG_CAP]
+        self._query_log_version += 1
 
     def _register_query_log_view(self) -> None:
+        # version-gated like _register_introspection_views: the monitoring
+        # pair runs once per second, and an ungated rebuild of a full ring
+        # buffer (10k tuples) per statement would eat into that envelope
+        if self._query_log_registered_version == self._query_log_version:
+            return
         self.spark.createDataFrame(
             self._query_log or [],
             "event_time timestamp, query string, query_kind string, duration_ms double",
         ).createOrReplaceTempView("system_query_log")
+        self._query_log_registered_version = self._query_log_version
 
     # -- DDL --------------------------------------------------------------
     def create_table(self, spec: TableSpec, if_not_exists: bool = True) -> TableHandle:
@@ -632,26 +644,30 @@ class Engine:
         # SELECT ... ORDER BY o LIMIT n BY c1[, c2...] — CH's per-group
         # limit. Requires the ORDER BY (the rewrite's row_number needs a
         # deterministic order; CH's unordered form is doc-order, which has
-        # no distributed meaning).
-        mlby = _re.search(
-            r"ORDER\s+BY\s+(.+?)\s+LIMIT\s+(\d+)\s+BY\s+([\w\s,]+?)\s*;?\s*$",
+        # no distributed meaning). The greedy prefix anchors on the LAST
+        # ORDER BY, so subqueries with their own ORDER BY stay intact.
+        mlby = _re.match(
+            r"(?s)(.*)\bORDER\s+BY\s+(.+?)\s+LIMIT\s+(\d+)\s+BY\s+([\w\s,]+?)\s*;?\s*$",
             query,
-            _re.IGNORECASE | _re.DOTALL,
+            _re.IGNORECASE,
         )
         if mlby is not None and _re.match(r"\s*(SELECT|WITH)\b", query, _re.IGNORECASE):
-            order, n, by = mlby.group(1).strip(), int(mlby.group(2)), mlby.group(3).strip()
-            inner = translate_ch_sql(query[: mlby.start()])
+            order, n, by = mlby.group(2).strip(), int(mlby.group(3)), mlby.group(4).strip()
+            inner = translate_ch_sql(mlby.group(1))
             self.refresh_system_views()
+            # final ORDER BY = the query's own (CH applies LIMIT BY to the
+            # sorted stream and keeps that order in the result)
             return self.spark.sql(
                 f"SELECT * EXCEPT (__rn) FROM (SELECT *, row_number() OVER "
                 f"(PARTITION BY {by} ORDER BY {order}) AS __rn FROM ({inner})) "
-                f"WHERE __rn <= {n} ORDER BY {by}, __rn"
+                f"WHERE __rn <= {n} ORDER BY {order}"
             )
         if _re.search(r"\bLIMIT\s+\d+\s+BY\s+\w", query, _re.IGNORECASE):
             raise NotImplementedError(
-                "LIMIT n BY requires an ORDER BY clause (the per-group limit "
-                "needs a deterministic order; ClickHouse's unordered form is "
-                "document order, which has no distributed meaning)"
+                "LIMIT n BY needs the simple form 'ORDER BY <exprs> LIMIT n "
+                "BY <column list>' (an ORDER BY is required — the per-group "
+                "limit needs a deterministic order; ClickHouse's unordered "
+                "form is document order, which has no distributed meaning)"
             )
 
         ddl = parse_ch_ddl(query)
@@ -746,7 +762,6 @@ class Engine:
         as their signed CH types — the documented deviation."""
         h = self.catalog.get(name)
         if h.alias_of:
-            base = self.catalog.get(self.catalog.resolve(name))
             dist = h.distributed or {}
             key = f", {dist['sharding_key']}" if dist.get("sharding_key") else ""
             return (
@@ -763,9 +778,9 @@ class Engine:
             )
         cols = ",\n    ".join(col_lines)
         eng = (h.engine or {}).get("family", "MergeTree")
-        ver = (h.engine or {}).get("version_column")
+        args = (h.engine or {}).get("args") or []
         lines = [f"CREATE TABLE {name}\n(\n    {cols}\n)"]
-        lines.append(f"ENGINE = {eng}({ver})" if ver else f"ENGINE = {eng}()")
+        lines.append(f"ENGINE = {eng}({', '.join(args)})")
         if h.partition_column == "event_hour":
             lines.append("PARTITION BY toYYYYMMDDhh(event_time)")
         order = ", ".join(h.order_columns)

@@ -26,10 +26,17 @@ def fill_gaps(
     fill_values: dict[str, object] | None = None,
 ) -> DataFrame:
     """→ ``df`` plus one row for every missing grid point
-    ``from_val, from_val+step, … <= to_val`` of the integer/long ``key_col``
-    (CH WITH FILL semantics: bounds default to the data's min/max — a
-    2-value driver fetch; absent columns take ``fill_values`` or NULL,
-    where CH renders type defaults).
+    ``from_val, from_val+step, … < to_val`` of the integer/long ``key_col``.
+
+    ClickHouse WITH FILL semantics, exactly:
+    - ``TO`` is EXCLUSIVE (the interval is [FROM, TO)); defaulted bounds
+      come from the data's min/max (max stays included — a 2-value driver
+      fetch), matching CH's fill-from-data behavior.
+    - Source rows are NEVER dropped: keys outside the grid or off the step
+      survive (full outer join with the grid).
+    - ``fill_values`` apply ONLY to synthesized grid rows — a genuine NULL
+      in an original row is data, not a gap (CH fills only inserted rows).
+    - Column order is preserved.
 
     For timestamp grids convert to epoch first (``unix_timestamp``) and
     back after — exactly what CH's DateTime STEP does internally.
@@ -41,18 +48,22 @@ def fill_gaps(
         if bounds["lo"] is None:
             return df  # empty input: nothing to anchor a grid on
         from_val = int(bounds["lo"]) if from_val is None else from_val
-        to_val = int(bounds["hi"]) if to_val is None else to_val
+        to_val = int(bounds["hi"]) + 1 if to_val is None else to_val
     spark = df.sparkSession
-    grid = spark.range(from_val, to_val + 1, step).select(
+    grid = spark.range(from_val, to_val, step).select(
         F.col("id").cast(dict(df.dtypes)[key_col]).alias(key_col)
     )
     fills = fill_values or {}
-    out_cols: list[Column] = [F.col(key_col)]
+    marked = df.withColumn("__present", F.lit(True))
+    joined = grid.join(marked, key_col, "full")
+    synthesized = F.col("__present").isNull()
+    out_cols: list[Column] = []
     for name in df.columns:
         if name == key_col:
+            out_cols.append(F.col(key_col))
             continue
         c = F.col(name)
         if name in fills:
-            c = F.coalesce(c, F.lit(fills[name]))
+            c = F.when(synthesized, F.lit(fills[name])).otherwise(c)
         out_cols.append(c.alias(name))
-    return grid.join(df, key_col, "left").select(*out_cols)
+    return joined.select(*out_cols)

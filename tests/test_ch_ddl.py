@@ -646,6 +646,16 @@ def test_show_create_table_roundtrips(spark, tmp_path):
     d2 = parse_ch_ddl(engine.sql("SHOW CREATE test_distributed").first()["statement"])
     assert d2["op"] == "alias" and d2["of"] == "test_local"
 
+    # engine ARGUMENTS round-trip too (ReplacingMergeTree's version column
+    # changes merge-collapse semantics — it must not render away)
+    engine.sql(
+        "CREATE TABLE rmt (k UInt32, v UInt32, ver UInt64) "
+        "ENGINE = ReplacingMergeTree(ver) ORDER BY (k)"
+    )
+    d3 = parse_ch_ddl(engine.sql("SHOW CREATE TABLE rmt").first()["statement"])
+    assert d3["engine"]["family"] == "ReplacingMergeTree"
+    assert d3["engine"]["args"] == ["ver"]
+
 
 def test_global_join_and_in_modifiers(spark, tmp_path):
     """CH's GLOBAL JOIN / GLOBAL IN force-and-broadcast semantics are the
@@ -875,10 +885,20 @@ def test_limit_by_and_with_fill_sql_forms(spark, tmp_path):
     with _pytest.raises(NotImplementedError, match="ORDER BY"):
         engine.sql("SELECT event_type FROM test_local LIMIT 2 BY event_type")
 
+    # a subquery's own ORDER BY must stay intact (the rewrite anchors on
+    # the LAST ORDER BY)
+    sub = engine.sql(
+        "SELECT * FROM (SELECT event_type, id, value FROM test_local "
+        "ORDER BY value DESC LIMIT 100) x ORDER BY value DESC, id LIMIT 1 BY event_type"
+    ).collect()
+    assert 1 <= len(sub) <= 4
+    assert [r["value"] for r in sub] == sorted((r["value"] for r in sub), reverse=True)
+
     # WITH FILL over a sparse status rollup: the grid closes every hole
+    # (TO is exclusive, as in ClickHouse)
     filled = engine.sql(
         "SELECT status, count() AS n FROM test_local WHERE status < 40 "
-        "GROUP BY status ORDER BY status WITH FILL FROM 0 TO 39"
+        "GROUP BY status ORDER BY status WITH FILL FROM 0 TO 40"
     ).collect()
     assert [r["status"] for r in filled] == list(range(40))
     n_by_status = {r["status"]: r["n"] for r in filled}

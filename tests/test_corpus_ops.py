@@ -318,8 +318,20 @@ SELECT g.bucket, COALESCE(r.n, 0) AS n FROM grid g LEFT JOIN rollup r USING (buc
     # contiguous grid, no holes
     buckets = [b for b, _ in got]
     assert buckets == list(range(buckets[0], buckets[-1] + 1))
-    # explicit bounds extend past the data
+    # explicit bounds extend past the data (TO exclusive: -2..last+1)
     wide = fill_gaps(rollup, "bucket", from_val=-2, to_val=buckets[-1] + 2, fill_values={"n": 0})
-    assert wide.count() == len(buckets) + 4
+    assert wide.count() == len(buckets) + 3
+    # source rows OUTSIDE the grid are never dropped (CH keeps them)
+    narrow = fill_gaps(rollup, "bucket", from_val=0, to_val=2, fill_values={"n": 0})
+    assert narrow.count() == len(buckets)  # grid 0,1 ⊆ data keys; all data kept
+    # fill_values touch ONLY synthesized rows: a genuine NULL survives
+    with_null = rollup.withColumn(
+        "n", F.when(F.col("bucket") == buckets[0], None).otherwise(F.col("n"))
+    )
+    refilled = {
+        r["bucket"]: r["n"]
+        for r in fill_gaps(with_null, "bucket", fill_values={"n": 0}).collect()
+    }
+    assert refilled[buckets[0]] is None  # original NULL is data, not a gap
     # empty input passes through
     assert fill_gaps(rollup.filter("bucket < -99"), "bucket").count() == 0
