@@ -84,6 +84,16 @@ def register_sql_functions(spark: SparkSession) -> None:
         ("toMinute", "(t TIMESTAMP)", "INT", "minute(t)"),
         # CH: 1 = Monday … 7 = Sunday; Spark dayofweek: 1 = Sunday
         ("toDayOfWeek", "(t TIMESTAMP)", "INT", "((dayofweek(t) + 5) % 7) + 1"),
+        ("toMonth", "(t TIMESTAMP)", "INT", "month(t)"),
+        ("toYear", "(t TIMESTAMP)", "INT", "year(t)"),
+        ("toQuarter", "(t TIMESTAMP)", "INT", "quarter(t)"),
+        ("toDayOfMonth", "(t TIMESTAMP)", "INT", "day(t)"),
+        ("toStartOfQuarter", "(t TIMESTAMP)", "DATE", "CAST(date_trunc('quarter', t) AS DATE)"),
+        ("toStartOfYear", "(t TIMESTAMP)", "DATE", "CAST(date_trunc('year', t) AS DATE)"),
+        # CH toMonday == Monday-start week truncation (toStartOfWeek's
+        # default mode 0 is Sunday-start — a different function; toMonday
+        # is the unambiguous spelling, so only it is shimmed)
+        ("toMonday", "(t TIMESTAMP)", "DATE", "CAST(date_trunc('week', t) AS DATE)"),
         ("intDiv", "(a BIGINT, b BIGINT)", "BIGINT", "a div b"),
         ("modulo", "(a BIGINT, b BIGINT)", "BIGINT", "a % b"),
         ("empty", "(s STRING)", "BOOLEAN", "s IS NULL OR length(s) = 0"),

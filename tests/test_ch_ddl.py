@@ -212,6 +212,19 @@ def test_ch_query_dialect_vocabulary(spark, tmp_warehouse):
     # exact above 2^53 — a DOUBLE funnel would round this to ...992
     assert r2["i64_big"] == 9007199254740993
 
+    r3 = engine.sql(
+        "SELECT toMonth(min(event_time)) AS m, toYear(min(event_time)) AS y, "
+        "toQuarter(min(event_time)) AS q, toDayOfMonth(min(event_time)) AS dom, "
+        "toStartOfQuarter(min(event_time)) AS soq, toStartOfYear(min(event_time)) AS soy, "
+        "toMonday(min(event_time)) AS mon FROM test_local"
+    ).first()
+    assert (r3["m"], r3["y"], r3["q"]) == (12, 2025, 4) or (r3["m"], r3["y"], r3["q"]) == (1, 2026, 1)
+    assert str(r3["soq"]) in ("2025-10-01", "2026-01-01")
+    assert str(r3["soy"]) in ("2025-01-01", "2026-01-01")
+    import datetime as _dt
+
+    assert r3["mon"].weekday() == 0  # Monday-start truncation
+
 
 def test_materialized_view_incremental_rollup(spark, tmp_warehouse):
     """CH materialized-view semantics: the SELECT runs per inserted block,
