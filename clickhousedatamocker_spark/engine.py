@@ -311,6 +311,61 @@ class Engine:
         handle = self.catalog.get(self.catalog.resolve(table))
         return self.writer.mutate_delete(self.spark, handle, predicate)
 
+    # -- partition manipulation (CH ALTER ... DROP/DETACH/ATTACH PARTITION)
+    def _partition_dir(self, handle: TableHandle, partition: str) -> tuple[str, str]:
+        if not handle.partition_column:
+            raise NotImplementedError(f"table {handle.name!r} has no partition key")
+        return (
+            os.path.join(handle.path, f"{handle.partition_column}={partition}"),
+            os.path.join(f"{handle.path}.detached", f"{handle.partition_column}={partition}"),
+        )
+
+    def drop_partition(self, table: str, partition: str) -> int:
+        """Remove one partition wholesale — a metadata + directory
+        operation, NOT a rewrite (the whole point of partitioned layouts:
+        retention by partition costs O(files), zero data pass at any
+        scale). Returns the number of parts dropped."""
+        import shutil
+
+        handle = self.catalog.get(self.catalog.resolve(table))
+        part_dir, _ = self._partition_dir(handle, partition)
+        names = self.parts.active_names(handle.name, handle.path, partition)
+        self.parts.retire(handle.name, handle.path, names, forget=True)
+        if os.path.isdir(part_dir):
+            shutil.rmtree(part_dir)
+        self.metrics.incr("PartsMutations")
+        return len(names)
+
+    def detach_partition(self, table: str, partition: str) -> int:
+        """Move one partition's files out of the table (to
+        ``<path>.detached/``) without deleting them — queries stop seeing
+        the rows; ATTACH brings them back. Same O(files) discipline."""
+        import shutil
+
+        handle = self.catalog.get(self.catalog.resolve(table))
+        part_dir, detached_dir = self._partition_dir(handle, partition)
+        names = self.parts.active_names(handle.name, handle.path, partition)
+        self.parts.retire(handle.name, handle.path, names, forget=True)
+        if os.path.isdir(part_dir):
+            os.makedirs(os.path.dirname(detached_dir), exist_ok=True)
+            if os.path.isdir(detached_dir):
+                shutil.rmtree(detached_dir)
+            shutil.move(part_dir, detached_dir)
+        return len(names)
+
+    def attach_partition(self, table: str, partition: str) -> int:
+        """Re-attach a previously detached partition: move the files back
+        and re-register them as active parts."""
+        import shutil
+
+        handle = self.catalog.get(self.catalog.resolve(table))
+        part_dir, detached_dir = self._partition_dir(handle, partition)
+        if not os.path.isdir(detached_dir):
+            raise FileNotFoundError(f"no detached partition {partition!r} for {table!r}")
+        shutil.move(detached_dir, part_dir)
+        new_parts = self.parts.record_commit(handle.name, handle.path, since_ns=None)
+        return len(new_parts)
+
     def update_where(self, table: str, assignments: dict[str, str], predicate: str) -> int:
         """``ALTER TABLE … UPDATE col=expr WHERE predicate`` (synchronous
         mutation; see delete_where). Returns rows updated."""
@@ -715,6 +770,15 @@ class Engine:
             elif ddl["op"] == "mutate_delete":
                 n = self.delete_where(ddl["name"], ddl["predicate"])
                 return self.spark.createDataFrame([(n,)], "rows_deleted bigint")
+            elif ddl["op"] == "drop_partition":
+                n = self.drop_partition(ddl["name"], ddl["partition"])
+                return self.spark.createDataFrame([(n,)], "parts_dropped bigint")
+            elif ddl["op"] == "detach_partition":
+                n = self.detach_partition(ddl["name"], ddl["partition"])
+                return self.spark.createDataFrame([(n,)], "parts_detached bigint")
+            elif ddl["op"] == "attach_partition":
+                n = self.attach_partition(ddl["name"], ddl["partition"])
+                return self.spark.createDataFrame([(n,)], "parts_attached bigint")
             elif ddl["op"] == "mutate_update":
                 n = self.update_where(ddl["name"], ddl["assignments"], ddl["predicate"])
                 return self.spark.createDataFrame([(n,)], "rows_updated bigint")

@@ -297,6 +297,18 @@ def parse_ch_ddl(sql: str) -> dict | None:
         return {"op": "mutate_delete", "name": m.group(1), "predicate": m.group(2).rstrip(";").strip()}
 
     m = re.match(
+        r"ALTER\s+TABLE\s+(\w+)\s+(DROP|DETACH|ATTACH)\s+PARTITION\s+'?([\w-]+)'?\s*;?\s*$",
+        s,
+        re.IGNORECASE,
+    )
+    if m:
+        return {
+            "op": f"{m.group(2).lower()}_partition",
+            "name": m.group(1),
+            "partition": m.group(3),
+        }
+
+    m = re.match(
         r"ALTER\s+TABLE\s+(\w+)\s+UPDATE\s+(.+?)\s+WHERE\s+(.+)$", s, re.IGNORECASE | re.DOTALL
     )
     if m:

@@ -149,17 +149,35 @@ class PartsInventory:
         self._append_log(table_path, [{"op": "add", **p} for p in new_parts])
         return new_parts
 
-    def retire(self, table: str, table_path: str, names: list[str]) -> None:
-        """Mark parts inactive (post-compaction), keeping history like CH."""
+    def retire(
+        self, table: str, table_path: str, names: list[str], forget: bool = False
+    ) -> None:
+        """Mark parts inactive (post-compaction), keeping history like CH.
+
+        ``forget`` also removes the names from the known-file set, so a
+        file with the SAME name can re-register later — the DETACH/ATTACH
+        cycle (without it, record_commit would skip the re-attached files
+        as already known)."""
         names_set = set(names)
         retired = 0
         for part in self._manifest.get(table, []):
             if part["name"] in names_set and part["active"]:
                 part["active"] = False
                 retired += 1
+        if forget:
+            self._known.get(table, set()).difference_update(names_set)
         self._active_counts[table] = self._active_counts.get(table, 0) - retired
         self._bump(table)
         self._append_log(table_path, [{"op": "retire", "names": sorted(names_set)}])
+
+    def active_names(self, table: str, table_path: str, partition: str | None = None) -> list[str]:
+        """Active part names, optionally restricted to one partition value."""
+        self._ensure_loaded(table, table_path)
+        return [
+            p["name"]
+            for p in self._manifest.get(table, [])
+            if p["active"] and (partition is None or p["partition"] == partition)
+        ]
 
     # -- introspection ----------------------------------------------------
     def active_parts_count(self, table: str, table_path: str) -> int:

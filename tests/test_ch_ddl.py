@@ -923,3 +923,62 @@ def test_limit_by_and_with_fill_sql_forms(spark, tmp_path):
     }
     for s in range(40):
         assert n_by_status[s] == sparse.get(s)  # missing grid rows are NULL (CH default)
+
+
+def test_partition_manipulation(spark, tmp_path):
+    """ALTER TABLE ... DROP/DETACH/ATTACH PARTITION: O(files) metadata +
+    directory operations, never a data rewrite. DETACH hides the rows,
+    ATTACH restores them exactly; DROP removes them for good. The parts
+    manifest and the flow-control part counts track every step."""
+    from clickhousedatamocker_spark.engine import Engine
+    from clickhousedatamocker_spark.schema import test_local_spec
+    from clickhousedatamocker_spark.sources.generator import BatchGenerator
+
+    engine = Engine(spark, str(tmp_path / "wh"))
+    engine.create_table(test_local_spec())
+    engine.insert(
+        "test_local",
+        BatchGenerator(spark, seed=4, base_time="2026-01-01 12:00:00").batch_with_partition(
+            5000, batch_no=0
+        ),
+    )
+    total = engine.sql("SELECT count() AS n FROM test_local").first()["n"]
+    assert total == 5000
+    # pick the largest partition
+    top = engine.sql(
+        "SELECT partition, count() AS parts FROM system_parts "
+        "WHERE table = 'test_local' AND active GROUP BY partition ORDER BY partition LIMIT 1"
+    ).first()
+    pval = top["partition"]
+    in_part = engine.sql(
+        f"SELECT count() AS n FROM test_local WHERE event_hour = {pval}"
+    ).first()["n"]
+    assert in_part > 0
+
+    n_det = engine.sql(f"ALTER TABLE test_local DETACH PARTITION '{pval}'").first()[
+        "parts_detached"
+    ]
+    assert n_det == top["parts"]
+    assert (
+        engine.sql("SELECT count() AS n FROM test_local").first()["n"] == total - in_part
+    )
+
+    n_att = engine.sql(f"ALTER TABLE test_local ATTACH PARTITION '{pval}'").first()[
+        "parts_attached"
+    ]
+    assert n_att == n_det
+    assert engine.sql("SELECT count() AS n FROM test_local").first()["n"] == total
+
+    n_drop = engine.sql(f"ALTER TABLE test_local DROP PARTITION '{pval}'").first()[
+        "parts_dropped"
+    ]
+    assert n_drop == n_det
+    assert (
+        engine.sql("SELECT count() AS n FROM test_local").first()["n"] == total - in_part
+    )
+    # dropped partition's parts are inactive in the manifest (history kept)
+    active = engine.sql(
+        f"SELECT count() AS n FROM system_parts WHERE table = 'test_local' "
+        f"AND partition = '{pval}' AND active"
+    ).first()["n"]
+    assert active == 0
