@@ -61,6 +61,24 @@ _REWRITES = [
     # dateDiff('unit', a, b) → timestampdiff(UNIT, a, b): the unit moves
     # from a string literal to a keyword, so it must be a text rewrite
     (re.compile(r"\bdateDiff\(\s*'(\w+)'\s*,", re.IGNORECASE), r"timestampdiff(\1,"),
+    # toStartOfInterval(t, INTERVAL n SECOND|MINUTE|HOUR|DAY) — CH's generic
+    # time bucketing: floor the epoch to the bucket width (what CH does
+    # internally for these units; month+ units are calendar-based and stay
+    # with the dedicated toStartOfMonth/Quarter/Year shims)
+    (
+        re.compile(
+            r"\btoStartOfInterval\(\s*((?:[^(),]|\([^()]*\))+?)\s*,\s*"
+            r"INTERVAL\s+(\d+)\s+(SECOND|MINUTE|HOUR|DAY)\s*\)",
+            re.IGNORECASE,
+        ),
+        lambda m: (
+            "timestamp_seconds((unix_timestamp({t}) div {w}) * {w})".format(
+                t=m.group(1),
+                w=int(m.group(2))
+                * {"SECOND": 1, "MINUTE": 60, "HOUR": 3600, "DAY": 86400}[m.group(3).upper()],
+            )
+        ),
+    ),
     # dictGet('dict', 'attr', key) → correlated scalar subquery over the
     # registered dict_<name> view (Engine.create_dictionary). Catalyst
     # decorrelates it into a join — broadcast for small dictionaries, the

@@ -124,6 +124,19 @@ def register_sql_functions(spark: SparkSession) -> None:
         # intermediate: exact for the whole int64 range (a DOUBLE funnel
         # would silently round ints above 2^53) while still truncating
         # fractional inputs like CH does.
+        # formatDateTime: CH %-tokens -> Java pattern letters for the common
+        # subset (%Y %m %d %H %M %S %F); %M (minute) replaces before %m
+        # (month) — the inserted pattern letters contain no '%', so the
+        # chain cannot re-match. Tokens outside the subset pass through and
+        # will surface as Java pattern errors rather than silent wrongness.
+        (
+            "formatDateTime",
+            "(t TIMESTAMP, f STRING)",
+            "STRING",
+            "date_format(t, replace(replace(replace(replace(replace(replace(f, "
+            "'%Y', 'yyyy'), '%M', 'mm'), '%m', 'MM'), '%d', 'dd'), '%H', 'HH'), "
+            "'%S', 'ss'))",
+        ),
         ("toInt64", "(x STRING)", "BIGINT", "CAST(CAST(x AS DECIMAL(38,9)) AS BIGINT)"),
         ("toInt32", "(x STRING)", "INT", "CAST(CAST(x AS DECIMAL(38,9)) AS INT)"),
         ("toFloat64", "(x STRING)", "DOUBLE", "CAST(x AS DOUBLE)"),

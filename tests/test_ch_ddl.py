@@ -225,6 +225,15 @@ def test_ch_query_dialect_vocabulary(spark, tmp_warehouse):
 
     assert r3["mon"].weekday() == 0  # Monday-start truncation
 
+    r4 = engine.sql(
+        "SELECT formatDateTime(min(event_time), '%Y-%m-%d %H:%M:%S') AS fmt, "
+        "toStartOfInterval(min(event_time), INTERVAL 15 MINUTE) AS bucket15, "
+        "min(event_time) AS t FROM test_local"
+    ).first()
+    assert r4["fmt"] == r4["t"].strftime("%Y-%m-%d %H:%M:%S")
+    assert r4["bucket15"].minute % 15 == 0 and r4["bucket15"] <= r4["t"]
+    assert (r4["t"] - r4["bucket15"]).total_seconds() < 900
+
 
 def test_materialized_view_incremental_rollup(spark, tmp_warehouse):
     """CH materialized-view semantics: the SELECT runs per inserted block,
