@@ -106,6 +106,28 @@ class Engine:
             del self._query_log[: -self._QUERY_LOG_CAP]
         self._query_log_version += 1
 
+    def _register_detached_parts_view(self, tables: dict[str, str]) -> None:
+        """``system.detached_parts`` analog: one row per parquet file under
+        each table's ``<path>.detached/`` area (populated by
+        detach_partition, consumed by ATTACH). Metadata-sized — a directory
+        listing, no data read."""
+        rows = []
+        for table, path in tables.items():
+            droot = f"{path}.detached"
+            if not os.path.isdir(droot):
+                continue
+            for pdir in sorted(os.listdir(droot)):
+                full = os.path.join(droot, pdir)
+                if not os.path.isdir(full) or "=" not in pdir:
+                    continue
+                pval = pdir.split("=", 1)[1]
+                for fname in sorted(os.listdir(full)):
+                    if fname.endswith(".parquet"):
+                        rows.append((self.catalog.database, table, pval, f"{pdir}/{fname}"))
+        self.spark.createDataFrame(
+            rows, "database string, table string, partition string, name string"
+        ).createOrReplaceTempView("system_detached_parts")
+
     def _register_query_log_view(self) -> None:
         # version-gated like _register_introspection_views: the monitoring
         # pair runs once per second, and an ungated rebuild of a full ring
@@ -429,6 +451,7 @@ class Engine:
         }
         self.parts.to_df(self.spark, tables).createOrReplaceTempView("system_parts")
         self.metrics.to_df(self.spark).createOrReplaceTempView("system_metrics")
+        self._register_detached_parts_view(tables)
         self._register_query_log_view()
         self._register_introspection_views()
         for name in self.catalog.list_tables():

@@ -971,10 +971,17 @@ def test_partition_manipulation(spark, tmp_path):
     assert (
         engine.sql("SELECT count() AS n FROM test_local").first()["n"] == total - in_part
     )
+    # the detached files are visible in system.detached_parts (CH parity)
+    det = engine.sql(
+        "SELECT partition, count() AS n FROM system.detached_parts "
+        "WHERE table = 'test_local' GROUP BY partition"
+    ).collect()
+    assert len(det) == 1 and det[0]["partition"] == pval and det[0]["n"] == n_det
 
     n_att = engine.sql(f"ALTER TABLE test_local ATTACH PARTITION '{pval}'").first()[
         "parts_attached"
     ]
+    assert engine.sql("SELECT count() AS n FROM system.detached_parts").first()["n"] == 0
     assert n_att == n_det
     assert engine.sql("SELECT count() AS n FROM test_local").first()["n"] == total
 
