@@ -409,13 +409,15 @@ class Engine:
             now = datetime.datetime.now().strftime("%Y-%m-%d %H:%M:%S")
         return self.delete_where(table, f"({handle.ttl}) < TIMESTAMP '{now}'")
 
-    def optimize(self, table: str, now: str | None = None) -> int:
+    def optimize(self, table: str, now: str | None = None, deduplicate: bool = False) -> int:
         """Background-merge equivalent; like ClickHouse, OPTIMIZE also
-        applies the table's TTL eviction before compacting."""
+        applies the table's TTL eviction before compacting.
+        ``deduplicate``: OPTIMIZE … DEDUPLICATE (partition-local exact-row
+        dedup during the merge rewrite)."""
         handle = self.catalog.get(self.catalog.resolve(table))
         if handle.ttl:
             self.apply_ttl(table, now=now)
-        return self.writer.optimize(self.spark, handle)
+        return self.writer.optimize(self.spark, handle, deduplicate=deduplicate)
 
     def read_table(self, table: str) -> DataFrame:
         if self._distributed_spec(table) is not None:
@@ -806,7 +808,7 @@ class Engine:
                 n = self.update_where(ddl["name"], ddl["assignments"], ddl["predicate"])
                 return self.spark.createDataFrame([(n,)], "rows_updated bigint")
             elif ddl["op"] == "optimize":
-                n = self.optimize(ddl["name"])
+                n = self.optimize(ddl["name"], deduplicate=ddl.get("deduplicate", False))
                 return self.spark.createDataFrame([(n,)], "parts_merged bigint")
             elif ddl["op"] == "truncate":
                 if self.catalog.exists(ddl["name"]) or not ddl["if_exists"]:

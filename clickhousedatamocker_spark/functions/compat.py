@@ -342,9 +342,11 @@ def parse_ch_ddl(sql: str) -> dict | None:
             "predicate": m.group(3).rstrip(";").strip(),
         }
 
-    m = re.match(r"OPTIMIZE\s+TABLE\s+(\w+)(\s+FINAL)?\s*;?\s*$", s, re.IGNORECASE)
+    m = re.match(
+        r"OPTIMIZE\s+TABLE\s+(\w+)(\s+FINAL)?(\s+DEDUPLICATE)?\s*;?\s*$", s, re.IGNORECASE
+    )
     if m:
-        return {"op": "optimize", "name": m.group(1)}
+        return {"op": "optimize", "name": m.group(1), "deduplicate": bool(m.group(3))}
 
     m = re.match(r"TRUNCATE\s+TABLE\s+(IF\s+EXISTS\s+)?(\w+)\s*;?\s*$", s, re.IGNORECASE)
     if m:

@@ -333,10 +333,15 @@ class Writer:
             self.metrics.set("PartsCommitted", self.parts.active_parts_count(table, handle.path))
         return updated
 
-    def optimize(self, spark, handle: TableHandle) -> int:
+    def optimize(self, spark, handle: TableHandle, deduplicate: bool = False) -> int:
         """Compact each partition's parts into one (≈ CH background merge /
         OPTIMIZE TABLE). Old parts are retired (active=false) in the manifest
         and their files removed. Returns number of partitions compacted.
+
+        ``deduplicate``: CH's ``OPTIMIZE … DEDUPLICATE`` — drop fully
+        identical rows during the merge rewrite (all columns compared, like
+        CH's default column list). Partition-local like the merge itself:
+        CH deduplicates within the merging parts, never across partitions.
         """
         import os
         import shutil
@@ -352,14 +357,17 @@ class Writer:
         compacted = 0
         for partition, plist in by_partition.items():
             # plain MergeTree: single-part partitions need no merge; the
-            # collapsing families must still process them (duplicates can
-            # live INSIDE one part — CH's OPTIMIZE FINAL does the same)
-            if len(plist) < 2 and family == "MergeTree":
+            # collapsing families (and DEDUPLICATE) must still process them
+            # (duplicates can live INSIDE one part — CH's OPTIMIZE FINAL
+            # does the same)
+            if len(plist) < 2 and family == "MergeTree" and not deduplicate:
                 continue
             part_dir = os.path.join(handle.path, f"{handle.partition_column}={partition}")
             staging = part_dir + ".compact.tmp"
             merged = spark.read.schema(handle.schema).parquet(part_dir)
             merged = _merge_collapse(merged, handle, family)
+            if deduplicate:
+                merged = merged.dropDuplicates()
             (
                 merged.sortWithinPartitions(*handle.order_columns)
                 .coalesce(1)

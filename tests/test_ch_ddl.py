@@ -998,3 +998,32 @@ def test_partition_manipulation(spark, tmp_path):
         f"AND partition = '{pval}' AND active"
     ).first()["n"]
     assert active == 0
+
+
+def test_optimize_deduplicate(spark, tmp_path):
+    """OPTIMIZE TABLE ... DEDUPLICATE: exact duplicate rows collapse during
+    the merge rewrite — partition-local, like CH (duplicates across
+    partitions are different rows by definition of the partition key)."""
+    from clickhousedatamocker_spark.engine import Engine
+    from clickhousedatamocker_spark.schema import test_local_spec
+    from clickhousedatamocker_spark.sources.generator import BatchGenerator
+
+    engine = Engine(spark, str(tmp_path / "wh"))
+    engine.create_table(test_local_spec())
+    gen = BatchGenerator(spark, seed=12, base_time="2026-01-01 12:00:00")
+    batch = gen.batch_with_partition(2000, batch_no=0)
+    engine.insert("test_local", batch)
+    engine.insert("test_local", batch)  # exact duplicate of every row
+    assert engine.sql("SELECT count() AS n FROM test_local").first()["n"] == 4000
+
+    # plain OPTIMIZE keeps duplicates (they are real rows to MergeTree)
+    engine.sql("OPTIMIZE TABLE test_local FINAL")
+    assert engine.sql("SELECT count() AS n FROM test_local").first()["n"] == 4000
+
+    engine.sql("OPTIMIZE TABLE test_local FINAL DEDUPLICATE")
+    assert engine.sql("SELECT count() AS n FROM test_local").first()["n"] == 2000
+    # and the result is exactly the distinct original batch
+    assert (
+        engine.sql("SELECT count() AS n FROM (SELECT DISTINCT * FROM test_local)").first()["n"]
+        == 2000
+    )
