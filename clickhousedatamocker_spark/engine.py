@@ -814,6 +814,14 @@ class Engine:
                 if self.catalog.exists(ddl["name"]) or not ddl["if_exists"]:
                     n = self.delete_where(ddl["name"], "true")
                     return self.spark.createDataFrame([(n,)], "rows_deleted bigint")
+            elif ddl["op"] == "rename":
+                self.catalog.rename_table(ddl["name"], ddl["to"])
+                self._catalog_version += 1
+                self._registered_versions.pop(ddl["name"], None)
+                try:
+                    self.spark.catalog.dropTempView(ddl["name"])
+                except Exception:
+                    pass  # never registered (empty table) — nothing to drop
             elif ddl["op"] == "show_create":
                 return self.spark.createDataFrame(
                     [(self._render_create_ddl(ddl["name"]),)], "statement string"

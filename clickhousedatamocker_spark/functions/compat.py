@@ -352,6 +352,10 @@ def parse_ch_ddl(sql: str) -> dict | None:
     if m:
         return {"op": "truncate", "name": m.group(2), "if_exists": bool(m.group(1))}
 
+    m = re.match(r"RENAME\s+TABLE\s+(\w+)\s+TO\s+(\w+)\s*;?\s*$", s, re.IGNORECASE)
+    if m:
+        return {"op": "rename", "name": m.group(1), "to": m.group(2)}
+
     m = re.match(r"SHOW\s+CREATE\s+(?:TABLE\s+)?(\w+)\s*;?\s*$", s, re.IGNORECASE)
     if m:
         return {"op": "show_create", "name": m.group(1)}

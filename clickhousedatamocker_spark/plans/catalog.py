@@ -112,6 +112,23 @@ class Catalog:
         self._write_meta(name, meta)
         return self.get(name)
 
+    def rename_table(self, name: str, new_name: str) -> None:
+        """RENAME TABLE name TO new_name: a metadata + directory move —
+        like CH, an O(1) catalog operation, never a data copy. Aliases
+        pointing AT the renamed table are not chased (CH's RENAME leaves
+        Distributed wrappers dangling too)."""
+        if not self.exists(name):
+            raise TableNotFoundError(name)
+        if self.exists(new_name):
+            raise ValueError(f"table {new_name} already exists")
+        meta = self._read_meta(name)
+        meta["name"] = new_name
+        old_path, new_path = self.table_path(name), self.table_path(new_name)
+        if os.path.isdir(old_path):
+            shutil.move(old_path, new_path)
+        self._write_meta(new_name, meta)
+        os.remove(self._meta_path(name))
+
     def drop_table(self, name: str, if_exists: bool = True) -> None:
         if not self.exists(name):
             if if_exists:

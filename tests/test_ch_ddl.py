@@ -1027,3 +1027,30 @@ def test_optimize_deduplicate(spark, tmp_path):
         engine.sql("SELECT count() AS n FROM (SELECT DISTINCT * FROM test_local)").first()["n"]
         == 2000
     )
+
+
+def test_rename_table(spark, tmp_path):
+    """RENAME TABLE: O(1) metadata + directory move; data and parts
+    manifest travel with the directory, the old name is gone."""
+    from clickhousedatamocker_spark.engine import Engine
+    from clickhousedatamocker_spark.schema import test_local_spec
+    from clickhousedatamocker_spark.sources.generator import BatchGenerator
+    import pytest as _pytest
+
+    engine = Engine(spark, str(tmp_path / "wh"))
+    engine.create_table(test_local_spec())
+    engine.insert(
+        "test_local",
+        BatchGenerator(spark, seed=2, base_time="2026-01-01 12:00:00").batch_with_partition(
+            2000, batch_no=0
+        ),
+    )
+    engine.sql("RENAME TABLE test_local TO events_renamed")
+    assert not engine.catalog.exists("test_local")
+    assert engine.sql("SELECT count() AS n FROM events_renamed").first()["n"] == 2000
+    # parts manifest traveled with the directory
+    assert engine.sql(
+        "SELECT count() AS n FROM system_parts WHERE table = 'events_renamed' AND active"
+    ).first()["n"] == 24
+    with _pytest.raises(Exception):
+        engine.sql("SELECT count() FROM test_local").collect()
