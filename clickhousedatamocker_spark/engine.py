@@ -56,6 +56,8 @@ class Engine:
         self._query_log: list[tuple] = []
         self._query_log_version = 0
         self._query_log_registered_version = -1
+        self._detached_version = 0
+        self._detached_registered_version = -1
         self._catalog_version = 0
         self._introspection_version = -1
         # cluster name -> shard count. The reference's 'default' cluster is
@@ -110,7 +112,11 @@ class Engine:
         """``system.detached_parts`` analog: one row per parquet file under
         each table's ``<path>.detached/`` area (populated by
         detach_partition, consumed by ATTACH). Metadata-sized — a directory
-        listing, no data read."""
+        listing, no data read. Version-gated on detach/attach activity and
+        built on ONE slice, like the other metadata views: this runs inside
+        the 1 Hz monitoring refresh and is almost always empty/unchanged."""
+        if self._detached_registered_version == self._detached_version:
+            return
         rows = []
         for table, path in tables.items():
             droot = f"{path}.detached"
@@ -124,9 +130,11 @@ class Engine:
                 for fname in sorted(os.listdir(full)):
                     if fname.endswith(".parquet"):
                         rows.append((self.catalog.database, table, pval, f"{pdir}/{fname}"))
+        schema = "database string, table string, partition string, name string"
         self.spark.createDataFrame(
-            rows, "database string, table string, partition string, name string"
+            self.spark.sparkContext.parallelize(rows, 1) if rows else [], schema
         ).createOrReplaceTempView("system_detached_parts")
+        self._detached_registered_version = self._detached_version
 
     def _register_query_log_view(self) -> None:
         # version-gated like _register_introspection_views: the monitoring
@@ -358,33 +366,54 @@ class Engine:
         self.metrics.incr("PartsMutations")
         return len(names)
 
+    @staticmethod
+    def _move_files_merging(src_dir: str, dst_dir: str, tag: str) -> int:
+        """Move every file from src_dir into dst_dir, renaming on collision
+        (``<tag>_<i>_<name>``) — NEVER deleting anything at either end.
+        Both repeat-DETACH (a detached copy already exists) and ATTACH onto
+        a re-created partition merge file sets, like CH's suffixing of
+        detached part names. Returns files moved; removes the emptied
+        src_dir."""
+        import shutil
+
+        os.makedirs(dst_dir, exist_ok=True)
+        moved = 0
+        for i, fname in enumerate(sorted(os.listdir(src_dir))):
+            src = os.path.join(src_dir, fname)
+            dst = os.path.join(dst_dir, fname)
+            if os.path.exists(dst):
+                dst = os.path.join(dst_dir, f"{tag}_{i}_{fname}")
+            shutil.move(src, dst)
+            moved += 1
+        os.rmdir(src_dir)
+        return moved
+
     def detach_partition(self, table: str, partition: str) -> int:
         """Move one partition's files out of the table (to
         ``<path>.detached/``) without deleting them — queries stop seeing
-        the rows; ATTACH brings them back. Same O(files) discipline."""
-        import shutil
-
+        the rows; ATTACH brings them back. Same O(files) discipline.
+        Detaching the same partition twice MERGES the file sets (rename on
+        collision) — earlier detached data is never destroyed."""
         handle = self.catalog.get(self.catalog.resolve(table))
         part_dir, detached_dir = self._partition_dir(handle, partition)
         names = self.parts.active_names(handle.name, handle.path, partition)
         self.parts.retire(handle.name, handle.path, names, forget=True)
         if os.path.isdir(part_dir):
-            os.makedirs(os.path.dirname(detached_dir), exist_ok=True)
-            if os.path.isdir(detached_dir):
-                shutil.rmtree(detached_dir)
-            shutil.move(part_dir, detached_dir)
+            self._move_files_merging(part_dir, detached_dir, "detached")
+        self._detached_version += 1
         return len(names)
 
     def attach_partition(self, table: str, partition: str) -> int:
         """Re-attach a previously detached partition: move the files back
-        and re-register them as active parts."""
-        import shutil
-
+        and re-register them as active parts. If the partition was
+        re-created after the DETACH (new inserts), the file sets MERGE —
+        never a nested directory, never an overwrite."""
         handle = self.catalog.get(self.catalog.resolve(table))
         part_dir, detached_dir = self._partition_dir(handle, partition)
         if not os.path.isdir(detached_dir):
             raise FileNotFoundError(f"no detached partition {partition!r} for {table!r}")
-        shutil.move(detached_dir, part_dir)
+        self._move_files_merging(detached_dir, part_dir, "attached")
+        self._detached_version += 1
         new_parts = self.parts.record_commit(handle.name, handle.path, since_ns=None)
         return len(new_parts)
 
@@ -818,6 +847,11 @@ class Engine:
                 self.catalog.rename_table(ddl["name"], ddl["to"])
                 self._catalog_version += 1
                 self._registered_versions.pop(ddl["name"], None)
+                # in-memory parts state is keyed by name: evict BOTH names so
+                # each reloads from the (moved) on-disk manifest log
+                self.parts.evict(ddl["name"])
+                self.parts.evict(ddl["to"])
+                self._detached_version += 1  # .detached area moved too
                 try:
                     self.spark.catalog.dropTempView(ddl["name"])
                 except Exception:

@@ -63,9 +63,14 @@ _REWRITES = [
     # from a string literal to a keyword, so it must be a text rewrite
     (re.compile(r"\bdateDiff\(\s*'(\w+)'\s*,", re.IGNORECASE), r"timestampdiff(\1,"),
     # toStartOfInterval(t, INTERVAL n SECOND|MINUTE|HOUR|DAY) — CH's generic
-    # time bucketing: floor the epoch to the bucket width (what CH does
-    # internally for these units; month+ units are calendar-based and stay
-    # with the dedicated toStartOfMonth/Quarter/Year shims)
+    # time bucketing: FLOOR the epoch to the bucket width (floor, not `div`:
+    # integer div truncates toward zero, which would bucket pre-1970
+    # timestamps FORWARD; epochs < 2^53 make the double floor exact). What
+    # CH does internally for these units; month+ units are calendar-based
+    # and stay with the dedicated toStartOfMonth/Quarter/Year shims.
+    # Documented deviation: buckets are UTC-epoch-aligned; CH aligns HOUR/
+    # DAY to the server timezone (identical under this engine's pinned-UTC
+    # sessions, shifted for fractional-offset zones like Asia/Kolkata).
     (
         re.compile(
             r"\btoStartOfInterval\(\s*((?:[^(),]|\([^()]*\))+?)\s*,\s*"
@@ -73,7 +78,7 @@ _REWRITES = [
             re.IGNORECASE,
         ),
         lambda m: (
-            "timestamp_seconds((unix_timestamp({t}) div {w}) * {w})".format(
+            "timestamp_seconds(CAST(floor(unix_timestamp({t}) / {w}.0) AS BIGINT) * {w})".format(
                 t=m.group(1),
                 w=int(m.group(2))
                 * {"SECOND": 1, "MINUTE": 60, "HOUR": 3600, "DAY": 86400}[m.group(3).upper()],

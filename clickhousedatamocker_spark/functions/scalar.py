@@ -125,17 +125,21 @@ def register_sql_functions(spark: SparkSession) -> None:
         # would silently round ints above 2^53) while still truncating
         # fractional inputs like CH does.
         # formatDateTime: CH %-tokens -> Java pattern letters for the common
-        # subset (%Y %m %d %H %M %S %F); %M (minute) replaces before %m
-        # (month) — the inserted pattern letters contain no '%', so the
-        # chain cannot re-match. Tokens outside the subset pass through and
-        # will surface as Java pattern errors rather than silent wrongness.
+        # subset (%% %F %Y %m %d %H %M %S). Order matters: %% escapes first
+        # (to a Java-quoted literal percent), %F (ISO date) before %Y/%m/%d
+        # it expands into, %M (minute) before %m (month) — inserted pattern
+        # letters contain no '%', so the chain cannot re-match. Tokens
+        # outside the subset pass through and surface as Java pattern
+        # errors rather than silent wrongness.
         (
             "formatDateTime",
             "(t TIMESTAMP, f STRING)",
             "STRING",
-            "date_format(t, replace(replace(replace(replace(replace(replace(f, "
-            "'%Y', 'yyyy'), '%M', 'mm'), '%m', 'MM'), '%d', 'dd'), '%H', 'HH'), "
-            "'%S', 'ss'))",
+            "date_format(t, replace(replace(replace(replace(replace(replace("
+            "replace(replace(f, "
+            "'%%', concat(char(39), '%', char(39))), '%F', 'yyyy-MM-dd'), "
+            "'%Y', 'yyyy'), '%M', 'mm'), '%m', 'MM'), '%d', 'dd'), "
+            "'%H', 'HH'), '%S', 'ss'))",
         ),
         ("toInt64", "(x STRING)", "BIGINT", "CAST(CAST(x AS DECIMAL(38,9)) AS BIGINT)"),
         ("toInt32", "(x STRING)", "INT", "CAST(CAST(x AS DECIMAL(38,9)) AS INT)"),

@@ -126,6 +126,10 @@ class Catalog:
         old_path, new_path = self.table_path(name), self.table_path(new_name)
         if os.path.isdir(old_path):
             shutil.move(old_path, new_path)
+        # the detached-partition area travels too — otherwise DETACHed data
+        # would be orphaned under the old name, unreachable by ATTACH
+        if os.path.isdir(f"{old_path}.detached"):
+            shutil.move(f"{old_path}.detached", f"{new_path}.detached")
         self._write_meta(new_name, meta)
         os.remove(self._meta_path(name))
 

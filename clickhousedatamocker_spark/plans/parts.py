@@ -170,6 +170,18 @@ class PartsInventory:
         self._bump(table)
         self._append_log(table_path, [{"op": "retire", "names": sorted(names_set)}])
 
+    def evict(self, table: str) -> None:
+        """Drop the in-memory state for a table name (RENAME/DROP paths):
+        the on-disk manifest log travels with the table directory, so the
+        next access under either name reloads from the right place. Without
+        this, a table RE-CREATED under a renamed-away name would inherit
+        the old in-memory parts history — phantom active-part counts that
+        trip flow control on an empty table."""
+        self._manifest.pop(table, None)
+        self._known.pop(table, None)
+        self._active_counts.pop(table, None)
+        self._bump(table)
+
     def active_names(self, table: str, table_path: str, partition: str | None = None) -> list[str]:
         """Active part names, optionally restricted to one partition value."""
         self._ensure_loaded(table, table_path)

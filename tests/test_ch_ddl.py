@@ -227,12 +227,19 @@ def test_ch_query_dialect_vocabulary(spark, tmp_warehouse):
 
     r4 = engine.sql(
         "SELECT formatDateTime(min(event_time), '%Y-%m-%d %H:%M:%S') AS fmt, "
+        "formatDateTime(min(event_time), '%F') AS iso, "
+        "formatDateTime(min(event_time), '100%%') AS pct, "
         "toStartOfInterval(min(event_time), INTERVAL 15 MINUTE) AS bucket15, "
+        "toStartOfInterval(TIMESTAMP '1969-12-31 23:00:00', INTERVAL 1 DAY) AS pre_epoch, "
         "min(event_time) AS t FROM test_local"
     ).first()
     assert r4["fmt"] == r4["t"].strftime("%Y-%m-%d %H:%M:%S")
+    assert r4["iso"] == r4["t"].strftime("%Y-%m-%d")
+    assert r4["pct"] == "100%"
     assert r4["bucket15"].minute % 15 == 0 and r4["bucket15"] <= r4["t"]
     assert (r4["t"] - r4["bucket15"]).total_seconds() < 900
+    # FLOOR, not truncation: a pre-1970 timestamp buckets BACKWARD
+    assert r4["pre_epoch"].strftime("%Y-%m-%d %H:%M") == "1969-12-31 00:00"
 
 
 def test_materialized_view_incremental_rollup(spark, tmp_warehouse):
@@ -985,12 +992,31 @@ def test_partition_manipulation(spark, tmp_path):
     assert n_att == n_det
     assert engine.sql("SELECT count() AS n FROM test_local").first()["n"] == total
 
+    # DETACH again after NEW inserts into the same partition: the earlier
+    # and later detached file sets MERGE — nothing is ever rmtree'd away —
+    # and ATTACH onto a re-created partition merges back (no nesting)
+    engine.sql(f"ALTER TABLE test_local DETACH PARTITION '{pval}'")
+    engine.insert(
+        "test_local",
+        BatchGenerator(spark, seed=4, base_time="2026-01-01 12:00:00").batch_with_partition(
+            5000, batch_no=1
+        ),
+    )
+    mid_total = engine.sql("SELECT count() AS n FROM test_local").first()["n"]
+    engine.sql(f"ALTER TABLE test_local DETACH PARTITION '{pval}'")  # merges sets
+    engine.sql(f"ALTER TABLE test_local ATTACH PARTITION '{pval}'")
+    assert (
+        engine.sql("SELECT count() AS n FROM test_local").first()["n"]
+        == mid_total + in_part  # both detached batches came back
+    )
+
     n_drop = engine.sql(f"ALTER TABLE test_local DROP PARTITION '{pval}'").first()[
         "parts_dropped"
     ]
-    assert n_drop == n_det
+    assert n_drop >= n_det
     assert (
-        engine.sql("SELECT count() AS n FROM test_local").first()["n"] == total - in_part
+        engine.sql(f"SELECT count() AS n FROM test_local WHERE event_hour = {pval}").first()["n"]
+        == 0
     )
     # dropped partition's parts are inactive in the manifest (history kept)
     active = engine.sql(
