@@ -335,3 +335,27 @@ SELECT g.bucket, COALESCE(r.n, 0) AS n FROM grid g LEFT JOIN rollup r USING (buc
     assert refilled[buckets[0]] is None  # original NULL is data, not a gap
     # empty input passes through
     assert fill_gaps(rollup.filter("bucket < -99"), "bucket").count() == 0
+
+
+def test_fill_gaps_timestamp_grid_recipe(spark):
+    """The docstring's timestamp recipe (epoch in, timestamp out) yields a
+    gap-free hourly series with original rows intact."""
+    from clickhousedatamocker_spark.operators.fill import fill_gaps
+
+    rows = [("2026-01-01 00:10:00", 5), ("2026-01-01 03:40:00", 7), ("2026-01-01 06:05:00", 2)]
+    hourly = (
+        spark.createDataFrame(rows, ["ts", "n"])
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withColumn("epoch_h", (F.unix_timestamp(F.date_trunc("hour", "ts")) / 3600).cast("long"))
+        .groupBy("epoch_h")
+        .agg(F.sum("n").alias("n"))
+    )
+    filled = fill_gaps(hourly, "epoch_h", fill_values={"n": 0}).withColumn(
+        "hour", F.timestamp_seconds(F.col("epoch_h") * 3600)
+    )
+    got = sorted((str(r["hour"]), r["n"]) for r in filled.collect())
+    assert len(got) == 7  # 00:00 .. 06:00 inclusive (bounds from data)
+    assert got[0] == ("2026-01-01 00:00:00", 5)
+    assert got[3] == ("2026-01-01 03:00:00", 7)
+    assert got[6] == ("2026-01-01 06:00:00", 2)
+    assert all(n == 0 for h, n in got if h not in ("2026-01-01 00:00:00", "2026-01-01 03:00:00", "2026-01-01 06:00:00"))
