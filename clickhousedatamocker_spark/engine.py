@@ -160,7 +160,30 @@ class Engine:
     def drop_table(self, name: str, if_exists: bool = True) -> None:
         self._materialized_views.pop(name, None)
         self._catalog_version += 1
+        # Capture the data path BEFORE the catalog forgets the table: the
+        # detached area is a sibling dir the catalog's drop doesn't know
+        # about, and leaving it behind lets a later CREATE + ATTACH of the
+        # same name adopt the dropped table's data (CH removes detached/
+        # with the table).
+        existed = self.catalog.exists(name)
+        path = self.catalog.table_path(name) if existed else None
         self.catalog.drop_table(name, if_exists)
+        if not existed:
+            return
+        import shutil
+
+        if os.path.isdir(f"{path}.detached"):
+            shutil.rmtree(f"{path}.detached")
+            self._detached_version += 1
+        # in-memory parts state and the registered temp view are keyed by
+        # name: evict both so a re-CREATE of the same name starts clean
+        # instead of inheriting phantom active-part counts / a stale view
+        self.parts.evict(name)
+        self._registered_versions.pop(name, None)
+        try:
+            self.spark.catalog.dropTempView(name)
+        except Exception:
+            pass  # never registered (empty table) — nothing to drop
 
     def alter_setting(self, name: str, **settings) -> None:
         self._catalog_version += 1
@@ -378,11 +401,17 @@ class Engine:
 
         os.makedirs(dst_dir, exist_ok=True)
         moved = 0
-        for i, fname in enumerate(sorted(os.listdir(src_dir))):
+        for fname in sorted(os.listdir(src_dir)):
             src = os.path.join(src_dir, fname)
             dst = os.path.join(dst_dir, fname)
-            if os.path.exists(dst):
+            # loop until the name is actually free: a fixed <tag>_<i>_ prefix
+            # can itself collide on the third detach/attach cycle, and
+            # shutil.move silently overwrites — violating the never-delete
+            # contract
+            i = 0
+            while os.path.exists(dst):
                 dst = os.path.join(dst_dir, f"{tag}_{i}_{fname}")
+                i += 1
             shutil.move(src, dst)
             moved += 1
         os.rmdir(src_dir)
@@ -502,7 +531,11 @@ class Engine:
                 self.spark.read.schema(_schema_with_partition(handle)).parquet(handle.path).createOrReplaceTempView(
                     name
                 )
-                self._registered_versions[name] = version
+            else:
+                # empty table: a typed empty view, so SELECTs work like CH
+                # (also shadows any stale view a DROP + re-CREATE left)
+                self.spark.createDataFrame([], _schema_with_partition(handle)).createOrReplaceTempView(name)
+            self._registered_versions[name] = version
 
     def _rewrite_final_reads(self, query: str) -> str:
         """``FROM <table> FINAL`` — ClickHouse's read-time merge modifier:

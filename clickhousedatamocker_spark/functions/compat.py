@@ -90,6 +90,9 @@ _REWRITES = [
     # decorrelates it into a join — broadcast for small dictionaries, the
     # same shipping model as CH. Key expression: paren-free or one
     # balanced paren group (covers column refs and simple casts/calls).
+    # DOCUMENTED DEVIATION: a missing key yields NULL here, where CH's
+    # dictGet returns the attribute type's default value ('' / 0); use
+    # dictGetOrDefault for CH-exact missing-key behavior.
     (
         re.compile(
             r"\bdictGetOrDefault\(\s*'(\w+)'\s*,\s*'(\w+)'\s*,\s*"

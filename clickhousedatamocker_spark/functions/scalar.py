@@ -46,6 +46,64 @@ def format_readable_size(col: Column | str) -> Column:
     return expr
 
 
+# formatDateTime %-token table — MODERN ClickHouse (23.1+) semantics:
+# %M is the FULL MONTH NAME and %i is minutes (pre-23.1 CH rendered %M as
+# minutes; that legacy spelling is deliberately not honored — golden tests
+# pin the modern behavior). Every replacement inserts only Java
+# DateTimeFormatter letters (never '%'), so the replace chain cannot
+# re-match its own output and ordering is irrelevant; multi-token
+# composites (%F %D %T %R) are expanded directly.
+# Known deviation (documented, not fixable in a replace chain): literal
+# LETTERS in the format string reach date_format unquoted and are read as
+# Java pattern letters — use non-letter separators or %-tokens only.
+_FDT_TOKENS = [
+    ("%F", "yyyy-MM-dd"),  # ISO date (= %Y-%m-%d)
+    ("%D", "MM/dd/yy"),    # US date  (= %m/%d/%y)
+    ("%T", "HH:mm:ss"),    # ISO time (= %H:%i:%S)
+    ("%R", "HH:mm"),       # 24h hh:mm (= %H:%i)
+    ("%Y", "yyyy"),        # 4-digit year
+    ("%y", "yy"),          # 2-digit year
+    ("%M", "MMMM"),        # full month name (modern CH; legacy = minutes)
+    ("%m", "MM"),          # month 01-12
+    ("%W", "EEEE"),        # full weekday name
+    ("%a", "EEE"),         # abbreviated weekday name
+    ("%b", "MMM"),         # abbreviated month name
+    ("%c", "MM"),          # month 01-12 (alias)
+    ("%d", "dd"),          # day 01-31
+    ("%H", "HH"),          # hour 00-23
+    ("%h", "hh"),          # hour 01-12
+    ("%I", "hh"),          # hour 01-12 (alias)
+    ("%i", "mm"),          # minute 00-59
+    ("%j", "DDD"),         # day of year 001-366
+    ("%p", "a"),           # AM/PM
+    ("%Q", "Q"),           # quarter 1-4
+    ("%S", "ss"),          # second 00-59
+    ("%s", "ss"),          # second 00-59 (alias)
+]
+
+
+def _format_datetime_body() -> str:
+    """SQL body for the formatDateTime UDF.
+
+    ``%%`` is parked on a char(1) sentinel first so a leftover raw '%'
+    after the token chain can only mean an UNMAPPED token — which raises
+    (raise_error) instead of leaking a cryptic Java pattern exception or,
+    worse, silently formatting the wrong field. The sentinel is restored
+    to a bare '%' at the end ('%' is a non-letter: literal in Java
+    patterns, no quoting needed).
+    """
+    expr = "replace(f, '%%', char(1))"
+    for tok, java in _FDT_TOKENS:
+        expr = f"replace({expr}, '{tok}', '{java}')"
+    expr = f"replace({expr}, '%n', char(10))"
+    expr = f"replace({expr}, '%t', char(9))"
+    return (
+        f"CASE WHEN instr({expr}, '%') > 0 "
+        "THEN raise_error(concat('formatDateTime: unsupported %-token in format: ', f)) "
+        f"ELSE date_format(t, replace({expr}, char(1), '%')) END"
+    )
+
+
 def register_sql_functions(spark: SparkSession) -> None:
     """Register ``toYYYYMMDDhh`` / ``formatReadableSize`` as SQL-defined
     functions (Spark 4 SQL UDFs — still native expressions after inlining),
@@ -124,23 +182,7 @@ def register_sql_functions(spark: SparkSession) -> None:
         # intermediate: exact for the whole int64 range (a DOUBLE funnel
         # would silently round ints above 2^53) while still truncating
         # fractional inputs like CH does.
-        # formatDateTime: CH %-tokens -> Java pattern letters for the common
-        # subset (%% %F %Y %m %d %H %M %S). Order matters: %% escapes first
-        # (to a Java-quoted literal percent), %F (ISO date) before %Y/%m/%d
-        # it expands into, %M (minute) before %m (month) — inserted pattern
-        # letters contain no '%', so the chain cannot re-match. Tokens
-        # outside the subset pass through and surface as Java pattern
-        # errors rather than silent wrongness.
-        (
-            "formatDateTime",
-            "(t TIMESTAMP, f STRING)",
-            "STRING",
-            "date_format(t, replace(replace(replace(replace(replace(replace("
-            "replace(replace(f, "
-            "'%%', concat(char(39), '%', char(39))), '%F', 'yyyy-MM-dd'), "
-            "'%Y', 'yyyy'), '%M', 'mm'), '%m', 'MM'), '%d', 'dd'), "
-            "'%H', 'HH'), '%S', 'ss'))",
-        ),
+        ("formatDateTime", "(t TIMESTAMP, f STRING)", "STRING", _format_datetime_body()),
         ("toInt64", "(x STRING)", "BIGINT", "CAST(CAST(x AS DECIMAL(38,9)) AS BIGINT)"),
         ("toInt32", "(x STRING)", "INT", "CAST(CAST(x AS DECIMAL(38,9)) AS INT)"),
         ("toFloat64", "(x STRING)", "DOUBLE", "CAST(x AS DOUBLE)"),

@@ -203,10 +203,27 @@ def _sample_key(id_col: Column) -> Column:
     (exact integer arithmetic mod a 31-bit prime — DuckDB computes the
     identical value, unlike xxhash64). TWO Lehmer rounds: one round leaves
     small ids (id << p/a) clustered near 0 — the second multiplication
-    wraps them around the modulus and mixes."""
-    r1 = (F.lit(_SA) * id_col + F.lit(_SB)) % F.lit(_SP)
+    wraps them around the modulus and mixes.
+
+    The id is pre-reduced mod the prime FIRST (pmod: non-negative even for
+    negative ids) so every product stays below 48271 * 2^31 ≈ 1.04e14 —
+    without it, ids above ~1.9e14 overflow int64: Spark wraps silently
+    while DuckDB raises, breaking cross-engine parity. The oracle SQL must
+    apply the identical pre-reduction (see sample_key_oracle_sql)."""
+    r0 = F.pmod(id_col, F.lit(_SP))
+    r1 = (F.lit(_SA) * r0 + F.lit(_SB)) % F.lit(_SP)
     r2 = (F.lit(_SA) * r1 + F.lit(_SB)) % F.lit(_SP)
     return r2.cast("double") / F.lit(float(_SP))
+
+
+def sample_key_oracle_sql(id_expr: str) -> str:
+    """DuckDB-dialect twin of :func:`_sample_key` — keep the two in
+    lockstep. DuckDB's ``%`` keeps the dividend's sign like Spark's ``%``,
+    so pmod is spelled ``((x % p) + p) % p`` in both readings."""
+    r0 = f"((({id_expr}) % {_SP}) + {_SP}) % {_SP}"
+    r1 = f"(({_SA} * ({r0}) + {_SB}) % {_SP})"
+    r2 = f"(({_SA} * {r1} + {_SB}) % {_SP})"
+    return f"({r2} / {float(_SP)!r})"
 
 
 def stratified_sample(

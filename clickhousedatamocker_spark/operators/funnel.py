@@ -47,6 +47,7 @@ def window_funnel(
     type_col: str = "event_type",
     seq_match_col: str | None = None,
     max_events_per_user: int | None = None,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """→ (user_col, funnel_depth) with depth in 0..len(steps).
 
@@ -60,11 +61,23 @@ def window_funnel(
     ``None`` (default) keeps exact CH semantics for every user; set it (e.g.
     10_000) on corpora where bot users exist — users at or under the cap
     still get exact results.
+
+    ``tiebreak_col``: a unique per-event column (e.g. ``event_id``) breaking
+    (ts, type) ties in the cap's keep-earliest-N order. Without it, rows
+    tied on both sort keys make row_number's choice of survivors
+    run-dependent; the surviving (t, y) MULTISET — hence funnel_depth — is
+    still deterministic (tied rows are interchangeable downstream), but the
+    physical row choice is not. Defaults to an ``event_id`` column when one
+    exists; pass explicitly for other schemas, or None to accept multiset-
+    level determinism only.
     """
     k = len(steps)
     src = events
     if max_events_per_user is not None:
-        w = W.partitionBy(user_col).orderBy(ts_col, type_col)
+        if tiebreak_col is None and "event_id" in events.columns:
+            tiebreak_col = "event_id"
+        order = [ts_col, type_col] + ([tiebreak_col] if tiebreak_col else [])
+        w = W.partitionBy(user_col).orderBy(*order)
         src = (
             events.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= max_events_per_user)

@@ -226,7 +226,7 @@ def test_ch_query_dialect_vocabulary(spark, tmp_warehouse):
     assert r3["mon"].weekday() == 0  # Monday-start truncation
 
     r4 = engine.sql(
-        "SELECT formatDateTime(min(event_time), '%Y-%m-%d %H:%M:%S') AS fmt, "
+        "SELECT formatDateTime(min(event_time), '%Y-%m-%d %H:%i:%S') AS fmt, "
         "formatDateTime(min(event_time), '%F') AS iso, "
         "formatDateTime(min(event_time), '100%%') AS pct, "
         "toStartOfInterval(min(event_time), INTERVAL 15 MINUTE) AS bucket15, "
@@ -1024,6 +1024,75 @@ def test_partition_manipulation(spark, tmp_path):
         f"AND partition = '{pval}' AND active"
     ).first()["n"]
     assert active == 0
+
+
+def test_drop_table_removes_detached_area_and_parts_state(spark, tmp_path):
+    """DROP TABLE removes the .detached sibling area and evicts in-memory
+    parts state (ADVICE r4, medium): after DROP + re-CREATE of the same
+    name, system.detached_parts must NOT show the dropped table's files,
+    ATTACH must NOT adopt the dropped table's data, and part counts must
+    start from zero — CH removes detached/ with the table."""
+    import os
+
+    from clickhousedatamocker_spark.engine import Engine
+    from clickhousedatamocker_spark.schema import test_local_spec
+    from clickhousedatamocker_spark.sources.generator import BatchGenerator
+
+    engine = Engine(spark, str(tmp_path / "wh"))
+    engine.create_table(test_local_spec())
+    engine.insert(
+        "test_local",
+        BatchGenerator(spark, seed=7, base_time="2026-01-01 12:00:00").batch_with_partition(
+            2000, batch_no=0
+        ),
+    )
+    pval = engine.sql(
+        "SELECT partition FROM system_parts WHERE table = 'test_local' AND active "
+        "GROUP BY partition ORDER BY partition LIMIT 1"
+    ).first()["partition"]
+    engine.sql(f"ALTER TABLE test_local DETACH PARTITION '{pval}'")
+    detached_dir = engine.catalog.table_path("test_local") + ".detached"
+    assert os.path.isdir(detached_dir)
+
+    engine.drop_table("test_local")
+    assert not os.path.isdir(detached_dir)  # detached area went with the table
+
+    # re-CREATE under the same name: a clean slate, not an inheritance
+    engine.create_table(test_local_spec())
+    assert engine.sql("SELECT count() AS n FROM system.detached_parts").first()["n"] == 0
+    assert (
+        engine.sql(
+            "SELECT count() AS n FROM system_parts WHERE table = 'test_local' AND active"
+        ).first()["n"]
+        == 0
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        engine.attach_partition("test_local", pval)  # nothing to adopt
+    assert engine.sql("SELECT count() AS n FROM test_local").first()["n"] == 0
+
+
+def test_move_files_merging_never_overwrites(tmp_path):
+    """The collision rename loops until the destination name is FREE
+    (ADVICE r4): three detach/attach cycles with identical file names must
+    keep every file — the old fixed <tag>_<i>_ prefix collided on cycle 3
+    and shutil.move silently overwrote."""
+    import os
+
+    from clickhousedatamocker_spark.engine import Engine
+
+    dst = tmp_path / "dst"
+    payloads = []
+    for cycle in range(3):
+        src = tmp_path / f"src{cycle}"
+        src.mkdir()
+        (src / "part.parquet").write_text(f"cycle-{cycle}")
+        payloads.append(f"cycle-{cycle}")
+        Engine._move_files_merging(str(src), str(dst), "detached")
+    files = sorted(os.listdir(dst))
+    assert len(files) == 3, files
+    assert sorted((dst / f).read_text() for f in files) == sorted(payloads)
 
 
 def test_optimize_deduplicate(spark, tmp_path):

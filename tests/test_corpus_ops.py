@@ -168,21 +168,43 @@ def test_blocklist_and_domain_quota(spark):
 
 
 def test_stratified_sample_matches_duckdb(spark, duck):
+    from clickhousedatamocker_spark.operators.corpus import sample_key_oracle_sql
+
     rates = {"src0": 0.5, "src1": 0.25, "src2": 1.0}  # src3+ dropped
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     got = sorted(r["doc_id"] for r in stratified_sample(docs, rates).collect())
     want = sorted(
         r[0]
         for r in duck.execute(
-            """
+            f"""
 SELECT doc_id FROM documents
-WHERE ((48271 * ((48271 * doc_id + 11) % 2147483647) + 11) % 2147483647) / 2147483647.0 <
+WHERE {sample_key_oracle_sql('doc_id')} <
   CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.25 WHEN 'src2' THEN 1.0 ELSE 0.0 END
 """
         ).fetchall()
     )
     assert got == want
     assert got  # non-vacuous
+
+
+def test_stratified_sample_large_ids_no_overflow(spark, duck):
+    """Ids near int64 max: without the pmod pre-reduction 48271*id wraps in
+    Spark and raises in DuckDB — both engines must now agree exactly over
+    the full id range (ADVICE r4)."""
+    from clickhousedatamocker_spark.operators.corpus import sample_key_oracle_sql
+
+    ids = [2**63 - 1, 2**63 - 12345, 10**18 + 7, 2 * 10**14, 1_999_999_999_999_999, 3, 0]
+    df = spark.createDataFrame([(i, "s") for i in ids], "doc_id long, source string")
+    got = sorted(r["doc_id"] for r in stratified_sample(df, {"s": 0.5}).collect())
+    duck.execute("CREATE OR REPLACE TEMP TABLE big_ids(doc_id BIGINT)")
+    duck.executemany("INSERT INTO big_ids VALUES (?)", [(i,) for i in ids])
+    want = sorted(
+        r[0]
+        for r in duck.execute(
+            f"SELECT doc_id FROM big_ids WHERE {sample_key_oracle_sql('doc_id')} < 0.5"
+        ).fetchall()
+    )
+    assert got == want
 
 
 def test_temperature_mix_rates(spark):

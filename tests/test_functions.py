@@ -62,3 +62,77 @@ def test_sql_registration_matches_column_api(spark):
 def test_sql_format_readable_each(spark, b, expect):
     register_sql_functions(spark)
     assert spark.sql(f"SELECT formatReadableSize({b}) AS s").first()["s"] == expect
+
+
+# formatDateTime golden parity: MODERN ClickHouse (23.1+) token semantics —
+# %M is the full month name, %i is minutes (the pre-23.1 %M-as-minutes
+# reading is deliberately NOT honored; documented in functions/scalar.py).
+# Reference instant: 2026-02-03 04:05:06 is a Tuesday, day-of-year 034, Q1.
+FDT_T = "TIMESTAMP '2026-02-03 04:05:06'"
+FDT_GOLDENS = [
+    ("%Y-%m-%d %H:%i:%S", "2026-02-03 04:05:06"),
+    ("%F", "2026-02-03"),
+    ("%D", "02/03/26"),
+    ("%T", "04:05:06"),
+    ("%R", "04:05"),
+    ("%Y", "2026"),
+    ("%y", "26"),
+    ("%M", "February"),
+    ("%m", "02"),
+    ("%c", "02"),
+    ("%W", "Tuesday"),
+    ("%a", "Tue"),
+    ("%b", "Feb"),
+    ("%d", "03"),
+    ("%H", "04"),
+    ("%h", "04"),
+    ("%I", "04"),
+    ("%i", "05"),
+    ("%j", "034"),
+    ("%p", "AM"),
+    ("%Q", "1"),
+    ("%S", "06"),
+    ("%s", "06"),
+    ("100%%", "100%"),
+    ("%d%n%m", "03\n02"),
+    ("%d%t%m", "03\t02"),
+    ("%F %T", "2026-02-03 04:05:06"),
+]
+
+
+@pytest.mark.parametrize("fmt,expect", FDT_GOLDENS)
+def test_format_datetime_golden(spark, fmt, expect):
+    register_sql_functions(spark)
+    got = spark.sql(f"SELECT formatDateTime({FDT_T}, '{fmt}') AS s").first()["s"]
+    assert got == expect, fmt
+
+
+def test_format_datetime_pm_and_quarters(spark):
+    register_sql_functions(spark)
+    r = spark.sql(
+        "SELECT formatDateTime(TIMESTAMP '2026-11-30 16:00:00', '%p') AS p, "
+        "formatDateTime(TIMESTAMP '2026-11-30 16:00:00', '%Q') AS q, "
+        "formatDateTime(TIMESTAMP '2026-11-30 16:00:00', '%I') AS h12"
+    ).first()
+    assert (r["p"], r["q"], r["h12"]) == ("PM", "4", "04")
+
+
+def test_format_datetime_unmapped_token_raises(spark):
+    """Every %-token OUTSIDE the supported table must raise with a clear
+    message — never silently format the wrong field or leak a Java pattern
+    error (hypothesis-driven over the unmapped alphabet)."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    register_sql_functions(spark)
+    unmapped = sorted(
+        set("CEGJKLNOPUVXZefgkloruvwxz")  # letters CH defines or could; none shimmed
+    )
+
+    @given(st.sampled_from(unmapped))
+    @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+    def check(tok):
+        with pytest.raises(Exception) as ei:
+            spark.sql(f"SELECT formatDateTime({FDT_T}, 'x-%{tok}') AS s").first()
+        assert "unsupported %-token" in str(ei.value)
+
+    check()
