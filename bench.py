@@ -21,9 +21,30 @@ import tempfile
 import time
 
 
+_TIMED_RUNS = 3  # min-of-3: the r4→r5 ask after ±25% load drift polluted r4
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    # record run conditions BEFORE the bench JVM starts: round-over-round
+    # comparisons are only attributable on a quiet box (load ~0, no stray
+    # JVMs), so the artifact carries the evidence
+    import subprocess
+
+    load1, load5, load15 = os.getloadavg()
+    try:
+        pre_java = int(subprocess.run(["pgrep", "-c", "java"], capture_output=True, text=True).stdout.strip() or 0)
+    except Exception:
+        pre_java = -1
+    conditions = {
+        "loadavg_1m": round(load1, 2),
+        "loadavg_5m": round(load5, 2),
+        "loadavg_15m": round(load15, 2),
+        "java_procs_before": pre_java,
+        "timed_runs_per_key": _TIMED_RUNS,
+    }
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from clickhousedatamocker_spark.session import get_spark
@@ -32,7 +53,7 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     timings: dict[str, float] = {}
     # every timed run, not just the min: the host has a ±30% scheduler noise
-    # band, and publishing both samples makes regressions distinguishable
+    # band, and publishing all samples makes regressions distinguishable
     # from noise in round-over-round comparisons
     all_runs: dict[str, list[float]] = {}
 
@@ -42,12 +63,12 @@ def main() -> None:
 
     for name in headline:
         # steady-state timing: one warm-up run (whole-stage-codegen compiles
-        # once per query shape on a long-lived cluster), then min of two
+        # once per query shape on a long-lived cluster), then min of the
         # timed runs — min is the standard steady-state estimator under
         # scheduler noise on a shared host
         REGISTRY[name].fn(spark, sf_dir).collect()
         runs = []
-        for _ in range(2):
+        for _ in range(_TIMED_RUNS):
             t0 = time.monotonic()
             REGISTRY[name].fn(spark, sf_dir).collect()
             runs.append(time.monotonic() - t0)
@@ -67,7 +88,7 @@ def main() -> None:
     def timed(label: str, mk, dest: dict | None = None) -> None:
         mk().collect()  # warm codegen for this plan shape
         runs = []
-        for _ in range(2):
+        for _ in range(_TIMED_RUNS):
             t0 = time.monotonic()
             mk().collect()
             runs.append(time.monotonic() - t0)
@@ -78,6 +99,36 @@ def main() -> None:
     timed("dedup_minhash_lsh_pairs", lambda: minhash_lsh_pairs(docs))
     for twin in ("similarity_topk_lsh", "similarity_topk_ivf", "stream_attribution_join"):
         timed(twin, lambda twin=twin: REGISTRY[twin].fn(spark, sf_dir))
+
+    # ANN steady state (the r4 verdict's ask): similarity_topk_ivf above
+    # retrains k-means fresh per call — one-time cost a serving user never
+    # pays twice. These two keys time the QUERY under (a) a pretrained
+    # codebook (stable plan literals -> codegen cache hit, zero driver
+    # actions) and (b) the persisted partition-pruned index; the build/train
+    # costs stay visible in the fresh-train key and the untimed build below.
+    from clickhousedatamocker_spark.operators.similarity import (
+        ann_query_indexed,
+        build_ann_index,
+        ivf_topk,
+        ivf_train,
+    )
+    import pyspark.sql.functions as _F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ann_q = emb.filter(_F.col("vec_id") < 5)
+    codebook = ivf_train(emb, n_centroids=8, n_iters=2)  # untimed: train-once
+    timed(
+        "similarity_topk_ivf_pretrained",
+        lambda: ivf_topk(emb, ann_q, k=10, nprobe=3, centroids=codebook).orderBy(
+            "query_id", "rank"
+        ),
+    )
+    with tempfile.TemporaryDirectory(prefix="bench_ann_idx_") as idx_path:
+        build_ann_index(emb, idx_path, centroids=codebook)  # untimed: build-once
+        timed(
+            "similarity_ann_query_indexed",
+            lambda: ann_query_indexed(spark, idx_path, ann_q, k=10, nprobe=3),
+        )
 
     # text_analysis_profile cost attribution: the headline number includes
     # the presentation ORDER BY (whose range-sampling re-runs the
@@ -121,7 +172,7 @@ def main() -> None:
         for b in (0, 1):
             engine.insert("test_local", gen.batch_with_partition(100_000, batch_no=b))
         runs = []
-        for b in (2, 3):
+        for b in (2, 3, 4):
             t0 = time.monotonic()
             engine.insert("test_local", gen.batch_with_partition(100_000, batch_no=b))
             runs.append(time.monotonic() - t0)
@@ -132,7 +183,7 @@ def main() -> None:
         engine.sql(QUERY_METRICS_SQL).collect()
         engine.sql(QUERY_PARTS_SQL.format(database="default", table="test_local")).collect()
         runs = []
-        for _ in range(2):
+        for _ in range(_TIMED_RUNS):
             t0 = time.monotonic()
             engine.sql(QUERY_METRICS_SQL).collect()
             engine.sql(QUERY_PARTS_SQL.format(database="default", table="test_local")).collect()
@@ -150,6 +201,7 @@ def main() -> None:
                 "queries": timings,
                 "runs": all_runs,
                 "breakdown": breakdown,
+                "conditions": conditions,
                 "sf": sf,
             }
         )

@@ -132,9 +132,11 @@ def lsh_ann_topk(
 
 
 def _centroid_array(centroids: list[list[float]]) -> Column:
-    """Centroid set as a literal array<struct<cid,cv>> column (tiny: the
-    whole IVF codebook is driver-held and ships inside the plan). Each
-    centroid vector is ONE array literal — see lsh_bucket."""
+    """Centroid set as a literal array<struct<cid,cv>> column — the
+    SMALL-k path only (k <= _LITERAL_CODEBOOK_MAX): plan size grows with
+    k, so large codebooks go through the Arrow broadcast path instead
+    (with_probe_cids / with_nearest_cid auto-select). Each centroid vector
+    is ONE array literal — see lsh_bucket."""
     return F.array(
         *[
             F.struct(F.lit(i).alias("cid"), F.lit([float(x) for x in c]).alias("cv"))
@@ -162,6 +164,90 @@ def _probe_cids(vec: Column, centroids: list[list[float]], nprobe: int) -> Colum
         lambda c: F.struct(d2(c["cv"]).alias("d"), c["cid"].alias("cid")),
     )
     return F.transform(F.slice(F.array_sort(scored), 1, nprobe), lambda s: s["cid"])
+
+
+# Above this codebook size, assignment switches from plan-literal folds to
+# the Arrow path: folding k x dim doubles into the expression tree is fast
+# and shuffle-free at fixture k (and keeps the whole pipeline JVM-side),
+# but plan size grows linearly with k — at the 10^4-10^5 centroids a real
+# 100 TB ANN uses, Catalyst would be analyzing a multi-megabyte expression
+# tree. The Arrow path ships the codebook ONCE as a numpy broadcast
+# (k=10^5 x dim=64 doubles = 51 MB) and assigns row-locally inside
+# mapInPandas — still zero shuffle, plan size O(1) in k. (A broadcast-JOIN
+# assignment was rejected: ranking nprobe-of-k per row needs a groupBy or
+# window over the corpus — a corpus-wide shuffle neither other path pays.)
+_LITERAL_CODEBOOK_MAX = 256
+
+
+def _with_probe_cids_arrow(
+    df: DataFrame, vec_col: str, centroids: list[list[float]], nprobe: int, out_col: str
+) -> DataFrame:
+    """mapInPandas centroid probe: adds ``out_col`` = array of the ``nprobe``
+    nearest centroid ids (squared-L2, ties by cid — the literal path's
+    order). Vectorized: one (batch x k) matmul per Arrow batch against the
+    broadcast codebook; ranking uses 0.5|c|^2 - v.c, rank-equivalent to the
+    d2 fold (the |v|^2 term is constant per row)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    nprobe = min(nprobe, len(centroids))
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField(out_col, T.ArrayType(T.LongType()))]
+    )
+    bc = df.sparkSession.sparkContext.broadcast(np.asarray(centroids, dtype=np.float64))
+
+    def assign(batches):
+        C = bc.value
+        half_csq = 0.5 * (C * C).sum(axis=1)
+        for pdf in batches:
+            pdf = pdf.copy()
+            if len(pdf) == 0:
+                pdf[out_col] = pd.Series([], dtype=object)
+                yield pdf
+                continue
+            V = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            score = half_csq - V @ C.T  # (batch x k)
+            if nprobe >= score.shape[1]:
+                sel = np.argsort(score, axis=1, kind="stable")[:, :nprobe]
+            else:
+                # argpartition bounds the sort to nprobe candidates; lexsort
+                # re-orders them by (score, cid) to match the literal fold
+                part = np.argpartition(score, nprobe - 1, axis=1)[:, :nprobe]
+                sel_scores = np.take_along_axis(score, part, axis=1)
+                order = np.lexsort((part, sel_scores), axis=-1)
+                sel = np.take_along_axis(part, order, axis=1)
+            pdf[out_col] = [row for row in sel.astype("int64")]
+            yield pdf
+
+    return df.mapInPandas(assign, out_schema)
+
+
+def with_probe_cids(
+    df: DataFrame, vec_col: str, centroids: list[list[float]], nprobe: int, out_col: str
+) -> DataFrame:
+    """Add ``out_col`` = array of the ``nprobe`` nearest centroid ids for
+    ``vec_col`` (array<double>). Auto-selects the assignment strategy by
+    codebook size: plan-literal fold at small k (all-JVM, codegen'd), Arrow
+    broadcast-codebook at large k (plan size O(1) in k). Both are
+    row-local — zero shuffle either way."""
+    if len(centroids) <= _LITERAL_CODEBOOK_MAX:
+        return df.withColumn(out_col, _probe_cids(F.col(vec_col), centroids, nprobe))
+    return _with_probe_cids_arrow(df, vec_col, centroids, nprobe, out_col)
+
+
+def with_nearest_cid(
+    df: DataFrame, vec_col: str, centroids: list[list[float]], out_col: str
+) -> DataFrame:
+    """Add ``out_col`` = nearest centroid id (the corpus-side assignment).
+    Same auto-selection as :func:`with_probe_cids`."""
+    if len(centroids) <= _LITERAL_CODEBOOK_MAX:
+        return df.withColumn(out_col, _nearest_cid(F.col(vec_col), centroids))
+    return (
+        _with_probe_cids_arrow(df, vec_col, centroids, 1, "__probe1")
+        .withColumn(out_col, F.element_at(F.col("__probe1"), 1))
+        .drop("__probe1")
+    )
 
 
 def ivf_train(
@@ -202,7 +288,7 @@ def ivf_train(
     )
     centroids = [list(r["v"]) for r in init]
     for _ in range(n_iters):
-        assigned = vecs.select(_nearest_cid(F.col("v"), centroids).alias("cid"), "v")
+        assigned = with_nearest_cid(vecs, "v", centroids, "cid").select("cid", "v")
         means = (
             assigned.select("cid", F.posexplode("v").alias("pos", "x"))
             .groupBy("cid", "pos")
@@ -243,9 +329,11 @@ def ivf_topk(
     if centroids is None:
         centroids = ivf_train(corpus, id_col, vec_col, n_centroids, seed=seed)
     c = corpus.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"))
-    c = c.withColumn("bucket", _nearest_cid(F.col("cv"), centroids))
+    c = with_nearest_cid(c, "cv", centroids, "bucket")
     q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
-    q = q.withColumn("bucket", F.explode(_probe_cids(F.col("qv"), centroids, nprobe)))
+    q = with_probe_cids(q, "qv", centroids, nprobe, "__probes").withColumn(
+        "bucket", F.explode("__probes")
+    ).drop("__probes")
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -336,9 +424,12 @@ def build_ann_index(
 
     if centroids is None:
         centroids = ivf_train(corpus, id_col, vec_col, n_centroids, seed=seed)
-    assigned = corpus.select(F.col(id_col), F.col(vec_col)).withColumn(
-        "bucket", _nearest_cid(as_double(vec_col), centroids)
-    )
+    assigned = with_nearest_cid(
+        corpus.select(F.col(id_col), F.col(vec_col)).withColumn("__v", as_double(vec_col)),
+        "__v",
+        centroids,
+        "bucket",
+    ).drop("__v")
     assigned.write.partitionBy("bucket").mode("overwrite").parquet(path)
     with open(os.path.join(path, "_codebook.json"), "w") as fh:
         json.dump(centroids, fh)
@@ -368,7 +459,9 @@ def ann_query_indexed(
     with open(os.path.join(path, "_codebook.json")) as fh:
         centroids = json.load(fh)
     q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
-    q = q.withColumn("bucket", F.explode(_probe_cids(F.col("qv"), centroids, nprobe)))
+    q = with_probe_cids(q, "qv", centroids, nprobe, "__probes").withColumn(
+        "bucket", F.explode("__probes")
+    ).drop("__probes")
     probed = sorted({r["bucket"] for r in q.select("bucket").distinct().collect()})
     c = (
         spark.read.parquet(path)
