@@ -5,10 +5,12 @@ metadata struct; per-item compute (decode, feature extraction, resize,
 frame sampling) runs as Arrow-batched ``mapInPandas``. All four supported
 mimes decode for REAL with vendored pure-Python codecs — PNG
 (operators/png.py), baseline JPEG (operators/jpeg.py), WAV (stdlib
-``wave``), and the ISO-BMFF container layer for MP4 (operators/bmff.py —
-box walk for duration/tracks/fourcc/dimensions; frame decode would need
-ffmpeg, which this container lacks, and stays out of scope). Unknown
-mimes raise a clearly-marked "no codec" NotImplementedError.
+``wave``), and ISO-BMFF for MP4 (operators/bmff.py — box walk for
+duration/tracks/fourcc/dimensions, plus FRAME decode for uncompressed
+sample formats 'raw '/I420 via the real stsc/stsz/stco demux walk;
+compressed bitstreams like avc1 still need ffmpeg, absent here, and stay
+behind the fourcc gate). Unknown mimes raise a clearly-marked "no codec"
+NotImplementedError.
 
 Scale: media rows are large — the operators preserve the incoming
 partitioning (mapInPandas is a narrow transformation) and never collect
@@ -106,35 +108,47 @@ def _wav_payload(key: str, n_samples: int = 96, sample_rate: int = 8000) -> byte
     return buf.getvalue()
 
 
-_MP4_FOURCCS = ["avc1", "hev1", "mp4v", "av01"]
+# Synthetic mp4s carry REAL uncompressed frames ('raw ' RGB24 / 'I420'
+# planar YUV) so the decode path exercises actual sample-table demux +
+# frame-pixel truth; the compressed-codec gate (avc1/hev1/...) stays
+# pytest-covered via handcrafted containers (frame decode for those needs
+# ffmpeg, absent here).
+_MP4_FOURCCS = ["raw ", "I420"]
 
 
 def _mp4_params(key: str) -> dict:
     """Container parameters derived from sha256(key || ':mp4') — each field
     reads one digest byte, so the DuckDB oracle re-derives them from the
-    hex digest alone (see queries/llm.py multimodal oracle)."""
+    hex digest alone (see queries/llm.py multimodal oracle). Dims are kept
+    small (8..32 x 8..24): frames are uncompressed, and the oracle re-sums
+    every frame byte with sha256-hex arithmetic."""
     import hashlib
 
     d = hashlib.sha256(f"{key}:mp4".encode()).digest()
     return {
         "duration": 1000 + ((d[0] << 8 | d[1]) % 50000),  # in 600-unit timescale
-        "width": 16 * (16 + d[2] % 64),
-        "height": 16 * (9 + d[3] % 36),
+        "width": 8 * (1 + d[2] % 4),
+        "height": 8 * (1 + d[3] % 3),
         "has_audio": d[4] % 2 == 1,
-        "fourcc": _MP4_FOURCCS[d[5] % 4],
+        "fourcc": _MP4_FOURCCS[d[5] % 2],
+        "n_frames": 1 + d[6] % 3,
     }
 
 
 def _mp4_payload(key: str) -> bytes:
-    from clickhousedatamocker_spark.operators.bmff import encode_mp4
+    from clickhousedatamocker_spark.operators.bmff import RAW_VIDEO_FRAME_BYTES, encode_mp4
 
     p = _mp4_params(key)
+    frame_bytes = RAW_VIDEO_FRAME_BYTES[p["fourcc"]](p["width"], p["height"])
+    frames = [
+        _sha_stream(key, frame_bytes, salt=f":mp4f{i}") for i in range(p["n_frames"])
+    ]
     tracks = [
         {"handler": "vide", "fourcc": p["fourcc"], "width": p["width"], "height": p["height"]}
     ]
     if p["has_audio"]:
         tracks.append({"handler": "soun", "fourcc": "mp4a", "sample_rate": 48000})
-    return encode_mp4(600, p["duration"], tracks)
+    return encode_mp4(600, p["duration"], tracks, frames=frames)
 
 
 def attach_fake_media(df: DataFrame, id_col: str) -> DataFrame:
@@ -264,11 +278,14 @@ def decode_media(df: DataFrame) -> DataFrame:
     baseline-DCT codec (operators/jpeg.py: marker parse, canonical Huffman,
     dequant, IDCT). ``pixel_sum`` is the sum of decoded pixel bytes (a
     value only a correct decode can produce). ``video/mp4`` payloads go
-    through the vendored ISO-BMFF box parser (operators/bmff.py): width/
-    height come from the video track's tkhd, ``n_channels`` carries the
-    track count, and ``pixel_sum`` carries the movie duration in timescale
-    units — values only a correct box walk produces (frame decode would
-    need ffmpeg, absent here). ``audio/wav`` routes through the stdlib
+    through the vendored ISO-BMFF parser (operators/bmff.py): width/height
+    come from the video track, ``n_channels`` carries the track count, and
+    ``pixel_sum`` is the SUM OF DECODED FRAME BYTES for uncompressed
+    sample formats ('raw ' RGB24 / I420 — the real stsc/stsz/stco demux
+    walk, bmff.decode_frames), falling back to the movie duration in
+    timescale units for compressed bitstreams (avc1/...: frame decode
+    needs ffmpeg, absent here) and audio-only containers. ``audio/wav``
+    routes through the stdlib
     ``wave`` parser (width = n_samples, height = sample_rate, pixel_sum =
     unsigned byte sum of the PCM payload; ``decode_audio`` gives the typed
     audio view). Unknown mimes raise a clearly-marked NotImplementedError.
@@ -292,7 +309,7 @@ def decode_media(df: DataFrame) -> DataFrame:
 
         if repo_root not in sys.path:
             sys.path.insert(0, repo_root)
-        from clickhousedatamocker_spark.operators.bmff import parse_mp4
+        from clickhousedatamocker_spark.operators.bmff import decode_frames, parse_mp4
         from clickhousedatamocker_spark.operators.jpeg import decode_jpeg
         from clickhousedatamocker_spark.operators.png import decode_png
 
@@ -313,7 +330,21 @@ def decode_media(df: DataFrame) -> DataFrame:
                         {"width": 0, "height": 0},
                     )
                     ws.append(vid["width"]), hs.append(vid["height"])
-                    cs.append(meta["n_tracks"]), sums.append(meta["duration"])
+                    cs.append(meta["n_tracks"])
+                    # pixel truth where the samples are decodable: sum of
+                    # decoded frame bytes, like the image paths. Compressed
+                    # bitstreams (avc1/...) fall back to the container
+                    # duration — the pre-frame-decode behavior, documented.
+                    # (Audio-only containers have no frames to decode;
+                    # corrupt sample tables still raise ValueError.)
+                    if any(tr["handler"] == "vide" for tr in meta["tracks"]):
+                        try:
+                            fr = decode_frames(bytes(data))
+                            sums.append(sum(sum(f) for f in fr["frames"]))
+                        except NotImplementedError:
+                            sums.append(meta["duration"])
+                    else:
+                        sums.append(meta["duration"])
                 elif mime == "audio/wav":
                     with wave.open(io.BytesIO(bytes(data))) as w:
                         frames = w.readframes(w.getnframes())

@@ -626,12 +626,26 @@ _S16_RAW = (
 # EXACTLY and pixel_sum = 64 * (b0+b1+b2+b3) is engine-independent.
 _JPG_HH = "sha256(doc_id::VARCHAR || ':jpg')"
 # mp4: ISO-BMFF container params each read one byte of sha256(doc_id||':mp4')
-# (operators/multimodal._mp4_params): duration = 1000 + ((b0<<8|b1) % 50000),
-# width = 16*(16 + b2%64), height = 16*(9 + b3%36), n_tracks = 1 + b4%2. Only
-# a correct box walk (mvhd/tkhd/trak traversal) reproduces them from bytes.
+# (operators/multimodal._mp4_params): width = 8*(1 + b2%4), height =
+# 8*(1 + b3%3), n_tracks = 1 + b4%2, fourcc = ['raw ','I420'][b5%2],
+# n_frames = 1 + b6%3. The checksum is the SUM OF DECODED FRAME BYTES:
+# frame i's bytes are the first frame_size bytes of the sha256 stream
+# sha256(doc_id||':mp4f'||i||':'||chunk) — re-derived below with the same
+# hex-digit arithmetic as the PNG/WAV oracles, so only a correct
+# stsc/stsz/stco demux walk (bmff.decode_frames) reproduces it.
 _MP4_HH = "sha256(doc_id::VARCHAR || ':mp4')"
 # unsigned byte k of the digest behind alias `hh` (hex chars 2k+1, 2k+2)
-_MB = [_BYTE.format(p1=str(2 * k + 1), p2=str(2 * k + 2)) for k in range(6)]
+_MB = [_BYTE.format(p1=str(2 * k + 1), p2=str(2 * k + 2)) for k in range(7)]
+# sum of the first `fs` bytes of frame i's sha256 stream; jj is the 1-based
+# byte index inside chunk c, at hex chars (2jj-1, 2jj) of the chunk digest
+_FR_D = "sha256(doc_id::VARCHAR || ':mp4f' || i::VARCHAR || ':' || c::VARCHAR)"
+_FR_BYTE = (
+    f"(16 * (strpos('0123456789abcdef', substr({_FR_D}, 2*jj-1, 1)) - 1)"
+    f" + (strpos('0123456789abcdef', substr({_FR_D}, 2*jj, 1)) - 1))"
+)
+_MP4_FRAME_SUM = f"""list_sum(list_transform(generate_series(0, nf - 1), i ->
+  list_sum(list_transform(generate_series(0, (fs + 31) // 32 - 1), c ->
+    list_sum(list_transform(generate_series(1, least(32, fs - 32 * c)), jj -> {_FR_BYTE}))))))"""
 _MM_ORACLE = f"""
 WITH src AS (SELECT doc_id, {_MM_HH} AS hh FROM documents WHERE doc_id < 50),
 jsrc AS (SELECT doc_id, {_JPG_HH} AS hh FROM documents WHERE doc_id < 50),
@@ -653,12 +667,23 @@ SELECT doc_id, 'image_jpeg' AS modality, 16 AS dim_a, 16 AS dim_b, 1 AS channels
 FROM jsrc
 UNION ALL
 SELECT doc_id, 'video' AS modality,
-  CAST(16 * (16 + ({_MB[2]}) % 64) AS INTEGER) AS dim_a,
-  CAST(16 * (9 + ({_MB[3]}) % 36) AS INTEGER) AS dim_b,
-  CAST(1 + ({_MB[4]}) % 2 AS INTEGER) AS channels,
-  CAST(1000 + (256 * ({_MB[0]}) + ({_MB[1]})) % 50000 AS BIGINT) AS checksum,
+  CAST(w AS INTEGER) AS dim_a, CAST(h AS INTEGER) AS dim_b,
+  CAST(ntracks AS INTEGER) AS channels,
+  CAST({_MP4_FRAME_SUM} AS BIGINT) AS checksum,
   16 AS feature_dim
-FROM msrc
+FROM (
+  SELECT doc_id, w, h, ntracks, nf,
+    CASE WHEN cc = 0 THEN w * h * 3 ELSE (w * h * 3) // 2 END AS fs
+  FROM (
+    SELECT doc_id,
+      8 * (1 + ({_MB[2]}) % 4) AS w,
+      8 * (1 + ({_MB[3]}) % 3) AS h,
+      1 + ({_MB[4]}) % 2 AS ntracks,
+      ({_MB[5]}) % 2 AS cc,
+      1 + ({_MB[6]}) % 3 AS nf
+    FROM msrc
+  )
+)
 ORDER BY doc_id, modality
 """.strip()
 
@@ -673,9 +698,12 @@ ORDER BY doc_id, modality
     "operators/jpeg.py: marker segments, canonical Huffman entropy coding, "
     "zigzag/dequant/IDCT — constant DC-only blocks make the lossy format "
     "oracle-exact), synthetic WAV audio (stdlib wave RIFF framing, signed "
-    "16-bit PCM), and synthetic MP4 containers (vendored ISO-BMFF codec, "
-    "operators/bmff.py: ftyp/moov/trak box walk for duration, track count, "
-    "dimensions — frame decode needs ffmpeg, absent here) -> Arrow-batched "
+    "16-bit PCM), and synthetic MP4s with REAL uncompressed frames "
+    "(vendored ISO-BMFF codec, operators/bmff.py: box walk for track "
+    "count/dimensions plus the stsc/stsz/stco demux walk decoding each "
+    "'raw '/I420 frame out of mdat — the mp4 checksum is the decoded "
+    "frame-byte sum; compressed bitstreams like avc1 stay gated behind "
+    "NotImplementedError, ffmpeg being absent) -> Arrow-batched "
     "mapInPandas decode + feature extraction, all narrow transforms, no "
     "driver collect of binary. The oracle re-derives each modality's "
     "checksum from the sha256 content source — values only correct "

@@ -97,3 +97,79 @@ def test_jpeg_decoder_total_on_garbage(data):
         decode_jpeg(b"\xff\xd8" + data)  # SOI + garbage
     except (ValueError, NotImplementedError):
         pass
+
+
+# -- mp4 frame decode (uncompressed sample formats, real demux walk) --------
+
+_RAW_FOURCC = st.sampled_from(["raw ", "I420"])
+
+
+@given(
+    w=st.integers(2, 24).map(lambda x: 2 * x),
+    h=st.integers(2, 16).map(lambda x: 2 * x),
+    fourcc=_RAW_FOURCC,
+    n_frames=st.integers(1, 4),
+    audio=st.booleans(),
+    seed=st.integers(0, 2**31),
+)
+@settings(max_examples=40, deadline=None)
+def test_mp4_frame_roundtrip_law(w, h, fourcc, n_frames, audio, seed):
+    """encode(frames) -> decode_frames recovers every frame byte-exactly,
+    through the real stsc/stsz/stco walk, and parse_mp4 still reads the
+    container metadata of the mdat-first layout."""
+    import hashlib
+
+    from clickhousedatamocker_spark.operators.bmff import (
+        RAW_VIDEO_FRAME_BYTES,
+        decode_frames,
+    )
+
+    fsz = RAW_VIDEO_FRAME_BYTES[fourcc](w, h)
+    frames = []
+    for i in range(n_frames):
+        buf = bytearray()
+        c = 0
+        while len(buf) < fsz:
+            buf.extend(hashlib.sha256(f"{seed}:{i}:{c}".encode()).digest())
+            c += 1
+        frames.append(bytes(buf[:fsz]))
+    tracks = [{"handler": "vide", "fourcc": fourcc, "width": w, "height": h}]
+    if audio:
+        tracks.append({"handler": "soun", "fourcc": "mp4a", "sample_rate": 48000})
+    blob = encode_mp4(600, 1200, tracks, frames=frames)
+    meta = parse_mp4(blob)
+    assert meta["n_tracks"] == len(tracks)
+    assert meta["tracks"][0]["fourcc"] == fourcc
+    dec = decode_frames(blob)
+    assert (dec["width"], dec["height"], dec["fourcc"]) == (w, h, fourcc)
+    assert dec["frames"] == frames
+
+
+def test_mp4_frame_decode_compressed_is_gated():
+    """Compressed fourccs parse as metadata but frame decode raises the
+    clearly-marked NotImplementedError (no ffmpeg in this environment)."""
+    import pytest
+
+    from clickhousedatamocker_spark.operators.bmff import decode_frames
+
+    blob = encode_mp4(600, 900, [{"handler": "vide", "fourcc": "avc1", "width": 64, "height": 48}])
+    assert parse_mp4(blob)["tracks"][0]["fourcc"] == "avc1"
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        decode_frames(blob)
+
+
+def test_mp4_frame_decode_corrupt_tables_raise():
+    """Sample extents pointing past EOF and frame-size mismatches raise
+    ValueError (the corrupt-input contract), never a silent wrong decode."""
+    import pytest
+
+    from clickhousedatamocker_spark.operators.bmff import decode_frames
+
+    frames = [bytes(range(48)) * (8 * 8 * 3 // 48)]
+    blob = encode_mp4(600, 600, [{"handler": "vide", "fourcc": "raw ", "width": 8, "height": 8}], frames=frames)
+    truncated = blob[: len(blob) - 300]  # cut into moov, boxes now short
+    with pytest.raises(ValueError):
+        decode_frames(truncated)
+    # frame size disagreeing with the sample-entry dims is a hard error
+    with pytest.raises(ValueError, match="frame size"):
+        encode_mp4(600, 600, [{"handler": "vide", "fourcc": "raw ", "width": 8, "height": 8}], frames=[b"\x00" * 10])

@@ -177,10 +177,13 @@ def test_multimodal_pipeline(spark):
         (r["width"], r["height"], r["n_channels"]) == (16, 16, 1) for r in by_mime["image/jpeg"]
     )
     assert all((r["width"], r["height"]) == (96, 8000) for r in by_mime["audio/wav"])
-    for r in by_mime["video/mp4"]:  # tkhd dims + mvhd duration, per _mp4_params
-        assert r["width"] % 16 == 0 and 256 <= r["width"] <= 16 * 79
-        assert r["height"] % 16 == 0 and 144 <= r["height"] <= 16 * 44
-        assert r["n_channels"] in (1, 2) and 1000 <= r["pixel_sum"] < 51000
+    for r in by_mime["video/mp4"]:  # tkhd dims per _mp4_params; pixel_sum
+        # is the decoded frame-byte sum (1..3 frames of w*h*3 or w*h*3/2
+        # sha-derived bytes, mean ~127.5/byte — bounded away from the old
+        # duration semantics)
+        assert r["width"] % 8 == 0 and 8 <= r["width"] <= 32
+        assert r["height"] % 8 == 0 and 8 <= r["height"] <= 24
+        assert r["n_channels"] in (1, 2) and r["pixel_sum"] > 0
 
     feats = extract_features(media)
     frows = feats.collect()
@@ -435,21 +438,29 @@ def test_mp4_codec_roundtrip():
 
 
 def test_mp4_decode_media_real(spark):
-    """decode_media really walks the box tree: every parsed field matches
-    the sha256-derived parameters the synth encoder embedded."""
+    """decode_media really walks the box tree AND demuxes the frames: every
+    parsed field matches the sha256-derived parameters the synth encoder
+    embedded, and pixel_sum equals the independently re-derived sum of
+    every frame byte (the stsc/stsz/stco walk's ground truth)."""
     import hashlib
 
-    from clickhousedatamocker_spark.operators.multimodal import attach_synth_mp4
+    from clickhousedatamocker_spark.operators.multimodal import _sha_stream, attach_synth_mp4
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id").limit(10)
     decoded = decode_media(attach_synth_mp4(docs, "doc_id")).collect()
     assert len(decoded) == 10
     for r in decoded:
         d = hashlib.sha256(f"{r['doc_id']}:mp4".encode()).digest()
-        assert r["width"] == 16 * (16 + d[2] % 64)
-        assert r["height"] == 16 * (9 + d[3] % 36)
+        w, h = 8 * (1 + d[2] % 4), 8 * (1 + d[3] % 3)
+        assert r["width"] == w
+        assert r["height"] == h
         assert r["n_channels"] == 1 + d[4] % 2
-        assert r["pixel_sum"] == 1000 + ((d[0] << 8 | d[1]) % 50000)
+        fsz = w * h * 3 if d[5] % 2 == 0 else (w * h * 3) // 2
+        want = sum(
+            sum(_sha_stream(str(r["doc_id"]), fsz, salt=f":mp4f{i}"))
+            for i in range(1 + d[6] % 3)
+        )
+        assert r["pixel_sum"] == want
 
 
 def test_window_funnel_hot_key_guard(spark):
