@@ -812,6 +812,62 @@ class Engine:
                 "form is document order, which has no distributed meaning)"
             )
 
+        # <l> ASOF [LEFT] JOIN <r> ON l.k = r.k AND l.ts >= r.ts — CH's
+        # as-of join SQL spelling, mapped onto operators/asof.py (the
+        # union+window plan: one key shuffle, no BroadcastNestedLoopJoin).
+        # Constrained grammar: named tables, a same-named equality key, one
+        # >=/<= timestamp bound. Right value columns surface under their
+        # own names (CH behavior); names colliding with a left column keep
+        # the _asof suffix; alias qualifiers are stripped from the outer
+        # SELECT, so references must be unambiguous.
+        masof = _re.search(
+            r"\bFROM\s+(\w+)(?:\s+(?:AS\s+)?(\w+))?\s+ASOF\s+(LEFT\s+)?JOIN\s+"
+            r"(\w+)(?:\s+(?:AS\s+)?(\w+))?\s+ON\s+([\w.]+)\s*=\s*([\w.]+)\s+AND\s+"
+            r"([\w.]+)\s*(>=|<=)\s*([\w.]+)",
+            query,
+            _re.IGNORECASE,
+        )
+        if masof is not None and _re.match(r"\s*(SELECT|WITH)\b", query, _re.IGNORECASE):
+            from clickhousedatamocker_spark.operators.asof import asof_join
+
+            ltab, lali, is_left, rtab, rali = (
+                masof.group(1),
+                masof.group(2) or masof.group(1),
+                masof.group(3) is not None,
+                masof.group(4),
+                masof.group(5) or masof.group(4),
+            )
+            col = lambda q: q.split(".")[-1]  # noqa: E731
+            k1, k2 = col(masof.group(6)), col(masof.group(7))
+            if k1 != k2:
+                raise NotImplementedError(
+                    "ASOF JOIN needs a same-named equality key on both sides "
+                    f"(got {k1!r} = {k2!r})"
+                )
+            a, op, b = masof.group(8), masof.group(9), masof.group(10)
+            lq, rq = (a, b) if op == ">=" else (b, a)
+            lts, rts = col(lq), col(rq)
+            self.refresh_system_views()
+            read = lambda t: (  # noqa: E731
+                self.read_table(t) if self.catalog.exists(t) else self.spark.table(t)
+            )
+            ldf, rdf = read(ltab), read(rtab)
+            value_cols = [c for c in rdf.columns if c != k1]
+            joined = asof_join(
+                ldf, rdf, on=k1, left_ts=lts, right_ts=rts, value_cols=value_cols
+            )
+            if not is_left:
+                # CH's plain ASOF JOIN is INNER: left rows with no at-or-
+                # before right match drop out (LEFT keeps them as NULLs)
+                joined = joined.filter(F.col(f"{rts}_asof").isNotNull())
+            for c in value_cols:
+                if c not in ldf.columns:
+                    joined = joined.withColumnRenamed(f"{c}_asof", c)
+            joined.createOrReplaceTempView("__asof_joined")
+            rest = query[: masof.start()] + " FROM __asof_joined " + query[masof.end() :]
+            rest = _re.sub(rf"\b(?:{lali}|{rali})\.", "", rest)
+            return self.spark.sql(translate_ch_sql(rest))
+
         ddl = parse_ch_ddl(query)
         if ddl is not None:
             if ddl["op"] == "create":

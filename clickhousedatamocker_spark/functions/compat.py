@@ -44,6 +44,36 @@ _REWRITES = [
     # argument list that follows is valid for the target function, so a
     # paren-aware parser isn't needed). SQL UDFs can't define aggregates,
     # hence text rewrites rather than register_sql_functions entries.
+    # -State / -Merge combinators (the AggregatingMergeTree discipline:
+    # store partial aggregate states per insert block, merge on read).
+    # uniq's state is a Spark DataSketches HLL binary (hll_sketch_agg);
+    # union of partial sketches IS the global sketch, so
+    # uniqMerge(uniqState-parts) == the direct sketch estimate exactly.
+    # Algebraic aggregates use their natural partials: sum/min/max merge
+    # with themselves, count merges with SUM, avg's state is a
+    # (sum, count) struct. State args take one balanced paren group.
+    (re.compile(r"\buniqState\(", re.IGNORECASE), "hll_sketch_agg("),
+    (
+        re.compile(r"\buniqMerge\(\s*((?:[^(),]|\([^()]*\))+?)\s*\)", re.IGNORECASE),
+        r"hll_sketch_estimate(hll_union_agg(\1))",
+    ),
+    (
+        re.compile(r"\bavgState\(\s*((?:[^(),]|\([^()]*\))+?)\s*\)", re.IGNORECASE),
+        r"named_struct('s', sum(\1), 'c', count(\1))",
+    ),
+    (
+        re.compile(r"\bavgMerge\(\s*((?:[^(),]|\([^()]*\))+?)\s*\)", re.IGNORECASE),
+        r"(sum((\1).s) / sum((\1).c))",
+    ),
+    (re.compile(r"\bsumState\(", re.IGNORECASE), "sum("),
+    (re.compile(r"\bsumMerge\(", re.IGNORECASE), "sum("),
+    (re.compile(r"\bminState\(", re.IGNORECASE), "min("),
+    (re.compile(r"\bminMerge\(", re.IGNORECASE), "min("),
+    (re.compile(r"\bmaxState\(", re.IGNORECASE), "max("),
+    (re.compile(r"\bmaxMerge\(", re.IGNORECASE), "max("),
+    (re.compile(r"\bcountState\(\s*\)", re.IGNORECASE), "count(*)"),
+    (re.compile(r"\bcountState\(", re.IGNORECASE), "count("),
+    (re.compile(r"\bcountMerge\(", re.IGNORECASE), "sum("),
     (re.compile(r"\buniqExact\(", re.IGNORECASE), "count(DISTINCT "),
     (re.compile(r"\buniq(?:Combined|HLL12)?\(", re.IGNORECASE), "approx_count_distinct("),
     (re.compile(r"\bcountIf\(", re.IGNORECASE), "count_if("),
@@ -115,6 +145,23 @@ _REWRITES = [
         ),
         r"EXISTS (SELECT 1 FROM dict_\1 WHERE __dict_key = \2)",
     ),
+    # CH JOIN strictness modifiers. ALL is ClickHouse's DEFAULT strictness
+    # (every matching right row) == the standard SQL join: the keyword
+    # drops out. ANY keeps AT MOST ONE right match per join key — spelled
+    # as the join against the right side deduplicated to one row per key
+    # (row_number over the keys; the survivor is arbitrary, exactly CH's
+    # documented ANY contract). Constrained grammar: a named right table
+    # and an ON conjunction of qualified equalities, at least one side
+    # qualified by the right table/alias.
+    (re.compile(r"\bALL\s+((?:INNER|LEFT|RIGHT|FULL)(?:\s+OUTER)?\s+)?JOIN\b", re.IGNORECASE), r"\1JOIN"),
+    (
+        re.compile(
+            r"\bANY\s+((?:INNER|LEFT)\s+)?JOIN\s+(\w+)(?:\s+(?:AS\s+)?(\w+))?\s+ON\s+"
+            r"((?:[\w.]+\s*=\s*[\w.]+)(?:\s+AND\s+[\w.]+\s*=\s*[\w.]+)*)",
+            re.IGNORECASE,
+        ),
+        lambda m: _rewrite_any_join(m),
+    ),
     # CH GLOBAL JOIN / GLOBAL IN force the right side to the initiator and
     # broadcast it to every shard — in Spark that IS the engine's job
     # (broadcast/shuffle chosen by Catalyst), so the modifier drops out.
@@ -167,6 +214,30 @@ _REWRITES = [
         r"(get_json_object(\1, '$.\2') IS NOT NULL)",
     ),
 ]
+
+
+def _rewrite_any_join(m: re.Match) -> str:
+    """ANY [LEFT|INNER] JOIN t [AS a] ON <equalities> → the same join
+    against t deduplicated to one row per join key (see _REWRITES note)."""
+    jointype = (m.group(1) or "").strip()
+    table, alias, cond = m.group(2), m.group(3) or m.group(2), m.group(4)
+    rkeys = []
+    for a, b in re.findall(r"([\w.]+)\s*=\s*([\w.]+)", cond):
+        for side in (a, b):
+            q, _, c = side.rpartition(".")
+            if q.lower() == alias.lower() or q.lower() == table.lower():
+                rkeys.append(c)
+    if not rkeys:
+        raise NotImplementedError(
+            "ANY JOIN needs at least one ON equality side qualified by the "
+            f"right table/alias ({alias!r}) so the dedup key is identifiable"
+        )
+    keys = ", ".join(dict.fromkeys(rkeys))
+    dedup = (
+        f"(SELECT * EXCEPT (__rn) FROM (SELECT *, row_number() OVER "
+        f"(PARTITION BY {keys} ORDER BY {keys}) AS __rn FROM {table}) WHERE __rn = 1)"
+    )
+    return f"{jointype + ' ' if jointype else ''}JOIN {dedup} AS {alias} ON {cond}"
 
 
 def translate_ch_sql(sql: str) -> str:

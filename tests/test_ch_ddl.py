@@ -1149,3 +1149,143 @@ def test_rename_table(spark, tmp_path):
     ).first()["n"] == 24
     with _pytest.raises(Exception):
         engine.sql("SELECT count() FROM test_local").collect()
+
+
+def test_aggregate_state_merge_combinators(spark, tmp_path):
+    """CH -State/-Merge combinators (AggregatingMergeTree discipline):
+    per-block partial states stored in a table — uniq's state is an HLL
+    sketch BINARY, avg's a (sum,count) struct — then merged on read.
+    Law: merge-of-states == the direct aggregate over all rows — exactly
+    for count/min/max, to float tolerance for sum/avg (partials
+    re-associate the addition), and within sketch error of the EXACT
+    distinct count for uniq: the HLL estimate is merge-order dependent
+    (Spark's partial aggregation unions per-partition sketches in
+    nondeterministic order, so even direct != direct across runs), which
+    is the same contract ClickHouse's approximate uniq offers."""
+    import pytest as _pytest
+
+    from clickhousedatamocker_spark.engine import Engine
+    from clickhousedatamocker_spark.schema import TableSpec, test_local_spec
+    from clickhousedatamocker_spark.sources.generator import BatchGenerator
+
+    engine = Engine(spark, str(tmp_path / "wh"))
+    engine.create_table(test_local_spec())
+    gen = BatchGenerator(spark, seed=21, base_time="2026-01-01 12:00:00")
+    for b in (0, 1):  # two insert blocks -> two state rows per group key
+        engine.insert("test_local", gen.batch_with_partition(3000, batch_no=b))
+
+    state_sql = (
+        "SELECT event_type, uniqState(user_id) AS u, sumState(value) AS s, "
+        "avgState(value) AS a, countState() AS c, minState(value) AS mn, "
+        "maxState(value) AS mx FROM test_local WHERE id % 2 = {par} GROUP BY event_type"
+    )
+    part0 = engine.sql(state_sql.format(par=0))
+    spec = TableSpec(name="agg_rollup", schema=part0.schema, order_columns=["event_type"])
+    engine.create_table(spec)
+    engine.insert("agg_rollup", part0)
+    engine.insert("agg_rollup", engine.sql(state_sql.format(par=1)))
+
+    merged = {
+        r["event_type"]: r
+        for r in engine.sql(
+            "SELECT event_type, uniqMerge(u) AS uniq_users, sumMerge(s) AS sv, "
+            "avgMerge(a) AS av, countMerge(c) AS n, minMerge(mn) AS mn, "
+            "maxMerge(mx) AS mx FROM agg_rollup GROUP BY event_type"
+        ).collect()
+    }
+    direct = {
+        r["event_type"]: r
+        for r in engine.sql(
+            "SELECT event_type, hll_sketch_estimate(hll_sketch_agg(user_id)) AS uniq_users, "
+            "sum(value) AS sv, avg(value) AS av, count(*) AS n, min(value) AS mn, "
+            "max(value) AS mx FROM test_local GROUP BY event_type"
+        ).collect()
+    }
+    exact = {
+        r["event_type"]: r["d"]
+        for r in engine.sql(
+            "SELECT event_type, uniqExact(user_id) AS d FROM test_local GROUP BY event_type"
+        ).collect()
+    }
+    assert set(merged) == set(direct) and len(merged) == 4
+    for k, m in merged.items():
+        d = direct[k]
+        # both the two-level merge and the direct sketch land within HLL
+        # error of the exact distinct count (estimates are merge-order
+        # dependent, so equality between them is not the law)
+        assert abs(m["uniq_users"] - exact[k]) / exact[k] < 0.05
+        assert abs(d["uniq_users"] - exact[k]) / exact[k] < 0.05
+        assert m["n"] == d["n"]
+        assert (m["mn"], m["mx"]) == (d["mn"], d["mx"])
+        assert m["sv"] == _pytest.approx(d["sv"], rel=1e-12)
+        assert m["av"] == _pytest.approx(d["av"], rel=1e-12)
+
+
+def test_join_strictness_spellings(spark, tmp_warehouse):
+    """CH JOIN strictness dialect: ASOF [LEFT] JOIN maps onto
+    operators/asof.py (result-identical to calling asof_join directly;
+    plain ASOF is INNER, LEFT keeps unmatched), ANY LEFT JOIN keeps
+    exactly one right match per left row (arbitrary survivor — the CH
+    contract), and ALL is the vanilla join the keyword claims."""
+    from clickhousedatamocker_spark.engine import Engine
+    from clickhousedatamocker_spark.operators.asof import asof_join
+
+    engine = Engine(spark, tmp_warehouse)
+    trades = spark.createDataFrame(
+        [(1, 100, "t1"), (1, 205, "t2"), (2, 150, "t3"), (3, 50, "t4")],
+        "sym int, tts bigint, tname string",
+    )
+    quotes = spark.createDataFrame(
+        [(1, 90, 10.0), (1, 200, 11.0), (2, 150, 20.0)],
+        "sym int, qts bigint, px double",
+    )
+    trades.createOrReplaceTempView("trades_v")
+    quotes.createOrReplaceTempView("quotes_v")
+
+    got = {
+        r["tname"]: (r["qts"], r["px"])
+        for r in engine.sql(
+            "SELECT tname, qts, px FROM trades_v t ASOF LEFT JOIN quotes_v q "
+            "ON t.sym = q.sym AND t.tts >= q.qts"
+        ).collect()
+    }
+    want = {
+        r["tname"]: (r["qts_asof"], r["px_asof"])
+        for r in asof_join(
+            trades, quotes, on="sym", left_ts="tts", right_ts="qts", value_cols=["qts", "px"]
+        ).collect()
+    }
+    assert got == want  # the SQL spelling IS the operator
+    assert got["t1"] == (90, 10.0)   # at-or-before pick
+    assert got["t2"] == (200, 11.0)  # latest prior quote wins
+    assert got["t3"] == (150, 20.0)  # exact-timestamp match visible
+    assert got["t4"] == (None, None)  # LEFT keeps the unmatched row
+
+    inner = engine.sql(
+        "SELECT tname FROM trades_v t ASOF JOIN quotes_v q "
+        "ON t.sym = q.sym AND t.tts >= q.qts"
+    ).collect()
+    assert sorted(r["tname"] for r in inner) == ["t1", "t2", "t3"]  # t4 drops
+
+    # ANY LEFT JOIN: dup-keyed right side, exactly one match per left row
+    dims = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c")], "sym int, tag string"
+    )
+    dims.createOrReplaceTempView("dims_v")
+    rows = engine.sql(
+        "SELECT t.tname AS tname, d.tag AS tag FROM trades_v t "
+        "ANY LEFT JOIN dims_v d ON t.sym = d.sym"
+    ).collect()
+    assert len(rows) == 4  # one output row per left row, never multiplied
+    by_name = {r["tname"]: r["tag"] for r in rows}
+    assert by_name["t1"] in ("a", "b") and by_name["t2"] in ("a", "b")
+    assert by_name["t1"] == by_name["t2"]  # same dedup survivor per key
+    assert by_name["t3"] == "c"
+    assert by_name["t4"] is None
+
+    # ALL JOIN == vanilla join (every match; the CH default spelled out)
+    all_rows = engine.sql(
+        "SELECT t.tname AS tname, d.tag AS tag FROM trades_v t "
+        "ALL LEFT JOIN dims_v d ON t.sym = d.sym"
+    ).collect()
+    assert len(all_rows) == 6  # t1,t2 match twice each + t3 + t4
