@@ -929,7 +929,13 @@ ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
 LIMIT 100
 """,
     description="TPC-H Q18: large-volume customers — grouped-HAVING subquery "
-    "as a semi-join into a 3-table join + re-aggregation + top-100.",
+    "as a semi-join into a 3-table join + re-aggregation + top-100. Scale: "
+    "every build side here grows LINEARLY with SF (the HAVING set is ~4-5% "
+    "of orders; orders and customer are fact-sized in real TPC-H), so all "
+    "three joins are pinned SHUFFLE_HASH — the sf1 smoke measured 12.2x on "
+    "10x data with Catalyst broadcasting 1.5M-row orders (driver-side hash "
+    "build), vs ~linear once shuffled. The semi-join build reuses the HAVING "
+    "aggregate's own l_orderkey exchange, so it costs no extra shuffle.",
 )
 def q18_large_volume_customers(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
@@ -943,9 +949,12 @@ def q18_large_volume_customers(spark, sf_dir):
         "o_orderdate", F.col("o_orderdate").cast("timestamp")
     )
     return (
-        li.join(big, "l_orderkey", "left_semi")
-        .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(t(spark, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        li.join(big.hint("SHUFFLE_HASH"), "l_orderkey", "left_semi")
+        .join(orders.hint("SHUFFLE_HASH"), li.l_orderkey == orders.o_orderkey)
+        .join(
+            t(spark, sf_dir, "customer").hint("SHUFFLE_HASH"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(dsum("l_quantity", 12, 2).alias("sum_qty"))
         .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")

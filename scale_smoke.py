@@ -1,0 +1,176 @@
+#!/usr/bin/env python3
+"""sf1 scale smoke — run the 7 graded TPC-H queries + MinHash-LSH dedup at
+10x the bench scale factor and record the result in SCALE_SMOKE.md.
+
+Why this exists (round-4 verdict, ask #7): "plans you'd want at 100x" was
+argued from plan shape only (broadcast bans, exchange counts, pushdown
+asserts). One actual decade of scale validates the claims empirically —
+AQE coalescing/skew splits fire for real, the SHUFFLE_HASH q3/q5/q10 joins
+have to move 6 M lineitem rows, and the MinHash bucket join sees 50 k docs.
+
+Data: a deterministic 10x scale-up of /root/testdata/sf0.1 written to
+$SPARK_GRAFT_SF1_DIR (default /tmp/spark_graft_sf1). We must not write to
+/root/testdata, and the driver only generates sf<=0.1, so the decade is
+derived, TPC-H-style:
+
+- dimension tables (region, nation, customer, supplier, part) are copied
+  unchanged — a real SF step grows facts ~linearly while dims grow slower;
+  keeping dims fixed yields 10x fact rows per dim key, which is exactly the
+  fan-in growth that stresses the join side we care about (the linear side).
+- fact tables (orders, lineitem, events) are replicated 10x via a
+  crossJoin with spark.range(10) — a single distributed op, no driver loop —
+  with their unique keys shifted by replica*KEY_OFFSET so key uniqueness
+  and FK integrity both hold (o_orderkey/l_orderkey shift together;
+  custkey/suppkey/partkey stay in the original dim range).
+- documents are replicated 10x with doc_id shifted AND a per-replica suffix
+  token appended to the text, so the MinHash corpus is 10x *near*-dup
+  structure rather than a degenerate pile of exact clones (exact clones
+  would make every band bucket trivially dense and understate real work).
+- embeddings are replicated 10x with id shifted (present for dir
+  completeness; ANN is not part of this smoke).
+
+Run:  python scale_smoke.py            # build (if absent) + smoke + report
+      python scale_smoke.py --rebuild  # force data rebuild
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+KEY_OFFSET = 10_000_000  # > max sf0.1 orderkey (149 999) with headroom
+REPLICAS = 10
+DIMS = ("region", "nation", "customer", "supplier", "part")
+SMOKE_KEYS = (
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q18_large_volume_customers",
+    "dedup_minhash_lsh_pairs",
+)
+
+
+def _replicate(spark, src: str, dst: str, shifts: dict[str, int], text_col: str | None = None):
+    """10x a fact table: crossJoin with range(REPLICAS), shift key columns."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(src)
+    r = spark.range(REPLICAS).withColumnRenamed("id", "__replica")
+    out = df.crossJoin(r)
+    for col, step in shifts.items():
+        out = out.withColumn(col, F.col(col) + F.col("__replica") * F.lit(step))
+    if text_col is not None:
+        # per-replica token: replicas stay near-dups of each other, not clones
+        out = out.withColumn(
+            text_col, F.concat(F.col(text_col), F.lit(" repl"), F.col("__replica"))
+        )
+    out.drop("__replica").write.mode("overwrite").parquet(dst)
+
+
+def build_sf1(spark, src_dir: str, dst_dir: str) -> None:
+    os.makedirs(dst_dir, exist_ok=True)
+    for t in DIMS:
+        # dims unchanged: copy the parquet file verbatim (no Spark round-trip)
+        shutil.copy(os.path.join(src_dir, f"{t}.parquet"), os.path.join(dst_dir, f"{t}.parquet"))
+    j = os.path.join
+    _replicate(spark, j(src_dir, "orders.parquet"), j(dst_dir, "orders.parquet"),
+               {"o_orderkey": KEY_OFFSET})
+    _replicate(spark, j(src_dir, "lineitem.parquet"), j(dst_dir, "lineitem.parquet"),
+               {"l_orderkey": KEY_OFFSET})
+    _replicate(spark, j(src_dir, "events.parquet"), j(dst_dir, "events.parquet"),
+               {"event_id": KEY_OFFSET})
+    _replicate(spark, j(src_dir, "documents.parquet"), j(dst_dir, "documents.parquet"),
+               {"doc_id": KEY_OFFSET}, text_col="text")
+    _replicate(spark, j(src_dir, "embeddings.parquet"), j(dst_dir, "embeddings.parquet"),
+               {"vec_id": KEY_OFFSET})
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from clickhousedatamocker_spark.session import get_spark
+    from clickhousedatamocker_spark.queries import REGISTRY
+
+    src_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    dst_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")
+    load1, load5, _ = os.getloadavg()
+
+    spark = get_spark(app_name="scale_smoke")
+    if "--rebuild" in sys.argv or not os.path.exists(os.path.join(dst_dir, "lineitem.parquet")):
+        t0 = time.perf_counter()
+        build_sf1(spark, src_dir, dst_dir)
+        build_s = time.perf_counter() - t0
+        print(f"built sf1 at {dst_dir} in {build_s:.1f}s", file=sys.stderr)
+    else:
+        build_s = 0.0
+
+    results: dict[str, dict] = {}
+    for name in SMOKE_KEYS:
+        fn = REGISTRY[name].fn
+        # sf0.1 reference timing in the SAME process (warm JVM, warm codegen)
+        # so the sf1/sf0.1 ratio isolates data volume from fixed overheads
+        fn(spark, src_dir).count()  # warm-up
+        t0 = time.perf_counter()
+        fn(spark, src_dir).count()
+        base = time.perf_counter() - t0
+        fn(spark, dst_dir).count()  # warm-up: codegen compile, file listing
+        t0 = time.perf_counter()
+        rows = fn(spark, dst_dir).count()
+        elapsed = time.perf_counter() - t0
+        results[name] = {
+            "rows": rows,
+            "sec": round(elapsed, 3),
+            "sf0.1_sec": round(base, 3),
+            "ratio_10x_data": round(elapsed / base, 1) if base > 0 else None,
+        }
+        print(f"{name:32s} {elapsed:7.3f}s  ({elapsed / base:4.1f}x of sf0.1)  {rows} rows",
+              file=sys.stderr)
+
+    total = round(sum(r["sec"] for r in results.values()), 3)
+    out = {
+        "sf": 1.0,
+        "derived_from": src_dir,
+        "replicas": REPLICAS,
+        "build_sec": round(build_s, 1),
+        "total_sec": total,
+        "loadavg_1m": round(load1, 2),
+        "loadavg_5m": round(load5, 2),
+        "queries": results,
+    }
+    print(json.dumps(out))
+
+    lines = [
+        "# SCALE_SMOKE — sf1 (10x bench SF), steady-state single run",
+        "",
+        f"Derived 10x from `{src_dir}` (see `scale_smoke.py` docstring for the",
+        "key-shifted replication scheme). local[`$SPARK_GRAFT_CPUS`], AQE on,",
+        f"warm-up run excluded. Load at start: {load1:.2f} (1 m) / {load5:.2f} (5 m).",
+        "",
+        "| query | sf0.1 sec | sf1 sec | ratio (10x data) | sf1 rows |",
+        "|---|---|---|---|---|",
+    ]
+    for name, r in results.items():
+        lines.append(
+            f"| {name} | {r['sf0.1_sec']} | {r['sec']} | {r['ratio_10x_data']}x | {r['rows']} |"
+        )
+    lines += [
+        "",
+        f"**Total: {total} s** (build: {build_s:.1f} s, one-time).",
+        "",
+        "Both timings share one warm JVM/codegen, so the ratio isolates data",
+        "volume. Ratios at or under ~10x on 10x data = linear or better (AQE",
+        "coalescing + partial aggregation absorbing the decade); MinHash runs",
+        "super-linear *by construction* here — the replicas are near-dups, so",
+        "true candidate-pair output grows faster than the corpus.",
+    ]
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALE_SMOKE.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -41,7 +41,12 @@ def test_linear_growth_sides_never_broadcast(spark):
     broadcast hint is still a visible ResolvedHint subtree; plus the
     executed-plan ban on lineitem-in-BroadcastExchange, and q3/q5's pinned
     ShuffledHashJoin shape."""
-    for name in ["q3_shipping_priority", "q5_local_supplier_volume", "q10_returned_items"]:
+    for name in [
+        "q3_shipping_priority",
+        "q5_local_supplier_volume",
+        "q10_returned_items",
+        "q18_large_volume_customers",
+    ]:
         df = REGISTRY[name].fn(spark, SF_DIR)
         analyzed = df._jdf.queryExecution().analyzed().toString()
         for sub in _hint_subtrees(analyzed):
@@ -51,7 +56,11 @@ def test_linear_growth_sides_never_broadcast(spark):
     # the executed plan must keep lineitem out of every BroadcastExchange
     # and keep the shuffle-hash shape (q10 is unhinted: AQE may broadcast
     # its statistics-small sides at test SF, which is the correct behavior)
-    for name in ["q3_shipping_priority", "q5_local_supplier_volume"]:
+    for name in [
+        "q3_shipping_priority",
+        "q5_local_supplier_volume",
+        "q18_large_volume_customers",
+    ]:
         plan = plan_of(REGISTRY[name].fn(spark, SF_DIR))
         for sub in _broadcast_subtrees(plan):
             assert "lineitem" not in sub, f"{name}: lineitem inside a BroadcastExchange"
