@@ -240,10 +240,89 @@ def _rewrite_any_join(m: re.Match) -> str:
     return f"{jointype + ' ' if jointype else ''}JOIN {dedup} AS {alias} ON {cond}"
 
 
+# Parametric/variadic CH spellings that a flat regex cannot rewrite: the
+# argument list needs a balanced-paren split (lambda bodies and nested calls
+# carry top-level-looking commas). Each handler receives the top-level-split
+# argument texts and returns the Spark SQL spelling. CH's lambda syntax
+# (``x -> expr``) is byte-compatible with Spark's — only the argument ORDER
+# moves (CH: lambda first; Spark HOFs: array first).
+def _pm_multi_if(args: list[str]) -> str:
+    if len(args) < 3 or len(args) % 2 == 0:
+        raise NotImplementedError("multiIf needs cond/value pairs plus an ELSE")
+    whens = "".join(
+        f" WHEN {args[i]} THEN {args[i + 1]}" for i in range(0, len(args) - 1, 2)
+    )
+    return f"(CASE{whens} ELSE {args[-1]} END)"
+
+
+def _pm_array_map(args: list[str]) -> str:
+    if len(args) == 2:
+        return f"transform({args[1]}, {args[0]})"
+    if len(args) == 3:  # two-array form: CH arrayMap((x,y) -> f, a, b)
+        return f"zip_with({args[1]}, {args[2]}, {args[0]})"
+    raise NotImplementedError("arrayMap supports 1 or 2 array arguments")
+
+
+def _pm_2arg(target: str):
+    def rw(args: list[str]) -> str:
+        if len(args) != 2:
+            raise NotImplementedError(f"expected (lambda, array), got {len(args)} args")
+        return target.format(f=args[0], a=args[1])
+
+    return rw
+
+
+_PARAMETRIC: dict[str, object] = {
+    "multiIf": _pm_multi_if,
+    "arrayMap": _pm_array_map,
+    "arrayFilter": _pm_2arg("filter({a}, {f})"),
+    "arrayExists": _pm_2arg("exists({a}, {f})"),
+    "arrayAll": _pm_2arg("forall({a}, {f})"),
+    "arrayCount": _pm_2arg("size(filter({a}, {f}))"),
+    "arrayFirst": _pm_2arg("element_at(filter({a}, {f}), 1)"),
+}
+
+_PARAMETRIC_RE = re.compile(
+    r"\b(" + "|".join(_PARAMETRIC) + r")\s*\(", re.IGNORECASE
+)
+_PARAMETRIC_LOWER = {k.lower(): v for k, v in _PARAMETRIC.items()}
+
+
+def _rewrite_parametric(sql: str) -> str:
+    """Rewrite one outermost parametric call per pass; loop to fixpoint so
+    nested occurrences (an arrayMap inside a multiIf branch) resolve too —
+    the inner call's text survives the outer rewrite verbatim and is picked
+    up on the next pass. Bounded: every pass removes one CH spelling."""
+    for _ in range(64):
+        m = _PARAMETRIC_RE.search(sql)
+        if not m:
+            return sql
+        depth, i = 1, m.end()
+        quote = None
+        while i < len(sql) and depth:
+            c = sql[i]
+            if quote:
+                if c == quote:
+                    quote = None
+            elif c in "'\"":
+                quote = c
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            i += 1
+        if depth:
+            raise ValueError(f"unbalanced parens after {m.group(1)}(")
+        args = _split_top(sql[m.end() : i - 1])
+        repl = _PARAMETRIC_LOWER[m.group(1).lower()](args)
+        sql = sql[: m.start()] + repl + sql[i:]
+    raise NotImplementedError("parametric rewrite did not converge in 64 passes")
+
+
 def translate_ch_sql(sql: str) -> str:
     for pattern, repl in _REWRITES:
         sql = pattern.sub(repl, sql)
-    return sql
+    return _rewrite_parametric(sql)
 
 
 # -- DDL ---------------------------------------------------------------------

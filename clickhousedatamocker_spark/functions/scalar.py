@@ -185,7 +185,131 @@ def register_sql_functions(spark: SparkSession) -> None:
         ("formatDateTime", "(t TIMESTAMP, f STRING)", "STRING", _format_datetime_body()),
         ("toInt64", "(x STRING)", "BIGINT", "CAST(CAST(x AS DECIMAL(38,9)) AS BIGINT)"),
         ("toInt32", "(x STRING)", "INT", "CAST(CAST(x AS DECIMAL(38,9)) AS INT)"),
+        ("toInt16", "(x STRING)", "SMALLINT", "CAST(CAST(x AS DECIMAL(38,9)) AS SMALLINT)"),
+        ("toInt8", "(x STRING)", "TINYINT", "CAST(CAST(x AS DECIMAL(38,9)) AS TINYINT)"),
+        # unsigned CH types land in the next-wider signed Spark type so the
+        # full unsigned range fits; toUInt64 values above int64-max are out
+        # of range for this engine (documented deviation — SURVEY §1.2's
+        # UInt64 decision applies engine-wide)
+        ("toUInt8", "(x STRING)", "SMALLINT", "CAST(CAST(x AS DECIMAL(38,9)) AS SMALLINT)"),
+        ("toUInt16", "(x STRING)", "INT", "CAST(CAST(x AS DECIMAL(38,9)) AS INT)"),
+        ("toUInt32", "(x STRING)", "BIGINT", "CAST(CAST(x AS DECIMAL(38,9)) AS BIGINT)"),
+        ("toUInt64", "(x STRING)", "BIGINT", "CAST(CAST(x AS DECIMAL(38,9)) AS BIGINT)"),
         ("toFloat64", "(x STRING)", "DOUBLE", "CAST(x AS DOUBLE)"),
+        ("toFloat32", "(x STRING)", "FLOAT", "CAST(x AS FLOAT)"),
+        # toString: the STRING parameter makes Spark's implicit cast do the
+        # work; timestamps render 'yyyy-MM-dd HH:mm:ss' — CH's format too
+        ("toString", "(x STRING)", "STRING", "x"),
+        # toDateTime accepts CH's both shapes: epoch integers (implicitly
+        # cast to a digit string by the STRING parameter) and datetime text
+        (
+            "toDateTime",
+            "(x STRING)",
+            "TIMESTAMP",
+            "CASE WHEN x RLIKE '^[0-9]+$' THEN to_timestamp(CAST(x AS BIGINT)) "
+            "ELSE CAST(x AS TIMESTAMP) END",
+        ),
+        # -- string search / replace (CH arg orders) ----------------------
+        # (CH position(haystack, needle) is NOT shimmed: Spark refuses to
+        # replace its builtin position(substr, str), whose arg order is the
+        # REVERSE of CH's — a silent-wrong-answer trap if left; use locate.)
+        ("positionCaseInsensitive", "(h STRING, n STRING)", "INT", "locate(lower(n), lower(h))"),
+        ("match", "(s STRING, p STRING)", "BOOLEAN", "s RLIKE p"),
+        # CH extract/extractAll return the FIRST subpattern when the regex
+        # has capture groups; group-less patterns must be wrapped in parens
+        # here (regexp_extract group 1), a documented deviation
+        ("extractAll", "(s STRING, p STRING)", "ARRAY<STRING>", "regexp_extract_all(s, p, 1)"),
+        ("replaceAll", "(h STRING, p STRING, r STRING)", "STRING", "replace(h, p, r)"),
+        (
+            "replaceOne",
+            "(h STRING, p STRING, r STRING)",
+            "STRING",
+            "CASE WHEN locate(p, h) > 0 THEN concat(substring(h, 1, locate(p, h) - 1), r, "
+            "substring(h, locate(p, h) + length(p))) ELSE h END",
+        ),
+        # Java-regex replacement: backreferences are $1, not re2's \\1
+        ("replaceRegexpAll", "(h STRING, p STRING, r STRING)", "STRING", "regexp_replace(h, p, r)"),
+        (
+            "countSubstrings",
+            "(h STRING, n STRING)",
+            "INT",
+            "CASE WHEN length(n) = 0 THEN 0 "
+            "ELSE CAST((length(h) - length(replace(h, n, ''))) / length(n) AS INT) END",
+        ),
+        ("multiSearchAny", "(h STRING, pats ARRAY<STRING>)", "BOOLEAN", "exists(pats, p -> locate(p, h) > 0)"),
+        ("lowerUTF8", "(s STRING)", "STRING", "lower(s)"),
+        ("upperUTF8", "(s STRING)", "STRING", "upper(s)"),
+        ("trimBoth", "(s STRING)", "STRING", "trim(s)"),
+        ("trimLeft", "(s STRING)", "STRING", "ltrim(s)"),
+        ("trimRight", "(s STRING)", "STRING", "rtrim(s)"),
+        ("leftPad", "(s STRING, n INT, p STRING)", "STRING", "lpad(s, n, p)"),
+        ("rightPad", "(s STRING, n INT, p STRING)", "STRING", "rpad(s, n, p)"),
+        # -- URL family (CH's signature corpus-governance vocabulary) -----
+        # parse_url handles well-formed URLs; the regex fallbacks cover CH's
+        # scheme-less acceptances ('//cdn.x/y', 'example.com/path'); '' (not
+        # NULL) for no-match, CH's contract
+        ("protocol", "(u STRING)", "STRING", "regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*):', 1)"),
+        (
+            "domain",
+            "(u STRING)",
+            "STRING",
+            "coalesce(nullif(parse_url(u, 'HOST'), ''), "
+            "nullif(regexp_extract(u, '^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?//([^/?#:]+)', 1), ''), "
+            "nullif(regexp_extract(u, '^([^/?#:]+)', 1), ''), '')",
+        ),
+        ("domainWithoutWWW", "(u STRING)", "STRING", "regexp_replace(domain(u), '^www\\\\.', '')"),
+        ("topLevelDomain", "(u STRING)", "STRING", "regexp_extract(domain(u), '\\\\.([^.]+)$', 1)"),
+        ("path", "(u STRING)", "STRING", "coalesce(parse_url(u, 'PATH'), '')"),
+        (
+            "pathFull",
+            "(u STRING)",
+            "STRING",
+            "concat(coalesce(parse_url(u, 'PATH'), ''), CASE WHEN parse_url(u, 'QUERY') "
+            "IS NOT NULL THEN concat('?', parse_url(u, 'QUERY')) ELSE '' END)",
+        ),
+        ("queryString", "(u STRING)", "STRING", "coalesce(parse_url(u, 'QUERY'), '')"),
+        ("fragment", "(u STRING)", "STRING", "coalesce(parse_url(u, 'REF'), '')"),
+        ("extractURLParameter", "(u STRING, k STRING)", "STRING", "coalesce(parse_url(u, 'QUERY', k), '')"),
+        ("cutQueryString", "(u STRING)", "STRING", "regexp_replace(u, '\\\\?[^#]*', '')"),
+        ("cutFragment", "(u STRING)", "STRING", "regexp_replace(u, '#.*$', '')"),
+        ("cutQueryStringAndFragment", "(u STRING)", "STRING", "regexp_replace(u, '[?#].*$', '')"),
+        # -- hashes --------------------------------------------------------
+        # cityHash64/sipHash64 keep the CONTRACT (stable 64-bit integer
+        # hash) but not CH's exact values — both map onto xxhash64, Spark's
+        # native 64-bit hash. Documented deviation: values differ from a
+        # real CH server, so only same-engine comparisons are meaningful.
+        ("cityHash64", "(s STRING)", "BIGINT", "xxhash64(s)"),
+        ("sipHash64", "(s STRING)", "BIGINT", "xxhash64(s)"),
+        # BINARY return so CH's hex(SHA256(x)) idiom round-trips to the same
+        # uppercase hex a CH server prints. (MD5 is NOT shimmed — Spark's
+        # builtin md5 owns the name and returns lowercase hex text; CH users
+        # porting hex(MD5(x)) should write upper(md5(x)).)
+        ("SHA256", "(s STRING)", "BINARY", "unhex(sha2(s, 256))"),
+        # -- math ----------------------------------------------------------
+        ("intDivOrZero", "(a BIGINT, b BIGINT)", "BIGINT", "CASE WHEN b = 0 THEN 0 ELSE a div b END"),
+        ("moduloOrZero", "(a BIGINT, b BIGINT)", "BIGINT", "CASE WHEN b = 0 THEN 0 ELSE a % b END"),
+        # (roundBankers: not shimmable — Spark's bround demands a LITERAL
+        # scale, which a SQL-UDF parameter is not; bround itself IS
+        # HALF_EVEN with CH's (x, n) arg shape, so users call it directly.
+        # sign needs no shim — Spark's builtin shares CH's name/semantics.)
+        # -- arrays (typed-signature forms; lambda spellings like arrayMap
+        # are paren-aware rewrites in functions/compat.py) ----------------
+        (
+            "arraySum",
+            "(arr ARRAY<DOUBLE>)",
+            "DOUBLE",
+            "aggregate(arr, CAST(0.0 AS DOUBLE), (a, x) -> a + coalesce(x, CAST(0.0 AS DOUBLE)))",
+        ),
+        (
+            "arrayAvg",
+            "(arr ARRAY<DOUBLE>)",
+            "DOUBLE",
+            "CASE WHEN size(arr) > 0 THEN aggregate(arr, CAST(0.0 AS DOUBLE), "
+            "(a, x) -> a + coalesce(x, CAST(0.0 AS DOUBLE))) / size(arr) END",
+        ),
+        # indexOf: 1-based, 0 when absent (array_position's exact contract);
+        # non-string arrays reach it through Spark's implicit element cast
+        ("indexOf", "(arr ARRAY<STRING>, x STRING)", "INT", "CAST(coalesce(array_position(arr, x), 0) AS INT)"),
     ]:
         spark.sql(
             f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{sig} RETURNS {ret} RETURN {body}"

@@ -136,3 +136,151 @@ def test_format_datetime_unmapped_token_raises(spark):
         assert "unsupported %-token" in str(ei.value)
 
     check()
+
+
+# -- round-5 vocabulary batch: string/URL/type/hash/array CH spellings -------
+
+# (input SQL expression, expected value) — goldens chosen against ClickHouse's
+# documented behavior for each function
+VOCAB_GOLDENS = [
+    # (position itself is unshimmed — Spark's builtin owns the name with
+    # reversed args; the case-insensitive variant has no builtin conflict)
+    ("positionCaseInsensitive('Hello', 'hELLO')", 1),
+    ("match('access.log 200 OK', '\\\\d{3}')", True),
+    ("match('access.log OK', '\\\\d{3}')", False),
+    ("extractAll('a=1, b=2, c=3', '(\\\\d)')", ["1", "2", "3"]),
+    ("replaceAll('aXbXc', 'X', '-')", "a-b-c"),
+    ("replaceOne('aXbXc', 'X', '-')", "a-bXc"),
+    ("replaceOne('abc', 'z', '-')", "abc"),
+    ("replaceRegexpAll('a1b22c', '\\\\d+', '#')", "a#b#c"),
+    ("countSubstrings('foo bar foo', 'foo')", 2),
+    ("countSubstrings('foo', '')", 0),
+    ("multiSearchAny('error: disk full', array('warn', 'error'))", True),
+    ("multiSearchAny('all good', array('warn', 'error'))", False),
+    ("lowerUTF8('AbC')", "abc"),
+    ("upperUTF8('AbC')", "ABC"),
+    ("trimBoth('  x  ')", "x"),
+    ("trimLeft('  x  ')", "x  "),
+    ("trimRight('  x  ')", "  x"),
+    ("leftPad('7', 3, '0')", "007"),
+    ("rightPad('7', 3, '0')", "700"),
+    # URL family
+    ("protocol('https://example.com/a')", "https"),
+    ("protocol('example.com/a')", ""),
+    ("domain('https://www.example.com:8080/p?q=1')", "www.example.com"),
+    ("domain('//cdn.ex.io/x')", "cdn.ex.io"),
+    ("domain('example.com/path')", "example.com"),
+    ("domainWithoutWWW('https://www.example.com/p')", "example.com"),
+    ("topLevelDomain('https://shop.example.co.uk/p')", "uk"),
+    ("path('https://e.com/a/b?q=1#f')", "/a/b"),
+    ("pathFull('https://e.com/a/b?q=1#f')", "/a/b?q=1"),
+    ("queryString('https://e.com/p?a=1&b=2#f')", "a=1&b=2"),
+    ("fragment('https://e.com/p?a=1#sec')", "sec"),
+    ("extractURLParameter('https://e.com/p?a=1&b=2', 'b')", "2"),
+    ("extractURLParameter('https://e.com/p?a=1', 'z')", ""),
+    ("cutQueryString('https://e.com/p?a=1#f')", "https://e.com/p#f"),
+    ("cutFragment('https://e.com/p?a=1#f')", "https://e.com/p?a=1"),
+    ("cutQueryStringAndFragment('https://e.com/p?a=1#f')", "https://e.com/p"),
+    # type conversions
+    ("toInt16('300')", 300),
+    ("toInt8('12')", 12),
+    ("toUInt8('200')", 200),
+    ("toUInt32('4000000000')", 4000000000),
+    ("toFloat32('1.5')", 1.5),
+    ("toString(123)", "123"),
+    ("toString(TIMESTAMP '2026-01-01 12:00:00')", "2026-01-01 12:00:00"),
+    ("toDateTime('2026-01-01 12:00:00')", None),  # checked by type below
+    # math
+    ("intDivOrZero(7, 0)", 0),
+    ("intDivOrZero(7, 2)", 3),
+    ("moduloOrZero(7, 0)", 0),
+    ("bround(2.5, 0)", 2.0),  # roundBankers unshimmed (literal-scale limit); bround is the HALF_EVEN spelling
+    ("bround(3.5, 0)", 4.0),
+    ("sign(-3.2)", -1.0),  # Spark builtin (CH-compatible name), returns DOUBLE
+    # arrays
+    ("arraySum(array(1.0, 2.5, NULL))", 3.5),
+    ("arrayAvg(array(2.0, 4.0))", 3.0),
+    ("indexOf(array('a', 'b', 'c'), 'b')", 2),
+    ("indexOf(array('a'), 'z')", 0),
+    ("indexOf(array(1, 2, 3), 2)", 2),
+]
+
+
+def test_ch_vocabulary_goldens(spark):
+    register_sql_functions(spark)
+    exprs = ", ".join(f"{e} AS c{i}" for i, (e, _) in enumerate(VOCAB_GOLDENS))
+    row = spark.sql(f"SELECT {exprs}").first()
+    for i, (expr, want) in enumerate(VOCAB_GOLDENS):
+        if want is None:
+            continue
+        got = row[f"c{i}"]
+        if isinstance(want, float):
+            assert abs(float(got) - want) < 1e-9, f"{expr}: {got} != {want}"
+        else:
+            assert got == want, f"{expr}: {got!r} != {want!r}"
+
+
+def test_ch_vocabulary_typed_returns(spark):
+    register_sql_functions(spark)
+    r = spark.sql(
+        "SELECT toDateTime('2026-01-01 12:00:00') AS dt_text, "
+        "toDateTime(1767268800) AS dt_epoch, "
+        "upper(md5('abc')) AS md5_hex, hex(SHA256('')) AS sha_hex, "
+        "cityHash64('x') AS ch, sipHash64('x') AS sh"
+    ).first()
+    import datetime
+
+    assert r["dt_text"] == datetime.datetime(2026, 1, 1, 12, 0, 0)
+    # 1767268800 = 2026-01-01 12:00:00 UTC (session tz pinned UTC)
+    assert r["dt_epoch"] == datetime.datetime(2026, 1, 1, 12, 0, 0)
+    # CH idiom hex(MD5(x)) must equal a real server's output exactly
+    assert r["md5_hex"] == "900150983CD24FB0D6963F7D28E17F72"
+    assert r["sha_hex"] == "E3B0C44298FC1C149AFBF4C8996FB92427AE41E4649B934CA495991B7852B855"
+    assert isinstance(r["ch"], int) and isinstance(r["sh"], int)
+
+
+def test_ch_parametric_rewrites():
+    """multiIf / array-lambda spellings → Spark HOFs, including nesting and
+    commas inside lambda bodies (the flat-regex-impossible cases)."""
+    from clickhousedatamocker_spark.functions.compat import translate_ch_sql as tr
+
+    assert tr("SELECT multiIf(a > 1, 'x', b < 2, 'y', 'z')") == (
+        "SELECT (CASE WHEN a > 1 THEN 'x' WHEN b < 2 THEN 'y' ELSE 'z' END)"
+    )
+    assert tr("SELECT arrayMap(x -> x * 2, nums)") == "SELECT transform(nums, x -> x * 2)"
+    assert tr("SELECT arrayMap((x, y) -> x + y, a, b)") == "SELECT zip_with(a, b, (x, y) -> x + y)"
+    assert tr("SELECT arrayFilter(x -> x > 0, nums)") == "SELECT filter(nums, x -> x > 0)"
+    assert tr("SELECT arrayExists(x -> x = 1, nums)") == "SELECT exists(nums, x -> x = 1)"
+    assert tr("SELECT arrayAll(x -> x > 0, nums)") == "SELECT forall(nums, x -> x > 0)"
+    assert tr("SELECT arrayCount(x -> x > 0, nums)") == "SELECT size(filter(nums, x -> x > 0))"
+    assert tr("SELECT arrayFirst(x -> x > 0, nums)") == "SELECT element_at(filter(nums, x -> x > 0), 1)"
+    # comma inside a lambda body (nested call) must not split the args
+    assert tr("arrayMap(x -> if(x > 0, 1, 0), nums)") == "transform(nums, x -> if(x > 0, 1, 0))"
+    # nesting: inner spelling rewritten on the next fixpoint pass
+    assert tr("multiIf(c, arrayMap(x -> x, a), d)") == (
+        "(CASE WHEN c THEN transform(a, x -> x) ELSE d END)"
+    )
+    # strings containing parens/commas stay intact
+    assert tr("multiIf(s = '(a,b', 'l(', 'r)')") == (
+        "(CASE WHEN s = '(a,b' THEN 'l(' ELSE 'r)' END)"
+    )
+
+
+def test_ch_parametric_execute(spark):
+    register_sql_functions(spark)
+    from clickhousedatamocker_spark.functions.compat import translate_ch_sql as tr
+
+    r = spark.sql(
+        tr(
+            "SELECT arrayMap(x -> x * 2, array(1, 2, 3)) AS doubled, "
+            "arrayFilter(x -> x % 2 = 0, array(1, 2, 3, 4)) AS evens, "
+            "arrayCount(x -> x > 1, array(1, 2, 3)) AS n, "
+            "arrayFirst(x -> x > 1, array(1, 2, 3)) AS first_big, "
+            "multiIf(1 = 2, 'a', 2 = 2, 'b', 'c') AS chosen"
+        )
+    ).first()
+    assert r["doubled"] == [2, 4, 6]
+    assert r["evens"] == [2, 4]
+    assert r["n"] == 2
+    assert r["first_big"] == 2
+    assert r["chosen"] == "b"
