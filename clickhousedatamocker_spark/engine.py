@@ -563,6 +563,52 @@ class Engine:
 
         return _re.sub(r"\bFROM\s+(\w+)\s+FINAL\b", sub, query, flags=_re.IGNORECASE)
 
+    def _rewrite_generate_random(self, query: str) -> str:
+        """``generateRandom('schema'[, seed, max_string_length,
+        max_array_length])`` — CH's mock-data table function, the SQL
+        spelling of this engine's founding capability. CH streams an
+        infinite relation bounded by the query's LIMIT; here the generated
+        view holds exactly that many rows, so the query MUST carry a
+        ``LIMIT n`` (anywhere — CH's own idiom puts it in the subquery:
+        ``SELECT count() FROM (SELECT * FROM generateRandom(...) LIMIT
+        100)``). Several generateRandom calls in one query share the
+        largest LIMIT found; deterministic under (schema, seed, n)."""
+        import re as _re
+
+        pat = _re.compile(
+            r"generateRandom\(\s*'([^']*)'\s*"
+            r"(?:,\s*(\d+)\s*)?(?:,\s*(\d+)\s*)?(?:,\s*(\d+)\s*)?\)",
+            _re.IGNORECASE,
+        )
+        if not pat.search(query):
+            return query
+        limits = [int(x) for x in _re.findall(r"\bLIMIT\s+(\d+)\b(?!\s*BY)", query, _re.IGNORECASE)]
+        if not limits:
+            raise ValueError(
+                "generateRandom is an unbounded stream in ClickHouse — the query "
+                "needs a LIMIT n to bound generation (e.g. SELECT * FROM "
+                "generateRandom('id UInt64') LIMIT 1000)"
+            )
+        n = max(limits)
+        from clickhousedatamocker_spark.sources.generator import generate_random_df
+
+        counter = [0]
+
+        def sub(m: "_re.Match[str]") -> str:
+            view = f"__genrand_{counter[0]}"
+            counter[0] += 1
+            generate_random_df(
+                self.spark,
+                m.group(1),
+                n,
+                seed=int(m.group(2) or 0),
+                max_string_length=int(m.group(3) or 10),
+                max_array_length=int(m.group(4) or 10),
+            ).createOrReplaceTempView(view)
+            return view
+
+        return pat.sub(sub, query)
+
     def _rewrite_sample_reads(self, query: str) -> str:
         """``FROM <table> SAMPLE <fraction>`` — CH's deterministic sampling
         clause, keyed on the table's SAMPLE BY column: the same rows are
@@ -688,7 +734,9 @@ class Engine:
         )
         if mex is not None:
             mode = (mex.group(1) or "PLAN").upper()
-            inner = self._rewrite_final_reads(self._rewrite_sample_reads(mex.group(2)))
+            inner = self._rewrite_generate_random(
+                self._rewrite_final_reads(self._rewrite_sample_reads(mex.group(2)))
+            )
             translated = translate_ch_sql(inner)
             if mode == "SYNTAX":
                 lines = translated.splitlines() or [translated]
@@ -756,7 +804,9 @@ class Engine:
                 write_format(df, out, mfmt.group(2))
             return df
 
-        query = self._rewrite_final_reads(self._rewrite_sample_reads(query))
+        query = self._rewrite_generate_random(
+            self._rewrite_final_reads(self._rewrite_sample_reads(query))
+        )
 
         # ORDER BY <col> WITH FILL [FROM f] [TO t] [STEP s] — CH's grid
         # filling. The fill applies to the RESULT, so it composes as the

@@ -139,3 +139,81 @@ SELECT
   TIMESTAMP '{base_time}' AS updated_at
 FROM range({n}) t(i)
 """.strip()
+
+
+def generate_random_df(
+    spark: SparkSession,
+    schema_str: str,
+    n: int,
+    seed: int = 0,
+    max_string_length: int = 10,
+    max_array_length: int = 10,
+) -> DataFrame:
+    """ClickHouse ``generateRandom('schema'[, seed, max_string_length,
+    max_array_length])`` table function: the SQL-native spelling of the
+    reference's whole purpose (mock-data generation,
+    ``scripts/generate_data.py:12-36``) — here columnar over
+    ``spark.range(n)`` with the same determinism discipline as
+    :class:`BatchGenerator`: every column is hash arithmetic on the row
+    index, so (schema, seed, n) fully determines the output regardless of
+    partitioning or task order. Embarrassingly parallel, zero shuffle.
+
+    Types come from :func:`~clickhousedatamocker_spark.functions.compat.
+    parse_ch_type` — the same parser the DDL path uses — so every scalar
+    type the engine's CREATE TABLE accepts can be mocked, plus
+    single-level Arrays. Nullable(T) yields ~10% NULLs. Value domains are
+    practical mock ranges (ints wrap the type's width via hash cast,
+    floats uniform [0, 10000), strings 1..max_string_length hex chars),
+    not CH's full-bit-pattern extremes — a documented deviation.
+    """
+    from pyspark.sql import types as T
+
+    from clickhousedatamocker_spark.functions.compat import _split_top, parse_ch_type
+
+    def col_for(h: Column, dtype, depth: int = 0) -> Column:
+        if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            # pmod into the type's positive range (ANSI mode forbids a
+            # wrapping downcast); h is already abs()'d by the caller
+            bound = {T.ByteType: 2**7, T.ShortType: 2**15, T.IntegerType: 2**31}.get(type(dtype))
+            return (F.pmod(h, F.lit(bound)) if bound else h).cast(dtype)
+        if isinstance(dtype, (T.FloatType, T.DoubleType)):
+            return (F.pmod(h, F.lit(1_000_000)) / F.lit(100.0)).cast(dtype)
+        if isinstance(dtype, T.DecimalType):
+            digits = min(dtype.precision, 9)
+            return (F.pmod(h, F.lit(10**digits)) / F.lit(10**dtype.scale)).cast(dtype)
+        if isinstance(dtype, T.StringType):
+            ln = F.pmod(h, F.lit(max_string_length)) + F.lit(1)
+            return F.substring(F.md5(h.cast("string")), 1, 32).substr(F.lit(1), ln)
+        if isinstance(dtype, T.BooleanType):
+            return F.pmod(h, F.lit(2)) == F.lit(1)
+        if isinstance(dtype, T.TimestampType):
+            # one mock year ending at the fixed default base time
+            base = F.to_timestamp(F.lit(_DEFAULT_BASE_TIME))
+            return F.timestamp_seconds(F.unix_timestamp(base) - F.pmod(h, F.lit(365 * 86400)))
+        if isinstance(dtype, T.DateType):
+            return F.date_sub(F.to_date(F.lit(_DEFAULT_BASE_TIME)), F.pmod(h, F.lit(3650)).cast("int"))
+        if isinstance(dtype, T.BinaryType):
+            return F.unhex(F.md5(h.cast("string")))
+        if isinstance(dtype, T.ArrayType) and depth == 0:
+            ln = F.pmod(h, F.lit(max_array_length)) + F.lit(1)
+            return F.transform(
+                F.sequence(F.lit(1), ln),
+                lambda x: col_for(F.xxhash64(h, x), dtype.elementType, depth=1),
+            )
+        raise NotImplementedError(
+            f"generateRandom: unsupported type {dtype.simpleString()} "
+            "(scalars and single-level Arrays only)"
+        )
+
+    cols = []
+    for coldef in _split_top(schema_str):
+        name, _, tstr = coldef.strip().partition(" ")
+        if not tstr.strip():
+            raise ValueError(f"generateRandom schema needs 'name Type' pairs, got {coldef!r}")
+        dtype, nullable = parse_ch_type(tstr.strip())
+        h = F.xxhash64(F.col("id"), F.lit(int(seed)), F.lit(name))
+        c = col_for(F.abs(h), dtype)
+        if nullable:
+            c = F.when(F.pmod(F.abs(h), F.lit(10)) == F.lit(0), F.lit(None)).otherwise(c)
+        cols.append(c.alias(name))
+    return spark.range(int(n)).select(*cols)

@@ -4,6 +4,7 @@ both monitoring queries + DROP — the full setup.sh lifecycle with zero
 translation by the caller."""
 
 import pyspark.sql.functions as F
+import pytest
 
 from clickhousedatamocker_spark.engine import Engine
 from clickhousedatamocker_spark.sources.generator import BatchGenerator
@@ -1289,3 +1290,47 @@ def test_join_strictness_spellings(spark, tmp_warehouse):
         "ALL LEFT JOIN dims_v d ON t.sym = d.sym"
     ).collect()
     assert len(all_rows) == 6  # t1,t2 match twice each + t3 + t4
+
+
+def test_generate_random_table_function(spark, tmp_warehouse):
+    """CH generateRandom('schema'[, seed, ...]) — the SQL spelling of the
+    engine's founding capability (mock data). Typed per parse_ch_type,
+    deterministic under (schema, seed, LIMIT), bounded by the query LIMIT,
+    usable inside INSERT ... SELECT through the admission-controlled path."""
+    engine = Engine(spark, tmp_warehouse)
+    df = engine.sql(
+        "SELECT * FROM generateRandom("
+        "'id UInt64, v Float64, s String, t DateTime, tags Array(UInt32), maybe Nullable(Float64)', 7"
+        ") LIMIT 100"
+    )
+    assert df.count() == 100
+    dt = dict(df.dtypes)
+    assert dt == {
+        "id": "bigint", "v": "double", "s": "string",
+        "t": "timestamp", "tags": "array<int>", "maybe": "double",
+    }
+    # determinism + seed sensitivity
+    q = "SELECT * FROM generateRandom('a UInt32, b String', {seed}) LIMIT 50"
+    r1 = sorted(map(str, engine.sql(q.format(seed=1)).collect()))
+    r2 = sorted(map(str, engine.sql(q.format(seed=1)).collect()))
+    r3 = sorted(map(str, engine.sql(q.format(seed=2)).collect()))
+    assert r1 == r2 and r1 != r3
+    # CH idiom: aggregate over a LIMIT-bounded subquery
+    row = engine.sql(
+        "SELECT count(*) AS n, min(v) AS lo, max(v) AS hi "
+        "FROM (SELECT * FROM generateRandom('v Float64', 3) LIMIT 1000)"
+    ).first()
+    assert row["n"] == 1000 and 0 <= row["lo"] <= row["hi"] < 10000
+    # INSERT ... SELECT FROM generateRandom routes through the insert path
+    engine.sql(
+        "CREATE TABLE mock_gr (id UInt64, event_time DateTime, v Float64) "
+        "ENGINE = MergeTree() ORDER BY id"
+    )
+    engine.sql(
+        "INSERT INTO mock_gr SELECT id, t AS event_time, v "
+        "FROM generateRandom('id UInt64, t DateTime, v Float64', 5) LIMIT 2000"
+    )
+    assert engine.sql("SELECT count(*) FROM mock_gr").first()[0] == 2000
+    # unbounded stream must be refused, like reading an infinite relation
+    with pytest.raises(ValueError, match="LIMIT"):
+        engine.sql("SELECT * FROM generateRandom('x UInt8')")
