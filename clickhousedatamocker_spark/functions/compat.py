@@ -78,12 +78,32 @@ _REWRITES = [
     (re.compile(r"\buniq(?:Combined|HLL12)?\(", re.IGNORECASE), "approx_count_distinct("),
     (re.compile(r"\bcountIf\(", re.IGNORECASE), "count_if("),
     (re.compile(r"\banyLast\(", re.IGNORECASE), "last("),
+    # argMax(a, b) keeps CH's arg order — Spark's max_by/min_by share it
+    (re.compile(r"\bargMax\(", re.IGNORECASE), "max_by("),
+    (re.compile(r"\bargMin\(", re.IGNORECASE), "min_by("),
     # parametric form quantileExact(p)(expr) → percentile(expr, p); the
     # inner-arg pattern is paren-free — enough for column refs, the
     # overwhelmingly common case
     (
         re.compile(r"\bquantileExact\(([0-9.]+)\)\(([^()]*)\)", re.IGNORECASE),
         r"percentile(\2, \1)",
+    ),
+    # sketch-backed quantile spellings: CH's default quantile() and the
+    # TDigest family are approximate — Spark's percentile_approx is the
+    # same contract (different sketch; values may differ at equal accuracy)
+    (
+        re.compile(r"\bquantile(?:TDigest|Timing)?\(([0-9.]+)\)\(([^()]*)\)", re.IGNORECASE),
+        r"percentile_approx(\2, \1)",
+    ),
+    # quantilesExact(p1, p2, ...)(x) → exact percentile with an array of ps
+    # (returns one ARRAY row, CH's shape)
+    (
+        re.compile(r"\bquantilesExact\(([0-9.,\s]+)\)\(([^()]*)\)", re.IGNORECASE),
+        r"percentile(\2, array(\1))",
+    ),
+    (
+        re.compile(r"\bquantiles(?:TDigest|Timing)?\(([0-9.,\s]+)\)\(([^()]*)\)", re.IGNORECASE),
+        r"percentile_approx(\2, array(\1))",
     ),
     (re.compile(r"\bgroupArray\(", re.IGNORECASE), "collect_list("),
     (re.compile(r"\bgroupUniqArray\(", re.IGNORECASE), "collect_set("),
@@ -266,7 +286,7 @@ def _pm_array_map(args: list[str]) -> str:
 def _pm_2arg(target: str):
     def rw(args: list[str]) -> str:
         if len(args) != 2:
-            raise NotImplementedError(f"expected (lambda, array), got {len(args)} args")
+            raise NotImplementedError(f"expected exactly 2 arguments, got {len(args)}")
         return target.format(f=args[0], a=args[1])
 
     return rw
@@ -280,6 +300,14 @@ _PARAMETRIC: dict[str, object] = {
     "arrayAll": _pm_2arg("forall({a}, {f})"),
     "arrayCount": _pm_2arg("size(filter({a}, {f}))"),
     "arrayFirst": _pm_2arg("element_at(filter({a}, {f}), 1)"),
+    # -If aggregate combinators: <agg>If(x, cond) == <agg> over the rows
+    # where cond holds — the CASE form keeps NULL for non-matching rows, so
+    # sum/avg/min/max skip them exactly like CH's combinator. (countIf is a
+    # flat rewrite to Spark's count_if above.)
+    "sumIf": _pm_2arg("sum(CASE WHEN {a} THEN {f} END)"),
+    "avgIf": _pm_2arg("avg(CASE WHEN {a} THEN {f} END)"),
+    "minIf": _pm_2arg("min(CASE WHEN {a} THEN {f} END)"),
+    "maxIf": _pm_2arg("max(CASE WHEN {a} THEN {f} END)"),
 }
 
 _PARAMETRIC_RE = re.compile(

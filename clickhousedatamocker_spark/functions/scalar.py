@@ -286,6 +286,14 @@ def register_sql_functions(spark: SparkSession) -> None:
         # porting hex(MD5(x)) should write upper(md5(x)).)
         ("SHA256", "(s STRING)", "BINARY", "unhex(sha2(s, 256))"),
         # -- math ----------------------------------------------------------
+        # bit manipulation (CH spellings over Spark's native operators)
+        ("bitAnd", "(a BIGINT, b BIGINT)", "BIGINT", "a & b"),
+        ("bitOr", "(a BIGINT, b BIGINT)", "BIGINT", "a | b"),
+        ("bitXor", "(a BIGINT, b BIGINT)", "BIGINT", "a ^ b"),
+        ("bitNot", "(a BIGINT)", "BIGINT", "~a"),
+        ("bitShiftLeft", "(a BIGINT, n INT)", "BIGINT", "shiftleft(a, n)"),
+        ("bitShiftRight", "(a BIGINT, n INT)", "BIGINT", "shiftright(a, n)"),
+        ("bitTest", "(a BIGINT, n INT)", "INT", "CAST(shiftright(a, n) & 1 AS INT)"),
         ("intDivOrZero", "(a BIGINT, b BIGINT)", "BIGINT", "CASE WHEN b = 0 THEN 0 ELSE a div b END"),
         ("moduloOrZero", "(a BIGINT, b BIGINT)", "BIGINT", "CASE WHEN b = 0 THEN 0 ELSE a % b END"),
         # (roundBankers: not shimmable — Spark's bround demands a LITERAL

@@ -284,3 +284,43 @@ def test_ch_parametric_execute(spark):
     assert r["n"] == 2
     assert r["first_big"] == 2
     assert r["chosen"] == "b"
+
+
+def test_ch_aggregate_combinator_spellings(spark):
+    """argMax/argMin → max_by/min_by (same arg order), -If combinators via
+    the parametric rewriter (CASE keeps non-matching rows NULL, so the
+    aggregate skips them exactly like CH), quantile families →
+    percentile(_approx), bit functions."""
+    from clickhousedatamocker_spark.functions.compat import translate_ch_sql as tr
+
+    register_sql_functions(spark)
+    assert tr("SELECT sumIf(v, v > 2) FROM t") == "SELECT sum(CASE WHEN v > 2 THEN v END) FROM t"
+    assert tr("SELECT argMax(u, ts) FROM t") == "SELECT max_by(u, ts) FROM t"
+    assert tr("SELECT quantile(0.5)(v) FROM t") == "SELECT percentile_approx(v, 0.5) FROM t"
+    assert tr("SELECT quantilesExact(0.25, 0.75)(v) FROM t") == (
+        "SELECT percentile(v, array(0.25, 0.75)) FROM t"
+    )
+    spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "b"), (4, 40.0, "a")], "k int, v double, g string"
+    ).createOrReplaceTempView("comb_t")
+    r = spark.sql(
+        tr(
+            "SELECT sumIf(v, k % 2 = 0) AS s_even, avgIf(v, g = 'a') AS a_a, "
+            "minIf(v, g = 'b') AS mn_b, maxIf(v, k < 4) AS mx_3, "
+            "argMax(g, v) AS g_of_max, argMin(k, v) AS k_of_min, "
+            "quantileExact(0.5)(v) AS med, quantilesExact(0.0, 1.0)(v) AS qs "
+            "FROM comb_t"
+        )
+    ).first()
+    assert r["s_even"] == 60.0 and r["a_a"] == 25.0
+    assert r["mn_b"] == 20.0 and r["mx_3"] == 30.0
+    assert r["g_of_max"] == "a" and r["k_of_min"] == 1
+    assert r["med"] == 25.0 and r["qs"] == [10.0, 40.0]
+    b = spark.sql(
+        "SELECT bitAnd(12, 10) AS a, bitOr(12, 10) AS o, bitXor(12, 10) AS x, "
+        "bitNot(0) AS n, bitShiftLeft(1, 4) AS sl, bitShiftRight(256, 4) AS sr, "
+        "bitTest(5, 2) AS t1, bitTest(5, 1) AS t0"
+    ).first()
+    assert (b["a"], b["o"], b["x"], b["n"], b["sl"], b["sr"], b["t1"], b["t0"]) == (
+        8, 14, 6, -1, 16, 16, 1, 0
+    )
