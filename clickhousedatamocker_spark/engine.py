@@ -477,6 +477,46 @@ class Engine:
             self.apply_ttl(table, now=now)
         return self.writer.optimize(self.spark, handle, deduplicate=deduplicate)
 
+    def merge_once(
+        self, table: str, min_parts_to_merge: int = 8, max_parts_per_merge: int = 10
+    ) -> int:
+        """One background-merge scheduling pass (plans/merges.py): per
+        partition at/over the part threshold, merge the smallest parts into
+        one. Returns merges performed (0 = the table is in equilibrium —
+        the healthy-server state whose absence the reference's flow-control
+        experiment manufactures)."""
+        from clickhousedatamocker_spark.plans.merges import MergeScheduler
+
+        handle = self.catalog.get(self.catalog.resolve(table))
+        sched = MergeScheduler(
+            self.writer,
+            metrics=self.metrics,
+            min_parts_to_merge=min_parts_to_merge,
+            max_parts_per_merge=max_parts_per_merge,
+        )
+        return sched.run_once(self.spark, handle)
+
+    def start_background_merges(
+        self,
+        table: str,
+        interval_s: float = 0.2,
+        min_parts_to_merge: int = 8,
+        max_parts_per_merge: int = 10,
+    ):
+        """CH's background merge pool: a daemon thread running merge passes
+        every ``interval_s``. Returns the scheduler — call ``.stop()`` when
+        done (or let the daemon die with the process, like CH's pool)."""
+        from clickhousedatamocker_spark.plans.merges import MergeScheduler
+
+        handle = self.catalog.get(self.catalog.resolve(table))
+        sched = MergeScheduler(
+            self.writer,
+            metrics=self.metrics,
+            min_parts_to_merge=min_parts_to_merge,
+            max_parts_per_merge=max_parts_per_merge,
+        )
+        return sched.start(self.spark, handle, interval_s=interval_s)
+
     def read_table(self, table: str) -> DataFrame:
         if self._distributed_spec(table) is not None:
             # Distributed SELECT: union over shard-local scans (what the CH

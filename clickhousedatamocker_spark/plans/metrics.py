@@ -30,6 +30,8 @@ METRIC_CATALOG = {
     "MergeTreeAllRangesAnnouncementsSent": "The current number of announcement being sent in flight",
     "MergeTreeDataSelectParts": "Number of data parts selected for reading",
     "RejectedInserts": "Number of times the INSERT of a block to a MergeTree table was rejected with Too many parts",
+    "Merge": "Number of executing background merges",
+    "MergedRows": "Rows read for background merges. This is the number of rows before merge",
 }
 
 

@@ -27,8 +27,10 @@ files only).
 
 from __future__ import annotations
 
+import functools
 import json
 import os
+import threading
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
@@ -45,9 +47,26 @@ from clickhousedatamocker_spark.schema import SYSTEM_PARTS_SCHEMA
 _WM_SLACK_NS = 10_000_000  # 10 ms
 
 
+def _locked(fn):
+    """Hold the inventory lock for the whole call (reentrant — composed
+    calls from an already-locked caller don't deadlock)."""
+
+    @functools.wraps(fn)
+    def wrapper(self, *args, **kwargs):
+        with self.lock:
+            return fn(self, *args, **kwargs)
+
+    return wrapper
+
+
 class PartsInventory:
     def __init__(self, database: str = "default"):
         self.database = database
+        # Serializes manifest mutation between the insert path and the
+        # background MergeScheduler thread (plans/merges.py): reentrant so
+        # a locked caller can compose load/retire/record/save atomically.
+        # CH's MergeTreeData does the same with data_parts_mutex.
+        self.lock = threading.RLock()
         # manifest: table -> list of part dicts (full history, CH-style)
         self._manifest: dict[str, list[dict]] = {}
         # every file name ever committed (active or retired) — the diff set
@@ -69,6 +88,7 @@ class PartsInventory:
     def _legacy_path(self, table_path: str) -> str:
         return os.path.join(table_path, "_parts_manifest.json")
 
+    @_locked
     def load(self, table: str, table_path: str) -> None:
         parts: list[dict] = []
         log = self._log_path(table_path)
@@ -104,6 +124,7 @@ class PartsInventory:
             for r in records:
                 f.write(json.dumps(r) + "\n")
 
+    @_locked
     def save(self, table: str, table_path: str) -> None:
         """Full log compaction — rewrite current state. Called from the
         compaction paths (which rewrite data files anyway), never per-insert."""
@@ -117,6 +138,7 @@ class PartsInventory:
             os.remove(legacy)
 
     # -- commits ----------------------------------------------------------
+    @_locked
     def record_commit(
         self, table: str, table_path: str, since_ns: int | None = None
     ) -> list[dict]:
@@ -149,6 +171,7 @@ class PartsInventory:
         self._append_log(table_path, [{"op": "add", **p} for p in new_parts])
         return new_parts
 
+    @_locked
     def retire(
         self, table: str, table_path: str, names: list[str], forget: bool = False
     ) -> None:
@@ -170,6 +193,7 @@ class PartsInventory:
         self._bump(table)
         self._append_log(table_path, [{"op": "retire", "names": sorted(names_set)}])
 
+    @_locked
     def evict(self, table: str) -> None:
         """Drop the in-memory state for a table name (RENAME/DROP paths):
         the on-disk manifest log travels with the table directory, so the
@@ -182,6 +206,7 @@ class PartsInventory:
         self._active_counts.pop(table, None)
         self._bump(table)
 
+    @_locked
     def active_names(self, table: str, table_path: str, partition: str | None = None) -> list[str]:
         """Active part names, optionally restricted to one partition value."""
         self._ensure_loaded(table, table_path)
@@ -192,12 +217,14 @@ class PartsInventory:
         ]
 
     # -- introspection ----------------------------------------------------
+    @_locked
     def active_parts_count(self, table: str, table_path: str) -> int:
         """The flow-control input: live part-file count for one table
         (monitor_metrics.sh:100). O(1) — incrementally maintained."""
         self._ensure_loaded(table, table_path)
         return self._active_counts[table]
 
+    @_locked
     def to_df(self, spark: SparkSession, tables: dict[str, str]) -> DataFrame:
         """``system_parts`` DataFrame over all known tables ({name: path})."""
         rows = []

@@ -1,0 +1,134 @@
+"""Background merge scheduler (plans/merges.py) — the CH equilibrium the
+reference's flow-control experiment is designed around: healthy merges keep
+active parts bounded and backpressure silent; the demo tightens thresholds
+to force it to fire. These tests pin both sides of that equilibrium."""
+
+import time
+
+import pytest
+
+from clickhousedatamocker_spark.engine import Engine
+from clickhousedatamocker_spark.plans.flow_control import TooManyPartsError
+from clickhousedatamocker_spark.sources.generator import BatchGenerator
+
+REF = "/root/reference/sql"
+BASE = "2026-01-01 12:00:00"
+
+
+def _mk(spark, tmp_warehouse, n_batches, rows=400):
+    engine = Engine(spark, tmp_warehouse)
+    engine.sql(open(f"{REF}/create_local.sql").read())
+    gen = BatchGenerator(spark, seed=3, base_time=BASE)
+    for i in range(n_batches):
+        engine.insert("test_local", gen.batch_with_partition(rows, batch_no=i))
+    return engine
+
+
+def test_merge_scheduler_bounds_parts_and_preserves_data(spark, tmp_warehouse):
+    engine = _mk(spark, tmp_warehouse, n_batches=12)
+    handle = engine.catalog.get("test_local")
+    before_rows = engine.read_table("test_local").count()
+    before_sum = engine.sql("SELECT SUM(user_id) AS s, SUM(status) AS t FROM test_local").first()
+    # 12 inserts x 24 hourly partitions -> 12 parts per partition, 288 total
+    assert engine.parts.active_parts_count("test_local", handle.path) == 288
+
+    merges = engine.merge_once("test_local", min_parts_to_merge=4, max_parts_per_merge=10)
+    assert merges == 24  # every partition was over threshold
+    after = engine.parts.active_parts_count("test_local", handle.path)
+    # per partition: 12 - 10 merged + 1 merged part = 3
+    assert after == 24 * 3
+    # merging moves bytes, never rows
+    assert engine.read_table("test_local").count() == before_rows
+    now = engine.sql("SELECT SUM(user_id) AS s, SUM(status) AS t FROM test_local").first()
+    assert (now["s"], now["t"]) == (before_sum["s"], before_sum["t"])
+    # a second pass finds nothing to do at the same threshold: equilibrium
+    assert engine.merge_once("test_local", min_parts_to_merge=4) == 0
+    # system.parts agrees with the manifest (active view only)
+    sys_active = engine.sql(
+        "SELECT count(*) AS n FROM system.parts WHERE table = 'test_local' AND active"
+    ).first()["n"]
+    assert sys_active == after
+    assert engine.metrics.get("MergedRows") > 0
+    assert engine.metrics.get("Merge") == 0  # gauge returns to idle
+
+
+def test_flow_control_equilibrium_with_and_without_merges(spark, tmp_warehouse):
+    """The reference narrative, both directions. Healthy server (merges on):
+    thresholds never fire. The demo's manufactured overload (merges off):
+    delay then throw, exactly the set_flow_control.sh observation."""
+    # merges keep parts <= 3 per partition -> 72 total, under delay=100
+    engine = Engine(spark, tmp_warehouse + "/merged")
+    engine.sql(open(f"{REF}/create_local.sql").read())
+    engine.sql(
+        "ALTER TABLE test_local MODIFY SETTING "
+        "parts_to_delay_insert = 100, parts_to_throw_insert = 150"
+    )
+    gen = BatchGenerator(spark, seed=5, base_time=BASE)
+    for i in range(8):
+        engine.insert("test_local", gen.batch_with_partition(300, batch_no=i))
+        engine.merge_once("test_local", min_parts_to_merge=3, max_parts_per_merge=10)
+    assert engine.metrics.get("DelayedInserts") == 0
+    assert engine.metrics.get("RejectedInserts") == 0
+    handle = engine.catalog.get("test_local")
+    assert engine.parts.active_parts_count("test_local", handle.path) <= 24 * 3
+
+    # same workload, merges off: 24 new parts/insert -> crosses 100 then 150
+    engine2 = Engine(spark, tmp_warehouse + "/unmerged")
+    engine2.sql(open(f"{REF}/create_local.sql").read())
+    engine2.sql(
+        "ALTER TABLE test_local MODIFY SETTING "
+        "parts_to_delay_insert = 100, parts_to_throw_insert = 150"
+    )
+    engine2.flow._sleep = lambda s: None  # don't actually wait in the test
+    gen2 = BatchGenerator(spark, seed=5, base_time=BASE)
+    with pytest.raises(TooManyPartsError):
+        for i in range(8):
+            engine2.insert("test_local", gen2.batch_with_partition(300, batch_no=i))
+    assert engine2.metrics.get("DelayedInserts") > 0
+    assert engine2.metrics.get("RejectedInserts") == 1
+
+
+def test_merge_applies_replacing_collapse_within_merged_parts(spark, tmp_warehouse):
+    """The merge rewrite applies the engine family's collapse over the
+    merging parts (CH scope: only the parts in THIS merge)."""
+    engine = Engine(spark, tmp_warehouse)
+    engine.sql(
+        "CREATE TABLE rmt (k UInt64, event_time DateTime, v Float64) "
+        "ENGINE = ReplacingMergeTree(event_time) PARTITION BY toYYYYMMDDhh(event_time) ORDER BY k"
+    )
+    # 4 parts in ONE partition, same keys, rising versions
+    for ver in range(4):
+        engine.insert(
+            "rmt",
+            spark.createDataFrame(
+                [(k, f"2026-01-01 07:{ver:02d}:00", float(ver)) for k in range(50)],
+                "k long, ts string, v double",
+            ).selectExpr("k", "CAST(ts AS TIMESTAMP) AS event_time", "v"),
+        )
+    handle = engine.catalog.get("rmt")
+    assert engine.parts.active_parts_count("rmt", handle.path) == 4
+    assert engine.merge_once("rmt", min_parts_to_merge=4) == 1
+    assert engine.parts.active_parts_count("rmt", handle.path) == 1
+    rows = engine.read_table("rmt").collect()
+    # keep-newest per key survived the merge
+    assert len(rows) == 50 and all(r["v"] == 3.0 for r in rows)
+
+
+def test_background_merge_thread(spark, tmp_warehouse):
+    """The daemon-pool form: merges happen while inserts keep flowing."""
+    engine = Engine(spark, tmp_warehouse)
+    engine.sql(open(f"{REF}/create_local.sql").read())
+    gen = BatchGenerator(spark, seed=7, base_time=BASE)
+    sched = engine.start_background_merges(
+        "test_local", interval_s=0.05, min_parts_to_merge=3
+    )
+    try:
+        for i in range(6):
+            engine.insert("test_local", gen.batch_with_partition(300, batch_no=i))
+        deadline = time.monotonic() + 30
+        while sched.merges_performed == 0 and time.monotonic() < deadline:
+            time.sleep(0.1)
+    finally:
+        sched.stop()
+    assert sched.merges_performed > 0
+    assert engine.read_table("test_local").count() == 6 * 300
