@@ -40,6 +40,11 @@ class HarnessConfig:
     # there, CLAUDE.md:429-433). Non-zero shows the real CH steady state
     # where merges race inserts and bound the active part count.
     optimize_every: int = 0
+    # the faithful form: a MergeScheduler daemon thread (plans/merges.py)
+    # racing the insert loop, CH's actual background pool shape — merges
+    # the smallest parts per partition instead of full compaction
+    background_merges: bool = False
+    merge_min_parts: int = 8
 
     # generation determinism
     seed: int = 42

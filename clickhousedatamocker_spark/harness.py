@@ -112,6 +112,14 @@ def run_harness(
     gen = BatchGenerator(spark, seed=cfg.seed, base_time=cfg.base_time)
     result = HarnessResult(0, 0, 0, False, False, 0)
 
+    # CH's background merge pool racing the insert loop (the healthy-server
+    # mode whose absence the reference's experiment manufactures)
+    merge_sched = None
+    if cfg.background_merges:
+        merge_sched = engine.start_background_merges(
+            cfg.table, interval_s=0.2, min_parts_to_merge=cfg.merge_min_parts
+        )
+
     # 5. insert/monitor loop (setup.sh:125-151)
     try:
         for i in range(1, cfg.max_insert_count + 1):
@@ -153,6 +161,9 @@ def run_harness(
                 time.sleep(cfg.insert_interval_s)
     except KeyboardInterrupt:  # trap ... INT (setup.sh:168)
         log.warning("test interrupted")
+    finally:
+        if merge_sched is not None:
+            merge_sched.stop()
 
     # 6. final full report (setup.sh:160-162 → monitor_metrics.sh:114-126)
     engine.refresh_system_views()

@@ -75,15 +75,30 @@ class MergeScheduler:
         return picks
 
     # -- one scheduling pass ----------------------------------------------
-    def run_once(self, spark, handle) -> int:
+    def run_once(self, spark, handle, max_workers: int = 8) -> int:
         """Select and execute merges for every eligible partition once.
-        Returns the number of merges performed (0 = equilibrium)."""
-        merges = 0
-        for partition, plist in self.select(handle.name, handle.path):
-            self._merge(spark, handle, partition, plist)
-            merges += 1
-        self.merges_performed += merges
-        return merges
+        Returns the number of merges performed (0 = equilibrium).
+
+        Merges run CONCURRENTLY across partitions (CH's background pool is
+        16 threads for the same reason): each merge is a tiny Spark job, and
+        a sequential pass over 24 hourly partitions would lose the race
+        against a 1 Hz insert loop that adds 24 parts per batch. Partition
+        disjointness makes the rewrites independent; the manifest swap is
+        serialized by the inventory lock. Spark job submission is
+        thread-safe."""
+        picks = self.select(handle.name, handle.path)
+        if not picks:
+            return 0
+        if len(picks) == 1 or max_workers <= 1:
+            for partition, plist in picks:
+                self._merge(spark, handle, partition, plist)
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(max_workers, len(picks))) as ex:
+                list(ex.map(lambda pp: self._merge(spark, handle, pp[0], pp[1]), picks))
+        self.merges_performed += len(picks)
+        return len(picks)
 
     def _merge(self, spark, handle, partition: str, plist: list[dict]) -> None:
         """Rewrite the selected parts of one partition into a single part —

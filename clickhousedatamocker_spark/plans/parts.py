@@ -260,6 +260,12 @@ def _walk_parquet(table_path: str, since_ns: int | None = None):
     root_touched = cutoff is None or os.stat(table_path).st_mtime_ns >= cutoff
     for entry in sorted(os.listdir(table_path)):
         full = os.path.join(table_path, entry)
+        if entry.endswith(".tmp"):
+            # staging areas of in-flight compactions/merges ("<dir>.merge.tmp",
+            # "<dir>.compact.tmp") contain '=' like a partition dir — walking
+            # one registers phantom parts whose files are about to move
+            # (seen as 90-vs-72 part counts under the concurrent merge pool)
+            continue
         if os.path.isdir(full) and "=" in entry:
             if cutoff is not None and os.stat(full).st_mtime_ns < cutoff:
                 continue

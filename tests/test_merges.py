@@ -132,3 +132,31 @@ def test_background_merge_thread(spark, tmp_warehouse):
         sched.stop()
     assert sched.merges_performed > 0
     assert engine.read_table("test_local").count() == 6 * 300
+
+
+def test_harness_with_background_merge_pool(spark, tmp_warehouse):
+    """run_harness(background_merges=True): the MergeScheduler daemon races
+    the insert loop and demonstrably reduces the active part count below
+    the merge-less trajectory (8 inserts x 24 parts = 192). Deliberately
+    NOT a threshold race — whether the pool outruns a tight threshold
+    depends on box load; the deterministic equilibrium claim is pinned by
+    test_flow_control_equilibrium_with_and_without_merges above."""
+    from clickhousedatamocker_spark.config import HarnessConfig
+    from clickhousedatamocker_spark.harness import run_harness
+
+    cfg = HarnessConfig(
+        batch_size=2000,
+        max_insert_count=8,
+        insert_interval_s=1.0,  # the reference cadence; the pool races this
+        parts_to_delay_insert=193,  # out of reach even merge-less: the pool's
+        parts_to_throw_insert=400,  # effect shows in the part count, not a race
+        background_merges=True,
+        merge_min_parts=3,
+        base_time="2026-01-01 12:00:00",
+    )
+    res = run_harness(spark, tmp_warehouse, cfg)
+    assert res.inserts_succeeded == 8
+    assert not res.throw_triggered
+    assert res.rows_inserted == 8 * 2000
+    # merges demonstrably reduced the part count below the no-merge 192
+    assert res.final_active_parts < 192
