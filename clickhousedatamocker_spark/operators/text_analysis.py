@@ -324,3 +324,65 @@ def common_token_fraction(df, df_table, text_col: str = "text", top_k: int = 30)
         "double"
     ) / F.greatest(F.size(tk), F.lit(1))
     return df.withColumn("common_token_fraction", frac)
+
+
+def ngram_hashes(col: str | Column, n: int = 8) -> Column:
+    """Array of xxhash64 hashes of token n-gram windows (US-separator
+    joined so token boundaries can't alias: 'ab c' != 'a bc'). Documents
+    shorter than n tokens yield an empty array — the sequence() guard
+    matters because sequence(0, negative) DESCENDS in Spark."""
+    tk = tokens(col)
+    return F.when(
+        F.size(tk) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tk) - F.lit(n)),
+            lambda i: F.xxhash64(F.concat_ws("\x1f", F.slice(tk, i + F.lit(1), F.lit(n)))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
+def cross_doc_dup_stats(
+    docs, n: int = 8, text_col: str = "text", id_col: str = "doc_id"
+):
+    """Per-document cross-corpus duplication signal: the fraction of a
+    document's token n-gram occurrences that also appear in at least one
+    OTHER document — the exact-substring dedup measurement of Lee et al.
+    2022 ("Deduplicating Training Data…") at n-gram granularity, the
+    cross-document complement of the within-doc Gopher repetition signals
+    above. Returns (id, total_grams, shared_grams, dup_fraction).
+
+    Plan (3 exchanges, all linear in corpus token count): posexplode gram
+    hashes → global per-gram distinct-doc count (partial agg before the
+    shuffle — the gram space is huge but each task combines its local
+    duplicates first) → join occurrences back on the gram hash (reuses the
+    aggregate's hash partitioning on the build side) → per-doc aggregate.
+    At 100 TB the hazard is gram-frequency skew (boilerplate shingles);
+    AQE skew-join splits the hot buckets, and the distinct-doc count uses
+    approx-free two-level agg (doc-distinct first) so no single reducer
+    sees a gram's full occurrence list.
+    """
+    occ = docs.select(F.col(id_col), F.explode(ngram_hashes(text_col, n)).alias("__g"))
+    # distinct (doc, gram) first: bounds the per-gram row count by corpus
+    # doc count, not occurrence count, before the global gram aggregate
+    gram_docs = occ.select(id_col, "__g").distinct()
+    shared = (
+        gram_docs.groupBy("__g")
+        .agg(F.count(F.lit(1)).alias("__nd"))
+        .select("__g", (F.col("__nd") > 1).alias("__shared"))
+    )
+    # SHUFFLE_HASH pinned: the shared-gram relation is ONE ROW PER DISTINCT
+    # GRAM — linear in corpus size — so a (stats-tempted) broadcast OOMs at
+    # real scale; shuffled, it reuses its own aggregate's __g partitioning
+    # and only occ pays a new exchange.
+    return (
+        occ.join(shared.hint("SHUFFLE_HASH"), "__g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("total_grams"),
+            F.count_if(F.col("__shared")).alias("shared_grams"),
+        )
+        .withColumn(
+            "dup_fraction",
+            (F.col("shared_grams") / F.col("total_grams")).cast("double"),
+        )
+    )

@@ -748,3 +748,26 @@ def multimodal_decode_pipeline(spark, sf_dir):
         F.size("features").alias("feature_dim"),
     )
     return img.unionByName(aud).unionByName(jpg).unionByName(vid).orderBy("doc_id", "modality")
+
+
+# -------------------------------------------------------------------------
+@register(
+    "crossdoc_dup_span_profile",
+    None,  # beyond the 50-slot graded window -> rows-only; hash-exact
+    # grading lives in tests/test_llm_ops.py::test_cross_doc_dup_stats_matches_duckdb
+    # (DuckDB reimplementation over raw gram strings)
+    description="Cross-document duplicated n-gram spans (Lee et al. 2022 "
+    "exact-substring dedup signal): per doc, the fraction of token 8-gram "
+    "occurrences shared with at least one other document. 3 linear "
+    "exchanges; the per-gram relation joins SHUFFLE_HASH (plan-pinned), "
+    "never broadcast.",
+)
+def crossdoc_dup_span_profile(spark, sf_dir):
+    from clickhousedatamocker_spark.operators.text_analysis import cross_doc_dup_stats
+
+    docs = t(spark, sf_dir, "documents")
+    return (
+        cross_doc_dup_stats(docs, n=8)
+        .orderBy(F.desc("dup_fraction"), "doc_id")
+        .limit(100)
+    )

@@ -856,3 +856,71 @@ def test_ivf_codebook_plan_size_bounded_at_k1024(spark):
     assert len(plan) < 100_000, f"codebook leaked into the plan: {len(plan)} chars"
     rows = df.collect()
     assert rows and all(r["rank"] <= 5 for r in rows)
+
+
+def test_cross_doc_dup_stats_matches_duckdb(spark):
+    """cross_doc_dup_stats == a DuckDB reimplementation over raw gram
+    STRINGS (hash-free: identical grouping semantics, so equal counts
+    prove the Spark hash path groups exactly the same windows). Corpus =
+    fixture docs + planted cross-copies so shared grams provably exist."""
+    import duckdb
+
+    from clickhousedatamocker_spark.operators.text_analysis import cross_doc_dup_stats
+
+    n = 5
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(200).select("doc_id", "text")
+    # plant: two exact copies and one half-overlap under fresh ids
+    planted = spark.createDataFrame(
+        [(900001, "the quick brown fox jumps over the lazy dog again and again"),
+         (900002, "the quick brown fox jumps over the lazy dog again and again"),
+         (900003, "completely different words that jump over the lazy dog again and again")],
+        "doc_id long, text string",
+    )
+    corpus = docs.union(planted)
+    got = {
+        r["doc_id"]: (r["total_grams"], r["shared_grams"], r["dup_fraction"])
+        for r in cross_doc_dup_stats(corpus, n=n).collect()
+    }
+
+    con = duckdb.connect()
+    con.register("corpus_pd", corpus.toPandas())
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(f"""
+            WITH tok AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM corpus_pd
+            ), occ AS (
+              SELECT doc_id,
+                     array_to_string(list_slice(t, i, i + {n} - 1), chr(31)) AS g
+              FROM tok, UNNEST(range(1, len(t) - {n} + 2)) AS u(i)
+              WHERE len(t) >= {n}
+            ), shared AS (
+              SELECT g, COUNT(DISTINCT doc_id) > 1 AS is_shared FROM occ GROUP BY g
+            )
+            SELECT doc_id, COUNT(*) AS total_grams,
+                   COUNT(*) FILTER (WHERE is_shared) AS shared_grams,
+                   CAST(COUNT(*) FILTER (WHERE is_shared) AS DOUBLE) / COUNT(*) AS f
+            FROM occ JOIN shared USING (g)
+            GROUP BY doc_id
+        """).fetchall()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0] and got[k][1] == want[k][1], (k, got[k], want[k])
+        assert abs(got[k][2] - want[k][2]) < 1e-12
+    # planted exact copies: every gram shared; the half-overlap: partial
+    assert got[900001][2] == 1.0 and got[900002][2] == 1.0
+    assert 0.0 < got[900003][2] < 1.0
+
+
+def test_cross_doc_dup_stats_plan_never_broadcasts_gram_side(spark):
+    """The shared-gram relation is one row per distinct gram — linear in
+    corpus size — so it must join as a ShuffledHashJoin build side, never a
+    BroadcastExchange (same contract as the q3/q5/q18 linear-side pins)."""
+    from clickhousedatamocker_spark.operators.text_analysis import cross_doc_dup_stats
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = cross_doc_dup_stats(docs, n=8)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" not in plan
+    assert "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
