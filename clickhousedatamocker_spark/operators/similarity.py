@@ -767,3 +767,52 @@ SELECT l.query_id, l.rank,
 FROM lsh_topk l JOIN ivf_topk i ON i.query_id = l.query_id AND i.rank = l.rank
 ORDER BY l.query_id, l.rank
 """.strip()
+
+
+def ann_index_add(
+    spark,
+    path: str,
+    new_vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Incrementally add vectors to a :func:`build_ann_index` index —
+    the index-maintenance path that makes steady-state ingest O(batch)
+    instead of O(corpus) rebuilds (the same contract as the incremental
+    MinHash dedup index). New vectors are assigned with the index's OWN
+    persisted codebook (sidecar JSON, driver-bounded model state) and
+    appended under their ``bucket=<cid>/`` partitions; existing buckets
+    and queries are untouched — a query issued mid-append sees either the
+    old or the new files (parquet append is file-atomic).
+
+    Caveat (documented, inherent to every IVF): the codebook is FROZEN at
+    build time, so a drifting embedding distribution degrades recall as
+    new mass lands in the wrong buckets. Watch :func:`ann_index_stats`
+    for bucket-size skew and rebuild when it drifts. Returns the number
+    of vectors added."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_codebook.json")) as fh:
+        centroids = json.load(fh)
+    assigned = with_nearest_cid(
+        new_vecs.select(F.col(id_col), F.col(vec_col)).withColumn("__v", as_double(vec_col)),
+        "__v",
+        centroids,
+        "bucket",
+    ).drop("__v")
+    n = assigned.count()
+    assigned.write.partitionBy("bucket").mode("append").parquet(path)
+    return n
+
+
+def ann_index_stats(spark, path: str) -> DataFrame:
+    """Per-bucket vector counts for an index at ``path`` — the drift/skew
+    monitor for :func:`ann_index_add`. Reads only the partition column, so
+    the scan touches parquet footers, not vector data."""
+    return (
+        spark.read.parquet(path)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("bucket")
+    )

@@ -924,3 +924,45 @@ def test_cross_doc_dup_stats_plan_never_broadcasts_gram_side(spark):
     assert "BroadcastExchange" not in plan
     assert "ShuffledHashJoin" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_ann_index_incremental_add(spark, tmp_path):
+    """ann_index_add: building on half the corpus then adding the other
+    half yields an index IDENTICAL in query results to one built over the
+    full corpus with the SAME codebook — assignment is codebook-pure, so
+    increments can't drift results. Stats see every vector."""
+    from clickhousedatamocker_spark.operators.similarity import (
+        ann_index_add,
+        ann_index_stats,
+        ann_query_indexed,
+        build_ann_index,
+        ivf_train,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    total = emb.count()
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    second = emb.filter(F.col("vec_id") % 2 == 1)
+    q = emb.filter(F.col("vec_id") < 5)
+
+    # one codebook, trained on the first half (the realistic shape: the
+    # model predates the increment)
+    cb = ivf_train(first, "vec_id", "embedding", 8, seed=42)
+
+    inc_path = str(tmp_path / "inc_index")
+    build_ann_index(first, inc_path, n_centroids=8, centroids=cb)
+    added = ann_index_add(spark, inc_path, second)
+    assert added == second.count()
+
+    full_path = str(tmp_path / "full_index")
+    build_ann_index(emb, full_path, n_centroids=8, centroids=cb)
+
+    got = sorted(tuple(r) for r in ann_query_indexed(spark, inc_path, q, k=10, nprobe=3).collect())
+    want = sorted(tuple(r) for r in ann_query_indexed(spark, full_path, q, k=10, nprobe=3).collect())
+    assert got == want and got
+
+    stats = ann_index_stats(spark, inc_path)
+    assert stats.agg(F.sum("n_vectors")).first()[0] == total
+    # the stats scan reads no vector data: only the partition column +count
+    plan = stats._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<>" in plan
