@@ -60,6 +60,9 @@ class Engine:
         self._detached_registered_version = -1
         self._catalog_version = 0
         self._introspection_version = -1
+        # in-flight background merges (plans/merges.py) -> system.merges
+        self.running_merges: dict[object, dict] = {}
+        self._merges_lock = __import__("threading").Lock()
         # cluster name -> shard count. The reference's 'default' cluster is
         # single-node (create_distributed.sql:6 — and its comment says "no
         # sharding_key"), so Distributed there degenerates to a plain alias.
@@ -147,6 +150,33 @@ class Engine:
             "event_time timestamp, query string, query_kind string, duration_ms double",
         ).createOrReplaceTempView("system_query_log")
         self._query_log_registered_version = self._query_log_version
+
+    def _register_merges_view(self) -> None:
+        """``system.merges`` analog: one row per merge currently executing
+        in a MergeScheduler (plans/merges.py registers in-flight entries in
+        ``self.running_merges``). Tiny and volatile — rebuilt every refresh
+        like the metrics view."""
+        import time as _t
+
+        with self._merges_lock:
+            rows = [
+                (
+                    self.catalog.database,
+                    m["table"],
+                    m["partition"],
+                    int(m["num_parts"]),
+                    int(m["rows_read"]),
+                    round(_t.monotonic() - m["started"], 3),
+                )
+                for m in self.running_merges.values()
+            ]
+        schema = (
+            "database string, table string, partition string, "
+            "num_parts int, rows_read bigint, elapsed double"
+        )
+        self.spark.createDataFrame(
+            self.spark.sparkContext.parallelize(rows, 1) if rows else [], schema
+        ).createOrReplaceTempView("system_merges")
 
     # -- DDL --------------------------------------------------------------
     def create_table(self, spec: TableSpec, if_not_exists: bool = True) -> TableHandle:
@@ -493,6 +523,8 @@ class Engine:
             metrics=self.metrics,
             min_parts_to_merge=min_parts_to_merge,
             max_parts_per_merge=max_parts_per_merge,
+            registry=self.running_merges,
+            registry_lock=self._merges_lock,
         )
         return sched.run_once(self.spark, handle)
 
@@ -514,6 +546,8 @@ class Engine:
             metrics=self.metrics,
             min_parts_to_merge=min_parts_to_merge,
             max_parts_per_merge=max_parts_per_merge,
+            registry=self.running_merges,
+            registry_lock=self._merges_lock,
         )
         return sched.start(self.spark, handle, interval_s=interval_s)
 
@@ -554,6 +588,7 @@ class Engine:
         self._register_detached_parts_view(tables)
         self._register_query_log_view()
         self._register_introspection_views()
+        self._register_merges_view()
         for name in self.catalog.list_tables():
             if self._distributed_spec(name) is not None:
                 version = tuple(self.parts.inventory_version(s) for s in self.shard_tables(name))

@@ -40,6 +40,7 @@ _REWRITES = [
     (re.compile(r"\bsystem\.columns\b", re.IGNORECASE), "system_columns"),
     (re.compile(r"\bsystem\.query_log\b", re.IGNORECASE), "system_query_log"),
     (re.compile(r"\bsystem\.detached_parts\b", re.IGNORECASE), "system_detached_parts"),
+    (re.compile(r"\bsystem\.merges\b", re.IGNORECASE), "system_merges"),
     # CH aggregate spellings → Spark aggregates (name-only rewrites: the
     # argument list that follows is valid for the target function, so a
     # paren-aware parser isn't needed). SQL UDFs can't define aggregates,

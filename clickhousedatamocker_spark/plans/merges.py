@@ -33,6 +33,7 @@ from __future__ import annotations
 import os
 import shutil
 import threading
+import time
 
 from clickhousedatamocker_spark.plans.ingest import _merge_collapse
 
@@ -44,9 +45,14 @@ class MergeScheduler:
         metrics=None,
         min_parts_to_merge: int = 8,
         max_parts_per_merge: int = 10,
+        registry: dict | None = None,
+        registry_lock=None,
     ):
         if min_parts_to_merge < 2 or max_parts_per_merge < 2:
             raise ValueError("merging needs at least 2 parts")
+        # optional in-flight registry (Engine.running_merges -> system.merges)
+        self.registry = registry if registry is not None else {}
+        self.registry_lock = registry_lock or threading.Lock()
         self.writer = writer
         self.parts = writer.parts
         self.metrics = metrics
@@ -111,6 +117,15 @@ class MergeScheduler:
             return
         if self.metrics is not None:
             self.metrics.incr("Merge")
+        key = (handle.name, partition)
+        with self.registry_lock:
+            self.registry[key] = {
+                "table": handle.name,
+                "partition": partition,
+                "num_parts": len(plist),
+                "rows_read": sum(p["rows"] for p in plist),
+                "started": time.monotonic(),
+            }
         try:
             family = (handle.engine or {}).get("family", "MergeTree")
             merged = spark.read.schema(handle.schema).parquet(*files)
@@ -146,6 +161,8 @@ class MergeScheduler:
                     self.metrics.set("PartsCommitted", n)
                     self.metrics.incr("MergedRows", sum(p["rows"] for p in plist))
         finally:
+            with self.registry_lock:
+                self.registry.pop(key, None)
             if self.metrics is not None:
                 self.metrics.incr("Merge", -1)
 

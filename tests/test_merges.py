@@ -160,3 +160,39 @@ def test_harness_with_background_merge_pool(spark, tmp_warehouse):
     assert res.rows_inserted == 8 * 2000
     # merges demonstrably reduced the part count below the no-merge 192
     assert res.final_active_parts < 192
+
+
+def test_system_merges_view(spark, tmp_warehouse):
+    """system.merges: empty at rest, shows in-flight merges registered by
+    the scheduler, empty again once merges complete. The in-flight
+    observation injects a registry entry directly (a real merge is too
+    fast to race deterministically); the enter/exit bookkeeping itself is
+    covered by the registry being empty after real merge passes."""
+    import time as _t
+
+    engine = _mk(spark, tmp_warehouse, n_batches=4, rows=200)
+    assert engine.sql("SELECT count(*) FROM system.merges").first()[0] == 0
+
+    with engine._merges_lock:
+        engine.running_merges[("test_local", "2026010107")] = {
+            "table": "test_local",
+            "partition": "2026010107",
+            "num_parts": 4,
+            "rows_read": 800,
+            "started": _t.monotonic(),
+        }
+    row = engine.sql(
+        "SELECT table, partition, num_parts, rows_read, elapsed FROM system.merges"
+    ).first()
+    assert (row["table"], row["partition"], row["num_parts"], row["rows_read"]) == (
+        "test_local", "2026010107", 4, 800
+    )
+    assert row["elapsed"] >= 0.0
+    with engine._merges_lock:
+        engine.running_merges.clear()
+
+    # real merges: registry drains (empty after), metrics saw the work
+    engine.merge_once("test_local", min_parts_to_merge=3)
+    assert not engine.running_merges
+    assert engine.sql("SELECT count(*) FROM system.merges").first()[0] == 0
+    assert engine.metrics.get("MergedRows") > 0
