@@ -16,7 +16,7 @@ rewriting — they are registered as SQL-defined functions
 (functions/scalar.py).
 
 DDL: :func:`parse_ch_ddl` parses the reference's DDL dialect — CREATE TABLE
-with ENGINE=MergeTree/ReplacingMergeTree/SummingMergeTree, PARTITION BY/
+with ENGINE=MergeTree/Replacing-/Summing-/CollapsingMergeTree, PARTITION BY/
 ORDER BY/TTL/SETTINGS (create_local.sql), CREATE TABLE … AS … ENGINE=
 Distributed (create_distributed.sql), DROP TABLE, and ALTER … MODIFY
 SETTING (set_flow_control.sh:35-40) — into catalog calls, so the COMPLETE
@@ -638,7 +638,7 @@ def parse_ch_ddl(sql: str) -> dict | None:
 
     m = re.match(
         r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\((.*)\)\s*"
-        r"ENGINE\s*=\s*(MergeTree|ReplacingMergeTree|SummingMergeTree)\s*(?:\(([^)]*)\))?\s*(.*)$",
+        r"ENGINE\s*=\s*(MergeTree|ReplacingMergeTree|SummingMergeTree|CollapsingMergeTree)\s*(?:\(([^)]*)\))?\s*(.*)$",
         s,
         re.IGNORECASE | re.DOTALL,
     )

@@ -76,6 +76,34 @@ def _merge_collapse(df: DataFrame, handle: TableHandle, family: str) -> DataFram
             else:
                 aggs.append(F.min(f.name).alias(f.name))
         return df.groupBy(*keys).agg(*aggs).select(*df.columns)
+    if family == "CollapsingMergeTree":
+        # CollapsingMergeTree(sign): rows with sign=+1 are "state", sign=-1
+        # cancels a matching earlier state. Merge semantics for the
+        # well-formed stream (what CH documents and guarantees): per ORDER
+        # BY key, equal +/- counts cancel completely; a +1 excess keeps the
+        # last state row; a -1 excess keeps the last cancel row (CH keeps
+        # it so a late-arriving +1 can still cancel). Deterministic "last"
+        # = max over non-key columns, where CH is insertion-ordered.
+        args = (handle.engine or {}).get("args") or []
+        if not args:
+            raise NotImplementedError("CollapsingMergeTree needs a sign column argument")
+        sign = args[0]
+        others_nc = [c for c in df.columns if c not in keys and c != sign]
+        w = W.partitionBy(*keys, sign).orderBy(*[F.col(c).desc() for c in others_nc] or [F.lit(1)])
+        ranked = df.withColumn("__rn", F.row_number().over(w))
+        balance = df.groupBy(*keys).agg(F.sum(F.col(sign).cast("long")).alias("__bal"))
+        return (
+            ranked.join(balance, list(keys))
+            .filter(
+                (F.col("__bal") != 0)
+                & (F.col("__rn") == 1)
+                & (
+                    F.when(F.col("__bal") > 0, F.col(sign) > 0).otherwise(F.col(sign) < 0)
+                )
+            )
+            .drop("__rn", "__bal")
+            .select(*df.columns)
+        )
     raise NotImplementedError(f"unsupported MergeTree family {family!r}")
 
 

@@ -1334,3 +1334,40 @@ def test_generate_random_table_function(spark, tmp_warehouse):
     # unbounded stream must be refused, like reading an infinite relation
     with pytest.raises(ValueError, match="LIMIT"):
         engine.sql("SELECT * FROM generateRandom('x UInt8')")
+
+
+def test_collapsing_mergetree(spark, tmp_warehouse):
+    """CollapsingMergeTree(sign): cancelled key pairs vanish at OPTIMIZE,
+    an uncancelled +1 excess keeps the newest state row, and a -1 excess
+    survives (CH keeps it so a late +1 can still cancel). FINAL sees the
+    collapse without rewriting parts."""
+    engine = Engine(spark, tmp_warehouse)
+    engine.sql(
+        "CREATE TABLE cmt (k UInt64, event_time DateTime, v Float64, sign Int8) "
+        "ENGINE = CollapsingMergeTree(sign) PARTITION BY toYYYYMMDDhh(event_time) ORDER BY k"
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "k long, ts string, v double, sign int"
+        ).selectExpr("k", "CAST(ts AS TIMESTAMP) AS event_time", "v", "sign")
+
+    t = "2026-01-01 07:00:00"
+    # state rows for k=1..4
+    engine.insert("cmt", batch([(k, t, 1.0, 1) for k in (1, 2, 3, 4)]))
+    # cancel k=1, k=2; re-state k=2 with a new value; extra cancel for k=5
+    engine.insert("cmt", batch([(1, t, 1.0, -1), (2, t, 1.0, -1), (2, t, 2.0, 1), (5, t, 9.0, -1)]))
+
+    # FINAL: collapse applied at read, parts untouched
+    final = {r["k"]: (r["v"], r["sign"]) for r in engine.sql("SELECT * FROM cmt FINAL").collect()}
+    assert set(final) == {2, 3, 4, 5}
+    assert final[2] == (2.0, 1)      # +1 excess: newest state row
+    assert final[5] == (9.0, -1)     # -1 excess survives
+    handle = engine.catalog.get("cmt")
+    assert engine.parts.active_parts_count("cmt", handle.path) == 2
+
+    # OPTIMIZE: the same collapse, persisted
+    engine.optimize("cmt")
+    rows = {r["k"]: (r["v"], r["sign"]) for r in engine.read_table("cmt").collect()}
+    assert rows == final
+    assert engine.parts.active_parts_count("cmt", handle.path) == 1
