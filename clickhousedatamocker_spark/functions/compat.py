@@ -431,10 +431,52 @@ def parse_ch_type(tstr: str) -> tuple[T.DataType, bool]:
         return T.StringType(), False  # enums surface as their string labels
     if base == "fixedstring":
         return T.StringType(), False
+    if base == "aggregatefunction":
+        _, dt = parse_ch_agg_type(args)
+        return dt, False
     dt = _CH_TYPES.get(base)
     if dt is None:
         raise NotImplementedError(f"unsupported ClickHouse type {tstr!r}")
     return dt, False
+
+
+def parse_ch_agg_type(args: str) -> tuple[str, T.DataType]:
+    """``AggregateFunction(fn, T)`` → (fn, the Spark type its PARTIAL STATE
+    occupies) — the storage side of the -State/-Merge combinator rewrites
+    above, so an AggregatingMergeTree column holds exactly what uniqState/
+    sumState/avgState/... produce:
+
+    - uniq  → BINARY (a DataSketches HLL sketch; union of sketches == the
+      sketch of the union, so merges are exact-sketch-equivalent)
+    - sum   → the Spark SUM result type of the inner type (long for ints,
+      double for floats, widened decimal)
+    - min/max → the inner type itself
+    - count → BIGINT
+    - avg   → STRUCT<s: DOUBLE, c: BIGINT> (the avgState named_struct)
+    """
+    parts = _split_top(args)
+    fn = parts[0].strip().lower()
+    inner = parse_ch_type(parts[1])[0] if len(parts) > 1 else T.LongType()
+    if fn == "uniq":
+        return fn, T.BinaryType()
+    if fn == "count":
+        return fn, T.LongType()
+    if fn == "avg":
+        return fn, T.StructType(
+            [T.StructField("s", T.DoubleType()), T.StructField("c", T.LongType())]
+        )
+    if fn in ("min", "max"):
+        return fn, inner
+    if fn == "sum":
+        if isinstance(inner, (T.FloatType, T.DoubleType)):
+            return fn, T.DoubleType()
+        if isinstance(inner, T.DecimalType):
+            return fn, T.DecimalType(38, inner.scale)
+        return fn, T.LongType()
+    raise NotImplementedError(
+        f"AggregateFunction({fn}, …): only uniq/sum/min/max/count/avg states "
+        "are supported (the combinator-rewrite vocabulary)"
+    )
 
 
 def _strip(sql: str) -> str:
@@ -638,7 +680,7 @@ def parse_ch_ddl(sql: str) -> dict | None:
 
     m = re.match(
         r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\((.*)\)\s*"
-        r"ENGINE\s*=\s*(MergeTree|ReplacingMergeTree|SummingMergeTree|CollapsingMergeTree)\s*(?:\(([^)]*)\))?\s*(.*)$",
+        r"ENGINE\s*=\s*(MergeTree|ReplacingMergeTree|SummingMergeTree|CollapsingMergeTree|AggregatingMergeTree)\s*(?:\(([^)]*)\))?\s*(.*)$",
         s,
         re.IGNORECASE | re.DOTALL,
     )
@@ -684,7 +726,12 @@ def parse_ch_ddl(sql: str) -> dict | None:
             # drop DEFAULT/CODEC/COMMENT tails after the type expression
             rest = re.split(r"\s+(DEFAULT|MATERIALIZED|CODEC|COMMENT|TTL)\s", rest, flags=re.IGNORECASE)[0]
             dt, nullable = parse_ch_type(rest)
-            fields.append(T.StructField(cname, dt, nullable))
+            # AggregateFunction(fn, T) columns carry their merge discipline
+            # as field metadata — _merge_collapse reads it to pick the
+            # per-column combine (hll_union_agg / sum / min / ...)
+            am = re.match(r"AggregateFunction\s*\((.*)\)\s*$", rest.strip(), re.IGNORECASE | re.DOTALL)
+            meta = {"ch_agg": parse_ch_agg_type(am.group(1))[0]} if am else None
+            fields.append(T.StructField(cname, dt, nullable, metadata=meta))
 
         partition_column = None
         pm = re.search(r"PARTITION\s+BY\s+toYYYYMMDDhh\((\w+)\)", tail, re.IGNORECASE)

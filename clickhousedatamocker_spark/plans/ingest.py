@@ -76,6 +76,37 @@ def _merge_collapse(df: DataFrame, handle: TableHandle, family: str) -> DataFram
             else:
                 aggs.append(F.min(f.name).alias(f.name))
         return df.groupBy(*keys).agg(*aggs).select(*df.columns)
+    if family == "AggregatingMergeTree":
+        # One row per ORDER BY key with each AggregateFunction(fn, T) column
+        # MERGED by its own discipline (field metadata set by the DDL
+        # parser): HLL sketch union for uniq, algebraic partials for
+        # sum/min/max/count, component-wise struct sums for avg. Exactly
+        # the -State/-Merge combinator semantics, applied at merge time —
+        # CH's incremental-rollup storage engine. Plain columns keep MIN
+        # (deterministic where CH is arbitrary, like SummingMergeTree).
+        aggs = []
+        for f in df.schema.fields:
+            if f.name in keys:
+                continue
+            kind = (f.metadata or {}).get("ch_agg")
+            if kind == "uniq":
+                aggs.append(F.expr(f"hll_union_agg({f.name})").alias(f.name))
+            elif kind in ("sum", "count"):
+                aggs.append(F.sum(f.name).cast(f.dataType).alias(f.name))
+            elif kind == "min":
+                aggs.append(F.min(f.name).alias(f.name))
+            elif kind == "max":
+                aggs.append(F.max(f.name).alias(f.name))
+            elif kind == "avg":
+                aggs.append(
+                    F.struct(
+                        F.sum(F.col(f.name).getField("s")).alias("s"),
+                        F.sum(F.col(f.name).getField("c")).alias("c"),
+                    ).alias(f.name)
+                )
+            else:
+                aggs.append(F.min(f.name).alias(f.name))
+        return df.groupBy(*keys).agg(*aggs).select(*df.columns)
     if family == "CollapsingMergeTree":
         # CollapsingMergeTree(sign): rows with sign=+1 are "state", sign=-1
         # cancels a matching earlier state. Merge semantics for the

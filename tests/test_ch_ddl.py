@@ -1371,3 +1371,74 @@ def test_collapsing_mergetree(spark, tmp_warehouse):
     rows = {r["k"]: (r["v"], r["sign"]) for r in engine.read_table("cmt").collect()}
     assert rows == final
     assert engine.parts.active_parts_count("cmt", handle.path) == 1
+
+
+def test_aggregating_mergetree_state_roundtrip(spark, tmp_warehouse):
+    """AggregatingMergeTree + -State/-Merge combinators: CH's canonical
+    incremental-rollup stack. Per-block uniqState/sumState/countState/
+    avgState partials land as state rows; OPTIMIZE merges states per key
+    by each column's own discipline; -Merge reads equal DIRECT aggregates
+    over the raw stream — before AND after the merge (HLL sketch union is
+    sketch-of-union exact, algebraic partials are exact)."""
+    engine = Engine(spark, tmp_warehouse)
+    engine.sql(
+        "CREATE TABLE raw (k UInt64, event_time DateTime, u UInt64, v Float64) "
+        "ENGINE = MergeTree() PARTITION BY toYYYYMMDDhh(event_time) ORDER BY k"
+    )
+    engine.sql(
+        "CREATE TABLE amt (k UInt64, event_time DateTime, "
+        "u_state AggregateFunction(uniq, UInt64), "
+        "s_state AggregateFunction(sum, Float64), "
+        "c_state AggregateFunction(count, UInt64), "
+        "a_state AggregateFunction(avg, Float64)) "
+        "ENGINE = AggregatingMergeTree() PARTITION BY toYYYYMMDDhh(event_time) "
+        "ORDER BY (k, event_time)"
+    )
+
+    def block(seed, n=400):
+        return (
+            spark.range(n)
+            .selectExpr(
+                f"id % 3 AS k",
+                "CAST('2026-01-01 07:00:00' AS TIMESTAMP) AS event_time",
+                f"(id * 37 + {seed}) % 50 AS u",
+                f"CAST(id % 11 AS DOUBLE) + {seed} AS v",
+            )
+        )
+
+    for seed in (0, 1, 2):
+        engine.insert("raw", block(seed))
+        # INSERT ... SELECT straight from the block via a view
+        block(seed).createOrReplaceTempView(f"raw_block_{seed}")
+        engine.sql(
+            "INSERT INTO amt SELECT k, toStartOfHour(min(event_time)) AS event_time, "
+            "uniqState(u) AS u_state, sumState(v) AS s_state, "
+            "countState(u) AS c_state, avgState(v) AS a_state "
+            f"FROM raw_block_{seed} GROUP BY k"
+        )
+
+    merge_sql = (
+        "SELECT k, uniqMerge(u_state) AS u, sumMerge(s_state) AS s, "
+        "countMerge(c_state) AS c, avgMerge(a_state) AS a FROM amt GROUP BY k ORDER BY k"
+    )
+    # uniqExact (not uniq): uniq is HLL++ while the state path is a
+    # DataSketches HLL — different sketches give different estimates; at
+    # <=50 distinct values DataSketches is in exact list mode, so the
+    # state path must equal the EXACT count here
+    direct_sql = (
+        "SELECT k, uniqExact(u) AS u, sum(v) AS s, count(u) AS c, avg(v) AS a "
+        "FROM raw GROUP BY k ORDER BY k"
+    )
+    before = [tuple(r) for r in engine.sql(merge_sql).collect()]
+    direct = [tuple(r) for r in engine.sql(direct_sql).collect()]
+    assert len(before) == 3
+    for b, d in zip(before, direct):
+        assert b[0] == d[0] and b[1] == d[1] and abs(b[2] - d[2]) < 1e-9
+        assert b[3] == d[3] and abs(b[4] - d[4]) < 1e-9
+
+    # 3 state rows per key pre-merge; 1 per key post-OPTIMIZE; reads equal
+    assert engine.sql("SELECT count(*) FROM amt").first()[0] == 9
+    engine.optimize("amt")
+    assert engine.sql("SELECT count(*) FROM amt").first()[0] == 3
+    after = [tuple(r) for r in engine.sql(merge_sql).collect()]
+    assert after == before

@@ -53,9 +53,18 @@ def test_parse_parameterized_types():
     assert types["arr"].dataType == T.ArrayType(T.IntegerType(), False)
 
 
-def test_parse_ch_type_rejects_unknown():
+def test_parse_ch_type_aggregate_function_states():
+    """AggregateFunction(fn, T) maps to the Spark type its partial state
+    occupies (round 5: AggregatingMergeTree support); unknown state fns
+    still reject loudly."""
+    assert parse_ch_type("AggregateFunction(uniq, UInt64)")[0] == T.BinaryType()
+    assert parse_ch_type("AggregateFunction(sum, Float64)")[0] == T.DoubleType()
+    assert parse_ch_type("AggregateFunction(sum, UInt64)")[0] == T.LongType()
+    assert parse_ch_type("AggregateFunction(count, UInt64)")[0] == T.LongType()
+    avg = parse_ch_type("AggregateFunction(avg, Float64)")[0]
+    assert [f.name for f in avg.fields] == ["s", "c"]
     with pytest.raises(NotImplementedError):
-        parse_ch_type("AggregateFunction(sum, UInt64)")
+        parse_ch_type("AggregateFunction(quantileTDigest, Float64)")
 
 
 def test_ctas_parses_as_ctas_not_alias():
