@@ -308,7 +308,14 @@ class Engine:
         return result
 
     # -- materialized views (CH CREATE MATERIALIZED VIEW ... AS SELECT) ----
-    def create_materialized_view(self, name: str, src_table: str, select_sql: str) -> None:
+    def create_materialized_view(
+        self,
+        name: str,
+        src_table: str,
+        select_sql: str,
+        engine: dict | None = None,
+        order_columns: list[str] | None = None,
+    ) -> None:
         """ClickHouse materialized-view semantics: the SELECT runs over each
         INSERTED BLOCK (never retroactively over existing rows — CH's
         documented behavior), and its partial result appends to the view's
@@ -324,7 +331,41 @@ class Engine:
         probe = self._select_over_batch(select_sql, src, self.read_table(src).limit(0))
         from clickhousedatamocker_spark.schema import TableSpec
 
-        self.create_table(TableSpec(name=name, schema=probe.schema), if_not_exists=False)
+        schema = probe.schema
+        if engine and engine.get("family") == "AggregatingMergeTree":
+            # CH's canonical rollup: MV of -State aggregates into an
+            # AggregatingMergeTree target. The probe schema has the state
+            # columns' STORAGE types but not their merge discipline — the
+            # dialect-translated SELECT lost the CH spelling — so recover
+            # each state column's kind from the ORIGINAL select text and
+            # attach it as field metadata (what _merge_collapse reads).
+            import re as _re
+            from pyspark.sql import types as _T
+
+            kinds = {
+                alias: fn.lower()
+                for fn, alias in _re.findall(
+                    r"\b(uniq|sum|min|max|count|avg)State\s*\((?:[^()]|\([^()]*\))*\)"
+                    r"\s+AS\s+(\w+)",
+                    select_sql,
+                    _re.IGNORECASE,
+                )
+            }
+            schema = _T.StructType(
+                [
+                    _T.StructField(
+                        f.name,
+                        f.dataType,
+                        f.nullable,
+                        metadata={"ch_agg": kinds[f.name]} if f.name in kinds else None,
+                    )
+                    for f in schema.fields
+                ]
+            )
+        self.create_table(
+            TableSpec(name=name, schema=schema, order_columns=order_columns or [], engine=engine),
+            if_not_exists=False,
+        )
         self._materialized_views[name] = {"src": src, "sql": select_sql}
 
     def _select_over_batch(self, select_sql: str, src: str, batch: DataFrame) -> DataFrame:
@@ -1088,7 +1129,13 @@ class Engine:
                 )
             elif ddl["op"] == "mv":
                 if not (ddl["if_not_exists"] and ddl["name"] in self._materialized_views):
-                    self.create_materialized_view(ddl["name"], ddl["src"], ddl["select"])
+                    self.create_materialized_view(
+                        ddl["name"],
+                        ddl["src"],
+                        ddl["select"],
+                        engine=ddl.get("engine"),
+                        order_columns=ddl.get("order_columns") or None,
+                    )
             elif ddl["op"] == "alias":
                 self.create_alias(ddl["name"], ddl["of"], distributed=ddl.get("distributed"))
             elif ddl["op"] == "drop":

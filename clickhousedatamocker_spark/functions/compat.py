@@ -523,21 +523,33 @@ def parse_ch_ddl(sql: str) -> dict | None:
 
     m = re.match(
         r"CREATE\s+MATERIALIZED\s+VIEW\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s+"
-        r"(?:ENGINE\s*=\s*\w+(?:\([^)]*\))?\s+)?AS\s+(SELECT\b.*)$",
+        r"(?:ENGINE\s*=\s*(\w+)(?:\(([^)]*)\))?\s+)?"
+        r"(?:ORDER\s+BY\s+(?:\(([^)]*)\)|([\w]+))\s+)?AS\s+(SELECT\b.*)$",
         s,
         re.IGNORECASE | re.DOTALL,
     )
     if m:
-        select = m.group(3).rstrip().rstrip(";")
+        # groups: 1 IF NOT EXISTS, 2 name, 3 engine family, 4 engine args,
+        # 5 parenthesized ORDER BY list, 6 bare ORDER BY column, 7 SELECT
+        select = m.group(7).rstrip().rstrip(";")
         fm = re.search(r"\bFROM\s+([\w.]+)", select, re.IGNORECASE)
         if not fm:
             raise NotImplementedError("materialized view SELECT needs a plain FROM <table>")
+        engine = None
+        if m.group(3):
+            engine = {
+                "family": m.group(3),
+                "args": [a.strip() for a in (m.group(4) or "").split(",") if a.strip()],
+            }
+        order_cols = [c.strip() for c in (m.group(5) or m.group(6) or "").split(",") if c.strip()]
         return {
             "op": "mv",
             "name": m.group(2),
             "if_not_exists": bool(m.group(1)),
             "src": fm.group(1).split(".")[-1],
             "select": select,
+            "engine": engine,
+            "order_columns": order_cols,
         }
 
     m = re.match(r"ALTER\s+TABLE\s+(\w+)\s+DELETE\s+WHERE\s+(.+)$", s, re.IGNORECASE | re.DOTALL)

@@ -421,8 +421,14 @@ class Writer:
             # does the same)
             if len(plist) < 2 and family == "MergeTree" and not deduplicate:
                 continue
-            part_dir = os.path.join(handle.path, f"{handle.partition_column}={partition}")
-            staging = part_dir + ".compact.tmp"
+            # unpartitioned tables ("all" pseudo-partition): parts live at
+            # the table root, not under a key=value dir
+            part_dir = (
+                os.path.join(handle.path, f"{handle.partition_column}={partition}")
+                if handle.partition_column
+                else handle.path
+            )
+            staging = part_dir.rstrip("/") + ".compact.tmp"
             merged = spark.read.schema(handle.schema).parquet(part_dir)
             merged = _merge_collapse(merged, handle, family)
             if deduplicate:

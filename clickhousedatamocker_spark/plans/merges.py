@@ -110,7 +110,11 @@ class MergeScheduler:
         """Rewrite the selected parts of one partition into a single part —
         the same staging/move/retire mechanics as Writer.optimize, scoped to
         a subset (a real merge never touches the partition's other parts)."""
-        part_dir = os.path.join(handle.path, f"{handle.partition_column}={partition}")
+        part_dir = (
+            os.path.join(handle.path, f"{handle.partition_column}={partition}")
+            if handle.partition_column
+            else handle.path
+        )
         files = [os.path.join(part_dir, os.path.basename(p["name"])) for p in plist]
         files = [f for f in files if os.path.exists(f)]
         if len(files) < 2:
@@ -130,7 +134,7 @@ class MergeScheduler:
             family = (handle.engine or {}).get("family", "MergeTree")
             merged = spark.read.schema(handle.schema).parquet(*files)
             merged = _merge_collapse(merged, handle, family)
-            staging = part_dir + ".merge.tmp"
+            staging = part_dir.rstrip("/") + ".merge.tmp"
             (
                 merged.sortWithinPartitions(*handle.order_columns)
                 .coalesce(1)

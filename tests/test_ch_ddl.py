@@ -1442,3 +1442,54 @@ def test_aggregating_mergetree_state_roundtrip(spark, tmp_warehouse):
     assert engine.sql("SELECT count(*) FROM amt").first()[0] == 3
     after = [tuple(r) for r in engine.sql(merge_sql).collect()]
     assert after == before
+
+
+def test_materialized_view_into_aggregating_mergetree(spark, tmp_warehouse):
+    """The full CH incremental-rollup stack in one statement: CREATE
+    MATERIALIZED VIEW ... ENGINE = AggregatingMergeTree() ORDER BY k AS
+    SELECT -State aggregates. Each inserted block lands as state rows;
+    OPTIMIZE collapses states per key by their own disciplines; -Merge
+    reads equal exact direct aggregates before and after."""
+    engine = Engine(spark, tmp_warehouse)
+    engine.sql(
+        "CREATE TABLE base (k UInt64, event_time DateTime, u UInt64, v Float64) "
+        "ENGINE = MergeTree() PARTITION BY toYYYYMMDDhh(event_time) ORDER BY k"
+    )
+    engine.sql(
+        "CREATE MATERIALIZED VIEW rollup ENGINE = AggregatingMergeTree() ORDER BY k "
+        "AS SELECT k, uniqState(u) AS u_state, sumState(v) AS s_state, "
+        "countState(v) AS c_state FROM base GROUP BY k"
+    )
+    for seed in (0, 1, 2):
+        engine.insert(
+            "base",
+            spark.range(300).selectExpr(
+                "id % 4 AS k",
+                "CAST('2026-01-01 07:00:00' AS TIMESTAMP) AS event_time",
+                f"(id * 13 + {seed}) % 40 AS u",
+                f"CAST(id AS DOUBLE) / 7 + {seed} AS v",
+            ),
+        )
+    # state columns carry their merge discipline in the catalog schema
+    handle = engine.catalog.get("rollup")
+    kinds = {f.name: (f.metadata or {}).get("ch_agg") for f in handle.schema.fields}
+    assert kinds == {"k": None, "u_state": "uniq", "s_state": "sum", "c_state": "count"}
+
+    merge_sql = (
+        "SELECT k, uniqMerge(u_state) AS u, sumMerge(s_state) AS s, "
+        "countMerge(c_state) AS c FROM rollup GROUP BY k ORDER BY k"
+    )
+    direct_sql = (
+        "SELECT k, uniqExact(u) AS u, sum(v) AS s, count(v) AS c "
+        "FROM base GROUP BY k ORDER BY k"
+    )
+    before = [tuple(r) for r in engine.sql(merge_sql).collect()]
+    direct = [tuple(r) for r in engine.sql(direct_sql).collect()]
+    assert len(before) == 4
+    for b, d in zip(before, direct):
+        assert b[0] == d[0] and b[1] == d[1] and abs(b[2] - d[2]) < 1e-9 and b[3] == d[3]
+
+    assert engine.sql("SELECT count(*) FROM rollup").first()[0] == 12  # 3 blocks x 4 keys
+    engine.optimize("rollup")
+    assert engine.sql("SELECT count(*) FROM rollup").first()[0] == 4
+    assert [tuple(r) for r in engine.sql(merge_sql).collect()] == before
