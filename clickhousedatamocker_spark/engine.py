@@ -538,15 +538,25 @@ class Engine:
             now = datetime.datetime.now().strftime("%Y-%m-%d %H:%M:%S")
         return self.delete_where(table, f"({handle.ttl}) < TIMESTAMP '{now}'")
 
-    def optimize(self, table: str, now: str | None = None, deduplicate: bool = False) -> int:
+    def optimize(
+        self,
+        table: str,
+        now: str | None = None,
+        deduplicate: bool = False,
+        partition: str | None = None,
+    ) -> int:
         """Background-merge equivalent; like ClickHouse, OPTIMIZE also
         applies the table's TTL eviction before compacting.
         ``deduplicate``: OPTIMIZE … DEDUPLICATE (partition-local exact-row
-        dedup during the merge rewrite)."""
+        dedup during the merge rewrite). ``partition``: OPTIMIZE … PARTITION
+        'p' compacts only that partition — O(partition), the essential scope
+        at real table sizes where whole-table OPTIMIZE is a full rewrite."""
         handle = self.catalog.get(self.catalog.resolve(table))
         if handle.ttl:
             self.apply_ttl(table, now=now)
-        return self.writer.optimize(self.spark, handle, deduplicate=deduplicate)
+        return self.writer.optimize(
+            self.spark, handle, deduplicate=deduplicate, partition=partition
+        )
 
     def merge_once(
         self, table: str, min_parts_to_merge: int = 8, max_parts_per_merge: int = 10
@@ -1092,7 +1102,11 @@ class Engine:
                 n = self.update_where(ddl["name"], ddl["assignments"], ddl["predicate"])
                 return self.spark.createDataFrame([(n,)], "rows_updated bigint")
             elif ddl["op"] == "optimize":
-                n = self.optimize(ddl["name"], deduplicate=ddl.get("deduplicate", False))
+                n = self.optimize(
+                    ddl["name"],
+                    deduplicate=ddl.get("deduplicate", False),
+                    partition=ddl.get("partition"),
+                )
                 return self.spark.createDataFrame([(n,)], "parts_merged bigint")
             elif ddl["op"] == "truncate":
                 if self.catalog.exists(ddl["name"]) or not ddl["if_exists"]:

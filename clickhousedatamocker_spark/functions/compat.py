@@ -584,10 +584,18 @@ def parse_ch_ddl(sql: str) -> dict | None:
         }
 
     m = re.match(
-        r"OPTIMIZE\s+TABLE\s+(\w+)(\s+FINAL)?(\s+DEDUPLICATE)?\s*;?\s*$", s, re.IGNORECASE
+        r"OPTIMIZE\s+TABLE\s+(\w+)(?:\s+PARTITION\s+'?([\w-]+)'?)?"
+        r"(\s+FINAL)?(\s+DEDUPLICATE)?\s*;?\s*$",
+        s,
+        re.IGNORECASE,
     )
     if m:
-        return {"op": "optimize", "name": m.group(1), "deduplicate": bool(m.group(3))}
+        return {
+            "op": "optimize",
+            "name": m.group(1),
+            "partition": m.group(2),
+            "deduplicate": bool(m.group(4)),
+        }
 
     m = re.match(r"TRUNCATE\s+TABLE\s+(IF\s+EXISTS\s+)?(\w+)\s*;?\s*$", s, re.IGNORECASE)
     if m:

@@ -392,7 +392,9 @@ class Writer:
             self.metrics.set("PartsCommitted", self.parts.active_parts_count(table, handle.path))
         return updated
 
-    def optimize(self, spark, handle: TableHandle, deduplicate: bool = False) -> int:
+    def optimize(
+        self, spark, handle: TableHandle, deduplicate: bool = False, partition: str | None = None
+    ) -> int:
         """Compact each partition's parts into one (≈ CH background merge /
         OPTIMIZE TABLE). Old parts are retired (active=false) in the manifest
         and their files removed. Returns number of partitions compacted.
@@ -411,6 +413,10 @@ class Writer:
         for p in self.parts._manifest[table]:
             if p["active"]:
                 by_partition.setdefault(p["partition"], []).append(p)
+        if partition is not None:
+            # OPTIMIZE ... PARTITION 'p': compact ONE partition — O(its
+            # parts), never a table rewrite; unknown values no-op like CH
+            by_partition = {k: v for k, v in by_partition.items() if k == str(partition)}
 
         family = (handle.engine or {}).get("family", "MergeTree")
         compacted = 0

@@ -1493,3 +1493,34 @@ def test_materialized_view_into_aggregating_mergetree(spark, tmp_warehouse):
     engine.optimize("rollup")
     assert engine.sql("SELECT count(*) FROM rollup").first()[0] == 4
     assert [tuple(r) for r in engine.sql(merge_sql).collect()] == before
+
+
+def test_optimize_partition_scoped(spark, tmp_warehouse):
+    """OPTIMIZE TABLE t PARTITION 'p': only that partition compacts —
+    O(partition) where the unscoped form is a table rewrite; unknown
+    partitions no-op."""
+    engine = Engine(spark, tmp_warehouse)
+    engine.sql(open(f"{REF}/create_local.sql").read())
+    from clickhousedatamocker_spark.sources.generator import BatchGenerator
+
+    gen = BatchGenerator(spark, seed=11, base_time="2026-01-01 12:00:00")
+    for i in range(3):
+        engine.insert("test_local", gen.batch_with_partition(600, batch_no=i))
+    handle = engine.catalog.get("test_local")
+    assert engine.parts.active_parts_count("test_local", handle.path) == 72
+
+    target = engine.sql(
+        "SELECT partition FROM system.parts WHERE active ORDER BY partition LIMIT 1"
+    ).first()["partition"]
+    n = engine.sql(f"OPTIMIZE TABLE test_local PARTITION '{target}' FINAL").first()[0]
+    assert n == 1
+    # 3 parts -> 1 in the target partition; every other partition untouched
+    assert engine.parts.active_parts_count("test_local", handle.path) == 72 - 2
+    per = {
+        r["partition"]: r["n"]
+        for r in engine.sql(
+            "SELECT partition, count(*) AS n FROM system.parts WHERE active GROUP BY partition"
+        ).collect()
+    }
+    assert per[target] == 1 and all(v == 3 for k, v in per.items() if k != target)
+    assert engine.sql("OPTIMIZE TABLE test_local PARTITION '19990101'").first()[0] == 0
