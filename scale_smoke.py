@@ -53,6 +53,13 @@ SMOKE_KEYS = (
     "q10_returned_items",
     "q18_large_volume_customers",
     "dedup_minhash_lsh_pairs",
+    # LLM-op tier at a decade of scale: zero-shuffle text profiling, the
+    # broadcast-query brute-force ANN baseline, and the cross-document
+    # duplicated-span signal (its gram space grows with corpus tokens —
+    # the stress case for the shuffle-hash gram join)
+    "text_analysis_profile",
+    "similarity_topk_bruteforce",
+    "crossdoc_dup_span_profile",
 )
 
 
