@@ -99,6 +99,11 @@ def main() -> None:
     timed("dedup_minhash_lsh_pairs", lambda: minhash_lsh_pairs(docs))
     for twin in ("similarity_topk_lsh", "similarity_topk_ivf", "stream_attribution_join"):
         timed(twin, lambda twin=twin: REGISTRY[twin].fn(spark, sf_dir))
+    # round-5 additions: the scale-pinned q18 (all three joins SHUFFLE_HASH
+    # after the sf1 smoke caught a 12x superlinear broadcast) and the
+    # cross-document duplicated-span signal (rows-only registry entry)
+    for extra in ("q18_large_volume_customers", "crossdoc_dup_span_profile"):
+        timed(extra, lambda extra=extra: REGISTRY[extra].fn(spark, sf_dir))
 
     # ANN steady state (the r4 verdict's ask): similarity_topk_ivf above
     # retrains k-means fresh per call — one-time cost a serving user never

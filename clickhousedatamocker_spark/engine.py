@@ -53,6 +53,10 @@ class Engine:
         self.writer = Writer(self.parts, self.flow, metrics=self.metrics)
         self._registered_versions: dict[str, object] = {}
         self._materialized_views: dict[str, dict] = {}
+        # plain CREATE VIEW: saved select texts, re-registered every refresh
+        # so they always read the CURRENT table state (a captured temp-view
+        # plan would pin the creation-time relation and go stale)
+        self._views: dict[str, str] = {}
         self._query_log: list[tuple] = []
         self._query_log_version = 0
         self._query_log_registered_version = -1
@@ -188,6 +192,11 @@ class Engine:
         return self.catalog.create_alias(name, of, distributed=distributed)
 
     def drop_table(self, name: str, if_exists: bool = True) -> None:
+        if name in self._views:
+            # plain view: forget the saved select and the registered alias
+            self._views.pop(name)
+            self.spark.catalog.dropTempView(name)
+            return
         self._materialized_views.pop(name, None)
         self._catalog_version += 1
         # Capture the data path BEFORE the catalog forgets the table: the
@@ -662,6 +671,12 @@ class Engine:
                 # (also shadows any stale view a DROP + re-CREATE left)
                 self.spark.createDataFrame([], _schema_with_partition(handle)).createOrReplaceTempView(name)
             self._registered_versions[name] = version
+        # plain views LAST: their plans reference the table views above, so
+        # re-deriving them here keeps them reading the current table state
+        from clickhousedatamocker_spark.functions.compat import translate_ch_sql as _tr
+
+        for vname, vsql in self._views.items():
+            self.spark.sql(_tr(vsql)).createOrReplaceTempView(vname)
 
     def _rewrite_final_reads(self, query: str) -> str:
         """``FROM <table> FINAL`` — ClickHouse's read-time merge modifier:
@@ -881,6 +896,33 @@ class Engine:
             return self.spark.createDataFrame([(ln,) for ln in lines], "explain string")
 
         ins = parse_ch_insert(query)
+        if ins is not None and ins["op"] == "insert_values":
+            handle = self.catalog.get(ins["table"])
+            base = handle
+            while base.alias_of:
+                base = self.catalog.get(base.alias_of)
+            fields = list(base.schema.fields)
+            if ins["columns"]:
+                by_name = {f.name: f for f in fields}
+                fields = [by_name[c] for c in ins["columns"]]
+            df = self.spark.sql(f"SELECT * FROM VALUES {ins['values']}")
+            if len(df.columns) != len(fields):
+                raise ValueError(
+                    f"VALUES arity {len(df.columns)} != column count {len(fields)}"
+                )
+            df = df.select(
+                *[
+                    F.col(c).cast(f.dataType).alias(f.name)
+                    for c, f in zip(df.columns, fields)
+                ]
+            )
+            if ins["columns"]:
+                for f in base.schema.fields:
+                    if f.name not in ins["columns"]:
+                        df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+                df = df.select(*[f.name for f in base.schema.fields])
+            self.insert(ins["table"], df)
+            return self.spark.createDataFrame([], "result string")
         if ins is not None:
             from clickhousedatamocker_spark.sources.formats import read_format
 
@@ -1141,6 +1183,12 @@ class Engine:
                 return self.spark.createDataFrame(
                     [(1 if self.catalog.exists(ddl["name"]) else 0,)], "result int"
                 )
+            elif ddl["op"] == "view":
+                if not (ddl["if_not_exists"] and ddl["name"] in self._views):
+                    if self.catalog.exists(ddl["name"]):
+                        raise ValueError(f"table {ddl['name']!r} already exists")
+                    self._views[ddl["name"]] = ddl["select"]
+                    self.refresh_system_views()
             elif ddl["op"] == "mv":
                 if not (ddl["if_not_exists"] and ddl["name"] in self._materialized_views):
                     self.create_materialized_view(

@@ -198,6 +198,18 @@ _REWRITES = [
     # PREWHERE is CH's manual two-stage filter optimization; with columnar
     # scans + pushdown the distinction is moot — same semantics as WHERE
     (re.compile(r"\bPREWHERE\b", re.IGNORECASE), "WHERE"),
+    # trailing SETTINGS k = v[, ...] on a query: CH per-query execution
+    # knobs (max_threads, max_memory_usage, ...) — engine-tuning hints with
+    # no Spark equivalent; dropped so pasted CH queries run. Anchored to
+    # statement end, so DDL SETTINGS clauses (parsed before translation)
+    # are never touched.
+    (
+        re.compile(
+            r"\sSETTINGS\s+\w+\s*=\s*[\w.'\"]+(?:\s*,\s*\w+\s*=\s*[\w.'\"]+)*\s*(;?)\s*$",
+            re.IGNORECASE,
+        ),
+        r"\1",
+    ),
     # numbers(N) table function → Spark's range(N), column renamed to CH's
     (
         re.compile(r"\bnumbers\(\s*(\d+)\s*\)", re.IGNORECASE),
@@ -503,10 +515,27 @@ def parse_ch_insert(sql: str) -> dict | None:
         return {"op": "insert", "table": m.group(1).split(".")[-1], "columns": cols, "format": m.group(3)}
     if re.match(r"INSERT\s+INTO\s+[\w.]+\s*(?:\([^)]*\))?\s*\(?\s*(SELECT|WITH)\b", s, re.IGNORECASE):
         return None  # INSERT ... SELECT — handled as a statement by parse_ch_ddl
+    mv = re.match(
+        r"INSERT\s+INTO\s+([\w.]+)\s*(?:\(([^)]*)\))?\s*VALUES\s+(\(.+)$",
+        s,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if mv:
+        # inline VALUES (clickhouse-client's default interactive form):
+        # the tuple text is Spark-VALUES-compatible (quoted strings,
+        # numeric literals), so the engine rewrites it into a SELECT *
+        # FROM VALUES and routes through the admission-controlled insert
+        cols = [c.strip() for c in mv.group(2).split(",")] if mv.group(2) else None
+        return {
+            "op": "insert_values",
+            "table": mv.group(1).split(".")[-1],
+            "columns": cols,
+            "values": mv.group(3).rstrip().rstrip(";"),
+        }
     raise NotImplementedError(
         "only 'INSERT INTO <table> [(cols)] FORMAT <fmt>' with an external "
-        "payload and 'INSERT INTO <table> SELECT ...' are supported (the "
-        "reference's client flows); inline VALUES are not modeled"
+        "payload, 'INSERT INTO <table> SELECT ...', and 'INSERT INTO "
+        "<table> [(cols)] VALUES (...)' are supported"
     )
 
 
@@ -518,6 +547,23 @@ def parse_ch_ddl(sql: str) -> dict | None:
         return None
 
     m = re.match(r"DROP\s+TABLE\s+(IF\s+EXISTS\s+)?(\w+)", s, re.IGNORECASE)
+    if m:
+        return {"op": "drop", "name": m.group(2), "if_exists": bool(m.group(1))}
+
+    m = re.match(
+        r"CREATE\s+VIEW\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s+AS\s+(SELECT\b.*)$",
+        s,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        return {
+            "op": "view",
+            "name": m.group(2),
+            "if_not_exists": bool(m.group(1)),
+            "select": m.group(3).rstrip().rstrip(";"),
+        }
+
+    m = re.match(r"DROP\s+VIEW\s+(IF\s+EXISTS\s+)?(\w+)\s*;?\s*$", s, re.IGNORECASE)
     if m:
         return {"op": "drop", "name": m.group(2), "if_exists": bool(m.group(1))}
 

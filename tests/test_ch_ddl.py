@@ -108,10 +108,10 @@ def test_insert_format_statement_client_flow(spark, tmp_warehouse, tmp_path):
     engine.sql("INSERT INTO test_local FORMAT JSONEachRow", data=str(jpath))
     assert engine.sql("SELECT count(*) AS n FROM test_local").first()["n"] == 3005
 
-    # inline VALUES is explicitly out of scope
+    # inline VALUES is supported since round 5 — but arity still checks
     import pytest as _pytest
 
-    with _pytest.raises(NotImplementedError, match="VALUES"):
+    with _pytest.raises(ValueError, match="arity"):
         engine.sql("INSERT INTO test_local VALUES (1)")
 
 
@@ -1524,3 +1524,44 @@ def test_optimize_partition_scoped(spark, tmp_warehouse):
     }
     assert per[target] == 1 and all(v == 3 for k, v in per.items() if k != target)
     assert engine.sql("OPTIMIZE TABLE test_local PARTITION '19990101'").first()[0] == 0
+
+
+def test_insert_values_create_view_and_query_settings(spark, tmp_warehouse):
+    """Round-5 dialect batch: inline INSERT ... VALUES (clickhouse-client's
+    interactive form) through the admission-controlled path; CREATE VIEW as
+    a saved query that tracks table state; trailing SETTINGS knobs dropped."""
+    engine = Engine(spark, tmp_warehouse)
+    engine.sql(
+        "CREATE TABLE ev (k UInt64, event_time DateTime, v Float64, note String) "
+        "ENGINE = MergeTree() PARTITION BY toYYYYMMDDhh(event_time) ORDER BY k"
+    )
+    engine.sql(
+        "INSERT INTO ev VALUES (1, '2026-01-01 07:00:00', 1.5, 'a'), "
+        "(2, '2026-01-01 08:00:00', 2.5, 'b')"
+    )
+    # column-subset form: unlisted columns land NULL
+    engine.sql(
+        "INSERT INTO ev (k, event_time, v) VALUES (3, '2026-01-01 07:30:00', 3.5)"
+    )
+    rows = {r["k"]: (r["v"], r["note"]) for r in engine.sql("SELECT * FROM ev").collect()}
+    assert rows == {1: (1.5, "a"), 2: (2.5, "b"), 3: (3.5, None)}
+    # arity mismatch is loud
+    with pytest.raises(ValueError, match="arity"):
+        engine.sql("INSERT INTO ev VALUES (9, '2026-01-01 07:00:00')")
+
+    # CREATE VIEW: a saved query, re-derived each refresh -> sees new rows
+    engine.sql("CREATE VIEW big_ev AS SELECT k, v FROM ev WHERE v > 2.0")
+    assert {r["k"] for r in engine.sql("SELECT * FROM big_ev").collect()} == {2, 3}
+    engine.sql("INSERT INTO ev VALUES (4, '2026-01-01 09:00:00', 9.0, 'd')")
+    assert {r["k"] for r in engine.sql("SELECT * FROM big_ev").collect()} == {2, 3, 4}
+    # name collision with a real table is refused; DROP VIEW forgets it
+    with pytest.raises(ValueError, match="exists"):
+        engine.sql("CREATE VIEW ev AS SELECT 1")
+    engine.sql("DROP VIEW big_ev")
+    assert "big_ev" not in engine._views
+
+    # SETTINGS suffix: CH execution knobs dropped, query runs
+    n = engine.sql(
+        "SELECT count(*) AS n FROM ev SETTINGS max_threads = 8, max_memory_usage = 10000000000"
+    ).first()["n"]
+    assert n == 4
