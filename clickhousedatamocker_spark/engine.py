@@ -611,6 +611,106 @@ class Engine:
         )
         return sched.start(self.spark, handle, interval_s=interval_s)
 
+    # -- schema evolution (ALTER ADD/DROP/MODIFY COLUMN) -------------------
+    def _invalidate_reads(self, name: str) -> None:
+        self._registered_versions.pop(name, None)
+        self._catalog_version += 1
+
+    def add_column(
+        self,
+        table: str,
+        column: str,
+        ch_type: str,
+        default: str | None = None,
+        if_not_exists: bool = False,
+    ) -> None:
+        """ALTER TABLE ... ADD COLUMN — metadata-only, like CH: no part is
+        rewritten. Old parts read the column as NULL, and with DEFAULT the
+        read path fills NULLs with the default expression. For CH's
+        non-Nullable column model that is exactly CH's lazy-default
+        semantics; for an explicitly Nullable added column a stored NULL is
+        indistinguishable from a missing one (documented deviation)."""
+        from pyspark.sql import types as _T
+
+        from clickhousedatamocker_spark.functions.compat import parse_ch_type
+
+        name = self.catalog.resolve(table)
+        handle = self.catalog.get(name)
+        if any(f.name == column for f in handle.schema.fields):
+            if if_not_exists:
+                return
+            raise ValueError(f"column {column!r} already exists in {name!r}")
+        dtype, nullable = parse_ch_type(ch_type)
+        schema = _T.StructType(
+            list(handle.schema.fields) + [_T.StructField(column, dtype, True)]
+        )
+        settings = dict(handle.settings)
+        if default is not None:
+            defaults = dict(settings.get("column_defaults") or {})
+            defaults[column] = default
+            settings["column_defaults"] = defaults
+        self.catalog.alter_schema(name, schema, settings)
+        self._invalidate_reads(name)
+
+    def drop_column(self, table: str, column: str, if_exists: bool = False) -> None:
+        """ALTER TABLE ... DROP COLUMN — metadata-only: the explicit-schema
+        read projects the column away in old parts; new writes omit it. Key
+        columns (ORDER BY / partition) are structural and refuse to drop,
+        as in CH."""
+        from pyspark.sql import types as _T
+
+        name = self.catalog.resolve(table)
+        handle = self.catalog.get(name)
+        if not any(f.name == column for f in handle.schema.fields):
+            if if_exists:
+                return
+            raise ValueError(f"no column {column!r} in {name!r}")
+        if column in (handle.order_columns or []) or column == handle.partition_column:
+            raise ValueError(f"cannot drop key column {column!r} (ORDER BY / PARTITION BY)")
+        schema = _T.StructType([f for f in handle.schema.fields if f.name != column])
+        settings = dict(handle.settings)
+        if settings.get("column_defaults"):
+            settings["column_defaults"] = {
+                k: v for k, v in settings["column_defaults"].items() if k != column
+            }
+        self.catalog.alter_schema(name, schema, settings)
+        self._invalidate_reads(name)
+
+    def modify_column(self, table: str, column: str, ch_type: str) -> None:
+        """ALTER TABLE ... MODIFY COLUMN — metadata-only type change.
+        WIDENING conversions only (Int32->Int64, Float32->Float64, ...):
+        the parquet reader upcasts old parts at scan; an incompatible
+        change fails loudly at the next read, not silently."""
+        from pyspark.sql import types as _T
+
+        from clickhousedatamocker_spark.functions.compat import parse_ch_type
+
+        name = self.catalog.resolve(table)
+        handle = self.catalog.get(name)
+        if not any(f.name == column for f in handle.schema.fields):
+            raise ValueError(f"no column {column!r} in {name!r}")
+        dtype, _ = parse_ch_type(ch_type)
+        schema = _T.StructType(
+            [
+                _T.StructField(column, dtype, f.nullable, f.metadata or None)
+                if f.name == column
+                else f
+                for f in handle.schema.fields
+            ]
+        )
+        self.catalog.alter_schema(name, schema)
+        self._invalidate_reads(name)
+
+    def _apply_column_defaults(self, df: DataFrame, handle: TableHandle) -> DataFrame:
+        defaults = (handle.settings or {}).get("column_defaults") or {}
+        for col, expr in defaults.items():
+            if col in df.columns:
+                dtype = dict((f.name, f.dataType) for f in handle.schema.fields)[col]
+                df = df.withColumn(
+                    col, F.coalesce(F.col(col), F.expr(str(expr)).cast(dtype))
+                )
+        return df
+
     def read_table(self, table: str) -> DataFrame:
         if self._distributed_spec(table) is not None:
             # Distributed SELECT: union over shard-local scans (what the CH
@@ -626,7 +726,9 @@ class Engine:
         handle = self.catalog.get(name)
         if not any(os.scandir(handle.path)) if os.path.isdir(handle.path) else True:
             return self.spark.createDataFrame([], handle.schema)
-        return self.spark.read.schema(_schema_with_partition(handle)).parquet(handle.path)
+        return self._apply_column_defaults(
+            self.spark.read.schema(_schema_with_partition(handle)).parquet(handle.path), handle
+        )
 
     # -- introspection ----------------------------------------------------
     def refresh_system_views(self) -> None:
@@ -663,9 +765,10 @@ class Engine:
             if os.path.isdir(handle.path) and any(
                 True for _ in os.scandir(handle.path) if _.name.endswith(".parquet") or "=" in _.name
             ):
-                self.spark.read.schema(_schema_with_partition(handle)).parquet(handle.path).createOrReplaceTempView(
-                    name
-                )
+                self._apply_column_defaults(
+                    self.spark.read.schema(_schema_with_partition(handle)).parquet(handle.path),
+                    handle,
+                ).createOrReplaceTempView(name)
             else:
                 # empty table: a typed empty view, so SELECTs work like CH
                 # (also shadows any stale view a DROP + re-CREATE left)
@@ -1183,6 +1286,15 @@ class Engine:
                 return self.spark.createDataFrame(
                     [(1 if self.catalog.exists(ddl["name"]) else 0,)], "result int"
                 )
+            elif ddl["op"] == "add_column":
+                self.add_column(
+                    ddl["name"], ddl["column"], ddl["type"], default=ddl.get("default"),
+                    if_not_exists=ddl["if_not_exists"],
+                )
+            elif ddl["op"] == "drop_column":
+                self.drop_column(ddl["name"], ddl["column"], if_exists=ddl["if_exists"])
+            elif ddl["op"] == "modify_column":
+                self.modify_column(ddl["name"], ddl["column"], ddl["type"])
             elif ddl["op"] == "view":
                 if not (ddl["if_not_exists"] and ddl["name"] in self._views):
                     if self.catalog.exists(ddl["name"]):

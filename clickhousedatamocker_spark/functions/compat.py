@@ -598,6 +598,48 @@ def parse_ch_ddl(sql: str) -> dict | None:
             "order_columns": order_cols,
         }
 
+    # -- schema evolution (metadata-only, CH's lazy-mutation model) --------
+    m = re.match(
+        r"ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s+"
+        r"([\w]+(?:\([^)]*\))?)(?:\s+DEFAULT\s+(.+?))?\s*;?\s*$",
+        s,
+        re.IGNORECASE,
+    )
+    if m:
+        return {
+            "op": "add_column",
+            "name": m.group(1),
+            "if_not_exists": bool(m.group(2)),
+            "column": m.group(3),
+            "type": m.group(4),
+            "default": m.group(5),
+        }
+    m = re.match(
+        r"ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(IF\s+EXISTS\s+)?(\w+)\s*;?\s*$",
+        s,
+        re.IGNORECASE,
+    )
+    if m:
+        return {
+            "op": "drop_column",
+            "name": m.group(1),
+            "if_exists": bool(m.group(2)),
+            "column": m.group(3),
+        }
+    m = re.match(
+        r"ALTER\s+TABLE\s+(\w+)\s+MODIFY\s+COLUMN\s+(\w+)\s+([\w]+(?:\([^)]*\))?)\s*;?\s*$",
+        s,
+        re.IGNORECASE,
+    )
+    if m:
+        return {"op": "modify_column", "name": m.group(1), "column": m.group(2), "type": m.group(3)}
+    if re.match(r"ALTER\s+TABLE\s+\w+\s+RENAME\s+COLUMN\b", s, re.IGNORECASE):
+        raise NotImplementedError(
+            "RENAME COLUMN needs physical/logical column-name mapping (old "
+            "parts keep the old name on disk) — not implemented; migrate via "
+            "ADD COLUMN new + ALTER UPDATE new = old + DROP COLUMN old"
+        )
+
     m = re.match(r"ALTER\s+TABLE\s+(\w+)\s+DELETE\s+WHERE\s+(.+)$", s, re.IGNORECASE | re.DOTALL)
     if m:
         return {"op": "mutate_delete", "name": m.group(1), "predicate": m.group(2).rstrip(";").strip()}

@@ -112,6 +112,19 @@ class Catalog:
         self._write_meta(name, meta)
         return self.get(name)
 
+    def alter_schema(self, name: str, schema, settings: dict | None = None) -> None:
+        """Persist a schema change (ALTER ADD/DROP/MODIFY COLUMN): metadata
+        only — existing parquet parts are never rewritten; the explicit-
+        schema read path projects/fills them (CH's lazy-mutation model)."""
+        import json as _json
+
+        with open(self._meta_path(name)) as f:
+            meta = _json.load(f)
+        meta["schema"] = schema.json()
+        if settings is not None:
+            meta["settings"] = settings
+        self._write_meta(name, meta)
+
     def rename_table(self, name: str, new_name: str) -> None:
         """RENAME TABLE name TO new_name: a metadata + directory move —
         like CH, an O(1) catalog operation, never a data copy. Aliases

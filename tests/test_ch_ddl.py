@@ -1565,3 +1565,62 @@ def test_insert_values_create_view_and_query_settings(spark, tmp_warehouse):
         "SELECT count(*) AS n FROM ev SETTINGS max_threads = 8, max_memory_usage = 10000000000"
     ).first()["n"]
     assert n == 4
+
+
+def test_schema_evolution_add_drop_modify_column(spark, tmp_warehouse):
+    """ALTER ADD/DROP/MODIFY COLUMN: metadata-only like CH — no part is
+    rewritten; the explicit-schema read projects/fills old parts. ADD with
+    DEFAULT fills at read (CH's lazy-default model for non-Nullable
+    columns); DROP refuses key columns; MODIFY widens; RENAME rejects with
+    the migration recipe."""
+    engine = Engine(spark, tmp_warehouse)
+    engine.sql(
+        "CREATE TABLE se (k UInt64, event_time DateTime, v Float64) "
+        "ENGINE = MergeTree() PARTITION BY toYYYYMMDDhh(event_time) ORDER BY k"
+    )
+    engine.sql(
+        "INSERT INTO se VALUES (1, '2026-01-01 07:00:00', 1.0), (2, '2026-01-01 07:00:00', 2.0)"
+    )
+    files_before = sorted(
+        str(p) for p in __import__("pathlib").Path(tmp_warehouse, "se").rglob("*.parquet")
+    )
+
+    # ADD COLUMN with DEFAULT: old parts read the default, new inserts carry values
+    engine.sql("ALTER TABLE se ADD COLUMN src String DEFAULT 'legacy'")
+    engine.sql("ALTER TABLE se ADD COLUMN IF NOT EXISTS src String")  # no-op
+    engine.sql(
+        "INSERT INTO se VALUES (3, '2026-01-01 08:00:00', 3.0, 'fresh')"
+    )
+    rows = {r["k"]: r["src"] for r in engine.sql("SELECT k, src FROM se").collect()}
+    assert rows == {1: "legacy", 2: "legacy", 3: "fresh"}
+    # metadata-only: the original files were never rewritten
+    files_after = sorted(
+        str(p)
+        for p in __import__("pathlib").Path(tmp_warehouse, "se").rglob("*.parquet")
+    )
+    assert set(files_before) <= set(files_after)
+
+    # MODIFY COLUMN: widening type change, old parts upcast at scan
+    engine.sql("ALTER TABLE se MODIFY COLUMN k Int64")
+    assert dict(engine.read_table("se").dtypes)["k"] == "bigint"
+    assert engine.sql("SELECT sum(k) FROM se").first()[0] == 6
+
+    # DROP COLUMN projects it away everywhere; key columns refuse
+    engine.sql("ALTER TABLE se DROP COLUMN v")
+    assert "v" not in engine.read_table("se").columns
+    with pytest.raises(ValueError, match="key column"):
+        engine.sql("ALTER TABLE se DROP COLUMN k")
+    with pytest.raises(ValueError, match="no column"):
+        engine.sql("ALTER TABLE se DROP COLUMN ghost")
+    engine.sql("ALTER TABLE se DROP COLUMN IF EXISTS ghost")  # no-op
+
+    # RENAME COLUMN: loud gate with the migration recipe
+    with pytest.raises(NotImplementedError, match="RENAME COLUMN"):
+        engine.sql("ALTER TABLE se RENAME COLUMN src TO origin")
+
+    # evolution survives a catalog round-trip (fresh Engine over same dir)
+    engine2 = Engine(spark, tmp_warehouse)
+    assert {f.name for f in engine2.catalog.get("se").schema.fields} == {
+        "k", "event_time", "src"
+    }
+    assert {r["k"]: r["src"] for r in engine2.sql("SELECT k, src FROM se").collect()} == rows
