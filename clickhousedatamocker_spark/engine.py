@@ -1334,9 +1334,16 @@ class Engine:
                 f"CREATE TABLE {name} AS {h.alias_of} ENGINE = Distributed("
                 f"'{dist.get('cluster', 'default')}', currentDatabase(), {h.alias_of}{key})"
             )
-        col_lines = [
-            f"{f.name} {_spark_to_ch_type(f.dataType, f.nullable)}" for f in h.schema.fields
-        ]
+        defaults = (h.settings or {}).get("column_defaults") or {}
+        col_lines = []
+        for f in h.schema.fields:
+            # AggregateFunction columns carry their verbatim CH type in
+            # field metadata (the Spark storage type alone can't round-trip)
+            ch = (f.metadata or {}).get("ch_type") or _spark_to_ch_type(f.dataType, f.nullable)
+            line = f"{f.name} {ch}"
+            if f.name in defaults:
+                line += f" DEFAULT {defaults[f.name]}"
+            col_lines.append(line)
         for ix in getattr(h, "skip_indexes", None) or []:
             col_lines.append(
                 f"INDEX {ix['name']} {ix['expr']} TYPE {ix['kind']} "
@@ -1355,7 +1362,11 @@ class Engine:
             lines.append(f"SAMPLE BY {h.sample_by}")
         if h.ttl:
             lines.append(f"TTL {h.ttl}")
-        settings = {k: v for k, v in (h.settings or {}).items() if k != "partition_buckets"}
+        settings = {
+            k: v
+            for k, v in (h.settings or {}).items()
+            if k not in ("partition_buckets", "column_defaults")
+        }
         if settings:
             lines.append("SETTINGS " + ", ".join(f"{k} = {v}" for k, v in settings.items()))
         return "\n".join(lines)

@@ -838,7 +838,13 @@ def parse_ch_ddl(sql: str) -> dict | None:
             # as field metadata — _merge_collapse reads it to pick the
             # per-column combine (hll_union_agg / sum / min / ...)
             am = re.match(r"AggregateFunction\s*\((.*)\)\s*$", rest.strip(), re.IGNORECASE | re.DOTALL)
-            meta = {"ch_agg": parse_ch_agg_type(am.group(1))[0]} if am else None
+            # ch_type keeps the verbatim CH spelling so SHOW CREATE can
+            # round-trip it (the Spark storage type alone can't)
+            meta = (
+                {"ch_agg": parse_ch_agg_type(am.group(1))[0], "ch_type": rest.strip()}
+                if am
+                else None
+            )
             fields.append(T.StructField(cname, dt, nullable, metadata=meta))
 
         partition_column = None

@@ -1624,3 +1624,35 @@ def test_schema_evolution_add_drop_modify_column(spark, tmp_warehouse):
         "k", "event_time", "src"
     }
     assert {r["k"]: r["src"] for r in engine2.sql("SELECT k, src FROM se").collect()} == rows
+
+
+def test_show_create_covers_new_families_and_evolution(spark, tmp_warehouse):
+    """SHOW CREATE round-trips the round-5 surface: AggregateFunction
+    column spellings, Collapsing/Aggregating families, and ADD COLUMN
+    DEFAULT clauses (not leaked into SETTINGS)."""
+    engine = Engine(spark, tmp_warehouse)
+    engine.sql(
+        "CREATE TABLE sc (k UInt64, event_time DateTime, "
+        "u AggregateFunction(uniq, UInt64)) "
+        "ENGINE = AggregatingMergeTree() PARTITION BY toYYYYMMDDhh(event_time) ORDER BY k"
+    )
+    engine.sql("ALTER TABLE sc ADD COLUMN note String DEFAULT 'x'")
+    ddl = engine.sql("SHOW CREATE TABLE sc").first()["statement"]
+    assert "AggregateFunction(uniq, UInt64)" in ddl
+    assert "ENGINE = AggregatingMergeTree()" in ddl
+    # added columns store nullable (old parts surface NULL before the
+    # default coalesce), so the honest rendering is Nullable(String)
+    assert "note Nullable(String) DEFAULT 'x'" in ddl
+    assert "column_defaults" not in ddl
+    # the reconstructed DDL parses back to the same schema (round-trip law)
+    engine2 = Engine(spark, tmp_warehouse + "/rt")
+    engine2.sql(ddl.replace("CREATE TABLE sc", "CREATE TABLE sc2"))
+    f2 = {f.name: f.dataType for f in engine2.catalog.get("sc2").schema.fields}
+    f1 = {f.name: f.dataType for f in engine.catalog.get("sc").schema.fields}
+    assert f1 == f2
+
+    engine.sql(
+        "CREATE TABLE cm (k UInt64, event_time DateTime, sign Int8) "
+        "ENGINE = CollapsingMergeTree(sign) PARTITION BY toYYYYMMDDhh(event_time) ORDER BY k"
+    )
+    assert "ENGINE = CollapsingMergeTree(sign)" in engine.sql("SHOW CREATE TABLE cm").first()["statement"]
