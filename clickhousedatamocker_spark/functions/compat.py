@@ -543,6 +543,11 @@ def parse_ch_ddl(sql: str) -> dict | None:
     """Parse one ClickHouse DDL statement into a catalog-op description, or
     return None when the statement is not DDL (plain query path)."""
     s = _strip(sql)
+    # ON CLUSTER 'name': CH's execute-on-every-node modifier. This engine
+    # is one process — the statement executes locally, and Distributed
+    # fan-out is governed by the Engine's clusters dict — so the clause
+    # drops out (same reasoning as the GLOBAL JOIN/IN rewrite).
+    s = re.sub(r"\sON\s+CLUSTER\s+'?\w+'?", "", s, flags=re.IGNORECASE)
     if not s:
         return None
 
@@ -788,7 +793,7 @@ def parse_ch_ddl(sql: str) -> dict | None:
 
     m = re.match(
         r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\((.*)\)\s*"
-        r"ENGINE\s*=\s*(MergeTree|ReplacingMergeTree|SummingMergeTree|CollapsingMergeTree|AggregatingMergeTree)\s*(?:\(([^)]*)\))?\s*(.*)$",
+        r"ENGINE\s*=\s*(MergeTree|ReplacingMergeTree|SummingMergeTree|CollapsingMergeTree|VersionedCollapsingMergeTree|AggregatingMergeTree)\s*(?:\(([^)]*)\))?\s*(.*)$",
         s,
         re.IGNORECASE | re.DOTALL,
     )

@@ -107,6 +107,43 @@ def _merge_collapse(df: DataFrame, handle: TableHandle, family: str) -> DataFram
             else:
                 aggs.append(F.min(f.name).alias(f.name))
         return df.groupBy(*keys).agg(*aggs).select(*df.columns)
+    if family == "VersionedCollapsingMergeTree":
+        # VersionedCollapsingMergeTree(sign, version): cancellation is
+        # version-scoped — a -1 cancels the +1 CARRYING THE SAME VERSION
+        # (insertion order never matters, CH's whole point for this
+        # family). Per (key, version) group: balanced signs vanish; among
+        # the surviving unbalanced versions the key keeps its MAX-version
+        # row with the balance's sign.
+        args = (handle.engine or {}).get("args") or []
+        if len(args) < 2:
+            raise NotImplementedError(
+                "VersionedCollapsingMergeTree needs (sign, version) arguments"
+            )
+        sign, version = args[0], args[1]
+        others_nc = [c for c in df.columns if c not in keys and c not in (sign, version)]
+        w = W.partitionBy(*keys, version, sign).orderBy(
+            *[F.col(c).desc() for c in others_nc] or [F.lit(1)]
+        )
+        ranked = df.withColumn("__rn", F.row_number().over(w))
+        balance = df.groupBy(*keys, version).agg(
+            F.sum(F.col(sign).cast("long")).alias("__bal")
+        )
+        survivors = (
+            ranked.join(balance, [*keys, version])
+            .filter(
+                (F.col("__bal") != 0)
+                & (F.col("__rn") == 1)
+                & (F.when(F.col("__bal") > 0, F.col(sign) > 0).otherwise(F.col(sign) < 0))
+            )
+            .drop("__rn", "__bal")
+        )
+        wv = W.partitionBy(*keys).orderBy(F.col(version).desc())
+        return (
+            survivors.withColumn("__rv", F.row_number().over(wv))
+            .filter(F.col("__rv") == 1)
+            .drop("__rv")
+            .select(*df.columns)
+        )
     if family == "CollapsingMergeTree":
         # CollapsingMergeTree(sign): rows with sign=+1 are "state", sign=-1
         # cancels a matching earlier state. Merge semantics for the

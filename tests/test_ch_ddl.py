@@ -1656,3 +1656,34 @@ def test_show_create_covers_new_families_and_evolution(spark, tmp_warehouse):
         "ENGINE = CollapsingMergeTree(sign) PARTITION BY toYYYYMMDDhh(event_time) ORDER BY k"
     )
     assert "ENGINE = CollapsingMergeTree(sign)" in engine.sql("SHOW CREATE TABLE cm").first()["statement"]
+
+
+def test_versioned_collapsing_mergetree_and_on_cluster(spark, tmp_warehouse):
+    """VersionedCollapsingMergeTree: cancellation is version-scoped — a -1
+    cancels the +1 with the SAME version regardless of arrival order (the
+    family's whole point); the max surviving version wins per key. ON
+    CLUSTER clauses drop (single-process engine; Distributed fan-out is
+    the clusters dict's job)."""
+    engine = Engine(spark, tmp_warehouse)
+    engine.sql(
+        "CREATE TABLE vc ON CLUSTER 'default' "
+        "(k UInt64, event_time DateTime, v Float64, sign Int8, ver UInt64) "
+        "ENGINE = VersionedCollapsingMergeTree(sign, ver) "
+        "PARTITION BY toYYYYMMDDhh(event_time) ORDER BY k"
+    )
+    t = "2026-01-01 07:00:00"
+    # k=1: v1 state cancelled, v2 state survives. k=2: cancel ARRIVES FIRST
+    # (separate earlier insert), state later — still cancels (version match,
+    # order-free). k=3: two live versions, max version (v2) wins.
+    engine.sql(f"INSERT INTO vc VALUES (2, '{t}', 9.0, -1, 1)")
+    engine.sql(
+        f"INSERT INTO vc VALUES (1, '{t}', 1.0, 1, 1), (1, '{t}', 1.0, -1, 1), "
+        f"(1, '{t}', 5.0, 1, 2), (2, '{t}', 9.0, 1, 1), "
+        f"(3, '{t}', 7.0, 1, 1), (3, '{t}', 8.0, 1, 2)"
+    )
+    rows = {r["k"]: (r["v"], r["ver"]) for r in engine.sql("SELECT * FROM vc FINAL").collect()}
+    assert rows == {1: (5.0, 2), 3: (8.0, 2)}
+    engine.optimize("vc")
+    assert {
+        r["k"]: (r["v"], r["ver"]) for r in engine.read_table("vc").collect()
+    } == rows
