@@ -262,3 +262,61 @@ def temperature_mix_rates(
         want = target_rows * weights[s] / z
         rates[s] = min(1.0, want / n)
     return rates
+
+
+def pack_token_sequences(
+    docs: DataFrame,
+    seq_len: int = 2048,
+    n_shards: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eos: str = "<|endoftext|>",
+) -> DataFrame:
+    """GPT-style sequence packing: concatenate documents (with an ``eos``
+    separator after each) and chunk the token stream into EXACTLY
+    ``seq_len``-token training sequences — the standard LM pretraining
+    layout where documents may straddle sequence boundaries.
+
+    Scale shape: packing is inherently sequential, so the corpus first
+    hash-partitions into ``n_shards`` deterministic shards (what real
+    pipelines do — packing is per output shard, never global) and the
+    running token positions come from a window partitioned BY SHARD: state
+    per task is one shard's stream, and shards scale horizontally. Inside
+    a shard, documents pack in ``id_col`` order, so (corpus, seq_len,
+    n_shards) fully determines every output sequence.
+
+    Returns (shard, seq_id, n_tokens, text): n_tokens == seq_len for every
+    sequence except each shard's last partial one. The eos markers make
+    the packing reversible (splitting on eos recovers document order).
+    """
+    from pyspark.sql import Window as W
+
+    shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).alias("shard")
+    toks = docs.select(
+        shard,
+        F.col(id_col),
+        F.concat(F.col(text_col), F.lit(" " + eos)).alias("__t"),
+    )
+    toks = toks.withColumn("__n", F.size(F.split(F.col("__t"), " ")))
+    w = W.partitionBy("shard").orderBy(id_col)
+    # end-exclusive running offset of each doc's token block within its shard
+    toks = toks.withColumn("__start", F.sum("__n").over(w) - F.col("__n"))
+    # one row per token, carrying its global in-shard position — explode is
+    # linear and the downstream chunk grouping is a plain hash aggregate
+    tok_rows = toks.select(
+        "shard",
+        F.posexplode(F.split(F.col("__t"), " ")).alias("__i", "tok"),
+        F.col("__start"),
+    ).select(
+        "shard",
+        (F.col("__start") + F.col("__i")).alias("pos"),
+        "tok",
+    )
+    return (
+        tok_rows.withColumn("seq_id", (F.col("pos") / F.lit(seq_len)).cast("long"))
+        .groupBy("shard", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.array_join(F.array_sort(F.collect_list(F.struct("pos", "tok"))).tok, " ").alias("text"),
+        )
+    )

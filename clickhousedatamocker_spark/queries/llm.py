@@ -771,3 +771,29 @@ def crossdoc_dup_span_profile(spark, sf_dir):
         .orderBy(F.desc("dup_fraction"), "doc_id")
         .limit(100)
     )
+
+
+# -------------------------------------------------------------------------
+@register(
+    "pack_token_sequences_profile",
+    None,  # rows-only (graded window full); hash-exact grading lives in
+    # tests/test_corpus_ops.py::test_pack_token_sequences_laws_and_duckdb
+    description="GPT-style sequence packing: per-shard doc concat + exact "
+    "seq_len-token chunking (docs straddle boundaries, eos separators). "
+    "Two shuffles (shard window, chunk agg), shards scale horizontally — "
+    "packing state is one shard's stream, never the corpus.",
+)
+def pack_token_sequences_profile(spark, sf_dir):
+    from clickhousedatamocker_spark.operators.corpus import pack_token_sequences
+
+    docs = t(spark, sf_dir, "documents")
+    return (
+        pack_token_sequences(docs, seq_len=512, n_shards=16)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_sequences"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.count_if(F.col("n_tokens") == 512).alias("n_full"),
+        )
+        .orderBy("shard")
+    )

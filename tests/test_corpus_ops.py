@@ -381,3 +381,68 @@ def test_fill_gaps_timestamp_grid_recipe(spark):
     assert got[3] == ("2026-01-01 03:00:00", 7)
     assert got[6] == ("2026-01-01 06:00:00", 2)
     assert all(n == 0 for h, n in got if h not in ("2026-01-01 00:00:00", "2026-01-01 03:00:00", "2026-01-01 06:00:00"))
+
+
+def test_pack_token_sequences_laws_and_duckdb(spark):
+    """Sequence packing laws: every sequence except each shard's last holds
+    exactly seq_len tokens; concatenating a shard's sequences in seq_id
+    order reproduces that shard's document token stream verbatim (packing
+    is lossless and order-preserving); and the whole layout matches a
+    DuckDB reimplementation exactly."""
+    import duckdb
+
+    from clickhousedatamocker_spark.operators.corpus import pack_token_sequences
+    from tests.conftest import SF_DIR
+
+    L, SHARDS = 32, 4
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(120).select("doc_id", "text")
+    packed = pack_token_sequences(docs, seq_len=L, n_shards=SHARDS).collect()
+
+    by_shard: dict[int, list] = {}
+    for r in packed:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(by_shard) <= set(range(SHARDS)) and by_shard
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r["seq_id"])
+        assert [r["seq_id"] for r in rows] == list(range(len(rows)))
+        for r in rows[:-1]:
+            assert r["n_tokens"] == L, f"shard {shard} seq {r['seq_id']}"
+        assert 1 <= rows[-1]["n_tokens"] <= L
+        # losslessness: sequences re-concatenate to the shard's doc stream
+        stream = " ".join(r["text"] for r in rows)
+        expect = " ".join(
+            row["text"] + " <|endoftext|>"
+            for row in sorted(
+                docs.withColumn(
+                    "shard", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(SHARDS))
+                ).filter(F.col("shard") == shard).collect(),
+                key=lambda r: r["doc_id"],
+            )
+        )
+        assert stream == expect, f"shard {shard} stream mismatch"
+
+    # cross-engine: DuckDB reimplementation (hash replaced by a modulo
+    # shard on doc_id ordinal is NOT equivalent, so feed Spark's shard
+    # assignment in and check the packing arithmetic itself)
+    con = duckdb.connect()
+    sharded = docs.withColumn("shard", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(SHARDS)))
+    con.register("sharded", sharded.toPandas())
+    want = con.execute(f"""
+        WITH toks AS (
+          SELECT shard, doc_id, string_split(text || ' <|endoftext|>', ' ') AS t
+          FROM sharded
+        ), offs AS (
+          SELECT shard, doc_id, t,
+                 SUM(len(t)) OVER (PARTITION BY shard ORDER BY doc_id) - len(t) AS start
+          FROM toks
+        ), tok_rows AS (
+          SELECT shard, start + u.i - 1 AS pos, t[u.i] AS tok
+          FROM offs, UNNEST(range(1, len(t) + 1)) AS u(i)
+        )
+        SELECT shard, CAST(pos // {L} AS BIGINT) AS seq_id, COUNT(*) AS n_tokens,
+               string_agg(tok, ' ' ORDER BY pos) AS text
+        FROM tok_rows GROUP BY shard, pos // {L}
+        ORDER BY shard, seq_id
+    """).fetchall()
+    got = sorted(((r["shard"], r["seq_id"], r["n_tokens"], r["text"]) for r in packed))
+    assert got == sorted(map(tuple, want))
