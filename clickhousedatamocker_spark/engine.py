@@ -57,6 +57,7 @@ class Engine:
         # so they always read the CURRENT table state (a captured temp-view
         # plan would pin the creation-time relation and go stale)
         self._views: dict[str, str] = {}
+        self._databases: set[str] = {database}
         self._query_log: list[tuple] = []
         self._query_log_version = 0
         self._query_log_registered_version = -1
@@ -610,6 +611,42 @@ class Engine:
             registry_lock=self._merges_lock,
         )
         return sched.start(self.spark, handle, interval_s=interval_s)
+
+    # -- backup / restore ---------------------------------------------------
+    def backup_table(self, table: str, dest: str) -> None:
+        """BACKUP TABLE t TO '<dir>': snapshot the table's data directory
+        (parts + the manifest log that travels inside it) and its catalog
+        meta. Pure file copy — no Spark job, no rewrite; the manifest makes
+        the snapshot self-describing."""
+        import shutil
+
+        name = self.catalog.resolve(table)
+        handle = self.catalog.get(name)
+        os.makedirs(dest, exist_ok=True)
+        # save() first so the copied manifest reflects in-memory state
+        self.parts.save(name, handle.path)
+        dst_data = os.path.join(dest, name)
+        if os.path.exists(dst_data):
+            raise ValueError(f"backup destination {dst_data!r} already exists")
+        shutil.copytree(handle.path, dst_data)
+        shutil.copy(self.catalog._meta_path(name), os.path.join(dest, f"{name}.meta.json"))
+
+    def restore_table(self, table: str, src: str) -> None:
+        """RESTORE TABLE t FROM '<dir>': reinstate a backup_table snapshot.
+        The table must not currently exist (drop it first to replace)."""
+        import shutil
+
+        if self.catalog.exists(table):
+            raise ValueError(f"table {table!r} exists — DROP it before RESTORE")
+        src_data = os.path.join(src, table)
+        src_meta = os.path.join(src, f"{table}.meta.json")
+        if not (os.path.isdir(src_data) and os.path.exists(src_meta)):
+            raise ValueError(f"no backup of {table!r} under {src!r}")
+        shutil.copytree(src_data, self.catalog.table_path(table))
+        shutil.copy(src_meta, self.catalog._meta_path(table))
+        self.parts.evict(table)  # force reload from the restored manifest
+        self._catalog_version += 1
+        self._registered_versions.pop(table, None)
 
     # -- schema evolution (ALTER ADD/DROP/MODIFY COLUMN) -------------------
     def _invalidate_reads(self, name: str) -> None:
@@ -1286,6 +1323,20 @@ class Engine:
                 return self.spark.createDataFrame(
                     [(1 if self.catalog.exists(ddl["name"]) else 0,)], "result int"
                 )
+            elif ddl["op"] == "create_database":
+                if ddl["name"] in self._databases and not ddl["if_not_exists"]:
+                    raise ValueError(f"database {ddl['name']!r} already exists")
+                self._databases.add(ddl["name"])
+            elif ddl["op"] == "drop_database":
+                if ddl["name"] == self.catalog.database:
+                    raise ValueError("cannot drop the active database")
+                if ddl["name"] not in self._databases and not ddl["if_exists"]:
+                    raise ValueError(f"no database {ddl['name']!r}")
+                self._databases.discard(ddl["name"])
+            elif ddl["op"] == "backup":
+                self.backup_table(ddl["name"], ddl["path"])
+            elif ddl["op"] == "restore":
+                self.restore_table(ddl["name"], ddl["path"])
             elif ddl["op"] == "add_column":
                 self.add_column(
                     ddl["name"], ddl["column"], ddl["type"], default=ddl.get("default"),

@@ -555,6 +555,24 @@ def parse_ch_ddl(sql: str) -> dict | None:
     if m:
         return {"op": "drop", "name": m.group(2), "if_exists": bool(m.group(1))}
 
+    # CREATE/DROP DATABASE: the engine hosts one warehouse; database names
+    # are recorded so a migrating user's setup scripts run, and qualified
+    # table references (db.table) already resolve by final segment
+    m = re.match(r"CREATE\s+DATABASE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s*;?\s*$", s, re.IGNORECASE)
+    if m:
+        return {"op": "create_database", "name": m.group(2), "if_not_exists": bool(m.group(1))}
+    m = re.match(r"DROP\s+DATABASE\s+(IF\s+EXISTS\s+)?(\w+)\s*;?\s*$", s, re.IGNORECASE)
+    if m:
+        return {"op": "drop_database", "name": m.group(2), "if_exists": bool(m.group(1))}
+
+    # BACKUP/RESTORE (simplified path form of CH's BACKUP TABLE ... TO ...)
+    m = re.match(r"BACKUP\s+TABLE\s+(\w+)\s+TO\s+'([^']+)'\s*;?\s*$", s, re.IGNORECASE)
+    if m:
+        return {"op": "backup", "name": m.group(1), "path": m.group(2)}
+    m = re.match(r"RESTORE\s+TABLE\s+(\w+)\s+FROM\s+'([^']+)'\s*;?\s*$", s, re.IGNORECASE)
+    if m:
+        return {"op": "restore", "name": m.group(1), "path": m.group(2)}
+
     m = re.match(
         r"CREATE\s+VIEW\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s+AS\s+(SELECT\b.*)$",
         s,

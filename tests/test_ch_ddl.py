@@ -1687,3 +1687,45 @@ def test_versioned_collapsing_mergetree_and_on_cluster(spark, tmp_warehouse):
     assert {
         r["k"]: (r["v"], r["ver"]) for r in engine.read_table("vc").collect()
     } == rows
+
+
+def test_create_database_backup_restore(spark, tmp_warehouse, tmp_path):
+    """CREATE DATABASE acceptance (migrating setup scripts run), and
+    BACKUP TABLE ... TO / DROP / RESTORE ... FROM round-trip: the snapshot
+    carries parts + manifest + catalog meta, and the restored table reads
+    identically with correct part accounting."""
+    engine = Engine(spark, tmp_warehouse)
+    engine.sql("CREATE DATABASE IF NOT EXISTS analytics")
+    engine.sql("CREATE DATABASE IF NOT EXISTS analytics")  # idempotent
+    with pytest.raises(ValueError, match="exists"):
+        engine.sql("CREATE DATABASE analytics")
+    with pytest.raises(ValueError, match="active"):
+        engine.sql("DROP DATABASE default")
+    engine.sql("DROP DATABASE analytics")
+
+    engine.sql(open(f"{REF}/create_local.sql").read())
+    from clickhousedatamocker_spark.sources.generator import BatchGenerator
+
+    gen = BatchGenerator(spark, seed=13, base_time="2026-01-01 12:00:00")
+    for i in range(2):
+        engine.insert("test_local", gen.batch_with_partition(500, batch_no=i))
+    before = sorted(map(str, engine.sql("SELECT * FROM test_local").collect()))
+    parts_before = engine.parts.active_parts_count(
+        "test_local", engine.catalog.get("test_local").path
+    )
+
+    bdir = str(tmp_path / "bk")
+    engine.sql(f"BACKUP TABLE test_local TO '{bdir}'")
+    with pytest.raises(ValueError, match="DROP it"):
+        engine.sql(f"RESTORE TABLE test_local FROM '{bdir}'")
+    engine.drop_table("test_local")
+    engine.sql(f"RESTORE TABLE test_local FROM '{bdir}'")
+    after = sorted(map(str, engine.sql("SELECT * FROM test_local").collect()))
+    assert after == before and len(after) == 1000
+    assert (
+        engine.parts.active_parts_count("test_local", engine.catalog.get("test_local").path)
+        == parts_before
+    )
+    # and the restored table keeps working: inserts + monitoring
+    engine.insert("test_local", gen.batch_with_partition(500, batch_no=9))
+    assert engine.sql("SELECT count(*) FROM test_local").first()[0] == 1500
