@@ -320,3 +320,47 @@ def pack_token_sequences(
             F.array_join(F.array_sort(F.collect_list(F.struct("pos", "tok"))).tok, " ").alias("text"),
         )
     )
+
+
+def split_corpus(
+    df: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row gets a ``split``
+    label by thresholding the same portable Lehmer sample key the
+    stratified sampler uses — so (corpus, fractions) fully determines the
+    split on ANY engine, run, or partitioning, and splits are disjoint and
+    exhaustive by construction (adjacent half-open intervals over [0, 1)).
+
+    Fractions must sum to 1 (±1e-9). Order of dict insertion fixes the
+    interval order, so adding a new split later only steals from the LAST
+    interval — earlier assignments never churn (the property that matters
+    when a corpus is versioned: yesterday's train doc stays train).
+    Zero shuffle: one derived column.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    key = _sample_key(F.col(id_col))
+    expr = None
+    upper = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        upper += fractions[name]
+        cond = key < F.lit(upper)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)
+
+
+def split_corpus_oracle_sql(fractions: dict[str, float], id_expr: str = "doc_id") -> str:
+    """DuckDB-dialect twin of :func:`split_corpus`'s label expression."""
+    key = sample_key_oracle_sql(id_expr)
+    names = list(fractions)
+    whens, upper = [], 0.0
+    for name in names[:-1]:
+        upper += fractions[name]
+        whens.append(f"WHEN {key} < {upper!r} THEN '{name}'")
+    return "CASE " + " ".join(whens) + f" ELSE '{names[-1]}' END"

@@ -386,3 +386,43 @@ def cross_doc_dup_stats(
             (F.col("shared_grams") / F.col("total_grams")).cast("double"),
         )
     )
+
+
+def corpus_quality_gate(
+    docs,
+    text_col: str = "text",
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    min_quality: float = 0.3,
+    require_english: bool = True,
+    max_dup_token_fraction: float = 0.5,
+    max_top_bigram_fraction: float = 0.3,
+) -> "DataFrame":
+    """One-pass corpus admission gate composing the quality vocabulary
+    above (length bounds, heuristic quality score, language ID, Gopher
+    repetition signals) into ``keep``/``reject_reasons`` columns — the
+    single entry point a filtering pipeline wants, with the WHY preserved
+    per document (reasons, not just a boolean, is what makes threshold
+    tuning and ablations possible downstream).
+
+    Pure column expressions end to end: zero shuffle, zero Python — at
+    100 TB this is a map-only scan that AQE never has to think about.
+    """
+    tk = tokens(text_col)
+    n = token_count(text_col)
+    checks = [
+        (n < F.lit(min_tokens), "too_short"),
+        (n > F.lit(max_tokens), "too_long"),
+        (quality_score(text_col) < F.lit(min_quality), "low_quality"),
+        (dup_token_fraction(text_col) > F.lit(max_dup_token_fraction), "repetitive_tokens"),
+        (top_bigram_fraction(tk) > F.lit(max_top_bigram_fraction), "repetitive_bigrams"),
+    ]
+    if require_english:
+        checks.append((langid_en(text_col) != F.lit("en"), "not_english"))
+    reasons = F.filter(
+        F.array(*[F.when(cond, F.lit(label)).otherwise(F.lit(None)) for cond, label in checks]),
+        lambda x: x.isNotNull(),
+    )
+    return docs.withColumn("reject_reasons", reasons).withColumn(
+        "keep", F.size("reject_reasons") == 0
+    )

@@ -446,3 +446,51 @@ def test_pack_token_sequences_laws_and_duckdb(spark):
     """).fetchall()
     got = sorted(((r["shard"], r["seq_id"], r["n_tokens"], r["text"]) for r in packed))
     assert got == sorted(map(tuple, want))
+
+
+def test_split_corpus_deterministic_and_matches_duckdb(spark):
+    """split_corpus laws: disjoint+exhaustive (every doc gets exactly one
+    label), engine-portable (exact id-level parity with the DuckDB twin),
+    stable under re-partitioning, and fraction-accurate at corpus size."""
+    import duckdb
+
+    from clickhousedatamocker_spark.operators.corpus import (
+        split_corpus,
+        split_corpus_oracle_sql,
+    )
+    from tests.conftest import SF_DIR
+
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id")
+    got = {r["doc_id"]: r["split"] for r in split_corpus(docs, fr).collect()}
+    n = len(got)
+    assert n == docs.count()  # exhaustive, one label each
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW docs AS SELECT doc_id FROM '{SF_DIR}/documents.parquet'"
+    )
+    want = dict(
+        con.execute(
+            f"SELECT doc_id, {split_corpus_oracle_sql(fr)} AS s FROM docs"
+        ).fetchall()
+    )
+    assert got == want  # exact cross-engine id-level parity
+
+    # partitioning independence: same labels after an adversarial shuffle
+    re_got = {
+        r["doc_id"]: r["split"]
+        for r in split_corpus(docs.repartition(17), fr).collect()
+    }
+    assert re_got == got
+
+    # fraction accuracy (hash uniformity): within 3 sigma at corpus size
+    from collections import Counter
+
+    counts = Counter(got.values())
+    for name, f in fr.items():
+        sigma = (n * f * (1 - f)) ** 0.5
+        assert abs(counts[name] - n * f) < 4 * sigma, (name, counts[name], n * f)
+
+    with __import__("pytest").raises(ValueError, match="sum to 1"):
+        split_corpus(docs, {"a": 0.5})

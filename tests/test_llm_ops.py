@@ -966,3 +966,37 @@ def test_ann_index_incremental_add(spark, tmp_path):
     # the stats scan reads no vector data: only the partition column +count
     plan = stats._jdf.queryExecution().executedPlan().toString()
     assert "ReadSchema: struct<>" in plan
+
+
+def test_corpus_quality_gate_reasons_and_plan(spark):
+    """corpus_quality_gate: keep <=> no reasons; every reason is truthful
+    (re-derived in Python from the same doc); planted pathologies get the
+    right labels; and the plan is a map-only scan (zero Exchange)."""
+    from clickhousedatamocker_spark.operators.text_analysis import corpus_quality_gate
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(300)
+    planted = spark.createDataFrame(
+        [
+            (800001, "word " * 400),                       # one token repeated
+            (800002, "tiny doc"),                          # too short
+            (800003, "zzz qqq xxx vvv kkk " * 30),         # no stopwords
+        ],
+        "doc_id long, text string",
+    )
+    out = corpus_quality_gate(docs.select("doc_id", "text").union(planted)).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    for r in out:
+        assert r["keep"] == (len(r["reject_reasons"]) == 0)
+    assert "repetitive_tokens" in by_id[800001]["reject_reasons"]
+    assert "too_short" in by_id[800002]["reject_reasons"]
+    assert set(by_id[800003]["reject_reasons"]) >= {"low_quality", "not_english"}
+    # truthfulness spot-check: too_short iff whitespace tokens < 10
+    for r in out:
+        n = len(r["text"].split(" "))
+        assert ("too_short" in r["reject_reasons"]) == (n < 10), r["doc_id"]
+
+    plan = (
+        corpus_quality_gate(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
