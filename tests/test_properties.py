@@ -76,3 +76,57 @@ def test_generator_deterministic_under_repartitioning(spark, seed):
     a = gen.batch(500, num_partitions=1).orderBy("id").collect()
     b = gen.batch(500, num_partitions=7).orderBy("id").collect()
     assert a == b
+
+
+def test_parametric_rewriter_properties():
+    """Property tests for the balanced-paren fixpoint rewriter: every
+    output balances parens, contains no remaining parametric spelling,
+    and is stable (rewriting twice == once). String literals with parens/
+    commas and arbitrary nesting must never derail the scan."""
+    from hypothesis import given, settings, strategies as st
+
+    from clickhousedatamocker_spark.functions.compat import translate_ch_sql as tr
+
+    names = st.sampled_from(["x", "y", "col1", "nums"])
+    lits = st.sampled_from(["'(a,b'", "'))('", "1", "2.5", "'plain'"])
+
+    def exprs(depth):
+        if depth == 0:
+            return st.one_of(names, lits)
+        sub = exprs(depth - 1)
+        return st.one_of(
+            names,
+            lits,
+            st.builds(lambda a, b: f"if({a} > 0, {b}, 0)", sub, sub),
+            st.builds(lambda f, a: f"arrayMap(x -> {f}, {a})", sub, names),
+            st.builds(lambda c, v, e: f"multiIf({c} > 1, {v}, {e})", sub, sub, sub),
+            st.builds(lambda f, a: f"arrayFilter(x -> {f} > 0, {a})", sub, names),
+        )
+
+    def balanced(s: str) -> bool:
+        depth, quote = 0, None
+        for ch in s:
+            if quote:
+                if ch == quote:
+                    quote = None
+            elif ch in "'\"":
+                quote = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth < 0:
+                    return False
+        return depth == 0 and quote is None
+
+    @given(exprs(3))
+    @settings(max_examples=200, deadline=None)
+    def check(e):
+        out = tr(f"SELECT {e} FROM t")
+        assert balanced(out), out
+        low = out.lower()
+        for spelled in ("arraymap(", "arrayfilter(", "multiif("):
+            assert spelled not in low, out
+        assert tr(out) == out  # idempotent fixpoint
+
+    check()
