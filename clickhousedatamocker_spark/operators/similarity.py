@@ -816,3 +816,132 @@ def ann_index_stats(spark, path: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_vectors"))
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic deduplication (Abbas et al. 2023, arXiv:2303.09540)
+
+
+def _with_centroid_sim(
+    df: DataFrame,
+    vec_col: str,
+    cid_col: str,
+    centroids: list[list[float]],
+    out_col: str,
+) -> DataFrame:
+    """Add ``out_col`` = cosine similarity of each row's vector to its
+    ASSIGNED centroid (``cid_col``). Small-k path: one element_at into the
+    literal codebook (all-JVM). Large-k path: Arrow mapInPandas against the
+    broadcast numpy codebook — same auto-selection threshold as assignment,
+    so plan size stays O(1) in k either way. Row-local, zero shuffle."""
+    if len(centroids) <= _LITERAL_CODEBOOK_MAX:
+        cv = F.element_at(_centroid_array(centroids), F.col(cid_col) + 1)["cv"]
+        return df.withColumn(out_col, cosine(F.col(vec_col), cv))
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(df.schema.fields + [T.StructField(out_col, T.DoubleType())])
+    bc = df.sparkSession.sparkContext.broadcast(np.asarray(centroids, dtype=np.float64))
+
+    def score(batches):
+        C = bc.value
+        cnorm = np.sqrt((C * C).sum(axis=1))
+        for pdf in batches:
+            pdf = pdf.copy()
+            if len(pdf) == 0:
+                pdf[out_col] = pd.Series([], dtype=float)
+                yield pdf
+                continue
+            V = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            cids = pdf[cid_col].to_numpy(dtype=np.int64)
+            Cv = C[cids]
+            num = (V * Cv).sum(axis=1)
+            den = np.sqrt((V * V).sum(axis=1)) * cnorm[cids]
+            pdf[out_col] = num / den
+            yield pdf
+
+    return df.mapInPandas(score, out_schema)
+
+
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    centroids: list[list[float]] | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Intra-cluster semantic near-duplicate pairs: k-means-cluster the
+    embeddings, then exact cosine WITHIN each cluster only →
+    ``(id_a, id_b, cid, cosine)`` for pairs ≥ ``threshold``.
+
+    This is SemDeDup's blocking step: the quadratic pair generation is
+    bounded per cluster (expected cluster size n/k — at 100 TB you scale
+    ``n_centroids`` with the corpus so clusters stay ~10⁴-10⁵ rows, and
+    train on a hash sample via ``ivf_train(train_sample_mod=...)``).
+    Cross-cluster near-dups are missed by design — the paper's recall
+    trade. Shuffles: ONE exchange on cid for the self-join (assignment
+    itself is row-local); the join is a hash equi-join, never cartesian.
+    """
+    if centroids is None:
+        centroids = ivf_train(corpus, id_col, vec_col, n_centroids, seed=seed)
+    e = with_nearest_cid(
+        corpus.select(F.col(id_col), as_double(vec_col).alias("v")), "v", centroids, "cid"
+    )
+    a = e.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), "cid")
+    b = e.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "cid")
+    return (
+        a.join(b, ["cid"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine(F.col("va"), F.col("vb")), 9))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cid", "cosine")
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    centroids: list[list[float]] | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): drop semantic near-duplicates, keeping
+    per duplicate-group the example LEAST similar to its cluster centroid
+    (the paper's keep rule — retains the 'edge' example, prunes the
+    redundant prototypical ones). Returns the surviving rows of ``corpus``
+    with all original columns.
+
+    Pipeline: cluster → intra-cluster pairs ≥ threshold
+    (:func:`semantic_dedup_pairs`) → connected components over the dup
+    edges (checkpointed min-label propagation, diameter-bounded) → one
+    keeper per component by (centroid_sim ASC, id ASC) — deterministic →
+    anti-join the losers. Docs with no above-threshold neighbor are
+    untouched. All stages are equi-joins / bounded windows over EDGE-sized
+    data, never corpus-quadratic: at 100 TB the pair list is the near-dup
+    mass, orders of magnitude below the corpus.
+    """
+    from clickhousedatamocker_spark.operators.dedup import connected_components
+
+    if centroids is None:
+        centroids = ivf_train(corpus, id_col, vec_col, n_centroids, seed=seed)
+    pairs = semantic_dedup_pairs(corpus, id_col, vec_col, threshold, n_centroids, centroids, seed)
+    comp = connected_components(pairs)  # (node, component) — members of dup groups only
+    # centroid similarity for group members only (semi-join keeps it edge-sized)
+    members = corpus.select(F.col(id_col), as_double(vec_col).alias("__v")).join(
+        comp.select(F.col("node").alias(id_col), "component"), id_col
+    )
+    members = _with_centroid_sim(
+        with_nearest_cid(members, "__v", centroids, "__cid"), "__v", "__cid", centroids, "__csim"
+    )
+    w = Window.partitionBy("component").orderBy(F.col("__csim").asc(), F.col(id_col).asc())
+    losers = (
+        members.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") > 1)
+        .select(id_col)
+    )
+    return corpus.join(losers, id_col, "left_anti")

@@ -797,3 +797,61 @@ def pack_token_sequences_profile(spark, sf_dir):
         )
         .orderBy("shard")
     )
+
+
+# -------------------------------------------------------------------------
+@register(
+    "dedup_semantic_profile",
+    None,  # rows-only (graded window full); hash-exact grading lives in
+    # tests/test_semantic_dedup.py (full numpy reference of the same rule,
+    # shared codebook, edge-set + survivor-set equality)
+    description="SemDeDup (Abbas et al. 2023) semantic dedup profile: "
+    "k-means-cluster the embeddings (deterministic ivf_train codebook), "
+    "intra-cluster exact-cosine pairs >= threshold, connected components, "
+    "keep per group the example LEAST similar to its centroid. Per-cluster "
+    "report: vectors, dup pairs, dropped. The quadratic is bounded per "
+    "cluster (n_centroids scales with the corpus at 100 TB); assignment "
+    "is row-local (literal codebook at small k, Arrow broadcast at large "
+    "k) and the blocking join is a hash equi-join on cid.",
+)
+def dedup_semantic_profile(spark, sf_dir):
+    from clickhousedatamocker_spark.operators.similarity import (
+        as_double,
+        ivf_train,
+        semantic_dedup,
+        semantic_dedup_pairs,
+        with_nearest_cid,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    cb = ivf_train(emb, n_centroids=8, n_iters=2, seed=42)
+    assigned = with_nearest_cid(
+        emb.select("vec_id", as_double("embedding").alias("__v")), "__v", cb, "cid"
+    ).select("vec_id", "cid")
+    pairs = semantic_dedup_pairs(emb, threshold=0.5, centroids=cb)
+    dropped = emb.select("vec_id").join(
+        semantic_dedup(emb, threshold=0.5, centroids=cb).select("vec_id"),
+        "vec_id",
+        "left_anti",
+    )
+    per_cluster = assigned.join(
+        dropped.withColumn("__d", F.lit(1)), "vec_id", "left"
+    ).groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.count("__d").alias("n_dropped"),
+    )
+    pair_stats = pairs.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_dup_pairs"),
+        F.round(F.max("cosine"), 6).alias("max_cosine"),
+    )
+    return (
+        per_cluster.join(pair_stats, "cid", "left")
+        .select(
+            "cid",
+            "n_vectors",
+            F.coalesce("n_dup_pairs", F.lit(0)).alias("n_dup_pairs"),
+            "n_dropped",
+            F.coalesce("max_cosine", F.lit(0.0)).alias("max_cosine"),
+        )
+        .orderBy("cid")
+    )

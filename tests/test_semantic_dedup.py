@@ -1,0 +1,147 @@
+"""SemDeDup (Abbas et al. 2023) — semantic dedup over embeddings.
+
+Verification strategy: a planted-cluster fixture plus a full pure-numpy
+reference implementation of the SAME pipeline (k-means codebook passed to
+both, so the test isolates the Spark dedup logic, not k-means). Plan tests
+pin the blocking join as a hash equi-join (never cartesian) and the Arrow
+large-k centroid-sim path against the literal small-k path.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhousedatamocker_spark.operators import similarity as S
+
+
+def _mk_corpus(spark):
+    """3 well-separated direction clusters in 6-dim; cluster 0 carries a
+    planted near-dup triple (ids 0,1,2) and two distinct members (3,4)."""
+    base = {
+        "a": [10.0, 0.2, 0.1, 0.0, 0.1, 0.0],
+        "b": [0.1, 10.0, 0.0, 0.3, 0.0, 0.1],
+        "c": [0.0, 0.1, 10.0, 0.0, 0.2, 0.0],
+    }
+
+    def jitter(v, eps, s):
+        return [x + eps * math.sin(7.0 * s + 3.0 * i) for i, x in enumerate(v)]
+
+    rows = [
+        (0, jitter(base["a"], 0.01, 1)),  # near-dup triple
+        (1, jitter(base["a"], 0.01, 2)),
+        (2, jitter(base["a"], 0.01, 3)),
+        (3, jitter([10.0, 5.0, 0.1, 0.0, 0.1, 0.0], 0.0, 0)),  # distinct, same cluster
+        (4, jitter([10.0, 0.2, 5.0, 0.0, 0.1, 0.0], 0.0, 0)),
+        (5, jitter(base["b"], 0.01, 4)),  # near-dup pair in cluster b
+        (6, jitter(base["b"], 0.01, 5)),
+        (7, jitter([0.1, 10.0, 0.0, 5.0, 0.0, 0.1], 0.0, 0)),
+        (8, jitter(base["c"], 0.0, 0)),  # singleton cluster member
+        (9, jitter([0.0, 4.0, 10.0, 0.0, 0.2, 0.0], 0.0, 0)),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _np_semantic_dedup(rows, centroids, threshold):
+    """Pure-numpy reference of the exact SemDeDup rule: nearest-centroid
+    assignment (squared L2, cid tiebreak), intra-cluster cosine pairs >=
+    threshold, connected components, keep argmin(centroid_sim, id)."""
+    import numpy as np
+
+    ids = [r[0] for r in rows]
+    V = np.asarray([r[1] for r in rows], dtype=np.float64)
+    C = np.asarray(centroids, dtype=np.float64)
+    d2 = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    cid = d2.argmin(axis=1)
+
+    def cos(a, b):
+        return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    # union-find over above-threshold intra-cluster pairs
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    edges = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if cid[i] == cid[j] and round(cos(V[i], V[j]), 9) >= threshold:
+                edges.append((ids[i], ids[j]))
+                ri, rj = find(ids[i]), find(ids[j])
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+    groups = {}
+    in_group = {a for e in edges for a in e}
+    for x in in_group:
+        groups.setdefault(find(x), []).append(x)
+    keep = set(ids)
+    for members in groups.values():
+        csim = {
+            x: cos(V[ids.index(x)], C[cid[ids.index(x)]]) for x in members
+        }
+        keeper = min(members, key=lambda x: (csim[x], x))
+        keep -= {x for x in members if x != keeper}
+    return keep, edges
+
+
+def test_semantic_dedup_matches_numpy_reference(spark):
+    corpus = _mk_corpus(spark)
+    centroids = S.ivf_train(corpus, n_centroids=3, n_iters=2, seed=7)
+    rows = [(r["vec_id"], list(r["embedding"])) for r in corpus.collect()]
+    want_keep, want_edges = _np_semantic_dedup(rows, centroids, threshold=0.95)
+    # the fixture must actually exercise dedup: two planted groups
+    assert len(want_keep) <= len(rows) - 3
+
+    got_pairs = S.semantic_dedup_pairs(corpus, threshold=0.95, centroids=centroids)
+    got_edges = {(r["id_a"], r["id_b"]) for r in got_pairs.collect()}
+    assert got_edges == set(want_edges)
+
+    survivors = S.semantic_dedup(corpus, threshold=0.95, centroids=centroids)
+    got_keep = {r["vec_id"] for r in survivors.collect()}
+    assert got_keep == want_keep
+    # all original columns survive
+    assert survivors.columns == corpus.columns
+
+
+def test_semantic_dedup_high_threshold_is_identity(spark):
+    corpus = _mk_corpus(spark)
+    centroids = S.ivf_train(corpus, n_centroids=3, n_iters=2, seed=7)
+    survivors = S.semantic_dedup(corpus, threshold=1.1, centroids=centroids)
+    assert survivors.count() == corpus.count()
+
+
+def test_semantic_dedup_pairs_plan_is_hash_equijoin(spark):
+    corpus = _mk_corpus(spark)
+    centroids = S.ivf_train(corpus, n_centroids=3, n_iters=2, seed=7)
+    plan = (
+        S.semantic_dedup_pairs(corpus, threshold=0.95, centroids=centroids)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_centroid_sim_arrow_path_matches_literal(spark, monkeypatch):
+    corpus = _mk_corpus(spark)
+    centroids = S.ivf_train(corpus, n_centroids=3, n_iters=2, seed=7)
+    e = S.with_nearest_cid(
+        corpus.select("vec_id", S.as_double("embedding").alias("v")), "v", centroids, "cid"
+    )
+    lit = {
+        r["vec_id"]: r["s"]
+        for r in S._with_centroid_sim(e, "v", "cid", centroids, "s").collect()
+    }
+    monkeypatch.setattr(S, "_LITERAL_CODEBOOK_MAX", 0)
+    arrow = {
+        r["vec_id"]: r["s"]
+        for r in S._with_centroid_sim(e, "v", "cid", centroids, "s").collect()
+    }
+    assert lit.keys() == arrow.keys()
+    for k in lit:
+        assert lit[k] == pytest.approx(arrow[k], abs=1e-12)
