@@ -890,6 +890,99 @@ class Engine:
 
         return pat.sub(sub, query)
 
+    def _rewrite_file_reads(self, query: str) -> str:
+        """``file('path'[, 'Format'[, 'structure']])`` — CH's local-file
+        table function. The FORMAT defaults from the extension (.parquet /
+        .tsv / .csv / .jsonl); ``structure`` is a CH column list ('id
+        UInt64, name String'). Parquet is self-describing; every other
+        format REQUIRES the structure — this engine never runs an inference
+        pass (scale discipline: schema inference is a full extra read)."""
+        import re as _re
+
+        pat = _re.compile(
+            r"\bfile\(\s*'([^']+)'\s*(?:,\s*'([^']+)'\s*)?(?:,\s*'([^']+)'\s*)?\)",
+            _re.IGNORECASE,
+        )
+        if not pat.search(query):
+            return query
+        from clickhousedatamocker_spark.functions.compat import _split_top, parse_ch_type
+        from clickhousedatamocker_spark.sources.formats import read_format
+        from pyspark.sql import types as _T
+
+        _EXT_FMT = {
+            ".parquet": "Parquet",
+            ".tsv": "TabSeparated",
+            ".csv": "CSV",
+            ".json": "JSONEachRow",
+            ".jsonl": "JSONEachRow",
+        }
+        counter = [0]
+
+        def sub(m: "_re.Match[str]") -> str:
+            path, fmt, structure = m.group(1), m.group(2), m.group(3)
+            if fmt is None:
+                ext = os.path.splitext(path)[1].lower()
+                if ext not in _EXT_FMT:
+                    raise ValueError(
+                        f"file({path!r}): cannot infer FORMAT from extension {ext!r}; "
+                        "pass it explicitly (e.g. file('x.bin', 'TabSeparated', ...))"
+                    )
+                fmt = _EXT_FMT[ext]
+            if structure is not None:
+                fields = []
+                for colspec in _split_top(structure):
+                    cname, _, ctype = colspec.strip().partition(" ")
+                    dtype, nullable = parse_ch_type(ctype.strip())
+                    fields.append(_T.StructField(cname, dtype, nullable))
+                df = read_format(self.spark, path, fmt, _T.StructType(fields))
+            elif fmt == "Parquet":
+                df = self.spark.read.parquet(path)
+            else:
+                raise ValueError(
+                    f"file({path!r}, {fmt!r}) needs the structure argument — "
+                    "only Parquet is self-describing and this engine never "
+                    "runs a schema-inference pass"
+                )
+            view = f"__file_{counter[0]}"
+            counter[0] += 1
+            df.createOrReplaceTempView(view)
+            return view
+
+        return pat.sub(sub, query)
+
+    def _rewrite_merge_reads(self, query: str) -> str:
+        """``merge(['db',] 'regex')`` — CH's multi-table union function:
+        reads every catalog table whose name matches the regex as one
+        relation, adding CH's ``_table`` virtual column. The union is by
+        name over the CURRENT table set, re-resolved per statement — a
+        later CREATE TABLE joins the next read automatically, like CH."""
+        import re as _re
+
+        pat = _re.compile(r"\bmerge\(\s*(?:'([^']*)'\s*,\s*)?'([^']+)'\s*\)", _re.IGNORECASE)
+        if not pat.search(query):
+            return query
+        import pyspark.sql.functions as _F
+
+        counter = [0]
+
+        def sub(m: "_re.Match[str]") -> str:
+            regex = _re.compile(m.group(2))
+            names = [t for t in self.catalog.list_tables() if regex.search(t)]
+            if not names:
+                raise ValueError(f"merge({m.group(2)!r}): no catalog table matches")
+            parts = [
+                self.read_table(n).withColumn("_table", _F.lit(n)) for n in names
+            ]
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+            view = f"__merge_{counter[0]}"
+            counter[0] += 1
+            df.createOrReplaceTempView(view)
+            return view
+
+        return pat.sub(sub, query)
+
     def _rewrite_sample_reads(self, query: str) -> str:
         """``FROM <table> SAMPLE <fraction>`` — CH's deterministic sampling
         clause, keyed on the table's SAMPLE BY column: the same rows are
@@ -1015,8 +1108,12 @@ class Engine:
         )
         if mex is not None:
             mode = (mex.group(1) or "PLAN").upper()
-            inner = self._rewrite_generate_random(
-                self._rewrite_final_reads(self._rewrite_sample_reads(mex.group(2)))
+            inner = self._rewrite_file_reads(
+                self._rewrite_merge_reads(
+                    self._rewrite_generate_random(
+                        self._rewrite_final_reads(self._rewrite_sample_reads(mex.group(2)))
+                    )
+                )
             )
             translated = translate_ch_sql(inner)
             if mode == "SYNTAX":
@@ -1106,14 +1203,25 @@ class Engine:
             from clickhousedatamocker_spark.sources.formats import write_format
 
             self.refresh_system_views()
-            df = self.spark.sql(translate_ch_sql(query[: mfmt.start()]))
+            inner = self._rewrite_file_reads(
+                self._rewrite_merge_reads(
+                    self._rewrite_generate_random(
+                        self._rewrite_final_reads(self._rewrite_sample_reads(query[: mfmt.start()]))
+                    )
+                )
+            )
+            df = self.spark.sql(translate_ch_sql(inner))
             out = mfmt.group(1) or data
             if out is not None:
                 write_format(df, out, mfmt.group(2))
             return df
 
-        query = self._rewrite_generate_random(
-            self._rewrite_final_reads(self._rewrite_sample_reads(query))
+        query = self._rewrite_file_reads(
+            self._rewrite_merge_reads(
+                self._rewrite_generate_random(
+                    self._rewrite_final_reads(self._rewrite_sample_reads(query))
+                )
+            )
         )
 
         # ORDER BY <col> WITH FILL [FROM f] [TO t] [STEP s] — CH's grid

@@ -360,7 +360,210 @@ def _rewrite_parametric(sql: str) -> str:
     raise NotImplementedError("parametric rewrite did not converge in 64 passes")
 
 
+def _sub_ident(sql: str, name: str, repl: str) -> str:
+    """Word-boundary substitution of a bare identifier, skipping single-quoted
+    string literals, qualified references (``t.name``), and alias positions
+    (``AS name`` — an output-column alias is a name, not an expression)."""
+    pat = re.compile(rf"\b{re.escape(name)}\b")
+    segs = re.split(r"('(?:[^'\\]|\\.)*')", sql)
+
+    def sub_one(seg: str) -> str:
+        def f(m: re.Match) -> str:
+            before = seg[: m.start()]
+            if before.rstrip().endswith("."):
+                return m.group(0)
+            tail = before.rstrip().rsplit(None, 1)
+            if tail and tail[-1].upper() == "AS":
+                return m.group(0)
+            return repl
+
+        return pat.sub(f, seg)
+
+    return "".join(s if i % 2 else sub_one(s) for i, s in enumerate(segs))
+
+
+def _rsplit_top_as(item: str) -> tuple[str, str | None]:
+    """Split ``expr AS alias`` at the LAST top-level ``AS`` whose right side
+    is a bare identifier; returns (item, None) when there is no such AS."""
+    depth, quote = 0, None
+    positions = []
+    i = 0
+    while i < len(item):
+        c = item[i]
+        if quote:
+            if c == quote:
+                quote = None
+        elif c in "'\"":
+            quote = c
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and item[i : i + 2].upper() == "AS":
+            prev_ok = i == 0 or not (item[i - 1].isalnum() or item[i - 1] == "_")
+            nxt = i + 2
+            next_ok = nxt >= len(item) or not (item[nxt].isalnum() or item[nxt] == "_")
+            if prev_ok and next_ok:
+                positions.append(i)
+        i += 1
+    for p in reversed(positions):
+        left, right = item[:p].strip(), item[p + 2 :].strip()
+        if left and re.fullmatch(r"\w+", right):
+            return left, right
+    return item, None
+
+
+_ARRAY_JOIN_RE = re.compile(r"\b(LEFT\s+)?ARRAY\s+JOIN\s+", re.IGNORECASE)
+_AJ_STOP = re.compile(
+    r"(WHERE|GROUP|HAVING|ORDER|LIMIT|SETTINGS|UNION|INNER|LEFT|RIGHT|FULL|"
+    r"CROSS|JOIN|FORMAT|INTO)\b",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_array_join(sql: str) -> str:
+    """ClickHouse's ``[LEFT] ARRAY JOIN <expr> [AS alias][, ...]`` clause →
+    Spark ``LATERAL VIEW [OUTER] explode/inline``.
+
+    - single array → ``LATERAL VIEW explode(expr) AS alias``
+    - several arrays (CH zips them) → ``LATERAL VIEW inline(arrays_zip(...))``
+      with positional aliases. Deviation: CH throws on unequal lengths,
+      ``arrays_zip`` NULL-pads the shorter — documented, not detected.
+    - LEFT → the OUTER modifier (empty arrays keep the row, element NULL).
+    - unaliased bare column (``ARRAY JOIN arr``): CH rebinds the NAME to the
+      element, so references elsewhere in the statement are rewritten to a
+      generated element alias (strings / qualified / alias positions kept).
+    """
+    def find_outside_strings(s: str) -> re.Match | None:
+        pos = 0
+        while True:
+            m = _ARRAY_JOIN_RE.search(s, pos)
+            if m is None:
+                return None
+            quote = None
+            for c in s[: m.start()]:
+                if quote:
+                    if c == quote:
+                        quote = None
+                elif c in "'\"":
+                    quote = c
+            if quote is None:
+                return m
+            pos = m.end()
+
+    counter = 0
+    while True:
+        m = find_outside_strings(sql)
+        if m is None:
+            return sql
+        depth, quote, i, stop = 0, None, m.end(), len(sql)
+        while i < len(sql):
+            c = sql[i]
+            if quote:
+                if c == quote:
+                    quote = None
+            elif c in "'\"":
+                quote = c
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                if depth == 0:
+                    stop = i
+                    break
+                depth -= 1
+            elif depth == 0 and (c.isalpha() or c == "_"):
+                if _AJ_STOP.match(sql, i):
+                    stop = i
+                    break
+                while i < len(sql) and (sql[i].isalnum() or sql[i] == "_"):
+                    i += 1
+                continue
+            i += 1
+        else:
+            stop = len(sql)
+        outer = "OUTER " if m.group(1) else ""
+        exprs, aliases, subs = [], [], {}
+        for item in _split_top(sql[m.end() : stop]):
+            expr, alias = _rsplit_top_as(item)
+            if alias is None:
+                if not re.fullmatch(r"\w+", expr.strip()):
+                    raise NotImplementedError(
+                        f"ARRAY JOIN item {item!r} needs an AS alias (only a bare "
+                        "column name can be auto-aliased, CH rebinding semantics)"
+                    )
+                name = expr.strip()
+                # rebind via the QUALIFIED generated-view reference: the
+                # output column keeps the CH name (`__aj0.arr` selects as
+                # `arr`) and unqualified ambiguity with the base column
+                # never arises
+                alias = name
+                subs[name] = f"__aj{counter}.{name}"
+            exprs.append(expr)
+            aliases.append(alias)
+        if len(exprs) == 1:
+            lateral = f"LATERAL VIEW {outer}explode({exprs[0]}) __aj{counter} AS {aliases[0]}"
+        else:
+            lateral = (
+                f"LATERAL VIEW {outer}inline(arrays_zip({', '.join(exprs)})) "
+                f"__aj{counter} AS {', '.join(aliases)}"
+            )
+        pre, post = sql[: m.start()], sql[stop:]
+        for name, alias in subs.items():
+            pre = _sub_ident(pre, name, alias)
+            post = _sub_ident(post, name, alias)
+        sql = f"{pre}{lateral} {post}"
+        counter += 1
+
+
+def _rewrite_scalar_with(sql: str) -> str:
+    """ClickHouse's scalar WITH form — ``WITH <expr> AS <name>[, ...]
+    SELECT ...`` — inlines ``(expr)`` at every expression use of ``name``.
+    The CTE form (``WITH name AS (subquery)``) is Spark-native and passes
+    through untouched; any item that doesn't parse as ``expr AS bare_ident``
+    leaves the whole statement unchanged."""
+    m = re.match(r"^\s*WITH\b", sql, re.IGNORECASE)
+    if m is None:
+        return sql
+    depth, quote, i, sel = 0, None, m.end(), -1
+    while i < len(sql):
+        c = sql[i]
+        if quote:
+            if c == quote:
+                quote = None
+        elif c in "'\"":
+            quote = c
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and (c.isalpha() or c == "_"):
+            if re.match(r"SELECT\b", sql[i:], re.IGNORECASE):
+                sel = i
+                break
+            while i < len(sql) and (sql[i].isalnum() or sql[i] == "_"):
+                i += 1
+            continue
+        i += 1
+    if sel < 0:
+        return sql
+    subs: list[tuple[str, str]] = []
+    for item in _split_top(sql[m.end() : sel]):
+        expr, name = _rsplit_top_as(item)
+        if name is None or re.fullmatch(r"\w+", expr.strip()) and expr.strip() == name:
+            return sql
+        # CTE items (`name AS (subquery)`) never reach here: their right
+        # side is parenthesized, so _rsplit_top_as returns None for them
+        for prev, repl in subs:
+            expr = _sub_ident(expr, prev, repl)
+        subs.append((name, f"({expr})"))
+    body = sql[sel:]
+    for name, repl in subs:
+        body = _sub_ident(body, name, repl)
+    return sql[: m.start()] + body
+
+
 def translate_ch_sql(sql: str) -> str:
+    sql = _rewrite_scalar_with(_rewrite_array_join(sql))
     for pattern, repl in _REWRITES:
         sql = pattern.sub(repl, sql)
     return _rewrite_parametric(sql)
