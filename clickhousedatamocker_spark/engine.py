@@ -313,6 +313,17 @@ class Engine:
                 delay_s=max(r.delay_s for r in results),
             )
         handle = self.catalog.get(self.catalog.resolve(table))
+        if (handle.engine or {}).get("family") == "Null":
+            # ENGINE = Null: rows are accepted and DISCARDED, but attached
+            # materialized views still see every inserted block — CH's
+            # canonical "Null + MV" transform-without-storing pipeline.
+            # One count() action (the only thing the client is told).
+            n = df.count()
+            self._maintain_materialized_views(handle.name, df)
+            return InsertResult(
+                rows=n, bytes_on_disk=0, new_parts=0, partitions_touched=0,
+                elapsed_s=0.0, delay_s=0.0,
+            )
         result = self.writer.insert(handle, df, **kwargs)
         self._maintain_materialized_views(handle.name, df)
         return result
@@ -1415,6 +1426,26 @@ class Engine:
                     self.spark.catalog.dropTempView(ddl["name"])
                 except Exception:
                     pass  # never registered (empty table) — nothing to drop
+            elif ddl["op"] == "exchange":
+                # EXCHANGE TABLES a AND b: CH's atomic swap — here three
+                # O(1) metadata+directory renames (no data pass at any scale)
+                a, b = ddl["a"], ddl["b"]
+                tmp = f"__xchg_{a}"
+                for src, dst in ((a, tmp), (b, a), (tmp, b)):
+                    self.catalog.rename_table(src, dst)
+                    self.parts.evict(src)
+                    self.parts.evict(dst)
+                self._catalog_version += 1
+                self._detached_version += 1
+                for name in (a, b):
+                    self._registered_versions.pop(name, None)
+                    try:
+                        self.spark.catalog.dropTempView(name)
+                    except Exception:
+                        pass
+            elif ddl["op"] == "delete_where":
+                n = self.delete_where(ddl["name"], ddl["predicate"])
+                return self.spark.createDataFrame([(n,)], "rows_deleted bigint")
             elif ddl["op"] == "show_create":
                 return self.spark.createDataFrame(
                     [(self._render_create_ddl(ddl["name"]),)], "statement string"

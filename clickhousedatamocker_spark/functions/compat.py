@@ -919,6 +919,16 @@ def parse_ch_ddl(sql: str) -> dict | None:
     if m:
         return {"op": "rename", "name": m.group(1), "to": m.group(2)}
 
+    m = re.match(r"EXCHANGE\s+TABLES\s+(\w+)\s+AND\s+(\w+)\s*;?\s*$", s, re.IGNORECASE)
+    if m:
+        return {"op": "exchange", "a": m.group(1), "b": m.group(2)}
+
+    # CH lightweight delete (22.8+): DELETE FROM t WHERE p — same mutation
+    # machinery as ALTER ... DELETE here (we are always "synchronous")
+    m = re.match(r"DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.+?)\s*;?\s*$", s, re.IGNORECASE | re.DOTALL)
+    if m:
+        return {"op": "delete_where", "name": m.group(1), "predicate": m.group(2)}
+
     m = re.match(r"SHOW\s+CREATE\s+(?:TABLE\s+)?(\w+)\s*;?\s*$", s, re.IGNORECASE)
     if m:
         return {"op": "show_create", "name": m.group(1)}
@@ -1014,7 +1024,7 @@ def parse_ch_ddl(sql: str) -> dict | None:
 
     m = re.match(
         r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\((.*)\)\s*"
-        r"ENGINE\s*=\s*(MergeTree|ReplacingMergeTree|SummingMergeTree|CollapsingMergeTree|VersionedCollapsingMergeTree|AggregatingMergeTree)\s*(?:\(([^)]*)\))?\s*(.*)$",
+        r"ENGINE\s*=\s*(MergeTree|ReplacingMergeTree|SummingMergeTree|CollapsingMergeTree|VersionedCollapsingMergeTree|AggregatingMergeTree|Null)\s*(?:\(([^)]*)\))?\s*(.*)$",
         s,
         re.IGNORECASE | re.DOTALL,
     )

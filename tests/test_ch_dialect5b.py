@@ -1,0 +1,51 @@
+"""Round-5 dialect batch 3: ENGINE = Null (+ MV pipeline), EXCHANGE
+TABLES atomic swap, lightweight DELETE FROM."""
+
+import pytest
+
+from clickhousedatamocker_spark.engine import Engine
+
+
+def test_null_engine_discards_but_mvs_fire(spark, tmp_warehouse):
+    e = Engine(spark, tmp_warehouse)
+    e.sql("CREATE TABLE raw_null (k UInt64, v Float64) ENGINE = Null")
+    e.sql(
+        "CREATE MATERIALIZED VIEW roll ENGINE = SummingMergeTree() ORDER BY k "
+        "AS SELECT k, sum(v) AS sv FROM raw_null GROUP BY k"
+    )
+    r = e.insert(
+        "raw_null", spark.createDataFrame([(1, 2.0), (1, 3.0), (2, 5.0)], "k long, v double")
+    )
+    assert r.rows == 3 and r.new_parts == 0
+    # the Null table stores NOTHING
+    assert e.sql("SELECT count(*) AS n FROM raw_null").first()["n"] == 0
+    # ... but the MV saw the block (CH's Null+MV transform pipeline)
+    got = {r["k"]: r["sv"] for r in e.sql("SELECT k, sum(sv) AS sv FROM roll GROUP BY k").collect()}
+    assert got == {1: 5.0, 2: 5.0}
+    # second block accumulates
+    e.insert("raw_null", spark.createDataFrame([(2, 1.0)], "k long, v double"))
+    got = {r["k"]: r["sv"] for r in e.sql("SELECT k, sum(sv) AS sv FROM roll GROUP BY k").collect()}
+    assert got == {1: 5.0, 2: 6.0}
+
+
+def test_exchange_tables_swaps_atomically(spark, tmp_warehouse):
+    e = Engine(spark, tmp_warehouse)
+    for t, val in (("blue", 1.0), ("green", 2.0)):
+        e.sql(f"CREATE TABLE {t} (k UInt64, v Float64) ENGINE = MergeTree() ORDER BY k")
+        e.sql(f"INSERT INTO {t} VALUES (1, {val})")
+    e.sql("EXCHANGE TABLES blue AND green")
+    assert e.sql("SELECT v FROM blue").first()["v"] == 2.0
+    assert e.sql("SELECT v FROM green").first()["v"] == 1.0
+    # still writable post-swap; parts accounting follows the swap
+    e.sql("INSERT INTO blue VALUES (2, 9.0)")
+    assert e.sql("SELECT count(*) AS n FROM blue").first()["n"] == 2
+    assert e.sql("SELECT count(*) AS n FROM green").first()["n"] == 1
+
+
+def test_lightweight_delete_from(spark, tmp_warehouse):
+    e = Engine(spark, tmp_warehouse)
+    e.sql("CREATE TABLE ld (k UInt64, v Float64) ENGINE = MergeTree() ORDER BY k")
+    e.sql("INSERT INTO ld VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+    out = e.sql("DELETE FROM ld WHERE k >= 2")
+    assert out.first()["rows_deleted"] == 2
+    assert [r["k"] for r in e.sql("SELECT k FROM ld").collect()] == [1]
