@@ -1,0 +1,150 @@
+"""DSIR-style importance scoring for training-data selection
+(Xie et al. 2023, "Data Selection for Language Models via Importance
+Resampling", arXiv:2302.03169) — score every candidate document by how
+target-like its hashed n-gram profile is, then keep the top fraction.
+
+Scale shape:
+
+- **Model training is one distributed pass per corpus**: explode word uni-
+  and bigrams, hash each into ``num_buckets`` (driver-bounded — DSIR uses
+  10^4), ONE partial-agg shuffle of (bucket, count), collect the bounded
+  bucket vector. The model is a ``num_buckets`` float array, never the
+  corpus.
+- **Scoring is row-local**: per document, sum ``log p_target(b) -
+  log p_background(b)`` over its gram buckets. Small models inline as ONE
+  array literal (all-JVM, codegen'd); large models ship once as a numpy
+  broadcast into an Arrow ``mapInPandas`` — the same literal/Arrow
+  auto-selection as the ANN codebook, so plan size stays O(1) in
+  ``num_buckets`` either way. Zero shuffle in both paths.
+- **Selection** takes the top fraction by (score DESC, id ASC) — a
+  deterministic variant of DSIR's Gumbel resampling (ranking by score is
+  the zero-temperature limit). One global sort-limit; at 100 TB swap in a
+  per-partition threshold from a sampled quantile if the exact top-k sort
+  ever dominates.
+
+Hashing and smoothing are fixed (xxhash64, add-one over bucket totals) so
+Spark and the pure-Python reference agree bit-for-bit on the same text.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# above this bucket count the score lookup switches from one array literal
+# to an Arrow broadcast (same rationale as similarity._LITERAL_CODEBOOK_MAX:
+# literal arrays grow the expression tree linearly)
+_LITERAL_MODEL_MAX = 16_384
+
+
+def _gram_buckets(text_col: str | Column, num_buckets: int) -> Column:
+    """Array of hashed uni+bigram bucket ids for a document (word-level,
+    whitespace split — DSIR's feature space). Pure column expressions."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    words = F.filter(F.split(c, r"\s+"), lambda w: w != F.lit(""))
+    unis = F.transform(words, lambda w: F.pmod(F.xxhash64(w), F.lit(num_buckets)))
+    bis = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.slice(words, 1, F.size(words) - 1),
+            lambda w, i: F.pmod(
+                F.xxhash64(F.concat_ws(" ", w, F.element_at(words, i + 2))),
+                F.lit(num_buckets),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return F.concat(unis, bis)
+
+
+def train_hashed_ngram_model(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_buckets: int = 8192,
+) -> list[float]:
+    """Hashed-ngram probability model of a corpus: ``num_buckets`` floats,
+    add-one smoothed so every bucket has nonzero mass. One shuffle of
+    (bucket, count) rows; the result is driver-bounded model state."""
+    counts = (
+        docs.select(F.explode(_gram_buckets(text_col, num_buckets)).alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    by_bucket = {r["b"]: r["c"] for r in counts}
+    total = sum(by_bucket.values()) + num_buckets  # add-one over all buckets
+    return [(by_bucket.get(i, 0) + 1) / total for i in range(num_buckets)]
+
+
+def dsir_score(
+    docs: DataFrame,
+    target_model: list[float],
+    background_model: list[float],
+    text_col: str = "text",
+    out_col: str = "importance",
+) -> DataFrame:
+    """Add ``out_col`` = sum over the doc's gram buckets of
+    ``log(p_target(b)) - log(p_background(b))`` — DSIR's log importance
+    weight. Row-local; literal/Arrow auto-selected on model size."""
+    if len(target_model) != len(background_model):
+        raise ValueError("target and background models need the same bucket count")
+    num_buckets = len(target_model)
+    logratio = [
+        math.log(t) - math.log(b) for t, b in zip(target_model, background_model)
+    ]
+    if num_buckets <= _LITERAL_MODEL_MAX:
+        lr = F.lit(logratio)
+        return docs.withColumn(
+            out_col,
+            F.aggregate(
+                _gram_buckets(text_col, num_buckets),
+                F.lit(0.0),
+                lambda acc, b: acc + F.element_at(lr, b.cast("int") + 1),
+            ),
+        )
+    # large-model Arrow path: hashing stays JVM-side (the __b projection —
+    # identical buckets to the literal path by construction); Python only
+    # does the bounded lookup-sum against the broadcast logratio vector
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    with_b = docs.withColumn("__b", _gram_buckets(text_col, num_buckets))
+    out_schema = T.StructType(docs.schema.fields + [T.StructField(out_col, T.DoubleType())])
+    bc = docs.sparkSession.sparkContext.broadcast(np.asarray(logratio, dtype=np.float64))
+
+    def score(batches):
+        LR = bc.value
+        for pdf in batches:
+            vals = [
+                float(LR[np.asarray(b, dtype=np.int64)].sum()) if len(b) else 0.0
+                for b in pdf["__b"]
+            ]
+            pdf = pdf.drop(columns=["__b"])
+            pdf[out_col] = pd.Series(vals, index=pdf.index, dtype=float)
+            yield pdf
+
+    return with_b.mapInPandas(score, out_schema)
+
+
+def dsir_select(
+    docs: DataFrame,
+    target_model: list[float],
+    background_model: list[float],
+    keep_fraction: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the ``keep_fraction`` most target-like documents by DSIR score
+    (score DESC, id ASC — deterministic zero-temperature resampling).
+    The count() + sort-limit pair is exact; at 100 TB replace with an
+    approx-quantile threshold scan if the global top-k ever dominates."""
+    if not 0.0 < keep_fraction <= 1.0:
+        raise ValueError("keep_fraction must be in (0, 1]")
+    scored = dsir_score(docs, target_model, background_model, text_col)
+    k = max(1, int(round(docs.count() * keep_fraction)))
+    return (
+        scored.orderBy(F.desc("importance"), F.asc(id_col))
+        .limit(k)
+    )

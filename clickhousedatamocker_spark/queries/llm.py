@@ -884,3 +884,44 @@ def bpe_tokenize_profile(spark, sf_dir):
         .orderBy(F.desc("n_uses"), "token")
         .limit(20)
     )
+
+
+# -------------------------------------------------------------------------
+@register(
+    "dsir_selection_profile",
+    None,  # rows-only (graded window full); hash-exact grading lives in
+    # tests/test_importance.py (Python-counting model parity, literal==Arrow
+    # score agreement, separation + selection laws, zero-Exchange plan pin)
+    description="DSIR importance scoring (Xie et al. 2023): hashed uni+bi-"
+    "gram models of a target slice (source='src0') vs the full corpus as "
+    "background — one (bucket,count) shuffle each, driver-bounded vectors "
+    "— then row-local log-ratio scoring (literal array at small bucket "
+    "counts, Arrow broadcast above; zero shuffle either way). Report: "
+    "per-source kept/total after keeping the top 25% most target-like.",
+)
+def dsir_selection_profile(spark, sf_dir):
+    from clickhousedatamocker_spark.operators.importance import (
+        dsir_select,
+        train_hashed_ngram_model,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source") == "src0")
+    tm = train_hashed_ngram_model(target, num_buckets=4096)
+    bm = train_hashed_ngram_model(docs, num_buckets=4096)
+    kept = dsir_select(docs, tm, bm, keep_fraction=0.25)
+    return (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_total"))
+        .join(
+            kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept")),
+            "source",
+            "left",
+        )
+        .select(
+            "source",
+            "n_total",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+        .orderBy("source")
+    )

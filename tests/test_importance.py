@@ -1,0 +1,111 @@
+"""DSIR importance scoring (operators/importance.py).
+
+Reference strategy: bucket hashing is Spark's xxhash64 in BOTH engine
+paths, so the test re-derives expected values from the collected bucket
+arrays with pure-Python counting/summing — isolating the model math and
+the two lookup paths from the hash."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhousedatamocker_spark.operators import importance as imp
+
+NB = 64
+
+
+@pytest.fixture(scope="module")
+def corpora(spark):
+    target = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(6)]
+        + [(9, "quick fox quick fox")],
+        "doc_id long, text string",
+    )
+    background = spark.createDataFrame(
+        [(i, "lorem ipsum dolor sit amet consectetur adipiscing elit") for i in range(7)],
+        "doc_id long, text string",
+    )
+    candidates = spark.createDataFrame(
+        [
+            (1, "the quick fox jumps"),          # target-like
+            (2, "lorem ipsum dolor sit"),        # background-like
+            (3, "quick brown fox over the dog"),  # target-like
+            (4, "consectetur adipiscing elit"),   # background-like
+            (5, ""),                              # empty: score 0
+        ],
+        "doc_id long, text string",
+    )
+    return target, background, candidates
+
+
+def _buckets(df, nb=NB):
+    rows = df.select("doc_id", imp._gram_buckets("text", nb).alias("b")).collect()
+    return {r["doc_id"]: list(r["b"]) for r in rows}
+
+
+def test_model_matches_python_counting(spark, corpora):
+    target, _, _ = corpora
+    model = imp.train_hashed_ngram_model(target, num_buckets=NB)
+    from collections import Counter
+
+    c = Counter()
+    for bs in _buckets(target).values():
+        c.update(bs)
+    total = sum(c.values()) + NB
+    want = [(c.get(i, 0) + 1) / total for i in range(NB)]
+    assert model == pytest.approx(want, abs=0)
+    assert sum(model) == pytest.approx(1.0, rel=1e-9)
+
+
+def test_score_matches_reference_and_arrow_path(spark, corpora, monkeypatch):
+    target, background, cand = corpora
+    tm = imp.train_hashed_ngram_model(target, num_buckets=NB)
+    bm = imp.train_hashed_ngram_model(background, num_buckets=NB)
+    lr = [math.log(t) - math.log(b) for t, b in zip(tm, bm)]
+    want = {
+        d: sum(lr[b] for b in bs) for d, bs in _buckets(cand).items()
+    }
+    got = {
+        r["doc_id"]: r["importance"]
+        for r in imp.dsir_score(cand, tm, bm).collect()
+    }
+    for d in want:
+        assert got[d] == pytest.approx(want[d], abs=1e-9)
+    assert got[5] == 0.0
+    # Arrow path (forced) agrees exactly with the literal path
+    monkeypatch.setattr(imp, "_LITERAL_MODEL_MAX", 0)
+    arrow = {
+        r["doc_id"]: r["importance"]
+        for r in imp.dsir_score(cand, tm, bm).collect()
+    }
+    for d in want:
+        assert arrow[d] == pytest.approx(got[d], abs=1e-9)
+
+
+def test_scores_separate_target_from_background(spark, corpora):
+    target, background, cand = corpora
+    tm = imp.train_hashed_ngram_model(target, num_buckets=NB)
+    bm = imp.train_hashed_ngram_model(background, num_buckets=NB)
+    got = {r["doc_id"]: r["importance"] for r in imp.dsir_score(cand, tm, bm).collect()}
+    assert min(got[1], got[3]) > max(got[2], got[4])
+    kept = {r["doc_id"] for r in imp.dsir_select(cand, tm, bm, keep_fraction=0.4).collect()}
+    assert kept == {1, 3}
+    with pytest.raises(ValueError, match="keep_fraction"):
+        imp.dsir_select(cand, tm, bm, keep_fraction=0.0)
+    with pytest.raises(ValueError, match="bucket count"):
+        imp.dsir_score(cand, tm, bm[:-1])
+
+
+def test_literal_scoring_plan_has_no_exchange(spark, corpora):
+    target, background, cand = corpora
+    tm = imp.train_hashed_ngram_model(target, num_buckets=NB)
+    bm = imp.train_hashed_ngram_model(background, num_buckets=NB)
+    plan = (
+        imp.dsir_score(cand, tm, bm)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
