@@ -1030,8 +1030,10 @@ class Engine:
         trows, crows = [], []
         for name in self.catalog.list_tables():
             h = self.catalog.get(name)
+            fam = (h.engine or {}).get("family")
             kind = "MaterializedView" if name in self._materialized_views else (
-                "Distributed" if h.alias_of else "MergeTree"
+                ("Buffer" if fam == "Buffer" else "Distributed") if h.alias_of
+                else (fam or "MergeTree")
             )
             trows.append((self.catalog.database, name, kind, h.alias_of,
                           h.partition_column, ",".join(h.order_columns or [])))
@@ -1362,6 +1364,39 @@ class Engine:
                     ),
                     if_not_exists=ddl["if_not_exists"],
                 )
+            elif ddl["op"] == "create_buffer":
+                # ENGINE = Buffer(db, target, ...): modeled as an
+                # always-flushed buffer — every insert here is an atomic
+                # batch, which IS the state a Buffer reaches whenever a
+                # flush threshold trips, so reads/writes route straight to
+                # the target (documented deviation: rows are never visible
+                # "in the buffer" because the buffer is never non-empty).
+                if not (ddl["if_not_exists"] and self.catalog.exists(ddl["name"])):
+                    if not self.catalog.exists(ddl["target"]):
+                        raise ValueError(
+                            f"Buffer target table {ddl['target']!r} does not exist"
+                        )
+                    from clickhousedatamocker_spark.functions.compat import _split_top
+
+                    base = self.catalog.get(ddl["target"])
+                    declared = [
+                        col.strip().split()[0]
+                        for col in _split_top(ddl["cols_src"])
+                        if not col.strip().upper().startswith("INDEX ")
+                    ]
+                    want = [f.name for f in base.schema.fields]
+                    if declared != want:
+                        raise ValueError(
+                            f"Buffer column list {declared} must match target "
+                            f"{ddl['target']!r} columns {want} (CH requires "
+                            "identical structure)"
+                        )
+                    self.catalog.create_alias(
+                        ddl["name"],
+                        ddl["target"],
+                        engine={"family": "Buffer", "args": ddl["args"]},
+                    )
+                    self._catalog_version += 1
             elif ddl["op"] == "ctas":
                 if not (ddl["if_not_exists"] and self.catalog.exists(ddl["name"])):
                     self.refresh_system_views()

@@ -1024,6 +1024,25 @@ def parse_ch_ddl(sql: str) -> dict | None:
 
     m = re.match(
         r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\((.*)\)\s*"
+        r"ENGINE\s*=\s*Buffer\s*\(([^)]*)\)\s*;?\s*$",
+        s,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        args = [a.strip() for a in m.group(4).split(",") if a.strip()]
+        if len(args) < 2:
+            raise NotImplementedError("Buffer needs at least (database, table) arguments")
+        return {
+            "op": "create_buffer",
+            "name": m.group(2),
+            "if_not_exists": bool(m.group(1)),
+            "cols_src": m.group(3),
+            "target": args[1],
+            "args": args,
+        }
+
+    m = re.match(
+        r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\((.*)\)\s*"
         r"ENGINE\s*=\s*(MergeTree|ReplacingMergeTree|SummingMergeTree|CollapsingMergeTree|VersionedCollapsingMergeTree|AggregatingMergeTree|Null)\s*(?:\(([^)]*)\))?\s*(.*)$",
         s,
         re.IGNORECASE | re.DOTALL,

@@ -88,6 +88,7 @@ class Catalog:
         of: str,
         if_not_exists: bool = True,
         distributed: dict[str, Any] | None = None,
+        engine: dict[str, Any] | None = None,
     ) -> TableHandle:
         """CREATE TABLE name AS of — schema-copying alias (create_distributed.sql).
         ``distributed`` carries the Distributed-engine metadata (cluster name +
@@ -106,7 +107,7 @@ class Catalog:
             "alias_of": of,
             "distributed": distributed,
             "ttl": base.ttl,
-            "engine": base.engine,
+            "engine": engine or base.engine,
             "sample_by": base.sample_by,
         }
         self._write_meta(name, meta)

@@ -49,3 +49,24 @@ def test_lightweight_delete_from(spark, tmp_warehouse):
     out = e.sql("DELETE FROM ld WHERE k >= 2")
     assert out.first()["rows_deleted"] == 2
     assert [r["k"] for r in e.sql("SELECT k FROM ld").collect()] == [1]
+
+
+def test_buffer_engine_routes_to_target(spark, tmp_warehouse):
+    e = Engine(spark, tmp_warehouse)
+    e.sql("CREATE TABLE dst (k UInt64, v Float64) ENGINE = MergeTree() ORDER BY k")
+    e.sql(
+        "CREATE TABLE buf (k UInt64, v Float64) "
+        "ENGINE = Buffer(default, dst, 16, 10, 100, 10000, 1000000, 10000000, 100000000)"
+    )
+    e.sql("INSERT INTO buf VALUES (1, 1.5), (2, 2.5)")
+    # writes land in the target (always-flushed model) ...
+    assert e.sql("SELECT count(*) AS n FROM dst").first()["n"] == 2
+    # ... and reads through the buffer name see them
+    assert e.sql("SELECT sum(v) AS s FROM buf").first()["s"] == 4.0
+    tbls = {r["name"]: r for r in e.sql("SELECT * FROM system.tables").collect()}
+    assert tbls["buf"]["engine"] == "Buffer" and tbls["buf"]["alias_of"] == "dst"
+    # structure must match the target, as CH requires
+    with pytest.raises(ValueError, match="must match target"):
+        e.sql("CREATE TABLE buf2 (k UInt64) ENGINE = Buffer(default, dst, 16, 10, 100, 1, 1, 1, 1)")
+    with pytest.raises(ValueError, match="does not exist"):
+        e.sql("CREATE TABLE buf3 (k UInt64) ENGINE = Buffer(default, nope, 16, 10, 100, 1, 1, 1, 1)")
