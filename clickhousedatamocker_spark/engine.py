@@ -192,7 +192,83 @@ class Engine:
         self._catalog_version += 1
         return self.catalog.create_alias(name, of, distributed=distributed)
 
+    # -- projections (CH ALTER TABLE ... ADD/DROP/MATERIALIZE PROJECTION) --
+
+    def add_projection(
+        self, table: str, pname: str, select_sql: str, if_not_exists: bool = False
+    ) -> None:
+        """CH projection semantics: the definition applies to blocks
+        inserted FROM NOW ON (maintenance rides the MV machinery — O(batch)
+        per insert); existing rows join only after MATERIALIZE PROJECTION.
+        Queries route to the projection only once it covers all rows
+        (``materialized`` flag), so a routed answer is never partial."""
+        from clickhousedatamocker_spark.functions.compat import (
+            parse_projection_select,
+            render_projection_mv_select,
+        )
+
+        name = self.catalog.resolve(table)
+        projs = self.catalog.get_projections(name)
+        if pname in projs:
+            if if_not_exists:
+                return
+            raise ValueError(f"projection {pname!r} already exists on {name!r}")
+        spec = parse_projection_select(select_sql)
+        hidden = f"__proj_{name}_{pname}"
+        self.refresh_system_views()
+        self.create_materialized_view(
+            hidden, name, render_projection_mv_select(spec, name),
+            order_columns=list(spec["order"]),
+        )
+        base_empty = self.read_table(name).limit(1).count() == 0
+        projs[pname] = {
+            "select": select_sql,
+            "spec": spec,
+            "hidden": hidden,
+            "materialized": base_empty,  # empty base: already covers all rows
+        }
+        self.catalog.set_projections(name, projs)
+        self._catalog_version += 1
+
+    def drop_projection(self, table: str, pname: str, if_exists: bool = False) -> None:
+        name = self.catalog.resolve(table)
+        projs = self.catalog.get_projections(name)
+        if pname not in projs:
+            if if_exists:
+                return
+            raise ValueError(f"no projection {pname!r} on {name!r}")
+        hidden = projs.pop(pname)["hidden"]
+        self.catalog.set_projections(name, projs)
+        self.drop_table(hidden)
+
+    def materialize_projection(self, table: str, pname: str) -> None:
+        """Backfill the projection over ALL current rows (CH's MATERIALIZE
+        PROJECTION mutation): rebuild the hidden table from a full base
+        read — truncate first so blocks captured since ADD don't double
+        count — then open it for query routing."""
+        from clickhousedatamocker_spark.functions.compat import render_projection_mv_select
+
+        name = self.catalog.resolve(table)
+        projs = self.catalog.get_projections(name)
+        if pname not in projs:
+            raise ValueError(f"no projection {pname!r} on {name!r}")
+        p = projs[pname]
+        self.delete_where(p["hidden"], "true")
+        full = self._select_over_batch(
+            render_projection_mv_select(p["spec"], name), name, self.read_table(name)
+        )
+        self.writer.insert(self.catalog.get(p["hidden"]), full)
+        p["materialized"] = True
+        self.catalog.set_projections(name, projs)
+        self._catalog_version += 1
+
     def drop_table(self, name: str, if_exists: bool = True) -> None:
+        if self.catalog.exists(name):
+            # projections die with their table (their data lives in the
+            # table's parts in CH; here, in the hidden backing tables)
+            for p in self.catalog.get_projections(name).values():
+                self._materialized_views.pop(p["hidden"], None)
+                self.drop_table(p["hidden"])
         if name in self._views:
             # plain view: forget the saved select and the registered alias
             self._views.pop(name)
@@ -901,6 +977,108 @@ class Engine:
 
         return pat.sub(sub, query)
 
+    def _rewrite_projection_reads(self, query: str) -> str:
+        """Route an eligible single-table SELECT to a materialized
+        projection's hidden backing table (CH's automatic projection
+        selection, scoped):
+
+        - **aggregate projections**: query GROUP BY keys ⊆ projection keys,
+          every aggregate item is aliased and decomposable against the
+          stored partials (count→sum(cnt), sum→sum(sum_x), min/max→self,
+          avg→sum(sum_x)/sum(cnt)), and the WHERE touches key columns only.
+          The rewrite re-aggregates partials, so answers are exact even
+          though the hidden table holds one row per (insert block × key).
+        - **sort projections**: no aggregates, selected + filtered columns
+          ⊆ projection columns → scan the re-sorted copy (row-group
+          pruning on the projection's sort key is the 100 TB win).
+
+        Anything outside the surface — joins, subqueries, HAVING on
+        non-aliases, unknown functions in WHERE — leaves the query on the
+        base table. Routing requires ``materialized`` (ADD PROJECTION on a
+        non-empty table covers only new blocks until MATERIALIZE, so a
+        routed answer would silently drop old rows — CH gates the same
+        way per-part)."""
+        import re as _re
+
+        from clickhousedatamocker_spark.functions.compat import (
+            _split_top,
+            predicate_identifiers,
+        )
+
+        if _re.search(r"\(\s*SELECT\b", query, _re.IGNORECASE):
+            return query
+        m = _re.match(
+            r"\s*SELECT\s+(?P<items>.+?)\s+FROM\s+(?P<t>\w+)"
+            r"(?:\s+WHERE\s+(?P<w>.+?))?"
+            r"(?:\s+GROUP\s+BY\s+(?P<g>[\w\s,]+?))?"
+            r"(?P<rest>(?:\s+(?:HAVING|ORDER\s+BY|LIMIT)\b.*?)?)\s*;?\s*$",
+            query,
+            _re.IGNORECASE | _re.DOTALL,
+        )
+        if m is None or not self.catalog.exists(m.group("t")):
+            return query
+        table = self.catalog.resolve(m.group("t"))
+        projs = self.catalog.get_projections(table)
+        if not projs:
+            return query
+        items = [i.strip() for i in _split_top(m.group("items"))]
+        where, group, rest = m.group("w"), m.group("g"), m.group("rest") or ""
+        qkeys = [k.strip() for k in group.split(",")] if group else []
+        wids = predicate_identifiers(where) if where else set()
+
+        for p in sorted(projs.values(), key=lambda p: p["hidden"]):
+            if not p.get("materialized"):
+                continue
+            spec = p["spec"]
+            if spec["kind"] == "agg" and group:
+                keys = list(spec["keys"])
+                aggs = {(a[0], a[1]): a[2] for a in spec["aggs"]}
+                if not set(qkeys) <= set(keys) or not wids <= set(keys):
+                    continue
+                mapped, ok = [], True
+                for item in items:
+                    if _re.fullmatch(r"\w+", item):
+                        ok = ok and item in qkeys
+                        mapped.append(item)
+                        continue
+                    am = _re.fullmatch(
+                        r"(count|sum|min|max|avg)\s*\(\s*(\*|\w*)\s*\)\s+AS\s+(\w+)",
+                        item,
+                        _re.IGNORECASE,
+                    )
+                    if not am:
+                        ok = False
+                        break
+                    fn = am.group(1).lower()
+                    arg = am.group(2) if am.group(2) not in ("", "*") else "*"
+                    alias = am.group(3)
+                    if fn == "count" and ("count", "*") in aggs:
+                        mapped.append(f"sum({aggs[('count', '*')]}) AS {alias}")
+                    elif fn in ("sum", "min", "max") and (fn, arg) in aggs:
+                        mapped.append(f"{fn}({aggs[(fn, arg)]}) AS {alias}")
+                    elif fn == "avg" and ("sum", arg) in aggs and ("count", "*") in aggs:
+                        mapped.append(
+                            f"(sum({aggs[('sum', arg)]}) / sum({aggs[('count', '*')]})) AS {alias}"
+                        )
+                    else:
+                        ok = False
+                        break
+                if not ok:
+                    continue
+                routed = f"SELECT {', '.join(mapped)} FROM {p['hidden']}"
+                if where:
+                    routed += f" WHERE {where}"
+                routed += f" GROUP BY {group}{rest}"
+                return routed
+            if spec["kind"] == "sort" and not group:
+                cols = set(spec["cols"])
+                if all(_re.fullmatch(r"\w+", i) and i in cols for i in items) and wids <= cols:
+                    routed = f"SELECT {', '.join(items)} FROM {p['hidden']}"
+                    if where:
+                        routed += f" WHERE {where}"
+                    return routed + rest
+        return query
+
     def _rewrite_file_reads(self, query: str) -> str:
         """``file('path'[, 'Format'[, 'structure']])`` — CH's local-file
         table function. The FORMAT defaults from the extension (.parquet /
@@ -1121,10 +1299,12 @@ class Engine:
         )
         if mex is not None:
             mode = (mex.group(1) or "PLAN").upper()
-            inner = self._rewrite_file_reads(
-                self._rewrite_merge_reads(
-                    self._rewrite_generate_random(
-                        self._rewrite_final_reads(self._rewrite_sample_reads(mex.group(2)))
+            inner = self._rewrite_projection_reads(
+                self._rewrite_file_reads(
+                    self._rewrite_merge_reads(
+                        self._rewrite_generate_random(
+                            self._rewrite_final_reads(self._rewrite_sample_reads(mex.group(2)))
+                        )
                     )
                 )
             )
@@ -1229,10 +1409,12 @@ class Engine:
                 write_format(df, out, mfmt.group(2))
             return df
 
-        query = self._rewrite_file_reads(
-            self._rewrite_merge_reads(
-                self._rewrite_generate_random(
-                    self._rewrite_final_reads(self._rewrite_sample_reads(query))
+        query = self._rewrite_projection_reads(
+            self._rewrite_file_reads(
+                self._rewrite_merge_reads(
+                    self._rewrite_generate_random(
+                        self._rewrite_final_reads(self._rewrite_sample_reads(query))
+                    )
                 )
             )
         )
@@ -1449,6 +1631,12 @@ class Engine:
                     n = self.delete_where(ddl["name"], "true")
                     return self.spark.createDataFrame([(n,)], "rows_deleted bigint")
             elif ddl["op"] == "rename":
+                if self.catalog.get_projections(ddl["name"]):
+                    raise NotImplementedError(
+                        "RENAME of a table with projections is not supported: "
+                        "the hidden backing tables are name-linked — DROP the "
+                        "projections, rename, then re-ADD + MATERIALIZE"
+                    )
                 self.catalog.rename_table(ddl["name"], ddl["to"])
                 self._catalog_version += 1
                 self._registered_versions.pop(ddl["name"], None)
@@ -1465,6 +1653,12 @@ class Engine:
                 # EXCHANGE TABLES a AND b: CH's atomic swap — here three
                 # O(1) metadata+directory renames (no data pass at any scale)
                 a, b = ddl["a"], ddl["b"]
+                if self.catalog.get_projections(a) or self.catalog.get_projections(b):
+                    raise NotImplementedError(
+                        "EXCHANGE of tables with projections is not supported: "
+                        "the hidden backing tables are name-linked — DROP the "
+                        "projections first"
+                    )
                 tmp = f"__xchg_{a}"
                 for src, dst in ((a, tmp), (b, a), (tmp, b)):
                     self.catalog.rename_table(src, dst)
@@ -1478,6 +1672,17 @@ class Engine:
                         self.spark.catalog.dropTempView(name)
                     except Exception:
                         pass
+            elif ddl["op"] == "add_projection":
+                self.add_projection(
+                    ddl["name"], ddl["projection"], ddl["select"],
+                    if_not_exists=ddl["if_not_exists"],
+                )
+            elif ddl["op"] == "drop_projection":
+                self.drop_projection(
+                    ddl["name"], ddl["projection"], if_exists=ddl["if_exists"]
+                )
+            elif ddl["op"] == "materialize_projection":
+                self.materialize_projection(ddl["name"], ddl["projection"])
             elif ddl["op"] == "delete_where":
                 n = self.delete_where(ddl["name"], ddl["predicate"])
                 return self.spark.createDataFrame([(n,)], "rows_deleted bigint")

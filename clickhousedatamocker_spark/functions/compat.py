@@ -866,6 +866,40 @@ def parse_ch_ddl(sql: str) -> dict | None:
             "ADD COLUMN new + ALTER UPDATE new = old + DROP COLUMN old"
         )
 
+    m = re.match(
+        r"ALTER\s+TABLE\s+(\w+)\s+ADD\s+PROJECTION\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s*"
+        r"\(\s*(SELECT\s+.+?)\s*\)\s*;?\s*$",
+        s,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        return {
+            "op": "add_projection",
+            "name": m.group(1),
+            "projection": m.group(3),
+            "if_not_exists": bool(m.group(2)),
+            "select": m.group(4),
+        }
+
+    m = re.match(
+        r"ALTER\s+TABLE\s+(\w+)\s+DROP\s+PROJECTION\s+(IF\s+EXISTS\s+)?(\w+)\s*;?\s*$",
+        s,
+        re.IGNORECASE,
+    )
+    if m:
+        return {
+            "op": "drop_projection",
+            "name": m.group(1),
+            "projection": m.group(3),
+            "if_exists": bool(m.group(2)),
+        }
+
+    m = re.match(
+        r"ALTER\s+TABLE\s+(\w+)\s+MATERIALIZE\s+PROJECTION\s+(\w+)\s*;?\s*$", s, re.IGNORECASE
+    )
+    if m:
+        return {"op": "materialize_projection", "name": m.group(1), "projection": m.group(2)}
+
     m = re.match(r"ALTER\s+TABLE\s+(\w+)\s+DELETE\s+WHERE\s+(.+)$", s, re.IGNORECASE | re.DOTALL)
     if m:
         return {"op": "mutate_delete", "name": m.group(1), "predicate": m.group(2).rstrip(";").strip()}
@@ -1170,3 +1204,101 @@ def parse_ch_ddl(sql: str) -> dict | None:
         }
 
     return None
+
+
+# -- projections -------------------------------------------------------------
+
+
+def parse_projection_select(sel: str) -> dict:
+    """Parse a projection definition's SELECT into a routable spec.
+
+    Two ClickHouse projection kinds:
+    - **aggregate** (has GROUP BY): items are the group keys plus
+      count/sum/min/max aggregates — stored pre-aggregated per block, so
+      readers must merge partials (count→sum of partial counts, sum→sum,
+      min→min, max→max: all decomposable aggregates).
+    - **sort** (no GROUP BY): a column subset re-sorted by ORDER BY — the
+      win at scale is row-group pruning on the new sort key.
+
+    Raises NotImplementedError on anything outside that surface (loud, not
+    silently ignored — the projection would otherwise never route).
+    """
+    m = re.match(
+        r"SELECT\s+(.+?)(?:\s+GROUP\s+BY\s+([\w\s,]+?))?(?:\s+ORDER\s+BY\s+([\w\s,]+?))?\s*$",
+        sel.strip(),
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise NotImplementedError(f"unparseable projection SELECT: {sel!r}")
+    items_src, group_src, order_src = m.group(1), m.group(2), m.group(3)
+    keys = [k.strip() for k in group_src.split(",")] if group_src else []
+    order = [k.strip() for k in order_src.split(",")] if order_src else []
+    cols: list[str] = []
+    aggs: list[tuple[str, str, str]] = []  # (fn, arg, out_column)
+    for item in _split_top(items_src):
+        if re.fullmatch(r"\w+", item):
+            cols.append(item)
+            continue
+        am = re.fullmatch(
+            r"(count|sum|min|max)\s*\(\s*(\*|\w*)\s*\)(?:\s+AS\s+(\w+))?",
+            item,
+            re.IGNORECASE,
+        )
+        if not am:
+            raise NotImplementedError(
+                f"projection item {item!r} is outside the supported surface "
+                "(bare columns and count/sum/min/max aggregates)"
+            )
+        fn = am.group(1).lower()
+        arg = am.group(2) if am.group(2) not in ("", "*") else "*"
+        out = am.group(3) or ("cnt" if fn == "count" else f"{fn}_{arg}")
+        aggs.append((fn, arg, out))
+    if keys:
+        for c in cols:
+            if c not in keys:
+                raise NotImplementedError(
+                    f"projection column {c!r} is not a GROUP BY key"
+                )
+        if not aggs:
+            raise NotImplementedError("aggregate projection needs at least one aggregate")
+        return {"kind": "agg", "keys": keys, "aggs": aggs, "order": order or keys}
+    if aggs:
+        raise NotImplementedError("aggregates in a projection require GROUP BY")
+    if not cols:
+        raise NotImplementedError("projection needs at least one column")
+    for o in order:
+        if o not in cols:
+            raise NotImplementedError(f"projection ORDER BY {o!r} not in its columns")
+    return {"kind": "sort", "cols": cols, "order": order or cols}
+
+
+def render_projection_mv_select(spec: dict, table: str) -> str:
+    """The maintenance SELECT for a projection's hidden backing table."""
+    if spec["kind"] == "agg":
+        parts = list(spec["keys"]) + [
+            f"{fn}({'*' if arg == '*' else arg}) AS {out}" for fn, arg, out in spec["aggs"]
+        ]
+        return (
+            f"SELECT {', '.join(parts)} FROM {table} GROUP BY {', '.join(spec['keys'])}"
+        )
+    return f"SELECT {', '.join(spec['cols'])} FROM {table}"
+
+
+_SQL_WORD_WHITELIST = {
+    "AND", "OR", "NOT", "IN", "LIKE", "BETWEEN", "IS", "NULL", "TRUE", "FALSE",
+}
+
+
+def predicate_identifiers(pred: str) -> set[str]:
+    """Bare identifier tokens of a predicate, minus string literals and SQL
+    keywords — used to decide whether a WHERE touches only projection
+    columns. Conservative: any function call marks its name too, so an
+    unknown function fails the subset check and routing is skipped."""
+    out: set[str] = set()
+    for i, seg in enumerate(re.split(r"('(?:[^'\\]|\\.)*')", pred)):
+        if i % 2:
+            continue
+        for w in re.findall(r"[A-Za-z_]\w*", seg):
+            if w.upper() not in _SQL_WORD_WHITELIST:
+                out.add(w)
+    return out

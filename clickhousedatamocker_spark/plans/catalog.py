@@ -202,6 +202,14 @@ class Catalog:
             seen.add(name)
             name = meta["alias_of"]
 
+    def get_projections(self, name: str) -> dict:
+        return self._read_meta(name).get("projections") or {}
+
+    def set_projections(self, name: str, projections: dict) -> None:
+        meta = self._read_meta(name)
+        meta["projections"] = projections
+        self._write_meta(name, meta)
+
     def list_tables(self) -> list[str]:
         return sorted(f[: -len(".meta.json")] for f in os.listdir(self.warehouse_dir) if f.endswith(".meta.json"))
 

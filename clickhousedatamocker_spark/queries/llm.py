@@ -824,7 +824,11 @@ def dedup_semantic_profile(spark, sf_dir):
     )
 
     emb = t(spark, sf_dir, "embeddings")
-    cb = ivf_train(emb, n_centroids=8, n_iters=2, seed=42)
+    # cluster count scales with the corpus (the SemDeDup contract: clusters
+    # stay bounded-size so the intra-cluster quadratic stays bounded) —
+    # ~500 vectors per cluster, floor 8. One count() action, O(1) result.
+    n_cent = max(8, emb.count() // 500)
+    cb = ivf_train(emb, n_centroids=n_cent, n_iters=2, seed=42)
     assigned = with_nearest_cid(
         emb.select("vec_id", as_double("embedding").alias("__v")), "__v", cb, "cid"
     ).select("vec_id", "cid")

@@ -60,6 +60,13 @@ SMOKE_KEYS = (
     "text_analysis_profile",
     "similarity_topk_bruteforce",
     "crossdoc_dup_span_profile",
+    # round-5 additions: SemDeDup (cluster count scales with the corpus, so
+    # the 10x replica clones stress real dup-group collapse), DSIR (two
+    # model-training shuffles + row-local scoring + global top-k), and the
+    # BPE tokenizer (distributed word-count pass + Arrow encode)
+    "dedup_semantic_profile",
+    "dsir_selection_profile",
+    "bpe_tokenize_profile",
 )
 
 
