@@ -901,6 +901,45 @@ def semantic_dedup_pairs(
     )
 
 
+def semantic_dedup_losers(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    centroids: list[list[float]] | None = None,
+    seed: int = 42,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """The rows SemDeDup drops: ``(id_col, cid)`` — every duplicate-group
+    member EXCEPT the keeper (least centroid-similar, id tiebreak). Pass a
+    precomputed (ideally persisted) ``pairs`` to avoid re-evaluating the
+    intra-cluster join when a caller also needs the pair list — the join
+    is the expensive stage, everything after is edge-sized."""
+    from clickhousedatamocker_spark.operators.dedup import connected_components
+
+    if centroids is None:
+        centroids = ivf_train(corpus, id_col, vec_col, n_centroids, seed=seed)
+    if pairs is None:
+        pairs = semantic_dedup_pairs(
+            corpus, id_col, vec_col, threshold, n_centroids, centroids, seed
+        )
+    comp = connected_components(pairs)  # (node, component) — dup-group members only
+    # centroid similarity for group members only (semi-join keeps it edge-sized)
+    members = corpus.select(F.col(id_col), as_double(vec_col).alias("__v")).join(
+        comp.select(F.col("node").alias(id_col), "component"), id_col
+    )
+    members = _with_centroid_sim(
+        with_nearest_cid(members, "__v", centroids, "__cid"), "__v", "__cid", centroids, "__csim"
+    )
+    w = Window.partitionBy("component").orderBy(F.col("__csim").asc(), F.col(id_col).asc())
+    return (
+        members.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") > 1)
+        .select(F.col(id_col), F.col("__cid").alias("cid"))
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -909,6 +948,7 @@ def semantic_dedup(
     n_centroids: int = 16,
     centroids: list[list[float]] | None = None,
     seed: int = 42,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): drop semantic near-duplicates, keeping
     per duplicate-group the example LEAST similar to its cluster centroid
@@ -925,23 +965,7 @@ def semantic_dedup(
     data, never corpus-quadratic: at 100 TB the pair list is the near-dup
     mass, orders of magnitude below the corpus.
     """
-    from clickhousedatamocker_spark.operators.dedup import connected_components
-
-    if centroids is None:
-        centroids = ivf_train(corpus, id_col, vec_col, n_centroids, seed=seed)
-    pairs = semantic_dedup_pairs(corpus, id_col, vec_col, threshold, n_centroids, centroids, seed)
-    comp = connected_components(pairs)  # (node, component) — members of dup groups only
-    # centroid similarity for group members only (semi-join keeps it edge-sized)
-    members = corpus.select(F.col(id_col), as_double(vec_col).alias("__v")).join(
-        comp.select(F.col("node").alias(id_col), "component"), id_col
+    losers = semantic_dedup_losers(
+        corpus, id_col, vec_col, threshold, n_centroids, centroids, seed, pairs
     )
-    members = _with_centroid_sim(
-        with_nearest_cid(members, "__v", centroids, "__cid"), "__v", "__cid", centroids, "__csim"
-    )
-    w = Window.partitionBy("component").orderBy(F.col("__csim").asc(), F.col(id_col).asc())
-    losers = (
-        members.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") > 1)
-        .select(id_col)
-    )
-    return corpus.join(losers, id_col, "left_anti")
+    return corpus.join(losers.select(id_col), id_col, "left_anti")

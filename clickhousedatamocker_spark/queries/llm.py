@@ -818,7 +818,7 @@ def dedup_semantic_profile(spark, sf_dir):
     from clickhousedatamocker_spark.operators.similarity import (
         as_double,
         ivf_train,
-        semantic_dedup,
+        semantic_dedup_losers,
         semantic_dedup_pairs,
         with_nearest_cid,
     )
@@ -832,14 +832,13 @@ def dedup_semantic_profile(spark, sf_dir):
     assigned = with_nearest_cid(
         emb.select("vec_id", as_double("embedding").alias("__v")), "__v", cb, "cid"
     ).select("vec_id", "cid")
-    pairs = semantic_dedup_pairs(emb, threshold=0.5, centroids=cb)
-    dropped = emb.select("vec_id").join(
-        semantic_dedup(emb, threshold=0.5, centroids=cb).select("vec_id"),
-        "vec_id",
-        "left_anti",
-    )
+    # the intra-cluster join is the expensive stage: persist it so the pair
+    # stats AND the loser derivation evaluate it exactly once (the sf1
+    # scale smoke caught the double evaluation at 16x of sf0.1)
+    pairs = semantic_dedup_pairs(emb, threshold=0.5, centroids=cb).persist()
+    losers = semantic_dedup_losers(emb, threshold=0.5, centroids=cb, pairs=pairs)
     per_cluster = assigned.join(
-        dropped.withColumn("__d", F.lit(1)), "vec_id", "left"
+        losers.select("vec_id").withColumn("__d", F.lit(1)), "vec_id", "left"
     ).groupBy("cid").agg(
         F.count(F.lit(1)).alias("n_vectors"),
         F.count("__d").alias("n_dropped"),
