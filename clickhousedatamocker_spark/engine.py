@@ -68,6 +68,10 @@ class Engine:
         # in-flight background merges (plans/merges.py) -> system.merges
         self.running_merges: dict[object, dict] = {}
         self._merges_lock = __import__("threading").Lock()
+        # SYSTEM STOP/START MERGES state: started daemons by table, and the
+        # set of tables with merges administratively stopped ("*" = all)
+        self._merge_daemons: dict[str, object] = {}
+        self._merges_stopped: set[str] = set()
         # cluster name -> shard count. The reference's 'default' cluster is
         # single-node (create_distributed.sql:6 — and its comment says "no
         # sharding_key"), so Distributed there degenerates to a plain alias.
@@ -662,9 +666,12 @@ class Engine:
         partition at/over the part threshold, merge the smallest parts into
         one. Returns merges performed (0 = the table is in equilibrium —
         the healthy-server state whose absence the reference's flow-control
-        experiment manufactures)."""
+        experiment manufactures). A table under SYSTEM STOP MERGES merges
+        nothing (returns 0), like CH's paused assignment."""
         from clickhousedatamocker_spark.plans.merges import MergeScheduler
 
+        if self._merges_paused(table):
+            return 0
         handle = self.catalog.get(self.catalog.resolve(table))
         sched = MergeScheduler(
             self.writer,
@@ -685,9 +692,14 @@ class Engine:
     ):
         """CH's background merge pool: a daemon thread running merge passes
         every ``interval_s``. Returns the scheduler — call ``.stop()`` when
-        done (or let the daemon die with the process, like CH's pool)."""
+        done (or let the daemon die with the process, like CH's pool).
+        Refused while the table is under SYSTEM STOP MERGES."""
         from clickhousedatamocker_spark.plans.merges import MergeScheduler
 
+        if self._merges_paused(table):
+            raise ValueError(
+                f"merges are stopped for {table!r} (SYSTEM START MERGES to resume)"
+            )
         handle = self.catalog.get(self.catalog.resolve(table))
         sched = MergeScheduler(
             self.writer,
@@ -697,7 +709,31 @@ class Engine:
             registry=self.running_merges,
             registry_lock=self._merges_lock,
         )
-        return sched.start(self.spark, handle, interval_s=interval_s)
+        started = sched.start(self.spark, handle, interval_s=interval_s)
+        self._merge_daemons[self.catalog.resolve(table)] = started
+        return started
+
+    def _merges_paused(self, table: str) -> bool:
+        name = self.catalog.resolve(table) if self.catalog.exists(table) else table
+        return "*" in self._merges_stopped or name in self._merges_stopped
+
+    def system_merges_control(self, action: str, table: str | None = None) -> None:
+        """``SYSTEM STOP|START MERGES [table]`` — CH's merge-assignment
+        switch. STOP halts any running daemon for the scope and blocks new
+        scheduling (merge_once no-ops, start_background_merges refuses);
+        START re-enables scheduling but — like CH — does not restart a
+        daemon for you."""
+        scope = self.catalog.resolve(table) if table else "*"
+        if action == "stop":
+            self._merges_stopped.add(scope)
+            for name, sched in list(self._merge_daemons.items()):
+                if scope in ("*", name):
+                    sched.stop()
+                    self._merge_daemons.pop(name, None)
+        else:
+            self._merges_stopped.discard(scope)
+            if scope == "*":
+                self._merges_stopped.clear()
 
     # -- backup / restore ---------------------------------------------------
     def backup_table(self, table: str, dest: str) -> None:
@@ -1226,6 +1262,17 @@ class Engine:
             crows or [(self.catalog.database, "", "", "", 0)],
             "database string, table string, name string, type string, position int",
         ).filter(F.col("table") != "").createOrReplaceTempView("system_columns")
+        prows = [
+            (self.catalog.database, name, pname, p["spec"]["kind"], p["select"],
+             bool(p.get("materialized")), p["hidden"])
+            for name in self.catalog.list_tables()
+            for pname, p in self.catalog.get_projections(name).items()
+        ] or [("", "", "", "", "", False, "")]
+        self.spark.createDataFrame(
+            prows,
+            "database string, table string, name string, type string, "
+            "query string, materialized boolean, backing_table string",
+        ).filter(F.col("table") != "").createOrReplaceTempView("system_projections")
 
     def system_metrics(self) -> DataFrame:
         return self.metrics.to_df(self.spark)
@@ -1672,6 +1719,11 @@ class Engine:
                         self.spark.catalog.dropTempView(name)
                     except Exception:
                         pass
+            elif ddl["op"] == "system_merges":
+                self.system_merges_control(ddl["action"], ddl["table"])
+            elif ddl["op"] == "modify_ttl":
+                self.catalog.set_ttl(self.catalog.resolve(ddl["name"]), ddl["ttl"])
+                self._catalog_version += 1
             elif ddl["op"] == "add_projection":
                 self.add_projection(
                     ddl["name"], ddl["projection"], ddl["select"],

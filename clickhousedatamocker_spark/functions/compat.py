@@ -41,6 +41,7 @@ _REWRITES = [
     (re.compile(r"\bsystem\.query_log\b", re.IGNORECASE), "system_query_log"),
     (re.compile(r"\bsystem\.detached_parts\b", re.IGNORECASE), "system_detached_parts"),
     (re.compile(r"\bsystem\.merges\b", re.IGNORECASE), "system_merges"),
+    (re.compile(r"\bsystem\.projections\b", re.IGNORECASE), "system_projections"),
     # CH aggregate spellings → Spark aggregates (name-only rewrites: the
     # argument list that follows is valid for the target function, so a
     # paren-aware parser isn't needed). SQL UDFs can't define aggregates,
@@ -952,6 +953,26 @@ def parse_ch_ddl(sql: str) -> dict | None:
     m = re.match(r"RENAME\s+TABLE\s+(\w+)\s+TO\s+(\w+)\s*;?\s*$", s, re.IGNORECASE)
     if m:
         return {"op": "rename", "name": m.group(1), "to": m.group(2)}
+
+    m = re.match(
+        r"SYSTEM\s+(STOP|START)\s+MERGES(?:\s+(\w+))?\s*;?\s*$", s, re.IGNORECASE
+    )
+    if m:
+        return {
+            "op": "system_merges",
+            "action": m.group(1).lower(),
+            "table": m.group(2),
+        }
+
+    m = re.match(
+        r"ALTER\s+TABLE\s+(\w+)\s+MODIFY\s+TTL\s+(.+?)\s*;?\s*$", s, re.IGNORECASE | re.DOTALL
+    )
+    if m:
+        return {"op": "modify_ttl", "name": m.group(1), "ttl": " ".join(m.group(2).split())}
+
+    m = re.match(r"ALTER\s+TABLE\s+(\w+)\s+REMOVE\s+TTL\s*;?\s*$", s, re.IGNORECASE)
+    if m:
+        return {"op": "modify_ttl", "name": m.group(1), "ttl": None}
 
     m = re.match(r"EXCHANGE\s+TABLES\s+(\w+)\s+AND\s+(\w+)\s*;?\s*$", s, re.IGNORECASE)
     if m:

@@ -169,6 +169,14 @@ class Catalog:
         meta["settings"].update(settings)
         self._write_meta(name, meta)
 
+    def set_ttl(self, name: str, ttl: str | None) -> None:
+        """ALTER TABLE name MODIFY TTL expr / REMOVE TTL — metadata only,
+        like CH (existing rows are evicted by the next TTL merge pass,
+        here Engine.apply_ttl / OPTIMIZE)."""
+        meta = self._read_meta(name)
+        meta["ttl"] = ttl
+        self._write_meta(name, meta)
+
     # -- resolution -------------------------------------------------------
     def exists(self, name: str) -> bool:
         return os.path.exists(self._meta_path(name))

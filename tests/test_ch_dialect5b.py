@@ -70,3 +70,52 @@ def test_buffer_engine_routes_to_target(spark, tmp_warehouse):
         e.sql("CREATE TABLE buf2 (k UInt64) ENGINE = Buffer(default, dst, 16, 10, 100, 1, 1, 1, 1)")
     with pytest.raises(ValueError, match="does not exist"):
         e.sql("CREATE TABLE buf3 (k UInt64) ENGINE = Buffer(default, nope, 16, 10, 100, 1, 1, 1, 1)")
+
+
+def test_system_stop_start_merges(spark, tmp_warehouse):
+    e = Engine(spark, tmp_warehouse)
+    e.sql("CREATE TABLE sm (k UInt64, v Float64) ENGINE = MergeTree() ORDER BY k")
+    for i in range(10):
+        e.sql(f"INSERT INTO sm VALUES ({i}, {float(i)})")
+    e.sql("SYSTEM STOP MERGES sm")
+    assert e.merge_once("sm", min_parts_to_merge=2) == 0  # paused: no-op
+    with pytest.raises(ValueError, match="stopped"):
+        e.start_background_merges("sm")
+    e.sql("SYSTEM START MERGES sm")
+    assert e.merge_once("sm", min_parts_to_merge=2) > 0  # resumed
+    # global scope
+    e.sql("SYSTEM STOP MERGES")
+    assert e.merge_once("sm", min_parts_to_merge=1) == 0
+    e.sql("SYSTEM START MERGES")
+
+
+def test_alter_modify_and_remove_ttl(spark, tmp_warehouse):
+    e = Engine(spark, tmp_warehouse)
+    e.sql(
+        "CREATE TABLE tt (k UInt64, event_time DateTime) "
+        "ENGINE = MergeTree() ORDER BY k"
+    )
+    e.sql(
+        "INSERT INTO tt VALUES (1, '2026-01-01 00:00:00'), (2, '2026-01-03 00:00:00')"
+    )
+    assert e.catalog.get("tt").ttl is None
+    e.sql("ALTER TABLE tt MODIFY TTL event_time + INTERVAL 1 DAY")
+    assert e.catalog.get("tt").ttl == "event_time + INTERVAL 1 DAY"
+    e.optimize("tt", now="2026-01-02 12:00:00")  # row 1 expired, row 2 alive
+    assert [r["k"] for r in e.sql("SELECT k FROM tt ORDER BY k").collect()] == [2]
+    e.sql("ALTER TABLE tt REMOVE TTL")
+    assert e.catalog.get("tt").ttl is None
+    e.optimize("tt", now="2030-01-01 00:00:00")  # TTL gone: nothing evicts
+    assert [r["k"] for r in e.sql("SELECT k FROM tt").collect()] == [2]
+
+
+def test_system_projections_view(spark, tmp_warehouse):
+    e = Engine(spark, tmp_warehouse)
+    e.sql("CREATE TABLE pv (r String, v Float64, ts UInt64) ENGINE = MergeTree() ORDER BY ts")
+    e.sql("ALTER TABLE pv ADD PROJECTION agg (SELECT r, count(*) AS cnt GROUP BY r)")
+    row = e.sql(
+        "SELECT * FROM system.projections WHERE table = 'pv'"
+    ).first()
+    assert row["name"] == "agg" and row["type"] == "agg"
+    assert row["materialized"] is True  # empty base at ADD time
+    assert row["backing_table"] == "__proj_pv_agg"

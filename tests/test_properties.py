@@ -130,3 +130,72 @@ def test_parametric_rewriter_properties():
         assert tr(out) == out  # idempotent fixpoint
 
     check()
+
+
+# -- round-5 clause rewriters: ARRAY JOIN and scalar WITH (pure text) --------
+
+# prefixed so generated names never collide with SQL keywords, the fixture
+# table name, or each test's own column spellings
+_IDENT = st.from_regex(r"c_[a-z0-9_]{0,5}", fullmatch=True)
+
+
+def _balanced(s: str) -> bool:
+    depth = 0
+    quote = None
+    for c in s:
+        if quote:
+            if c == quote:
+                quote = None
+        elif c in "'\"":
+            quote = c
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth < 0:
+                return False
+    return depth == 0 and quote is None
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(_IDENT, min_size=1, max_size=3, unique=True),
+    st.booleans(),
+    st.booleans(),
+)
+def test_array_join_rewrite_laws(arrs, left, aliased):
+    from clickhousedatamocker_spark.functions.compat import _rewrite_array_join
+
+    items = ", ".join(f"{a} AS x_{a}" if aliased else a for a in arrs)
+    sql = f"SELECT id FROM t {'LEFT ' if left else ''}ARRAY JOIN {items} WHERE id > 0"
+    out = _rewrite_array_join(sql)
+    # laws: the CH spelling is gone, parens stay balanced, LEFT -> OUTER,
+    # the rewrite is a fixpoint, and string literals never change
+    assert "ARRAY JOIN" not in out.upper().replace("LATERAL VIEW", "")
+    assert _balanced(out)
+    assert ("OUTER" in out) == left
+    assert _rewrite_array_join(out) == out
+    lit = "SELECT 'keep ARRAY JOIN here' AS s FROM t"
+    assert _rewrite_array_join(lit) == lit
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(_IDENT, min_size=1, max_size=3, unique=True),
+    st.integers(min_value=0, max_value=99),
+)
+def test_scalar_with_rewrite_laws(names, k):
+    from clickhousedatamocker_spark.functions.compat import _rewrite_scalar_with
+
+    clause = ", ".join(f"{k} + {i} AS {n}" for i, n in enumerate(names))
+    sql = f"WITH {clause} SELECT {' + '.join(names)} AS total FROM t WHERE {names[0]} > 0"
+    out = _rewrite_scalar_with(sql)
+    # laws: no scalar-WITH prefix survives, every alias inlined as a
+    # parenthesized expression, balanced, fixpoint, CTE form untouched
+    assert not out.upper().lstrip().startswith("WITH")
+    for i, n in enumerate(names):
+        assert f"({k} + {i})" in out
+    assert _balanced(out)
+    assert _rewrite_scalar_with(out) == out
+    cte = f"WITH {names[0]} AS (SELECT 1 AS x) SELECT x FROM {names[0]}"
+    assert _rewrite_scalar_with(cte) == cte
