@@ -1098,7 +1098,7 @@ def parse_ch_ddl(sql: str) -> dict | None:
 
     m = re.match(
         r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\((.*)\)\s*"
-        r"ENGINE\s*=\s*(MergeTree|ReplacingMergeTree|SummingMergeTree|CollapsingMergeTree|VersionedCollapsingMergeTree|AggregatingMergeTree|Null)\s*(?:\(([^)]*)\))?\s*(.*)$",
+        r"ENGINE\s*=\s*((?:Replicated)?(?:MergeTree|ReplacingMergeTree|SummingMergeTree|CollapsingMergeTree|VersionedCollapsingMergeTree|AggregatingMergeTree)|Null)\s*(?:\(([^)]*)\))?\s*(.*)$",
         s,
         re.IGNORECASE | re.DOTALL,
     )
@@ -1114,8 +1114,18 @@ def parse_ch_ddl(sql: str) -> dict | None:
             # parens are optional in CH: ENGINE = MergeTree == MergeTree()
             "args": [a.strip() for a in (m.group(5) or "").split(",") if a.strip()],
         }
+        if engine["family"].startswith("Replicated"):
+            # Replicated*MergeTree('/zk/path', 'replica'[, familyArgs...]):
+            # this engine is single-process, so replication degenerates to
+            # the base family — the leading quoted coordination args are
+            # accepted and dropped (documented deviation), the family's own
+            # trailing args (e.g. Replacing's version column) are kept
+            engine["family"] = engine["family"][len("Replicated"):]
+            while engine["args"] and engine["args"][0][:1] in ("'", '"'):
+                engine["args"].pop(0)
         fields = []
         skip_indexes = []
+        column_defaults: dict[str, str] = {}
         for coldef in _split_top(cols_src):
             # data-skipping index clause: INDEX name expr TYPE kind [GRANULARITY g].
             # Accepted and recorded: the minmax kind is what Parquet row-group
@@ -1141,8 +1151,15 @@ def parse_ch_ddl(sql: str) -> dict | None:
             if not cm:
                 raise NotImplementedError(f"unparseable column definition {coldef!r}")
             cname, rest = cm.group(1), cm.group(2).strip()
-            # drop DEFAULT/CODEC/COMMENT tails after the type expression
-            rest = re.split(r"\s+(DEFAULT|MATERIALIZED|CODEC|COMMENT|TTL)\s", rest, flags=re.IGNORECASE)[0]
+            # split DEFAULT/CODEC/COMMENT tails off the type expression;
+            # DEFAULT expressions are KEPT (read-path fill, same mechanism
+            # as ADD COLUMN DEFAULT), the others are storage hints
+            parts = re.split(r"\s+(DEFAULT|MATERIALIZED|CODEC|COMMENT|TTL)\s", rest, flags=re.IGNORECASE)
+            for pi in range(1, len(parts) - 1, 2):
+                if parts[pi].upper() == "DEFAULT":
+                    column_defaults[cname] = parts[pi + 1].strip()
+                    break
+            rest = parts[0]
             dt, nullable = parse_ch_type(rest)
             # AggregateFunction(fn, T) columns carry their merge discipline
             # as field metadata — _merge_collapse reads it to pick the
@@ -1209,6 +1226,8 @@ def parse_ch_ddl(sql: str) -> dict | None:
             # hourly partitioning: a daily-horizon batch touches ≤24 values;
             # lets the writer size its shuffle to the key cardinality
             settings.setdefault("partition_buckets", 24)
+        if column_defaults:
+            settings["column_defaults"] = column_defaults
 
         return {
             "op": "create",

@@ -119,3 +119,37 @@ def test_system_projections_view(spark, tmp_warehouse):
     assert row["name"] == "agg" and row["type"] == "agg"
     assert row["materialized"] is True  # empty base at ADD time
     assert row["backing_table"] == "__proj_pv_agg"
+
+
+def test_create_level_column_defaults_fill(spark, tmp_warehouse):
+    e = Engine(spark, tmp_warehouse)
+    e.sql(
+        "CREATE TABLE dft (k UInt64, v Float64 DEFAULT 7.5, s String DEFAULT 'x') "
+        "ENGINE = MergeTree() ORDER BY k"
+    )
+    e.sql("INSERT INTO dft (k) VALUES (1)")
+    row = e.sql("SELECT * FROM dft").first()
+    assert (row["k"], row["v"], row["s"]) == (1, 7.5, "x")
+    # explicitly inserted values win over the default
+    e.sql("INSERT INTO dft VALUES (2, 1.25, 'y')")
+    rows = {r["k"]: (r["v"], r["s"]) for r in e.sql("SELECT * FROM dft").collect()}
+    assert rows == {1: (7.5, "x"), 2: (1.25, "y")}
+
+
+def test_replicated_engine_families_degenerate(spark, tmp_warehouse):
+    e = Engine(spark, tmp_warehouse)
+    e.sql(
+        "CREATE TABLE r1 (k UInt64, ver UInt64, v Float64) "
+        "ENGINE = ReplicatedReplacingMergeTree('/clickhouse/tables/r1', 'replica1', ver) "
+        "ORDER BY k"
+    )
+    assert e.catalog.get("r1").engine["family"] == "ReplacingMergeTree"
+    assert e.catalog.get("r1").engine["args"] == ["ver"]
+    e.sql("INSERT INTO r1 VALUES (1, 1, 10.0), (1, 2, 20.0)")
+    e.sql("OPTIMIZE TABLE r1 FINAL")
+    assert [tuple(r) for r in e.sql("SELECT k, v FROM r1").collect()] == [(1, 20.0)]
+    e.sql(
+        "CREATE TABLE r2 (k UInt64) "
+        "ENGINE = ReplicatedMergeTree('/clickhouse/tables/r2', '{replica}') ORDER BY k"
+    )
+    assert e.catalog.get("r2").engine["family"] == "MergeTree"
