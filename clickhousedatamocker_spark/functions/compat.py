@@ -1077,6 +1077,14 @@ def parse_ch_ddl(sql: str) -> dict | None:
             "select": m.group(3).rstrip().rstrip(";"),
         }
 
+    if re.match(r"CREATE\s+TABLE\b.*\bENGINE\s*=\s*Kafka\b", s, re.IGNORECASE | re.DOTALL):
+        raise NotImplementedError(
+            "ENGINE = Kafka is not supported (no broker here). The equivalent "
+            "pipeline is Structured Streaming: readStream -> foreachBatch -> "
+            "Engine.insert (streaming/ingest.py) — the same consume-into-MVs "
+            "flow a Kafka table + materialized view gives in ClickHouse"
+        )
+
     m = re.match(
         r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\((.*)\)\s*"
         r"ENGINE\s*=\s*Buffer\s*\(([^)]*)\)\s*;?\s*$",

@@ -176,3 +176,78 @@ def session_agg(
         F.col("w.end").alias("session_end"),
         *[c for c in out.columns if c != "w"],
     )
+
+
+def stream_embedding_near_dup_admission(
+    spark,
+    stream_df,
+    index_path: str,
+    sink_path: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    nprobe: int = 4,
+    self_planes: int = 4,
+    self_tables: int = 8,
+    dim: int = 64,
+):
+    """Always-on embedding-level near-dup admission — the semantic sibling
+    of :func:`stream_incremental_near_dedup`: each micro-batch queries the
+    persisted IVF ANN index (operators/similarity.py build_ann_index) for
+    its nearest existing neighbor and is rejected at cosine ≥ threshold;
+    within-batch near-dups keep the smallest id (OR-amplified LSH blocking
+    + exact verify — approximate by design, like the offline operator).
+    Survivors append to the sink AND to the index (ann_index_add:
+    codebook-pure assignment, O(batch)) so later batches dedup against
+    earlier ones.
+
+    Same delivery contract as the MinHash admission: idempotent
+    epoch-partitioned sink (dynamic partition overwrite), at-least-once
+    index append (duplicate index vectors re-produce the same rejections,
+    never reach the sink). The index must exist (seed it from the initial
+    corpus with build_ann_index) — its codebook, not the stream, defines
+    the bucket geometry, so every batch pays zero training."""
+    from clickhousedatamocker_spark.operators.similarity import (
+        ann_index_add,
+        ann_query_indexed,
+        embedding_near_dup_pairs,
+    )
+
+    def admit(batch_df, epoch_id):
+        batch_df = batch_df.persist()
+        try:
+            index_dups = (
+                ann_query_indexed(
+                    spark, index_path, batch_df, id_col, vec_col, k=1, nprobe=nprobe
+                )
+                .filter(F.col("cosine") >= threshold)
+                .select(F.col("query_id").alias(id_col))
+                .distinct()
+            )
+            self_dups = (
+                embedding_near_dup_pairs(
+                    batch_df, id_col, vec_col, threshold,
+                    num_planes=self_planes, num_tables=self_tables, dim=dim,
+                )
+                .select(F.col("id_b").alias(id_col))
+                .distinct()
+            )
+            dup_ids = index_dups.unionByName(self_dups).distinct()
+            fresh = batch_df.join(dup_ids, id_col, "left_anti").persist()
+            try:
+                fresh.withColumn("__epoch", F.lit(int(epoch_id))).write.option(
+                    "partitionOverwriteMode", "dynamic"
+                ).mode("overwrite").partitionBy("__epoch").parquet(sink_path)
+                ann_index_add(spark, index_path, fresh.select(id_col, vec_col), id_col, vec_col)
+            finally:
+                fresh.unpersist()
+        finally:
+            batch_df.unpersist()
+
+    return (
+        stream_df.writeStream.foreachBatch(admit)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

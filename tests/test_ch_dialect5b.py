@@ -153,3 +153,12 @@ def test_replicated_engine_families_degenerate(spark, tmp_warehouse):
         "ENGINE = ReplicatedMergeTree('/clickhouse/tables/r2', '{replica}') ORDER BY k"
     )
     assert e.catalog.get("r2").engine["family"] == "MergeTree"
+
+
+def test_kafka_engine_gated_loudly(spark, tmp_warehouse):
+    e = Engine(spark, tmp_warehouse)
+    with pytest.raises(NotImplementedError, match="Structured Streaming"):
+        e.sql(
+            "CREATE TABLE q (k UInt64) ENGINE = Kafka SETTINGS "
+            "kafka_broker_list = 'host:9092', kafka_topic_list = 't'"
+        )

@@ -323,3 +323,75 @@ def test_stream_incremental_near_dedup(spark, tmp_path):
         for r in spark.read.parquet(f"{index}/signatures").select("doc_id").collect()
     }
     assert idx_ids == kept
+
+
+def test_stream_embedding_near_dup_admission(spark, tmp_path):
+    """Semantic admission: batch 2 re-submits half of batch 1's vectors
+    under new ids — rejected against the index batch 1 appended; fresh
+    vectors pass; within-batch exact re-submissions keep the smallest id.
+    Stream == offline law: replaying the batches through the offline
+    operators yields the identical admitted set."""
+    from clickhousedatamocker_spark.operators.similarity import (
+        ann_index_add,
+        ann_query_indexed,
+        build_ann_index,
+        embedding_near_dup_pairs,
+        ivf_train,
+    )
+    from clickhousedatamocker_spark.streaming.windows import (
+        stream_embedding_near_dup_admission,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select("vec_id", "embedding")
+    seed = emb.filter(F.col("vec_id") < 100)
+    codebook = ivf_train(seed, n_centroids=8, n_iters=2)
+
+    # batch 1: vectors 100-149 + an exact within-batch clone of 100 as 900001.
+    # batch 2: vectors 200-249 (fresh) + clones of 100-119 as 910000+ (dups
+    # against what batch 1 added).
+    b1 = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 150)).unionByName(
+        emb.filter(F.col("vec_id") == 100).withColumn("vec_id", F.lit(900001))
+    )
+    b2 = emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 250)).unionByName(
+        emb.filter(F.col("vec_id") < 120)
+        .filter(F.col("vec_id") >= 100)
+        .withColumn("vec_id", F.col("vec_id") + 910000)
+    )
+    src = str(tmp_path / "esrc")
+    for b in (b1, b2):
+        b.coalesce(1).write.mode("append").parquet(src)
+
+    index = str(tmp_path / "eindex")
+    build_ann_index(seed, index, centroids=codebook)
+    sink = str(tmp_path / "esink")
+    stream = spark.readStream.schema(emb.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = stream_embedding_near_dup_admission(
+        spark, stream, index, sink, str(tmp_path / "eckpt"), threshold=0.999
+    )
+    q.awaitTermination(240)
+    kept = {r["vec_id"] for r in spark.read.parquet(sink).select("vec_id").collect()}
+
+    # offline replay with the same primitives == the streamed result
+    index2 = str(tmp_path / "eindex2")
+    build_ann_index(seed, index2, centroids=codebook)
+    expected = set()
+    for b in (b1, b2):
+        dup = {
+            r["query_id"]
+            for r in ann_query_indexed(spark, index2, b, k=1, nprobe=4)
+            .filter(F.col("cosine") >= 0.999)
+            .collect()
+        } | {
+            r["id_b"]
+            for r in embedding_near_dup_pairs(
+                b, threshold=0.999, num_planes=4, num_tables=8
+            ).collect()
+        }
+        fresh = b.filter(~F.col("vec_id").isin(list(dup)))
+        expected |= {r["vec_id"] for r in fresh.select("vec_id").collect()}
+        ann_index_add(spark, index2, fresh)
+    assert kept == expected
+    # the planted dups were rejected; the fresh vectors admitted
+    assert 900001 not in kept
+    assert not any(v >= 910000 for v in kept)
+    assert {v for v in kept if 200 <= v < 250} == set(range(200, 250))
