@@ -363,6 +363,7 @@ class Engine:
 
     # -- DML --------------------------------------------------------------
     def insert(self, table: str, df: DataFrame, *, async_insert: bool = False, **kwargs) -> InsertResult:
+        df = self._apply_materialized_columns(table, df)
         if async_insert:
             return self._spool_insert(table, df)
         spec = self._distributed_spec(table)
@@ -861,6 +862,35 @@ class Engine:
         self.catalog.alter_schema(name, schema)
         self._invalidate_reads(name)
 
+    def _apply_materialized_columns(self, table: str, df: DataFrame) -> DataFrame:
+        """MATERIALIZED columns are ALWAYS computed at insert from their
+        expression — an incoming value for one is overwritten (CH rejects
+        inserting into them; overwrite is this engine's loud-enough
+        equivalent, and the VALUES/FORMAT statement paths exclude them from
+        the expected arity exactly like CH)."""
+        from clickhousedatamocker_spark.functions.compat import translate_ch_sql
+
+        handle = self.catalog.get(self.catalog.resolve(table))
+        mat = (handle.settings or {}).get("column_materialized") or {}
+        if not mat:
+            return df
+        dtypes = {f.name: f.dataType for f in handle.schema.fields}
+        for col, expr in mat.items():
+            df = df.withColumn(col, F.expr(translate_ch_sql(str(expr))).cast(dtypes[col]))
+        return df.select(*[f.name for f in handle.schema.fields])
+
+    def _apply_alias_columns(self, df: DataFrame, handle: TableHandle) -> DataFrame:
+        """ALIAS columns are virtual: computed at read, never stored.
+        Deviation (shared with MATERIALIZED): they appear in SELECT *,
+        where CH lists only ordinary columns."""
+        from clickhousedatamocker_spark.functions.compat import parse_ch_type, translate_ch_sql
+
+        aliases = (handle.settings or {}).get("column_aliases") or {}
+        for col, spec in aliases.items():
+            dtype, _ = parse_ch_type(spec["type"])
+            df = df.withColumn(col, F.expr(translate_ch_sql(str(spec["expr"]))).cast(dtype))
+        return df
+
     def _apply_column_defaults(self, df: DataFrame, handle: TableHandle) -> DataFrame:
         defaults = (handle.settings or {}).get("column_defaults") or {}
         for col, expr in defaults.items():
@@ -886,8 +916,12 @@ class Engine:
         handle = self.catalog.get(name)
         if not any(os.scandir(handle.path)) if os.path.isdir(handle.path) else True:
             return self.spark.createDataFrame([], handle.schema)
-        return self._apply_column_defaults(
-            self.spark.read.schema(_schema_with_partition(handle)).parquet(handle.path), handle
+        return self._apply_alias_columns(
+            self._apply_column_defaults(
+                self.spark.read.schema(_schema_with_partition(handle)).parquet(handle.path),
+                handle,
+            ),
+            handle,
         )
 
     # -- introspection ----------------------------------------------------
@@ -925,14 +959,19 @@ class Engine:
             if os.path.isdir(handle.path) and any(
                 True for _ in os.scandir(handle.path) if _.name.endswith(".parquet") or "=" in _.name
             ):
-                self._apply_column_defaults(
-                    self.spark.read.schema(_schema_with_partition(handle)).parquet(handle.path),
+                self._apply_alias_columns(
+                    self._apply_column_defaults(
+                        self.spark.read.schema(_schema_with_partition(handle)).parquet(handle.path),
+                        handle,
+                    ),
                     handle,
                 ).createOrReplaceTempView(name)
             else:
                 # empty table: a typed empty view, so SELECTs work like CH
                 # (also shadows any stale view a DROP + re-CREATE left)
-                self.spark.createDataFrame([], _schema_with_partition(handle)).createOrReplaceTempView(name)
+                self._apply_alias_columns(
+                    self.spark.createDataFrame([], _schema_with_partition(handle)), handle
+                ).createOrReplaceTempView(name)
             self._registered_versions[name] = version
         # plain views LAST: their plans reference the table views above, so
         # re-deriving them here keeps them reading the current table state
@@ -1378,9 +1417,15 @@ class Engine:
             base = handle
             while base.alias_of:
                 base = self.catalog.get(base.alias_of)
-            fields = list(base.schema.fields)
+            mat = (base.settings or {}).get("column_materialized") or {}
+            fields = [f for f in base.schema.fields if f.name not in mat]
             if ins["columns"]:
-                by_name = {f.name: f for f in fields}
+                bad = [c for c in ins["columns"] if c in mat]
+                if bad:
+                    raise ValueError(
+                        f"cannot INSERT into MATERIALIZED column(s) {bad} (computed)"
+                    )
+                by_name = {f.name: f for f in base.schema.fields}
                 fields = [by_name[c] for c in ins["columns"]]
             df = self.spark.sql(f"SELECT * FROM VALUES {ins['values']}")
             if len(df.columns) != len(fields):
@@ -1412,18 +1457,26 @@ class Engine:
             base = handle
             while base.alias_of:
                 base = self.catalog.get(base.alias_of)
-            schema = base.schema
-            if ins["columns"]:
-                by_name = {f.name: f for f in schema.fields}
-                from pyspark.sql import types as T
+            from pyspark.sql import types as T
 
+            mat = (base.settings or {}).get("column_materialized") or {}
+            # payload columns exclude MATERIALIZED ones (computed at insert;
+            # CH's formats carry only ordinary columns)
+            schema = T.StructType([f for f in base.schema.fields if f.name not in mat])
+            if ins["columns"]:
+                bad = [c for c in ins["columns"] if c in mat]
+                if bad:
+                    raise ValueError(
+                        f"cannot INSERT into MATERIALIZED column(s) {bad} (computed)"
+                    )
+                by_name = {f.name: f for f in base.schema.fields}
                 schema = T.StructType([by_name[c] for c in ins["columns"]])
             df = read_format(self.spark, data, ins["format"], schema)
             if ins["columns"]:
                 for f in base.schema.fields:
-                    if f.name not in ins["columns"]:
+                    if f.name not in ins["columns"] and f.name not in mat:
                         df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
-                df = df.select(*[f.name for f in base.schema.fields])
+                df = df.select(*[f.name for f in base.schema.fields if f.name not in mat])
             self.insert(ins["table"], df)
             return self.spark.createDataFrame([], "result string")
 

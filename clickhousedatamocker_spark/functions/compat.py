@@ -1134,6 +1134,8 @@ def parse_ch_ddl(sql: str) -> dict | None:
         fields = []
         skip_indexes = []
         column_defaults: dict[str, str] = {}
+        column_materialized: dict[str, str] = {}
+        column_aliases: dict[str, dict] = {}
         for coldef in _split_top(cols_src):
             # data-skipping index clause: INDEX name expr TYPE kind [GRANULARITY g].
             # Accepted and recorded: the minmax kind is what Parquet row-group
@@ -1159,15 +1161,31 @@ def parse_ch_ddl(sql: str) -> dict | None:
             if not cm:
                 raise NotImplementedError(f"unparseable column definition {coldef!r}")
             cname, rest = cm.group(1), cm.group(2).strip()
-            # split DEFAULT/CODEC/COMMENT tails off the type expression;
-            # DEFAULT expressions are KEPT (read-path fill, same mechanism
-            # as ADD COLUMN DEFAULT), the others are storage hints
-            parts = re.split(r"\s+(DEFAULT|MATERIALIZED|CODEC|COMMENT|TTL)\s", rest, flags=re.IGNORECASE)
+            # split DEFAULT/MATERIALIZED/ALIAS/CODEC/COMMENT tails off the
+            # type expression. DEFAULT -> read-path fill (same mechanism as
+            # ADD COLUMN DEFAULT); MATERIALIZED -> computed at insert,
+            # stored; ALIAS -> computed at read, never stored; CODEC/
+            # COMMENT/TTL are storage hints and drop.
+            parts = re.split(
+                r"\s+(DEFAULT|MATERIALIZED|ALIAS|CODEC|COMMENT|TTL)\s", rest, flags=re.IGNORECASE
+            )
             for pi in range(1, len(parts) - 1, 2):
-                if parts[pi].upper() == "DEFAULT":
+                kw = parts[pi].upper()
+                if kw == "DEFAULT":
                     column_defaults[cname] = parts[pi + 1].strip()
-                    break
+                elif kw == "MATERIALIZED":
+                    column_materialized[cname] = parts[pi + 1].strip()
+                elif kw == "ALIAS":
+                    column_aliases[cname] = {
+                        "expr": parts[pi + 1].strip(),
+                        "type": parts[0].strip(),
+                    }
+                else:
+                    continue
+                break
             rest = parts[0]
+            if cname in column_aliases:
+                continue  # ALIAS columns are virtual: never in the stored schema
             dt, nullable = parse_ch_type(rest)
             # AggregateFunction(fn, T) columns carry their merge discipline
             # as field metadata — _merge_collapse reads it to pick the
@@ -1236,6 +1254,10 @@ def parse_ch_ddl(sql: str) -> dict | None:
             settings.setdefault("partition_buckets", 24)
         if column_defaults:
             settings["column_defaults"] = column_defaults
+        if column_materialized:
+            settings["column_materialized"] = column_materialized
+        if column_aliases:
+            settings["column_aliases"] = column_aliases
 
         return {
             "op": "create",

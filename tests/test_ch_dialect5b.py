@@ -162,3 +162,25 @@ def test_kafka_engine_gated_loudly(spark, tmp_warehouse):
             "CREATE TABLE q (k UInt64) ENGINE = Kafka SETTINGS "
             "kafka_broker_list = 'host:9092', kafka_topic_list = 't'"
         )
+
+
+def test_materialized_and_alias_columns(spark, tmp_warehouse):
+    e = Engine(spark, tmp_warehouse)
+    e.sql(
+        "CREATE TABLE mc (a UInt64, b UInt64 MATERIALIZED a * 2, "
+        "c UInt64 ALIAS a + 100) ENGINE = MergeTree() ORDER BY a"
+    )
+    # VALUES arity excludes MATERIALIZED and ALIAS columns, as CH
+    e.sql("INSERT INTO mc VALUES (3), (5)")
+    rows = {r["a"]: (r["b"], r["c"]) for r in e.sql("SELECT a, b, c FROM mc").collect()}
+    assert rows == {3: (6, 103), 5: (10, 105)}
+    # MATERIALIZED is stored; ALIAS is virtual (computed at read)
+    import pyspark.sql.functions as F
+
+    stored = spark.read.parquet(e.catalog.get("mc").path).columns
+    assert "b" in stored and "c" not in stored
+    # explicit insert into a MATERIALIZED column is refused
+    with pytest.raises(ValueError, match="MATERIALIZED"):
+        e.sql("INSERT INTO mc (a, b) VALUES (1, 999)")
+    # expressions usable in WHERE through the dialect
+    assert e.sql("SELECT count(*) AS n FROM mc WHERE c > 104").first()["n"] == 1
