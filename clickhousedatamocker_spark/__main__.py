@@ -79,8 +79,14 @@ def main(argv: list[str] | None = None) -> int:
     engine = Engine(spark, args.warehouse)
     rc = 0
     try:
+        import re as _re
+
         for stmt in stmts:
-            df = engine.sql(stmt, data=args.data)
+            # --data is the INSERT ... FORMAT payload; passing it to a bare
+            # SELECT ... FORMAT would redirect the result INTO that file,
+            # clobbering the payload — SELECT output belongs on stdout here
+            is_insert = _re.match(r"\s*INSERT\b", stmt, _re.IGNORECASE) is not None
+            df = engine.sql(stmt, data=args.data if is_insert else None)
             if df is not None and df.columns:
                 # TabSeparated to stdout, clickhouse-client's default
                 for row in df.collect():

@@ -72,6 +72,10 @@ class Engine:
         # set of tables with merges administratively stopped ("*" = all)
         self._merge_daemons: dict[str, object] = {}
         self._merges_stopped: set[str] = set()
+        # views + MV triggers persist in the warehouse: a second process
+        # (e.g. another CLI invocation) must keep maintaining projections
+        # and MVs, or persisted materialized state silently goes stale
+        self._load_view_registry()
         # cluster name -> shard count. The reference's 'default' cluster is
         # single-node (create_distributed.sql:6 — and its comment says "no
         # sharding_key"), so Distributed there degenerates to a plain alias.
@@ -266,6 +270,29 @@ class Engine:
         self.catalog.set_projections(name, projs)
         self._catalog_version += 1
 
+    def _view_registry_path(self) -> str:
+        return os.path.join(self.catalog.warehouse_dir, "__views.json")
+
+    def _save_view_registry(self) -> None:
+        import json
+
+        os.makedirs(self.catalog.warehouse_dir, exist_ok=True)
+        with open(self._view_registry_path(), "w") as f:
+            json.dump(
+                {"views": self._views, "materialized": self._materialized_views}, f
+            )
+
+    def _load_view_registry(self) -> None:
+        import json
+
+        try:
+            with open(self._view_registry_path()) as f:
+                reg = json.load(f)
+        except FileNotFoundError:
+            return
+        self._views.update(reg.get("views") or {})
+        self._materialized_views.update(reg.get("materialized") or {})
+
     def drop_table(self, name: str, if_exists: bool = True) -> None:
         if self.catalog.exists(name):
             # projections die with their table (their data lives in the
@@ -276,9 +303,11 @@ class Engine:
         if name in self._views:
             # plain view: forget the saved select and the registered alias
             self._views.pop(name)
+            self._save_view_registry()
             self.spark.catalog.dropTempView(name)
             return
-        self._materialized_views.pop(name, None)
+        if self._materialized_views.pop(name, None) is not None:
+            self._save_view_registry()
         self._catalog_version += 1
         # Capture the data path BEFORE the catalog forgets the table: the
         # detached area is a sibling dir the catalog's drop doesn't know
@@ -469,6 +498,7 @@ class Engine:
             if_not_exists=False,
         )
         self._materialized_views[name] = {"src": src, "sql": select_sql}
+        self._save_view_registry()
 
     def _select_over_batch(self, select_sql: str, src: str, batch: DataFrame) -> DataFrame:
         import re as _re
@@ -530,11 +560,29 @@ class Engine:
             self.metrics.set("DistributedFilesToInsert", len(self._pending_spool(table)))
         return results
 
+    def _invalidate_projections(self, table: str) -> None:
+        """Row-changing mutations leave projection backing tables stale.
+        ClickHouse rebuilds projections inside the mutation; here the
+        projection is marked unmaterialized instead — routing falls back
+        to the base table, so answers stay CORRECT — until MATERIALIZE
+        PROJECTION rebuilds it (the cheap-mutation trade, documented)."""
+        name = self.catalog.resolve(table) if self.catalog.exists(table) else table
+        projs = self.catalog.get_projections(name)
+        changed = False
+        for p in projs.values():
+            if p.get("materialized"):
+                p["materialized"] = False
+                changed = True
+        if changed:
+            self.catalog.set_projections(name, projs)
+            self._catalog_version += 1
+
     def delete_where(self, table: str, predicate: str) -> int:
         """``ALTER TABLE … DELETE WHERE predicate`` (synchronous mutation:
         partition-pruned rewrite of affected parts, old parts retired,
         ``PartsMutations`` incremented). Returns rows deleted."""
         handle = self.catalog.get(self.catalog.resolve(table))
+        self._invalidate_projections(table)
         return self.writer.mutate_delete(self.spark, handle, predicate)
 
     # -- partition manipulation (CH ALTER ... DROP/DETACH/ATTACH PARTITION)
@@ -551,6 +599,7 @@ class Engine:
         operation, NOT a rewrite (the whole point of partitioned layouts:
         retention by partition costs O(files), zero data pass at any
         scale). Returns the number of parts dropped."""
+        self._invalidate_projections(table)
         import shutil
 
         handle = self.catalog.get(self.catalog.resolve(table))
@@ -596,6 +645,7 @@ class Engine:
         the rows; ATTACH brings them back. Same O(files) discipline.
         Detaching the same partition twice MERGES the file sets (rename on
         collision) — earlier detached data is never destroyed."""
+        self._invalidate_projections(table)
         handle = self.catalog.get(self.catalog.resolve(table))
         part_dir, detached_dir = self._partition_dir(handle, partition)
         names = self.parts.active_names(handle.name, handle.path, partition)
@@ -610,6 +660,7 @@ class Engine:
         and re-register them as active parts. If the partition was
         re-created after the DETACH (new inserts), the file sets MERGE —
         never a nested directory, never an overwrite."""
+        self._invalidate_projections(table)
         handle = self.catalog.get(self.catalog.resolve(table))
         part_dir, detached_dir = self._partition_dir(handle, partition)
         if not os.path.isdir(detached_dir):
@@ -623,6 +674,7 @@ class Engine:
         """``ALTER TABLE … UPDATE col=expr WHERE predicate`` (synchronous
         mutation; see delete_where). Returns rows updated."""
         handle = self.catalog.get(self.catalog.resolve(table))
+        self._invalidate_projections(table)
         return self.writer.mutate_update(self.spark, handle, assignments, predicate)
 
     def apply_ttl(self, table: str, now: str | None = None) -> int:
@@ -656,6 +708,12 @@ class Engine:
         handle = self.catalog.get(self.catalog.resolve(table))
         if handle.ttl:
             self.apply_ttl(table, now=now)
+        family = (handle.engine or {}).get("family", "MergeTree")
+        if deduplicate or family != "MergeTree":
+            # the merge rewrite changes VISIBLE rows (dedup / engine-family
+            # collapse) -> stored projection partials no longer re-merge to
+            # the base answer
+            self._invalidate_projections(table)
         return self.writer.optimize(
             self.spark, handle, deduplicate=deduplicate, partition=partition
         )
@@ -732,9 +790,10 @@ class Engine:
                     sched.stop()
                     self._merge_daemons.pop(name, None)
         else:
+            # CH keeps the global and per-table flags independent: global
+            # START clears only the global stop (explicit per-table stops
+            # survive), and per-table START cannot override a global stop
             self._merges_stopped.discard(scope)
-            if scope == "*":
-                self._merges_stopped.clear()
 
     # -- backup / restore ---------------------------------------------------
     def backup_table(self, table: str, dest: str) -> None:
@@ -1052,6 +1111,12 @@ class Engine:
 
         return pat.sub(sub, query)
 
+    # keywords legal in a routed query's trailing clauses (checked against
+    # predicate_identifiers, which already drops AND/OR/NOT/etc.)
+    _TAIL_WORDS_DEF = frozenset(
+        {"HAVING", "ORDER", "BY", "LIMIT", "ASC", "DESC", "NULLS", "FIRST", "LAST", "OFFSET"}
+    )
+
     def _rewrite_projection_reads(self, query: str) -> str:
         """Route an eligible single-table SELECT to a materialized
         projection's hidden backing table (CH's automatic projection
@@ -1140,6 +1205,23 @@ class Engine:
                         break
                 if not ok:
                     continue
+                # the HAVING/ORDER BY/LIMIT tail is appended VERBATIM, so it
+                # must not contain raw aggregate calls (they would evaluate
+                # over the hidden table's per-block partials, silently
+                # wrong) and may reference only group keys / agg aliases
+                if "(" in rest:
+                    continue
+                aliases = {
+                    _re.search(r"AS\s+(\w+)\s*$", mp).group(1)
+                    for mp in mapped
+                    if _re.search(r"AS\s+(\w+)\s*$", mp)
+                }
+                tail_ids = {
+                    w for w in predicate_identifiers(rest)
+                    if w.upper() not in self._TAIL_WORDS_DEF
+                }
+                if not tail_ids <= set(qkeys) | aliases:
+                    continue
                 routed = f"SELECT {', '.join(mapped)} FROM {p['hidden']}"
                 if where:
                     routed += f" WHERE {where}"
@@ -1147,6 +1229,12 @@ class Engine:
                 return routed
             if spec["kind"] == "sort" and not group:
                 cols = set(spec["cols"])
+                tail_ids = {
+                    w for w in predicate_identifiers(rest)
+                    if w.upper() not in self._TAIL_WORDS_DEF
+                }
+                if "(" in rest or tail_ids - cols:
+                    continue
                 if all(_re.fullmatch(r"\w+", i) and i in cols for i in items) and wids <= cols:
                     routed = f"SELECT {', '.join(items)} FROM {p['hidden']}"
                     if where:
@@ -1676,6 +1764,7 @@ class Engine:
                     self.catalog.create_alias(
                         ddl["name"],
                         ddl["target"],
+                        if_not_exists=False,
                         engine={"family": "Buffer", "args": ddl["args"]},
                     )
                     self._catalog_version += 1
@@ -1753,6 +1842,9 @@ class Engine:
                 # EXCHANGE TABLES a AND b: CH's atomic swap — here three
                 # O(1) metadata+directory renames (no data pass at any scale)
                 a, b = ddl["a"], ddl["b"]
+                for t in (a, b):
+                    if not self.catalog.exists(t):
+                        raise ValueError(f"EXCHANGE TABLES: table {t!r} does not exist")
                 if self.catalog.get_projections(a) or self.catalog.get_projections(b):
                     raise NotImplementedError(
                         "EXCHANGE of tables with projections is not supported: "
@@ -1835,6 +1927,7 @@ class Engine:
                     if self.catalog.exists(ddl["name"]):
                         raise ValueError(f"table {ddl['name']!r} already exists")
                     self._views[ddl["name"]] = ddl["select"]
+                    self._save_view_registry()
                     self.refresh_system_views()
             elif ddl["op"] == "mv":
                 if not (ddl["if_not_exists"] and ddl["name"] in self._materialized_views):

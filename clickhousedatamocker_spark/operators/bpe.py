@@ -27,7 +27,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_END = "</w>"  # end-of-word sentinel (Sennrich): keeps merges word-internal
+# End-of-word sentinel (Sennrich): keeps merges word-internal. A PRIVATE-USE
+# codepoint, not the classic "</w>" — real corpora contain the literal
+# string "</w>" (markup), which would collide with the sentinel and break
+# the decode(encode(x)) round-trip. Input occurrences of the sentinel char
+# itself are stripped before segmentation (the one documented lossy case).
+_END = "\ue000"
 
 
 def word_counts(
@@ -40,7 +45,11 @@ def word_counts(
     driver. Splitting is simple whitespace: BPE's pre-tokenization
     contract; empty strings are dropped."""
     rows = (
-        docs.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("w"))
+        docs.select(
+            F.explode(
+                F.split(F.regexp_replace(F.col(text_col), _END, ""), r"\s+")
+            ).alias("w")
+        )
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -147,7 +156,7 @@ def bpe_encode(
             pdf = pdf.copy()
             toks = []
             for text in pdf[text_col]:
-                words = [w for w in (text or "").split() if w]
+                words = [w for w in (text or "").replace(_END, "").split() if w]
                 out: list[str] = []
                 for w in words:
                     got = cache.get(w)

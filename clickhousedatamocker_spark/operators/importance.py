@@ -117,12 +117,18 @@ def dsir_score(
     def score(batches):
         LR = bc.value
         for pdf in batches:
+            # None buckets (NULL text) stay None — the literal path's
+            # aggregate over a NULL array yields NULL, and both paths must
+            # agree regardless of bucket count
             vals = [
-                float(LR[np.asarray(b, dtype=np.int64)].sum()) if len(b) else 0.0
+                None if b is None else (float(LR[np.asarray(b, dtype=np.int64)].sum()) if len(b) else 0.0)
                 for b in pdf["__b"]
             ]
             pdf = pdf.drop(columns=["__b"])
-            pdf[out_col] = pd.Series(vals, index=pdf.index, dtype=float)
+            # nullable Float64, not float64: None must arrive as SQL NULL
+            # (plain float dtype would coerce it to NaN, which Spark keeps
+            # as NaN — diverging from the literal path's NULL)
+            pdf[out_col] = pd.Series(vals, index=pdf.index, dtype="Float64")
             yield pdf
 
     return with_b.mapInPandas(score, out_schema)

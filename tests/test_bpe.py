@@ -21,6 +21,15 @@ def corpus(spark):
     return spark.createDataFrame(rows, "text string")
 
 
+def test_sentinel_literal_in_text_roundtrips(spark):
+    # the classic "</w>" sentinel collides with real markup text; the
+    # private-use sentinel doesn't — literal "</w>" round-trips
+    docs = spark.createDataFrame([("a</w>b low",)], "text string")
+    merges = bpe.train_bpe(docs, num_merges=8)
+    row = bpe.bpe_encode(docs, "text", merges).first()
+    assert bpe.bpe_decode_tokens(list(row["bpe_tokens"])) == "a</w>b low"
+
+
 def test_word_counts_match_python_counter(spark, corpus):
     from collections import Counter
 
@@ -39,7 +48,7 @@ def test_train_bpe_sennrich_merges(spark, corpus):
     merges = bpe.train_bpe(corpus, num_merges=4)
     # 9 'es' pairs (newest 6 + widest 3) beat everything; then 'es'+'t' (9),
     # then 'est'+'</w>' (9), then 'l'+'o' (7)
-    assert merges[:4] == [("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o")]
+    assert merges[:4] == [("e", "s"), ("es", "t"), ("est", bpe._END), ("l", "o")]
 
 
 def test_encode_applies_merges_and_caches(spark, corpus):
@@ -58,7 +67,7 @@ def test_encode_applies_merges_and_caches(spark, corpus):
 
 def _ref_encode_word(word, merges):
     """From-scratch reference segmenter: apply merges in rank order."""
-    syms = list(word) + ["</w>"]
+    syms = list(word) + [bpe._END]
     for a, b in merges:
         i = 0
         while i < len(syms) - 1:

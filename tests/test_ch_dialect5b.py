@@ -184,3 +184,40 @@ def test_materialized_and_alias_columns(spark, tmp_warehouse):
         e.sql("INSERT INTO mc (a, b) VALUES (1, 999)")
     # expressions usable in WHERE through the dialect
     assert e.sql("SELECT count(*) AS n FROM mc WHERE c > 104").first()["n"] == 1
+
+
+def test_exchange_validates_both_tables_first(spark, tmp_warehouse):
+    e = Engine(spark, tmp_warehouse)
+    e.sql("CREATE TABLE solo (k UInt64) ENGINE = MergeTree() ORDER BY k")
+    e.sql("INSERT INTO solo VALUES (1)")
+    with pytest.raises(ValueError, match="does not exist"):
+        e.sql("EXCHANGE TABLES solo AND missing")
+    # the failed swap left the existing table untouched
+    assert e.sql("SELECT k FROM solo").first()["k"] == 1
+
+
+def test_buffer_duplicate_create_is_loud(spark, tmp_warehouse):
+    e = Engine(spark, tmp_warehouse)
+    e.sql("CREATE TABLE bt (k UInt64) ENGINE = MergeTree() ORDER BY k")
+    e.sql("CREATE TABLE bb (k UInt64) ENGINE = Buffer(default, bt, 16, 10, 100, 1, 1, 1, 1)")
+    with pytest.raises(ValueError, match="already exists"):
+        e.sql("CREATE TABLE bb (k UInt64) ENGINE = Buffer(default, bt, 16, 10, 100, 1, 1, 1, 1)")
+    # IF NOT EXISTS form stays a no-op
+    e.sql("CREATE TABLE IF NOT EXISTS bb (k UInt64) ENGINE = Buffer(default, bt, 16, 10, 100, 1, 1, 1, 1)")
+
+
+def test_merges_stop_scopes_are_independent(spark, tmp_warehouse):
+    e = Engine(spark, tmp_warehouse)
+    e.sql("CREATE TABLE ms (k UInt64) ENGINE = MergeTree() ORDER BY k")
+    for i in range(6):
+        e.sql(f"INSERT INTO ms VALUES ({i})")
+    # per-table START cannot override a global STOP (independent flags, CH)
+    e.sql("SYSTEM STOP MERGES")
+    e.sql("SYSTEM START MERGES ms")
+    assert e.merge_once("ms", min_parts_to_merge=2) == 0
+    # global START clears only the global flag; an explicit per-table stop survives
+    e.sql("SYSTEM STOP MERGES ms")
+    e.sql("SYSTEM START MERGES")
+    assert e.merge_once("ms", min_parts_to_merge=2) == 0
+    e.sql("SYSTEM START MERGES ms")
+    assert e.merge_once("ms", min_parts_to_merge=2) > 0

@@ -33,6 +33,7 @@ def corpora(spark):
             (3, "quick brown fox over the dog"),  # target-like
             (4, "consectetur adipiscing elit"),   # background-like
             (5, ""),                              # empty: score 0
+            (6, None),                            # NULL text: score NULL
         ],
         "doc_id long, text string",
     )
@@ -41,7 +42,7 @@ def corpora(spark):
 
 def _buckets(df, nb=NB):
     rows = df.select("doc_id", imp._gram_buckets("text", nb).alias("b")).collect()
-    return {r["doc_id"]: list(r["b"]) for r in rows}
+    return {r["doc_id"]: (None if r["b"] is None else list(r["b"])) for r in rows}
 
 
 def test_model_matches_python_counting(spark, corpora):
@@ -64,14 +65,18 @@ def test_score_matches_reference_and_arrow_path(spark, corpora, monkeypatch):
     bm = imp.train_hashed_ngram_model(background, num_buckets=NB)
     lr = [math.log(t) - math.log(b) for t, b in zip(tm, bm)]
     want = {
-        d: sum(lr[b] for b in bs) for d, bs in _buckets(cand).items()
+        d: (None if bs is None else sum(lr[b] for b in bs))
+        for d, bs in _buckets(cand).items()
     }
     got = {
         r["doc_id"]: r["importance"]
         for r in imp.dsir_score(cand, tm, bm).collect()
     }
     for d in want:
-        assert got[d] == pytest.approx(want[d], abs=1e-9)
+        if want[d] is None:
+            assert got[d] is None
+        else:
+            assert got[d] == pytest.approx(want[d], abs=1e-9)
     assert got[5] == 0.0
     # Arrow path (forced) agrees exactly with the literal path
     monkeypatch.setattr(imp, "_LITERAL_MODEL_MAX", 0)
@@ -80,7 +85,10 @@ def test_score_matches_reference_and_arrow_path(spark, corpora, monkeypatch):
         for r in imp.dsir_score(cand, tm, bm).collect()
     }
     for d in want:
-        assert arrow[d] == pytest.approx(got[d], abs=1e-9)
+        if got[d] is None:
+            assert arrow[d] is None
+        else:
+            assert arrow[d] == pytest.approx(got[d], abs=1e-9)
 
 
 def test_scores_separate_target_from_background(spark, corpora):

@@ -144,3 +144,60 @@ def test_projection_lifecycle_guards(eng):
         e2 = eng
         e2.sql("CREATE TABLE t2 (k UInt64, v Float64) ENGINE = MergeTree() ORDER BY k")
         e2.sql("ALTER TABLE t2 ADD PROJECTION bad (SELECT k, approx_count_distinct(v) AS u GROUP BY k)")
+
+
+def test_mutations_invalidate_projection_routing(eng):
+    eng.sql(
+        "ALTER TABLE hits ADD PROJECTION by_region "
+        "(SELECT region, count(*) AS cnt, sum(amount) AS sum_amount GROUP BY region)"
+    )
+    eng.sql("ALTER TABLE hits MATERIALIZE PROJECTION by_region")
+    assert "__proj_" in "\n".join(r[0] for r in eng.sql(f"EXPLAIN SYNTAX {AGG_Q}").collect())
+    eng.sql("DELETE FROM hits WHERE region = 'eu'")
+    # stale projection must NOT be routed — answers come from base, correct
+    syntax = "\n".join(r[0] for r in eng.sql(f"EXPLAIN SYNTAX {AGG_Q}").collect())
+    assert "__proj_" not in syntax
+    got = {r["region"]: r["n"] for r in eng.sql(AGG_Q).collect()}
+    assert "eu" not in got and got == {"ap": 1, "us": 2}
+    # MATERIALIZE re-syncs and re-enables routing, same answers
+    eng.sql("ALTER TABLE hits MATERIALIZE PROJECTION by_region")
+    assert "__proj_" in "\n".join(r[0] for r in eng.sql(f"EXPLAIN SYNTAX {AGG_Q}").collect())
+    assert {r["region"]: r["n"] for r in eng.sql(AGG_Q).collect()} == got
+
+
+def test_projection_maintenance_survives_new_engine(spark, tmp_warehouse):
+    """A second Engine over the same warehouse (a new CLI process) must keep
+    maintaining projections — otherwise the persisted materialized flag
+    routes queries to a silently stale backing table."""
+    e1 = Engine(spark, tmp_warehouse)
+    e1.sql("CREATE TABLE t2 (r String, v Float64) ENGINE = MergeTree() ORDER BY r")
+    e1.sql("ALTER TABLE t2 ADD PROJECTION p (SELECT r, sum(v) AS sum_v GROUP BY r)")
+    e1.sql("INSERT INTO t2 VALUES ('a', 1.0)")
+
+    e2 = Engine(spark, tmp_warehouse)  # fresh in-memory state
+    e2.sql("INSERT INTO t2 VALUES ('a', 2.0), ('b', 5.0)")
+    q = "SELECT r, sum(v) AS s FROM t2 GROUP BY r ORDER BY r"
+    syntax = "\n".join(x[0] for x in e2.sql(f"EXPLAIN SYNTAX {q}").collect())
+    assert "__proj_t2_p" in syntax  # still routed...
+    assert [tuple(r) for r in e2.sql(q).collect()] == [("a", 3.0), ("b", 5.0)]
+
+
+def test_projection_tail_aggregates_not_routed(eng):
+    eng.sql(
+        "ALTER TABLE hits ADD PROJECTION by_region "
+        "(SELECT region, count(*) AS cnt GROUP BY region)"
+    )
+    eng.sql("ALTER TABLE hits MATERIALIZE PROJECTION by_region")
+    # raw aggregate in ORDER BY would evaluate over partial rows -> no route
+    q1 = "SELECT region, count(*) AS n FROM hits GROUP BY region ORDER BY count(*) DESC"
+    assert "__proj_" not in "\n".join(r[0] for r in eng.sql(f"EXPLAIN SYNTAX {q1}").collect())
+    eng.sql(q1).collect()
+    # ORDER BY an agg ALIAS is fine (the alias re-merges) -> routed, correct
+    q2 = "SELECT region, count(*) AS n FROM hits GROUP BY region ORDER BY n DESC, region"
+    assert "__proj_" in "\n".join(r[0] for r in eng.sql(f"EXPLAIN SYNTAX {q2}").collect())
+    assert [tuple(r) for r in eng.sql(q2).collect()] == [("eu", 2), ("us", 2), ("ap", 1)]
+    # sort projection: ORDER BY a non-projection column stays on base
+    eng.sql("ALTER TABLE hits ADD PROJECTION by_site (SELECT site, amount ORDER BY site)")
+    q3 = "SELECT site, amount FROM hits WHERE site = 'a' ORDER BY ts"
+    assert "__proj_" not in "\n".join(r[0] for r in eng.sql(f"EXPLAIN SYNTAX {q3}").collect())
+    assert len(eng.sql(q3).collect()) == 3
