@@ -72,6 +72,11 @@ class Engine:
         # set of tables with merges administratively stopped ("*" = all)
         self._merge_daemons: dict[str, object] = {}
         self._merges_stopped: set[str] = set()
+        # system.mutations analog: ring-buffered record of data mutations
+        # (all synchronous here, so every entry lands is_done=1)
+        self._mutations: list[tuple] = []
+        self._mutations_version = 0
+        self._mutations_registered_version = -1
         # views + MV triggers persist in the warehouse: a second process
         # (e.g. another CLI invocation) must keep maintaining projections
         # and MVs, or persisted materialized state silently goes stale
@@ -577,12 +582,33 @@ class Engine:
             self.catalog.set_projections(name, projs)
             self._catalog_version += 1
 
+    def _log_mutation(self, table: str, command: str) -> None:
+        import time as _t
+
+        self._mutations.append(
+            (len(self._mutations) + 1, table, command, _t.strftime("%Y-%m-%d %H:%M:%S"), 1)
+        )
+        if len(self._mutations) > 1000:
+            self._mutations = self._mutations[-1000:]
+        self._mutations_version += 1
+
+    def _register_mutations_view(self) -> None:
+        if self._mutations_registered_version == self._mutations_version:
+            return
+        self._mutations_registered_version = self._mutations_version
+        rows = self._mutations or [(0, "", "", "", 0)]
+        self.spark.createDataFrame(
+            rows,
+            "mutation_id long, table string, command string, create_time string, is_done int",
+        ).filter(F.col("table") != "").createOrReplaceTempView("system_mutations")
+
     def delete_where(self, table: str, predicate: str) -> int:
         """``ALTER TABLE … DELETE WHERE predicate`` (synchronous mutation:
         partition-pruned rewrite of affected parts, old parts retired,
         ``PartsMutations`` incremented). Returns rows deleted."""
         handle = self.catalog.get(self.catalog.resolve(table))
         self._invalidate_projections(table)
+        self._log_mutation(handle.name, f"DELETE WHERE {predicate}")
         return self.writer.mutate_delete(self.spark, handle, predicate)
 
     # -- partition manipulation (CH ALTER ... DROP/DETACH/ATTACH PARTITION)
@@ -675,6 +701,11 @@ class Engine:
         mutation; see delete_where). Returns rows updated."""
         handle = self.catalog.get(self.catalog.resolve(table))
         self._invalidate_projections(table)
+        self._log_mutation(
+            handle.name,
+            "UPDATE " + ", ".join(f"{k} = {v}" for k, v in assignments.items())
+            + f" WHERE {predicate}",
+        )
         return self.writer.mutate_update(self.spark, handle, assignments, predicate)
 
     def apply_ttl(self, table: str, now: str | None = None) -> int:
@@ -1004,6 +1035,7 @@ class Engine:
         self._register_query_log_view()
         self._register_introspection_views()
         self._register_merges_view()
+        self._register_mutations_view()
         for name in self.catalog.list_tables():
             if self._distributed_spec(name) is not None:
                 version = tuple(self.parts.inventory_version(s) for s in self.shard_tables(name))
@@ -1242,6 +1274,21 @@ class Engine:
                     return routed + rest
         return query
 
+    def _apply_read_rewrites(self, query: str) -> str:
+        """The full read-modifier chain (SAMPLE/FINAL/generateRandom/
+        merge()/file()/projections) — applied to standalone SELECTs and to
+        the SELECT inside CTAS / INSERT ... SELECT, so table functions work
+        there too."""
+        return self._rewrite_projection_reads(
+            self._rewrite_file_reads(
+                self._rewrite_merge_reads(
+                    self._rewrite_generate_random(
+                        self._rewrite_final_reads(self._rewrite_sample_reads(query))
+                    )
+                )
+            )
+        )
+
     def _rewrite_file_reads(self, query: str) -> str:
         """``file('path'[, 'Format'[, 'structure']])`` — CH's local-file
         table function. The FORMAT defaults from the extension (.parquet /
@@ -1473,15 +1520,7 @@ class Engine:
         )
         if mex is not None:
             mode = (mex.group(1) or "PLAN").upper()
-            inner = self._rewrite_projection_reads(
-                self._rewrite_file_reads(
-                    self._rewrite_merge_reads(
-                        self._rewrite_generate_random(
-                            self._rewrite_final_reads(self._rewrite_sample_reads(mex.group(2)))
-                        )
-                    )
-                )
-            )
+            inner = self._apply_read_rewrites(mex.group(2))
             translated = translate_ch_sql(inner)
             if mode == "SYNTAX":
                 lines = translated.splitlines() or [translated]
@@ -1584,28 +1623,14 @@ class Engine:
             from clickhousedatamocker_spark.sources.formats import write_format
 
             self.refresh_system_views()
-            inner = self._rewrite_file_reads(
-                self._rewrite_merge_reads(
-                    self._rewrite_generate_random(
-                        self._rewrite_final_reads(self._rewrite_sample_reads(query[: mfmt.start()]))
-                    )
-                )
-            )
+            inner = self._apply_read_rewrites(query[: mfmt.start()])
             df = self.spark.sql(translate_ch_sql(inner))
             out = mfmt.group(1) or data
             if out is not None:
                 write_format(df, out, mfmt.group(2))
             return df
 
-        query = self._rewrite_projection_reads(
-            self._rewrite_file_reads(
-                self._rewrite_merge_reads(
-                    self._rewrite_generate_random(
-                        self._rewrite_final_reads(self._rewrite_sample_reads(query))
-                    )
-                )
-            )
-        )
+        query = self._apply_read_rewrites(query)
 
         # ORDER BY <col> WITH FILL [FROM f] [TO t] [STEP s] — CH's grid
         # filling. The fill applies to the RESULT, so it composes as the
@@ -1771,7 +1796,7 @@ class Engine:
             elif ddl["op"] == "ctas":
                 if not (ddl["if_not_exists"] and self.catalog.exists(ddl["name"])):
                     self.refresh_system_views()
-                    df = self.spark.sql(translate_ch_sql(ddl["select"]))
+                    df = self.spark.sql(translate_ch_sql(self._apply_read_rewrites(ddl["select"])))
                     self.create_table(
                         TableSpec(name=ddl["name"], schema=df.schema),
                         if_not_exists=ddl["if_not_exists"],
@@ -1779,7 +1804,7 @@ class Engine:
                     self.insert(ddl["name"], df)
             elif ddl["op"] == "insert_select":
                 self.refresh_system_views()
-                df = self.spark.sql(translate_ch_sql(ddl["select"]))
+                df = self.spark.sql(translate_ch_sql(self._apply_read_rewrites(ddl["select"])))
                 base = self.catalog.get(self.catalog.resolve(ddl["name"]))
                 if ddl["columns"]:
                     df = df.toDF(*ddl["columns"])
@@ -1887,6 +1912,15 @@ class Engine:
                 return self.spark.createDataFrame(
                     [(self._render_create_ddl(ddl["name"]),)], "statement string"
                 )
+            elif ddl["op"] == "show_databases":
+                return self.spark.createDataFrame(
+                    [(d,) for d in sorted(self._databases)], "name string"
+                )
+            elif ddl["op"] == "use_database":
+                if ddl["name"] not in self._databases:
+                    raise ValueError(f"database {ddl['name']!r} does not exist")
+                # single-directory catalog: USE validates and is otherwise a
+                # no-op (currentDatabase() stays 'default'; documented)
             elif ddl["op"] == "show_tables":
                 self.refresh_system_views()
                 return self.spark.sql("SELECT name FROM system_tables ORDER BY name")

@@ -42,6 +42,7 @@ _REWRITES = [
     (re.compile(r"\bsystem\.detached_parts\b", re.IGNORECASE), "system_detached_parts"),
     (re.compile(r"\bsystem\.merges\b", re.IGNORECASE), "system_merges"),
     (re.compile(r"\bsystem\.projections\b", re.IGNORECASE), "system_projections"),
+    (re.compile(r"\bsystem\.mutations\b", re.IGNORECASE), "system_mutations"),
     # CH aggregate spellings → Spark aggregates (name-only rewrites: the
     # argument list that follows is valid for the target function, so a
     # paren-aware parser isn't needed). SQL UDFs can't define aggregates,
@@ -988,6 +989,14 @@ def parse_ch_ddl(sql: str) -> dict | None:
     if m:
         return {"op": "show_create", "name": m.group(1)}
 
+    m = re.match(r"SHOW\s+DATABASES\s*;?\s*$", s, re.IGNORECASE)
+    if m:
+        return {"op": "show_databases"}
+
+    m = re.match(r"USE\s+(\w+)\s*;?\s*$", s, re.IGNORECASE)
+    if m:
+        return {"op": "use_database", "name": m.group(1)}
+
     m = re.match(r"SHOW\s+TABLES\s*;?\s*$", s, re.IGNORECASE)
     if m:
         return {"op": "show_tables"}
@@ -1049,7 +1058,9 @@ def parse_ch_ddl(sql: str) -> dict | None:
         }
     m = re.match(
         r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s+"
-        r"(?:ENGINE\s*=\s*\w+(?:\([^)]*\))?\s+)?AS\s*\(?\s*((?:SELECT|WITH)\b.*)$",
+        r"(?:ENGINE\s*=\s*\w+(?:\([^)]*\))?\s+)?"
+        r"(?:PARTITION\s+BY\s+(?:\([^)]*\)|\w+(?:\([^)]*\))?)\s+)?"
+        r"(?:ORDER\s+BY\s+(?:\([^)]*\)|\w+(?:\(\s*\))?)\s+)?AS\s*\(?\s*((?:SELECT|WITH)\b.*)$",
         s,
         re.IGNORECASE | re.DOTALL,
     )

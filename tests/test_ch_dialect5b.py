@@ -221,3 +221,34 @@ def test_merges_stop_scopes_are_independent(spark, tmp_warehouse):
     assert e.merge_once("ms", min_parts_to_merge=2) == 0
     e.sql("SYSTEM START MERGES ms")
     assert e.merge_once("ms", min_parts_to_merge=2) > 0
+
+
+def test_mutations_log_show_databases_use(spark, tmp_warehouse, tmp_path):
+    e = Engine(spark, tmp_warehouse)
+    e.sql("CREATE TABLE ml (k UInt64, v Float64) ENGINE = MergeTree() ORDER BY k")
+    e.sql("INSERT INTO ml VALUES (1, 1.0), (2, 2.0)")
+    e.sql("ALTER TABLE ml DELETE WHERE k = 1")
+    e.sql("ALTER TABLE ml UPDATE v = v + 1 WHERE k = 2")
+    muts = [
+        (r["table"], r["command"], r["is_done"])
+        for r in e.sql(
+            "SELECT * FROM system.mutations ORDER BY mutation_id"
+        ).collect()
+    ]
+    assert muts == [
+        ("ml", "DELETE WHERE k = 1", 1),
+        ("ml", "UPDATE v = v + 1 WHERE k = 2", 1),
+    ]
+    # SHOW DATABASES / USE
+    e.sql("CREATE DATABASE analytics")
+    assert [r["name"] for r in e.sql("SHOW DATABASES").collect()] == ["analytics", "default"]
+    e.sql("USE analytics")
+    with pytest.raises(ValueError, match="does not exist"):
+        e.sql("USE nope")
+    # table functions now work inside INSERT ... SELECT and CTAS
+    pq = str(tmp_path / "ext.parquet")
+    spark.createDataFrame([(7, 7.5), (8, 8.5)], "k long, v double").write.parquet(pq)
+    e.sql(f"INSERT INTO ml SELECT k, v FROM file('{pq}')")
+    assert e.sql("SELECT count(*) AS n FROM ml").first()["n"] == 3  # 1 after delete + 2
+    e.sql(f"CREATE TABLE ml2 ENGINE = MergeTree() ORDER BY tuple() AS SELECT * FROM file('{pq}')")
+    assert e.sql("SELECT count(*) AS n FROM ml2").first()["n"] == 2
