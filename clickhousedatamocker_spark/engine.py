@@ -739,8 +739,10 @@ class Engine:
         handle = self.catalog.get(self.catalog.resolve(table))
         if handle.ttl:
             self.apply_ttl(table, now=now)
+        from clickhousedatamocker_spark.plans.ingest import PLAIN_APPEND_FAMILIES
+
         family = (handle.engine or {}).get("family", "MergeTree")
-        if deduplicate or family != "MergeTree":
+        if deduplicate or family not in PLAIN_APPEND_FAMILIES:
             # the merge rewrite changes VISIBLE rows (dedup / engine-family
             # collapse) -> stored projection partials no longer re-merge to
             # the base answer
@@ -952,6 +954,137 @@ class Engine:
         self.catalog.alter_schema(name, schema)
         self._invalidate_reads(name)
 
+    def rename_column(
+        self, table: str, old_name: str, new_name: str, if_exists: bool = False
+    ) -> int:
+        """ALTER TABLE ... RENAME COLUMN old TO new.
+
+        ClickHouse performs this as an O(1) metadata change; this engine
+        rewrites the parts (the physical column name lives in every parquet
+        footer), so it is a synchronous mutation with ALTER-UPDATE cost —
+        documented deviation, same result. Sort keys follow the rename;
+        the partition column and columns referenced by MATERIALIZED/ALIAS
+        expressions refuse loudly rather than break those expressions."""
+        import re
+
+        from pyspark.sql import types as _T
+
+        name = self.catalog.resolve(table)
+        handle = self.catalog.get(name)
+        if not any(f.name == old_name for f in handle.schema.fields):
+            if if_exists:
+                return 0
+            raise ValueError(f"no column {old_name!r} in {name!r}")
+        if any(f.name == new_name for f in handle.schema.fields):
+            raise ValueError(f"column {new_name!r} already exists in {name!r}")
+        if handle.partition_column == old_name:
+            raise ValueError("cannot RENAME the partition column")
+        settings = handle.settings or {}
+        for kind in ("column_materialized", "column_aliases"):
+            exprs = settings.get(kind) or {}
+            for col, spec in exprs.items():
+                expr = spec["expr"] if isinstance(spec, dict) else spec
+                if re.search(rf"\b{re.escape(old_name)}\b", str(expr)):
+                    raise ValueError(
+                        f"column {old_name!r} is referenced by {kind.replace('column_', '')} "
+                        f"column {col!r} — drop/recreate that column first"
+                    )
+        self._invalidate_projections(name)
+        self._log_mutation(name, f"RENAME COLUMN {old_name} TO {new_name}")
+        n = self.writer.mutate_rename_column(self.spark, handle, old_name, new_name)
+        schema = _T.StructType(
+            [
+                _T.StructField(new_name, f.dataType, f.nullable, f.metadata or None)
+                if f.name == old_name
+                else f
+                for f in handle.schema.fields
+            ]
+        )
+        self.catalog.alter_schema(name, schema)
+        if old_name in (handle.order_columns or []):
+            meta = self.catalog._read_meta(name)
+            meta["order_columns"] = [
+                new_name if c == old_name else c for c in meta["order_columns"]
+            ]
+            self.catalog._write_meta(name, meta)
+        for key in ("column_defaults", "column_comments"):
+            d = dict(settings.get(key) or {})
+            if old_name in d:
+                d[new_name] = d.pop(old_name)
+                self.catalog.alter_setting(name, **{key: d})
+        self._invalidate_reads(name)
+        return n
+
+    def comment_column(
+        self, table: str, column: str, comment: str, if_exists: bool = False
+    ) -> None:
+        """ALTER TABLE ... COMMENT COLUMN — metadata-only; the comment is
+        kept in table settings and round-trips through SHOW CREATE."""
+        name = self.catalog.resolve(table)
+        handle = self.catalog.get(name)
+        if not any(f.name == column for f in handle.schema.fields):
+            if if_exists:
+                return
+            raise ValueError(f"no column {column!r} in {name!r}")
+        comments = dict((handle.settings or {}).get("column_comments") or {})
+        comments[column] = comment
+        self.catalog.alter_setting(name, column_comments=comments)
+
+    def clear_column(
+        self,
+        table: str,
+        column: str,
+        partition: str | None = None,
+        if_exists: bool = False,
+    ) -> int:
+        """ALTER TABLE ... CLEAR COLUMN [IN PARTITION] — resets the column
+        to its DEFAULT expression, or to the type's zero value ('' / 0 /
+        epoch, ClickHouse's defaults) when none is declared. Runs through
+        the same synchronous-mutation machinery as ALTER ... UPDATE, scoped
+        to one partition's parts when IN PARTITION is given."""
+        from pyspark.sql import types as _T
+
+        name = self.catalog.resolve(table)
+        handle = self.catalog.get(name)
+        field = next((f for f in handle.schema.fields if f.name == column), None)
+        if field is None:
+            if if_exists:
+                return 0
+            raise ValueError(f"no column {column!r} in {name!r}")
+        defaults = (handle.settings or {}).get("column_defaults") or {}
+        if column in defaults:
+            value = str(defaults[column])
+        elif isinstance(field.dataType, (_T.StringType,)):
+            value = "''"
+        elif isinstance(field.dataType, _T.DateType):
+            value = "DATE '1970-01-01'"
+        elif isinstance(field.dataType, _T.TimestampType):
+            value = "TIMESTAMP '1970-01-01 00:00:00'"
+        elif isinstance(field.dataType, _T.BooleanType):
+            value = "false"
+        elif isinstance(field.dataType, _T.ArrayType):
+            value = "array()"
+        else:
+            value = "0"
+        predicate = "true"
+        if partition is not None:
+            if not handle.partition_column:
+                raise ValueError(f"table {name!r} is not partitioned")
+            predicate = f"{handle.partition_column} = '{partition}'"
+        return self.update_where(name, {column: value}, predicate)
+
+    def check_table(self, table: str) -> int:
+        """CHECK TABLE — verifies every stored part is readable (parquet
+        footer + full scan count), 1 = healthy, 0 = corrupt/unreadable.
+        The distributed scan is the check: the count aggregates zero
+        columns, so it reads footers + row-group metadata, exactly the
+        cheap integrity pass CH's CHECK TABLE performs."""
+        try:
+            self.read_table(self.catalog.resolve(table)).count()
+            return 1
+        except Exception:
+            return 0
+
     def _apply_materialized_columns(self, table: str, df: DataFrame) -> DataFrame:
         """MATERIALIZED columns are ALWAYS computed at insert from their
         expression — an incoming value for one is overwritten (CH rejects
@@ -1087,8 +1220,10 @@ class Engine:
             if not self.catalog.exists(name):
                 return m.group(0)
             handle = self.catalog.get(self.catalog.resolve(name))
+            from clickhousedatamocker_spark.plans.ingest import PLAIN_APPEND_FAMILIES
+
             family = (handle.engine or {}).get("family", "MergeTree")
-            if family == "MergeTree":
+            if family in PLAIN_APPEND_FAMILIES:
                 return f"FROM {name}"
             self.refresh_system_views()
             view = f"{name}__final"
@@ -1833,6 +1968,27 @@ class Engine:
             elif ddl["op"] == "mutate_update":
                 n = self.update_where(ddl["name"], ddl["assignments"], ddl["predicate"])
                 return self.spark.createDataFrame([(n,)], "rows_updated bigint")
+            elif ddl["op"] == "rename_column":
+                n = self.rename_column(
+                    ddl["name"], ddl["column"], ddl["to"], if_exists=ddl["if_exists"]
+                )
+                return self.spark.createDataFrame([(n,)], "rows_rewritten bigint")
+            elif ddl["op"] == "comment_column":
+                self.comment_column(
+                    ddl["name"], ddl["column"], ddl["comment"], if_exists=ddl["if_exists"]
+                )
+            elif ddl["op"] == "clear_column":
+                n = self.clear_column(
+                    ddl["name"],
+                    ddl["column"],
+                    partition=ddl.get("partition"),
+                    if_exists=ddl["if_exists"],
+                )
+                return self.spark.createDataFrame([(n,)], "rows_updated bigint")
+            elif ddl["op"] == "check_table":
+                return self.spark.createDataFrame(
+                    [(self.check_table(ddl["name"]),)], "result int"
+                )
             elif ddl["op"] == "optimize":
                 n = self.optimize(
                     ddl["name"],
@@ -1997,6 +2153,7 @@ class Engine:
                 f"'{dist.get('cluster', 'default')}', currentDatabase(), {h.alias_of}{key})"
             )
         defaults = (h.settings or {}).get("column_defaults") or {}
+        comments = (h.settings or {}).get("column_comments") or {}
         col_lines = []
         for f in h.schema.fields:
             # AggregateFunction columns carry their verbatim CH type in
@@ -2005,6 +2162,8 @@ class Engine:
             line = f"{f.name} {ch}"
             if f.name in defaults:
                 line += f" DEFAULT {defaults[f.name]}"
+            if f.name in comments:
+                line += f" COMMENT '{comments[f.name]}'"
             col_lines.append(line)
         for ix in getattr(h, "skip_indexes", None) or []:
             col_lines.append(
@@ -2027,7 +2186,7 @@ class Engine:
         settings = {
             k: v
             for k, v in (h.settings or {}).items()
-            if k not in ("partition_buckets", "column_defaults")
+            if k not in ("partition_buckets", "column_defaults", "column_comments")
         }
         if settings:
             lines.append("SETTINGS " + ", ".join(f"{k} = {v}" for k, v in settings.items()))

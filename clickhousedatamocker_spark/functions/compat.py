@@ -110,6 +110,40 @@ _REWRITES = [
     ),
     (re.compile(r"\bgroupArray\(", re.IGNORECASE), "collect_list("),
     (re.compile(r"\bgroupUniqArray\(", re.IGNORECASE), "collect_set("),
+    # CH `any(x)` picks an arbitrary value per group == Spark any_value;
+    # Spark's own `any` is the boolean OR aggregate, so the name must move.
+    # (`\bany\(` never collides with the ANY JOIN strictness keyword — that
+    # spelling has no immediate open paren.)
+    (re.compile(r"\bany\(", re.IGNORECASE), "any_value("),
+    # array vocabulary: name-only rewrites where Spark's builtin shares the
+    # argument shape. Lambda-first CH spellings (arrayMap/Filter/...) are
+    # paren-aware _PARAMETRIC rewrites below.
+    (re.compile(r"\barraySlice\(", re.IGNORECASE), "slice("),
+    (re.compile(r"\barrayReverse\(", re.IGNORECASE), "reverse("),
+    (re.compile(r"\barrayConcat\(", re.IGNORECASE), "concat("),
+    (re.compile(r"\barrayFlatten\(", re.IGNORECASE), "flatten("),
+    (re.compile(r"\barrayDistinct\(", re.IGNORECASE), "array_distinct("),
+    (re.compile(r"\barrayIntersect\(", re.IGNORECASE), "array_intersect("),
+    (re.compile(r"\barrayZip\(", re.IGNORECASE), "arrays_zip("),
+    (re.compile(r"\bhas\(", re.IGNORECASE), "array_contains("),
+    (re.compile(r"\bhasAny\(", re.IGNORECASE), "arrays_overlap("),
+    (re.compile(r"\btoTypeName\(", re.IGNORECASE), "typeof("),
+    # tuple(...) == an unnamed struct; Spark names the fields col1, col2...
+    # and CH's positional access `.1` maps onto them (rewrite below)
+    (re.compile(r"\btuple\(", re.IGNORECASE), "struct("),
+    (re.compile(r"\)\s*\.\s*(\d+)\b"), r").col\1"),
+    # CAST(x AS <CHType>): ClickHouse type names inside value expressions.
+    # Case-sensitive on purpose — these are CH's canonical spellings — and
+    # anchored to the closing paren so a column ALIAS that happens to share
+    # a type name (`toDate(t) AS Date,`) is never rewritten.
+    (re.compile(r"\bAS\s+(?:UInt8|UInt16|UInt32|Int8|Int16|Int32)\s*\)"), "AS INT)"),
+    (re.compile(r"\bAS\s+(?:UInt64|Int64)\s*\)"), "AS BIGINT)"),
+    (re.compile(r"\bAS\s+Float32\s*\)"), "AS FLOAT)"),
+    (re.compile(r"\bAS\s+Float64\s*\)"), "AS DOUBLE)"),
+    (re.compile(r"\bAS\s+String\s*\)"), "AS STRING)"),
+    (re.compile(r"\bAS\s+DateTime\s*\)"), "AS TIMESTAMP)"),
+    (re.compile(r"\bAS\s+Date\s*\)"), "AS DATE)"),
+    (re.compile(r"\bAS\s+Bool\s*\)"), "AS BOOLEAN)"),
     # table-expanding: CH arrayJoin(arr) in a SELECT == Spark explode(arr)
     (re.compile(r"\barrayJoin\(", re.IGNORECASE), "explode("),
     # dateDiff('unit', a, b) → timestampdiff(UNIT, a, b): the unit moves
@@ -307,6 +341,90 @@ def _pm_2arg(target: str):
     return rw
 
 
+# same as _pm_2arg — a second name only to make call sites read naturally
+# for functions whose args are (value, value) rather than (lambda, array)
+_pm_2arg_fa = _pm_2arg
+
+
+def _pm_1arg(target: str):
+    def rw(args: list[str]) -> str:
+        if len(args) != 1:
+            raise NotImplementedError(f"expected exactly 1 argument, got {len(args)}")
+        return target.format(x=args[0])
+
+    return rw
+
+
+def _pm_sort(asc: bool):
+    """CH arraySort/arrayReverseSort: plain 1-array form → sort_array. The
+    lambda form sorts by a KEY function — Spark's array_sort wants a
+    COMPARATOR, and rewriting key→comparator needs variable substitution a
+    textual shim can't do safely; refused with the recipe."""
+
+    def rw(args: list[str]) -> str:
+        if len(args) == 1:
+            return f"sort_array({args[0]}, {'true' if asc else 'false'})"
+        raise NotImplementedError(
+            "arraySort with a key lambda is not shimmed - spell it as Spark's "
+            "array_sort(arr, (l, r) -> comparator) directly"
+        )
+
+    return rw
+
+
+def _pm_minmax(fn: str):
+    def rw(args: list[str]) -> str:
+        if len(args) == 1:
+            return f"{fn}({args[0]})"
+        if len(args) == 2:  # arrayMin(x -> f(x), a) = min over mapped values
+            return f"{fn}(transform({args[1]}, {args[0]}))"
+        raise NotImplementedError(f"{fn}: expected 1 or 2 arguments")
+
+    return rw
+
+
+def _pm_accurate_cast(args: list[str]) -> str:
+    """accurateCast(x, 'CHType') → ANSI CAST with the type name mapped
+    through the DDL type parser (Spark CAST is already the checked/throwing
+    contract accurateCast adds over CH's saturating toInt*)."""
+    if len(args) != 2:
+        raise NotImplementedError("accurateCast expects (value, 'Type')")
+    tm = re.fullmatch(r"\s*'([^']+)'\s*", args[1])
+    if not tm:
+        raise NotImplementedError("accurateCast needs a quoted type literal")
+    dt, _ = parse_ch_type(tm.group(1))
+    return f"CAST({args[0]} AS {dt.simpleString()})"
+
+
+def _pm_range(args: list[str]) -> str:
+    """CH range([start,] end[, step]) — end EXCLUSIVE, empty when
+    end <= start. Spark's sequence() is end-INCLUSIVE and auto-reverses on
+    descending bounds, so both edges need the CASE guard."""
+    if len(args) == 1:
+        s, e, st = "0", args[0], "1"
+    elif len(args) == 2:
+        s, e, st = args[0], args[1], "1"
+    elif len(args) == 3:
+        s, e, st = args
+    else:
+        raise NotImplementedError("range expects 1-3 arguments")
+    return (
+        f"(CASE WHEN ({e}) <= ({s}) THEN array() "
+        f"ELSE sequence({s}, ({e}) - 1, {st}) END)"
+    )
+
+
+def _pm_start_of_week(args: list[str]) -> str:
+    """toStartOfWeek(d[, mode]): mode 0 (CH default) = Sunday-start week;
+    modes 1/3 = Monday-start (== toMonday). Only literal modes shim."""
+    if len(args) == 1 or (len(args) == 2 and args[1].strip() == "0"):
+        d = args[0]
+        return f"date_sub(CAST({d} AS DATE), dayofweek({d}) - 1)"
+    if len(args) == 2 and args[1].strip() in ("1", "3"):
+        return f"CAST(date_trunc('week', {args[0]}) AS DATE)"
+    raise NotImplementedError("toStartOfWeek supports literal modes 0, 1, 3")
+
+
 _PARAMETRIC: dict[str, object] = {
     "multiIf": _pm_multi_if,
     "arrayMap": _pm_array_map,
@@ -323,6 +441,43 @@ _PARAMETRIC: dict[str, object] = {
     "avgIf": _pm_2arg("avg(CASE WHEN {a} THEN {f} END)"),
     "minIf": _pm_2arg("min(CASE WHEN {a} THEN {f} END)"),
     "maxIf": _pm_2arg("max(CASE WHEN {a} THEN {f} END)"),
+    "arraySort": _pm_sort(asc=True),
+    "arrayReverseSort": _pm_sort(asc=False),
+    "arrayMin": _pm_minmax("array_min"),
+    "arrayMax": _pm_minmax("array_max"),
+    "arrayUniq": _pm_1arg("size(array_distinct({x}))"),
+    "arrayFirstIndex": _pm_2arg(
+        "coalesce(array_position(transform({a}, {f}), true), 0)"
+    ),
+    # arrayEnumerate(a) = [1..len(a)] (guarded: sequence(1,0) would count DOWN)
+    "arrayEnumerate": _pm_1arg(
+        "(CASE WHEN size({x}) = 0 THEN array() ELSE sequence(1, size({x})) END)"
+    ),
+    "arrayPushBack": _pm_2arg_fa("concat({f}, array({a}))"),
+    "arrayPushFront": _pm_2arg_fa("concat(array({a}), {f})"),
+    "arrayPopBack": _pm_1arg("slice({x}, 1, greatest(size({x}) - 1, 0))"),
+    "arrayPopFront": _pm_1arg("slice({x}, 2, greatest(size({x}) - 1, 0))"),
+    # hasAll(a, b): every element of b present in a
+    "hasAll": _pm_2arg_fa("(size(array_except({a}, {f})) = 0)"),
+    "assumeNotNull": _pm_1arg("({x})"),
+    # CH pads to n with NUL bytes and truncates longer strings — rpad's shape
+    "toFixedString": _pm_2arg_fa("rpad({f}, {a}, chr(0))"),
+    "accurateCast": _pm_accurate_cast,
+    "range": _pm_range,
+    "plus": _pm_2arg_fa("({f} + {a})"),
+    "minus": _pm_2arg_fa("({f} - {a})"),
+    "multiply": _pm_2arg_fa("({f} * {a})"),
+    "divide": _pm_2arg_fa("({f} / {a})"),
+    "negate": _pm_1arg("(-({x}))"),
+    "toIntervalSecond": _pm_1arg("make_interval(0, 0, 0, 0, 0, 0, {x})"),
+    "toIntervalMinute": _pm_1arg("make_interval(0, 0, 0, 0, 0, {x})"),
+    "toIntervalHour": _pm_1arg("make_interval(0, 0, 0, 0, {x})"),
+    "toIntervalDay": _pm_1arg("make_interval(0, 0, 0, {x})"),
+    "toIntervalWeek": _pm_1arg("make_interval(0, 0, {x})"),
+    "toIntervalMonth": _pm_1arg("make_interval(0, {x})"),
+    "toIntervalYear": _pm_1arg("make_interval({x})"),
+    "toStartOfWeek": _pm_start_of_week,
+    "toMonday": _pm_1arg("CAST(date_trunc('week', {x}) AS DATE)"),
 }
 
 _PARAMETRIC_RE = re.compile(
@@ -336,10 +491,18 @@ def _rewrite_parametric(sql: str) -> str:
     nested occurrences (an arrayMap inside a multiIf branch) resolve too —
     the inner call's text survives the outer rewrite verbatim and is picked
     up on the next pass. Bounded: every pass removes one CH spelling."""
-    for _ in range(64):
-        m = _PARAMETRIC_RE.search(sql)
+    pos = 0
+    for _ in range(256):
+        m = _PARAMETRIC_RE.search(sql, pos)
         if not m:
             return sql
+        if m.group(1).lower() == "range":
+            # FROM range(N) / JOIN range(N) is Spark's table-valued range
+            # (what the numbers() rewrite emits) — not CH's array builder
+            prev = sql[: m.start()].rstrip().rsplit(None, 1)
+            if prev and prev[-1].upper() in ("FROM", "JOIN", ","):
+                pos = m.end()
+                continue
         depth, i = 1, m.end()
         quote = None
         while i < len(sql) and depth:
@@ -359,7 +522,7 @@ def _rewrite_parametric(sql: str) -> str:
         args = _split_top(sql[m.end() : i - 1])
         repl = _PARAMETRIC_LOWER[m.group(1).lower()](args)
         sql = sql[: m.start()] + repl + sql[i:]
-    raise NotImplementedError("parametric rewrite did not converge in 64 passes")
+    raise NotImplementedError("parametric rewrite did not converge in 256 passes")
 
 
 def _sub_ident(sql: str, name: str, repl: str) -> str:
@@ -564,8 +727,108 @@ def _rewrite_scalar_with(sql: str) -> str:
     return sql[: m.start()] + body
 
 
+_BRACKET_KEYWORDS = {
+    "SELECT", "FROM", "WHERE", "AND", "OR", "NOT", "WHEN", "THEN", "ELSE",
+    "CASE", "END", "AS", "BY", "ON", "IN", "IS", "LIKE", "ILIKE", "BETWEEN",
+    "HAVING", "LIMIT", "OFFSET", "UNION", "ALL", "DISTINCT", "RETURN",
+    "RETURNS", "VALUES", "SET", "IF", "ARRAY", "USING", "INTERVAL", "OVER",
+    "PARTITION", "ORDER", "GROUP", "ASC", "DESC", "NULLS", "FIRST", "LAST",
+    "JOIN", "CROSS", "INNER", "LEFT", "RIGHT", "FULL", "OUTER", "EXISTS",
+}
+
+
+def _rewrite_brackets(sql: str) -> str:
+    """ClickHouse bracket syntax → Spark spellings, one pair per pass:
+
+    - array LITERAL ``[e1, e2, ...]`` (bracket not preceded by a value
+      expression) → ``array(e1, e2, ...)``
+    - array/map INDEXING ``expr[i]`` (bracket directly after an identifier,
+      ``)``, or ``]``) → ``element_at(expr, i)`` — ClickHouse subscripts are
+      1-BASED (negative = from the end), which is ``element_at``'s exact
+      contract; Spark's native ``expr[i]`` is 0-based and would silently
+      shift every element, so the bracket form must NOT pass through.
+
+    The postfix expression for indexing is recovered by scanning backwards
+    over identifier characters, dots, and balanced ()/[] groups — covering
+    ``arr[1]``, ``t.arr[i]``, ``splitByChar(',', s)[2]``, and chains
+    ``a[1][2]`` (the inner rewrite ends in ``)``, so the next pass sees an
+    indexing bracket again). String literals are never touched.
+    """
+    for _ in range(256):
+        # find the first [ outside string literals
+        quote, pos = None, -1
+        for i, c in enumerate(sql):
+            if quote:
+                if c == quote:
+                    quote = None
+            elif c in "'\"":
+                quote = c
+            elif c == "[":
+                pos = i
+                break
+        if pos < 0:
+            return sql
+        # find the matching ]
+        depth, quote, j = 1, None, pos + 1
+        while j < len(sql) and depth:
+            c = sql[j]
+            if quote:
+                if c == quote:
+                    quote = None
+            elif c in "'\"":
+                quote = c
+            elif c == "[":
+                depth += 1
+            elif c == "]":
+                depth -= 1
+            j += 1
+        if depth:
+            raise ValueError("unbalanced '[' in SQL")
+        inner, close = sql[pos + 1 : j - 1], j - 1
+        k = pos - 1
+        while k >= 0 and sql[k].isspace():
+            k -= 1
+        prefix_is_value = k >= 0 and (sql[k].isalnum() or sql[k] in "_)]")
+        if prefix_is_value and (sql[k].isalnum() or sql[k] == "_"):
+            # an identifier directly before [ might be a KEYWORD (SELECT
+            # [1,2] / THEN [] / IN ...), which prefixes a literal, not a
+            # subscripted value
+            w = k
+            while w > 0 and (sql[w - 1].isalnum() or sql[w - 1] == "_"):
+                w -= 1
+            if sql[w : k + 1].upper() in _BRACKET_KEYWORDS:
+                prefix_is_value = False
+        if prefix_is_value:
+            # indexing: walk back over the postfix expression
+            s = k + 1
+            while s > 0:
+                c = sql[s - 1]
+                if c.isalnum() or c in "_.":
+                    s -= 1
+                elif c in ")]":
+                    opener = "(" if c == ")" else "["
+                    d, s2 = 1, s - 1
+                    while s2 > 0 and d:
+                        s2 -= 1
+                        if sql[s2] == c:
+                            d += 1
+                        elif sql[s2] == opener:
+                            d -= 1
+                    s = s2
+                else:
+                    break
+            sql = (
+                sql[:s]
+                + f"element_at({sql[s : pos].rstrip()}, {inner.strip()})"
+                + sql[close + 1 :]
+            )
+        else:
+            sql = sql[:pos] + "array(" + inner + sql[close:].replace("]", ")", 1)
+    raise NotImplementedError("bracket rewrite did not converge in 256 passes")
+
+
 def translate_ch_sql(sql: str) -> str:
-    sql = _rewrite_scalar_with(_rewrite_array_join(sql))
+    sql = _rewrite_brackets(_rewrite_scalar_with(_rewrite_array_join(sql)))
     for pattern, repl in _REWRITES:
         sql = pattern.sub(repl, sql)
     return _rewrite_parametric(sql)
@@ -592,9 +855,10 @@ _CH_TYPES: dict[str, T.DataType] = {
 
 
 def _split_top(s: str, sep: str = ",") -> list[str]:
-    """Split on ``sep`` at paren depth 0, outside string literals — so
-    parameterized types (``Decimal(10,2)``, ``Enum8('a'=1,'b'=2)``) and
-    quoted defaults never split a column definition in half."""
+    """Split on ``sep`` at paren/bracket depth 0, outside string literals —
+    so parameterized types (``Decimal(10,2)``, ``Enum8('a'=1,'b'=2)``),
+    bracket literals (``[1,2]``), and quoted defaults never split a column
+    definition in half."""
     out, depth, quote, start = [], 0, None, 0
     i = 0
     while i < len(s):
@@ -606,9 +870,9 @@ def _split_top(s: str, sep: str = ",") -> list[str]:
                 i += 1
         elif c in "'\"":
             quote = c
-        elif c == "(":
+        elif c in "([":
             depth += 1
-        elif c == ")":
+        elif c in ")]":
             depth -= 1
         elif c == sep and depth == 0:
             out.append(s[start:i])
@@ -861,12 +1125,49 @@ def parse_ch_ddl(sql: str) -> dict | None:
     )
     if m:
         return {"op": "modify_column", "name": m.group(1), "column": m.group(2), "type": m.group(3)}
-    if re.match(r"ALTER\s+TABLE\s+\w+\s+RENAME\s+COLUMN\b", s, re.IGNORECASE):
-        raise NotImplementedError(
-            "RENAME COLUMN needs physical/logical column-name mapping (old "
-            "parts keep the old name on disk) — not implemented; migrate via "
-            "ADD COLUMN new + ALTER UPDATE new = old + DROP COLUMN old"
-        )
+    m = re.match(
+        r"ALTER\s+TABLE\s+(\w+)\s+COMMENT\s+COLUMN\s+(IF\s+EXISTS\s+)?(\w+)\s+'([^']*)'\s*;?\s*$",
+        s,
+        re.IGNORECASE,
+    )
+    if m:
+        return {
+            "op": "comment_column",
+            "name": m.group(1),
+            "if_exists": bool(m.group(2)),
+            "column": m.group(3),
+            "comment": m.group(4),
+        }
+    m = re.match(
+        r"ALTER\s+TABLE\s+(\w+)\s+CLEAR\s+COLUMN\s+(IF\s+EXISTS\s+)?(\w+)"
+        r"(?:\s+IN\s+PARTITION\s+'?([\w-]+)'?)?\s*;?\s*$",
+        s,
+        re.IGNORECASE,
+    )
+    if m:
+        return {
+            "op": "clear_column",
+            "name": m.group(1),
+            "if_exists": bool(m.group(2)),
+            "column": m.group(3),
+            "partition": m.group(4),
+        }
+    m = re.match(r"CHECK\s+TABLE\s+(\w+)\s*;?\s*$", s, re.IGNORECASE)
+    if m:
+        return {"op": "check_table", "name": m.group(1)}
+    m = re.match(
+        r"ALTER\s+TABLE\s+(\w+)\s+RENAME\s+COLUMN\s+(IF\s+EXISTS\s+)?(\w+)\s+TO\s+(\w+)\s*;?\s*$",
+        s,
+        re.IGNORECASE,
+    )
+    if m:
+        return {
+            "op": "rename_column",
+            "name": m.group(1),
+            "if_exists": bool(m.group(2)),
+            "column": m.group(3),
+            "to": m.group(4),
+        }
 
     m = re.match(
         r"ALTER\s+TABLE\s+(\w+)\s+ADD\s+PROJECTION\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s*"
@@ -1117,7 +1418,7 @@ def parse_ch_ddl(sql: str) -> dict | None:
 
     m = re.match(
         r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\((.*)\)\s*"
-        r"ENGINE\s*=\s*((?:Replicated)?(?:MergeTree|ReplacingMergeTree|SummingMergeTree|CollapsingMergeTree|VersionedCollapsingMergeTree|AggregatingMergeTree)|Null)\s*(?:\(([^)]*)\))?\s*(.*)$",
+        r"ENGINE\s*=\s*((?:Replicated)?(?:MergeTree|ReplacingMergeTree|SummingMergeTree|CollapsingMergeTree|VersionedCollapsingMergeTree|AggregatingMergeTree)|Null|Memory|TinyLog|StripeLog|Log)\s*(?:\(([^)]*)\))?\s*(.*)$",
         s,
         re.IGNORECASE | re.DOTALL,
     )

@@ -31,6 +31,14 @@ from clickhousedatamocker_spark.plans.flow_control import FlowController
 from clickhousedatamocker_spark.plans.parts import PartsInventory
 
 
+# Engine families with plain-append semantics: no merge-time collapse, no
+# required ORDER BY. Memory/Log/TinyLog/StripeLog are ClickHouse's simple
+# table engines — this build persists all of them as parquet parts exactly
+# like MergeTree (a superset of Memory's restart-loses-data contract,
+# documented deviation).
+PLAIN_APPEND_FAMILIES = {"MergeTree", "Memory", "Log", "TinyLog", "StripeLog"}
+
+
 def _merge_collapse(df: DataFrame, handle: TableHandle, family: str) -> DataFrame:
     """Merge-time collapse semantics of the MergeTree engine families
     (applied per partition during OPTIMIZE, exactly where ClickHouse applies
@@ -44,7 +52,7 @@ def _merge_collapse(df: DataFrame, handle: TableHandle, family: str) -> DataFram
       columns summed; non-numeric non-key columns keep their MIN (CH keeps
       an arbitrary value; MIN is the deterministic choice).
     """
-    if family == "MergeTree":
+    if family in PLAIN_APPEND_FAMILIES:
         return df
     from pyspark.sql import Window as W
     from pyspark.sql import types as T
@@ -429,6 +437,69 @@ class Writer:
             self.metrics.set("PartsCommitted", self.parts.active_parts_count(table, handle.path))
         return updated
 
+    def mutate_rename_column(self, spark, handle: TableHandle, old_name: str, new_name: str) -> int:
+        """Physically rewrite every active part with the column renamed.
+
+        ClickHouse's RENAME COLUMN is a metadata-only O(1) change; here it
+        is a synchronous mutation (the same part-rewrite machinery as
+        ALTER … UPDATE) because parts store the physical column name in
+        their parquet footers — DOCUMENTED DEVIATION: correct semantics,
+        O(table) cost. Returns rows rewritten."""
+        import os
+        import shutil
+
+        from pyspark.sql import functions as F  # noqa: F811
+
+        part_col = handle.partition_column
+        table = handle.name
+        self.parts.load(table, handle.path)
+        if part_col:
+            pvs = sorted(
+                {
+                    str(p["partition"])
+                    for p in self.parts._manifest[table]
+                    if p["active"]
+                }
+            )
+        else:
+            pvs = [None]
+        rewritten = 0
+        for pv in pvs:
+            part_dir = (
+                os.path.join(handle.path, f"{part_col}={pv}") if part_col else handle.path
+            )
+            if not os.path.isdir(part_dir):
+                continue
+            old = [
+                p
+                for p in self.parts._manifest[table]
+                if p["active"] and (str(p["partition"]) == str(pv) or part_col is None)
+            ]
+            sub = spark.read.schema(handle.schema).parquet(part_dir)
+            rewritten += sub.count()
+            w = sub.withColumnRenamed(old_name, new_name)
+            order = [new_name if c == old_name else c for c in handle.order_columns]
+            if order:
+                w = w.sortWithinPartitions(*order)
+            staging = part_dir + ".mutate.tmp"
+            w.coalesce(max(1, len(old))).write.mode("overwrite").parquet(staging)
+            for p in old:
+                f = os.path.join(handle.path, p["name"])
+                if os.path.exists(f):
+                    os.remove(f)
+            for f in os.listdir(staging):
+                if f.endswith(".parquet"):
+                    shutil.move(os.path.join(staging, f), os.path.join(part_dir, f))
+            shutil.rmtree(staging, ignore_errors=True)
+            self.parts.retire(table, handle.path, [p["name"] for p in old])
+        self.parts.record_commit(table, handle.path)
+        self.parts.save(table, handle.path)
+        if self.metrics is not None:
+            self.metrics.incr("PartsMutations")
+            self.metrics.set("PartsActive", self.parts.active_parts_count(table, handle.path))
+            self.metrics.set("PartsCommitted", self.parts.active_parts_count(table, handle.path))
+        return rewritten
+
     def optimize(
         self, spark, handle: TableHandle, deduplicate: bool = False, partition: str | None = None
     ) -> int:
@@ -476,12 +547,9 @@ class Writer:
             merged = _merge_collapse(merged, handle, family)
             if deduplicate:
                 merged = merged.dropDuplicates()
-            (
-                merged.sortWithinPartitions(*handle.order_columns)
-                .coalesce(1)
-                .write.mode("overwrite")
-                .parquet(staging)
-            )
+            if handle.order_columns:
+                merged = merged.sortWithinPartitions(*handle.order_columns)
+            merged.coalesce(1).write.mode("overwrite").parquet(staging)
             old_files = [os.path.join(part_dir, os.path.basename(p["name"])) for p in plist]
             new_files = [f for f in os.listdir(staging) if f.endswith(".parquet")]
             for f in new_files:

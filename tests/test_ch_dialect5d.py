@@ -1,0 +1,177 @@
+"""Round-5 dialect batch 4: bracket array syntax (literals + 1-based
+subscripts), the lambda/array function vocabulary, CH type names in CAST,
+tuple positional access, simple-engine families (Memory/Log/TinyLog/
+StripeLog), and the COMMENT COLUMN / CLEAR COLUMN / CHECK TABLE statements.
+
+Reference surface: these are ClickHouse SQL spellings a migrating user
+hits immediately (the reference repo's DDL/queries are plain CH dialect);
+none have native Spark equivalents under the same name/shape.
+"""
+
+import pytest
+
+from clickhousedatamocker_spark.engine import Engine
+from clickhousedatamocker_spark.functions.compat import translate_ch_sql
+
+
+@pytest.fixture()
+def eng(spark, tmp_warehouse):
+    return Engine(spark, tmp_warehouse)
+
+
+# one scalar-valued statement per vocabulary item; goldens are ClickHouse's
+# documented outputs for the same expressions
+BRACKET_AND_ARRAY_GOLDENS = [
+    ("SELECT [1,2,3] AS a", [1, 2, 3]),
+    ("SELECT [[1],[2,3]] AS a", [[1], [2, 3]]),
+    # CH subscripts are 1-BASED; -1 is the last element — a pass-through to
+    # Spark's native 0-based [] would silently shift every element
+    ("SELECT [10,20,30][2] AS a", 20),
+    ("SELECT [10,20,30][-1] AS a", 30),
+    ("SELECT [[1,2],[3,4]][2][1] AS a", 3),
+    ("SELECT splitByChar(',', 'a,b,c')[2] AS a", "b"),
+    ("SELECT arrayMap(i -> i * 2, [1,2,3]) AS a", [2, 4, 6]),
+    ("SELECT arrayFilter(i -> i > 1, [1,2,3]) AS a", [2, 3]),
+    ("SELECT arrayExists(i -> i > 2, [1,2,3]) AS a", True),
+    ("SELECT arraySort([3,1,2]) AS a", [1, 2, 3]),
+    ("SELECT arrayReverseSort([3,1,2]) AS a", [3, 2, 1]),
+    ("SELECT arrayMin([3,1,2]) AS a", 1),
+    ("SELECT arrayMax(x -> -x, [1,3,2]) AS a", -1),
+    ("SELECT arrayUniq([1,1,2]) AS a", 2),
+    ("SELECT arrayDistinct([1,1,2]) AS a", [1, 2]),
+    ("SELECT arraySlice([1,2,3,4], 2, 2) AS a", [2, 3]),
+    ("SELECT arrayConcat([1], [2]) AS a", [1, 2]),
+    ("SELECT arrayReverse([1,2,3]) AS a", [3, 2, 1]),
+    ("SELECT arrayFlatten([[1,2],[3]]) AS a", [1, 2, 3]),
+    ("SELECT arrayIntersect([1,2,3], [2,3,4]) AS a", [2, 3]),
+    ("SELECT arrayPushBack([1,2], 3) AS a", [1, 2, 3]),
+    ("SELECT arrayPushFront([2,3], 1) AS a", [1, 2, 3]),
+    ("SELECT arrayPopBack([1,2,3]) AS a", [1, 2]),
+    ("SELECT arrayPopFront([1,2,3]) AS a", [2, 3]),
+    ("SELECT arrayEnumerate(['a','b']) AS a", [1, 2]),
+    ("SELECT arrayFirstIndex(x -> x > 1, [1,2,3]) AS a", 2),
+    ("SELECT has([1,2,3], 2) AS a", True),
+    ("SELECT hasAll([1,2,3], [1,3]) AS a", True),
+    ("SELECT hasAll([1,2], [1,9]) AS a", False),
+    ("SELECT hasAny([1,2], [2,9]) AS a", True),
+    # range: end-EXCLUSIVE, empty when end <= start (sequence() alone would
+    # include the end and auto-reverse on a descending range)
+    ("SELECT range(4) AS a", [0, 1, 2, 3]),
+    ("SELECT range(2, 5) AS a", [2, 3, 4]),
+    ("SELECT range(0) AS a", []),
+    ("SELECT range(5, 5) AS a", []),
+    ("SELECT range(0, 10, 3) AS a", [0, 3, 6, 9]),
+]
+
+
+@pytest.mark.parametrize("sql,want", BRACKET_AND_ARRAY_GOLDENS)
+def test_bracket_and_array_vocabulary(eng, sql, want):
+    got = eng.sql(sql).first()["a"]
+    assert got == want, f"{sql}: got {got!r} want {want!r}"
+
+
+SCALAR_GOLDENS = [
+    ("SELECT tuple(1, 'a').2 AS a", "a"),
+    ("SELECT plus(1, 2) AS a", 3),
+    ("SELECT minus(5, 2) AS a", 3),
+    ("SELECT multiply(2, 3) AS a", 6),
+    ("SELECT negate(4) AS a", -4),
+    ("SELECT CAST('7' AS UInt32) AS a", 7),
+    ("SELECT CAST(1 AS String) AS a", "1"),
+    ("SELECT accurateCast(1, 'String') AS a", "1"),
+    ("SELECT assumeNotNull(3) AS a", 3),
+    ("SELECT length(toFixedString('ab', 4)) AS a", 4),
+]
+
+
+@pytest.mark.parametrize("sql,want", SCALAR_GOLDENS)
+def test_scalar_vocabulary(eng, sql, want):
+    got = eng.sql(sql).first()["a"]
+    assert got == want, f"{sql}: got {got!r} want {want!r}"
+
+
+def test_any_and_interval_and_week_functions(eng):
+    assert eng.sql("SELECT any(x) AS a FROM (SELECT 5 AS x) t").first()["a"] == 5
+    d = eng.sql("SELECT toDate('2024-01-10') + toIntervalDay(2) AS d").first()["d"]
+    assert str(d) == "2024-01-12"
+    # 2024-01-10 is a Wednesday: Monday-start week = Jan 8, Sunday-start = Jan 7
+    assert str(eng.sql("SELECT toMonday(toDate('2024-01-10')) AS d").first()["d"]) == "2024-01-08"
+    assert (
+        str(eng.sql("SELECT toStartOfWeek(toDate('2024-01-10')) AS d").first()["d"])
+        == "2024-01-07"
+    )
+    assert (
+        str(eng.sql("SELECT toStartOfWeek(toDate('2024-01-10'), 1) AS d").first()["d"])
+        == "2024-01-08"
+    )
+
+
+def test_bracket_rewrite_leaves_strings_and_table_range_alone(eng):
+    # bracket inside a string literal is data, not syntax
+    assert eng.sql("SELECT '[1,2]' AS a").first()["a"] == "[1,2]"
+    # numbers() expands to FROM range(N) — Spark's TABLE-valued range must
+    # not be rewritten into the array builder
+    assert eng.sql("SELECT count(*) AS c FROM numbers(10)").first()["c"] == 10
+    # CAST anchored to the paren: an alias sharing a type name is untouched
+    assert "AS Date," in translate_ch_sql("SELECT toDate(t) AS Date, x FROM v")
+
+
+def test_simple_engine_families(eng):
+    for name, fam in (("m_mem", "Memory"), ("m_log", "Log"), ("m_tiny", "TinyLog"),
+                      ("m_stripe", "StripeLog")):
+        eng.sql(f"CREATE TABLE {name} (x UInt32, s String) ENGINE = {fam}")
+        eng.sql(f"INSERT INTO {name} VALUES (1, 'a'), (2, 'b')")
+        assert eng.sql(f"SELECT count(*) AS c FROM {name}").first()["c"] == 2
+        # round-trips through SHOW CREATE with its own family name
+        ddl = eng.sql(f"SHOW CREATE TABLE {name}").first()[0]
+        assert f"ENGINE = {fam}(" in ddl
+    # no merge discipline: OPTIMIZE is a plain rewrite, rows unchanged
+    eng.sql("OPTIMIZE TABLE m_mem")
+    assert eng.sql("SELECT count(*) AS c FROM m_mem").first()["c"] == 2
+
+
+def test_comment_clear_check_statements(eng):
+    eng.sql(
+        "CREATE TABLE cc (x UInt32, s String DEFAULT 'dflt', v Float64) "
+        "ENGINE = MergeTree ORDER BY x"
+    )
+    eng.sql("INSERT INTO cc VALUES (1, 'a', 1.5), (2, 'b', 2.5)")
+    eng.sql("ALTER TABLE cc COMMENT COLUMN s 'the label'")
+    assert "COMMENT 'the label'" in eng.sql("SHOW CREATE TABLE cc").first()[0]
+    # CLEAR resets to the declared DEFAULT where present...
+    eng.sql("ALTER TABLE cc CLEAR COLUMN s")
+    assert {r["s"] for r in eng.sql("SELECT s FROM cc").collect()} == {"dflt"}
+    # ...and to the type's zero value otherwise (CH's contract)
+    eng.sql("ALTER TABLE cc CLEAR COLUMN v")
+    assert {r["v"] for r in eng.sql("SELECT v FROM cc").collect()} == {0.0}
+    assert eng.sql("CHECK TABLE cc").first()["result"] == 1
+    with pytest.raises(ValueError):
+        eng.sql("ALTER TABLE cc CLEAR COLUMN nope")
+    eng.sql("ALTER TABLE cc CLEAR COLUMN IF EXISTS nope")  # no-op, no raise
+
+
+def test_rename_column_mutation(eng):
+    """RENAME COLUMN: CH does this O(1)-metadata; this engine rewrites the
+    parts (documented deviation in Engine.rename_column) with identical
+    observable semantics — old name gone, new name queryable, sort keys
+    and DEFAULT/COMMENT metadata follow, later inserts keep working."""
+    eng.sql(
+        "CREATE TABLE rn (k UInt64, val Float64 DEFAULT 9.0, s String) "
+        "ENGINE = MergeTree ORDER BY (k, val)"
+    )
+    eng.sql("INSERT INTO rn VALUES (1, 1.5, 'a'), (2, 2.5, 'b')")
+    eng.sql("ALTER TABLE rn COMMENT COLUMN val 'amount'")
+    eng.sql("ALTER TABLE rn RENAME COLUMN val TO price")
+    assert eng.sql("SELECT price FROM rn WHERE k = 1").first()["price"] == 1.5
+    with pytest.raises(Exception):
+        eng.sql("SELECT val FROM rn").collect()
+    # inserts after the rename land under the new name in the same parts dirs
+    eng.sql("INSERT INTO rn VALUES (3, 3.5, 'c')")
+    assert eng.sql("SELECT sum(price) AS p FROM rn").first()["p"] == 7.5
+    ddl = eng.sql("SHOW CREATE TABLE rn").first()[0]
+    assert "price Float64 DEFAULT 9.0 COMMENT 'amount'" in ddl
+    assert "ORDER BY (k, price)" in ddl
+    # guards: duplicate target, partition column, IF EXISTS no-op
+    with pytest.raises(ValueError):
+        eng.sql("ALTER TABLE rn RENAME COLUMN k TO price")
+    eng.sql("ALTER TABLE rn RENAME COLUMN IF EXISTS ghost TO x")
