@@ -1411,18 +1411,64 @@ class Engine:
 
     def _apply_read_rewrites(self, query: str) -> str:
         """The full read-modifier chain (SAMPLE/FINAL/generateRandom/
-        merge()/file()/projections) — applied to standalone SELECTs and to
-        the SELECT inside CTAS / INSERT ... SELECT, so table functions work
-        there too."""
+        merge()/file()/projections/star-APPLY) — applied to standalone
+        SELECTs and to the SELECT inside CTAS / INSERT ... SELECT, so table
+        functions work there too."""
         return self._rewrite_projection_reads(
-            self._rewrite_file_reads(
-                self._rewrite_merge_reads(
-                    self._rewrite_generate_random(
-                        self._rewrite_final_reads(self._rewrite_sample_reads(query))
+            self._rewrite_star_apply(
+                self._rewrite_file_reads(
+                    self._rewrite_merge_reads(
+                        self._rewrite_generate_random(
+                            self._rewrite_final_reads(self._rewrite_sample_reads(query))
+                        )
                     )
                 )
             )
         )
+
+    def _rewrite_star_apply(self, query: str) -> str:
+        """``SELECT * [EXCEPT (cols)] APPLY(fn) FROM t`` — ClickHouse's
+        column-transformer modifier: fn applied to every (surviving) column,
+        result columns named ``fn(col)`` like CH prints them. Expansion
+        needs the column list, so it resolves the single named FROM table
+        through the catalog (stored schema) or an existing Spark view;
+        multi-table/subquery FROMs refuse loudly with the spelled-out
+        alternative. (`* EXCEPT (...)` WITHOUT APPLY passes through — Spark
+        supports that form natively.)"""
+        import re as _re
+
+        pat = _re.compile(
+            r"\*\s*(?:EXCEPT\s*\(([^)]*)\)\s*)?APPLY\s*\(\s*(\w+)\s*\)",
+            _re.IGNORECASE,
+        )
+        m = pat.search(query)
+        if m is None:
+            return query
+        fm = _re.search(r"\bFROM\s+(\w+)\b", query, _re.IGNORECASE)
+        if fm is None:
+            raise NotImplementedError(
+                "* APPLY needs a single named FROM table to expand against; "
+                "spell the column list explicitly for subquery/join sources"
+            )
+        src = fm.group(1)
+        if self.catalog.exists(src):
+            cols = [f.name for f in self.catalog.get(self.catalog.resolve(src)).schema.fields]
+        else:
+            try:
+                cols = self.spark.table(src).columns
+            except Exception:
+                raise NotImplementedError(
+                    f"* APPLY: cannot resolve columns of {src!r} (not a catalog "
+                    "table or registered view)"
+                )
+        excluded = {
+            c.strip().lower() for c in (m.group(1) or "").split(",") if c.strip()
+        }
+        fn = m.group(2)
+        items = ", ".join(
+            f"{fn}({c}) AS `{fn}({c})`" for c in cols if c.lower() not in excluded
+        )
+        return query[: m.start()] + items + query[m.end() :]
 
     def _rewrite_file_reads(self, query: str) -> str:
         """``file('path'[, 'Format'[, 'structure']])`` — CH's local-file
@@ -1773,7 +1819,8 @@ class Engine:
         # DateTime STEP is the same thing over epochs).
         mfill = _re.search(
             r"ORDER\s+BY\s+(\w+)\s+WITH\s+FILL"
-            r"(?:\s+FROM\s+(-?\d+))?(?:\s+TO\s+(-?\d+))?(?:\s+STEP\s+(\d+))?\s*;?\s*$",
+            r"(?:\s+FROM\s+(-?\d+))?(?:\s+TO\s+(-?\d+))?(?:\s+STEP\s+(\d+))?"
+            r"(?:\s+INTERPOLATE\s*\(([^)]*)\))?\s*;?\s*$",
             query,
             _re.IGNORECASE,
         )
@@ -1781,6 +1828,20 @@ class Engine:
             from clickhousedatamocker_spark.operators.fill import fill_gaps
 
             key = mfill.group(1)
+            interpolate = []
+            for item in (mfill.group(5) or "").split(","):
+                item = item.strip()
+                if not item:
+                    continue
+                if not _re.fullmatch(r"\w+", item):
+                    # INTERPOLATE (col AS expr) is a per-filled-row
+                    # recurrence over the previous row — not expressible as
+                    # one window pass; only the carry-forward default shims
+                    raise NotImplementedError(
+                        "INTERPOLATE supports the bare-column carry-forward "
+                        f"form only, got {item!r}"
+                    )
+                interpolate.append(item)
             inner = query[: mfill.start()] + f" ORDER BY {key}"
             df = self._sql_impl(inner)
             filled = fill_gaps(
@@ -1789,6 +1850,7 @@ class Engine:
                 step=int(mfill.group(4) or 1),
                 from_val=int(mfill.group(2)) if mfill.group(2) else None,
                 to_val=int(mfill.group(3)) if mfill.group(3) else None,
+                interpolate=interpolate or None,
             )
             return filled.orderBy(key)
 

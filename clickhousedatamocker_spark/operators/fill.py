@@ -24,6 +24,7 @@ def fill_gaps(
     from_val: int | None = None,
     to_val: int | None = None,
     fill_values: dict[str, object] | None = None,
+    interpolate: list[str] | None = None,
 ) -> DataFrame:
     """→ ``df`` plus one row for every missing grid point
     ``from_val, from_val+step, … < to_val`` of the integer/long ``key_col``.
@@ -36,6 +37,12 @@ def fill_gaps(
       survive (full outer join with the grid).
     - ``fill_values`` apply ONLY to synthesized grid rows — a genuine NULL
       in an original row is data, not a gap (CH fills only inserted rows).
+    - ``interpolate``: columns that carry the PREVIOUS present row's value
+      forward into synthesized rows — CH's ``INTERPOLATE (col)`` default
+      (the ``col AS expr`` recurrence form is not modeled). The carry uses
+      an unpartitioned window over the result: WITH FILL is a
+      result-shaping clause over an already-aggregated, grid-bounded
+      stream, the same single-stream pass CH's transform does.
     - Column order is preserved.
 
     For timestamp grids convert to epoch first (``unix_timestamp``) and
@@ -54,16 +61,26 @@ def fill_gaps(
         F.col("id").cast(dict(df.dtypes)[key_col]).alias(key_col)
     )
     fills = fill_values or {}
+    carried = set(interpolate or [])
     marked = df.withColumn("__present", F.lit(True))
     joined = grid.join(marked, key_col, "full")
     synthesized = F.col("__present").isNull()
+    if carried:
+        from pyspark.sql import Window as W
+
+        w = W.orderBy(key_col).rowsBetween(W.unboundedPreceding, 0)
     out_cols: list[Column] = []
     for name in df.columns:
         if name == key_col:
             out_cols.append(F.col(key_col))
             continue
         c = F.col(name)
-        if name in fills:
+        if name in carried:
+            prev = F.last(
+                F.when(~synthesized, F.col(name)), ignorenulls=True
+            ).over(w)
+            c = F.when(synthesized, prev).otherwise(c)
+        elif name in fills:
             c = F.when(synthesized, F.lit(fills[name])).otherwise(c)
         out_cols.append(c.alias(name))
     return joined.select(*out_cols)

@@ -150,6 +150,36 @@ def test_comment_clear_check_statements(eng):
     eng.sql("ALTER TABLE cc CLEAR COLUMN IF EXISTS nope")  # no-op, no raise
 
 
+def test_star_apply_modifier(eng):
+    eng.sql("CREATE TABLE ap (k UInt64, a Float64, b Float64) ENGINE = MergeTree ORDER BY k")
+    eng.sql("INSERT INTO ap VALUES (1, 1.5, 2.5), (2, 3.5, 4.5)")
+    r = eng.sql("SELECT * APPLY(sum) FROM ap").first()
+    assert (r["sum(k)"], r["sum(a)"], r["sum(b)"]) == (3, 5.0, 7.0)
+    df = eng.sql("SELECT * EXCEPT (k) APPLY(max) FROM ap")
+    assert df.columns == ["max(a)", "max(b)"]  # CH's result-column naming
+    assert tuple(df.first()) == (3.5, 4.5)
+    with pytest.raises(NotImplementedError):
+        eng.sql("SELECT * APPLY(sum) FROM (SELECT 1 AS x) t JOIN ap ON true")
+
+
+def test_with_fill_interpolate(eng):
+    eng.sql("CREATE TABLE fi (k UInt64, a Float64) ENGINE = MergeTree ORDER BY k")
+    eng.sql("INSERT INTO fi VALUES (1, 1.5), (2, 3.5), (5, 9.0)")
+    rows = eng.sql(
+        "SELECT k AS x, max(a) AS v FROM fi GROUP BY k "
+        "ORDER BY x WITH FILL FROM 1 TO 7 INTERPOLATE (v)"
+    ).collect()
+    got = [(r["x"], r["v"]) for r in rows]
+    # filled rows carry the previous present value forward; present rows
+    # keep their own values (CH INTERPOLATE default)
+    assert got == [(1, 1.5), (2, 3.5), (3, 3.5), (4, 3.5), (5, 9.0), (6, 9.0)]
+    with pytest.raises(NotImplementedError):
+        eng.sql(
+            "SELECT k AS x, max(a) AS v FROM fi GROUP BY k "
+            "ORDER BY x WITH FILL INTERPOLATE (v AS v + 1)"
+        )
+
+
 def test_rename_column_mutation(eng):
     """RENAME COLUMN: CH does this O(1)-metadata; this engine rewrites the
     parts (documented deviation in Engine.rename_column) with identical
