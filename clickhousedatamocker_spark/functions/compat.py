@@ -78,6 +78,10 @@ _REWRITES = [
     (re.compile(r"\bcountState\(", re.IGNORECASE), "count("),
     (re.compile(r"\bcountMerge\(", re.IGNORECASE), "sum("),
     (re.compile(r"\buniqExact\(", re.IGNORECASE), "count(DISTINCT "),
+    # -Distinct combinators: aggregate over the distinct value set
+    (re.compile(r"\bsumDistinct\(", re.IGNORECASE), "sum(DISTINCT "),
+    (re.compile(r"\bavgDistinct\(", re.IGNORECASE), "avg(DISTINCT "),
+    (re.compile(r"\bcountDistinct\(", re.IGNORECASE), "count(DISTINCT "),
     (re.compile(r"\buniq(?:Combined|HLL12)?\(", re.IGNORECASE), "approx_count_distinct("),
     (re.compile(r"\bcountIf\(", re.IGNORECASE), "count_if("),
     (re.compile(r"\banyLast\(", re.IGNORECASE), "last("),

@@ -90,6 +90,14 @@ def test_scalar_vocabulary(eng, sql, want):
     assert got == want, f"{sql}: got {got!r} want {want!r}"
 
 
+def test_distinct_combinators(eng):
+    r = eng.sql(
+        "SELECT sumDistinct(x) AS s, avgDistinct(x) AS a, countDistinct(x) AS c "
+        "FROM (SELECT 1 AS x UNION ALL SELECT 1 UNION ALL SELECT 3) t"
+    ).first()
+    assert (r["s"], r["a"], r["c"]) == (4, 2.0, 2)
+
+
 def test_any_and_interval_and_week_functions(eng):
     assert eng.sql("SELECT any(x) AS a FROM (SELECT 5 AS x) t").first()["a"] == 5
     d = eng.sql("SELECT toDate('2024-01-10') + toIntervalDay(2) AS d").first()["d"]

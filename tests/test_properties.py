@@ -199,3 +199,62 @@ def test_scalar_with_rewrite_laws(names, k):
     assert _rewrite_scalar_with(out) == out
     cte = f"WITH {names[0]} AS (SELECT 1 AS x) SELECT x FROM {names[0]}"
     assert _rewrite_scalar_with(cte) == cte
+
+
+def test_bracket_rewriter_properties():
+    """Property tests for the bracket pass (dialect batch 4): every output
+    is bracket-free outside string literals, paren-balanced, and a fixpoint
+    of the full translator. Literals vs subscripts must be distinguished
+    after keywords, function results, and chained indexes; brackets inside
+    string literals are data and survive verbatim."""
+    from hypothesis import given, settings, strategies as st
+
+    from clickhousedatamocker_spark.functions.compat import translate_ch_sql as tr
+
+    names = st.sampled_from(["x", "y", "col1", "t.arr"])
+    lits = st.sampled_from(["1", "2.5", "'[1,2]'", "'a,b]'", "'plain'"])
+
+    def exprs(depth):
+        if depth == 0:
+            return st.one_of(names, lits)
+        sub = exprs(depth - 1)
+        return st.one_of(
+            names,
+            lits,
+            st.builds(lambda a, b: f"[{a}, {b}]", sub, sub),
+            st.builds(lambda a: f"[{a}]", sub),
+            st.builds(lambda n, i: f"{n}[{i}]", names, sub),
+            st.builds(lambda a, i: f"splitByChar(',', {a})[{i}]", sub, sub),
+            st.builds(lambda a, b, i: f"[{a}, {b}][{i}]", sub, sub, sub),
+            st.builds(lambda c, a, b: f"CASE WHEN {c} > 0 THEN [{a}] ELSE [{b}] END", sub, sub, sub),
+        )
+
+    def bracket_free_and_balanced(s: str) -> bool:
+        depth, quote = 0, None
+        for ch in s:
+            if quote:
+                if ch == quote:
+                    quote = None
+            elif ch in "'\"":
+                quote = ch
+            elif ch == "[":
+                return False
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth < 0:
+                    return False
+        return depth == 0 and quote is None
+
+    @given(exprs(3))
+    @settings(max_examples=200, deadline=None)
+    def check(e):
+        out = tr(f"SELECT {e} AS v FROM t")
+        assert bracket_free_and_balanced(out), out
+        assert tr(out) == out, out  # full-translator fixpoint
+        # string-literal payloads survive byte-for-byte
+        if "'[1,2]'" in e:
+            assert "'[1,2]'" in out, out
+
+    check()
