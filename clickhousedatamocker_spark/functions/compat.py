@@ -132,6 +132,32 @@ _REWRITES = [
     (re.compile(r"\bhas\(", re.IGNORECASE), "array_contains("),
     (re.compile(r"\bhasAny\(", re.IGNORECASE), "arrays_overlap("),
     (re.compile(r"\btoTypeName\(", re.IGNORECASE), "typeof("),
+    # arrayElement(arr, i) is EXACTLY element_at's contract (1-based,
+    # negative from the end); same for the statistics/bit aggregates and
+    # map accessors — name-only moves
+    (re.compile(r"\barrayElement\(", re.IGNORECASE), "element_at("),
+    (re.compile(r"\bisNaN\(", re.IGNORECASE), "isnan("),
+    (re.compile(r"\bstddevPop\(", re.IGNORECASE), "stddev_pop("),
+    (re.compile(r"\bstddevSamp\(", re.IGNORECASE), "stddev_samp("),
+    (re.compile(r"\bvarPop\(", re.IGNORECASE), "var_pop("),
+    (re.compile(r"\bvarSamp\(", re.IGNORECASE), "var_samp("),
+    (re.compile(r"\bcovarPop\(", re.IGNORECASE), "covar_pop("),
+    (re.compile(r"\bcovarSamp\(", re.IGNORECASE), "covar_samp("),
+    (re.compile(r"\bgroupBitAnd\(", re.IGNORECASE), "bit_and("),
+    (re.compile(r"\bgroupBitOr\(", re.IGNORECASE), "bit_or("),
+    (re.compile(r"\bgroupBitXor\(", re.IGNORECASE), "bit_xor("),
+    (re.compile(r"\bbitCount\(", re.IGNORECASE), "bit_count("),
+    (re.compile(r"\bbase64Encode\(", re.IGNORECASE), "base64("),
+    (re.compile(r"\bmapKeys\(", re.IGNORECASE), "map_keys("),
+    (re.compile(r"\bmapValues\(", re.IGNORECASE), "map_values("),
+    (re.compile(r"\bmapContains\(", re.IGNORECASE), "map_contains_key("),
+    (re.compile(r"\btoISOWeek\(", re.IGNORECASE), "weekofyear("),
+    # CAST(x, 'Type') — CH's two-argument spelling (simple first arg; the
+    # AS form with CH type names is handled above)
+    (
+        re.compile(r"\bCAST\(\s*([^,()]+?)\s*,\s*'(\w+)'\s*\)", re.IGNORECASE),
+        lambda m: f"CAST({m.group(1)} AS {parse_ch_type(m.group(2))[0].simpleString()})",
+    ),
     # tuple(...) == an unnamed struct; Spark names the fields col1, col2...
     # and CH's positional access `.1` maps onto them (rewrite below)
     (re.compile(r"\btuple\(", re.IGNORECASE), "struct("),
@@ -418,6 +444,20 @@ def _pm_range(args: list[str]) -> str:
     )
 
 
+def _pm_tuple_element(args: list[str]) -> str:
+    """tupleElement(t, N) / tupleElement(t, 'name') — positional indexes
+    map onto struct()'s col<N> field names, string literals pass through."""
+    if len(args) != 2:
+        raise NotImplementedError("tupleElement expects (tuple, index-or-name)")
+    idx = args[1].strip()
+    if re.fullmatch(r"\d+", idx):
+        return f"({args[0]}).col{idx}"
+    nm = re.fullmatch(r"'(\w+)'", idx)
+    if nm:
+        return f"({args[0]}).{nm.group(1)}"
+    raise NotImplementedError("tupleElement needs a literal index or name")
+
+
 def _pm_start_of_week(args: list[str]) -> str:
     """toStartOfWeek(d[, mode]): mode 0 (CH default) = Sunday-start week;
     modes 1/3 = Monday-start (== toMonday). Only literal modes shim."""
@@ -482,6 +522,37 @@ _PARAMETRIC: dict[str, object] = {
     "toIntervalYear": _pm_1arg("make_interval({x})"),
     "toStartOfWeek": _pm_start_of_week,
     "toMonday": _pm_1arg("CAST(date_trunc('week', {x}) AS DATE)"),
+    "isFinite": _pm_1arg("(NOT isnan({x}) AND abs({x}) <> double('inf'))"),
+    "isInfinite": _pm_1arg("(abs({x}) = double('inf'))"),
+    "ifNotFinite": _pm_2arg_fa(
+        "(CASE WHEN isnan({f}) OR abs({f}) = double('inf') THEN {a} ELSE {f} END)"
+    ),
+    "medianExact": _pm_1arg("percentile({x}, 0.5)"),
+    "toYYYYMM": _pm_1arg("CAST(date_format({x}, 'yyyyMM') AS INT)"),
+    # running sum, computed in DOUBLE (a type-preserving fold has no fixed
+    # point for DECIMAL elements — Spark widens precision on every add; CH
+    # returns UInt64/Float64, this shim returns Float64 for both, values
+    # identical for the +-exact integer range)
+    "arrayCumSum": _pm_1arg(
+        "aggregate(transform({x}, __cs_v -> CAST(__cs_v AS DOUBLE)), "
+        "CAST(array() AS ARRAY<DOUBLE>), (acc, v) -> concat(acc, array("
+        "CASE WHEN size(acc) = 0 THEN v ELSE element_at(acc, size(acc)) + v END)))"
+    ),
+    # CH arrayDifference: first element 0, then adjacent diffs
+    "arrayDifference": _pm_1arg(
+        "(CASE WHEN size({x}) = 0 THEN slice({x}, 1, 0) ELSE "
+        "transform(sequence(1, size({x})), __ad_i -> CASE WHEN __ad_i = 1 THEN "
+        "element_at({x}, 1) - element_at({x}, 1) ELSE "
+        "element_at({x}, __ad_i) - element_at({x}, __ad_i - 1) END) END)"
+    ),
+    # obscure lambda var: the value expression may reference data columns,
+    # and a common name like x would shadow them
+    "countEqual": _pm_2arg_fa("size(filter({f}, __ceq_v -> __ceq_v = ({a})))"),
+    "timeSlot": _pm_1arg(
+        "timestamp_seconds(CAST(floor(unix_timestamp({x}) / 1800.0) AS BIGINT) * 1800)"
+    ),
+    "base64Decode": _pm_1arg("CAST(unbase64({x}) AS STRING)"),
+    "tupleElement": _pm_tuple_element,
 }
 
 _PARAMETRIC_RE = re.compile(

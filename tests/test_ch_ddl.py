@@ -1614,16 +1614,19 @@ def test_schema_evolution_add_drop_modify_column(spark, tmp_warehouse):
         engine.sql("ALTER TABLE se DROP COLUMN ghost")
     engine.sql("ALTER TABLE se DROP COLUMN IF EXISTS ghost")  # no-op
 
-    # RENAME COLUMN: loud gate with the migration recipe
-    with pytest.raises(NotImplementedError, match="RENAME COLUMN"):
-        engine.sql("ALTER TABLE se RENAME COLUMN src TO origin")
+    # RENAME COLUMN: implemented as a synchronous part-rewrite mutation
+    # (tests/test_ch_dialect5d.py::test_rename_column_mutation has the
+    # full-contract coverage; here: the rename lands and reads follow)
+    engine.sql("ALTER TABLE se RENAME COLUMN src TO origin")
+    assert "origin" in engine.read_table("se").columns
+    assert "src" not in engine.read_table("se").columns
 
     # evolution survives a catalog round-trip (fresh Engine over same dir)
     engine2 = Engine(spark, tmp_warehouse)
     assert {f.name for f in engine2.catalog.get("se").schema.fields} == {
-        "k", "event_time", "src"
+        "k", "event_time", "origin"
     }
-    assert {r["k"]: r["src"] for r in engine2.sql("SELECT k, src FROM se").collect()} == rows
+    assert {r["k"]: r["origin"] for r in engine2.sql("SELECT k, origin FROM se").collect()} == rows
 
 
 def test_show_create_covers_new_families_and_evolution(spark, tmp_warehouse):

@@ -90,6 +90,48 @@ def test_scalar_vocabulary(eng, sql, want):
     assert got == want, f"{sql}: got {got!r} want {want!r}"
 
 
+# batch-3 vocabulary (probe-driven): stats/bit aggregates, float guards,
+# map/tuple accessors, running array math, two-arg CAST
+VOCAB3_GOLDENS = [
+    ("SELECT CAST(1, 'String') AS a", "1"),
+    ("SELECT arrayElement([1,2,3], -1) AS a", 3),
+    ("SELECT tupleElement(tuple(1,'a'), 2) AS a", "a"),
+    ("SELECT isNaN(double('nan')) AS a", True),
+    ("SELECT isFinite(1.0) AS a", True),
+    ("SELECT isFinite(double('inf')) AS a", False),
+    ("SELECT isInfinite(double('inf')) AS a", True),
+    ("SELECT ifNotFinite(double('inf'), 9.0) AS a", 9.0),
+    ("SELECT ifNotFinite(2.0, 9.0) AS a", 2.0),
+    ("SELECT toYYYYMM(toDate('2024-03-05')) AS a", 202403),
+    ("SELECT toISOWeek(toDate('2024-01-10')) AS a", 2),
+    ("SELECT arrayCumSum([1,2,3]) AS a", [1.0, 3.0, 6.0]),
+    ("SELECT arrayCumSum([1.5,2.5]) AS a", [1.5, 4.0]),
+    ("SELECT arrayDifference([1,4,9]) AS a", [0, 3, 5]),
+    ("SELECT countEqual([1,2,1], 1) AS a", 2),
+    ("SELECT bitCount(7) AS a", 3),
+    ("SELECT stddevPop(x) AS a FROM (SELECT 1.0 AS x UNION ALL SELECT 3.0) t", 1.0),
+    ("SELECT varSamp(x) AS a FROM (SELECT 1.0 AS x UNION ALL SELECT 3.0) t", 2.0),
+    ("SELECT groupBitAnd(x) AS a FROM (SELECT 6 AS x UNION ALL SELECT 3) t", 2),
+    ("SELECT groupBitOr(x) AS a FROM (SELECT 4 AS x UNION ALL SELECT 1) t", 5),
+    ("SELECT base64Encode('ab') AS a", "YWI="),
+    ("SELECT base64Decode('YWI=') AS a", "ab"),
+    ("SELECT medianExact(x) AS a FROM (SELECT 1.0 AS x UNION ALL SELECT 3.0) t", 2.0),
+    ("SELECT mapKeys(map('a', 1)) AS a", ["a"]),
+    ("SELECT mapValues(map('a', 1)) AS a", [1]),
+    ("SELECT mapContains(map('a', 1), 'b') AS a", False),
+    ("SELECT sumDistinct(x) AS a FROM (SELECT 2 AS x UNION ALL SELECT 2) t", 2),
+    ("SELECT timeSlot(toDateTime('2024-01-01 10:47:00')) AS a", "2024-01-01 10:30:00"),
+]
+
+
+@pytest.mark.parametrize("sql,want", VOCAB3_GOLDENS)
+def test_vocabulary_batch3(eng, sql, want):
+    got = eng.sql(sql).first()["a"]
+    if "timeSlot" in sql:
+        got = str(got)
+    assert got == want, f"{sql}: got {got!r} want {want!r}"
+
+
 def test_distinct_combinators(eng):
     r = eng.sql(
         "SELECT sumDistinct(x) AS s, avgDistinct(x) AS a, countDistinct(x) AS c "
