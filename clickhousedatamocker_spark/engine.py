@@ -339,6 +339,39 @@ class Engine:
         except Exception:
             pass  # never registered (empty table) — nothing to drop
 
+    def detach_table(self, name: str, if_exists: bool = False) -> None:
+        """DETACH TABLE — the table leaves the active catalog but its meta
+        and data stay on disk; ATTACH TABLE brings it back (ClickHouse's
+        exact contract). Modeled by renaming the catalog meta file to a
+        ``.detached`` sibling — data files are untouched."""
+        if not self.catalog.exists(name):
+            if if_exists:
+                return
+            from clickhousedatamocker_spark.plans.catalog import TableNotFoundError
+
+            raise TableNotFoundError(name)
+        meta = self.catalog._meta_path(name)
+        os.rename(meta, meta + ".detached")
+        self._catalog_version += 1
+        self.parts.evict(name)
+        self._registered_versions.pop(name, None)
+        try:
+            self.spark.catalog.dropTempView(name)
+        except Exception:
+            pass
+
+    def attach_table(self, name: str, if_not_exists: bool = False) -> None:
+        """ATTACH TABLE — restore a DETACHed table into the active catalog."""
+        if self.catalog.exists(name):
+            if if_not_exists:
+                return
+            raise ValueError(f"table {name!r} is already attached")
+        meta = self.catalog._meta_path(name)
+        if not os.path.exists(meta + ".detached"):
+            raise ValueError(f"no detached table {name!r} to attach")
+        os.rename(meta + ".detached", meta)
+        self._catalog_version += 1
+
     def alter_setting(self, name: str, **settings) -> None:
         self._catalog_version += 1
         self.catalog.alter_setting(name, **settings)
@@ -2030,6 +2063,27 @@ class Engine:
             elif ddl["op"] == "mutate_update":
                 n = self.update_where(ddl["name"], ddl["assignments"], ddl["predicate"])
                 return self.spark.createDataFrame([(n,)], "rows_updated bigint")
+            elif ddl["op"] == "detach_table":
+                self.detach_table(ddl["name"], if_exists=ddl["if_exists"])
+            elif ddl["op"] == "attach_table":
+                self.attach_table(ddl["name"], if_not_exists=ddl["if_not_exists"])
+            elif ddl["op"] == "system_noop":
+                # accepted CH housekeeping statement with no engine analog
+                # (see parse_ch_ddl): executing it is the contract
+                pass
+            elif ddl["op"] == "reload_dictionaries":
+                if ddl["name"] is not None:
+                    try:
+                        self.spark.table(f"dict_{ddl['name']}")
+                    except Exception:
+                        raise ValueError(f"no dictionary {ddl['name']!r}")
+                # dictionaries are session-registered DataFrames — there is
+                # no external source to re-read; existence IS the reload
+            elif ddl["op"] == "show_processlist":
+                # single-process engine: the only query running is this one
+                return self.spark.createDataFrame(
+                    [], "query string, elapsed double, user string"
+                )
             elif ddl["op"] == "rename_column":
                 n = self.rename_column(
                     ddl["name"], ddl["column"], ddl["to"], if_exists=ddl["if_exists"]

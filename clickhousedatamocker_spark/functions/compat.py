@@ -1331,6 +1331,34 @@ def parse_ch_ddl(sql: str) -> dict | None:
     if m:
         return {"op": "rename", "name": m.group(1), "to": m.group(2)}
 
+    m = re.match(r"DETACH\s+TABLE\s+(IF\s+EXISTS\s+)?(\w+)\s*;?\s*$", s, re.IGNORECASE)
+    if m:
+        return {"op": "detach_table", "name": m.group(2), "if_exists": bool(m.group(1))}
+    m = re.match(r"ATTACH\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s*;?\s*$", s, re.IGNORECASE)
+    if m:
+        return {"op": "attach_table", "name": m.group(2), "if_not_exists": bool(m.group(1))}
+    # cache/log maintenance statements: CH server-side housekeeping with no
+    # analog here (no mark/uncompressed cache, query log is an in-memory
+    # view, DNS is the OS's) — accepted as no-ops so pasted ops runbooks
+    # execute; SYSTEM RELOAD DICTIONARIES really re-registers the dicts
+    m = re.match(
+        r"SYSTEM\s+(FLUSH\s+LOGS|DROP\s+(?:MARK|UNCOMPRESSED|QUERY)\s+CACHE|"
+        r"DROP\s+DNS\s+CACHE|RELOAD\s+CONFIG)\s*;?\s*$",
+        s,
+        re.IGNORECASE,
+    )
+    if m:
+        return {"op": "system_noop", "what": " ".join(m.group(1).upper().split())}
+    m = re.match(
+        r"SYSTEM\s+RELOAD\s+(?:DICTIONARIES|DICTIONARY\s+(\w+))\s*;?\s*$",
+        s,
+        re.IGNORECASE,
+    )
+    if m:
+        return {"op": "reload_dictionaries", "name": m.group(1)}
+    m = re.match(r"SHOW\s+PROCESSLIST\s*;?\s*$", s, re.IGNORECASE)
+    if m:
+        return {"op": "show_processlist"}
     m = re.match(
         r"SYSTEM\s+(STOP|START)\s+MERGES(?:\s+(\w+))?\s*;?\s*$", s, re.IGNORECASE
     )

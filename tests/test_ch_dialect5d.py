@@ -230,6 +230,48 @@ def test_with_fill_interpolate(eng):
         )
 
 
+def test_detach_attach_table(eng):
+    """DETACH TABLE removes the table from the active catalog keeping meta
+    + data on disk; ATTACH restores it intact (CH's table-level contract,
+    sibling of the existing DETACH/ATTACH PARTITION surface)."""
+    eng.sql("CREATE TABLE dt (k UInt64, v Float64) ENGINE = MergeTree ORDER BY k")
+    eng.sql("INSERT INTO dt VALUES (1, 1.0), (2, 2.0)")
+    eng.sql("DETACH TABLE dt")
+    assert "dt" not in [r["name"] for r in eng.sql("SHOW TABLES").collect()]
+    with pytest.raises(Exception):
+        eng.sql("SELECT count(*) FROM dt").collect()
+    # name is free for ATTACH only — re-CREATE would collide on the data
+    # path, and CH also refuses CREATE over a detached table's directory
+    eng.sql("ATTACH TABLE dt")
+    assert eng.sql("SELECT count(*) AS c FROM dt").first()["c"] == 2
+    eng.sql("INSERT INTO dt VALUES (3, 3.0)")
+    assert eng.sql("SELECT count(*) AS c FROM dt").first()["c"] == 3
+    eng.sql("DETACH TABLE IF EXISTS ghost")  # no-op
+    with pytest.raises(Exception):
+        eng.sql("DETACH TABLE ghost")
+    with pytest.raises(ValueError):
+        eng.sql("ATTACH TABLE dt")  # already attached
+    with pytest.raises(ValueError):
+        eng.sql("ATTACH TABLE ghost")  # nothing detached under that name
+
+
+def test_system_noops_and_processlist(eng):
+    # ops-runbook statements: accepted, no effect to observe beyond success
+    for s in (
+        "SYSTEM FLUSH LOGS",
+        "SYSTEM DROP MARK CACHE",
+        "SYSTEM DROP UNCOMPRESSED CACHE",
+        "SYSTEM DROP DNS CACHE",
+        "SYSTEM RELOAD CONFIG",
+        "SYSTEM RELOAD DICTIONARIES",
+    ):
+        eng.sql(s)
+    with pytest.raises(ValueError):
+        eng.sql("SYSTEM RELOAD DICTIONARY nonexistent")
+    df = eng.sql("SHOW PROCESSLIST")
+    assert df.columns == ["query", "elapsed", "user"] and df.count() == 0
+
+
 def test_rename_column_mutation(eng):
     """RENAME COLUMN: CH does this O(1)-metadata; this engine rewrites the
     parts (documented deviation in Engine.rename_column) with identical
