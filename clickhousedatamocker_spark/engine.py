@@ -1887,6 +1887,48 @@ class Engine:
             )
             return filled.orderBy(key)
 
+        # SELECT DISTINCT ON (k1[, k2...]) items FROM ... — CH's first-row-
+        # per-key form. One row per key via row_number over the key order
+        # (the survivor is arbitrary — exactly CH's contract); a top-level
+        # trailing ORDER BY / LIMIT applies AFTER the dedup, so it is
+        # hoisted outside the wrapper (depth-0 scan, subqueries untouched).
+        mdon = _re.match(
+            r"\s*SELECT\s+DISTINCT\s+ON\s*\(([^)]+)\)\s*(.+?)\s+FROM\s+(.+?);?\s*$",
+            query,
+            _re.IGNORECASE | _re.DOTALL,
+        )
+        if mdon is not None:
+            keys, items, rest = (
+                mdon.group(1).strip(),
+                mdon.group(2).strip(),
+                mdon.group(3),
+            )
+            depth, quote, cut = 0, None, len(rest)
+            for i, c in enumerate(rest):
+                if quote:
+                    if c == quote:
+                        quote = None
+                elif c in "'\"":
+                    quote = c
+                elif c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+                elif depth == 0 and _re.match(
+                    r"(ORDER\s+BY|LIMIT)\b", rest[i:], _re.IGNORECASE
+                ):
+                    cut = i
+                    break
+            inner, tail = rest[:cut].rstrip(), rest[cut:].strip()
+            self.refresh_system_views()
+            return self.spark.sql(
+                translate_ch_sql(
+                    f"SELECT {items} FROM (SELECT *, row_number() OVER "
+                    f"(PARTITION BY {keys} ORDER BY {keys}) AS __rn FROM {inner}) "
+                    f"WHERE __rn = 1 {tail}"
+                )
+            )
+
         # SELECT ... ORDER BY o LIMIT n BY c1[, c2...] — CH's per-group
         # limit. Requires the ORDER BY (the rewrite's row_number needs a
         # deterministic order; CH's unordered form is doc-order, which has

@@ -158,6 +158,25 @@ _REWRITES = [
         re.compile(r"\bCAST\(\s*([^,()]+?)\s*,\s*'(\w+)'\s*\)", re.IGNORECASE),
         lambda m: f"CAST({m.group(1)} AS {parse_ch_type(m.group(2))[0].simpleString()})",
     ),
+    (re.compile(r"\bparseDateTimeBestEffort\(", re.IGNORECASE), "try_to_timestamp("),
+    # age(): complete-unit counting == timestampdiff's contract for
+    # DATE-typed args (sub-day remainders on DateTime args deviate)
+    (re.compile(r"\bage\(\s*'(\w+)'\s*,", re.IGNORECASE), r"timestampdiff(\1,"),
+    (re.compile(r"\btoLastDayOfMonth\(", re.IGNORECASE), "last_day("),
+    (re.compile(r"\bgenerateUUIDv4\(", re.IGNORECASE), "uuid("),
+    (re.compile(r"\blagInFrame\(", re.IGNORECASE), "lag("),
+    (re.compile(r"\bleadInFrame\(", re.IGNORECASE), "lead("),
+    # typed empty-array constructors
+    (
+        re.compile(r"\bemptyArray(U?Int8|U?Int16|U?Int32|U?Int64|Float32|Float64|String|Date|DateTime)\(\s*\)", re.IGNORECASE),
+        lambda m: f"CAST(array() AS ARRAY<{parse_ch_type(m.group(1))[0].simpleString()}>)",
+    ),
+    # LIMIT offset, count (CH/MySQL comma form; never before BY — that
+    # spelling belongs to LIMIT n BY)
+    (
+        re.compile(r"\bLIMIT\s+(\d+)\s*,\s*(\d+)(?!\s*BY\b)", re.IGNORECASE),
+        r"LIMIT \2 OFFSET \1",
+    ),
     # tuple(...) == an unnamed struct; Spark names the fields col1, col2...
     # and CH's positional access `.1` maps onto them (rewrite below)
     (re.compile(r"\btuple\(", re.IGNORECASE), "struct("),
@@ -553,7 +572,26 @@ _PARAMETRIC: dict[str, object] = {
     ),
     "base64Decode": _pm_1arg("CAST(unbase64({x}) AS STRING)"),
     "tupleElement": _pm_tuple_element,
+    "toRelativeDayNum": _pm_1arg("datediff(CAST({x} AS DATE), DATE '1970-01-01')"),
 }
+
+# checked conversions: -OrNull == try_cast, -OrZero wraps it in the type's
+# zero value (CH's exact contracts: 0 / 0.0 / 1970-01-01). Spark target
+# types spelled directly (parse_ch_type is defined below in the DDL
+# section; the mapping matches _CH_TYPES)
+for _chty, _sqlty, _zero in [
+    ("Int8", "INT", "0"), ("Int16", "INT", "0"), ("Int32", "INT", "0"),
+    ("Int64", "BIGINT", "0"),
+    ("UInt8", "INT", "0"), ("UInt16", "INT", "0"), ("UInt32", "INT", "0"),
+    ("UInt64", "BIGINT", "0"),
+    ("Float32", "FLOAT", "0.0"), ("Float64", "DOUBLE", "0.0"),
+    ("Date", "DATE", "DATE '1970-01-01'"),
+    ("DateTime", "TIMESTAMP", "TIMESTAMP '1970-01-01 00:00:00'"),
+]:
+    _PARAMETRIC[f"to{_chty}OrNull"] = _pm_1arg(f"try_cast({{x}} AS {_sqlty})")
+    _PARAMETRIC[f"to{_chty}OrZero"] = _pm_1arg(
+        f"coalesce(try_cast({{x}} AS {_sqlty}), {_zero})"
+    )
 
 _PARAMETRIC_RE = re.compile(
     r"\b(" + "|".join(_PARAMETRIC) + r")\s*\(", re.IGNORECASE
@@ -902,11 +940,26 @@ def _rewrite_brackets(sql: str) -> str:
     raise NotImplementedError("bracket rewrite did not converge in 256 passes")
 
 
+_TUPLE_DOT_RE = re.compile(r"\b([A-Za-z_]\w*)\s*\.\s*(\d+)\b")
+
+
+def _rewrite_tuple_dots(sql: str) -> str:
+    """``x.1`` on a named value → ``x.col1`` (CH tuple positional access;
+    an identifier can never start a float literal, so ident.digit is
+    unambiguous). String literals are data and stay verbatim — URLs and
+    version strings ('v1.5') must never be rewritten."""
+    segs = re.split(r"('(?:[^'\\]|\\.)*')", sql)
+    return "".join(
+        s if i % 2 else _TUPLE_DOT_RE.sub(r"\1.col\2", s)
+        for i, s in enumerate(segs)
+    )
+
+
 def translate_ch_sql(sql: str) -> str:
     sql = _rewrite_brackets(_rewrite_scalar_with(_rewrite_array_join(sql)))
     for pattern, repl in _REWRITES:
         sql = pattern.sub(repl, sql)
-    return _rewrite_parametric(sql)
+    return _rewrite_parametric(_rewrite_tuple_dots(sql))
 
 
 # -- DDL ---------------------------------------------------------------------

@@ -132,6 +132,50 @@ def test_vocabulary_batch3(eng, sql, want):
     assert got == want, f"{sql}: got {got!r} want {want!r}"
 
 
+# batch-4: checked conversions, best-effort parse, tuple dot access,
+# LIMIT offset,count / DISTINCT ON clause forms
+VOCAB4_GOLDENS = [
+    ("SELECT toInt32OrNull('xxx') AS a", None),
+    ("SELECT toInt32OrNull('42') AS a", 42),
+    ("SELECT toInt32OrZero('xxx') AS a", 0),
+    ("SELECT toUInt64OrNull('7') AS a", 7),
+    ("SELECT toFloat64OrZero('1.5') AS a", 1.5),
+    ("SELECT toDateOrNull('nope') AS a", None),
+    ("SELECT toDateOrZero('nope') AS a", "1970-01-01"),
+    ("SELECT age('day', toDate('2024-01-01'), toDate('2024-02-01')) AS a", 31),
+    ("SELECT toLastDayOfMonth(toDate('2024-02-15')) AS a", "2024-02-29"),
+    ("SELECT toRelativeDayNum(toDate('1970-01-03')) AS a", 2),
+    ("SELECT length(toString(generateUUIDv4())) AS a", 36),
+    ("SELECT emptyArrayUInt8() AS a", []),
+    ("SELECT emptyArrayString() AS a", []),
+    # ident.digit tuple access; string literals are data, never rewritten
+    ("SELECT x.1 AS a FROM (SELECT tuple(5, 6) AS x) t", 5),
+    ("SELECT 'v1.5' AS a", "v1.5"),
+    ("SELECT lagInFrame(x) OVER (ORDER BY x) AS a FROM (SELECT 1 AS x) t", None),
+]
+
+
+@pytest.mark.parametrize("sql,want", VOCAB4_GOLDENS)
+def test_vocabulary_batch4(eng, sql, want):
+    got = eng.sql(sql).first()["a"]
+    if "toLastDay" in sql or "toDateOrZero" in sql:
+        got = str(got)
+    assert got == want, f"{sql}: got {got!r} want {want!r}"
+
+
+def test_distinct_on_and_limit_comma(eng):
+    base = "(SELECT 1 AS x, 'a' AS s UNION ALL SELECT 1, 'b' UNION ALL SELECT 2, 'c') t"
+    rows = eng.sql(f"SELECT DISTINCT ON (x) x, s FROM {base} ORDER BY x").collect()
+    # one row per key; trailing ORDER BY applies AFTER the dedup
+    assert [r["x"] for r in rows] == [1, 2]
+    assert rows[1]["s"] == "c"
+    rows = eng.sql(
+        "SELECT x FROM (SELECT 1 AS x UNION ALL SELECT 2 UNION ALL SELECT 3) t "
+        "ORDER BY x LIMIT 1, 2"
+    ).collect()
+    assert [r["x"] for r in rows] == [2, 3]  # LIMIT offset, count
+
+
 def test_distinct_combinators(eng):
     r = eng.sql(
         "SELECT sumDistinct(x) AS s, avgDistinct(x) AS a, countDistinct(x) AS c "
