@@ -59,6 +59,11 @@ class Engine:
         self._views: dict[str, str] = {}
         self._databases: set[str] = {database}
         self._query_log: list[tuple] = []
+        # SET <name> = <value> session knobs: CH-side acceptance + the
+        # system.settings introspection surface (changed=1 rows only —
+        # CH's full default catalog is server configuration, not engine
+        # semantics)
+        self._session_settings: dict[str, str] = {}
         self._query_log_version = 0
         self._query_log_registered_version = -1
         self._detached_version = 0
@@ -1202,6 +1207,10 @@ class Engine:
         self._register_introspection_views()
         self._register_merges_view()
         self._register_mutations_view()
+        self.spark.createDataFrame(
+            [(k, v, 1) for k, v in sorted(self._session_settings.items())],
+            "name string, value string, changed int",
+        ).createOrReplaceTempView("system_settings")
         for name in self.catalog.list_tables():
             if self._distributed_spec(name) is not None:
                 version = tuple(self.parts.inventory_version(s) for s in self.shard_tables(name))
@@ -2105,6 +2114,8 @@ class Engine:
             elif ddl["op"] == "mutate_update":
                 n = self.update_where(ddl["name"], ddl["assignments"], ddl["predicate"])
                 return self.spark.createDataFrame([(n,)], "rows_updated bigint")
+            elif ddl["op"] == "set_setting":
+                self._session_settings[ddl["key"]] = str(ddl["value"])
             elif ddl["op"] == "detach_table":
                 self.detach_table(ddl["name"], if_exists=ddl["if_exists"])
             elif ddl["op"] == "attach_table":

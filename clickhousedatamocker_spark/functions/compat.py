@@ -43,6 +43,7 @@ _REWRITES = [
     (re.compile(r"\bsystem\.merges\b", re.IGNORECASE), "system_merges"),
     (re.compile(r"\bsystem\.projections\b", re.IGNORECASE), "system_projections"),
     (re.compile(r"\bsystem\.mutations\b", re.IGNORECASE), "system_mutations"),
+    (re.compile(r"\bsystem\.settings\b", re.IGNORECASE), "system_settings"),
     # CH aggregate spellings → Spark aggregates (name-only rewrites: the
     # argument list that follows is valid for the target function, so a
     # paren-aware parser isn't needed). SQL UDFs can't define aggregates,
@@ -157,6 +158,13 @@ _REWRITES = [
     (
         re.compile(r"\bCAST\(\s*([^,()]+?)\s*,\s*'(\w+)'\s*\)", re.IGNORECASE),
         lambda m: f"CAST({m.group(1)} AS {parse_ch_type(m.group(2))[0].simpleString()})",
+    ),
+    # parameterized CH types inside CAST ... AS (one nesting level)
+    (
+        re.compile(
+            r"\bAS\s+((?:Array|Nullable|LowCardinality)\s*\(\s*\w+\s*\))\s*\)",
+        ),
+        lambda m: f"AS {parse_ch_type(m.group(1))[0].simpleString()})",
     ),
     (re.compile(r"\bparseDateTimeBestEffort\(", re.IGNORECASE), "try_to_timestamp("),
     # age(): complete-unit counting == timestampdiff's contract for
@@ -1145,8 +1153,15 @@ def parse_ch_ddl(sql: str) -> dict | None:
     # fan-out is governed by the Engine's clusters dict — so the clause
     # drops out (same reasoning as the GLOBAL JOIN/IN rewrite).
     s = re.sub(r"\sON\s+CLUSTER\s+'?\w+'?", "", s, flags=re.IGNORECASE)
+    # CREATE TEMPORARY TABLE: session-scoped in CH; here it lands in the
+    # warehouse like any table (documented deviation — this engine has no
+    # session lifetime shorter than the warehouse)
+    s = re.sub(r"^(CREATE\s+)TEMPORARY\s+", r"\1", s, flags=re.IGNORECASE)
     if not s:
         return None
+    m = re.match(r"SET\s+(\w+)\s*=\s*('[^']*'|[\w.]+)\s*;?\s*$", s, re.IGNORECASE)
+    if m:
+        return {"op": "set_setting", "key": m.group(1), "value": m.group(2).strip("'")}
 
     m = re.match(r"DROP\s+TABLE\s+(IF\s+EXISTS\s+)?(\w+)", s, re.IGNORECASE)
     if m:

@@ -274,6 +274,23 @@ def test_with_fill_interpolate(eng):
         )
 
 
+def test_set_settings_temp_table_nested_cast(eng):
+    eng.sql("SET max_threads = 8")
+    eng.sql("SET join_algorithm = 'hash'")
+    rows = eng.sql("SELECT name, value, changed FROM system.settings ORDER BY name").collect()
+    assert [(r["name"], r["value"], r["changed"]) for r in rows] == [
+        ("join_algorithm", "hash", 1),
+        ("max_threads", "8", 1),
+    ]
+    # TEMPORARY is accepted (session scoping documented as a deviation)
+    eng.sql("CREATE TEMPORARY TABLE tt5d (x UInt32) ENGINE = Memory")
+    eng.sql("INSERT INTO tt5d VALUES (4)")
+    assert eng.sql("SELECT x FROM tt5d").first()["x"] == 4
+    # parameterized CH types inside CAST
+    assert eng.sql("SELECT CAST([1,2] AS Array(Int64)) AS a").first()["a"] == [1, 2]
+    assert eng.sql("SELECT CAST(5 AS Nullable(Int64)) AS a").first()["a"] == 5
+
+
 def test_detach_attach_table(eng):
     """DETACH TABLE removes the table from the active catalog keeping meta
     + data on disk; ATTACH restores it intact (CH's table-level contract,
