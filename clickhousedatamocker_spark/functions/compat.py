@@ -948,6 +948,47 @@ def _rewrite_brackets(sql: str) -> str:
     raise NotImplementedError("bracket rewrite did not converge in 256 passes")
 
 
+def _literal_spans(sql: str) -> list[tuple[int, int]]:
+    """[start, end) spans of single-quoted string literals (backslash
+    escapes honored)."""
+    spans, i, n = [], 0, len(sql)
+    while i < n:
+        if sql[i] == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "\\":
+                    j += 2
+                    continue
+                if sql[j] == "'":
+                    j += 1
+                    break
+                j += 1
+            spans.append((i, j))
+            i = j
+        else:
+            i += 1
+    return spans
+
+
+def _sub_outside_strings(pattern: "re.Pattern", repl, sql: str) -> str:
+    """pattern.sub, except matches that START inside a string literal are
+    data and stay verbatim. Matches may still SPAN literals — the
+    dictGet/JSONExtract rewrites take quoted arguments, and their match
+    starts on the function name, outside any literal."""
+    spans = _literal_spans(sql)
+
+    def guarded(m: "re.Match") -> str:
+        p = m.start()
+        for a, b in spans:
+            if a <= p < b:
+                return m.group(0)
+            if a > p:
+                break
+        return repl(m) if callable(repl) else m.expand(repl)
+
+    return pattern.sub(guarded, sql)
+
+
 _TUPLE_DOT_RE = re.compile(r"\b([A-Za-z_]\w*)\s*\.\s*(\d+)\b")
 
 
@@ -966,7 +1007,7 @@ def _rewrite_tuple_dots(sql: str) -> str:
 def translate_ch_sql(sql: str) -> str:
     sql = _rewrite_brackets(_rewrite_scalar_with(_rewrite_array_join(sql)))
     for pattern, repl in _REWRITES:
-        sql = pattern.sub(repl, sql)
+        sql = _sub_outside_strings(pattern, repl, sql)
     return _rewrite_parametric(_rewrite_tuple_dots(sql))
 
 

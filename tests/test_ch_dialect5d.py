@@ -200,6 +200,20 @@ def test_any_and_interval_and_week_functions(eng):
     )
 
 
+def test_flat_rewrites_skip_string_literals(eng):
+    """A CH spelling inside a string constant is DATA: 'any(x)' must not
+    become 'any_value(x)'. Matches are skipped when they START inside a
+    literal; multi-quote rewrites (dictGet, JSONExtract) still fire because
+    their match starts on the function name, outside any literal."""
+    r = eng.sql(
+        "SELECT 'any(x)' AS s, 'count()' AS c, any(x) AS a "
+        "FROM (SELECT 7 AS x) t"
+    ).first()
+    assert (r["s"], r["c"], r["a"]) == ("any(x)", "count()", 7)
+    r = eng.sql("SELECT countIf(s = 'uniq(y)') AS n FROM (SELECT 'uniq(y)' AS s) t").first()
+    assert r["n"] == 1
+
+
 def test_bracket_rewrite_leaves_strings_and_table_range_alone(eng):
     # bracket inside a string literal is data, not syntax
     assert eng.sql("SELECT '[1,2]' AS a").first()["a"] == "[1,2]"
