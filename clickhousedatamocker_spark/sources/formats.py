@@ -30,12 +30,31 @@ from clickhousedatamocker_spark.sources.tsv import read_tsv, write_tsv
 
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
-FORMATS = ("TabSeparated", "CSV", "CSVWithNames", "JSONEachRow", "Parquet")
+FORMATS = (
+    "TabSeparated", "TabSeparatedWithNames", "CSV", "CSVWithNames",
+    "JSONEachRow", "Parquet",
+)
+
+# clickhouse-client's short spellings are pure aliases
+_ALIASES = {"TSV": "TabSeparated", "TSVWithNames": "TabSeparatedWithNames"}
+
+
+def _canon(fmt: str) -> str:
+    return _ALIASES.get(fmt, fmt)
 
 
 def write_format(df: DataFrame, path: str, fmt: str, mode: str = "overwrite") -> None:
+    fmt = _canon(fmt)
     if fmt == "TabSeparated":
         write_tsv(df, path, mode=mode)
+    elif fmt == "TabSeparatedWithNames":
+        (
+            df.write.mode(mode)
+            .option("sep", "\t")
+            .option("timestampFormat", _TS_FMT)
+            .option("header", "true")
+            .csv(path)
+        )
     elif fmt in ("CSV", "CSVWithNames"):
         (
             df.write.mode(mode)
@@ -54,8 +73,17 @@ def write_format(df: DataFrame, path: str, fmt: str, mode: str = "overwrite") ->
 def read_format(
     spark: SparkSession, path: str, fmt: str, schema: T.StructType
 ) -> DataFrame:
+    fmt = _canon(fmt)
     if fmt == "TabSeparated":
         return read_tsv(spark, path, schema)
+    if fmt == "TabSeparatedWithNames":
+        return (
+            spark.read.schema(schema)
+            .option("sep", "\t")
+            .option("timestampFormat", _TS_FMT)
+            .option("header", "true")
+            .csv(path)
+        )
     if fmt in ("CSV", "CSVWithNames"):
         return (
             spark.read.schema(schema)

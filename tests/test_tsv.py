@@ -58,6 +58,22 @@ def test_format_surface_roundtrips_lossless(spark, tmp_path):
         assert got == want, f"FORMAT {fmt} round-trip mismatch"
 
 
+def test_format_short_aliases(spark, tmp_path):
+    """clickhouse-client's TSV / TSVWithNames spellings are pure aliases."""
+    from clickhousedatamocker_spark.sources.formats import read_format, write_format
+
+    gen = BatchGenerator(spark, seed=7, base_time="2026-01-01 12:00:00")
+    batch = gen.batch(100)
+    want = sorted(tuple(r) for r in batch.collect())
+    for alias, canonical in (("TSV", "TabSeparated"), ("TSVWithNames", "TabSeparatedWithNames")):
+        path = str(tmp_path / f"wire_{alias}")
+        write_format(batch, path, alias)
+        got = sorted(
+            tuple(r) for r in read_format(spark, path, canonical, _test_local_spec().schema).collect()
+        )
+        assert got == want, f"alias {alias} != {canonical}"
+
+
 def test_format_unknown_rejected(spark, tmp_path):
     import pytest as _pytest
 
