@@ -914,13 +914,17 @@ class Engine:
         ch_type: str,
         default: str | None = None,
         if_not_exists: bool = False,
+        position: str | None = None,
     ) -> None:
         """ALTER TABLE ... ADD COLUMN — metadata-only, like CH: no part is
         rewritten. Old parts read the column as NULL, and with DEFAULT the
         read path fills NULLs with the default expression. For CH's
         non-Nullable column model that is exactly CH's lazy-default
         semantics; for an explicitly Nullable added column a stored NULL is
-        indistinguishable from a missing one (documented deviation)."""
+        indistinguishable from a missing one (documented deviation).
+        ``position``: ``FIRST`` or ``AFTER <col>`` — schema order only
+        (parquet reads are by-name, so position is pure metadata here,
+        same as CH)."""
         from pyspark.sql import types as _T
 
         from clickhousedatamocker_spark.functions.compat import parse_ch_type
@@ -932,9 +936,21 @@ class Engine:
                 return
             raise ValueError(f"column {column!r} already exists in {name!r}")
         dtype, nullable = parse_ch_type(ch_type)
-        schema = _T.StructType(
-            list(handle.schema.fields) + [_T.StructField(column, dtype, True)]
-        )
+        fields = list(handle.schema.fields)
+        new_field = _T.StructField(column, dtype, True)
+        if position is None:
+            fields.append(new_field)
+        elif position.upper() == "FIRST":
+            fields.insert(0, new_field)
+        else:
+            anchor = position.split()[1]
+            idx = next(
+                (i for i, f in enumerate(fields) if f.name == anchor), None
+            )
+            if idx is None:
+                raise ValueError(f"AFTER {anchor!r}: no such column in {name!r}")
+            fields.insert(idx + 1, new_field)
+        schema = _T.StructType(fields)
         settings = dict(handle.settings)
         if default is not None:
             defaults = dict(settings.get("column_defaults") or {})
@@ -1052,6 +1068,25 @@ class Engine:
                 self.catalog.alter_setting(name, **{key: d})
         self._invalidate_reads(name)
         return n
+
+    def modify_column_default(
+        self, table: str, column: str, default: str | None
+    ) -> None:
+        """ALTER TABLE ... MODIFY COLUMN col DEFAULT expr / REMOVE DEFAULT —
+        metadata-only change of the read-path fill expression (the same
+        mechanism ADD COLUMN DEFAULT uses); stored values are untouched,
+        exactly CH's behavior."""
+        name = self.catalog.resolve(table)
+        handle = self.catalog.get(name)
+        if not any(f.name == column for f in handle.schema.fields):
+            raise ValueError(f"no column {column!r} in {name!r}")
+        defaults = dict((handle.settings or {}).get("column_defaults") or {})
+        if default is None:
+            defaults.pop(column, None)
+        else:
+            defaults[column] = default
+        self.catalog.alter_setting(name, column_defaults=defaults)
+        self._invalidate_reads(name)
 
     def comment_column(
         self, table: str, column: str, comment: str, if_exists: bool = False
@@ -2275,8 +2310,10 @@ class Engine:
             elif ddl["op"] == "add_column":
                 self.add_column(
                     ddl["name"], ddl["column"], ddl["type"], default=ddl.get("default"),
-                    if_not_exists=ddl["if_not_exists"],
+                    if_not_exists=ddl["if_not_exists"], position=ddl.get("position"),
                 )
+            elif ddl["op"] == "modify_column_default":
+                self.modify_column_default(ddl["name"], ddl["column"], ddl["default"])
             elif ddl["op"] == "drop_column":
                 self.drop_column(ddl["name"], ddl["column"], if_exists=ddl["if_exists"])
             elif ddl["op"] == "modify_column":

@@ -471,6 +471,37 @@ def _pm_range(args: list[str]) -> str:
     )
 
 
+def _pm_transform(args: list[str]) -> str | None:
+    """CH transform(x, from_array, to_array[, default]) — value mapping via
+    an array-pair lookup. The 2-argument spelling is Spark's own transform
+    HOF, declined (None) so it passes through verbatim."""
+    if len(args) == 2:
+        return None
+    if len(args) == 4:
+        return (
+            f"coalesce(element_at(map_from_arrays({args[1]}, {args[2]}), "
+            f"{args[0]}), {args[3]})"
+        )
+    if len(args) == 3:  # same-typed x: unmapped values pass through
+        return (
+            f"coalesce(element_at(map_from_arrays({args[1]}, {args[2]}), "
+            f"{args[0]}), {args[0]})"
+        )
+    raise NotImplementedError("transform expects 2 (Spark HOF), 3, or 4 arguments")
+
+
+def _pm_case_with_expression(args: list[str]) -> str:
+    """caseWithExpression(x, a1, r1, ..., default) → CASE x WHEN ... END."""
+    if len(args) < 4 or len(args) % 2 != 0:
+        raise NotImplementedError(
+            "caseWithExpression needs (expr, match/result pairs..., default)"
+        )
+    whens = "".join(
+        f" WHEN {args[i]} THEN {args[i + 1]}" for i in range(1, len(args) - 1, 2)
+    )
+    return f"(CASE {args[0]}{whens} ELSE {args[-1]} END)"
+
+
 def _pm_tuple_element(args: list[str]) -> str:
     """tupleElement(t, N) / tupleElement(t, 'name') — positional indexes
     map onto struct()'s col<N> field names, string literals pass through."""
@@ -581,6 +612,9 @@ _PARAMETRIC: dict[str, object] = {
     "base64Decode": _pm_1arg("CAST(unbase64({x}) AS STRING)"),
     "tupleElement": _pm_tuple_element,
     "toRelativeDayNum": _pm_1arg("datediff(CAST({x} AS DATE), DATE '1970-01-01')"),
+    "toUUID": _pm_1arg("CAST({x} AS STRING)"),
+    "transform": _pm_transform,
+    "caseWithExpression": _pm_case_with_expression,
 }
 
 # checked conversions: -OrNull == try_cast, -OrZero wraps it in the type's
@@ -642,6 +676,11 @@ def _rewrite_parametric(sql: str) -> str:
             raise ValueError(f"unbalanced parens after {m.group(1)}(")
         args = _split_top(sql[m.end() : i - 1])
         repl = _PARAMETRIC_LOWER[m.group(1).lower()](args)
+        if repl is None:
+            # handler declined (the spelling is ALSO a valid Spark call in
+            # this arity — e.g. 2-arg transform): leave it verbatim
+            pos = i
+            continue
         sql = sql[: m.start()] + repl + sql[i:]
     raise NotImplementedError("parametric rewrite did not converge in 256 passes")
 
@@ -1277,11 +1316,13 @@ def parse_ch_ddl(sql: str) -> dict | None:
     # -- schema evolution (metadata-only, CH's lazy-mutation model) --------
     m = re.match(
         r"ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s+"
-        r"([\w]+(?:\([^)]*\))?)(?:\s+DEFAULT\s+(.+?))?\s*;?\s*$",
+        r"([\w]+(?:\([^)]*\))?)(?:\s+DEFAULT\s+(.+?))?"
+        r"(?:\s+(FIRST|AFTER\s+\w+))?\s*;?\s*$",
         s,
         re.IGNORECASE,
     )
     if m:
+        pos = m.group(6)
         return {
             "op": "add_column",
             "name": m.group(1),
@@ -1289,6 +1330,37 @@ def parse_ch_ddl(sql: str) -> dict | None:
             "column": m.group(3),
             "type": m.group(4),
             "default": m.group(5),
+            # FIRST / AFTER col: schema position (metadata-only here too);
+            # keyword normalized, the anchor column keeps its case
+            "position": (
+                "FIRST"
+                if pos and pos.upper() == "FIRST"
+                else f"AFTER {pos.split()[1]}" if pos else None
+            ),
+        }
+    m = re.match(
+        r"ALTER\s+TABLE\s+(\w+)\s+MODIFY\s+COLUMN\s+(\w+)\s+DEFAULT\s+(.+?)\s*;?\s*$",
+        s,
+        re.IGNORECASE,
+    )
+    if m:
+        return {
+            "op": "modify_column_default",
+            "name": m.group(1),
+            "column": m.group(2),
+            "default": m.group(3),
+        }
+    m = re.match(
+        r"ALTER\s+TABLE\s+(\w+)\s+MODIFY\s+COLUMN\s+(\w+)\s+REMOVE\s+DEFAULT\s*;?\s*$",
+        s,
+        re.IGNORECASE,
+    )
+    if m:
+        return {
+            "op": "modify_column_default",
+            "name": m.group(1),
+            "column": m.group(2),
+            "default": None,
         }
     m = re.match(
         r"ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(IF\s+EXISTS\s+)?(\w+)\s*;?\s*$",

@@ -288,6 +288,36 @@ def test_with_fill_interpolate(eng):
         )
 
 
+def test_add_column_position_and_modify_default(eng):
+    eng.sql("CREATE TABLE acp (k UInt64, v Float64) ENGINE = MergeTree ORDER BY k")
+    eng.sql("INSERT INTO acp VALUES (1, 1.0)")
+    eng.sql("ALTER TABLE acp ADD COLUMN s String AFTER k")
+    eng.sql("ALTER TABLE acp ADD COLUMN z UInt32 FIRST")
+    assert eng.read_table("acp").columns == ["z", "k", "s", "v"]
+    with pytest.raises(ValueError, match="no such column"):
+        eng.sql("ALTER TABLE acp ADD COLUMN q UInt32 AFTER ghost")
+    # MODIFY COLUMN DEFAULT changes the read-path fill only
+    eng.sql("ALTER TABLE acp MODIFY COLUMN v DEFAULT 7.5")
+    eng.sql("INSERT INTO acp (k) VALUES (9)")
+    assert eng.sql("SELECT v FROM acp WHERE k = 9").first()["v"] == 7.5
+    assert eng.sql("SELECT v FROM acp WHERE k = 1").first()["v"] == 1.0  # stored untouched
+    eng.sql("ALTER TABLE acp MODIFY COLUMN v REMOVE DEFAULT")
+    assert "DEFAULT 7.5" not in eng.sql("SHOW CREATE TABLE acp").first()[0]
+
+
+def test_transform_value_mapping_and_case_with_expression(eng):
+    # CH transform: 3/4-arg value mapping; 2-arg stays Spark's HOF
+    assert eng.sql("SELECT transform(2, [1,2], ['a','b'], 'z') AS a").first()["a"] == "b"
+    assert eng.sql("SELECT transform(9, [1,2], ['a','b'], 'z') AS a").first()["a"] == "z"
+    assert eng.sql("SELECT transform(5, [1,2], [10,20]) AS a").first()["a"] == 5
+    assert eng.sql("SELECT transform([1,2], x -> x + 1) AS a").first()["a"] == [2, 3]
+    assert eng.sql("SELECT caseWithExpression(2, 1, 'a', 2, 'b', 'z') AS a").first()["a"] == "b"
+    assert (
+        eng.sql("SELECT toUUID('61f0c404-5cb3-11e7-907b-a6006ad3dba0') AS a").first()["a"]
+        == "61f0c404-5cb3-11e7-907b-a6006ad3dba0"
+    )
+
+
 def test_set_settings_temp_table_nested_cast(eng):
     eng.sql("SET max_threads = 8")
     eng.sql("SET join_algorithm = 'hash'")
