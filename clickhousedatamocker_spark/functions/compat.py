@@ -113,8 +113,32 @@ _REWRITES = [
         re.compile(r"\bquantiles(?:TDigest|Timing)?\(([0-9.,\s]+)\)\(([^()]*)\)", re.IGNORECASE),
         r"percentile_approx(\2, array(\1))",
     ),
+    # groupArray(n)(x): first n collected values (collection order is
+    # arbitrary in both engines)
+    (
+        re.compile(r"\bgroupArray\((\d+)\)\(([^()]*)\)", re.IGNORECASE),
+        r"slice(collect_list(\2), 1, \1)",
+    ),
     (re.compile(r"\bgroupArray\(", re.IGNORECASE), "collect_list("),
     (re.compile(r"\bgroupUniqArray\(", re.IGNORECASE), "collect_set("),
+    # anyHeavy: CH's heavy-hitter pick == the modal value (mode is a valid
+    # heavy-hitter answer; CH's is sampling-approximate, ours exact)
+    (re.compile(r"\banyHeavy\(", re.IGNORECASE), "mode("),
+    (re.compile(r"\buniqTheta\(", re.IGNORECASE), "approx_count_distinct("),
+    # -Stable combinators: numeric-stability variants — Spark's aggregates
+    # are already compensated, the suffix drops
+    (re.compile(r"\b(corr|covarPop|covarSamp|stddevPop|stddevSamp|varPop|varSamp)Stable\(", re.IGNORECASE),
+     lambda m: {
+         "corr": "corr(", "covarpop": "covar_pop(", "covarsamp": "covar_samp(",
+         "stddevpop": "stddev_pop(", "stddevsamp": "stddev_samp(",
+         "varpop": "var_pop(", "varsamp": "var_samp(",
+     }[m.group(1).lower()]),
+    # exact-quantile interpolation variants: percentile's interpolated
+    # answer stands in for Low/High's element picks (documented deviation)
+    (
+        re.compile(r"\bquantileExact(?:Low|High|Inclusive|Exclusive)\(([0-9.]+)\)\(([^()]*)\)", re.IGNORECASE),
+        r"percentile(\2, \1)",
+    ),
     # CH `any(x)` picks an arbitrary value per group == Spark any_value;
     # Spark's own `any` is the boolean OR aggregate, so the name must move.
     # (`\bany\(` never collides with the ANY JOIN strictness keyword — that
@@ -471,6 +495,22 @@ def _pm_range(args: list[str]) -> str:
     )
 
 
+def _pm_split_by_string(args: list[str]) -> str:
+    """splitByString('sep', s) — LITERAL separator split (Spark's split
+    takes a regex, so the separator is regex-escaped at rewrite time; a
+    non-literal separator can't be escaped textually and refuses)."""
+    if len(args) != 2:
+        raise NotImplementedError("splitByString expects (separator, string)")
+    lit = re.fullmatch(r"\s*'([^']*)'\s*", args[0])
+    if not lit:
+        raise NotImplementedError(
+            "splitByString needs a literal separator (regex-escaping a "
+            "runtime value is not expressible) - use splitByChar or split"
+        )
+    escaped = re.escape(lit.group(1)).replace("\\", "\\\\").replace("'", "\\'")
+    return f"split({args[1]}, '{escaped}', -1)"
+
+
 def _pm_transform(args: list[str]) -> str | None:
     """CH transform(x, from_array, to_array[, default]) — value mapping via
     an array-pair lookup. The 2-argument spelling is Spark's own transform
@@ -615,6 +655,8 @@ _PARAMETRIC: dict[str, object] = {
     "toUUID": _pm_1arg("CAST({x} AS STRING)"),
     "transform": _pm_transform,
     "caseWithExpression": _pm_case_with_expression,
+    "avgWeighted": _pm_2arg_fa("(sum(({f}) * ({a})) / sum({a}))"),
+    "splitByString": _pm_split_by_string,
 }
 
 # checked conversions: -OrNull == try_cast, -OrZero wraps it in the type's

@@ -163,6 +163,26 @@ def test_vocabulary_batch4(eng, sql, want):
     assert got == want, f"{sql}: got {got!r} want {want!r}"
 
 
+VOCAB5_GOLDENS = [
+    ("SELECT anyHeavy(x) AS a FROM (SELECT 1 AS x UNION ALL SELECT 1 UNION ALL SELECT 2) t", 1),
+    ("SELECT uniqTheta(x) AS a FROM (SELECT 1 AS x UNION ALL SELECT 2) t", 2),
+    ("SELECT corrStable(x, x) AS a FROM (SELECT 1.0 AS x UNION ALL SELECT 2.0) t", 1.0),
+    ("SELECT varPopStable(x) AS a FROM (SELECT 1.0 AS x UNION ALL SELECT 3.0) t", 1.0),
+    ("SELECT quantileExactLow(0.5)(x) AS a FROM (SELECT 1.0 AS x UNION ALL SELECT 3.0) t", 2.0),
+    ("SELECT avgWeighted(x, w) AS a FROM (SELECT 1.0 AS x, 1.0 AS w UNION ALL SELECT 3.0, 3.0) t", 2.5),
+    ("SELECT splitByString('::', 'a::b::c') AS a", ["a", "b", "c"]),
+    # separator is regex-ESCAPED: '.' splits on the dot, not on everything
+    ("SELECT splitByString('.', 'a.b') AS a", ["a", "b"]),
+    ("SELECT size(groupArray(2)(x)) AS a FROM (SELECT 1 AS x UNION ALL SELECT 2 UNION ALL SELECT 3) t", 2),
+]
+
+
+@pytest.mark.parametrize("sql,want", VOCAB5_GOLDENS)
+def test_vocabulary_batch5(eng, sql, want):
+    got = eng.sql(sql).first()["a"]
+    assert got == want, f"{sql}: got {got!r} want {want!r}"
+
+
 def test_distinct_on_and_limit_comma(eng):
     base = "(SELECT 1 AS x, 'a' AS s UNION ALL SELECT 1, 'b' UNION ALL SELECT 2, 'c') t"
     rows = eng.sql(f"SELECT DISTINCT ON (x) x, s FROM {base} ORDER BY x").collect()
