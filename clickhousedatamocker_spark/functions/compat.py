@@ -720,8 +720,11 @@ def _rewrite_parametric(sql: str) -> str:
         repl = _PARAMETRIC_LOWER[m.group(1).lower()](args)
         if repl is None:
             # handler declined (the spelling is ALSO a valid Spark call in
-            # this arity — e.g. 2-arg transform): leave it verbatim
-            pos = i
+            # this arity — e.g. 2-arg transform): leave THIS call verbatim,
+            # but keep scanning from just past its name — its ARGUMENTS may
+            # still hold parametric spellings (arrayMap nested in a 2-arg
+            # transform produced by a previous pass)
+            pos = m.end()
             continue
         sql = sql[: m.start()] + repl + sql[i:]
     raise NotImplementedError("parametric rewrite did not converge in 256 passes")
