@@ -363,6 +363,20 @@ _REWRITES = [
         re.compile(r"\bJSONHas\(\s*('[^']*'|[^,()]+?)\s*,\s*'([^']+)'\s*\)", re.IGNORECASE),
         r"(get_json_object(\1, '$.\2') IS NOT NULL)",
     ),
+    # trim family: CH's one-arg directional spellings. (The SQL-standard
+    # trim(BOTH 'x' FROM s) form CH also accepts is native Spark syntax and
+    # passes through untouched.)
+    (re.compile(r"\btrimLeft\(", re.IGNORECASE), "ltrim("),
+    (re.compile(r"\btrimRight\(", re.IGNORECASE), "rtrim("),
+    (re.compile(r"\btrimBoth\(", re.IGNORECASE), "trim("),
+    # pad family: identical (str, len[, pad=' ']) signatures. The UTF8
+    # variants are the same function here — Spark strings are already
+    # codepoint-addressed, so lpad/rpad count characters, not bytes (that
+    # is CH's *UTF8 contract; the byte-counting plain forms deviate only
+    # for multi-byte input, documented).
+    (re.compile(r"\bleftPad(?:UTF8)?\(", re.IGNORECASE), "lpad("),
+    (re.compile(r"\brightPad(?:UTF8)?\(", re.IGNORECASE), "rpad("),
+    (re.compile(r"\bconcatWithSeparator\(", re.IGNORECASE), "concat_ws("),
 ]
 
 
@@ -567,6 +581,128 @@ def _pm_start_of_week(args: list[str]) -> str:
     raise NotImplementedError("toStartOfWeek supports literal modes 0, 1, 3")
 
 
+def _capture_group_count(pattern_body: str) -> int:
+    """Count CAPTURING groups in a regex literal: '(' that is not escaped
+    and not a (?...) construct. Good enough for the literal patterns users
+    pass to extract/extractAll; non-literal patterns fall back to whole-
+    match extraction (idx 0)."""
+    n = 0
+    i = 0
+    while i < len(pattern_body):
+        c = pattern_body[i]
+        if c == "\\":
+            i += 2
+            continue
+        if c == "(" and not pattern_body.startswith("(?", i):
+            n += 1
+        i += 1
+    return n
+
+
+def _pm_regexp_extract(all_matches: bool):
+    """CH extract/extractAll: if the pattern has a capturing group, the
+    FIRST group is extracted; otherwise the whole match. Spark's
+    regexp_extract(_all) takes the group index explicitly — for a literal
+    pattern we inspect it and pick idx 1 vs 0 at translation time; for a
+    non-literal pattern we default to whole-match (idx 0, documented)."""
+    fn = "regexp_extract_all" if all_matches else "regexp_extract"
+
+    def rw(args: list[str]) -> str | None:
+        if len(args) != 2:
+            # decline: `extract(YEAR FROM ts)` is Spark's native extract —
+            # only the 2-arg (haystack, pattern) form is CH's regex extract
+            return None
+        h, p = args[0], args[1].strip()
+        idx = 0
+        if len(p) >= 2 and p[0] == "'" and p[-1] == "'" and "'" not in p[1:-1]:
+            idx = 1 if _capture_group_count(p[1:-1]) >= 1 else 0
+        return f"{fn}({h}, {p}, {idx})"
+
+    return rw
+
+
+# CH URL functions are forgiving about missing schemes (domain('a.com/x')
+# works); Spark's parse_url needs one, so every accessor retries with a
+# synthetic http:// prefix before falling back to CH's ''-on-invalid.
+_URL_HOST = (
+    "coalesce(parse_url({x}, 'HOST'), parse_url(concat('http://', {x}), 'HOST'), '')"
+)
+_URL_SPLIT = f"split({_URL_HOST}, '\\\\.')"
+
+
+def _pm_url_part(part: str, with_fallback_scheme: bool = False):
+    if with_fallback_scheme:
+        expr = (
+            f"coalesce(parse_url({{x}}, '{part}'), "
+            f"parse_url(concat('http://', {{x}}), '{part}'), '')"
+        )
+    else:
+        expr = f"coalesce(parse_url({{x}}, '{part}'), '')"
+    return _pm_1arg(expr)
+
+
+def _pm_first_significant_subdomain(cut: bool):
+    """CH firstSignificantSubdomain: the label left of the effective TLD —
+    second-from-last label, except when that label is itself a common
+    second-level registrar ('com','net','org','co'), then third-from-last
+    (news.clickhouse.com.tr → 'clickhouse'). cutToFirstSignificantSubdomain
+    returns the host suffix starting at that label."""
+    s = _URL_SPLIT
+    registrar = "('com', 'net', 'org', 'co')"
+    if cut:
+        expr = (
+            f"(CASE WHEN size({s}) < 2 THEN '' "
+            f"WHEN size({s}) >= 3 AND element_at({s}, -2) IN {registrar} "
+            f"THEN array_join(slice({s}, size({s}) - 2, 3), '.') "
+            f"ELSE array_join(slice({s}, size({s}) - 1, 2), '.') END)"
+        )
+    else:
+        expr = (
+            f"(CASE WHEN size({s}) < 2 THEN '' "
+            f"WHEN size({s}) >= 3 AND element_at({s}, -2) IN {registrar} "
+            f"THEN element_at({s}, -3) ELSE element_at({s}, -2) END)"
+        )
+    return _pm_1arg(expr)
+
+
+def _pm_great_circle(args: list[str]) -> str:
+    """greatCircleDistance(lon1, lat1, lon2, lat2) → meters. Haversine on a
+    R=6371.0 km sphere — CH uses a fitted polynomial over the same sphere;
+    agreement is within ~0.01% (golden-tested with tolerance)."""
+    if len(args) != 4:
+        raise NotImplementedError("greatCircleDistance: expected (lon1, lat1, lon2, lat2)")
+    lon1, lat1, lon2, lat2 = args
+    return (
+        f"(2.0D * 6371000.0D * asin(sqrt("
+        f"pow(sin(radians(({lat2}) - ({lat1})) / 2), 2) + "
+        f"cos(radians({lat1})) * cos(radians({lat2})) * "
+        f"pow(sin(radians(({lon2}) - ({lon1})) / 2), 2))))"
+    )
+
+
+def _pm_bar(args: list[str]) -> str:
+    """bar(x, min, max[, width=80]): unicode bar with 1/8-block resolution,
+    CH's terminal histogram helper. Width in character cells; the value is
+    clamped to [0, width]."""
+    if len(args) == 3:
+        x, lo, hi = args
+        width = "80"
+    elif len(args) == 4:
+        x, lo, hi, width = args
+    else:
+        raise NotImplementedError("bar: expected (x, min, max[, width])")
+    w = (
+        f"least(greatest((CAST({x} AS DOUBLE) - ({lo})) / (({hi}) - ({lo})) "
+        f"* ({width}), 0.0D), CAST({width} AS DOUBLE))"
+    )
+    eighth = f"CAST(floor(({w} - floor({w})) * 8) AS INT)"
+    return (
+        f"concat(repeat('█', CAST(floor({w}) AS INT)), "
+        f"element_at(array('', '▏', '▎', '▍', '▌', "
+        f"'▋', '▊', '▉'), {eighth} + 1))"
+    )
+
+
 _PARAMETRIC: dict[str, object] = {
     "multiIf": _pm_multi_if,
     "arrayMap": _pm_array_map,
@@ -657,6 +793,105 @@ _PARAMETRIC: dict[str, object] = {
     "caseWithExpression": _pm_case_with_expression,
     "avgWeighted": _pm_2arg_fa("(sum(({f}) * ({a})) / sum({a}))"),
     "splitByString": _pm_split_by_string,
+    # ---- URL family (CH URL functions → parse_url accessors; CH's
+    # ''-on-invalid contract kept via coalesce, scheme-less URLs accepted
+    # via an http:// retry) ----
+    "protocol": _pm_1arg("coalesce(parse_url({x}, 'PROTOCOL'), '')"),
+    "domain": _pm_1arg(_URL_HOST),
+    "domainWithoutWWW": _pm_1arg(
+        f"regexp_replace({_URL_HOST}, '^www\\\\.', '')"
+    ),
+    "topLevelDomain": _pm_1arg(
+        f"(CASE WHEN size({_URL_SPLIT}) >= 2 THEN element_at({_URL_SPLIT}, -1) "
+        f"ELSE '' END)"
+    ),
+    "firstSignificantSubdomain": _pm_first_significant_subdomain(cut=False),
+    "cutToFirstSignificantSubdomain": _pm_first_significant_subdomain(cut=True),
+    "path": _pm_1arg("coalesce(parse_url({x}, 'PATH'), '')"),
+    "pathFull": _pm_1arg(
+        "concat(coalesce(parse_url({x}, 'PATH'), ''), "
+        "CASE WHEN parse_url({x}, 'QUERY') IS NOT NULL "
+        "THEN concat('?', parse_url({x}, 'QUERY')) ELSE '' END, "
+        "CASE WHEN parse_url({x}, 'REF') IS NOT NULL "
+        "THEN concat('#', parse_url({x}, 'REF')) ELSE '' END)"
+    ),
+    "queryString": _pm_1arg("coalesce(parse_url({x}, 'QUERY'), '')"),
+    "fragment": _pm_1arg("coalesce(parse_url({x}, 'REF'), '')"),
+    "queryStringAndFragment": _pm_1arg(
+        "concat(coalesce(parse_url({x}, 'QUERY'), ''), "
+        "CASE WHEN parse_url({x}, 'REF') IS NOT NULL "
+        "THEN concat('#', parse_url({x}, 'REF')) ELSE '' END)"
+    ),
+    "netloc": _pm_url_part("AUTHORITY", with_fallback_scheme=True),
+    "extractURLParameter": _pm_2arg_fa(
+        "coalesce(parse_url({f}, 'QUERY', {a}), '')"
+    ),
+    # cut* keep everything BEFORE the removed component; cutQueryString
+    # preserves a trailing #fragment (CH's contract)
+    "cutQueryString": _pm_1arg(
+        "(CASE WHEN instr({x}, '?') > 0 THEN concat("
+        "substring_index({x}, '?', 1), "
+        "CASE WHEN instr({x}, '#') > 0 "
+        "THEN concat('#', substring_index({x}, '#', -1)) ELSE '' END) "
+        "ELSE {x} END)"
+    ),
+    "cutFragment": _pm_1arg("substring_index({x}, '#', 1)"),
+    "cutQueryStringAndFragment": _pm_1arg(
+        "substring_index(substring_index({x}, '#', 1), '?', 1)"
+    ),
+    "cutWWW": _pm_1arg("regexp_replace({x}, '^(([a-zA-Z]+://)?)www\\\\.', '$1')"),
+    # CH decodeURLComponent does NOT treat '+' as space (unlike
+    # x-www-form-urlencoded); protect literal '+' before url_decode.
+    # encodeURLComponent emits %20 for space where Java's encoder emits '+'.
+    "decodeURLComponent": _pm_1arg("url_decode(replace({x}, '+', '%2B'))"),
+    "encodeURLComponent": _pm_1arg("replace(url_encode({x}), '+', '%20')"),
+    # ---- string search ----
+    "extract": _pm_regexp_extract(all_matches=False),
+    "extractAll": _pm_regexp_extract(all_matches=True),
+    "multiSearchAny": _pm_2arg_fa(
+        "CAST(exists({a}, __ms_n -> locate(__ms_n, {f}) > 0) AS INT)"
+    ),
+    "multiSearchAnyCaseInsensitive": _pm_2arg_fa(
+        "CAST(exists({a}, __ms_n -> locate(lower(__ms_n), lower({f})) > 0) AS INT)"
+    ),
+    # non-overlapping occurrence count (replace consumes left-to-right,
+    # the same scan CH's countSubstrings does)
+    "countSubstrings": _pm_2arg_fa(
+        "(CASE WHEN length({a}) = 0 THEN 0 ELSE "
+        "CAST((length({f}) - length(replace({f}, {a}, ''))) / length({a}) AS INT) END)"
+    ),
+    # CH unhex returns a String of the decoded bytes (Spark's returns BINARY)
+    "unhex": _pm_1arg("CAST(unhex({x}) AS STRING)"),
+    # ---- IPv4 ----
+    "IPv4NumToString": _pm_1arg(
+        "concat_ws('.', CAST(({x}) div 16777216 % 256 AS STRING), "
+        "CAST(({x}) div 65536 % 256 AS STRING), "
+        "CAST(({x}) div 256 % 256 AS STRING), "
+        "CAST(({x}) % 256 AS STRING))"
+    ),
+    "IPv4StringToNum": _pm_1arg(
+        "aggregate(transform(split({x}, '\\\\.'), __ip_o -> CAST(__ip_o AS BIGINT)), "
+        "CAST(0 AS BIGINT), (acc, __ip_o) -> acc * 256 + __ip_o)"
+    ),
+    # ---- readable formatting / display ----
+    # two decimals, HALF_EVEN (format_number), unit steps of 1000 —
+    # formatReadableSize's decimal sibling
+    "formatReadableQuantity": _pm_1arg(
+        "(CASE WHEN abs(CAST({x} AS DOUBLE)) < 1000.0D "
+        "THEN format_number(CAST({x} AS DOUBLE), 2) "
+        "WHEN abs(CAST({x} AS DOUBLE)) < 1000000.0D "
+        "THEN concat(format_number(CAST({x} AS DOUBLE) / 1000.0D, 2), ' thousand') "
+        "WHEN abs(CAST({x} AS DOUBLE)) < 1000000000.0D "
+        "THEN concat(format_number(CAST({x} AS DOUBLE) / 1000000.0D, 2), ' million') "
+        "WHEN abs(CAST({x} AS DOUBLE)) < 1000000000000.0D "
+        "THEN concat(format_number(CAST({x} AS DOUBLE) / 1000000000.0D, 2), ' billion') "
+        "WHEN abs(CAST({x} AS DOUBLE)) < 1000000000000000.0D "
+        "THEN concat(format_number(CAST({x} AS DOUBLE) / 1000000000000.0D, 2), ' trillion') "
+        "ELSE concat(format_number(CAST({x} AS DOUBLE) / 1000000000000000.0D, 2), ' quadrillion') END)"
+    ),
+    "bar": _pm_bar,
+    # ---- geo ----
+    "greatCircleDistance": _pm_great_circle,
 }
 
 # checked conversions: -OrNull == try_cast, -OrZero wraps it in the type's
