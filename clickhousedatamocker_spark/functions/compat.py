@@ -860,8 +860,11 @@ _PARAMETRIC: dict[str, object] = {
         "(CASE WHEN length({a}) = 0 THEN 0 ELSE "
         "CAST((length({f}) - length(replace({f}, {a}, ''))) / length({a}) AS INT) END)"
     ),
-    # CH unhex returns a String of the decoded bytes (Spark's returns BINARY)
-    "unhex": _pm_1arg("CAST(unhex({x}) AS STRING)"),
+    # CH unhex returns a String of the decoded bytes (Spark's returns
+    # BINARY). Spelled via to_binary(x, 'hex') — a replacement containing
+    # `unhex(` would re-match this handler forever (the fixpoint scan is
+    # name-keyed).
+    "unhex": _pm_1arg("CAST(to_binary({x}, 'hex') AS STRING)"),
     # ---- IPv4 ----
     "IPv4NumToString": _pm_1arg(
         "concat_ws('.', CAST(({x}) div 16777216 % 256 AS STRING), "

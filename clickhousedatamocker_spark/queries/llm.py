@@ -928,3 +928,29 @@ def dsir_selection_profile(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# -------------------------------------------------------------------------
+@register(
+    "similarity_topk_ivfpq",
+    None,  # rows-only (graded window full); hash-exact grading lives in
+    # tests/test_pq.py (numpy encode parity, ADC+rerank recall vs brute
+    # force, exact-cosine rerank score check, no-cartesian plan pin)
+    description="IVF-PQ ANN (Jegou et al. 2011, the FAISS stack): coarse "
+    "IVF buckets bound candidates (bucketed equi-join), product-quantized "
+    "codes (m=8 bytes/vector, ~64x vs float64) score candidates via ADC "
+    "lookup tables carried as data (plan O(1) in the model), exact rerank "
+    "of the top-R restores recall while reading R/corpus raw vectors. "
+    "Codebooks train once on a deterministic hash sample.",
+)
+def similarity_topk_ivfpq(spark, sf_dir):
+    from clickhousedatamocker_spark.operators.pq import ivfpq_topk, pq_train
+    from clickhousedatamocker_spark.operators.similarity import ivf_train
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    centroids = ivf_train(emb, n_centroids=8, seed=11)
+    books = pq_train(emb, dim=64, m=8, ksub=16, n_iters=2, seed=7)
+    return ivfpq_topk(
+        emb, queries, centroids, books, k=10, nprobe=4, rerank_depth=100
+    ).orderBy("query_id", "rank")

@@ -14,6 +14,8 @@ import pytest
 
 from clickhousedatamocker_spark.engine import Engine
 
+from tests.conftest import SF_DIR
+
 
 @pytest.fixture()
 def eng(spark, tmp_warehouse):
@@ -129,9 +131,9 @@ def test_great_circle_distance_matches_ch_golden(eng):
     assert abs(got - 14132374.0) / 14132374.0 < 5e-4, got
 
 
-def test_group_by_all_passthrough(eng, sf_dir):
+def test_group_by_all_passthrough(eng):
     # CH and Spark both spell GROUP BY ALL; it must survive translation
-    eng.spark.read.parquet(f"{sf_dir}/nation.parquet").createOrReplaceTempView(
+    eng.spark.read.parquet(f"{SF_DIR}/nation.parquet").createOrReplaceTempView(
         "nation_gba"
     )
     got = eng.sql(
