@@ -100,7 +100,7 @@ _REWRITES = [
     # TDigest family are approximate — Spark's percentile_approx is the
     # same contract (different sketch; values may differ at equal accuracy)
     (
-        re.compile(r"\bquantile(?:TDigest|Timing)?\(([0-9.]+)\)\(([^()]*)\)", re.IGNORECASE),
+        re.compile(r"\bquantile(?:TDigest|Timing|BFloat16)?\(([0-9.]+)\)\(([^()]*)\)", re.IGNORECASE),
         r"percentile_approx(\2, \1)",
     ),
     # quantilesExact(p1, p2, ...)(x) → exact percentile with an array of ps
@@ -110,7 +110,7 @@ _REWRITES = [
         r"percentile(\2, array(\1))",
     ),
     (
-        re.compile(r"\bquantiles(?:TDigest|Timing)?\(([0-9.,\s]+)\)\(([^()]*)\)", re.IGNORECASE),
+        re.compile(r"\bquantiles(?:TDigest|Timing|BFloat16)?\(([0-9.,\s]+)\)\(([^()]*)\)", re.IGNORECASE),
         r"percentile_approx(\2, array(\1))",
     ),
     # groupArray(n)(x): first n collected values (collection order is
@@ -915,6 +915,404 @@ for _chty, _sqlty, _zero in [
         f"coalesce(try_cast({{x}} AS {_sqlty}), {_zero})"
     )
 
+# ---------------------------------------------------------------------------
+# vocab batch 6: CH analytics aggregates — sequence aggregates (windowFunnel /
+# sequenceMatch / sequenceCount / retention as SQL spellings over the same
+# fold as operators/funnel.py), moment statistics, map aggregates, exact
+# heavy hitters, generic -If combinators, and loud refusals for the
+# block-order-dependent family CH itself deprecates.
+
+
+def _pm_order_dependent(name: str, recipe: str):
+    def rw(args: list[str]) -> str:
+        raise NotImplementedError(
+            f"{name} depends on row arrival order within a block — "
+            f"undefined in a distributed engine (ClickHouse's own docs "
+            f"deprecate the neighbor/runningDifference family for the same "
+            f"reason). Use a window function instead: {recipe}"
+        )
+
+    return rw
+
+
+def _pm_entropy(args: list[str]) -> str:
+    """Shannon entropy of the value distribution (base 2, CH parity).
+    HOF fold over collect_list — O(distinct x n) per group; for huge groups
+    explode + two-level aggregate instead (documented)."""
+    if len(args) != 1:
+        raise NotImplementedError("entropy takes exactly 1 argument")
+    x = args[0]
+    lst = f"collect_list({x})"
+    p = (
+        f"(size(filter({lst}, __ee -> __ee <=> __ev)) / "
+        f"CAST(size({lst}) AS DOUBLE))"
+    )
+    return f"aggregate(array_distinct({lst}), 0.0D, (__ea, __ev) -> __ea - {p} * log2({p}))"
+
+
+def _pm_map_agg(kind: str):
+    """maxMap/minMap/sumMap: per-key aggregation across rows. 1-arg Map form
+    returns a Map (modern CH); 2-arg (keys, values) array form returns
+    CH's tuple-of-arrays shape. HOF fold over the collected entries —
+    bounded by (distinct keys x entries) per group; at scale explode the
+    map and groupBy key (the agg_ch_showcase pattern) instead."""
+
+    def rw(args: list[str]) -> str:
+        if len(args) == 1:
+            entries = (
+                f"flatten(transform(collect_list({args[0]}), __mm -> map_entries(__mm)))"
+            )
+            tuple_form = False
+        elif len(args) == 2:
+            entries = (
+                f"flatten(transform(collect_list(struct({args[0]} AS ks, {args[1]} AS vs)), "
+                f"__mr -> zip_with(__mr.ks, __mr.vs, (__mk, __mv) -> "
+                f"struct(__mk AS key, __mv AS value))))"
+            )
+            tuple_form = True
+        else:
+            raise NotImplementedError(f"{kind}Map takes a Map or (keys, values) arrays")
+        ks = f"array_sort(array_distinct(transform({entries}, __me -> __me.key)))"
+        vals_of = f"transform(filter({entries}, __me -> __me.key <=> __mk), __me -> __me.value)"
+        if kind == "sum":
+            val = f"aggregate({vals_of}, 0.0D, (__ma, __mx) -> __ma + __mx)"
+        else:
+            val = f"array_{kind}({vals_of})"
+        vs = f"transform({ks}, __mk -> {val})"
+        if tuple_form:
+            return f"named_struct('keys', {ks}, 'values', {vs})"
+        return f"map_from_arrays({ks}, {vs})"
+
+    return rw
+
+
+def _pm_retention(args: list[str]) -> str:
+    """retention(c1, ..., ck) → array of 0/1: r1 = c1 held on some row;
+    ri = c1 held on some row AND ci held on some row (CH's OR-of-rows
+    bitmask state, finished as r1 & ri)."""
+    if len(args) < 1:
+        raise NotImplementedError("retention needs at least one condition")
+    hit = [f"max(CASE WHEN {c} THEN 1 ELSE 0 END)" for c in args]
+    cells = [hit[0]] + [f"({hit[0]} * {h})" for h in hit[1:]]
+    return f"array({', '.join(cells)})"
+
+
+_PARAMETRIC.update(
+    {
+        # moment statistics: Spark's skewness/kurtosis are the population
+        # forms (m3/m2^1.5, m4/m2^2 - 3); CH's -Samp variants divide by the
+        # SAMPLE variance instead — an exact ((n-1)/n)^p rescale
+        "skewPop": _pm_1arg("skewness({x})"),
+        "skewSamp": _pm_1arg(
+            "(skewness({x}) * pow((count({x}) - 1.0D) / count({x}), 1.5D))"
+        ),
+        "kurtPop": _pm_1arg("(kurtosis({x}) + 3.0D)"),
+        "kurtSamp": _pm_1arg(
+            "((kurtosis({x}) + 3.0D) * pow((count({x}) - 1.0D) / count({x}), 2.0D))"
+        ),
+        "sumCount": _pm_1arg("named_struct('sum', sum({x}), 'count', count({x}))"),
+        "entropy": _pm_entropy,
+        # slope of the segment between the leftmost and rightmost points
+        "boundingRatio": _pm_2arg_fa(
+            "((max_by({a}, {f}) - min_by({a}, {f})) / CAST(max({f}) - min({f}) AS DOUBLE))"
+        ),
+        "simpleLinearRegression": _pm_2arg_fa(
+            "named_struct('k', regr_slope({a}, {f}), 'b', regr_intercept({a}, {f}))"
+        ),
+        "singleValueOrNull": _pm_1arg(
+            "(CASE WHEN count(DISTINCT {x}) = 1 THEN max({x}) END)"
+        ),
+        "maxMap": _pm_map_agg("max"),
+        "minMap": _pm_map_agg("min"),
+        "sumMap": _pm_map_agg("sum"),
+        "retention": _pm_retention,
+        # generic -If combinators (CASE keeps NULL for non-matching rows and
+        # every target aggregate ignores NULLs — max_by/min_by skip NULL
+        # ordering values, collect_list/collect_set skip NULL elements)
+        "anyIf": _pm_2arg("any_value(CASE WHEN {a} THEN {f} END, true)"),
+        "anyLastIf": _pm_2arg("last(CASE WHEN {a} THEN {f} END, true)"),
+        "uniqIf": _pm_2arg("approx_count_distinct(CASE WHEN {a} THEN {f} END)"),
+        "uniqExactIf": _pm_2arg("count(DISTINCT CASE WHEN {a} THEN {f} END)"),
+        "groupArrayIf": _pm_2arg("collect_list(CASE WHEN {a} THEN {f} END)"),
+        "groupUniqArrayIf": _pm_2arg("collect_set(CASE WHEN {a} THEN {f} END)"),
+        # order-dependent family: loud refusal with the window recipe
+        "neighbor": _pm_order_dependent(
+            "neighbor", "lag(x, -offset) / lead(x, offset) OVER (ORDER BY ...)"
+        ),
+        "runningDifference": _pm_order_dependent(
+            "runningDifference", "x - lag(x, 1) OVER (ORDER BY ...)"
+        ),
+        "runningAccumulate": _pm_order_dependent(
+            "runningAccumulate", "sum(x) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)"
+        ),
+        "groupArrayMovingSum": _pm_order_dependent(
+            "groupArrayMovingSum",
+            "sum(x) OVER (ORDER BY ... ROWS BETWEEN n PRECEDING AND CURRENT ROW)",
+        ),
+        "groupArrayMovingAvg": _pm_order_dependent(
+            "groupArrayMovingAvg",
+            "avg(x) OVER (ORDER BY ... ROWS BETWEEN n PRECEDING AND CURRENT ROW)",
+        ),
+        "exponentialMovingAverage": _pm_order_dependent(
+            "exponentialMovingAverage",
+            "a two-pass time-decay: max(t) OVER () then "
+            "sum(v * pow(2, (t - tmax)/halflife)) / sum(pow(2, (t - tmax)/halflife))",
+        ),
+        "deltaSum": _pm_order_dependent(
+            "deltaSum", "sum(greatest(x - lag(x) OVER (ORDER BY ...), 0))"
+        ),
+        "deltaSumTimestamp": _pm_order_dependent(
+            "deltaSumTimestamp", "sum(greatest(x - lag(x) OVER (ORDER BY ts), 0))"
+        ),
+    }
+)
+
+
+# -- two-group parametric spellings: name(params)(args) ----------------------
+
+
+def _argmaxmin_if(fn: str):
+    def rw(args: list[str]) -> str:
+        if len(args) != 3:
+            raise NotImplementedError(f"{fn}If expects (arg, val, cond)")
+        a, b, c = args
+        target = "max_by" if fn == "argMax" else "min_by"
+        return f"{target}({a}, CASE WHEN {c} THEN {b} END)"
+
+    return rw
+
+
+_PARAMETRIC.update(
+    {"argMaxIf": _argmaxmin_if("argMax"), "argMinIf": _argmaxmin_if("argMin")}
+)
+
+
+def _pm2_window_funnel(params: list[str] | None, args: list[str]) -> str:
+    """windowFunnel(window_s)(ts, c1, ..., ck) as a pure aggregate
+    expression: the IDENTICAL any-anchor max-depth greedy fold as
+    operators/funnel.py window_funnel (see its module docstring for the
+    semantics), spelled with sort_array(collect_list(...)) + HOFs so it
+    drops into any GROUP BY query. The repeated collect_list texts are one
+    aggregate buffer (Catalyst dedupes equal aggregate expressions)."""
+    if params is None:
+        raise NotImplementedError("windowFunnel needs the (window)(...) form")
+    if len(params) != 1:
+        raise NotImplementedError(
+            "windowFunnel modes (strict_order/strict_dedup/...) are not "
+            "supported; use operators/funnel.py window_funnel"
+        )
+    if len(args) < 2:
+        raise NotImplementedError("windowFunnel needs (timestamp, cond1[, ...])")
+    w, ts, conds = params[0], args[0], args[1:]
+    k = len(conds)
+    cs = ", ".join(f"({c})" for c in conds)
+    evs = f"array_sort(collect_list(struct(unix_timestamp({ts}) AS t, array({cs}) AS cs)))"
+    anchors = f"filter(sequence(1, size({evs})), __wfp -> element_at(element_at({evs}, __wfp).cs, 1))"
+    seed = ", ".join(
+        [f"element_at({evs}, __wfp).t AS t1"]
+        + [f"CAST(NULL AS BIGINT) AS t{i}" for i in range(2, k + 1)]
+    )
+    merge_fields = ["__wfa.t1 AS t1"] + [
+        f"coalesce(__wfa.t{i}, CASE WHEN __wfa.t{i-1} IS NOT NULL "
+        f"AND element_at(__wfe.cs, {i}) AND __wfe.t - __wfa.t1 <= ({w}) "
+        f"THEN __wfe.t END) AS t{i}"
+        for i in range(2, k + 1)
+    ]
+    finish = "1"
+    for i in range(2, k + 1):
+        finish = f"CASE WHEN __wff.t{i} IS NOT NULL THEN {i} ELSE {finish} END"
+    rest = f"slice({evs}, __wfp + 1, greatest(size({evs}) - __wfp, 0))"
+    per_anchor = (
+        f"aggregate({rest}, struct({seed}), "
+        f"(__wfa, __wfe) -> struct({', '.join(merge_fields)}), "
+        f"__wff -> {finish})"
+    )
+    return f"CAST(coalesce(array_max(transform({anchors}, __wfp -> {per_anchor})), 0) AS INT)"
+
+
+def _ch_seq_pattern_to_regex(pat: str) -> str:
+    """CH sequence pattern → regex over per-event step-code chars.
+    Supported: (?N) condition refs and .* / . wildcards; time constraints
+    ((?t op n)) raise. Events matching NO condition are dropped from the
+    code string (CH's contract: unmatched events are invisible), so `.`
+    means 'any CONDITION-matching event'."""
+    out, i = [], 0
+    while i < len(pat):
+        if pat.startswith("(?t", i):
+            raise NotImplementedError(
+                "sequenceMatch time constraints ((?t op n)) are not supported; "
+                "use operators/funnel.py window_funnel for windowed chains"
+            )
+        if pat.startswith("(?", i):
+            j = pat.index(")", i)
+            n = int(pat[i + 2 : j])
+            if not 1 <= n <= 26:
+                raise NotImplementedError("sequenceMatch supports conditions 1..26")
+            out.append(chr(ord("A") + n - 1))
+            i = j + 1
+        elif pat.startswith(".*", i):
+            # lazy: sequenceCount counts minimal non-overlapping chains
+            # (greedy would swallow later chain starts into one match)
+            out.append("[A-Z]*?")
+            i += 2
+        elif pat[i] == ".":
+            out.append("[A-Z]")
+            i += 1
+        else:
+            raise NotImplementedError(f"unsupported sequence pattern at {pat[i:]!r}")
+    return "".join(out)
+
+
+def _pm2_sequence(count: bool):
+    def rw(params: list[str] | None, args: list[str]) -> str:
+        name = "sequenceCount" if count else "sequenceMatch"
+        if params is None or len(params) != 1:
+            raise NotImplementedError(f"{name} needs the ('pattern')(...) form")
+        pat = params[0].strip()
+        if not (pat.startswith("'") and pat.endswith("'")):
+            raise NotImplementedError(f"{name} pattern must be a string literal")
+        regex = _ch_seq_pattern_to_regex(pat[1:-1])
+        if len(args) < 2:
+            raise NotImplementedError(f"{name} needs (timestamp, cond1[, ...])")
+        ts, conds = args[0], args[1:]
+        if len(conds) > 26:
+            raise NotImplementedError(f"{name} supports at most 26 conditions")
+        cs = ", ".join(f"({c})" for c in conds)
+        evs = f"array_sort(collect_list(struct(unix_timestamp({ts}) AS t, array({cs}) AS cs)))"
+        # an event matching several conditions codes as its FIRST match —
+        # exact when conditions are mutually exclusive (the common case)
+        code_case = "CASE " + " ".join(
+            f"WHEN element_at(__sme.cs, {i + 1}) THEN '{chr(ord('A') + i)}'"
+            for i in range(len(conds))
+        ) + " END"
+        code = (
+            f"array_join(transform(filter({evs}, "
+            f"__sme -> exists(__sme.cs, __smb -> __smb)), __sme -> {code_case}), '')"
+        )
+        if count:
+            return f"regexp_count({code}, '{regex}')"
+        return f"CAST({code} rlike '{regex}' AS INT)"
+
+    return rw
+
+
+def _pm2_uniq_up_to(params: list[str] | None, args: list[str]) -> str:
+    if params is None or len(params) != 1 or len(args) != 1:
+        raise NotImplementedError("uniqUpTo needs the (N)(x) form")
+    return f"least(count(DISTINCT {args[0]}), CAST({params[0]} AS BIGINT) + 1)"
+
+
+def _pm2_topk(params: list[str] | None, args: list[str]) -> str:
+    """topK(k)(x) — EXACT heavy hitters (CH's is sampling-approximate;
+    exact is a valid answer): distinct values ranked by count desc, value
+    asc tiebreak. HOF over collect_list — O(distinct x n) per group."""
+    if len(args) != 1:
+        raise NotImplementedError("topK takes exactly one expression")
+    k = params[0] if params else "10"
+    x = args[0]
+    lst = f"collect_list({x})"
+    ranked = (
+        f"array_sort(transform(array_distinct({lst}), __tv -> "
+        f"struct(-size(filter({lst}, __te -> __te <=> __tv)) AS negn, __tv AS v)))"
+    )
+    return f"slice(transform({ranked}, __ts -> __ts.v), 1, {k})"
+
+
+def _pm2_topk_weighted(params: list[str] | None, args: list[str]) -> str:
+    if len(args) != 2:
+        raise NotImplementedError("topKWeighted takes (x, weight)")
+    k = params[0] if params else "10"
+    x, w = args
+    lst = f"collect_list(struct({x} AS x, CAST({w} AS DOUBLE) AS w))"
+    wt = (
+        f"aggregate(filter({lst}, __te -> __te.x <=> __tv), 0.0D, "
+        f"(__ta, __te) -> __ta + __te.w)"
+    )
+    ranked = (
+        f"array_sort(transform(array_distinct(transform({lst}, __te -> __te.x)), "
+        f"__tv -> struct(-{wt} AS negw, __tv AS v)))"
+    )
+    return f"slice(transform({ranked}, __ts -> __ts.v), 1, {k})"
+
+
+def _pm2_weighted_quantile(params: list[str] | None, args: list[str]) -> str:
+    """All weighted-quantile spellings → Spark's exact weighted percentile
+    (the approximate families are answered exactly — documented deviation,
+    same direction as quantileExactLow/High)."""
+    if params is None or len(params) != 1 or len(args) != 2:
+        raise NotImplementedError("weighted quantiles need the (p)(x, w) form")
+    return f"percentile({args[0]}, {params[0]}, CAST({args[1]} AS BIGINT))"
+
+
+_PARAMETRIC2: dict[str, object] = {
+    "windowFunnel": _pm2_window_funnel,
+    "sequenceMatch": _pm2_sequence(False),
+    "sequenceCount": _pm2_sequence(True),
+    "uniqUpTo": _pm2_uniq_up_to,
+    "topK": _pm2_topk,
+    "topKWeighted": _pm2_topk_weighted,
+    "quantileExactWeighted": _pm2_weighted_quantile,
+    "quantileInterpolatedWeighted": _pm2_weighted_quantile,
+    "quantileTimingWeighted": _pm2_weighted_quantile,
+    "quantileTDigestWeighted": _pm2_weighted_quantile,
+    "quantileBFloat16Weighted": _pm2_weighted_quantile,
+}
+_PARAMETRIC2_RE = re.compile(
+    r"\b(" + "|".join(_PARAMETRIC2) + r")\s*\(", re.IGNORECASE
+)
+_PARAMETRIC2_LOWER = {k.lower(): v for k, v in _PARAMETRIC2.items()}
+
+
+def _scan_balanced(sql: str, start: int) -> int:
+    """Return the index just past the ')' closing the '(' at start-1
+    (quote-aware). Raises on imbalance."""
+    depth, i, quote = 1, start, None
+    while i < len(sql) and depth:
+        c = sql[i]
+        if quote:
+            if c == quote:
+                quote = None
+        elif c in "'\"":
+            quote = c
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        i += 1
+    if depth:
+        raise ValueError("unbalanced parens in two-group parametric call")
+    return i
+
+
+def _rewrite_parametric2(sql: str) -> str:
+    """Rewrite name(params)(args) spellings (quote-aware, literal-safe).
+    Names with an optional params group (topK) also accept the single-group
+    form. One splice per pass; fixpoint-bounded like _rewrite_parametric."""
+    pos = 0
+    for _ in range(128):
+        m = _PARAMETRIC2_RE.search(sql, pos)
+        if not m:
+            return sql
+        if any(a <= m.start() < b for a, b in _literal_spans(sql)):
+            pos = m.end()
+            continue
+        end1 = _scan_balanced(sql, m.end())
+        g1 = sql[m.end() : end1 - 1]
+        j = end1
+        while j < len(sql) and sql[j].isspace():
+            j += 1
+        if j < len(sql) and sql[j] == "(":
+            end2 = _scan_balanced(sql, j + 1)
+            params: list[str] | None = _split_top(g1)
+            call_args = _split_top(sql[j + 1 : end2 - 1])
+            end = end2
+        else:
+            params, call_args, end = None, _split_top(g1), end1
+        repl = _PARAMETRIC2_LOWER[m.group(1).lower()](params, call_args)
+        sql = sql[: m.start()] + repl + sql[end:]
+    raise NotImplementedError("two-group parametric rewrite did not converge")
+
+
 _PARAMETRIC_RE = re.compile(
     r"\b(" + "|".join(_PARAMETRIC) + r")\s*\(", re.IGNORECASE
 )
@@ -1330,7 +1728,7 @@ def translate_ch_sql(sql: str) -> str:
     sql = _rewrite_brackets(_rewrite_scalar_with(_rewrite_array_join(sql)))
     for pattern, repl in _REWRITES:
         sql = _sub_outside_strings(pattern, repl, sql)
-    return _rewrite_parametric(_rewrite_tuple_dots(sql))
+    return _rewrite_parametric(_rewrite_parametric2(_rewrite_tuple_dots(sql)))
 
 
 # -- DDL ---------------------------------------------------------------------
