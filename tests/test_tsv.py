@@ -81,4 +81,18 @@ def test_format_unknown_rejected(spark, tmp_path):
 
     gen = BatchGenerator(spark, seed=7, base_time="2026-01-01 12:00:00")
     with _pytest.raises(ValueError, match="unsupported FORMAT"):
-        write_format(gen.batch(10), str(tmp_path / "x"), "Native")
+        write_format(gen.batch(10), str(tmp_path / "x"), "NoSuchFormat")
+
+
+def test_format_gated_loudly(spark, tmp_path):
+    """Avro (connector jar absent here) and Native (CH's internal wire
+    protocol, no file contract) refuse with the reason and a recipe."""
+    import pytest as _pytest
+
+    from clickhousedatamocker_spark.sources.formats import write_format
+
+    gen = BatchGenerator(spark, seed=7, base_time="2026-01-01 12:00:00")
+    with _pytest.raises(NotImplementedError, match="spark-avro"):
+        write_format(gen.batch(10), str(tmp_path / "a"), "Avro")
+    with _pytest.raises(NotImplementedError, match="Parquet"):
+        write_format(gen.batch(10), str(tmp_path / "n"), "Native")
