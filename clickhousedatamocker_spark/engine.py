@@ -1931,6 +1931,60 @@ class Engine:
             )
             return filled.orderBy(key)
 
+        # SELECT ... QUALIFY cond — the window-function post-filter (CH
+        # spells it like Snowflake; Spark's parser has no such clause).
+        # Rewrite: SELECT * FROM (<query sans QUALIFY-tail>) WHERE cond,
+        # with a trailing top-level ORDER BY / LIMIT hoisted after the
+        # filter. Depth-0 quote-aware scan, so subquery text is untouched.
+        if _re.search(r"\bQUALIFY\b", query, _re.IGNORECASE) and _re.match(
+            r"\s*(SELECT|WITH)\b", query, _re.IGNORECASE
+        ):
+            depth, quote, qpos = 0, None, None
+            for i, c in enumerate(query):
+                if quote:
+                    if c == quote:
+                        quote = None
+                elif c in "'\"":
+                    quote = c
+                elif c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+                elif depth == 0 and _re.match(r"QUALIFY\b", query[i:], _re.IGNORECASE):
+                    qpos = i
+                    break
+            if qpos is not None:
+                head = query[:qpos].rstrip()
+                rest = query[qpos + len("QUALIFY"):].strip().rstrip(";")
+                depth, quote, cut = 0, None, len(rest)
+                for i, c in enumerate(rest):
+                    if quote:
+                        if c == quote:
+                            quote = None
+                    elif c in "'\"":
+                        quote = c
+                    elif c == "(":
+                        depth += 1
+                    elif c == ")":
+                        depth -= 1
+                    elif depth == 0 and _re.match(
+                        r"(ORDER\s+BY|LIMIT)\b", rest[i:], _re.IGNORECASE
+                    ):
+                        cut = i
+                        break
+                cond, tail = rest[:cut].rstrip(), rest[cut:].strip()
+                self.refresh_system_views()
+                # the condition is computed as a projected column so window
+                # functions INSIDE the QUALIFY expression stay legal (a
+                # plain WHERE may not contain one)
+                return self.spark.sql(
+                    translate_ch_sql(
+                        f"SELECT * EXCEPT (__qualify_c) FROM (SELECT *, "
+                        f"({cond}) AS __qualify_c FROM ({head}) __qualify) "
+                        f"WHERE __qualify_c {tail}"
+                    )
+                )
+
         # SELECT DISTINCT ON (k1[, k2...]) items FROM ... — CH's first-row-
         # per-key form. One row per key via row_number over the key order
         # (the survivor is arbitrary — exactly CH's contract); a top-level

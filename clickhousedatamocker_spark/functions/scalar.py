@@ -104,6 +104,224 @@ def _format_datetime_body() -> str:
     )
 
 
+def _ipv4_str(x: str) -> str:
+    """SQL text rendering a BIGINT IPv4 as dotted-quad (shared by
+    IPv4CIDRToRange; the standalone spelling is compat.py's parametric)."""
+    return (
+        f"concat_ws('.', CAST(({x}) div 16777216 % 256 AS STRING), "
+        f"CAST(({x}) div 65536 % 256 AS STRING), "
+        f"CAST(({x}) div 256 % 256 AS STRING), CAST(({x}) % 256 AS STRING))"
+    )
+
+
+def _reinterpret_le(n_bytes: int) -> str:
+    """reinterpretAsUIntN body: first n bytes of the string, little-endian
+    (CH's contract — x86 byte order), via hex chunks → conv. Exact for the
+    ASCII/binary strings CH users feed it; shorter inputs zero-pad."""
+    width = 2 * n_bytes
+    h = f"substring(rpad(hex(encode(s, 'UTF-8')), {width}, '0'), 1, {width})"
+    chunks = ", ".join(
+        f"substring({h}, {width - 2 * i - 1}, 2)" for i in range(n_bytes)
+    )
+    return f"conv(concat({chunks}), 16, 10)"
+
+
+# Euclid's algorithm as a bounded fold: int64 worst case (consecutive
+# Fibonacci numbers) needs ~90 steps; 95 is a safe ceiling. JVM-side,
+# whole-stage-codegen friendly — no UDF.
+_GCD_BODY = (
+    "aggregate(sequence(1, 95), named_struct('x', abs(a), 'y', abs(b)), "
+    "(acc, i) -> CASE WHEN acc.y = 0 THEN acc "
+    "ELSE named_struct('x', acc.y, 'y', acc.x % acc.y) END, acc -> acc.x)"
+)
+
+
+def _round5_probe_entries() -> list[tuple[str, str, str, str]]:
+    """Round-5 probe-driven vocabulary: date parts/truncations with modes,
+    exact gcd/lcm/javaHash (pinned against Python in tests), CH-arg-order
+    string splitters, JSON introspection, IPv4 helpers, and little-endian
+    reinterpret casts. All inlined SQL UDFs — native expressions."""
+    first_sunday = (
+        "IF(dayofweek(make_date(year(t), 1, 1)) = 1, make_date(year(t), 1, 1), "
+        "next_day(make_date(year(t), 1, 1), 'SU'))"
+    )
+    return [
+        # -- dates --------------------------------------------------------
+        ("toSecond", "(t TIMESTAMP)", "INT", "second(t)"),
+        ("toDayOfYear", "(t TIMESTAMP)", "INT", "dayofyear(t)"),
+        (
+            "toStartOfFiveMinutes", "(t TIMESTAMP)", "TIMESTAMP",
+            "timestamp_seconds(CAST(floor(unix_timestamp(t) / 300) AS BIGINT) * 300)",
+        ),
+        (
+            "toStartOfTenMinutes", "(t TIMESTAMP)", "TIMESTAMP",
+            "timestamp_seconds(CAST(floor(unix_timestamp(t) / 600) AS BIGINT) * 600)",
+        ),
+        (
+            "toStartOfFifteenMinutes", "(t TIMESTAMP)", "TIMESTAMP",
+            "timestamp_seconds(CAST(floor(unix_timestamp(t) / 900) AS BIGINT) * 900)",
+        ),
+        ("makeDate", "(y INT, m INT, d INT)", "DATE", "make_date(y, m, d)"),
+        (
+            "makeDateTime", "(y INT, mo INT, d INT, h INT, mi INT, s INT)",
+            "TIMESTAMP", "make_timestamp(y, mo, d, h, mi, s)",
+        ),
+        # MySQL-compatible dateName parts (CH follows MySQL here); month /
+        # weekday render full English names
+        (
+            "dateName", "(part STRING, t TIMESTAMP)", "STRING",
+            "CASE lower(part) "
+            "WHEN 'year' THEN CAST(year(t) AS STRING) "
+            "WHEN 'quarter' THEN CAST(quarter(t) AS STRING) "
+            "WHEN 'month' THEN date_format(t, 'MMMM') "
+            "WHEN 'week' THEN CAST(weekofyear(t) AS STRING) "
+            "WHEN 'dayofyear' THEN CAST(dayofyear(t) AS STRING) "
+            "WHEN 'day' THEN CAST(day(t) AS STRING) "
+            "WHEN 'weekday' THEN date_format(t, 'EEEE') "
+            "WHEN 'hour' THEN CAST(hour(t) AS STRING) "
+            "WHEN 'minute' THEN CAST(minute(t) AS STRING) "
+            "WHEN 'second' THEN CAST(second(t) AS STRING) END",
+        ),
+        # toWeek default mode 0: Sunday-start, week 0 = days before the
+        # year's first Sunday (MySQL WEEK(d, 0)); mode 3 (ISO) is a
+        # parametric rewrite to weekofyear in compat.py
+        (
+            "toWeek", "(t TIMESTAMP)", "INT",
+            f"CASE WHEN CAST(t AS DATE) < {first_sunday} THEN 0 "
+            f"ELSE CAST(floor(datediff(CAST(t AS DATE), {first_sunday}) / 7) AS INT) + 1 END",
+        ),
+        # -- math ---------------------------------------------------------
+        ("gcd", "(a BIGINT, b BIGINT)", "BIGINT", _GCD_BODY),
+        (
+            "lcm", "(a BIGINT, b BIGINT)", "BIGINT",
+            f"CASE WHEN a = 0 OR b = 0 THEN 0 ELSE abs((a div {_GCD_BODY}) * b) END",
+        ),
+        ("exp2", "(x DOUBLE)", "DOUBLE", "power(2.0D, x)"),
+        ("exp10", "(x DOUBLE)", "DOUBLE", "power(10.0D, x)"),
+        ("sigmoid", "(x DOUBLE)", "DOUBLE", "1.0D / (1.0D + exp(-x))"),
+        (
+            "roundToExp2", "(x BIGINT)", "BIGINT",
+            "CASE WHEN x < 1 THEN 0 ELSE CAST(power(2.0D, floor(log2(x))) AS BIGINT) END",
+        ),
+        # largest array element <= x; below all -> the smallest element
+        (
+            "roundDown", "(x DOUBLE, arr ARRAY<DOUBLE>)", "DOUBLE",
+            "CASE WHEN x < array_min(arr) THEN array_min(arr) "
+            "ELSE array_max(filter(arr, __rd_e -> __rd_e <= x)) END",
+        ),
+        ("max2", "(a DOUBLE, b DOUBLE)", "DOUBLE", "greatest(a, b)"),
+        ("min2", "(a DOUBLE, b DOUBLE)", "DOUBLE", "least(a, b)"),
+        # -- strings ------------------------------------------------------
+        ("reverseUTF8", "(s STRING)", "STRING", "reverse(s)"),
+        (
+            "splitByWhitespace", "(s STRING)", "ARRAY<STRING>",
+            r"filter(split(s, '\\s+'), __sw_v -> __sw_v != '')",
+        ),
+        (
+            "alphaTokens", "(s STRING)", "ARRAY<STRING>",
+            "regexp_extract_all(s, '[a-zA-Z]+', 0)",
+        ),
+        # CH's default tokenizer: maximal runs of alphanumerics (unicode
+        # letter/digit classes here — a superset on non-ASCII text)
+        (
+            "tokens", "(s STRING)", "ARRAY<STRING>",
+            r"regexp_extract_all(s, '[\\p{L}\\p{N}]+', 0)",
+        ),
+        (
+            "ngrams", "(s STRING, n INT)", "ARRAY<STRING>",
+            "CASE WHEN length(s) < n THEN array() "
+            "ELSE transform(sequence(1, length(s) - n + 1), "
+            "__ng_i -> substring(s, __ng_i, n)) END",
+        ),
+        # literal-folding subset: quoted strings and bare numbers → '?'
+        # (CH also collapses IN lists and comments; documented subset)
+        (
+            "normalizeQuery", "(s STRING)", "STRING",
+            "regexp_replace(regexp_replace(s, '\\'[^\\']*\\'', '?'), "
+            "'(?<![a-zA-Z0-9_])[0-9]+(\\\\.[0-9]+)?', '?')",
+        ),
+        # -- hashes -------------------------------------------------------
+        # xxHash32: truncated xxhash64 (contract-stable, not bit-compatible
+        # with CH — same documented deviation as cityHash64)
+        ("xxHash32", "(s STRING)", "BIGINT", "pmod(xxhash64(s), 4294967296)"),
+        # halfMD5 IS bit-exact with ClickHouse: big-endian first 8 bytes of
+        # the real MD5 == first 16 hex chars (DECIMAL(20,0) carries the
+        # full unsigned range)
+        (
+            "halfMD5", "(s STRING)", "DECIMAL(20,0)",
+            "CAST(conv(substring(md5(s), 1, 16), 16, 10) AS DECIMAL(20,0))",
+        ),
+        ("farmHash64", "(s STRING)", "BIGINT", "xxhash64(s)"),
+        ("farmFingerprint64", "(s STRING)", "BIGINT", "xxhash64(s)"),
+        # exact java.lang.String.hashCode for BMP text: h = 31*h + c with
+        # 32-bit wrap, spelled as pmod at every step (mod is homomorphic
+        # over + and *, so stepwise == final wrap)
+        (
+            "javaHash", "(s STRING)", "INT",
+            "CASE WHEN length(s) = 0 THEN 0 ELSE CAST(aggregate("
+            "sequence(1, length(s)), CAST(0 AS BIGINT), "
+            "(__jh_a, __jh_i) -> pmod(__jh_a * 31 + ascii(substring(s, __jh_i, 1)), 4294967296), "
+            "__jh_a -> IF(__jh_a >= 2147483648, __jh_a - 4294967296, __jh_a)) AS INT) END",
+        ),
+        # binary MD5 under a private name: the MD5 parametric rewrite in
+        # compat.py targets this (emitting `md5(` would re-match itself —
+        # the same fixpoint trap unhex documents)
+        ("MD5Binary", "(s STRING)", "BINARY", "unhex(md5(s))"),
+        # first-occurrence-only regex replace: locate the first match, run
+        # the (backreference-capable) replace on just that slice
+        (
+            "replaceRegexpOne", "(h STRING, p STRING, r STRING)", "STRING",
+            "CASE WHEN regexp_instr(h, p) = 0 THEN h ELSE concat("
+            "substring(h, 1, regexp_instr(h, p) - 1), "
+            "regexp_replace(regexp_substr(h, p), p, r), "
+            "substring(h, regexp_instr(h, p) + length(regexp_substr(h, p)))) END",
+        ),
+        # CH's in-memory accounting for String: bytes + 9 (size prefix)
+        ("byteSize", "(s STRING)", "INT", "octet_length(s) + 9"),
+        # -- JSON introspection -------------------------------------------
+        ("isValidJSON", "(j STRING)", "BOOLEAN", "try_parse_json(j) IS NOT NULL"),
+        (
+            "JSONLength", "(j STRING)", "INT",
+            "coalesce(json_array_length(j), size(json_object_keys(j)), 0)",
+        ),
+        ("JSONExtractKeys", "(j STRING)", "ARRAY<STRING>", "json_object_keys(j)"),
+        ("JSONArrayLength", "(j STRING)", "INT", "json_array_length(j)"),
+        ("JSON_VALUE", "(j STRING, p STRING)", "STRING", "get_json_object(j, p)"),
+        # -- IPv4 ---------------------------------------------------------
+        (
+            "isIPv4String", "(s STRING)", "BOOLEAN",
+            r"s RLIKE '^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\.){3}"
+            r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$'",
+        ),
+        (
+            "toIPv4", "(s STRING)", "BIGINT",
+            r"aggregate(transform(split(s, '\\.'), __ip_o -> CAST(__ip_o AS BIGINT)), "
+            "CAST(0 AS BIGINT), (__ip_a, __ip_o) -> __ip_a * 256 + __ip_o)",
+        ),
+        (
+            "IPv4CIDRToRange", "(ip BIGINT, b INT)",
+            "STRUCT<lower: STRING, upper: STRING>",
+            "named_struct('lower', "
+            + _ipv4_str("ip div shiftleft(CAST(1 AS BIGINT), 32 - b) "
+                        "* shiftleft(CAST(1 AS BIGINT), 32 - b)")
+            + ", 'upper', "
+            + _ipv4_str("ip div shiftleft(CAST(1 AS BIGINT), 32 - b) "
+                        "* shiftleft(CAST(1 AS BIGINT), 32 - b) "
+                        "+ shiftleft(CAST(1 AS BIGINT), 32 - b) - 1")
+            + ")",
+        ),
+        # -- reinterpret casts (little-endian, CH's x86 byte order) -------
+        ("reinterpretAsUInt8", "(s STRING)", "INT",
+         f"CAST({_reinterpret_le(1)} AS INT)"),
+        ("reinterpretAsUInt16", "(s STRING)", "INT",
+         f"CAST({_reinterpret_le(2)} AS INT)"),
+        ("reinterpretAsUInt32", "(s STRING)", "BIGINT",
+         f"CAST({_reinterpret_le(4)} AS BIGINT)"),
+        ("reinterpretAsUInt64", "(s STRING)", "DECIMAL(20,0)",
+         f"CAST({_reinterpret_le(8)} AS DECIMAL(20,0))"),
+    ]
+
+
 def register_sql_functions(spark: SparkSession) -> None:
     """Register ``toYYYYMMDDhh`` / ``formatReadableSize`` as SQL-defined
     functions (Spark 4 SQL UDFs — still native expressions after inlining),
@@ -318,7 +536,7 @@ def register_sql_functions(spark: SparkSession) -> None:
         # indexOf: 1-based, 0 when absent (array_position's exact contract);
         # non-string arrays reach it through Spark's implicit element cast
         ("indexOf", "(arr ARRAY<STRING>, x STRING)", "INT", "CAST(coalesce(array_position(arr, x), 0) AS INT)"),
-    ]:
+    ] + _round5_probe_entries():
         spark.sql(
             f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{sig} RETURNS {ret} RETURN {body}"
         )
@@ -341,6 +559,64 @@ def register_sql_functions(spark: SparkSession) -> None:
           {cases_sql}
           ELSE format_string('%.2f EiB', bround(CAST(x AS DOUBLE) / {float(1024 ** 6)!r}, 2))
         END
+        """
+    )
+
+    # decimal sibling: 1000-based units, CH's 'KB/MB/GB' spellings
+    dec_cases = []
+    for power, unit in enumerate(["B", "KB", "MB", "GB", "TB", "PB"]):
+        threshold = float(1000 ** (power + 1))
+        scaled = (
+            "CAST(x AS DOUBLE)" if power == 0
+            else f"CAST(x AS DOUBLE) / {float(1000 ** power)!r}"
+        )
+        dec_cases.append(
+            f"WHEN abs(CAST(x AS DOUBLE)) < {threshold!r} "
+            f"THEN format_string('%.2f {unit}', bround({scaled}, 2))"
+        )
+    dec_sql = "\n          ".join(dec_cases)
+    spark.sql(
+        f"""
+        CREATE OR REPLACE TEMPORARY FUNCTION formatReadableDecimalSize(x BIGINT)
+        RETURNS STRING
+        RETURN CASE
+          {dec_sql}
+          ELSE format_string('%.2f EB', bround(CAST(x AS DOUBLE) / {float(1000 ** 6)!r}, 2))
+        END
+        """
+    )
+
+    # human time spans, CH's exact rendering ('2 hours, 2 minutes and
+    # 2 seconds'; months = 30.5 days, years = 365 days — CH's constants).
+    # One fold over the unit ladder; the finish lambda assembles the
+    # ', '-joined list with ' and ' before the last part.
+    units = [
+        ("year", 31536000), ("month", 2635200), ("day", 86400),
+        ("hour", 3600), ("minute", 60), ("second", 1),
+    ]
+    unit_arr = ", ".join(
+        f"named_struct('n', '{n}', 's', CAST({s} AS BIGINT))" for n, s in units
+    )
+    spark.sql(
+        f"""
+        CREATE OR REPLACE TEMPORARY FUNCTION formatReadableTimeDelta(x BIGINT)
+        RETURNS STRING
+        RETURN aggregate(
+          array({unit_arr}),
+          named_struct('rem', x, 'parts', CAST(array() AS ARRAY<STRING>)),
+          (acc, u) -> named_struct(
+            'rem', acc.rem % u.s,
+            'parts', IF(acc.rem div u.s > 0,
+              concat(acc.parts, array(concat(
+                CAST(acc.rem div u.s AS STRING), ' ', u.n,
+                IF(acc.rem div u.s = 1, '', 's')))),
+              acc.parts)),
+          acc -> CASE
+            WHEN size(acc.parts) = 0 THEN '0 seconds'
+            WHEN size(acc.parts) = 1 THEN element_at(acc.parts, 1)
+            ELSE concat(array_join(slice(acc.parts, 1, size(acc.parts) - 1), ', '),
+                        ' and ', element_at(acc.parts, -1))
+          END)
         """
     )
 
