@@ -16,6 +16,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from clickhousedatamocker_spark.functions.geo import register_python_functions
 from clickhousedatamocker_spark.functions.scalar import register_sql_functions
 from clickhousedatamocker_spark.plans.catalog import Catalog, TableHandle
 from clickhousedatamocker_spark.plans.flow_control import FlowController
@@ -91,6 +92,7 @@ class Engine:
         # sharding_key"), so Distributed there degenerates to a plain alias.
         self.clusters = {"default": 1, **(clusters or {})}
         register_sql_functions(spark)
+        register_python_functions(spark)
 
     # -- connectivity probe (setup.sh:94-99) ------------------------------
     def probe(self) -> bool:

@@ -1352,6 +1352,57 @@ _BITMAP_FAMILY = {
     "bitmapAndnotCardinality": _pm_2arg_fa("size(array_except({f}, {a}))"),
 }
 
+def _pm_geohash_encode(args: list[str]) -> str:
+    """geohashEncode(lon, lat[, precision]) — CH default precision 12."""
+    if len(args) == 2:
+        return f"chGeohashEncode({args[0]}, {args[1]}, 12)"
+    if len(args) == 3:
+        return f"chGeohashEncode({args[0]}, {args[1]}, {args[2]})"
+    raise NotImplementedError("geohashEncode expects (lon, lat[, precision])")
+
+
+_TUPLE_PAIR_RE = re.compile(r"\(\s*([^(),]+?)\s*,\s*([^(),]+?)\s*\)")
+
+
+def _pm_point_in_polygon(args: list[str]) -> str:
+    """pointInPolygon((x, y), [(x1, y1), ...]) — the tuple literals CH uses
+    have no Spark spelling, so the handler decomposes them textually into
+    (x, y, xs[], ys[]) for the Arrow UDF. Simple numeric/column tuple
+    elements only; multi-ring polygons (holes) refuse."""
+    if len(args) != 2:
+        raise NotImplementedError(
+            "pointInPolygon supports a single ring: ((x, y), [(x1, y1), ...])"
+        )
+    pm = _TUPLE_PAIR_RE.fullmatch(args[0].strip())
+    if not pm:
+        raise NotImplementedError(
+            "pointInPolygon's first argument must be an (x, y) tuple literal"
+        )
+    px, py = pm.group(1), pm.group(2)
+    ring = args[1].strip()
+    am = re.fullmatch(r"array\s*\((.*)\)", ring, re.IGNORECASE | re.DOTALL)
+    inner = am.group(1) if am else ring
+    pairs = _TUPLE_PAIR_RE.findall(inner)
+    if len(pairs) < 3:
+        raise NotImplementedError(
+            "pointInPolygon needs a ring of at least 3 (x, y) tuple literals"
+        )
+    xs = ", ".join(f"CAST({a} AS DOUBLE)" for a, _ in pairs)
+    ys = ", ".join(f"CAST({b} AS DOUBLE)" for _, b in pairs)
+    return (
+        f"chPointInPolygon(CAST({px} AS DOUBLE), CAST({py} AS DOUBLE), "
+        f"array({xs}), array({ys}))"
+    )
+
+
+_PARAMETRIC.update(
+    {
+        "geohashEncode": _pm_geohash_encode,
+        "geohashDecode": _pm_1arg("chGeohashDecode({x})"),
+        "pointInPolygon": _pm_point_in_polygon,
+    }
+)
+
 _PARAMETRIC.update(_BITMAP_FAMILY)
 _PARAMETRIC.update(
     {

@@ -1,0 +1,170 @@
+"""CH geo + base58 functions as Arrow-batched pandas UDFs.
+
+These are the few probe-surface functions a pure SQL expression can't
+express cleanly (geohash bit interleaving, big-integer base conversion,
+ray casting over variable-length rings). Each is a VECTORIZED pandas UDF
+— Arrow batch transfer, numpy inner loops bounded by precision (<=60
+iterations) or ring size, never a per-row Python callback in the plan
+(these appear as ArrowEvalPython, not BatchEvalPython).
+
+Reference surface (public ClickHouse docs, geo / encoding sections):
+  geohashEncode(longitude, latitude[, precision=12]) -> String
+  geohashDecode(s) -> (longitude, latitude) tuple (cell center)
+  pointInPolygon((x, y), [(x1, y1), ...]) -> UInt8
+  base58Encode / base58Decode (Bitcoin alphabet)
+
+The SQL spellings are wired through functions/compat.py parametric
+rewrites (pointInPolygon's tuple literals become struct-free lon/lat
+array pairs; geohashEncode gets its default precision filled in).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql.functions import pandas_udf
+
+_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+_BASE32_INV = {c: i for i, c in enumerate(_BASE32)}
+_BASE58 = "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
+_BASE58_INV = {c: i for i, c in enumerate(_BASE58)}
+
+
+def _geohash_encode(lon: pd.Series, lat: pd.Series, prec: pd.Series) -> pd.Series:
+    """Vectorized geohash: the loop is over BITS (5 * precision <= 60),
+    each step a numpy bisection over the whole batch."""
+    n = len(lon)
+    lo_lon = np.full(n, -180.0)
+    hi_lon = np.full(n, 180.0)
+    lo_lat = np.full(n, -90.0)
+    hi_lat = np.full(n, 90.0)
+    lonv = lon.to_numpy(dtype=np.float64)
+    latv = lat.to_numpy(dtype=np.float64)
+    precv = np.clip(prec.fillna(12).to_numpy(dtype=np.int64), 1, 12)
+    max_bits = int(precv.max()) * 5 if n else 0
+    codes = np.zeros((n, (max_bits + 4) // 5), dtype=np.int64)
+    for bit in range(max_bits):
+        if bit % 2 == 0:  # even bit: longitude
+            mid = (lo_lon + hi_lon) / 2
+            b = lonv >= mid
+            lo_lon = np.where(b, mid, lo_lon)
+            hi_lon = np.where(b, hi_lon, mid)
+        else:
+            mid = (lo_lat + hi_lat) / 2
+            b = latv >= mid
+            lo_lat = np.where(b, mid, lo_lat)
+            hi_lat = np.where(b, hi_lat, mid)
+        codes[:, bit // 5] = codes[:, bit // 5] * 2 + b
+    out = [
+        "".join(_BASE32[codes[i, j]] for j in range(int(precv[i])))
+        for i in range(n)
+    ]
+    return pd.Series(out)
+
+
+def _geohash_decode(s: pd.Series) -> pd.DataFrame:
+    lons, lats = [], []
+    for v in s:
+        lo_lon, hi_lon, lo_lat, hi_lat = -180.0, 180.0, -90.0, 90.0
+        bit = 0
+        for c in str(v):
+            code = _BASE32_INV.get(c)
+            if code is None:
+                break
+            for k in range(4, -1, -1):
+                b = (code >> k) & 1
+                if bit % 2 == 0:
+                    mid = (lo_lon + hi_lon) / 2
+                    lo_lon, hi_lon = (mid, hi_lon) if b else (lo_lon, mid)
+                else:
+                    mid = (lo_lat + hi_lat) / 2
+                    lo_lat, hi_lat = (mid, hi_lat) if b else (lo_lat, mid)
+                bit += 1
+        lons.append((lo_lon + hi_lon) / 2)
+        lats.append((lo_lat + hi_lat) / 2)
+    return pd.DataFrame({"longitude": lons, "latitude": lats})
+
+
+def _point_in_polygon(
+    x: pd.Series, y: pd.Series, xs: pd.Series, ys: pd.Series
+) -> pd.Series:
+    """Ray casting with on-edge counted IN (CH's contract); the per-row
+    work is numpy over the ring's vertices."""
+    out = np.zeros(len(x), dtype=np.int64)
+    for i in range(len(x)):
+        px, py = float(x.iloc[i]), float(y.iloc[i])
+        vx = np.asarray(xs.iloc[i], dtype=np.float64)
+        vy = np.asarray(ys.iloc[i], dtype=np.float64)
+        if vx.size < 3:
+            continue
+        x1, y1 = vx, vy
+        x2, y2 = np.roll(vx, -1), np.roll(vy, -1)
+        # on-edge test: collinear AND within the segment's bbox
+        cross = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+        on_edge = (
+            (np.abs(cross) < 1e-12)
+            & (px >= np.minimum(x1, x2) - 1e-12)
+            & (px <= np.maximum(x1, x2) + 1e-12)
+            & (py >= np.minimum(y1, y2) - 1e-12)
+            & (py <= np.maximum(y1, y2) + 1e-12)
+        )
+        if on_edge.any():
+            out[i] = 1
+            continue
+        crosses = ((y1 > py) != (y2 > py)) & (
+            px < (x2 - x1) * (py - y1) / (y2 - y1) + x1
+        )
+        out[i] = int(crosses.sum() % 2)
+    return pd.Series(out)
+
+
+def _base58_encode(s: pd.Series) -> pd.Series:
+    out = []
+    for v in s:
+        raw = str(v).encode("utf-8")
+        num = int.from_bytes(raw, "big")
+        enc = ""
+        while num:
+            num, rem = divmod(num, 58)
+            enc = _BASE58[rem] + enc
+        # leading zero bytes encode as '1' each (Bitcoin convention)
+        pad = len(raw) - len(raw.lstrip(b"\0"))
+        out.append("1" * pad + enc)
+    return pd.Series(out)
+
+
+def _base58_decode(s: pd.Series) -> pd.Series:
+    out = []
+    for v in s:
+        text = str(v)
+        num = 0
+        for c in text:
+            d = _BASE58_INV.get(c)
+            if d is None:
+                raise ValueError(f"base58Decode: invalid character {c!r}")
+            num = num * 58 + d
+        raw = num.to_bytes((num.bit_length() + 7) // 8, "big") if num else b""
+        pad = len(text) - len(text.lstrip("1"))
+        out.append((b"\0" * pad + raw).decode("utf-8", errors="replace"))
+    return pd.Series(out)
+
+
+def register_python_functions(spark: SparkSession) -> None:
+    """Register the Arrow-batched UDF surface under private ch-prefixed
+    names; the public CH spellings route here via compat.py so argument
+    defaults / tuple literals can be normalized textually first."""
+    spark.udf.register(
+        "chGeohashEncode",
+        pandas_udf(_geohash_encode, "string"),
+    )
+    spark.udf.register(
+        "chGeohashDecode",
+        pandas_udf(_geohash_decode, "longitude double, latitude double"),
+    )
+    spark.udf.register(
+        "chPointInPolygon",
+        pandas_udf(_point_in_polygon, "bigint"),
+    )
+    spark.udf.register("base58Encode", pandas_udf(_base58_encode, "string"))
+    spark.udf.register("base58Decode", pandas_udf(_base58_decode, "string"))

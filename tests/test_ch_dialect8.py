@@ -318,3 +318,51 @@ def test_sampling_aggregates(eng, spark):
     assert s1 == s2 and len(s1) == 5
     all_ids = {r["event_id"] for r in spark.sql("SELECT event_id FROM ev8").collect()}
     assert set(s1) <= all_ids
+
+
+# -- geo + base58 (Arrow-batched UDF surface) ---------------------------------
+
+
+def test_geohash_encode_golden_and_roundtrip(eng):
+    # public ClickHouse docs example
+    got = one(eng, "SELECT geohashEncode(-5.60302734375, 42.593994140625) AS a")
+    assert got == "ezs42d000000"
+    assert one(eng, "SELECT geohashEncode(-5.60302734375, 42.593994140625, 5) AS a") == "ezs42"
+    dec = eng.sql("SELECT geohashDecode('ezs42') AS a").first()["a"]
+    assert abs(dec["longitude"] - (-5.60302734375)) < 1e-9
+    assert abs(dec["latitude"] - 42.60498046875) < 1e-9
+    # roundtrip law at full precision: cell center within cell size
+    dec2 = eng.sql(
+        "SELECT geohashDecode(geohashEncode(2.3522, 48.8566, 12)) AS a"
+    ).first()["a"]
+    assert abs(dec2["longitude"] - 2.3522) < 1e-6
+    assert abs(dec2["latitude"] - 48.8566) < 1e-6
+
+
+def test_point_in_polygon(eng):
+    ring = "[(6, 0), (8, 4), (5, 8), (0, 2)]"
+    # public ClickHouse docs example: (3, 3) is inside
+    assert one(eng, f"SELECT pointInPolygon((3., 3.), {ring}) AS a") == 1
+    assert one(eng, f"SELECT pointInPolygon((100., 100.), {ring}) AS a") == 0
+    # a vertex is IN
+    assert one(eng, f"SELECT pointInPolygon((6., 0.), {ring}) AS a") == 1
+    with pytest.raises(NotImplementedError):
+        eng.sql(f"SELECT pointInPolygon((1., 1.), {ring}, {ring}) AS a")
+
+
+def _b58_ref(raw: bytes) -> str:
+    alphabet = "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
+    num, enc = int.from_bytes(raw, "big"), ""
+    while num:
+        num, rem = divmod(num, 58)
+        enc = alphabet[rem] + enc
+    return "1" * (len(raw) - len(raw.lstrip(b"\0"))) + enc
+
+
+def test_base58_vectors_and_roundtrip(eng):
+    # standard Bitcoin test vector
+    assert one(eng, "SELECT base58Encode('Hello World!') AS a") == "2NEpo7TZRRrLZSi2U"
+    for s in ["", "abc", "ClickHouse"]:
+        assert one(eng, f"SELECT base58Encode('{s}') AS a") == _b58_ref(s.encode())
+        got = one(eng, f"SELECT base58Decode(base58Encode('{s}')) AS a")
+        assert got == s
