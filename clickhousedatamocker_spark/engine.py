@@ -2249,6 +2249,36 @@ class Engine:
                 return self.spark.createDataFrame(
                     [(self.check_table(ddl["name"]),)], "result int"
                 )
+            elif ddl["op"] == "add_index":
+                h = self.catalog.get(ddl["name"])
+                existing = list(getattr(h, "skip_indexes", None) or [])
+                if any(ix["name"] == ddl["index"]["name"] for ix in existing):
+                    if not ddl["if_not_exists"]:
+                        raise ValueError(
+                            f"index {ddl['index']['name']!r} already exists on "
+                            f"{ddl['name']!r}"
+                        )
+                else:
+                    existing.append(ddl["index"])
+                    self.catalog.set_skip_indexes(ddl["name"], existing)
+                self._catalog_version += 1
+            elif ddl["op"] == "drop_index":
+                h = self.catalog.get(ddl["name"])
+                existing = list(getattr(h, "skip_indexes", None) or [])
+                kept = [ix for ix in existing if ix["name"] != ddl["index"]]
+                if len(kept) == len(existing) and not ddl["if_exists"]:
+                    raise ValueError(
+                        f"index {ddl['index']!r} does not exist on {ddl['name']!r}"
+                    )
+                self.catalog.set_skip_indexes(ddl["name"], kept)
+                self._catalog_version += 1
+            elif ddl["op"] == "noop_index":
+                self.catalog.get(ddl["name"])  # existence check
+            elif ddl["op"] == "kill":
+                # synchronous engine: nothing is ever pending (see parse note)
+                return self.spark.createDataFrame(
+                    [], "kill_status string, query_id string"
+                )
             elif ddl["op"] == "optimize":
                 n = self.optimize(
                     ddl["name"],

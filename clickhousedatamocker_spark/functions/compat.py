@@ -305,6 +305,39 @@ _REWRITES = [
         ),
         lambda m: _rewrite_any_join(m),
     ),
+    # ANY ... JOIN t USING (k1[, k2]) — same dedup-right contract, keyed
+    # directly by the USING columns
+    (
+        re.compile(
+            r"\bANY\s+((?:INNER|LEFT)\s+)?JOIN\s+(\w+)(?:\s+(?:AS\s+)?(\w+))?"
+            r"\s+USING\s*\(([^)]*)\)",
+            re.IGNORECASE,
+        ),
+        lambda m: _rewrite_any_join_using(m),
+    ),
+    # any ANY strictness the two rewrites above did not consume would
+    # otherwise parse as a table ALIAS named ANY in Spark — silently
+    # becoming an ALL join. Refuse loudly instead.
+    (
+        re.compile(r"\bANY\s+(?:INNER\s+|LEFT\s+|RIGHT\s+|FULL\s+)?JOIN\b", re.IGNORECASE),
+        lambda m: (_ for _ in ()).throw(NotImplementedError(
+            "this ANY JOIN form is not supported - use ANY [LEFT|INNER] "
+            "JOIN <table> [AS alias] with ON qualified equalities or "
+            "USING (cols); RIGHT/FULL ANY strictness is not shimmed"
+        )),
+    ),
+    # (x, y) [NOT] IN ((a, b), (c, d)) — CH tuple-IN. Spark rejects the
+    # spelling on struct field-name mismatch (left fields take the column
+    # names, right tuples get col1/col2), so it expands to the equality
+    # disjunction. Constrained grammar: paren-free tuple elements.
+    (
+        re.compile(
+            r"\(([^()]+,[^()]+)\)\s+(NOT\s+)?IN\s*"
+            r"\((\s*\([^()]+\)(?:\s*,\s*\([^()]+\))*\s*)\)",
+            re.IGNORECASE,
+        ),
+        lambda m: _rewrite_tuple_in(m),
+    ),
     # CH GLOBAL JOIN / GLOBAL IN force the right side to the initiator and
     # broadcast it to every shard — in Spark that IS the engine's job
     # (broadcast/shuffle chosen by Catalyst), so the modifier drops out.
@@ -439,6 +472,43 @@ def _rewrite_any_join(m: re.Match) -> str:
 # argument texts and returns the Spark SQL spelling. CH's lambda syntax
 # (``x -> expr``) is byte-compatible with Spark's — only the argument ORDER
 # moves (CH: lambda first; Spark HOFs: array first).
+def _rewrite_tuple_in(m: re.Match) -> str:
+    """See the tuple-IN _REWRITES note: equality disjunction expansion."""
+    left = [e.strip() for e in m.group(1).split(",")]
+    if left and left[0].upper().startswith(("SELECT", "WITH")):
+        return m.group(0)  # a subquery, not a tuple literal
+    negate = bool(m.group(2))
+    clauses = []
+    for tup in re.findall(r"\(([^()]+)\)", m.group(3)):
+        vals = [v.strip() for v in tup.split(",")]
+        if len(vals) != len(left):
+            return m.group(0)  # arity mismatch: leave for Spark's error
+        clauses.append(
+            "(" + " AND ".join(f"{l} = {v}" for l, v in zip(left, vals)) + ")"
+        )
+    body = "(" + " OR ".join(clauses) + ")"
+    return f"(NOT {body})" if negate else body
+
+
+def _rewrite_any_join_using(m: re.Match) -> str:
+    """ANY [LEFT|INNER] JOIN t [AS a] USING (cols) → join against t
+    deduplicated to one row per USING key (same contract as the ON form)."""
+    jointype = (m.group(1) or "").strip()
+    table, alias = m.group(2), m.group(3) or m.group(2)
+    cols = [c.strip() for c in m.group(4).split(",") if c.strip()]
+    if not cols:
+        raise NotImplementedError("ANY JOIN USING needs at least one column")
+    keys = ", ".join(cols)
+    dedup = (
+        f"(SELECT * EXCEPT (__rn) FROM (SELECT *, row_number() OVER "
+        f"(PARTITION BY {keys} ORDER BY {keys}) AS __rn FROM {table}) WHERE __rn = 1)"
+    )
+    return (
+        f"{jointype + ' ' if jointype else ''}JOIN {dedup} AS {alias} "
+        f"USING ({keys})"
+    )
+
+
 def _pm_multi_if(args: list[str]) -> str:
     if len(args) < 3 or len(args) % 2 == 0:
         raise NotImplementedError("multiIf needs cond/value pairs plus an ELSE")
@@ -2144,7 +2214,14 @@ _CH_TYPES: dict[str, T.DataType] = {
     "string": T.StringType(),
     "datetime": T.TimestampType(),
     "date": T.DateType(),
+    "date32": T.DateType(),  # wider range than Date; Spark DATE covers both
     "bool": T.BooleanType(),
+    # UUID/IPv6 surface as their canonical text forms; IPv4 as the UInt32
+    # number (matching IPv4StringToNum/IPv4NumToString's BIGINT convention)
+    "uuid": T.StringType(),
+    "ipv4": T.LongType(),
+    "ipv6": T.StringType(),
+    "json": T.StringType(),  # CH's JSON object type: raw text here
 }
 
 
@@ -2206,6 +2283,45 @@ def parse_ch_type(tstr: str) -> tuple[T.DataType, bool]:
         return T.StringType(), False  # enums surface as their string labels
     if base == "fixedstring":
         return T.StringType(), False
+    if base == "map":
+        k, v = _split_top(args)
+        kt, _ = parse_ch_type(k)
+        vt, v_null = parse_ch_type(v)
+        return T.MapType(kt, vt, v_null), False
+    if base == "tuple":
+        # both CH forms: unnamed Tuple(T1, T2) → col1/col2 field names
+        # (matching the engine's tuple() value convention) and named
+        # Tuple(a T1, b T2)
+        fields = []
+        for i, part in enumerate(_split_top(args), start=1):
+            part = part.strip()
+            nm = re.match(r"([A-Za-z_]\w*)\s+(.+)$", part, re.DOTALL)
+            if nm and nm.group(1).lower() not in _CH_TYPES and not re.match(
+                r"(?i)(nullable|lowcardinality|array|map|tuple|nested|decimal|"
+                r"datetime|enum|fixedstring|aggregatefunction)$",
+                nm.group(1),
+            ):
+                name, inner_s = nm.group(1), nm.group(2)
+            else:
+                name, inner_s = f"col{i}", part
+            inner, inner_null = parse_ch_type(inner_s)
+            fields.append(T.StructField(name, inner, inner_null))
+        return T.StructType(fields), False
+    if base == "nested":
+        # CH flattens Nested(a T, b U) into parallel Array columns
+        # (items.a, items.b); the Spark-natural shape is one
+        # ARRAY<STRUCT<a, b>> column — documented deviation (same data,
+        # row-group layout instead of parallel arrays)
+        fields = []
+        for part in _split_top(args):
+            nm = re.match(r"([A-Za-z_]\w*)\s+(.+)$", part.strip(), re.DOTALL)
+            if not nm:
+                raise NotImplementedError(
+                    f"Nested needs 'name Type' field declarations, got {part!r}"
+                )
+            inner, inner_null = parse_ch_type(nm.group(2))
+            fields.append(T.StructField(nm.group(1), inner, inner_null))
+        return T.ArrayType(T.StructType(fields), False), False
     if base == "aggregatefunction":
         _, dt = parse_ch_agg_type(args)
         return dt, False
@@ -2489,6 +2605,51 @@ def parse_ch_ddl(sql: str) -> dict | None:
     m = re.match(r"CHECK\s+TABLE\s+(\w+)\s*;?\s*$", s, re.IGNORECASE)
     if m:
         return {"op": "check_table", "name": m.group(1)}
+    m = re.match(
+        r"ALTER\s+TABLE\s+(\w+)\s+ADD\s+INDEX\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s+(.+?)"
+        r"\s+TYPE\s+(\w+(?:\([^)]*\))?)(?:\s+GRANULARITY\s+(\d+))?\s*;?\s*$",
+        s,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        return {
+            "op": "add_index",
+            "name": m.group(1),
+            "if_not_exists": bool(m.group(2)),
+            "index": {
+                "name": m.group(3),
+                "expr": " ".join(m.group(4).split()),
+                "kind": m.group(5),
+                "granularity": int(m.group(6) or 1),
+            },
+        }
+    m = re.match(
+        r"ALTER\s+TABLE\s+(\w+)\s+DROP\s+INDEX\s+(IF\s+EXISTS\s+)?(\w+)\s*;?\s*$",
+        s,
+        re.IGNORECASE,
+    )
+    if m:
+        return {
+            "op": "drop_index",
+            "name": m.group(1),
+            "if_exists": bool(m.group(2)),
+            "index": m.group(3),
+        }
+    m = re.match(
+        r"ALTER\s+TABLE\s+(\w+)\s+(?:MATERIALIZE|CLEAR)\s+INDEX\s+(\w+)"
+        r"(?:\s+IN\s+PARTITION\s+'?[\w-]+'?)?\s*;?\s*$",
+        s,
+        re.IGNORECASE,
+    )
+    if m:
+        # index data is metadata-only here (no granule files to build/clear)
+        return {"op": "noop_index", "name": m.group(1), "index": m.group(2)}
+    m = re.match(r"KILL\s+(QUERY|MUTATION)\s+WHERE\s+.+$", s, re.IGNORECASE | re.DOTALL)
+    if m:
+        # queries are synchronous and mutations apply synchronously in this
+        # engine — there is never an async one to kill; the statement is
+        # accepted and reports zero waiting entries (CH's response shape)
+        return {"op": "kill", "kind": m.group(1).lower()}
     m = re.match(
         r"ALTER\s+TABLE\s+(\w+)\s+RENAME\s+COLUMN\s+(IF\s+EXISTS\s+)?(\w+)\s+TO\s+(\w+)\s*;?\s*$",
         s,

@@ -169,6 +169,15 @@ class Catalog:
         meta["settings"].update(settings)
         self._write_meta(name, meta)
 
+    def set_skip_indexes(self, name: str, indexes: list) -> None:
+        """ALTER TABLE ... ADD/DROP INDEX — metadata-only, like the
+        CREATE-level skip-index declarations (data skipping here is
+        parquet min/max + predicate pushdown; the DDL is accepted so CH
+        schema migrations replay, and SHOW CREATE round-trips them)."""
+        meta = self._read_meta(name)
+        meta["skip_indexes"] = indexes
+        self._write_meta(name, meta)
+
     def set_ttl(self, name: str, ttl: str | None) -> None:
         """ALTER TABLE name MODIFY TTL expr / REMOVE TTL — metadata only,
         like CH (existing rows are evicted by the next TTL merge pass,

@@ -1,0 +1,143 @@
+"""Dialect batch 9 (round 5): type-system completion (Map/Tuple/Nested/
+UUID/IPv4/Date32 in DDL), ANY JOIN USING (was silently parsing as a table
+ALIAS named ANY — an ALL join), tuple-IN expansion, ALTER ADD/DROP INDEX,
+KILL QUERY.
+
+The ANY JOIN USING case is the batch's load-bearing fix: before it, the
+strictness keyword fell through to Spark's parser as an alias and the
+query returned EVERY match — a silent wrong answer the guard now makes
+impossible (unhandled ANY forms refuse loudly)."""
+
+import pytest
+
+from clickhousedatamocker_spark.engine import Engine
+
+
+@pytest.fixture(scope="module")
+def eng(spark, tmp_path_factory):
+    return Engine(spark, str(tmp_path_factory.mktemp("wh9")))
+
+
+def one(eng, sql):
+    return eng.sql(sql).first()["a"]
+
+
+def test_any_join_using_keeps_one_match(eng):
+    eng.sql("CREATE TABLE aj9l (k UInt32, v String) ENGINE = MergeTree ORDER BY k")
+    eng.sql("CREATE TABLE aj9r (k UInt32, w String) ENGINE = MergeTree ORDER BY k")
+    eng.sql("INSERT INTO aj9l VALUES (1, 'a'), (2, 'b')")
+    eng.sql("INSERT INTO aj9r VALUES (1, 'x'), (1, 'y'), (1, 'z')")
+    # ALL (default) keeps every match; ANY keeps exactly one per left row
+    assert one(eng, "SELECT count() AS a FROM aj9l LEFT JOIN aj9r USING (k)") == 4
+    assert one(eng, "SELECT count() AS a FROM aj9l ANY LEFT JOIN aj9r USING (k)") == 2
+    assert one(eng, "SELECT count() AS a FROM aj9l ANY INNER JOIN aj9r USING (k)") == 1
+    # the unmatched left row still survives the LEFT form
+    rows = eng.sql(
+        "SELECT k, w FROM aj9l ANY LEFT JOIN aj9r USING (k) ORDER BY k"
+    ).collect()
+    assert [r["k"] for r in rows] == [1, 2] and rows[1]["w"] is None
+
+
+def test_unsupported_any_forms_refuse_loudly(eng):
+    # before the guard these parsed as a table alias named ANY == ALL join
+    with pytest.raises(NotImplementedError):
+        eng.sql("SELECT count() AS a FROM aj9l ANY RIGHT JOIN aj9r USING (k)")
+    with pytest.raises(NotImplementedError):
+        eng.sql(
+            "SELECT count() AS a FROM aj9l ANY FULL JOIN aj9r ON aj9l.k = aj9r.k"
+        )
+
+
+def test_tuple_in_expansion(eng):
+    assert one(
+        eng,
+        "SELECT count() AS a FROM numbers(10) WHERE (number, number) IN ((1, 1), (2, 2))",
+    ) == 2
+    assert one(
+        eng,
+        "SELECT count() AS a FROM numbers(10) WHERE (number, number) NOT IN ((1, 1))",
+    ) == 9
+    # scalar IN subqueries are untouched by the tuple rewrite
+    assert one(
+        eng,
+        "SELECT count() AS a FROM numbers(10) WHERE number IN (SELECT number FROM numbers(3))",
+    ) == 3
+
+
+def test_map_tuple_nested_types_round_trip(eng):
+    eng.sql(
+        "CREATE TABLE t9m (id UInt32, attrs Map(String, UInt64)) "
+        "ENGINE = MergeTree ORDER BY id"
+    )
+    eng.sql("INSERT INTO t9m VALUES (1, map('a', 10, 'b', 20))")
+    assert one(eng, "SELECT attrs['a'] AS a FROM t9m") == 10
+    assert one(eng, "SELECT mapKeys(attrs) AS a FROM t9m") == ["a", "b"]
+
+    eng.sql(
+        "CREATE TABLE t9t (id UInt32, pt Tuple(Float64, Float64), "
+        "named Tuple(lon Float64, lat Float64)) ENGINE = MergeTree ORDER BY id"
+    )
+    eng.sql(
+        "INSERT INTO t9t VALUES (1, named_struct('col1', 1.5, 'col2', 2.5), "
+        "named_struct('lon', 3.5, 'lat', 4.5))"
+    )
+    r = eng.sql("SELECT pt.1 AS a, named.lat AS b FROM t9t").first()
+    assert (r["a"], r["b"]) == (1.5, 4.5)
+
+    eng.sql(
+        "CREATE TABLE t9n (id UInt32, items Nested(name String, qty UInt32)) "
+        "ENGINE = MergeTree ORDER BY id"
+    )
+    eng.sql(
+        "INSERT INTO t9n VALUES (1, array(named_struct('name', 'x', 'qty', 2)))"
+    )
+    got = eng.sql(
+        "SELECT it.name AS n, it.qty AS q FROM t9n ARRAY JOIN items AS it"
+    ).first()
+    assert (got["n"], got["q"]) == ("x", 2)
+
+
+def test_uuid_ipv4_date32_types(eng):
+    eng.sql(
+        "CREATE TABLE t9u (id UUID, addr IPv4, d Date32, x UInt8) "
+        "ENGINE = MergeTree ORDER BY x"
+    )
+    # toIPv4 is a SQL UDF — not foldable inside an inline VALUES table, so
+    # the expression form uses INSERT ... SELECT (CH accepts both)
+    eng.sql(
+        "INSERT INTO t9u SELECT '123e4567-e89b-12d3-a456-426614174000', "
+        "toIPv4('192.168.0.1'), toDate('2024-03-05'), 1"
+    )
+    r = eng.sql("SELECT id, IPv4NumToString(addr) AS ip, d FROM t9u").first()
+    assert r["id"].startswith("123e4567")
+    assert r["ip"] == "192.168.0.1"
+    assert r["d"].isoformat() == "2024-03-05"
+
+
+def test_alter_add_drop_index_round_trip(eng):
+    eng.sql("CREATE TABLE t9i (a UInt32, s String) ENGINE = MergeTree ORDER BY a")
+    eng.sql("ALTER TABLE t9i ADD INDEX idx_s s TYPE bloom_filter GRANULARITY 4")
+    ddl = "\n".join(
+        r["statement"] for r in eng.sql("SHOW CREATE TABLE t9i").collect()
+    )
+    assert "INDEX idx_s s TYPE bloom_filter GRANULARITY 4" in ddl
+    # duplicate add refuses unless IF NOT EXISTS
+    with pytest.raises(ValueError):
+        eng.sql("ALTER TABLE t9i ADD INDEX idx_s s TYPE minmax")
+    eng.sql("ALTER TABLE t9i ADD INDEX IF NOT EXISTS idx_s s TYPE minmax")
+    eng.sql("ALTER TABLE t9i MATERIALIZE INDEX idx_s")
+    eng.sql("ALTER TABLE t9i DROP INDEX idx_s")
+    ddl2 = "\n".join(
+        r["statement"] for r in eng.sql("SHOW CREATE TABLE t9i").collect()
+    )
+    assert "idx_s" not in ddl2
+    with pytest.raises(ValueError):
+        eng.sql("ALTER TABLE t9i DROP INDEX idx_s")
+    eng.sql("ALTER TABLE t9i DROP INDEX IF EXISTS idx_s")
+
+
+def test_kill_query_reports_nothing_pending(eng):
+    df = eng.sql("KILL QUERY WHERE query_id = 'x'")
+    assert df.count() == 0
+    assert df.columns == ["kill_status", "query_id"]
+    assert eng.sql("KILL MUTATION WHERE table = 't9i'").count() == 0
