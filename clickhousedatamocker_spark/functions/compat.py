@@ -49,6 +49,38 @@ _REWRITES = [
     (re.compile(r"\bsystem\.projections\b", re.IGNORECASE), "system_projections"),
     (re.compile(r"\bsystem\.mutations\b", re.IGNORECASE), "system_mutations"),
     (re.compile(r"\bsystem\.settings\b", re.IGNORECASE), "system_settings"),
+    # system.one: CH's 1-row dummy table (what `SELECT 1` reads implicitly)
+    (
+        re.compile(r"\bsystem\.one\b", re.IGNORECASE),
+        "(SELECT CAST(0 AS TINYINT) AS dummy)",
+    ),
+    # remote()/cluster() table functions: every shard lives in this one
+    # engine (the Distributed engine here routes to local parts), so the
+    # functions resolve to the named table directly; the db must be the
+    # current database spelling CH uses ('default')
+    (
+        re.compile(
+            r"\b(?:remote|remoteSecure|cluster|clusterAllReplicas)\(\s*'[^']*'\s*,\s*"
+            r"(?:(\w+)\.)?(\w+)\s*\)",
+            re.IGNORECASE,
+        ),
+        lambda m: m.group(2) if m.group(1) in (None, "default") else (_ for _ in ()).throw(
+            NotImplementedError(
+                f"remote/cluster: database {m.group(1)!r} is not the current "
+                "database; only default-database tables resolve"
+            )
+        ),
+    ),
+    # network-source table functions: no network in this environment
+    (
+        re.compile(r"\b(url|s3|s3Cluster|hdfs|azureBlobStorage|gcs)\(\s*'", re.IGNORECASE),
+        lambda m: (_ for _ in ()).throw(NotImplementedError(
+            f"the {m.group(1)}() table function needs network access, absent "
+            "in this environment - download the object and use "
+            "file('path', 'Format', 'structure') instead; on a real cluster "
+            "read the native spark source (s3a://, abfss://, ...) directly"
+        )),
+    ),
     # CH aggregate spellings → Spark aggregates (name-only rewrites: the
     # argument list that follows is valid for the target function, so a
     # paren-aware parser isn't needed). SQL UDFs can't define aggregates,
@@ -88,7 +120,22 @@ _REWRITES = [
     (re.compile(r"\bsumDistinct\(", re.IGNORECASE), "sum(DISTINCT "),
     (re.compile(r"\bavgDistinct\(", re.IGNORECASE), "avg(DISTINCT "),
     (re.compile(r"\bcountDistinct\(", re.IGNORECASE), "count(DISTINCT "),
-    (re.compile(r"\buniq(?:Combined|HLL12)?\(", re.IGNORECASE), "approx_count_distinct("),
+    (re.compile(r"\buniq(?:Combined64|Combined|HLL12)?\(", re.IGNORECASE), "approx_count_distinct("),
+    # -SimpleState: SimpleAggregateFunction's state IS the value — the
+    # combinator strips to the base aggregate
+    (
+        re.compile(r"\b(sum|min|max|count|avg|anyLast|any)SimpleState\(", re.IGNORECASE),
+        lambda m: {
+            "sum": "sum(", "min": "min(", "max": "max(", "count": "count(",
+            "avg": "avg(", "anylast": "last(", "any": "any_value(",
+        }[m.group(1).lower()],
+    ),
+    # -OrNull: NULL on the empty set — Spark's aggregates already return
+    # NULL over zero rows (CH's bare sum returns 0), so the names map clean
+    (
+        re.compile(r"\b(sum|min|max|avg)OrNull\(", re.IGNORECASE),
+        lambda m: m.group(1).lower() + "(",
+    ),
     (re.compile(r"\bcountIf\(", re.IGNORECASE), "count_if("),
     (re.compile(r"\banyLast\(", re.IGNORECASE), "last("),
     # argMax(a, b) keeps CH's arg order — Spark's max_by/min_by share it
@@ -138,10 +185,29 @@ _REWRITES = [
          "stddevpop": "stddev_pop(", "stddevsamp": "stddev_samp(",
          "varpop": "var_pop(", "varsamp": "var_samp(",
      }[m.group(1).lower()]),
-    # exact-quantile interpolation variants: percentile's interpolated
-    # answer stands in for Low/High's element picks (documented deviation)
+    # quantileExactLow/High: EXACT element picks from the sorted multiset
+    # (CH's contract — low/high median for even n, never interpolated):
+    # Low = element ceil(n*p) (1-based, floored at 1), High = element
+    # floor(n*p)+1 (capped at n)
     (
-        re.compile(r"\bquantileExact(?:Low|High|Inclusive|Exclusive)\(([0-9.]+)\)\(([^()]*)\)", re.IGNORECASE),
+        re.compile(r"\bquantileExactLow\(([0-9.]+)\)\(([^()]*)\)", re.IGNORECASE),
+        lambda m: (
+            f"element_at(array_sort(collect_list({m.group(2)})), "
+            f"greatest(CAST(ceil(count({m.group(2)}) * {m.group(1)}) AS INT), 1))"
+        ),
+    ),
+    (
+        re.compile(r"\bquantileExactHigh\(([0-9.]+)\)\(([^()]*)\)", re.IGNORECASE),
+        lambda m: (
+            f"element_at(array_sort(collect_list({m.group(2)})), "
+            f"least(CAST(floor(count({m.group(2)}) * {m.group(1)}) AS INT) + 1, "
+            f"CAST(count({m.group(2)}) AS INT)))"
+        ),
+    ),
+    # the Inclusive/Exclusive variants ARE interpolating — percentile's
+    # interpolated answer is the matching contract
+    (
+        re.compile(r"\bquantileExact(?:Inclusive|Exclusive)\(([0-9.]+)\)\(([^()]*)\)", re.IGNORECASE),
         r"percentile(\2, \1)",
     ),
     # CH `any(x)` picks an arbitrary value per group == Spark any_value;
@@ -1465,13 +1531,118 @@ def _pm_point_in_polygon(args: list[str]) -> str:
     )
 
 
+def _pm_for_each(op_sql: str):
+    """<agg>ForEach(arr): element-wise aggregate across rows' arrays in
+    DOUBLE (the arrayCumSum widening rule); rows with shorter arrays
+    contribute nothing at the missing positions (CH's contract)."""
+
+    def rw(args: list[str]) -> str:
+        if len(args) != 1:
+            raise NotImplementedError("ForEach combinators take one array column")
+        x = args[0]
+        to_d = f"transform(__fe_a, __fe_v -> CAST(__fe_v AS DOUBLE))"
+        return (
+            f"aggregate(collect_list({x}), CAST(array() AS ARRAY<DOUBLE>), "
+            f"(__fe_acc, __fe_a) -> CASE WHEN size(__fe_acc) = 0 THEN {to_d} "
+            f"ELSE zip_with(__fe_acc, {to_d}, (__fe_p, __fe_q) -> {op_sql}) END)"
+        )
+
+    return rw
+
+
+def _pm_interval_length_sum(args: list[str]) -> str:
+    """intervalLengthSum(start, end): total length of the UNION of the
+    segments — one sort + linear sweep, spelled as a fold over the sorted
+    per-group interval list (exact, JVM-side)."""
+    if len(args) != 2:
+        raise NotImplementedError("intervalLengthSum expects (start, end)")
+    s, e = args
+    evs = f"array_sort(collect_list(named_struct('s', CAST({s} AS BIGINT), 'e', CAST({e} AS BIGINT))))"
+    return (
+        f"aggregate({evs}, "
+        f"named_struct('tot', CAST(0 AS BIGINT), 'cs', CAST(NULL AS BIGINT), 'ce', CAST(NULL AS BIGINT)), "
+        f"(__il_a, __il_v) -> CASE "
+        f"WHEN __il_a.cs IS NULL THEN named_struct('tot', __il_a.tot, 'cs', __il_v.s, 'ce', __il_v.e) "
+        f"WHEN __il_v.s > __il_a.ce THEN named_struct('tot', __il_a.tot + __il_a.ce - __il_a.cs, 'cs', __il_v.s, 'ce', __il_v.e) "
+        f"ELSE named_struct('tot', __il_a.tot, 'cs', __il_a.cs, 'ce', greatest(__il_a.ce, __il_v.e)) END, "
+        f"__il_a -> __il_a.tot + coalesce(__il_a.ce - __il_a.cs, 0))"
+    )
+
+
+def _pm_stats_test_refusal(name: str, recipe: str):
+    def rw(args: list[str]) -> str:
+        raise NotImplementedError(f"{name} is not shimmed - {recipe}")
+
+    return rw
+
+
 _PARAMETRIC.update(
     {
         "geohashEncode": _pm_geohash_encode,
         "geohashDecode": _pm_1arg("chGeohashDecode({x})"),
         "pointInPolygon": _pm_point_in_polygon,
+        # -OrDefault: the numeric type default (0) on the empty set
+        "sumOrDefault": _pm_1arg("coalesce(sum({x}), 0)"),
+        "avgOrDefault": _pm_1arg("coalesce(avg({x}), 0)"),
+        "minOrDefault": _pm_1arg("coalesce(min({x}), 0)"),
+        "maxOrDefault": _pm_1arg("coalesce(max({x}), 0)"),
+        "countOrNull": _pm_1arg("nullif(count({x}), 0)"),
+        # -Array: aggregate over every ELEMENT of the rows' arrays.
+        # sum/avg fold in DOUBLE (the arrayCumSum widening rule)
+        "sumArray": _pm_1arg(
+            "sum(aggregate({x}, CAST(0.0 AS DOUBLE), (__sa_a, __sa_v) -> __sa_a + __sa_v))"
+        ),
+        "countArray": _pm_1arg("sum(size({x}))"),
+        "minArray": _pm_1arg("min(array_min({x}))"),
+        "maxArray": _pm_1arg("max(array_max({x}))"),
+        "avgArray": _pm_1arg(
+            "(sum(aggregate({x}, CAST(0.0 AS DOUBLE), (__sa_a, __sa_v) -> __sa_a + __sa_v)) "
+            "/ sum(size({x})))"
+        ),
+        "uniqArray": _pm_1arg("size(array_distinct(flatten(collect_list({x}))))"),
+        "groupArrayArray": _pm_1arg("flatten(collect_list({x}))"),
+        "groupUniqArrayArray": _pm_1arg("array_distinct(flatten(collect_list({x})))"),
+        "sumForEach": _pm_for_each("coalesce(__fe_p, 0.0D) + coalesce(__fe_q, 0.0D)"),
+        "minForEach": _pm_for_each(
+            "CASE WHEN __fe_p IS NULL THEN __fe_q WHEN __fe_q IS NULL THEN __fe_p "
+            "ELSE least(__fe_p, __fe_q) END"
+        ),
+        "maxForEach": _pm_for_each(
+            "CASE WHEN __fe_p IS NULL THEN __fe_q WHEN __fe_q IS NULL THEN __fe_p "
+            "ELSE greatest(__fe_p, __fe_q) END"
+        ),
+        "intervalLengthSum": _pm_interval_length_sum,
+        # statistical-test family: the p-values need incomplete-beta /
+        # rank-distribution CDFs with no SQL spelling; refuse with the
+        # moment-aggregate recipe instead of returning a fake p
+        "studentTTest": _pm_stats_test_refusal(
+            "studentTTest",
+            "compute t from avgIf/varSampIf/countIf per group and look up p offline",
+        ),
+        "welchTTest": _pm_stats_test_refusal(
+            "welchTTest",
+            "compute t from avgIf/varSampIf/countIf per group and look up p offline",
+        ),
+        "mannWhitneyUTest": _pm_stats_test_refusal(
+            "mannWhitneyUTest",
+            "rank with row_number() OVER (ORDER BY value), sum ranks per group",
+        ),
+        "largestTriangleThreeBuckets": _pm_stats_test_refusal(
+            "largestTriangleThreeBuckets",
+            "downsample with groupArray + an offline LTTB pass",
+        ),
     }
 )
+
+
+def _pm2_histogram(params: list[str] | None, args: list[str]) -> str:
+    """histogram(n)(x) → Spark's histogram_numeric(x, n) — the same
+    adaptive (Ben-Haim/Tom-Tov-style) histogram sketch. Shape deviation,
+    documented: Spark returns (center x, height y) pairs where CH returns
+    (lower, upper, height) triples."""
+    if params is None or len(params) != 1 or len(args) != 1:
+        raise NotImplementedError("histogram needs the (n)(x) form")
+    return f"histogram_numeric({args[0]}, {params[0]})"
 
 _PARAMETRIC.update(_BITMAP_FAMILY)
 _PARAMETRIC.update(
@@ -1713,6 +1884,7 @@ _PARAMETRIC2: dict[str, object] = {
     "windowFunnel": _pm2_window_funnel,
     "quantileDeterministic": _pm2_quantile_deterministic,
     "groupArraySample": _pm2_group_array_sample,
+    "histogram": _pm2_histogram,
     "sequenceMatch": _pm2_sequence(False),
     "sequenceCount": _pm2_sequence(True),
     "uniqUpTo": _pm2_uniq_up_to,

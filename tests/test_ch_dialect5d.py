@@ -168,7 +168,9 @@ VOCAB5_GOLDENS = [
     ("SELECT uniqTheta(x) AS a FROM (SELECT 1 AS x UNION ALL SELECT 2) t", 2),
     ("SELECT corrStable(x, x) AS a FROM (SELECT 1.0 AS x UNION ALL SELECT 2.0) t", 1.0),
     ("SELECT varPopStable(x) AS a FROM (SELECT 1.0 AS x UNION ALL SELECT 3.0) t", 1.0),
-    ("SELECT quantileExactLow(0.5)(x) AS a FROM (SELECT 1.0 AS x UNION ALL SELECT 3.0) t", 2.0),
+    # quantileExactLow picks the LOWER element for even n (real CH value;
+    # batch 9 replaced the earlier interpolated-percentile deviation)
+    ("SELECT quantileExactLow(0.5)(x) AS a FROM (SELECT 1.0 AS x UNION ALL SELECT 3.0) t", 1.0),
     ("SELECT avgWeighted(x, w) AS a FROM (SELECT 1.0 AS x, 1.0 AS w UNION ALL SELECT 3.0, 3.0) t", 2.5),
     ("SELECT splitByString('::', 'a::b::c') AS a", ["a", "b", "c"]),
     # separator is regex-ESCAPED: '.' splits on the dot, not on everything

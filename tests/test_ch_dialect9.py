@@ -141,3 +141,84 @@ def test_kill_query_reports_nothing_pending(eng):
     assert df.count() == 0
     assert df.columns == ["kill_status", "query_id"]
     assert eng.sql("KILL MUTATION WHERE table = 't9i'").count() == 0
+
+
+# -- combinator batch: -OrNull/-OrDefault/-Array/-ForEach/-SimpleState --------
+
+
+def test_or_null_or_default_combinators(eng):
+    assert one(eng, "SELECT sumOrNull(x) AS a FROM (SELECT 1 AS x WHERE false)") is None
+    assert one(eng, "SELECT sumOrDefault(x) AS a FROM (SELECT 1 AS x WHERE false)") == 0
+    assert one(eng, "SELECT countOrNull(x) AS a FROM (SELECT 1 AS x WHERE false)") is None
+    assert one(eng, "SELECT countOrNull(x) AS a FROM VALUES (1) AS t(x)") == 1
+    assert one(eng, "SELECT minSimpleState(x) AS a FROM VALUES (5), (2) AS t(x)") == 2
+
+
+def test_array_combinators_match_explode(eng, spark):
+    vals = "FROM VALUES (array(1, 2)), (array(2, 3)) AS t(arr)"
+    assert one(eng, f"SELECT sumArray(arr) AS a {vals}") == 8.0
+    assert one(eng, f"SELECT avgArray(arr) AS a {vals}") == 2.0
+    assert one(eng, f"SELECT uniqArray(arr) AS a {vals}") == 3
+    assert one(eng, f"SELECT minArray(arr) AS a {vals}") == 1
+    assert one(eng, f"SELECT maxArray(arr) AS a {vals}") == 3
+    assert sorted(one(eng, f"SELECT groupArrayArray(arr) AS a {vals}")) == [1, 2, 2, 3]
+    # independent check: explode + plain aggregates
+    want = spark.sql(
+        "SELECT sum(e) AS s, count(e) AS c FROM (SELECT explode(arr) AS e "
+        "FROM VALUES (array(1, 2)), (array(2, 3)) AS t(arr))"
+    ).first()
+    assert one(eng, f"SELECT sumArray(arr) AS a {vals}") == float(want["s"])
+    assert one(eng, f"SELECT countArray(arr) AS a {vals}") == want["c"]
+
+
+def test_for_each_combinators(eng):
+    vals = "FROM VALUES (array(1, 2)), (array(3, 4, 5)) AS t(arr)"
+    assert one(eng, f"SELECT sumForEach(arr) AS a {vals}") == [4.0, 6.0, 5.0]
+    assert one(eng, f"SELECT minForEach(arr) AS a {vals}") == [1.0, 2.0, 5.0]
+    assert one(eng, f"SELECT maxForEach(arr) AS a {vals}") == [3.0, 4.0, 5.0]
+
+
+def test_interval_length_sum_union_semantics(eng):
+    # [1,3) ∪ [2,5) = [1,5) → 4; plus the disjoint [10,11) → 5
+    assert one(
+        eng,
+        "SELECT intervalLengthSum(s, e) AS a FROM VALUES (1, 3), (2, 5), (10, 11) AS t(s, e)",
+    ) == 5
+    # fully overlapping intervals count once
+    assert one(
+        eng,
+        "SELECT intervalLengthSum(s, e) AS a FROM VALUES (1, 10), (2, 3) AS t(s, e)",
+    ) == 9
+
+
+def test_quantile_exact_low_high_are_element_picks(eng):
+    # CH docs: even n → LOWER median for Low, UPPER for High (never 2.5)
+    vals = "FROM VALUES (1), (2), (3), (4) AS t(x)"
+    assert one(eng, f"SELECT quantileExactLow(0.5)(x) AS a {vals}") == 2
+    assert one(eng, f"SELECT quantileExactHigh(0.5)(x) AS a {vals}") == 3
+    assert one(eng, f"SELECT quantileExactLow(0)(x) AS a {vals}") == 1
+    assert one(eng, f"SELECT quantileExactLow(1)(x) AS a {vals}") == 4
+    assert one(eng, f"SELECT quantileExactHigh(1)(x) AS a {vals}") == 4
+
+
+def test_histogram_and_stat_test_gates(eng):
+    got = one(eng, "SELECT histogram(3)(x) AS a FROM VALUES (1.0), (2.0), (9.0) AS t(x)")
+    assert len(got) == 3 and sum(b["y"] for b in got) == 3.0
+    for q in [
+        "SELECT studentTTest(v, g) AS a FROM VALUES (1.0, 0) AS t(v, g)",
+        "SELECT mannWhitneyUTest(v, g) AS a FROM VALUES (1.0, 0) AS t(v, g)",
+    ]:
+        with pytest.raises(NotImplementedError):
+            eng.sql(q)
+
+
+def test_system_one_and_remote_cluster(eng):
+    assert eng.sql("SELECT * FROM system.one").first()["dummy"] == 0
+    eng.sql("CREATE TABLE r9 (a UInt32) ENGINE = MergeTree ORDER BY a")
+    eng.sql("INSERT INTO r9 VALUES (7)")
+    assert one(eng, "SELECT a FROM remote('127.0.0.1', default.r9)") == 7
+    assert one(eng, "SELECT a FROM cluster('default', r9)") == 7
+    with pytest.raises(NotImplementedError):
+        eng.sql("SELECT * FROM url('https://x.com/d.csv', 'CSV', 'a UInt8')")
+    with pytest.raises(NotImplementedError):
+        eng.sql("SELECT * FROM s3('https://b.s3.amazonaws.com/k.parquet')")
