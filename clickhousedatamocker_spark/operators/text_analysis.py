@@ -362,24 +362,28 @@ def cross_doc_dup_stats(
     sees a gram's full occurrence list.
     """
     occ = docs.select(F.col(id_col), F.explode(ngram_hashes(text_col, n)).alias("__g"))
-    # distinct (doc, gram) first: bounds the per-gram row count by corpus
-    # doc count, not occurrence count, before the global gram aggregate
-    gram_docs = occ.select(id_col, "__g").distinct()
+    # (doc, gram) occurrence counts FIRST: bounds every later relation by
+    # the distinct (doc, gram) space, and — because both the shared-gram
+    # aggregate and the join probe side read this SAME exchange — Spark's
+    # ReusedExchange runs the tokenize+explode scan ONCE (the previous
+    # two-branch shape recomputed it per consumer).
+    docgram = occ.groupBy(id_col, "__g").agg(F.count(F.lit(1)).alias("__cnt"))
     shared = (
-        gram_docs.groupBy("__g")
+        docgram.groupBy("__g")
         .agg(F.count(F.lit(1)).alias("__nd"))
         .select("__g", (F.col("__nd") > 1).alias("__shared"))
     )
     # SHUFFLE_HASH pinned: the shared-gram relation is ONE ROW PER DISTINCT
     # GRAM — linear in corpus size — so a (stats-tempted) broadcast OOMs at
-    # real scale; shuffled, it reuses its own aggregate's __g partitioning
-    # and only occ pays a new exchange.
+    # real scale; shuffled, it reuses its own aggregate's __g partitioning.
     return (
-        occ.join(shared.hint("SHUFFLE_HASH"), "__g")
+        docgram.join(shared.hint("SHUFFLE_HASH"), "__g")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("total_grams"),
-            F.count_if(F.col("__shared")).alias("shared_grams"),
+            F.sum("__cnt").alias("total_grams"),
+            F.sum(F.when(F.col("__shared"), F.col("__cnt")).otherwise(F.lit(0))).alias(
+                "shared_grams"
+            ),
         )
         .withColumn(
             "dup_fraction",
