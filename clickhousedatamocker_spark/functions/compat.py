@@ -416,6 +416,17 @@ _REWRITES = [
         ),
         "",
     ),
+    # PASTE JOIN concatenates sides BY ROW POSITION — block-order-dependent
+    # (the same family as neighbor/runningDifference): undefined over a
+    # distributed shuffle, refused loudly with the deterministic recipe
+    (
+        re.compile(r"\bPASTE\s+JOIN\b", re.IGNORECASE),
+        lambda m: (_ for _ in ()).throw(NotImplementedError(
+            "PASTE JOIN pairs rows by arrival position - undefined in a "
+            "distributed engine; join on row_number() OVER (ORDER BY <a "
+            "deterministic key>) computed on each side instead"
+        )),
+    ),
     # PREWHERE is CH's manual two-stage filter optimization; with columnar
     # scans + pushdown the distinction is moot — same semantics as WHERE
     (re.compile(r"\bPREWHERE\b", re.IGNORECASE), "WHERE"),
@@ -1695,6 +1706,8 @@ _PARAMETRIC.update(
         "arrayFold": _pm_array_fold,
         "arrayShingles": _pm_array_shingles,
         "groupBitmap": _pm_1arg("count(DISTINCT {x})"),
+        # view(SELECT ...) table function: the wrapper IS a subquery
+        "view": lambda args: "(" + ", ".join(args) + ")",
     }
 )
 
@@ -2363,10 +2376,106 @@ def _rewrite_tuple_dots(sql: str) -> str:
     )
 
 
+_CAST_OP_RE = re.compile(r"::\s*([A-Za-z_]\w*(?:\([^()]*\))?)")
+
+
+def _rewrite_cast_operator(sql: str) -> str:
+    """``expr::Type`` (CH/Postgres cast operator) → ``CAST(expr AS T)``
+    with the type mapped through parse_ch_type. The operand is recovered
+    by scanning backwards: a quoted literal, a number, a (possibly
+    qualified) identifier, or a balanced ``(...)``/``[...]``/call group."""
+    for _ in range(64):
+        spans = _literal_spans(sql)
+        m = None
+        for cand in _CAST_OP_RE.finditer(sql):
+            if not any(a <= cand.start() < b for a, b in spans):
+                m = cand
+                break
+        if m is None:
+            return sql
+        end = m.start()
+        i = end
+        # skip trailing whitespace before ::
+        while i > 0 and sql[i - 1].isspace():
+            i -= 1
+        if i > 0 and sql[i - 1] in ")]":
+            # balanced group (call, parens, bracket) + an optional leading name
+            close, open_ = sql[i - 1], "(" if sql[i - 1] == ")" else "["
+            depth, j = 0, i
+            while j > 0:
+                j -= 1
+                if sql[j] == close:
+                    depth += 1
+                elif sql[j] == open_:
+                    depth -= 1
+                    if depth == 0:
+                        break
+            while j > 0 and (sql[j - 1].isalnum() or sql[j - 1] in "_."):
+                j -= 1
+            start = j
+        elif i > 0 and sql[i - 1] == "'":
+            j = i - 2
+            while j >= 0 and sql[j] != "'":
+                j -= 1
+            start = j
+        else:
+            j = i
+            while j > 0 and (sql[j - 1].isalnum() or sql[j - 1] in "_."):
+                j -= 1
+            start = j
+        operand = sql[start:i]
+        if not operand:
+            raise NotImplementedError(f"cannot parse operand before :: in {sql!r}")
+        dt, _ = parse_ch_type(m.group(1))
+        sql = f"{sql[:start]}CAST({operand} AS {dt.simpleString()}){sql[m.end():]}"
+    return sql
+
+
+def _rewrite_brace_maps(sql: str) -> str:
+    """CH map literal ``{'k': v, ...}`` → ``map('k', v, ...)``. Only fires
+    when the first key is a quoted string or a number — ``{name:Type}``
+    query-parameter placeholders (identifier key) pass through untouched.
+    INNERMOST pair per pass, so nested map values resolve bottom-up."""
+    for _ in range(64):
+        # first '}' outside strings, then the nearest '{' before it —
+        # that's the innermost brace pair
+        quote, close = None, -1
+        opens: list[int] = []
+        for i, c in enumerate(sql):
+            if quote:
+                if c == quote:
+                    quote = None
+            elif c in "'\"":
+                quote = c
+            elif c == "{":
+                opens.append(i)
+            elif c == "}":
+                close = i
+                break
+        if close < 0 or not opens:
+            return sql
+        pos = max(p for p in opens if p < close)
+        j = close + 1
+        inner = sql[pos + 1 : j - 1].strip()
+        first = inner.lstrip()[:1]
+        if inner and first not in "'\"0123456789":
+            return sql  # parameter placeholder or not a map literal
+        pairs = []
+        for item in _split_top(inner):
+            k, sep, v = item.partition(":")
+            if not sep:
+                return sql
+            pairs.extend([k.strip(), v.strip()])
+        sql = f"{sql[:pos]}map({', '.join(pairs)}){sql[j:]}"
+    return sql
+
+
 def translate_ch_sql(sql: str) -> str:
+    sql = _rewrite_brace_maps(sql)
     sql = _rewrite_brackets(_rewrite_scalar_with(_rewrite_array_join(sql)))
     for pattern, repl in _REWRITES:
         sql = _sub_outside_strings(pattern, repl, sql)
+    sql = _rewrite_cast_operator(sql)
     return _rewrite_parametric(_rewrite_parametric2(_rewrite_tuple_dots(sql)))
 
 

@@ -222,3 +222,30 @@ def test_system_one_and_remote_cluster(eng):
         eng.sql("SELECT * FROM url('https://x.com/d.csv', 'CSV', 'a UInt8')")
     with pytest.raises(NotImplementedError):
         eng.sql("SELECT * FROM s3('https://b.s3.amazonaws.com/k.parquet')")
+
+
+# -- syntax batch: ::casts, map literals, view(), PASTE JOIN gate -------------
+
+
+def test_cast_operator_forms(eng):
+    assert one(eng, "SELECT '5'::Int64 AS a") == 5
+    assert one(eng, "SELECT 5::Float64 AS a") == 5.0
+    assert one(eng, "SELECT concat('1', '2')::Int32 AS a") == 12
+    assert one(eng, "SELECT number::String AS a FROM numbers(1)") == "0"
+    assert one(eng, "SELECT 'x'::Nullable(String) AS a") == "x"
+    # '::' inside a string literal is data (IPv6 spelling)
+    assert one(eng, "SELECT '::1' AS a") == "::1"
+
+
+def test_brace_map_literals(eng):
+    assert one(eng, "SELECT {'a': 1, 'b': 2} AS a") == {"a": 1, "b": 2}
+    assert one(eng, "SELECT {'a': {'b': 1}} AS a") == {"a": {"b": 1}}
+    assert one(eng, "SELECT {'a': 7}['a'] AS a") == 7
+    assert one(eng, "SELECT 'keep {this: here}' AS a") == "keep {this: here}"
+
+
+def test_view_table_function_and_paste_gate(eng):
+    r = eng.sql("SELECT * FROM view(SELECT 1 AS a, 2 AS b)").first()
+    assert (r["a"], r["b"]) == (1, 2)
+    with pytest.raises(NotImplementedError):
+        eng.sql("SELECT * FROM (SELECT 1 AS a) PASTE JOIN (SELECT 2 AS b)")
