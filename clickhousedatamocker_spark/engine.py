@@ -58,6 +58,10 @@ class Engine:
         # so they always read the CURRENT table state (a captured temp-view
         # plan would pin the creation-time relation and go stale)
         self._views: dict[str, str] = {}
+        # CH CREATE FUNCTION name AS (args) -> expr: textual macros
+        # expanded before translation (CH evaluates them the same way —
+        # substitution, not a callable), persisted with the views
+        self._sql_functions: dict[str, dict] = {}
         self._databases: set[str] = {database}
         self._query_log: list[tuple] = []
         # SET <name> = <value> session knobs: CH-side acceptance + the
@@ -291,7 +295,12 @@ class Engine:
         os.makedirs(self.catalog.warehouse_dir, exist_ok=True)
         with open(self._view_registry_path(), "w") as f:
             json.dump(
-                {"views": self._views, "materialized": self._materialized_views}, f
+                {
+                    "views": self._views,
+                    "materialized": self._materialized_views,
+                    "functions": self._sql_functions,
+                },
+                f,
             )
 
     def _load_view_registry(self) -> None:
@@ -304,6 +313,7 @@ class Engine:
             return
         self._views.update(reg.get("views") or {})
         self._materialized_views.update(reg.get("materialized") or {})
+        self._sql_functions.update(reg.get("functions") or {})
 
     def drop_table(self, name: str, if_exists: bool = True) -> None:
         if self.catalog.exists(name):
@@ -1493,12 +1503,21 @@ class Engine:
         merge()/file()/projections/star-APPLY) — applied to standalone
         SELECTs and to the SELECT inside CTAS / INSERT ... SELECT, so table
         functions work there too."""
+        from clickhousedatamocker_spark.functions.compat import expand_sql_macros
+
+        # user CREATE FUNCTION macros expand FIRST: their bodies may use
+        # any rewrite below (file(), SAMPLE, projections, ...)
+        query = expand_sql_macros(query, self._sql_functions)
         return self._rewrite_projection_reads(
             self._rewrite_star_apply(
-                self._rewrite_file_reads(
-                    self._rewrite_merge_reads(
-                        self._rewrite_generate_random(
-                            self._rewrite_final_reads(self._rewrite_sample_reads(query))
+                self._rewrite_columns_selector(
+                    self._rewrite_file_reads(
+                        self._rewrite_merge_reads(
+                            self._rewrite_generate_random(
+                                self._rewrite_final_reads(
+                                    self._rewrite_sample_reads(query)
+                                )
+                            )
                         )
                     )
                 )
@@ -1548,6 +1567,48 @@ class Engine:
             f"{fn}({c}) AS `{fn}({c})`" for c in cols if c.lower() not in excluded
         )
         return query[: m.start()] + items + query[m.end() :]
+
+    def _rewrite_columns_selector(self, query: str) -> str:
+        """``COLUMNS('regex')`` — CH's regex column selector: expands to
+        the matching columns of the single named FROM table (same
+        resolution rule as * APPLY). Every occurrence expands; zero
+        matches refuse loudly (CH errors there too)."""
+        import re as _re
+
+        pat = _re.compile(r"\bCOLUMNS\s*\(\s*'([^']*)'\s*\)", _re.IGNORECASE)
+        if not pat.search(query):
+            return query
+        fm = _re.search(r"\bFROM\s+(\w+)\b", query, _re.IGNORECASE)
+        if fm is None:
+            raise NotImplementedError(
+                "COLUMNS('regex') needs a single named FROM table to expand "
+                "against; spell the column list explicitly otherwise"
+            )
+        src = fm.group(1)
+        if self.catalog.exists(src):
+            cols = [
+                f.name
+                for f in self.catalog.get(self.catalog.resolve(src)).schema.fields
+            ]
+        else:
+            try:
+                cols = self.spark.table(src).columns
+            except Exception:
+                raise NotImplementedError(
+                    f"COLUMNS: cannot resolve columns of {src!r} (not a "
+                    "catalog table or registered view)"
+                )
+
+        def sub(m: "_re.Match[str]") -> str:
+            rx = _re.compile(m.group(1))
+            picked = [c for c in cols if rx.search(c)]
+            if not picked:
+                raise ValueError(
+                    f"COLUMNS({m.group(1)!r}): no column of {src!r} matches"
+                )
+            return ", ".join(picked)
+
+        return pat.sub(sub, query)
 
     def _rewrite_file_reads(self, query: str) -> str:
         """``file('path'[, 'Format'[, 'structure']])`` — CH's local-file
@@ -2274,6 +2335,24 @@ class Engine:
                 self._catalog_version += 1
             elif ddl["op"] == "noop_index":
                 self.catalog.get(ddl["name"])  # existence check
+            elif ddl["op"] == "create_function":
+                if ddl["name"] in self._sql_functions:
+                    if not ddl["if_not_exists"]:
+                        raise ValueError(
+                            f"function {ddl['name']!r} already exists"
+                        )
+                else:
+                    self._sql_functions[ddl["name"]] = {
+                        "params": ddl["params"],
+                        "body": ddl["body"],
+                    }
+                    self._save_view_registry()
+            elif ddl["op"] == "drop_function":
+                if self._sql_functions.pop(ddl["name"], None) is None:
+                    if not ddl["if_exists"]:
+                        raise ValueError(f"function {ddl['name']!r} does not exist")
+                else:
+                    self._save_view_registry()
             elif ddl["op"] == "kill":
                 # synchronous engine: nothing is ever pending (see parse note)
                 return self.spark.createDataFrame(

@@ -2470,6 +2470,76 @@ def _rewrite_brace_maps(sql: str) -> str:
     return sql
 
 
+def parse_ch_lambda(text: str) -> tuple[list[str], str]:
+    """CH SQL-UDF lambda ``(p1, p2) -> body`` / ``p -> body`` →
+    (params, body). The split is at the FIRST top-level ``->`` so nested
+    HOF lambdas inside the body survive."""
+    s = text.strip().rstrip(";").strip()
+    if s.startswith("("):
+        close = _scan_balanced(s, 1)
+        params = [p.strip() for p in s[1 : close - 1].split(",") if p.strip()]
+        rest = s[close:].strip()
+    else:
+        m = re.match(r"(\w+)\s*(->.*)$", s, re.DOTALL)
+        if not m:
+            raise NotImplementedError(f"unparseable function lambda {text!r}")
+        params, rest = [m.group(1)], m.group(2).strip()
+    if not rest.startswith("->"):
+        raise NotImplementedError(f"function lambda needs '->' after params: {text!r}")
+    body = rest[2:].strip()
+    if not body:
+        raise NotImplementedError("function lambda has an empty body")
+    for p in params:
+        if not re.fullmatch(r"[A-Za-z_]\w*", p):
+            raise NotImplementedError(f"function parameter {p!r} is not an identifier")
+    return params, body
+
+
+def expand_sql_macros(sql: str, macros: dict[str, dict]) -> str:
+    """Expand CH ``CREATE FUNCTION`` macros textually: each call
+    ``name(a1, ...)`` becomes the stored body with every parameter
+    replaced by its (parenthesized) argument. Fixpoint-bounded so macros
+    may call other macros; true recursion trips the bound loudly."""
+    if not macros:
+        return sql
+    name_re = re.compile(
+        r"\b(" + "|".join(re.escape(n) for n in macros) + r")\s*\(", re.IGNORECASE
+    )
+    lower = {n.lower(): (n, spec) for n, spec in macros.items()}
+    for _ in range(64):
+        spans = _literal_spans(sql)
+        m = None
+        for cand in name_re.finditer(sql):
+            if not any(a <= cand.start() < b for a, b in spans):
+                m = cand
+                break
+        if m is None:
+            return sql
+        _, spec = lower[m.group(1).lower()]
+        end = _scan_balanced(sql, m.end())
+        args = _split_top(sql[m.end() : end - 1])
+        params = spec["params"]
+        if len(args) != len(params):
+            raise ValueError(
+                f"function {m.group(1)} expects {len(params)} argument(s), "
+                f"got {len(args)}"
+            )
+        body = spec["body"]
+        for p, a in zip(params, args):
+            # callable repl: an argument containing backslashes/\1 must
+            # never pass through re's template expansion
+            body = _sub_outside_strings(
+                re.compile(r"\b" + re.escape(p) + r"\b"),
+                lambda _mm, _rep=f"({a.strip()})": _rep,
+                body,
+            )
+        sql = f"{sql[:m.start()]}({body}){sql[end:]}"
+    raise NotImplementedError(
+        "SQL function expansion did not converge - recursive CREATE FUNCTION "
+        "definitions are not supported"
+    )
+
+
 def translate_ch_sql(sql: str) -> str:
     sql = _rewrite_brace_maps(sql)
     sql = _rewrite_brackets(_rewrite_scalar_with(_rewrite_array_join(sql)))
@@ -2925,6 +2995,29 @@ def parse_ch_ddl(sql: str) -> dict | None:
     if m:
         # index data is metadata-only here (no granule files to build/clear)
         return {"op": "noop_index", "name": m.group(1), "index": m.group(2)}
+    m = re.match(
+        r"CREATE\s+FUNCTION\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s+AS\s+(.+)$",
+        s,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        params, body = parse_ch_lambda(m.group(3))
+        return {
+            "op": "create_function",
+            "name": m.group(2),
+            "if_not_exists": bool(m.group(1)),
+            "params": params,
+            "body": body,
+        }
+    m = re.match(
+        r"DROP\s+FUNCTION\s+(IF\s+EXISTS\s+)?(\w+)\s*;?\s*$", s, re.IGNORECASE
+    )
+    if m:
+        return {
+            "op": "drop_function",
+            "name": m.group(2),
+            "if_exists": bool(m.group(1)),
+        }
     m = re.match(r"KILL\s+(QUERY|MUTATION)\s+WHERE\s+.+$", s, re.IGNORECASE | re.DOTALL)
     if m:
         # queries are synchronous and mutations apply synchronously in this
