@@ -1580,6 +1580,31 @@ def _pm_interval_length_sum(args: list[str]) -> str:
     )
 
 
+def _g4(e: str) -> str:
+    """4-gram SET of a string expression (strings shorter than 4 are one
+    gram — their own text), for ngramDistance."""
+    return (
+        f"array_distinct(CASE WHEN length({e}) < 4 THEN array({e}) "
+        f"ELSE transform(sequence(1, length({e}) - 3), "
+        f"__nd_i -> substring({e}, __nd_i, 4)) END)"
+    )
+
+
+def _pm_ngram_distance(args: list[str]) -> str:
+    """ngramDistance(a, b): 1 - |4-grams(a) ∩ 4-grams(b)| / |union| —
+    the symmetric set form of CH's 4-gram profile distance (CH weights by
+    occurrence counts; the set form agrees at 0 and 1 and ranks the same
+    on near-dup text — documented deviation)."""
+    if len(args) != 2:
+        raise NotImplementedError("ngramDistance expects (a, b)")
+    a, b = args
+    ga, gb = _g4(a), _g4(b)
+    return (
+        f"(1.0D - size(array_intersect({ga}, {gb})) / "
+        f"CAST(size(array_distinct(concat({ga}, {gb}))) AS DOUBLE))"
+    )
+
+
 def _pm_stats_test_refusal(name: str, recipe: str):
     def rw(args: list[str]) -> str:
         raise NotImplementedError(f"{name} is not shimmed - {recipe}")
@@ -1708,6 +1733,11 @@ _PARAMETRIC.update(
         "groupBitmap": _pm_1arg("count(DISTINCT {x})"),
         # view(SELECT ...) table function: the wrapper IS a subquery
         "view": lambda args: "(" + ", ".join(args) + ")",
+        # now64([precision[, tz]]): timestamps here are µs already
+        "now64": lambda args: "now()" if len(args) <= 2 else (_ for _ in ()).throw(
+            NotImplementedError("now64 takes at most (precision, timezone)")
+        ),
+        "ngramDistance": _pm_ngram_distance,
     }
 )
 

@@ -310,6 +310,81 @@ def _round5_probe_entries() -> list[tuple[str, str, str, str]]:
                         "+ shiftleft(CAST(1 AS BIGINT), 32 - b) - 1")
             + ")",
         ),
+        # -- string similarity / search ------------------------------------
+        ("editDistance", "(a STRING, b STRING)", "INT", "levenshtein(a, b)"),
+        ("levenshteinDistance", "(a STRING, b STRING)", "INT", "levenshtein(a, b)"),
+        ("countMatches", "(h STRING, p STRING)", "INT", "CAST(regexp_count(h, p) AS INT)"),
+        # token = maximal alphanumeric run (the tokens() convention above)
+        (
+            "hasToken", "(h STRING, t STRING)", "BOOLEAN",
+            r"array_contains(regexp_extract_all(h, '[\\p{L}\\p{N}]+', 0), t)",
+        ),
+        # subsequence check: one forward fold advancing a needle pointer
+        (
+            "hasSubsequence", "(h STRING, n STRING)", "BOOLEAN",
+            "CASE WHEN length(n) = 0 THEN true WHEN length(h) = 0 THEN false "
+            "ELSE aggregate(sequence(1, length(h)), 0, "
+            "(__hs_a, __hs_i) -> IF(__hs_a < length(n) AND "
+            "substring(h, __hs_i, 1) = substring(n, __hs_a + 1, 1), "
+            "__hs_a + 1, __hs_a), __hs_a -> __hs_a = length(n)) END",
+        ),
+        # Jaccard over the CHARACTER sets (CH computes over byte sets —
+        # identical for ASCII, the common case; documented)
+        (
+            "stringJaccardIndex", "(a STRING, b STRING)", "DOUBLE",
+            "CASE WHEN length(a) = 0 AND length(b) = 0 THEN 0.0D ELSE "
+            "size(array_intersect(split(a, ''), split(b, ''))) / "
+            "CAST(size(array_distinct(concat(split(a, ''), split(b, '')))) AS DOUBLE) END",
+        ),
+        ("initcapUTF8", "(s STRING)", "STRING", "initcap(s)"),
+        # -- date arithmetic (CH add*/subtract* families) ------------------
+        ("addSeconds", "(t TIMESTAMP, n INT)", "TIMESTAMP", "t + make_interval(0, 0, 0, 0, 0, 0, n)"),
+        ("subtractSeconds", "(t TIMESTAMP, n INT)", "TIMESTAMP", "t - make_interval(0, 0, 0, 0, 0, 0, n)"),
+        ("addMinutes", "(t TIMESTAMP, n INT)", "TIMESTAMP", "t + make_interval(0, 0, 0, 0, 0, n)"),
+        ("subtractMinutes", "(t TIMESTAMP, n INT)", "TIMESTAMP", "t - make_interval(0, 0, 0, 0, 0, n)"),
+        ("addWeeks", "(t TIMESTAMP, n INT)", "TIMESTAMP", "t + make_interval(0, 0, n)"),
+        ("subtractWeeks", "(t TIMESTAMP, n INT)", "TIMESTAMP", "t - make_interval(0, 0, n)"),
+        ("addMonths", "(t TIMESTAMP, n INT)", "TIMESTAMP", "t + make_interval(0, n)"),
+        ("subtractMonths", "(t TIMESTAMP, n INT)", "TIMESTAMP", "t - make_interval(0, n)"),
+        ("addQuarters", "(t TIMESTAMP, n INT)", "TIMESTAMP", "t + make_interval(0, n * 3)"),
+        ("subtractQuarters", "(t TIMESTAMP, n INT)", "TIMESTAMP", "t - make_interval(0, n * 3)"),
+        ("addYears", "(t TIMESTAMP, n INT)", "TIMESTAMP", "t + make_interval(n)"),
+        ("subtractYears", "(t TIMESTAMP, n INT)", "TIMESTAMP", "t - make_interval(n)"),
+        ("toStartOfSecond", "(t TIMESTAMP)", "TIMESTAMP", "date_trunc('second', t)"),
+        # CH toTime: same wall-clock time on the fixed date 1970-01-02
+        (
+            "toTime", "(t TIMESTAMP)", "TIMESTAMP",
+            "make_timestamp(1970, 1, 2, hour(t), minute(t), second(t))",
+        ),
+        # wall-time shift session-zone → tz (CH changes the DISPLAY zone;
+        # with timezone-naive storage the shifted wall time is the
+        # equivalent observable)
+        (
+            "toTimezone", "(t TIMESTAMP, tz STRING)", "TIMESTAMP",
+            "from_utc_timestamp(to_utc_timestamp(t, current_timezone()), tz)",
+        ),
+        ("timeZone", "()", "STRING", "current_timezone()"),
+        ("serverTimeZone", "()", "STRING", "current_timezone()"),
+        ("toUnixTimestamp64Milli", "(t TIMESTAMP)", "BIGINT", "unix_millis(t)"),
+        ("toUnixTimestamp64Micro", "(t TIMESTAMP)", "BIGINT", "unix_micros(t)"),
+        ("fromUnixTimestamp64Milli", "(x BIGINT)", "TIMESTAMP", "timestamp_millis(x)"),
+        ("fromUnixTimestamp64Micro", "(x BIGINT)", "TIMESTAMP", "timestamp_micros(x)"),
+        ("toRelativeHourNum", "(t TIMESTAMP)", "BIGINT", "unix_timestamp(t) div 3600"),
+        ("toRelativeMinuteNum", "(t TIMESTAMP)", "BIGINT", "unix_timestamp(t) div 60"),
+        ("toRelativeSecondNum", "(t TIMESTAMP)", "BIGINT", "unix_timestamp(t)"),
+        ("toRelativeMonthNum", "(t TIMESTAMP)", "BIGINT", "year(t) * 12 + month(t)"),
+        ("toRelativeYearNum", "(t TIMESTAMP)", "BIGINT", "year(t)"),
+        # MJD epoch = 1858-11-17; year-zero count uses the proleptic
+        # Gregorian year 0 (366 days)
+        (
+            "toModifiedJulianDay", "(s STRING)", "INT",
+            "datediff(CAST(s AS DATE), DATE '1858-11-17')",
+        ),
+        ("fromModifiedJulianDay", "(n INT)", "DATE", "date_add(DATE '1858-11-17', n)"),
+        (
+            "toDaysSinceYearZero", "(t TIMESTAMP)", "INT",
+            "datediff(CAST(t AS DATE), DATE '0001-01-01') + 366",
+        ),
         # -- reinterpret casts (little-endian, CH's x86 byte order) -------
         ("reinterpretAsUInt8", "(s STRING)", "INT",
          f"CAST({_reinterpret_le(1)} AS INT)"),

@@ -80,3 +80,69 @@ def test_columns_regex_selector(eng):
     assert eng.sql("SELECT count() AS a FROM (SELECT COLUMNS('^l_') FROM ct10)").first()["a"] == 1
     with pytest.raises(ValueError):
         eng.sql("SELECT COLUMNS('^zzz') FROM ct10")
+
+
+# -- string similarity + date-arithmetic batch --------------------------------
+
+
+def test_string_similarity_functions(eng):
+    # levenshtein golden (kitten→sitting = 3 edits)
+    assert one(eng, "SELECT editDistance('kitten', 'sitting') AS a") == 3
+    assert one(eng, "SELECT levenshteinDistance('ab', 'ba') AS a") == 2
+    assert one(eng, "SELECT countMatches('a1b2c3', '[0-9]') AS a") == 3
+    assert one(eng, "SELECT hasToken('Hello World', 'World') AS a") is True
+    assert one(eng, "SELECT hasToken('HelloWorld', 'World') AS a") is False
+    assert one(eng, "SELECT hasSubsequence('hello', 'hlo') AS a") is True
+    assert one(eng, "SELECT hasSubsequence('hello', 'ohl') AS a") is False
+    assert one(eng, "SELECT hasSubsequence('x', '') AS a") is True
+    # chars {a,b,c} vs {b,c,d}: |∩|=2, |∪|=4
+    assert one(eng, "SELECT stringJaccardIndex('abc', 'bcd') AS a") == 0.5
+    assert one(eng, "SELECT ngramDistance('abcde', 'abcde') AS a") == 0.0
+    assert one(eng, "SELECT ngramDistance('abcde', 'xyzzy') AS a") == 1.0
+    assert one(eng, "SELECT initcapUTF8('hello world') AS a") == "Hello World"
+
+
+def test_date_arithmetic_batch(eng):
+    assert one(
+        eng, "SELECT addMinutes(toDateTime('2024-01-01 00:00:00'), 90) AS a"
+    ).isoformat() == "2024-01-01T01:30:00"
+    # month arithmetic clamps to month end (CH behavior)
+    assert one(
+        eng, "SELECT addMonths(toDate('2024-01-31'), 1) AS a"
+    ).isoformat() == "2024-02-29T00:00:00"
+    assert one(
+        eng, "SELECT subtractMonths(toDate('2024-03-31'), 1) AS a"
+    ).isoformat() == "2024-02-29T00:00:00"
+    assert one(
+        eng, "SELECT addQuarters(toDate('2024-01-01'), 1) AS a"
+    ).isoformat() == "2024-04-01T00:00:00"
+    assert one(
+        eng, "SELECT addYears(toDate('2024-02-29'), 1) AS a"
+    ).isoformat() == "2025-02-28T00:00:00"
+    # toTime pins the CH fixed date 1970-01-02
+    assert one(
+        eng, "SELECT toTime(toDateTime('2024-03-05 12:30:07')) AS a"
+    ).isoformat() == "1970-01-02T12:30:07"
+    assert one(
+        eng, "SELECT toUnixTimestamp64Milli(toDateTime('2024-01-01 00:00:00')) AS a"
+    ) == 1704067200000
+    got = one(eng, "SELECT fromUnixTimestamp64Milli(1704067200123) AS a")
+    assert got.microsecond == 123000
+    assert one(
+        eng, "SELECT toRelativeHourNum(toDateTime('1970-01-02 03:00:00')) AS a"
+    ) == 27
+    assert one(
+        eng, "SELECT toRelativeMonthNum(toDateTime('2024-03-05 00:00:00')) AS a"
+    ) == 2024 * 12 + 3
+    assert one(eng, "SELECT now64() >= now() - INTERVAL 1 MINUTE AS a") is True
+
+
+def test_julian_and_year_zero_days(eng):
+    import datetime
+
+    # public CH docs values
+    assert one(eng, "SELECT toModifiedJulianDay('2020-01-01') AS a") == 58849
+    assert one(eng, "SELECT fromModifiedJulianDay(58849) AS a").isoformat() == "2020-01-01"
+    # proleptic Gregorian: ordinal (days since 0001-01-01, 1-based) + 365
+    want = datetime.date(2023, 9, 8).toordinal() + 365
+    assert one(eng, "SELECT toDaysSinceYearZero(toDate('2023-09-08')) AS a") == want
