@@ -258,3 +258,148 @@ def test_bracket_rewriter_properties():
             assert "'[1,2]'" in out, out
 
     check()
+
+
+def test_cast_operator_rewriter_properties():
+    """Property tests for the ``::Type`` pass (round-5 syntax batch): the
+    output is '::'-free outside string literals, paren-balanced, a
+    full-translator fixpoint, and '::' inside string literals survives
+    byte-for-byte (IPv6 spellings are data)."""
+    from hypothesis import given, settings, strategies as st
+
+    from clickhousedatamocker_spark.functions.compat import translate_ch_sql as tr
+
+    types = st.sampled_from(["Int64", "Float64", "String", "Nullable(String)", "UInt8"])
+    operands = st.sampled_from(["5", "x", "t.col1", "'5'", "'::1'", "(1 + 2)", "concat('a', 'b')"])
+
+    def exprs(depth):
+        if depth == 0:
+            return operands
+        sub = exprs(depth - 1)
+        return st.one_of(
+            operands,
+            st.builds(lambda o, t: f"{o}::{t}", sub, types),
+            st.builds(lambda a, b: f"({a} + {b})", sub, sub),
+        )
+
+    def balanced_and_castop_free(s: str) -> bool:
+        depth, quote, i = 0, None, 0
+        while i < len(s):
+            ch = s[i]
+            if quote:
+                if ch == quote:
+                    quote = None
+            elif ch in "'\"":
+                quote = ch
+            elif ch == ":" and i + 1 < len(s) and s[i + 1] == ":":
+                return False
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth < 0:
+                    return False
+            i += 1
+        return depth == 0 and quote is None
+
+    @given(exprs(3))
+    @settings(max_examples=200, deadline=None)
+    def check(e):
+        out = tr(f"SELECT {e} AS v FROM t")
+        assert balanced_and_castop_free(out), out
+        assert tr(out) == out, out
+        if "'::1'" in e:
+            assert "'::1'" in out, out
+
+    check()
+
+
+def test_brace_map_rewriter_properties():
+    """Property tests for the ``{'k': v}`` map-literal pass: outputs are
+    brace-free outside string literals and parameter placeholders,
+    paren-balanced, fixpoints; braces inside string literals survive."""
+    from hypothesis import given, settings, strategies as st
+
+    from clickhousedatamocker_spark.functions.compat import translate_ch_sql as tr
+
+    keys = st.sampled_from(["'a'", "'k2'", "1", "'with {brace}'"])
+    vals0 = st.sampled_from(["1", "2.5", "'v'", "x", "'{not: a map}'"])
+
+    def maps(depth):
+        v = vals0 if depth == 0 else st.one_of(vals0, maps(depth - 1))
+        return st.builds(
+            lambda k1, v1, k2, v2: f"{{{k1}: {v1}, {k2}: {v2}}}", keys, v, keys, v
+        )
+
+    def brace_free_balanced(s: str) -> bool:
+        depth, quote = 0, None
+        for ch in s:
+            if quote:
+                if ch == quote:
+                    quote = None
+            elif ch in "'\"":
+                quote = ch
+            elif ch in "{}":
+                return False
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth < 0:
+                    return False
+        return depth == 0 and quote is None
+
+    @given(maps(2))
+    @settings(max_examples=150, deadline=None)
+    def check(e):
+        out = tr(f"SELECT {e} AS v")
+        assert brace_free_balanced(out), out
+        assert tr(out) == out, out
+        if "'{not: a map}'" in e:
+            assert "'{not: a map}'" in out, out
+
+    check()
+
+
+def test_macro_expansion_properties():
+    """Property tests for CREATE FUNCTION macro expansion: balanced
+    output, no surviving macro names outside literals, nesting expands,
+    and argument text containing regex-special characters passes through
+    verbatim (the substitution must never re-interpret it)."""
+    from hypothesis import given, settings, strategies as st
+
+    from clickhousedatamocker_spark.functions.compat import expand_sql_macros
+
+    macros = {
+        "mac1": {"params": ["x"], "body": "x + 1"},
+        "mac2": {"params": ["a", "b"], "body": "mac1(a) * b"},
+    }
+    args = st.sampled_from(["1", "y", "'mac1(9)'", "concat('\\\\', 'x')", "(2 + 3)"])
+
+    @given(args, args)
+    @settings(max_examples=150, deadline=None)
+    def check(a1, a2):
+        out = expand_sql_macros(f"SELECT mac2({a1}, {a2}) AS v", macros)
+        depth, quote = 0, None
+        low = []
+        for ch in out:
+            if quote:
+                if ch == quote:
+                    quote = None
+            elif ch in "'\"":
+                quote = ch
+            else:
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    assert depth >= 0, out
+                low.append(ch.lower())
+        assert depth == 0 and quote is None, out
+        outside = "".join(low)
+        assert "mac1(" not in outside and "mac2(" not in outside, out
+        # literal payload untouched
+        if a1 == "'mac1(9)'" or a2 == "'mac1(9)'":
+            assert "'mac1(9)'" in out, out
+
+    check()
