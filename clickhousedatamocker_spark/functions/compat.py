@@ -1499,6 +1499,72 @@ _BITMAP_FAMILY = {
     "bitmapAndnotCardinality": _pm_2arg_fa("size(array_except({f}, {a}))"),
 }
 
+def _pm_bit_test(all_of: bool):
+    def rw(args: list[str]) -> str:
+        if len(args) < 2:
+            raise NotImplementedError("bitTestAll/Any expect (x, bit1[, ...])")
+        x, bits = args[0], args[1:]
+        tests = [f"((({x}) >> ({b})) & 1 = 1)" for b in bits]
+        op = " AND " if all_of else " OR "
+        return "(" + op.join(tests) + ")"
+
+    return rw
+
+
+# MySQL-style % tokens (CH parseDateTime follows MySQL) → Java datetime
+# pattern pieces, the modern (23.1+) token semantics formatDateTime uses
+_PARSE_DT_TOKENS = {
+    "Y": "yyyy", "y": "yy", "m": "MM", "c": "M", "d": "dd", "e": "d",
+    "H": "HH", "k": "H", "h": "hh", "I": "hh", "i": "mm", "S": "ss",
+    "s": "ss", "M": "MMMM", "b": "MMM", "a": "EEE", "W": "EEEE",
+    "j": "DDD", "p": "a", "F": "yyyy-MM-dd", "T": "HH:mm:ss", "%": "%",
+}
+
+
+def _pm_parse_datetime(target: str, zero: str | None = None):
+    """parseDateTime[OrNull|OrZero](s, '%-format'[, tz]) → to_timestamp
+    with the format translated token-by-token at rewrite time (the format
+    must be a literal; unknown % tokens refuse). Non-token characters are
+    quoted so pattern letters in separators never misfire."""
+
+    def rw(args: list[str]) -> str:
+        if len(args) not in (2, 3):
+            raise NotImplementedError("parseDateTime expects (value, format[, tz])")
+        fm = re.fullmatch(r"\s*'([^']*)'\s*", args[1])
+        if not fm:
+            raise NotImplementedError(
+                "parseDateTime needs a literal format string - use "
+                "to_timestamp with a Java pattern for dynamic formats"
+            )
+        pat, out, i = fm.group(1), [], 0
+        while i < len(pat):
+            c = pat[i]
+            if c == "%":
+                if i + 1 >= len(pat):
+                    raise NotImplementedError("dangling % in parseDateTime format")
+                tok = pat[i + 1]
+                if tok not in _PARSE_DT_TOKENS:
+                    raise NotImplementedError(
+                        f"parseDateTime token %{tok} is not supported"
+                    )
+                out.append(_PARSE_DT_TOKENS[tok])
+                i += 2
+            elif c.isalpha():
+                out.append(f"'{c}'")  # quote letters so Java ignores them
+                i += 1
+            else:
+                out.append(c)
+                i += 1
+        java = "".join(out).replace("''", "")
+        expr = f"{target}({args[0]}, '{java}')"
+        if zero is not None:
+            expr = f"coalesce({expr}, {zero})"
+        return expr
+
+    return rw
+
+
+
 def _pm_geohash_encode(args: list[str]) -> str:
     """geohashEncode(lon, lat[, precision]) — CH default precision 12."""
     if len(args) == 2:
@@ -1738,8 +1804,54 @@ _PARAMETRIC.update(
             NotImplementedError("now64 takes at most (precision, timezone)")
         ),
         "ngramDistance": _pm_ngram_distance,
+        # CH rand() is UInt32-uniform — the spelling `rand() % 10` relies
+        # on it; Spark's [0,1) double would make that silently fractional.
+        # Emitted via `random()` (Spark's alias) so the fixpoint rescan
+        # never re-matches `rand(`.
+        "rand": lambda args: "CAST(floor(random() * 4294967296) AS BIGINT)",
+        "rand32": lambda args: "CAST(floor(random() * 4294967296) AS BIGINT)",
+        # 53 random mantissa bits spread over the int64 range (documented:
+        # not all 64 bits are independent)
+        "rand64": lambda args: "CAST(floor(random() * 9.223372036854775e18) AS BIGINT)",
+        "randCanonical": lambda args: "random()",
+        "randUniform": _pm_2arg_fa("(({f}) + random() * (({a}) - ({f})))"),
+        "randNormal": _pm_2arg_fa("(randn() * ({a}) + ({f}))"),
+        "randExponential": _pm_1arg("(-ln(random()) / ({x}))"),
+        "randBernoulli": _pm_1arg("CAST(random() < ({x}) AS INT)"),
+        # CH bin() pads to the byte width (Spark's is minimal digits);
+        # routed through the binPadded SQL UDF — emitting `bin(` here would
+        # re-match this handler forever (the MD5/unhex fixpoint trap)
+        "bin": _pm_1arg("binPadded({x})"),
+        "bitTestAll": _pm_bit_test(all_of=True),
+        "bitTestAny": _pm_bit_test(all_of=False),
+        "parseDateTime": _pm_parse_datetime("to_timestamp"),
+        "parseDateTimeOrNull": _pm_parse_datetime("try_to_timestamp"),
+        "parseDateTimeOrZero": _pm_parse_datetime(
+            "try_to_timestamp", zero="TIMESTAMP '1970-01-01 00:00:00'"
+        ),
+        "arrayLast": _pm_2arg("try_element_at(filter({a}, {f}), -1)"),
+        "arrayLastOrNull": _pm_2arg("try_element_at(filter({a}, {f}), -1)"),
+        "arrayFirstOrNull": _pm_2arg("try_element_at(filter({a}, {f}), 1)"),
+        # array_position returns 0 (not NULL) on no match — the guard must
+        # test for 0, else the no-match case reports size(a)+1
+        "arrayLastIndex": _pm_2arg(
+            "(CASE WHEN array_position(reverse(transform({a}, {f})), true) = 0 "
+            "THEN 0 ELSE size({a}) - "
+            "array_position(reverse(transform({a}, {f})), true) + 1 END)"
+        ),
+        "arrayJaccardIndex": _pm_2arg_fa(
+            "(size(array_intersect({f}, {a})) / "
+            "CAST(size(array_distinct(concat({f}, {a}))) AS DOUBLE))"
+        ),
+        "nonNegativeDerivative": _pm_stats_test_refusal(
+            "nonNegativeDerivative",
+            "spell it as greatest((m - lag(m) OVER w) / (unix_timestamp(t) - "
+            "unix_timestamp(lag(t) OVER w)), 0) with an explicit window",
+        ),
     }
 )
+
+
 
 
 def _pm2_window_funnel(params: list[str] | None, args: list[str]) -> str:

@@ -136,6 +136,16 @@ _GCD_BODY = (
 )
 
 
+def _erf_body() -> str:
+    """Abramowitz & Stegun 7.1.26 over t = 1/(1+p|x|), Horner form —
+    constructed programmatically so the parens provably balance."""
+    t = "(1.0D / (1.0D + 0.3275911D * abs(x)))"
+    poly = "1.061405429D"
+    for coef in ("-1.453152027D", "1.421413741D", "-0.284496736D", "0.254829592D"):
+        poly = f"(({poly}) * {t} + {coef})"
+    return f"sign(x) * (1.0D - ({poly}) * {t} * exp(-x * x))"
+
+
 def _round5_probe_entries() -> list[tuple[str, str, str, str]]:
     """Round-5 probe-driven vocabulary: date parts/truncations with modes,
     exact gcd/lcm/javaHash (pinned against Python in tests), CH-arg-order
@@ -385,6 +395,90 @@ def _round5_probe_entries() -> list[tuple[str, str, str, str]]:
             "toDaysSinceYearZero", "(t TIMESTAMP)", "INT",
             "datediff(CAST(t AS DATE), DATE '0001-01-01') + 366",
         ),
+        # -- special math (no Spark builtins; classic approximations) ------
+        # Abramowitz & Stegun 7.1.26 (max abs error 1.5e-7), odd-extended
+        (
+            "erf", "(x DOUBLE)", "DOUBLE",
+            _erf_body(),
+        ),
+        ("erfc", "(x DOUBLE)", "DOUBLE", "1.0D - erf(x)"),
+        # Stirling series with shift-by-7 for small x (|err| < 1e-10 for
+        # x > 0); tgamma = exp(lgamma) on the positive domain
+        (
+            "lgamma", "(x DOUBLE)", "DOUBLE",
+            "CASE WHEN x <= 0 THEN double('NaN') ELSE "
+            "(x + 7 - 0.5D) * ln(x + 7) - (x + 7) + 0.5D * ln(2 * pi()) "
+            "+ 1.0D / (12 * (x + 7)) - 1.0D / (360 * pow(x + 7, 3)) "
+            "+ 1.0D / (1260 * pow(x + 7, 5)) "
+            "- ln(x) - ln(x + 1) - ln(x + 2) - ln(x + 3) - ln(x + 4) "
+            "- ln(x + 5) - ln(x + 6) END",
+        ),
+        ("tgamma", "(x DOUBLE)", "DOUBLE", "CASE WHEN x <= 0 THEN double('NaN') ELSE exp(lgamma(x)) END"),
+        # -- bit manipulation batch 2 --------------------------------------
+        # 64-bit rotates (CH rotates at the operand's width; BIGINT here)
+        (
+            "bitRotateLeft", "(x BIGINT, n INT)", "BIGINT",
+            "shiftleft(x, n % 64) | shiftrightunsigned(x, 64 - (n % 64))",
+        ),
+        (
+            "bitRotateRight", "(x BIGINT, n INT)", "BIGINT",
+            "shiftrightunsigned(x, n % 64) | shiftleft(x, 64 - (n % 64))",
+        ),
+        # byte reversal via hex-pair flip; width = 4 bytes for UInt32-range
+        # values, else 8 (CH swaps at the value's declared type width)
+        (
+            "byteSwap", "(x BIGINT)", "BIGINT",
+            "CASE WHEN x < 4294967296 THEN "
+            "CAST(conv(concat(substring(lpad(hex(x), 8, '0'), 7, 2), "
+            "substring(lpad(hex(x), 8, '0'), 5, 2), "
+            "substring(lpad(hex(x), 8, '0'), 3, 2), "
+            "substring(lpad(hex(x), 8, '0'), 1, 2)), 16, 10) AS BIGINT) ELSE "
+            "CAST(conv(concat(substring(lpad(hex(x), 16, '0'), 15, 2), "
+            "substring(lpad(hex(x), 16, '0'), 13, 2), "
+            "substring(lpad(hex(x), 16, '0'), 11, 2), "
+            "substring(lpad(hex(x), 16, '0'), 9, 2), "
+            "substring(lpad(hex(x), 16, '0'), 7, 2), "
+            "substring(lpad(hex(x), 16, '0'), 5, 2), "
+            "substring(lpad(hex(x), 16, '0'), 3, 2), "
+            "substring(lpad(hex(x), 16, '0'), 1, 2)), 16, 10) AS BIGINT) END",
+        ),
+        # morton Z-order: bit interleave / deinterleave, exact JVM folds —
+        # the spatial-locality key a 100 TB geo partitioning scheme wants
+        (
+            "mortonEncode", "(a BIGINT, b BIGINT)", "BIGINT",
+            "aggregate(sequence(0, 31), CAST(0 AS BIGINT), (__mz_acc, __mz_i) -> "
+            "__mz_acc | shiftleft((a >> __mz_i) & 1, 2 * __mz_i) "
+            "| shiftleft((b >> __mz_i) & 1, 2 * __mz_i + 1))",
+        ),
+        (
+            "mortonDecode", "(z BIGINT)", "STRUCT<col1: BIGINT, col2: BIGINT>",
+            "named_struct("
+            "'col1', aggregate(sequence(0, 31), CAST(0 AS BIGINT), (__md_a, __md_i) -> "
+            "__md_a | shiftleft((z >> (2 * __md_i)) & 1, __md_i)), "
+            "'col2', aggregate(sequence(0, 31), CAST(0 AS BIGINT), (__md_a, __md_i) -> "
+            "__md_a | shiftleft((z >> (2 * __md_i + 1)) & 1, __md_i)))",
+        ),
+        # bin target for the compat rewrite (CH pads to byte width)
+        (
+            "binPadded", "(x BIGINT)", "STRING",
+            "lpad(bin(x), CAST(ceil(length(bin(x)) / 8.0) AS INT) * 8, '0')",
+        ),
+        # CH bin() pads to the byte width; unbin decodes 8-bit groups
+        (
+            "unbin", "(s STRING)", "STRING",
+            "array_join(transform(sequence(1, CAST(ceil(length(s) / 8.0) AS INT)), "
+            "__ub_i -> chr(conv(substring(lpad(s, "
+            "CAST(ceil(length(s) / 8.0) AS INT) * 8, '0'), "
+            "(__ub_i - 1) * 8 + 1, 8), 2, 10))), '')",
+        ),
+        # -- string leftovers ----------------------------------------------
+        ("leftUTF8", "(s STRING, n INT)", "STRING", "left(s, n)"),
+        ("rightUTF8", "(s STRING, n INT)", "STRING", "right(s, n)"),
+        ("substringIndex", "(s STRING, d STRING, n INT)", "STRING", "substring_index(s, d, n)"),
+        ("concatAssumeInjective", "(a STRING, b STRING)", "STRING", "concat(a, b)"),
+        ("positionCaseInsensitiveUTF8", "(h STRING, n STRING)", "INT", "locate(lower(n), lower(h))"),
+        # JVM strings are always valid UTF-16; the sanitizer is identity
+        ("toValidUTF8", "(s STRING)", "STRING", "s"),
         # -- reinterpret casts (little-endian, CH's x86 byte order) -------
         ("reinterpretAsUInt8", "(s STRING)", "INT",
          f"CAST({_reinterpret_le(1)} AS INT)"),

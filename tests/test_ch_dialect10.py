@@ -146,3 +146,72 @@ def test_julian_and_year_zero_days(eng):
     # proleptic Gregorian: ordinal (days since 0001-01-01, 1-based) + 365
     want = datetime.date(2023, 9, 8).toordinal() + 365
     assert one(eng, "SELECT toDaysSinceYearZero(toDate('2023-09-08')) AS a") == want
+
+
+# -- math / bit / rand / parseDateTime batch ----------------------------------
+
+
+def test_special_math_matches_python(eng):
+    import math
+
+    for x in [0.1, 0.5, 1.0, 2.0, -1.5]:
+        assert abs(one(eng, f"SELECT erf({x}) AS a") - math.erf(x)) < 2e-7, x
+        assert abs(one(eng, f"SELECT erfc({x}) AS a") - math.erfc(x)) < 2e-7, x
+    for x in [0.5, 1.0, 2.5, 5.0, 10.0]:
+        assert abs(one(eng, f"SELECT lgamma({x}) AS a") - math.lgamma(x)) < 1e-8, x
+        assert abs(one(eng, f"SELECT tgamma({x}) AS a") - math.gamma(x)) < 1e-6 * math.gamma(x), x
+
+
+def test_bit_batch2(eng):
+    assert one(eng, "SELECT bitRotateLeft(1, 1) AS a") == 2
+    assert one(eng, "SELECT bitRotateRight(2, 1) AS a") == 1
+    # 64-bit wraparound law
+    assert one(eng, "SELECT bitRotateRight(bitRotateLeft(12345, 17), 17) AS a") == 12345
+    # public CH docs golden
+    assert one(eng, "SELECT byteSwap(3351772109) AS a") == 3455829959
+    # mortonEncode(3, 1) interleaves to 7 (docs example); decode round-trips
+    assert one(eng, "SELECT mortonEncode(3, 1) AS a") == 7
+    r = eng.sql("SELECT mortonDecode(mortonEncode(123, 456)) AS a").first()["a"]
+    assert (r["col1"], r["col2"]) == (123, 456)
+    assert one(eng, "SELECT bin(5) AS a") == "00000101"  # CH pads to bytes
+    assert one(eng, "SELECT bin(256) AS a") == "0000000100000000"
+    assert one(eng, "SELECT unbin('00000101') AS a") == "\x05"
+    assert one(eng, "SELECT bitTestAll(7, 0, 1, 2) AS a") is True
+    assert one(eng, "SELECT bitTestAll(5, 1) AS a") is False
+    assert one(eng, "SELECT bitTestAny(8, 0, 3) AS a") is True
+    assert one(eng, "SELECT bitTestAny(8, 0, 1) AS a") is False
+
+
+def test_rand_family_contracts(eng):
+    # CH rand() is UInt32-uniform: `% 10` must yield an INTEGER in [0, 10)
+    got = one(eng, "SELECT rand() % 10 AS a")
+    assert got == int(got) and 0 <= got < 10
+    big = one(eng, "SELECT rand() AS a")
+    assert 0 <= big < 2**32 and big == int(big)
+    assert 0 <= one(eng, "SELECT rand64() AS a") < 2**63
+    assert 0.0 <= one(eng, "SELECT randCanonical() AS a") < 1.0
+    assert 1.0 <= one(eng, "SELECT randUniform(1, 5) AS a") <= 5.0
+    assert 99.0 <= one(eng, "SELECT randNormal(100, 0.001) AS a") <= 101.0
+    assert one(eng, "SELECT randBernoulli(1.0) AS a") == 1
+
+
+def test_parse_datetime_mysql_tokens(eng):
+    got = one(eng, "SELECT parseDateTime('2024-03-05 12:30:07', '%Y-%m-%d %H:%i:%S') AS a")
+    assert got.isoformat() == "2024-03-05T12:30:07"
+    assert one(eng, "SELECT parseDateTimeOrNull('nope', '%Y-%m-%d') AS a") is None
+    got0 = one(eng, "SELECT parseDateTimeOrZero('nope', '%Y-%m-%d') AS a")
+    assert got0.isoformat() == "1970-01-01T00:00:00"
+    with pytest.raises(NotImplementedError):
+        eng.sql("SELECT parseDateTime('x', '%Q') AS a")  # unknown token
+    with pytest.raises(NotImplementedError):
+        eng.sql("SELECT parseDateTime('x', fmt_col) AS a")  # dynamic format
+
+
+def test_array_last_and_jaccard(eng):
+    assert one(eng, "SELECT arrayLast(x -> x < 3, [1, 2, 3]) AS a") == 2
+    assert one(eng, "SELECT arrayLastIndex(x -> x < 3, [1, 2, 3]) AS a") == 2
+    assert one(eng, "SELECT arrayLastIndex(x -> x > 9, [1, 2]) AS a") == 0
+    assert one(eng, "SELECT arrayFirstOrNull(x -> x > 9, [1, 2]) AS a") is None
+    assert one(eng, "SELECT arrayJaccardIndex([1, 2], [2, 3]) AS a") == pytest.approx(1 / 3)
+    assert one(eng, "SELECT leftUTF8('héllo', 2) AS a") == "hé"
+    assert one(eng, "SELECT substringIndex('a.b.c', '.', 2) AS a") == "a.b"
