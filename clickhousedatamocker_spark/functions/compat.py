@@ -1499,6 +1499,37 @@ _BITMAP_FAMILY = {
     "bitmapAndnotCardinality": _pm_2arg_fa("size(array_except({f}, {a}))"),
 }
 
+def _pm_map_entry_hof(spark_fn: str):
+    """mapExists/mapAll((k, v) -> cond, m) → exists/forall over
+    map_entries with the lambda's parameters textually rebound to
+    entry.key/entry.value (a two-arg lambda has no Spark map form)."""
+
+    def rw(args: list[str]) -> str:
+        if len(args) != 2:
+            raise NotImplementedError("map predicate HOFs expect (lambda, map)")
+        mm = re.match(
+            r"\s*\(\s*(\w+)\s*,\s*(\w+)\s*\)\s*->\s*(.+)$", args[0], re.DOTALL
+        )
+        if not mm:
+            raise NotImplementedError(
+                "map predicate HOFs need a ((k, v) -> cond) lambda literal"
+            )
+        k, v, body = mm.group(1), mm.group(2), mm.group(3)
+        body = _sub_outside_strings(
+            re.compile(r"\b" + re.escape(k) + r"\b"),
+            lambda _m: "__mx_e.key",
+            body,
+        )
+        body = _sub_outside_strings(
+            re.compile(r"\b" + re.escape(v) + r"\b"),
+            lambda _m: "__mx_e.value",
+            body,
+        )
+        return f"{spark_fn}(map_entries({args[1]}), __mx_e -> ({body}))"
+
+    return rw
+
+
 def _pm_bit_test(all_of: bool):
     def rw(args: list[str]) -> str:
         if len(args) < 2:
@@ -1847,6 +1878,43 @@ _PARAMETRIC.update(
             "nonNegativeDerivative",
             "spell it as greatest((m - lag(m) OVER w) / (unix_timestamp(t) - "
             "unix_timestamp(lag(t) OVER w)), 0) with an explicit window",
+        ),
+        # map HOFs (CH lambda-first arg order → Spark map-first)
+        "mapFilter": _pm_2arg("map_filter({a}, {f})"),
+        "mapApply": _pm_stats_test_refusal(
+            "mapApply",
+            "use transform_keys/transform_values (Spark splits the "
+            "key/value rewrites; a tuple-returning lambda has no direct "
+            "Spark form)",
+        ),
+        "mapConcat": lambda args: "map_concat(" + ", ".join(args) + ")",
+        # mapUpdate: right side wins on key collisions (map_concat would
+        # throw under Spark's EXCEPTION dedup policy)
+        "mapUpdate": _pm_2arg_fa(
+            "map_filter(map_zip_with({f}, {a}, (__mu_k, __mu_a, __mu_b) -> "
+            "coalesce(__mu_b, __mu_a)), (__mu_k, __mu_v) -> __mu_v IS NOT NULL)"
+        ),
+        "mapExists": _pm_map_entry_hof("exists"),
+        "mapAll": _pm_map_entry_hof("forall"),
+        # per-element occurrence index (1st, 2nd, ... appearance) and
+        # first-appearance dense rank — both pure positional folds, exact
+        "arrayEnumerateUniq": _pm_1arg(
+            "transform(sequence(1, size({x})), __aeu_i -> size(filter("
+            "slice({x}, 1, __aeu_i), __aeu_e -> __aeu_e <=> "
+            "element_at({x}, __aeu_i))))"
+        ),
+        "arrayEnumerateDense": _pm_1arg(
+            "transform({x}, __aed_v -> CAST(array_position("
+            "array_distinct({x}), __aed_v) AS INT))"
+        ),
+        "tryBase64Decode": _pm_1arg(
+            "coalesce(CAST(try_to_binary({x}, 'base64') AS STRING), '')"
+        ),
+        "base64URLEncode": _pm_1arg(
+            "translate(base64(CAST({x} AS BINARY)), '+/=', '-_')"
+        ),
+        "base64URLDecode": _pm_1arg(
+            "CAST(unbase64(translate({x}, '-_', '+/')) AS STRING)"
         ),
     }
 )

@@ -215,3 +215,38 @@ def test_array_last_and_jaccard(eng):
     assert one(eng, "SELECT arrayJaccardIndex([1, 2], [2, 3]) AS a") == pytest.approx(1 / 3)
     assert one(eng, "SELECT leftUTF8('héllo', 2) AS a") == "hé"
     assert one(eng, "SELECT substringIndex('a.b.c', '.', 2) AS a") == "a.b"
+
+
+# -- map HOFs / enumerate / base64url batch -----------------------------------
+
+
+def test_map_hofs(eng):
+    assert one(eng, "SELECT mapFilter((k, v) -> v > 1, map('a', 1, 'b', 2)) AS a") == {"b": 2}
+    assert one(eng, "SELECT mapConcat(map('a', 1), map('b', 2)) AS a") == {"a": 1, "b": 2}
+    # update: right side wins on collision (map_concat would throw)
+    assert one(eng, "SELECT mapUpdate(map('a', 1, 'b', 2), map('b', 9)) AS a") == {"a": 1, "b": 9}
+    assert one(
+        eng, "SELECT mapExists((k, v) -> k = 'b' AND v = 2, map('a', 1, 'b', 2)) AS a"
+    ) is True
+    assert one(eng, "SELECT mapAll((k, v) -> v > 0, map('a', 1, 'b', 2)) AS a") is True
+    assert one(eng, "SELECT mapAll((k, v) -> v > 1, map('a', 1, 'b', 2)) AS a") is False
+    with pytest.raises(NotImplementedError):
+        eng.sql("SELECT mapApply((k, v) -> (k, v * 2), map('a', 1)) AS a")
+
+
+def test_array_enumerate_variants(eng):
+    # occurrence index of each element (1st, 2nd, ... appearance)
+    assert one(eng, "SELECT arrayEnumerateUniq([10, 20, 10, 30, 10]) AS a") == [1, 1, 2, 1, 3]
+    # dense rank by first appearance
+    assert one(eng, "SELECT arrayEnumerateDense([10, 20, 10, 30]) AS a") == [1, 2, 1, 3]
+
+
+def test_base64_url_and_try(eng):
+    assert one(eng, "SELECT tryBase64Decode(base64Encode('abc')) AS a") == "abc"
+    assert one(eng, "SELECT tryBase64Decode('###') AS a") == ""
+    s = "https://a.com/?x=1&y=2~~~"
+    got = one(eng, f"SELECT base64URLDecode(base64URLEncode('{s}')) AS a")
+    assert got == s
+    # url-safe alphabet: no +, /, or = in the encoded form
+    enc = one(eng, f"SELECT base64URLEncode('{s}') AS a")
+    assert not any(c in enc for c in "+/=")
