@@ -2994,6 +2994,26 @@ def parse_ch_ddl(sql: str) -> dict | None:
     s = re.sub(r"^(CREATE\s+)TEMPORARY\s+", r"\1", s, flags=re.IGNORECASE)
     if not s:
         return None
+    # experimental CH push-query surface: loud gates with the equivalent
+    # this engine DOES serve (silently creating a plain view would drop
+    # the continuous-refresh semantics the user asked for)
+    if re.match(r"CREATE\s+LIVE\s+VIEW\b", s, re.IGNORECASE):
+        raise NotImplementedError(
+            "LIVE VIEW (continuous refresh) is not supported - use CREATE "
+            "MATERIALIZED VIEW (incrementally maintained on every insert, "
+            "including under streaming ingest) and query it on demand"
+        )
+    if re.match(r"CREATE\s+WINDOW\s+VIEW\b", s, re.IGNORECASE):
+        raise NotImplementedError(
+            "WINDOW VIEW is not supported as DDL - use the Structured "
+            "Streaming tier (streaming/windows.py tumbling/sliding/session "
+            "helpers with watermarks) for continuous windowed aggregation"
+        )
+    if re.match(r"WATCH\s+\w+", s, re.IGNORECASE):
+        raise NotImplementedError(
+            "WATCH streams live-view updates - not supported; poll the "
+            "materialized view, or attach a Structured Streaming sink"
+        )
     m = re.match(r"SET\s+(\w+)\s*=\s*('[^']*'|[\w.]+)\s*;?\s*$", s, re.IGNORECASE)
     if m:
         return {"op": "set_setting", "key": m.group(1), "value": m.group(2).strip("'")}

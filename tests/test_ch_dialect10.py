@@ -250,3 +250,13 @@ def test_base64_url_and_try(eng):
     # url-safe alphabet: no +, /, or = in the encoded form
     enc = one(eng, f"SELECT base64URLEncode('{s}') AS a")
     assert not any(c in enc for c in "+/=")
+
+
+def test_live_window_view_gates(eng):
+    for q in [
+        "CREATE LIVE VIEW lv AS SELECT 1",
+        "CREATE WINDOW VIEW wv AS SELECT count() FROM t GROUP BY tumble(now(), INTERVAL 5 SECOND)",
+        "WATCH lv",
+    ]:
+        with pytest.raises(NotImplementedError):
+            eng.sql(q)
