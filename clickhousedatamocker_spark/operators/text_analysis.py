@@ -392,6 +392,88 @@ def cross_doc_dup_stats(
     )
 
 
+def remove_duplicated_spans(
+    docs,
+    n: int = 8,
+    min_dup_tokens: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Exact-substring dedup, REMOVAL side (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): delete
+    every token span of >= ``min_dup_tokens`` tokens whose n-gram windows
+    ALL also occur in at least one other document —
+    :func:`cross_doc_dup_stats` measures the signal, this operator applies
+    the edit. Returns (id, cleaned text, removed_tokens, total_tokens).
+
+    A span of L tokens is removable when its L - n + 1 consecutive gram
+    starts are all cross-document shared, so ``min_run = min_dup_tokens -
+    n + 1`` consecutive shared starts trigger removal (the paper removes
+    50-token repeats; with 8-grams that's 43 consecutive shared windows).
+
+    Plan (same class as cross_doc_dup_stats — linear exchanges only):
+    posexplode gram hashes → shared-gram relation (distinct-doc count > 1,
+    SHUFFLE_HASH join, one row per distinct gram so broadcast is banned at
+    scale) → per-doc sorted shared START POSITIONS → one JVM fold turns
+    runs of consecutive positions into covered [s, e] token intervals →
+    token filter + rejoin. Per-doc state is its shared-position list —
+    bounded by doc length, never by corpus size.
+    """
+    min_run = min_dup_tokens - n + 1
+    if min_run < 1:
+        raise ValueError("min_dup_tokens must be >= the gram size n")
+    occ = docs.select(
+        F.col(id_col), F.posexplode(ngram_hashes(text_col, n)).alias("__p", "__g")
+    )
+    gram_docs = occ.select(id_col, "__g").distinct()
+    shared = (
+        gram_docs.groupBy("__g")
+        .agg(F.count(F.lit(1)).alias("__nd"))
+        .where(F.col("__nd") > 1)
+        .select("__g")
+    )
+    hits = (
+        occ.join(shared.hint("SHUFFLE_HASH"), "__g")
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("__p")).alias("__ps"))
+    )
+    # fold consecutive shared starts into removable intervals: a run
+    # [rs, prev] of length >= min_run covers tokens [rs, prev + n - 1]
+    seed = (
+        "named_struct('ivs', CAST(array() AS ARRAY<STRUCT<s: INT, e: INT>>), "
+        "'rs', CAST(NULL AS INT), 'prev', CAST(NULL AS INT))"
+    )
+    close_run = (
+        f"IF(__sp_a.rs IS NOT NULL AND __sp_a.prev - __sp_a.rs + 1 >= {min_run}, "
+        f"concat(__sp_a.ivs, array(named_struct('s', __sp_a.rs, "
+        f"'e', __sp_a.prev + {n} - 1))), __sp_a.ivs)"
+    )
+    ivs = F.expr(
+        f"aggregate(__ps, {seed}, "
+        f"(__sp_a, __sp_p) -> CASE "
+        f"WHEN __sp_a.rs IS NULL THEN named_struct('ivs', __sp_a.ivs, 'rs', __sp_p, 'prev', __sp_p) "
+        f"WHEN __sp_p = __sp_a.prev + 1 THEN named_struct('ivs', __sp_a.ivs, 'rs', __sp_a.rs, 'prev', __sp_p) "
+        f"ELSE named_struct('ivs', {close_run}, 'rs', __sp_p, 'prev', __sp_p) END, "
+        f"__sp_a -> {close_run})"
+    )
+    covered = hits.select(id_col, ivs.alias("__ivs"))
+    tk = tokens(text_col)
+    joined = docs.join(covered, id_col, "left").withColumn(
+        "__ivs", F.coalesce(F.col("__ivs"), F.expr("array()").cast("array<struct<s: int, e: int>>"))
+    )
+    kept = F.expr(
+        f"filter(transform(sequence(0, size(split({text_col}, ' ')) - 1), "
+        f"__rp_i -> named_struct('i', __rp_i, 't', element_at(split({text_col}, ' '), __rp_i + 1))), "
+        f"__rp_s -> NOT exists(__ivs, __rp_iv -> __rp_s.i >= __rp_iv.s AND __rp_s.i <= __rp_iv.e))"
+    )
+    return joined.select(
+        F.col(id_col),
+        F.array_join(F.transform(kept, lambda s: s["t"]), " ").alias(text_col),
+        (F.size(tk) - F.size(kept)).cast("long").alias("removed_tokens"),
+        F.size(tk).cast("long").alias("total_tokens"),
+    )
+
+
 def corpus_quality_gate(
     docs,
     text_col: str = "text",

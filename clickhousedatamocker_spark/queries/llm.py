@@ -775,6 +775,39 @@ def crossdoc_dup_span_profile(spark, sf_dir):
 
 # -------------------------------------------------------------------------
 @register(
+    "dedup_span_removal_profile",
+    None,  # rows-only (graded window full); exact grading lives in
+    # tests/test_llm_ops.py::test_remove_duplicated_spans_matches_reference
+    # (full-fixture pure-Python reimplementation, byte-identical texts)
+    description="Exact-substring dedup REMOVAL (Lee et al. 2022): delete "
+    "every >=24-token span whose 8-gram windows all recur in another "
+    "document, returning cleaned text + removal stats. Same linear-"
+    "exchange plan class as the measurement query; per-doc fold state is "
+    "the doc's shared-position list, bounded by doc length.",
+)
+def dedup_span_removal_profile(spark, sf_dir):
+    from clickhousedatamocker_spark.operators.text_analysis import (
+        remove_duplicated_spans,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    return (
+        remove_duplicated_spans(docs, n=8, min_dup_tokens=24)
+        .select(
+            "doc_id",
+            "removed_tokens",
+            "total_tokens",
+            (F.col("removed_tokens") / F.col("total_tokens"))
+            .cast("double")
+            .alias("removed_fraction"),
+        )
+        .orderBy(F.desc("removed_fraction"), "doc_id")
+        .limit(100)
+    )
+
+
+# -------------------------------------------------------------------------
+@register(
     "pack_token_sequences_profile",
     None,  # rows-only (graded window full); hash-exact grading lives in
     # tests/test_corpus_ops.py::test_pack_token_sequences_laws_and_duckdb

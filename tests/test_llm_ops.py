@@ -1000,3 +1000,79 @@ def test_corpus_quality_gate_reasons_and_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def _remove_spans_reference(all_docs, n, min_dup_tokens):
+    """Pure-Python reimplementation of remove_duplicated_spans — the
+    independent oracle (same algorithm, no Spark machinery)."""
+    import collections
+
+    toks = {i: t.split(" ") for i, t in all_docs}
+    gram_docs = collections.defaultdict(set)
+    for i, tk in toks.items():
+        for p in range(len(tk) - n + 1):
+            gram_docs[tuple(tk[p : p + n])].add(i)
+    min_run = min_dup_tokens - n + 1
+    out = {}
+    for i, tk in toks.items():
+        shared_ps = [
+            p
+            for p in range(len(tk) - n + 1)
+            if len(gram_docs[tuple(tk[p : p + n])]) > 1
+        ]
+        covered: set[int] = set()
+        run: list[int] = []
+        for p in shared_ps + [None]:
+            if run and (p is None or p != run[-1] + 1):
+                if len(run) >= min_run:
+                    covered.update(range(run[0], run[-1] + n))
+                run = []
+            if p is not None:
+                run.append(p)
+        out[i] = (
+            " ".join(t for j, t in enumerate(tk) if j not in covered),
+            len(covered & set(range(len(tk)))),
+            len(tk),
+        )
+    return out
+
+
+def test_remove_duplicated_spans_matches_reference(spark):
+    from clickhousedatamocker_spark.operators.text_analysis import (
+        remove_duplicated_spans,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    n, mdt = 8, 24
+    got = {
+        r["doc_id"]: (r["text"], r["removed_tokens"], r["total_tokens"])
+        for r in remove_duplicated_spans(docs, n=n, min_dup_tokens=mdt).collect()
+    }
+    want = _remove_spans_reference(
+        [(r["doc_id"], r["text"]) for r in docs.collect()], n, mdt
+    )
+    assert got == want  # byte-identical cleaned texts + exact counts
+    # docs with zero shared grams pass through untouched
+    originals = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for i, (text, removed, total) in got.items():
+        if removed == 0:
+            assert text == originals[i], i
+
+
+def test_remove_duplicated_spans_plan_is_scalable(spark):
+    from clickhousedatamocker_spark.operators.text_analysis import (
+        remove_duplicated_spans,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    plan = (
+        remove_duplicated_spans(docs, n=8, min_dup_tokens=24)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the shared-gram relation is linear in corpus size: never broadcast,
+    # never a nested-loop join; no Python in the plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
