@@ -102,7 +102,11 @@ def main() -> None:
     # round-5 additions: the scale-pinned q18 (all three joins SHUFFLE_HASH
     # after the sf1 smoke caught a 12x superlinear broadcast) and the
     # cross-document duplicated-span signal (rows-only registry entry)
-    for extra in ("q18_large_volume_customers", "crossdoc_dup_span_profile"):
+    for extra in (
+        "q18_large_volume_customers",
+        "crossdoc_dup_span_profile",
+        "dedup_span_removal_profile",
+    ):
         timed(extra, lambda extra=extra: REGISTRY[extra].fn(spark, sf_dir))
 
     # ANN steady state (the r4 verdict's ask): similarity_topk_ivf above

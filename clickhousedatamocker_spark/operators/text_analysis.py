@@ -466,10 +466,19 @@ def remove_duplicated_spans(
         f"__rp_i -> named_struct('i', __rp_i, 't', element_at(split({text_col}, ' '), __rp_i + 1))), "
         f"__rp_s -> NOT exists(__ivs, __rp_iv -> __rp_s.i >= __rp_iv.s AND __rp_s.i <= __rp_iv.e))"
     )
+    # fast path: the overwhelmingly common no-removal row skips the
+    # tokenize+filter+rejoin entirely (most docs have no qualifying run
+    # even when they share stray grams)
+    untouched = F.size("__ivs") == 0
     return joined.select(
         F.col(id_col),
-        F.array_join(F.transform(kept, lambda s: s["t"]), " ").alias(text_col),
-        (F.size(tk) - F.size(kept)).cast("long").alias("removed_tokens"),
+        F.when(untouched, F.col(text_col))
+        .otherwise(F.array_join(F.transform(kept, lambda s: s["t"]), " "))
+        .alias(text_col),
+        F.when(untouched, F.lit(0))
+        .otherwise(F.size(tk) - F.size(kept))
+        .cast("long")
+        .alias("removed_tokens"),
         F.size(tk).cast("long").alias("total_tokens"),
     )
 
