@@ -60,6 +60,9 @@ SMOKE_KEYS = (
     "text_analysis_profile",
     "similarity_topk_bruteforce",
     "crossdoc_dup_span_profile",
+    # the span-REMOVAL sibling: same gram joins plus the per-doc
+    # interval fold + token rebuild on the edited rows
+    "dedup_span_removal_profile",
     # round-5 additions: SemDeDup (cluster count scales with the corpus, so
     # the 10x replica clones stress real dup-group collapse), DSIR (two
     # model-training shuffles + row-local scoring + global top-k), and the
