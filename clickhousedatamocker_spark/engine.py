@@ -2090,6 +2090,23 @@ class Engine:
                 )
             )
 
+        # ORDER BY k LIMIT n WITH TIES — first n rows plus every row tied
+        # with the n-th on the sort key: exactly rank() <= n
+        mwt = _re.match(
+            r"(?s)(.*)\bORDER\s+BY\s+(.+?)\s+LIMIT\s+(\d+)\s+WITH\s+TIES\s*;?\s*$",
+            query,
+            _re.IGNORECASE,
+        )
+        if mwt is not None and _re.match(r"\s*(SELECT|WITH)\b", query, _re.IGNORECASE):
+            order, nties = mwt.group(2).strip(), int(mwt.group(3))
+            inner = translate_ch_sql(mwt.group(1))
+            self.refresh_system_views()
+            return self.spark.sql(
+                f"SELECT * EXCEPT (__rk) FROM (SELECT *, rank() OVER "
+                f"(ORDER BY {order}) AS __rk FROM ({inner})) "
+                f"WHERE __rk <= {nties} ORDER BY {order}"
+            )
+
         # SELECT ... ORDER BY o LIMIT n BY c1[, c2...] — CH's per-group
         # limit. Requires the ORDER BY (the rewrite's row_number needs a
         # deterministic order; CH's unordered form is doc-order, which has

@@ -416,6 +416,18 @@ _REWRITES = [
         ),
         "",
     ),
+    # ANSI FETCH spellings → LIMIT/OFFSET (Spark parses OFFSET natively)
+    (
+        re.compile(
+            r"OFFSET\s+(\d+)\s+ROWS?\s+FETCH\s+(?:FIRST|NEXT)\s+(\d+)\s+ROWS?\s+ONLY",
+            re.IGNORECASE,
+        ),
+        r"LIMIT \2 OFFSET \1",
+    ),
+    (
+        re.compile(r"FETCH\s+(?:FIRST|NEXT)\s+(\d+)\s+ROWS?\s+ONLY", re.IGNORECASE),
+        r"LIMIT \1",
+    ),
     # PASTE JOIN concatenates sides BY ROW POSITION — block-order-dependent
     # (the same family as neighbor/runningDifference): undefined over a
     # distributed shuffle, refused loudly with the deterministic recipe
@@ -1499,6 +1511,82 @@ _BITMAP_FAMILY = {
     "bitmapAndnotCardinality": _pm_2arg_fa("size(array_except({f}, {a}))"),
 }
 
+def _char_gram_hashes(s: str, n: str) -> str:
+    """xxhash64 array over character n-grams (empty-safe)."""
+    return (
+        f"CASE WHEN length({s}) < ({n}) THEN array(xxhash64({s})) "
+        f"ELSE transform(sequence(1, length({s}) - ({n}) + 1), "
+        f"__mh_i -> xxhash64(substring({s}, __mh_i, {n}))) END"
+    )
+
+
+def _word_shingle_hashes(s: str, n: str) -> str:
+    """xxhash64 array over word n-shingles (split on whitespace)."""
+    toks = f"filter(split({s}, '\\\\s+'), __mh_t -> __mh_t != '')"
+    return (
+        f"CASE WHEN size({toks}) < ({n}) THEN array(xxhash64({s})) "
+        f"ELSE transform(sequence(1, size({toks}) - ({n}) + 1), "
+        f"__mh_i -> xxhash64(array_join(slice({toks}, __mh_i, {n}), ' '))) END"
+    )
+
+
+def _pm_minhash(gram_fn):
+    """ngramMinHash / wordShingleMinHash(s[, n]) → CH's (min, max) hash
+    tuple over the gram hash set (the cheap per-row near-dup fingerprint;
+    equal fingerprints ⇒ near-dup candidates). Hash values are xxhash64,
+    not CH's — same-engine comparisons only (the cityHash64 policy)."""
+
+    def rw(args: list[str]) -> str:
+        if len(args) not in (1, 2, 3):
+            raise NotImplementedError("minHash fingerprints expect (s[, n[, k]])")
+        ghs = gram_fn(args[0], args[1] if len(args) > 1 else "3")
+        return (
+            f"named_struct('col1', array_min({ghs}), 'col2', array_max({ghs}))"
+        )
+
+    return rw
+
+
+def _pm_simhash(gram_fn):
+    """ngramSimHash / wordShingleSimHash(s[, n]) → 64-bit SimHash over the
+    gram hashes: per-bit majority vote, spelled as ONE fold building the
+    64 bit-counts then a zip_with assembling the fingerprint (no per-bit
+    rescan of the gram array)."""
+
+    def rw(args: list[str]) -> str:
+        if len(args) not in (1, 2):
+            raise NotImplementedError("simHash fingerprints expect (s[, n])")
+        ghs = gram_fn(args[0], args[1] if len(args) > 1 else "3")
+        counts = (
+            f"aggregate({ghs}, transform(sequence(0, 63), __sh_b -> CAST(0 AS BIGINT)), "
+            f"(__sh_acc, __sh_h) -> zip_with(__sh_acc, sequence(0, 63), "
+            f"(__sh_c, __sh_b) -> __sh_c + (shiftright(__sh_h, CAST(__sh_b AS INT)) & 1)))"
+        )
+        return (
+            f"aggregate(zip_with({counts}, sequence(0, 63), "
+            f"(__sh_c, __sh_b) -> IF(2 * __sh_c >= size({ghs}), "
+            f"shiftleft(CAST(1 AS BIGINT), __sh_b), CAST(0 AS BIGINT))), "
+            f"CAST(0 AS BIGINT), (__sh_a, __sh_v) -> __sh_a | __sh_v)"
+        )
+
+    return rw
+
+
+def _pm_corr_matrix(args: list[str]) -> str:
+    """corrMatrix(c1, ..., cn) → n x n array of pairwise corr() — the
+    expansion is exact (each cell is Spark's corr aggregate)."""
+    if len(args) < 2:
+        raise NotImplementedError("corrMatrix needs at least two columns")
+    rows = ", ".join(
+        "array(" + ", ".join(
+            f"corr({a}, {b})" if a != b else "CAST(1.0 AS DOUBLE)"
+            for b in args
+        ) + ")"
+        for a in args
+    )
+    return f"array({rows})"
+
+
 def _pm_map_entry_hof(spark_fn: str):
     """mapExists/mapAll((k, v) -> cond, m) → exists/forall over
     map_entries with the lambda's parameters textually rebound to
@@ -1915,6 +2003,22 @@ _PARAMETRIC.update(
         ),
         "base64URLDecode": _pm_1arg(
             "CAST(unbase64(translate({x}, '-_', '+/')) AS STRING)"
+        ),
+        # CH near-dup fingerprints — the SQL spellings of the dedup tier
+        "ngramMinHash": _pm_minhash(_char_gram_hashes),
+        "wordShingleMinHash": _pm_minhash(_word_shingle_hashes),
+        "ngramSimHash": _pm_simhash(_char_gram_hashes),
+        "wordShingleSimHash": _pm_simhash(_word_shingle_hashes),
+        "corrMatrix": _pm_corr_matrix,
+        "arrayRandomSample": _pm_2arg_fa("slice(shuffle({f}), 1, {a})"),
+        "proportionsZTest": _pm_stats_test_refusal(
+            "proportionsZTest",
+            "compute z from countIf totals and the p-value via erfc(|z|/sqrt(2))",
+        ),
+        "kolmogorovSmirnovTest": _pm_stats_test_refusal(
+            "kolmogorovSmirnovTest",
+            "the KS p-value distribution has no SQL spelling; rank with "
+            "window functions and evaluate D offline",
         ),
     }
 )

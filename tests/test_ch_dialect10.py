@@ -260,3 +260,66 @@ def test_live_window_view_gates(eng):
     ]:
         with pytest.raises(NotImplementedError):
             eng.sql(q)
+
+
+# -- near-dup fingerprints, WITH TIES, FETCH ----------------------------------
+
+
+def test_minhash_simhash_fingerprints(eng):
+    # determinism + equality law
+    assert one(eng, "SELECT ngramMinHash('abcdef') = ngramMinHash('abcdef') AS a") is True
+    t = eng.sql("SELECT ngramMinHash('ClickHouse') AS a").first()["a"]
+    assert t["col1"] <= t["col2"]
+    assert one(
+        eng, "SELECT wordShingleMinHash('a b c d e') = wordShingleMinHash('a b c d e') AS a"
+    ) is True
+    # SimHash locality: one-character edit stays Hamming-close, unrelated
+    # text is Hamming-far (the property the fingerprint exists for)
+    near = one(
+        eng,
+        "SELECT bitCount(bitXor(ngramSimHash('the quick brown fox jumps'), "
+        "ngramSimHash('the quick brown fox jumped'))) AS a",
+    )
+    far = one(
+        eng,
+        "SELECT bitCount(bitXor(ngramSimHash('the quick brown fox jumps'), "
+        "ngramSimHash('zzz qqq vvv kkk www yyy'))) AS a",
+    )
+    assert near < far
+    assert one(
+        eng, "SELECT wordShingleSimHash('a b c') = wordShingleSimHash('a b c') AS a"
+    ) is True
+
+
+def test_limit_with_ties_and_fetch(eng):
+    # 9 rows of k in {0,1,2}: LIMIT 2 WITH TIES keeps ALL the k=0 ties
+    rows = eng.sql(
+        "SELECT number % 3 AS k FROM numbers(9) ORDER BY k LIMIT 2 WITH TIES"
+    ).collect()
+    assert [r["k"] for r in rows] == [0, 0, 0]
+    rows = eng.sql(
+        "SELECT number FROM numbers(10) ORDER BY number "
+        "OFFSET 2 ROWS FETCH NEXT 3 ROWS ONLY"
+    ).collect()
+    assert [r["number"] for r in rows] == [2, 3, 4]
+    rows = eng.sql(
+        "SELECT number FROM numbers(10) ORDER BY number FETCH FIRST 2 ROWS ONLY"
+    ).collect()
+    assert [r["number"] for r in rows] == [0, 1]
+
+
+def test_corr_matrix_and_random_sample(eng):
+    m = one(
+        eng,
+        "SELECT corrMatrix(x, y) AS a FROM VALUES (1.0, 2.0), (2.0, 4.1), (3.0, 5.9) AS t(x, y)",
+    )
+    assert m[0][0] == 1.0 and m[1][1] == 1.0
+    assert abs(m[0][1] - m[1][0]) < 1e-12 and 0.99 < m[0][1] < 1.0
+    s = one(eng, "SELECT arrayRandomSample([1, 2, 3, 4], 2) AS a")
+    assert len(s) == 2 and set(s) <= {1, 2, 3, 4}
+    for q in [
+        "SELECT proportionsZTest(1, 2, 3, 4, 0.95, 'pooled') AS a",
+        "SELECT kolmogorovSmirnovTest(v, g) AS a FROM VALUES (1.0, 0) AS t(v, g)",
+    ]:
+        with pytest.raises(NotImplementedError):
+            eng.sql(q)
