@@ -1258,6 +1258,19 @@ class Engine:
             [(k, v, 1) for k, v in sorted(self._session_settings.items())],
             "name string, value string, changed int",
         ).createOrReplaceTempView("system_settings")
+        # CREATE FUNCTION macros, CH's system.functions shape for the
+        # user-defined rows (builtins are Spark's own catalog)
+        self.spark.createDataFrame(
+            [
+                (
+                    name,
+                    "SQLUserDefined",
+                    f"({', '.join(spec['params'])}) -> {spec['body']}",
+                )
+                for name, spec in sorted(self._sql_functions.items())
+            ],
+            "name string, origin string, create_query string",
+        ).createOrReplaceTempView("system_functions")
         for name in self.catalog.list_tables():
             if self._distributed_spec(name) is not None:
                 version = tuple(self.parts.inventory_version(s) for s in self.shard_tables(name))

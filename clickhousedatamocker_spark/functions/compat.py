@@ -49,6 +49,7 @@ _REWRITES = [
     (re.compile(r"\bsystem\.projections\b", re.IGNORECASE), "system_projections"),
     (re.compile(r"\bsystem\.mutations\b", re.IGNORECASE), "system_mutations"),
     (re.compile(r"\bsystem\.settings\b", re.IGNORECASE), "system_settings"),
+    (re.compile(r"\bsystem\.functions\b", re.IGNORECASE), "system_functions"),
     # system.one: CH's 1-row dummy table (what `SELECT 1` reads implicitly)
     (
         re.compile(r"\bsystem\.one\b", re.IGNORECASE),

@@ -323,3 +323,22 @@ def test_corr_matrix_and_random_sample(eng):
     ]:
         with pytest.raises(NotImplementedError):
             eng.sql(q)
+
+
+def test_system_functions_lists_macros(eng):
+    eng.sql("CREATE FUNCTION IF NOT EXISTS sysfn10 AS x -> x + 1")
+    rows = {
+        r["name"]: r
+        for r in eng.sql(
+            "SELECT name, origin, create_query FROM system.functions"
+        ).collect()
+    }
+    assert "sysfn10" in rows
+    assert rows["sysfn10"]["origin"] == "SQLUserDefined"
+    assert "-> x + 1" in rows["sysfn10"]["create_query"]
+    eng.sql("DROP FUNCTION sysfn10")
+    assert (
+        eng.sql("SELECT count() AS c FROM system.functions WHERE name = 'sysfn10'")
+        .first()["c"]
+        == 0
+    )
