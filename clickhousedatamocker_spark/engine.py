@@ -1527,8 +1527,12 @@ class Engine:
                     self._rewrite_file_reads(
                         self._rewrite_merge_reads(
                             self._rewrite_generate_random(
-                                self._rewrite_final_reads(
-                                    self._rewrite_sample_reads(query)
+                                self._rewrite_values_tf(
+                                    self._rewrite_format_tf(
+                                        self._rewrite_final_reads(
+                                            self._rewrite_sample_reads(query)
+                                        )
+                                    )
                                 )
                             )
                         )
@@ -1682,6 +1686,173 @@ class Engine:
             return view
 
         return pat.sub(sub, query)
+
+    def _rewrite_values_tf(self, query: str) -> str:
+        """``FROM values('name Type[, ...]', row, row, ...)`` — ClickHouse's
+        inline-rows table function in its structure-string form
+        (docs: sql-reference/table-functions/values). One-column structures
+        take one scalar per row; multi-column take parenthesized tuples.
+        Only the structure form is intercepted: without the leading
+        structure string, CH's spelling coincides with Spark's native
+        ``FROM VALUES`` row syntax, which already works — and a first row
+        that merely STARTS with a string literal is distinguished by the
+        structure parse (every item must be a valid ``name Type`` pair),
+        so such queries pass through untouched. Rewritten to an inline
+        VALUES subquery with per-column CASTs — a Catalyst LocalRelation:
+        constant-folded, no scan, no shuffle."""
+        import re as _re
+
+        from clickhousedatamocker_spark.functions.compat import (
+            _scan_balanced,
+            _split_top,
+            parse_ch_type,
+        )
+
+        pat = _re.compile(r"\b(FROM|JOIN)\s+values\s*\(\s*'", _re.IGNORECASE)
+        counter = 0
+        pos = 0
+        while True:
+            m = pat.search(query, pos)
+            if m is None:
+                return query
+            open_paren = query.index("(", m.start())
+            end = _scan_balanced(query, open_paren + 1)
+            args = _split_top(query[open_paren + 1 : end - 1])
+            try:
+                fields = []
+                for colspec in _split_top(args[0].strip()[1:-1]):
+                    cname, _, ctype = colspec.strip().partition(" ")
+                    if not ctype.strip():
+                        raise ValueError("no type")
+                    dtype, _null = parse_ch_type(ctype.strip())
+                    fields.append((cname, dtype.simpleString()))
+            except Exception:
+                # not a structure string -> Spark native VALUES row syntax
+                pos = end
+                continue
+            rows = args[1:]
+            if not rows:
+                raise ValueError(
+                    "values('structure', ...) needs at least one row after "
+                    "the structure string"
+                )
+            if len(fields) == 1:
+                rows = [f"({r})" for r in rows]
+            else:
+                bad = [r for r in rows if not (r.startswith("(") and r.endswith(")"))]
+                if bad:
+                    raise ValueError(
+                        f"values: multi-column rows must be parenthesized "
+                        f"tuples matching the structure, got {bad[0]!r}"
+                    )
+            cols = ", ".join(f"c{i}" for i in range(len(fields)))
+            items = ", ".join(
+                f"CAST(c{i} AS {t}) AS {n}" for i, (n, t) in enumerate(fields)
+            )
+            sub = (
+                f"{m.group(1)} (SELECT {items} FROM VALUES {', '.join(rows)} "
+                f"AS __vals_{counter}({cols}))"
+            )
+            counter += 1
+            query = query[: m.start()] + sub + query[end:]
+            pos = m.start() + len(sub)
+
+    def _rewrite_format_tf(self, query: str) -> str:
+        """``FROM format(FormatName[, 'structure'], 'data')`` — ClickHouse's
+        literal-data table function (docs: table-functions/format). The
+        UNQUOTED first argument distinguishes it from the ``format()``
+        string function, whose pattern is a string literal (compat shim).
+        The data is a bounded query-text literal, so schema inference when
+        no structure is given (JSONEachRow / CSV / TSV) reads only that
+        literal — the engine's never-infer rule is about file scans, not
+        statement text. With a structure, any ``read_format`` format works:
+        the literal is spooled to a temp file and read with the declared
+        schema, identical to ``file()``."""
+        import re as _re
+        import tempfile
+
+        from clickhousedatamocker_spark.functions.compat import (
+            _scan_balanced,
+            _split_top,
+            parse_ch_type,
+        )
+        from clickhousedatamocker_spark.sources.formats import (
+            FORMATS,
+            _ALIASES,
+            read_format,
+        )
+        from pyspark.sql import types as _T
+
+        pat = _re.compile(r"\b(FROM|JOIN)\s+format\s*\(\s*([A-Za-z]\w*)\s*,", _re.IGNORECASE)
+        counter = 0
+        pos = 0
+        while True:
+            m = pat.search(query, pos)
+            if m is None:
+                return query
+            fmt = m.group(2)
+            known = {f.lower(): f for f in FORMATS}
+            known.update({a.lower(): a for a in _ALIASES})
+            if fmt.lower() not in known:
+                raise ValueError(
+                    f"format({fmt}, ...): unknown FORMAT name; supported: "
+                    f"{FORMATS + tuple(_ALIASES)}"
+                )
+            fmt = known[fmt.lower()]
+            open_paren = query.index("(", m.start() + 5)
+            end = _scan_balanced(query, open_paren + 1)
+            args = _split_top(query[open_paren + 1 : end - 1])[1:]
+
+            def _lit(s: str) -> str:
+                s = s.strip()
+                if not (s.startswith("'") and s.endswith("'")):
+                    raise ValueError(
+                        f"format({fmt}, ...): arguments after the format name "
+                        f"must be string literals, got {s!r}"
+                    )
+                return s[1:-1].replace("''", "'").replace("\\n", "\n").replace("\\t", "\t")
+
+            if len(args) == 2:
+                structure, payload = _lit(args[0]), _lit(args[1])
+            elif len(args) == 1:
+                structure, payload = None, _lit(args[0])
+            else:
+                raise ValueError(
+                    "format needs (FormatName[, 'structure'], 'data')"
+                )
+            fd, path = tempfile.mkstemp(prefix="ch_format_tf_", suffix=".dat")
+            with os.fdopen(fd, "w") as fh:
+                fh.write(payload)
+            if structure is not None:
+                fs = []
+                for colspec in _split_top(structure):
+                    cname, _, ctype = colspec.strip().partition(" ")
+                    dtype, nullable = parse_ch_type(ctype.strip())
+                    fs.append(_T.StructField(cname, dtype, nullable))
+                df = read_format(self.spark, path, fmt, _T.StructType(fs))
+            elif fmt == "JSONEachRow":
+                df = self.spark.read.json(path)
+            elif fmt in ("CSV", "CSVWithNames", "TabSeparated", "TabSeparatedWithNames", "TSV", "TSVWithNames"):
+                canon = _ALIASES.get(fmt, fmt)
+                df = (
+                    self.spark.read.option("inferSchema", "true")
+                    .option("sep", "\t" if canon.startswith("TabSeparated") else ",")
+                    .option("header", str(canon.endswith("WithNames")).lower())
+                    .csv(path)
+                )
+            else:
+                raise ValueError(
+                    f"format({fmt}, 'data') without a structure is only "
+                    "self-describing for JSONEachRow/CSV/TSV; pass the "
+                    "structure string (like file())"
+                )
+            view = f"__format_{counter}"
+            counter += 1
+            df.localCheckpoint(eager=True).createOrReplaceTempView(view)
+            os.unlink(path)
+            sub = f"{m.group(1)} {view}"
+            query = query[: m.start()] + sub + query[end:]
+            pos = m.start() + len(sub)
 
     def _rewrite_merge_reads(self, query: str) -> str:
         """``merge(['db',] 'regex')`` — CH's multi-table union function:
