@@ -1,0 +1,218 @@
+"""BM25 keyword retrieval over a document corpus (SURVEY §2.4 Tier B).
+
+The training-data-pipeline search primitive the other operators lean on
+informally: decontamination spot-checks ("which training docs mention this
+benchmark question?"), dedup debugging, targeted corpus audits. Okapi BM25
+(Robertson & Walker 1994; the Robertson–Spärck Jones idf in its standard
+``ln(1 + (N - df + 0.5)/(df + 0.5))`` smoothing) over the engine's
+whitespace tokenizer, so scores are formula-identical to a DuckDB twin.
+
+Scale design (100 TB corpus, ~10-term queries):
+
+- **Postings build** (:func:`bm25_postings`): per-doc length is a row-local
+  expression; the (doc, term, tf) relation is ONE explode + partial-agg
+  shuffle on (doc_id, term). Corpus constants (N, avgdl) are one tiny
+  global aggregate — two driver scalars, not data.
+- **Search** (:func:`bm25_search`): the query is tokenized on the driver
+  (it is a literal string); postings are filtered with a pushed-down
+  ``term IN (...)`` — the scan prunes to the query's terms before anything
+  shuffles. Per-term document frequencies aggregate over that filtered
+  sliver (rows ≈ sum of the query terms' df, not the corpus), scores
+  reduce by doc_id, and the top-k is a ``TakeOrderedAndProject``.
+- **Persisted index** (:func:`build_bm25_index` / :func:`bm25_query_indexed`):
+  postings land partitioned by ``bucket = pmod(hash(term), n_buckets)`` with
+  (N, avgdl, n_buckets) in a JSON sidecar; a query computes its terms'
+  buckets on the driver and reads ONLY those partition directories
+  (PartitionFilters, pinned by test) — the 100 TB index serves a query by
+  touching a handful of buckets, the retrieval analog of the persisted
+  IVF-ANN layout in operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from clickhousedatamocker_spark.operators.text_analysis import tokens
+
+
+def bm25_postings(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, int, float]:
+    """(postings, n_docs, avgdl): postings = one row per (doc, term) with
+    term frequency ``tf`` and the doc's token length ``dl``.
+
+    Empty-string tokens (doubled spaces) are dropped so ``dl`` and the
+    DuckDB twin count identically. One shuffle; N/avgdl are driver scalars.
+    """
+    tok = F.filter(tokens(text_col), lambda t: t != "")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tok).alias("term"),
+        F.size(tok).cast("long").alias("dl"),
+    )
+    postings = base.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("tf"), F.first("dl").alias("dl")
+    )
+    stats = docs.select(
+        F.count("*").cast("long").alias("n"),
+        F.avg(F.size(F.filter(tokens(text_col), lambda t: t != ""))).alias("avgdl"),
+    ).first()
+    return postings, int(stats["n"]), float(stats["avgdl"])
+
+
+def _score(n_docs: int, avgdl: float, k1: float, b: float):
+    """BM25 term score as a column expression over (tf, dl, df)."""
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf = F.col("tf").cast("double")
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / F.lit(avgdl)
+    )
+    return idf * tf * F.lit(k1 + 1.0) / (tf + norm)
+
+
+def bm25_search(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents by BM25 score for a literal query string.
+
+    Deterministic tie-break on doc_id. Repeated query terms are scored
+    once (set semantics — standard BM25 over the query's term SET).
+    """
+    terms = sorted(set(t for t in query.split(" ") if t))
+    if not terms:
+        raise ValueError("bm25_search: query has no tokens")
+    postings, n_docs, avgdl = bm25_postings(docs, text_col, id_col)
+    hits = postings.filter(F.col("term").isin(terms))
+    df_t = hits.groupBy("term").agg(F.countDistinct("doc_id").cast("long").alias("df"))
+    scored = hits.join(F.broadcast(df_t), "term").select(
+        "doc_id", _score(n_docs, avgdl, k1, b).alias("s")
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("s").alias("score"))
+        .select("doc_id", F.round(F.col("score"), 6).alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(k)
+    )
+
+
+def bm25_oracle_sql(
+    query: str, k: int = 10, k1: float = 1.2, b: float = 0.75, table: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`bm25_search` — same tokenizer (space split,
+    empties dropped), same idf smoothing, ROUND(...,6) like the Spark side."""
+    terms = sorted(set(t for t in query.split(" ") if t))
+    inlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, u.term, count(*) AS tf,
+         any_value(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS dl
+  FROM {table}, unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+       AS u(term)
+  GROUP BY doc_id, u.term
+), corpus AS (
+  SELECT count(*) AS n,
+         avg(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS avgdl
+  FROM {table}
+), hits AS (
+  SELECT * FROM tok WHERE term IN ({inlist})
+), dfs AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM hits GROUP BY term
+)
+SELECT doc_id,
+       ROUND(SUM(
+         ln(1 + (corpus.n - dfs.df + 0.5) / (dfs.df + 0.5))
+         * hits.tf * ({k1} + 1)
+         / (hits.tf + {k1} * (1 - {b} + {b} * hits.dl / corpus.avgdl))
+       ), 6) AS score
+FROM hits JOIN dfs USING (term) CROSS JOIN corpus
+GROUP BY doc_id
+ORDER BY score DESC, doc_id
+LIMIT {k}
+"""
+
+
+def build_bm25_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> dict:
+    """Persist the postings partitioned by term-hash bucket; returns the
+    sidecar stats. Build cost is the corpus explode paid ONCE; every
+    query afterwards partition-prunes to its terms' buckets."""
+    postings, n_docs, avgdl = bm25_postings(docs, text_col, id_col)
+    (
+        postings.withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+    meta = {"n_docs": n_docs, "avgdl": avgdl, "n_buckets": n_buckets}
+    with open(os.path.join(path, "_bm25_meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
+def _buckets_of(spark, terms: list[str], n_buckets: int) -> list[int]:
+    """xxhash64 buckets for the query terms, evaluated by the SAME engine
+    expression the writer used. One constant-folded driver-side query per
+    SEARCH (not per term) — kept JVM-side so a Python hash implementation
+    can never drift from the write path."""
+    row = spark.sql(
+        "SELECT "
+        + ", ".join(
+            f"pmod(xxhash64({json.dumps(t)}), {n_buckets}) AS b{i}"
+            for i, t in enumerate(terms)
+        )
+    ).first()
+    return list(row)
+
+
+def bm25_query_indexed(
+    spark,
+    path: str,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Serve a BM25 query from a :func:`build_bm25_index` directory,
+    reading only the query terms' bucket partitions (plan shows
+    PartitionFilters on ``bucket`` — pinned by test)."""
+    with open(os.path.join(path, "_bm25_meta.json")) as fh:
+        meta = json.load(fh)
+    terms = sorted(set(t for t in query.split(" ") if t))
+    if not terms:
+        raise ValueError("bm25_query_indexed: query has no tokens")
+    buckets = sorted(set(_buckets_of(spark, terms, meta["n_buckets"])))
+    hits = (
+        spark.read.parquet(path)
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term").isin(terms))
+    )
+    df_t = hits.groupBy("term").agg(F.countDistinct("doc_id").cast("long").alias("df"))
+    scored = hits.join(F.broadcast(df_t), "term").select(
+        "doc_id", _score(meta["n_docs"], meta["avgdl"], k1, b).alias("s")
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("s").alias("score"))
+        .select("doc_id", F.round(F.col("score"), 6).alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(k)
+    )

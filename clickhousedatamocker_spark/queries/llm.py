@@ -987,3 +987,24 @@ def similarity_topk_ivfpq(spark, sf_dir):
     return ivfpq_topk(
         emb, queries, centroids, books, k=10, nprobe=4, rerank_depth=100
     ).orderBy("query_id", "rank")
+
+
+# -------------------------------------------------------------------------
+@register(
+    "bm25_search_profile",
+    None,  # rows-only (graded window full); hash-exact grading lives in
+    # tests/test_retrieval.py::test_bm25_matches_duckdb (full-formula
+    # DuckDB twin, ordered (doc_id, score) equality)
+    description="Okapi BM25 keyword retrieval (Robertson & Walker 1994) "
+    "over the documents corpus: one explode+agg shuffle builds (doc, term, "
+    "tf, dl) postings; the query's terms filter with a pushed-down IN "
+    "before anything shuffles; df/idf aggregate over that sliver only; "
+    "top-k is TakeOrderedAndProject. The persisted variant partitions "
+    "postings by term-hash bucket so a query partition-prunes to its "
+    "terms' buckets (tests pin PartitionFilters).",
+)
+def bm25_search_profile(spark, sf_dir):
+    from clickhousedatamocker_spark.operators.retrieval import bm25_search
+
+    docs = t(spark, sf_dir, "documents")
+    return bm25_search(docs, "the model data of training system", k=20)
