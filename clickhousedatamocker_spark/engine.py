@@ -1271,6 +1271,24 @@ class Engine:
             ],
             "name string, origin string, create_query string",
         ).createOrReplaceTempView("system_functions")
+        # CH system.databases / system.processes / system.disks analogues.
+        # processes is empty by construction (single-process engine: the
+        # only query running is the one reading the view); disks reports
+        # the warehouse volume with LIVE free space per refresh.
+        self.spark.createDataFrame(
+            [(d, "Atomic") for d in sorted(self._databases)],
+            "name string, engine string",
+        ).createOrReplaceTempView("system_databases")
+        self.spark.createDataFrame(
+            [], "query string, elapsed double, user string"
+        ).createOrReplaceTempView("system_processes")
+        import shutil as _shutil
+
+        du = _shutil.disk_usage(self.catalog.warehouse_dir)
+        self.spark.createDataFrame(
+            [("default", self.catalog.warehouse_dir, du.free, du.total)],
+            "name string, path string, free_space bigint, total_space bigint",
+        ).createOrReplaceTempView("system_disks")
         for name in self.catalog.list_tables():
             if self._distributed_spec(name) is not None:
                 version = tuple(self.parts.inventory_version(s) for s in self.shard_tables(name))
@@ -1333,6 +1351,32 @@ class Engine:
             return f"FROM {view}"
 
         return _re.sub(r"\bFROM\s+(\w+)\s+FINAL\b", sub, query, flags=_re.IGNORECASE)
+
+    def _rewrite_system_numbers(self, query: str) -> str:
+        """``system.numbers`` — CH's infinite integer stream. Like
+        generateRandom, the stream is bounded by the query's LIMIT (CH's
+        own idiom); an unbounded read refuses loudly. ``numbers(N)`` is
+        the cheaper spelling when the count is known up front."""
+        import re as _re
+
+        if not _re.search(r"\bsystem\.numbers\b", query, _re.IGNORECASE):
+            return query
+        limits = [
+            int(x)
+            for x in _re.findall(r"\bLIMIT\s+(\d+)\b(?!\s*BY)", query, _re.IGNORECASE)
+        ]
+        if not limits:
+            raise ValueError(
+                "system.numbers is an unbounded stream in ClickHouse - the "
+                "query needs a LIMIT n to bound it (or use numbers(N))"
+            )
+        n = max(limits)
+        return _re.sub(
+            r"\bsystem\.numbers\b",
+            f"(SELECT id AS number FROM range({n}))",
+            query,
+            flags=_re.IGNORECASE,
+        )
 
     def _rewrite_generate_random(self, query: str) -> str:
         """``generateRandom('schema'[, seed, max_string_length,
@@ -1521,25 +1565,21 @@ class Engine:
         # user CREATE FUNCTION macros expand FIRST: their bodies may use
         # any rewrite below (file(), SAMPLE, projections, ...)
         query = expand_sql_macros(query, self._sql_functions)
-        return self._rewrite_projection_reads(
-            self._rewrite_star_apply(
-                self._rewrite_columns_selector(
-                    self._rewrite_file_reads(
-                        self._rewrite_merge_reads(
-                            self._rewrite_generate_random(
-                                self._rewrite_values_tf(
-                                    self._rewrite_format_tf(
-                                        self._rewrite_final_reads(
-                                            self._rewrite_sample_reads(query)
-                                        )
-                                    )
-                                )
-                            )
-                        )
-                    )
-                )
-            )
-        )
+        for step in (
+            self._rewrite_sample_reads,
+            self._rewrite_final_reads,
+            self._rewrite_format_tf,
+            self._rewrite_values_tf,
+            self._rewrite_system_numbers,
+            self._rewrite_generate_random,
+            self._rewrite_merge_reads,
+            self._rewrite_file_reads,
+            self._rewrite_columns_selector,
+            self._rewrite_star_apply,
+            self._rewrite_projection_reads,
+        ):
+            query = step(query)
+        return query
 
     def _rewrite_star_apply(self, query: str) -> str:
         """``SELECT * [EXCEPT (cols)] APPLY(fn) FROM t`` — ClickHouse's
@@ -2489,6 +2529,23 @@ class Engine:
                 # single-process engine: the only query running is this one
                 return self.spark.createDataFrame(
                     [], "query string, elapsed double, user string"
+                )
+            elif ddl["op"] == "show_settings":
+                self.refresh_system_views()
+                w = (
+                    f" WHERE name LIKE '{ddl['like']}'"
+                    if ddl.get("like") is not None
+                    else ""
+                )
+                return self.spark.sql(
+                    f"SELECT name, value, changed FROM system_settings{w} ORDER BY name"
+                )
+            elif ddl["op"] == "access_control":
+                raise NotImplementedError(
+                    f"{ddl['stmt']}: access control is not modeled - this is "
+                    "a single-user engine (currentUser() = 'default', no "
+                    "authentication plane); enforce access on the platform "
+                    "(catalog/storage ACLs) instead"
                 )
             elif ddl["op"] == "rename_column":
                 n = self.rename_column(

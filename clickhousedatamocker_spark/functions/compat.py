@@ -37,6 +37,20 @@ from pyspark.sql import types as T
 
 _MODULE_START = _time.time()
 
+
+def _remote_table(db: str | None, table: str | None, db2: str | None = None) -> str:
+    """Resolve remote()/cluster() spellings to the local table name: every
+    shard lives in this one engine, so the function IS the table — unless a
+    non-default database is named, which cannot resolve here."""
+    d = db or db2
+    if d in (None, "default"):
+        return table
+    raise NotImplementedError(
+        f"remote/cluster: database {d!r} is not the current "
+        "database; only default-database tables resolve"
+    )
+
+
 _REWRITES = [
     (re.compile(r"\bcount\(\s*\)", re.IGNORECASE), "count(*)"),
     (re.compile(r"\bsystem\.metrics\b", re.IGNORECASE), "system_metrics"),
@@ -50,6 +64,9 @@ _REWRITES = [
     (re.compile(r"\bsystem\.mutations\b", re.IGNORECASE), "system_mutations"),
     (re.compile(r"\bsystem\.settings\b", re.IGNORECASE), "system_settings"),
     (re.compile(r"\bsystem\.functions\b", re.IGNORECASE), "system_functions"),
+    (re.compile(r"\bsystem\.databases\b", re.IGNORECASE), "system_databases"),
+    (re.compile(r"\bsystem\.processes\b", re.IGNORECASE), "system_processes"),
+    (re.compile(r"\bsystem\.disks\b", re.IGNORECASE), "system_disks"),
     # system.one: CH's 1-row dummy table (what `SELECT 1` reads implicitly)
     (
         re.compile(r"\bsystem\.one\b", re.IGNORECASE),
@@ -62,15 +79,32 @@ _REWRITES = [
     (
         re.compile(
             r"\b(?:remote|remoteSecure|cluster|clusterAllReplicas)\(\s*'[^']*'\s*,\s*"
-            r"(?:(\w+)\.)?(\w+)\s*\)",
+            r"(?:'(\w+)(?:\.(\w+))?'|(?:(\w+)\.)?(\w+))\s*(?:,\s*'(\w+)'\s*)?\)",
             re.IGNORECASE,
         ),
-        lambda m: m.group(2) if m.group(1) in (None, "default") else (_ for _ in ()).throw(
-            NotImplementedError(
-                f"remote/cluster: database {m.group(1)!r} is not the current "
-                "database; only default-database tables resolve"
-            )
+        lambda m: _remote_table(
+            # quoted 'db.table' | quoted 'db','table' | bare db.table | bare table
+            db=m.group(1) if m.group(2) or m.group(5) else None,
+            table=m.group(2)
+            or (m.group(5) if m.group(1) else None)
+            or m.group(1)
+            or m.group(4),
+            db2=m.group(3),
         ),
+    ),
+    # external-database table functions: no DBMS to dial in this
+    # environment, and the Spark-native path is the JDBC source anyway
+    (
+        re.compile(
+            r"\b(mysql|postgresql|mongodb|redis|sqlite|odbc|jdbc)\(\s*'", re.IGNORECASE
+        ),
+        lambda m: (_ for _ in ()).throw(NotImplementedError(
+            f"the {m.group(1)}() table function dials an external DBMS, "
+            "absent in this environment - on a real cluster use Spark's "
+            "JDBC source (spark.read.format('jdbc').option('url', ...)) "
+            "or the connector for that store; for local data use "
+            "file('path', 'Format', 'structure')"
+        )),
     ),
     # network-source table functions: no network in this environment
     (
@@ -3119,6 +3153,22 @@ def parse_ch_ddl(sql: str) -> dict | None:
             "WATCH streams live-view updates - not supported; poll the "
             "materialized view, or attach a Structured Streaming sink"
         )
+    # access-control statements: single-user engine ('default', no auth
+    # plane) — a silent accept would fake a security posture, so gate loudly
+    m = re.match(
+        r"(GRANT|REVOKE|CREATE\s+(?:USER|ROLE|ROW\s+POLICY|QUOTA|SETTINGS\s+PROFILE)|"
+        r"DROP\s+(?:USER|ROLE|ROW\s+POLICY|QUOTA|SETTINGS\s+PROFILE)|"
+        r"ALTER\s+(?:USER|ROLE|QUOTA)|SET\s+(?:DEFAULT\s+)?ROLE|SHOW\s+GRANTS)\b",
+        s,
+        re.IGNORECASE,
+    )
+    if m:
+        return {"op": "access_control", "stmt": " ".join(m.group(1).upper().split())}
+
+    m = re.match(r"SHOW\s+SETTINGS(?:\s+LIKE\s+'([^']*)')?\s*;?\s*$", s, re.IGNORECASE)
+    if m:
+        return {"op": "show_settings", "like": m.group(1)}
+
     m = re.match(r"SET\s+(\w+)\s*=\s*('[^']*'|[\w.]+)\s*;?\s*$", s, re.IGNORECASE)
     if m:
         return {"op": "set_setting", "key": m.group(1), "value": m.group(2).strip("'")}

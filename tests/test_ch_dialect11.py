@@ -81,3 +81,68 @@ def test_format_string_function_still_works(eng):
     assert (
         eng.sql("SELECT format('{} and {}', 'a', 'b') AS f").first()["f"] == "a and b"
     )
+
+
+def test_remote_cluster_spelling_forms(eng):
+    # every shard lives in this engine: remote()/cluster() resolve to the
+    # local table across CH's spelling forms (bare, quoted, 3-arg)
+    eng.sql("CREATE TABLE IF NOT EXISTS rt11 (x Int32) ENGINE = MergeTree ORDER BY x")
+    eng.sql("INSERT INTO rt11 VALUES (1), (2), (3)")
+    for q in [
+        "SELECT count() AS c FROM remote('h:9000', rt11)",
+        "SELECT count() AS c FROM remote('h:9000', default.rt11)",
+        "SELECT count() AS c FROM remote('h:9000', 'default.rt11')",
+        "SELECT count() AS c FROM remote('h:9000', 'rt11')",
+        "SELECT count() AS c FROM remote('h:9000', 'default', 'rt11')",
+        "SELECT count() AS c FROM cluster('mycluster', 'default.rt11')",
+    ]:
+        assert eng.sql(q).first()["c"] == 3, q
+    with pytest.raises(NotImplementedError, match="not the current database"):
+        eng.sql("SELECT count() AS c FROM remote('h', 'otherdb', 'rt11')")
+
+
+def test_external_dbms_table_functions_gate_loudly(eng):
+    for fn in ["mysql", "postgresql", "mongodb", "redis", "sqlite"]:
+        with pytest.raises(NotImplementedError, match="external DBMS"):
+            eng.sql(f"SELECT * FROM {fn}('h:1', 'db', 't', 'u', 'p')")
+
+
+def test_show_settings_and_system_admin_views(eng):
+    eng.sql("SET max_threads = 8")
+    rows = eng.sql("SHOW SETTINGS LIKE 'max%'").collect()
+    assert [(r["name"], r["value"]) for r in rows] == [("max_threads", "8")]
+    assert eng.sql("SHOW SETTINGS").count() >= 1
+    # system.databases / processes / disks analogues
+    assert [r["name"] for r in eng.sql("SELECT name FROM system.databases").collect()] == ["default"]
+    assert eng.sql("SELECT * FROM system.processes").count() == 0
+    disk = eng.sql("SELECT * FROM system.disks").first()
+    assert disk["name"] == "default" and disk["total_space"] >= disk["free_space"] > 0
+
+
+def test_system_numbers_limit_bounded(eng):
+    rows = eng.sql("SELECT number FROM system.numbers LIMIT 5").collect()
+    assert [r["number"] for r in rows] == [0, 1, 2, 3, 4]
+    # composes: arithmetic + WHERE before the LIMIT bound
+    assert (
+        eng.sql(
+            "SELECT sum(number) AS s FROM (SELECT number FROM system.numbers LIMIT 10)"
+        ).first()["s"]
+        == 45
+    )
+    with pytest.raises(ValueError, match="unbounded"):
+        eng.sql("SELECT count() AS c FROM system.numbers")
+
+
+def test_access_control_statements_gate_loudly(eng):
+    for stmt in [
+        "GRANT SELECT ON *.* TO user1",
+        "REVOKE SELECT ON *.* FROM user1",
+        "CREATE USER u IDENTIFIED BY 'p'",
+        "CREATE ROLE admin",
+        "DROP USER u",
+        "SET ROLE admin",
+        "CREATE ROW POLICY p ON t FOR SELECT USING 1",
+        "SHOW GRANTS",
+    ]:
+        with pytest.raises(NotImplementedError, match="access control"):
+            eng.sql(stmt)
