@@ -552,6 +552,21 @@ _REWRITES = [
     # trim family: CH's one-arg directional spellings. (The SQL-standard
     # trim(BOTH 'x' FROM s) form CH also accepts is native Spark syntax and
     # passes through untouched.)
+    # probe batch 12 flat renames (Spark twin exists under another name)
+    (re.compile(r"\barrayShuffle\(", re.IGNORECASE), "shuffle("),
+    (re.compile(r"\barrayUnion\(", re.IGNORECASE), "array_union("),
+    (re.compile(r"\bmapFromArrays\(", re.IGNORECASE), "map_from_arrays("),
+    (re.compile(r"\bregexpExtract\(", re.IGNORECASE), "regexp_extract("),
+    # unicode normalization routes to the Arrow-batched UDFs (geo.py);
+    # the 'ch' prefix keeps the rewrite from re-matching its own output
+    (re.compile(r"\bnormalizeUTF8(NFC|NFD|NFKC|NFKD)\(", re.IGNORECASE),
+     lambda m: f"chNormalizeUTF8{m.group(1).upper()}("),
+    # randConstant(): one random value for the whole query (CH: per block);
+    # resolved at rewrite time like hostName/queryID
+    (
+        re.compile(r"\brandConstant\(\s*\)", re.IGNORECASE),
+        lambda m: str(int.from_bytes(_uuid.uuid4().bytes[:4], "big")),
+    ),
     (re.compile(r"\btrimLeft\(", re.IGNORECASE), "ltrim("),
     (re.compile(r"\btrimRight\(", re.IGNORECASE), "rtrim("),
     (re.compile(r"\btrimBoth\(", re.IGNORECASE), "trim("),
@@ -1800,6 +1815,84 @@ def _pm_interval_length_sum(args: list[str]) -> str:
     )
 
 
+def _pm_max_intersections(args: list[str]) -> str:
+    """maxIntersections(start, end): max number of simultaneously
+    intersecting half-open [s, e) intervals — +1/-1 events sorted by
+    (t, delta) so an end releases before a coincident start, then a
+    running-sum max fold (exact, JVM-side, same shape as
+    intervalLengthSum)."""
+    if len(args) != 2:
+        raise NotImplementedError("maxIntersections expects (start, end)")
+    s, e = args
+    evs = (
+        f"array_sort(flatten(collect_list(array("
+        f"named_struct('t', CAST({s} AS BIGINT), 'd', 1), "
+        f"named_struct('t', CAST({e} AS BIGINT), 'd', -1)))))"
+    )
+    return (
+        f"aggregate({evs}, named_struct('c', 0, 'm', 0), "
+        f"(__mi_a, __mi_v) -> named_struct('c', __mi_a.c + __mi_v.d, "
+        f"'m', greatest(__mi_a.m, __mi_a.c + __mi_v.d)), __mi_a -> __mi_a.m)"
+    )
+
+
+def _pm_to_datetime64(args: list[str]) -> str:
+    """toDateTime64(expr, precision[, tz]) → TIMESTAMP cast. Spark
+    timestamps are fixed microsecond precision: the precision argument
+    only matters above 6 (nanoseconds truncate — documented); a timezone
+    argument is refused like the other tz-parameterized conversions."""
+    if len(args) not in (2, 3):
+        raise NotImplementedError("toDateTime64 expects (expr, precision[, tz])")
+    if len(args) == 3:
+        raise NotImplementedError(
+            "toDateTime64 with a timezone argument is not supported - "
+            "timestamps here are session-zone instants; convert with "
+            "from_utc_timestamp/to_utc_timestamp explicitly"
+        )
+    return f"CAST({args[0]} AS TIMESTAMP)"
+
+
+def _pm_json_keys_values(args: list[str]) -> str:
+    """JSONExtractKeysAndValues(json, 'Type') → array of (key, value)
+    structs via the typed map parser (strict JSON, like the JSONExtract
+    family here)."""
+    if len(args) != 2:
+        raise NotImplementedError("JSONExtractKeysAndValues expects (json, 'Type')")
+    m = re.fullmatch(r"\s*'([^']+)'\s*", args[1])
+    if not m:
+        raise NotImplementedError(
+            "JSONExtractKeysAndValues needs a literal type string "
+            "(e.g. 'Int64') - the value type decides the parse schema"
+        )
+    dtype, _ = parse_ch_type(m.group(1))
+    return f"map_entries(from_json({args[0]}, 'map<string,{dtype.simpleString()}>'))"
+
+
+def _pm_array_shift(left: bool):
+    """arrayShiftLeft/Right(arr, n[, fill]) — n >= 0; vacated slots take
+    ``fill`` (CH fills the element type's default; without an explicit
+    fill this shim uses NULL, the engine-wide missing-value convention —
+    documented deviation)."""
+
+    def rw(args: list[str]) -> str:
+        if len(args) not in (2, 3):
+            raise NotImplementedError("arrayShift expects (arr, n[, fill])")
+        a, n = args[0], args[1]
+        nn = f"least(CAST({n} AS INT), size({a}))"
+        fill = args[2] if len(args) == 3 else f"if(false, element_at({a}, 1), NULL)"
+        if left:
+            return (
+                f"concat(slice({a}, {nn} + 1, greatest(size({a}) - {nn}, 0)), "
+                f"array_repeat({fill}, {nn}))"
+            )
+        return (
+            f"concat(array_repeat({fill}, {nn}), "
+            f"slice({a}, 1, greatest(size({a}) - {nn}, 0)))"
+        )
+
+    return rw
+
+
 def _g4(e: str) -> str:
     """4-gram SET of a string expression (strings shorter than 4 are one
     gram — their own text), for ngramDistance."""
@@ -1868,6 +1961,13 @@ _PARAMETRIC.update(
             "ELSE greatest(__fe_p, __fe_q) END"
         ),
         "intervalLengthSum": _pm_interval_length_sum,
+        "maxIntersections": _pm_max_intersections,
+        "toDateTime64": _pm_to_datetime64,
+        "JSONExtractKeysAndValues": _pm_json_keys_values,
+        "arrayShiftLeft": _pm_array_shift(left=True),
+        "arrayShiftRight": _pm_array_shift(left=False),
+        # _pm_2arg binds {f}=first arg, {a}=second: map first, pattern second
+        "mapContainsKeyLike": _pm_2arg("exists(map_keys({f}), __mck -> __mck LIKE {a})"),
         # statistical-test family: the p-values need incomplete-beta /
         # rank-distribution CDFs with no SQL spelling; refuse with the
         # moment-aggregate recipe instead of returning a fake p

@@ -150,6 +150,15 @@ def _base58_decode(s: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def _normalize_utf8(form: str):
+    def f(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(lambda x: None if x is None else unicodedata.normalize(form, x))
+
+    return f
+
+
 def register_python_functions(spark: SparkSession) -> None:
     """Register the Arrow-batched UDF surface under private ch-prefixed
     names; the public CH spellings route here via compat.py so argument
@@ -168,3 +177,9 @@ def register_python_functions(spark: SparkSession) -> None:
     )
     spark.udf.register("base58Encode", pandas_udf(_base58_encode, "string"))
     spark.udf.register("base58Decode", pandas_udf(_base58_decode, "string"))
+    # unicode normalization (CH normalizeUTF8NFC/NFD/NFKC/NFKD): needs the
+    # unicode character database — stdlib unicodedata over Arrow batches
+    for form in ("NFC", "NFD", "NFKC", "NFKD"):
+        spark.udf.register(
+            f"chNormalizeUTF8{form}", pandas_udf(_normalize_utf8(form), "string")
+        )

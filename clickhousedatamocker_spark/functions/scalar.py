@@ -545,6 +545,49 @@ def register_sql_functions(spark: SparkSession) -> None:
         ("notEmpty", "(s STRING)", "BOOLEAN", "s IS NOT NULL AND length(s) > 0"),
         ("today", "()", "DATE", "current_date()"),
         ("yesterday", "()", "DATE", "date_sub(current_date(), 1)"),
+        # round-5 probe batch 12: ISO year (year of the week's Thursday),
+        # digit-date, 64-bit unix epochs, XML escapes, UUID binary forms,
+        # snowflake ids (Twitter epoch 1288834974657), simpleJSON family
+        # (CH's sloppy-scan variants — shimmed over the strict JSON parser,
+        # so they require well-formed JSON; documented deviation)
+        ("toISOYear", "(t TIMESTAMP)", "INT", "year(date_add(CAST(t AS DATE), 3 - weekday(t)))"),
+        ("YYYYMMDDToDate", "(n BIGINT)", "DATE", "to_date(CAST(n AS STRING), 'yyyyMMdd')"),
+        ("toUnixTimestamp64Milli", "(t TIMESTAMP)", "BIGINT", "unix_millis(t)"),
+        ("toUnixTimestamp64Micro", "(t TIMESTAMP)", "BIGINT", "unix_micros(t)"),
+        ("toUnixTimestamp64Nano", "(t TIMESTAMP)", "BIGINT", "unix_micros(t) * 1000"),
+        (
+            "encodeXMLComponent",
+            "(s STRING)",
+            "STRING",
+            "replace(replace(replace(replace(replace(s, '&', '&amp;'), "
+            "'<', '&lt;'), '>', '&gt;'), '\"', '&quot;'), '''', '&apos;')",
+        ),
+        (
+            "decodeXMLComponent",
+            "(s STRING)",
+            "STRING",
+            "replace(replace(replace(replace(replace(s, '&apos;', ''''), "
+            "'&quot;', '\"'), '&gt;', '>'), '&lt;', '<'), '&amp;', '&')",
+        ),
+        ("UUIDStringToNum", "(s STRING)", "BINARY", "unhex(replace(s, '-', ''))"),
+        (
+            "UUIDNumToString",
+            "(b BINARY)",
+            "STRING",
+            "lower(concat(substr(hex(b), 1, 8), '-', substr(hex(b), 9, 4), '-', "
+            "substr(hex(b), 13, 4), '-', substr(hex(b), 17, 4), '-', substr(hex(b), 21, 12)))",
+        ),
+        ("snowflakeToDateTime", "(id BIGINT)", "TIMESTAMP", "timestamp_millis(shiftright(id, 22) + 1288834974657)"),
+        ("dateTimeToSnowflake", "(t TIMESTAMP)", "BIGINT", "shiftleft(unix_millis(t) - 1288834974657, 22)"),
+        ("simpleJSONExtractInt", "(j STRING, k STRING)", "BIGINT", "CAST(get_json_object(j, concat('$.', k)) AS BIGINT)"),
+        ("simpleJSONExtractFloat", "(j STRING, k STRING)", "DOUBLE", "CAST(get_json_object(j, concat('$.', k)) AS DOUBLE)"),
+        ("simpleJSONExtractBool", "(j STRING, k STRING)", "BOOLEAN", "CAST(get_json_object(j, concat('$.', k)) AS BOOLEAN)"),
+        ("simpleJSONExtractString", "(j STRING, k STRING)", "STRING", "get_json_object(j, concat('$.', k))"),
+        ("simpleJSONHas", "(j STRING, k STRING)", "BOOLEAN", "get_json_object(j, concat('$.', k)) IS NOT NULL"),
+        ("JSONExtractRaw", "(j STRING, k STRING)", "STRING", "get_json_object(j, concat('$.', k))"),
+        # scalar-element arrays; raw nested-object elements need the strict
+        # typed JSONExtract family instead (documented)
+        ("JSONExtractArrayRaw", "(j STRING, k STRING)", "ARRAY<STRING>", "from_json(get_json_object(j, concat('$.', k)), 'array<string>')"),
         # string vocabulary (CH camelCase / arg-order spellings)
         (
             "splitByChar",
