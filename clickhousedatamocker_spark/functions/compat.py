@@ -561,6 +561,9 @@ _REWRITES = [
     # the 'ch' prefix keeps the rewrite from re-matching its own output
     (re.compile(r"\bnormalizeUTF8(NFC|NFD|NFKC|NFKD)\(", re.IGNORECASE),
      lambda m: f"chNormalizeUTF8{m.group(1).upper()}("),
+    # extractGroups: group count is only known at regex-compile time, so it
+    # routes to the Arrow UDF (geo.py) rather than N regexp_extract calls
+    (re.compile(r"\bextractGroups\(", re.IGNORECASE), "chExtractGroups("),
     # randConstant(): one random value for the whole query (CH: per block);
     # resolved at rewrite time like hostName/queryID
     (
@@ -1968,6 +1971,18 @@ _PARAMETRIC.update(
         "arrayShiftRight": _pm_array_shift(left=False),
         # _pm_2arg binds {f}=first arg, {a}=second: map first, pattern second
         "mapContainsKeyLike": _pm_2arg("exists(map_keys({f}), __mck -> __mck LIKE {a})"),
+        # probe batch 13 misc: materialize is identity (no constant-fold
+        # distinction here); ignore always returns 0; indexHint filters
+        # NOTHING (CH's documented contract: the expression only narrows
+        # the index read range, rows outside it still return)
+        "materialize": _pm_1arg("({x})"),
+        "ignore": lambda args: "0",
+        "indexHint": lambda args: "true",
+        # vacated slot takes NULL, not CH's type default (documented, same
+        # convention as arrayShiftLeft/Right)
+        "emptyArrayToSingle": _pm_1arg(
+            "(CASE WHEN size({x}) = 0 THEN array(if(false, element_at({x}, 1), NULL)) ELSE {x} END)"
+        ),
         # statistical-test family: the p-values need incomplete-beta /
         # rank-distribution CDFs with no SQL spelling; refuse with the
         # moment-aggregate recipe instead of returning a fake p
@@ -2989,9 +3004,53 @@ def expand_sql_macros(sql: str, macros: dict[str, dict]) -> str:
     )
 
 
+_IN_FRAME_RE = re.compile(r"\b(lagInFrame|leadInFrame)\s*\(", re.IGNORECASE)
+_FULL_FRAME_RE = re.compile(
+    r"\s*ROWS\s+BETWEEN\s+UNBOUNDED\s+PRECEDING\s+AND\s+UNBOUNDED\s+FOLLOWING\s*",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_in_frame(sql: str) -> str:
+    """lagInFrame/leadInFrame → lag/lead. CH requires an explicit window
+    frame for these (the canonical idiom is the full ROWS BETWEEN
+    UNBOUNDED..UNBOUNDED frame, under which they equal plain lag/lead);
+    Spark's lag/lead reject any frame clause, so the full frame is
+    stripped from the following OVER(...). A NARROWER frame changes the
+    functions' semantics (they look only inside the frame) and has no
+    Spark equivalent — refused loudly."""
+    pos = 0
+    while True:
+        m = _IN_FRAME_RE.search(sql, pos)
+        if m is None:
+            return sql
+        target = "lag(" if m.group(1).lower() == "laginframe" else "lead("
+        args_end = _scan_balanced(sql, m.end())
+        over = re.match(r"\s*OVER\s*\(", sql[args_end:], re.IGNORECASE)
+        head = sql[: m.start()] + target + sql[m.end() : args_end]
+        if over is None:
+            sql = head + sql[args_end:]
+            pos = m.start() + len(target)
+            continue
+        ov_open = args_end + over.end()
+        ov_end = _scan_balanced(sql, ov_open)
+        clause = sql[ov_open : ov_end - 1]
+        stripped = _FULL_FRAME_RE.sub(" ", clause)
+        if re.search(r"\b(ROWS|RANGE)\s+BETWEEN\b", stripped, re.IGNORECASE):
+            raise NotImplementedError(
+                f"{m.group(1)} with a frame narrower than ROWS BETWEEN "
+                "UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING looks only "
+                "inside that frame - no Spark equivalent; restructure with "
+                "collect_list over the frame + element_at"
+            )
+        sql = head + sql[args_end:ov_open] + stripped.rstrip() + sql[ov_end - 1 :]
+        pos = m.start() + len(target)
+
+
 def translate_ch_sql(sql: str) -> str:
     sql = _rewrite_brace_maps(sql)
     sql = _rewrite_brackets(_rewrite_scalar_with(_rewrite_array_join(sql)))
+    sql = _rewrite_in_frame(sql)
     for pattern, repl in _REWRITES:
         sql = _sub_outside_strings(pattern, repl, sql)
     sql = _rewrite_cast_operator(sql)

@@ -159,6 +159,28 @@ def _normalize_utf8(form: str):
     return f
 
 
+def _extract_groups(s: pd.Series, pat: pd.Series) -> pd.Series:
+    """extractGroups(haystack, regexp): all capture groups of the FIRST
+    match, [] when no match (CH contract). Group count is a property of
+    the compiled regex — unknowable to a fixed-arity SQL expression,
+    hence the Arrow path. Patterns are typically one literal per query;
+    a tiny per-batch compile cache keeps that case at one compile."""
+    import re as _re
+
+    cache: dict[str, "_re.Pattern[str]"] = {}
+
+    def one(x, p):
+        if x is None or p is None:
+            return None
+        rx = cache.get(p)
+        if rx is None:
+            rx = cache[p] = _re.compile(p)
+        m = rx.search(x)
+        return [g if g is not None else "" for g in m.groups()] if m else []
+
+    return pd.Series([one(x, p) for x, p in zip(s, pat)])
+
+
 def register_python_functions(spark: SparkSession) -> None:
     """Register the Arrow-batched UDF surface under private ch-prefixed
     names; the public CH spellings route here via compat.py so argument
@@ -183,3 +205,6 @@ def register_python_functions(spark: SparkSession) -> None:
         spark.udf.register(
             f"chNormalizeUTF8{form}", pandas_udf(_normalize_utf8(form), "string")
         )
+    spark.udf.register(
+        "chExtractGroups", pandas_udf(_extract_groups, "array<string>")
+    )

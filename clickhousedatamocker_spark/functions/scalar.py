@@ -588,6 +588,53 @@ def register_sql_functions(spark: SparkSession) -> None:
         # scalar-element arrays; raw nested-object elements need the strict
         # typed JSONExtract family instead (documented)
         ("JSONExtractArrayRaw", "(j STRING, k STRING)", "ARRAY<STRING>", "from_json(get_json_object(j, concat('$.', k)), 'array<string>')"),
+        # probe batch 13: split/multi-search families, bitmask render,
+        # HTML text, and the vector-distance family (the embeddings
+        # engine's own CH spellings — pure zip_with/aggregate folds, JVM
+        # codegen, no UDF)
+        ("splitByNonAlpha", "(s STRING)", "ARRAY<STRING>", "filter(split(s, '[^A-Za-z0-9]+'), __t -> __t <> '')"),
+        # CH arg order (regexp first); edge empties behave like Spark split
+        ("splitByRegexp", "(re STRING, s STRING)", "ARRAY<STRING>", "split(s, re)"),
+        ("multiMatchAny", "(s STRING, pats ARRAY<STRING>)", "INT", "CAST(exists(pats, __p -> s rlike __p) AS INT)"),
+        ("multiMatchAnyIndex", "(s STRING, pats ARRAY<STRING>)", "INT", "CAST(coalesce(array_position(transform(pats, __p -> s rlike __p), true), 0) AS INT)"),
+        ("multiSearchFirstPosition", "(s STRING, ns ARRAY<STRING>)", "INT", "coalesce(array_min(filter(transform(ns, __n -> instr(s, __n)), __p -> __p > 0)), 0)"),
+        ("multiSearchAllPositions", "(s STRING, ns ARRAY<STRING>)", "ARRAY<INT>", "transform(ns, __n -> instr(s, __n))"),
+        ("bitmaskToList", "(n BIGINT)", "STRING",
+         "array_join(transform(filter(sequence(0, 62), __i -> (shiftright(n, __i) & 1) = 1), "
+         "__i -> CAST(shiftleft(CAST(1 AS BIGINT), __i) AS STRING)), ',')"),
+        ("bitPositionsToArray", "(n BIGINT)", "ARRAY<INT>",
+         "CAST(filter(sequence(0, 62), __i -> (shiftright(n, __i) & 1) = 1) AS ARRAY<INT>)"),
+        # script/style bodies die first, then tags, then whitespace folds —
+        # the 80% of CH's HTML extractor without its entity decoding (pair
+        # with decodeXMLComponent for the common entities)
+        ("extractTextFromHTML", "(s STRING)", "STRING",
+         "trim(regexp_replace(regexp_replace(regexp_replace(s, "
+         "'(?is)<(script|style)[^>]*>.*?</(script|style)>', ' '), '<[^>]*>', ''), '\\\\s+', ' '))"),
+        ("arrayDotProduct", "(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>)", "DOUBLE",
+         "aggregate(zip_with(a, b, (__x, __y) -> __x * __y), CAST(0.0 AS DOUBLE), (__ac, __v) -> __ac + __v)"),
+        ("L2Norm", "(a ARRAY<DOUBLE>)", "DOUBLE",
+         "sqrt(aggregate(a, CAST(0.0 AS DOUBLE), (__ac, __v) -> __ac + __v * __v))"),
+        ("L2Distance", "(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>)", "DOUBLE",
+         "sqrt(aggregate(zip_with(a, b, (__x, __y) -> (__x - __y) * (__x - __y)), CAST(0.0 AS DOUBLE), (__ac, __v) -> __ac + __v))"),
+        ("L1Distance", "(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>)", "DOUBLE",
+         "aggregate(zip_with(a, b, (__x, __y) -> abs(__x - __y)), CAST(0.0 AS DOUBLE), (__ac, __v) -> __ac + __v)"),
+        ("LinfDistance", "(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>)", "DOUBLE",
+         "array_max(zip_with(a, b, (__x, __y) -> abs(__x - __y)))"),
+        ("cosineDistance", "(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>)", "DOUBLE",
+         "CAST(1.0 AS DOUBLE) - arrayDotProduct(a, b) / (L2Norm(a) * L2Norm(b))"),
+        ("normalizeL2", "(a ARRAY<DOUBLE>)", "ARRAY<DOUBLE>", "transform(a, __x -> __x / L2Norm(a))"),
+        # pairwise-comparison AUC (ties count 0.5) - O(P*N) per row, the
+        # per-row arrays a metrics column carries are small by construction
+        ("arrayAUC", "(sc ARRAY<DOUBLE>, lb ARRAY<BIGINT>)", "DOUBLE",
+         "CASE WHEN size(filter(lb, __l -> __l <> 0)) = 0 OR size(filter(lb, __l -> __l = 0)) = 0 "
+         "THEN CAST(NULL AS DOUBLE) ELSE "
+         "aggregate(flatten(transform("
+         "filter(zip_with(sc, lb, (__s, __l) -> named_struct('s', __s, 'l', __l)), __p -> __p.l <> 0), "
+         "__p -> transform("
+         "filter(zip_with(sc, lb, (__s2, __l2) -> named_struct('s', __s2, 'l', __l2)), __q -> __q.l = 0), "
+         "__n -> CASE WHEN __p.s > __n.s THEN CAST(1.0 AS DOUBLE) WHEN __p.s = __n.s THEN CAST(0.5 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END))), "
+         "CAST(0.0 AS DOUBLE), (__ac, __v) -> __ac + __v) "
+         "/ (size(filter(lb, __l -> __l <> 0)) * size(filter(lb, __l -> __l = 0))) END"),
         # string vocabulary (CH camelCase / arg-order spellings)
         (
             "splitByChar",
