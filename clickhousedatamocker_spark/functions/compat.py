@@ -51,6 +51,98 @@ def _remote_table(db: str | None, table: str | None, db2: str | None = None) -> 
     )
 
 
+# Per-query SETTINGS keys that are pure tuning: they steer CH's scheduler /
+# memory manager / cache and never change the result set. Spark has its own
+# scheduler, so these drop silently (the reference's insert_data.sh and any
+# pasted CH query keep running). Everything else is treated as
+# result-changing and must be routed (Engine) or refused (bare translate).
+_TUNING_QUERY_SETTINGS = frozenset(
+    {
+        "max_threads",
+        "max_memory_usage",
+        "max_memory_usage_for_user",
+        "max_execution_time",
+        "max_block_size",
+        "max_insert_block_size",
+        "min_insert_block_size_rows",
+        "min_insert_block_size_bytes",
+        "max_insert_threads",
+        "max_rows_to_read",
+        "max_bytes_to_read",
+        "max_bytes_before_external_group_by",
+        "max_bytes_before_external_sort",
+        "use_query_cache",
+        "enable_reads_from_query_cache",
+        "enable_writes_to_query_cache",
+        "log_queries",
+        "send_logs_level",
+        "priority",
+        "optimize_read_in_order",
+        "distributed_product_mode",
+        "async_insert",
+        "wait_for_async_insert",
+        "insert_quorum",
+        "send_timeout",
+        "receive_timeout",
+        "connect_timeout",
+        "allow_experimental_analyzer",
+        "use_uncompressed_cache",
+        "readonly",
+    }
+)
+
+# Result-changing per-query SETTINGS the ENGINE knows how to route (see
+# Engine._route_query_settings): listed here so the refusal message can say
+# "run this through Engine.sql" instead of a generic unknown-setting error.
+_SEMANTIC_QUERY_SETTINGS = frozenset({"final", "limit", "offset", "join_use_nulls"})
+
+
+def parse_query_settings(spec: str) -> dict[str, str]:
+    """``k = v, k2 = v2`` → dict (keys lowercased, quotes stripped)."""
+    out: dict[str, str] = {}
+    for part in spec.split(","):
+        k, v = part.split("=", 1)
+        out[k.strip().lower()] = v.strip().strip("'\"")
+    return out
+
+
+_QUERY_SETTINGS_RE = re.compile(
+    r"\sSETTINGS\s+(\w+\s*=\s*[\w.'\"]+(?:\s*,\s*\w+\s*=\s*[\w.'\"]+)*)\s*(;?)\s*$",
+    re.IGNORECASE,
+)
+
+
+def extract_query_settings(query: str) -> tuple[str, dict[str, str]]:
+    """Split a trailing ``SETTINGS k=v, ...`` clause off a query →
+    (query-without-clause, settings dict). The engine calls this BEFORE
+    translation so result-changing settings can be routed onto real
+    machinery; tuning-only clauses may also just flow through translation,
+    which drops them."""
+    m = _QUERY_SETTINGS_RE.search(query)
+    if m is None:
+        return query, {}
+    return query[: m.start()] + m.group(2), parse_query_settings(m.group(1))
+
+
+def _drop_tuning_settings_or_raise(m: "re.Match[str]") -> str:
+    settings = parse_query_settings(m.group(1))
+    bad = sorted(k for k in settings if k not in _TUNING_QUERY_SETTINGS)
+    if bad:
+        routed = [k for k in bad if k in _SEMANTIC_QUERY_SETTINGS]
+        hint = (
+            f"run the query through Engine.sql, which routes {routed} onto real "
+            "machinery (final=1 -> FROM ... FINAL, limit/offset -> outer "
+            "LIMIT/OFFSET)"
+            if routed
+            else "if it is a pure tuning knob, add it to _TUNING_QUERY_SETTINGS"
+        )
+        raise NotImplementedError(
+            f"per-query SETTINGS {bad} can change the RESULT - refusing to "
+            f"silently drop them; {hint}"
+        )
+    return m.group(2)
+
+
 _REWRITES = [
     (re.compile(r"\bcount\(\s*\)", re.IGNORECASE), "count(*)"),
     (re.compile(r"\bsystem\.metrics\b", re.IGNORECASE), "system_metrics"),
@@ -477,17 +569,23 @@ _REWRITES = [
     # PREWHERE is CH's manual two-stage filter optimization; with columnar
     # scans + pushdown the distinction is moot — same semantics as WHERE
     (re.compile(r"\bPREWHERE\b", re.IGNORECASE), "WHERE"),
-    # trailing SETTINGS k = v[, ...] on a query: CH per-query execution
-    # knobs (max_threads, max_memory_usage, ...) — engine-tuning hints with
-    # no Spark equivalent; dropped so pasted CH queries run. Anchored to
+    # trailing SETTINGS k = v[, ...] on a query: CH per-query knobs. Pure
+    # TUNING keys (max_threads, max_memory_usage, ...) change how a query
+    # runs, never what it returns — dropped so pasted CH queries run.
+    # SEMANTIC keys (final, limit, offset, join_use_nulls, ...) change the
+    # RESULT: Engine.sql routes those onto real machinery (final=1 → the
+    # FROM ... FINAL rewrite; limit/offset → an outer LIMIT/OFFSET) before
+    # translation ever sees them, so reaching this rewrite with one still
+    # attached means the caller bypassed the engine — refuse loudly rather
+    # than silently return pre-collapse/unlimited rows. Anchored to
     # statement end, so DDL SETTINGS clauses (parsed before translation)
     # are never touched.
     (
         re.compile(
-            r"\sSETTINGS\s+\w+\s*=\s*[\w.'\"]+(?:\s*,\s*\w+\s*=\s*[\w.'\"]+)*\s*(;?)\s*$",
+            r"\sSETTINGS\s+(\w+\s*=\s*[\w.'\"]+(?:\s*,\s*\w+\s*=\s*[\w.'\"]+)*)\s*(;?)\s*$",
             re.IGNORECASE,
         ),
-        r"\1",
+        lambda m: _drop_tuning_settings_or_raise(m),
     ),
     # numbers(N) table function → Spark's range(N), column renamed to CH's
     (

@@ -682,10 +682,16 @@ def connected_components(
     """Connected components of the near-dup pair graph → ``(node, component)``
     where component = min node id reachable (the canonical doc id).
 
-    Iterative min-label propagation: each round every node takes the min of
-    its own label and its neighbors' labels; converges in graph-diameter
-    rounds (near-dup clusters are shallow — a handful). Each round is one
-    join + one groupBy on the edge list.
+    Min-label propagation WITH pointer doubling: each round every node takes
+    min(own label, neighbors' labels, its label's label). The label-of-label
+    shortcut halves chain distances every round, so convergence is
+    O(log diameter) rounds, not diameter rounds — a 2^20-long path chain
+    converges inside the default ``max_iter=20`` (plain propagation silently
+    under-merged any component whose diameter exceeded max_iter; found by the
+    SemDeDup hot-cluster chunk chain, which is exactly such a path graph).
+    Non-convergence after ``max_iter`` now raises instead of returning
+    partial components. Each round is two joins + one groupBy, all
+    edge/node-sized.
 
     Scale discipline:
     - Every round's result is ``localCheckpoint``-ed: the next round's plan
@@ -710,26 +716,45 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
+        stepped = labels.join(neighbor_min, labels.node == neighbor_min.src, "left").select(
+            "node",
+            F.col("label").alias("__old"),
+            F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("__mid"),
+        )
+        # pointer doubling: labels are node ids, so chase one indirection —
+        # label := min(label, label's label) — against the previous round
+        lookup = labels.select(F.col("node").alias("__ln"), F.col("label").alias("__ll"))
         new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            stepped.join(lookup, stepped.__mid == lookup.__ln, "left")
             .select(
                 "node",
-                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
-                (F.coalesce(F.col("nlabel"), F.col("label")) < F.col("label")).alias("__changed"),
+                F.least(F.col("__mid"), F.coalesce(F.col("__ll"), F.col("__mid"))).alias("label"),
+                (
+                    F.least(F.col("__mid"), F.coalesce(F.col("__ll"), F.col("__mid")))
+                    < F.col("__old")
+                ).alias("__changed"),
             )
             .localCheckpoint()  # materializes this round; truncates lineage
         )
         changed = new_labels.filter(F.col("__changed")).limit(1).count()
         labels = new_labels.select("node", "label")
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds — "
+            "component diameter exceeds 2^max_iter (pathological graph); "
+            "raise max_iter rather than accept partially-merged components"
+        )
     return labels.select(F.col("node"), F.col("label").alias("component"))
 
 

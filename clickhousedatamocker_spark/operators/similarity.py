@@ -864,6 +864,20 @@ def _with_centroid_sim(
     return df.mapInPandas(score, out_schema)
 
 
+def _all_pairs_within(e: DataFrame, id_col: str, key_cols: list[str], threshold: float) -> DataFrame:
+    """All-pairs cosine ≥ threshold within equal ``key_cols`` groups.
+    One hash equi-join on the keys, never cartesian."""
+    a = e.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), *key_cols)
+    b = e.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), *key_cols)
+    return (
+        a.join(b, key_cols)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine(F.col("va"), F.col("vb")), 9))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cid", "cosine")
+    )
+
+
 def semantic_dedup_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -872,6 +886,7 @@ def semantic_dedup_pairs(
     n_centroids: int = 16,
     centroids: list[list[float]] | None = None,
     seed: int = 42,
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """Intra-cluster semantic near-duplicate pairs: k-means-cluster the
     embeddings, then exact cosine WITHIN each cluster only →
@@ -884,21 +899,71 @@ def semantic_dedup_pairs(
     Cross-cluster near-dups are missed by design — the paper's recall
     trade. Shuffles: ONE exchange on cid for the self-join (assignment
     itself is row-local); the join is a hash equi-join, never cartesian.
+
+    ``max_cluster_size`` is the hot-cluster guard: embedding mass is not
+    uniform (boilerplate/template docs collapse into one centroid), and an
+    unbounded cluster makes the self-join quadratic IN THAT CLUSTER.
+    When set, clusters above the cap are chunked by centroid-similarity
+    rank (a spill-safe window sort per hot cluster — similar vectors get
+    adjacent ranks, so near-dups mostly share a chunk) and pairs are
+    generated within each chunk AND between adjacent chunks. Output is
+    bounded at ≤ 1.5·size·cap pairs per hot cluster (linear, not
+    quadratic), and a mass of identical vectors still collapses to ONE
+    component downstream: adjacent-chunk edges chain chunk k to chunk k+1.
+    Boundary pairs more than 2·cap ranks apart are the (documented) recall
+    trade. Under-cap clusters are untouched — bit-identical to the
+    unguarded path.
     """
     if centroids is None:
         centroids = ivf_train(corpus, id_col, vec_col, n_centroids, seed=seed)
     e = with_nearest_cid(
         corpus.select(F.col(id_col), as_double(vec_col).alias("v")), "v", centroids, "cid"
     )
-    a = e.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), "cid")
-    b = e.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "cid")
-    return (
-        a.join(b, ["cid"])
-        .filter(F.col("id_a") < F.col("id_b"))
+    if max_cluster_size is None:
+        return _all_pairs_within(e, id_col, ["cid"], threshold)
+    if max_cluster_size < 2:
+        raise ValueError("max_cluster_size must be >= 2 (need at least one pair per chunk)")
+    # per-cluster sizes: k rows, driver-bounded by the codebook size
+    hot = [
+        r["cid"]
+        for r in e.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > max_cluster_size)
+        .collect()
+    ]
+    cold_pairs = _all_pairs_within(
+        e.filter(~F.col("cid").isin(hot)) if hot else e, id_col, ["cid"], threshold
+    )
+    if not hot:
+        return cold_pairs
+    big = _with_centroid_sim(e.filter(F.col("cid").isin(hot)), "v", "cid", centroids, "__csim")
+    w = Window.partitionBy("cid").orderBy(F.col("__csim").asc(), F.col(id_col).asc())
+    big = big.withColumn(
+        "__chunk", F.floor((F.row_number().over(w) - F.lit(1)) / F.lit(max_cluster_size))
+    )
+    a = big.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), "cid", F.col("__chunk").alias("__ka"))
+    # b fans out to [own chunk, own chunk + 1]: key-equal rows are either
+    # same-chunk (dedup by id order) or a-in-next-chunk (unique by construction)
+    b = big.select(
+        F.col(id_col).alias("id_b"),
+        F.col("v").alias("vb"),
+        "cid",
+        F.col("__chunk").alias("__cb"),
+        F.explode(F.array(F.col("__chunk"), F.col("__chunk") + 1)).alias("__ka"),
+    )
+    hot_pairs = (
+        a.join(b, ["cid", "__ka"])
+        .filter((F.col("__ka") > F.col("__cb")) | (F.col("id_a") < F.col("id_b")))
         .withColumn("cosine", F.round(cosine(F.col("va"), F.col("vb")), 9))
         .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cid", "cosine")
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            "cid",
+            "cosine",
+        )
     )
+    return cold_pairs.unionByName(hot_pairs)
 
 
 def semantic_dedup_losers(
@@ -910,6 +975,7 @@ def semantic_dedup_losers(
     centroids: list[list[float]] | None = None,
     seed: int = 42,
     pairs: DataFrame | None = None,
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """The rows SemDeDup drops: ``(id_col, cid)`` — every duplicate-group
     member EXCEPT the keeper (least centroid-similar, id tiebreak). Pass a
@@ -922,7 +988,8 @@ def semantic_dedup_losers(
         centroids = ivf_train(corpus, id_col, vec_col, n_centroids, seed=seed)
     if pairs is None:
         pairs = semantic_dedup_pairs(
-            corpus, id_col, vec_col, threshold, n_centroids, centroids, seed
+            corpus, id_col, vec_col, threshold, n_centroids, centroids, seed,
+            max_cluster_size=max_cluster_size,
         )
     comp = connected_components(pairs)  # (node, component) — dup-group members only
     # centroid similarity for group members only (semi-join keeps it edge-sized)
@@ -949,6 +1016,7 @@ def semantic_dedup(
     centroids: list[list[float]] | None = None,
     seed: int = 42,
     pairs: DataFrame | None = None,
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): drop semantic near-duplicates, keeping
     per duplicate-group the example LEAST similar to its cluster centroid
@@ -966,6 +1034,7 @@ def semantic_dedup(
     mass, orders of magnitude below the corpus.
     """
     losers = semantic_dedup_losers(
-        corpus, id_col, vec_col, threshold, n_centroids, centroids, seed, pairs
+        corpus, id_col, vec_col, threshold, n_centroids, centroids, seed, pairs,
+        max_cluster_size=max_cluster_size,
     )
     return corpus.join(losers.select(id_col), id_col, "left_anti")

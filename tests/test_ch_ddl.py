@@ -556,6 +556,76 @@ def test_select_final_and_prewhere(spark, tmp_warehouse):
     assert n == 1
 
 
+def test_query_settings_final_routes_to_final_rewrite(spark, tmp_warehouse):
+    """SETTINGS final=1 == FROM t FINAL (the round-5 verdict's silent
+    wrong-answer: it used to be dropped, returning pre-collapse rows)."""
+    engine = Engine(spark, tmp_warehouse)
+    engine.sql(
+        """
+        CREATE TABLE kvs (
+            k UInt32, event_time DateTime, ver UInt32, v Float64
+        ) ENGINE = ReplacingMergeTree(ver)
+        PARTITION BY toYYYYMMDDhh(event_time)
+        ORDER BY (k)
+        """
+    )
+    df = spark.createDataFrame(
+        [(1, "2026-01-01 05:00:00", 1, 10.0), (1, "2026-01-01 05:10:00", 2, 20.0),
+         (2, "2026-01-01 05:30:00", 1, 5.0)],
+        "k int, event_time string, ver int, v double",
+    ).selectExpr("k", "CAST(event_time AS TIMESTAMP) AS event_time", "ver", "v")
+    engine.insert("kvs", df)
+
+    via_setting = sorted(
+        (r["k"], r["v"])
+        for r in engine.sql("SELECT k, v FROM kvs SETTINGS final = 1").collect()
+    )
+    via_final = sorted(
+        (r["k"], r["v"]) for r in engine.sql("SELECT k, v FROM kvs FINAL").collect()
+    )
+    assert via_setting == via_final == [(1, 20.0), (2, 5.0)]
+    # final=0 and plain read agree: 3 pre-collapse rows
+    assert engine.sql("SELECT count(*) AS n FROM kvs SETTINGS final = 0").first()["n"] == 3
+
+
+def test_query_settings_limit_offset_and_gates(spark, tmp_warehouse):
+    engine = Engine(spark, tmp_warehouse)
+    rows = engine.sql(
+        "SELECT number FROM numbers(10) ORDER BY number SETTINGS limit = 3, offset = 2"
+    ).collect()
+    assert [r["number"] for r in rows] == [2, 3, 4]
+    # CH applies the settings ON TOP of the query's own LIMIT
+    rows = engine.sql(
+        "SELECT number FROM numbers(10) ORDER BY number LIMIT 4 SETTINGS limit = 2, offset = 1"
+    ).collect()
+    assert [r["number"] for r in rows] == [1, 2]
+    # tuning knobs still drop silently
+    assert (
+        engine.sql("SELECT count(*) AS n FROM numbers(5) SETTINGS max_threads = 4").first()["n"]
+        == 5
+    )
+    # join_use_nulls=1 is Spark's native semantics: no-op accept
+    assert engine.sql("SELECT 1 AS x SETTINGS join_use_nulls = 1").first()["x"] == 1
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="join_use_nulls=0"):
+        engine.sql("SELECT 1 AS x SETTINGS join_use_nulls = 0")
+    with _pytest.raises(NotImplementedError, match="not recognized"):
+        engine.sql("SELECT 1 AS x SETTINGS totally_made_up_setting = 1")
+
+
+def test_bare_translate_raises_on_semantic_settings():
+    """translate_ch_sql without the engine cannot route final=1 - it must
+    refuse, not silently drop (tuning keys still drop)."""
+    import pytest as _pytest
+
+    from clickhousedatamocker_spark.functions.compat import translate_ch_sql
+
+    assert "SETTINGS" not in translate_ch_sql("SELECT 1 SETTINGS max_threads = 8")
+    with _pytest.raises(NotImplementedError, match="final"):
+        translate_ch_sql("SELECT * FROM t SETTINGS final = 1")
+
+
 def test_sample_by_clause(spark, tmp_warehouse):
     """SAMPLE BY in DDL + FROM t SAMPLE f: deterministic hash-threshold
     subset — same rows every run; errors without a SAMPLE BY key (as CH)."""

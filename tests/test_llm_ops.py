@@ -109,6 +109,28 @@ def test_connected_components_known_graph(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
 
 
+def test_connected_components_long_chain_converges(spark):
+    """A 200-node path graph (diameter 199) must fully merge: pointer
+    doubling converges in O(log d) rounds where plain propagation would
+    silently under-merge past max_iter=20."""
+    from clickhousedatamocker_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(199)], ["id_a", "id_b"])
+    comp = connected_components(pairs).collect()
+    assert len(comp) == 200
+    assert {r["component"] for r in comp} == {0}
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    from clickhousedatamocker_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(60)], ["id_a", "id_b"])
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=2)
+
+
 def test_fuzzy_dedup_canonical_keeps_one_per_cluster(spark, docs_with_dups):
     from clickhousedatamocker_spark.operators.dedup import fuzzy_dedup_canonical
 

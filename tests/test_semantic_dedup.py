@@ -127,6 +127,110 @@ def test_semantic_dedup_pairs_plan_is_hash_equijoin(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_hot_cluster_guard_under_cap_is_bit_identical(spark):
+    """With a cap no cluster exceeds, the guarded path must equal the
+    unguarded one exactly (values, not just counts)."""
+    corpus = _mk_corpus(spark)
+    centroids = S.ivf_train(corpus, n_centroids=3, n_iters=2, seed=7)
+    base = sorted(
+        tuple(r) for r in S.semantic_dedup_pairs(
+            corpus, threshold=0.95, centroids=centroids
+        ).collect()
+    )
+    guarded = sorted(
+        tuple(r) for r in S.semantic_dedup_pairs(
+            corpus, threshold=0.95, centroids=centroids, max_cluster_size=1000
+        ).collect()
+    )
+    assert guarded == base
+
+
+def test_hot_cluster_guard_mixed_keeps_cold_clusters_identical(spark):
+    """A cap that makes only SOME clusters hot: the cold clusters' pairs are
+    bit-identical to the unguarded run; hot-cluster pairs stay a subset of
+    the unguarded pair set (the guard only ever drops, never invents)."""
+    corpus = _mk_corpus(spark)
+    centroids = S.ivf_train(corpus, n_centroids=3, n_iters=2, seed=7)
+    unguarded = {
+        (r["id_a"], r["id_b"]): (r["cid"], r["cosine"])
+        for r in S.semantic_dedup_pairs(corpus, threshold=0.95, centroids=centroids).collect()
+    }
+    # cluster sizes in the fixture are 5/4/1 → cap=4 makes exactly one hot
+    guarded = {
+        (r["id_a"], r["id_b"]): (r["cid"], r["cosine"])
+        for r in S.semantic_dedup_pairs(
+            corpus, threshold=0.95, centroids=centroids, max_cluster_size=4
+        ).collect()
+    }
+    assert set(guarded) <= set(unguarded)
+    for k, v in guarded.items():
+        assert unguarded[k] == v
+    hot_cids = {v[0] for k, v in unguarded.items() if k not in guarded} | {
+        v[0] for v in guarded.values()
+    }
+    # every cold cluster's pairs survive untouched
+    cold_pairs_unguarded = {k: v for k, v in unguarded.items() if v[0] not in hot_cids}
+    assert all(k in guarded for k in cold_pairs_unguarded)
+
+
+def test_hot_cluster_guard_megacluster_bounded_output(spark):
+    """The VERDICT scenario: >=50k near-identical embeddings collapse into
+    one centroid. Unguarded, the self-join would emit ~1.25e9 pairs; the
+    guard must complete with output bounded by ~1.5 * n * cap."""
+    n, cap = 50_000, 50
+    dim = 4
+    mega = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            F.lit(1.0),
+            F.lit(1.0) + F.col("id").cast("double") / F.lit(1e9),  # near-identical jitter
+            F.lit(0.5),
+            F.lit(0.25),
+        ).alias("embedding"),
+    )
+    centroids = [[1.0, 1.0, 0.5, 0.25], [-1.0] * dim]  # everything lands in cid 0
+    pairs = S.semantic_dedup_pairs(
+        mega, threshold=0.999, centroids=centroids, max_cluster_size=cap
+    )
+    got = pairs.count()
+    n_chunks = -(-n // cap)
+    within = n_chunks * (cap * (cap - 1) // 2)
+    adjacent = (n_chunks - 1) * cap * cap
+    assert 0 < got <= within + adjacent
+    # near-identical vectors: every generated candidate passes the threshold,
+    # so the bound is tight — and LINEAR in n (cap-scaled), not quadratic
+    assert got == within + adjacent
+
+
+def test_hot_cluster_guard_identical_mass_is_one_component(spark):
+    """Identical vectors chunked by the guard must still collapse to ONE
+    dup-group downstream: adjacent-chunk edges chain the chunks together, so
+    semantic_dedup keeps exactly one survivor of the mass."""
+    n, cap = 2_000, 50
+    mega = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(2.0), F.lit(3.0), F.lit(4.0)).alias("embedding"),
+    )
+    # one distinct far-away doc that must survive untouched
+    other = spark.createDataFrame(
+        [(999_999, [-5.0, 1.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    corpus = mega.unionByName(other)
+    centroids = [[1.0, 2.0, 3.0, 4.0], [-5.0, 1.0, 0.0, 0.0]]
+    survivors = S.semantic_dedup(
+        corpus, threshold=0.999, centroids=centroids, max_cluster_size=cap
+    )
+    ids = {r["vec_id"] for r in survivors.collect()}
+    assert 999_999 in ids
+    assert len(ids - {999_999}) == 1  # the whole identical mass -> one keeper
+
+
+def test_hot_cluster_guard_rejects_degenerate_cap(spark):
+    corpus = _mk_corpus(spark)
+    with pytest.raises(ValueError, match="max_cluster_size"):
+        S.semantic_dedup_pairs(corpus, centroids=[[0.0] * 6], max_cluster_size=1)
+
+
 def test_centroid_sim_arrow_path_matches_literal(spark, monkeypatch):
     corpus = _mk_corpus(spark)
     centroids = S.ivf_train(corpus, n_centroids=3, n_iters=2, seed=7)
