@@ -58,16 +58,44 @@ def _gram_buckets(text_col: str | Column, num_buckets: int) -> Column:
     return F.concat(unis, bis)
 
 
+def _gram_buckets_xengine(text_col: str | Column, num_buckets: int) -> Column:
+    """Cross-engine twin of :func:`_gram_buckets`: rolling-poly word hashes
+    (the dedup._poly_hash family DuckDB can recompute) Horner-combined for
+    bigrams, mod ``num_buckets``. Single-space tokenization (string_split
+    parity). Same zero-shuffle projection shape as the production path."""
+    from clickhousedatamocker_spark.operators.dedup import _XA, _XP, _poly_hash
+
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    words = F.filter(F.split(c, " "), lambda w: w != F.lit(""))
+    wh = F.transform(words, lambda w: _poly_hash(w))
+    unis = F.transform(wh, lambda h: F.pmod(h, F.lit(num_buckets)))
+    bis = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.slice(wh, 1, F.size(wh) - 1),
+            lambda h, i: F.pmod(
+                (h * F.lit(_XA) + F.element_at(wh, i + 2)) % F.lit(_XP),
+                F.lit(num_buckets),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return F.concat(unis, bis)
+
+
 def train_hashed_ngram_model(
     docs: DataFrame,
     text_col: str = "text",
     num_buckets: int = 8192,
+    use_xengine_hash: bool = False,
 ) -> list[float]:
     """Hashed-ngram probability model of a corpus: ``num_buckets`` floats,
     add-one smoothed so every bucket has nonzero mass. One shuffle of
-    (bucket, count) rows; the result is driver-bounded model state."""
+    (bucket, count) rows; the result is driver-bounded model state.
+    ``use_xengine_hash`` swaps xxhash64 for the DuckDB-recomputable
+    rolling-poly family (oracle grading)."""
+    grams = _gram_buckets_xengine if use_xengine_hash else _gram_buckets
     counts = (
-        docs.select(F.explode(_gram_buckets(text_col, num_buckets)).alias("b"))
+        docs.select(F.explode(grams(text_col, num_buckets)).alias("b"))
         .groupBy("b")
         .agg(F.count(F.lit(1)).alias("c"))
         .collect()
@@ -83,6 +111,7 @@ def dsir_score(
     background_model: list[float],
     text_col: str = "text",
     out_col: str = "importance",
+    use_xengine_hash: bool = False,
 ) -> DataFrame:
     """Add ``out_col`` = sum over the doc's gram buckets of
     ``log(p_target(b)) - log(p_background(b))`` — DSIR's log importance
@@ -90,6 +119,7 @@ def dsir_score(
     if len(target_model) != len(background_model):
         raise ValueError("target and background models need the same bucket count")
     num_buckets = len(target_model)
+    grams = _gram_buckets_xengine if use_xengine_hash else _gram_buckets
     logratio = [
         math.log(t) - math.log(b) for t, b in zip(target_model, background_model)
     ]
@@ -98,7 +128,7 @@ def dsir_score(
         return docs.withColumn(
             out_col,
             F.aggregate(
-                _gram_buckets(text_col, num_buckets),
+                grams(text_col, num_buckets),
                 F.lit(0.0),
                 lambda acc, b: acc + F.element_at(lr, b.cast("int") + 1),
             ),
@@ -110,7 +140,7 @@ def dsir_score(
     import pandas as pd
     from pyspark.sql import types as T
 
-    with_b = docs.withColumn("__b", _gram_buckets(text_col, num_buckets))
+    with_b = docs.withColumn("__b", grams(text_col, num_buckets))
     out_schema = T.StructType(docs.schema.fields + [T.StructField(out_col, T.DoubleType())])
     bc = docs.sparkSession.sparkContext.broadcast(np.asarray(logratio, dtype=np.float64))
 
