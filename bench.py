@@ -106,6 +106,8 @@ def main() -> None:
         "q18_large_volume_customers",
         "crossdoc_dup_span_profile",
         "dedup_span_removal_profile",
+        # round-6: the composed select->dedup->pack training-data run
+        "pipeline_select_dedup_pack",
     ):
         timed(extra, lambda extra=extra: REGISTRY[extra].fn(spark, sf_dir))
 

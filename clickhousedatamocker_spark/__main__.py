@@ -55,6 +55,16 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--warehouse", default="./warehouse", help="warehouse directory (persists tables)")
     ap.add_argument("--cpus", type=int, default=None, help="local[N] cores (default: SPARK_GRAFT_CPUS or all)")
     ap.add_argument("--data", help="payload path for INSERT ... FORMAT statements (stdin-file equivalent)")
+    ap.add_argument(
+        "--settings",
+        action="append",
+        default=[],
+        metavar="K=V",
+        help="session setting applied before any statement (repeatable; the "
+        "clickhouse-client --setting flag): semantic keys act (final, limit, "
+        "offset, max_result_rows, session_timezone), the rest are recorded "
+        "for system.settings",
+    )
     args = ap.parse_args(argv)
 
     stmts: list[str] = []
@@ -81,6 +91,11 @@ def main(argv: list[str] | None = None) -> int:
     try:
         import re as _re
 
+        for s in args.settings:
+            if "=" not in s:
+                ap.error(f"--settings needs K=V, got {s!r}")
+            k, v = s.split("=", 1)
+            engine.sql(f"SET {k.strip()} = {v.strip()}")
         for stmt in stmts:
             # --data is the INSERT ... FORMAT payload; passing it to a bare
             # SELECT ... FORMAT would redirect the result INTO that file,

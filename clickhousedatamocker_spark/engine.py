@@ -1381,6 +1381,11 @@ class Engine:
             )
         limit = settings.get("limit")
         offset = settings.get("offset")
+        # max_result_rows (break-mode semantics: truncate the result) is a
+        # second cap on returned rows — compose with `limit` as the min
+        if settings.get("max_result_rows") is not None:
+            cap = int(settings["max_result_rows"])
+            limit = cap if limit is None else min(int(limit), cap)
         if limit is not None or offset is not None:
             if _re.search(
                 r"(?:\sINTO\s+OUTFILE\s+'[^']+')?\s+FORMAT\s+\w+\s*;?\s*$",
@@ -1432,21 +1437,43 @@ class Engine:
         """``system.numbers`` — CH's infinite integer stream. Like
         generateRandom, the stream is bounded by the query's LIMIT (CH's
         own idiom); an unbounded read refuses loudly. ``numbers(N)`` is
-        the cheaper spelling when the count is known up front."""
+        the cheaper spelling when the count is known up front.
+
+        LIMIT applies AFTER WHERE and OFFSET, so the materialized range
+        must cover limit+offset rows — and a WHERE that filters the stream
+        makes ANY finite prefix wrong (``WHERE number % 2 = 0 LIMIT 10``
+        needs 20 stream rows): that case refuses loudly, pointing at
+        numbers(N). Handles ``LIMIT n``, ``LIMIT off, n`` (CH's comma
+        form) and ``LIMIT n OFFSET off``."""
         import re as _re
 
         if not _re.search(r"\bsystem\.numbers\b", query, _re.IGNORECASE):
             return query
-        limits = [
-            int(x)
-            for x in _re.findall(r"\bLIMIT\s+(\d+)\b(?!\s*BY)", query, _re.IGNORECASE)
-        ]
-        if not limits:
+        if _re.search(r"\bWHERE\b", query, _re.IGNORECASE):
+            raise NotImplementedError(
+                "system.numbers with a WHERE clause cannot be bounded by the "
+                "query's LIMIT (the filter consumes stream rows before the "
+                "limit counts them) - use numbers(N) with an explicit N that "
+                "covers the filtered prefix"
+            )
+        bounds = []
+        for m in _re.finditer(
+            r"\bLIMIT\s+(\d+)(?:\s*,\s*(\d+))?(?:\s+OFFSET\s+(\d+))?(?!\s*BY)",
+            query,
+            _re.IGNORECASE,
+        ):
+            if m.group(2) is not None:  # LIMIT off, n
+                bounds.append(int(m.group(1)) + int(m.group(2)))
+            elif m.group(3) is not None:  # LIMIT n OFFSET off
+                bounds.append(int(m.group(1)) + int(m.group(3)))
+            else:
+                bounds.append(int(m.group(1)))
+        if not bounds:
             raise ValueError(
                 "system.numbers is an unbounded stream in ClickHouse - the "
                 "query needs a LIMIT n to bound it (or use numbers(N))"
             )
-        n = max(limits)
+        n = max(bounds)
         return _re.sub(
             r"\bsystem\.numbers\b",
             f"(SELECT id AS number FROM range({n}))",
@@ -1711,13 +1738,27 @@ class Engine:
         pat = _re.compile(r"\bCOLUMNS\s*\(\s*'([^']*)'\s*\)", _re.IGNORECASE)
         if not pat.search(query):
             return query
-        fm = _re.search(r"\bFROM\s+(\w+)\b", query, _re.IGNORECASE)
-        if fm is None:
+        # Resolution is query-global, so it is only sound when the query
+        # reads exactly ONE named table: with a join or a subquery over a
+        # different table, the first 'FROM <name>' found may not be the
+        # SELECT that contains the COLUMNS() occurrence (round-5 advisory)
+        # — refuse loudly instead of expanding the wrong table's columns.
+        froms = {
+            m.group(1)
+            for m in _re.finditer(r"\bFROM\s+(\w+)\b", query, _re.IGNORECASE)
+        }
+        joins = {
+            m.group(1)
+            for m in _re.finditer(r"\bJOIN\s+(\w+)\b", query, _re.IGNORECASE)
+        }
+        sources = froms | joins
+        if len(sources) != 1:
             raise NotImplementedError(
-                "COLUMNS('regex') needs a single named FROM table to expand "
-                "against; spell the column list explicitly otherwise"
+                "COLUMNS('regex') needs a query over exactly ONE named table "
+                f"to resolve against (found {sorted(sources)}); spell the "
+                "column list explicitly for joins/multi-table subqueries"
             )
-        src = fm.group(1)
+        src = next(iter(sources))
         if self.catalog.exists(src):
             cols = [
                 f.name
@@ -2237,8 +2278,18 @@ class Engine:
             from clickhousedatamocker_spark.functions.compat import extract_query_settings
 
             query, qsettings = extract_query_settings(query)
-            if qsettings:
-                query = self._route_query_settings(query, qsettings)
+            # session-level SET acts as the default for every SELECT; the
+            # query's own trailing SETTINGS clause overrides per key (CH's
+            # precedence). Only the SEMANTIC subset acts — SET accepts and
+            # records arbitrary keys for system.settings introspection.
+            session_sem = {
+                k: v
+                for k, v in self._session_settings.items()
+                if k in ("final", "limit", "offset", "join_use_nulls", "max_result_rows")
+            }
+            effective = {**session_sem, **qsettings}
+            if effective:
+                query = self._route_query_settings(query, effective)
 
         # SELECT ... [INTO OUTFILE 'path'] [FORMAT <fmt>] — clickhouse-
         # client's output directions: INTO OUTFILE is CH's own file-export
@@ -2596,6 +2647,13 @@ class Engine:
                 return self.spark.createDataFrame([(n,)], "rows_updated bigint")
             elif ddl["op"] == "set_setting":
                 self._session_settings[ddl["key"]] = str(ddl["value"])
+                # the one SET with a direct Spark-conf equivalent:
+                # session_timezone changes how timestamps render/parse —
+                # map it onto spark.sql.session.timeZone immediately
+                if ddl["key"].lower() == "session_timezone":
+                    self.spark.conf.set(
+                        "spark.sql.session.timeZone", str(ddl["value"]).strip("'\"")
+                    )
             elif ddl["op"] == "detach_table":
                 self.detach_table(ddl["name"], if_exists=ddl["if_exists"])
             elif ddl["op"] == "attach_table":

@@ -36,6 +36,7 @@ import uuid as _uuid
 from pyspark.sql import types as T
 
 _MODULE_START = _time.time()
+_SERVER_UUID = str(_uuid.uuid4())  # stable for the process, like CH's serverUUID
 
 
 def _remote_table(db: str | None, table: str | None, db2: str | None = None) -> str:
@@ -94,7 +95,9 @@ _TUNING_QUERY_SETTINGS = frozenset(
 # Result-changing per-query SETTINGS the ENGINE knows how to route (see
 # Engine._route_query_settings): listed here so the refusal message can say
 # "run this through Engine.sql" instead of a generic unknown-setting error.
-_SEMANTIC_QUERY_SETTINGS = frozenset({"final", "limit", "offset", "join_use_nulls"})
+_SEMANTIC_QUERY_SETTINGS = frozenset(
+    {"final", "limit", "offset", "join_use_nulls", "max_result_rows"}
+)
 
 
 def parse_query_settings(spec: str) -> dict[str, str]:
@@ -313,14 +316,22 @@ _REWRITES = [
          "varpop": "var_pop(", "varsamp": "var_samp(",
      }[m.group(1).lower()]),
     # quantileExactLow/High: EXACT element picks from the sorted multiset
-    # (CH's contract — low/high median for even n, never interpolated):
-    # Low = element ceil(n*p) (1-based, floored at 1), High = element
-    # floor(n*p)+1 (capped at n)
+    # (CH's contract — low/high median for even n, never interpolated).
+    # Low: CH special-cases level 0.5 to the LOWER median (1-based
+    # ceil(n/2)); every other level is 0-based floor(n*level), i.e.
+    # 1-based floor(n*level)+1 capped at n — the round-5 advisory caught
+    # ceil(n*p) picking one element early exactly when n*p is integral
+    # (quantileExactLow(0.25) over 8 rows: CH element 3, ceil gave 2).
+    # High = element floor(n*p)+1 (capped at n).
     (
         re.compile(r"\bquantileExactLow\(([0-9.]+)\)\(([^()]*)\)", re.IGNORECASE),
         lambda m: (
             f"element_at(array_sort(collect_list({m.group(2)})), "
             f"greatest(CAST(ceil(count({m.group(2)}) * {m.group(1)}) AS INT), 1))"
+            if float(m.group(1)) == 0.5
+            else f"element_at(array_sort(collect_list({m.group(2)})), "
+            f"greatest(least(CAST(floor(count({m.group(2)}) * {m.group(1)}) AS INT) + 1, "
+            f"CAST(count({m.group(2)}) AS INT)), 1))"
         ),
     ),
     (
@@ -522,10 +533,14 @@ _REWRITES = [
     # (x, y) [NOT] IN ((a, b), (c, d)) — CH tuple-IN. Spark rejects the
     # spelling on struct field-name mismatch (left fields take the column
     # names, right tuples get col1/col2), so it expands to the equality
-    # disjunction. Constrained grammar: paren-free tuple elements.
+    # disjunction. Constrained grammar: paren-free tuple elements. The
+    # left paren must start an expression — the (?<!\w) lookbehind keeps a
+    # function's argument list (`f(a, b) IN ...`, ill-typed but
+    # parseable) from silently rewriting into `f((a = 1 AND b = 2))`
+    # (round-5 advisory).
     (
         re.compile(
-            r"\(([^()]+,[^()]+)\)\s+(NOT\s+)?IN\s*"
+            r"(?<!\w)\(([^()]+,[^()]+)\)\s+(NOT\s+)?IN\s*"
             r"\((\s*\([^()]+\)(?:\s*,\s*\([^()]+\))*\s*)\)",
             re.IGNORECASE,
         ),
@@ -614,6 +629,26 @@ _REWRITES = [
     (
         re.compile(r"\b(?:queryID|initialQueryID)\(\s*\)", re.IGNORECASE),
         lambda m: f"'{_uuid.uuid4()}'",
+    ),
+    # serverUUID is stable for a server's lifetime — here, the process
+    (
+        re.compile(r"\bserverUUID\(\s*\)", re.IGNORECASE),
+        lambda m: f"'{_SERVER_UUID}'",
+    ),
+    # sumKahan: compensated summation — Spark's sum is the same contract
+    # (accurate double aggregation); name-alias, documented deviation from
+    # CH's exact Kahan compensation order
+    (re.compile(r"\bsumKahan\(", re.IGNORECASE), "sum("),
+    # toJSONString(complex) == to_json; Spark rejects bare scalars (CH
+    # accepts them) — loud there, correct for arrays/maps/structs
+    (re.compile(r"\btoJSONString\(", re.IGNORECASE), "to_json("),
+    # 1-arg trunc/truncate: numeric truncation toward zero (Spark's own
+    # trunc is the DATE truncation, so the bare-numeric form must move to
+    # the truncate(x, n) SQL UDF). Conservative single-argument match:
+    # no commas / nested parens in the argument.
+    (
+        re.compile(r"\btrunc(?:ate)?\(\s*([^(),]+?)\s*\)", re.IGNORECASE),
+        r"truncate(\1, 0)",
     ),
     (re.compile(r"\bcurrentUser\(\s*\)", re.IGNORECASE), "'default'"),
     # GROUP BY k1, k2 WITH TOTALS == GROUPING SETS ((k1,k2), ()) — the

@@ -146,6 +146,155 @@ def _erf_body() -> str:
     return f"sign(x) * (1.0D - ({poly}) * {t} * exp(-x * x))"
 
 
+def _round6_probe_entries() -> list[tuple[str, str, str, str]]:
+    """Round-6 probe-driven vocabulary (tools/probe13.py): integer
+    exponentials, CH rounding ladders, vector norm/distance spellings,
+    JSON path predicates, URL/IPv6 helpers, bit distance, and the
+    remaining hash-name family (same documented xxhash64 deviation as
+    cityHash64). All inlined SQL UDFs — native expressions."""
+    l1 = "aggregate({a}, CAST(0.0 AS DOUBLE), (__a, __x) -> __a + abs(__x))"
+    l2sq = "aggregate({a}, CAST(0.0 AS DOUBLE), (__a, __x) -> __a + __x * __x)"
+    linf = "coalesce(array_max(transform({a}, __x -> abs(__x))), CAST(0.0 AS DOUBLE))"
+    diff = "zip_with(a, b, (__x, __y) -> __x - __y)"
+    # JSON string values need re-quoting before wrapping (get_json_object
+    # strips quotes from string matches); chr(92) spells backslash without
+    # a literal-escaping fight
+    jv = "get_json_object(j, p)"
+    jq_requote = (
+        "CASE WHEN substr(" + jv + ", 1, 1) IN ('[', '" + chr(123) + "') "
+        f"OR {jv} RLIKE '^-?[0-9]' "
+        f"OR {jv} IN ('true', 'false', 'null') THEN {jv} "
+        f"ELSE concat('\"', replace(replace({jv}, chr(92), concat(chr(92), chr(92))), "
+        f"'\"', concat(chr(92), '\"')), '\"') END"
+    )
+    return [
+        # -- integer exponentials (exact: no double round-trip) ------------
+        ("intExp2", "(n INT)", "BIGINT", "shiftleft(CAST(1 AS BIGINT), n)"),
+        (
+            "intExp10",
+            "(n INT)",
+            "BIGINT",
+            "CASE WHEN n <= 0 THEN 1 ELSE aggregate(sequence(1, n), "
+            "CAST(1 AS BIGINT), (__a, __x) -> __a * 10) END",
+        ),
+        # -- CH rounding ladders (values straight from the CH docs) -------
+        (
+            "roundAge",
+            "(x BIGINT)",
+            "BIGINT",
+            "CASE WHEN x < 1 THEN 0 WHEN x <= 17 THEN 17 WHEN x <= 24 THEN 18 "
+            "WHEN x <= 34 THEN 25 WHEN x <= 44 THEN 35 WHEN x <= 54 THEN 45 "
+            "ELSE 55 END",
+        ),
+        (
+            "roundDuration",
+            "(x BIGINT)",
+            "BIGINT",
+            "CASE WHEN x < 1 THEN 0 WHEN x < 10 THEN 1 WHEN x < 30 THEN 10 "
+            "WHEN x < 60 THEN 30 WHEN x < 120 THEN 60 WHEN x < 180 THEN 120 "
+            "WHEN x < 240 THEN 180 WHEN x < 300 THEN 240 WHEN x < 600 THEN 300 "
+            "WHEN x < 1200 THEN 600 WHEN x < 1800 THEN 1200 WHEN x < 3600 THEN 1800 "
+            "WHEN x < 7200 THEN 3600 WHEN x < 18000 THEN 7200 "
+            "WHEN x < 36000 THEN 18000 ELSE 36000 END",
+        ),
+        # truncate toward zero with scale (trunc(x) 1-arg routes here via
+        # the compat rewrite — Spark's trunc is the DATE truncation)
+        (
+            "truncate",
+            "(x DOUBLE, n INT)",
+            "DOUBLE",
+            "CAST(CAST(x * power(10, n) AS BIGINT) AS DOUBLE) / power(10, n)",
+        ),
+        # -- dates ---------------------------------------------------------
+        # inverse of toDaysSinceYearZero (anchor: 2026-01-01 = day 739982,
+        # pinned by the forward function's golden)
+        (
+            "fromDaysSinceYearZero",
+            "(n BIGINT)",
+            "DATE",
+            "date_add(DATE'2026-01-01', CAST(n - 739982 AS INT))",
+        ),
+        ("UTCTimestamp", "()", "TIMESTAMP", "to_utc_timestamp(now(), current_timezone())"),
+        # the engine stores one timezone per session — every value's zone
+        # IS the session zone (CH reports the column's zone the same way)
+        ("timezoneOf", "(t TIMESTAMP)", "STRING", "current_timezone()"),
+        # -- vector norms / distances (CH's array* spellings) --------------
+        ("arrayL1Norm", "(a ARRAY<DOUBLE>)", "DOUBLE", l1.format(a="a")),
+        ("arrayL2Norm", "(a ARRAY<DOUBLE>)", "DOUBLE", f"sqrt({l2sq.format(a='a')})"),
+        ("arrayLinfNorm", "(a ARRAY<DOUBLE>)", "DOUBLE", linf.format(a="a")),
+        ("arrayL1Distance", "(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>)", "DOUBLE", l1.format(a=diff)),
+        (
+            "arrayL2Distance",
+            "(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>)",
+            "DOUBLE",
+            f"sqrt({l2sq.format(a=diff)})",
+        ),
+        ("arrayLinfDistance", "(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>)", "DOUBLE", linf.format(a=diff)),
+        (
+            "arrayCosineDistance",
+            "(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>)",
+            "DOUBLE",
+            "cosineDistance(a, b)",
+        ),
+        ("dotProduct", "(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>)", "DOUBLE", "arrayDotProduct(a, b)"),
+        (
+            "arrayCumSumNonNegative",
+            "(arr ARRAY<DOUBLE>)",
+            "ARRAY<DOUBLE>",
+            "aggregate(arr, struct(CAST(array() AS ARRAY<DOUBLE>) AS out, "
+            "CAST(0.0 AS DOUBLE) AS acc), (__s, __x) -> struct("
+            "concat(__s.out, array(greatest(__s.acc + __x, CAST(0.0 AS DOUBLE)))), "
+            "greatest(__s.acc + __x, CAST(0.0 AS DOUBLE))), __s -> __s.out)",
+        ),
+        # -- JSON path predicates (SQL/JSON spellings over get_json_object)
+        (
+            "JSON_EXISTS",
+            "(j STRING, p STRING)",
+            "INT",
+            "CAST(get_json_object(j, p) IS NOT NULL AS INT)",
+        ),
+        (
+            "JSON_QUERY",
+            "(j STRING, p STRING)",
+            "STRING",
+            "CASE WHEN get_json_object(j, p) IS NULL THEN NULL ELSE "
+            "concat('[', " + jq_requote + ", ']') END",
+        ),
+        # -- URL / IP ------------------------------------------------------
+        (
+            "extractURLParameters",
+            "(u STRING)",
+            "ARRAY<STRING>",
+            "filter(split(coalesce(parse_url(u, 'QUERY'), ''), '&'), __x -> __x <> '')",
+        ),
+        (
+            "isIPv6String",
+            "(s STRING)",
+            "INT",
+            "CAST(s RLIKE '^([0-9A-Fa-f]{0,4}:){1,7}[0-9A-Fa-f]{0,4}$' "
+            "AND s RLIKE ':' AS INT)",
+        ),
+        (
+            "IPv4ToIPv6",
+            "(n BIGINT)",
+            "STRING",
+            # dotted-quad inlined (IPv4NumToString is a compat rewrite, not
+            # a UDF — not referenceable from a UDF body)
+            "concat('::ffff:', CAST(shiftright(n, 24) & 255 AS STRING), '.', "
+            "CAST(shiftright(n, 16) & 255 AS STRING), '.', "
+            "CAST(shiftright(n, 8) & 255 AS STRING), '.', CAST(n & 255 AS STRING))",
+        ),
+        # -- bits ----------------------------------------------------------
+        ("bitHammingDistance", "(a BIGINT, b BIGINT)", "INT", "CAST(bit_count(a ^ b) AS INT)"),
+        # -- hash-name family: stable-64-bit CONTRACT, xxhash64 values
+        # (same documented deviation as cityHash64/sipHash64 above) -------
+        ("murmurHash2_64", "(s STRING)", "BIGINT", "xxhash64(s)"),
+        ("murmurHash3_64", "(s STRING)", "BIGINT", "xxhash64(s)"),
+        # hiveHash: Spark's hash() IS Hive-compatible murmur3-32 over rows
+        ("hiveHash", "(s STRING)", "INT", "hash(s)"),
+    ]
+
+
 def _round5_probe_entries() -> list[tuple[str, str, str, str]]:
     """Round-5 probe-driven vocabulary: date parts/truncations with modes,
     exact gcd/lcm/javaHash (pinned against Python in tests), CH-arg-order
@@ -795,7 +944,7 @@ def register_sql_functions(spark: SparkSession) -> None:
         # indexOf: 1-based, 0 when absent (array_position's exact contract);
         # non-string arrays reach it through Spark's implicit element cast
         ("indexOf", "(arr ARRAY<STRING>, x STRING)", "INT", "CAST(coalesce(array_position(arr, x), 0) AS INT)"),
-    ] + _round5_probe_entries():
+    ] + _round5_probe_entries() + _round6_probe_entries():
         spark.sql(
             f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{sig} RETURNS {ret} RETURN {body}"
         )

@@ -39,15 +39,13 @@ from pyspark.sql import functions as F
 from clickhousedatamocker_spark.operators.text_analysis import tokens
 
 
-def bm25_postings(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> tuple[DataFrame, int, float]:
-    """(postings, n_docs, avgdl): postings = one row per (doc, term) with
-    term frequency ``tf`` and the doc's token length ``dl``.
-
-    Empty-string tokens (doubled spaces) are dropped so ``dl`` and the
-    DuckDB twin count identically. One shuffle; N/avgdl are driver scalars.
-    """
+def _postings_and_counts(
+    docs: DataFrame, text_col: str, id_col: str
+) -> tuple[DataFrame, int, int]:
+    """(postings, n_docs, total_dl): the shared build primitive. total_dl
+    is the EXACT integer token-count sum, so index increments can merge
+    corpus stats losslessly (avgdl = total_dl / n_docs reconstructs the
+    one-shot double exactly — both are the same sum/count division)."""
     tok = F.filter(tokens(text_col), lambda t: t != "")
     base = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -59,9 +57,22 @@ def bm25_postings(
     )
     stats = docs.select(
         F.count("*").cast("long").alias("n"),
-        F.avg(F.size(F.filter(tokens(text_col), lambda t: t != ""))).alias("avgdl"),
+        F.sum(F.size(F.filter(tokens(text_col), lambda t: t != "")).cast("long")).alias("tot"),
     ).first()
-    return postings, int(stats["n"]), float(stats["avgdl"])
+    return postings, int(stats["n"]), int(stats["tot"] or 0)
+
+
+def bm25_postings(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, int, float]:
+    """(postings, n_docs, avgdl): postings = one row per (doc, term) with
+    term frequency ``tf`` and the doc's token length ``dl``.
+
+    Empty-string tokens (doubled spaces) are dropped so ``dl`` and the
+    DuckDB twin count identically. One shuffle; N/avgdl are driver scalars.
+    """
+    postings, n, tot = _postings_and_counts(docs, text_col, id_col)
+    return postings, n, tot / n if n else 0.0
 
 
 def _score(n_docs: int, avgdl: float, k1: float, b: float):
@@ -155,15 +166,61 @@ def build_bm25_index(
     """Persist the postings partitioned by term-hash bucket; returns the
     sidecar stats. Build cost is the corpus explode paid ONCE; every
     query afterwards partition-prunes to its terms' buckets."""
-    postings, n_docs, avgdl = bm25_postings(docs, text_col, id_col)
+    postings, n_docs, total_dl = _postings_and_counts(docs, text_col, id_col)
     (
         postings.withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(path)
     )
-    meta = {"n_docs": n_docs, "avgdl": avgdl, "n_buckets": n_buckets}
+    meta = {
+        "n_docs": n_docs,
+        "avgdl": total_dl / n_docs if n_docs else 0.0,
+        "total_dl": total_dl,
+        "n_buckets": n_buckets,
+    }
     with open(os.path.join(path, "_bm25_meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
+def bm25_index_add(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Incrementally add documents to a :func:`build_bm25_index` directory —
+    the maintenance path that makes steady-state corpus growth O(batch)
+    instead of a full postings rebuild (the ANN analog is
+    ``similarity.ann_index_add``).
+
+    The batch's postings APPEND into the same term-hash bucket partitions
+    (only the batch is exploded/shuffled; existing bucket files are never
+    rewritten), and the sidecar merges losslessly: n_docs adds, total_dl
+    (exact integer token sum) adds, avgdl = total_dl / n_docs — identical
+    to the one-shot value because both are the same sum/count division.
+    df needs no sidecar at all: it aggregates at query time over the hit
+    postings, so appended rows update it by construction. Increment ==
+    one-shot identity is pinned by test.
+
+    Caller contract: ids in ``new_docs`` must be new (re-adding a doc would
+    double its postings — same contract as ann_index_add)."""
+    meta_path = os.path.join(path, "_bm25_meta.json")
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    postings, n_new, dl_new = _postings_and_counts(new_docs, text_col, id_col)
+    (
+        postings.withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(meta["n_buckets"])))
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+    meta["n_docs"] += n_new
+    meta["total_dl"] = int(meta.get("total_dl", round(meta["avgdl"] * (meta["n_docs"] - n_new)))) + dl_new
+    meta["avgdl"] = meta["total_dl"] / meta["n_docs"] if meta["n_docs"] else 0.0
+    with open(meta_path, "w") as fh:
         json.dump(meta, fh)
     return meta
 

@@ -1230,3 +1230,51 @@ def bm25_search_profile(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents")
     return bm25_search(docs, _BM25_QUERY, k=20)
+
+
+# -------------------------------------------------------------------------
+@register(
+    "pipeline_select_dedup_pack",
+    None,  # rows-only (graded window full); the conservation law packed
+    # tokens == survivors' tokens + eos markers is pinned by
+    # tests/test_corpus_ops.py::test_pipeline_select_dedup_pack_conserves_tokens
+    description="The composed training-data run the individual operators "
+    "exist for: DSIR-select the top 50% most target-like docs (hashed "
+    "uni+bigram models, row-local scoring) -> MinHash-LSH near-dup pairs "
+    "over the SELECTED slice -> connected components -> one canonical doc "
+    "per dup cluster -> GPT-style pack into exact 512-token sequences "
+    "(16 shards). Composition is where MV/streaming bugs historically "
+    "hid; this chains selection, dedup and packing in one lineage. "
+    "Report: per-shard sequence/token/full-sequence counts. Scale: "
+    "selection is a sort-limit, dedup touches only the selected slice, "
+    "packing state is one shard's stream.",
+)
+def pipeline_select_dedup_pack(spark, sf_dir):
+    from clickhousedatamocker_spark.operators.corpus import pack_token_sequences
+    from clickhousedatamocker_spark.operators.dedup import (
+        fuzzy_dedup_canonical,
+        minhash_lsh_pairs,
+    )
+    from clickhousedatamocker_spark.operators.importance import (
+        dsir_select,
+        train_hashed_ngram_model,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source") == "src0")
+    tm = train_hashed_ngram_model(target, num_buckets=4096)
+    bm = train_hashed_ngram_model(docs, num_buckets=4096)
+    # persist: the selected slice feeds BOTH the pair join and the packing
+    selected = dsir_select(docs, tm, bm, keep_fraction=0.5).persist()
+    pairs = minhash_lsh_pairs(selected, threshold=0.5)
+    survivors = fuzzy_dedup_canonical(selected, pairs)
+    return (
+        pack_token_sequences(survivors, seq_len=512, n_shards=16)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_sequences"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.count_if(F.col("n_tokens") == 512).alias("n_full"),
+        )
+        .orderBy("shard")
+    )

@@ -73,12 +73,13 @@ SMOKE_KEYS = (
 )
 
 
-def _replicate(spark, src: str, dst: str, shifts: dict[str, int], text_col: str | None = None):
-    """10x a fact table: crossJoin with range(REPLICAS), shift key columns."""
+def _replicate(spark, src: str, dst: str, shifts: dict[str, int], text_col: str | None = None,
+               n_replicas: int = REPLICAS):
+    """Nx a fact table: crossJoin with range(n_replicas), shift key columns."""
     from pyspark.sql import functions as F
 
     df = spark.read.parquet(src)
-    r = spark.range(REPLICAS).withColumnRenamed("id", "__replica")
+    r = spark.range(n_replicas).withColumnRenamed("id", "__replica")
     out = df.crossJoin(r)
     for col, step in shifts.items():
         out = out.withColumn(col, F.col(col) + F.col("__replica") * F.lit(step))
@@ -148,6 +149,45 @@ def main() -> None:
         print(f"{name:32s} {elapsed:7.3f}s  ({elapsed / base:4.1f}x of sf0.1)  {rows} rows",
               file=sys.stderr)
 
+    # --- second decade (round-6 verdict ask #6): the gram-space scalers.
+    # At ONE decade "linear in grams" and "superlinear in docs" are
+    # indistinguishable; a second point (documents-only 30x = sf3)
+    # separates them: linear => sf3/sf1 ratio ~= 3. Only documents.parquet
+    # is built — these two queries read nothing else.
+    REPLICAS2 = 30
+    gram_keys = ("crossdoc_dup_span_profile", "dedup_span_removal_profile")
+    dst2 = os.environ.get("SPARK_GRAFT_SF3_DIR", "/tmp/spark_graft_sf3_docs")
+    os.makedirs(dst2, exist_ok=True)
+    if "--rebuild" in sys.argv or not os.path.exists(os.path.join(dst2, "documents.parquet")):
+        t0 = time.perf_counter()
+        _replicate(
+            spark,
+            os.path.join(src_dir, "documents.parquet"),
+            os.path.join(dst2, "documents.parquet"),
+            {"doc_id": KEY_OFFSET},
+            text_col="text",
+            n_replicas=REPLICAS2,
+        )
+        print(f"built sf3 documents at {dst2} in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    decade2: dict[str, dict] = {}
+    for name in gram_keys:
+        fn = REGISTRY[name].fn
+        fn(spark, dst2).count()  # warm-up
+        t0 = time.perf_counter()
+        rows = fn(spark, dst2).count()
+        elapsed = time.perf_counter() - t0
+        sf1_sec = results[name]["sec"]
+        decade2[name] = {
+            "rows": rows,
+            "sec": round(elapsed, 3),
+            "sf1_sec": sf1_sec,
+            "ratio_3x_data": round(elapsed / sf1_sec, 1) if sf1_sec else None,
+        }
+        print(
+            f"{name:32s} sf3 {elapsed:7.3f}s  ({elapsed / sf1_sec:4.1f}x of sf1)  {rows} rows",
+            file=sys.stderr,
+        )
+
     total = round(sum(r["sec"] for r in results.values()), 3)
     out = {
         "sf": 1.0,
@@ -158,6 +198,7 @@ def main() -> None:
         "loadavg_1m": round(load1, 2),
         "loadavg_5m": round(load5, 2),
         "queries": results,
+        "gram_second_decade_sf3": decade2,
     }
     print(json.dumps(out))
 
@@ -174,6 +215,20 @@ def main() -> None:
     for name, r in results.items():
         lines.append(
             f"| {name} | {r['sf0.1_sec']} | {r['sec']} | {r['ratio_10x_data']}x | {r['rows']} |"
+        )
+    lines += [
+        "",
+        "## Gram-space scalers: second decade (documents-only sf3, 30x sf0.1)",
+        "",
+        "Separates 'linear in grams' from 'superlinear in docs': a linear",
+        "operator shows ~3x at 3x the sf1 corpus.",
+        "",
+        "| query | sf1 sec | sf3 sec | ratio (3x data) | sf3 rows |",
+        "|---|---|---|---|---|",
+    ]
+    for name, r in decade2.items():
+        lines.append(
+            f"| {name} | {r['sf1_sec']} | {r['sec']} | {r['ratio_3x_data']}x | {r['rows']} |"
         )
     lines += [
         "",

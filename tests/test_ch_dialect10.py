@@ -80,6 +80,22 @@ def test_columns_regex_selector(eng):
     assert eng.sql("SELECT count() AS a FROM (SELECT COLUMNS('^l_') FROM ct10)").first()["a"] == 1
     with pytest.raises(ValueError):
         eng.sql("SELECT COLUMNS('^zzz') FROM ct10")
+    # round-5 advisory: with MORE than one named table the selector cannot
+    # know which SELECT it belongs to — refuse loudly, never expand the
+    # wrong table's columns
+    eng.sql(
+        "CREATE TABLE ct10b (r_a UInt32, r_b UInt32) ENGINE = MergeTree ORDER BY r_a"
+    )
+    eng.sql("INSERT INTO ct10b VALUES (7, 8)")
+    with pytest.raises(NotImplementedError, match="exactly ONE named table"):
+        eng.sql(
+            "SELECT COLUMNS('^l_') FROM ct10 JOIN ct10b ON ct10.l_a = ct10b.r_a"
+        )
+    with pytest.raises(NotImplementedError, match="exactly ONE named table"):
+        eng.sql(
+            "SELECT COLUMNS('^l_') FROM ct10 "
+            "WHERE l_a IN (SELECT r_a FROM ct10b)"
+        )
 
 
 # -- string similarity + date-arithmetic batch --------------------------------

@@ -133,6 +133,22 @@ def test_system_numbers_limit_bounded(eng):
         eng.sql("SELECT count() AS c FROM system.numbers")
 
 
+def test_system_numbers_offset_and_where_semantics(eng):
+    """CH applies LIMIT after OFFSET, so the bound must cover both; a WHERE
+    over the stream cannot be bounded by LIMIT at all (round-5 advisory:
+    the old max-LIMIT bound silently returned 0 rows for LIMIT 10 OFFSET
+    100 and half the rows for a filtered stream)."""
+    rows = eng.sql(
+        "SELECT number FROM system.numbers LIMIT 10 OFFSET 100"
+    ).collect()
+    assert [r["number"] for r in rows] == list(range(100, 110))
+    # CH's comma form: LIMIT offset, n
+    rows = eng.sql("SELECT number FROM system.numbers LIMIT 7, 3").collect()
+    assert [r["number"] for r in rows] == [7, 8, 9]
+    with pytest.raises(NotImplementedError, match="numbers\\(N\\)"):
+        eng.sql("SELECT number FROM system.numbers WHERE number % 2 = 0 LIMIT 10")
+
+
 def test_access_control_statements_gate_loudly(eng):
     for stmt in [
         "GRANT SELECT ON *.* TO user1",

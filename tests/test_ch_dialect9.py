@@ -57,6 +57,13 @@ def test_tuple_in_expansion(eng):
         eng,
         "SELECT count() AS a FROM numbers(10) WHERE (number, number) NOT IN ((1, 1))",
     ) == 9
+    # a function's argument list is NOT a tuple-IN left side (round-5
+    # advisory): the rewrite must leave `f(a, b) IN (...)` alone
+    from clickhousedatamocker_spark.functions.compat import translate_ch_sql
+
+    assert "greatest(number, number) IN ((1,2))" in translate_ch_sql(
+        "SELECT greatest(number, number) IN ((1,2)) AS z FROM numbers(3)"
+    )
     # scalar IN subqueries are untouched by the tuple rewrite
     assert one(
         eng,
@@ -199,6 +206,14 @@ def test_quantile_exact_low_high_are_element_picks(eng):
     assert one(eng, f"SELECT quantileExactLow(0)(x) AS a {vals}") == 1
     assert one(eng, f"SELECT quantileExactLow(1)(x) AS a {vals}") == 4
     assert one(eng, f"SELECT quantileExactHigh(1)(x) AS a {vals}") == 4
+    # round-5 advisory golden: integral level*size — CH's 0-based
+    # floor(level*size) means quantileExactLow(0.25) over 8 rows is the
+    # THIRD element, not the second
+    vals8 = "FROM VALUES (1), (2), (3), (4), (5), (6), (7), (8) AS t(x)"
+    assert one(eng, f"SELECT quantileExactLow(0.25)(x) AS a {vals8}") == 3
+    assert one(eng, f"SELECT quantileExactLow(0.75)(x) AS a {vals8}") == 7
+    # non-integral level*size still picks floor+1 (0-based floor)
+    assert one(eng, f"SELECT quantileExactLow(0.3)(x) AS a {vals8}") == 3
 
 
 def test_histogram_and_stat_test_gates(eng):

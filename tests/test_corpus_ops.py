@@ -494,3 +494,46 @@ def test_split_corpus_deterministic_and_matches_duckdb(spark):
 
     with __import__("pytest").raises(ValueError, match="sum to 1"):
         split_corpus(docs, {"a": 0.5})
+
+
+def test_pipeline_select_dedup_pack_conserves_tokens(spark):
+    """The composed select->dedup->pack pipeline conserves tokens: every
+    packed sequence token is a survivor doc's token or its eos marker —
+    sum(packed n_tokens) == sum over survivors of (doc tokens + 1)."""
+    from clickhousedatamocker_spark.operators.corpus import pack_token_sequences
+    from clickhousedatamocker_spark.operators.dedup import (
+        fuzzy_dedup_canonical,
+        minhash_lsh_pairs,
+    )
+    from clickhousedatamocker_spark.operators.importance import (
+        dsir_select,
+        train_hashed_ngram_model,
+    )
+    from clickhousedatamocker_spark.queries import REGISTRY
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    target = docs.filter(F.col("source") == "src0")
+    tm = train_hashed_ngram_model(target, num_buckets=4096)
+    bm = train_hashed_ngram_model(docs, num_buckets=4096)
+    selected = dsir_select(docs, tm, bm, keep_fraction=0.5).persist()
+    pairs = minhash_lsh_pairs(selected, threshold=0.5)
+    survivors = fuzzy_dedup_canonical(selected, pairs)
+
+    n_sel = selected.count()
+    n_surv = survivors.count()
+    assert n_sel == max(1, round(docs.count() * 0.5))
+    assert 0 < n_surv <= n_sel
+
+    packed = pack_token_sequences(survivors, seq_len=512, n_shards=16)
+    packed_tokens = packed.agg(F.sum("n_tokens")).first()[0]
+    doc_tokens = survivors.select(
+        (F.size(F.split("text", " ")) + 1).alias("n")
+    ).agg(F.sum("n")).first()[0]
+    assert packed_tokens == doc_tokens
+
+    # the registered profile runs and agrees on the totals
+    prof = REGISTRY["pipeline_select_dedup_pack"].fn(spark, sf_dir)
+    rows = prof.collect()
+    assert sum(r["n_tokens"] for r in rows) == doc_tokens
+    assert set(prof.columns) == {"shard", "n_sequences", "n_tokens", "n_full"}

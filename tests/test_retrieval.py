@@ -72,6 +72,40 @@ def test_bm25_indexed_identity_and_pruned_plan(spark, docs, tmp_path):
     assert "PushedFilters" in plan and "term" in plan
 
 
+def test_bm25_index_add_matches_oneshot(spark, docs, tmp_path):
+    """Incremental index maintenance: build on half the corpus, add the
+    other half -> query results AND sidecar stats identical to a one-shot
+    build over everything (avgdl merges losslessly via exact total_dl)."""
+    from clickhousedatamocker_spark.operators.retrieval import bm25_index_add
+
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+
+    inc_path = str(tmp_path / "bm25_inc")
+    build_bm25_index(half_a, inc_path, n_buckets=32)
+    meta_inc = bm25_index_add(spark, inc_path, half_b)
+
+    full_path = str(tmp_path / "bm25_full")
+    meta_full = build_bm25_index(docs, full_path, n_buckets=32)
+
+    assert meta_inc["n_docs"] == meta_full["n_docs"]
+    assert meta_inc["total_dl"] == meta_full["total_dl"]
+    assert meta_inc["avgdl"] == meta_full["avgdl"]
+
+    got = [tuple(r) for r in bm25_query_indexed(spark, inc_path, QUERY, k=15).collect()]
+    want = [tuple(r) for r in bm25_query_indexed(spark, full_path, QUERY, k=15).collect()]
+    assert got == want and len(got) == 15
+
+    # the pruned-read property survives increments
+    plan = (
+        bm25_query_indexed(spark, inc_path, QUERY, k=15)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert any("PartitionFilters" in ln and "bucket" in ln for ln in plan.split("\n"))
+
+
 def test_bm25_empty_query_refuses(spark, docs, tmp_path):
     with pytest.raises(ValueError, match="no tokens"):
         bm25_search(docs, "   ")

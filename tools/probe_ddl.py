@@ -1,4 +1,5 @@
-"""Scratch probe 2 (untracked): DDL / statement / type-level CH surface."""
+"""Dev tool: probe the DDL / statement / type-level CH surface through
+Engine.sql. Not part of the package surface; run from the repo root."""
 
 import os
 

@@ -1,6 +1,7 @@
-"""Scratch probe (untracked): run candidate CH spellings through Engine.sql
-and report which fail — drives the next dialect batch. Not part of the repo
-surface; deleted before the round ends."""
+"""Dev tool: run candidate CH spellings through Engine.sql and report which
+fail — drives the next dialect batch. Not part of the package surface; run
+from the repo root (`python tools/probe_dialect.py`). Cases that pass get
+promoted into tests/test_ch_dialectN.py goldens."""
 
 import os
 import sys
