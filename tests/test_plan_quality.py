@@ -335,3 +335,25 @@ def test_ann_xengine_is_bucketed_equijoin(spark):
     assert "BroadcastNestedLoopJoin" not in plan, "ANN fell back to a cross join"
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan  # query-side broadcast into the buckets
+
+
+def test_semantic_profile_plan_is_hash_equijoin(spark):
+    """The graded SemDeDup profile's intra-cluster pair join must plan as a
+    hash equi-join on cid — never cartesian/BNLJ (the quadratic trap)."""
+    plan = plan_of(REGISTRY["dedup_semantic_profile"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dsir_xengine_scoring_is_row_local(spark):
+    """The xengine DSIR score projection (rolling-poly buckets + literal
+    log-ratio lookup) must add ZERO exchanges over the scan — scoring is
+    row-local by design."""
+    from clickhousedatamocker_spark.operators.importance import dsir_score
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    model = [1.0 / 64] * 64
+    scored = dsir_score(docs, model, model, use_xengine_hash=True)
+    plan = plan_of(scored)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
