@@ -678,9 +678,23 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """Connected components of the near-dup pair graph → ``(node, component)``
     where component = min node id reachable (the canonical doc id).
+
+    Adaptive execution (the AQE-broadcast-threshold idea applied to graph
+    iteration): the edge list is the NEAR-DUP MASS — orders of magnitude
+    below the corpus — and its size is known after one cheap count. At or
+    under ``driver_threshold`` edges (default 100k ≈ a few MB) the
+    iterative plan is pure scheduling overhead: each propagation round
+    costs two joins + a materialization + an action, seconds of fixed
+    latency for a graph union-find resolves in milliseconds. So small
+    graphs run exact union-find on the driver (same (node, min-reachable)
+    output, pinned equal by test), and only above the threshold does the
+    distributed propagation below engage — at 100 TB, where it is the
+    right shape. Pass ``driver_threshold=0`` to force the distributed
+    path.
 
     Min-label propagation WITH pointer doubling: each round every node takes
     min(own label, neighbors' labels, its label's label). The label-of-label
@@ -710,6 +724,35 @@ def connected_components(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     ).union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
     edges = edges.distinct().cache()
+    n_edges = edges.count()
+    if n_edges <= driver_threshold:
+        rows = edges.collect()  # bounded by driver_threshold — a few MB max
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in rows:
+            a, b = r["src"], r["dst"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # min-label union keeps component == min reachable node
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        out = [(n, find(n)) for n in parent]
+        edges.unpersist()
+        spark = pairs.sparkSession
+        schema = pairs.select(
+            F.col(id_a).alias("node"), F.col(id_a).alias("component")
+        ).schema
+        return spark.createDataFrame(out, schema)
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()

@@ -110,15 +110,37 @@ def test_connected_components_known_graph(spark):
 
 
 def test_connected_components_long_chain_converges(spark):
-    """A 200-node path graph (diameter 199) must fully merge: pointer
-    doubling converges in O(log d) rounds where plain propagation would
-    silently under-merge past max_iter=20."""
+    """A 200-node path graph (diameter 199) must fully merge on BOTH
+    execution paths: driver union-find (small graphs) and distributed
+    pointer doubling (O(log d) rounds — plain propagation silently
+    under-merged past max_iter=20)."""
     from clickhousedatamocker_spark.operators.dedup import connected_components
 
     pairs = spark.createDataFrame([(i, i + 1) for i in range(199)], ["id_a", "id_b"])
-    comp = connected_components(pairs).collect()
-    assert len(comp) == 200
-    assert {r["component"] for r in comp} == {0}
+    for thr in (100_000, 0):  # driver path, then forced-distributed path
+        comp = connected_components(pairs, driver_threshold=thr).collect()
+        assert len(comp) == 200
+        assert {r["component"] for r in comp} == {0}
+
+
+def test_connected_components_driver_equals_distributed(spark):
+    """The adaptive small-graph fast path must be output-identical to the
+    distributed propagation on an arbitrary multi-component graph."""
+    from clickhousedatamocker_spark.operators.dedup import connected_components
+
+    edges = [(i, (i * 7) % 40 + 100) for i in range(0, 60, 3)] + [
+        (200, 201), (201, 202), (300, 301)
+    ]
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    via_driver = {
+        (r["node"], r["component"])
+        for r in connected_components(pairs).collect()
+    }
+    via_dist = {
+        (r["node"], r["component"])
+        for r in connected_components(pairs, driver_threshold=0).collect()
+    }
+    assert via_driver == via_dist and via_driver
 
 
 def test_connected_components_raises_on_nonconvergence(spark):
@@ -128,7 +150,7 @@ def test_connected_components_raises_on_nonconvergence(spark):
     import pytest as _pytest
 
     with _pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(pairs, max_iter=2)
+        connected_components(pairs, max_iter=2, driver_threshold=0)
 
 
 def test_fuzzy_dedup_canonical_keeps_one_per_cluster(spark, docs_with_dups):
