@@ -58,16 +58,56 @@ def _gram_buckets(text_col: str | Column, num_buckets: int) -> Column:
     return F.concat(unis, bis)
 
 
+# positional-ascii word hash: prime-weighted codepoints of the first 3 and
+# last 2 characters plus the length, mod the shared 30-bit prime. O(1) per
+# word and PURE NUMERIC — no string allocation (a per-character rolling
+# fold made xengine DSIR ~20x slower than xxhash64; an md5+conv round-trip
+# was still ~5x). Both engines evaluate ascii()/substr()/right()
+# identically (ascii('') == 0 in both). Systematic collisions (words
+# sharing prefix-3, suffix-2 and length, e.g. present/prevent) are part of
+# the hashed-model scheme — DSIR buckets collide by design.
+_WH_PRIMES = (131, 1009, 7919, 104_729, 1_299_709, 15_485_863)
+
+
+def _pos_ascii_hash(c: Column):
+    from clickhousedatamocker_spark.operators.dedup import _XP
+
+    p1, p2, p3, p4, p5, p6 = _WH_PRIMES
+    return (
+        F.ascii(F.substring(c, 1, 1)) * p1
+        + F.ascii(F.substring(c, 2, 1)) * p2
+        + F.ascii(F.substring(c, 3, 1)) * p3
+        + F.ascii(F.right(c, F.lit(1))) * p4
+        + F.ascii(F.right(c, F.lit(2)).substr(1, 1)) * p5
+        + F.length(c) * p6
+    ).cast("long") % F.lit(_XP)
+
+
+def _pos_ascii_hash_duckdb(expr: str) -> str:
+    """The identical hash as a DuckDB SQL expression."""
+    from clickhousedatamocker_spark.operators.dedup import _XP
+
+    p1, p2, p3, p4, p5, p6 = _WH_PRIMES
+    return (
+        f"(CAST(ascii(substr({expr}, 1, 1)) AS BIGINT) * {p1} "
+        f"+ ascii(substr({expr}, 2, 1)) * {p2} "
+        f"+ ascii(substr({expr}, 3, 1)) * {p3} "
+        f"+ ascii(right({expr}, 1)) * {p4} "
+        f"+ ascii(substr(right({expr}, 2), 1, 1)) * {p5} "
+        f"+ length({expr}) * {p6}) % {_XP}"
+    )
+
+
 def _gram_buckets_xengine(text_col: str | Column, num_buckets: int) -> Column:
-    """Cross-engine twin of :func:`_gram_buckets`: rolling-poly word hashes
-    (the dedup._poly_hash family DuckDB can recompute) Horner-combined for
+    """Cross-engine twin of :func:`_gram_buckets`: positional-ascii word
+    hashes (DuckDB-recomputable, O(1) per word) Horner-combined for
     bigrams, mod ``num_buckets``. Single-space tokenization (string_split
     parity). Same zero-shuffle projection shape as the production path."""
-    from clickhousedatamocker_spark.operators.dedup import _XA, _XP, _poly_hash
+    from clickhousedatamocker_spark.operators.dedup import _XA, _XP
 
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     words = F.filter(F.split(c, " "), lambda w: w != F.lit(""))
-    wh = F.transform(words, lambda w: _poly_hash(w))
+    wh = F.transform(words, lambda w: _pos_ascii_hash(w))
     unis = F.transform(wh, lambda h: F.pmod(h, F.lit(num_buckets)))
     bis = F.when(
         F.size(words) >= 2,
@@ -82,6 +122,55 @@ def _gram_buckets_xengine(text_col: str | Column, num_buckets: int) -> Column:
     return F.concat(unis, bis)
 
 
+def _with_gram_buckets(
+    df: DataFrame,
+    text_col: str,
+    num_buckets: int,
+    out_col: str,
+    use_xengine_hash: bool,
+) -> DataFrame:
+    """Add ``out_col`` = the doc's gram-bucket array. The word array
+    materializes in its own projection, and the bigram combine is a
+    ``zip_with`` against a shifted slice — NEVER an ``element_at(arr,
+    i+2)`` index lambda: the optimizer inlines the array expression
+    straight through explode projections (CollapseProject + Generate
+    pushdown), and an index lookup into an inlined ``transform``
+    re-evaluates the whole word-hash array per bigram element — O(words^2)
+    hashing per document (measured 6x at sf0.1, and the reason the first
+    xengine cut took 227 s at sf1 in the scale smoke). zip_with stays
+    linear even when the array expression gets duplicated."""
+    from clickhousedatamocker_spark.operators.dedup import _XA, _XP
+
+    c = F.col(text_col)
+    empty = F.array().cast("array<bigint>")
+
+    def bigram_cat(arr, combine):
+        shifted = F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0)))
+        pairs = F.zip_with(arr, shifted, combine)  # last element pairs NULL
+        return F.when(F.size(arr) >= 2, F.slice(pairs, 1, F.size(arr) - 1)).otherwise(empty)
+
+    if use_xengine_hash:
+        words = F.filter(F.split(c, " "), lambda w: w != F.lit(""))
+        df = df.withColumn("__dsir_wh", F.transform(words, _pos_ascii_hash))
+        wh = F.col("__dsir_wh")
+        unis = F.transform(wh, lambda h: F.pmod(h, F.lit(num_buckets)))
+        bis = bigram_cat(
+            wh,
+            lambda a, b: F.pmod((a * F.lit(_XA) + b) % F.lit(_XP), F.lit(num_buckets)),
+        )
+        return df.withColumn(out_col, F.concat(unis, bis)).drop("__dsir_wh")
+    df = df.withColumn(
+        "__dsir_words", F.filter(F.split(c, r"\s+"), lambda w: w != F.lit(""))
+    )
+    words = F.col("__dsir_words")
+    unis = F.transform(words, lambda w: F.pmod(F.xxhash64(w), F.lit(num_buckets)))
+    bis = bigram_cat(
+        words,
+        lambda a, b: F.pmod(F.xxhash64(F.concat_ws(" ", a, b)), F.lit(num_buckets)),
+    )
+    return df.withColumn(out_col, F.concat(unis, bis)).drop("__dsir_words")
+
+
 def train_hashed_ngram_model(
     docs: DataFrame,
     text_col: str = "text",
@@ -92,10 +181,12 @@ def train_hashed_ngram_model(
     add-one smoothed so every bucket has nonzero mass. One shuffle of
     (bucket, count) rows; the result is driver-bounded model state.
     ``use_xengine_hash`` swaps xxhash64 for the DuckDB-recomputable
-    rolling-poly family (oracle grading)."""
-    grams = _gram_buckets_xengine if use_xengine_hash else _gram_buckets
+    positional-ascii family (oracle grading)."""
     counts = (
-        docs.select(F.explode(grams(text_col, num_buckets)).alias("b"))
+        _with_gram_buckets(
+            docs.select(F.col(text_col)), text_col, num_buckets, "__b", use_xengine_hash
+        )
+        .select(F.explode(F.col("__b")).alias("b"))
         .groupBy("b")
         .agg(F.count(F.lit(1)).alias("c"))
         .collect()
@@ -119,19 +210,22 @@ def dsir_score(
     if len(target_model) != len(background_model):
         raise ValueError("target and background models need the same bucket count")
     num_buckets = len(target_model)
-    grams = _gram_buckets_xengine if use_xengine_hash else _gram_buckets
     logratio = [
         math.log(t) - math.log(b) for t, b in zip(target_model, background_model)
     ]
     if num_buckets <= _LITERAL_MODEL_MAX:
         lr = F.lit(logratio)
-        return docs.withColumn(
-            out_col,
-            F.aggregate(
-                grams(text_col, num_buckets),
-                F.lit(0.0),
-                lambda acc, b: acc + F.element_at(lr, b.cast("int") + 1),
-            ),
+        return (
+            _with_gram_buckets(docs, text_col, num_buckets, "__dsir_b", use_xengine_hash)
+            .withColumn(
+                out_col,
+                F.aggregate(
+                    F.col("__dsir_b"),
+                    F.lit(0.0),
+                    lambda acc, b: acc + F.element_at(lr, b.cast("int") + 1),
+                ),
+            )
+            .drop("__dsir_b")
         )
     # large-model Arrow path: hashing stays JVM-side (the __b projection —
     # identical buckets to the literal path by construction); Python only
@@ -140,7 +234,7 @@ def dsir_score(
     import pandas as pd
     from pyspark.sql import types as T
 
-    with_b = docs.withColumn("__b", grams(text_col, num_buckets))
+    with_b = _with_gram_buckets(docs, text_col, num_buckets, "__b", use_xengine_hash)
     out_schema = T.StructType(docs.schema.fields + [T.StructField(out_col, T.DoubleType())])
     bc = docs.sparkSession.sparkContext.broadcast(np.asarray(logratio, dtype=np.float64))
 

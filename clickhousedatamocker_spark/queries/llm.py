@@ -1077,14 +1077,17 @@ def bpe_tokenize_profile(spark, sf_dir):
 
 # -------------------------------------------------------------------------
 def _dsir_xengine_oracle_sql(num_buckets: int = 4096, keep_fraction: float = 0.25) -> str:
-    """DuckDB SQL recomputing the ENTIRE cross-engine DSIR profile: word
-    rolling-poly hashes, uni+bigram bucket ids, add-one-smoothed target
-    (source='src0') and background models, per-occurrence log-ratio
-    scores, and the deterministic top-fraction cut by
+    """DuckDB SQL recomputing the ENTIRE cross-engine DSIR profile:
+    positional-ascii word hashes (prime-weighted codepoints, identical
+    ascii/substr/right semantics in both engines — see
+    operators/importance.py), uni+bigram bucket ids, add-one-smoothed
+    target (source='src0') and background models, per-occurrence
+    log-ratio scores, and the deterministic top-fraction cut by
     (round(importance, 6) DESC, doc_id) — the round-6 ranking is the
     established cross-engine float discipline (fold order vs GROUP-BY sum
     order differ at the ULP level; 6 decimals is far above it)."""
-    from clickhousedatamocker_spark.operators.dedup import _XA, _XP, _o_poly_hash
+    from clickhousedatamocker_spark.operators.dedup import _XA, _XP
+    from clickhousedatamocker_spark.operators.importance import _pos_ascii_hash_duckdb
 
     nb = num_buckets
     return f"""
@@ -1095,7 +1098,7 @@ WITH d AS (
 ),
 wh AS (
   SELECT doc_id, source,
-         list_transform(words, w -> {_o_poly_hash('w')}) AS th
+         list_transform(words, w -> {_pos_ascii_hash_duckdb('w')}) AS th
   FROM d
 ),
 grams AS (
