@@ -330,8 +330,19 @@ def ngram_hashes(col: str | Column, n: int = 8) -> Column:
     """Array of xxhash64 hashes of token n-gram windows (US-separator
     joined so token boundaries can't alias: 'ab c' != 'a bc'). Documents
     shorter than n tokens yield an empty array — the sequence() guard
-    matters because sequence(0, negative) DESCENDS in Spark."""
+    matters because sequence(0, negative) DESCENDS in Spark.
+
+    NOTE: the slice lambda references ``tk`` — nested directly in a
+    projection the optimizer inlines, the text re-splits once PER GRAM
+    (O(tokens²) chars/doc; measured 2.7x at sf0.1). Hot paths
+    (:func:`cross_doc_dup_stats`, :func:`remove_duplicated_spans`) go
+    through :func:`_with_tokens` + :func:`_ngram_hashes_of_tokens`, which
+    materialize the token array in its own projection first."""
     tk = tokens(col)
+    return _ngram_hashes_of_tokens(tk, n)
+
+
+def _ngram_hashes_of_tokens(tk: Column, n: int) -> Column:
     return F.when(
         F.size(tk) >= n,
         F.transform(
@@ -339,6 +350,16 @@ def ngram_hashes(col: str | Column, n: int = 8) -> Column:
             lambda i: F.xxhash64(F.concat_ws("\x1f", F.slice(tk, i + F.lit(1), F.lit(n)))),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
+
+
+def _with_tokens(df, text_col: str):
+    """Materialize the token array as ``__ng_tk`` in its own projection.
+    Callers build the gram expression DIRECTLY over the column ref and
+    explode it in the next select — adding a second alias layer for the
+    gram array re-triggers the inlining (measured: the alias form
+    re-splits per gram, 4.4s vs 1.1s for this shape at sf0.1; the DSIR
+    O(words²) class of bug, see importance.py::_with_gram_buckets)."""
+    return df.withColumn("__ng_tk", tokens(text_col))
 
 
 def cross_doc_dup_stats(
@@ -361,7 +382,10 @@ def cross_doc_dup_stats(
     approx-free two-level agg (doc-distinct first) so no single reducer
     sees a gram's full occurrence list.
     """
-    occ = docs.select(F.col(id_col), F.explode(ngram_hashes(text_col, n)).alias("__g"))
+    occ = _with_tokens(docs.select(F.col(id_col), F.col(text_col)), text_col).select(
+        F.col(id_col),
+        F.explode(_ngram_hashes_of_tokens(F.col("__ng_tk"), n)).alias("__g"),
+    )
     # (doc, gram) occurrence counts FIRST: bounds every later relation by
     # the distinct (doc, gram) space, and — because both the shared-gram
     # aggregate and the join probe side read this SAME exchange — Spark's
@@ -422,8 +446,9 @@ def remove_duplicated_spans(
     min_run = min_dup_tokens - n + 1
     if min_run < 1:
         raise ValueError("min_dup_tokens must be >= the gram size n")
-    occ = docs.select(
-        F.col(id_col), F.posexplode(ngram_hashes(text_col, n)).alias("__p", "__g")
+    occ = _with_tokens(docs.select(F.col(id_col), F.col(text_col)), text_col).select(
+        F.col(id_col),
+        F.posexplode(_ngram_hashes_of_tokens(F.col("__ng_tk"), n)).alias("__p", "__g"),
     )
     gram_docs = occ.select(id_col, "__g").distinct()
     shared = (
