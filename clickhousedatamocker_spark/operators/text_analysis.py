@@ -482,14 +482,23 @@ def remove_duplicated_spans(
         f"__sp_a -> {close_run})"
     )
     covered = hits.select(id_col, ivs.alias("__ivs"))
-    tk = tokens(text_col)
-    joined = docs.join(covered, id_col, "left").withColumn(
-        "__ivs", F.coalesce(F.col("__ivs"), F.expr("array()").cast("array<struct<s: int, e: int>>"))
+    # token array materialized as a real column: the kept-filter's
+    # element_at(tokens, i+1) runs per token — an inline split() would
+    # re-split the text per element, O(tokens²) chars per touched doc
+    # (the lambda-inlining class of bug; see _with_tokens)
+    joined = (
+        docs.join(covered, id_col, "left")
+        .withColumn(
+            "__ivs",
+            F.coalesce(F.col("__ivs"), F.expr("array()").cast("array<struct<s: int, e: int>>")),
+        )
+        .withColumn("__rp_tk", tokens(text_col))
     )
+    tk = F.col("__rp_tk")
     kept = F.expr(
-        f"filter(transform(sequence(0, size(split({text_col}, ' ')) - 1), "
-        f"__rp_i -> named_struct('i', __rp_i, 't', element_at(split({text_col}, ' '), __rp_i + 1))), "
-        f"__rp_s -> NOT exists(__ivs, __rp_iv -> __rp_s.i >= __rp_iv.s AND __rp_s.i <= __rp_iv.e))"
+        "filter(transform(sequence(0, size(__rp_tk) - 1), "
+        "__rp_i -> named_struct('i', __rp_i, 't', element_at(__rp_tk, __rp_i + 1))), "
+        "__rp_s -> NOT exists(__ivs, __rp_iv -> __rp_s.i >= __rp_iv.s AND __rp_s.i <= __rp_iv.e))"
     )
     # fast path: the overwhelmingly common no-removal row skips the
     # tokenize+filter+rejoin entirely (most docs have no qualifying run
