@@ -1274,20 +1274,202 @@ _PARAMETRIC: dict[str, object] = {
 # checked conversions: -OrNull == try_cast, -OrZero wraps it in the type's
 # zero value (CH's exact contracts: 0 / 0.0 / 1970-01-01). Spark target
 # types spelled directly (parse_ch_type is defined below in the DDL
-# section; the mapping matches _CH_TYPES)
-for _chty, _sqlty, _zero in [
-    ("Int8", "INT", "0"), ("Int16", "INT", "0"), ("Int32", "INT", "0"),
-    ("Int64", "BIGINT", "0"),
-    ("UInt8", "INT", "0"), ("UInt16", "INT", "0"), ("UInt32", "INT", "0"),
-    ("UInt64", "BIGINT", "0"),
-    ("Float32", "FLOAT", "0.0"), ("Float64", "DOUBLE", "0.0"),
-    ("Date", "DATE", "DATE '1970-01-01'"),
-    ("DateTime", "TIMESTAMP", "TIMESTAMP '1970-01-01 00:00:00'"),
+# section; the mapping matches _CH_TYPES). Sub-word and unsigned types
+# carry an explicit CH-range guard (batch 14): Spark has no UInt8, so
+# try_cast(300 AS INT) would succeed where CH's toUInt8OrNull is NULL.
+_CHECKED_CONV: dict[str, str] = {}
+for _chty, _sqlty, _zero, _lo, _hi in [
+    ("Int8", "INT", "0", "-128", "127"),
+    ("Int16", "INT", "0", "-32768", "32767"),
+    ("Int32", "INT", "0", None, None),
+    ("Int64", "BIGINT", "0", None, None),
+    ("UInt8", "INT", "0", "0", "255"),
+    ("UInt16", "INT", "0", "0", "65535"),
+    ("UInt32", "BIGINT", "0", "0", "4294967295"),
+    ("UInt64", "BIGINT", "0", "0", None),
+    ("Float32", "FLOAT", "0.0", None, None),
+    ("Float64", "DOUBLE", "0.0", None, None),
+    ("Date", "DATE", "DATE '1970-01-01'", None, None),
+    ("DateTime", "TIMESTAMP", "TIMESTAMP '1970-01-01 00:00:00'", None, None),
 ]:
-    _PARAMETRIC[f"to{_chty}OrNull"] = _pm_1arg(f"try_cast({{x}} AS {_sqlty})")
-    _PARAMETRIC[f"to{_chty}OrZero"] = _pm_1arg(
-        f"coalesce(try_cast({{x}} AS {_sqlty}), {_zero})"
-    )
+    _tc = f"try_cast({{x}} AS {_sqlty})"
+    if _lo is not None and _hi is not None:
+        _body = f"(CASE WHEN {_tc} BETWEEN {_lo} AND {_hi} THEN {_tc} END)"
+    elif _lo is not None:
+        _body = f"(CASE WHEN {_tc} >= {_lo} THEN {_tc} END)"
+    else:
+        _body = _tc
+    _CHECKED_CONV[_chty] = _body
+    _PARAMETRIC[f"to{_chty}OrNull"] = _pm_1arg(_body)
+    _PARAMETRIC[f"to{_chty}OrZero"] = _pm_1arg(f"coalesce({_body}, {_zero})")
+
+
+def _pm_accurate_cast_or_null(args: list[str]) -> str:
+    """accurateCastOrNull(x, 'CHType') → the range-guarded try_cast of the
+    matching to<T>OrNull (NULL on unparseable AND out-of-CH-range — the
+    semantic accurateCast adds over the saturating toInt* family)."""
+    if len(args) != 2:
+        raise NotImplementedError("accurateCastOrNull expects (value, 'Type')")
+    tm = re.fullmatch(r"\s*'([^']+)'\s*", args[1])
+    if not tm or tm.group(1) not in _CHECKED_CONV:
+        raise NotImplementedError(
+            f"accurateCastOrNull: unsupported type {args[1]} - supported: "
+            f"{sorted(_CHECKED_CONV)}"
+        )
+    return _CHECKED_CONV[tm.group(1)].format(x=args[0])
+
+
+def _pm_map_merge(op: str):
+    """mapAdd/mapSubtract: per-key merge of exactly two maps (CH allows N;
+    chain calls for more). Missing keys count as 0."""
+
+    def rw(args: list[str]) -> str:
+        if len(args) != 2:
+            raise NotImplementedError("mapAdd/mapSubtract shim expects exactly 2 maps")
+        a, b = args
+        ks = f"array_distinct(concat(map_keys({a}), map_keys({b})))"
+        val = (
+            f"(coalesce(element_at({a}, __mm_k), 0) {op} "
+            f"coalesce(element_at({b}, __mm_k), 0))"
+        )
+        return f"map_from_arrays({ks}, transform({ks}, __mm_k -> {val}))"
+
+    return rw
+
+
+def _pm_array_fill(reverse: bool):
+    """arrayFill/arrayReverseFill(f, arr): carry the last element where f
+    held forward (backward) over elements where it does not. One fold;
+    the user lambda applies via exists(array(e), f) — the only way to
+    apply a textual lambda to a scalar. slice(arr, 1, 0) is the typed
+    empty array (no literal type spelling needed)."""
+
+    def rw(args: list[str]) -> str:
+        if len(args) != 2:
+            raise NotImplementedError("arrayFill expects (lambda, array)")
+        f, arr = args
+        src = f"reverse({arr})" if reverse else f"({arr})"
+        fold = (
+            f"aggregate({src}, named_struct("
+            f"'o', slice({src}, 1, 0), 'l', try_element_at(slice({src}, 1, 0), 1)), "
+            f"(__af_s, __af_e) -> IF(exists(array(__af_e), {f}), "
+            "named_struct('o', concat(__af_s.o, array(__af_e)), 'l', __af_e), "
+            "named_struct('o', concat(__af_s.o, array(coalesce(__af_s.l, __af_e))), "
+            "'l', __af_s.l)), "
+            "__af_s -> __af_s.o)"
+        )
+        return f"reverse({fold})" if reverse else fold
+
+    return rw
+
+
+def _pm_morton_decode(args: list[str]) -> str:
+    """mortonDecode(2, code) — CH's (dims, code) signature; only 2-D is
+    shimmed (mortonDecode2D). The bare (code) form is kept for
+    compatibility with earlier goldens."""
+    if len(args) == 1:
+        return f"mortonDecode2D({args[0]})"
+    if len(args) == 2 and args[0].strip() == "2":
+        return f"mortonDecode2D({args[1]})"
+    raise NotImplementedError("mortonDecode: only 2 dimensions are shimmed")
+
+
+def _pm_gate(name: str, recipe: str):
+    def rw(args: list[str]) -> str:
+        raise NotImplementedError(f"{name} is not shimmed - {recipe}")
+
+    return rw
+
+
+# vocab batch 14 (probe-driven, tools/probe14.py): date-interval spellings,
+# map merges, array fill/split family, checked casts, misc predicates, and
+# loud gates for the genuinely non-expressible statistics.
+_PARAMETRIC.update(
+    {
+        "sumWithOverflow": _pm_1arg("sum({x})"),  # wrap-on-overflow not modeled
+        "indexOfAssumeSorted": _pm_2arg_fa("indexOf({f}, {a})"),  # sortedness is a hint
+        "addDate": _pm_2arg_fa("({f} + {a})"),
+        "subDate": _pm_2arg_fa("({f} - {a})"),
+        "timestampAdd": _pm_2arg_fa("({f} + {a})"),
+        "timestampSub": _pm_2arg_fa("({f} - {a})"),
+        "arraySymmetricDifference": _pm_2arg_fa(
+            "array_distinct(concat(array_except({f}, {a}), array_except({a}, {f})))"
+        ),
+        "hasSubstr": _pm_2arg_fa(
+            "(CASE WHEN size({a}) = 0 THEN true WHEN size({f}) >= size({a}) THEN "
+            "exists(sequence(1, size({f}) - size({a}) + 1), "
+            "__hs_i -> slice({f}, __hs_i, size({a})) = {a}) ELSE false END)"
+        ),
+        "mapAdd": _pm_map_merge("+"),
+        "mapSubtract": _pm_map_merge("-"),
+        "mapPopulateSeries": _pm_1arg(
+            "map_from_arrays("
+            "sequence(array_min(map_keys({x})), array_max(map_keys({x}))), "
+            "transform(sequence(array_min(map_keys({x})), array_max(map_keys({x}))), "
+            "__mp_k -> coalesce(element_at({x}, __mp_k), 0)))"
+        ),
+        "mapExtractKeyLike": _pm_2arg_fa(
+            "map_filter({f}, (__mk, __mv) -> __mk LIKE {a})"
+        ),
+        "isZeroOrNull": _pm_1arg(
+            "(CASE WHEN {x} IS NULL OR {x} = 0 THEN 1 ELSE 0 END)"
+        ),
+        "toBool": _pm_1arg("CAST({x} AS BOOLEAN)"),
+        "accurateCastOrNull": _pm_accurate_cast_or_null,
+        "arrayFill": _pm_array_fill(reverse=False),
+        "arrayReverseFill": _pm_array_fill(reverse=True),
+        "mortonDecode": _pm_morton_decode,
+        "arraySplit": _pm_gate(
+            "arraySplit",
+            "posexplode both arrays, mark group starts with the lambda, and "
+            "group with a running sum window",
+        ),
+        "arrayReverseSplit": _pm_gate(
+            "arrayReverseSplit",
+            "posexplode both arrays, mark group ends with the lambda, and "
+            "group with a running sum window",
+        ),
+        "tuplePlus": _pm_gate(
+            "tuplePlus", "use arrays: zip_with(a, b, (x, y) -> x + y)"
+        ),
+        "tupleMinus": _pm_gate(
+            "tupleMinus", "use arrays: zip_with(a, b, (x, y) -> x - y)"
+        ),
+        "tupleMultiplyByNumber": _pm_gate(
+            "tupleMultiplyByNumber", "use arrays: transform(a, x -> x * n)"
+        ),
+        "cramersV": _pm_gate(
+            "cramersV",
+            "compute the contingency table with GROUP BY a, b and apply the "
+            "chi-square formula over the grouped counts",
+        ),
+        "theilsU": _pm_gate(
+            "theilsU",
+            "compute conditional entropies from GROUP BY a, b counts",
+        ),
+        "contingency": _pm_gate(
+            "contingency",
+            "compute the contingency table with GROUP BY a, b and apply the "
+            "coefficient formula over the grouped counts",
+        ),
+        "maxIntersectionsPosition": _pm_gate(
+            "maxIntersectionsPosition",
+            "explode (start,+1),(end,-1) events, running-sum window ordered "
+            "by position, argmax of the running sum",
+        ),
+        "damerauLevenshteinDistance": _pm_gate(
+            "damerauLevenshteinDistance",
+            "use editDistance (plain Levenshtein) - the transposition-aware "
+            "DP has no Spark builtin",
+        ),
+        "jaroSimilarity": _pm_gate(
+            "jaroSimilarity", "no Spark builtin; use editDistance or soundex"
+        ),
+        "jaroWinklerSimilarity": _pm_gate(
+            "jaroWinklerSimilarity", "no Spark builtin; use editDistance or soundex"
+        ),
+    }
+)
 
 # ---------------------------------------------------------------------------
 # vocab batch 6: CH analytics aggregates — sequence aggregates (windowFunnel /

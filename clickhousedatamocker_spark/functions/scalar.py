@@ -292,6 +292,85 @@ def _round6_probe_entries() -> list[tuple[str, str, str, str]]:
         ("murmurHash3_64", "(s STRING)", "BIGINT", "xxhash64(s)"),
         # hiveHash: Spark's hash() IS Hive-compatible murmur3-32 over rows
         ("hiveHash", "(s STRING)", "INT", "hash(s)"),
+        # -- batch 14 (tools/probe14.py) ----------------------------------
+        # ISO-year start = Monday of the week containing Jan 4 of the ISO
+        # year (weekday(): Monday = 0)
+        (
+            "toStartOfISOYear",
+            "(d DATE)",
+            "DATE",
+            "date_sub(make_date(extract(YEAROFWEEK FROM d), 1, 4), "
+            "weekday(make_date(extract(YEAROFWEEK FROM d), 1, 4)))",
+        ),
+        # CH mode-0 weeks end Saturday: next-or-same Saturday
+        (
+            "toLastDayOfWeek",
+            "(d DATE)",
+            "DATE",
+            "CASE WHEN dayofweek(d) = 7 THEN d ELSE next_day(d, 'SA') END",
+        ),
+        (
+            "YYYYMMDDhhmmssToDateTime",
+            "(n BIGINT)",
+            "TIMESTAMP",
+            "make_timestamp(CAST(n div 10000000000 AS INT), "
+            "CAST((n div 100000000) % 100 AS INT), "
+            "CAST((n div 1000000) % 100 AS INT), "
+            "CAST((n div 10000) % 100 AS INT), "
+            "CAST((n div 100) % 100 AS INT), CAST(n % 100 AS INT))",
+        ),
+        # index (1-based) of the needle with the LEFTMOST match; 0 if none.
+        # (pos, idx) structs sort by position then needle order — CH's rule
+        (
+            "multiSearchFirstIndex",
+            "(h STRING, ns ARRAY<STRING>)",
+            "INT",
+            "CASE WHEN size(ns) = 0 THEN 0 ELSE coalesce("
+            "try_element_at(array_sort(filter(transform(sequence(1, size(ns)), "
+            "__mi -> struct(locate(element_at(ns, __mi), h) AS p, __mi AS i)), "
+            "__ms -> __ms.p > 0)), 1).i, 0) END",
+        ),
+        # Spark strings are UTF-8-validated on read (invalid bytes become
+        # U+FFFD), so every reachable value is valid — documented constant
+        ("isValidUTF8", "(s STRING)", "INT", "CAST(s IS NOT NULL AS INT)"),
+        (
+            "hasTokenCaseInsensitive",
+            "(h STRING, t STRING)",
+            "BOOLEAN",
+            r"array_contains(regexp_extract_all(lower(h), '[\\p{L}\\p{N}]+', 0), lower(t))",
+        ),
+        ("countDigits", "(n BIGINT)", "INT", "length(CAST(abs(n) AS STRING))"),
+        # backslash-escape regex metacharacters (chr(92) dodges literal-escape hell)
+        (
+            "regexpQuoteMeta",
+            "(s STRING)",
+            "STRING",
+            "array_join(transform(split(s, ''), __c -> "
+            "CASE WHEN __c IN ('\\\\', '|', '(', ')', '^', '$', '.', '[', ']', "
+            "'?', '*', '+', chr(123), chr(125), '-') "
+            "THEN concat(chr(92), __c) ELSE __c END), '')",
+        ),
+        (
+            "bitmaskToArray",
+            "(n BIGINT)",
+            "ARRAY<BIGINT>",
+            "transform(bitPositionsToArray(n), "
+            "__bp -> shiftleft(CAST(1 AS BIGINT), CAST(__bp AS INT)))",
+        ),
+        # '123 MiB' -> bytes, rounded up (CH contract); binary and SI units
+        (
+            "parseReadableSize",
+            "(s STRING)",
+            "BIGINT",
+            "CAST(ceil(CAST(regexp_extract(s, '^([0-9.]+)', 1) AS DOUBLE) * "
+            "CASE trim(regexp_extract(s, '[0-9.\\\\s]+(.*)$', 1)) "
+            "WHEN 'B' THEN 1 WHEN 'KiB' THEN 1024 WHEN 'MiB' THEN 1048576 "
+            "WHEN 'GiB' THEN 1073741824 WHEN 'TiB' THEN 1099511627776 "
+            "WHEN 'PiB' THEN 1125899906842624 "
+            "WHEN 'KB' THEN 1000 WHEN 'MB' THEN 1000000 WHEN 'GB' THEN 1000000000 "
+            "WHEN 'TB' THEN 1000000000000 WHEN 'PB' THEN 1000000000000000 "
+            "END) AS BIGINT)",
+        ),
     ]
 
 
@@ -600,7 +679,7 @@ def _round5_probe_entries() -> list[tuple[str, str, str, str]]:
             "| shiftleft((b >> __mz_i) & 1, 2 * __mz_i + 1))",
         ),
         (
-            "mortonDecode", "(z BIGINT)", "STRUCT<col1: BIGINT, col2: BIGINT>",
+            "mortonDecode2D", "(z BIGINT)", "STRUCT<col1: BIGINT, col2: BIGINT>",  # via the mortonDecode(dims, code) rewrite
             "named_struct("
             "'col1', aggregate(sequence(0, 31), CAST(0 AS BIGINT), (__md_a, __md_i) -> "
             "__md_a | shiftleft((z >> (2 * __md_i)) & 1, __md_i)), "
