@@ -1038,3 +1038,40 @@ def semantic_dedup(
         max_cluster_size=max_cluster_size,
     )
     return corpus.join(losers.select(id_col), id_col, "left_anti")
+
+
+def cluster_stratified_sample(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    fraction: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Semantic stratified sampling: keep ``ceil(fraction * cluster_size)``
+    rows per embedding cluster, selected by seeded hash rank — the cluster
+    MIX of the corpus is preserved EXACTLY (a plain hash sample preserves
+    it only in expectation, and at small fractions can drop whole semantic
+    modes). The down-sampling companion to :func:`semantic_dedup`: dedup
+    removes redundancy, this sets the budget while keeping coverage.
+
+    Deterministic under (centroids, fraction, seed) for any partitioning.
+    Plan: row-local assignment (literal/Arrow auto-selected), ONE exchange
+    on cid for the rank window, state bounded by one cluster's rows per
+    task (sort-spill safe). Returns the original columns.
+    """
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError("fraction must be in (0, 1]")
+    e = with_nearest_cid(
+        corpus.withColumn("__v", as_double(vec_col)), "__v", centroids, "__cid"
+    )
+    w = Window.partitionBy("__cid").orderBy(
+        F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col)
+    )
+    wc = Window.partitionBy("__cid")
+    return (
+        e.withColumn("__rk", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wc))
+        .filter(F.col("__rk") <= F.ceil(F.col("__n") * F.lit(fraction)))
+        .drop("__v", "__cid", "__rk", "__n")
+    )

@@ -1281,3 +1281,47 @@ def pipeline_select_dedup_pack(spark, sf_dir):
         )
         .orderBy("shard")
     )
+
+
+# -------------------------------------------------------------------------
+@register(
+    "sample_cluster_stratified_profile",
+    None,  # rows-only: selection depends on xxhash64 rank (not DuckDB-
+    # reproducible); the exact per-cluster count law is pinned by
+    # tests/test_semantic_dedup.py::test_cluster_stratified_sample_preserves_mix
+    description="Semantic stratified down-sampling: keep ceil(fraction * "
+    "cluster_size) embeddings per k-means cluster by seeded hash rank — "
+    "preserves the corpus's cluster mix EXACTLY where a plain hash sample "
+    "preserves it only in expectation (small fractions can drop whole "
+    "semantic modes). The budget-setting companion to SemDeDup. One cid "
+    "exchange; per-task state is one cluster's rows. Report: per-cluster "
+    "total vs kept.",
+)
+def sample_cluster_stratified_profile(spark, sf_dir):
+    from clickhousedatamocker_spark.operators.similarity import (
+        as_double,
+        cluster_stratified_sample,
+        ivf_train,
+        with_nearest_cid,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    cb = ivf_train(emb, n_centroids=8, n_iters=2, seed=42)
+    assigned = with_nearest_cid(
+        emb.select("vec_id", as_double("embedding").alias("__v")), "__v", cb, "cid"
+    ).select("vec_id", "cid")
+    kept = cluster_stratified_sample(emb, cb, fraction=0.25)
+    return (
+        assigned.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n_total"))
+        .join(
+            kept.select("vec_id")
+            .join(assigned, "vec_id")
+            .groupBy("cid")
+            .agg(F.count(F.lit(1)).alias("n_kept")),
+            "cid",
+            "left",
+        )
+        .select("cid", "n_total", F.coalesce("n_kept", F.lit(0)).alias("n_kept"))
+        .orderBy("cid")
+    )

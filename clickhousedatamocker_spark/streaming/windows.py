@@ -251,3 +251,50 @@ def stream_embedding_near_dup_admission(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_bm25_index_maintenance(
+    spark,
+    stream_df,
+    index_path: str,
+    sink_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Always-on BM25 index maintenance — the retrieval member of the
+    index-under-stream trio (MinHash dedup admission, ANN admission,
+    BM25): each micro-batch of documents appends to the epoch-partitioned
+    corpus sink AND into the persisted term-bucket postings index
+    (operators/retrieval.py ``bm25_index_add``: O(batch) bucket append +
+    lossless sidecar merge), so queries served from the index see every
+    admitted document without ever paying a rebuild.
+
+    Same delivery contract as the sibling wrappers: idempotent
+    epoch-partitioned sink (dynamic partition overwrite). The index append
+    is at-least-once — re-adding an epoch after a crash between sink write
+    and index append would double those postings, so exactly-once
+    deployments should stage per-epoch postings and reconcile; documented
+    trade, identical to ann_index_add's contract. The index must exist
+    (seed it with build_bm25_index) — its bucket count, not the stream,
+    defines the partition geometry."""
+    from clickhousedatamocker_spark.operators.retrieval import bm25_index_add
+
+    def admit(batch_df, epoch_id):
+        batch_df = batch_df.persist()
+        try:
+            batch_df.withColumn("__epoch", F.lit(int(epoch_id))).write.option(
+                "partitionOverwriteMode", "dynamic"
+            ).mode("overwrite").partitionBy("__epoch").parquet(sink_path)
+            bm25_index_add(
+                spark, index_path, batch_df.select(id_col, text_col), text_col, id_col
+            )
+        finally:
+            batch_df.unpersist()
+
+    return (
+        stream_df.writeStream.foreachBatch(admit)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

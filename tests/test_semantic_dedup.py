@@ -249,3 +249,36 @@ def test_centroid_sim_arrow_path_matches_literal(spark, monkeypatch):
     assert lit.keys() == arrow.keys()
     for k in lit:
         assert lit[k] == pytest.approx(arrow[k], abs=1e-12)
+
+
+def test_cluster_stratified_sample_preserves_mix(spark):
+    """ceil(fraction * cluster_size) rows survive per cluster — the cluster
+    mix is preserved exactly, deterministically under the seed."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    corpus = _mk_corpus(spark)
+    centroids = S.ivf_train(corpus, n_centroids=3, n_iters=2, seed=7)
+    assigned = S.with_nearest_cid(
+        corpus.select("vec_id", S.as_double("embedding").alias("v")), "v", centroids, "cid"
+    )
+    sizes = {r["cid"]: r["n"] for r in assigned.groupBy("cid").agg(F.count("*").alias("n")).collect()}
+
+    sampled = S.cluster_stratified_sample(corpus, centroids, fraction=0.5)
+    assert sampled.columns == corpus.columns
+    got = sampled.join(assigned.select("vec_id", "cid"), "vec_id")
+    per_cid = {r["cid"]: r["n"] for r in got.groupBy("cid").agg(F.count("*").alias("n")).collect()}
+    for cid, n in sizes.items():
+        assert per_cid.get(cid, 0) == math.ceil(n * 0.5), (cid, n, per_cid)
+
+    # deterministic: same seed -> same ids; different seed -> same counts
+    ids1 = {r["vec_id"] for r in sampled.collect()}
+    ids2 = {r["vec_id"] for r in S.cluster_stratified_sample(corpus, centroids, fraction=0.5).collect()}
+    assert ids1 == ids2
+    ids3 = {r["vec_id"] for r in S.cluster_stratified_sample(corpus, centroids, fraction=0.5, seed=9).collect()}
+    assert len(ids3) == len(ids1)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="fraction"):
+        S.cluster_stratified_sample(corpus, centroids, fraction=0.0)

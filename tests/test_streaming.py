@@ -395,3 +395,45 @@ def test_stream_embedding_near_dup_admission(spark, tmp_path):
     assert 900001 not in kept
     assert not any(v >= 910000 for v in kept)
     assert {v for v in kept if 200 <= v < 250} == set(range(200, 250))
+
+
+def test_stream_bm25_index_maintenance(spark, tmp_path):
+    """BM25 index under stream: three micro-batches append into a seeded
+    index; the streamed index must answer queries IDENTICALLY to a one-shot
+    build over (seed + all batches) — increment == one-shot, under the
+    foreachBatch wrapper."""
+    from clickhousedatamocker_spark.operators.retrieval import (
+        bm25_query_indexed,
+        build_bm25_index,
+    )
+    from clickhousedatamocker_spark.streaming.windows import stream_bm25_index_maintenance
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    seed = docs.filter(F.col("doc_id") < 20)
+    b1 = docs.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 30))
+    b2 = docs.filter((F.col("doc_id") >= 30) & (F.col("doc_id") < 40))
+    b3 = docs.filter((F.col("doc_id") >= 40) & (F.col("doc_id") < 50))
+
+    src = str(tmp_path / "src")
+    for b in (b1, b2, b3):
+        b.coalesce(1).write.mode("append").parquet(src)
+
+    index = str(tmp_path / "bm25_idx")
+    build_bm25_index(seed, index, n_buckets=16)
+
+    stream = spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = stream_bm25_index_maintenance(
+        spark, stream, index, str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(240)
+
+    full_index = str(tmp_path / "bm25_full")
+    build_bm25_index(docs.filter(F.col("doc_id") < 50), full_index, n_buckets=16)
+
+    query = "the data model of system training"
+    got = [tuple(r) for r in bm25_query_indexed(spark, index, query, k=10).collect()]
+    want = [tuple(r) for r in bm25_query_indexed(spark, full_index, query, k=10).collect()]
+    assert got == want and len(got) == 10
+    # the sink holds exactly the streamed docs, epoch-partitioned
+    sunk = spark.read.parquet(str(tmp_path / "sink"))
+    assert sunk.count() == 30 and "__epoch" in sunk.columns
