@@ -278,3 +278,41 @@ def dsir_select(
         scored.orderBy(F.desc("importance"), F.asc(id_col))
         .limit(k)
     )
+
+
+def train_hashed_ngram_model_pair(
+    docs: DataFrame,
+    target_cond: Column,
+    text_col: str = "text",
+    num_buckets: int = 8192,
+    use_xengine_hash: bool = False,
+) -> tuple[list[float], list[float]]:
+    """Target AND background models from ONE gram pass / ONE shuffle —
+    the standard DSIR setup scores against a target SLICE of the same
+    corpus, so training them separately tokenizes and shuffles the corpus
+    twice for counts one aggregation can produce (count + conditional
+    count per bucket). Returns (target_model, background_model), value-
+    identical to two :func:`train_hashed_ngram_model` calls."""
+    counts = (
+        _with_gram_buckets(
+            docs.select(F.col(text_col), target_cond.alias("__t")),
+            text_col,
+            num_buckets,
+            "__b",
+            use_xengine_hash,
+        )
+        .select(F.explode(F.col("__b")).alias("b"), "__t")
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("bg"),
+            F.count_if(F.col("__t")).alias("tg"),
+        )
+        .collect()
+    )
+    bg = {r["b"]: r["bg"] for r in counts}
+    tg = {r["b"]: r["tg"] for r in counts}
+    bg_total = sum(bg.values()) + num_buckets
+    tg_total = sum(tg.values()) + num_buckets
+    target = [(tg.get(i, 0) + 1) / tg_total for i in range(num_buckets)]
+    background = [(bg.get(i, 0) + 1) / bg_total for i in range(num_buckets)]
+    return target, background

@@ -1156,13 +1156,15 @@ ORDER BY t.source
 def dsir_selection_profile(spark, sf_dir):
     from clickhousedatamocker_spark.operators.importance import (
         dsir_score,
-        train_hashed_ngram_model,
+        train_hashed_ngram_model_pair,
     )
 
     docs = t(spark, sf_dir, "documents")
-    target = docs.filter(F.col("source") == "src0")
-    tm = train_hashed_ngram_model(target, num_buckets=4096, use_xengine_hash=True)
-    bm = train_hashed_ngram_model(docs, num_buckets=4096, use_xengine_hash=True)
+    # both models from ONE gram pass (value-identical to separate training
+    # — pinned by test_train_model_pair_equals_separate_training)
+    tm, bm = train_hashed_ngram_model_pair(
+        docs, F.col("source") == "src0", num_buckets=4096, use_xengine_hash=True
+    )
     scored = dsir_score(docs, tm, bm, use_xengine_hash=True)
     k = max(1, int(round(docs.count() * 0.25)))
     kept = (
@@ -1260,13 +1262,11 @@ def pipeline_select_dedup_pack(spark, sf_dir):
     )
     from clickhousedatamocker_spark.operators.importance import (
         dsir_select,
-        train_hashed_ngram_model,
+        train_hashed_ngram_model_pair,
     )
 
     docs = t(spark, sf_dir, "documents")
-    target = docs.filter(F.col("source") == "src0")
-    tm = train_hashed_ngram_model(target, num_buckets=4096)
-    bm = train_hashed_ngram_model(docs, num_buckets=4096)
+    tm, bm = train_hashed_ngram_model_pair(docs, F.col("source") == "src0", num_buckets=4096)
     # persist: the selected slice feeds BOTH the pair join and the packing
     selected = dsir_select(docs, tm, bm, keep_fraction=0.5).persist()
     pairs = minhash_lsh_pairs(selected, threshold=0.5)

@@ -117,3 +117,25 @@ def test_literal_scoring_plan_has_no_exchange(spark, corpora):
     )
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_train_model_pair_equals_separate_training(spark):
+    """One-pass pair training must be value-identical to two separate
+    train_hashed_ngram_model calls (target = a slice of the corpus)."""
+    from pyspark.sql import functions as F
+
+    from clickhousedatamocker_spark.operators.importance import (
+        train_hashed_ngram_model,
+        train_hashed_ngram_model_pair,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for xe in (False, True):
+        tm1 = train_hashed_ngram_model(
+            docs.filter(F.col("source") == "src0"), num_buckets=512, use_xengine_hash=xe
+        )
+        bm1 = train_hashed_ngram_model(docs, num_buckets=512, use_xengine_hash=xe)
+        tm2, bm2 = train_hashed_ngram_model_pair(
+            docs, F.col("source") == "src0", num_buckets=512, use_xengine_hash=xe
+        )
+        assert tm1 == tm2 and bm1 == bm2
