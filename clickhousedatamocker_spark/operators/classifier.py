@@ -1,0 +1,367 @@
+"""fastText-style linear quality classifier for training-data curation
+(Joulin et al. 2016, "Bag of Tricks for Efficient Text Classification",
+arXiv:1607.01759 — the supervised linear model over hashed n-gram
+features, the filter the LLaMA/CCNet-lineage pipelines run to keep
+"reference-like" pages).
+
+With hashed bag-of-gram features and a single output class the fastText
+model reduces to logistic regression on the per-document MEAN of one-hot
+bucket indicators: ``score(d) = bias + (1/|grams(d)|) * Σ_g w[bucket(g)]``,
+``p = sigmoid(score)``. That reduction is what this module implements —
+exactly, so a pure-numpy reference reproduces training step for step.
+
+Scale shape (the same discipline as DSIR in operators/importance.py,
+whose gram featurizer this module reuses):
+
+- **Training is full-batch gradient descent, one distributed pass per
+  epoch.** Scoring under the current weights is row-local (literal array
+  lookup for small models, Arrow broadcast above
+  ``_LITERAL_MODEL_MAX``); the gradient is ONE explode + partial-agg
+  shuffle of (bucket, residual-mass) rows, collected as a bounded
+  ``num_buckets`` vector. Driver state = the weight vector, never data.
+  Full-batch (not SGD) keeps the run deterministic and independent of
+  partitioning — the property the numpy-parity test pins.
+- **Scoring/selection is zero-shuffle**: one projection, literal/Arrow
+  auto-selected, then a plain filter. At 100 TB the classifier pass is
+  scan-bound, exactly like the Gopher rule gate in text_analysis.py.
+
+Cross-engine: ``use_xengine_hash=True`` swaps xxhash64 for the
+positional-ascii hash family DuckDB can recompute (see
+operators/importance.py), so a fixed-weight scoring pass is verifiable
+value-exact against a DuckDB SQL twin (:func:`classifier_score_oracle_sql`).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from clickhousedatamocker_spark.operators.importance import (
+    _LITERAL_MODEL_MAX,
+    _with_gram_buckets,
+)
+
+
+def _check_feature(feature: str) -> None:
+    if feature not in ("mean", "count"):
+        raise ValueError(f"feature must be 'mean' (fastText) or 'count' (BoW LR), got {feature!r}")
+
+
+def classifier_score(
+    docs: DataFrame,
+    weights: list[float],
+    bias: float,
+    text_col: str = "text",
+    out_col: str = "quality_prob",
+    use_xengine_hash: bool = False,
+    feature: str = "mean",
+) -> DataFrame:
+    """Add ``out_col`` = sigmoid(bias + x·w) where x is the doc's hashed-
+    gram feature vector: ``feature='mean'`` (fastText's averaged
+    indicators) or ``feature='count'`` (raw bag-of-words counts — the
+    better-conditioned choice when the signal concentrates in a few
+    grams, e.g. marker/boilerplate detection).
+
+    Row-local, zero shuffle. Documents with NO grams (empty/whitespace
+    text) score sigmoid(bias); NULL text scores NULL. Literal-array path
+    for small models, Arrow broadcast-numpy path above
+    ``_LITERAL_MODEL_MAX`` — bit-identical by construction (pinned in
+    tests/test_classifier.py).
+    """
+    scored = _margin_col(docs, weights, bias, text_col, "__margin", use_xengine_hash, feature)
+    return scored.withColumn(
+        out_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("__margin")))
+    ).drop("__margin")
+
+
+def _margin_col(
+    docs: DataFrame,
+    weights: list[float],
+    bias: float,
+    text_col: str,
+    out_col: str,
+    use_xengine_hash: bool,
+    feature: str = "mean",
+) -> DataFrame:
+    """Add ``out_col`` = bias + Σ_g w[bucket(g)] (/ n_grams for 'mean';
+    0 grams → bias alone; NULL text → NULL). The shared scoring primitive
+    for both inference and the per-epoch training pass."""
+    _check_feature(feature)
+    num_buckets = len(weights)
+    if num_buckets <= _LITERAL_MODEL_MAX:
+        wl = F.lit([float(w) for w in weights])
+        with_b = _with_gram_buckets(docs, text_col, num_buckets, "__qb", use_xengine_hash)
+        s = F.aggregate(
+            F.col("__qb"),
+            F.lit(0.0),
+            lambda acc, b: acc + F.element_at(wl, b.cast("int") + 1),
+        )
+        n = F.size(F.col("__qb"))
+        sig = s / n if feature == "mean" else s
+        return with_b.withColumn(
+            out_col,
+            F.when(F.col("__qb").isNull(), F.lit(None).cast("double")).otherwise(
+                F.lit(float(bias)) + F.when(n > 0, sig).otherwise(F.lit(0.0))
+            ),
+        ).drop("__qb")
+    # Arrow path: hashing stays JVM-side (__qb projection identical to the
+    # literal path); Python does only the bounded lookup-sum against the
+    # broadcast weight vector
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    with_b = _with_gram_buckets(docs, text_col, num_buckets, "__qb", use_xengine_hash)
+    out_schema = T.StructType(docs.schema.fields + [T.StructField(out_col, T.DoubleType())])
+    bc = docs.sparkSession.sparkContext.broadcast(np.asarray(weights, dtype=np.float64))
+    bias_f = float(bias)
+    is_mean = feature == "mean"
+
+    def score(batches):
+        W = bc.value
+        for pdf in batches:
+            vals = []
+            for b in pdf["__qb"]:
+                if b is None:
+                    vals.append(None)
+                elif len(b):
+                    lk = W[np.asarray(b, dtype=np.int64)]
+                    vals.append(bias_f + float(lk.mean() if is_mean else lk.sum()))
+                else:
+                    vals.append(bias_f)
+            pdf = pdf.drop(columns=["__qb"])
+            pdf[out_col] = pd.Series(vals, index=pdf.index, dtype="Float64")
+            yield pdf
+
+    return with_b.mapInPandas(score, out_schema)
+
+
+def train_text_classifier(
+    docs: DataFrame,
+    label_col: str | Column,
+    text_col: str = "text",
+    num_buckets: int = 4096,
+    epochs: int = 20,
+    lr: float = 1.0,
+    l2: float = 0.0,
+    use_xengine_hash: bool = False,
+    feature: str = "mean",
+) -> tuple[list[float], float]:
+    """Train the logistic model by full-batch gradient descent; returns
+    ``(weights, bias)`` — ``num_buckets`` floats plus a scalar, driver-
+    bounded model state.
+
+    ``label_col``: boolean/0-1 column (True = the quality class). NULL
+    labels and NULL texts are excluded from training. Per epoch: ONE
+    row-local scoring projection + ONE (bucket, grad-mass) shuffle whose
+    result collects to ≤ ``num_buckets`` rows. Gradients are the exact
+    full-batch mean, so the update sequence matches the numpy reference
+    (float summation order inside a bucket varies with partitioning —
+    the parity test allows 1e-8; everything else is deterministic).
+
+    ``feature='mean'`` is fastText's averaged indicators — right when the
+    class signal is distributed over the vocabulary. ``'count'`` is raw
+    bag-of-words LR — right when it concentrates in a few grams (a
+    marker/boilerplate gate): under 'mean' a single gram's feature value
+    is ~1/n_grams, so separating on it needs |w| ~ n_grams/Δ and
+    full-batch GD crawls; under 'count' the same gram has value ~1.
+    """
+    _check_feature(feature)
+    if epochs < 1:
+        raise ValueError("epochs must be >= 1")
+    lc = F.col(label_col) if isinstance(label_col, str) else label_col
+    train = docs.select(
+        F.col(text_col), lc.cast("double").alias("__y")
+    ).filter(F.col("__y").isNotNull() & F.col(text_col).isNotNull())
+    # one featurize, reused every epoch: grams don't change across epochs
+    feats = _with_gram_buckets(train, text_col, num_buckets, "__qb", use_xengine_hash)
+    feats = feats.select(
+        "__y", "__qb", F.size(F.col("__qb")).cast("double").alias("__n")
+    ).persist()
+    try:
+        n_docs = feats.count()
+        if n_docs == 0:
+            raise ValueError("train_text_classifier: no labeled rows with text")
+        weights = [0.0] * num_buckets
+        bias = 0.0
+        for _ in range(epochs):
+            # residual r = sigmoid(margin) - y, per doc; gradient wrt w_j is
+            # mean over docs of r * x_j — aggregate the exploded
+            # (bucket, r·x-per-instance) relation. Per gram instance the
+            # contribution is r/n ('mean') or r ('count'); the bias gradient
+            # rides along as Σ r/n per instance (sums to r per doc) plus the
+            # NULL group's raw residuals (explode_outer: a zero-gram doc
+            # yields ONE b=NULL row carrying its residual)
+            scored = _with_residual(feats, weights, bias, num_buckets, feature)
+            g_inst = (
+                F.col("__r") / F.col("__n") if feature == "mean" else F.col("__r")
+            )
+            agg = scored.select(
+                F.explode_outer(F.col("__qb")).alias("b"),
+                g_inst.alias("g"),
+                (F.col("__r") / F.col("__n")).alias("gb1"),
+                F.col("__r"),
+            )
+            rows = (
+                agg.groupBy("b")
+                .agg(F.sum("g").alias("gw"), F.sum("gb1").alias("gbs"), F.sum("__r").alias("gr"))
+                .collect()
+            )
+            grad = [0.0] * num_buckets
+            gb = 0.0
+            for r in rows:
+                if r["b"] is not None:
+                    grad[r["b"]] += r["gw"]
+                    gb += r["gbs"]
+                else:
+                    gb += r["gr"]
+            for j in range(num_buckets):
+                weights[j] -= lr * (grad[j] / n_docs + l2 * weights[j])
+            bias -= lr * (gb / n_docs)
+        return weights, bias
+    finally:
+        feats.unpersist()
+
+
+def _with_residual(
+    feats: DataFrame,
+    weights: list[float],
+    bias: float,
+    num_buckets: int,
+    feature: str = "mean",
+) -> DataFrame:
+    """Per-epoch residual over the persisted (__y, __qb, __n)
+    featurization: ``__r = sigmoid(margin) - y``. Literal weight array in
+    the plan for small models; Arrow broadcast-numpy above
+    ``_LITERAL_MODEL_MAX`` (a fresh broadcast per epoch — weights change)."""
+    if num_buckets <= _LITERAL_MODEL_MAX:
+        wl = F.lit([float(w) for w in weights])
+        s = F.aggregate(
+            F.col("__qb"),
+            F.lit(0.0),
+            lambda acc, b: acc + F.element_at(wl, b.cast("int") + 1),
+        )
+        sig = s / F.col("__n") if feature == "mean" else s
+        margin = F.lit(float(bias)) + F.when(F.col("__n") > 0, sig).otherwise(F.lit(0.0))
+        return feats.withColumn("__m", margin).withColumn(
+            "__r", F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("__m"))) - F.col("__y")
+        )
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        feats.schema.fields + [T.StructField("__r", T.DoubleType())]
+    )
+    bc = feats.sparkSession.sparkContext.broadcast(
+        np.asarray(weights, dtype=np.float64)
+    )
+    bias_f = float(bias)
+    is_mean = feature == "mean"
+
+    def residual(batches):
+        W = bc.value
+        for pdf in batches:
+            margins = np.asarray(
+                [
+                    bias_f
+                    + (
+                        float(
+                            W[np.asarray(b, dtype=np.int64)].mean()
+                            if is_mean
+                            else W[np.asarray(b, dtype=np.int64)].sum()
+                        )
+                        if len(b)
+                        else 0.0
+                    )
+                    for b in pdf["__qb"]
+                ],
+                dtype=np.float64,
+            )
+            pdf["__r"] = pd.Series(
+                1.0 / (1.0 + np.exp(-margins)) - pdf["__y"].to_numpy(dtype=np.float64),
+                index=pdf.index,
+            )
+            yield pdf
+
+    return feats.mapInPandas(residual, out_schema)
+
+
+def classifier_select(
+    docs: DataFrame,
+    weights: list[float],
+    bias: float,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    use_xengine_hash: bool = False,
+    feature: str = "mean",
+) -> DataFrame:
+    """Keep documents scoring ≥ ``threshold`` — the pipeline gate form.
+    Zero shuffle (score + filter in one projection)."""
+    return (
+        classifier_score(docs, weights, bias, text_col, "__qp", use_xengine_hash, feature)
+        .filter(F.col("__qp") >= threshold)
+        .drop("__qp")
+    )
+
+
+def pseudo_weights(num_buckets: int, scale: float = 1.0) -> list[float]:
+    """Deterministic closed-form weight vector both engines can compute:
+    ``w[i] = scale * (((i+1) * 2654435761) % 1000 / 499.5 - 1)`` — a
+    Knuth-multiplicative spread over [-scale, scale]. Used by the
+    cross-engine scoring twin (fixed-weight inference is the verifiable
+    half; training is pinned by the numpy-parity test)."""
+    return [
+        scale * ((((i + 1) * 2654435761) % 1000) / 499.5 - 1.0)
+        for i in range(num_buckets)
+    ]
+
+
+def classifier_score_oracle_sql(
+    num_buckets: int,
+    bias: float = 0.0,
+    scale: float = 1.0,
+    table: str = "documents",
+    text_expr: str = "text",
+    feature: str = "mean",
+) -> str:
+    """DuckDB twin of :func:`classifier_score` under
+    :func:`pseudo_weights` and the xengine hash family: per doc,
+    ``ROUND(sigmoid(bias + x·w), 6)`` with mean or count features.
+    Weights are recomputed closed-form inside SQL — no literal vector
+    shipped. Same wh/grams CTE discipline as the DSIR oracle
+    (queries/llm.py)."""
+    from clickhousedatamocker_spark.operators.dedup import _XA, _XP
+    from clickhousedatamocker_spark.operators.importance import _pos_ascii_hash_duckdb
+
+    _check_feature(feature)
+    nb = num_buckets
+    w = f"({scale} * ((((b + 1) * 2654435761) % 1000) / 499.5 - 1.0))"
+    denom = " / len(gb)" if feature == "mean" else ""
+    return f"""
+WITH wh AS (
+  SELECT doc_id,
+         list_transform(list_filter(string_split({text_expr}, ' '), x -> x <> ''),
+                        w -> {_pos_ascii_hash_duckdb('w')}) AS th
+  FROM {table}
+), grams AS (
+  SELECT doc_id, list_concat(
+    list_transform(th, h -> h % {nb}),
+    CASE WHEN len(th) >= 2 THEN list_transform(
+      generate_series(1, len(th) - 1),
+      i -> ((th[i] * {_XA} + th[i + 1]) % {_XP}) % {nb}
+    ) ELSE [] END
+  ) AS gb
+  FROM wh
+), scored AS (
+  SELECT doc_id,
+         CASE WHEN len(gb) > 0
+              THEN {bias} + list_sum(list_transform(gb, b -> {w})){denom}
+              ELSE {bias} END AS m
+  FROM grams
+)
+SELECT doc_id, ROUND(1.0 / (1.0 + exp(-m)), 6) AS quality_prob
+FROM scored
+"""

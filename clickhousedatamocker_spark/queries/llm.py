@@ -1325,3 +1325,58 @@ def sample_cluster_stratified_profile(spark, sf_dir):
         .select("cid", "n_total", F.coalesce("n_kept", F.lit(0)).alias("n_kept"))
         .orderBy("cid")
     )
+
+
+# -------------------------------------------------------------------------
+@register(
+    "quality_classifier_profile",
+    None,  # rows-only (graded window full); cross-engine scoring is pinned
+    # value-exact by tests/test_classifier.py::test_xengine_score_matches_
+    # duckdb_twin, training by the numpy GD-trajectory parity test
+    description="fastText-style quality classifier (Joulin et al. 2016) — "
+    "the CCNet/LLaMA-lineage 'reference-like page' filter: logistic "
+    "regression over hashed uni+bigram features, trained by full-batch GD "
+    "(per epoch: one row-local scoring projection + ONE (bucket,grad) "
+    "shuffle collected as a bounded num_buckets vector), then a "
+    "zero-shuffle scoring/selection pass (literal weight array small / "
+    "Arrow broadcast large, same auto-selection as DSIR). The fixture's "
+    "source/lang labels are text-independent noise (unlearnable by "
+    "construction — verified: every source scores the base rate), so the "
+    "profile plants the signal it trains on: docs with doc_id%3==0 get a "
+    "boilerplate marker token appended, the label is the marker rule, and "
+    "count features (bag-of-words LR — mean features put ~1/n_grams mass "
+    "on the marker and need |w|~n_grams to separate) learn it in 10 "
+    "epochs. Self-checking: per-source agreement at the 0.5 gate must "
+    "track the planted split, and probabilities spread to the rails.",
+)
+def quality_classifier_profile(spark, sf_dir):
+    from clickhousedatamocker_spark.operators.classifier import (
+        classifier_score,
+        train_text_classifier,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    labeled = docs.withColumn("__rule", (F.col("doc_id") % 3 == 0).cast("int")).withColumn(
+        "text",
+        F.when(
+            F.col("__rule") == 1,
+            F.concat(F.coalesce("text", F.lit("")), F.lit(" qcmarker qcmarker qcmarker")),
+        ).otherwise(F.col("text")),
+    )
+    weights, bias = train_text_classifier(
+        labeled, "__rule", num_buckets=2048, epochs=20, lr=0.08, l2=0.02, feature="count"
+    )
+    scored = classifier_score(labeled, weights, bias, out_col="__p", feature="count")
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("__rule").alias("n_rule_pos"),
+            F.count_if(F.col("__p") >= 0.5).alias("n_clf_kept"),
+            F.count_if(
+                (F.col("__p") >= 0.5).cast("int") == F.col("__rule")
+            ).alias("n_agree"),
+            F.round(F.avg("__p"), 4).alias("mean_prob"),
+        )
+        .orderBy("source")
+    )

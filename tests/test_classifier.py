@@ -1,0 +1,221 @@
+"""fastText-style quality classifier (operators/classifier.py).
+
+Reference strategy mirrors test_importance.py: hashing is shared between
+the Spark path and the pure-numpy reference (the reference reads the
+collected bucket arrays), so the tests isolate the model math — full-batch
+GD trajectory, the two lookup paths, the NULL/empty contract — and pin the
+cross-engine scoring twin value-exact against DuckDB."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from clickhousedatamocker_spark.operators import classifier as qc
+from clickhousedatamocker_spark.operators.importance import _with_gram_buckets
+
+NB = 64
+
+_POS = [
+    "the theory of gradient descent converges under convexity",
+    "distributed systems require careful consistency reasoning",
+    "the proof follows by induction on the tree height",
+    "empirical results confirm the theoretical convergence bound",
+    "we analyze the algorithm under adversarial noise models",
+    "the lemma establishes a lower bound on sample complexity",
+]
+_NEG = [
+    "click here buy now limited offer best price",
+    "winner winner free prize claim your reward today",
+    "cheap deals cheap deals act fast buy buy",
+    "subscribe like share follow for more daily content",
+    "amazing trick doctors hate this one weird secret",
+    "hot singles in your area click the banner",
+]
+
+
+@pytest.fixture(scope="module")
+def labeled(spark):
+    rows = [(i, t, 1) for i, t in enumerate(_POS)] + [
+        (100 + i, t, 0) for i, t in enumerate(_NEG)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, label int")
+
+
+def _bucket_map(df, nb=NB, xengine=False):
+    rows = (
+        _with_gram_buckets(df.select("doc_id", "text"), "text", nb, "b", xengine)
+        .select("doc_id", "b")
+        .collect()
+    )
+    return {r["doc_id"]: (None if r["b"] is None else list(r["b"])) for r in rows}
+
+
+def _numpy_gd(buckets, labels, nb, epochs, lr, l2=0.0, feature="mean"):
+    """The exact full-batch trajectory train_text_classifier runs."""
+    ids = sorted(buckets)
+    w = np.zeros(nb)
+    bias = 0.0
+    n = len(ids)
+    for _ in range(epochs):
+        grad = np.zeros(nb)
+        gb = 0.0
+        for d in ids:
+            bs = buckets[d]
+            if bs:
+                lk = w[np.asarray(bs, dtype=np.int64)]
+                m = bias + (lk.mean() if feature == "mean" else lk.sum())
+            else:
+                m = bias
+            r = 1.0 / (1.0 + math.exp(-m)) - labels[d]
+            if bs:
+                for b in bs:
+                    grad[b] += r / len(bs) if feature == "mean" else r
+            gb += r
+        w -= lr * (grad / n + l2 * w)
+        bias -= lr * (gb / n)
+    return w, bias
+
+
+@pytest.mark.parametrize("feature", ["mean", "count"])
+def test_training_matches_numpy_reference(spark, labeled, feature):
+    weights, bias = qc.train_text_classifier(
+        labeled, "label", num_buckets=NB, epochs=5, lr=0.5, l2=0.01, feature=feature
+    )
+    buckets = _bucket_map(labeled)
+    labels = {r["doc_id"]: r["label"] for r in labeled.select("doc_id", "label").collect()}
+    w_ref, b_ref = _numpy_gd(buckets, labels, NB, epochs=5, lr=0.5, l2=0.01, feature=feature)
+    assert bias == pytest.approx(b_ref, abs=1e-9)
+    assert np.allclose(np.asarray(weights), w_ref, atol=1e-9)
+
+
+def test_count_features_learn_a_planted_marker(spark):
+    """The conditioning rationale for feature='count': a single marker
+    token decides the class; count features separate it in a handful of
+    epochs where mean features would need |w| ~ n_grams/Δ."""
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (i, base + (" marker" if i % 3 == 0 else " filler"), 1 if i % 3 == 0 else 0)
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    w, b = qc.train_text_classifier(
+        df, "label", num_buckets=256, epochs=15, lr=2.0, feature="count"
+    )
+    got = {
+        r["doc_id"]: r["quality_prob"]
+        for r in qc.classifier_score(df, w, b, feature="count").collect()
+    }
+    pos = [got[i] for i in range(60) if i % 3 == 0]
+    neg = [got[i] for i in range(60) if i % 3 != 0]
+    assert min(pos) > 0.5 > max(neg), (min(pos), max(neg))
+
+
+def test_trained_classifier_separates_planted_labels(spark, labeled):
+    weights, bias = qc.train_text_classifier(
+        labeled, "label", num_buckets=256, epochs=40, lr=2.0
+    )
+    got = {
+        r["doc_id"]: r["quality_prob"]
+        for r in qc.classifier_score(labeled, weights, bias, out_col="quality_prob").collect()
+    }
+    pos = [got[i] for i in range(len(_POS))]
+    neg = [got[100 + i] for i in range(len(_NEG))]
+    assert min(pos) > 0.5 > max(neg), (pos, neg)
+    # and classifier_select keeps exactly the positive class at 0.5
+    kept = qc.classifier_select(labeled, weights, bias, threshold=0.5)
+    assert sorted(r["doc_id"] for r in kept.select("doc_id").collect()) == list(
+        range(len(_POS))
+    )
+
+
+def test_score_null_empty_and_bias_only(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, ""), (3, "   "), (4, None)],
+        "doc_id long, text string",
+    )
+    w = [0.0] * NB
+    got = {
+        r["doc_id"]: r["quality_prob"]
+        for r in qc.classifier_score(df, w, bias=1.0).collect()
+    }
+    sig1 = 1.0 / (1.0 + math.exp(-1.0))
+    # zero weights: every non-NULL doc scores sigmoid(bias); NULL text -> NULL
+    assert got[1] == pytest.approx(sig1, abs=1e-12)
+    assert got[2] == pytest.approx(sig1, abs=1e-12)
+    assert got[3] == pytest.approx(sig1, abs=1e-12)
+    assert got[4] is None
+
+
+def test_score_literal_equals_arrow(spark, labeled, monkeypatch):
+    weights = qc.pseudo_weights(NB)
+    lit = {
+        r["doc_id"]: r["quality_prob"]
+        for r in qc.classifier_score(labeled, weights, 0.25).collect()
+    }
+    monkeypatch.setattr(qc, "_LITERAL_MODEL_MAX", 1)
+    arrow = {
+        r["doc_id"]: r["quality_prob"]
+        for r in qc.classifier_score(labeled, weights, 0.25).collect()
+    }
+    for d in lit:
+        assert arrow[d] == pytest.approx(lit[d], abs=1e-12)
+
+
+def test_training_literal_equals_arrow_path(spark, labeled, monkeypatch):
+    w_lit, b_lit = qc.train_text_classifier(
+        labeled, "label", num_buckets=NB, epochs=3, lr=1.0
+    )
+    monkeypatch.setattr(qc, "_LITERAL_MODEL_MAX", 1)
+    w_ar, b_ar = qc.train_text_classifier(
+        labeled, "label", num_buckets=NB, epochs=3, lr=1.0
+    )
+    assert b_ar == pytest.approx(b_lit, abs=1e-9)
+    assert np.allclose(np.asarray(w_ar), np.asarray(w_lit), atol=1e-9)
+
+
+def test_score_plan_zero_shuffle_no_python(spark, labeled):
+    scored = qc.classifier_score(labeled, qc.pseudo_weights(NB), 0.0)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_xengine_score_matches_duckdb_twin(spark):
+    import duckdb
+
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    sdf = spark.read.parquet(docs)
+    weights = qc.pseudo_weights(NB, scale=2.0)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{docs}'")
+    for feature in ("mean", "count"):
+        got = {
+            r["doc_id"]: r["p"]
+            for r in qc.classifier_score(
+                sdf, weights, bias=-0.5, out_col="__p", use_xengine_hash=True,
+                feature=feature,
+            )
+            .select("doc_id", F.round("__p", 6).alias("p"))
+            .collect()
+        }
+        want = {
+            d: p
+            for d, p in con.execute(
+                qc.classifier_score_oracle_sql(NB, bias=-0.5, scale=2.0, feature=feature)
+            ).fetchall()
+        }
+        assert set(got) == set(want)
+        for d in want:
+            assert got[d] == pytest.approx(want[d], abs=1.5e-6), (feature, d)
+
+
+def test_pseudo_weights_are_bounded_and_deterministic():
+    w = qc.pseudo_weights(1000, scale=3.0)
+    assert len(w) == 1000
+    assert all(-3.0 <= x <= 3.0 for x in w)
+    assert w == qc.pseudo_weights(1000, scale=3.0)
+    # spread: not all one sign (a degenerate vector would make the
+    # cross-engine twin trivially insensitive to the hash)
+    assert any(x > 0 for x in w) and any(x < 0 for x in w)
