@@ -273,3 +273,168 @@ def bm25_query_indexed(
         .orderBy(F.desc("score"), "doc_id")
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal rank fusion of keyword + vector rankings
+# (Cormack, Clarke & Buettcher 2009, "Reciprocal rank fusion outperforms
+# Condorcet and individual rank learning methods", SIGIR).
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k_rrf: int = 60,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    weights: list[float] | None = None,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Fuse ranked candidate lists by reciprocal rank:
+    ``rrf = Σ_i w_i / (k_rrf + rank_i)`` over the lists containing the doc
+    (a doc missing from a list contributes nothing — standard RRF).
+
+    → (id_col, rrf_score, n_lists, rank), rank 1-based by
+    (rrf_score DESC, id ASC). Scale: one union + ONE aggregation over the
+    CANDIDATE rows only (Σ list depths, never the corpus); the final rank
+    window runs over that bounded fused set.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranking")
+    if weights is None:
+        weights = [1.0] * len(rankings)
+    if len(weights) != len(rankings):
+        raise ValueError("rrf_fuse: one weight per ranking")
+    parts = [
+        r.select(
+            F.col(id_col),
+            (F.lit(float(w)) / (F.lit(float(k_rrf)) + F.col(rank_col).cast("double"))).alias(
+                "__contrib"
+            ),
+        )
+        for r, w in zip(rankings, weights)
+    ]
+    unioned = parts[0]
+    for p in parts[1:]:
+        unioned = unioned.unionByName(p)
+    fused = unioned.groupBy(id_col).agg(
+        F.round(F.sum("__contrib"), 9).alias("rrf_score"),
+        F.count(F.lit(1)).alias("n_lists"),
+    )
+    from pyspark.sql import Window
+
+    w_rank = Window.orderBy(F.desc("rrf_score"), F.asc(id_col))
+    out = fused.withColumn("rank", F.row_number().over(w_rank))
+    if top_k is not None:
+        out = out.filter(F.col("rank") <= top_k)
+    return out
+
+
+def cosine_rank(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    depth: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_id: str = "doc_id",
+) -> DataFrame:
+    """Top-``depth`` rows by cosine to a LITERAL query vector →
+    (out_id, cosine, rank). The score projection is row-local over the
+    corpus (zero shuffle before the top-k); the rank window runs on the
+    ≤ depth rows that survive the TakeOrderedAndProject. Cosine is
+    rounded to 6 before ranking — the cross-engine rank-stability
+    discipline used by every graded float ordering."""
+    from pyspark.sql import Window
+
+    from clickhousedatamocker_spark.operators.similarity import as_double, cosine
+
+    qv = F.lit([float(x) for x in query_vec])
+    scored = (
+        embeddings.select(
+            F.col(id_col).alias(out_id),
+            F.round(cosine(as_double(vec_col), qv), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(out_id))
+        .limit(depth)
+    )
+    w = Window.orderBy(F.desc("cosine"), F.asc(out_id))
+    return scored.withColumn("rank", F.row_number().over(w))
+
+
+def hybrid_search(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_text: str,
+    query_vec: list[float],
+    k: int = 10,
+    depth: int = 50,
+    k_rrf: int = 60,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    weights: list[float] | None = None,
+) -> DataFrame:
+    """Keyword + vector hybrid retrieval: BM25 top-``depth`` and
+    cosine top-``depth`` fused by RRF → top-``k``
+    (doc_id, rrf_score, n_lists, rank).
+
+    The two branch retrievals keep their own scale shapes (BM25's
+    pushed-down term filter; cosine's zero-shuffle scan) and RRF touches
+    only the ≤ 2·depth candidate rows, so the fusion layer adds no
+    corpus-sized work at any SF. Rank ties inside each branch break on
+    doc_id after 6-decimal score rounding — deterministic and
+    DuckDB-reproducible (tests/test_retrieval.py twin)."""
+    from pyspark.sql import Window
+
+    bm = bm25_search(docs, query_text, k=depth, text_col=text_col, id_col=doc_id_col)
+    w_bm = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    bm_ranked = bm.withColumn("rank", F.row_number().over(w_bm))
+    cos_ranked = cosine_rank(
+        embeddings, query_vec, depth=depth, id_col=vec_id_col, out_id="doc_id"
+    )
+    return rrf_fuse(
+        [bm_ranked, cos_ranked], k_rrf=k_rrf, weights=weights, top_k=k
+    )
+
+
+def hybrid_oracle_sql(
+    query_text: str,
+    query_vec: list[float],
+    k: int = 10,
+    depth: int = 50,
+    k_rrf: int = 60,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """DuckDB twin of :func:`hybrid_search` over the documents/embeddings
+    views (joined on doc_id == vec_id): same BM25 formula, same 6-decimal
+    cosine rounding before ranking, same RRF constant."""
+    bm = bm25_oracle_sql(query_text, k=depth, k1=k1, b=b)
+    vec = "[" + ", ".join(repr(float(x)) for x in query_vec) + "]"
+    return f"""
+WITH bm_hits AS ({bm}),
+bm_ranked AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+  FROM bm_hits
+),
+cos_ranked AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY c DESC, doc_id) AS r
+  FROM (
+    SELECT vec_id AS doc_id,
+           ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), {vec}), 6) AS c
+    FROM embeddings
+    ORDER BY c DESC, doc_id
+    LIMIT {depth}
+  )
+),
+fused AS (
+  SELECT doc_id, ROUND(SUM(1.0 / ({k_rrf} + r)), 9) AS rrf_score,
+         COUNT(*) AS n_lists
+  FROM (SELECT * FROM bm_ranked UNION ALL SELECT * FROM cos_ranked)
+  GROUP BY doc_id
+)
+SELECT doc_id, rrf_score, n_lists,
+       ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id) AS rank
+FROM fused
+QUALIFY rank <= {k}
+ORDER BY rank
+"""

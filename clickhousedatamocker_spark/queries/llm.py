@@ -1221,7 +1221,10 @@ _BM25_QUERY = "the model data of training system"
 
 @register(
     "bm25_search_profile",
-    bm25_oracle_sql(_BM25_QUERY, k=20),
+    None,  # rows-only: its graded slot upgraded to hybrid_retrieval_rrf
+    # (whose oracle embeds this exact BM25 formula as a CTE); the direct
+    # formula twin stays pinned by tests/test_retrieval.py::
+    # test_bm25_matches_duckdb
     description="Okapi BM25 keyword retrieval (Robertson & Walker 1994) "
     "over the documents corpus: one explode+agg shuffle builds (doc, term, "
     "tf, dl) postings; the query's terms filter with a pushed-down IN "
@@ -1235,6 +1238,37 @@ def bm25_search_profile(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents")
     return bm25_search(docs, _BM25_QUERY, k=20)
+
+
+# -------------------------------------------------------------------------
+from clickhousedatamocker_spark.operators.retrieval import hybrid_oracle_sql  # noqa: E402
+
+# deterministic 64-dim query vector, closed-form so the oracle SQL embeds
+# the same literal (fixture embeddings are 64-dim)
+_HYBRID_QVEC = [((i * 37 + 11) % 17 - 8) / 8.0 for i in range(64)]
+
+
+@register(
+    "hybrid_retrieval_rrf",
+    hybrid_oracle_sql(_BM25_QUERY, _HYBRID_QVEC, k=20, depth=50),
+    description="Hybrid keyword+vector retrieval fused by reciprocal rank "
+    "(Cormack et al. 2009): BM25 top-50 over documents and 6-decimal-"
+    "rounded cosine top-50 over embeddings (joined on doc_id==vec_id), "
+    "rrf = sum 1/(60+rank), deterministic doc_id tiebreaks at every "
+    "ranking step. Graded END-TO-END (the oracle recomputes BM25, cosine "
+    "and the fusion in DuckDB). Scale: each branch keeps its own shape "
+    "(pushed-down term IN; zero-shuffle cosine scan into "
+    "TakeOrderedAndProject) and RRF touches only the <=2*depth candidate "
+    "rows — the fusion layer adds no corpus-sized work.",
+)
+def hybrid_retrieval_rrf(spark, sf_dir):
+    from clickhousedatamocker_spark.operators.retrieval import hybrid_search
+
+    docs = t(spark, sf_dir, "documents")
+    emb = t(spark, sf_dir, "embeddings")
+    return hybrid_search(docs, emb, _BM25_QUERY, _HYBRID_QVEC, k=20, depth=50).orderBy(
+        "rank"
+    )
 
 
 # -------------------------------------------------------------------------
@@ -1345,7 +1379,7 @@ def sample_cluster_stratified_profile(spark, sf_dir):
     "profile plants the signal it trains on: docs with doc_id%3==0 get a "
     "boilerplate marker token appended, the label is the marker rule, and "
     "count features (bag-of-words LR — mean features put ~1/n_grams mass "
-    "on the marker and need |w|~n_grams to separate) learn it in 10 "
+    "on the marker and need |w|~n_grams to separate) learn it in 20 "
     "epochs. Self-checking: per-source agreement at the 0.5 gate must "
     "track the planted split, and probabilities spread to the rails.",
 )

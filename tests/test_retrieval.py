@@ -109,3 +109,100 @@ def test_bm25_index_add_matches_oneshot(spark, docs, tmp_path):
 def test_bm25_empty_query_refuses(spark, docs, tmp_path):
     with pytest.raises(ValueError, match="no tokens"):
         bm25_search(docs, "   ")
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: RRF fusion of BM25 + cosine rankings
+
+
+def _query_vec(spark):
+    """A deterministic query vector: the embedding of vec_id 0."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    return [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+
+
+def test_hybrid_matches_duckdb_twin(spark, docs):
+    from clickhousedatamocker_spark.operators.retrieval import (
+        hybrid_oracle_sql,
+        hybrid_search,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qv = _query_vec(spark)
+    got = [
+        (r["doc_id"], r["rrf_score"], r["n_lists"], r["rank"])
+        for r in hybrid_search(docs, emb, QUERY, qv, k=12, depth=30)
+        .orderBy("rank")
+        .collect()
+    ]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'")
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{SF_DIR}/embeddings.parquet'")
+    want = con.execute(hybrid_oracle_sql(QUERY, qv, k=12, depth=30)).fetchall()
+    assert len(got) == 12
+    for g, w in zip(got, want):
+        assert g[0] == w[0] and g[2] == w[2] and g[3] == w[3], (g, w)
+        assert g[1] == pytest.approx(w[1], abs=1e-9), (g, w)
+
+
+def test_rrf_fuse_laws(spark):
+    """RRF invariants: a doc in both lists beats rank-worse docs in one
+    list; weights scale contributions; missing docs contribute nothing."""
+    from clickhousedatamocker_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id long, rank int")
+    b = spark.createDataFrame([(2, 1), (4, 2)], "doc_id long, rank int")
+    out = {r["doc_id"]: r for r in rrf_fuse([a, b], k_rrf=60).collect()}
+    assert out[2]["n_lists"] == 2 and out[1]["n_lists"] == 1
+    # doc 2: 1/62 + 1/61 > doc 1: 1/61 -> doc 2 ranks first
+    assert out[2]["rank"] == 1 and out[1]["rank"] == 2
+    assert out[2]["rrf_score"] == pytest.approx(1 / 62 + 1 / 61, abs=1e-9)
+    # weighted: doubling list b's weight flips nothing here but scales score
+    w2 = {r["doc_id"]: r for r in rrf_fuse([a, b], k_rrf=60, weights=[1.0, 2.0]).collect()}
+    assert w2[4]["rrf_score"] == pytest.approx(2 / 62, abs=1e-9)
+    with pytest.raises(ValueError):
+        rrf_fuse([])
+    with pytest.raises(ValueError):
+        rrf_fuse([a, b], weights=[1.0])
+
+
+def test_hybrid_rescues_vocabulary_mismatch(spark):
+    """The canonical hybrid win: a relevant doc that shares NO query terms
+    (pure vector hit) still surfaces in the fused top-k."""
+    from clickhousedatamocker_spark.operators.retrieval import hybrid_search
+
+    docs = spark.createDataFrame(
+        [
+            (0, "training data quality for models"),
+            (1, "cooking recipes and baking bread"),
+            (2, "corpus curation methods overview"),
+        ],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),   # vector-close to the query despite alien text
+            (2, [0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = hybrid_search(docs, emb, "training data", [1.0, 0.05], k=3, depth=3)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 1 in ids  # pure-vector doc fused in
+
+
+def test_cosine_rank_plan_no_shuffle_before_topk(spark):
+    """The cosine branch must be scan -> project -> TakeOrderedAndProject:
+    no Exchange other than the top-k's own singlePartition gather."""
+    from clickhousedatamocker_spark.operators.retrieval import cosine_rank
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = (
+        cosine_rank(emb, _query_vec(spark), depth=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
