@@ -1471,6 +1471,159 @@ _PARAMETRIC.update(
     }
 )
 
+
+# ---------------------------------------------------------------------------
+# vocab batch 15 (probe-driven): geo/bucket/decimal-format scalars, time
+# slots, UUIDv7, untuple on columns, variadic byteSize, and loud gates for
+# the bit-level / punycode family.
+
+
+def _pm_to_decimal_string(args: list[str]) -> str:
+    """toDecimalString(x, n) → fixed n-decimal string. n must be a literal
+    (it becomes the DECIMAL scale); CH allows up to 77 digits, Spark
+    DECIMAL(38) caps the shim at scale 37 — larger scales refuse loudly.
+    Midpoint values round HALF_UP (Spark round); CH rounds floats
+    half-to-even, so exact .5 midpoints can differ by one ulp of scale."""
+    if len(args) != 2:
+        raise NotImplementedError("toDecimalString: expected (x, n)")
+    x, n = args
+    try:
+        scale = int(n)
+    except ValueError:
+        raise NotImplementedError("toDecimalString: n must be an integer literal")
+    if not 0 <= scale <= 37:
+        raise NotImplementedError(
+            "toDecimalString: scale beyond DECIMAL(38) precision - CH allows "
+            "up to 77 digits, this engine stops at 37"
+        )
+    return f"CAST(CAST(round({x}, {scale}) AS DECIMAL(38, {scale})) AS STRING)"
+
+
+def _pm_width_bucket(args: list[str]) -> str:
+    if len(args) != 4:
+        raise NotImplementedError("widthBucket: expected (x, low, high, nbuckets)")
+    return f"width_bucket({args[0]}, {args[1]}, {args[2]}, {args[3]})"
+
+
+def _pm_time_slots(args: list[str]) -> str:
+    """timeSlots(start, duration[, size=1800]) → array of slot starts
+    (start rounded down to size) covering [start, start + duration]."""
+    if len(args) == 2:
+        start, dur = args
+        size = "1800"
+    elif len(args) == 3:
+        start, dur, size = args
+    else:
+        raise NotImplementedError("timeSlots: expected (start, duration[, size])")
+    lo = f"floor(unix_timestamp({start}) / ({size}))"
+    hi = f"floor((unix_timestamp({start}) + ({dur})) / ({size}))"
+    return (
+        f"transform(sequence({lo}, {hi}), "
+        f"__ts_s -> to_timestamp(__ts_s * ({size})))"
+    )
+
+
+def _pm_generate_uuid_v7(args: list[str]) -> str:
+    """generateUUIDv7() → RFC 9562 v7: 48-bit unix-millis prefix, version
+    nibble 7, remaining random bits (and the variant nibble) borrowed from
+    a fresh v4. Time-ordered like CH's; random tail differs per call."""
+    if args and any(a.strip() for a in args):
+        raise NotImplementedError("generateUUIDv7 takes no arguments")
+    ms = "lpad(lower(hex(unix_millis(current_timestamp()))), 12, '0')"
+    u = "replace(uuid(), '-', '')"
+    return (
+        f"concat(substr({ms}, 1, 8), '-', substr({ms}, 9, 4), '-7', "
+        f"substr({u}, 14, 3), '-', substr({u}, 17, 4), '-', substr({u}, 21, 12))"
+    )
+
+
+def _pm_untuple(args: list[str]) -> str:
+    """untuple(col) → col.* — Spark star-expands struct ATTRIBUTES only, so
+    inline tuple literals refuse with the subquery recipe."""
+    if len(args) != 1:
+        raise NotImplementedError("untuple takes exactly 1 argument")
+    x = args[0].strip()
+    if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)?", x):
+        return f"{x}.*"
+    raise NotImplementedError(
+        "untuple of a non-column expression is not shimmed - name the tuple "
+        "in a subquery (SELECT t.* FROM (SELECT <expr> AS t))"
+    )
+
+
+def _pm_byte_size(args: list[str]) -> str:
+    """byteSize(a, b, ...) — CH's in-memory size estimate, variadic.
+    Each arg is measured through the string model of the 1-arg SQL UDF
+    (octet_length + 9, the CH string header; inlined here so the rewrite
+    can't re-match itself) — a documented approximation for non-string
+    args, whose CH value is the binary width."""
+    if not args:
+        raise NotImplementedError("byteSize needs at least 1 argument")
+    return (
+        "("
+        + " + ".join(f"(octet_length(CAST({a} AS STRING)) + 9)" for a in args)
+        + ")"
+    )
+
+
+def _pm_order_dependent_late(name: str, recipe: str):
+    """Same loud gate as batch 6's _pm_order_dependent (defined below this
+    point in the file, hence the local twin)."""
+
+    def rw(args: list[str]) -> str:
+        raise NotImplementedError(
+            f"{name} depends on row arrival order within a block — "
+            f"undefined in a distributed engine (ClickHouse's own docs "
+            f"deprecate the neighbor/runningDifference family for the same "
+            f"reason). Use a window function instead: {recipe}"
+        )
+
+    return rw
+
+
+_PARAMETRIC.update(
+    {
+        # CH computes geoDistance on the WGS-84 ellipsoid; the shim reuses
+        # the R=6371 km haversine (deviation <= ~0.5%, golden-tested with
+        # tolerance like greatCircleDistance)
+        "geoDistance": _pm_great_circle,
+        "widthBucket": _pm_width_bucket,
+        "byteSize": _pm_byte_size,
+        "toDecimalString": _pm_to_decimal_string,
+        "timeSlots": _pm_time_slots,
+        "generateUUIDv7": _pm_generate_uuid_v7,
+        "untuple": _pm_untuple,
+        "groupArrayLast": _pm_order_dependent_late(
+            "groupArrayLast",
+            "use groupArraySorted(n)(x) or max_by(x, order_col) over an "
+            "explicit order column",
+        ),
+        "bitSlice": _pm_gate(
+            "bitSlice",
+            "bit-level substrings have no Spark builtin; shift/mask integer "
+            "columns or use substr for byte granularity",
+        ),
+        "punycodeEncode": _pm_gate(
+            "punycodeEncode", "no Spark builtin; IDNA handling needs a UDF"
+        ),
+        "punycodeDecode": _pm_gate(
+            "punycodeDecode", "no Spark builtin; IDNA handling needs a UDF"
+        ),
+        "idnaEncode": _pm_gate(
+            "idnaEncode", "no Spark builtin; IDNA handling needs a UDF"
+        ),
+        "idnaDecode": _pm_gate(
+            "idnaDecode", "no Spark builtin; IDNA handling needs a UDF"
+        ),
+        "groupArrayInsertAt": _pm_gate(
+            "groupArrayInsertAt",
+            "collect (pos, x) with collect_list(struct(pos, x)), dedupe "
+            "positions, then transform(sequence(0, size-1), i -> lookup)",
+        ),
+    }
+)
+
+
 # ---------------------------------------------------------------------------
 # vocab batch 6: CH analytics aggregates — sequence aggregates (windowFunnel /
 # sequenceMatch / sequenceCount / retention as SQL spellings over the same
@@ -2672,7 +2825,65 @@ def _pm2_group_array_sample(params: list[str] | None, args: list[str]) -> str:
     return f"transform(slice({ranked}, 1, {n}), __gs_s -> __gs_s.v)"
 
 
+def _pm2_group_array_sorted(params: list[str] | None, args: list[str]) -> str:
+    """groupArraySorted(n)(x) → the n smallest values, ascending —
+    deterministic (value order, not arrival order)."""
+    if params is None or len(params) != 1 or len(args) != 1:
+        raise NotImplementedError("groupArraySorted needs the (n)(x) form")
+    return f"slice(array_sort(collect_list({args[0]})), 1, {params[0]})"
+
+
+def _pm2_quantile_gk(params: list[str] | None, args: list[str]) -> str:
+    """quantileGK(accuracy, level)(x) → approx_percentile(x, level,
+    accuracy) — both are Greenwald-Khanna sketches and both treat the
+    first parameter as 'larger = more accurate'."""
+    if params is None or len(params) != 2 or len(args) != 1:
+        raise NotImplementedError("quantileGK needs the (accuracy, level)(x) form")
+    acc, level = params
+    return f"approx_percentile({args[0]}, {level}, {acc})"
+
+
+def _pm2_sparkbar(params: list[str] | None, args: list[str]) -> str:
+    """sparkbar(buckets[, min_x, max_x])(x, y) → unicode frequency bar:
+    y-mass per equal-width x bucket, heights scaled to the max bucket over
+    the 8-level block ramp (empty bucket renders ▁ like CH). One
+    collect_list per group — the buckets parameter bounds the render, the
+    collected pair list is the group's rows (CH holds the same state)."""
+    if params is None or len(params) not in (1, 3) or len(args) != 2:
+        raise NotImplementedError("sparkbar needs the (buckets[, min, max])(x, y) form")
+    n = params[0]
+    x, y = args
+    pairs = (
+        f"filter(collect_list(named_struct("
+        f"'x', CAST({x} AS DOUBLE), 'y', CAST({y} AS DOUBLE))), "
+        f"__sb_p -> __sb_p.x IS NOT NULL AND __sb_p.y IS NOT NULL)"
+    )
+    if len(params) == 3:
+        lo, hi = f"CAST({params[1]} AS DOUBLE)", f"CAST({params[2]} AS DOUBLE)"
+    else:
+        lo = f"array_min(transform({pairs}, __sb_p -> __sb_p.x))"
+        hi = f"array_max(transform({pairs}, __sb_p -> __sb_p.x))"
+    span = f"greatest(({hi}) - ({lo}), 1e-300D)"
+    bucket_of = (
+        f"least(greatest(CAST(floor((__sb_p.x - ({lo})) / ({span}) * ({n})) AS INT), 0), ({n}) - 1)"
+    )
+    sums = (
+        f"transform(sequence(0, ({n}) - 1), __sb_b -> "
+        f"aggregate(filter({pairs}, __sb_p -> {bucket_of} = __sb_b), "
+        f"0.0D, (__sb_acc, __sb_p) -> __sb_acc + __sb_p.y))"
+    )
+    mx = f"greatest(array_max({sums}), 1e-300D)"
+    ramp = "array('▁', '▂', '▃', '▄', '▅', '▆', '▇', '█')"
+    return (
+        f"concat_ws('', transform({sums}, __sb_s -> "
+        f"element_at({ramp}, least(greatest(CAST(ceil(__sb_s / ({mx}) * 8) AS INT), 1), 8))))"
+    )
+
+
 _PARAMETRIC2: dict[str, object] = {
+    "groupArraySorted": _pm2_group_array_sorted,
+    "quantileGK": _pm2_quantile_gk,
+    "sparkbar": _pm2_sparkbar,
     "windowFunnel": _pm2_window_funnel,
     "quantileDeterministic": _pm2_quantile_deterministic,
     "groupArraySample": _pm2_group_array_sample,
