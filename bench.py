@@ -108,6 +108,9 @@ def main() -> None:
         "dedup_span_removal_profile",
         # round-6: the composed select->dedup->pack training-data run
         "pipeline_select_dedup_pack",
+        # round-6: keyword+vector RRF fusion (graded query; both branch
+        # retrievals and the fusion in one number)
+        "hybrid_retrieval_rrf",
     ):
         timed(extra, lambda extra=extra: REGISTRY[extra].fn(spark, sf_dir))
 
