@@ -298,3 +298,31 @@ def stream_bm25_index_maintenance(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_quality_gate(
+    stream_df: DataFrame,
+    weights: list[float],
+    bias: float,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    feature: str = "mean",
+    prob_col: str | None = None,
+) -> DataFrame:
+    """Pretrained-classifier admission over a document stream — the
+    always-on form of the operators/classifier.py gate (train offline with
+    ``train_text_classifier``, serve the frozen weights here).
+
+    Scoring is a row-local projection (literal weight array small / Arrow
+    broadcast large), so the streaming plan is STATELESS: no watermark, no
+    state store, each micro-batch scores independently and the stream
+    result equals the batch result on the same rows (law pinned by
+    tests/test_streaming.py). Keep ``prob_col`` to land the probability
+    with each admitted doc (audit trail); None drops it."""
+    from clickhousedatamocker_spark.operators.classifier import classifier_score
+
+    out = prob_col or "__qp"
+    scored = classifier_score(
+        stream_df, weights, bias, text_col, out, feature=feature
+    ).filter(F.col(out) >= threshold)
+    return scored if prob_col else scored.drop(out)

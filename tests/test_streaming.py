@@ -437,3 +437,59 @@ def test_stream_bm25_index_maintenance(spark, tmp_path):
     # the sink holds exactly the streamed docs, epoch-partitioned
     sunk = spark.read.parquet(str(tmp_path / "sink"))
     assert sunk.count() == 30 and "__epoch" in sunk.columns
+
+
+def test_stream_quality_gate_equals_batch(spark, tmp_path):
+    """Stateless law: the pretrained classifier gate admits exactly the
+    same docs under micro-batched streaming as in one batch pass — scoring
+    is a row-local projection, so no state/watermark is involved."""
+    from clickhousedatamocker_spark.operators.classifier import (
+        train_text_classifier,
+    )
+    from clickhousedatamocker_spark.streaming.windows import stream_quality_gate
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    # plant a learnable marker (fixture text is label-free) and train offline
+    labeled = docs.withColumn("__y", (F.col("doc_id") % 3 == 0).cast("int")).withColumn(
+        "text",
+        F.when(
+            F.col("__y") == 1, F.concat("text", F.lit(" qmk qmk qmk"))
+        ).otherwise(F.col("text")),
+    )
+    w, b = train_text_classifier(
+        labeled, "__y", num_buckets=512, epochs=12, lr=0.08, l2=0.02, feature="count"
+    )
+    planted = labeled.drop("__y")
+
+    src = str(tmp_path / "src")
+    for lo, hi in ((0, 15), (15, 30), (30, 50)):
+        planted.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    batch_in = spark.read.parquet(src)
+
+    stream = (
+        spark.readStream.schema(batch_in.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink = str(tmp_path / "sink")
+    q = (
+        stream_quality_gate(stream, w, b, feature="count", prob_col="p")
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    got = {
+        (r["doc_id"], round(r["p"], 9))
+        for r in spark.read.parquet(sink).collect()
+    }
+    want = {
+        (r["doc_id"], round(r["p"], 9))
+        for r in stream_quality_gate(batch_in, w, b, feature="count", prob_col="p").collect()
+    }
+    assert got == want and len(got) > 0
