@@ -1677,12 +1677,122 @@ class Engine:
             self._rewrite_generate_random,
             self._rewrite_merge_reads,
             self._rewrite_file_reads,
+            self._rewrite_columns_apply,
             self._rewrite_columns_selector,
+            self._rewrite_star_replace,
             self._rewrite_star_apply,
             self._rewrite_projection_reads,
         ):
             query = step(query)
         return query
+
+    def _single_source_columns(self, query: str, feature: str) -> list[str]:
+        """Column list of the query's single named table (catalog schema or
+        registered view) — the shared resolver for the CH column-transformer
+        modifiers (COLUMNS / * APPLY / * REPLACE). Multi-table queries
+        refuse loudly: expanding against the wrong table is a silent wrong
+        answer (the round-5 advisory's COLUMNS finding)."""
+        import re as _re
+
+        froms = {
+            m.group(1)
+            for m in _re.finditer(r"\bFROM\s+(\w+)\b", query, _re.IGNORECASE)
+        }
+        joins = {
+            m.group(1)
+            for m in _re.finditer(r"\bJOIN\s+(\w+)\b", query, _re.IGNORECASE)
+        }
+        sources = froms | joins
+        if len(sources) != 1:
+            raise NotImplementedError(
+                f"{feature} needs a query over exactly ONE named table to "
+                f"resolve against (found {sorted(sources)}); spell the "
+                "column list explicitly for joins/multi-table subqueries"
+            )
+        src = next(iter(sources))
+        if self.catalog.exists(src):
+            return [
+                f.name
+                for f in self.catalog.get(self.catalog.resolve(src)).schema.fields
+            ]
+        try:
+            return self.spark.table(src).columns
+        except Exception:
+            raise NotImplementedError(
+                f"{feature}: cannot resolve columns of {src!r} (not a "
+                "catalog table or registered view)"
+            )
+
+    def _rewrite_columns_apply(self, query: str) -> str:
+        """``COLUMNS('regex') APPLY(fn)`` — the transformer composition:
+        fn over every regex-matched column, CH-style ``fn(col)`` names.
+        Runs before the plain COLUMNS expansion (which would strand the
+        APPLY suffix)."""
+        import re as _re
+
+        pat = _re.compile(
+            r"\bCOLUMNS\s*\(\s*'([^']*)'\s*\)\s*APPLY\s*\(\s*(\w+)\s*\)",
+            _re.IGNORECASE,
+        )
+        if not pat.search(query):
+            return query
+        cols = self._single_source_columns(query, "COLUMNS(...) APPLY")
+
+        def sub(m: "_re.Match[str]") -> str:
+            rx = _re.compile(m.group(1))
+            fn = m.group(2)
+            picked = [c for c in cols if rx.search(c)]
+            if not picked:
+                raise ValueError(
+                    f"COLUMNS({m.group(1)!r}) APPLY: no column matches"
+                )
+            return ", ".join(f"{fn}({c}) AS `{fn}({c})`" for c in picked)
+
+        return pat.sub(sub, query)
+
+    def _rewrite_star_replace(self, query: str) -> str:
+        """``SELECT * [EXCEPT (cols)] REPLACE (expr AS col, ...) FROM t`` —
+        CH's projection transformer: the star expands to the table's
+        columns with the listed ones replaced by their expressions (same
+        position, same name). Spark has EXCEPT but no REPLACE, so the star
+        expands textually against the single named source."""
+        import re as _re
+
+        pat = _re.compile(
+            r"\*\s*(?:EXCEPT\s*\(([^)]*)\)\s*)?REPLACE\s*\(",
+            _re.IGNORECASE,
+        )
+        m = pat.search(query)
+        if m is None:
+            return query
+        from clickhousedatamocker_spark.functions.compat import (
+            _scan_balanced,
+            _split_top,
+        )
+
+        end = _scan_balanced(query, m.end())
+        repl_list = query[m.end() : end - 1]
+        cols = self._single_source_columns(query, "* REPLACE")
+        excluded = {
+            c.strip().lower() for c in (m.group(1) or "").split(",") if c.strip()
+        }
+        repls: dict[str, str] = {}
+        for item in _split_top(repl_list):
+            im = _re.match(r"(?s)^(.*)\s+AS\s+(\w+)\s*$", item.strip(), _re.IGNORECASE)
+            if im is None:
+                raise NotImplementedError(
+                    f"* REPLACE item {item.strip()!r} needs the 'expr AS col' form"
+                )
+            repls[im.group(2).lower()] = im.group(1).strip()
+        unknown = sorted(set(repls) - {c.lower() for c in cols})
+        if unknown:
+            raise ValueError(f"* REPLACE: no such column(s) {unknown}")
+        items = ", ".join(
+            f"({repls[c.lower()]}) AS {c}" if c.lower() in repls else c
+            for c in cols
+            if c.lower() not in excluded
+        )
+        return query[: m.start()] + items + query[end:]
 
     def _rewrite_star_apply(self, query: str) -> str:
         """``SELECT * [EXCEPT (cols)] APPLY(fn) FROM t`` — ClickHouse's
@@ -2474,21 +2584,34 @@ class Engine:
         # deterministic order; CH's unordered form is doc-order, which has
         # no distributed meaning). The greedy prefix anchors on the LAST
         # ORDER BY, so subqueries with their own ORDER BY stay intact.
+        # all three CH spellings: LIMIT n BY, LIMIT off, n BY,
+        # LIMIT n OFFSET off BY — the offset skips the first rows of each
+        # group in the sorted stream
         mlby = _re.match(
-            r"(?s)(.*)\bORDER\s+BY\s+(.+?)\s+LIMIT\s+(\d+)\s+BY\s+([\w\s,]+?)\s*;?\s*$",
+            r"(?s)(.*)\bORDER\s+BY\s+(.+?)\s+LIMIT\s+(\d+)"
+            r"(?:\s*,\s*(\d+)|\s+OFFSET\s+(\d+))?\s+BY\s+([\w\s,]+?)"
+            r"(?:\s+LIMIT\s+(\d+))?\s*;?\s*$",
             query,
             _re.IGNORECASE,
         )
         if mlby is not None and _re.match(r"\s*(SELECT|WITH)\b", query, _re.IGNORECASE):
-            order, n, by = mlby.group(2).strip(), int(mlby.group(3)), mlby.group(4).strip()
+            order, by = mlby.group(2).strip(), mlby.group(6).strip()
+            if mlby.group(4) is not None:  # LIMIT off, n BY
+                off, n = int(mlby.group(3)), int(mlby.group(4))
+            elif mlby.group(5) is not None:  # LIMIT n OFFSET off BY
+                off, n = int(mlby.group(5)), int(mlby.group(3))
+            else:
+                off, n = 0, int(mlby.group(3))
+            outer = f" LIMIT {mlby.group(7)}" if mlby.group(7) else ""
             inner = translate_ch_sql(mlby.group(1))
             self.refresh_system_views()
             # final ORDER BY = the query's own (CH applies LIMIT BY to the
-            # sorted stream and keeps that order in the result)
+            # sorted stream and keeps that order in the result); a trailing
+            # LIMIT after the BY list is CH's outer row cap on that stream
             return self.spark.sql(
                 f"SELECT * EXCEPT (__rn) FROM (SELECT *, row_number() OVER "
                 f"(PARTITION BY {by} ORDER BY {order}) AS __rn FROM ({inner})) "
-                f"WHERE __rn <= {n} ORDER BY {order}"
+                f"WHERE __rn > {off} AND __rn <= {off + n} ORDER BY {order}{outer}"
             )
         if _re.search(r"\bLIMIT\s+\d+\s+BY\s+\w", query, _re.IGNORECASE):
             raise NotImplementedError(
@@ -2506,6 +2629,33 @@ class Engine:
         # own names (CH behavior); names colliding with a left column keep
         # the _asof suffix; alias qualifiers are stripped from the outer
         # SELECT, so references must be unambiguous.
+        # USING form first: ASOF JOIN r USING (k, ts) — CH's shorthand where
+        # the LAST using-column is the inequality key (>=). Rewritten into
+        # the ON spelling the matcher below serves; >1 equality key refuses
+        # (operators/asof.py partitions on ONE key column).
+        musing = _re.search(
+            r"\bFROM\s+(\w+)(?:\s+(?:AS\s+)?(\w+))?\s+ASOF\s+(LEFT\s+)?JOIN\s+"
+            r"(\w+)(?:\s+(?:AS\s+)?(\w+))?\s+USING\s*\(([^)]*)\)",
+            query,
+            _re.IGNORECASE,
+        )
+        if musing is not None and _re.match(r"\s*(SELECT|WITH)\b", query, _re.IGNORECASE):
+            ucols = [c.strip() for c in musing.group(6).split(",") if c.strip()]
+            if len(ucols) != 2:
+                raise NotImplementedError(
+                    "ASOF JOIN USING needs exactly (key, ts) - the last "
+                    "column is the >= inequality key; for multiple equality "
+                    "keys spell a composite key column and use the ON form"
+                )
+            lq = musing.group(2) or musing.group(1)
+            rq = musing.group(5) or musing.group(4)
+            k, ts = ucols
+            rhs_end = musing.end(5) if musing.group(5) else musing.end(4)
+            query = (
+                query[:rhs_end]
+                + f" ON {lq}.{k} = {rq}.{k} AND {lq}.{ts} >= {rq}.{ts}"
+                + query[musing.end() :]
+            )
         masof = _re.search(
             r"\bFROM\s+(\w+)(?:\s+(?:AS\s+)?(\w+))?\s+ASOF\s+(LEFT\s+)?JOIN\s+"
             r"(\w+)(?:\s+(?:AS\s+)?(\w+))?\s+ON\s+([\w.]+)\s*=\s*([\w.]+)\s+AND\s+"

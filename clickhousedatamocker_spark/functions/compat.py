@@ -146,6 +146,25 @@ def _drop_tuning_settings_or_raise(m: "re.Match[str]") -> str:
     return m.group(2)
 
 
+def _null_table_function(spec: str) -> str:
+    """null('a UInt32, b String') → a typed EMPTY inline relation."""
+    cols = []
+    for part in spec.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        name, _, tstr = part.partition(" ")
+        if not tstr.strip():
+            raise NotImplementedError(
+                f"null(...): column spec {part!r} needs 'name Type'"
+            )
+        dt, _nullable = parse_ch_type(tstr.strip())
+        cols.append(f"CAST(NULL AS {dt.simpleString()}) AS {name}")
+    if not cols:
+        raise NotImplementedError("null(...) needs at least one column")
+    return "(SELECT " + ", ".join(cols) + " WHERE false)"
+
+
 _REWRITES = [
     (re.compile(r"\bcount\(\s*\)", re.IGNORECASE), "count(*)"),
     (re.compile(r"\bsystem\.metrics\b", re.IGNORECASE), "system_metrics"),
@@ -602,6 +621,10 @@ _REWRITES = [
         ),
         lambda m: _drop_tuning_settings_or_raise(m),
     ),
+    # numbers_mt is numbers with multi-threaded generation — a scheduling
+    # hint here (range() parallelizes anyway); must precede the numbers()
+    # entries (one ordered rewrite pass)
+    (re.compile(r"\bnumbers_mt\(", re.IGNORECASE), "numbers("),
     # numbers(N) table function → Spark's range(N), column renamed to CH's
     (
         re.compile(r"\bnumbers\(\s*(\d+)\s*\)", re.IGNORECASE),
@@ -614,6 +637,18 @@ _REWRITES = [
             f"(SELECT id AS number FROM range({int(m.group(1))}, "
             f"{int(m.group(1)) + int(m.group(2))}))"
         ),
+    ),
+    # zeros(N) / zeros_mt(N): CH's cheapest row generator (one 'zero' col)
+    (
+        re.compile(r"\bzeros(?:_mt)?\(\s*(\d+)\s*\)", re.IGNORECASE),
+        r"(SELECT CAST(0 AS TINYINT) AS zero FROM range(\1))",
+    ),
+    # null('col Type, ...') table function: typed empty relation (CH's
+    # Null-engine spelling as a table function — accepts writes that
+    # vanish; a read is just the empty typed set)
+    (
+        re.compile(r"\bnull\(\s*'([^']*)'\s*\)", re.IGNORECASE),
+        lambda m: _null_table_function(m.group(1)),
     ),
     # server-introspection constants, resolved at rewrite time: hostName is
     # the DRIVER's name (CH reports the serving node), uptime counts from

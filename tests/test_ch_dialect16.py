@@ -1,0 +1,114 @@
+"""Dialect batch 16 (probe-driven, clause-level): row-generator table
+functions (zeros / numbers_mt / null), LIMIT BY offset forms + trailing
+outer LIMIT, the * REPLACE and COLUMNS(...) APPLY column transformers, and
+the ASOF JOIN ... USING shorthand."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def eng(spark, tmp_path_factory):
+    from clickhousedatamocker_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path_factory.mktemp("wh16")))
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    ev.createOrReplaceTempView("ev16")
+    ev.select("user_id", "ts", "value").filter(F.col("user_id") < 50).createOrReplaceTempView(
+        "quotes16"
+    )
+    return e
+
+
+def test_zeros_and_numbers_mt(eng):
+    r = eng.sql("SELECT count() AS c, sum(zero) AS s FROM zeros(7)").collect()[0]
+    assert (r["c"], r["s"]) == (7, 0)
+    assert eng.sql("SELECT count() AS c FROM zeros_mt(3)").collect()[0]["c"] == 3
+    assert eng.sql("SELECT count() AS c FROM numbers_mt(10)").collect()[0]["c"] == 10
+    assert eng.sql("SELECT max(number) AS m FROM numbers_mt(5)").collect()[0]["m"] == 4
+
+
+def test_null_table_function(eng):
+    df = eng.sql("SELECT * FROM null('x UInt32, s String')")
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == ["x", "s"]
+    assert df.schema["x"].dataType.simpleString() == "int"  # parse_ch_type(UInt32)
+    with pytest.raises(NotImplementedError, match="name Type"):
+        eng.sql("SELECT * FROM null('justaname')").collect()
+
+
+def test_limit_by_offset_forms(eng, spark):
+    base = "SELECT user_id, value FROM ev16 ORDER BY user_id, value"
+    # per user: skip the smallest value, keep the next one
+    off_form = eng.sql(f"{base} LIMIT 1 OFFSET 1 BY user_id LIMIT 4").collect()
+    comma_form = eng.sql(f"{base} LIMIT 1, 1 BY user_id LIMIT 4").collect()
+    assert [tuple(r) for r in off_form] == [tuple(r) for r in comma_form]
+    assert len(off_form) == 4
+    # verify against a window twin
+    from pyspark.sql import Window
+
+    ev = spark.table("ev16").select("user_id", "value")
+    w = Window.partitionBy("user_id").orderBy("user_id", "value")
+    want = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 2)
+        .orderBy("user_id", "value")
+        .limit(4)
+        .select("user_id", "value")
+        .collect()
+    )
+    assert [tuple(r) for r in off_form] == [tuple(r) for r in want]
+
+
+def test_star_replace(eng):
+    got = eng.sql(
+        "SELECT * REPLACE (value * 0 AS value) FROM ev16 LIMIT 3"
+    ).collect()
+    assert all(r["value"] == 0 for r in got)
+    cols = eng.sql("SELECT * FROM ev16 LIMIT 1").columns
+    assert eng.sql("SELECT * REPLACE (value * 0 AS value) FROM ev16 LIMIT 1").columns == cols
+    # EXCEPT + REPLACE compose
+    got = eng.sql(
+        "SELECT * EXCEPT (props) REPLACE (user_id + 1000000 AS user_id) "
+        "FROM ev16 LIMIT 2"
+    )
+    assert "props" not in got.columns and "user_id" in got.columns
+    assert all(r["user_id"] >= 1000000 for r in got.collect())
+    with pytest.raises(ValueError, match="no such column"):
+        eng.sql("SELECT * REPLACE (1 AS nope) FROM ev16 LIMIT 1").collect()
+    with pytest.raises(NotImplementedError, match="expr AS col"):
+        eng.sql("SELECT * REPLACE (value) FROM ev16 LIMIT 1").collect()
+
+
+def test_columns_apply(eng, spark):
+    got = eng.sql("SELECT COLUMNS('^(value|user_id)$') APPLY (max) FROM ev16").collect()[0]
+    ev = spark.table("ev16")
+    want = ev.agg(F.max("value"), F.max("user_id")).collect()[0]
+    assert got["max(value)"] == want[0] and got["max(user_id)"] == want[1]
+    with pytest.raises(ValueError, match="no column matches"):
+        eng.sql("SELECT COLUMNS('zzz') APPLY (sum) FROM ev16").collect()
+
+
+def test_asof_using_equals_on_form(eng):
+    using = eng.sql(
+        "SELECT count() AS c, sum(value_asof) AS s FROM ev16 "
+        "ASOF JOIN quotes16 USING (user_id, ts)"
+    ).collect()[0]
+    on_form = eng.sql(
+        "SELECT count() AS c, sum(value_asof) AS s FROM ev16 a "
+        "ASOF JOIN quotes16 q ON a.user_id = q.user_id AND a.ts >= q.ts"
+    ).collect()[0]
+    assert tuple(using) == tuple(on_form)
+    assert using["c"] > 0
+
+
+def test_asof_using_multi_key_refuses(eng):
+    with pytest.raises(NotImplementedError, match="exactly \\(key, ts\\)"):
+        eng.sql(
+            "SELECT count() AS c FROM ev16 ASOF JOIN quotes16 "
+            "USING (user_id, value, ts)"
+        ).collect()
