@@ -897,6 +897,56 @@ class Engine:
         shutil.copytree(handle.path, dst_data)
         shutil.copy(self.catalog._meta_path(name), os.path.join(dest, f"{name}.meta.json"))
 
+    def _freeze_table(self, table: str, partition: str | None) -> "DataFrame":
+        """ALTER TABLE t FREEZE [PARTITION p]: snapshot the table's (or one
+        partition's) part files into ``<warehouse>/shadow/<increment>/<t>/``
+        — CH's local-backup hardlink mechanism, modeled as a copy. The
+        snapshot uses the BACKUP layout (data dir + meta sidecar), so
+        ``RESTORE TABLE t FROM '<warehouse>/shadow/<inc>'`` round-trips a
+        full-table freeze. Returns (shadow_path, parts_copied); increments
+        monotonically like CH's shadow/increment.txt."""
+        import shutil
+
+        name = self.catalog.resolve(table)
+        handle = self.catalog.get(name)
+        self.parts.save(name, handle.path)
+        shadow_root = os.path.join(self.catalog.warehouse_dir, "shadow")
+        os.makedirs(shadow_root, exist_ok=True)
+        existing = [int(d) for d in os.listdir(shadow_root) if d.isdigit()]
+        inc = (max(existing) + 1) if existing else 1
+        dest = os.path.join(shadow_root, str(inc), name)
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        n_copied = 0
+        if partition is None:
+            shutil.copytree(handle.path, dest)
+            n_copied = sum(
+                1 for _r, _d, fs in os.walk(dest) for f in fs if f.endswith(".parquet")
+            )
+        else:
+            os.makedirs(dest, exist_ok=True)
+            matched = False
+            for entry in os.scandir(handle.path):
+                if entry.is_dir() and entry.name.split("=", 1)[-1] == str(partition):
+                    shutil.copytree(entry.path, os.path.join(dest, entry.name))
+                    matched = True
+                    n_copied += sum(
+                        1
+                        for _r, _d, fs in os.walk(os.path.join(dest, entry.name))
+                        for f in fs
+                        if f.endswith(".parquet")
+                    )
+            if not matched:
+                raise ValueError(
+                    f"FREEZE PARTITION {partition!r}: no such partition in {name!r}"
+                )
+        shutil.copy(
+            self.catalog._meta_path(name),
+            os.path.join(shadow_root, str(inc), f"{name}.meta.json"),
+        )
+        return self.spark.createDataFrame(
+            [(dest, n_copied)], "shadow_path string, parts_copied int"
+        )
+
     def restore_table(self, table: str, src: str) -> None:
         """RESTORE TABLE t FROM '<dir>': reinstate a backup_table snapshot.
         The table must not currently exist (drop it first to replace)."""
@@ -1669,6 +1719,7 @@ class Engine:
         # any rewrite below (file(), SAMPLE, projections, ...)
         query = expand_sql_macros(query, self._sql_functions)
         for step in (
+            self._rewrite_db_qualified_reads,
             self._rewrite_sample_reads,
             self._rewrite_final_reads,
             self._rewrite_format_tf,
@@ -1685,6 +1736,30 @@ class Engine:
         ):
             query = step(query)
         return query
+
+    def _rewrite_db_qualified_reads(self, query: str) -> str:
+        """``FROM db.table`` → ``FROM table`` for the engine's databases.
+        Tables live in ONE namespace registered as bare-name views (CH
+        pastes commonly qualify with the database; INSERT already strips
+        it). Only FROM/JOIN/INTO/TABLE positions rewrite — never column
+        qualifiers — and ``system.*`` keeps its own machinery."""
+        import re as _re
+
+        pat = _re.compile(
+            r"\b(FROM|JOIN|INTO|TABLE)\s+(\w+)\.(\w+)\b", _re.IGNORECASE
+        )
+
+        def sub(m: "_re.Match[str]") -> str:
+            db, tbl = m.group(2), m.group(3)
+            if (
+                db.lower() != "system"
+                and db in self._databases
+                and (self.catalog.exists(tbl) or tbl in self._views)
+            ):
+                return f"{m.group(1)} {tbl}"
+            return m.group(0)
+
+        return pat.sub(sub, query)
 
     def _single_source_columns(self, query: str, feature: str) -> list[str]:
         """Column list of the query's single named table (catalog schema or
@@ -2993,6 +3068,35 @@ class Engine:
             elif ddl["op"] == "show_databases":
                 return self.spark.createDataFrame(
                     [(d,) for d in sorted(self._databases)], "name string"
+                )
+            elif ddl["op"] == "show_create_database":
+                if ddl["name"] not in self._databases:
+                    raise ValueError(f"database {ddl['name']!r} does not exist")
+                return self.spark.createDataFrame(
+                    [(f"CREATE DATABASE {ddl['name']}\nENGINE = Atomic",)],
+                    "statement string",
+                )
+            elif ddl["op"] == "show_dictionaries":
+                names = sorted(
+                    t.name[len("dict_") :]
+                    for t in self.spark.catalog.listTables()
+                    if t.name.startswith("dict_")
+                )
+                return self.spark.createDataFrame(
+                    [(n,) for n in names] or [], "name string"
+                )
+            elif ddl["op"] == "freeze":
+                return self._freeze_table(ddl["name"], ddl.get("partition"))
+            elif ddl["op"] == "modify_comment":
+                meta = self.catalog._read_meta(self.catalog.resolve(ddl["name"]))
+                meta["comment"] = ddl["comment"]
+                self.catalog._write_meta(self.catalog.resolve(ddl["name"]), meta)
+            elif ddl["op"] == "undrop":
+                raise NotImplementedError(
+                    "UNDROP TABLE is not supported - DROP TABLE deletes the "
+                    "data directory immediately (no Atomic-engine delayed "
+                    "drop here); restore from a BACKUP/FREEZE snapshot with "
+                    "RESTORE TABLE"
                 )
             elif ddl["op"] == "use_database":
                 if ddl["name"] not in self._databases:

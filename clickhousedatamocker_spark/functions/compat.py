@@ -4282,6 +4282,34 @@ def parse_ch_ddl(sql: str) -> dict | None:
     if m:
         return {"op": "exchange", "a": m.group(1), "b": m.group(2)}
 
+    m = re.match(
+        r"ALTER\s+TABLE\s+(\w+)\s+FREEZE(?:\s+PARTITION\s+'?([\w-]+)'?)?\s*;?\s*$",
+        s,
+        re.IGNORECASE,
+    )
+    if m:
+        return {"op": "freeze", "name": m.group(1), "partition": m.group(2)}
+
+    m = re.match(
+        r"ALTER\s+TABLE\s+(\w+)\s+MODIFY\s+COMMENT\s+'([^']*)'\s*;?\s*$",
+        s,
+        re.IGNORECASE,
+    )
+    if m:
+        return {"op": "modify_comment", "name": m.group(1), "comment": m.group(2)}
+
+    m = re.match(r"UNDROP\s+TABLE\s+(\w+)\s*;?\s*$", s, re.IGNORECASE)
+    if m:
+        return {"op": "undrop", "name": m.group(1)}
+
+    m = re.match(r"SHOW\s+CREATE\s+DATABASE\s+(\w+)\s*;?\s*$", s, re.IGNORECASE)
+    if m:
+        return {"op": "show_create_database", "name": m.group(1)}
+
+    m = re.match(r"SHOW\s+DICTIONARIES\s*;?\s*$", s, re.IGNORECASE)
+    if m:
+        return {"op": "show_dictionaries"}
+
     # CH lightweight delete (22.8+): DELETE FROM t WHERE p — same mutation
     # machinery as ALTER ... DELETE here (we are always "synchronous")
     m = re.match(r"DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.+?)\s*;?\s*$", s, re.IGNORECASE | re.DOTALL)

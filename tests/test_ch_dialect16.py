@@ -112,3 +112,71 @@ def test_asof_using_multi_key_refuses(eng):
             "SELECT count() AS c FROM ev16 ASOF JOIN quotes16 "
             "USING (user_id, value, ts)"
         ).collect()
+
+
+# ---------------------------------------------------------------------------
+# admin surface: db-qualified reads, FREEZE snapshots, comments, SHOW forms
+
+
+@pytest.fixture()
+def admin_eng(spark, tmp_path):
+    from clickhousedatamocker_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+    e.sql("CREATE TABLE adm (id UInt64, v Float64) ENGINE = MergeTree() ORDER BY id")
+    e.sql("INSERT INTO adm VALUES (1, 1.5), (2, 2.5)")
+    return e
+
+
+def test_db_qualified_select(admin_eng):
+    assert admin_eng.sql("SELECT count() AS c FROM default.adm").collect()[0]["c"] == 2
+    # unknown database does NOT rewrite (falls through to Spark's error)
+    with pytest.raises(Exception, match="nosuchdb|TABLE_OR_VIEW_NOT_FOUND"):
+        admin_eng.sql("SELECT count() AS c FROM nosuchdb.adm").collect()
+
+
+def test_freeze_and_restore_roundtrip(admin_eng):
+    r = admin_eng.sql("ALTER TABLE adm FREEZE").collect()[0]
+    assert r["parts_copied"] > 0 and "/shadow/1/" in r["shadow_path"]
+    shadow_dir = r["shadow_path"].rsplit("/adm", 1)[0]
+    admin_eng.sql("DROP TABLE adm")
+    admin_eng.sql(f"RESTORE TABLE adm FROM '{shadow_dir}'")
+    assert admin_eng.sql("SELECT count() AS c FROM adm").collect()[0]["c"] == 2
+    # a second freeze lands in increment 2
+    r2 = admin_eng.sql("ALTER TABLE adm FREEZE").collect()[0]
+    assert "/shadow/2/" in r2["shadow_path"]
+
+
+def test_freeze_partition_scoped(admin_eng):
+    admin_eng.sql(
+        "CREATE TABLE admp (id UInt64, event_time DateTime) ENGINE = MergeTree() "
+        "PARTITION BY toYYYYMMDDhh(event_time) ORDER BY id"
+    )
+    admin_eng.sql(
+        "INSERT INTO admp VALUES (1, '2026-01-01 10:00:00'), (2, '2026-01-01 11:00:00')"
+    )
+    parts = [
+        r[0]
+        for r in admin_eng.sql(
+            "SELECT DISTINCT partition FROM system.parts WHERE table = 'admp'"
+        ).collect()
+    ]
+    assert len(parts) == 2
+    r = admin_eng.sql(f"ALTER TABLE admp FREEZE PARTITION '{parts[0]}'").collect()[0]
+    assert r["parts_copied"] >= 1
+    with pytest.raises(ValueError, match="no such partition"):
+        admin_eng.sql("ALTER TABLE admp FREEZE PARTITION '1999010100'").collect()
+
+
+def test_modify_comment_and_show_forms(admin_eng):
+    admin_eng.sql("ALTER TABLE adm MODIFY COMMENT 'fact table'")
+    assert (
+        admin_eng.catalog._read_meta("adm").get("comment") == "fact table"
+    )
+    st = admin_eng.sql("SHOW CREATE DATABASE default").collect()[0]["statement"]
+    assert st.startswith("CREATE DATABASE default")
+    with pytest.raises(ValueError, match="does not exist"):
+        admin_eng.sql("SHOW CREATE DATABASE nope").collect()
+    assert admin_eng.sql("SHOW DICTIONARIES").columns == ["name"]
+    with pytest.raises(NotImplementedError, match="UNDROP"):
+        admin_eng.sql("UNDROP TABLE adm").collect()
