@@ -70,6 +70,9 @@ SMOKE_KEYS = (
     "dedup_semantic_profile",
     "dsir_selection_profile",
     "bpe_tokenize_profile",
+    # round-6: hybrid BM25+cosine RRF — the postings build is the linear
+    # part (explode+agg over corpus tokens); fusion stays candidate-sized
+    "hybrid_retrieval_rrf",
 )
 
 
