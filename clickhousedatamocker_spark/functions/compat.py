@@ -361,12 +361,9 @@ _REWRITES = [
             f"CAST(count({m.group(2)}) AS INT)))"
         ),
     ),
-    # the Inclusive/Exclusive variants ARE interpolating — percentile's
-    # interpolated answer is the matching contract
-    (
-        re.compile(r"\bquantileExact(?:Inclusive|Exclusive)\(([0-9.]+)\)\(([^()]*)\)", re.IGNORECASE),
-        r"percentile(\2, \1)",
-    ),
+    # quantileExactInclusive/Exclusive: served by the exact R-7/R-6
+    # interpolation entries in vocab batch 17 (percentile() matches only
+    # the Inclusive plotting position; Exclusive uses h = p·(n+1))
     # CH `any(x)` picks an arbitrary value per group == Spark any_value;
     # Spark's own `any` is the boolean OR aggregate, so the name must move.
     # (`\bany\(` never collides with the ANY JOIN strictness keyword — that
@@ -1659,6 +1656,8 @@ _PARAMETRIC.update(
 )
 
 
+
+
 # ---------------------------------------------------------------------------
 # vocab batch 6: CH analytics aggregates — sequence aggregates (windowFunnel /
 # sequenceMatch / sequenceCount / retention as SQL spellings over the same
@@ -1720,6 +1719,13 @@ def _pm_map_agg(kind: str):
         vals_of = f"transform(filter({entries}, __me -> __me.key <=> __mk), __me -> __me.value)"
         if kind == "sum":
             val = f"aggregate({vals_of}, 0.0D, (__ma, __mx) -> __ma + __mx)"
+        elif kind == "avg":
+            val = (
+                f"(aggregate({vals_of}, 0.0D, (__ma, __mx) -> __ma + __mx) "
+                f"/ size({vals_of}))"
+            )
+        elif kind == "count":
+            val = f"size({vals_of})"
         else:
             val = f"array_{kind}({vals_of})"
         vs = f"transform({ks}, __mk -> {val})"
@@ -1739,6 +1745,144 @@ def _pm_retention(args: list[str]) -> str:
     hit = [f"max(CASE WHEN {c} THEN 1 ELSE 0 END)" for c in args]
     cells = [hit[0]] + [f"({hit[0]} * {h})" for h in hit[1:]]
     return f"array({', '.join(cells)})"
+
+
+# ---------------------------------------------------------------------------
+# vocab batch 17 (probe-driven): stacked aggregate combinators
+# (-ArrayIf, -IfOrNull), the -Map family's avg/count members, exact
+# exclusive/inclusive quantiles, and loud gates for the
+# order-dependent / statistics stragglers.
+
+
+def _array_if(x: str, c: str) -> str:
+    """The -ArrayIf guard: rows failing the condition contribute an EMPTY
+    same-typed array (slice(a, 1, 0)), which every -Array body ignores
+    (array_min/max of [] is NULL, folds add nothing, sizes are 0)."""
+    return f"IF({c}, {x}, slice({x}, 1, 0))"
+
+
+def _pm_array_if(body: str):
+    def rw(args: list[str]) -> str:
+        if len(args) != 2:
+            raise NotImplementedError("-ArrayIf takes (array, condition)")
+        return body.format(x=_array_if(args[0], args[1]))
+
+    return rw
+
+
+_SUM_ELEMS = "aggregate({x}, CAST(0.0 AS DOUBLE), (__sa_a, __sa_v) -> __sa_a + __sa_v)"
+
+_PARAMETRIC.update(
+    {
+        "sumArrayIf": _pm_array_if(f"sum({_SUM_ELEMS})"),
+        "avgArrayIf": _pm_array_if(f"(sum({_SUM_ELEMS}) / sum(size({{x}})))"),
+        "minArrayIf": _pm_array_if("min(array_min({x}))"),
+        "maxArrayIf": _pm_array_if("max(array_max({x}))"),
+        "countArrayIf": _pm_array_if("sum(size({x}))"),
+        "uniqArrayIf": _pm_array_if("size(array_distinct(flatten(collect_list({x}))))"),
+        # -IfOrNull: NULL (not 0 / not a default) when no row matches —
+        # Spark aggregates over an all-NULL CASE column are already NULL
+        "sumIfOrNull": _pm_2arg("sum(CASE WHEN {a} THEN {f} END)"),
+        "avgIfOrNull": _pm_2arg("avg(CASE WHEN {a} THEN {f} END)"),
+        "minIfOrNull": _pm_2arg("min(CASE WHEN {a} THEN {f} END)"),
+        "maxIfOrNull": _pm_2arg("max(CASE WHEN {a} THEN {f} END)"),
+        "countIfOrNull": _pm_2arg("nullif(count_if({a} AND ({f}) IS NOT NULL), 0)"),
+        "avgMap": _pm_map_agg("avg"),
+        "countMap": _pm_map_agg("count"),
+        "sumMapFiltered": _pm_gate(
+            "sumMapFiltered",
+            "filter the map first: sumMap(map_filter(m, (k, v) -> array_contains(keys, k)))",
+        ),
+        "groupConcat": _pm_order_dependent_late(
+            "groupConcat",
+            "array_join(groupArraySorted(n)(x), sep) or "
+            "concat_ws(sep, collect_list(x)) if order is irrelevant",
+        ),
+        "aggThrow": _pm_gate(
+            "aggThrow", "CH's fault-injection test aggregate; nothing to compute"
+        ),
+        "analysisOfVariance": _pm_gate(
+            "analysisOfVariance",
+            "compute per-group means/variances with avgIf/varSampIf and "
+            "assemble the F statistic over the grouped counts",
+        ),
+        "meanZTest": _pm_gate(
+            "meanZTest",
+            "compute the z statistic from avgIf/countIf per population "
+            "with the given variances",
+        ),
+        "rankCorr": _pm_gate(
+            "rankCorr",
+            "Spearman = corr of ranks: rank() OVER (ORDER BY x), rank() "
+            "OVER (ORDER BY y) in a subquery, then corr of the two ranks",
+        ),
+    }
+)
+
+
+def _quantile_exact_interp(x: str, p: float, exclusive: bool) -> str:
+    """Exact exclusive (R-6 / PERCENTILE.EXC) or inclusive (R-7 /
+    PERCENTILE.INC) quantile over the sorted collected values."""
+    s = f"array_sort(collect_list(CAST({x} AS DOUBLE)))"
+    n = f"size({s})"
+    h = f"({p} * ({n} + 1))" if exclusive else f"(1 + ({p}) * ({n} - 1))"
+    k = f"CAST(floor({h}) AS INT)"
+    lo = f"element_at({s}, greatest(least({k}, {n}), 1))"
+    hi = f"element_at({s}, greatest(least({k} + 1, {n}), 1))"
+    return (
+        f"(CASE WHEN {n} = 0 THEN NULL "
+        f"WHEN {h} < 1 THEN element_at({s}, 1) "
+        f"WHEN {h} >= {n} THEN element_at({s}, {n}) "
+        f"ELSE {lo} + ({h} - {k}) * ({hi} - {lo}) END)"
+    )
+
+
+def _rw_quantile_exact_variant(exclusive: bool, plural: bool):
+    def rw(m: "re.Match[str]") -> str:
+        ps = [float(p.strip()) for p in m.group(1).split(",") if p.strip()]
+        x = m.group(2)
+        cells = [_quantile_exact_interp(x, p, exclusive) for p in ps]
+        if plural:
+            return "array(" + ", ".join(cells) + ")"
+        if len(cells) != 1:
+            raise NotImplementedError("singular quantile takes exactly one level")
+        return cells[0]
+
+    return rw
+
+
+_REWRITES.extend(
+    [
+        (
+            re.compile(
+                r"\bquantilesExactExclusive\(([0-9.,\s]+)\)\(([^()]*)\)", re.IGNORECASE
+            ),
+            _rw_quantile_exact_variant(True, True),
+        ),
+        (
+            re.compile(
+                r"\bquantilesExactInclusive\(([0-9.,\s]+)\)\(([^()]*)\)", re.IGNORECASE
+            ),
+            _rw_quantile_exact_variant(False, True),
+        ),
+        (
+            re.compile(
+                r"\bquantileExactExclusive\(([0-9.,\s]+)\)\(([^()]*)\)", re.IGNORECASE
+            ),
+            _rw_quantile_exact_variant(True, False),
+        ),
+        (
+            re.compile(
+                r"\bquantileExactInclusive\(([0-9.,\s]+)\)\(([^()]*)\)", re.IGNORECASE
+            ),
+            _rw_quantile_exact_variant(False, False),
+        ),
+        # -OrNull spellings of the pick aggregates (Spark's are already
+        # NULL on the empty set)
+        (re.compile(r"\banyOrNull\(", re.IGNORECASE), "any_value("),
+        (re.compile(r"\banyLastOrNull\(", re.IGNORECASE), "last("),
+    ]
+)
 
 
 _PARAMETRIC.update(
