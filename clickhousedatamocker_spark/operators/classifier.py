@@ -365,3 +365,89 @@ WITH wh AS (
 SELECT doc_id, ROUND(1.0 / (1.0 + exp(-m)), 6) AS quality_prob
 FROM scored
 """
+
+
+def train_text_classifier_ovr(
+    docs: DataFrame,
+    label_col: str | Column,
+    text_col: str = "text",
+    num_buckets: int = 4096,
+    epochs: int = 20,
+    lr: float = 1.0,
+    l2: float = 0.0,
+    use_xengine_hash: bool = False,
+    feature: str = "mean",
+) -> dict[str, tuple[list[float], float]]:
+    """Multiclass (one-vs-rest) fastText: one binary model per observed
+    label → ``{label: (weights, bias)}``. Each binary model trains with
+    the same full-batch GD as :func:`train_text_classifier`, so per-class
+    numpy parity carries over. Driver state = n_classes bounded weight
+    vectors; the label set collects first (one tiny distinct) and must be
+    small — this is a domain/language tagger, not an extreme-multilabel
+    trainer (refuses above 100 classes)."""
+    lc = F.col(label_col) if isinstance(label_col, str) else label_col
+    labels = sorted(
+        r["__l"]
+        for r in docs.select(lc.alias("__l")).filter(F.col("__l").isNotNull()).distinct().collect()
+    )
+    if not labels:
+        raise ValueError("train_text_classifier_ovr: no non-NULL labels")
+    if len(labels) > 100:
+        raise ValueError(
+            f"train_text_classifier_ovr: {len(labels)} classes - one-vs-rest "
+            "trains one model per class; this API is for bounded label sets"
+        )
+    return {
+        lbl: train_text_classifier(
+            docs,
+            (lc == F.lit(lbl)),
+            text_col,
+            num_buckets,
+            epochs,
+            lr,
+            l2,
+            use_xengine_hash,
+            feature,
+        )
+        for lbl in labels
+    }
+
+
+def classifier_predict_class(
+    docs: DataFrame,
+    models: dict[str, tuple[list[float], float]],
+    text_col: str = "text",
+    out_col: str = "predicted_class",
+    prob_prefix: str | None = None,
+    use_xengine_hash: bool = False,
+    feature: str = "mean",
+) -> DataFrame:
+    """argmax over the one-vs-rest margins → ``out_col`` (+ per-class
+    probability columns when ``prob_prefix`` is set). Still one row-local
+    projection pass per class, zero shuffle; ties break on label order
+    (deterministic). NULL text predicts NULL."""
+    if not models:
+        raise ValueError("classifier_predict_class: no models")
+    labels = sorted(models)
+    df = docs
+    for lbl in labels:
+        w, b = models[lbl]
+        df = _margin_col(df, w, b, text_col, f"__m_{lbl}", use_xengine_hash, feature)
+    best = None
+    for lbl in labels:
+        m = F.col(f"__m_{lbl}")
+        best = m if best is None else F.greatest(best, m)
+    pred = None
+    for lbl in reversed(labels):  # earlier labels win ties (checked last)
+        pred = F.when(F.col(f"__m_{lbl}") == best, F.lit(lbl)).otherwise(
+            pred if pred is not None else F.lit(None).cast("string")
+        )
+    df = df.withColumn(out_col, pred)
+    for lbl in labels:
+        if prob_prefix is not None:
+            df = df.withColumn(
+                f"{prob_prefix}{lbl}",
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col(f"__m_{lbl}"))),
+            )
+        df = df.drop(f"__m_{lbl}")
+    return df

@@ -219,3 +219,52 @@ def test_pseudo_weights_are_bounded_and_deterministic():
     # spread: not all one sign (a degenerate vector would make the
     # cross-engine twin trivially insensitive to the hash)
     assert any(x > 0 for x in w) and any(x < 0 for x in w)
+
+
+def test_ovr_multiclass_separates_planted_vocab(spark):
+    """3-class planted vocabularies: one-vs-rest training + argmax
+    prediction recovers every training label; probabilities surface
+    under the prefix; NULL text predicts NULL."""
+    vocab = {
+        "sci": "theorem proof lemma convergence bound entropy",
+        "spam": "buy cheap deal offer prize winner",
+        "news": "minister parliament election vote policy debate",
+    }
+    rows = []
+    for ci, (lbl, words) in enumerate(sorted(vocab.items())):
+        for i in range(8):
+            ws = words.split()
+            rows.append((ci * 100 + i, " ".join(ws[i % 3 :] + ws[: i % 3]), lbl))
+    rows.append((999, None, None))
+    df = spark.createDataFrame(rows, "doc_id long, text string, label string")
+    models = qc.train_text_classifier_ovr(
+        df, "label", num_buckets=256, epochs=30, lr=2.0
+    )
+    assert sorted(models) == ["news", "sci", "spam"]
+    out = qc.classifier_predict_class(df, models, prob_prefix="p_")
+    got = {r["doc_id"]: r for r in out.collect()}
+    for d, _t, lbl in rows[:-1]:
+        assert got[d]["predicted_class"] == lbl, (d, got[d])
+        assert got[d][f"p_{lbl}"] > 0.5
+    assert got[999]["predicted_class"] is None
+
+
+def test_ovr_refuses_unbounded_label_sets(spark):
+    df = spark.createDataFrame(
+        [(i, "x y z", f"c{i}") for i in range(101)],
+        "doc_id long, text string, label string",
+    )
+    with pytest.raises(ValueError, match="one-vs-rest"):
+        qc.train_text_classifier_ovr(df, "label", num_buckets=16, epochs=1)
+
+
+def test_ovr_binary_model_matches_direct_training(spark, labeled):
+    """Each OvR member IS train_text_classifier on (label == class)."""
+    df = labeled.withColumn("cls", F.when(F.col("label") == 1, "good").otherwise("bad"))
+    models = qc.train_text_classifier_ovr(df, "cls", num_buckets=NB, epochs=3, lr=0.5)
+    w_direct, b_direct = qc.train_text_classifier(
+        df, F.col("cls") == "good", num_buckets=NB, epochs=3, lr=0.5
+    )
+    w_ovr, b_ovr = models["good"]
+    assert b_ovr == pytest.approx(b_direct, abs=1e-12)
+    assert np.allclose(np.asarray(w_ovr), np.asarray(w_direct), atol=1e-12)
