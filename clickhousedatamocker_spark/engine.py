@@ -2422,6 +2422,22 @@ class Engine:
         if ins is not None:
             from clickhousedatamocker_spark.sources.formats import read_format
 
+            if ins.get("infile"):
+                # INSERT ... FROM INFILE: the statement names its own payload
+                if not os.path.exists(ins["infile"]):
+                    raise ValueError(f"INFILE {ins['infile']!r} does not exist")
+                data = ins["infile"]
+            elif ins.get("inline_payload") is not None:
+                # interactive paste form: payload text follows the FORMAT
+                # name inside the statement — materialize it for the reader
+                import tempfile as _tf
+
+                tmp = _tf.NamedTemporaryFile(
+                    "w", suffix=".payload", delete=False, encoding="utf-8"
+                )
+                tmp.write(ins["inline_payload"])
+                tmp.close()
+                data = tmp.name
             if data is None:
                 raise ValueError(
                     "INSERT ... FORMAT needs the payload: Engine.sql(query, data=<path>) "

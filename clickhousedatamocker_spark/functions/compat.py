@@ -3956,6 +3956,48 @@ def parse_ch_insert(sql: str) -> dict | None:
     if m:
         cols = [c.strip() for c in m.group(2).split(",")] if m.group(2) else None
         return {"op": "insert", "table": m.group(1).split(".")[-1], "columns": cols, "format": m.group(3)}
+    # FROM INFILE: clickhouse-client reads the file itself and streams it —
+    # here the engine reads it through the same FORMAT machinery
+    m = re.match(
+        r"INSERT\s+INTO\s+([\w.]+)\s*(?:\(([^)]*)\))?\s*FROM\s+INFILE\s+"
+        r"'([^']+)'\s*(?:COMPRESSION\s+'\w+'\s*)?FORMAT\s+(\w+)\s*$",
+        s,
+        re.IGNORECASE,
+    )
+    if m:
+        cols = [c.strip() for c in m.group(2).split(",")] if m.group(2) else None
+        return {
+            "op": "insert",
+            "table": m.group(1).split(".")[-1],
+            "columns": cols,
+            "format": m.group(4),
+            "infile": m.group(3),
+        }
+    # inline payload after the FORMAT name (the interactive clickhouse-client
+    # paste form). FORMAT Values routes onto the VALUES machinery; textual
+    # formats carry the raw payload to the engine's format reader.
+    m = re.match(
+        r"INSERT\s+INTO\s+([\w.]+)\s*(?:\(([^)]*)\))?\s*FORMAT\s+(\w+)[ \t]*\n?(\S[\s\S]*)$",
+        s,
+        re.IGNORECASE,
+    )
+    if m:
+        cols = [c.strip() for c in m.group(2).split(",")] if m.group(2) else None
+        fmt, payload = m.group(3), m.group(4)
+        if fmt.lower() == "values":
+            return {
+                "op": "insert_values",
+                "table": m.group(1).split(".")[-1],
+                "columns": cols,
+                "values": payload.rstrip().rstrip(";"),
+            }
+        return {
+            "op": "insert",
+            "table": m.group(1).split(".")[-1],
+            "columns": cols,
+            "format": fmt,
+            "inline_payload": payload,
+        }
     if re.match(r"INSERT\s+INTO\s+[\w.]+\s*(?:\([^)]*\))?\s*\(?\s*(SELECT|WITH)\b", s, re.IGNORECASE):
         return None  # INSERT ... SELECT — handled as a statement by parse_ch_ddl
     mv = re.match(

@@ -180,3 +180,28 @@ def test_modify_comment_and_show_forms(admin_eng):
     assert admin_eng.sql("SHOW DICTIONARIES").columns == ["name"]
     with pytest.raises(NotImplementedError, match="UNDROP"):
         admin_eng.sql("UNDROP TABLE adm").collect()
+
+
+# ---------------------------------------------------------------------------
+# INSERT payload forms: inline (interactive paste) and FROM INFILE
+
+
+def test_insert_inline_payloads_and_infile(admin_eng, tmp_path):
+    e = admin_eng
+    e.sql("CREATE TABLE ins16 (id UInt64, s String) ENGINE = MergeTree() ORDER BY id")
+    e.sql('INSERT INTO ins16 FORMAT JSONEachRow {"id": 1, "s": "a"}\n{"id": 2, "s": "b"}')
+    e.sql("INSERT INTO ins16 FORMAT Values (3, 'c')")
+    e.sql("INSERT INTO ins16 FORMAT TabSeparated\n4\td")
+    e.sql("INSERT INTO ins16 FORMAT CSV\n5,e")
+    f = tmp_path / "payload.csv"
+    f.write_text("6,f\n7,g\n")
+    e.sql(f"INSERT INTO ins16 FROM INFILE '{f}' FORMAT CSV")
+    got = [tuple(r) for r in e.sql("SELECT * FROM ins16 ORDER BY id").collect()]
+    assert got == [
+        (1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, "e"), (6, "f"), (7, "g"),
+    ]
+    with pytest.raises(ValueError, match="does not exist"):
+        e.sql("INSERT INTO ins16 FROM INFILE '/tmp/__nope__.csv' FORMAT CSV")
+    # external-payload form still requires its data argument
+    with pytest.raises(ValueError, match="needs the payload"):
+        e.sql("INSERT INTO ins16 FORMAT CSV")
