@@ -423,16 +423,83 @@ def classifier_predict_class(
     feature: str = "mean",
 ) -> DataFrame:
     """argmax over the one-vs-rest margins → ``out_col`` (+ per-class
-    probability columns when ``prob_prefix`` is set). Still one row-local
-    projection pass per class, zero shuffle; ties break on label order
-    (deterministic). NULL text predicts NULL."""
+    probability columns when ``prob_prefix`` is set). The text featurizes
+    ONCE (one ``__qb`` projection shared by every class's margin — not one
+    tokenization pass per class), zero shuffle; ties break on label order
+    (deterministic). NULL text predicts NULL. Above the literal cap a
+    single Arrow pass computes all K margins against the stacked (K ×
+    num_buckets) broadcast weight matrix."""
     if not models:
         raise ValueError("classifier_predict_class: no models")
+    _check_feature(feature)
     labels = sorted(models)
-    df = docs
-    for lbl in labels:
-        w, b = models[lbl]
-        df = _margin_col(df, w, b, text_col, f"__m_{lbl}", use_xengine_hash, feature)
+    sizes = {len(models[lbl][0]) for lbl in labels}
+    if len(sizes) != 1:
+        raise ValueError("classifier_predict_class: models disagree on num_buckets")
+    num_buckets = sizes.pop()
+    with_b = _with_gram_buckets(docs, text_col, num_buckets, "__qb", use_xengine_hash)
+    if num_buckets <= _LITERAL_MODEL_MAX:
+        df = with_b
+        n = F.size(F.col("__qb"))
+
+        def _lookup_sum(wl):
+            return F.aggregate(
+                F.col("__qb"),
+                F.lit(0.0),
+                lambda acc, bk: acc + F.element_at(wl, bk.cast("int") + 1),
+            )
+
+        for lbl in labels:
+            w, b = models[lbl]
+            s = _lookup_sum(F.lit([float(x) for x in w]))
+            sig = s / n if feature == "mean" else s
+            df = df.withColumn(
+                f"__m_{lbl}",
+                F.when(F.col("__qb").isNull(), F.lit(None).cast("double")).otherwise(
+                    F.lit(float(b)) + F.when(n > 0, sig).otherwise(F.lit(0.0))
+                ),
+            )
+        df = df.drop("__qb")
+    else:
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        out_schema = T.StructType(
+            docs.schema.fields
+            + [T.StructField(f"__m_{lbl}", T.DoubleType()) for lbl in labels]
+        )
+        W = np.vstack(
+            [np.asarray(models[lbl][0], dtype=np.float64) for lbl in labels]
+        )
+        biases = [float(models[lbl][1]) for lbl in labels]
+        bc = docs.sparkSession.sparkContext.broadcast(W)
+        is_mean = feature == "mean"
+
+        def margins(batches):
+            Wm = bc.value
+            for pdf in batches:
+                cols = {lbl: [] for lbl in labels}
+                for b in pdf["__qb"]:
+                    if b is None:
+                        for lbl in labels:
+                            cols[lbl].append(None)
+                    elif len(b):
+                        lk = Wm[:, np.asarray(b, dtype=np.int64)]
+                        vec = lk.mean(axis=1) if is_mean else lk.sum(axis=1)
+                        for i, lbl in enumerate(labels):
+                            cols[lbl].append(biases[i] + float(vec[i]))
+                    else:
+                        for i, lbl in enumerate(labels):
+                            cols[lbl].append(biases[i])
+                pdf = pdf.drop(columns=["__qb"])
+                for lbl in labels:
+                    pdf[f"__m_{lbl}"] = pd.Series(
+                        cols[lbl], index=pdf.index, dtype="Float64"
+                    )
+                yield pdf
+
+        df = with_b.mapInPandas(margins, out_schema)
     best = None
     for lbl in labels:
         m = F.col(f"__m_{lbl}")

@@ -268,3 +268,32 @@ def test_ovr_binary_model_matches_direct_training(spark, labeled):
     w_ovr, b_ovr = models["good"]
     assert b_ovr == pytest.approx(b_direct, abs=1e-12)
     assert np.allclose(np.asarray(w_ovr), np.asarray(w_direct), atol=1e-12)
+
+
+def test_predict_class_single_featurization_and_arrow_identity(spark, monkeypatch):
+    """The multiclass scorer featurizes once: exactly ONE split() in the
+    literal plan regardless of class count; forcing the Arrow path yields
+    identical predictions and margins."""
+    rows = [
+        (1, "theorem proof lemma", "sci"),
+        (2, "buy cheap prize", "spam"),
+        (3, "minister vote policy", "news"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, label string")
+    models = qc.train_text_classifier_ovr(df, "label", num_buckets=NB, epochs=15, lr=2.0)
+    out = qc.classifier_predict_class(df, models, prob_prefix="p_")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert plan.count("split(text") <= 1, plan
+    lit = {r["doc_id"]: (r["predicted_class"], round(r["p_sci"], 9)) for r in out.collect()}
+    monkeypatch.setattr(qc, "_LITERAL_MODEL_MAX", 1)
+    arrow = {
+        r["doc_id"]: (r["predicted_class"], round(r["p_sci"], 9))
+        for r in qc.classifier_predict_class(df, models, prob_prefix="p_").collect()
+    }
+    assert arrow == lit
+    # mixed num_buckets refuses
+    bad = dict(models)
+    bad["sci"] = ([0.0] * (NB * 2), 0.0)
+    with pytest.raises(ValueError, match="num_buckets"):
+        qc.classifier_predict_class(df, bad)
