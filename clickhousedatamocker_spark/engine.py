@@ -1742,7 +1742,10 @@ class Engine:
         Tables live in ONE namespace registered as bare-name views (CH
         pastes commonly qualify with the database; INSERT already strips
         it). Only FROM/JOIN/INTO/TABLE positions rewrite — never column
-        qualifiers — and ``system.*`` keeps its own machinery."""
+        qualifiers — and ``system.*`` keeps its own machinery. (The
+        function-internal FROM spellings — EXTRACT(x FROM ts),
+        substring/trim — take a single word after FROM, never db.table,
+        so this pattern cannot touch them.)"""
         import re as _re
 
         pat = _re.compile(
@@ -1766,18 +1769,32 @@ class Engine:
         registered view) — the shared resolver for the CH column-transformer
         modifiers (COLUMNS / * APPLY / * REPLACE). Multi-table queries
         refuse loudly: expanding against the wrong table is a silent wrong
-        answer (the round-5 advisory's COLUMNS finding)."""
+        answer (the round-5 advisory's COLUMNS finding). Only
+        parenthesis-depth-0 FROM/JOIN count: ``EXTRACT(MONTH FROM ts)``,
+        ``trim(BOTH ' ' FROM s)``, ``substring(s FROM 1)`` and subquery
+        FROMs all live inside parens and are NOT table sources of the
+        SELECT owning the transformer."""
         import re as _re
 
-        froms = {
-            m.group(1)
-            for m in _re.finditer(r"\bFROM\s+(\w+)\b", query, _re.IGNORECASE)
+        depth = []
+        d = 0
+        quote = None
+        for ch in query:
+            depth.append(d)
+            if quote is not None:
+                if ch == quote:
+                    quote = None
+            elif ch in ("'", '"'):
+                quote = ch
+            elif ch == "(":
+                d += 1
+            elif ch == ")":
+                d = max(0, d - 1)
+        sources = {
+            m.group(2)
+            for m in _re.finditer(r"\b(FROM|JOIN)\s+(\w+)\b", query, _re.IGNORECASE)
+            if depth[m.start()] == 0
         }
-        joins = {
-            m.group(1)
-            for m in _re.finditer(r"\bJOIN\s+(\w+)\b", query, _re.IGNORECASE)
-        }
-        sources = froms | joins
         if len(sources) != 1:
             raise NotImplementedError(
                 f"{feature} needs a query over exactly ONE named table to "
@@ -1830,44 +1847,63 @@ class Engine:
         CH's projection transformer: the star expands to the table's
         columns with the listed ones replaced by their expressions (same
         position, same name). Spark has EXCEPT but no REPLACE, so the star
-        expands textually against the single named source."""
+        expands textually against the single named source.
+
+        Disambiguation from the SCALAR ``replace(s, from, to)`` function
+        (``x * replace(s, '_', '')`` also spells ``* replace(``): the
+        transformer's items are ``expr AS col`` — when NO item has a
+        top-level AS, the match is left alone for the scalar path. Every
+        occurrence rewrites (nested subqueries can each carry one)."""
         import re as _re
 
-        pat = _re.compile(
-            r"\*\s*(?:EXCEPT\s*\(([^)]*)\)\s*)?REPLACE\s*\(",
-            _re.IGNORECASE,
-        )
-        m = pat.search(query)
-        if m is None:
-            return query
         from clickhousedatamocker_spark.functions.compat import (
             _scan_balanced,
             _split_top,
         )
 
-        end = _scan_balanced(query, m.end())
-        repl_list = query[m.end() : end - 1]
-        cols = self._single_source_columns(query, "* REPLACE")
-        excluded = {
-            c.strip().lower() for c in (m.group(1) or "").split(",") if c.strip()
-        }
-        repls: dict[str, str] = {}
-        for item in _split_top(repl_list):
-            im = _re.match(r"(?s)^(.*)\s+AS\s+(\w+)\s*$", item.strip(), _re.IGNORECASE)
-            if im is None:
-                raise NotImplementedError(
-                    f"* REPLACE item {item.strip()!r} needs the 'expr AS col' form"
-                )
-            repls[im.group(2).lower()] = im.group(1).strip()
-        unknown = sorted(set(repls) - {c.lower() for c in cols})
-        if unknown:
-            raise ValueError(f"* REPLACE: no such column(s) {unknown}")
-        items = ", ".join(
-            f"({repls[c.lower()]}) AS {c}" if c.lower() in repls else c
-            for c in cols
-            if c.lower() not in excluded
+        pat = _re.compile(
+            r"\*\s*(?:EXCEPT\s*\(([^)]*)\)\s*)?REPLACE\s*\(",
+            _re.IGNORECASE,
         )
-        return query[: m.start()] + items + query[end:]
+        pos = 0
+        while True:
+            m = pat.search(query, pos)
+            if m is None:
+                return query
+            end = _scan_balanced(query, m.end())
+            repl_list = query[m.end() : end - 1]
+            items_raw = [i.strip() for i in _split_top(repl_list)]
+            parsed = [
+                _re.match(r"(?s)^(.*)\s+AS\s+(\w+)\s*$", i, _re.IGNORECASE)
+                for i in items_raw
+            ]
+            if not any(parsed) and len(items_raw) >= 2:
+                # no 'expr AS col' item and >=2 args: this is arithmetic
+                # times the SCALAR replace(s, from, to) function, not the
+                # transformer (the scalar always takes >=2 args; a single
+                # AS-less item can only be a malformed transformer -> loud)
+                pos = m.end()
+                continue
+            if not all(parsed):
+                bad = [i for i, p in zip(items_raw, parsed) if p is None]
+                raise NotImplementedError(
+                    f"* REPLACE item {bad[0]!r} needs the 'expr AS col' form"
+                )
+            cols = self._single_source_columns(query, "* REPLACE")
+            excluded = {
+                c.strip().lower() for c in (m.group(1) or "").split(",") if c.strip()
+            }
+            repls = {p.group(2).lower(): p.group(1).strip() for p in parsed}
+            unknown = sorted(set(repls) - {c.lower() for c in cols})
+            if unknown:
+                raise ValueError(f"* REPLACE: no such column(s) {unknown}")
+            items = ", ".join(
+                f"({repls[c.lower()]}) AS {c}" if c.lower() in repls else c
+                for c in cols
+                if c.lower() not in excluded
+            )
+            query = query[: m.start()] + items + query[end:]
+            pos = m.start() + len(items)
 
     def _rewrite_star_apply(self, query: str) -> str:
         """``SELECT * [EXCEPT (cols)] APPLY(fn) FROM t`` — ClickHouse's
@@ -1887,23 +1923,7 @@ class Engine:
         m = pat.search(query)
         if m is None:
             return query
-        fm = _re.search(r"\bFROM\s+(\w+)\b", query, _re.IGNORECASE)
-        if fm is None:
-            raise NotImplementedError(
-                "* APPLY needs a single named FROM table to expand against; "
-                "spell the column list explicitly for subquery/join sources"
-            )
-        src = fm.group(1)
-        if self.catalog.exists(src):
-            cols = [f.name for f in self.catalog.get(self.catalog.resolve(src)).schema.fields]
-        else:
-            try:
-                cols = self.spark.table(src).columns
-            except Exception:
-                raise NotImplementedError(
-                    f"* APPLY: cannot resolve columns of {src!r} (not a catalog "
-                    "table or registered view)"
-                )
+        cols = self._single_source_columns(query, "* APPLY")
         excluded = {
             c.strip().lower() for c in (m.group(1) or "").split(",") if c.strip()
         }
@@ -1924,46 +1944,16 @@ class Engine:
         if not pat.search(query):
             return query
         # Resolution is query-global, so it is only sound when the query
-        # reads exactly ONE named table: with a join or a subquery over a
-        # different table, the first 'FROM <name>' found may not be the
-        # SELECT that contains the COLUMNS() occurrence (round-5 advisory)
-        # — refuse loudly instead of expanding the wrong table's columns.
-        froms = {
-            m.group(1)
-            for m in _re.finditer(r"\bFROM\s+(\w+)\b", query, _re.IGNORECASE)
-        }
-        joins = {
-            m.group(1)
-            for m in _re.finditer(r"\bJOIN\s+(\w+)\b", query, _re.IGNORECASE)
-        }
-        sources = froms | joins
-        if len(sources) != 1:
-            raise NotImplementedError(
-                "COLUMNS('regex') needs a query over exactly ONE named table "
-                f"to resolve against (found {sorted(sources)}); spell the "
-                "column list explicitly for joins/multi-table subqueries"
-            )
-        src = next(iter(sources))
-        if self.catalog.exists(src):
-            cols = [
-                f.name
-                for f in self.catalog.get(self.catalog.resolve(src)).schema.fields
-            ]
-        else:
-            try:
-                cols = self.spark.table(src).columns
-            except Exception:
-                raise NotImplementedError(
-                    f"COLUMNS: cannot resolve columns of {src!r} (not a "
-                    "catalog table or registered view)"
-                )
+        # reads exactly ONE named table (round-5 advisory) — the shared
+        # resolver refuses loudly otherwise.
+        cols = self._single_source_columns(query, "COLUMNS('regex')")
 
         def sub(m: "_re.Match[str]") -> str:
             rx = _re.compile(m.group(1))
             picked = [c for c in cols if rx.search(c)]
             if not picked:
                 raise ValueError(
-                    f"COLUMNS({m.group(1)!r}): no column of {src!r} matches"
+                    f"COLUMNS({m.group(1)!r}): no column matches"
                 )
             return ", ".join(picked)
 
@@ -2461,13 +2451,25 @@ class Engine:
                     )
                 by_name = {f.name: f for f in base.schema.fields}
                 schema = T.StructType([by_name[c] for c in ins["columns"]])
-            df = read_format(self.spark, data, ins["format"], schema)
-            if ins["columns"]:
-                for f in base.schema.fields:
-                    if f.name not in ins["columns"] and f.name not in mat:
-                        df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
-                df = df.select(*[f.name for f in base.schema.fields if f.name not in mat])
-            self.insert(ins["table"], df)
+            try:
+                df = read_format(self.spark, data, ins["format"], schema)
+                if ins["columns"]:
+                    for f in base.schema.fields:
+                        if f.name not in ins["columns"] and f.name not in mat:
+                            df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+                    df = df.select(
+                        *[f.name for f in base.schema.fields if f.name not in mat]
+                    )
+                self.insert(ins["table"], df)
+            finally:
+                # inline payloads materialize into a temp file; the insert is
+                # eager (parts written inside self.insert), so it is garbage
+                # the moment we return
+                if ins.get("inline_payload") is not None:
+                    try:
+                        os.unlink(data)
+                    except OSError:
+                        pass
             return self.spark.createDataFrame([], "result string")
 
         import re as _re

@@ -147,9 +147,11 @@ def _drop_tuning_settings_or_raise(m: "re.Match[str]") -> str:
 
 
 def _null_table_function(spec: str) -> str:
-    """null('a UInt32, b String') → a typed EMPTY inline relation."""
+    """null('a UInt32, b String') → a typed EMPTY inline relation.
+    Paren-aware split so parameterized types (Decimal(10, 2), Map(...),
+    Tuple(...)) keep their commas."""
     cols = []
-    for part in spec.split(","):
+    for part in _split_top(spec):
         part = part.strip()
         if not part:
             continue
@@ -3944,7 +3946,39 @@ def parse_ch_insert(sql: str) -> dict | None:
     clickhouse-client runs with the payload on stdin
     (scripts/insert_data.sh:34-41: ``INSERT INTO ... FORMAT TabSeparated``
     ``< "$data_file"``). Returns None for non-INSERT statements; raises for
-    INSERT forms the engine doesn't model (inline VALUES)."""
+    INSERT forms the engine doesn't model (inline VALUES).
+
+    Inline textual payloads are split off the RAW statement before any SQL
+    normalization: ``_strip`` removes ``--`` comments and trailing ``;``,
+    which inside data is silent corruption ('a--b' is a legal CSV value;
+    clickhouse-client treats everything after the FORMAT line as verbatim
+    data). The head (the SQL part) is normalized as usual."""
+    if not re.match(r"\s*INSERT\s", sql, re.IGNORECASE):
+        return None
+    # textual inline payload: everything after the first newline following
+    # 'FORMAT <fmt>' is verbatim data (FORMAT Values stays SQL — below)
+    m_raw = re.match(
+        r"\s*(INSERT\s+INTO\s+[\w.]+\s*(?:\([^)]*\))?\s*FORMAT\s+(?!Values\b)(\w+))"
+        r"(?:[ \t]+|[ \t]*\r?\n)([\s\S]*\S[\s\S]*)$",
+        sql,
+        re.IGNORECASE,
+    )
+    if m_raw:
+        head = _strip(m_raw.group(1))
+        hm = re.match(
+            r"INSERT\s+INTO\s+([\w.]+)\s*(?:\(([^)]*)\))?\s*FORMAT\s+(\w+)\s*$",
+            head,
+            re.IGNORECASE,
+        )
+        if hm:
+            cols = [c.strip() for c in hm.group(2).split(",")] if hm.group(2) else None
+            return {
+                "op": "insert",
+                "table": hm.group(1).split(".")[-1],
+                "columns": cols,
+                "format": hm.group(3),
+                "inline_payload": m_raw.group(3),
+            }
     s = _strip(sql)
     if not s or not re.match(r"INSERT\s", s, re.IGNORECASE):
         return None
@@ -3973,30 +4007,23 @@ def parse_ch_insert(sql: str) -> dict | None:
             "format": m.group(4),
             "infile": m.group(3),
         }
-    # inline payload after the FORMAT name (the interactive clickhouse-client
-    # paste form). FORMAT Values routes onto the VALUES machinery; textual
-    # formats carry the raw payload to the engine's format reader.
+    # FORMAT Values with inline tuples: the payload IS SQL (quoted strings,
+    # numeric literals), so the normalized text routes onto the VALUES
+    # machinery. Textual-format payloads are handled on the RAW statement
+    # above — a same-line textual payload (no newline after the format
+    # name) falls through to the loud refusal below.
     m = re.match(
-        r"INSERT\s+INTO\s+([\w.]+)\s*(?:\(([^)]*)\))?\s*FORMAT\s+(\w+)[ \t]*\n?(\S[\s\S]*)$",
+        r"INSERT\s+INTO\s+([\w.]+)\s*(?:\(([^)]*)\))?\s*FORMAT\s+Values\s+([\s\S]+)$",
         s,
         re.IGNORECASE,
     )
     if m:
         cols = [c.strip() for c in m.group(2).split(",")] if m.group(2) else None
-        fmt, payload = m.group(3), m.group(4)
-        if fmt.lower() == "values":
-            return {
-                "op": "insert_values",
-                "table": m.group(1).split(".")[-1],
-                "columns": cols,
-                "values": payload.rstrip().rstrip(";"),
-            }
         return {
-            "op": "insert",
+            "op": "insert_values",
             "table": m.group(1).split(".")[-1],
             "columns": cols,
-            "format": fmt,
-            "inline_payload": payload,
+            "values": m.group(3).rstrip().rstrip(";"),
         }
     if re.match(r"INSERT\s+INTO\s+[\w.]+\s*(?:\([^)]*\))?\s*\(?\s*(SELECT|WITH)\b", s, re.IGNORECASE):
         return None  # INSERT ... SELECT — handled as a statement by parse_ch_ddl

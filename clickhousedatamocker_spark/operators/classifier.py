@@ -184,45 +184,60 @@ def train_text_classifier(
         n_docs = feats.count()
         if n_docs == 0:
             raise ValueError("train_text_classifier: no labeled rows with text")
-        weights = [0.0] * num_buckets
-        bias = 0.0
-        for _ in range(epochs):
-            # residual r = sigmoid(margin) - y, per doc; gradient wrt w_j is
-            # mean over docs of r * x_j — aggregate the exploded
-            # (bucket, r·x-per-instance) relation. Per gram instance the
-            # contribution is r/n ('mean') or r ('count'); the bias gradient
-            # rides along as Σ r/n per instance (sums to r per doc) plus the
-            # NULL group's raw residuals (explode_outer: a zero-gram doc
-            # yields ONE b=NULL row carrying its residual)
-            scored = _with_residual(feats, weights, bias, num_buckets, feature)
-            g_inst = (
-                F.col("__r") / F.col("__n") if feature == "mean" else F.col("__r")
-            )
-            agg = scored.select(
-                F.explode_outer(F.col("__qb")).alias("b"),
-                g_inst.alias("g"),
-                (F.col("__r") / F.col("__n")).alias("gb1"),
-                F.col("__r"),
-            )
-            rows = (
-                agg.groupBy("b")
-                .agg(F.sum("g").alias("gw"), F.sum("gb1").alias("gbs"), F.sum("__r").alias("gr"))
-                .collect()
-            )
-            grad = [0.0] * num_buckets
-            gb = 0.0
-            for r in rows:
-                if r["b"] is not None:
-                    grad[r["b"]] += r["gw"]
-                    gb += r["gbs"]
-                else:
-                    gb += r["gr"]
-            for j in range(num_buckets):
-                weights[j] -= lr * (grad[j] / n_docs + l2 * weights[j])
-            bias -= lr * (gb / n_docs)
-        return weights, bias
+        return _gd_on_feats(feats, n_docs, num_buckets, epochs, lr, l2, feature)
     finally:
         feats.unpersist()
+
+
+def _gd_on_feats(
+    feats: DataFrame,
+    n_docs: int,
+    num_buckets: int,
+    epochs: int,
+    lr: float,
+    l2: float,
+    feature: str,
+) -> tuple[list[float], float]:
+    """The GD core over a persisted (__y, __qb, __n) featurization — shared
+    by the binary trainer and the OvR loop (which featurizes ONCE and swaps
+    __y per class)."""
+    weights = [0.0] * num_buckets
+    bias = 0.0
+    for _ in range(epochs):
+        # residual r = sigmoid(margin) - y, per doc; gradient wrt w_j is
+        # mean over docs of r * x_j — aggregate the exploded
+        # (bucket, r·x-per-instance) relation. Per gram instance the
+        # contribution is r/n ('mean') or r ('count'); the bias gradient
+        # rides along as Σ r/n per instance (sums to r per doc) plus the
+        # NULL group's raw residuals (explode_outer: a zero-gram doc
+        # yields ONE b=NULL row carrying its residual)
+        scored = _with_residual(feats, weights, bias, num_buckets, feature)
+        g_inst = (
+            F.col("__r") / F.col("__n") if feature == "mean" else F.col("__r")
+        )
+        agg = scored.select(
+            F.explode_outer(F.col("__qb")).alias("b"),
+            g_inst.alias("g"),
+            (F.col("__r") / F.col("__n")).alias("gb1"),
+            F.col("__r"),
+        )
+        rows = (
+            agg.groupBy("b")
+            .agg(F.sum("g").alias("gw"), F.sum("gb1").alias("gbs"), F.sum("__r").alias("gr"))
+            .collect()
+        )
+        grad = [0.0] * num_buckets
+        gb = 0.0
+        for r in rows:
+            if r["b"] is not None:
+                grad[r["b"]] += r["gw"]
+                gb += r["gbs"]
+            else:
+                gb += r["gr"]
+        for j in range(num_buckets):
+            weights[j] -= lr * (grad[j] / n_docs + l2 * weights[j])
+        bias -= lr * (gb / n_docs)
+    return weights, bias
 
 
 def _with_residual(
@@ -379,12 +394,17 @@ def train_text_classifier_ovr(
     feature: str = "mean",
 ) -> dict[str, tuple[list[float], float]]:
     """Multiclass (one-vs-rest) fastText: one binary model per observed
-    label → ``{label: (weights, bias)}``. Each binary model trains with
-    the same full-batch GD as :func:`train_text_classifier`, so per-class
-    numpy parity carries over. Driver state = n_classes bounded weight
-    vectors; the label set collects first (one tiny distinct) and must be
-    small — this is a domain/language tagger, not an extreme-multilabel
-    trainer (refuses above 100 classes)."""
+    label → ``{label: (weights, bias)}``. Each binary model runs the same
+    full-batch GD core as :func:`train_text_classifier`, so per-class
+    numpy parity carries over — but the text featurizes and persists ONCE
+    (grams are label-independent; only the 0/1 ``__y`` column swaps per
+    class, a free projection over the cached relation). Driver state =
+    n_classes bounded weight vectors; the label set collects first (one
+    tiny distinct) and must be small — this is a domain/language tagger,
+    not an extreme-multilabel trainer (refuses above 100 classes)."""
+    _check_feature(feature)
+    if epochs < 1:
+        raise ValueError("epochs must be >= 1")
     lc = F.col(label_col) if isinstance(label_col, str) else label_col
     labels = sorted(
         r["__l"]
@@ -397,20 +417,33 @@ def train_text_classifier_ovr(
             f"train_text_classifier_ovr: {len(labels)} classes - one-vs-rest "
             "trains one model per class; this API is for bounded label sets"
         )
-    return {
-        lbl: train_text_classifier(
-            docs,
-            (lc == F.lit(lbl)),
-            text_col,
-            num_buckets,
-            epochs,
-            lr,
-            l2,
-            use_xengine_hash,
-            feature,
-        )
-        for lbl in labels
-    }
+    train = docs.select(F.col(text_col), lc.alias("__lbl")).filter(
+        F.col("__lbl").isNotNull() & F.col(text_col).isNotNull()
+    )
+    base = _with_gram_buckets(train, text_col, num_buckets, "__qb", use_xengine_hash)
+    base = base.select(
+        "__lbl", "__qb", F.size(F.col("__qb")).cast("double").alias("__n")
+    ).persist()
+    try:
+        n_docs = base.count()
+        if n_docs == 0:
+            raise ValueError("train_text_classifier_ovr: no labeled rows with text")
+        return {
+            lbl: _gd_on_feats(
+                base.withColumn(
+                    "__y", (F.col("__lbl") == F.lit(lbl)).cast("double")
+                ),
+                n_docs,
+                num_buckets,
+                epochs,
+                lr,
+                l2,
+                feature,
+            )
+            for lbl in labels
+        }
+    finally:
+        base.unpersist()
 
 
 def classifier_predict_class(
@@ -449,12 +482,14 @@ def classifier_predict_class(
                 lambda acc, bk: acc + F.element_at(wl, bk.cast("int") + 1),
             )
 
-        for lbl in labels:
+        for i, lbl in enumerate(labels):
             w, b = models[lbl]
             s = _lookup_sum(F.lit([float(x) for x in w]))
             sig = s / n if feature == "mean" else s
+            # index-based internal names: label VALUES may contain dots or
+            # spaces, which F.col parses as struct access
             df = df.withColumn(
-                f"__m_{lbl}",
+                f"__m_{i}",
                 F.when(F.col("__qb").isNull(), F.lit(None).cast("double")).otherwise(
                     F.lit(float(b)) + F.when(n > 0, sig).otherwise(F.lit(0.0))
                 ),
@@ -467,7 +502,7 @@ def classifier_predict_class(
 
         out_schema = T.StructType(
             docs.schema.fields
-            + [T.StructField(f"__m_{lbl}", T.DoubleType()) for lbl in labels]
+            + [T.StructField(f"__m_{i}", T.DoubleType()) for i in range(len(labels))]
         )
         W = np.vstack(
             [np.asarray(models[lbl][0], dtype=np.float64) for lbl in labels]
@@ -478,43 +513,47 @@ def classifier_predict_class(
 
         def margins(batches):
             Wm = bc.value
+            k = len(labels)
             for pdf in batches:
-                cols = {lbl: [] for lbl in labels}
+                cols = [[] for _ in range(k)]
                 for b in pdf["__qb"]:
                     if b is None:
-                        for lbl in labels:
-                            cols[lbl].append(None)
+                        for c in cols:
+                            c.append(None)
                     elif len(b):
                         lk = Wm[:, np.asarray(b, dtype=np.int64)]
                         vec = lk.mean(axis=1) if is_mean else lk.sum(axis=1)
-                        for i, lbl in enumerate(labels):
-                            cols[lbl].append(biases[i] + float(vec[i]))
+                        for i in range(k):
+                            cols[i].append(biases[i] + float(vec[i]))
                     else:
-                        for i, lbl in enumerate(labels):
-                            cols[lbl].append(biases[i])
+                        for i in range(k):
+                            cols[i].append(biases[i])
                 pdf = pdf.drop(columns=["__qb"])
-                for lbl in labels:
-                    pdf[f"__m_{lbl}"] = pd.Series(
-                        cols[lbl], index=pdf.index, dtype="Float64"
+                for i in range(k):
+                    pdf[f"__m_{i}"] = pd.Series(
+                        cols[i], index=pdf.index, dtype="Float64"
                     )
                 yield pdf
 
         df = with_b.mapInPandas(margins, out_schema)
     best = None
-    for lbl in labels:
-        m = F.col(f"__m_{lbl}")
+    for i in range(len(labels)):
+        m = F.col(f"__m_{i}")
         best = m if best is None else F.greatest(best, m)
     pred = None
-    for lbl in reversed(labels):  # earlier labels win ties (checked last)
-        pred = F.when(F.col(f"__m_{lbl}") == best, F.lit(lbl)).otherwise(
+    for i in reversed(range(len(labels))):  # earlier labels win ties (checked last)
+        pred = F.when(F.col(f"__m_{i}") == best, F.lit(labels[i])).otherwise(
             pred if pred is not None else F.lit(None).cast("string")
         )
     df = df.withColumn(out_col, pred)
-    for lbl in labels:
+    for i, lbl in enumerate(labels):
         if prob_prefix is not None:
+            # the prob column carries the raw label in its NAME (dots and
+            # all) — created literally by withColumn; downstream references
+            # need backticks when the label has special chars
             df = df.withColumn(
                 f"{prob_prefix}{lbl}",
-                F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col(f"__m_{lbl}"))),
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col(f"__m_{i}"))),
             )
-        df = df.drop(f"__m_{lbl}")
+        df = df.drop(f"__m_{i}")
     return df

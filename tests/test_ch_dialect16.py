@@ -205,3 +205,54 @@ def test_insert_inline_payloads_and_infile(admin_eng, tmp_path):
     # external-payload form still requires its data argument
     with pytest.raises(ValueError, match="needs the payload"):
         e.sql("INSERT INTO ins16 FORMAT CSV")
+
+
+def test_inline_payload_preserves_comment_like_data(admin_eng, tmp_path):
+    """The review-found corruption class: '--' and trailing ';' inside
+    inline payload data must land verbatim (clickhouse-client treats
+    everything after the FORMAT line as raw data)."""
+    e = admin_eng
+    e.sql("CREATE TABLE ins16b (id UInt64, s String) ENGINE = MergeTree() ORDER BY id")
+    e.sql("INSERT INTO ins16b FORMAT CSV\n1,a--b\n2,c;")
+    e.sql('INSERT INTO ins16b FORMAT JSONEachRow {"id": 3, "s": "x--y"}')
+    # TSV payload whose first field of a row is empty (legal TSV)
+    e.sql("CREATE TABLE ins16c (a String, b String) ENGINE = MergeTree() ORDER BY b")
+    e.sql("INSERT INTO ins16c FORMAT TabSeparated\n\tv1\nk2\tv2")
+    got = {r["id"]: r["s"] for r in e.sql("SELECT * FROM ins16b").collect()}
+    assert got == {1: "a--b", 2: "c;", 3: "x--y"}
+    pairs = sorted(
+        ((r["a"] or "", r["b"]) for r in e.sql("SELECT * FROM ins16c").collect()),
+    )
+    assert pairs == [("", "v1"), ("k2", "v2")]
+
+
+def test_star_replace_vs_scalar_replace_and_columns_apply_with_extract(admin_eng):
+    """Disambiguation fixes: arithmetic times the scalar replace() is NOT
+    the star transformer, and a function-internal FROM (EXTRACT/trim) is
+    NOT a table source."""
+    e = admin_eng
+    got = e.sql(
+        "SELECT length(replace(s, '-', '')) AS n FROM "
+        "(SELECT '-a-b-' AS s)"
+    ).collect()[0]["n"]
+    assert got == 2
+    # scalar replace right after '*' (multiplication) passes through
+    got = e.sql(
+        "SELECT 2 * length(replace(s, '-', '')) AS n FROM (SELECT '-a-' AS s)"
+    ).collect()[0]["n"]
+    assert got == 2
+    e.sql(
+        "CREATE TABLE rx16 (id UInt64, event_time DateTime) "
+        "ENGINE = MergeTree() ORDER BY id"
+    )
+    e.sql("INSERT INTO rx16 VALUES (1, '2026-03-01 10:00:00')")
+    got = e.sql(
+        "SELECT COLUMNS('^id$') APPLY (max), EXTRACT(MONTH FROM event_time) AS m "
+        "FROM rx16 GROUP BY m"
+    ).collect()[0]
+    assert got["max(id)"] == 1 and got["m"] == 3
+
+
+def test_null_table_function_parameterized_types(admin_eng):
+    df = admin_eng.sql("SELECT * FROM null('a Decimal(10, 2), m Map(String, UInt8)')")
+    assert df.count() == 0 and df.columns == ["a", "m"]

@@ -297,3 +297,18 @@ def test_predict_class_single_featurization_and_arrow_identity(spark, monkeypatc
     bad["sci"] = ([0.0] * (NB * 2), 0.0)
     with pytest.raises(ValueError, match="num_buckets"):
         qc.classifier_predict_class(df, bad)
+
+
+def test_predict_class_handles_dotted_labels(spark):
+    """Domain labels routinely contain dots (en.wikipedia.org) — internal
+    margin columns are index-named so F.col never parses a label as
+    struct access."""
+    rows = [
+        (1, "theorem proof lemma", "en.wikipedia.org"),
+        (2, "buy cheap prize", "spam.example.com"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, label string")
+    models = qc.train_text_classifier_ovr(df, "label", num_buckets=NB, epochs=15, lr=2.0)
+    out = qc.classifier_predict_class(df, models).collect()
+    got = {r["doc_id"]: r["predicted_class"] for r in out}
+    assert got == {1: "en.wikipedia.org", 2: "spam.example.com"}
