@@ -1769,32 +1769,14 @@ class Engine:
         registered view) — the shared resolver for the CH column-transformer
         modifiers (COLUMNS / * APPLY / * REPLACE). Multi-table queries
         refuse loudly: expanding against the wrong table is a silent wrong
-        answer (the round-5 advisory's COLUMNS finding). Only
-        parenthesis-depth-0 FROM/JOIN count: ``EXTRACT(MONTH FROM ts)``,
-        ``trim(BOTH ' ' FROM s)``, ``substring(s FROM 1)`` and subquery
-        FROMs all live inside parens and are NOT table sources of the
-        SELECT owning the transformer."""
-        import re as _re
-
-        depth = []
-        d = 0
-        quote = None
-        for ch in query:
-            depth.append(d)
-            if quote is not None:
-                if ch == quote:
-                    quote = None
-            elif ch in ("'", '"'):
-                quote = ch
-            elif ch == "(":
-                d += 1
-            elif ch == ")":
-                d = max(0, d - 1)
-        sources = {
-            m.group(2)
-            for m in _re.finditer(r"\b(FROM|JOIN)\s+(\w+)\b", query, _re.IGNORECASE)
-            if depth[m.start()] == 0
-        }
+        answer (the round-5 advisory's COLUMNS finding). Sources scan at
+        parenthesis depth 0 per SELECT level: ``EXTRACT(MONTH FROM ts)``,
+        ``trim(BOTH ' ' FROM s)`` and ``substring(s FROM 1)`` live inside
+        function parens and are NOT table sources; a subquery source
+        recurses (a pure pass-through subquery resolves to its own
+        table(s); a table-free one counts as an anonymous source and
+        refuses)."""
+        sources = self._scan_sources(query)
         if len(sources) != 1:
             raise NotImplementedError(
                 f"{feature} needs a query over exactly ONE named table to "
@@ -1814,6 +1796,60 @@ class Engine:
                 f"{feature}: cannot resolve columns of {src!r} (not a "
                 "catalog table or registered view)"
             )
+
+    def _is_known_relation(self, name: str) -> bool:
+        if self.catalog.exists(name) or name in self._views:
+            return True
+        try:
+            return self.spark.catalog.tableExists(name)
+        except Exception:
+            return False
+
+    def _scan_sources(self, query: str) -> set:
+        """Table sources a column transformer must be unambiguous over:
+
+        - depth-0 (quote-aware) named FROM/JOIN targets count ALWAYS
+          (including CTE names — unresolvable ones refuse downstream);
+        - depth-0 ``FROM (``/``JOIN (`` subqueries recurse (a pure
+          pass-through subquery IS its table; a table-free one counts as
+          the ``'<subquery>'`` sentinel so it stays a distinct source);
+        - DEEPER named targets count only when they resolve to a real
+          table/view — that keeps the round-5 advisory's refusal for
+          ``WHERE x IN (SELECT ... FROM other)`` while excluding the
+          function-internal FROM spellings (``EXTRACT(MONTH FROM ts)``,
+          ``trim(BOTH ' ' FROM s)``, ``substring(s FROM 1)``), whose
+          operand is a column or literal, never a relation."""
+        import re as _re
+
+        from clickhousedatamocker_spark.functions.compat import _scan_balanced
+
+        depth = []
+        d = 0
+        quote = None
+        for ch in query:
+            depth.append(d)
+            if quote is not None:
+                if ch == quote:
+                    quote = None
+            elif ch in ("'", '"'):
+                quote = ch
+            elif ch == "(":
+                d += 1
+            elif ch == ")":
+                d = max(0, d - 1)
+        sources: set = set()
+        for m in _re.finditer(
+            r"\b(FROM|JOIN)(?:\s+(\w+)|\s*(\())", query, _re.IGNORECASE
+        ):
+            if m.group(3):
+                if depth[m.start()] == 0:
+                    inner = query[m.end() : _scan_balanced(query, m.end()) - 1]
+                    sources |= self._scan_sources(inner) or {"<subquery>"}
+            elif depth[m.start()] == 0:
+                sources.add(m.group(2))
+            elif self._is_known_relation(m.group(2)):
+                sources.add(m.group(2))
+        return sources
 
     def _rewrite_columns_apply(self, query: str) -> str:
         """``COLUMNS('regex') APPLY(fn)`` — the transformer composition:
