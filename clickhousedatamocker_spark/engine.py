@@ -1419,15 +1419,33 @@ class Engine:
         if settings.get("final") not in (None, "0", "1"):
             raise ValueError(f"SETTINGS final must be 0 or 1, got {settings['final']!r}")
         if settings.get("final") == "1":
+            from clickhousedatamocker_spark.functions.compat import _sub_outside_strings
 
             def add_final(m: "_re.Match[str]") -> str:
                 name = m.group(1)
-                if self.catalog.exists(name):
+                # db-qualified FROMs resolve through the same namespace rule
+                # as _rewrite_db_qualified_reads — settings route BEFORE
+                # that rewrite, so `FROM default.rmt SETTINGS final=1` must
+                # inject FINAL here or the later de-qualification silently
+                # reads pre-collapse rows (round-6 verdict finding #1)
+                if "." in name:
+                    db, tbl = name.split(".", 1)
+                    if (
+                        db.lower() != "system"
+                        and db in self._databases
+                        and self.catalog.exists(tbl)
+                    ):
+                        return f"FROM {name} FINAL"
+                elif self.catalog.exists(name):
                     return f"FROM {name} FINAL"
                 return m.group(0)
 
-            query = _re.sub(
-                r"\bFROM\s+(\w+)\b(?!\s+FINAL\b)", add_final, query, flags=_re.IGNORECASE
+            query = _sub_outside_strings(
+                _re.compile(
+                    r"\bFROM\s+(\w+(?:\.\w+)?)\b(?!\s+FINAL\b)", _re.IGNORECASE
+                ),
+                add_final,
+                query,
             )
         limit = settings.get("limit")
         offset = settings.get("offset")
@@ -1745,8 +1763,12 @@ class Engine:
         qualifiers — and ``system.*`` keeps its own machinery. (The
         function-internal FROM spellings — EXTRACT(x FROM ts),
         substring/trim — take a single word after FROM, never db.table,
-        so this pattern cannot touch them.)"""
+        so this pattern cannot touch them.) String literals are data: a
+        value like 'removed FROM default.events' must survive verbatim
+        (round-6 advisory), hence _sub_outside_strings."""
         import re as _re
+
+        from clickhousedatamocker_spark.functions.compat import _sub_outside_strings
 
         pat = _re.compile(
             r"\b(FROM|JOIN|INTO|TABLE)\s+(\w+)\.(\w+)\b", _re.IGNORECASE
@@ -1762,7 +1784,7 @@ class Engine:
                 return f"{m.group(1)} {tbl}"
             return m.group(0)
 
-        return pat.sub(sub, query)
+        return _sub_outside_strings(pat, sub, query)
 
     def _single_source_columns(self, query: str, feature: str) -> list[str]:
         """Column list of the query's single named table (catalog schema or

@@ -1777,7 +1777,14 @@ _SUM_ELEMS = "aggregate({x}, CAST(0.0 AS DOUBLE), (__sa_a, __sa_v) -> __sa_a + _
 _PARAMETRIC.update(
     {
         "sumArrayIf": _pm_array_if(f"sum({_SUM_ELEMS})"),
-        "avgArrayIf": _pm_array_if(f"(sum({_SUM_ELEMS}) / sum(size({{x}})))"),
+        # no matching row => every array is the empty slice => denominator 0;
+        # CH's avgArrayIf yields nan there, while an unguarded division
+        # throws under ANSI mode (round-6 advisory)
+        "avgArrayIf": _pm_array_if(
+            f"(CASE WHEN sum(size({{x}})) > 0 "
+            f"THEN sum({_SUM_ELEMS}) / sum(size({{x}})) "
+            f"ELSE CAST('NaN' AS DOUBLE) END)"
+        ),
         "minArrayIf": _pm_array_if("min(array_min({x}))"),
         "maxArrayIf": _pm_array_if("max(array_max({x}))"),
         "countArrayIf": _pm_array_if("sum(size({x}))"),
@@ -4496,12 +4503,19 @@ def parse_ch_ddl(sql: str) -> dict | None:
         return {"op": "exchange", "a": m.group(1), "b": m.group(2)}
 
     m = re.match(
-        r"ALTER\s+TABLE\s+(\w+)\s+FREEZE(?:\s+PARTITION\s+'?([\w-]+)'?)?\s*;?\s*$",
+        # partition values may hold dots/spaces/colons (DateTime/Decimal
+        # keys) — accept any quoted value, or a bare word; existence is
+        # validated downstream by _freeze_table (round-6 advisory)
+        r"ALTER\s+TABLE\s+(\w+)\s+FREEZE(?:\s+PARTITION\s+(?:'([^']*)'|([\w-]+)))?\s*;?\s*$",
         s,
         re.IGNORECASE,
     )
     if m:
-        return {"op": "freeze", "name": m.group(1), "partition": m.group(2)}
+        return {
+            "op": "freeze",
+            "name": m.group(1),
+            "partition": m.group(2) if m.group(2) is not None else m.group(3),
+        }
 
     m = re.match(
         r"ALTER\s+TABLE\s+(\w+)\s+MODIFY\s+COMMENT\s+'([^']*)'\s*;?\s*$",

@@ -49,6 +49,44 @@ def _check_feature(feature: str) -> None:
         raise ValueError(f"feature must be 'mean' (fastText) or 'count' (BoW LR), got {feature!r}")
 
 
+def _sample_training_docs(
+    docs: DataFrame,
+    train_fraction: float | None,
+    max_train_docs: int | None,
+    id_col: str,
+) -> DataFrame:
+    """Train-small/score-big: at 100 TB a quality classifier is trained on
+    a small labeled sample and only SCORED at scale — full-batch GD over
+    the whole corpus would pay ``epochs`` corpus passes for no extra
+    signal. ``train_fraction`` keeps rows whose deterministic Lehmer
+    sample key (the same portable hash discipline as
+    ``corpus.split_corpus``) falls under the fraction — a pure filter,
+    zero shuffle, replayable. ``max_train_docs`` keeps the N smallest
+    sample keys — a distributed top-N (TakeOrdered), still deterministic
+    and independent of partitioning. Both compose (filter first, cap
+    second)."""
+    if train_fraction is None and max_train_docs is None:
+        return docs
+    if id_col not in docs.columns:
+        raise ValueError(
+            f"sampled training needs id column {id_col!r} for the "
+            "deterministic sample key; pass sample_id_col= or add the column"
+        )
+    from clickhousedatamocker_spark.operators.corpus import _sample_key
+
+    key = _sample_key(F.col(id_col))
+    out = docs
+    if train_fraction is not None:
+        if not 0.0 < train_fraction <= 1.0:
+            raise ValueError(f"train_fraction must be in (0, 1], got {train_fraction}")
+        out = out.filter(key < F.lit(float(train_fraction)))
+    if max_train_docs is not None:
+        if max_train_docs < 1:
+            raise ValueError(f"max_train_docs must be >= 1, got {max_train_docs}")
+        out = out.orderBy(key, F.col(id_col)).limit(int(max_train_docs))
+    return out
+
+
 def classifier_score(
     docs: DataFrame,
     weights: list[float],
@@ -148,6 +186,9 @@ def train_text_classifier(
     l2: float = 0.0,
     use_xengine_hash: bool = False,
     feature: str = "mean",
+    train_fraction: float | None = None,
+    max_train_docs: int | None = None,
+    sample_id_col: str = "doc_id",
 ) -> tuple[list[float], float]:
     """Train the logistic model by full-batch gradient descent; returns
     ``(weights, bias)`` — ``num_buckets`` floats plus a scalar, driver-
@@ -167,10 +208,19 @@ def train_text_classifier(
     marker/boilerplate gate): under 'mean' a single gram's feature value
     is ~1/n_grams, so separating on it needs |w| ~ n_grams/Δ and
     full-batch GD crawls; under 'count' the same gram has value ~1.
+
+    **Train small, score big** — the 100 TB contract: set
+    ``train_fraction`` and/or ``max_train_docs`` to train on a
+    deterministic Lehmer-hash sample (see :func:`_sample_training_docs`)
+    so the ``epochs`` GD passes touch only the sample, then run the
+    zero-shuffle :func:`classifier_score` / :func:`classifier_select`
+    over the full corpus. Quality classifiers saturate at modest sample
+    sizes; full-corpus training pays epochs x corpus scans for nothing.
     """
     _check_feature(feature)
     if epochs < 1:
         raise ValueError("epochs must be >= 1")
+    docs = _sample_training_docs(docs, train_fraction, max_train_docs, sample_id_col)
     lc = F.col(label_col) if isinstance(label_col, str) else label_col
     train = docs.select(
         F.col(text_col), lc.cast("double").alias("__y")
@@ -211,14 +261,19 @@ def _gd_on_feats(
         # rides along as Σ r/n per instance (sums to r per doc) plus the
         # NULL group's raw residuals (explode_outer: a zero-gram doc
         # yields ONE b=NULL row carrying its residual)
-        scored = _with_residual(feats, weights, bias, num_buckets, feature)
-        g_inst = (
-            F.col("__r") / F.col("__n") if feature == "mean" else F.col("__r")
+        scored, bc = _with_residual(feats, weights, bias, num_buckets, feature)
+        # empty-text docs have __n=0: their explode_outer row is the b=NULL
+        # group whose bias gradient rides on gr (raw __r), so the per-
+        # instance r/n terms must guard the division — unguarded it throws
+        # DIVIDE_BY_ZERO under ANSI mode (round-6 advisory, high)
+        r_over_n = F.when(F.col("__n") > 0, F.col("__r") / F.col("__n")).otherwise(
+            F.lit(0.0)
         )
+        g_inst = r_over_n if feature == "mean" else F.col("__r")
         agg = scored.select(
             F.explode_outer(F.col("__qb")).alias("b"),
             g_inst.alias("g"),
-            (F.col("__r") / F.col("__n")).alias("gb1"),
+            r_over_n.alias("gb1"),
             F.col("__r"),
         )
         rows = (
@@ -226,6 +281,12 @@ def _gd_on_feats(
             .agg(F.sum("g").alias("gw"), F.sum("gb1").alias("gbs"), F.sum("__r").alias("gr"))
             .collect()
         )
+        if bc is not None:
+            # the Arrow path broadcasts the epoch's weight vector; the
+            # collect above is its last use — release it, or a long run
+            # accumulates epochs x num_buckets x 8 bytes of broadcast
+            # state (round-6 advisory)
+            bc.unpersist()
         grad = [0.0] * num_buckets
         gb = 0.0
         for r in rows:
@@ -246,11 +307,13 @@ def _with_residual(
     bias: float,
     num_buckets: int,
     feature: str = "mean",
-) -> DataFrame:
+):
     """Per-epoch residual over the persisted (__y, __qb, __n)
-    featurization: ``__r = sigmoid(margin) - y``. Literal weight array in
-    the plan for small models; Arrow broadcast-numpy above
-    ``_LITERAL_MODEL_MAX`` (a fresh broadcast per epoch — weights change)."""
+    featurization: ``__r = sigmoid(margin) - y``. Returns ``(df,
+    broadcast_or_None)`` — literal weight array in the plan for small
+    models (no broadcast); Arrow broadcast-numpy above
+    ``_LITERAL_MODEL_MAX`` (a fresh broadcast per epoch — weights change —
+    which the caller releases after its gradient collect)."""
     if num_buckets <= _LITERAL_MODEL_MAX:
         wl = F.lit([float(w) for w in weights])
         s = F.aggregate(
@@ -260,8 +323,11 @@ def _with_residual(
         )
         sig = s / F.col("__n") if feature == "mean" else s
         margin = F.lit(float(bias)) + F.when(F.col("__n") > 0, sig).otherwise(F.lit(0.0))
-        return feats.withColumn("__m", margin).withColumn(
-            "__r", F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("__m"))) - F.col("__y")
+        return (
+            feats.withColumn("__m", margin).withColumn(
+                "__r", F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("__m"))) - F.col("__y")
+            ),
+            None,
         )
     import numpy as np
     import pandas as pd
@@ -301,7 +367,7 @@ def _with_residual(
             )
             yield pdf
 
-    return feats.mapInPandas(residual, out_schema)
+    return feats.mapInPandas(residual, out_schema), bc
 
 
 def classifier_select(
@@ -392,6 +458,9 @@ def train_text_classifier_ovr(
     l2: float = 0.0,
     use_xengine_hash: bool = False,
     feature: str = "mean",
+    train_fraction: float | None = None,
+    max_train_docs: int | None = None,
+    sample_id_col: str = "doc_id",
 ) -> dict[str, tuple[list[float], float]]:
     """Multiclass (one-vs-rest) fastText: one binary model per observed
     label → ``{label: (weights, bias)}``. Each binary model runs the same
@@ -405,18 +474,27 @@ def train_text_classifier_ovr(
     _check_feature(feature)
     if epochs < 1:
         raise ValueError("epochs must be >= 1")
+    docs = _sample_training_docs(docs, train_fraction, max_train_docs, sample_id_col)
     lc = F.col(label_col) if isinstance(label_col, str) else label_col
-    labels = sorted(
-        r["__l"]
-        for r in docs.select(lc.alias("__l")).filter(F.col("__l").isNotNull()).distinct().collect()
+    # LIMIT the distinct probe so a mistakenly high-cardinality label column
+    # (a URL passed as the label) never materializes its full value set on
+    # the driver before the guard fires (round-6 verdict finding #2): 101
+    # rows back means ">100 classes", refuse without collecting the rest
+    probe = (
+        docs.select(lc.alias("__l"))
+        .filter(F.col("__l").isNotNull())
+        .distinct()
+        .limit(101)
+        .collect()
     )
-    if not labels:
+    if not probe:
         raise ValueError("train_text_classifier_ovr: no non-NULL labels")
-    if len(labels) > 100:
+    if len(probe) > 100:
         raise ValueError(
-            f"train_text_classifier_ovr: {len(labels)} classes - one-vs-rest "
+            "train_text_classifier_ovr: more than 100 classes - one-vs-rest "
             "trains one model per class; this API is for bounded label sets"
         )
+    labels = sorted(r["__l"] for r in probe)
     train = docs.select(F.col(text_col), lc.alias("__lbl")).filter(
         F.col("__lbl").isNotNull() & F.col(text_col).isNotNull()
     )

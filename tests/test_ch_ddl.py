@@ -586,6 +586,21 @@ def test_query_settings_final_routes_to_final_rewrite(spark, tmp_warehouse):
     assert via_setting == via_final == [(1, 20.0), (2, 5.0)]
     # final=0 and plain read agree: 3 pre-collapse rows
     assert engine.sql("SELECT count(*) AS n FROM kvs SETTINGS final = 0").first()["n"] == 3
+    # db-qualified FROM routes through the same namespace machinery: the
+    # round-6 verdict's interaction bug was `FROM default.kvs SETTINGS
+    # final=1` missing the injector (regex stopped at the db word), then
+    # the db-qualification rewrite silently returning pre-collapse rows
+    via_qualified = sorted(
+        (r["k"], r["v"])
+        for r in engine.sql("SELECT k, v FROM default.kvs SETTINGS final = 1").collect()
+    )
+    assert via_qualified == via_final
+    # a FROM spelling inside a string literal is data, not a table source
+    lit = engine.sql(
+        "SELECT 'seen FROM kvs' AS s, count(*) AS n FROM kvs SETTINGS final = 1"
+    ).first()
+    assert lit["s"] == "seen FROM kvs"
+    assert lit["n"] == 2
 
 
 def test_query_settings_limit_offset_and_gates(spark, tmp_warehouse):

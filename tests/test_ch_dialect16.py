@@ -135,6 +135,17 @@ def test_db_qualified_select(admin_eng):
         admin_eng.sql("SELECT count() AS c FROM nosuchdb.adm").collect()
 
 
+def test_db_qualified_rewrite_leaves_string_literals(admin_eng):
+    # a db.table spelling INSIDE a string literal is data: it must survive
+    # verbatim even when db/table resolve (round-6 advisory — the bare
+    # pat.sub used to corrupt the value to 'removed FROM adm')
+    r = admin_eng.sql(
+        "SELECT 'removed FROM default.adm' AS s, count() AS c FROM default.adm"
+    ).collect()[0]
+    assert r["s"] == "removed FROM default.adm"
+    assert r["c"] == 2
+
+
 def test_freeze_and_restore_roundtrip(admin_eng):
     r = admin_eng.sql("ALTER TABLE adm FREEZE").collect()[0]
     assert r["parts_copied"] > 0 and "/shadow/1/" in r["shadow_path"]
@@ -166,6 +177,15 @@ def test_freeze_partition_scoped(admin_eng):
     assert r["parts_copied"] >= 1
     with pytest.raises(ValueError, match="no such partition"):
         admin_eng.sql("ALTER TABLE admp FREEZE PARTITION '1999010100'").collect()
+    # quoted partition values with dots/spaces/colons parse (DateTime- or
+    # Decimal-keyed partitions, round-6 advisory): the statement reaches
+    # _freeze_table's own validation instead of the generic SQL path
+    with pytest.raises(ValueError, match="no such partition"):
+        admin_eng.sql(
+            "ALTER TABLE admp FREEZE PARTITION '2026-01-01 10:00:00'"
+        ).collect()
+    with pytest.raises(ValueError, match="no such partition"):
+        admin_eng.sql("ALTER TABLE admp FREEZE PARTITION '3.14'").collect()
 
 
 def test_modify_comment_and_show_forms(admin_eng):

@@ -26,6 +26,10 @@ GOLDENS = [
     # -ArrayIf: the false row's array contributes nothing
     (f"SELECT sumArrayIf(a, c) AS v FROM {ROWS}", 3.0),
     (f"SELECT avgArrayIf(a, c) AS v FROM {ROWS}", 1.5),
+    # no row matches: every array is the empty slice, denominator 0 — CH
+    # returns nan; an unguarded division throws under ANSI (round-6
+    # advisory). nan != nan, so golden-compare via isNaN
+    (f"SELECT isNaN(avgArrayIf(a, x > 100)) AS v FROM {ROWS}", True),
     (f"SELECT minArrayIf(a, c) AS v FROM {ROWS}", 1),
     (f"SELECT maxArrayIf(a, c) AS v FROM {ROWS}", 2),
     (f"SELECT countArrayIf(a, c) AS v FROM {ROWS}", 2),

@@ -90,6 +90,83 @@ def test_training_matches_numpy_reference(spark, labeled, feature):
     assert np.allclose(np.asarray(weights), w_ref, atol=1e-9)
 
 
+@pytest.mark.parametrize("feature", ["mean", "count"])
+def test_training_handles_empty_text_docs(spark, labeled, feature):
+    """Real corpora contain empty/whitespace-only documents. Their gram
+    array is empty (__n=0): training must not throw DIVIDE_BY_ZERO under
+    ANSI mode (round-6 advisory, high — reproduced before the guard) and
+    the trajectory must still match numpy, where such docs contribute
+    their residual to the bias gradient only."""
+    extra = spark.createDataFrame(
+        [(900, "", 1), (901, "   ", 0), (902, "\t\n", 1)],
+        "doc_id long, text string, label int",
+    )
+    df = labeled.unionByName(extra)
+    weights, bias = qc.train_text_classifier(
+        df, "label", num_buckets=NB, epochs=4, lr=0.5, feature=feature
+    )
+    buckets = _bucket_map(df)
+    labels = {r["doc_id"]: r["label"] for r in df.select("doc_id", "label").collect()}
+    w_ref, b_ref = _numpy_gd(buckets, labels, NB, epochs=4, lr=0.5, feature=feature)
+    assert bias == pytest.approx(b_ref, abs=1e-9)
+    assert np.allclose(np.asarray(weights), w_ref, atol=1e-9)
+
+
+def test_ovr_label_guard_is_bounded(spark):
+    """>100 distinct labels refuse BEFORE the label set materializes: the
+    distinct probe is LIMIT 101 (round-6 verdict finding #2), so a
+    mistakenly high-cardinality label column (e.g. a URL) never collects
+    its full value set to the driver."""
+    rows = [(i, f"some text {i}", f"https://example.com/page/{i}") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, label string")
+    with pytest.raises(ValueError, match="more than 100 classes"):
+        qc.train_text_classifier_ovr(df, "label", num_buckets=NB, epochs=1)
+
+
+def test_sampled_training_still_separates_marker(spark):
+    """train-small/score-big: training on a deterministic Lehmer-hash
+    sample (train_fraction / max_train_docs) still separates the planted
+    marker when scored over the FULL corpus, and the sample is replayable
+    (same weights on re-run)."""
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (i, base + (" marker" if i % 3 == 0 else " filler"), 1 if i % 3 == 0 else 0)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    kw = dict(num_buckets=256, epochs=15, lr=2.0, feature="count", train_fraction=0.4)
+    w1, b1 = qc.train_text_classifier(df, "label", **kw)
+    w2, b2 = qc.train_text_classifier(df, "label", **kw)
+    # deterministic sample + deterministic GD (within-bucket float
+    # summation order is the only wiggle — same tolerance as the parity test)
+    assert b1 == pytest.approx(b2, abs=1e-9)
+    assert np.allclose(np.asarray(w1), np.asarray(w2), atol=1e-9)
+    got = {
+        r["doc_id"]: r["quality_prob"]
+        for r in qc.classifier_score(df, w1, b1, feature="count").collect()
+    }
+    pos = [got[i] for i in range(300) if i % 3 == 0]
+    neg = [got[i] for i in range(300) if i % 3 != 0]
+    assert min(pos) > 0.5 > max(neg), (min(pos), max(neg))
+    # max_train_docs caps by the N smallest sample keys — a distributed
+    # top-N, deterministic and partitioning-independent
+    w3, b3 = qc.train_text_classifier(
+        df, "label", num_buckets=256, epochs=15, lr=2.0, feature="count",
+        max_train_docs=120,
+    )
+    w4, b4 = qc.train_text_classifier(
+        df.repartition(7), "label", num_buckets=256, epochs=15, lr=2.0,
+        feature="count", max_train_docs=120,
+    )
+    assert b3 == pytest.approx(b4, abs=1e-8)
+    assert np.allclose(np.asarray(w3), np.asarray(w4), atol=1e-8)
+    # missing id column refuses loudly
+    with pytest.raises(ValueError, match="id column"):
+        qc.train_text_classifier(
+            df.drop("doc_id"), "label", num_buckets=NB, epochs=1, train_fraction=0.5
+        )
+
+
 def test_count_features_learn_a_planted_marker(spark):
     """The conditioning rationale for feature='count': a single marker
     token decides the class; count features separate it in a handful of

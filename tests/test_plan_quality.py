@@ -339,8 +339,25 @@ def test_ann_xengine_is_bucketed_equijoin(spark):
 
 def test_semantic_profile_plan_is_hash_equijoin(spark):
     """The graded SemDeDup profile's intra-cluster pair join must plan as a
-    hash equi-join on cid — never cartesian/BNLJ (the quadratic trap)."""
-    plan = plan_of(REGISTRY["dedup_semantic_profile"].fn(spark, SF_DIR))
+    hash equi-join on cid — never cartesian/BNLJ (the quadratic trap).
+    The registry entry now eagerly materializes its small report to
+    release the pair cache (its returned plan is a LocalTableScan), so
+    pin the plan of the same pair stage the profile builds."""
+    from clickhousedatamocker_spark.operators.similarity import (
+        _all_pairs_within,
+        _int_probe_cids,
+        as_double,
+        ivf_codebook_xengine,
+        quantize_vec,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cb = ivf_codebook_xengine(emb, n_centroids=8)
+    e = emb.select("vec_id", as_double("embedding").alias("v")).withColumn(
+        "cid", F.element_at(_int_probe_cids(quantize_vec(F.col("v")), cb, 1), 1)
+    )
+    plan = plan_of(_all_pairs_within(e, "vec_id", ["cid"], threshold=0.3))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
