@@ -198,6 +198,22 @@ def cap_per_domain(
 _SA, _SB, _SP = 48271, 11, 2_147_483_647  # Lehmer-style; both engines exact
 
 
+def _sample_key_int(id_col: Column) -> Column:
+    """The raw two-round Lehmer value in [0, _SP) — the integer behind
+    :func:`_sample_key` (ordering by it == ordering by the normalized
+    double; modular reductions of it give engine-portable shard ids)."""
+    r0 = F.pmod(id_col, F.lit(_SP))
+    r1 = (F.lit(_SA) * r0 + F.lit(_SB)) % F.lit(_SP)
+    return (F.lit(_SA) * r1 + F.lit(_SB)) % F.lit(_SP)
+
+
+def sample_key_int_oracle_sql(id_expr: str) -> str:
+    """DuckDB twin of :func:`_sample_key_int`."""
+    r0 = f"((({id_expr}) % {_SP}) + {_SP}) % {_SP}"
+    r1 = f"(({_SA} * ({r0}) + {_SB}) % {_SP})"
+    return f"(({_SA} * {r1} + {_SB}) % {_SP})"
+
+
 def _sample_key(id_col: Column) -> Column:
     """Deterministic pseudo-uniform key in [0, 1): portable across engines
     (exact integer arithmetic mod a 31-bit prime — DuckDB computes the
@@ -210,20 +226,14 @@ def _sample_key(id_col: Column) -> Column:
     without it, ids above ~1.9e14 overflow int64: Spark wraps silently
     while DuckDB raises, breaking cross-engine parity. The oracle SQL must
     apply the identical pre-reduction (see sample_key_oracle_sql)."""
-    r0 = F.pmod(id_col, F.lit(_SP))
-    r1 = (F.lit(_SA) * r0 + F.lit(_SB)) % F.lit(_SP)
-    r2 = (F.lit(_SA) * r1 + F.lit(_SB)) % F.lit(_SP)
-    return r2.cast("double") / F.lit(float(_SP))
+    return _sample_key_int(id_col).cast("double") / F.lit(float(_SP))
 
 
 def sample_key_oracle_sql(id_expr: str) -> str:
     """DuckDB-dialect twin of :func:`_sample_key` — keep the two in
     lockstep. DuckDB's ``%`` keeps the dividend's sign like Spark's ``%``,
     so pmod is spelled ``((x % p) + p) % p`` in both readings."""
-    r0 = f"((({id_expr}) % {_SP}) + {_SP}) % {_SP}"
-    r1 = f"(({_SA} * ({r0}) + {_SB}) % {_SP})"
-    r2 = f"(({_SA} * {r1} + {_SB}) % {_SP})"
-    return f"({r2} / {float(_SP)!r})"
+    return f"({sample_key_int_oracle_sql(id_expr)} / {float(_SP)!r})"
 
 
 def stratified_sample(
@@ -271,6 +281,7 @@ def pack_token_sequences(
     text_col: str = "text",
     id_col: str = "doc_id",
     eos: str = "<|endoftext|>",
+    shard_key: str = "xxhash64",
 ) -> DataFrame:
     """GPT-style sequence packing: concatenate documents (with an ``eos``
     separator after each) and chunk the token stream into EXACTLY
@@ -288,10 +299,20 @@ def pack_token_sequences(
     Returns (shard, seq_id, n_tokens, text): n_tokens == seq_len for every
     sequence except each shard's last partial one. The eos markers make
     the packing reversible (splitting on eos recovers document order).
+
+    ``shard_key``: ``'xxhash64'`` (production default) or ``'lehmer'`` —
+    the engine-portable two-round Lehmer hash (same family as
+    :func:`split_corpus`), which a DuckDB oracle can recompute exactly;
+    the graded pipeline twin uses it.
     """
     from pyspark.sql import Window as W
 
-    shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).alias("shard")
+    if shard_key == "xxhash64":
+        shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).alias("shard")
+    elif shard_key == "lehmer":
+        shard = (_sample_key_int(F.col(id_col)) % F.lit(n_shards)).alias("shard")
+    else:
+        raise ValueError(f"shard_key must be 'xxhash64' or 'lehmer', got {shard_key!r}")
     toks = docs.select(
         shard,
         F.col(id_col),

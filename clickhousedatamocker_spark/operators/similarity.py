@@ -1042,11 +1042,13 @@ def semantic_dedup(
 
 def cluster_stratified_sample(
     corpus: DataFrame,
-    centroids: list[list[float]],
+    centroids: list[list[float]] | None,
     fraction: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    rank_key: str = "xxhash64",
+    precomputed_cid: str | None = None,
 ) -> DataFrame:
     """Semantic stratified sampling: keep ``ceil(fraction * cluster_size)``
     rows per embedding cluster, selected by seeded hash rank — the cluster
@@ -1059,19 +1061,37 @@ def cluster_stratified_sample(
     Plan: row-local assignment (literal/Arrow auto-selected), ONE exchange
     on cid for the rank window, state bounded by one cluster's rows per
     task (sort-spill safe). Returns the original columns.
+
+    ``rank_key``: ``'xxhash64'`` (production default) or ``'lehmer'`` —
+    the engine-portable two-round Lehmer hash of ``id + seed`` (same
+    family as corpus.split_corpus) so a DuckDB oracle reproduces the
+    selection exactly. ``precomputed_cid``: name of an existing cluster
+    column to stratify by instead of assigning against ``centroids``
+    (the graded profile assigns via the quantized xengine path first).
     """
     if not 0.0 < fraction <= 1.0:
         raise ValueError("fraction must be in (0, 1]")
-    e = with_nearest_cid(
-        corpus.withColumn("__v", as_double(vec_col)), "__v", centroids, "__cid"
-    )
-    w = Window.partitionBy("__cid").orderBy(
-        F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col)
-    )
+    if precomputed_cid is not None:
+        e = corpus.withColumn("__cid", F.col(precomputed_cid))
+        drop_cols = ["__cid", "__rk", "__n"]
+    else:
+        e = with_nearest_cid(
+            corpus.withColumn("__v", as_double(vec_col)), "__v", centroids, "__cid"
+        )
+        drop_cols = ["__v", "__cid", "__rk", "__n"]
+    if rank_key == "xxhash64":
+        key = F.xxhash64(F.col(id_col), F.lit(seed))
+    elif rank_key == "lehmer":
+        from clickhousedatamocker_spark.operators.corpus import _sample_key_int
+
+        key = _sample_key_int(F.col(id_col) + F.lit(seed))
+    else:
+        raise ValueError(f"rank_key must be 'xxhash64' or 'lehmer', got {rank_key!r}")
+    w = Window.partitionBy("__cid").orderBy(key, F.col(id_col))
     wc = Window.partitionBy("__cid")
     return (
         e.withColumn("__rk", F.row_number().over(w))
         .withColumn("__n", F.count(F.lit(1)).over(wc))
         .filter(F.col("__rk") <= F.ceil(F.col("__n") * F.lit(fraction)))
-        .drop("__v", "__cid", "__rk", "__n")
+        .drop(*drop_cols)
     )

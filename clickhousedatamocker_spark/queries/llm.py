@@ -1105,9 +1105,23 @@ def _dsir_xengine_oracle_sql(num_buckets: int = 4096, keep_fraction: float = 0.2
     from clickhousedatamocker_spark.operators.dedup import _XA, _XP
     from clickhousedatamocker_spark.operators.importance import _pos_ascii_hash_duckdb
 
-    nb = num_buckets
     return f"""
-WITH d AS (
+WITH {_dsir_kept_ctes(num_buckets, keep_fraction)}
+SELECT t.source, t.n_total, COALESCE(kc.n_kept, 0) AS n_kept
+FROM (SELECT source, count(*) AS n_total FROM documents GROUP BY source) t
+LEFT JOIN (SELECT source, count(*) AS n_kept FROM kept GROUP BY source) kc USING (source)
+ORDER BY t.source
+""".strip()
+
+
+def _dsir_kept_ctes(num_buckets: int, keep_fraction: float) -> str:
+    """The DSIR selection CTE chain (→ ``kept(doc_id, source)``), shared by
+    the DSIR profile oracle and the composed-pipeline oracle."""
+    from clickhousedatamocker_spark.operators.dedup import _XA, _XP
+    from clickhousedatamocker_spark.operators.importance import _pos_ascii_hash_duckdb
+
+    nb = num_buckets
+    return f"""d AS (
   SELECT doc_id, source,
          list_filter(string_split(text, ' '), w -> w <> '') AS words
   FROM documents
@@ -1148,12 +1162,7 @@ kk AS (SELECT GREATEST(1, CAST(round(count(*) * {keep_fraction}) AS BIGINT)) AS 
 kept AS (
   SELECT doc_id, source FROM alldocs CROSS JOIN kk
   QUALIFY ROW_NUMBER() OVER (ORDER BY round(imp, 6) DESC, doc_id) <= kk.k
-)
-SELECT t.source, t.n_total, COALESCE(kc.n_kept, 0) AS n_kept
-FROM (SELECT source, count(*) AS n_total FROM documents GROUP BY source) t
-LEFT JOIN (SELECT source, count(*) AS n_kept FROM kept GROUP BY source) kc USING (source)
-ORDER BY t.source
-""".strip()
+)"""
 
 
 @register(
@@ -1335,55 +1344,363 @@ def pipeline_select_dedup_pack(spark, sf_dir):
 
 
 # -------------------------------------------------------------------------
+def _pipeline_xengine_oracle_sql(
+    keep_fraction: float = 0.5,
+    num_buckets: int = 4096,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.5,
+    seq_len: int = 512,
+    n_shards: int = 16,
+) -> str:
+    """DuckDB SQL recomputing the ENTIRE composed training-data pipeline —
+    DSIR top-fraction selection (the DSIR profile's CTE chain), MinHash-LSH
+    near-dup pairs over the selected slice (the MinHash profile's CTEs),
+    connected components via recursive CTE with min-id canonicals (the
+    fuzzy-clusters discipline), then GPT-style packing arithmetic: packing
+    chunks each shard's token stream into exact seq_len sequences, so the
+    per-shard report is pure integer math over survivor token counts
+    (n_tokens = Σ ntok, n_sequences = ceil(T/seq_len), n_full =
+    floor(T/seq_len)) — no explode needed oracle-side. Shards come from
+    the portable Lehmer hash."""
+    from clickhousedatamocker_spark.operators.corpus import sample_key_int_oracle_sql
+    from clickhousedatamocker_spark.operators.dedup import _XA, _XP, _mh_params, _o_poly_hash
+
+    r = num_hashes // bands
+    params = _mh_params(num_hashes)
+    gram = " || ' ' || ".join(f"tk[i+{j}]" for j in range(n))
+    digest = "th[i]"
+    for j in range(1, n):
+        digest = f"({digest} * {_XA} + th[i+{j}]) % {_XP}"
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(dgl, x -> ({a} * x + {b}) % {_XP})) AS s{i}"
+        for i, (a, b) in enumerate(params)
+    )
+
+    def band_hash(j: int) -> str:
+        acc = f"s{j * r}"
+        for k in range(1, r):
+            acc = f"({acc} * {_XA} + s{j * r + k}) % {_XP}"
+        return acc
+
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band, {band_hash(j)} AS bh FROM mh_sig"
+        for j in range(bands)
+    )
+    jac = (
+        "len(list_intersect(sa.sg, sb.sg)) * 1.0 "
+        "/ (len(sa.sg) + len(sb.sg) - len(list_intersect(sa.sg, sb.sg)))"
+    )
+    shard = f"({sample_key_int_oracle_sql('doc_id')} % {n_shards})"
+    return f"""
+WITH RECURSIVE {_dsir_kept_ctes(num_buckets, keep_fraction)},
+sel AS (
+  SELECT dd.doc_id, dd.text FROM documents dd JOIN kept USING (doc_id)
+),
+mh_d AS (SELECT doc_id, string_split(text, ' ') tk FROM sel),
+mh_base AS (
+  SELECT doc_id,
+    list_transform(tk, tt -> {_o_poly_hash('tt')}) th,
+    list_distinct(list_transform(generate_series(1, len(tk)-{n - 1}), i -> {gram})) sg
+  FROM mh_d WHERE len(tk) >= {n}
+),
+mh_dg AS (
+  SELECT doc_id, sg,
+    list_distinct(list_transform(generate_series(1, len(th)-{n - 1}), i -> {digest})) dgl
+  FROM mh_base
+),
+mh_sig AS (
+  SELECT doc_id, {sig_exprs} FROM mh_dg
+),
+mh_buckets AS (
+  {band_rows}
+),
+mh_cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM mh_buckets a JOIN mh_buckets b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+mh_pairs AS (
+  SELECT id_a, id_b FROM mh_cand
+  JOIN mh_dg sa ON sa.doc_id = mh_cand.id_a
+  JOIN mh_dg sb ON sb.doc_id = mh_cand.id_b
+  WHERE {jac} >= {threshold}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM mh_pairs
+  UNION SELECT id_b, id_a FROM mh_pairs
+),
+reach(node, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e2.src, r2.lbl FROM edges e2 JOIN reach r2 ON e2.dst = r2.node
+),
+comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node),
+surv AS (
+  SELECT s.doc_id,
+         len(string_split(s.text || ' <|endoftext|>', ' ')) AS ntok
+  FROM sel s LEFT JOIN comp c ON c.node = s.doc_id
+  WHERE c.node IS NULL OR c.node = c.component
+),
+packed AS (
+  SELECT {shard} AS shard, CAST(SUM(ntok) AS BIGINT) AS n_tokens
+  FROM surv GROUP BY shard
+)
+SELECT shard,
+       CAST(ceil(n_tokens / {seq_len}.0) AS BIGINT) AS n_sequences,
+       n_tokens,
+       CAST(floor(n_tokens / {seq_len}.0) AS BIGINT) AS n_full
+FROM packed
+ORDER BY shard
+""".strip()
+
+
+@register(
+    "pipeline_select_dedup_pack_xengine",
+    _pipeline_xengine_oracle_sql(),
+    description="The composed training-data pipeline, driver-graded "
+    "END-TO-END via the cross-engine hash families: DSIR-select the top "
+    "50% most target-like docs (positional-ascii gram hashes, round-6 "
+    "deterministic cut), MinHash-LSH near-dup pairs over the selected "
+    "slice only (rolling-poly hashes, 32 sigs / 8 bands, Jaccard >= 0.5 "
+    "verify), connected components -> min-id canonical survivors, then "
+    "GPT-style 512-token packing into 16 Lehmer-hash shards. The DuckDB "
+    "twin recomputes all four stages (selection CTEs, banding CTEs, "
+    "recursive-CTE components, and the packing arithmetic — per-shard "
+    "counts are pure integer math over survivor token sums). The xxhash64 "
+    "production chain (pipeline_select_dedup_pack) stays benched and "
+    "law-tested; this twin grades its composition logic value-exact.",
+)
+def pipeline_select_dedup_pack_xengine(spark, sf_dir):
+    from clickhousedatamocker_spark.operators.corpus import pack_token_sequences
+    from clickhousedatamocker_spark.operators.dedup import (
+        fuzzy_dedup_canonical,
+        minhash_lsh_pairs_xengine,
+    )
+    from clickhousedatamocker_spark.operators.importance import (
+        dsir_score,
+        train_hashed_ngram_model_pair,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    tm, bm = train_hashed_ngram_model_pair(
+        docs, F.col("source") == "src0", num_buckets=4096, use_xengine_hash=True
+    )
+    scored = dsir_score(docs, tm, bm, use_xengine_hash=True)
+    k = max(1, int(round(docs.count() * 0.5)))
+    selected = (
+        scored.orderBy(F.desc(F.round("importance", 6)), F.asc("doc_id"))
+        .limit(k)
+        .persist()
+    )
+    pairs = minhash_lsh_pairs_xengine(
+        selected, num_hashes=32, bands=8, n=3, threshold=0.5
+    )
+    survivors = fuzzy_dedup_canonical(selected, pairs)
+    report = (
+        pack_token_sequences(
+            survivors, seq_len=512, n_shards=16, shard_key="lehmer"
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_sequences"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.count_if(F.col("n_tokens") == 512).alias("n_full"),
+        )
+        .orderBy("shard")
+    )
+    return _materialize_small(report, selected)
+
+
+# -------------------------------------------------------------------------
+def _stratified_xengine_oracle_sql(
+    fraction: float = 0.25, n_centroids: int = 8, seed: int = 42
+) -> str:
+    """DuckDB SQL recomputing the ENTIRE cross-engine stratified-sampling
+    profile: integer sample-codebook selection + exact-int nearest-centroid
+    assignment (the SemDeDup oracle's discipline), per-cluster rank by the
+    two-round Lehmer key of (vec_id + seed) — the portable hash family
+    corpus.split_corpus uses — and the ceil(fraction * n) keep rule. The
+    kept-id sum/min make the result RANK-dependent, so the oracle verifies
+    WHICH rows were kept, not just how many."""
+    from clickhousedatamocker_spark.operators.corpus import sample_key_int_oracle_sql
+    from clickhousedatamocker_spark.operators.similarity import (
+        _IVF_HA,
+        _IVF_HB,
+        _IVF_HP,
+        _QSCALE,
+    )
+
+    hid = f"({_IVF_HA} * vec_id + {_IVF_HB}) % {_IVF_HP}"
+    d2 = (
+        "list_sum(list_transform(generate_series(1, 64), "
+        "j -> CAST(e.qv[j] - cb.cv[j] AS DOUBLE) * CAST(e.qv[j] - cb.cv[j] AS DOUBLE)))"
+    )
+    key = sample_key_int_oracle_sql(f"(vec_id + {seed})")
+    return f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[], x -> CAST(floor(x * {_QSCALE}) AS BIGINT)) AS qv
+  FROM embeddings
+),
+cb AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY {hid}, vec_id) AS INT) - 1 AS cid, qv AS cv
+  FROM e
+  QUALIFY ROW_NUMBER() OVER (ORDER BY {hid}, vec_id) <= {n_centroids}
+),
+ad AS (SELECT e.vec_id, cb.cid, {d2} AS d2 FROM e CROSS JOIN cb),
+assign AS (
+  SELECT vec_id, cid FROM ad
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1
+),
+ranked AS (
+  SELECT vec_id, cid,
+         ROW_NUMBER() OVER (PARTITION BY cid ORDER BY {key}, vec_id) AS rk,
+         COUNT(*) OVER (PARTITION BY cid) AS n
+  FROM assign
+),
+kept AS (SELECT * FROM ranked WHERE rk <= CAST(ceil(n * {fraction}) AS BIGINT))
+SELECT a.cid,
+       COUNT(*) AS n_total,
+       COUNT(k.vec_id) AS n_kept,
+       CAST(COALESCE(SUM(k.vec_id), 0) AS BIGINT) AS kept_id_sum,
+       COALESCE(MIN(k.vec_id), -1) AS kept_min_id
+FROM assign a LEFT JOIN kept k USING (vec_id)
+GROUP BY a.cid
+ORDER BY a.cid
+""".strip()
+
+
 @register(
     "sample_cluster_stratified_profile",
-    None,  # rows-only: selection depends on xxhash64 rank (not DuckDB-
-    # reproducible); the exact per-cluster count law is pinned by
-    # tests/test_semantic_dedup.py::test_cluster_stratified_sample_preserves_mix
-    description="Semantic stratified down-sampling: keep ceil(fraction * "
-    "cluster_size) embeddings per k-means cluster by seeded hash rank — "
-    "preserves the corpus's cluster mix EXACTLY where a plain hash sample "
-    "preserves it only in expectation (small fractions can drop whole "
-    "semantic modes). The budget-setting companion to SemDeDup. One cid "
-    "exchange; per-task state is one cluster's rows. Report: per-cluster "
-    "total vs kept.",
+    _stratified_xengine_oracle_sql(fraction=0.25, n_centroids=8, seed=42),
+    description="Semantic stratified down-sampling, driver-graded "
+    "END-TO-END: keep ceil(fraction * cluster_size) embeddings per k-means "
+    "cluster by deterministic hash rank — preserves the corpus's cluster "
+    "mix EXACTLY where a plain hash sample preserves it only in "
+    "expectation (small fractions can drop whole semantic modes). The "
+    "budget-setting companion to SemDeDup. Cross-engine: quantized "
+    "sample-codebook assignment (the SemDeDup oracle's discipline) + the "
+    "portable Lehmer rank key, so the DuckDB twin reproduces the exact "
+    "kept SET (pinned by rank-dependent kept_id_sum/kept_min_id columns). "
+    "One cid exchange; per-task state is one cluster's rows. The xxhash64 "
+    "production rank stays covered by tests/test_semantic_dedup.py's "
+    "count law.",
 )
 def sample_cluster_stratified_profile(spark, sf_dir):
     from clickhousedatamocker_spark.operators.similarity import (
+        _int_probe_cids,
         as_double,
         cluster_stratified_sample,
-        ivf_train,
-        with_nearest_cid,
+        ivf_codebook_xengine,
+        quantize_vec,
     )
 
     emb = t(spark, sf_dir, "embeddings")
-    cb = ivf_train(emb, n_centroids=8, n_iters=2, seed=42)
-    assigned = with_nearest_cid(
-        emb.select("vec_id", as_double("embedding").alias("__v")), "__v", cb, "cid"
-    ).select("vec_id", "cid")
-    kept = cluster_stratified_sample(emb, cb, fraction=0.25)
-    return (
-        assigned.groupBy("cid")
-        .agg(F.count(F.lit(1)).alias("n_total"))
-        .join(
-            kept.select("vec_id")
-            .join(assigned, "vec_id")
-            .groupBy("cid")
-            .agg(F.count(F.lit(1)).alias("n_kept")),
-            "cid",
-            "left",
+    cb = ivf_codebook_xengine(emb, n_centroids=8)
+    assigned = (
+        emb.select("vec_id", as_double("embedding").alias("__v"))
+        .withColumn(
+            "cid", F.element_at(_int_probe_cids(quantize_vec(F.col("__v")), cb, 1), 1)
         )
-        .select("cid", "n_total", F.coalesce("n_kept", F.lit(0)).alias("n_kept"))
+        .select("vec_id", "cid")
+    )
+    kept = cluster_stratified_sample(
+        assigned, None, fraction=0.25, rank_key="lehmer", precomputed_cid="cid", seed=42
+    ).select(F.col("vec_id").alias("kept_id"), F.col("cid").alias("kcid"))
+    return (
+        assigned.join(kept, assigned.vec_id == kept.kept_id, "left")
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count("kept_id").alias("n_kept"),
+            F.coalesce(F.sum("kept_id"), F.lit(0)).alias("kept_id_sum"),
+            F.coalesce(F.min("kept_id"), F.lit(-1)).alias("kept_min_id"),
+        )
         .orderBy("cid")
     )
 
 
 # -------------------------------------------------------------------------
+def _quality_classifier_oracle_sql(num_buckets: int = 512, scale: float = 4.0) -> str:
+    """DuckDB SQL recomputing the fixed-weights classifier scoring profile:
+    the per-doc scoring twin (operators/classifier.py
+    classifier_score_oracle_sql — pseudo-weights recomputed closed-form in
+    SQL, positional-ascii gram hashes, sigmoid rounded to 6dp) aggregated
+    per source with the exact-decimal mean discipline."""
+    from clickhousedatamocker_spark.operators.classifier import (
+        classifier_score_oracle_sql,
+    )
+    from clickhousedatamocker_spark.queries.base import o_davg
+
+    per_doc = classifier_score_oracle_sql(
+        num_buckets, bias=0.0, scale=scale, table="documents", feature="mean"
+    ).strip()
+    return f"""
+WITH per_doc AS (
+{per_doc}
+)
+SELECT d.source,
+       COUNT(*) AS n_total,
+       COUNT(*) FILTER (WHERE s.quality_prob >= 0.5) AS n_kept,
+       {o_davg('s.quality_prob', 18, 6)} AS mean_prob,
+       MIN(s.quality_prob) AS min_prob,
+       MAX(s.quality_prob) AS max_prob
+FROM documents d JOIN per_doc s USING (doc_id)
+GROUP BY d.source
+ORDER BY d.source
+""".strip()
+
+
 @register(
     "quality_classifier_profile",
-    None,  # rows-only (graded window full); cross-engine scoring is pinned
-    # value-exact by tests/test_classifier.py::test_xengine_score_matches_
-    # duckdb_twin, training by the numpy GD-trajectory parity test
+    _quality_classifier_oracle_sql(num_buckets=512, scale=4.0),
+    description="fastText-style quality classifier scoring (Joulin et al. "
+    "2016), driver-graded END-TO-END under fixed closed-form pseudo-weights "
+    "and the cross-engine positional-ascii hash family: the zero-shuffle "
+    "inference pass — hashed uni+bigram featurization, mean features, "
+    "literal-array weight lookup, sigmoid — scored over every document and "
+    "profiled per source (counts at the 0.5 gate + exact-decimal mean and "
+    "min/max of the 6dp-rounded probability). Fixed weights make inference "
+    "the verifiable half (the DuckDB oracle recomputes the weight vector "
+    "closed-form in SQL); GD training is pinned step-for-step by the numpy "
+    "trajectory parity tests and demonstrated by "
+    "quality_classifier_trained_profile.",
+)
+def quality_classifier_profile(spark, sf_dir):
+    from clickhousedatamocker_spark.operators.classifier import (
+        classifier_score,
+        pseudo_weights,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    scored = classifier_score(
+        docs, pseudo_weights(512, scale=4.0), 0.0, use_xengine_hash=True, feature="mean"
+    ).withColumn("__p", F.round("quality_prob", 6))
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count_if(F.col("__p") >= 0.5).alias("n_kept"),
+            (
+                F.sum(F.col("__p").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_prob"),
+            F.min("__p").alias("min_prob"),
+            F.max("__p").alias("max_prob"),
+        )
+        .orderBy("source")
+    )
+
+
+# -------------------------------------------------------------------------
+@register(
+    "quality_classifier_trained_profile",
+    None,  # rows-only: GD training is float-trajectory state no SQL oracle
+    # can replay; it is pinned step-for-step by tests/test_classifier.py's
+    # numpy parity suite, and the INFERENCE half is driver-graded above
+    # (quality_classifier_profile's fixed-weights DuckDB twin)
     description="fastText-style quality classifier (Joulin et al. 2016) — "
     "the CCNet/LLaMA-lineage 'reference-like page' filter: logistic "
     "regression over hashed uni+bigram features, trained by full-batch GD "
@@ -1400,7 +1717,7 @@ def sample_cluster_stratified_profile(spark, sf_dir):
     "epochs. Self-checking: per-source agreement at the 0.5 gate must "
     "track the planted split, and probabilities spread to the rails.",
 )
-def quality_classifier_profile(spark, sf_dir):
+def quality_classifier_trained_profile(spark, sf_dir):
     from clickhousedatamocker_spark.operators.classifier import (
         classifier_score,
         train_text_classifier,

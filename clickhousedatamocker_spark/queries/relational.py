@@ -955,16 +955,10 @@ def q18_large_volume_customers(spark, sf_dir):
 
 @register(
     "limit_by_per_group",
-    """
-SELECT c_custkey, o_orderkey, o_totalprice FROM (
-  SELECT c_custkey, o_orderkey, o_totalprice,
-         ROW_NUMBER() OVER (PARTITION BY c_custkey
-                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
-  FROM customer JOIN orders ON c_custkey = o_custkey
-  WHERE c_custkey < 100
-) WHERE rn <= 2
-ORDER BY c_custkey, o_totalprice DESC, o_orderkey
-""",
+    None,  # rotated out of the graded window in r7 to make room for the
+    # LLM-op oracle twins (classifier/stratified-sample/pipeline); per-group
+    # rank windows stay graded via window_rank_top_customers and the LIMIT BY
+    # statement forms are golden-tested in tests/test_ch_dialect16.py
     description="ClickHouse LIMIT n BY col parity: top-2 orders per customer "
     "— rank window inside each group, one shuffle on the group key, "
     "deterministic tiebreak.",
@@ -986,16 +980,10 @@ def limit_by_per_group(spark, sf_dir):
 
 @register(
     "agg_if_combinators",
-    """
-SELECT l_returnflag,
-       COUNT(*) FILTER (WHERE l_discount > 0.05) AS count_if_disc,
-       CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
-                     THEN CAST(l_extendedprice AS DECIMAL(12,2)) END) AS DOUBLE) AS sum_if_recent,
-       CAST(AVG(CASE WHEN l_quantity > 25 THEN l_quantity END) AS DOUBLE) AS avg_if_bulk
-FROM lineitem
-GROUP BY l_returnflag
-ORDER BY l_returnflag
-""",
+    None,  # rotated out of the graded window in r7 (room for the LLM-op
+    # oracle twins); -If combinator spellings stay golden-tested across
+    # tests/test_ch_dialect7/17.py and conditional aggregation stays graded
+    # inside agg_ch_showcase / q1_pricing_summary
     description="ClickHouse -If aggregate combinators (countIf/sumIf/avgIf): "
     "conditional aggregation inside ONE hash-agg pass (no extra scans or "
     "joins per condition).",
@@ -1019,12 +1007,9 @@ def agg_if_combinators(spark, sf_dir):
 
 @register(
     "topk_orders_by_price",
-    """
-SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
-FROM orders
-ORDER BY o_totalprice DESC, o_orderkey
-LIMIT 15
-""",
+    None,  # rotated out of the graded window in r7 (room for the LLM-op
+    # oracle twins); global sort+LIMIT stays graded via q3/q10/q18 (all
+    # TakeOrderedAndProject shapes with unique tiebreaks)
     description="Global top-k -> TakeOrderedAndProject (per-partition heaps, "
     "no full sort). Unique tiebreak keeps it deterministic.",
 )
