@@ -264,6 +264,26 @@ def load_dedup_params(path: str) -> dict:
         return json.load(fh)
 
 
+def dedup_index_stats(spark, path: str) -> DataFrame:
+    """(n_signatures, n_files) for a :func:`build_dedup_index` directory —
+    the small-file monitor for append-mode growth (each append lands one
+    file batch under ``signatures/``); compact with
+    ``index_maint.optimize_index`` when n_files climbs."""
+    import os
+
+    from clickhousedatamocker_spark.operators.index_maint import (
+        _leaf_data_dirs,
+        _parquet_files,
+    )
+
+    sig_dir = os.path.join(path, "signatures")
+    n_rows = spark.read.parquet(sig_dir).count()
+    n_files = sum(len(_parquet_files(d)) for d in _leaf_data_dirs(path))
+    return spark.createDataFrame(
+        [(n_rows, n_files)], "n_signatures long, n_files long"
+    )
+
+
 def signature_est_pairs(
     sig_a: DataFrame,
     sig_b: DataFrame,

@@ -225,6 +225,20 @@ def bm25_index_add(
     return meta
 
 
+def bm25_index_stats(spark, path: str) -> "DataFrame":
+    """Per-bucket (n_postings, n_files) for a :func:`build_bm25_index`
+    directory — the small-file monitor for :func:`bm25_index_add` growth;
+    compact with ``index_maint.optimize_index`` when n_files climbs."""
+    from clickhousedatamocker_spark.operators.index_maint import _with_file_counts
+
+    rows = (
+        spark.read.parquet(path)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_postings"))
+    )
+    return _with_file_counts(spark, path, rows, "bucket").orderBy("bucket")
+
+
 def _buckets_of(spark, terms: list[str], n_buckets: int) -> list[int]:
     """xxhash64 buckets for the query terms, evaluated by the SAME engine
     expression the writer used. One constant-folded driver-side query per

@@ -807,15 +807,20 @@ def ann_index_add(
 
 
 def ann_index_stats(spark, path: str) -> DataFrame:
-    """Per-bucket vector counts for an index at ``path`` — the drift/skew
-    monitor for :func:`ann_index_add`. Reads only the partition column, so
-    the scan touches parquet footers, not vector data."""
-    return (
+    """Per-bucket (n_vectors, n_files) for an index at ``path`` — the
+    drift/skew monitor for :func:`ann_index_add` AND the small-file
+    monitor that tells you when ``index_maint.optimize_index`` is due.
+    Row counts read only the partition column (parquet footers, not
+    vector data); file counts are a driver-side listing bounded by the
+    bucket count."""
+    from clickhousedatamocker_spark.operators.index_maint import _with_file_counts
+
+    rows = (
         spark.read.parquet(path)
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
-        .orderBy("bucket")
     )
+    return _with_file_counts(spark, path, rows, "bucket").orderBy("bucket")
 
 
 # ---------------------------------------------------------------------------
