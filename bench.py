@@ -34,6 +34,23 @@ def main() -> None:
     import subprocess
 
     load1, load5, load15 = os.getloadavg()
+    # Ambient-load gate (round-6: ingest "+25%" correlated with loadavg
+    # 4.24 vs 2.02 and had no code cause). If the 1-minute load is above
+    # the threshold at start, wait for it to drain — up to the deadline —
+    # so round-over-round numbers compare like with like; if it never
+    # drains, run anyway but stamp the wait + final load into conditions.
+    load_gate = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "3.0"))
+    load_wait_s = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT_S", "120"))
+    waited = 0.0
+    while load1 > load_gate and waited < load_wait_s:
+        print(
+            f"bench: loadavg_1m {load1:.2f} > gate {load_gate:.2f}; "
+            f"waiting for the box to quiesce ({waited:.0f}s)",
+            file=sys.stderr,
+        )
+        time.sleep(10.0)
+        waited += 10.0
+        load1, load5, load15 = os.getloadavg()
     try:
         pre_java = int(subprocess.run(["pgrep", "-c", "java"], capture_output=True, text=True).stdout.strip() or 0)
     except Exception:
@@ -44,6 +61,9 @@ def main() -> None:
         "loadavg_15m": round(load15, 2),
         "java_procs_before": pre_java,
         "timed_runs_per_key": _TIMED_RUNS,
+        "load_gate": load_gate,
+        "load_gate_waited_s": round(waited, 1),
+        "load_gate_met": load1 <= load_gate,
     }
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))

@@ -821,6 +821,39 @@ def connected_components(
     return labels.select(F.col("node"), F.col("label").alias("component"))
 
 
+def dedup_soft_weights(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    weight_col: str = "dedup_weight",
+) -> DataFrame:
+    """Soft dedup: keep EVERY document but attach ``weight_col`` =
+    1/cluster_size (singletons weigh 1.0) — the train-time downweighting
+    alternative to hard removal: each near-dup cluster contributes one
+    document's worth of total loss mass, but the loss surface still sees
+    every surface form (the knob several public pretraining recipes
+    prefer over dropping; e.g. the soft-dedup variant studied in SlimPajama
+    /Dolma ablations). Composes with any pair generator (MinHash, SimHash,
+    embedding-cosine, SemDeDup).
+
+    Scale: one CC over the pairs (sub-corpus sized), one count per
+    component, one broadcast-friendly join back on id — the corpus itself
+    is never shuffled. Law pinned by test: sum(weight) == n_singletons +
+    n_clusters (each cluster's mass telescopes to exactly 1.0)."""
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("__csz"))
+    weights = (
+        comp.join(sizes, "component")
+        .select(
+            F.col("node").alias(id_col),
+            (F.lit(1.0) / F.col("__csz")).alias(weight_col),
+        )
+    )
+    return docs.join(weights, id_col, "left").withColumn(
+        weight_col, F.coalesce(F.col(weight_col), F.lit(1.0))
+    )
+
+
 def fuzzy_dedup_canonical(
     docs: DataFrame,
     pairs: DataFrame,

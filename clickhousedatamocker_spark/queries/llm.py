@@ -1748,3 +1748,86 @@ def quality_classifier_trained_profile(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# -------------------------------------------------------------------------
+@register(
+    "embedding_pca_profile",
+    None,  # rows-only: covariance entries are float sums (partition-order
+    # ULP wobble — no hash-exact SQL twin); training is pinned against a
+    # single-machine numpy PCA and both projection paths agree exactly in
+    # tests/test_projection.py
+    description="PCA dimensionality reduction for embeddings (the standard "
+    "pre-ANN compression: FAISS's PCAR stage): ONE distributed moment pass "
+    "(per-Arrow-batch numpy partials of count/sum/outer-product, one emitted "
+    "row per batch) -> driver eigendecomposition of the dxd covariance "
+    "(bounded model state) -> row-local projection (literal component "
+    "matrix small / Arrow broadcast large). Report: per-component "
+    "explained variance + cumulative ratio, plus top-10 ANN recall of the "
+    "half-dimension projection against the raw space - the number that "
+    "says whether the compression is usable.",
+)
+def embedding_pca_profile(spark, sf_dir):
+    from clickhousedatamocker_spark.operators.projection import (
+        pca_explained_ratio,
+        pca_project,
+        pca_train,
+    )
+    from clickhousedatamocker_spark.operators.similarity import brute_force_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    model = pca_train(emb, k=32)
+    proj = pca_project(emb, model).select(
+        "vec_id", F.col("projected").alias("embedding")
+    )
+    raw_n = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10).collect()
+    }
+    low_n = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(proj, proj.filter(F.col("vec_id") < 5), k=10).collect()
+    }
+    recall = len(raw_n & low_n) / len(raw_n) if raw_n else 0.0
+    ratios = pca_explained_ratio(model)
+    rows = [
+        (i, round(v, 6), round(ratios[i], 6), round(recall, 4))
+        for i, v in enumerate(model["explained_variance"])
+    ]
+    return spark.createDataFrame(
+        rows,
+        "component int, explained_variance double, cum_ratio double, "
+        "ann_recall_at10_k32 double",
+    )
+
+
+# -------------------------------------------------------------------------
+@register(
+    "dedup_soft_weights_profile",
+    None,  # rows-only: composes the graded MinHash pair generator with the
+    # graded CC machinery; the telescoping weight law (sum == singletons +
+    # clusters) is pinned by tests/test_projection.py
+    description="Soft dedup (train-time downweighting): every document "
+    "kept, weighted 1/cluster_size over MinHash near-dup clusters so each "
+    "cluster contributes one document's worth of loss mass - the "
+    "SlimPajama/Dolma-ablation alternative to hard removal. One CC over "
+    "the pairs + one join back; the corpus never shuffles. Report: per "
+    "source, raw vs effective (weight-summed) document counts.",
+)
+def dedup_soft_weights_profile(spark, sf_dir):
+    from clickhousedatamocker_spark.operators.dedup import (
+        dedup_soft_weights,
+        minhash_lsh_pairs,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    weighted = dedup_soft_weights(docs, pairs)
+    return (
+        weighted.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.sum("dedup_weight"), 6).alias("effective_docs"),
+        )
+        .orderBy("source")
+    )

@@ -73,7 +73,69 @@ SMOKE_KEYS = (
     # round-6: hybrid BM25+cosine RRF — the postings build is the linear
     # part (explode+agg over corpus tokens); fusion stays candidate-sized
     "hybrid_retrieval_rrf",
+    # round-7 (verdict ask #2): the composed select->dedup->pack chain —
+    # the biggest bench key and the closest thing to the product's real
+    # end-to-end path; its per-stage split runs separately below so a
+    # superlinear stage can't hide inside the composite
+    "pipeline_select_dedup_pack",
 )
+
+
+def _pipeline_staged(spark, sf_dir: str) -> dict[str, float]:
+    """Per-stage wall times of the composed pipeline at ``sf_dir``:
+    select (DSIR model pair + score + top-50% cut), pairs (MinHash-LSH
+    over the selected slice), components+canonical (CC + anti-join), and
+    pack+report. Each stage materializes before the next is timed, so a
+    stage's number is its own work (the selected slice is persisted
+    exactly as the registry query persists it)."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from clickhousedatamocker_spark.operators.corpus import pack_token_sequences
+    from clickhousedatamocker_spark.operators.dedup import (
+        fuzzy_dedup_canonical,
+        minhash_lsh_pairs,
+    )
+    from clickhousedatamocker_spark.operators.importance import (
+        dsir_select,
+        train_hashed_ngram_model_pair,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out: dict[str, float] = {}
+
+    t0 = _t.perf_counter()
+    tm, bm = train_hashed_ngram_model_pair(docs, F.col("source") == "src0", num_buckets=4096)
+    selected = dsir_select(docs, tm, bm, keep_fraction=0.5).persist()
+    n_sel = selected.count()
+    out["select_sec"] = round(_t.perf_counter() - t0, 3)
+
+    t0 = _t.perf_counter()
+    pairs = minhash_lsh_pairs(selected, threshold=0.5).persist()
+    n_pairs = pairs.count()
+    out["pairs_sec"] = round(_t.perf_counter() - t0, 3)
+
+    t0 = _t.perf_counter()
+    survivors = fuzzy_dedup_canonical(selected, pairs).persist()
+    n_surv = survivors.count()
+    out["components_sec"] = round(_t.perf_counter() - t0, 3)
+
+    t0 = _t.perf_counter()
+    (
+        pack_token_sequences(survivors, seq_len=512, n_shards=16)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_sequences"), F.sum("n_tokens").alias("n_tokens"))
+        .collect()
+    )
+    out["pack_sec"] = round(_t.perf_counter() - t0, 3)
+
+    for c in (survivors, pairs, selected):
+        c.unpersist()
+    out["n_selected"] = n_sel
+    out["n_pairs"] = n_pairs
+    out["n_survivors"] = n_surv
+    return out
 
 
 def _replicate(spark, src: str, dst: str, shifts: dict[str, int], text_col: str | None = None,
@@ -191,6 +253,20 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # --- per-stage split of the composed pipeline (round-7 ask #2): the
+    # composite ratio above can hide one superlinear stage behind three
+    # linear ones; time each stage at both SFs and ratio them separately.
+    staged: dict[str, dict] = {}
+    for label, d in (("sf0.1", src_dir), ("sf1", dst_dir)):
+        _pipeline_staged(spark, d)  # warm-up (codegen + file listing)
+        staged[label] = _pipeline_staged(spark, d)
+        print(f"pipeline stages @ {label}: {staged[label]}", file=sys.stderr)
+    stage_ratios = {
+        k: round(staged["sf1"][k] / staged["sf0.1"][k], 1)
+        for k in ("select_sec", "pairs_sec", "components_sec", "pack_sec")
+        if staged["sf0.1"][k] > 0
+    }
+
     total = round(sum(r["sec"] for r in results.values()), 3)
     out = {
         "sf": 1.0,
@@ -202,6 +278,8 @@ def main() -> None:
         "loadavg_5m": round(load5, 2),
         "queries": results,
         "gram_second_decade_sf3": decade2,
+        "pipeline_stages": staged,
+        "pipeline_stage_ratios_10x": stage_ratios,
     }
     print(json.dumps(out))
 
@@ -232,6 +310,30 @@ def main() -> None:
     for name, r in decade2.items():
         lines.append(
             f"| {name} | {r['sf1_sec']} | {r['sec']} | {r['ratio_3x_data']}x | {r['rows']} |"
+        )
+    lines += [
+        "",
+        "## Composed pipeline per-stage split (select -> pairs -> components -> pack)",
+        "",
+        "Stage-level ratios so a superlinear stage can't hide inside the",
+        "composite. Counts: sf1 selects "
+        f"{staged['sf1']['n_selected']} docs, finds {staged['sf1']['n_pairs']} near-dup pairs, "
+        f"keeps {staged['sf1']['n_survivors']} survivors "
+        f"(sf0.1: {staged['sf0.1']['n_selected']}/{staged['sf0.1']['n_pairs']}/"
+        f"{staged['sf0.1']['n_survivors']}).",
+        "",
+        "| stage | sf0.1 sec | sf1 sec | ratio (10x data) |",
+        "|---|---|---|---|",
+    ]
+    for k, label in (
+        ("select_sec", "DSIR select (model pair + score + top-50% cut)"),
+        ("pairs_sec", "MinHash-LSH pairs over the selected slice"),
+        ("components_sec", "connected components + canonical anti-join"),
+        ("pack_sec", "512-token packing + per-shard report"),
+    ):
+        lines.append(
+            f"| {label} | {staged['sf0.1'][k]} | {staged['sf1'][k]} | "
+            f"{stage_ratios.get(k, '—')}x |"
         )
     lines += [
         "",
