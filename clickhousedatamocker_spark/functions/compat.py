@@ -379,7 +379,8 @@ _REWRITES = [
     (re.compile(r"\barrayConcat\(", re.IGNORECASE), "concat("),
     (re.compile(r"\barrayFlatten\(", re.IGNORECASE), "flatten("),
     (re.compile(r"\barrayDistinct\(", re.IGNORECASE), "array_distinct("),
-    (re.compile(r"\barrayIntersect\(", re.IGNORECASE), "array_intersect("),
+    # arrayIntersect is VARIADIC in CH (2+ arrays): handled by the batch-18
+    # parametric fold, not a flat rename (Spark's array_intersect is 2-arg)
     (re.compile(r"\barrayZip\(", re.IGNORECASE), "arrays_zip("),
     (re.compile(r"\bhas\(", re.IGNORECASE), "array_contains("),
     (re.compile(r"\bhasAny\(", re.IGNORECASE), "arrays_overlap("),
@@ -3143,6 +3144,83 @@ def _rewrite_parametric2(sql: str) -> str:
     raise NotImplementedError("two-group parametric rewrite did not converge")
 
 
+# vocab batch 18 (probe-driven, round 7): string/date/array stragglers +
+# loud gates for truncating decimal arithmetic (CH truncates toward zero
+# where Spark's DECIMAL division rounds HALF_UP — a shim would be a silent
+# value drift) and JSON-type introspection.
+def _pm_zip_unaligned(args: list[str]) -> str:
+    if len(args) < 2:
+        raise NotImplementedError("arrayZipUnaligned takes 2+ arrays")
+    n = "GREATEST(" + ", ".join(f"size({a})" for a in args) + ")"
+    fields = ", ".join(
+        f"try_element_at({a}, __zu_i) AS col{i + 1}" for i, a in enumerate(args)
+    )
+    # sequence(1, 0) DESCENDS in Spark, so the empty case needs a guard
+    return (
+        f"(CASE WHEN {n} <= 0 THEN array() "
+        f"ELSE transform(sequence(1, {n}), __zu_i -> struct({fields})) END)"
+    )
+
+
+def _pm_array_intersect_variadic(args: list[str]) -> str:
+    if len(args) < 2:
+        raise NotImplementedError("arrayIntersect takes 2+ arrays")
+    acc = f"array_intersect({args[0]}, {args[1]})"
+    for a in args[2:]:
+        acc = f"array_intersect({acc}, {a})"
+    return acc
+
+
+_PARAMETRIC.update(
+    {
+        # first line of a multi-line string (CH 23.x)
+        "firstLine": _pm_1arg(r"element_at(split({x}, '\n', 2), 1)"),
+        # millisecond component of a DateTime64 (CH 24.x)
+        "toMillisecond": _pm_1arg(
+            "CAST(FLOOR(pmod(unix_micros({x}), 1000000) / 1000) AS INT)"
+        ),
+        "arrayZipUnaligned": _pm_zip_unaligned,
+        "arrayIntersect": _pm_array_intersect_variadic,
+        # full-text token predicates (CH 25.x): CH's default tokenizer =
+        # maximal alphanumeric runs — the tokens() SQL UDF registered in
+        # functions/scalar.py
+        "hasAnyTokens": _pm_2arg_fa("arrays_overlap(tokens({f}), {a})"),
+        "hasAllTokens": _pm_2arg_fa(
+            "(size(array_except({a}, tokens({f}))) = 0)"
+        ),
+        "divideDecimal": _pm_gate(
+            "divideDecimal",
+            "CH truncates the result toward zero at the given scale; Spark "
+            "DECIMAL division rounds HALF_UP, so a shim would silently "
+            "drift values - use CAST(a / b AS DECIMAL(38, s)) if HALF_UP "
+            "rounding is acceptable",
+        ),
+        "multiplyDecimal": _pm_gate(
+            "multiplyDecimal",
+            "CH truncates the result toward zero at the given scale; use "
+            "CAST(a * b AS DECIMAL(38, s)) if HALF_UP rounding is acceptable",
+        ),
+        "JSONAllPaths": _pm_gate(
+            "JSONAllPaths",
+            "requires the CH JSON object type; for text JSON use "
+            "json_object_keys(col) for top-level keys or from_json with "
+            "schema_of_json for full paths",
+        ),
+    }
+)
+
+_REWRITES.extend(
+    [
+        # camelCase alias of the standard date_trunc
+        (re.compile(r"\bdateTrunc\(", re.IGNORECASE), "date_trunc("),
+        # TCP connection id: in-process engine — one implicit connection,
+        # same convention as hostName()/uptime()
+        (re.compile(r"\bconnectionId\(\s*\)", re.IGNORECASE), "CAST(0 AS BIGINT)"),
+        (re.compile(r"\bconnection_id\(\s*\)", re.IGNORECASE), "CAST(0 AS BIGINT)"),
+    ]
+)
+
+
 _PARAMETRIC_RE = re.compile(
     r"\b(" + "|".join(_PARAMETRIC) + r")\s*\(", re.IGNORECASE
 )
@@ -4941,3 +5019,4 @@ def predicate_identifiers(pred: str) -> set[str]:
             if w.upper() not in _SQL_WORD_WHITELIST:
                 out.add(w)
     return out
+
