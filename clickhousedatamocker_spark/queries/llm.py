@@ -1102,9 +1102,6 @@ def _dsir_xengine_oracle_sql(num_buckets: int = 4096, keep_fraction: float = 0.2
     (round(importance, 6) DESC, doc_id) — the round-6 ranking is the
     established cross-engine float discipline (fold order vs GROUP-BY sum
     order differ at the ULP level; 6 decimals is far above it)."""
-    from clickhousedatamocker_spark.operators.dedup import _XA, _XP
-    from clickhousedatamocker_spark.operators.importance import _pos_ascii_hash_duckdb
-
     return f"""
 WITH {_dsir_kept_ctes(num_buckets, keep_fraction)}
 SELECT t.source, t.n_total, COALESCE(kc.n_kept, 0) AS n_kept
