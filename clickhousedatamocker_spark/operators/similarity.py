@@ -869,17 +869,103 @@ def _with_centroid_sim(
     return df.mapInPandas(score, out_schema)
 
 
-def _all_pairs_within(e: DataFrame, id_col: str, key_cols: list[str], threshold: float) -> DataFrame:
+def _all_pairs_within(
+    e: DataFrame,
+    id_col: str,
+    key_cols: list[str],
+    threshold: float,
+    method: str = "blas",
+) -> DataFrame:
     """All-pairs cosine ≥ threshold within equal ``key_cols`` groups.
-    One hash equi-join on the keys, never cartesian."""
-    a = e.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), *key_cols)
-    b = e.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), *key_cols)
-    return (
-        a.join(b, key_cols)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(cosine(F.col("va"), F.col("vb")), 9))
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cid", "cosine")
+
+    ``method='blas'`` (default — the shape Abbas et al. 2023 run on GPUs):
+    ONE exchange groups each cluster onto a task, which L2-normalizes its
+    vector block once and emits the upper triangle of row-blocked Gram
+    products ``U_blk @ U.T`` — n·d work per row for normalization plus a
+    vectorized matmul, instead of the expression path's 3 interpreted
+    64-element folds per PAIR (ZipWith/aggregate are CodegenFallback, so
+    the join path pays ~µs per pair — the honest sf1 smoke measured 71×
+    on 10× replica-heavy data before this path landed). Row blocks bound
+    task memory at ~256 MB regardless of cluster size; compose with
+    ``semantic_dedup_pairs(max_cluster_size=)`` when a single cluster's
+    PAIR OUTPUT (not the Gram compute) is the problem.
+
+    ``method='expr'``: the hash equi-join + column-expression cosine —
+    kept as the all-JVM reference; the parity test pins blas == expr pair
+    sets and 9dp cosines on the fixture.
+    """
+    if method == "expr":
+        a = e.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), *key_cols)
+        b = e.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), *key_cols)
+        return (
+            a.join(b, key_cols)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("cosine", F.round(cosine(F.col("va"), F.col("vb")), 9))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cid", "cosine")
+        )
+    if method != "blas":
+        raise ValueError(f"method must be 'blas' or 'expr', got {method!r}")
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            *[T.StructField(k, e.schema[k].dataType) for k in key_cols],
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+    thr = float(threshold)
+
+    def empty():
+        return pd.DataFrame(
+            {
+                "id_a": np.array([], dtype=np.int64),
+                "id_b": np.array([], dtype=np.int64),
+                **{k: np.array([]) for k in key_cols},
+                "cosine": np.array([], dtype=np.float64),
+            }
+        )
+
+    def pairs_of(key, pdf):
+        n = len(pdf)
+        if n < 2:
+            return empty()
+        order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+        ids = pdf[id_col].to_numpy()[order]
+        V = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["v"].to_numpy()[order]])
+        norms = np.sqrt((V * V).sum(axis=1))
+        norms[norms == 0.0] = 1.0  # zero vectors: cosine 0, never ≥ thr>0
+        U = V / norms[:, None]
+        block = max(256, (1 << 25) // max(n, 1))  # ≤ ~256 MB per Gram slab
+        out_a, out_b, out_c = [], [], []
+        for s in range(0, n - 1, block):
+            t_ = min(s + block, n - 1)
+            G = U[s:t_] @ U.T  # (t_-s, n)
+            # upper triangle only: column index > global row index
+            for bi in range(t_ - s):
+                gi = s + bi
+                row = np.round(G[bi, gi + 1:], 9)
+                hit = np.nonzero(row >= thr)[0]
+                if hit.size:
+                    out_a.append(np.full(hit.size, ids[gi]))
+                    out_b.append(ids[gi + 1:][hit])
+                    out_c.append(row[hit])
+        if not out_a:
+            return empty()
+        id_a = np.concatenate(out_a)
+        res = {"id_a": id_a, "id_b": np.concatenate(out_b)}
+        kt = key if isinstance(key, tuple) else (key,)
+        for k, kv in zip(key_cols, kt):
+            res[k] = np.full(id_a.size, kv)
+        res["cosine"] = np.concatenate(out_c)
+        return pd.DataFrame(res)
+
+    return e.select(F.col(id_col), F.col("v"), *key_cols).groupBy(*key_cols).applyInPandas(
+        pairs_of, out_schema
     )
 
 
