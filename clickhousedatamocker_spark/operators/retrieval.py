@@ -190,6 +190,7 @@ def bm25_index_add(
     new_docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    auto_compact_at: int | None = None,
 ) -> dict:
     """Incrementally add documents to a :func:`build_bm25_index` directory —
     the maintenance path that makes steady-state corpus growth O(batch)
@@ -206,7 +207,13 @@ def bm25_index_add(
     one-shot identity is pinned by test.
 
     Caller contract: ids in ``new_docs`` must be new (re-adding a doc would
-    double its postings — same contract as ann_index_add)."""
+    double its postings — same contract as ann_index_add).
+
+    ``auto_compact_at``: when set, run ``index_maint.optimize_index`` after
+    the append if any bucket's file count reached the threshold — bounds
+    steady-state read amplification without a separate maintenance job
+    (compaction cost amortizes over the ~threshold appends between passes).
+    """
     meta_path = os.path.join(path, "_bm25_meta.json")
     with open(meta_path) as fh:
         meta = json.load(fh)
@@ -222,7 +229,24 @@ def bm25_index_add(
     meta["avgdl"] = meta["total_dl"] / meta["n_docs"] if meta["n_docs"] else 0.0
     with open(meta_path, "w") as fh:
         json.dump(meta, fh)
+    if auto_compact_at is not None:
+        _maybe_compact(spark, path, auto_compact_at)
     return meta
+
+
+def _maybe_compact(spark, path: str, threshold: int) -> None:
+    """Compact the index iff some leaf directory reached ``threshold``
+    parquet files (driver-side listing — cheap enough to run per append)."""
+    from clickhousedatamocker_spark.operators.index_maint import (
+        _leaf_data_dirs,
+        _parquet_files,
+        optimize_index,
+    )
+
+    if threshold < 2:
+        raise ValueError(f"auto_compact_at must be >= 2, got {threshold}")
+    if any(len(_parquet_files(d)) >= threshold for d in _leaf_data_dirs(path)):
+        optimize_index(spark, path)
 
 
 def bm25_index_stats(spark, path: str) -> "DataFrame":

@@ -775,6 +775,7 @@ def ann_index_add(
     new_vecs: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    auto_compact_at: int | None = None,
 ) -> int:
     """Incrementally add vectors to a :func:`build_ann_index` index —
     the index-maintenance path that makes steady-state ingest O(batch)
@@ -803,6 +804,12 @@ def ann_index_add(
     ).drop("__v")
     n = assigned.count()
     assigned.write.partitionBy("bucket").mode("append").parquet(path)
+    if auto_compact_at is not None:
+        # bound steady-state small-file debt without a separate job; see
+        # index_maint.optimize_index (same knob as bm25_index_add)
+        from clickhousedatamocker_spark.operators.retrieval import _maybe_compact
+
+        _maybe_compact(spark, path, auto_compact_at)
     return n
 
 

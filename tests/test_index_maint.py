@@ -142,6 +142,30 @@ def test_ann_index_compaction_and_file_stats(spark, tmp_path):
     assert sum(r["n_vectors"] for r in s1) == sum(r["n_vectors"] for r in s0)
 
 
+def test_bm25_auto_compact_keeps_files_bounded(spark, tmp_path):
+    """auto_compact_at: the add path itself keeps every bucket under the
+    threshold — no separate maintenance job — and queries stay identical."""
+    from clickhousedatamocker_spark.operators.retrieval import (
+        bm25_index_add,
+        bm25_query_indexed,
+        build_bm25_index,
+    )
+    from clickhousedatamocker_spark.operators.index_maint import _leaf_data_dirs, _parquet_files
+
+    path = str(tmp_path / "bm25auto")
+    build_bm25_index(_docs(spark, 0, 10), path, n_buckets=4)
+    for b in range(12):
+        bm25_index_add(spark, path, _docs(spark, 100 + 4 * b, 4), auto_compact_at=5)
+    assert all(len(_parquet_files(d)) < 5 for d in _leaf_data_dirs(path))
+    got = bm25_query_indexed(spark, path, "alpha shared", k=60).count()
+    assert got == 10 + 12 * 4  # every doc contains both terms
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="auto_compact_at"):
+        bm25_index_add(spark, path, _docs(spark, 900, 1), auto_compact_at=1)
+
+
 def test_optimize_index_validates(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         optimize_index(spark, str(tmp_path / "nope"))
