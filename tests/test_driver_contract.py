@@ -151,3 +151,19 @@ def test_contract_under_non_utc_session():
         ["sessionize_events", "tumbling_window_hourly"],
         session_tz="America/New_York",
     )
+
+
+def test_contract_round7_graded_rotation_under_bare_session():
+    """The three round-7 graded LLM twins under a bare external session:
+    the classifier aggregate mixes COUNT FILTER / exact-decimal mean /
+    MIN-MAX doubles (the HUGEINT-vs-BIGINT oracle class), the stratified
+    profile sums BIGINT ids (CAST AS BIGINT pins it), and the pipeline
+    twin's packing arithmetic uses ceil/floor casts — each a type class
+    that has historically broken only OUTSIDE the repo session."""
+    _run_probe(
+        [
+            "quality_classifier_profile",
+            "sample_cluster_stratified_profile",
+            "pipeline_select_dedup_pack_xengine",
+        ]
+    )
