@@ -3221,6 +3221,156 @@ _REWRITES.extend(
 )
 
 
+# vocab batch 19 (probe-driven, round 7): map sorting, byte hamming,
+# date-component replacement (CH changeYear family, day/field clamped the
+# way CH saturates), UTC conversions, literal-scale decimal conversions,
+# distinct/median -If forms, and loud gates for 128/256-bit integers +
+# HTML-entity decoding (a 5-entity shim would silently drop &euro; etc.).
+def _pm_map_sort(reverse: bool):
+    inner = "array_sort(map_entries({x}))"
+    if reverse:
+        inner = f"reverse({inner})"
+
+    def rw(args: list[str]) -> str:
+        if len(args) != 1:
+            raise NotImplementedError(
+                "mapSort with a comparator lambda is not shimmed - sort "
+                "map_entries(m) with array_sort((l, r) -> ...) and rebuild "
+                "with map_from_entries"
+            )
+        return f"map_from_entries({inner.format(x=args[0])})"
+
+    return rw
+
+
+def _pm_change_part(part: str):
+    comp = {
+        "year": "{v}",
+        "month": "GREATEST(1, LEAST({v}, 12))",
+        # clamp to the month's real length — CH saturates out-of-range days
+        "day": "GREATEST(1, LEAST({v}, dayofmonth(last_day({x}))))",
+        "hour": "GREATEST(0, LEAST({v}, 23))",
+        "minute": "GREATEST(0, LEAST({v}, 59))",
+        "second": "GREATEST(0, LEAST({v}, 59))",
+    }
+    fields = {
+        "year": "year({x})",
+        "month": "month({x})",
+        "day": "dayofmonth({x})",
+        "hour": "hour({x})",
+        "minute": "minute({x})",
+        "second": "second({x})",
+    }
+
+    def rw(args: list[str]) -> str:
+        if len(args) != 2:
+            raise NotImplementedError(f"change{part.capitalize()} takes (date, value)")
+        parts = [
+            (comp[part] if part == p else fields[p]) for p in
+            ("year", "month", "day", "hour", "minute", "second")
+        ]
+        # always a TIMESTAMP result; CH returns Date for Date inputs
+        # (midnight here — documented deviation, goldens pin this form)
+        return (
+            "make_timestamp("
+            + ", ".join(s.format(x=args[0], v=args[1]) for s in parts)
+            + ")"
+        )
+
+    return rw
+
+
+def _pm_to_decimal(precision: int):
+    def rw(args: list[str]) -> str:
+        if len(args) != 2:
+            raise NotImplementedError("toDecimalN takes (value, scale)")
+        try:
+            s = int(args[1].strip())
+        except ValueError:
+            raise NotImplementedError("toDecimalN: scale must be an integer literal")
+        if not 0 <= s <= precision:
+            raise NotImplementedError(
+                f"toDecimalN: scale {s} out of range for DECIMAL({precision})"
+            )
+        return f"CAST({args[0]} AS DECIMAL({precision}, {s}))"
+
+    return rw
+
+
+_BH_BODY = (
+    "(CASE WHEN LEAST(length({a}), length({b})) = 0 "
+    "THEN abs(length({a}) - length({b})) "
+    "ELSE size(filter(sequence(1, LEAST(length({a}), length({b}))), "
+    "__bh_i -> substring({a}, __bh_i, 1) <> substring({b}, __bh_i, 1))) "
+    "+ abs(length({a}) - length({b})) END)"
+)
+
+_PARAMETRIC.update(
+    {
+        "mapSort": _pm_map_sort(False),
+        "mapReverseSort": _pm_map_sort(True),
+        # positionwise byte mismatches over the common prefix + the length
+        # difference (CH's string Hamming convention)
+        "byteHammingDistance": _pm_2arg_fa(_BH_BODY.replace("{a}", "{f}").replace("{b}", "{a}")),
+        # timeDiff(first, second) = second - first, seconds
+        "timeDiff": _pm_2arg_fa("(to_unix_timestamp({a}) - to_unix_timestamp({f}))"),
+        "changeYear": _pm_change_part("year"),
+        "changeMonth": _pm_change_part("month"),
+        "changeDay": _pm_change_part("day"),
+        "changeHour": _pm_change_part("hour"),
+        "changeMinute": _pm_change_part("minute"),
+        "changeSecond": _pm_change_part("second"),
+        "toDecimal32": _pm_to_decimal(9),
+        "toDecimal64": _pm_to_decimal(18),
+        "toDecimal128": _pm_to_decimal(38),
+        "toDecimal256": _pm_gate(
+            "toDecimal256",
+            "76-digit precision exceeds Spark's DECIMAL(38) - use "
+            "toDecimal128 (38 digits) if the range fits",
+        ),
+        "countDistinctIf": _pm_2arg("count(DISTINCT CASE WHEN {a} THEN {f} END)"),
+        "sumDistinctIf": _pm_2arg("sum(DISTINCT CASE WHEN {a} THEN {f} END)"),
+        "medianIf": _pm_2arg("median(CASE WHEN {a} THEN {f} END)"),
+        "toUInt128": _pm_gate(
+            "toUInt128", "128-bit integers exceed BIGINT - CAST(x AS DECIMAL(38, 0)) covers ±1e38"
+        ),
+        "toInt128": _pm_gate(
+            "toInt128", "128-bit integers exceed BIGINT - CAST(x AS DECIMAL(38, 0)) covers ±1e38"
+        ),
+        "toUInt256": _pm_gate(
+            "toUInt256", "256-bit integers exceed BIGINT and DECIMAL(38)"
+        ),
+        "toInt256": _pm_gate(
+            "toInt256", "256-bit integers exceed BIGINT and DECIMAL(38)"
+        ),
+        "decodeHTMLComponent": _pm_gate(
+            "decodeHTMLComponent",
+            "full HTML entity tables are not shimmed (a 5-entity subset "
+            "would silently pass &euro; etc. through) - decodeXMLComponent "
+            "covers the XML five",
+        ),
+        "URLHierarchy": _pm_gate(
+            "URLHierarchy",
+            "compose from the URL family: transform over the path segments "
+            "(split(path(url), '/')) with concat-prefix folds",
+        ),
+        "URLPathHierarchy": _pm_gate(
+            "URLPathHierarchy",
+            "compose from the URL family: transform over the path segments "
+            "(split(path(url), '/')) with concat-prefix folds",
+        ),
+    }
+)
+
+_REWRITES.extend(
+    [
+        # CH's UTC conversions are Spark builtins under snake_case
+        (re.compile(r"\btoUTCTimestamp\(", re.IGNORECASE), "to_utc_timestamp("),
+        (re.compile(r"\bfromUTCTimestamp\(", re.IGNORECASE), "from_utc_timestamp("),
+    ]
+)
+
+
 _PARAMETRIC_RE = re.compile(
     r"\b(" + "|".join(_PARAMETRIC) + r")\s*\(", re.IGNORECASE
 )
