@@ -100,3 +100,89 @@ def user_running_profile_batch(events: DataFrame) -> DataFrame:
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming GPT-style sequence packing: the stateful tail of the
+# select -> dedup -> pack training-data pipeline (the batch form is
+# operators/corpus.py pack_token_sequences). Cites the same layout
+# contract; this variant runs it continuously.
+
+PACK_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("shard", LongType()),
+        StructField("seq_id", LongType()),
+        StructField("n_tokens", LongType()),
+        StructField("text", StringType()),
+    ]
+)
+
+# leftover = the shard's buffered partial tail (< seq_len tokens, space-
+# joined); next_seq = running sequence counter across micro-batches
+PACK_STATE_SCHEMA = StructType(
+    [
+        StructField("leftover", StringType()),
+        StructField("next_seq", LongType()),
+    ]
+)
+
+
+def _mk_packer(seq_len: int, eos: str):
+    def pack_shard(
+        key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        leftover, next_seq = state.get if state.exists else ("", 0)
+        toks: list[str] = leftover.split(" ") if leftover else []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values("doc_id")
+            for t in pdf["text"]:
+                toks.extend((t + " " + eos).split(" "))
+        out_rows = []
+        while len(toks) >= seq_len:
+            chunk, toks = toks[:seq_len], toks[seq_len:]
+            out_rows.append(
+                (int(key[0]), next_seq, seq_len, " ".join(chunk))
+            )
+            next_seq += 1
+        state.update((" ".join(toks), next_seq))
+        if out_rows:
+            yield pd.DataFrame(
+                out_rows, columns=["shard", "seq_id", "n_tokens", "text"]
+            )
+
+    return pack_shard
+
+
+def stream_pack_token_sequences(
+    docs: DataFrame,
+    seq_len: int = 512,
+    n_shards: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eos: str = "<|endoftext|>",
+) -> DataFrame:
+    """Continuous GPT-style packing over a document stream: each shard
+    buffers its partial tail ACROSS micro-batches (state < ``seq_len``
+    tokens per shard — bounded regardless of stream length) and emits only
+    exact-``seq_len`` sequences, so a continuously-built corpus wastes
+    nothing at batch boundaries where per-batch packing would strand one
+    partial sequence per shard per batch.
+
+    Same shard assignment and in-shard doc order (arrival order, id-sorted
+    within a batch) as the batch operator, so when batches arrive in id
+    order the emitted sequences are IDENTICAL to the batch layout's full
+    sequences — the stream==batch law pinned in tests/test_streaming.py.
+    Output mode ``append``; state store = n_shards tiny rows."""
+    shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).alias("shard")
+    rows = docs.select(
+        shard, F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    return rows.groupBy("shard").applyInPandasWithState(
+        _mk_packer(seq_len, eos),
+        outputStructType=PACK_OUTPUT_SCHEMA,
+        stateStructType=PACK_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -493,3 +493,52 @@ def test_stream_quality_gate_equals_batch(spark, tmp_path):
         for r in stream_quality_gate(batch_in, w, b, feature="count", prob_col="p").collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_pack_token_sequences_equals_batch_full_sequences(spark, tmp_path):
+    """Continuous packing law: when batches arrive in id order, the
+    streamed operator emits EXACTLY the batch layout's full sequences
+    (same shard assignment, same in-shard order), withholding only each
+    shard's final partial tail in state — so a continuous corpus build
+    loses nothing at micro-batch boundaries."""
+    from clickhousedatamocker_spark.operators.corpus import pack_token_sequences
+    from clickhousedatamocker_spark.streaming.stateful import (
+        stream_pack_token_sequences,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    # 3 id-ordered chunks -> 3 micro-batches in arrival == id order
+    src = str(tmp_path / "pack_src")
+    n = docs.count()
+    for lo, hi in ((0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, 10**9)):
+        (
+            docs.orderBy("doc_id")
+            .filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+
+    got = _run_stream(
+        spark,
+        src,
+        lambda df: stream_pack_token_sequences(df, seq_len=128, n_shards=4),
+        "packed_stream",
+        docs.schema,
+        output_mode="append",
+    )
+    want = pack_token_sequences(docs, seq_len=128, n_shards=4).filter(
+        F.col("n_tokens") == 128
+    )
+    got_rows = _norm(got, ["shard", "n_tokens", "text"])
+    want_rows = _norm(want, ["shard", "n_tokens", "text"])
+    assert got_rows == want_rows and got_rows
+    # every emitted sequence is exactly seq_len; seq_ids run 0..k-1/shard
+    per_shard = {}
+    for r in got.collect():
+        assert r["n_tokens"] == 128
+        per_shard.setdefault(r["shard"], []).append(r["seq_id"])
+    for ids in per_shard.values():
+        assert sorted(ids) == list(range(len(ids)))
