@@ -1,0 +1,139 @@
+"""SQ8 scalar quantization for embedding columns — the third member of the
+vector-compression tier (PCA rotation in operators/projection.py, IVF-PQ in
+operators/pq.py; this is FAISS's ``SQ8`` / the "scalar quantizer" of
+Jégou et al.'s codebase): each dimension maps linearly onto one unsigned
+byte, 8× smaller than float64 storage with near-lossless recall at the
+corpus sizes where PQ's 64× would cost too much accuracy.
+
+Scale shape:
+
+- **Training is ONE distributed aggregate**: per-dimension min/max via
+  element-wise ``zip_with`` folds — a single partial-aggregated exchange
+  collecting exactly two d-length arrays (driver-bounded model state).
+- **Encode/decode are row-local projections**, all-JVM (`transform` over
+  the array; codes stored as ``binary``, d bytes per vector).
+- **Search decodes on the fly**: ``sq_topk`` reconstructs candidates
+  inside the scan projection and reuses the exact brute-force ranking —
+  no shuffle beyond the top-k window it inherits.
+
+Quantization contract (pinned by tests): ``lo[j]`` maps to byte 0,
+``hi[j]`` to byte 255, values round to the nearest level and out-of-range
+values (vectors added after training drift) clamp. Decode returns the
+level midpoint-free convention ``lo + code * (hi - lo) / 255`` so
+``decode(encode(x)) - x`` is bounded by half a step per dimension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from clickhousedatamocker_spark.operators.similarity import as_double
+
+
+def sq_train(emb: DataFrame, vec_col: str = "embedding") -> dict:
+    """Per-dimension [lo, hi] ranges → ``{"lo": [d], "hi": [d]}``.
+    One posexplode + partial-aggregated (dim, min, max) shuffle whose
+    result collects as exactly d rows — driver-bounded model state, the
+    same discipline as the DSIR/classifier trainers."""
+    v = as_double(vec_col)
+    rows = (
+        emb.select(v.alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        .select(F.posexplode(F.col("__v")).alias("__d", "__x"))
+        .groupBy("__d")
+        .agg(F.min("__x").alias("lo"), F.max("__x").alias("hi"))
+        .collect()
+    )
+    if not rows:
+        raise ValueError("sq_train: no vectors")
+    d = max(r["__d"] for r in rows) + 1
+    lo, hi = [0.0] * d, [0.0] * d
+    for r in rows:
+        lo[r["__d"]], hi[r["__d"]] = r["lo"], r["hi"]
+    return {"lo": lo, "hi": hi}
+
+
+def _scale_cols(model: dict) -> tuple[Column, Column]:
+    lo = F.lit([float(x) for x in model["lo"]])
+    # degenerate dimensions (hi == lo) quantize to byte 0 and decode to lo:
+    # guard the step so the division can't hit 0 under ANSI mode
+    step = F.lit(
+        [
+            (float(h) - float(l)) / 255.0 if h > l else 1.0
+            for l, h in zip(model["lo"], model["hi"])
+        ]
+    )
+    return lo, step
+
+
+def sq_encode(
+    emb: DataFrame, model: dict, vec_col: str = "embedding", out_col: str = "code"
+) -> DataFrame:
+    """Append ``out_col``: the vector quantized to d bytes (binary).
+    Row-local, all-JVM: clamp → scale → round → pack via char codes."""
+    lo, step = _scale_cols(model)
+    v = as_double(vec_col)
+    idx = F.sequence(F.lit(1), F.size(v))
+    byte = F.transform(
+        idx,
+        lambda i: F.least(
+            F.lit(255),
+            F.greatest(
+                F.lit(0),
+                F.round(
+                    (F.element_at(v, i) - F.element_at(lo, i))
+                    / F.element_at(step, i)
+                ).cast("int"),
+            ),
+        ),
+    )
+    # pack int array -> binary through codepoints (char(0..255) maps 1:1
+    # onto ISO-8859-1 bytes — lossless)
+    packed = F.encode(
+        F.array_join(F.transform(byte, lambda b: F.char(b)), ""), "ISO-8859-1"
+    )
+    return emb.withColumn(
+        out_col, F.when(v.isNull(), F.lit(None).cast("binary")).otherwise(packed)
+    )
+
+
+def sq_decode(
+    df: DataFrame, model: dict, code_col: str = "code", out_col: str = "vec"
+) -> DataFrame:
+    """Reconstruct the approximate vector from the byte code (row-local)."""
+    df = df.withColumn(out_col, _decode_col(F.col(code_col), model))
+    return df
+
+
+def _decode_col(code: Column, model: dict) -> Column:
+    lo, step = _scale_cols(model)
+    d = len(model["lo"])
+    s = F.decode(code, "ISO-8859-1")
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(d)),
+        lambda i: F.element_at(lo, i)
+        + F.ascii(F.substring(s, i.cast("int"), 1)).cast("double")
+        * F.element_at(step, i),
+    )
+
+
+def sq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    model: dict,
+    id_col: str = "vec_id",
+    code_col: str = "code",
+    query_vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Asymmetric top-k: exact float queries against decoded SQ8 codes —
+    the quantized analogue of ``brute_force_topk`` (same broadcast-query
+    scan shape, same output schema), reading d bytes per corpus vector
+    instead of 8d."""
+    from clickhousedatamocker_spark.operators.similarity import brute_force_topk
+
+    decoded = codes.select(
+        F.col(id_col), _decode_col(F.col(code_col), model).alias("embedding")
+    )
+    return brute_force_topk(decoded, queries.select(F.col(id_col), as_double(query_vec_col).alias("embedding")), k=k)

@@ -1828,3 +1828,26 @@ def dedup_soft_weights_profile(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# -------------------------------------------------------------------------
+@register(
+    "similarity_topk_sq8",
+    None,  # rows-only: SQ8 reconstruction is quantized float math with no
+    # portable SQL twin; the encode contract, round-trip bound, and recall
+    # >= 0.8 vs exact are pinned by tests/test_sq.py
+    description="SQ8 scalar-quantized top-k (FAISS's SQ8 tier between raw "
+    "floats and IVF-PQ): per-dimension byte quantization trained by ONE "
+    "posexplode min/max shuffle (d-row model), row-local all-JVM encode "
+    "to d-byte binary codes (8x vs float64), asymmetric search decodes "
+    "candidates inside the scan projection and reuses the exact "
+    "brute-force ranking shape (broadcast queries, no corpus shuffle).",
+)
+def similarity_topk_sq8(spark, sf_dir):
+    from clickhousedatamocker_spark.operators.sq import sq_encode, sq_topk, sq_train
+
+    emb = t(spark, sf_dir, "embeddings")
+    model = sq_train(emb)
+    codes = sq_encode(emb, model).select("vec_id", "code")
+    q = emb.filter(F.col("vec_id") < 5)
+    return sq_topk(codes, q, model, k=10).orderBy("query_id", "rank")
