@@ -3247,8 +3247,7 @@ def _pm_change_part(part: str):
     comp = {
         "year": "{v}",
         "month": "GREATEST(1, LEAST({v}, 12))",
-        # clamp to the month's real length — CH saturates out-of-range days
-        "day": "GREATEST(1, LEAST({v}, dayofmonth(last_day({x}))))",
+        "day": "GREATEST(1, {v})",
         "hour": "GREATEST(0, LEAST({v}, 23))",
         "minute": "GREATEST(0, LEAST({v}, 59))",
         "second": "GREATEST(0, LEAST({v}, 59))",
@@ -3265,9 +3264,17 @@ def _pm_change_part(part: str):
     def rw(args: list[str]) -> str:
         if len(args) != 2:
             raise NotImplementedError(f"change{part.capitalize()} takes (date, value)")
-        parts = [
-            (comp[part] if part == p else fields[p]) for p in
-            ("year", "month", "day", "hour", "minute", "second")
+        y = comp["year"] if part == "year" else fields["year"]
+        m = comp["month"] if part == "month" else fields["month"]
+        d = comp["day"] if part == "day" else fields["day"]
+        # the day ALWAYS clamps against the TARGET (year, month): CH
+        # saturates, while an unclamped make_timestamp throws under ANSI —
+        # changeYear(Feb 29, <non-leap>) and changeMonth(Mar 31, 2) are the
+        # cases the naive spelling gets wrong
+        d = f"LEAST({d}, dayofmonth(last_day(make_date({y}, {m}, 1))))"
+        parts = [y, m, d] + [
+            (comp[part] if part == p else fields[p])
+            for p in ("hour", "minute", "second")
         ]
         # always a TIMESTAMP result; CH returns Date for Date inputs
         # (midnight here — documented deviation, goldens pin this form)

@@ -60,6 +60,16 @@ GOLDENS = [
         "SELECT toString(changeDay(toDateTime('2024-02-10 00:00:00'), 31)) AS v",
         "2024-02-29 00:00:00",
     ),
+    # the day clamps against the TARGET (year, month) — the naive spelling
+    # builds Feb 29 in a non-leap year / Feb 31 and throws under ANSI
+    (
+        "SELECT toString(changeYear(toDateTime('2024-02-29 08:00:00'), 2021)) AS v",
+        "2021-02-28 08:00:00",
+    ),
+    (
+        "SELECT toString(changeMonth(toDateTime('2024-03-31 08:00:00'), 2)) AS v",
+        "2024-02-29 08:00:00",
+    ),
     ("SELECT toString(changeYear(toDate('2024-03-05'), 2021)) AS v", "2021-03-05 00:00:00"),
     # UTC conversions (Spark builtins under CH spellings)
     (
