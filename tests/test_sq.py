@@ -66,6 +66,32 @@ def test_sq_topk_recall_vs_exact(spark, emb, model):
     assert recall >= 0.8, recall  # SQ8 is near-lossless vs PQ's 64x
 
 
+def test_sq_extreme_codes_roundtrip(spark, model):
+    """Bytes 0 and 255 survive the string-packing path: a vector pinned at
+    the per-dimension lo encodes to all-NUL bytes (ISO-8859-1 strings keep
+    NULs), a vector at hi to all-0xFF."""
+    d = len(model["lo"])
+    df = spark.createDataFrame(
+        [(0, [float(x) for x in model["lo"]]), (1, [float(x) for x in model["hi"]])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r["vec_id"]: bytes(r["code"]) for r in sq.sq_encode(df, model).collect()}
+    assert rows[0] == b"\x00" * d
+    assert rows[1] == b"\xff" * d
+    dec = {
+        r["vec_id"]: list(r["vec"])
+        for r in sq.sq_decode(sq.sq_encode(df, model), model).collect()
+    }
+    assert np.allclose(dec[0], model["lo"], atol=1e-9)
+    # hi decodes exactly for non-degenerate dims (lo + 255*step == hi)
+    hi_ok = [
+        abs(g - h) < 1e-9
+        for g, h, l in zip(dec[1], model["hi"], model["lo"])
+        if h > l
+    ]
+    assert all(hi_ok) and hi_ok
+
+
 def test_sq_paths_are_jvm_side(spark, emb, model):
     plan = (
         sq.sq_encode(emb, model)._jdf.queryExecution().executedPlan().toString()
