@@ -3304,12 +3304,19 @@ def _pm_to_decimal(precision: int):
     return rw
 
 
+# BYTE-wise, as CH defines it: length()/substring() count characters, so
+# the comparison walks hex pairs of the UTF-8 encoding instead (one hex
+# pair per byte) — 'é' vs 'e' is 2 (0xC3,0xA9 vs 0x65: 1 mismatch + 1
+# length diff), which a character-based spelling would call 1
+_BH_HEX_A = "hex(encode({a}, 'UTF-8'))"
+_BH_HEX_B = "hex(encode({b}, 'UTF-8'))"
 _BH_BODY = (
-    "(CASE WHEN LEAST(length({a}), length({b})) = 0 "
-    "THEN abs(length({a}) - length({b})) "
-    "ELSE size(filter(sequence(1, LEAST(length({a}), length({b}))), "
-    "__bh_i -> substring({a}, __bh_i, 1) <> substring({b}, __bh_i, 1))) "
-    "+ abs(length({a}) - length({b})) END)"
+    f"(CASE WHEN LEAST(octet_length({{a}}), octet_length({{b}})) = 0 "
+    f"THEN abs(octet_length({{a}}) - octet_length({{b}})) "
+    f"ELSE size(filter(sequence(1, LEAST(octet_length({{a}}), octet_length({{b}}))), "
+    f"__bh_i -> substring({_BH_HEX_A}, 2 * __bh_i - 1, 2) "
+    f"<> substring({_BH_HEX_B}, 2 * __bh_i - 1, 2))) "
+    f"+ abs(octet_length({{a}}) - octet_length({{b}})) END)"
 )
 
 _PARAMETRIC.update(

@@ -273,7 +273,11 @@ def dsir_select(
     if not 0.0 < keep_fraction <= 1.0:
         raise ValueError("keep_fraction must be in (0, 1]")
     scored = dsir_score(docs, target_model, background_model, text_col)
-    k = max(1, int(round(docs.count() * keep_fraction)))
+    # floor(x + 0.5), not Python round(): round() is banker's (round(2.5)
+    # == 2) while the DuckDB oracle's round() is half-away-from-zero — the
+    # established double->int discipline (queries/base.py). Diverges only
+    # when count * fraction lands on an exact .5.
+    k = max(1, int(math.floor(docs.count() * keep_fraction + 0.5)))
     return (
         scored.orderBy(F.desc("importance"), F.asc(id_col))
         .limit(k)

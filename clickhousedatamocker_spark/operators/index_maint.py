@@ -58,7 +58,9 @@ def _leaf_data_dirs(path: str) -> list[str]:
     out.extend(
         os.path.join(path, d)
         for d in sorted(os.listdir(path))
-        if os.path.isdir(os.path.join(path, d)) and "=" in d
+        if os.path.isdir(os.path.join(path, d))
+        and "=" in d
+        and not d.startswith(".")  # .compact.* / .trash.* staging dirs
     )
     if not out:
         out = [path]
@@ -110,7 +112,14 @@ def optimize_index(
             continue
         total_bytes = sum(os.path.getsize(f) for f in files)
         n_out = max(1, -(-total_bytes // _TARGET_BYTES_PER_FILE))
-        staging = d.rstrip("/") + f".compact.tmp.{uuid.uuid4().hex[:8]}"
+        tag = uuid.uuid4().hex[:8]
+        # staging/trash names start with '.' so Spark's file index (and a
+        # concurrent partition discovery over the index root) never sees
+        # them as data or as a bogus partition value
+        parent = os.path.dirname(d.rstrip("/"))
+        base = os.path.basename(d.rstrip("/"))
+        staging = os.path.join(parent, f".compact.{base}.{tag}")
+        trash = os.path.join(parent, f".trash.{base}.{tag}")
         try:
             # read ONLY this leaf dir: partition values live in the dir
             # name, so the rewrite never touches (or needs) other buckets
@@ -118,18 +127,29 @@ def optimize_index(
                 staging
             )
             new_files = [f for f in os.listdir(staging) if f.endswith(".parquet")]
-            for f in new_files:
-                shutil.move(os.path.join(staging, f), os.path.join(d, f))
+            if d.rstrip("/") == path.rstrip("/"):
+                # flat layout: the leaf IS the index root (sidecars live in
+                # it), so a directory swap would carry them away — fall back
+                # to move-in-then-delete (the crash window between the two
+                # loops can leave both generations; partitioned layouts
+                # below use the atomic rename swap)
+                for f in new_files:
+                    shutil.move(os.path.join(staging, f), os.path.join(d, f))
+                for f in files:
+                    if os.path.exists(f):
+                        os.remove(f)
+                marker = os.path.join(d, "_SUCCESS")
+                if os.path.exists(marker):
+                    os.remove(marker)
+            else:
+                # atomic swap: two directory renames. A crash between them
+                # leaves the leaf MISSING (loud, recoverable from .trash.*),
+                # never silently doubled.
+                os.rename(d, trash)
+                os.rename(staging, d)
+                shutil.rmtree(trash, ignore_errors=True)
         finally:
             shutil.rmtree(staging, ignore_errors=True)
-        for f in files:
-            if os.path.exists(f):
-                os.remove(f)
-        # stale success markers from the append generations are harmless
-        # but misleading once their files are gone
-        marker = os.path.join(d, "_SUCCESS")
-        if os.path.exists(marker):
-            os.remove(marker)
         dirs_compacted += 1
         files_after += len(new_files)
     return {

@@ -214,6 +214,11 @@ def bm25_index_add(
     steady-state read amplification without a separate maintenance job
     (compaction cost amortizes over the ~threshold appends between passes).
     """
+    if auto_compact_at is not None and auto_compact_at < 2:
+        # validate BEFORE any side effect: raising after the append +
+        # sidecar rewrite would invite a retry that doubles the batch's
+        # postings (the 'ids must be new' corruption)
+        raise ValueError(f"auto_compact_at must be >= 2, got {auto_compact_at}")
     meta_path = os.path.join(path, "_bm25_meta.json")
     with open(meta_path) as fh:
         meta = json.load(fh)
@@ -243,7 +248,7 @@ def _maybe_compact(spark, path: str, threshold: int) -> None:
         optimize_index,
     )
 
-    if threshold < 2:
+    if threshold < 2:  # defense in depth; the add paths validate pre-write
         raise ValueError(f"auto_compact_at must be >= 2, got {threshold}")
     if any(len(_parquet_files(d)) >= threshold for d in _leaf_data_dirs(path)):
         optimize_index(spark, path)

@@ -796,6 +796,10 @@ def ann_index_add(
 
     with open(os.path.join(path, "_codebook.json")) as fh:
         centroids = json.load(fh)
+    if auto_compact_at is not None and auto_compact_at < 2:
+        # validate BEFORE the append (a post-write raise invites a retry
+        # that double-adds the batch — same contract as bm25_index_add)
+        raise ValueError(f"auto_compact_at must be >= 2, got {auto_compact_at}")
     assigned = with_nearest_cid(
         new_vecs.select(F.col(id_col), F.col(vec_col)).withColumn("__v", as_double(vec_col)),
         "__v",
@@ -971,8 +975,16 @@ def _all_pairs_within(
         res["cosine"] = np.concatenate(out_c)
         return pd.DataFrame(res)
 
-    return e.select(F.col(id_col), F.col("v"), *key_cols).groupBy(*key_cols).applyInPandas(
-        pairs_of, out_schema
+    # NULL vectors can't pair (the expr path's cosine is NULL, filtered by
+    # the threshold); drop them BEFORE the Arrow boundary or np.vstack
+    # would throw on a None. Zero vectors: blas scores 0.0 where expr
+    # yields NaN — identical exclusion for any threshold > 0 (the
+    # supported range; both spellings are 'no similarity').
+    return (
+        e.select(F.col(id_col), F.col("v"), *key_cols)
+        .filter(F.col("v").isNotNull())
+        .groupBy(*key_cols)
+        .applyInPandas(pairs_of, out_schema)
     )
 
 

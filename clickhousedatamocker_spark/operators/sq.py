@@ -93,8 +93,13 @@ def sq_encode(
     packed = F.encode(
         F.array_join(F.transform(byte, lambda b: F.char(b)), ""), "ISO-8859-1"
     )
+    # empty vectors: sequence(1, 0) DESCENDS in Spark and would index the
+    # arrays out of bounds under ANSI — emit the empty code directly
     return emb.withColumn(
-        out_col, F.when(v.isNull(), F.lit(None).cast("binary")).otherwise(packed)
+        out_col,
+        F.when(v.isNull(), F.lit(None).cast("binary"))
+        .when(F.size(v) == 0, F.encode(F.lit(""), "ISO-8859-1"))
+        .otherwise(packed),
     )
 
 
@@ -136,4 +141,9 @@ def sq_topk(
     decoded = codes.select(
         F.col(id_col), _decode_col(F.col(code_col), model).alias("embedding")
     )
-    return brute_force_topk(decoded, queries.select(F.col(id_col), as_double(query_vec_col).alias("embedding")), k=k)
+    return brute_force_topk(
+        decoded,
+        queries.select(F.col(id_col), as_double(query_vec_col).alias("embedding")),
+        id_col=id_col,
+        k=k,
+    )

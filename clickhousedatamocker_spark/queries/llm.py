@@ -9,6 +9,8 @@ rows-only checks + recall tests instead).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import functions as F
 
 from clickhousedatamocker_spark.operators import text_analysis as ta
@@ -1188,7 +1190,9 @@ def dsir_selection_profile(spark, sf_dir):
         docs, F.col("source") == "src0", num_buckets=4096, use_xengine_hash=True
     )
     scored = dsir_score(docs, tm, bm, use_xengine_hash=True)
-    k = max(1, int(round(docs.count() * 0.25)))
+    # floor(x+0.5) == the oracle's half-away-from-zero round (Python
+    # round() is banker's — diverges on exact .5 counts)
+    k = max(1, int(math.floor(docs.count() * 0.25 + 0.5)))
     kept = (
         scored.orderBy(F.desc(F.round("importance", 6)), F.asc("doc_id")).limit(k)
     )
@@ -1485,7 +1489,7 @@ def pipeline_select_dedup_pack_xengine(spark, sf_dir):
         docs, F.col("source") == "src0", num_buckets=4096, use_xengine_hash=True
     )
     scored = dsir_score(docs, tm, bm, use_xengine_hash=True)
-    k = max(1, int(round(docs.count() * 0.5)))
+    k = max(1, int(math.floor(docs.count() * 0.5 + 0.5)))
     selected = (
         scored.orderBy(F.desc(F.round("importance", 6)), F.asc("doc_id"))
         .limit(k)

@@ -133,11 +133,14 @@ def _mk_packer(seq_len: int, eos: str):
     ) -> Iterable[pd.DataFrame]:
         leftover, next_seq = state.get if state.exists else ("", 0)
         toks: list[str] = leftover.split(" ") if leftover else []
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            pdf = pdf.sort_values("doc_id")
-            for t in pdf["text"]:
+        # sort the WHOLE group, not each Arrow chunk: a shard batch larger
+        # than arrow.maxRecordsPerBatch arrives as several pdfs in
+        # arbitrary post-shuffle order, and per-chunk sorting would pack
+        # documents out of id order (breaking the stream==batch law)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            whole = pd.concat(chunks).sort_values("doc_id")
+            for t in whole["text"]:
                 toks.extend((t + " " + eos).split(" "))
         out_rows = []
         while len(toks) >= seq_len:

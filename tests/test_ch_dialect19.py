@@ -23,6 +23,11 @@ GOLDENS = [
     ("SELECT byteHammingDistance('abc', 'ab') AS v", 1),
     ("SELECT byteHammingDistance('', 'xy') AS v", 2),
     ("SELECT byteHammingDistance('same', 'same') AS v", 0),
+    # BYTE-wise, as CH defines it: 'é' is 0xC3 0xA9 vs 'e' 0x65 — one
+    # mismatching byte plus one length byte (a character-based spelling
+    # would answer 1)
+    ("SELECT byteHammingDistance('é', 'e') AS v", 2),
+    ("SELECT byteHammingDistance('aé', 'aé') AS v", 0),
     # timeDiff(first, second) = second - first in seconds
     (
         "SELECT timeDiff(toDateTime('2026-01-01 00:00:00'), "

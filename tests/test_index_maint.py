@@ -162,8 +162,12 @@ def test_bm25_auto_compact_keeps_files_bounded(spark, tmp_path):
 
     import pytest as _pytest
 
+    # an invalid knob refuses BEFORE any side effect: a post-write raise
+    # would invite a retry that double-adds the batch's postings
+    n_before = spark.read.parquet(path).count()
     with _pytest.raises(ValueError, match="auto_compact_at"):
         bm25_index_add(spark, path, _docs(spark, 900, 1), auto_compact_at=1)
+    assert spark.read.parquet(path).count() == n_before
 
 
 def test_optimize_index_validates(spark, tmp_path):
