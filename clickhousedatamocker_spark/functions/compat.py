@@ -3381,7 +3381,26 @@ _REWRITES.extend(
         # CH's UTC conversions are Spark builtins under snake_case
         (re.compile(r"\btoUTCTimestamp\(", re.IGNORECASE), "to_utc_timestamp("),
         (re.compile(r"\bfromUTCTimestamp\(", re.IGNORECASE), "from_utc_timestamp("),
+        # camelCase window-function aliases (empty-parens only, so the
+        # gated rowNumberInAllBlocks/rowNumberInBlock spellings keep their
+        # loud refusals)
+        (re.compile(r"\bdenseRank\(\s*\)", re.IGNORECASE), "dense_rank()"),
+        (re.compile(r"\browNumber\(\s*\)", re.IGNORECASE), "row_number()"),
     ]
+)
+
+_PARAMETRIC.update(
+    {
+        # intersection of every array in the group: fold array_intersect
+        # over the collected arrays (group-sized state, like the
+        # groupArray family it belongs to); seed = the first array
+        "groupArrayIntersect": _pm_1arg(
+            "aggregate(collect_list({x}), try_element_at(collect_list({x}), 1), "
+            "(__gai_acc, __gai_e) -> array_intersect(__gai_acc, __gai_e))"
+        ),
+        # spelling variant of countDistinctIf
+        "countIfDistinct": _pm_2arg("count(DISTINCT CASE WHEN {a} THEN {f} END)"),
+    }
 )
 
 

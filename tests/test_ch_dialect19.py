@@ -104,6 +104,28 @@ GOLDENS = [
         "SELECT medianIf(x, x <= 3) AS v FROM (SELECT explode(sequence(1, 5)) AS x)",
         2.0,
     ),
+    # batch-20 tail: camelCase window aliases, group-wide array intersection
+    (
+        "SELECT rowNumber() OVER (ORDER BY x) AS v FROM "
+        "(SELECT explode(sequence(5, 7)) AS x) ORDER BY v LIMIT 1",
+        1,
+    ),
+    (
+        "SELECT denseRank() OVER (ORDER BY x) AS v FROM "
+        "(SELECT explode(array(1, 1, 2)) AS x) ORDER BY v DESC LIMIT 1",
+        2,
+    ),
+    (
+        "SELECT array_sort(groupArrayIntersect(a)) AS v FROM "
+        "(SELECT array(1, 2, 3) AS a UNION ALL SELECT array(2, 3, 4) "
+        "UNION ALL SELECT array(3, 2))",
+        [2, 3],
+    ),
+    (
+        "SELECT countIfDistinct(x, x > 1) AS v FROM "
+        "(SELECT explode(array(1, 2, 2, 3)) AS x)",
+        2,
+    ),
 ]
 
 
