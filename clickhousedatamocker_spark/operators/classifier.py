@@ -474,12 +474,16 @@ def train_text_classifier_ovr(
     _check_feature(feature)
     if epochs < 1:
         raise ValueError("epochs must be >= 1")
-    docs = _sample_training_docs(docs, train_fraction, max_train_docs, sample_id_col)
     lc = F.col(label_col) if isinstance(label_col, str) else label_col
     # LIMIT the distinct probe so a mistakenly high-cardinality label column
     # (a URL passed as the label) never materializes its full value set on
     # the driver before the guard fires (round-6 verdict finding #2): 101
-    # rows back means ">100 classes", refuse without collecting the rest
+    # rows back means ">100 classes", refuse without collecting the rest.
+    # The probe runs on the UNSAMPLED docs (round-7 advisory): a class rare
+    # enough to vanish under train_fraction/max_train_docs must still get a
+    # model (trained on whatever of it the sample retains — possibly the
+    # all-negative base rate — rather than silently having no entry), and
+    # the >100-class guard must judge the true label set, not the sample's
     probe = (
         docs.select(lc.alias("__l"))
         .filter(F.col("__l").isNotNull())
@@ -495,6 +499,7 @@ def train_text_classifier_ovr(
             "trains one model per class; this API is for bounded label sets"
         )
     labels = sorted(r["__l"] for r in probe)
+    docs = _sample_training_docs(docs, train_fraction, max_train_docs, sample_id_col)
     train = docs.select(F.col(text_col), lc.alias("__lbl")).filter(
         F.col("__lbl").isNotNull() & F.col(text_col).isNotNull()
     )

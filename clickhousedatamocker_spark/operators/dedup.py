@@ -272,13 +272,15 @@ def dedup_index_stats(spark, path: str) -> DataFrame:
     import os
 
     from clickhousedatamocker_spark.operators.index_maint import (
+        _IndexFS,
         _leaf_data_dirs,
         _parquet_files,
     )
 
     sig_dir = os.path.join(path, "signatures")
     n_rows = spark.read.parquet(sig_dir).count()
-    n_files = sum(len(_parquet_files(d)) for d in _leaf_data_dirs(path))
+    fs = _IndexFS(spark, path)
+    n_files = sum(len(_parquet_files(fs, d)) for d in _leaf_data_dirs(fs, path))
     return spark.createDataFrame(
         [(n_rows, n_files)], "n_signatures long, n_files long"
     )
@@ -328,14 +330,35 @@ def signature_est_pairs(
     )
 
 
+def dedup_index_delete(spark, path: str, doc_ids) -> int:
+    """Tombstone documents out of a MinHash dedup index (round-7 verdict
+    task 5 — a removed doc must stop matching future batches): O(batch)
+    append to ``<path>/.tombstones``; :func:`read_index_signatures`
+    excludes them immediately (so incremental/streaming admission no
+    longer pairs against them) and ``index_maint.optimize_index`` drops
+    their signatures physically (clearing the tombstones). The id column
+    comes from the index's params sidecar. Returns the count written."""
+    from clickhousedatamocker_spark.operators.index_maint import write_tombstones
+
+    return write_tombstones(spark, path, doc_ids, load_dedup_params(path)["id_col"])
+
+
 def read_index_signatures(spark, path: str, id_col: str = "doc_id") -> DataFrame:
     """The index's (id, signature) table; an index seeded from zero rows has
     no parquet footers yet (an empty partitioned write emits only _SUCCESS)
     — that's a valid empty index. Only the path-not-found / no-footer
     AnalysisException is treated as empty: real read failures (corrupt
     footers, permissions) RAISE — silently treating them as an empty index
-    would admit every duplicate."""
-    return _read_or_empty(spark, path, "signatures", f"{id_col} long, signature array<long>")
+    would admit every duplicate. Crash artifacts self-heal first and
+    tombstoned docs (:func:`dedup_index_delete`) are excluded."""
+    from clickhousedatamocker_spark.operators.index_maint import (
+        exclude_tombstoned,
+        recover_index,
+    )
+
+    recover_index(spark, path)
+    sig = _read_or_empty(spark, path, "signatures", f"{id_col} long, signature array<long>")
+    return exclude_tombstoned(spark, path, sig, id_col)
 
 
 def _read_or_empty(spark, path: str, sub: str, schema: str) -> DataFrame:

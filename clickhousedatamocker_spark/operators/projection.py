@@ -47,6 +47,8 @@ def pca_train(
 ) -> dict:
     """Exact PCA of the embedding column: returns ``{"mean": [d floats],
     "components": [k rows of d floats], "explained_variance": [k floats],
+    "total_variance": float (trace of the covariance — the FULL d-dim
+    variance mass, kept so explained ratios stay honest for k < d),
     "n": int}`` — driver-bounded model state.
 
     One distributed pass: per-Arrow-batch numpy partials of
@@ -111,6 +113,7 @@ def pca_train(
         "mean": mean.tolist(),
         "components": comps.tolist(),
         "explained_variance": evals[order].tolist(),
+        "total_variance": float(np.trace(cov)),
         "n": int(n),
     }
 
@@ -175,11 +178,16 @@ def pca_project(
 
 def pca_explained_ratio(model: dict) -> list[float]:
     """Cumulative explained-variance ratio of the model's k components
-    against the TOTAL variance captured in training (needs the full
-    eigenvalue mass, so it is exact only when k == d; for k < d it is a
-    lower bound reported against the retained mass)."""
+    against the TRUE total variance (the covariance trace, stored at train
+    time as ``total_variance``) — so ``ratio[-1] < 1.0`` whenever k < d,
+    reaching 1.0 only when the k components capture the full mass.
+    Normalizing by the retained top-k eigenvalue sum instead would force
+    the cumulative ratio to 1.0 for ANY k and overstate the explained
+    fraction (the round-7 advisory finding). Models trained before
+    ``total_variance`` existed fall back to the retained mass (and then DO
+    overstate for k < d)."""
     ev = model["explained_variance"]
-    tot = sum(ev)
+    tot = float(model.get("total_variance", sum(ev)))
     if tot <= 0:
         return [0.0] * len(ev)
     acc, out = 0.0, []

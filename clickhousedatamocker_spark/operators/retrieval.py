@@ -243,6 +243,7 @@ def _maybe_compact(spark, path: str, threshold: int) -> None:
     """Compact the index iff some leaf directory reached ``threshold``
     parquet files (driver-side listing — cheap enough to run per append)."""
     from clickhousedatamocker_spark.operators.index_maint import (
+        _IndexFS,
         _leaf_data_dirs,
         _parquet_files,
         optimize_index,
@@ -250,8 +251,21 @@ def _maybe_compact(spark, path: str, threshold: int) -> None:
 
     if threshold < 2:  # defense in depth; the add paths validate pre-write
         raise ValueError(f"auto_compact_at must be >= 2, got {threshold}")
-    if any(len(_parquet_files(d)) >= threshold for d in _leaf_data_dirs(path)):
+    fs = _IndexFS(spark, path)
+    if any(len(_parquet_files(fs, d)) >= threshold for d in _leaf_data_dirs(fs, path)):
         optimize_index(spark, path)
+
+
+def bm25_index_delete(spark, path: str, doc_ids) -> int:
+    """Tombstone documents out of a BM25 index (takedowns / re-crawls —
+    round-7 verdict task 5): O(batch) append to ``<path>/.tombstones``,
+    no index rewrite. :func:`bm25_query_indexed` anti-joins them out
+    immediately; the next ``index_maint.optimize_index`` drops their
+    postings physically and clears the tombstones. ``doc_ids`` is an
+    iterable of ids or a 1-column DataFrame; returns the count written."""
+    from clickhousedatamocker_spark.operators.index_maint import write_tombstones
+
+    return write_tombstones(spark, path, doc_ids, "doc_id")
 
 
 def bm25_index_stats(spark, path: str) -> "DataFrame":
@@ -293,7 +307,18 @@ def bm25_query_indexed(
 ) -> DataFrame:
     """Serve a BM25 query from a :func:`build_bm25_index` directory,
     reading only the query terms' bucket partitions (plan shows
-    PartitionFilters on ``bucket`` — pinned by test)."""
+    PartitionFilters on ``bucket`` — pinned by test). Crash artifacts from
+    an interrupted compaction self-heal first; documents tombstoned by
+    :func:`bm25_index_delete` are excluded (df recomputes without them;
+    the n_docs/avgdl constants stay as-built until the next
+    ``optimize_index`` purges — deletion mass is assumed small between
+    compactions)."""
+    from clickhousedatamocker_spark.operators.index_maint import (
+        exclude_tombstoned,
+        recover_index,
+    )
+
+    recover_index(spark, path)
     with open(os.path.join(path, "_bm25_meta.json")) as fh:
         meta = json.load(fh)
     terms = sorted(set(t for t in query.split(" ") if t))
@@ -305,6 +330,7 @@ def bm25_query_indexed(
         .filter(F.col("bucket").isin(buckets))
         .filter(F.col("term").isin(terms))
     )
+    hits = exclude_tombstoned(spark, path, hits, "doc_id")
     df_t = hits.groupBy("term").agg(F.countDistinct("doc_id").cast("long").alias("df"))
     scored = hits.join(F.broadcast(df_t), "term").select(
         "doc_id", _score(meta["n_docs"], meta["avgdl"], k1, b).alias("s")

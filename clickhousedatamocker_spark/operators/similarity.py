@@ -456,6 +456,12 @@ def ann_query_indexed(
     import json
     import os
 
+    from clickhousedatamocker_spark.operators.index_maint import (
+        exclude_tombstoned,
+        recover_index,
+    )
+
+    recover_index(spark, path)
     with open(os.path.join(path, "_codebook.json")) as fh:
         centroids = json.load(fh)
     q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
@@ -463,11 +469,12 @@ def ann_query_indexed(
         "bucket", F.explode("__probes")
     ).drop("__probes")
     probed = sorted({r["bucket"] for r in q.select("bucket").distinct().collect()})
-    c = (
-        spark.read.parquet(path)
-        .filter(F.col("bucket").isin(probed))
-        .select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"), "bucket")
-    )
+    c = exclude_tombstoned(
+        spark,
+        path,
+        spark.read.parquet(path).filter(F.col("bucket").isin(probed)),
+        id_col,
+    ).select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"), "bucket")
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -817,6 +824,17 @@ def ann_index_add(
     return n
 
 
+def ann_index_delete(spark, path: str, vec_ids, id_col: str = "vec_id") -> int:
+    """Tombstone vectors out of an ANN index (round-7 verdict task 5):
+    O(batch) append to ``<path>/.tombstones``; :func:`ann_query_indexed`
+    excludes them immediately and ``index_maint.optimize_index`` drops
+    them physically (clearing the tombstones). ``id_col`` must match the
+    column the index was built with. Returns the count written."""
+    from clickhousedatamocker_spark.operators.index_maint import write_tombstones
+
+    return write_tombstones(spark, path, vec_ids, id_col)
+
+
 def ann_index_stats(spark, path: str) -> DataFrame:
     """Per-bucket (n_vectors, n_files) for an index at ``path`` — the
     drift/skew monitor for :func:`ann_index_add` AND the small-file
@@ -951,7 +969,13 @@ def _all_pairs_within(
         norms = np.sqrt((V * V).sum(axis=1))
         norms[norms == 0.0] = 1.0  # zero vectors: cosine 0, never ≥ thr>0
         U = V / norms[:, None]
-        block = max(256, (1 << 25) // max(n, 1))  # ≤ ~256 MB per Gram slab
+        # Gram slab = block x n doubles; deriving block purely from the
+        # byte budget (no row floor — the round-7 advisory: a 256-row floor
+        # made the slab grow ~2KB*n beyond 131k rows) keeps every slab
+        # ≤ 8*(1<<25) = 256 MB at ANY cluster size. The full n x d U matrix
+        # is still held per task — that bound is semantic_dedup_pairs's
+        # job (it derives a max_cluster_size from blas_task_bytes).
+        block = max(1, (1 << 25) // max(n, 1))
         out_a, out_b, out_c = [], [], []
         for s in range(0, n - 1, block):
             t_ = min(s + block, n - 1)
@@ -997,6 +1021,7 @@ def semantic_dedup_pairs(
     centroids: list[list[float]] | None = None,
     seed: int = 42,
     max_cluster_size: int | None = None,
+    blas_task_bytes: int = 1 << 29,
 ) -> DataFrame:
     """Intra-cluster semantic near-duplicate pairs: k-means-cluster the
     embeddings, then exact cosine WITHIN each cluster only →
@@ -1023,6 +1048,17 @@ def semantic_dedup_pairs(
     Boundary pairs more than 2·cap ranks apart are the (documented) recall
     trade. Under-cap clusters are untouched — bit-identical to the
     unguarded path.
+
+    When ``max_cluster_size`` is NOT set, a cap is DERIVED from
+    ``blas_task_bytes`` (default 512 MB): the BLAS pair path holds one
+    whole cluster's n×d float64 matrix per task (plus the normalized copy
+    and the ≤256 MB Gram slab), so an uncapped 10⁷-row × 64-dim cluster
+    would put ~5 GB in one task (round-7 verdict finding #1). The derived
+    cap is ``blas_task_bytes // (24·d)`` rows — 24 bytes/row/dim covers V
+    + U + slab headroom — and only engages for clusters that actually
+    exceed it (everything below stays bit-identical to the unguarded
+    path). Pass an explicit ``max_cluster_size`` to override, or a larger
+    ``blas_task_bytes`` when executors have more task memory.
     """
     if centroids is None:
         centroids = ivf_train(corpus, id_col, vec_col, n_centroids, seed=seed)
@@ -1030,7 +1066,10 @@ def semantic_dedup_pairs(
         corpus.select(F.col(id_col), as_double(vec_col).alias("v")), "v", centroids, "cid"
     )
     if max_cluster_size is None:
-        return _all_pairs_within(e, id_col, ["cid"], threshold)
+        if blas_task_bytes < 1:
+            raise ValueError("blas_task_bytes must be >= 1")
+        d = len(centroids[0])
+        max_cluster_size = max(2, int(blas_task_bytes) // (24 * d))
     if max_cluster_size < 2:
         raise ValueError("max_cluster_size must be >= 2 (need at least one pair per chunk)")
     # per-cluster sizes: k rows, driver-bounded by the codebook size

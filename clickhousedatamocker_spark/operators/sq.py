@@ -71,10 +71,19 @@ def sq_encode(
     emb: DataFrame, model: dict, vec_col: str = "embedding", out_col: str = "code"
 ) -> DataFrame:
     """Append ``out_col``: the vector quantized to d bytes (binary).
-    Row-local, all-JVM: clamp → scale → round → pack via char codes."""
+    Row-local, all-JVM: clamp → scale → round → pack via char codes.
+
+    Input contract (round-7 advisory): a NULL vector encodes to a NULL
+    code; a vector containing a NULL ELEMENT also encodes to NULL (the
+    char/array_join packing would silently DROP the null byte and
+    misalign every later dimension at decode); a vector whose length
+    differs from the trained d raises at execution time — a short vector
+    would otherwise decode to a lo-filled tail (``ascii('') = 0``) and
+    score as if it sat at the range floor."""
+    d = len(model["lo"])
     lo, step = _scale_cols(model)
     v = as_double(vec_col)
-    idx = F.sequence(F.lit(1), F.size(v))
+    idx = F.sequence(F.lit(1), F.lit(d))
     byte = F.transform(
         idx,
         lambda i: F.least(
@@ -93,12 +102,20 @@ def sq_encode(
     packed = F.encode(
         F.array_join(F.transform(byte, lambda b: F.char(b)), ""), "ISO-8859-1"
     )
-    # empty vectors: sequence(1, 0) DESCENDS in Spark and would index the
-    # arrays out of bounds under ANSI — emit the empty code directly
     return emb.withColumn(
         out_col,
         F.when(v.isNull(), F.lit(None).cast("binary"))
-        .when(F.size(v) == 0, F.encode(F.lit(""), "ISO-8859-1"))
+        .when(
+            F.size(v) != d,
+            F.raise_error(
+                F.concat(
+                    F.lit(f"sq_encode: vector length != trained d={d} (got "),
+                    F.size(v).cast("string"),
+                    F.lit(")"),
+                )
+            ).cast("binary"),
+        )
+        .when(F.exists(v, lambda x: x.isNull()), F.lit(None).cast("binary"))
         .otherwise(packed),
     )
 

@@ -389,3 +389,39 @@ def test_predict_class_handles_dotted_labels(spark):
     out = qc.classifier_predict_class(df, models).collect()
     got = {r["doc_id"]: r["predicted_class"] for r in out}
     assert got == {1: "en.wikipedia.org", 2: "spam.example.com"}
+
+
+def test_ovr_rare_class_survives_sampling(spark):
+    """Round-7 advisory: the distinct-label probe runs on the UNSAMPLED
+    docs, so a class whose every row falls outside the training sample
+    still gets a model entry (and prediction can emit that label's
+    probability) instead of silently vanishing from the dict."""
+    rows = [(i, "common words here", "big") for i in range(40)]
+    # one rare-class doc with a doc_id chosen to fall OUTSIDE the
+    # max_train_docs=10 sample for the seeded Lehmer ranking (any id works:
+    # with 41 docs and a 10-doc cap the rare doc is likely excluded; pin it
+    # by trying ids until the sample misses it)
+    from clickhousedatamocker_spark.operators.classifier import _sample_training_docs
+
+    rare_id = None
+    for cand in range(1000, 1100):
+        df = spark.createDataFrame(
+            rows + [(cand, "rare vocabulary", "tiny")],
+            "doc_id long, text string, label string",
+        )
+        sampled_ids = {
+            r["doc_id"]
+            for r in _sample_training_docs(df, None, 10, "doc_id").collect()
+        }
+        if cand not in sampled_ids:
+            rare_id = cand
+            break
+    assert rare_id is not None
+    df = spark.createDataFrame(
+        rows + [(rare_id, "rare vocabulary", "tiny")],
+        "doc_id long, text string, label string",
+    )
+    models = qc.train_text_classifier_ovr(
+        df, "label", num_buckets=64, epochs=2, max_train_docs=10
+    )
+    assert sorted(models) == ["big", "tiny"]

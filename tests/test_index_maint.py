@@ -150,13 +150,18 @@ def test_bm25_auto_compact_keeps_files_bounded(spark, tmp_path):
         bm25_query_indexed,
         build_bm25_index,
     )
-    from clickhousedatamocker_spark.operators.index_maint import _leaf_data_dirs, _parquet_files
+    from clickhousedatamocker_spark.operators.index_maint import (
+        _IndexFS,
+        _leaf_data_dirs,
+        _parquet_files,
+    )
 
     path = str(tmp_path / "bm25auto")
     build_bm25_index(_docs(spark, 0, 10), path, n_buckets=4)
     for b in range(12):
         bm25_index_add(spark, path, _docs(spark, 100 + 4 * b, 4), auto_compact_at=5)
-    assert all(len(_parquet_files(d)) < 5 for d in _leaf_data_dirs(path))
+    fs = _IndexFS(spark, path)
+    assert all(len(_parquet_files(fs, d)) < 5 for d in _leaf_data_dirs(fs, path))
     got = bm25_query_indexed(spark, path, "alpha shared", k=60).count()
     assert got == 10 + 12 * 4  # every doc contains both terms
 

@@ -122,9 +122,17 @@ def test_pca_validates(spark, emb):
         P.pca_train(emb, k=0)
     with pytest.raises(ValueError, match="exceeds embedding dim"):
         P.pca_train(emb, k=65)
-    ratios = P.pca_explained_ratio(P.pca_train(emb, k=4))
-    assert len(ratios) == 4 and ratios[-1] == pytest.approx(1.0)
+    model = P.pca_train(emb, k=4)
+    ratios = P.pca_explained_ratio(model)
+    # normalized by the TRUE total variance (trace), not the retained top-k
+    # mass: for k < d the cumulative ratio must stay strictly below 1.0
+    expected_last = sum(model["explained_variance"]) / model["total_variance"]
+    assert len(ratios) == 4 and ratios[-1] == pytest.approx(expected_last)
+    assert ratios[-1] < 1.0
     assert all(b >= a - 1e-12 for a, b in zip(ratios, ratios[1:]))
+    # full-rank model captures the whole trace
+    full = P.pca_explained_ratio(P.pca_train(emb, k=64))
+    assert full[-1] == pytest.approx(1.0, abs=1e-9)
 
 
 def test_dedup_soft_weights_law(spark):

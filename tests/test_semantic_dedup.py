@@ -310,3 +310,52 @@ def test_cluster_stratified_sample_preserves_mix(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="fraction"):
         S.cluster_stratified_sample(corpus, centroids, fraction=0.0)
+
+
+def test_blas_memory_budget_derives_cluster_cap(spark):
+    """Round-7 verdict finding #1: the BLAS pair path holds a whole
+    cluster's n x d float64 matrix per task, so semantic_dedup_pairs must
+    derive a max_cluster_size from blas_task_bytes when none is given.
+    A planted hot cluster larger than the derived cap engages the chunked
+    path (pair output linear, run completes inside the budget); a generous
+    budget reproduces the unguarded result exactly."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    d = 8
+    # one fat cluster: 3000 near-identical vectors around a single center
+    center = rng.normal(size=d)
+    rows = [
+        (i, [float(x) for x in center + 1e-3 * rng.normal(size=d)])
+        for i in range(200)
+    ] + [
+        (1000 + i, [float(x) for x in rng.normal(size=d)]) for i in range(50)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    centroids = [list(center), [0.0] * (d - 1) + [5.0]]
+
+    # tiny budget: cap = max(2, budget // (24*d)) = 10 rows -> chunked path
+    budget = 10 * 24 * d
+    capped = S.semantic_dedup_pairs(
+        corpus, threshold=0.999, centroids=centroids, blas_task_bytes=budget
+    )
+    n_capped = capped.count()
+    # chunked output is linear-bounded: <= 1.5 * size * cap pairs
+    assert 0 < n_capped <= int(1.5 * 200 * 10)
+
+    # generous budget: derived cap exceeds every cluster -> bit-identical
+    # to an explicit huge cap (the unguarded semantics)
+    loose = {
+        tuple(r)
+        for r in S.semantic_dedup_pairs(
+            corpus, threshold=0.999, centroids=centroids
+        ).collect()
+    }
+    explicit = {
+        tuple(r)
+        for r in S.semantic_dedup_pairs(
+            corpus, threshold=0.999, centroids=centroids, max_cluster_size=10**6
+        ).collect()
+    }
+    assert loose == explicit
+    assert len(loose) >= n_capped  # chunking only ever drops boundary pairs

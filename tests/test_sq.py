@@ -100,3 +100,28 @@ def test_sq_paths_are_jvm_side(spark, emb, model):
     assert "EvalPython" not in plan
     with pytest.raises(ValueError, match="no vectors"):
         sq.sq_train(emb.filter(F.lit(False)))
+
+
+def test_sq_encode_input_contract(spark, model):
+    """Round-7 advisory: NULL vectors and vectors with a NULL element
+    encode to a NULL code (never a silently-shortened one); a vector whose
+    length differs from the trained d fails loudly instead of decoding to
+    a lo-filled tail."""
+    d = len(model["lo"])
+    ok = [0.5 * (l + h) for l, h in zip(model["lo"], model["hi"])]
+    with_null_elem = list(ok)
+    with_null_elem[3] = None
+    df = spark.createDataFrame(
+        [(0, ok), (1, None), (2, with_null_elem)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r["vec_id"]: r["code"] for r in sq.sq_encode(df, model).collect()}
+    assert rows[0] is not None and len(bytes(rows[0])) == d
+    assert rows[1] is None
+    assert rows[2] is None
+
+    short = spark.createDataFrame(
+        [(0, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="vector length != trained d"):
+        sq.sq_encode(short, model).collect()
