@@ -328,6 +328,165 @@ def pq_adc_topk(
     )
 
 
+def fixed_pq_codebooks(dim: int = 64, m: int = 8, ksub: int = 8) -> list[list[list[float]]]:
+    """Deterministic closed-form PQ codebooks — the fixed-model device that
+    makes the PQ OPERATOR driver-gradable (round-7 verdict task 3):
+    k-means training is float-trajectory state with no SQL twin, but with
+    codebooks PINNED, encode (per-subspace argmin) and ADC scoring are
+    pure double arithmetic a DuckDB oracle recomputes exactly.
+    ``b[s][c][j] = (((s*7 + c*5 + j*3) % 11) - 5) * 0.04`` — within each
+    subspace the ksub=8 < 11 rows are pairwise distinct (no argmin-tie
+    ambiguity) and the ±0.2 amplitude sits in the range of L2-normalized
+    64-dim components."""
+    dsub = _check_dims(dim, m)
+    return [
+        [
+            [(((s * 7 + c * 5 + j * 3) % 11) - 5) * 0.04 for j in range(dsub)]
+            for c in range(ksub)
+        ]
+        for s in range(m)
+    ]
+
+
+def pq_topk_xengine(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """PQ/ADC top-k with an ALL-JVM expression pipeline (no numpy) so every
+    intermediate is a sequential-fold double both engines reproduce —
+    the cross-engine twin of :func:`pq_encode` + :func:`pq_adc_topk`
+    (same semantics: L2-normalize, per-subspace nearest-centroid codes
+    with first-minimum ties, ADC = <q_normalized, reconstruction>; the
+    parity test pins the pair sets against the numpy path). Plan shape is
+    the production one: codes computed in the scan projection, broadcast
+    query join, rank window — no cartesian, no Python."""
+    m = len(codebooks)
+    ksub = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    # 0.5*||c||^2 computed ONCE in Python and inlined as the same literal
+    # in both engines — that term never crosses engines as arithmetic
+    halfs = [
+        [0.5 * sum(x * x for x in codebooks[s][c]) for c in range(ksub)]
+        for s in range(m)
+    ]
+
+    def normed(col: Column) -> Column:
+        nrm = F.sqrt(dot(col, col))
+        return F.when(nrm == 0.0, col).otherwise(F.transform(col, lambda x: x / nrm))
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), normed(as_double(vec_col)).alias("u")
+    )
+    code_cols = []
+    for s in range(m):
+        sv = F.slice(F.col("u"), s * dsub + 1, dsub)
+        scores = F.array(
+            *[
+                F.lit(float(halfs[s][cc])) - dot(sv, F.lit([float(x) for x in codebooks[s][cc]]))
+                for cc in range(ksub)
+            ]
+        )
+        # 1-based first-minimum — the numpy argmin tie rule
+        code_cols.append(F.array_position(scores, F.array_min(scores)).alias(f"__c{s}"))
+    c = c.select("neighbor_id", *code_cols)
+    books = [
+        F.array(*[F.lit([float(x) for x in codebooks[s][cc]]) for cc in range(ksub)])
+        for s in range(m)
+    ]
+    recon = F.flatten(
+        F.array(*[F.element_at(books[s], F.col(f"__c{s}").cast("int")) for s in range(m)])
+    )
+    c = c.select("neighbor_id", recon.alias("__r"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), normed(as_double(vec_col)).alias("qn")
+    )
+    scored = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id", "neighbor_id", F.round(dot(F.col("qn"), F.col("__r")), 6).alias("adc")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "adc")
+    )
+
+
+def pq_xengine_oracle_sql(
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    query_pred: str = "vec_id < 5",
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB SQL recomputing :func:`pq_topk_xengine` exactly — L2
+    normalization, per-subspace argmin encode (first minimum via
+    list_position of the list min), literal-codebook reconstruction and
+    the rounded ADC rank."""
+    m = len(codebooks)
+    ksub = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    b_lit = (
+        "["
+        + ", ".join(
+            "[" + ", ".join("[" + ", ".join(repr(float(x)) for x in cc) + "]" for cc in s) + "]"
+            for s in codebooks
+        )
+        + "]::DOUBLE[][][]"
+    )
+    h_lit = (
+        "["
+        + ", ".join(
+            "["
+            + ", ".join(repr(0.5 * sum(x * x for x in codebooks[s][c])) for c in range(ksub))
+            + "]"
+            for s in range(m)
+        )
+        + "]::DOUBLE[][]"
+    )
+    score_list = (
+        f"list_transform(generate_series(1, {ksub}), "
+        f"c -> cb.h[s][c] - list_dot_product("
+        f"u[(s-1)*{dsub}+1 : (s-1)*{dsub}+{dsub}], cb.b[s][c]))"
+    )
+    return f"""
+WITH cb AS (SELECT {b_lit} AS b, {h_lit} AS h),
+e AS (SELECT {id_col} AS vec_id, {vec_col}::DOUBLE[] v FROM {table} WHERE {vec_col} IS NOT NULL),
+n AS (
+  SELECT vec_id,
+    CASE WHEN list_dot_product(v, v) = 0 THEN v
+         ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v))) END AS u
+  FROM e
+),
+codes AS (
+  SELECT vec_id, u,
+    list_transform(generate_series(1, {m}), s ->
+      list_position({score_list}, list_aggregate({score_list}, 'min'))) AS code
+  FROM n, cb
+),
+recon AS (
+  SELECT vec_id,
+    flatten(list_transform(generate_series(1, {m}), s -> cb.b[s][code[s]])) AS r
+  FROM codes, cb
+),
+q AS (SELECT vec_id AS query_id, u AS qn FROM n WHERE {query_pred}),
+scored AS (
+  SELECT q.query_id, r.vec_id AS neighbor_id,
+    round(list_dot_product(q.qn, r.r), 6) AS adc
+  FROM recon r CROSS JOIN q WHERE r.vec_id <> q.query_id
+)
+SELECT query_id, rank, neighbor_id, adc FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {k}
+ORDER BY query_id, rank
+""".strip()
+
+
 def ivfpq_topk(
     corpus: DataFrame,
     queries: DataFrame,

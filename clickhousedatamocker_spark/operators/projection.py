@@ -30,6 +30,8 @@ FAISS wiki "PCAR + IVFPQ" index factory recipes (public docs).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -174,6 +176,25 @@ def pca_project(
             yield pdf
 
     return emb.mapInPandas(project, out_schema)
+
+
+def fixed_projection_components(k: int, d: int) -> list[list[float]]:
+    """Deterministic closed-form unit projection vectors — the fixed-model
+    device that makes the projection OPERATOR driver-gradable (the
+    ``quality_classifier_profile`` trick: training is float-trajectory
+    state no SQL oracle can replay, but with components PINNED the
+    projection arithmetic — zip_with/aggregate dot products — is pure
+    double math a DuckDB twin recomputes bit-for-bit from the same
+    literals). Row c is the L2-normalized integer pattern
+    ``((c*31 + j*17) % 13) - 6``: integer raws are exact in both engines,
+    and the Python-side normalization constant is inlined as the SAME
+    literal on both sides."""
+    comps = []
+    for c in range(k):
+        raw = [((c * 31 + j * 17) % 13) - 6 for j in range(d)]
+        nrm = math.sqrt(sum(x * x for x in raw))
+        comps.append([x / nrm for x in raw])
+    return comps
 
 
 def pca_explained_ratio(model: dict) -> list[float]:

@@ -140,6 +140,72 @@ def _decode_col(code: Column, model: dict) -> Column:
     )
 
 
+def fixed_sq_model(d: int) -> dict:
+    """Deterministic closed-form per-dimension ranges — the fixed-model
+    device that makes the SQ8 OPERATOR driver-gradable (round-7 verdict
+    task 1): training is a data min/max float aggregate with no hash-exact
+    SQL twin, but with lo/hi PINNED the encode → decode → rank arithmetic
+    is pure double math a DuckDB oracle recomputes exactly.
+    ``lo[j] = -(1 + (j%5)/4)``, ``hi[j] = 1 + (j%7)/4`` — quarter steps
+    are exactly representable doubles, the asymmetric ranges exercise
+    per-dimension variation, and values outside [lo, hi] exercise the
+    clamp contract."""
+    return {
+        "lo": [-(1.0 + (j % 5) * 0.25) for j in range(d)],
+        "hi": [1.0 + (j % 7) * 0.25 for j in range(d)],
+    }
+
+
+def sq_xengine_oracle_sql(
+    model: dict,
+    k: int = 10,
+    query_pred: str = "vec_id < 5",
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB SQL recomputing ``sq_topk(sq_encode(emb, model), queries,
+    model)`` exactly for a FIXED model: quantize each dimension with the
+    same clamp/round/step arithmetic (the step literals are the SAME
+    Python-computed doubles :func:`_scale_cols` inlines into the Spark
+    plan), reconstruct ``lo + code*step``, then the brute-force cosine
+    rank twin (round 6dp, ties by neighbor id)."""
+    d = len(model["lo"])
+    lo = "[" + ", ".join(repr(float(x)) for x in model["lo"]) + "]::DOUBLE[]"
+    step = "[" + ", ".join(
+        repr((float(h) - float(l)) / 255.0 if h > l else 1.0)
+        for l, h in zip(model["lo"], model["hi"])
+    ) + "]::DOUBLE[]"
+    return f"""
+WITH m AS (SELECT {lo} AS lo, {step} AS st),
+e AS (SELECT {id_col} AS vec_id, {vec_col}::DOUBLE[] v FROM {table} WHERE {vec_col} IS NOT NULL),
+enc AS (
+  SELECT vec_id,
+    list_transform(generate_series(1, {d}),
+      i -> least(255, greatest(0, CAST(round((v[i] - m.lo[i]) / m.st[i]) AS INTEGER))))
+    AS code
+  FROM e, m
+),
+dec AS (
+  SELECT vec_id,
+    list_transform(generate_series(1, {d}), i -> m.lo[i] + code[i] * m.st[i]) AS dv
+  FROM enc, m
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE {query_pred}),
+scored AS (
+  SELECT q.query_id, d.vec_id AS neighbor_id,
+    round(list_dot_product(q.qv, d.dv)
+      / sqrt(list_dot_product(q.qv, q.qv) * list_dot_product(d.dv, d.dv)), 6) AS cosine
+  FROM dec d CROSS JOIN q WHERE d.vec_id <> q.query_id
+)
+SELECT query_id, rank, neighbor_id, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {k}
+ORDER BY query_id, rank
+""".strip()
+
+
 def sq_topk(
     codes: DataFrame,
     queries: DataFrame,

@@ -1752,23 +1752,98 @@ def quality_classifier_trained_profile(spark, sf_dir):
 
 
 # -------------------------------------------------------------------------
+def _pca_projection_oracle_sql(k: int = 8, d: int = 64) -> str:
+    """DuckDB SQL recomputing the fixed-components projection profile:
+    the same Python-normalized component literals, the same sequential
+    dot-product fold (list_dot_product == zip_with/aggregate — the
+    brute-force-cosine discipline), 6dp per-row rounding and the
+    exact-decimal mean."""
+    from clickhousedatamocker_spark.operators.projection import (
+        fixed_projection_components,
+    )
+
+    comps = fixed_projection_components(k, d)
+    comp_rows = " UNION ALL ".join(
+        f"SELECT {i} AS component, ["
+        + ", ".join(repr(x) for x in row)
+        + "]::DOUBLE[] AS w"
+        for i, row in enumerate(comps)
+    )
+    return f"""
+WITH comp AS ({comp_rows}),
+e AS (SELECT embedding::DOUBLE[] v FROM embeddings WHERE embedding IS NOT NULL),
+proj AS (
+  SELECT comp.component, round(list_dot_product(e.v, comp.w), 6) AS p
+  FROM e CROSS JOIN comp
+)
+SELECT component, COUNT(*) AS n_vecs,
+  CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean_proj,
+  MIN(p) AS min_proj, MAX(p) AS max_proj
+FROM proj GROUP BY component ORDER BY component
+""".strip()
+
+
 @register(
     "embedding_pca_profile",
+    _pca_projection_oracle_sql(k=8, d=64),
+    description="PCA-style embedding projection, driver-graded END-TO-END "
+    "under fixed closed-form components (the quality_classifier_profile "
+    "fixed-model trick, round-7 verdict task 1): pca_project's row-local "
+    "zero-shuffle projection — literal (k x d) component matrix, "
+    "zip_with/aggregate dot products, all-JVM — runs over every embedding "
+    "and is profiled per component (count, exact-decimal mean, min/max of "
+    "the 6dp-rounded projection). Fixed components make the projection "
+    "OPERATOR the verifiable half (the DuckDB oracle recomputes the same "
+    "literals with list_dot_product); the moment-pass TRAINING is pinned "
+    "against single-machine numpy at 1e-8 and demonstrated by the "
+    "rows-only embedding_pca_trained_profile.",
+)
+def embedding_pca_profile(spark, sf_dir):
+    from clickhousedatamocker_spark.operators.projection import (
+        fixed_projection_components,
+        pca_project,
+    )
+
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    model = {"mean": [0.0] * 64, "components": fixed_projection_components(8, 64)}
+    proj = pca_project(emb, model)
+    return (
+        proj.select(F.posexplode("projected").alias("component", "val"))
+        .withColumn("__p", F.round("val", 6))
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            (
+                F.sum(F.col("__p").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_proj"),
+            F.min("__p").alias("min_proj"),
+            F.max("__p").alias("max_proj"),
+        )
+        .orderBy("component")
+    )
+
+
+# -------------------------------------------------------------------------
+@register(
+    "embedding_pca_trained_profile",
     None,  # rows-only: covariance entries are float sums (partition-order
     # ULP wobble — no hash-exact SQL twin); training is pinned against a
     # single-machine numpy PCA and both projection paths agree exactly in
-    # tests/test_projection.py
+    # tests/test_projection.py; the PROJECTION half is driver-graded above
+    # (embedding_pca_profile's fixed-components DuckDB twin)
     description="PCA dimensionality reduction for embeddings (the standard "
     "pre-ANN compression: FAISS's PCAR stage): ONE distributed moment pass "
     "(per-Arrow-batch numpy partials of count/sum/outer-product, one emitted "
     "row per batch) -> driver eigendecomposition of the dxd covariance "
     "(bounded model state) -> row-local projection (literal component "
     "matrix small / Arrow broadcast large). Report: per-component "
-    "explained variance + cumulative ratio, plus top-10 ANN recall of the "
-    "half-dimension projection against the raw space - the number that "
-    "says whether the compression is usable.",
+    "explained variance + cumulative ratio against the TRUE total variance "
+    "(covariance trace), plus top-10 ANN recall of the half-dimension "
+    "projection against the raw space - the number that says whether the "
+    "compression is usable.",
 )
-def embedding_pca_profile(spark, sf_dir):
+def embedding_pca_trained_profile(spark, sf_dir):
     from clickhousedatamocker_spark.operators.projection import (
         pca_explained_ratio,
         pca_project,
@@ -1803,19 +1878,84 @@ def embedding_pca_profile(spark, sf_dir):
 
 
 # -------------------------------------------------------------------------
+def _soft_weights_oracle_sql() -> str:
+    """DuckDB SQL recomputing the soft-dedup weighting END-TO-END: the
+    cross-engine MinHash pair CTEs (the graded dedup_minhash_lsh_pairs
+    oracle, verbatim) feed a recursive min-label closure (the graded
+    dedup_fuzzy_clusters discipline), cluster sizes become 1/n weights
+    (rounded 6dp — pure integer-reciprocal doubles, identical in both
+    engines) and singletons default to 1.0 via the LEFT JOIN."""
+    mh = minhash_xengine_oracle_sql(num_hashes=32, bands=8, n=3, threshold=0.2)
+    return f"""
+WITH RECURSIVE pairs AS (
+{mh}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node
+),
+comp AS (SELECT node, MIN(lbl) AS lbl FROM reach GROUP BY node),
+sizes AS (SELECT lbl, COUNT(*) AS csz FROM comp GROUP BY lbl),
+w AS (
+  SELECT comp.node AS doc_id, round(1.0::DOUBLE / sizes.csz, 6) AS wt
+  FROM comp JOIN sizes USING (lbl)
+)
+SELECT d.source, COUNT(*) AS n_docs,
+  CAST(SUM(CAST(COALESCE(w.wt, 1.0) AS DECIMAL(18,6))) AS DOUBLE) AS effective_docs
+FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
+GROUP BY d.source ORDER BY d.source
+""".strip()
+
+
 @register(
     "dedup_soft_weights_profile",
-    None,  # rows-only: composes the graded MinHash pair generator with the
-    # graded CC machinery; the telescoping weight law (sum == singletons +
-    # clusters) is pinned by tests/test_projection.py
-    description="Soft dedup (train-time downweighting): every document "
-    "kept, weighted 1/cluster_size over MinHash near-dup clusters so each "
-    "cluster contributes one document's worth of loss mass - the "
+    _soft_weights_oracle_sql(),
+    description="Soft dedup (train-time downweighting), driver-graded "
+    "END-TO-END (round-7 verdict task 3): every document kept, weighted "
+    "1/cluster_size over MinHash-LSH near-dup clusters (cross-engine hash "
+    "family, 32 hashes / 8 bands) resolved by connected components, so "
+    "each cluster contributes one document's worth of loss mass - the "
     "SlimPajama/Dolma-ablation alternative to hard removal. One CC over "
-    "the pairs + one join back; the corpus never shuffles. Report: per "
-    "source, raw vs effective (weight-summed) document counts.",
+    "the pairs + one join back; the corpus never shuffles. The DuckDB "
+    "oracle recomputes the WHOLE chain - banding, candidates, Jaccard "
+    "verify, recursive min-label closure, reciprocal weights. Report: per "
+    "source, raw vs effective (weight-summed, exact-decimal) counts.",
 )
 def dedup_soft_weights_profile(spark, sf_dir):
+    from clickhousedatamocker_spark.operators.dedup import dedup_soft_weights
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs_xengine(docs, num_hashes=32, bands=8, n=3, threshold=0.2)
+    weighted = dedup_soft_weights(docs, pairs)
+    return (
+        weighted.withColumn("__w", F.round("dedup_weight", 6))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("__w").cast("decimal(18,6)")).cast("double").alias("effective_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+# -------------------------------------------------------------------------
+@register(
+    "dedup_soft_weights_production_profile",
+    None,  # rows-only: the xxhash64 production hash family has no SQL
+    # twin; the xengine-hash variant above is driver-graded end-to-end and
+    # the telescoping weight law (sum == singletons + clusters) is pinned
+    # by tests/test_projection.py
+    description="Soft dedup over the PRODUCTION MinHash pair generator "
+    "(xxhash64 signatures, exact-Jaccard verify at 0.5) - same weighting "
+    "semantics as the graded dedup_soft_weights_profile, demonstrated on "
+    "the hash family a real deployment would run.",
+)
+def dedup_soft_weights_production_profile(spark, sf_dir):
     from clickhousedatamocker_spark.operators.dedup import (
         dedup_soft_weights,
         minhash_lsh_pairs,
@@ -1835,19 +1975,52 @@ def dedup_soft_weights_profile(spark, sf_dir):
 
 
 # -------------------------------------------------------------------------
+from clickhousedatamocker_spark.operators.sq import (  # noqa: E402
+    fixed_sq_model,
+    sq_xengine_oracle_sql,
+)
+
+
 @register(
     "similarity_topk_sq8",
-    None,  # rows-only: SQ8 reconstruction is quantized float math with no
-    # portable SQL twin; the encode contract, round-trip bound, and recall
-    # >= 0.8 vs exact are pinned by tests/test_sq.py
+    sq_xengine_oracle_sql(fixed_sq_model(64), k=10),
     description="SQ8 scalar-quantized top-k (FAISS's SQ8 tier between raw "
-    "floats and IVF-PQ): per-dimension byte quantization trained by ONE "
-    "posexplode min/max shuffle (d-row model), row-local all-JVM encode "
-    "to d-byte binary codes (8x vs float64), asymmetric search decodes "
+    "floats and IVF-PQ), driver-graded END-TO-END under a fixed "
+    "closed-form lo/hi model (round-7 verdict task 1): row-local all-JVM "
+    "encode to d-byte binary codes through the char/ISO-8859-1 packing "
+    "(8x vs float64, clamp + half-up rounding), asymmetric search decodes "
     "candidates inside the scan projection and reuses the exact "
-    "brute-force ranking shape (broadcast queries, no corpus shuffle).",
+    "brute-force ranking shape (broadcast queries, no corpus shuffle). "
+    "The DuckDB oracle recomputes quantize -> reconstruct -> cosine rank "
+    "with the same step literals, so byte packing, clamping and the "
+    "ranking are all hash-checked; min/max TRAINING is pinned by "
+    "tests/test_sq.py numpy parity and demonstrated by the rows-only "
+    "similarity_topk_sq8_trained.",
 )
 def similarity_topk_sq8(spark, sf_dir):
+    from clickhousedatamocker_spark.operators.sq import sq_encode, sq_topk
+
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    model = fixed_sq_model(64)
+    codes = sq_encode(emb, model).select("vec_id", "code")
+    q = emb.filter(F.col("vec_id") < 5)
+    return sq_topk(codes, q, model, k=10).orderBy("query_id", "rank")
+
+
+# -------------------------------------------------------------------------
+@register(
+    "similarity_topk_sq8_trained",
+    None,  # rows-only: the trained model's lo/hi are data min/max float
+    # aggregates with partition-order-independent values but no hash-exact
+    # SQL twin for the downstream quantized ranking; the encode contract,
+    # round-trip bound, and recall >= 0.8 vs exact are pinned by
+    # tests/test_sq.py, and the fixed-model variant above is driver-graded
+    description="SQ8 scalar-quantized top-k with the TRAINED model: "
+    "per-dimension byte quantization trained by ONE posexplode min/max "
+    "shuffle (d-row model), then the same encode/search path as the "
+    "graded similarity_topk_sq8.",
+)
+def similarity_topk_sq8_trained(spark, sf_dir):
     from clickhousedatamocker_spark.operators.sq import sq_encode, sq_topk, sq_train
 
     emb = t(spark, sf_dir, "embeddings")
@@ -1855,3 +2028,35 @@ def similarity_topk_sq8(spark, sf_dir):
     codes = sq_encode(emb, model).select("vec_id", "code")
     q = emb.filter(F.col("vec_id") < 5)
     return sq_topk(codes, q, model, k=10).orderBy("query_id", "rank")
+
+
+# -------------------------------------------------------------------------
+from clickhousedatamocker_spark.operators.pq import (  # noqa: E402
+    fixed_pq_codebooks,
+    pq_topk_xengine,
+    pq_xengine_oracle_sql,
+)
+
+
+@register(
+    "similarity_topk_pq",
+    pq_xengine_oracle_sql(fixed_pq_codebooks(64, 8, 8), k=10),
+    description="Product-quantization ADC top-k (Jegou et al. 2011), "
+    "driver-graded END-TO-END under fixed closed-form codebooks (round-7 "
+    "verdict task 3): L2-normalize, per-subspace nearest-centroid encode "
+    "(8 subspaces x 8 centroids, first-minimum ties), reconstruct from "
+    "the literal codebooks and rank by the rounded ADC inner product - "
+    "all-JVM sequential-fold arithmetic the DuckDB oracle recomputes "
+    "exactly (encode argmin included, so the approximation ALGORITHM is "
+    "graded, not a vacuous parameter). Plan shape is the production one: "
+    "codes in the scan projection, broadcast query join, rank window - "
+    "no cartesian. The k-means-trained IVF-PQ stack stays registered as "
+    "similarity_topk_ivfpq (rows-only) with recall pinned in "
+    "tests/test_pq.py.",
+)
+def similarity_topk_pq(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    q = emb.filter(F.col("vec_id") < 5)
+    return pq_topk_xengine(emb, q, fixed_pq_codebooks(64, 8, 8), k=10).orderBy(
+        "query_id", "rank"
+    )

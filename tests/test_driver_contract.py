@@ -153,6 +153,23 @@ def test_contract_under_non_utc_session():
     )
 
 
+def test_contract_round8_graded_rotation_under_bare_session():
+    """The four round-8 graded fixed-model twins under a bare external
+    session: SQ8 exercises the char/ISO-8859-1 byte packing + decode
+    under a foreign session (string-collation/charset class), PQ the
+    nested literal arrays + array_position equality, PCA the decimal-mean
+    discipline over posexplode, and soft-dedup the recursive-CTE oracle
+    through the driver's float-coercing pandas fetch."""
+    _run_probe(
+        [
+            "embedding_pca_profile",
+            "similarity_topk_sq8",
+            "similarity_topk_pq",
+            "dedup_soft_weights_profile",
+        ]
+    )
+
+
 def test_contract_round7_graded_rotation_under_bare_session():
     """The three round-7 graded LLM twins under a bare external session:
     the classifier aggregate mixes COUNT FILTER / exact-decimal mean /
