@@ -16,12 +16,54 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import tempfile
 import time
 
 
-_TIMED_RUNS = 3  # min-of-3: the r4→r5 ask after ±25% load drift polluted r4
+# median-of-5 (the r7→r8 ask): min-of-3 under-samples the host's noise
+# band — r7's shared keys drifted +0–47% with a PASSING load gate and no
+# code cause, so the estimator now (a) takes the median, which tracks the
+# typical run instead of the luckiest, and (b) publishes a calibration
+# ratio so the judge can separate ambient-machine drift from regressions
+_TIMED_RUNS = 5
+
+# Calibration reference: median seconds for the fixed pure-CPU key (an
+# 8-deep xxhash64 chain folded over spark.range(100M), 32 fixed
+# partitions — no IO, no shuffle, size-independent of SF; the chain makes
+# per-row compute dominate task-scheduling overhead) measured on a quiet
+# box at r8 (observed plateau 0.49-0.60 s across JIT warm-up; the pinned
+# value is the mid-plateau). Every bench run re-times the same key FIRST
+# and LAST; the ratio vs this constant is the machine-speed correction
+# behind "queries_normalized". Self-noise of the yardstick is ~±15%
+# (JIT tiering + scheduler), so read the ratio coarsely: it exists to
+# catch the r7 failure mode — 25-50% ambient drift (CPU frequency, IO
+# co-tenancy) that a PASSING loadavg gate cannot see — not to resolve
+# single-digit percent.
+_CALIB_REF_S = 0.55
+
+
+def _calibration_seconds(spark) -> float:
+    """Median-of-3 of the fixed CPU-bound calibration query."""
+    import pyspark.sql.functions as F
+
+    def run() -> None:
+        # bit_xor, not sum: summing 100M random 64-bit hashes overflows
+        # long under ANSI mode; xor is overflow-free and just as CPU-bound
+        h = F.col("id")
+        for i in range(8):
+            h = F.xxhash64(h, F.lit(i))
+        spark.range(0, 100_000_000, 1, 32).select(F.bit_xor(h).alias("h")).collect()
+
+    run()  # codegen warm-up
+    run()
+    runs = []
+    for _ in range(3):
+        t0 = time.monotonic()
+        run()
+        runs.append(time.monotonic() - t0)
+    return statistics.median(runs)
 
 
 def main() -> None:
@@ -61,6 +103,10 @@ def main() -> None:
         "loadavg_15m": round(load15, 2),
         "java_procs_before": pre_java,
         "timed_runs_per_key": _TIMED_RUNS,
+        # r8 estimator change: median (was min-of-3) — raw values read
+        # systematically HIGHER than r1-r7 artifacts for identical code;
+        # compare r8+ rounds to each other via queries_normalized
+        "estimator": "median",
         "load_gate": load_gate,
         "load_gate_waited_s": round(waited, 1),
         "load_gate_met": load1 <= load_gate,
@@ -81,18 +127,21 @@ def main() -> None:
     # warm up the JVM/IO path once with the first headline query
     REGISTRY[headline[0]].fn(spark, sf_dir).collect()
 
+    # calibration, FIRST: the machine-speed yardstick for this run
+    calib_pre = _calibration_seconds(spark)
+
     for name in headline:
         # steady-state timing: one warm-up run (whole-stage-codegen compiles
-        # once per query shape on a long-lived cluster), then min of the
-        # timed runs — min is the standard steady-state estimator under
-        # scheduler noise on a shared host
+        # once per query shape on a long-lived cluster), then the median of
+        # the timed runs (median-of-5: tracks the typical run; see the
+        # calibration note at the top)
         REGISTRY[name].fn(spark, sf_dir).collect()
         runs = []
         for _ in range(_TIMED_RUNS):
             t0 = time.monotonic()
             REGISTRY[name].fn(spark, sf_dir).collect()
             runs.append(time.monotonic() - t0)
-        timings[name] = round(min(runs), 4)
+        timings[name] = round(statistics.median(runs), 4)
         all_runs[name] = [round(r, 4) for r in runs]
 
     # Production twins (xxhash64 / float-hash paths — what a user runs at
@@ -112,7 +161,7 @@ def main() -> None:
             t0 = time.monotonic()
             mk().collect()
             runs.append(time.monotonic() - t0)
-        (dest if dest is not None else timings)[label] = round(min(runs), 4)
+        (dest if dest is not None else timings)[label] = round(statistics.median(runs), 4)
         if dest is None:
             all_runs[label] = [round(r, 4) for r in runs]
 
@@ -202,7 +251,7 @@ def main() -> None:
         gen = BatchGenerator(spark, seed=42, base_time="2026-01-01 12:00:00")
         # the reference's <1 s envelope is STEADY-state: its loop runs for
         # minutes. Warm two inserts (JIT + committer paths), then report the
-        # min of two timed ones — the same estimator as the query timings.
+        # median of three timed ones — the same estimator as the query timings.
         for b in (0, 1):
             engine.insert("test_local", gen.batch_with_partition(100_000, batch_no=b))
         runs = []
@@ -210,7 +259,7 @@ def main() -> None:
             t0 = time.monotonic()
             engine.insert("test_local", gen.batch_with_partition(100_000, batch_no=b))
             runs.append(time.monotonic() - t0)
-        timings["ingest_100k_batch"] = round(min(runs), 4)
+        timings["ingest_100k_batch"] = round(statistics.median(runs), 4)
         all_runs["ingest_100k_batch"] = [round(r, 4) for r in runs]
         # steady-state monitoring (the reference runs this pair once per
         # second ALONGSIDE ingest): warm the view registration once, then time
@@ -222,8 +271,26 @@ def main() -> None:
             engine.sql(QUERY_METRICS_SQL).collect()
             engine.sql(QUERY_PARTS_SQL.format(database="default", table="test_local")).collect()
             runs.append(time.monotonic() - t0)
-        timings["monitoring_queries"] = round(min(runs), 4)
+        timings["monitoring_queries"] = round(statistics.median(runs), 4)
         all_runs["monitoring_queries"] = [round(r, 4) for r in runs]
+
+    # calibration, LAST: drift between pre and post flags mid-run
+    # environment change (thermal throttle, a co-tenant arriving)
+    calib_post = _calibration_seconds(spark)
+    calib = statistics.median([calib_pre, calib_post])
+    ratio = calib / _CALIB_REF_S
+    conditions.update(
+        {
+            "calibration_pre_s": round(calib_pre, 4),
+            "calibration_post_s": round(calib_post, 4),
+            "calibration_ref_s": _CALIB_REF_S,
+            "calibration_ratio": round(ratio, 4),
+        }
+    )
+    # normalized = raw / ratio: what the key WOULD have cost on the
+    # reference-speed box. Compare normalized values round-over-round;
+    # raw stays the ground truth for the baseline envelope gates.
+    normalized = {k: round(v / ratio, 4) for k, v in timings.items()}
 
     total = round(sum(timings.values()), 4)
     print(
@@ -233,6 +300,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_normalized": normalized,
                 "runs": all_runs,
                 "breakdown": breakdown,
                 "conditions": conditions,
