@@ -1398,6 +1398,117 @@ def _pm_array_fill(reverse: bool):
     return rw
 
 
+def _pm_array_split(reverse: bool):
+    """arraySplit/arrayReverseSplit(f, arr1[, arr2]) — batch 21. CH splits
+    ``arr1`` into consecutive groups: arraySplit cuts on the LEFT of every
+    element where ``f`` is nonzero (never before the first element);
+    arrayReverseSplit cuts on the RIGHT (never after the last). Doc
+    goldens: arraySplit((x, y) -> y, [1,2,3,4,5], [1,0,0,1,0]) =
+    [[1,2,3],[4,5]]; arrayReverseSplit(same) = [[1],[2,3,4],[5]].
+
+    Pure-JVM rewrite: the user lambda applies via transform (1 array) or
+    zip_with (2 arrays) to build the flag vector, cut positions come from
+    a filter over sequence(1, n), and each group is one slice. 3+ arrays
+    would need arrays_zip + lambda rewriting a textual shim can't do
+    safely — refused with the recipe."""
+
+    def rw(args: list[str]) -> str:
+        if len(args) < 2:
+            raise NotImplementedError("arraySplit expects (lambda, array, ...)")
+        f, arr = args[0], args[1]
+        if len(args) == 2:
+            flags = f"transform(({arr}), {f})"
+        elif len(args) == 3:
+            flags = f"zip_with(({arr}), ({args[2]}), {f})"
+        else:
+            raise NotImplementedError(
+                "arraySplit with 3+ arrays is not shimmed - zip the extra "
+                "arrays with arrays_zip and rewrite the lambda over the "
+                "struct fields"
+            )
+        n = f"size(({arr}))"
+        flag_i = f"coalesce(CAST(element_at({flags}, __as_i) AS BOOLEAN), false)"
+        if reverse:
+            # cut AFTER element i (never after the last) -> next group
+            # starts at i+1
+            cuts = (
+                f"transform(filter(sequence(1, greatest({n}, 1)), "
+                f"__as_i -> __as_i < {n} AND {flag_i}), __as_c -> __as_c + 1)"
+            )
+        else:
+            # cut BEFORE element i (never before the first) -> group
+            # starts at i
+            cuts = (
+                f"filter(sequence(1, greatest({n}, 1)), "
+                f"__as_i -> __as_i > 1 AND __as_i <= {n} AND {flag_i})"
+            )
+        starts = f"concat(array(1), {cuts})"
+        groups = (
+            f"transform(sequence(1, size({starts})), __as_k -> "
+            f"slice(({arr}), element_at({starts}, __as_k), "
+            f"(CASE WHEN __as_k < size({starts}) "
+            f"THEN element_at({starts}, __as_k + 1) ELSE {n} + 1 END) "
+            f"- element_at({starts}, __as_k)))"
+        )
+        # empty input -> empty array-of-arrays (slice(array(arr),1,0) is
+        # the typed empty without spelling the element type)
+        return (
+            f"(CASE WHEN {n} = 0 THEN slice(array(({arr})), 1, 0) "
+            f"ELSE {groups} END)"
+        )
+
+    return rw
+
+
+def _pm_url_hierarchy(path_only: bool):
+    """URLHierarchy/URLPathHierarchy — batch 21. CH semantics (URL
+    functions doc): the URL truncated after every run of the separators
+    '/', '?' in the path + query string (consecutive separators count as
+    one; the cut lands after the run), plus the full URL when it does not
+    end at a separator; the fragment is never split.
+    URLPathHierarchy is the same list without protocol+host and without
+    the root '/' element. Doc goldens:
+    URLHierarchy('https://example.com/browse/CONV-6788') =
+    ['https://example.com/', 'https://example.com/browse/',
+     'https://example.com/browse/CONV-6788'];
+    URLPathHierarchy(same) = ['/browse/', '/browse/CONV-6788'].
+    A URL with no path yields [] (no separator run, empty remainder)."""
+
+    def rw(args: list[str]) -> str:
+        if len(args) != 1:
+            raise NotImplementedError("URLHierarchy expects exactly 1 argument")
+        x = f"({args[0]})"
+        # scheme + '//' + authority (userinfo@host:port) — everything
+        # before the first '/', '?' or '#' of the path
+        p = f"regexp_extract({x}, '^[A-Za-z][A-Za-z0-9+.-]*:(//)?[^/?#]*', 0)"
+        r = f"substring({x}, length({p}) + 1)"
+        # separators are scanned only in path + query — stop at '#'
+        rpq = (
+            f"(CASE WHEN instr({r}, '#') > 0 "
+            f"THEN substring({r}, 1, instr({r}, '#') - 1) ELSE {r} END)"
+        )
+        cuts = (
+            f"filter(sequence(1, greatest(length({rpq}), 1)), __uh_i -> "
+            f"__uh_i <= length({rpq}) "
+            f"AND substring({rpq}, __uh_i, 1) IN ('/', '?') "
+            f"AND (__uh_i = length({rpq}) "
+            f"OR substring({rpq}, __uh_i + 1, 1) NOT IN ('/', '?')))"
+        )
+        if path_only:
+            elems = f"filter(transform({cuts}, __uh_c -> substring({r}, 1, __uh_c)), __uh_e -> __uh_e <> '/')"
+            tail = r
+        else:
+            elems = f"transform({cuts}, __uh_c -> concat({p}, substring({r}, 1, __uh_c)))"
+            tail = x
+        last = f"coalesce(try_element_at({cuts}, -1), 0)"
+        return (
+            f"(CASE WHEN length({r}) > {last} "
+            f"THEN concat({elems}, array({tail})) ELSE {elems} END)"
+        )
+
+    return rw
+
+
 def _pm_morton_decode(args: list[str]) -> str:
     """mortonDecode(2, code) — CH's (dims, code) signature; only 2-D is
     shimmed (mortonDecode2D). The bare (code) form is kept for
@@ -1454,16 +1565,8 @@ _PARAMETRIC.update(
         "arrayFill": _pm_array_fill(reverse=False),
         "arrayReverseFill": _pm_array_fill(reverse=True),
         "mortonDecode": _pm_morton_decode,
-        "arraySplit": _pm_gate(
-            "arraySplit",
-            "posexplode both arrays, mark group starts with the lambda, and "
-            "group with a running sum window",
-        ),
-        "arrayReverseSplit": _pm_gate(
-            "arrayReverseSplit",
-            "posexplode both arrays, mark group ends with the lambda, and "
-            "group with a running sum window",
-        ),
+        "arraySplit": _pm_array_split(reverse=False),  # batch 21
+        "arrayReverseSplit": _pm_array_split(reverse=True),  # batch 21
         "tuplePlus": _pm_gate(
             "tuplePlus", "use arrays: zip_with(a, b, (x, y) -> x + y)"
         ),
@@ -3357,22 +3460,13 @@ _PARAMETRIC.update(
         "toInt256": _pm_gate(
             "toInt256", "256-bit integers exceed BIGINT and DECIMAL(38)"
         ),
-        "decodeHTMLComponent": _pm_gate(
-            "decodeHTMLComponent",
-            "full HTML entity tables are not shimmed (a 5-entity subset "
-            "would silently pass &euro; etc. through) - decodeXMLComponent "
-            "covers the XML five",
-        ),
-        "URLHierarchy": _pm_gate(
-            "URLHierarchy",
-            "compose from the URL family: transform over the path segments "
-            "(split(path(url), '/')) with concat-prefix folds",
-        ),
-        "URLPathHierarchy": _pm_gate(
-            "URLPathHierarchy",
-            "compose from the URL family: transform over the path segments "
-            "(split(path(url), '/')) with concat-prefix folds",
-        ),
+        # batch 21: the full stdlib entity table via an Arrow UDF — the
+        # earlier loud gate existed because a 5-entity subset would pass
+        # &euro; etc. through silently; html.unescape carries the whole
+        # HTML5 table, so the drift objection vanishes
+        "decodeHTMLComponent": _pm_1arg("chDecodeHTMLComponent({x})"),
+        "URLHierarchy": _pm_url_hierarchy(path_only=False),  # batch 21
+        "URLPathHierarchy": _pm_url_hierarchy(path_only=True),  # batch 21
     }
 )
 

@@ -150,6 +150,18 @@ def _base58_decode(s: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def _decode_html_component(s: pd.Series) -> pd.Series:
+    """decodeHTMLComponent (batch 21): the FULL HTML5 named-entity table
+    plus numeric references via stdlib ``html.unescape`` — the reason the
+    earlier loud gate existed was that a hand-rolled 5-entity subset would
+    silently pass &euro;/&nbsp;/&hellip; through; the stdlib table (same
+    WHATWG list ClickHouse ships) removes that drift class. NULL in,
+    NULL out."""
+    import html as _html
+
+    return s.map(lambda x: None if x is None else _html.unescape(x))
+
+
 def _normalize_utf8(form: str):
     def f(s: pd.Series) -> pd.Series:
         import unicodedata
@@ -205,6 +217,9 @@ def register_python_functions(spark: SparkSession) -> None:
         spark.udf.register(
             f"chNormalizeUTF8{form}", pandas_udf(_normalize_utf8(form), "string")
         )
+    spark.udf.register(
+        "chDecodeHTMLComponent", pandas_udf(_decode_html_component, "string")
+    )
     spark.udf.register(
         "chExtractGroups", pandas_udf(_extract_groups, "array<string>")
     )

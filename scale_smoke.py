@@ -78,6 +78,15 @@ SMOKE_KEYS = (
     # end-to-end path; its per-stage split runs separately below so a
     # superlinear stage can't hide inside the composite
     "pipeline_select_dedup_pack",
+    # round-8 (verdict ask #7): the quantization/projection tier at a
+    # decade — SQ8 encode+decode+rank and PQ argmin-encode+ADC are
+    # row-local scans + the same broadcast-query rank window as brute
+    # force (expect ~linear); the PCA projection profile is a zero-shuffle
+    # posexplode + 8-way aggregate (expect ~linear). dedup_semantic_profile
+    # above already exercises the r7 BLAS pair path.
+    "similarity_topk_sq8",
+    "similarity_topk_pq",
+    "embedding_pca_profile",
 )
 
 

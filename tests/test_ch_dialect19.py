@@ -141,10 +141,8 @@ def test_batch19_gates(eng):
     for fn in ("toUInt128", "toInt128", "toUInt256", "toInt256"):
         with pytest.raises(NotImplementedError, match=fn):
             eng.sql(f"SELECT {fn}('5') AS v")
-    with pytest.raises(NotImplementedError, match="decodeXMLComponent"):
-        eng.sql("SELECT decodeHTMLComponent('&euro;') AS v")
-    with pytest.raises(NotImplementedError, match="path segments"):
-        eng.sql("SELECT URLHierarchy('http://x.com/a/b') AS v")
+    # decodeHTMLComponent / URLHierarchy graduated from gates to shims in
+    # batch 21 — goldens live in tests/test_ch_dialect21.py
     with pytest.raises(NotImplementedError, match="comparator"):
         eng.sql("SELECT mapSort((l, r) -> l, map('a', 1)) AS v")
     with pytest.raises(NotImplementedError, match="integer literal"):
