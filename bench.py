@@ -180,6 +180,13 @@ def main() -> None:
         # round-6: keyword+vector RRF fusion (graded query; both branch
         # retrievals and the fusion in one number)
         "hybrid_retrieval_rrf",
+        # round-8: the newly-graded quantization tier — SQ8 byte-packed
+        # encode+rank, PQ argmin-encode+ADC, and the fixed-components
+        # projection profile (all row-local scans + the brute-force rank
+        # window; regressions here mean the JVM expression paths slipped)
+        "similarity_topk_sq8",
+        "similarity_topk_pq",
+        "embedding_pca_profile",
     ):
         timed(extra, lambda extra=extra: REGISTRY[extra].fn(spark, sf_dir))
 
