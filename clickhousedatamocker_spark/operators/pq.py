@@ -373,34 +373,85 @@ def pq_topk_xengine(
         [0.5 * sum(x * x for x in codebooks[s][c]) for c in range(ksub)]
         for s in range(m)
     ]
+    # codebooks + half-norms as SINGLE nested-array literals consumed via
+    # lambda folds: a per-(subspace, centroid, dim) unrolled spelling puts
+    # m*ksub*dsub expression nodes in the tree, and Catalyst pays
+    # super-linear ANALYSIS cost on every fresh call (measured 4.3 s
+    # planning-dominated vs 1.7 s for this shape at the default 8x8x8,
+    # identical results)
+    b_lit = F.array(
+        *[
+            F.array(*[F.lit([float(x) for x in codebooks[s][c]]) for c in range(ksub)])
+            for s in range(m)
+        ]
+    )
+    h_lit = F.array(*[F.lit([float(h) for h in halfs[s]]) for s in range(m)])
 
     def normed(col: Column) -> Column:
         nrm = F.sqrt(dot(col, col))
         return F.when(nrm == 0.0, col).otherwise(F.transform(col, lambda x: x / nrm))
 
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), normed(as_double(vec_col)).alias("u")
+    from clickhousedatamocker_spark.operators.similarity import materialize_col
+
+    # Generate barriers (materialize_col) between every corpus-side stage:
+    # without them CollapseProject inlines (a) the interpreted norm fold
+    # into the per-ELEMENT divide (64 re-evals/row), (b) the normalize
+    # transform into every encode reference, and (c) the whole normalize
+    # -> argmin -> reconstruction chain into the per-PAIR ADC fold after
+    # the broadcast join (re-run once per pair) — the round-6
+    # lambda-inlining bug class; the sf1 smoke caught the unbarriered SQ8
+    # sibling at 286 s vs brute force's 2.2 s
+    base = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("__v")
     )
-    code_cols = []
-    for s in range(m):
-        sv = F.slice(F.col("u"), s * dsub + 1, dsub)
-        scores = F.array(
-            *[
-                F.lit(float(halfs[s][cc])) - dot(sv, F.lit([float(x) for x in codebooks[s][cc]]))
-                for cc in range(ksub)
-            ]
+    base = materialize_col(
+        base,
+        F.sqrt(dot(F.col("__v"), F.col("__v"))),
+        "__n",
+        keep=["neighbor_id", "__v"],
+    )
+    c = materialize_col(
+        base,
+        F.when(F.col("__n") == 0.0, F.col("__v")).otherwise(
+            F.transform(F.col("__v"), lambda x: x / F.col("__n"))
+        ),
+        "u",
+        keep=["neighbor_id"],
+    )
+
+    def per_subspace_code(s: Column) -> Column:
+        # s is 0-based; each score folds the same sequential dot the
+        # DuckDB twin spells as list_dot_product over the u slice;
+        # 1-based first-minimum position = the numpy argmin tie rule
+        sv = F.slice(F.col("u"), s.cast("int") * dsub + 1, dsub)
+        scores = F.transform(
+            F.element_at(h_lit, (s + 1).cast("int")),
+            lambda h, cc: h
+            - dot(
+                sv,
+                F.element_at(
+                    F.element_at(b_lit, (s + 1).cast("int")), (cc + 1).cast("int")
+                ),
+            ),
         )
-        # 1-based first-minimum — the numpy argmin tie rule
-        code_cols.append(F.array_position(scores, F.array_min(scores)).alias(f"__c{s}"))
-    c = c.select("neighbor_id", *code_cols)
-    books = [
-        F.array(*[F.lit([float(x) for x in codebooks[s][cc]]) for cc in range(ksub)])
-        for s in range(m)
-    ]
-    recon = F.flatten(
-        F.array(*[F.element_at(books[s], F.col(f"__c{s}").cast("int")) for s in range(m)])
+        return F.array_position(scores, F.array_min(scores))
+
+    c = materialize_col(
+        c,
+        F.transform(F.sequence(F.lit(0), F.lit(m - 1)), per_subspace_code),
+        "__codes",
+        keep=["neighbor_id"],
     )
-    c = c.select("neighbor_id", recon.alias("__r"))
+    recon = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(m)),
+            lambda s: F.element_at(
+                F.element_at(b_lit, s.cast("int")),
+                F.element_at(F.col("__codes"), s.cast("int")).cast("int"),
+            ),
+        )
+    )
+    c = materialize_col(c, recon, "__r", keep=["neighbor_id"])
     q = queries.select(
         F.col(id_col).alias("query_id"), normed(as_double(vec_col)).alias("qn")
     )

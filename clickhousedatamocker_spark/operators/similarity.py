@@ -31,6 +31,20 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / F.sqrt(dot(a, a) * dot(b, b))
 
 
+def materialize_col(df: DataFrame, expr: Column, name: str, keep: list[str] | None = None) -> DataFrame:
+    """Evaluate ``expr`` exactly once per row and expose it as attribute
+    ``name`` — via ``explode(array(expr))``, which plants a Generate node
+    that CollapseProject cannot inline through. Use this when an expensive
+    per-ROW expression (a decoded vector, a reconstructed PQ vector) would
+    otherwise be inlined into a per-PAIR consumer downstream of a join and
+    re-evaluated once per pair per reference (the round-6 lambda-inlining
+    bug class: ZipWith/aggregate folds are CodegenFallback, so each
+    re-evaluation is interpreted). ``keep`` selects the surviving columns
+    (default: all of ``df``'s)."""
+    cols = keep if keep is not None else df.columns
+    return df.select(*cols, F.explode(F.array(expr)).alias(name))
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,

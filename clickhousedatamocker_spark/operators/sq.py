@@ -219,10 +219,20 @@ def sq_topk(
     the quantized analogue of ``brute_force_topk`` (same broadcast-query
     scan shape, same output schema), reading d bytes per corpus vector
     instead of 8d."""
-    from clickhousedatamocker_spark.operators.similarity import brute_force_topk
+    from clickhousedatamocker_spark.operators.similarity import (
+        brute_force_topk,
+        materialize_col,
+    )
 
-    decoded = codes.select(
-        F.col(id_col), _decode_col(F.col(code_col), model).alias("embedding")
+    # materialize the decoded array ONCE PER CORPUS ROW behind a Generate
+    # barrier: without it CollapseProject inlines the 64-element
+    # substring/ascii decode into the per-PAIR cosine (which references the
+    # vector three times inside interpreted folds), turning an O(rows)
+    # decode into O(pairs x 3) re-decodes — the round-6 lambda-inlining bug
+    # class; the sf1 smoke measured 286 s vs brute force's 2.2 s before
+    # this barrier landed
+    decoded = materialize_col(
+        codes, _decode_col(F.col(code_col), model), "embedding", keep=[id_col]
     )
     return brute_force_topk(
         decoded,

@@ -115,3 +115,49 @@ def test_pq_codes_are_compact(emb, books):
     row = pq_encode(emb, books).select("pq_code").first()
     assert len(row["pq_code"]) == M
     assert all(0 <= c < KSUB for c in row["pq_code"])
+
+
+def test_pq_xengine_matches_numpy_adc_path(spark, emb):
+    """The all-JVM cross-engine PQ path (round 8, the graded
+    similarity_topk_pq) against the numpy pq_encode + pq_adc_topk
+    pipeline under the SAME fixed codebooks: identical codes semantics
+    (nearest subcentroid, first-minimum ties) and identical ADC ranking —
+    ULP-level BLAS-vs-sequential-fold differences may only show past the
+    6dp rounding, so scores compare at 1e-6 and the neighbor SETS must
+    agree."""
+    from clickhousedatamocker_spark.operators.pq import (
+        fixed_pq_codebooks,
+        pq_topk_xengine,
+    )
+
+    cb = fixed_pq_codebooks(DIM, 8, 8)
+    env = emb.filter(F.col("embedding").isNotNull())
+    q = env.filter(F.col("vec_id") < 3)
+    xe = pq_topk_xengine(env, q, cb, k=10).collect()
+    codes = pq_encode(env, cb)
+    np_path = pq_adc_topk(codes, q, cb, k=10).collect()
+    xe_map = {(r["query_id"], r["neighbor_id"]): r["adc"] for r in xe}
+    np_map = {(r["query_id"], r["neighbor_id"]): r["score"] for r in np_path}
+    assert set(xe_map) == set(np_map)
+    for k_, v in xe_map.items():
+        assert abs(v - np_map[k_]) <= 1e-6, (k_, v, np_map[k_])
+
+
+def test_pq_xengine_plan_is_jvm_side(spark, emb):
+    """Corpus-side encode + ADC stay in JVM expressions (no Python eval);
+    the only join is the broadcast query join."""
+    from clickhousedatamocker_spark.operators.pq import (
+        fixed_pq_codebooks,
+        pq_topk_xengine,
+    )
+
+    cb = fixed_pq_codebooks(DIM, 8, 8)
+    q = emb.filter(F.col("vec_id") < 3)
+    plan = (
+        pq_topk_xengine(emb, q, cb, k=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
