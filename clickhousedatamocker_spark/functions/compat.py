@@ -3067,6 +3067,15 @@ def _pm2_topk(params: list[str] | None, args: list[str]) -> str:
     return f"slice(transform({ranked}, __ts -> __ts.v), 1, {k})"
 
 
+def _pm2_topk_if(params: list[str] | None, args: list[str]) -> str:
+    """topKIf(k)(x, cond) — batch 22: the -If combinator over the exact
+    topK. collect_list skips NULLs, so CASE WHEN cond THEN x END filters
+    exactly (non-matching rows contribute nothing)."""
+    if len(args) != 2:
+        raise NotImplementedError("topKIf takes (x, cond)")
+    return _pm2_topk(params, [f"(CASE WHEN {args[1]} THEN {args[0]} END)"])
+
+
 def _pm2_topk_weighted(params: list[str] | None, args: list[str]) -> str:
     if len(args) != 2:
         raise NotImplementedError("topKWeighted takes (x, weight)")
@@ -3184,6 +3193,7 @@ _PARAMETRIC2: dict[str, object] = {
     "sequenceCount": _pm2_sequence(True),
     "uniqUpTo": _pm2_uniq_up_to,
     "topK": _pm2_topk,
+    "topKIf": _pm2_topk_if,
     "topKWeighted": _pm2_topk_weighted,
     "quantileExactWeighted": _pm2_weighted_quantile,
     "quantileInterpolatedWeighted": _pm2_weighted_quantile,
@@ -3407,6 +3417,100 @@ def _pm_to_decimal(precision: int):
     return rw
 
 
+# ---- batch 22 helpers (probe-driven, round 8) ----------------------------
+def _pm_ngram_search(args: list[str]) -> str:
+    """ngramSearch(haystack, needle): |4-grams(needle) ∩ 4-grams(haystack)|
+    / |4-grams(needle)| — the non-symmetric similarity CH pairs with
+    ngramDistance. Set form like the ngramDistance shim (CH weights by
+    occurrence counts; sets agree at 0 and 1 and rank the same on
+    near-dup text — same documented deviation). Empty needle-gram set
+    (needle shorter than 4 chars after CH's padding convention differs)
+    scores 0.0."""
+    if len(args) != 2:
+        raise NotImplementedError("ngramSearch expects (haystack, needle)")
+    h, n = args
+    gh, gn = _g4(h), _g4(n)
+    return (
+        f"(CASE WHEN size({gn}) = 0 THEN 0.0D ELSE "
+        f"size(array_intersect({gn}, {gh})) / CAST(size({gn}) AS DOUBLE) END)"
+    )
+
+
+def _pm_array_filter(args: list[str]) -> str:
+    """arrayFilter(f, a1[, a2]): Spark's filter for the 1-array form; the
+    2-array form keeps a1's elements at positions where f(a1[i], a2[i])
+    holds — flag vector via zip_with, positions via a guarded sequence
+    (the arraySplit machinery's shape)."""
+    if len(args) == 2:
+        return f"filter({args[1]}, {args[0]})"
+    if len(args) == 3:
+        f, a1, a2 = args
+        flags = f"zip_with(({a1}), ({a2}), {f})"
+        return (
+            f"transform(filter(sequence(1, greatest(size(({a1})), 1)), "
+            f"__af2_i -> __af2_i <= size(({a1})) AND "
+            f"coalesce(CAST(element_at({flags}, __af2_i) AS BOOLEAN), false)), "
+            f"__af2_i -> element_at(({a1}), __af2_i))"
+        )
+    raise NotImplementedError("arrayFilter supports 1 or 2 array arguments")
+
+
+def _pm_array_agg_lambda(kind: str):
+    """arraySum/arrayAvg lambda forms: 1-array spelling declines to the
+    typed SQL temp function (functions/scalar.py); (f, a) maps then
+    folds; (f, a, b) folds over zip_with. NULL mapped values count as 0
+    (the temp functions' convention)."""
+
+    def rw(args: list[str]) -> str | None:
+        if len(args) == 1:
+            return None  # plain arraySum(arr) — the registered SQL UDF
+        if len(args) == 2:
+            mapped = f"transform(({args[1]}), {args[0]})"
+        elif len(args) == 3:
+            mapped = f"zip_with(({args[1]}), ({args[2]}), {args[0]})"
+        else:
+            raise NotImplementedError(f"array{kind} supports 1 or 2 array arguments")
+        total = (
+            f"aggregate({mapped}, CAST(0.0 AS DOUBLE), "
+            f"(__aal_a, __aal_x) -> __aal_a + coalesce(CAST(__aal_x AS DOUBLE), 0.0D))"
+        )
+        if kind == "Sum":
+            return total
+        return f"(CASE WHEN size(({args[1]})) > 0 THEN {total} / size(({args[1]})) END)"
+
+    return rw
+
+
+def _pm_snowflake(shift_ms_epoch: str | None, millis: bool):
+    """Snowflake-ID timestamp extraction: ms = (id >> 22) + epoch. The
+    legacy snowflakeToDateTime pair pins the Twitter epoch 1288834974657;
+    the snowflakeIDToDateTime pair takes CH's [epoch] argument (default
+    0). Timezone arguments are refused — the engine pins UTC."""
+
+    def rw(args: list[str]) -> str:
+        if shift_ms_epoch is not None:  # legacy fixed-epoch form
+            if len(args) != 1:
+                raise NotImplementedError(
+                    "snowflakeToDateTime timezone argument is not shimmed - "
+                    "the engine runs UTC (SET session_timezone)"
+                )
+            ms = f"(shiftright({args[0]}, 22) + {shift_ms_epoch})"
+        else:
+            if len(args) == 1:
+                ms = f"shiftright({args[0]}, 22)"
+            elif len(args) == 2:
+                ms = f"(shiftright({args[0]}, 22) + CAST({args[1]} AS BIGINT))"
+            else:
+                raise NotImplementedError(
+                    "snowflakeIDToDateTime expects (id[, epoch_ms])"
+                )
+        if millis:
+            return f"timestamp_millis({ms})"
+        return f"timestamp_seconds({ms} div 1000)"
+
+    return rw
+
+
 # BYTE-wise, as CH defines it: length()/substring() count characters, so
 # the comparison walks hex pairs of the UTF-8 encoding instead (one hex
 # pair per byte) — 'é' vs 'e' is 2 (0xC3,0xA9 vs 0x65: 1 mismatch + 1
@@ -3496,6 +3600,108 @@ _PARAMETRIC.update(
         "countIfDistinct": _pm_2arg("count(DISTINCT CASE WHEN {a} THEN {f} END)"),
     }
 )
+
+# vocab batch 22 (probe-driven, round 8): URL parameter names, ngramSearch,
+# multi-array arrayFilter/arraySum/arrayAvg lambda forms, case-insensitive
+# substring/match counters, hasToken*OrNull, checked-conversion -OrDefault
+# family, Snowflake-ID / UUIDv7 timestamp extraction, toYYYYMMDDhhmmss,
+# arrayROCAUC alias; loud gates for the genuinely non-expressible tails.
+_PARAMETRIC.update(
+    {
+        # names of the query-string parameters, in order ('?flag' without
+        # '=' contributes 'flag'; empty query -> [])
+        "extractURLParameterNames": _pm_1arg(
+            "filter(transform(split(coalesce(parse_url({x}, 'QUERY'), ''), '&'), "
+            "__upn -> element_at(split(__upn, '='), 1)), __upn -> __upn <> '')"
+        ),
+        "ngramSearch": _pm_ngram_search,
+        "arrayFilter": _pm_array_filter,
+        "arraySum": _pm_array_agg_lambda("Sum"),
+        "arrayAvg": _pm_array_agg_lambda("Avg"),
+        "toYYYYMMDDhhmmss": _pm_1arg(
+            "CAST(date_format({x}, 'yyyyMMddHHmmss') AS BIGINT)"
+        ),
+        "countSubstringsCaseInsensitive": _pm_2arg_fa(
+            "(CASE WHEN length({a}) = 0 THEN 0 ELSE "
+            "CAST((length({f}) - length(replace(lower({f}), lower({a}), ''))) "
+            "/ length({a}) AS INT) END)"
+        ),
+        "countMatchesCaseInsensitive": _pm_2arg_fa(
+            "CAST(regexp_count({f}, concat('(?i)', {a})) AS INT)"
+        ),
+        # NULL when the needle is not a single token (contains separators)
+        # — the tokens() convention: a token is a maximal \\p{L}\\p{N} run
+        "hasTokenOrNull": _pm_2arg_fa(
+            r"(CASE WHEN {a} RLIKE '^[\\p{{L}}\\p{{N}}]+$' THEN hasToken({f}, {a}) END)"
+        ),
+        "hasTokenCaseInsensitiveOrNull": _pm_2arg_fa(
+            r"(CASE WHEN {a} RLIKE '^[\\p{{L}}\\p{{N}}]+$' "
+            r"THEN hasTokenCaseInsensitive({f}, {a}) END)"
+        ),
+        # the ROC-AUC spelling CH added alongside arrayAUC (the optional
+        # 'scaled' 3rd argument is not shimmed)
+        "arrayROCAUC": _pm_2arg_fa("arrayAUC({f}, {a})"),
+        # Snowflake-ID timestamp extraction: legacy pair pins the Twitter
+        # epoch; the ID pair takes CH's [epoch_ms] argument (default 0)
+        "snowflakeToDateTime": _pm_snowflake("1288834974657", millis=False),
+        "snowflakeToDateTime64": _pm_snowflake("1288834974657", millis=True),
+        "snowflakeIDToDateTime": _pm_snowflake(None, millis=False),
+        "snowflakeIDToDateTime64": _pm_snowflake(None, millis=True),
+        "dateTimeToSnowflakeID": _pm_1arg("shiftleft(unix_millis({x}), 22)"),
+        "dateTimeToSnowflake": _pm_1arg(
+            "shiftleft(unix_millis({x}) - 1288834974657, 22)"
+        ),
+        # UUIDv7 carries unix-ms in its top 48 bits (RFC 9562)
+        "UUIDv7ToDateTime": _pm_1arg(
+            "timestamp_millis(CAST(conv(substring(replace(CAST({x} AS STRING), "
+            "'-', ''), 1, 12), 16, 10) AS BIGINT))"
+        ),
+        # loud gates — each with the workable recipe
+        "tupleToNameValuePairs": _pm_gate(
+            "tupleToNameValuePairs",
+            "struct field names are type metadata a textual shim cannot "
+            "inspect - spell the pairs directly: map('1', t.col1, '2', t.col2) "
+            "or map_entries over a map column",
+        ),
+        "arrayNormalizedGini": _pm_gate(
+            "arrayNormalizedGini",
+            "compute Gini from sorted cumulative shares: sort_array + one "
+            "aggregate fold over the prefix sums",
+        ),
+        "randPoisson": _pm_gate(
+            "randPoisson",
+            "Spark refuses nondeterministic expressions inside the HOF fold "
+            "an inverse-CDF spelling needs - draw with numpy inside "
+            "mapInPandas, or use randExponential/randNormal",
+        ),
+        "randBinomial": _pm_gate(
+            "randBinomial",
+            "Spark refuses nondeterministic expressions inside the HOF fold "
+            "a Bernoulli-sum spelling needs - draw with numpy inside "
+            "mapInPandas, or use randUniform against p per row",
+        ),
+    }
+)
+
+
+def _pm_or_default(chty: str, body: str):
+    """to<T>OrDefault(x, default) → coalesce(range-guarded try_cast,
+    default) — the -OrNull machinery with a caller default. The 1-arg CH
+    spelling (default = the type zero) rewrites to the existing -OrZero
+    and re-enters the fixpoint scan."""
+
+    def rw(args: list[str]) -> str:
+        if len(args) == 1:
+            return f"to{chty}OrZero({args[0]})"
+        if len(args) == 2:
+            return f"coalesce({body.format(x=args[0])}, {args[1]})"
+        raise NotImplementedError(f"to{chty}OrDefault expects (value[, default])")
+
+    return rw
+
+
+for _chty, _body in _CHECKED_CONV.items():
+    _PARAMETRIC[f"to{_chty}OrDefault"] = _pm_or_default(_chty, _body)
 
 
 _PARAMETRIC_RE = re.compile(
