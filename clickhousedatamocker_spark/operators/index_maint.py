@@ -303,6 +303,7 @@ def optimize_index(
     spark: SparkSession,
     path: str,
     max_files_per_dir: int = 1,
+    parallelism: int = 1,
 ) -> dict:
     """Compact every leaf directory of the index at ``path`` whose parquet
     file count exceeds ``max_files_per_dir`` down to
@@ -311,21 +312,33 @@ def optimize_index(
     steady-state identity tests) — unless tombstones exist, in which case
     EVERY leaf rewrites with tombstoned ids dropped and the tombstone set
     clears (the physical half of the delete path). Crash artifacts from a
-    previous run are repaired first. Returns ``{"dirs_compacted",
-    "files_before", "files_after", "tombstones_purged"}``."""
+    previous run are repaired first.
+
+    ``parallelism``: leaves are independent (each rewrite reads and
+    renames only its own directory, staging/trash tags are per-leaf), so
+    at real bucket counts submit them from a thread pool — Spark schedules
+    jobs from concurrent driver threads fairly, and the pass becomes
+    bounded by cluster throughput instead of leaf count x job latency.
+    Default 1 keeps the deterministic sequential order for small indexes.
+    Returns ``{"dirs_compacted", "files_before", "files_after",
+    "tombstones_purged"}``."""
     if max_files_per_dir < 1:
         raise ValueError("max_files_per_dir must be >= 1")
+    if parallelism < 1:
+        raise ValueError("parallelism must be >= 1")
     recover_index(spark, path)
     fs = _IndexFS(spark, path)
     tomb = read_tombstones(spark, path)
-    tomb_rows = tomb.collect() if tomb is not None else []
-    dirs_compacted = files_before = files_after = 0
-    for d in _leaf_data_dirs(fs, path):
-        files = _parquet_files(fs, d)
-        files_before += len(files)
+    n_tomb = tomb.count() if tomb is not None else 0
+
+    def compact_leaf(d: str) -> tuple[int, int, int]:
+        """(files_before, files_after, compacted) for one leaf — fully
+        self-contained: own FS handle (Py4J gateways are thread-safe, but
+        keep the JVM objects unshared), own staging/trash tag."""
+        lfs = _IndexFS(spark, path)
+        files = _parquet_files(lfs, d)
         if tomb is None and len(files) <= max_files_per_dir:
-            files_after += len(files)
-            continue
+            return len(files), len(files), 0
         total_bytes = sum(sz for _, sz in files)
         n_out = max(1, -(-total_bytes // _TARGET_BYTES_PER_FILE))
         tag = uuid.uuid4().hex[:8]
@@ -347,7 +360,7 @@ def optimize_index(
                     leaf_df = leaf_df.join(F.broadcast(t), tcol, "left_anti")
             leaf_df.coalesce(int(n_out)).write.mode("overwrite").parquet(staging)
             new_files = [
-                n for n, is_dir, _ in fs.listdir(staging)
+                n for n, is_dir, _ in lfs.listdir(staging)
                 if not is_dir and n.endswith(".parquet")
             ]
             if d.rstrip("/") == path.rstrip("/"):
@@ -361,37 +374,48 @@ def optimize_index(
                 )
                 old_names = [posixpath.basename(f) for f, _ in files]
                 marker = posixpath.join(d, "_SUCCESS")
-                if fs.exists(marker):
+                if lfs.exists(marker):
                     old_names.append("_SUCCESS")
-                fs.write_text(
+                lfs.write_text(
                     manifest,
                     json.dumps(
                         {"target": d, "staging": staging, "new": new_files, "old": old_names}
                     ),
                 )
                 for f in new_files:
-                    fs.rename(posixpath.join(staging, f), posixpath.join(d, f))
+                    lfs.rename(posixpath.join(staging, f), posixpath.join(d, f))
                 for name in old_names:
                     old = posixpath.join(d, name)
-                    if fs.exists(old):
-                        fs.delete(old)
-                fs.delete(staging)
-                fs.delete(manifest)
+                    if lfs.exists(old):
+                        lfs.delete(old)
+                lfs.delete(staging)
+                lfs.delete(manifest)
             else:
                 # atomic swap: two directory renames. A crash between them
                 # is repaired by recover_index (trash renames back), never
                 # silently doubled or silently missing.
-                fs.rename(d, trash)
-                fs.rename(staging, d)
-                fs.delete(trash)
+                lfs.rename(d, trash)
+                lfs.rename(staging, d)
+                lfs.delete(trash)
         finally:
-            if fs.exists(staging):
-                fs.delete(staging)
-        dirs_compacted += 1
-        files_after += len(new_files)
+            if lfs.exists(staging):
+                lfs.delete(staging)
+        return len(files), len(new_files), 1
+
+    leaves = _leaf_data_dirs(fs, path)
+    if parallelism == 1 or len(leaves) <= 1:
+        results = [compact_leaf(d) for d in leaves]
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(parallelism, len(leaves))) as pool:
+            results = list(pool.map(compact_leaf, leaves))
+    files_before = sum(r[0] for r in results)
+    files_after = sum(r[1] for r in results)
+    dirs_compacted = sum(r[2] for r in results)
     purged = 0
     if tomb is not None:
-        purged = len(tomb_rows)
+        purged = n_tomb
         fs.delete(posixpath.join(path, TOMBSTONE_DIR))
     return {
         "dirs_compacted": dirs_compacted,

@@ -180,3 +180,32 @@ def test_optimize_index_validates(spark, tmp_path):
         optimize_index(spark, str(tmp_path / "nope"))
     with pytest.raises(ValueError, match="max_files_per_dir"):
         optimize_index(spark, str(tmp_path), max_files_per_dir=0)
+
+
+def test_parallel_compaction_matches_sequential(spark, tmp_path):
+    """parallelism=4: leaves compact from a thread pool (per-leaf staging
+    tags, independent renames) — same files-after bound and identical
+    query results as the sequential pass."""
+    from clickhousedatamocker_spark.operators.retrieval import (
+        bm25_index_add,
+        bm25_query_indexed,
+        build_bm25_index,
+    )
+
+    paths = {}
+    for mode in ("seq", "par"):
+        path = str(tmp_path / f"bm25{mode}")
+        build_bm25_index(_docs(spark, 0, 10), path, n_buckets=8)
+        for b in range(10):
+            bm25_index_add(spark, path, _docs(spark, 100 + 4 * b, 4))
+        paths[mode] = path
+    res_seq = optimize_index(spark, paths["seq"], parallelism=1)
+    res_par = optimize_index(spark, paths["par"], parallelism=4)
+    assert res_par["dirs_compacted"] == res_seq["dirs_compacted"]
+    assert res_par["files_after"] == res_seq["files_after"]
+    q = "alpha shared tok3 corpus"
+    a = sorted(tuple(r) for r in bm25_query_indexed(spark, paths["seq"], q, k=30).collect())
+    b = sorted(tuple(r) for r in bm25_query_indexed(spark, paths["par"], q, k=30).collect())
+    assert a == b
+    with pytest.raises(ValueError, match="parallelism"):
+        optimize_index(spark, paths["par"], parallelism=0)
