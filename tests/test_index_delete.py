@@ -184,3 +184,50 @@ def test_recover_replays_flat_layout_manifest(spark, tmp_path):
     assert got == [(i, i * 10) for i in range(40)]
     data_files = [n for n, d, _ in fs.listdir(path) if n.endswith(".parquet")]
     assert len(data_files) == len(new_files)
+
+
+def test_stream_admission_respects_tombstones(spark, tmp_path):
+    """Deletes propagate to the STREAMING admission path: a near-dup of a
+    tombstoned index entry is admitted (the dead doc no longer matches),
+    while a near-dup of a live entry stays rejected — the takedown
+    semantics real crawl pipelines need."""
+    from pyspark.sql import functions as F
+
+    from clickhousedatamocker_spark.operators.dedup import (
+        build_dedup_index,
+        dedup_index_delete,
+    )
+    from clickhousedatamocker_spark.streaming.windows import (
+        stream_incremental_near_dedup,
+    )
+
+    base = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "completely unrelated content about spark query planning today"),
+        ],
+        "doc_id long, text string",
+    )
+    index = str(tmp_path / "mhidx")
+    build_dedup_index(base, index)
+    assert dedup_index_delete(spark, index, [1]) == 1
+
+    src = str(tmp_path / "src")
+    batch = spark.createDataFrame(
+        [
+            # near-dup of the TOMBSTONED doc 1 -> must now be admitted
+            (10, "the quick brown fox jumps over the lazy dog again and again"),
+            # near-dup of the LIVE doc 2 -> still rejected
+            (11, "completely unrelated content about spark query planning today"),
+        ],
+        "doc_id long, text string",
+    )
+    batch.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    sink = str(tmp_path / "sink")
+    q = stream_incremental_near_dedup(
+        spark, stream, index, sink, str(tmp_path / "ckpt"), threshold=0.9
+    )
+    q.awaitTermination(240)
+    kept = {r["doc_id"] for r in spark.read.parquet(sink).select("doc_id").collect()}
+    assert kept == {10}
