@@ -330,6 +330,20 @@ def optimize_index(
     fs = _IndexFS(spark, path)
     tomb = read_tombstones(spark, path)
     n_tomb = tomb.count() if tomb is not None else 0
+    leaves = _leaf_data_dirs(fs, path)
+    if tomb is not None:
+        # a tombstone column absent from the index schema would filter
+        # NOTHING while still clearing the tombstone set below — the
+        # delete intent would vanish silently; refuse loudly instead
+        tcol0 = tomb.columns[0]
+        idx_cols = spark.read.parquet(leaves[0]).columns
+        if tcol0 not in idx_cols:
+            raise ValueError(
+                f"optimize_index: tombstone column {tcol0!r} not in the "
+                f"index schema {idx_cols} at {path} — the *_index_delete "
+                "wrapper and the index disagree on the id column; fix the "
+                "tombstones before compacting (they were NOT cleared)"
+            )
 
     def compact_leaf(d: str) -> tuple[int, int, int]:
         """(files_before, files_after, compacted) for one leaf — fully
@@ -402,7 +416,6 @@ def optimize_index(
                 lfs.delete(staging)
         return len(files), len(new_files), 1
 
-    leaves = _leaf_data_dirs(fs, path)
     if parallelism == 1 or len(leaves) <= 1:
         results = [compact_leaf(d) for d in leaves]
     else:

@@ -231,3 +231,19 @@ def test_stream_admission_respects_tombstones(spark, tmp_path):
     q.awaitTermination(240)
     kept = {r["doc_id"] for r in spark.read.parquet(sink).select("doc_id").collect()}
     assert kept == {10}
+
+
+def test_optimize_refuses_mismatched_tombstone_column(spark, tmp_path):
+    """A tombstone column the index schema doesn't carry would filter
+    nothing while the tombstone set still cleared — the delete intent
+    vanishing silently. optimize_index refuses loudly and keeps the
+    tombstones."""
+    from clickhousedatamocker_spark.operators.index_maint import write_tombstones
+    from clickhousedatamocker_spark.operators.retrieval import build_bm25_index
+
+    path = str(tmp_path / "bm25bad")
+    build_bm25_index(_docs(spark, 0, 10), path, n_buckets=2)
+    write_tombstones(spark, path, [1, 2], "wrong_id_col")
+    with pytest.raises(ValueError, match="wrong_id_col"):
+        optimize_index(spark, path)
+    assert read_tombstones(spark, path) is not None  # intent preserved
