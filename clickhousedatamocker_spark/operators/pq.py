@@ -595,3 +595,124 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "score")
     )
+
+
+def build_pq_index(
+    corpus: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """Persist the IVF-PQ index: each vector lands under its coarse
+    nearest-centroid Hive partition (``bucket=<cid>/``) carrying ONLY its
+    id and m-byte PQ codes — the raw vectors stay in the source table, so
+    the index is ~m bytes/vector and serving scans read codes-only until
+    the rerank. Sidecars persist the coarse codebook AND the PQ
+    codebooks, so queries cannot drift from the encode parameters.
+
+    ``mode='append'`` adds a new batch O(batch) into the same bucket
+    partitions (the bm25/ann incremental-add discipline: appends never
+    rewrite existing data; compact with ``index_maint.optimize_index``
+    when file counts climb, delete via ``index_maint.write_tombstones``
+    with the index's id column — ``pq_query_indexed`` excludes tombstones
+    like the other serving paths)."""
+    import json
+    import os
+
+    from clickhousedatamocker_spark.operators.similarity import with_nearest_cid
+
+    sidecar = os.path.join(path, "_pq_meta.json")
+    meta = {"centroids": centroids, "codebooks": codebooks, "id_col": id_col}
+    if mode == "append" and os.path.exists(sidecar):
+        with open(sidecar) as fh:
+            if json.load(fh) != meta:
+                raise ValueError("PQ index exists with different parameters")
+    c = corpus.select(F.col(id_col), as_double(vec_col).alias("__v"))
+    c = with_nearest_cid(c, "__v", centroids, "bucket")
+    c = pq_encode(c, codebooks, id_col=id_col, vec_col="__v", out_col="pq_code")
+    c.select(F.col(id_col), "bucket", "pq_code").write.partitionBy("bucket").mode(
+        mode
+    ).parquet(path)
+    os.makedirs(path, exist_ok=True)
+    with open(sidecar, "w") as fh:
+        json.dump(meta, fh)
+
+
+def pq_query_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    corpus: DataFrame | None = None,
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 4,
+    rerank_depth: int = 50,
+) -> DataFrame:
+    """Serve IVF-PQ top-k from a :func:`build_pq_index` directory: probed
+    bucket ids computed driver-side from the sidecar codebook and pushed
+    as a STATIC partition filter (only ``bucket=<cid>/`` dirs are read —
+    codes-only, m bytes/vector), ADC scoring against the broadcast query
+    LUTs, then exact rerank of the top ``rerank_depth`` candidates against
+    ``corpus`` (pass the source table; omit it to return raw ADC scores).
+    Crash artifacts self-heal first and tombstoned ids are excluded — the
+    same serving contract as ``ann_query_indexed``/``bm25_query_indexed``.
+    Output: (query_id, rank, neighbor_id, score)."""
+    import json
+    import os
+
+    from clickhousedatamocker_spark.operators.index_maint import (
+        exclude_tombstoned,
+        recover_index,
+    )
+    from clickhousedatamocker_spark.operators.similarity import with_probe_cids
+
+    recover_index(spark, path)
+    with open(os.path.join(path, "_pq_meta.json")) as fh:
+        meta = json.load(fh)
+    centroids, codebooks, id_col = meta["centroids"], meta["codebooks"], meta["id_col"]
+
+    q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
+    q = with_probe_cids(q, "qv", centroids, nprobe, "__probes")
+    q = _query_lut(q, codebooks, "qv")
+    q = q.withColumn("bucket", F.explode("__probes")).drop("__probes")
+    probed = sorted({r["bucket"] for r in q.select("bucket").distinct().collect()})
+
+    c = exclude_tombstoned(
+        spark,
+        path,
+        spark.read.parquet(path).filter(F.col("bucket").isin(probed)),
+        id_col,
+    ).select(F.col(id_col).alias("neighbor_id"), "bucket", F.col("pq_code").alias("__codes"))
+
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "qv",
+            _adc_score(F.col("__codes"), F.col("__lut")).alias("adc"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.col("neighbor_id"))
+    depth = max(k, rerank_depth)
+    top = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= depth)
+    if rerank_depth <= 0 or corpus is None:
+        return top.filter(F.col("rank") <= k).select(
+            "query_id", "rank", "neighbor_id", F.round("adc", 6).alias("score")
+        )
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"))
+    exact = top.select("query_id", "neighbor_id", "qv").join(cv, "neighbor_id").select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("score"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score")
+    )

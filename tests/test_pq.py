@@ -161,3 +161,69 @@ def test_pq_xengine_plan_is_jvm_side(spark, emb):
     )
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_build_pq_index_and_query_matches_ivfpq(spark, emb, books, tmp_path):
+    """The persisted IVF-PQ index (codes-only buckets + sidecars) serves
+    the same reranked top-k as the in-memory ivfpq_topk under the same
+    codebooks; the scan reads only probed bucket partitions
+    (PartitionFilters), appends are O(batch), and tombstoned vectors
+    disappear from results."""
+    from clickhousedatamocker_spark.operators.pq import (
+        build_pq_index,
+        pq_query_indexed,
+    )
+
+    centroids = ivf_train(emb, n_centroids=4, n_iters=2, seed=7)
+    path = str(tmp_path / "pqidx")
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    build_pq_index(first, path, centroids, books)
+    build_pq_index(rest, path, centroids, books, mode="append")
+
+    q = emb.filter(F.col("vec_id") < 3)
+    served = pq_query_indexed(
+        spark, path, q, corpus=emb, k=10, nprobe=4, rerank_depth=40
+    )
+    direct = ivfpq_topk(
+        emb, q, centroids, books, k=10, nprobe=4, rerank_depth=40
+    )
+    a = sorted(tuple(r) for r in served.collect())
+    b = sorted(tuple(r) for r in direct.collect())
+    assert a == b and a
+
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "CartesianProduct" not in plan
+
+    # delete -> excluded from serving; optimize purges physically
+    from clickhousedatamocker_spark.operators.index_maint import (
+        optimize_index,
+        write_tombstones,
+    )
+
+    victims = sorted({r[2] for r in a})[:2]
+    write_tombstones(spark, path, victims, "vec_id")
+    after = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_query_indexed(
+            spark, path, q, corpus=emb, k=10, nprobe=4, rerank_depth=40
+        ).collect()
+    }
+    assert not any(n in victims for _, n in after)
+    res = optimize_index(spark, path)
+    assert res["tombstones_purged"] == 2
+    assert spark.read.parquet(path).filter(F.col("vec_id").isin(victims)).count() == 0
+
+    # parameter drift on append refuses loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="different parameters"):
+        build_pq_index(rest, path, centroids, fixed_pq_codebooks_drift(), mode="append")
+
+
+def fixed_pq_codebooks_drift():
+    from clickhousedatamocker_spark.operators.pq import fixed_pq_codebooks
+
+    cb = fixed_pq_codebooks(DIM, 8, 8)
+    cb[0][0][0] += 1.0
+    return cb
