@@ -385,3 +385,189 @@ def split_corpus_oracle_sql(fractions: dict[str, float], id_expr: str = "doc_id"
         upper += fractions[name]
         whens.append(f"WHEN {key} < {upper!r} THEN '{name}'")
     return "CASE " + " ".join(whens) + f" ELSE '{names[-1]}' END"
+
+
+# ---------------------------------------------------------------------------
+# weighted reservoir sampling (Efraimidis & Spirtes 2006, A-ES)
+
+def _salt_multiplier(salt: int) -> int:
+    """Map a salt to a nonzero multiplier in [1, _SP - 1]."""
+    return int(salt) % (_SP - 1) + 1
+
+
+def _uniform_01_excl0(id_col: Column, salt: int) -> Column:
+    """Deterministic pseudo-uniform u in (0, 1): Lehmer(id) is multiplied by
+    a per-salt constant mod the prime, then Lehmer-mixed again; +1 keeps
+    ln(u) finite. The salt enters MULTIPLICATIVELY (classic universal-hash
+    family), not additively: an additive offset makes u affine in salt, so
+    two documents' draw streams are parallel lines mod p — correlated
+    draws that visibly bias A-ES inclusion frequencies. Multiplying the
+    already-mixed value by salt-dependent m ∈ [1, p-1] scrambles
+    BETWEEN-document differences per salt. Overflow-safe: both factors are
+    < p ≈ 2^31, so the product stays < 2^62 in int64."""
+    v = F.pmod(_sample_key_int(id_col) * F.lit(_salt_multiplier(salt)), F.lit(_SP))
+    return (_sample_key_int(v) + F.lit(1)).cast("double") / F.lit(float(_SP + 1))
+
+
+def _uniform_01_excl0_oracle_sql(id_expr: str, salt: int) -> str:
+    """DuckDB twin of :func:`_uniform_01_excl0` — keep in lockstep."""
+    v = f"(({sample_key_int_oracle_sql(id_expr)}) * {_salt_multiplier(salt)} % {_SP})"
+    return f"(({sample_key_int_oracle_sql(v)} + 1) / {float(_SP + 1)!r})"
+
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str = "quality",
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the Efraimidis–Spirtes
+    exponential-key reservoir (A-ES): each row gets key = ln(u) / w with a
+    deterministic per-(id, salt) uniform u ∈ (0, 1), and the sample is the
+    top-``n`` rows by key. This draws row i into an n-sample with the
+    exact probabilities of sequential weighted sampling without
+    replacement (Efraimidis & Spirtes 2006, IPL 97(5) — the keys
+    u^(1/w) are rank-equivalent to ln(u)/w).
+
+    Determinism: u comes from the engine-portable Lehmer hash of
+    (id, salt), so (corpus, n, salt) fully determines the sample on any
+    engine, run, or partitioning — distinct salts give independent draws.
+    Monotone: raising one row's weight (same salt) can only keep or add
+    it, never evict it (ln(u) < 0, so key grows with w; other keys are
+    untouched).
+
+    Scale shape: one map-side key column + ONE top-n
+    (TakeOrderedAndProject — per-partition heaps of n, no global sort,
+    no shuffle of the corpus). Rows with NULL or non-positive weight are
+    excluded (ln(u)/w flips sign at w<0 — they'd outrank everything).
+
+    Caveat for cross-engine twins: ln() is not guaranteed correctly
+    rounded, so Spark and DuckDB could disagree when two keys sit within
+    1 ulp; with 31-bit uniforms the boundary tie is measure-zero and the
+    fixed-seed tests pin the observed agreement.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    w = F.col(weight_col).cast("double")
+    key = F.log(_uniform_01_excl0(F.col(id_col), salt)) / w
+    return (
+        df.filter(w.isNotNull() & (w > 0))
+        .withColumn("__aes_key", key)
+        .orderBy(F.desc("__aes_key"), F.col(id_col))
+        .limit(n)
+        .drop("__aes_key")
+    )
+
+
+def weighted_sample_oracle_sql(
+    n: int,
+    weight_expr: str = "quality",
+    id_expr: str = "doc_id",
+    salt: int = 0,
+    from_clause: str = "documents",
+    select: str = "*",
+) -> str:
+    """DuckDB twin of :func:`weighted_sample` (same key, same tiebreak)."""
+    u = _uniform_01_excl0_oracle_sql(id_expr, salt)
+    w = f"CAST({weight_expr} AS DOUBLE)"
+    return (
+        f"SELECT {select} FROM {from_clause} "
+        f"WHERE {w} IS NOT NULL AND {w} > 0 "
+        f"ORDER BY ln({u}) / {w} DESC, {id_expr} LIMIT {n}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# epoch mixture: per-domain repeat factors against a token budget
+
+def epoch_mixture_plan(
+    df: DataFrame,
+    weights: dict[str, float],
+    budget_tokens: int,
+    domain_col: str = "source",
+    token_col: str = "n_tokens",
+    max_epochs: float = 16.0,
+) -> dict[str, float]:
+    """Solve the per-domain epoch counts for a token-budget mixture — the
+    Llama/GPT-style data recipe where high-value domains repeat (epoch > 1)
+    and low-value ones subsample (epoch < 1): domain d should contribute
+    ``budget_tokens * weights[d] / sum(weights)`` tokens, so its epoch
+    count is target_tokens / observed_tokens, clamped to (0, max_epochs]
+    (the cap encodes the diminishing-returns evidence against many repeats
+    — Muennighoff et al. 2023 find ~4 epochs near-lossless, 16+ wasteful).
+
+    Driver state: ONE row per domain (the token totals) — bounded by the
+    domain vocabulary, never the corpus. Domains absent from ``weights``
+    get epoch 0 (dropped by :func:`epoch_mixture`).
+    """
+    if budget_tokens <= 0:
+        raise ValueError(f"budget_tokens must be positive, got {budget_tokens}")
+    z = sum(weights.values())
+    if z <= 0:
+        raise ValueError("weights must have a positive sum")
+    totals = {
+        r[domain_col]: r["tok"]
+        for r in df.groupBy(domain_col).agg(F.sum(token_col).alias("tok")).collect()
+    }
+    plan: dict[str, float] = {}
+    for d, want in weights.items():
+        have = totals.get(d, 0)
+        if have and have > 0:
+            plan[d] = min(float(max_epochs), budget_tokens * (want / z) / have)
+    return plan
+
+
+def epoch_mixture(
+    df: DataFrame,
+    epochs: dict[str, float],
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize a fractional-epoch mixture: a document in domain d with
+    epoch count e appears floor(e) times always, plus once more iff its
+    deterministic sample key falls under frac(e) — so every domain lands
+    within one document of its planned token share, replayably. Output
+    adds an ``epoch`` column (0-based copy index); training shards can
+    shuffle on (id, epoch).
+
+    Exactly cross-engine: e is a driver literal, floor/frac of a literal
+    are exact, and the key is the portable Lehmer uniform — a DuckDB twin
+    reproduces the mixture hash-identically (no transcendentals here,
+    unlike :func:`weighted_sample`).
+
+    Scale shape: one CASE-derived column + explode(sequence(...)) — linear
+    in OUTPUT rows, zero shuffle, no driver row state. Domains absent from
+    ``epochs`` (or with epoch <= 0) are dropped.
+    """
+    e_expr = F.lit(0.0)
+    for d, e in epochs.items():
+        e_expr = F.when(F.col(domain_col) == d, F.lit(float(e))).otherwise(e_expr)
+    full = F.floor(e_expr).cast("int")
+    frac = e_expr - F.floor(e_expr)
+    extra = (_sample_key(F.col(id_col)) < frac).cast("int")
+    n_copies = (full + extra).alias("__n_copies")
+    out = df.withColumn("__n_copies", n_copies).filter(F.col("__n_copies") >= 1)
+    return out.withColumn(
+        "epoch", F.explode(F.sequence(F.lit(0), F.col("__n_copies") - 1))
+    ).drop("__n_copies")
+
+
+def epoch_mixture_oracle_sql(
+    epochs: dict[str, float],
+    domain_col: str = "source",
+    id_expr: str = "doc_id",
+    from_clause: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`epoch_mixture` (hash-exact: no transcendentals).
+    unnest() of an empty generate_series drops the row, matching the Spark
+    side's explicit ``__n_copies >= 1`` filter."""
+    whens = " ".join(f"WHEN {domain_col} = '{d}' THEN {float(e)!r}" for d, e in epochs.items())
+    e = f"(CASE {whens} ELSE 0.0 END)"
+    key = sample_key_oracle_sql(id_expr)
+    n_copies = f"(CAST(floor({e}) AS INT) + CASE WHEN {key} < {e} - floor({e}) THEN 1 ELSE 0 END)"
+    return (
+        f"SELECT * EXCLUDE (__n_copies), "
+        f"CAST(unnest(generate_series(0, __n_copies - 1)) AS INT) AS epoch "
+        f"FROM (SELECT *, {n_copies} AS __n_copies FROM {from_clause}) b"
+    )

@@ -2060,3 +2060,61 @@ def similarity_topk_pq(spark, sf_dir):
     return pq_topk_xengine(emb, q, fixed_pq_codebooks(64, 8, 8), k=10).orderBy(
         "query_id", "rank"
     )
+
+
+# -------------------------------------------------------------------------
+@register(
+    "sample_weighted_reservoir_profile",
+    None,  # rows-only (graded window full); fixed-seed DuckDB twin lives in
+    # tests/test_corpus_ops.py::test_weighted_sample_matches_duckdb
+    description="Efraimidis-Spirtes A-ES weighted sampling without "
+    "replacement: key = ln(u)/w with an engine-portable multiplicative-"
+    "salted Lehmer uniform, top-n via TakeOrderedAndProject (per-partition "
+    "heaps, no corpus shuffle). Deterministic per (corpus, n, salt); "
+    "inclusion probability and weight-monotonicity laws pinned in pytest.",
+)
+def sample_weighted_reservoir_profile(spark, sf_dir):
+    from clickhousedatamocker_spark.operators.corpus import weighted_sample
+
+    docs = t(spark, sf_dir, "documents")
+    return (
+        weighted_sample(docs, n=40, weight_col="n_chars", salt=3)
+        .select("doc_id", "source", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "mixture_epochs_profile",
+    None,  # rows-only (graded window full); hash-exact DuckDB twin lives in
+    # tests/test_corpus_ops.py::test_epoch_mixture_matches_duckdb
+    description="Llama-recipe epoch mixture: per-domain repeat factors "
+    "against a token budget (floor(e) full copies + deterministic "
+    "fractional epoch via the portable Lehmer key), materialized with "
+    "explode(sequence(...)) - zero shuffle, linear in OUTPUT rows, driver "
+    "state one row per domain. Token-accounting + cap laws in pytest.",
+)
+def mixture_epochs_profile(spark, sf_dir):
+    from clickhousedatamocker_spark.operators.corpus import (
+        epoch_mixture,
+        epoch_mixture_plan,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    plan = epoch_mixture_plan(
+        docs,
+        {"src0": 3.0, "src1": 1.0, "src2": 1.0},
+        budget_tokens=40_000,
+        token_col="n_chars",
+        max_epochs=8.0,
+    )
+    mixed = epoch_mixture(docs, plan)
+    return (
+        mixed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_chars").alias("n_chars_total"),
+            F.max("epoch").alias("max_epoch"),
+        )
+        .orderBy("source")
+    )

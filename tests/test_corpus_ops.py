@@ -537,3 +537,178 @@ def test_pipeline_select_dedup_pack_conserves_tokens(spark):
     rows = prof.collect()
     assert sum(r["n_tokens"] for r in rows) == doc_tokens
     assert set(prof.columns) == {"shard", "n_sequences", "n_tokens", "n_full"}
+
+
+# ---------------------------------------------------------------------------
+# weighted reservoir sampling (A-ES)
+
+
+def test_weighted_sample_matches_duckdb(spark, duck):
+    """Same ln(u)/w key, same tiebreak → same 40 documents in DuckDB (the
+    fixed-seed pin for the ulp caveat in the docstring)."""
+    from clickhousedatamocker_spark.operators.corpus import (
+        weighted_sample,
+        weighted_sample_oracle_sql,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = sorted(
+        r["doc_id"]
+        for r in weighted_sample(docs, n=40, weight_col="n_chars", salt=3).collect()
+    )
+    want = sorted(
+        r[0]
+        for r in duck.execute(
+            weighted_sample_oracle_sql(40, "n_chars", salt=3, select="doc_id")
+        ).fetchall()
+    )
+    assert got == want
+    assert len(got) == 40
+
+
+def test_weighted_sample_laws(spark):
+    """Size, determinism, weight-monotonicity, and the A-ES n=1 inclusion
+    probability (selection frequency across salts tracks w_i / sum(w))."""
+    from clickhousedatamocker_spark.operators.corpus import weighted_sample
+
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate([1.0, 2.0, 4.0, 0.0, -1.0, None])],
+        "doc_id: long, w: double",
+    )
+    # non-positive / NULL weights never selected, even with n > candidates
+    got = weighted_sample(docs, n=10, weight_col="w")
+    ids = {r["doc_id"] for r in got.collect()}
+    assert ids == {0, 1, 2}
+
+    # determinism: same salt → same sample; distinct salts → eventually differs
+    big = spark.range(200).withColumn("w", (F.col("id") % 7 + 1).cast("double"))
+    a = sorted(r["id"] for r in weighted_sample(big, 20, "w", id_col="id", salt=1).collect())
+    b = sorted(r["id"] for r in weighted_sample(big, 20, "w", id_col="id", salt=1).collect())
+    assert a == b
+    assert len(a) == 20
+    c = sorted(r["id"] for r in weighted_sample(big, 20, "w", id_col="id", salt=2).collect())
+    assert a != c
+
+    # monotone: raising a selected row's weight keeps it selected
+    boosted = big.withColumn(
+        "w", F.when(F.col("id") == a[0], F.col("w") * 100).otherwise(F.col("w"))
+    )
+    a2 = {r["id"] for r in weighted_sample(boosted, 20, "w", id_col="id", salt=1).collect()}
+    assert a[0] in a2
+
+    # n=1 inclusion probability: P(i) = w_i / sum(w) exactly under A-ES.
+    # One Spark job: compute the per-salt winner for 600 salts in one pass
+    # (same key arithmetic as weighted_sample, argmax per salt).
+    trials = 600
+    three = spark.createDataFrame(
+        [(11, 1.0), (22, 2.0), (33, 5.0)], "doc_id: long, w: double"
+    )
+    salted = three.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(trials - 1)))
+    )
+    # _uniform_01_excl0 takes a literal salt; inline its arithmetic with the
+    # salt COLUMN instead (same constants) for the sweep
+    from clickhousedatamocker_spark.operators.corpus import _SP, _sample_key_int
+
+    m = F.pmod(F.col("salt"), F.lit(_SP - 1)) + F.lit(1)
+    v = F.pmod(_sample_key_int(F.col("doc_id")) * m, F.lit(_SP))
+    u = (_sample_key_int(v) + F.lit(1)).cast("double") / F.lit(float(_SP + 1))
+    keyed = salted.withColumn("key", F.log(u) / F.col("w"))
+    winners = (
+        keyed.groupBy("salt")
+        .agg(F.max_by("doc_id", "key").alias("winner"))
+        .groupBy("winner")
+        .count()
+        .collect()
+    )
+    freq = {r["winner"]: r["count"] / trials for r in winners}
+    assert abs(freq.get(11, 0) - 1 / 8) < 0.06
+    assert abs(freq.get(22, 0) - 2 / 8) < 0.07
+    assert abs(freq.get(33, 0) - 5 / 8) < 0.08
+
+
+# ---------------------------------------------------------------------------
+# epoch mixture
+
+
+def test_epoch_mixture_matches_duckdb(spark, duck):
+    """Hash-exact cross-engine: floor/frac of literal epochs + the portable
+    Lehmer key — every (doc_id, epoch) pair identical in DuckDB."""
+    from clickhousedatamocker_spark.operators.corpus import (
+        epoch_mixture,
+        epoch_mixture_oracle_sql,
+    )
+
+    epochs = {"src0": 2.5, "src1": 1.0, "src2": 0.25, "src3": 3.0}
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = sorted(
+        (r["doc_id"], r["epoch"])
+        for r in epoch_mixture(docs, epochs).select("doc_id", "epoch").collect()
+    )
+    want = sorted(
+        (r[0], r[1])
+        for r in duck.execute(
+            "SELECT doc_id, epoch FROM ("
+            + epoch_mixture_oracle_sql(epochs)
+            + ")"
+        ).fetchall()
+    )
+    assert got == want
+    assert len(got) > 0
+    # integer epochs replicate exactly: every src1 doc once, every src3 doc
+    # three times (copies 0..2)
+    by_doc = {}
+    for d, e in got:
+        by_doc.setdefault(d, []).append(e)
+    src1_ids = {r["doc_id"] for r in docs.filter(F.col("source") == "src1").collect()}
+    src3_ids = {r["doc_id"] for r in docs.filter(F.col("source") == "src3").collect()}
+    for d in src1_ids:
+        assert by_doc[d] == [0]
+    for d in src3_ids:
+        assert sorted(by_doc[d]) == [0, 1, 2]
+    # absent domains are dropped
+    assert all(
+        r["source"] in epochs
+        for r in epoch_mixture(docs, epochs).select("source").distinct().collect()
+    )
+
+
+def test_epoch_mixture_plan_token_accounting(spark):
+    """plan → apply: realized per-domain tokens land within one document of
+    the budget share, and the max_epochs cap binds."""
+    from clickhousedatamocker_spark.operators.corpus import (
+        epoch_mixture,
+        epoch_mixture_plan,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    weights = {"src0": 3.0, "src1": 1.0}
+    budget = 30_000
+    plan = epoch_mixture_plan(
+        docs, weights, budget_tokens=budget, token_col="n_chars", max_epochs=16.0
+    )
+    assert set(plan) == {"src0", "src1"}
+    mixed = epoch_mixture(docs, plan)
+    realized = {
+        r["source"]: r["tok"]
+        for r in mixed.groupBy("source").agg(F.sum("n_chars").alias("tok")).collect()
+    }
+    # each domain within ~2 max-documents of its target share
+    max_doc = max(r["n_chars"] for r in docs.select("n_chars").collect())
+    for d, want_w in weights.items():
+        target = budget * want_w / sum(weights.values())
+        assert abs(realized[d] - target) <= 2 * max_doc, (d, realized[d], target)
+
+    # cap binds: a huge budget cannot repeat more than max_epochs times
+    capped = epoch_mixture_plan(
+        docs, weights, budget_tokens=10**9, token_col="n_chars", max_epochs=4.0
+    )
+    assert all(e == 4.0 for e in capped.values())
+    n_copies = (
+        epoch_mixture(docs.filter(F.col("source") == "src0"), capped)
+        .groupBy("doc_id")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert n_copies == 4
