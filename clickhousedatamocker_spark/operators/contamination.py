@@ -74,3 +74,56 @@ def contamination_check(
             (F.coalesce("n_overlapping_grams", F.lit(0)) >= min_overlap).alias("contaminated"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom prefilter: the scale path when the test gram set outgrows a
+# comfortable broadcast-join set (operators/membership.py holds the filter)
+
+
+def gram_bloom(
+    test: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    fpp: float = 0.001,
+    seed: int = 7,
+) -> dict:
+    """Bloom filter over the test set's DISTINCT gram hashes — ~14 bits per
+    gram at 0.1% FPP vs 64 for the exact broadcast set, and the probe side
+    never joins or shuffles. Build once per eval suite, reuse across
+    corpus snapshots (:func:`~clickhousedatamocker_spark.operators.membership.bloom_merge`
+    unions suites)."""
+    from clickhousedatamocker_spark.operators.membership import build_bloom
+
+    grams = _gram_hashes(test, id_col, text_col, n).select("__gh").distinct()
+    return build_bloom(grams, "__gh", fpp=fpp, seed=seed)
+
+
+def contamination_prefilter(
+    train: DataFrame,
+    model: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Keep only train documents whose MAYBE-overlapping distinct-gram count
+    reaches ``min_overlap`` — a strict superset of the truly contaminated
+    (Bloom filters have no false negatives), so
+    ``contamination_check(prefiltered, test)`` equals the exact check on
+    the survivors and everything dropped is guaranteed clean. At 100 TB
+    this is the shape that matters: the full corpus sees only a map-side
+    probe + one per-doc aggregate; the (expensive) exact confirm runs on
+    the contaminated sliver."""
+    from clickhousedatamocker_spark.operators.membership import bloom_contains
+
+    tr = _gram_hashes(train, id_col, text_col, n)
+    probed = bloom_contains(tr, model, "__gh", "__maybe")
+    survivors = (
+        probed.groupBy(id_col)
+        .agg(F.count_distinct(F.when(F.col("__maybe"), F.col("__gh"))).alias("__maybe_grams"))
+        .filter(F.col("__maybe_grams") >= min_overlap)
+        .select(id_col)
+    )
+    return train.join(survivors, id_col, "semi")

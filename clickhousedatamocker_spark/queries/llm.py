@@ -2118,3 +2118,29 @@ def mixture_epochs_profile(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "contamination_bloom_prefilter_profile",
+    None,  # rows-only (xxhash64 bitmap not DuckDB-computable); the
+    # prefilter==exact identity is pinned in
+    # tests/test_membership.py::test_contamination_prefilter_equals_exact
+    description="Decontamination at scale: Bloom-filter gram prefilter "
+    "(~14 bits/gram at 0.1% FPP vs 64 for the exact broadcast set, "
+    "map-only probe, no shuffle) ahead of the exact n-gram overlap "
+    "check - no false negatives, so prefilter->exact == exact. The "
+    "corpus side sees one Arrow probe + one per-doc aggregate; the "
+    "exact confirm runs on the contaminated sliver only.",
+)
+def contamination_bloom_prefilter_profile(spark, sf_dir):
+    from clickhousedatamocker_spark.operators.contamination import (
+        contamination_check,
+        contamination_prefilter,
+        gram_bloom,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    test = docs.filter(F.col("doc_id") % 100 < 3)  # deterministic eval suite
+    model = gram_bloom(test, n=8, fpp=0.001)
+    pre = contamination_prefilter(docs, model, n=8, min_overlap=1)
+    return contamination_check(pre, test, n=8, min_overlap=1).orderBy("doc_id")
