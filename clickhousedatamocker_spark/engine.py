@@ -16,7 +16,11 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from clickhousedatamocker_spark.functions.geo import register_python_functions
+from clickhousedatamocker_spark.functions.geo import (
+    register_batch23_functions,
+    register_python_functions,
+)
+from clickhousedatamocker_spark.functions.stats import register_stats_functions
 from clickhousedatamocker_spark.functions.scalar import register_sql_functions
 from clickhousedatamocker_spark.plans.catalog import Catalog, TableHandle
 from clickhousedatamocker_spark.plans.flow_control import FlowController
@@ -97,6 +101,8 @@ class Engine:
         self.clusters = {"default": 1, **(clusters or {})}
         register_sql_functions(spark)
         register_python_functions(spark)
+        register_batch23_functions(spark)
+        register_stats_functions(spark)
 
     # -- connectivity probe (setup.sh:94-99) ------------------------------
     def probe(self) -> bool:

@@ -1595,17 +1595,13 @@ _PARAMETRIC.update(
             "explode (start,+1),(end,-1) events, running-sum window ordered "
             "by position, argmax of the running sum",
         ),
-        "damerauLevenshteinDistance": _pm_gate(
-            "damerauLevenshteinDistance",
-            "use editDistance (plain Levenshtein) - the transposition-aware "
-            "DP has no Spark builtin",
-        ),
-        "jaroSimilarity": _pm_gate(
-            "jaroSimilarity", "no Spark builtin; use editDistance or soundex"
-        ),
-        "jaroWinklerSimilarity": _pm_gate(
-            "jaroWinklerSimilarity", "no Spark builtin; use editDistance or soundex"
-        ),
+        # batch 23: the former "needs a UDF" gates, now Arrow UDFs
+        # (functions/geo.py register_batch23_functions). The DL variant is
+        # optimal-string-alignment (each substring edited once) — differs
+        # from unrestricted DL only on cases like CA→ABC (3 vs 2).
+        "damerauLevenshteinDistance": _pm_2arg_fa("chDamerauLevenshtein({f}, {a})"),
+        "jaroSimilarity": _pm_2arg_fa("chJaroSimilarity({f}, {a})"),
+        "jaroWinklerSimilarity": _pm_2arg_fa("chJaroWinkler({f}, {a})"),
     }
 )
 
@@ -1741,18 +1737,16 @@ _PARAMETRIC.update(
             "bit-level substrings have no Spark builtin; shift/mask integer "
             "columns or use substr for byte granularity",
         ),
-        "punycodeEncode": _pm_gate(
-            "punycodeEncode", "no Spark builtin; IDNA handling needs a UDF"
-        ),
-        "punycodeDecode": _pm_gate(
-            "punycodeDecode", "no Spark builtin; IDNA handling needs a UDF"
-        ),
-        "idnaEncode": _pm_gate(
-            "idnaEncode", "no Spark builtin; IDNA handling needs a UDF"
-        ),
-        "idnaDecode": _pm_gate(
-            "idnaDecode", "no Spark builtin; IDNA handling needs a UDF"
-        ),
+        # batch 23: stdlib punycode/idna codecs over Arrow batches. Failure
+        # convention deviates from CH (which THROWS on the non-try forms):
+        # the plain forms return NULL and the try* forms CH's '' — a throw
+        # inside a vectorized batch would fail the whole query for one row
+        "punycodeEncode": _pm_1arg("chPunycodeEncode({x})"),
+        "punycodeDecode": _pm_1arg("chPunycodeDecode({x})"),
+        "tryPunycodeDecode": _pm_1arg("coalesce(chPunycodeDecode({x}), '')"),
+        "idnaEncode": _pm_1arg("chIdnaEncode({x})"),
+        "idnaDecode": _pm_1arg("chIdnaDecode({x})"),
+        "tryIdnaEncode": _pm_1arg("coalesce(chIdnaEncode({x}), '')"),
         "groupArrayInsertAt": _pm_gate(
             "groupArrayInsertAt",
             "collect (pos, x) with collect_list(struct(pos, x)), dedupe "
@@ -1919,11 +1913,7 @@ _PARAMETRIC.update(
             "compute per-group means/variances with avgIf/varSampIf and "
             "assemble the F statistic over the grouped counts",
         ),
-        "meanZTest": _pm_gate(
-            "meanZTest",
-            "compute the z statistic from avgIf/countIf per population "
-            "with the given variances",
-        ),
+        # meanZTest: implemented in batch 23 (_PARAMETRIC2, two-group form)
         "rankCorr": _pm_gate(
             "rankCorr",
             "Spearman = corr of ranks: rank() OVER (ORDER BY x), rank() "
@@ -2743,25 +2733,9 @@ _PARAMETRIC.update(
         "emptyArrayToSingle": _pm_1arg(
             "(CASE WHEN size({x}) = 0 THEN array(if(false, element_at({x}, 1), NULL)) ELSE {x} END)"
         ),
-        # statistical-test family: the p-values need incomplete-beta /
-        # rank-distribution CDFs with no SQL spelling; refuse with the
-        # moment-aggregate recipe instead of returning a fake p
-        "studentTTest": _pm_stats_test_refusal(
-            "studentTTest",
-            "compute t from avgIf/varSampIf/countIf per group and look up p offline",
-        ),
-        "welchTTest": _pm_stats_test_refusal(
-            "welchTTest",
-            "compute t from avgIf/varSampIf/countIf per group and look up p offline",
-        ),
-        "mannWhitneyUTest": _pm_stats_test_refusal(
-            "mannWhitneyUTest",
-            "rank with row_number() OVER (ORDER BY value), sum ranks per group",
-        ),
-        "largestTriangleThreeBuckets": _pm_stats_test_refusal(
-            "largestTriangleThreeBuckets",
-            "downsample with groupArray + an offline LTTB pass",
-        ),
+        # statistical-test family: implemented in batch 23 — exact SQL
+        # statistics + per-group Arrow p-value UDFs (_PARAMETRIC2 entries;
+        # functions/stats.py holds the special functions)
     }
 )
 
@@ -2921,15 +2895,8 @@ _PARAMETRIC.update(
         "wordShingleSimHash": _pm_simhash(_word_shingle_hashes),
         "corrMatrix": _pm_corr_matrix,
         "arrayRandomSample": _pm_2arg_fa("slice(shuffle({f}), 1, {a})"),
-        "proportionsZTest": _pm_stats_test_refusal(
-            "proportionsZTest",
-            "compute z from countIf totals and the p-value via erfc(|z|/sqrt(2))",
-        ),
-        "kolmogorovSmirnovTest": _pm_stats_test_refusal(
-            "kolmogorovSmirnovTest",
-            "the KS p-value distribution has no SQL spelling; rank with "
-            "window functions and evaluate D offline",
-        ),
+        # proportionsZTest / kolmogorovSmirnovTest: implemented in batch 23
+        # (proportionsZTest below; KS via _PARAMETRIC2 + chKSTest)
     }
 )
 
@@ -3684,6 +3651,344 @@ _PARAMETRIC.update(
 )
 
 
+# ---------------------------------------------------------------------------
+# vocab batch 23 (probe-driven, round 8): the hypothesis-test family with
+# REAL p-values (exact SQL statistics + per-group Arrow CDF UDFs from
+# functions/stats.py), string-distance and codec UDF routing
+# (functions/geo.py register_batch23_functions), Morton codes, standard-SQL
+# type aliases, and loud gates for the window-decay forms.
+
+
+def _lit_float23(arg: str, fn: str) -> float:
+    m = re.fullmatch(r"[-+]?(\d+\.?\d*|\.\d+)([eE][-+]?\d+)?", arg.strip())
+    if not m:
+        raise NotImplementedError(
+            f"{fn} needs literal numeric arguments (got {arg!r}) - the normal "
+            "quantiles are computed at translation time"
+        )
+    return float(arg)
+
+
+def _two_group_moments(v: str, i: str) -> tuple[str, ...]:
+    """(n0, m0, v0, n1, m1, v1) aggregate spellings for the two-sample test
+    family: index 0 vs everything else, NULL sample values skipped (the
+    CASE projects non-members to NULL, which count/avg/var_samp ignore)."""
+    x0 = f"(CASE WHEN CAST(({i}) AS INT) = 0 THEN CAST(({v}) AS DOUBLE) END)"
+    x1 = f"(CASE WHEN CAST(({i}) AS INT) <> 0 THEN CAST(({v}) AS DOUBLE) END)"
+    return (
+        f"count({x0})",
+        f"avg({x0})",
+        f"var_samp({x0})",
+        f"count({x1})",
+        f"avg({x1})",
+        f"var_samp({x1})",
+    )
+
+
+def _pm2_student_ttest(params: list[str] | None, args: list[str]) -> str:
+    """studentTTest(sample_data, sample_index) → (t_statistic, p_value).
+    Pooled-variance two-sample t; every moment is an algebraic aggregate
+    (no collected state) and the p-value is one incomplete-beta UDF call
+    per GROUP. The (confidence)(…) CI form is refused (needs the inverse
+    t CDF; the t statistic + moments are all there to compute it offline)."""
+    if params is not None:
+        raise NotImplementedError(
+            "studentTTest(confidence)(...) CI form is not shimmed - compute "
+            "the CI offline from t_statistic and the avg/var aggregates"
+        )
+    if len(args) != 2:
+        raise NotImplementedError("studentTTest expects (sample_data, sample_index)")
+    n0, m0, v0, n1, m1, v1 = _two_group_moments(*args)
+    df = f"({n0} + {n1} - 2)"
+    sp2 = f"((({n0} - 1) * {v0} + ({n1} - 1) * {v1}) / {df})"
+    t = f"((({m0}) - ({m1})) / sqrt({sp2} * (1.0D / {n0} + 1.0D / {n1})))"
+    return (
+        f"named_struct('t_statistic', {t}, "
+        f"'p_value', chStudentTP({t}, CAST({df} AS DOUBLE)))"
+    )
+
+
+def _pm2_welch_ttest(params: list[str] | None, args: list[str]) -> str:
+    """welchTTest: unequal-variance t with the Welch–Satterthwaite df."""
+    if params is not None:
+        raise NotImplementedError(
+            "welchTTest(confidence)(...) CI form is not shimmed - compute "
+            "the CI offline from t_statistic and the avg/var aggregates"
+        )
+    if len(args) != 2:
+        raise NotImplementedError("welchTTest expects (sample_data, sample_index)")
+    n0, m0, v0, n1, m1, v1 = _two_group_moments(*args)
+    a = f"({v0} / {n0})"
+    b = f"({v1} / {n1})"
+    t = f"((({m0}) - ({m1})) / sqrt({a} + {b}))"
+    df = (
+        f"(power({a} + {b}, 2) / "
+        f"(power({a}, 2) / ({n0} - 1) + power({b}, 2) / ({n1} - 1)))"
+    )
+    return f"named_struct('t_statistic', {t}, 'p_value', chStudentTP({t}, {df}))"
+
+
+def _pm2_mean_ztest(params: list[str] | None, args: list[str]) -> str:
+    """meanZTest(pop_var_x, pop_var_y, confidence)(data, index) →
+    (z_statistic, p_value, confidence_interval_low, confidence_interval_high).
+    The variances may be any SQL expressions; the confidence level must be
+    a literal (its normal quantile is computed at translation time)."""
+    if params is None or len(params) != 3:
+        raise NotImplementedError(
+            "meanZTest expects (pop_var_x, pop_var_y, confidence)(data, index)"
+        )
+    if len(args) != 2:
+        raise NotImplementedError("meanZTest expects (data, index) arguments")
+    from clickhousedatamocker_spark.functions.stats import inv_normal_cdf
+
+    conf = _lit_float23(params[2], "meanZTest")
+    if not (0.0 < conf < 1.0):
+        raise NotImplementedError("meanZTest confidence must be in (0, 1)")
+    zc = inv_normal_cdf(1.0 - (1.0 - conf) / 2.0)
+    n0, m0, _, n1, m1, _ = _two_group_moments(*args)
+    se = f"sqrt(CAST(({params[0]}) AS DOUBLE) / {n0} + CAST(({params[1]}) AS DOUBLE) / {n1})"
+    diff = f"(({m0}) - ({m1}))"
+    z = f"({diff} / {se})"
+    return (
+        f"named_struct('z_statistic', {z}, 'p_value', chNormal2P({z}), "
+        f"'confidence_interval_low', {diff} - {zc!r}D * {se}, "
+        f"'confidence_interval_high', {diff} + {zc!r}D * {se})"
+    )
+
+
+def _pm2_rank_test(fn_name: str, udf: str, methods: tuple[str, ...]):
+    """Shared shape for the rank tests (Mann–Whitney U, two-sample KS):
+    collect_list of (value, group) + ONE Arrow UDF per group. Per-group
+    aggregate state is O(group rows) — the same bound ClickHouse's own
+    implementations carry (their states hold every sample value too)."""
+
+    def rw(params: list[str] | None, args: list[str]) -> str:
+        if params is not None:
+            alt = params[0].strip().strip("'\"").lower()
+            if alt != "two-sided":
+                raise NotImplementedError(
+                    f"{fn_name}: only the 'two-sided' alternative is shimmed"
+                )
+            for p in params[1:]:
+                if p.strip().strip("'\"").lower() not in methods:
+                    raise NotImplementedError(
+                        f"{fn_name}: parameter {p!r} is not shimmed "
+                        f"(supported: {', '.join(methods)})"
+                    )
+        if len(args) != 2:
+            raise NotImplementedError(f"{fn_name} expects (sample_data, sample_index)")
+        v, i = args
+        pairs = (
+            f"collect_list(named_struct('v', CAST(({v}) AS DOUBLE), "
+            f"'g', CAST(CAST(({i}) AS INT) <> 0 AS INT)))"
+        )
+        return f"{udf}({pairs})"
+
+    return rw
+
+
+def _pm2_lttb(params: list[str] | None, args: list[str]) -> str:
+    """largestTriangleThreeBuckets(n)(x, y) → the Steinarsson 2013 sweep
+    over the x-sorted collected series (array of (x, y) structs — CH
+    returns an array of tuples, same shape)."""
+    if params is None or len(params) != 1 or len(args) != 2:
+        raise NotImplementedError(
+            "largestTriangleThreeBuckets expects (n)(x, y)"
+        )
+    x, y = args
+    pts = (
+        f"array_sort(collect_list(named_struct('x', CAST(({x}) AS DOUBLE), "
+        f"'y', CAST(({y}) AS DOUBLE))))"
+    )
+    return f"chLTTB({pts}, CAST({params[0]} AS INT))"
+
+
+def _pm_min_sample_size_conversion(args: list[str]) -> str:
+    """minSampleSizeConversion(baseline, mde, power, alpha) — the standard
+    two-proportion sample-size formula; all arguments must be literals
+    (the normal quantiles are evaluated at translation time). Matches the
+    public CH docs example to ~1e-9 relative (Acklam quantile precision)."""
+    if len(args) != 4:
+        raise NotImplementedError(
+            "minSampleSizeConversion expects (baseline, mde, power, alpha)"
+        )
+    from clickhousedatamocker_spark.functions.stats import inv_normal_cdf
+    import math as _math
+
+    base, mde, power, alpha = (
+        _lit_float23(a, "minSampleSizeConversion") for a in args
+    )
+    za = inv_normal_cdf(1.0 - alpha / 2.0)
+    zp = inv_normal_cdf(power)
+    p1, p2 = base, base + mde
+    pbar = (p1 + p2) / 2.0
+    n = (
+        za * _math.sqrt(2.0 * pbar * (1.0 - pbar))
+        + zp * _math.sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2))
+    ) ** 2 / mde**2
+    return (
+        f"named_struct('minimum_sample_size', {n!r}D, "
+        f"'detect_range_lower', {base - mde!r}D, "
+        f"'detect_range_upper', {base + mde!r}D)"
+    )
+
+
+def _pm_min_sample_size_continuous(args: list[str]) -> str:
+    """minSampleSizeContinuous(baseline, sigma, mde, power, alpha) — mde is
+    RELATIVE (CH contract); literals only, like the conversion form."""
+    if len(args) != 5:
+        raise NotImplementedError(
+            "minSampleSizeContinuous expects (baseline, sigma, mde, power, alpha)"
+        )
+    from clickhousedatamocker_spark.functions.stats import inv_normal_cdf
+
+    base, sigma, mde, power, alpha = (
+        _lit_float23(a, "minSampleSizeContinuous") for a in args
+    )
+    za = inv_normal_cdf(1.0 - alpha / 2.0)
+    zp = inv_normal_cdf(power)
+    n = 2.0 * sigma**2 * (za + zp) ** 2 / (mde * base) ** 2
+    return (
+        f"named_struct('minimum_sample_size', {n!r}D, "
+        f"'detect_range_lower', {base * (1.0 - mde)!r}D, "
+        f"'detect_range_upper', {base * (1.0 + mde)!r}D)"
+    )
+
+
+def _pm_proportions_ztest(args: list[str]) -> str:
+    """proportionsZTest(sx, sy, tx, ty, confidence, usevar) → (z_statistic,
+    p_value, ci_low, ci_high). Counts may be expressions; confidence must
+    be literal; usevar a literal 'pooled'/'unpooled'. The CI uses the
+    UNPOOLED standard error in both modes (the conventional Wald CI)."""
+    if len(args) not in (5, 6):
+        raise NotImplementedError(
+            "proportionsZTest expects (successes_x, successes_y, trials_x, "
+            "trials_y, confidence[, 'pooled'|'unpooled'])"
+        )
+    from clickhousedatamocker_spark.functions.stats import inv_normal_cdf
+
+    sx, sy, tx, ty = args[:4]
+    conf = _lit_float23(args[4], "proportionsZTest")
+    usevar = args[5].strip().strip("'\"").lower() if len(args) == 6 else "unpooled"
+    if usevar not in ("pooled", "unpooled"):
+        raise NotImplementedError("proportionsZTest usevar must be 'pooled' or 'unpooled'")
+    zc = inv_normal_cdf(1.0 - (1.0 - conf) / 2.0)
+    p1 = f"(CAST(({sx}) AS DOUBLE) / ({tx}))"
+    p2 = f"(CAST(({sy}) AS DOUBLE) / ({ty}))"
+    se_u = f"sqrt({p1} * (1 - {p1}) / ({tx}) + {p2} * (1 - {p2}) / ({ty}))"
+    if usevar == "pooled":
+        pp = f"(CAST(({sx}) + ({sy}) AS DOUBLE) / (({tx}) + ({ty})))"
+        se = f"sqrt({pp} * (1 - {pp}) * (1.0D / ({tx}) + 1.0D / ({ty})))"
+    else:
+        se = se_u
+    diff = f"({p1} - {p2})"
+    z = f"({diff} / {se})"
+    return (
+        f"named_struct('z_statistic', {z}, 'p_value', chNormal2P({z}), "
+        f"'confidence_interval_low', {diff} - {zc!r}D * {se_u}, "
+        f"'confidence_interval_high', {diff} + {zc!r}D * {se_u})"
+    )
+
+
+def _pm_morton_encode(args: list[str]):
+    """mortonEncode(c1[, ... c8]). The 2-D form DECLINES the rewrite — it
+    resolves to the exact JVM-fold SQL UDF registered in scalar.py (the
+    fast path and the pre-batch-23 surface). Other arities interleave via
+    the chMortonEncode Arrow UDF (loud per-row failure when a value
+    exceeds 63/n bits — silent wrap would be a wrong-answer trap)."""
+    if len(args) == 2:
+        return None  # keep the JVM mortonEncode(a, b)
+    if not 1 <= len(args) <= 8:
+        raise NotImplementedError("mortonEncode expects 1..8 coordinates")
+    arr = "array(" + ", ".join(f"CAST(({a}) AS BIGINT)" for a in args) + ")"
+    return f"chMortonEncode({arr})"
+
+
+def _pm_morton_decode23(args: list[str]) -> str:
+    """mortonDecode(n, code). The 2-D forms keep the original JVM-side
+    mortonDecode2D SQL-UDF path and its STRUCT shape (pre-batch-23
+    goldens pin it; the bare (code) form means 2-D); other dimensions
+    decode via the chMortonDecode Arrow UDF and return an ARRAY of n
+    coordinates (CH returns a tuple — documented shape deviation that
+    keeps the decode to ONE UDF call)."""
+    if len(args) == 1:
+        return f"mortonDecode2D({args[0]})"
+    if len(args) == 2 and args[0].strip() == "2":
+        return f"mortonDecode2D({args[1]})"
+    if len(args) == 2:
+        return f"chMortonDecode(CAST({args[0]} AS INT), CAST(({args[1]}) AS BIGINT))"
+    raise NotImplementedError("mortonDecode expects (n, code)")
+
+
+_PARAMETRIC.update(
+    {
+        # UTF8-codepoint edit distances: Spark's levenshtein is already
+        # codepoint-based, exactly CH's *UTF8 semantics
+        "editDistanceUTF8": _pm_2arg_fa("levenshtein({f}, {a})"),
+        "levenshteinDistanceUTF8": _pm_2arg_fa("levenshtein({f}, {a})"),
+        "base32Encode": _pm_1arg("chBase32Encode({x})"),
+        "base32Decode": _pm_1arg("chBase32Decode({x})"),
+        "tryBase32Decode": _pm_1arg("coalesce(chBase32Decode({x}), '')"),
+        "encodeURLFormComponent": _pm_1arg("chFormURLEncode({x})"),
+        "decodeURLFormComponent": _pm_1arg("chFormURLDecode({x})"),
+        # nowInBlock(): per-block evaluation is meaningless here — plain now()
+        "nowInBlock": lambda args: "current_timestamp()",
+        "mortonEncode": _pm_morton_encode,
+        "mortonDecode": _pm_morton_decode23,
+        "minSampleSizeConversion": _pm_min_sample_size_conversion,
+        "minSampleSizeContinuous": _pm_min_sample_size_continuous,
+        "proportionsZTest": _pm_proportions_ztest,
+    }
+)
+
+# RFC-strict URL variants: the host parser here is already strict about
+# scheme/authority, so the RFC spellings alias the base forms
+for _rfc, _base in (
+    ("domainRFC", "domain"),
+    ("domainWithoutWWWRFC", "domainWithoutWWW"),
+    ("topLevelDomainRFC", "topLevelDomain"),
+    ("cutToFirstSignificantSubdomainRFC", "cutToFirstSignificantSubdomain"),
+    ("firstSignificantSubdomainRFC", "firstSignificantSubdomain"),
+    ("portRFC", "port"),
+):
+    if _base in _PARAMETRIC:
+        _PARAMETRIC[_rfc] = _PARAMETRIC[_base]
+
+# window-frame time decay: genuinely needs a frame-relative reference time;
+# the two-pass spelling is exact — gate with the recipe
+for _etd in (
+    "exponentialTimeDecayedSum",
+    "exponentialTimeDecayedAvg",
+    "exponentialTimeDecayedCount",
+    "exponentialTimeDecayedMax",
+):
+    _PARAMETRIC[_etd] = _pm_gate(
+        _etd,
+        "frame-relative decay has no direct Spark spelling; use the exact "
+        "two-pass form: tmax = max(t) OVER (frame), then aggregate "
+        "v * exp((t - tmax) / lambda) OVER (frame)",
+    )
+
+_PARAMETRIC2.update(
+    {
+        "studentTTest": _pm2_student_ttest,
+        "welchTTest": _pm2_welch_ttest,
+        "meanZTest": _pm2_mean_ztest,
+        "mannWhitneyUTest": _pm2_rank_test(
+            "mannWhitneyUTest", "chMannWhitneyU", ()
+        ),
+        "kolmogorovSmirnovTest": _pm2_rank_test(
+            "kolmogorovSmirnovTest", "chKSTest", ("asymptotic", "auto")
+        ),
+        "largestTriangleThreeBuckets": _pm2_lttb,
+    }
+)
+_PARAMETRIC2_RE = re.compile(
+    r"\b(" + "|".join(_PARAMETRIC2) + r")\s*\(", re.IGNORECASE
+)
+_PARAMETRIC2_LOWER = {k.lower(): v for k, v in _PARAMETRIC2.items()}
+
+
 def _pm_or_default(chty: str, body: str):
     """to<T>OrDefault(x, default) → coalesce(range-guarded try_cast,
     default) — the -OrNull machinery with a caller default. The 1-arg CH
@@ -4358,6 +4663,27 @@ _CH_TYPES: dict[str, T.DataType] = {
     "json": T.StringType(),  # CH's JSON object type: raw text here
 }
 
+# ClickHouse's documented standard-SQL type aliases (batch 23). Kept to the
+# common single-token spellings: every name added here is ALSO excluded as
+# a candidate field name in named-Tuple parsing (see the tuple branch), so
+# rare aliases that collide with plausible field names (text, byte, char)
+# are deliberately omitted.
+_CH_TYPES.update(
+    {
+        "tinyint": T.IntegerType(),
+        "smallint": T.IntegerType(),
+        "int": T.IntegerType(),
+        "integer": T.IntegerType(),
+        "mediumint": T.IntegerType(),
+        "bigint": T.LongType(),
+        "float": T.FloatType(),
+        "real": T.FloatType(),
+        "double": T.DoubleType(),
+        "varchar": T.StringType(),
+        "boolean": T.BooleanType(),
+    }
+)
+
 
 def _split_top(s: str, sep: str = ",") -> list[str]:
     """Split on ``sep`` at paren/bracket depth 0, outside string literals —
@@ -4405,8 +4731,11 @@ def parse_ch_type(tstr: str) -> tuple[T.DataType, bool]:
     if base == "array":
         inner, inner_null = parse_ch_type(args)
         return T.ArrayType(inner, inner_null), False
-    if base == "decimal":
-        p, sc = (int(x) for x in _split_top(args))
+    if base in ("decimal", "numeric", "dec"):
+        if args is None:
+            return T.DecimalType(10, 0), False  # bare NUMERIC: SQL default
+        parts = [int(x) for x in _split_top(args)]
+        p, sc = (parts[0], 0) if len(parts) == 1 else parts
         return T.DecimalType(p, sc), False
     if base in ("decimal32", "decimal64", "decimal128"):
         prec = {"decimal32": 9, "decimal64": 18, "decimal128": 38}[base]

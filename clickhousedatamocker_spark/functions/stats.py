@@ -1,0 +1,319 @@
+"""Statistical special functions behind the CH hypothesis-test dialect
+(batch 23): studentTTest / welchTTest / meanZTest / mannWhitneyUTest /
+kolmogorovSmirnovTest / minSampleSize* / largestTriangleThreeBuckets.
+
+The test STATISTICS are exact SQL aggregates (compat.py assembles them
+from avg/var_samp/count over per-group CASE projections — algebraic,
+distribution-friendly, no collected state). What SQL cannot spell is the
+p-VALUE distributions; those live here as tiny Arrow-batched scalar UDFs
+evaluated once per GROUP (not per row):
+
+- Student-t two-sided p via the regularized incomplete beta function
+  I_x(a, b) — Lentz-style continued fraction (Numerical Recipes §6.4's
+  classic public formulation; 2·SF(|t|, ν) = I_{ν/(ν+t²)}(ν/2, ½)).
+- Normal tail via math.erfc.
+- Inverse normal CDF via Acklam's rational approximation (|ε| < 1.15e-9,
+  the widely published constants) — used DRIVER-side by the
+  minSampleSize* rewrites, whose arguments are literals.
+- Kolmogorov distribution Q(λ) = 2 Σ (-1)^{j-1} e^{-2j²λ²}.
+
+Rank statistics (Mann–Whitney U, two-sample KS D) cannot decompose into
+bounded aggregation state — ClickHouse's own implementations hold every
+sample value in the aggregate state too — so those rewrite to
+collect_list + one Arrow UDF per group; per-group memory is O(group
+rows), documented at the rewrite site.
+
+largestTriangleThreeBuckets is the standard LTTB downsampling sweep
+(Steinarsson 2013) over the x-sorted collected series.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql.functions import pandas_udf
+
+# ---------------------------------------------------------------------------
+# special functions (pure python; scalar — callers are per-group)
+
+
+def _betacf(a: float, b: float, x: float) -> float:
+    """Continued fraction for the incomplete beta (modified Lentz)."""
+    tiny = 1e-300
+    qab, qap, qam = a + b, a + 1.0, a - 1.0
+    c = 1.0
+    d = 1.0 - qab * x / qap
+    if abs(d) < tiny:
+        d = tiny
+    d = 1.0 / d
+    h = d
+    for m in range(1, 300):
+        m2 = 2 * m
+        aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+        d = 1.0 + aa * d
+        if abs(d) < tiny:
+            d = tiny
+        c = 1.0 + aa / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        h *= d * c
+        aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+        d = 1.0 + aa * d
+        if abs(d) < tiny:
+            d = tiny
+        c = 1.0 + aa / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        de = d * c
+        h *= de
+        if abs(de - 1.0) < 3e-15:
+            break
+    return h
+
+
+def betainc_reg(a: float, b: float, x: float) -> float:
+    """Regularized incomplete beta I_x(a, b)."""
+    if x <= 0.0:
+        return 0.0
+    if x >= 1.0:
+        return 1.0
+    ln_bt = (
+        math.lgamma(a + b)
+        - math.lgamma(a)
+        - math.lgamma(b)
+        + a * math.log(x)
+        + b * math.log1p(-x)
+    )
+    bt = math.exp(ln_bt)
+    if x < (a + 1.0) / (a + b + 2.0):
+        return bt * _betacf(a, b, x) / a
+    return 1.0 - bt * _betacf(b, a, 1.0 - x) / b
+
+
+def student_t_two_sided_p(t: float, df: float) -> float:
+    """P(|T| >= |t|) for T ~ Student-t(df): I_{df/(df+t²)}(df/2, 1/2)."""
+    if not (math.isfinite(t) and df > 0):
+        return float("nan")
+    return betainc_reg(df / 2.0, 0.5, df / (df + t * t))
+
+
+def normal_two_sided_p(z: float) -> float:
+    """P(|Z| >= |z|) for Z ~ N(0,1) = erfc(|z|/√2)."""
+    if not math.isfinite(z):
+        return float("nan")
+    return math.erfc(abs(z) / math.sqrt(2.0))
+
+
+# Acklam's inverse-normal rational approximation (widely published
+# constants; |relative error| < 1.15e-9 over (0, 1))
+_ACK_A = (-3.969683028665376e01, 2.209460984245205e02, -2.759285104469687e02,
+          1.383577518672690e02, -3.066479806614716e01, 2.506628277459239e00)
+_ACK_B = (-5.447609879822406e01, 1.615858368580409e02, -1.556989798598866e02,
+          6.680131188771972e01, -1.328068155288572e01)
+_ACK_C = (-7.784894002430293e-03, -3.223964580411365e-01, -2.400758277161838e00,
+          -2.549732539343734e00, 4.374664141464968e00, 2.938163982698783e00)
+_ACK_D = (7.784695709041462e-03, 3.224671290700398e-01, 2.445134137142996e00,
+          3.754408661907416e00)
+
+
+def inv_normal_cdf(p: float) -> float:
+    """Φ⁻¹(p) via Acklam's approximation."""
+    if not (0.0 < p < 1.0):
+        raise ValueError(f"inv_normal_cdf needs p in (0,1), got {p}")
+    a, b, c, d = _ACK_A, _ACK_B, _ACK_C, _ACK_D
+    p_low, p_high = 0.02425, 1.0 - 0.02425
+    if p < p_low:
+        q = math.sqrt(-2.0 * math.log(p))
+        return (((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4]) * q + c[5]) / (
+            (((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1.0
+        )
+    if p > p_high:
+        q = math.sqrt(-2.0 * math.log(1.0 - p))
+        return -(((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4]) * q + c[5]) / (
+            (((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1.0
+        )
+    q = p - 0.5
+    r = q * q
+    return (((((a[0] * r + a[1]) * r + a[2]) * r + a[3]) * r + a[4]) * r + a[5]) * q / (
+        ((((b[0] * r + b[1]) * r + b[2]) * r + b[3]) * r + b[4]) * r + 1.0
+    )
+
+
+def kolmogorov_q(lam: float) -> float:
+    """Asymptotic Kolmogorov tail Q(λ) = 2 Σ_{j≥1} (-1)^{j-1} e^{-2j²λ²}."""
+    if lam <= 0.0:
+        return 1.0
+    s = 0.0
+    for j in range(1, 101):
+        term = math.exp(-2.0 * j * j * lam * lam)
+        s += term if j % 2 == 1 else -term
+        if term < 1e-16:
+            break
+    return min(1.0, max(0.0, 2.0 * s))
+
+
+# ---------------------------------------------------------------------------
+# rank statistics over one collected group
+
+
+def _avg_ranks(vals: np.ndarray) -> tuple[np.ndarray, float]:
+    """Average (midrank) ranks 1..n and the tie-correction sum Σ(t³ - t)."""
+    order = np.argsort(vals, kind="mergesort")
+    ranks = np.empty(len(vals), dtype=np.float64)
+    tie_sum = 0.0
+    i = 0
+    sv = vals[order]
+    while i < len(sv):
+        j = i
+        while j + 1 < len(sv) and sv[j + 1] == sv[i]:
+            j += 1
+        avg = (i + j) / 2.0 + 1.0
+        ranks[order[i : j + 1]] = avg
+        t = j - i + 1
+        if t > 1:
+            tie_sum += t**3 - t
+        i = j + 1
+    return ranks, tie_sum
+
+
+def mann_whitney_u(vals: np.ndarray, groups: np.ndarray) -> tuple[float, float]:
+    """Two-sided Mann–Whitney: U of the index-0 sample + the tie-corrected
+    normal-approximation p (no continuity correction — documented)."""
+    g0 = groups == 0
+    n0, n1 = int(g0.sum()), int((~g0).sum())
+    if n0 == 0 or n1 == 0:
+        return float("nan"), float("nan")
+    ranks, tie_sum = _avg_ranks(vals)
+    r0 = float(ranks[g0].sum())
+    u = r0 - n0 * (n0 + 1) / 2.0
+    n = n0 + n1
+    mu = n0 * n1 / 2.0
+    var = n0 * n1 / 12.0 * ((n + 1) - tie_sum / (n * (n - 1)))
+    if var <= 0:
+        return u, 1.0
+    z = (u - mu) / math.sqrt(var)
+    return u, normal_two_sided_p(z)
+
+
+def ks_two_sample(vals: np.ndarray, groups: np.ndarray) -> tuple[float, float]:
+    """Two-sample KS: exact D, asymptotic p with the Stephens small-sample
+    adjustment λ = (√nₑ + 0.12 + 0.11/√nₑ)·D (Numerical Recipes §14.3)."""
+    g0 = groups == 0
+    x0 = np.sort(vals[g0])
+    x1 = np.sort(vals[~g0])
+    n0, n1 = len(x0), len(x1)
+    if n0 == 0 or n1 == 0:
+        return float("nan"), float("nan")
+    pooled = np.concatenate([x0, x1])
+    f0 = np.searchsorted(x0, pooled, side="right") / n0
+    f1 = np.searchsorted(x1, pooled, side="right") / n1
+    d = float(np.abs(f0 - f1).max())
+    ne = n0 * n1 / (n0 + n1)
+    sq = math.sqrt(ne)
+    return d, kolmogorov_q((sq + 0.12 + 0.11 / sq) * d)
+
+
+def lttb(xs: np.ndarray, ys: np.ndarray, n_out: int) -> list[tuple[float, float]]:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013):
+    keep the endpoints, split the interior into n_out-2 buckets, and from
+    each bucket keep the point forming the largest triangle with the
+    previously kept point and the next bucket's average."""
+    n = len(xs)
+    if n_out >= n:
+        return [(float(x), float(y)) for x, y in zip(xs, ys)]
+    if n_out < 3:
+        ends = [(float(xs[0]), float(ys[0])), (float(xs[-1]), float(ys[-1]))]
+        return ends[: max(n_out, 0)]
+    out = [(float(xs[0]), float(ys[0]))]
+    bounds = np.linspace(1, n - 1, n_out - 1).astype(int)  # n_out-2 buckets
+    a = 0
+    for b in range(n_out - 2):
+        lo, hi = bounds[b], bounds[b + 1]
+        nxt_lo, nxt_hi = bounds[b + 1], (bounds[b + 2] if b + 2 < len(bounds) else n)
+        avg_x = float(xs[nxt_lo:nxt_hi].mean()) if nxt_hi > nxt_lo else float(xs[-1])
+        avg_y = float(ys[nxt_lo:nxt_hi].mean()) if nxt_hi > nxt_lo else float(ys[-1])
+        ax, ay = float(xs[a]), float(ys[a])
+        seg_x, seg_y = xs[lo:hi], ys[lo:hi]
+        area = np.abs((ax - avg_x) * (seg_y - ay) - (ax - seg_x) * (avg_y - ay))
+        best = int(area.argmax())
+        a = lo + best
+        out.append((float(xs[a]), float(ys[a])))
+    out.append((float(xs[-1]), float(ys[-1])))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Arrow UDF registration (per-GROUP evaluation sites)
+
+
+def register_stats_functions(spark: SparkSession) -> None:
+    @pandas_udf("double")
+    def ch_student_t_p(t: pd.Series, df: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None
+                if tv is None or dv is None
+                else student_t_two_sided_p(float(tv), float(dv))
+                for tv, dv in zip(t, df)
+            ],
+            dtype="float64",
+        )
+
+    @pandas_udf("double")
+    def ch_normal_2p(z: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if zv is None else normal_two_sided_p(float(zv)) for zv in z],
+            dtype="float64",
+        )
+
+    @pandas_udf("u_statistic double, p_value double")
+    def ch_mann_whitney(pairs: pd.Series) -> pd.DataFrame:
+        us, ps = [], []
+        for arr in pairs:
+            if arr is None or len(arr) == 0:
+                us.append(None), ps.append(None)
+                continue
+            vals = np.array([e["v"] for e in arr], dtype=np.float64)
+            grp = np.array([e["g"] for e in arr], dtype=np.int64)
+            u, p = mann_whitney_u(vals, grp)
+            us.append(u), ps.append(p)
+        return pd.DataFrame({"u_statistic": us, "p_value": ps})
+
+    @pandas_udf("d_statistic double, p_value double")
+    def ch_ks_test(pairs: pd.Series) -> pd.DataFrame:
+        ds, ps = [], []
+        for arr in pairs:
+            if arr is None or len(arr) == 0:
+                ds.append(None), ps.append(None)
+                continue
+            vals = np.array([e["v"] for e in arr], dtype=np.float64)
+            grp = np.array([e["g"] for e in arr], dtype=np.int64)
+            d, p = ks_two_sample(vals, grp)
+            ds.append(d), ps.append(p)
+        return pd.DataFrame({"d_statistic": ds, "p_value": ps})
+
+    @pandas_udf("array<struct<x: double, y: double>>")
+    def ch_lttb(points: pd.Series, n: pd.Series) -> pd.Series:
+        out = []
+        for arr, nv in zip(points, n):
+            if arr is None:
+                out.append(None)
+                continue
+            xs = np.array([e["x"] for e in arr], dtype=np.float64)
+            ys = np.array([e["y"] for e in arr], dtype=np.float64)
+            out.append(
+                [{"x": x, "y": y} for x, y in lttb(xs, ys, int(nv))]
+            )
+        return pd.Series(out)
+
+    spark.udf.register("chStudentTP", ch_student_t_p)
+    spark.udf.register("chNormal2P", ch_normal_2p)
+    spark.udf.register("chMannWhitneyU", ch_mann_whitney)
+    spark.udf.register("chKSTest", ch_ks_test)
+    spark.udf.register("chLTTB", ch_lttb)

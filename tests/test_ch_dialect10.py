@@ -333,12 +333,10 @@ def test_corr_matrix_and_random_sample(eng):
     assert abs(m[0][1] - m[1][0]) < 1e-12 and 0.99 < m[0][1] < 1.0
     s = one(eng, "SELECT arrayRandomSample([1, 2, 3, 4], 2) AS a")
     assert len(s) == 2 and set(s) <= {1, 2, 3, 4}
-    for q in [
-        "SELECT proportionsZTest(1, 2, 3, 4, 0.95, 'pooled') AS a",
-        "SELECT kolmogorovSmirnovTest(v, g) AS a FROM VALUES (1.0, 0) AS t(v, g)",
-    ]:
-        with pytest.raises(NotImplementedError):
-            eng.sql(q)
+    # proportionsZTest / kolmogorovSmirnovTest were gated here until
+    # batch 23 implemented them (tests/test_ch_dialect23.py)
+    z = one(eng, "SELECT proportionsZTest(1, 2, 3, 4, 0.95, 'pooled') AS a")
+    assert set(z.asDict()) >= {"z_statistic", "p_value"}
 
 
 def test_system_functions_lists_macros(eng):

@@ -102,8 +102,9 @@ def test_misc_and_morton(eng):
     # CH's real (dims, code) signature + the legacy 1-arg form both work
     assert tuple(one(eng, "SELECT mortonDecode(2, 9) AS a")) == (1, 2)
     assert tuple(one(eng, "SELECT mortonDecode(mortonEncode(123, 456)) AS a")) == (123, 456)
-    with pytest.raises(NotImplementedError, match="2 dimensions"):
-        eng.sql("SELECT mortonDecode(3, 9) AS a")
+    # 3+-D decode graduated from a gate to the chMortonDecode UDF in
+    # batch 23 (array shape, tests/test_ch_dialect23.py)
+    assert list(one(eng, "SELECT mortonDecode(3, 53) AS a")) == [1, 2, 3]
 
 
 def test_batch14_loud_gates(eng):
@@ -111,8 +112,8 @@ def test_batch14_loud_gates(eng):
         ("SELECT tuplePlus((1, 2), (3, 4)) AS a", "zip_with"),
         ("SELECT cramersV(a, b) AS a FROM VALUES (1, 1) AS t(a, b)", "contingency"),
         ("SELECT theilsU(a, b) AS a FROM VALUES (1, 1) AS t(a, b)", "entropies"),
-        ("SELECT damerauLevenshteinDistance('a', 'b') AS a", "editDistance"),
-        ("SELECT jaroWinklerSimilarity('a', 'b') AS a", "no Spark builtin"),
+        # damerauLevenshteinDistance / jaroWinklerSimilarity graduated to
+        # Arrow UDFs in batch 23 — goldens in tests/test_ch_dialect23.py
         # arraySplit graduated from a gate to a shim in batch 21 — goldens
         # in tests/test_ch_dialect21.py; the 3+-array form still gates
         ("SELECT arraySplit((x, y, z) -> y, [1], [1], [1]) AS a", "arrays_zip"),

@@ -125,8 +125,8 @@ def test_sparkbar_explicit_range(eng):
     "sql,frag",
     [
         ("SELECT bitSlice('hello', 1, 8) AS a", "bitSlice"),
-        ("SELECT punycodeEncode('m') AS a", "punycodeEncode"),
-        ("SELECT idnaEncode('m') AS a", "idnaEncode"),
+        # punycodeEncode / idnaEncode graduated to stdlib-codec Arrow UDFs
+        # in batch 23 — goldens in tests/test_ch_dialect23.py
         ("SELECT groupArrayLast(2)(x) AS a FROM VALUES (1) AS t(x)", "arrival order"),
         ("SELECT groupArrayInsertAt(0, 3)(x, 0) AS a FROM VALUES (1) AS t(x)", "groupArrayInsertAt"),
         ("SELECT untuple((1, 2)) AS a", "untuple"),

@@ -108,7 +108,8 @@ def test_map_family_avg_count(eng):
     [
         ("SELECT groupConcat(',')(x) AS v FROM (SELECT 1 AS x)", "arrival order"),
         ("SELECT rankCorr(x, x) AS v FROM (SELECT 1 AS x)", "Spearman"),
-        ("SELECT meanZTest(1.0, 1.0, 0.95)(x, x) AS v FROM (SELECT 1 AS x)", "z statistic"),
+        # meanZTest graduated to a real z + p + CI in batch 23 —
+        # goldens in tests/test_ch_dialect23.py
         ("SELECT analysisOfVariance(x, x) AS v FROM (SELECT 1 AS x)", "F statistic"),
         ("SELECT aggThrow(0.0) AS v FROM (SELECT 1)", "fault-injection"),
         ("SELECT sumMapFiltered([1])(map(1, 10)) AS v FROM (SELECT 1)", "map_filter"),

@@ -1,0 +1,289 @@
+"""Dialect batch 23 (probe-driven, round 8): the hypothesis-test family
+with REAL p-values, string-distance UDFs, codec tail, Morton codes,
+standard-SQL type aliases.
+
+Golden sources: ClickHouse public docs examples where the docs publish
+values (mortonEncode(1,2,3)=53, minSampleSize* tuples), classic textbook
+values (Jaro MARTHA/MARHTA, t-table quantiles), and independent in-test
+recomputation of the t statistics from first principles.
+"""
+
+import math
+
+import pytest
+
+from clickhousedatamocker_spark.engine import Engine
+from clickhousedatamocker_spark.functions.stats import (
+    inv_normal_cdf,
+    kolmogorov_q,
+    normal_two_sided_p,
+    student_t_two_sided_p,
+)
+
+
+@pytest.fixture(scope="module")
+def eng(spark, tmp_path_factory):
+    return Engine(spark, str(tmp_path_factory.mktemp("wh23")))
+
+
+def one(eng, sql):
+    rows = eng.sql(sql).collect()
+    assert len(rows) == 1
+    return rows[0]
+
+
+# ---------------------------------------------------------------------------
+# special functions: pinned against published table values
+
+
+def test_special_function_table_values():
+    # classic two-sided t critical values: P(|T| >= 2.228139 | df=10) = 0.05
+    assert student_t_two_sided_p(2.228139, 10) == pytest.approx(0.05, rel=1e-5)
+    assert student_t_two_sided_p(1.812461, 10) == pytest.approx(0.10, rel=1e-5)
+    # normal quantiles (Acklam) and tail
+    assert inv_normal_cdf(0.975) == pytest.approx(1.959963985, rel=1e-8)
+    assert inv_normal_cdf(0.8) == pytest.approx(0.8416212336, rel=1e-8)
+    assert normal_two_sided_p(1.959964) == pytest.approx(0.05, rel=1e-6)
+    # Kolmogorov Q(1.0) (published value 0.26999967...)
+    assert kolmogorov_q(1.0) == pytest.approx(0.2699996717, rel=1e-8)
+    assert kolmogorov_q(0.0) == 1.0
+
+
+_TWO_SAMPLE = (
+    "VALUES (20.3, 0),(21.1, 0),(21.7, 0),(19.9, 0),(21.8, 0),"
+    "(23.5, 1),(22.8, 1),(22.1, 1),(24.0, 1),(23.2, 1) AS t(v, g)"
+)
+_S0 = [20.3, 21.1, 21.7, 19.9, 21.8]
+_S1 = [23.5, 22.8, 22.1, 24.0, 23.2]
+
+
+def _mean_var(xs):
+    m = sum(xs) / len(xs)
+    v = sum((x - m) ** 2 for x in xs) / (len(xs) - 1)
+    return m, v
+
+
+def test_student_ttest_matches_first_principles(eng):
+    r = one(eng, f"SELECT studentTTest(v, g) AS r FROM {_TWO_SAMPLE}")["r"]
+    m0, v0 = _mean_var(_S0)
+    m1, v1 = _mean_var(_S1)
+    n0 = n1 = 5
+    sp2 = ((n0 - 1) * v0 + (n1 - 1) * v1) / (n0 + n1 - 2)
+    t = (m0 - m1) / math.sqrt(sp2 * (1 / n0 + 1 / n1))
+    assert r["t_statistic"] == pytest.approx(t, rel=1e-12)
+    assert r["p_value"] == pytest.approx(
+        student_t_two_sided_p(t, n0 + n1 - 2), rel=1e-9
+    )
+    assert 0.001 < r["p_value"] < 0.01  # strongly separated fixture
+
+
+def test_welch_ttest_matches_first_principles(eng):
+    r = one(eng, f"SELECT welchTTest(v, g) AS r FROM {_TWO_SAMPLE}")["r"]
+    m0, v0 = _mean_var(_S0)
+    m1, v1 = _mean_var(_S1)
+    a, b = v0 / 5, v1 / 5
+    t = (m0 - m1) / math.sqrt(a + b)
+    df = (a + b) ** 2 / (a**2 / 4 + b**2 / 4)
+    assert r["t_statistic"] == pytest.approx(t, rel=1e-12)
+    assert r["p_value"] == pytest.approx(student_t_two_sided_p(t, df), rel=1e-9)
+
+
+def test_mean_ztest(eng):
+    r = one(
+        eng, f"SELECT meanZTest(0.7, 0.45, 0.95)(v, g) AS r FROM {_TWO_SAMPLE}"
+    )["r"]
+    m0, _ = _mean_var(_S0)
+    m1, _ = _mean_var(_S1)
+    se = math.sqrt(0.7 / 5 + 0.45 / 5)
+    z = (m0 - m1) / se
+    zc = inv_normal_cdf(0.975)
+    assert r["z_statistic"] == pytest.approx(z, rel=1e-12)
+    assert r["p_value"] == pytest.approx(normal_two_sided_p(z), rel=1e-9)
+    assert r["confidence_interval_low"] == pytest.approx((m0 - m1) - zc * se, rel=1e-9)
+    assert r["confidence_interval_high"] == pytest.approx((m0 - m1) + zc * se, rel=1e-9)
+
+
+def test_mann_whitney_and_ks(eng):
+    six = "VALUES (1.0, 0),(2.0, 0),(3.0, 0),(4.0, 1),(5.0, 1),(6.0, 1) AS t(v, g)"
+    mw = one(eng, f"SELECT mannWhitneyUTest(v, g) AS r FROM {six}")["r"]
+    # fully separated: U of sample 0 is 0; tie-free normal approx z = -1.964
+    assert mw["u_statistic"] == 0.0
+    assert mw["p_value"] == pytest.approx(
+        normal_two_sided_p((0 - 4.5) / math.sqrt(3 * 3 * 7 / 12.0)), rel=1e-9
+    )
+    ks = one(eng, f"SELECT kolmogorovSmirnovTest(v, g) AS r FROM {six}")["r"]
+    assert ks["d_statistic"] == 1.0
+    ne = 9 / 6
+    lam = (math.sqrt(ne) + 0.12 + 0.11 / math.sqrt(ne)) * 1.0
+    assert ks["p_value"] == pytest.approx(kolmogorov_q(lam), rel=1e-9)
+    # ties shift the U variance: triplicated values still produce a p in (0,1]
+    tied = "VALUES (1.0, 0),(1.0, 0),(1.0, 1),(2.0, 1) AS t(v, g)"
+    mwt = one(eng, f"SELECT mannWhitneyUTest(v, g) AS r FROM {tied}")["r"]
+    assert 0.0 < mwt["p_value"] <= 1.0
+
+    # grouped evaluation: one independent test per group key
+    per_group = eng.sql(
+        "SELECT k, studentTTest(v, g) AS r FROM VALUES "
+        "(1, 20.3, 0),(1, 21.1, 0),(1, 23.5, 1),(1, 22.8, 1),"
+        "(2, 5.0, 0),(2, 5.1, 0),(2, 5.05, 1),(2, 5.2, 1) AS t(k, v, g) "
+        "GROUP BY k ORDER BY k"
+    ).collect()
+    assert len(per_group) == 2
+    assert per_group[0]["r"]["p_value"] < per_group[1]["r"]["p_value"]
+
+
+def test_refused_test_forms(eng):
+    with pytest.raises(Exception, match="CI form is not shimmed"):
+        eng.sql(f"SELECT studentTTest(0.95)(v, g) FROM {_TWO_SAMPLE}").collect()
+    with pytest.raises(Exception, match="two-sided"):
+        eng.sql(f"SELECT mannWhitneyUTest('greater')(v, g) FROM {_TWO_SAMPLE}").collect()
+    with pytest.raises(Exception, match="not shimmed"):
+        eng.sql(
+            "SELECT kolmogorovSmirnovTest('two-sided', 'exact')(v, g) "
+            f"FROM {_TWO_SAMPLE}"
+        ).collect()
+    with pytest.raises(Exception, match="literal numeric"):
+        eng.sql("SELECT minSampleSizeConversion(v, 0.03, 0.8, 0.05) FROM ev").collect()
+    with pytest.raises(Exception, match="two-pass"):
+        eng.sql(
+            "SELECT exponentialTimeDecayedSum(10)(v, g) AS r FROM "
+            + _TWO_SAMPLE
+        ).collect()
+
+
+def test_min_sample_size_ch_docs_goldens(eng):
+    """The exact tuples the public ClickHouse docs publish for these calls."""
+    r = one(eng, "SELECT minSampleSizeConversion(0.25, 0.03, 0.80, 0.05) AS r")["r"]
+    assert r["minimum_sample_size"] == pytest.approx(3396.077603219163, rel=1e-8)
+    assert (r["detect_range_lower"], r["detect_range_upper"]) == (0.22, 0.28)
+    r = one(
+        eng, "SELECT minSampleSizeContinuous(112.25, 21.1, 0.03, 0.80, 0.05) AS r"
+    )["r"]
+    assert r["minimum_sample_size"] == pytest.approx(616.2931945826209, rel=1e-8)
+    assert r["detect_range_lower"] == pytest.approx(108.8825)
+    assert r["detect_range_upper"] == pytest.approx(115.6175)
+
+
+def test_proportions_ztest(eng):
+    r = one(eng, "SELECT proportionsZTest(10, 11, 100, 101, 0.95, 'unpooled') AS r")["r"]
+    p1, p2 = 10 / 100, 11 / 101
+    se = math.sqrt(p1 * (1 - p1) / 100 + p2 * (1 - p2) / 101)
+    z = (p1 - p2) / se
+    assert r["z_statistic"] == pytest.approx(z, rel=1e-12)
+    assert r["p_value"] == pytest.approx(normal_two_sided_p(z), rel=1e-9)
+    # pooled variant changes the z denominator
+    rp = one(eng, "SELECT proportionsZTest(10, 11, 100, 101, 0.95, 'pooled') AS r")["r"]
+    pp = 21 / 201
+    sep = math.sqrt(pp * (1 - pp) * (1 / 100 + 1 / 101))
+    assert rp["z_statistic"] == pytest.approx((p1 - p2) / sep, rel=1e-12)
+
+
+def test_lttb(eng):
+    r = one(
+        eng,
+        "SELECT largestTriangleThreeBuckets(3)(x, y) AS r FROM VALUES "
+        "(1.0,2.0),(2.0,4.0),(3.0,9.0),(4.0,1.0),(5.0,5.0) AS t(x, y)",
+    )["r"]
+    # endpoints kept; the interior bucket keeps the largest-triangle point
+    assert [(p["x"], p["y"]) for p in r] == [(1.0, 2.0), (3.0, 9.0), (5.0, 5.0)]
+    # n >= series length: identity
+    r = one(
+        eng,
+        "SELECT largestTriangleThreeBuckets(10)(x, y) AS r FROM VALUES "
+        "(1.0,2.0),(2.0,4.0) AS t(x, y)",
+    )["r"]
+    assert len(r) == 2
+
+
+# ---------------------------------------------------------------------------
+# string distances / codecs / morton
+
+
+def test_string_distances(eng):
+    r = one(
+        eng,
+        "SELECT damerauLevenshteinDistance('ca', 'ac') AS a, "
+        "damerauLevenshteinDistance('kitten', 'sitting') AS b, "
+        "damerauLevenshteinDistance('abcd', 'acbd') AS c, "
+        "jaroSimilarity('MARTHA', 'MARHTA') AS j, "
+        "jaroWinklerSimilarity('MARTHA', 'MARHTA') AS jw, "
+        "jaroSimilarity('', 'x') AS jz, "
+        "editDistanceUTF8('häuser', 'hauser') AS u",
+    )
+    assert (r["a"], r["b"], r["c"]) == (1, 3, 1)  # transpositions cost 1
+    assert r["j"] == pytest.approx(0.9444444444, rel=1e-9)  # textbook value
+    assert r["jw"] == pytest.approx(0.9611111111, rel=1e-9)
+    assert r["jz"] == 0.0
+    assert r["u"] == 1  # codepoint distance, not byte distance
+
+
+def test_codecs(eng):
+    r = one(
+        eng,
+        "SELECT base32Encode('Encoded') AS a, "
+        "base32Decode('IVXGG33EMVSA====') AS b, "
+        "tryBase32Decode('~invalid~') AS c, "
+        "encodeURLFormComponent('a b&c') AS d, "
+        "decodeURLFormComponent('a+b%26c') AS e, "
+        "punycodeEncode('München') AS f, "
+        "punycodeDecode('Mnchen-3ya') AS g, "
+        "idnaEncode('straße.de') AS h",
+    )
+    assert r["a"] == "IVXGG33EMVSA===="
+    assert r["b"] == "Encoded"
+    assert r["c"] == ""  # try* returns CH's '' on failure
+    assert (r["d"], r["e"]) == ("a+b%26c", "a b&c")
+    assert (r["f"], r["g"]) == ("Mnchen-3ya", "München")
+    assert r["h"] == "strasse.de"  # IDNA 2003 nameprep folds ß → ss
+
+
+def test_morton_codes(eng):
+    r = one(
+        eng,
+        "SELECT mortonEncode(1, 1) AS a, mortonEncode(1, 2, 3) AS b, "
+        "mortonDecode(3, 53) AS c, mortonDecode(2, mortonEncode(97, 53)) AS d",
+    )
+    assert r["a"] == 3
+    assert r["b"] == 53  # CH docs golden
+    assert list(r["c"]) == [1, 2, 3]
+    assert list(r["d"]) == [97, 53]
+    with pytest.raises(Exception, match="exceeds"):
+        eng.sql("SELECT mortonEncode(4294967296, 1, 1, 1, 1, 1, 1, 1) AS a").collect()
+
+
+# ---------------------------------------------------------------------------
+# standard-SQL type aliases
+
+
+def test_sql_type_aliases(eng):
+    r = one(
+        eng,
+        "SELECT 123::INT AS a, 5::BIGINT AS b, 1.5::DOUBLE AS c, "
+        "'x'::VARCHAR AS d, CAST('2.50' AS NUMERIC(10,2)) AS e, "
+        "1::BOOLEAN AS f, 7::SMALLINT AS g, 2.5::REAL AS h",
+    )
+    assert (r["a"], r["b"], r["d"], r["f"], r["g"]) == (123, 5, "x", True, 7)
+    assert str(r["e"]) == "2.50"
+    assert r["h"] == pytest.approx(2.5)
+
+    eng.sql("DROP TABLE IF EXISTS t23_alias")
+    eng.sql(
+        "CREATE TABLE t23_alias (id BIGINT, name VARCHAR, score DOUBLE, "
+        "ok BOOLEAN, amt NUMERIC(10,2)) ENGINE = MergeTree() ORDER BY id"
+    )
+    eng.sql("INSERT INTO t23_alias VALUES (1, 'a', 1.5, true, 2.50)")
+    got = eng.sql("SELECT * FROM t23_alias").collect()
+    assert len(got) == 1 and got[0]["name"] == "a"
+    eng.sql("DROP TABLE IF EXISTS t23_alias")
+
+
+def test_misc_batch23(eng):
+    r = one(
+        eng,
+        "SELECT nowInBlock() IS NOT NULL AS a, "
+        "domainRFC('https://example.com/p') AS b, "
+        "timeSlots(toDateTime('2012-01-01 12:20:00'), 600::BIGINT) AS c",
+    )
+    assert r["a"] is True
+    assert r["b"] == "example.com"
+    assert [str(t) for t in r["c"]] == ["2012-01-01 12:00:00", "2012-01-01 12:30:00"]

@@ -219,12 +219,14 @@ def test_quantile_exact_low_high_are_element_picks(eng):
 def test_histogram_and_stat_test_gates(eng):
     got = one(eng, "SELECT histogram(3)(x) AS a FROM VALUES (1.0), (2.0), (9.0) AS t(x)")
     assert len(got) == 3 and sum(b["y"] for b in got) == 3.0
-    for q in [
-        "SELECT studentTTest(v, g) AS a FROM VALUES (1.0, 0) AS t(v, g)",
-        "SELECT mannWhitneyUTest(v, g) AS a FROM VALUES (1.0, 0) AS t(v, g)",
-    ]:
-        with pytest.raises(NotImplementedError):
-            eng.sql(q)
+    # studentTTest / mannWhitneyUTest were gated here until batch 23
+    # implemented them with real p-values (tests/test_ch_dialect23.py);
+    # a one-group input now yields NULL moments rather than a raise
+    r = one(
+        eng,
+        "SELECT studentTTest(v, g) AS a FROM VALUES (1.0, 0), (2.0, 1) AS t(v, g)",
+    )
+    assert set(r.asDict()) == {"t_statistic", "p_value"}
 
 
 def test_system_one_and_remote_cluster(eng):
