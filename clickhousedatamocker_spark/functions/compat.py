@@ -1743,10 +1743,16 @@ _PARAMETRIC.update(
         # inside a vectorized batch would fail the whole query for one row
         "punycodeEncode": _pm_1arg("chPunycodeEncode({x})"),
         "punycodeDecode": _pm_1arg("chPunycodeDecode({x})"),
-        "tryPunycodeDecode": _pm_1arg("coalesce(chPunycodeDecode({x}), '')"),
+        # try*: '' on decode FAILURE (CH) but NULL stays NULL — a bare
+        # coalesce could not tell the two apart
+        "tryPunycodeDecode": _pm_1arg(
+            "(CASE WHEN ({x}) IS NOT NULL THEN coalesce(chPunycodeDecode({x}), '') END)"
+        ),
         "idnaEncode": _pm_1arg("chIdnaEncode({x})"),
         "idnaDecode": _pm_1arg("chIdnaDecode({x})"),
-        "tryIdnaEncode": _pm_1arg("coalesce(chIdnaEncode({x}), '')"),
+        "tryIdnaEncode": _pm_1arg(
+            "(CASE WHEN ({x}) IS NOT NULL THEN coalesce(chIdnaEncode({x}), '') END)"
+        ),
         "groupArrayInsertAt": _pm_gate(
             "groupArrayInsertAt",
             "collect (pos, x) with collect_list(struct(pos, x)), dedupe "
@@ -3168,10 +3174,9 @@ _PARAMETRIC2: dict[str, object] = {
     "quantileTDigestWeighted": _pm2_weighted_quantile,
     "quantileBFloat16Weighted": _pm2_weighted_quantile,
 }
-_PARAMETRIC2_RE = re.compile(
-    r"\b(" + "|".join(_PARAMETRIC2) + r")\s*\(", re.IGNORECASE
-)
-_PARAMETRIC2_LOWER = {k.lower(): v for k, v in _PARAMETRIC2.items()}
+# _PARAMETRIC2_RE / _PARAMETRIC2_LOWER are built ONCE, after the batch-23
+# update below — a build here would be silently shadowed (entries added
+# between two builds look registered but never match)
 
 
 def _scan_balanced(sql: str, start: int) -> int:
@@ -3700,8 +3705,13 @@ def _pm2_student_ttest(params: list[str] | None, args: list[str]) -> str:
         raise NotImplementedError("studentTTest expects (sample_data, sample_index)")
     n0, m0, v0, n1, m1, v1 = _two_group_moments(*args)
     df = f"({n0} + {n1} - 2)"
-    sp2 = f"((({n0} - 1) * {v0} + ({n1} - 1) * {v1}) / {df})"
-    t = f"((({m0}) - ({m1})) / sqrt({sp2} * (1.0D / {n0} + 1.0D / {n1})))"
+    # try_divide: an empty/degenerate group yields NULL (CH yields nan) —
+    # under default ANSI a bare division would abort the whole query
+    sp2 = f"try_divide((({n0} - 1) * {v0} + ({n1} - 1) * {v1}), {df})"
+    t = (
+        f"try_divide(({m0}) - ({m1}), "
+        f"sqrt({sp2} * (try_divide(1.0D, {n0}) + try_divide(1.0D, {n1}))))"
+    )
     return (
         f"named_struct('t_statistic', {t}, "
         f"'p_value', chStudentTP({t}, CAST({df} AS DOUBLE)))"
@@ -3718,12 +3728,12 @@ def _pm2_welch_ttest(params: list[str] | None, args: list[str]) -> str:
     if len(args) != 2:
         raise NotImplementedError("welchTTest expects (sample_data, sample_index)")
     n0, m0, v0, n1, m1, v1 = _two_group_moments(*args)
-    a = f"({v0} / {n0})"
-    b = f"({v1} / {n1})"
-    t = f"((({m0}) - ({m1})) / sqrt({a} + {b}))"
+    a = f"try_divide({v0}, {n0})"
+    b = f"try_divide({v1}, {n1})"
+    t = f"try_divide(({m0}) - ({m1}), sqrt({a} + {b}))"
     df = (
-        f"(power({a} + {b}, 2) / "
-        f"(power({a}, 2) / ({n0} - 1) + power({b}, 2) / ({n1} - 1)))"
+        f"try_divide(power({a} + {b}, 2), "
+        f"try_divide(power({a}, 2), {n0} - 1) + try_divide(power({b}, 2), {n1} - 1))"
     )
     return f"named_struct('t_statistic', {t}, 'p_value', chStudentTP({t}, {df}))"
 
@@ -3746,9 +3756,12 @@ def _pm2_mean_ztest(params: list[str] | None, args: list[str]) -> str:
         raise NotImplementedError("meanZTest confidence must be in (0, 1)")
     zc = inv_normal_cdf(1.0 - (1.0 - conf) / 2.0)
     n0, m0, _, n1, m1, _ = _two_group_moments(*args)
-    se = f"sqrt(CAST(({params[0]}) AS DOUBLE) / {n0} + CAST(({params[1]}) AS DOUBLE) / {n1})"
+    se = (
+        f"sqrt(try_divide(CAST(({params[0]}) AS DOUBLE), {n0}) "
+        f"+ try_divide(CAST(({params[1]}) AS DOUBLE), {n1}))"
+    )
     diff = f"(({m0}) - ({m1}))"
-    z = f"({diff} / {se})"
+    z = f"try_divide({diff}, {se})"
     return (
         f"named_struct('z_statistic', {z}, 'p_value', chNormal2P({z}), "
         f"'confidence_interval_low', {diff} - {zc!r}D * {se}, "
@@ -3756,35 +3769,68 @@ def _pm2_mean_ztest(params: list[str] | None, args: list[str]) -> str:
     )
 
 
-def _pm2_rank_test(fn_name: str, udf: str, methods: tuple[str, ...]):
-    """Shared shape for the rank tests (Mann–Whitney U, two-sample KS):
-    collect_list of (value, group) + ONE Arrow UDF per group. Per-group
-    aggregate state is O(group rows) — the same bound ClickHouse's own
-    implementations carry (their states hold every sample value too)."""
+def _rank_test_pairs(fn_name: str, args: list[str]) -> str:
+    """collect_list of (value, group) for the rank tests (Mann–Whitney U,
+    two-sample KS) — per-group aggregate state is O(group rows), the same
+    bound ClickHouse's own implementations carry (their states hold every
+    sample value too). Rows with a NULL value OR index project to NULL so
+    collect_list drops them (CH aggregate NULL-skipping; an unguarded
+    struct would crash the UDF's int64 conversion)."""
+    if len(args) != 2:
+        raise NotImplementedError(f"{fn_name} expects (sample_data, sample_index)")
+    v, i = args
+    return (
+        f"collect_list(CASE WHEN ({v}) IS NOT NULL AND ({i}) IS NOT NULL "
+        f"THEN named_struct('v', CAST(({v}) AS DOUBLE), "
+        f"'g', CAST(CAST(({i}) AS INT) <> 0 AS INT)) END)"
+    )
 
-    def rw(params: list[str] | None, args: list[str]) -> str:
-        if params is not None:
-            alt = params[0].strip().strip("'\"").lower()
-            if alt != "two-sided":
-                raise NotImplementedError(
-                    f"{fn_name}: only the 'two-sided' alternative is shimmed"
-                )
-            for p in params[1:]:
-                if p.strip().strip("'\"").lower() not in methods:
-                    raise NotImplementedError(
-                        f"{fn_name}: parameter {p!r} is not shimmed "
-                        f"(supported: {', '.join(methods)})"
-                    )
-        if len(args) != 2:
-            raise NotImplementedError(f"{fn_name} expects (sample_data, sample_index)")
-        v, i = args
-        pairs = (
-            f"collect_list(named_struct('v', CAST(({v}) AS DOUBLE), "
-            f"'g', CAST(CAST(({i}) AS INT) <> 0 AS INT)))"
+
+def _check_alt_two_sided(fn_name: str, params: list[str]) -> None:
+    alt = params[0].strip().strip("'\"").lower()
+    if alt != "two-sided":
+        raise NotImplementedError(
+            f"{fn_name}: only the 'two-sided' alternative is shimmed"
         )
-        return f"{udf}({pairs})"
 
-    return rw
+
+def _pm2_mann_whitney(params: list[str] | None, args: list[str]) -> str:
+    """mannWhitneyUTest([alternative[, continuity_correction]]) — CH's
+    default applies the 0.5 continuity correction; both settings are
+    supported via a literal 0/1 second parameter."""
+    cc = "true"
+    if params is not None:
+        _check_alt_two_sided("mannWhitneyUTest", params)
+        if len(params) > 2:
+            raise NotImplementedError(
+                "mannWhitneyUTest expects (alternative[, continuity_correction])"
+            )
+        if len(params) == 2:
+            flag = params[1].strip()
+            if flag not in ("0", "1"):
+                raise NotImplementedError(
+                    "mannWhitneyUTest continuity_correction must be a literal 0 or 1"
+                )
+            cc = "true" if flag == "1" else "false"
+    return f"chMannWhitneyU({_rank_test_pairs('mannWhitneyUTest', args)}, {cc})"
+
+
+def _pm2_ks_test(params: list[str] | None, args: list[str]) -> str:
+    """kolmogorovSmirnovTest([alternative[, computation_method]]) — the
+    D statistic is exact; the p-value is ALWAYS the Stephens-adjusted
+    asymptotic tail. 'exact' and 'auto' (which means exact below 10k
+    samples in CH) are refused rather than silently approximated; the
+    bare default computes asymptotic, documented here."""
+    if params is not None:
+        _check_alt_two_sided("kolmogorovSmirnovTest", params)
+        for p in params[1:]:
+            if p.strip().strip("'\"").lower() != "asymptotic":
+                raise NotImplementedError(
+                    "kolmogorovSmirnovTest: only the 'asymptotic' computation "
+                    "method is shimmed ('auto'/'exact' would need the exact "
+                    "two-sample KS distribution - evaluate small groups offline)"
+                )
+    return f"chKSTest({_rank_test_pairs('kolmogorovSmirnovTest', args)})"
 
 
 def _pm2_lttb(params: list[str] | None, args: list[str]) -> str:
@@ -3873,16 +3919,23 @@ def _pm_proportions_ztest(args: list[str]) -> str:
     if usevar not in ("pooled", "unpooled"):
         raise NotImplementedError("proportionsZTest usevar must be 'pooled' or 'unpooled'")
     zc = inv_normal_cdf(1.0 - (1.0 - conf) / 2.0)
-    p1 = f"(CAST(({sx}) AS DOUBLE) / ({tx}))"
-    p2 = f"(CAST(({sy}) AS DOUBLE) / ({ty}))"
-    se_u = f"sqrt({p1} * (1 - {p1}) / ({tx}) + {p2} * (1 - {p2}) / ({ty}))"
+    # try_divide: zero trials yield NULL rather than an ANSI abort
+    p1 = f"try_divide(CAST(({sx}) AS DOUBLE), ({tx}))"
+    p2 = f"try_divide(CAST(({sy}) AS DOUBLE), ({ty}))"
+    se_u = (
+        f"sqrt(try_divide({p1} * (1 - {p1}), ({tx})) "
+        f"+ try_divide({p2} * (1 - {p2}), ({ty})))"
+    )
     if usevar == "pooled":
-        pp = f"(CAST(({sx}) + ({sy}) AS DOUBLE) / (({tx}) + ({ty})))"
-        se = f"sqrt({pp} * (1 - {pp}) * (1.0D / ({tx}) + 1.0D / ({ty})))"
+        pp = f"try_divide(CAST(({sx}) + ({sy}) AS DOUBLE), (({tx}) + ({ty})))"
+        se = (
+            f"sqrt({pp} * (1 - {pp}) * "
+            f"(try_divide(1.0D, ({tx})) + try_divide(1.0D, ({ty}))))"
+        )
     else:
         se = se_u
     diff = f"({p1} - {p2})"
-    z = f"({diff} / {se})"
+    z = f"try_divide({diff}, {se})"
     return (
         f"named_struct('z_statistic', {z}, 'p_value', chNormal2P({z}), "
         f"'confidence_interval_low', {diff} - {zc!r}D * {se_u}, "
@@ -3928,7 +3981,9 @@ _PARAMETRIC.update(
         "levenshteinDistanceUTF8": _pm_2arg_fa("levenshtein({f}, {a})"),
         "base32Encode": _pm_1arg("chBase32Encode({x})"),
         "base32Decode": _pm_1arg("chBase32Decode({x})"),
-        "tryBase32Decode": _pm_1arg("coalesce(chBase32Decode({x}), '')"),
+        "tryBase32Decode": _pm_1arg(
+            "(CASE WHEN ({x}) IS NOT NULL THEN coalesce(chBase32Decode({x}), '') END)"
+        ),
         "encodeURLFormComponent": _pm_1arg("chFormURLEncode({x})"),
         "decodeURLFormComponent": _pm_1arg("chFormURLDecode({x})"),
         # nowInBlock(): per-block evaluation is meaningless here — plain now()
@@ -3974,12 +4029,8 @@ _PARAMETRIC2.update(
         "studentTTest": _pm2_student_ttest,
         "welchTTest": _pm2_welch_ttest,
         "meanZTest": _pm2_mean_ztest,
-        "mannWhitneyUTest": _pm2_rank_test(
-            "mannWhitneyUTest", "chMannWhitneyU", ()
-        ),
-        "kolmogorovSmirnovTest": _pm2_rank_test(
-            "kolmogorovSmirnovTest", "chKSTest", ("asymptotic", "auto")
-        ),
+        "mannWhitneyUTest": _pm2_mann_whitney,
+        "kolmogorovSmirnovTest": _pm2_ks_test,
         "largestTriangleThreeBuckets": _pm2_lttb,
     }
 )

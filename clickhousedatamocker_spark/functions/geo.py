@@ -408,6 +408,12 @@ def _morton_decode(n: pd.Series, code: pd.Series) -> pd.Series:
         if nv is None or cv is None:
             return None
         nv, cv = int(nv), int(cv)
+        # guard BEFORE the loop: a negative code never right-shifts to 0
+        # (infinite loop), and n < 1 never consumes bits
+        if nv < 1 or cv < 0:
+            raise ValueError(
+                f"mortonDecode: needs n >= 1 and a non-negative code, got ({nv}, {cv})"
+            )
         out = [0] * nv
         b = 0
         while cv:

@@ -182,9 +182,13 @@ def _avg_ranks(vals: np.ndarray) -> tuple[np.ndarray, float]:
     return ranks, tie_sum
 
 
-def mann_whitney_u(vals: np.ndarray, groups: np.ndarray) -> tuple[float, float]:
+def mann_whitney_u(
+    vals: np.ndarray, groups: np.ndarray, continuity: bool = True
+) -> tuple[float, float]:
     """Two-sided Mann–Whitney: U of the index-0 sample + the tie-corrected
-    normal-approximation p (no continuity correction — documented)."""
+    normal-approximation p. ``continuity`` applies the 0.5 continuity
+    correction toward the mean (ClickHouse's default,
+    continuity_correction=1)."""
     g0 = groups == 0
     n0, n1 = int(g0.sum()), int((~g0).sum())
     if n0 == 0 or n1 == 0:
@@ -197,7 +201,10 @@ def mann_whitney_u(vals: np.ndarray, groups: np.ndarray) -> tuple[float, float]:
     var = n0 * n1 / 12.0 * ((n + 1) - tie_sum / (n * (n - 1)))
     if var <= 0:
         return u, 1.0
-    z = (u - mu) / math.sqrt(var)
+    num = u - mu
+    if continuity and num != 0.0:
+        num -= 0.5 * math.copysign(1.0, num)
+    z = num / math.sqrt(var)
     return u, normal_two_sided_p(z)
 
 
@@ -273,15 +280,15 @@ def register_stats_functions(spark: SparkSession) -> None:
         )
 
     @pandas_udf("u_statistic double, p_value double")
-    def ch_mann_whitney(pairs: pd.Series) -> pd.DataFrame:
+    def ch_mann_whitney(pairs: pd.Series, cc: pd.Series) -> pd.DataFrame:
         us, ps = [], []
-        for arr in pairs:
+        for arr, cont in zip(pairs, cc):
             if arr is None or len(arr) == 0:
                 us.append(None), ps.append(None)
                 continue
             vals = np.array([e["v"] for e in arr], dtype=np.float64)
             grp = np.array([e["g"] for e in arr], dtype=np.int64)
-            u, p = mann_whitney_u(vals, grp)
+            u, p = mann_whitney_u(vals, grp, continuity=bool(cont))
             us.append(u), ps.append(p)
         return pd.DataFrame({"u_statistic": us, "p_value": ps})
 

@@ -59,9 +59,11 @@ def _positions(col: Column, m_bits: int, k: int, seed: int) -> Column:
 
     Kirsch–Mitzenmacher: pos_i = (h1 + i * h2) mod m with h1 = xxhash64
     (key, seed) mod m and h2 = xxhash64(key, seed+1) mod (m-1) + 1 (kept
-    nonzero so the k probes never collapse to one bit). With m < 2^31 and
-    k small, h1 + i*h2 < m * (k + 1) — no int64 overflow even with ANSI
-    arithmetic checks on."""
+    nonzero so the k probes never collapse to one bit). Overflow bound:
+    h1 + i*h2 < m * (k + 1), which stays inside int64 for any filter that
+    could fit in memory (even the 1.2 GB / ~10^10-bit sizing in
+    build_bloom's docstring gives ~10^11 ≪ 2^63) — safe under ANSI
+    arithmetic checks."""
     h1 = F.pmod(F.xxhash64(col, F.lit(int(seed))), F.lit(m_bits))
     h2 = F.pmod(F.xxhash64(col, F.lit(int(seed) + 1)), F.lit(max(1, m_bits - 1))) + F.lit(1)
     return F.array(*[F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)) for i in range(k)])

@@ -87,6 +87,14 @@ SMOKE_KEYS = (
     "similarity_topk_sq8",
     "similarity_topk_pq",
     "embedding_pca_profile",
+    # round-8 session additions: A-ES weighted reservoir (one top-n, no
+    # corpus shuffle — expect ~linear in the scan), epoch mixture (CASE +
+    # explode, linear in OUTPUT rows), and the Bloom-prefiltered
+    # decontamination chain (bitmap build + map-only probe + exact confirm
+    # on the sliver — the corpus side should stay ~linear)
+    "sample_weighted_reservoir_profile",
+    "mixture_epochs_profile",
+    "contamination_bloom_prefilter_profile",
 )
 
 

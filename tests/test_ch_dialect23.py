@@ -105,12 +105,25 @@ def test_mean_ztest(eng):
 
 def test_mann_whitney_and_ks(eng):
     six = "VALUES (1.0, 0),(2.0, 0),(3.0, 0),(4.0, 1),(5.0, 1),(6.0, 1) AS t(v, g)"
+    sd = math.sqrt(3 * 3 * 7 / 12.0)
     mw = one(eng, f"SELECT mannWhitneyUTest(v, g) AS r FROM {six}")["r"]
-    # fully separated: U of sample 0 is 0; tie-free normal approx z = -1.964
+    # fully separated: U of sample 0 is 0; the DEFAULT applies CH's 0.5
+    # continuity correction toward the mean
     assert mw["u_statistic"] == 0.0
     assert mw["p_value"] == pytest.approx(
-        normal_two_sided_p((0 - 4.5) / math.sqrt(3 * 3 * 7 / 12.0)), rel=1e-9
+        normal_two_sided_p((0 - 4.5 + 0.5) / sd), rel=1e-9
     )
+    # explicit continuity_correction=0 switches it off
+    mw0 = one(eng, f"SELECT mannWhitneyUTest('two-sided', 0)(v, g) AS r FROM {six}")["r"]
+    assert mw0["p_value"] == pytest.approx(normal_two_sided_p((0 - 4.5) / sd), rel=1e-9)
+    # NULL value / NULL index rows are dropped, not crashed on (CH skips them)
+    withnull = (
+        "VALUES (1.0, 0),(2.0, 0),(3.0, 0),(4.0, 1),(5.0, 1),(6.0, 1),"
+        "(CAST(NULL AS DOUBLE), 0),(7.0, CAST(NULL AS INT)) AS t(v, g)"
+    )
+    mwn = one(eng, f"SELECT mannWhitneyUTest(v, g) AS r FROM {withnull}")["r"]
+    assert mwn["u_statistic"] == mw["u_statistic"]
+    assert mwn["p_value"] == pytest.approx(mw["p_value"], rel=1e-12)
     ks = one(eng, f"SELECT kolmogorovSmirnovTest(v, g) AS r FROM {six}")["r"]
     assert ks["d_statistic"] == 1.0
     ne = 9 / 6
@@ -137,11 +150,14 @@ def test_refused_test_forms(eng):
         eng.sql(f"SELECT studentTTest(0.95)(v, g) FROM {_TWO_SAMPLE}").collect()
     with pytest.raises(Exception, match="two-sided"):
         eng.sql(f"SELECT mannWhitneyUTest('greater')(v, g) FROM {_TWO_SAMPLE}").collect()
-    with pytest.raises(Exception, match="not shimmed"):
-        eng.sql(
-            "SELECT kolmogorovSmirnovTest('two-sided', 'exact')(v, g) "
-            f"FROM {_TWO_SAMPLE}"
-        ).collect()
+    # 'exact' AND 'auto' both refuse: 'auto' means exact below 10k samples
+    # in CH, so accepting it would silently approximate
+    for method in ("exact", "auto"):
+        with pytest.raises(Exception, match="asymptotic"):
+            eng.sql(
+                f"SELECT kolmogorovSmirnovTest('two-sided', '{method}')(v, g) "
+                f"FROM {_TWO_SAMPLE}"
+            ).collect()
     with pytest.raises(Exception, match="literal numeric"):
         eng.sql("SELECT minSampleSizeConversion(v, 0.03, 0.8, 0.05) FROM ev").collect()
     with pytest.raises(Exception, match="two-pass"):
@@ -149,6 +165,19 @@ def test_refused_test_forms(eng):
             "SELECT exponentialTimeDecayedSum(10)(v, g) AS r FROM "
             + _TWO_SAMPLE
         ).collect()
+
+
+def test_degenerate_groups_yield_null_not_ansi_abort(eng):
+    """One empty sample side: the try_divide guards yield NULL (CH yields
+    nan) instead of an ANSI DIVIDE_BY_ZERO aborting the whole query."""
+    one_sided = "VALUES (1.0, 1),(2.0, 1),(3.0, 1) AS t(v, g)"
+    for fn in ("studentTTest", "welchTTest"):
+        r = one(eng, f"SELECT {fn}(v, g) AS r FROM {one_sided}")["r"]
+        assert r["t_statistic"] is None and r["p_value"] is None
+    r = one(eng, f"SELECT meanZTest(1.0, 1.0, 0.95)(v, g) AS r FROM {one_sided}")["r"]
+    assert r["z_statistic"] is None
+    r = one(eng, "SELECT proportionsZTest(0, 1, 0, 10, 0.95, 'unpooled') AS r")["r"]
+    assert r["z_statistic"] is None
 
 
 def test_min_sample_size_ch_docs_goldens(eng):
@@ -249,6 +278,9 @@ def test_morton_codes(eng):
     assert list(r["d"]) == [97, 53]
     with pytest.raises(Exception, match="exceeds"):
         eng.sql("SELECT mortonEncode(4294967296, 1, 1, 1, 1, 1, 1, 1) AS a").collect()
+    # a negative code must raise loudly, not spin the executor forever
+    with pytest.raises(Exception, match="non-negative"):
+        eng.sql("SELECT mortonDecode(3, -1) AS a").collect()
 
 
 # ---------------------------------------------------------------------------
