@@ -571,3 +571,45 @@ def epoch_mixture_oracle_sql(
         f"CAST(unnest(generate_series(0, __n_copies - 1)) AS INT) AS epoch "
         f"FROM (SELECT *, {n_copies} AS __n_copies FROM {from_clause}) b"
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus snapshot diff
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Crawl-to-crawl snapshot governance: classify every document id as
+    ``added`` / ``removed`` / ``changed`` / ``unchanged`` between two
+    corpus versions — the op that drives incremental index maintenance
+    (added+changed feed *_index_add, removed feeds *_index_delete) and
+    recrawl accounting.
+
+    Scale shape: content hashes (xxhash64) are computed MAP-SIDE so the
+    full-outer join shuffles only (id, 8-byte hash), never document text;
+    one exchange per side keyed on id. Hash equality stands in for text
+    equality at the MinHash-accepted 64-bit collision risk (~n²/2⁶⁵).
+    NULL text hashes to NULL and compares like a distinct content state
+    (NULL→NULL is unchanged; NULL→text is changed — the null-safe <=>).
+
+    Returns (id_col, status) — join back to either snapshot for payloads.
+    """
+    oh = old.select(
+        F.col(id_col), F.xxhash64(F.col(text_col)).alias("__old_h")
+    )
+    nh = new.select(
+        F.col(id_col), F.xxhash64(F.col(text_col)).alias("__new_h")
+    )
+    joined = oh.join(nh, id_col, "full_outer")
+    status = (
+        F.when(F.col("__old_h").isNull() & F.col("__new_h").isNull(), F.lit("unchanged"))
+        .when(F.col("__old_h").isNull(), F.lit("added"))
+        .when(F.col("__new_h").isNull(), F.lit("removed"))
+        .when(F.col("__old_h").eqNullSafe(F.col("__new_h")), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(id_col, status.alias("status"))

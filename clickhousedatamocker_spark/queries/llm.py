@@ -2144,3 +2144,45 @@ def contamination_bloom_prefilter_profile(spark, sf_dir):
     model = gram_bloom(test, n=8, fpp=0.001)
     pre = contamination_prefilter(docs, model, n=8, min_overlap=1)
     return contamination_check(pre, test, n=8, min_overlap=1).orderBy("doc_id")
+
+
+@register(
+    "corpus_snapshot_diff_profile",
+    None,  # rows-only; the text-equality DuckDB twin lives in
+    # tests/test_corpus_ops.py::test_corpus_diff_matches_duckdb
+    description="Crawl-to-crawl snapshot diff: added/removed/changed/"
+    "unchanged per doc id via map-side content hashes - the full-outer "
+    "join shuffles (id, 8-byte hash), never text. Drives incremental "
+    "index maintenance (added+changed -> *_index_add, removed -> "
+    "*_index_delete) and recrawl accounting.",
+)
+def corpus_snapshot_diff_profile(spark, sf_dir):
+    from clickhousedatamocker_spark.operators.corpus import corpus_diff
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    # deterministic synthetic recrawl: ids % 11 == 0 vanish, % 7 == 3 get
+    # edited, a small shifted slice arrives new
+    new = (
+        docs.filter(F.col("doc_id") % 11 != 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 7 == 3, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") < 10).select(
+                (F.col("doc_id") + 7_000_000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return (
+        corpus_diff(docs, new)
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("status")
+    )

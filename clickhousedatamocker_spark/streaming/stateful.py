@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -187,5 +188,99 @@ def stream_pack_token_sequences(
         outputStructType=PACK_OUTPUT_SCHEMA,
         stateStructType=PACK_STATE_SCHEMA,
         outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming weighted reservoir: A-ES sampling over an unbounded stream (the
+# batch form is operators/corpus.py weighted_sample — same ln(u)/w keys, so
+# stream and batch agree exactly on the same data)
+
+RESERVOIR_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("shard", LongType()),
+        StructField("doc_id", LongType()),
+        StructField("weight", DoubleType()),
+        StructField("aes_key", DoubleType()),
+    ]
+)
+
+RESERVOIR_STATE_SCHEMA = StructType(
+    [
+        StructField("ids", ArrayType(LongType())),
+        StructField("ws", ArrayType(DoubleType())),
+        StructField("keys", ArrayType(DoubleType())),
+    ]
+)
+
+
+def _mk_reservoir(n: int):
+    def update(
+        key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        ids, ws, keys = state.get if state.exists else ([], [], [])
+        cand = list(zip(ids, ws, keys))
+        for pdf in pdfs:
+            if len(pdf):
+                cand.extend(
+                    zip(pdf["doc_id"].tolist(), pdf["w"].tolist(), pdf["aes_key"].tolist())
+                )
+        # keep the shard's top-n by (key desc, id asc) — the A-ES reservoir
+        cand.sort(key=lambda t: (-t[2], t[0]))
+        cand = cand[:n]
+        state.update(
+            ([c[0] for c in cand], [c[1] for c in cand], [c[2] for c in cand])
+        )
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]] * len(cand),
+                "doc_id": [c[0] for c in cand],
+                "weight": [c[1] for c in cand],
+                "aes_key": [c[2] for c in cand],
+            }
+        )
+
+    return update
+
+
+def stream_weighted_reservoir(
+    docs: DataFrame,
+    n: int = 20,
+    weight_col: str = "quality",
+    id_col: str = "doc_id",
+    salt: int = 0,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Weighted reservoir sampling over an UNBOUNDED stream: each of
+    ``n_shards`` hash shards keeps its running top-``n`` rows by the same
+    deterministic Efraimidis–Spirtes key the batch sampler uses; the
+    global top-n is always contained in the union of shard reservoirs
+    (any globally-selected row is in its own shard's top-n), so a final
+    ``ORDER BY aes_key DESC, doc_id LIMIT n`` over the emitted rows
+    reproduces ``weighted_sample`` on the same data EXACTLY — the
+    stream==batch law pinned in tests.
+
+    Scale shape: keys are computed JVM-side before the stateful op; state
+    per shard is exactly n (id, weight, key) triples — the store grows
+    with n_shards * n, never the stream. Rows with NULL or non-positive
+    weight are dropped at the gate (same contract as the batch form).
+    Output mode ``update``: each micro-batch re-emits the reservoirs of
+    the shards it touched.
+    """
+    from clickhousedatamocker_spark.operators.corpus import _uniform_01_excl0
+
+    w = F.col(weight_col).cast("double")
+    keyed = docs.select(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).alias("shard"),
+        F.col(id_col).alias("doc_id"),
+        w.alias("w"),
+        (F.log(_uniform_01_excl0(F.col(id_col), salt)) / w).alias("aes_key"),
+    ).filter(F.col("w").isNotNull() & (F.col("w") > 0))
+    return keyed.groupBy("shard").applyInPandasWithState(
+        _mk_reservoir(n),
+        outputStructType=RESERVOIR_OUTPUT_SCHEMA,
+        stateStructType=RESERVOIR_STATE_SCHEMA,
+        outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -712,3 +712,59 @@ def test_epoch_mixture_plan_token_accounting(spark):
         .first()[0]
     )
     assert n_copies == 4
+
+
+# ---------------------------------------------------------------------------
+# corpus snapshot diff
+
+
+def test_corpus_diff_matches_duckdb(spark, duck):
+    """Hash-equality status == text-equality status (the DuckDB twin
+    compares TEXT, so any xxhash64 drift or misclassification shows)."""
+    from clickhousedatamocker_spark.operators.corpus import corpus_diff
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    # new snapshot: drop ids < 20 (removed), add 900000+ (added), edit
+    # 100..119 (changed), keep the rest
+    new = (
+        docs.filter(F.col("doc_id") >= 20)
+        .withColumn(
+            "text",
+            F.when(
+                (F.col("doc_id") >= 100) & (F.col("doc_id") < 120),
+                F.concat(F.col("text"), F.lit(" EDITED")),
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [(900000 + i, f"fresh doc {i}") for i in range(7)],
+                "doc_id: long, text: string",
+            )
+        )
+    )
+    new.createOrReplaceTempView("new_docs")
+    got = sorted(
+        (r["doc_id"], r["status"]) for r in corpus_diff(docs, new).collect()
+    )
+
+    duck.execute("CREATE OR REPLACE VIEW old_v AS SELECT doc_id, text FROM documents")
+    spark_new = new.toPandas()
+    duck.register("new_pdf", spark_new)
+    want = sorted(
+        tuple(r)
+        for r in duck.execute(
+            """
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+  CASE WHEN o.doc_id IS NULL THEN 'added'
+       WHEN n.doc_id IS NULL THEN 'removed'
+       WHEN o.text IS NOT DISTINCT FROM n.text THEN 'unchanged'
+       ELSE 'changed' END AS status
+FROM old_v o FULL OUTER JOIN new_pdf n USING (doc_id)
+"""
+        ).fetchall()
+    )
+    assert got == want
+    by = {}
+    for _, s in got:
+        by[s] = by.get(s, 0) + 1
+    assert by["removed"] == 20 and by["added"] == 7 and by["changed"] == 20

