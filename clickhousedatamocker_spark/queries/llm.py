@@ -2063,10 +2063,20 @@ def similarity_topk_pq(spark, sf_dir):
 
 
 # -------------------------------------------------------------------------
+from clickhousedatamocker_spark.operators.corpus import (
+    sample_key_oracle_sql as _skos,
+)
+from clickhousedatamocker_spark.operators.corpus import (
+    weighted_sample_oracle_sql as _wsos,
+)
+
+
 @register(
     "sample_weighted_reservoir_profile",
-    None,  # rows-only (graded window full); fixed-seed DuckDB twin lives in
-    # tests/test_corpus_ops.py::test_weighted_sample_matches_duckdb
+    # GRADED (r8 second rotation): the oracle recomputes the identical
+    # ln(u)/w selection — only the selected rows' source columns are
+    # output, so the hash compares integers/strings, never the key
+    _wsos(40, "n_chars", salt=3, select="doc_id, source, lang, n_chars"),
     description="Efraimidis-Spirtes A-ES weighted sampling without "
     "replacement: key = ln(u)/w with an engine-portable multiplicative-"
     "salted Lehmer uniform, top-n via TakeOrderedAndProject (per-partition "
@@ -2084,10 +2094,42 @@ def sample_weighted_reservoir_profile(spark, sf_dir):
     )
 
 
+def _epoch_mixture_profile_oracle_sql() -> str:
+    """DuckDB twin of mixture_epochs_profile END-TO-END: the plan arithmetic
+    (epoch_mixture_plan's min(cap, budget*(w/z)/tokens) in the same IEEE
+    operation order) is recomputed in SQL from the same parquet, then the
+    floor/frac replication with the portable Lehmer key — hash-exact, no
+    transcendentals. CAST sums to BIGINT (DuckDB SUM(BIGINT) is HUGEINT)."""
+    w = "(CASE source WHEN 'src0' THEN 3.0 WHEN 'src1' THEN 1.0 WHEN 'src2' THEN 1.0 END)"
+    key = _skos("doc_id")
+    return f"""
+WITH dom AS (
+  SELECT source, SUM(n_chars) AS tok FROM documents
+  WHERE source IN ('src0', 'src1', 'src2') GROUP BY source
+), plan AS (
+  SELECT source, LEAST(8.0, 40000 * ({w} / 5.0) / tok) AS e FROM dom
+), base AS (
+  SELECT d.source, d.n_chars,
+    (CAST(floor(p.e) AS INT)
+     + CASE WHEN {key} < p.e - floor(p.e) THEN 1 ELSE 0 END) AS n_copies
+  FROM documents d JOIN plan p USING (source)
+), expanded AS (
+  SELECT source, n_chars,
+    CAST(unnest(generate_series(0, n_copies - 1)) AS INT) AS epoch
+  FROM base WHERE n_copies >= 1
+)
+SELECT source, COUNT(*) AS n_rows,
+  CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+  MAX(epoch) AS max_epoch
+FROM expanded GROUP BY source ORDER BY source
+"""
+
+
 @register(
     "mixture_epochs_profile",
-    None,  # rows-only (graded window full); hash-exact DuckDB twin lives in
-    # tests/test_corpus_ops.py::test_epoch_mixture_matches_duckdb
+    # GRADED (r8 second rotation): end-to-end twin — plan solve + fractional
+    # replication + accounting recomputed in DuckDB
+    _epoch_mixture_profile_oracle_sql(),
     description="Llama-recipe epoch mixture: per-domain repeat factors "
     "against a token budget (floor(e) full copies + deterministic "
     "fractional epoch via the portable Lehmer key), materialized with "

@@ -445,20 +445,9 @@ def window_running_and_lag(spark, sf_dir):
 # -------------------------------------------------------------------------
 @register(
     "setops_customer_segments",
-    """
-SELECT 'building_with_orders' AS tag, c_custkey FROM (
-  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
-  INTERSECT
-  SELECT o_custkey FROM orders
-)
-UNION ALL
-SELECT 'building_without_orders' AS tag, c_custkey FROM (
-  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
-  EXCEPT
-  SELECT o_custkey FROM orders
-)
-ORDER BY tag, c_custkey
-""",
+    None,  # rotated OUT of the graded window (r8, second rotation — made
+    # room for the epoch-mixture / weighted-reservoir twins); former oracle
+    # lives on in tests/test_rotated_oracles.py
     description="INTERSECT / EXCEPT (distinct set semantics in both engines) "
     "tagged and unioned.",
 )
@@ -1102,14 +1091,9 @@ def json_extract_props(spark, sf_dir):
 # -------------------------------------------------------------------------
 @register(
     "tumbling_window_hourly",
-    """
-SELECT date_trunc('hour', ts) AS hour_start, event_type,
-  COUNT(*) AS n_events,
-  CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value
-FROM events
-GROUP BY date_trunc('hour', ts), event_type
-ORDER BY hour_start, event_type
-""",
+    None,  # rotated OUT of the graded window (r8, second rotation); former
+    # oracle in tests/test_rotated_oracles.py — the timezone-instant class
+    # stays graded via stream_tumbling_1h
     description="Tumbling 1-hour event-time windows (batch equivalent of the "
     "Structured Streaming windowed agg; same expression works under readStream).",
 )

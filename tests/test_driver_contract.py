@@ -119,6 +119,10 @@ def test_contract_under_bare_session():
             "retention_analysis",      # HUGEINT-oracle class (casts must hold)
             "multimodal_decode_pipeline",  # list_sum HUGEINT class + Arrow mapInPandas
             "agg_approx_distinct_and_quantiles",  # flattened array-output class (rows-only)
+            # r8 second rotation: newly graded twins must hold under a bare
+            # external session (ln()/floor float class + Lehmer keys)
+            "sample_weighted_reservoir_profile",
+            "mixture_epochs_profile",
         ]
     )
 

@@ -6,6 +6,9 @@ here, compared with the same order-insensitive discipline the driver uses.
 r8 rotation (made room for the PCA/SQ8/PQ/soft-dedup fixed-model twins):
 join_semi_anti, window_running_and_lag, agg_grouping_analytics,
 q18_large_volume_customers.
+
+r8 second rotation (made room for the epoch-mixture / weighted-reservoir
+twins): setops_customer_segments, tumbling_window_hourly.
 """
 
 import math
@@ -20,6 +23,28 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]
 
 FORMER_ORACLES = {
+    "setops_customer_segments": """
+SELECT 'building_with_orders' AS tag, c_custkey FROM (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  INTERSECT
+  SELECT o_custkey FROM orders
+)
+UNION ALL
+SELECT 'building_without_orders' AS tag, c_custkey FROM (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  EXCEPT
+  SELECT o_custkey FROM orders
+)
+ORDER BY tag, c_custkey
+""",
+    "tumbling_window_hourly": """
+SELECT date_trunc('hour', ts) AS hour_start, event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+ORDER BY hour_start, event_type
+""",
     "join_semi_anti": """
 SELECT tag, n_name, n FROM (
   SELECT 'with_orders' AS tag, n_name, COUNT(*) AS n
