@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from clickhousedatamocker_spark.functions.geo import (
     register_batch23_functions,
+    register_batch24_functions,
     register_python_functions,
 )
 from clickhousedatamocker_spark.functions.stats import register_stats_functions
@@ -102,6 +103,7 @@ class Engine:
         register_sql_functions(spark)
         register_python_functions(spark)
         register_batch23_functions(spark)
+        register_batch24_functions(spark)
         register_stats_functions(spark)
 
     # -- connectivity probe (setup.sh:94-99) ------------------------------

@@ -4040,6 +4040,79 @@ _PARAMETRIC2_RE = re.compile(
 _PARAMETRIC2_LOWER = {k.lower(): v for k, v in _PARAMETRIC2.items()}
 
 
+# vocab batch 24 (probe-driven, round 8): series analytics, all-matches
+# group extraction, PR-AUC, jump consistent hash, misc stragglers
+
+
+def _pm_make_date32(args: list[str]) -> str:
+    """makeDate32(year, month, day) or (year, day_of_year) — Spark DATE
+    covers the Date32 range."""
+    if len(args) == 3:
+        return f"make_date({args[0]}, {args[1]}, {args[2]})"
+    if len(args) == 2:
+        return f"date_add(make_date({args[0]}, 1, 1), CAST({args[1]} AS INT) - 1)"
+    raise NotImplementedError("makeDate32 expects (year, month, day) or (year, day_of_year)")
+
+
+_PARAMETRIC.update(
+    {
+        "extractAllGroupsVertical": _pm_2arg_fa(
+            "chExtractAllGroupsVertical({f}, {a})"
+        ),
+        "extractAllGroupsHorizontal": _pm_2arg_fa(
+            "chExtractAllGroupsHorizontal({f}, {a})"
+        ),
+        "seriesOutliersDetectTukey": _pm_1arg(
+            "chSeriesOutliersTukey(CAST({x} AS ARRAY<DOUBLE>))"
+        ),
+        "seriesPeriodDetectFFT": _pm_1arg(
+            "chSeriesPeriodFFT(CAST({x} AS ARRAY<DOUBLE>))"
+        ),
+        "arrayAUCPR": _pm_2arg_fa(
+            "chArrayAUCPR(CAST({f} AS ARRAY<DOUBLE>), CAST({a} AS ARRAY<DOUBLE>))"
+        ),
+        "arrayPrAUC": _pm_2arg_fa(  # CH alias
+            "chArrayAUCPR(CAST({f} AS ARRAY<DOUBLE>), CAST({a} AS ARRAY<DOUBLE>))"
+        ),
+        "jumpConsistentHash": _pm_2arg_fa(
+            "chJumpConsistentHash(CAST({f} AS BIGINT), CAST({a} AS INT))"
+        ),
+        "makeDate32": _pm_make_date32,
+        # L2SquaredDistance: the L2 fold without the sqrt (exact, no
+        # round-trip through sqrt then square)
+        "L2SquaredDistance": _pm_2arg_fa(
+            "aggregate(zip_with({f}, {a}, (__l2p, __l2q) -> "
+            "CAST(__l2p - __l2q AS DOUBLE) * CAST(__l2p - __l2q AS DOUBLE)), "
+            "CAST(0.0 AS DOUBLE), (__l2a, __l2v) -> __l2a + __l2v)"
+        ),
+        # session-zone UTC offset (seconds) at the given instant
+        "timezoneOffset": _pm_1arg(
+            "CAST(unix_timestamp({x}) "
+            "- unix_timestamp(to_utc_timestamp({x}, current_timezone())) AS INT)"
+        ),
+        "seriesDecomposeSTL": _pm_gate(
+            "seriesDecomposeSTL",
+            "STL needs LOESS (statsmodels), absent here; decompose offline "
+            "or use seriesPeriodDetectFFT + a moving-average detrend",
+        ),
+        "tupleHammingDistance": _pm_gate(
+            "tupleHammingDistance",
+            "struct arity is type metadata a textual shim cannot inspect - "
+            "use arrays: size(filter(zip_with(a, b, (x, y) -> x <> y), __t -> __t))",
+        ),
+        "kostikConsistentHash": _pm_gate(
+            "kostikConsistentHash",
+            "use jumpConsistentHash (same moved-keys guarantee) or "
+            "pmod(xxhash64(key), n) when stability across resizes is not needed",
+        ),
+        "yandexConsistentHash": _pm_gate(
+            "yandexConsistentHash",
+            "use jumpConsistentHash (same moved-keys guarantee)",
+        ),
+    }
+)
+
+
 def _pm_or_default(chty: str, body: str):
     """to<T>OrDefault(x, default) → coalesce(range-guarded try_cast,
     default) — the -OrNull machinery with a caller default. The 1-arg CH

@@ -453,3 +453,147 @@ def register_batch23_functions(spark: SparkSession) -> None:
     spark.udf.register(
         "chMortonDecode", pandas_udf(_morton_decode, "array<bigint>")
     )
+
+
+# ---------------------------------------------------------------------------
+# batch 24: series analytics, all-matches group extraction, PR-AUC,
+# jump consistent hash
+
+
+def _extract_all_groups(s: pd.Series, pat: pd.Series, horizontal: bool) -> pd.Series:
+    """extractAllGroupsVertical/Horizontal: every match's capture groups.
+    Vertical = one row per MATCH ([g1, g2] per match); Horizontal = one row
+    per GROUP (all of g1, then all of g2). Same per-batch compile cache as
+    chExtractGroups."""
+    import re as _re
+
+    cache: dict[str, "_re.Pattern[str]"] = {}
+
+    def one(x, p):
+        if x is None or p is None:
+            return None
+        rx = cache.get(p)
+        if rx is None:
+            rx = cache[p] = _re.compile(p)
+        matches = [
+            [g if g is not None else "" for g in m.groups()] for m in rx.finditer(x)
+        ]
+        if not horizontal:
+            return matches
+        if not matches:
+            return []
+        return [list(col) for col in zip(*matches)]
+
+    return pd.Series([one(x, p) for x, p in zip(s, pat)])
+
+
+def _tukey_outliers(s: pd.Series) -> pd.Series:
+    """seriesOutliersDetectTukey: per element, the signed distance beyond
+    the 1.5*IQR Tukey fences (0 inside). Quartiles via linear
+    interpolation (numpy default), matching the public CH docs example."""
+
+    def one(arr):
+        if arr is None or len(arr) < 4:
+            return None
+        xs = np.asarray(arr, dtype=np.float64)
+        q1, q3 = np.percentile(xs, [25, 75])
+        iqr = q3 - q1
+        lo, hi = q1 - 1.5 * iqr, q3 + 1.5 * iqr
+        out = np.zeros(len(xs))
+        out[xs < lo] = (xs - lo)[xs < lo]
+        out[xs > hi] = (xs - hi)[xs > hi]
+        return [float(v) for v in out]
+
+    return s.map(one)
+
+
+def _fft_period(s: pd.Series) -> pd.Series:
+    """seriesPeriodDetectFFT: dominant period = n / argmax of the FFT
+    magnitude over the mean-removed series (DC bin excluded); NULL when no
+    dominant frequency stands out (constant series — CH returns NaN there;
+    NULL is this engine's missing-value convention)."""
+
+    def one(arr):
+        if arr is None or len(arr) < 4:
+            return None
+        xs = np.asarray(arr, dtype=np.float64)
+        xs = xs - xs.mean()
+        mags = np.abs(np.fft.rfft(xs))
+        if len(mags) < 2 or mags[1:].max() <= 1e-12:
+            return None
+        k = 1 + int(mags[1:].argmax())
+        return float(round(len(xs) / k, 6))
+
+    return s.map(one)
+
+
+def _array_aucpr(scores: pd.Series, labels: pd.Series) -> pd.Series:
+    """arrayAUCPR: area under the precision-recall curve by step
+    integration (average precision — sum of precision at each positive,
+    weighted by the recall step), ties broken by input order after a
+    stable descending sort. Matches the public CH docs example."""
+
+    def one(sc, lb):
+        if sc is None or lb is None or len(sc) != len(lb) or not len(sc):
+            return None
+        sc = np.asarray(sc, dtype=np.float64)
+        lb = np.asarray(lb, dtype=np.float64)
+        n_pos = float((lb > 0).sum())
+        if n_pos == 0:
+            return 0.0
+        order = np.argsort(-sc, kind="mergesort")
+        tp = 0.0
+        ap = 0.0
+        for i, idx in enumerate(order, start=1):
+            if lb[idx] > 0:
+                tp += 1.0
+                ap += (tp / i) * (1.0 / n_pos)
+        return float(ap)
+
+    return pd.Series([one(a, b) for a, b in zip(scores, labels)])
+
+
+def _jump_consistent_hash(key: pd.Series, buckets: pd.Series) -> pd.Series:
+    """Lamping & Veach 2014 jump consistent hash — the shard router that
+    moves only 1/n of keys when a bucket is added. Unsigned 64-bit LCG
+    arithmetic emulated with masks."""
+    MASK = (1 << 64) - 1
+
+    def one(k, n):
+        if k is None or n is None or int(n) < 1:
+            return None
+        k = int(k) & MASK
+        n = int(n)
+        b, j = -1, 0
+        while j < n:
+            b = j
+            k = (k * 2862933555777941757 + 1) & MASK
+            j = int((b + 1) * (float(1 << 31) / float((k >> 33) + 1)))
+        return b
+
+    return pd.Series([one(a, b) for a, b in zip(key, buckets)], dtype="object")
+
+
+def register_batch24_functions(spark: SparkSession) -> None:
+    spark.udf.register(
+        "chExtractAllGroupsVertical",
+        pandas_udf(
+            lambda s, p: _extract_all_groups(s, p, horizontal=False),
+            "array<array<string>>",
+        ),
+    )
+    spark.udf.register(
+        "chExtractAllGroupsHorizontal",
+        pandas_udf(
+            lambda s, p: _extract_all_groups(s, p, horizontal=True),
+            "array<array<string>>",
+        ),
+    )
+    spark.udf.register(
+        "chSeriesOutliersTukey", pandas_udf(_tukey_outliers, "array<double>")
+    )
+    spark.udf.register("chSeriesPeriodFFT", pandas_udf(_fft_period, "double"))
+    spark.udf.register("chArrayAUCPR", pandas_udf(_array_aucpr, "double"))
+    spark.udf.register(
+        "chJumpConsistentHash", pandas_udf(_jump_consistent_hash, "bigint")
+    )
