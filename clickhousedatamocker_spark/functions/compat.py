@@ -4109,6 +4109,14 @@ _PARAMETRIC.update(
             "yandexConsistentHash",
             "use jumpConsistentHash (same moved-keys guarantee)",
         ),
+        # experimental in CH (allow_experimental_funnel_functions); the
+        # deterministic spelling is a per-user ordered-event window
+        "sequenceNextNode": _pm_gate(
+            "sequenceNextNode",
+            "order events per user with a window (lead(event) OVER "
+            "(PARTITION BY user ORDER BY ts)) and filter on the base "
+            "condition; windowFunnel covers the funnel-depth case",
+        ),
     }
 )
 
