@@ -104,6 +104,11 @@ def test_batch24_loud_gates(eng):
         ("SELECT seriesDecomposeSTL(array(1.0,2,3), 3) AS a", "LOESS"),
         ("SELECT tupleHammingDistance((1,2), (2,2)) AS a", "zip_with"),
         ("SELECT kostikConsistentHash(42, 2) AS a", "jumpConsistentHash"),
+        (
+            "SELECT sequenceNextNode('forward', 'head')(ts, event_type, "
+            "event_type = 'click') AS a FROM (SELECT 1 AS ts, 'click' AS event_type)",
+            "windowFunnel",
+        ),
     ]:
         with pytest.raises(NotImplementedError, match=frag):
             eng.sql(sql).collect()
