@@ -2228,3 +2228,28 @@ def corpus_snapshot_diff_profile(spark, sf_dir):
         )
         .orderBy("status")
     )
+
+
+@register(
+    "similarity_topk_bq",
+    None,  # rows-only; the exact-integer DuckDB twin lives in
+    # tests/test_bq.py::test_bq_topk_matches_duckdb
+    description="1-bit binary quantization ANN: sign bits packed 64/word "
+    "into int64 (64x smaller than float64), Hamming = xor + bit_count in "
+    "whole-stage codegen - no folds, no UDFs, no decode. Two-stage "
+    "production path (Hamming shortlist -> exact-cosine rerank) in "
+    "bq_topk_rerank with recall pinned in tests/test_bq.py.",
+)
+def similarity_topk_bq(spark, sf_dir):
+    from clickhousedatamocker_spark.operators.bq import (
+        bq_encode,
+        bq_topk,
+        zero_centers,
+    )
+
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    m = zero_centers(64)
+    q = emb.filter(F.col("vec_id") < 5)
+    return bq_topk(bq_encode(emb, m), bq_encode(q, m), k=10).orderBy(
+        "query_id", "rank"
+    )
