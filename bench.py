@@ -187,6 +187,11 @@ def main() -> None:
         "similarity_topk_sq8",
         "similarity_topk_pq",
         "embedding_pca_profile",
+        # round-8: 1-bit binary quantization — xor+bit_count Hamming scan,
+        # the cheapest first-stage cut in the tier (should sit well under
+        # the brute-force key; a regression means the fold/codegen path
+        # slipped into interpretation)
+        "similarity_topk_bq",
     ):
         timed(extra, lambda extra=extra: REGISTRY[extra].fn(spark, sf_dir))
 

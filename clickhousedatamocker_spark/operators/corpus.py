@@ -439,8 +439,10 @@ def weighted_sample(
 
     Scale shape: one map-side key column + ONE top-n
     (TakeOrderedAndProject — per-partition heaps of n, no global sort,
-    no shuffle of the corpus). Rows with NULL or non-positive weight are
-    excluded (ln(u)/w flips sign at w<0 — they'd outrank everything).
+    no shuffle of the corpus). Rows with NULL, NaN or non-positive weight
+    are excluded (ln(u)/w flips sign at w<0 — they'd outrank everything;
+    NaN passes a bare ``w > 0`` in Spark's ordering semantics and would
+    sort FIRST under desc, silently always-selected).
 
     Caveat for cross-engine twins: ln() is not guaranteed correctly
     rounded, so Spark and DuckDB could disagree when two keys sit within
@@ -452,7 +454,7 @@ def weighted_sample(
     w = F.col(weight_col).cast("double")
     key = F.log(_uniform_01_excl0(F.col(id_col), salt)) / w
     return (
-        df.filter(w.isNotNull() & (w > 0))
+        df.filter(w.isNotNull() & ~F.isnan(w) & (w > 0))
         .withColumn("__aes_key", key)
         .orderBy(F.desc("__aes_key"), F.col(id_col))
         .limit(n)
@@ -468,12 +470,13 @@ def weighted_sample_oracle_sql(
     from_clause: str = "documents",
     select: str = "*",
 ) -> str:
-    """DuckDB twin of :func:`weighted_sample` (same key, same tiebreak)."""
+    """DuckDB twin of :func:`weighted_sample` (same key, same tiebreak,
+    same NULL/NaN/non-positive weight gate)."""
     u = _uniform_01_excl0_oracle_sql(id_expr, salt)
     w = f"CAST({weight_expr} AS DOUBLE)"
     return (
         f"SELECT {select} FROM {from_clause} "
-        f"WHERE {w} IS NOT NULL AND {w} > 0 "
+        f"WHERE {w} IS NOT NULL AND NOT isnan({w}) AND {w} > 0 "
         f"ORDER BY ln({u}) / {w} DESC, {id_expr} LIMIT {n}"
     )
 
@@ -593,8 +596,11 @@ def corpus_diff(
     full-outer join shuffles only (id, 8-byte hash), never document text;
     one exchange per side keyed on id. Hash equality stands in for text
     equality at the MinHash-accepted 64-bit collision risk (~n²/2⁶⁵).
-    NULL text hashes to NULL and compares like a distinct content state
-    (NULL→NULL is unchanged; NULL→text is changed — the null-safe <=>).
+    NULL text hashes to the xxhash64 SEED (42) — Spark's hash functions
+    never return NULL — so a hash column is NULL if and only if that id
+    is absent from that snapshot side, and NULL text compares equal to
+    NULL text (one fixed content state). Do not swap in a NULL-propagating
+    hash (sha2/md5) without revisiting the branch order below.
 
     Returns (id_col, status) — join back to either snapshot for payloads.
     """
@@ -606,10 +612,9 @@ def corpus_diff(
     )
     joined = oh.join(nh, id_col, "full_outer")
     status = (
-        F.when(F.col("__old_h").isNull() & F.col("__new_h").isNull(), F.lit("unchanged"))
-        .when(F.col("__old_h").isNull(), F.lit("added"))
+        F.when(F.col("__old_h").isNull(), F.lit("added"))
         .when(F.col("__new_h").isNull(), F.lit("removed"))
-        .when(F.col("__old_h").eqNullSafe(F.col("__new_h")), F.lit("unchanged"))
+        .when(F.col("__old_h") == F.col("__new_h"), F.lit("unchanged"))
         .otherwise(F.lit("changed"))
     )
     return joined.select(id_col, status.alias("status"))

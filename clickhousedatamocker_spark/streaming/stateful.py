@@ -276,7 +276,12 @@ def stream_weighted_reservoir(
         F.col(id_col).alias("doc_id"),
         w.alias("w"),
         (F.log(_uniform_01_excl0(F.col(id_col), salt)) / w).alias("aes_key"),
-    ).filter(F.col("w").isNotNull() & (F.col("w") > 0))
+    ).filter(
+        # same gate as the batch sampler, NaN included: a NaN weight
+        # passes a bare `w > 0` and its NaN key breaks BOTH the Python
+        # reservoir sort and the stream==batch law
+        F.col("w").isNotNull() & ~F.isnan(F.col("w")) & (F.col("w") > 0)
+    )
     return keyed.groupBy("shard").applyInPandasWithState(
         _mk_reservoir(n),
         outputStructType=RESERVOIR_OUTPUT_SCHEMA,

@@ -95,6 +95,9 @@ SMOKE_KEYS = (
     "sample_weighted_reservoir_profile",
     "mixture_epochs_profile",
     "contamination_bloom_prefilter_profile",
+    # 1-bit BQ Hamming scan — compare directly against
+    # similarity_topk_bruteforce at the same decade
+    "similarity_topk_bq",
 )
 
 

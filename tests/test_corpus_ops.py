@@ -572,10 +572,12 @@ def test_weighted_sample_laws(spark):
     from clickhousedatamocker_spark.operators.corpus import weighted_sample
 
     docs = spark.createDataFrame(
-        [(i, w) for i, w in enumerate([1.0, 2.0, 4.0, 0.0, -1.0, None])],
+        [(i, w) for i, w in enumerate([1.0, 2.0, 4.0, 0.0, -1.0, None, float("nan")])],
         "doc_id: long, w: double",
     )
-    # non-positive / NULL weights never selected, even with n > candidates
+    # non-positive / NULL / NaN weights never selected, even with n >
+    # candidates (NaN passes a bare `w > 0` and would sort FIRST under the
+    # desc key — the review-caught always-selected trap)
     got = weighted_sample(docs, n=10, weight_col="w")
     ids = {r["doc_id"] for r in got.collect()}
     assert ids == {0, 1, 2}
