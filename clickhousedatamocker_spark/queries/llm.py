@@ -2230,10 +2230,16 @@ def corpus_snapshot_diff_profile(spark, sf_dir):
     )
 
 
+from clickhousedatamocker_spark.operators.bq import (
+    bq_xengine_oracle_sql as _bqos,
+)
+
+
 @register(
     "similarity_topk_bq",
-    None,  # rows-only; the exact-integer DuckDB twin lives in
-    # tests/test_bq.py::test_bq_topk_matches_duckdb
+    # GRADED (r8 third rotation): exact integer arithmetic end-to-end —
+    # packed sign words, xor + bit_count, deterministic tiebreak
+    _bqos(64, k=10, n_queries=5),
     description="1-bit binary quantization ANN: sign bits packed 64/word "
     "into int64 (64x smaller than float64), Hamming = xor + bit_count in "
     "whole-stage codegen - no folds, no UDFs, no decode. Two-stage "

@@ -9,6 +9,9 @@ q18_large_volume_customers.
 
 r8 second rotation (made room for the epoch-mixture / weighted-reservoir
 twins): setops_customer_segments, tumbling_window_hourly.
+
+r8 third rotation (made room for the exact-integer BQ Hamming twin):
+monitor_inlist_filter.
 """
 
 import math
@@ -23,6 +26,15 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]
 
 FORMER_ORACLES = {
+    "monitor_inlist_filter": """
+SELECT event_type,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value
+FROM events
+WHERE event_type IN ('click', 'purchase', 'signup')
+GROUP BY event_type
+ORDER BY event_type
+""",
     "setops_customer_segments": """
 SELECT 'building_with_orders' AS tag, c_custkey FROM (
   SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
