@@ -21,7 +21,10 @@ from clickhousedatamocker_spark.functions.geo import (
     register_batch24_functions,
     register_python_functions,
 )
-from clickhousedatamocker_spark.functions.stats import register_stats_functions
+from clickhousedatamocker_spark.functions.stats import (
+    register_stats25_functions,
+    register_stats_functions,
+)
 from clickhousedatamocker_spark.functions.scalar import register_sql_functions
 from clickhousedatamocker_spark.plans.catalog import Catalog, TableHandle
 from clickhousedatamocker_spark.plans.flow_control import FlowController
@@ -105,6 +108,7 @@ class Engine:
         register_batch23_functions(spark)
         register_batch24_functions(spark)
         register_stats_functions(spark)
+        register_stats25_functions(spark)
 
     # -- connectivity probe (setup.sh:94-99) ------------------------------
     def probe(self) -> bool:

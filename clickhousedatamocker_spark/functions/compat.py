@@ -1576,20 +1576,8 @@ _PARAMETRIC.update(
         "tupleMultiplyByNumber": _pm_gate(
             "tupleMultiplyByNumber", "use arrays: transform(a, x -> x * n)"
         ),
-        "cramersV": _pm_gate(
-            "cramersV",
-            "compute the contingency table with GROUP BY a, b and apply the "
-            "chi-square formula over the grouped counts",
-        ),
-        "theilsU": _pm_gate(
-            "theilsU",
-            "compute conditional entropies from GROUP BY a, b counts",
-        ),
-        "contingency": _pm_gate(
-            "contingency",
-            "compute the contingency table with GROUP BY a, b and apply the "
-            "coefficient formula over the grouped counts",
-        ),
+        # cramersV / cramersVBiasCorrected / theilsU / contingency:
+        # implemented in batch 25 (collect + Arrow UDF, functions/stats.py)
         "maxIntersectionsPosition": _pm_gate(
             "maxIntersectionsPosition",
             "explode (start,+1),(end,-1) events, running-sum window ordered "
@@ -4116,6 +4104,76 @@ _PARAMETRIC.update(
             "order events per user with a window (lead(event) OVER "
             "(PARTITION BY user ORDER BY ts)) and filter on the base "
             "condition; windowFunnel covers the funnel-depth case",
+        ),
+    }
+)
+
+
+# vocab batch 25 (probe-driven, round 8): categorical-association
+# aggregates with real values, JSON merge patch, array edit distance,
+# word counting, tuple-of-intervals arithmetic.
+
+
+def _pm_assoc_agg(fn_name: str, udf: str):
+    """cramersV / cramersVBiasCorrected / theilsU / contingency over (a, b)
+    pairs: collect + one Arrow UDF per group (per-group state O(group
+    rows) — the native aggregate states hold the full contingency map
+    too). NULL on either side drops the row, the aggregate convention."""
+
+    def rw(args: list[str]) -> str:
+        if len(args) != 2:
+            raise NotImplementedError(f"{fn_name} expects (a, b)")
+        a, b = args
+        pairs = (
+            f"collect_list(CASE WHEN ({a}) IS NOT NULL AND ({b}) IS NOT NULL "
+            f"THEN named_struct('a', CAST(({a}) AS STRING), "
+            f"'b', CAST(({b}) AS STRING)) END)"
+        )
+        return f"{udf}({pairs})"
+
+    return rw
+
+
+def _pm_json_merge_patch(args: list[str]) -> str:
+    if len(args) < 1:
+        raise NotImplementedError("JSONMergePatch expects at least 1 document")
+    return f"chJSONMergePatch(array({', '.join(args)}))"
+
+
+def _pm_add_tuple_of_intervals(args: list[str]) -> str:
+    """addTupleOfIntervals(date, (i1, i2, ...)) — the interval tuple must
+    be an inline literal (struct arity is type metadata a textual shim
+    cannot inspect otherwise); rewrites to chained addition, which is
+    exactly CH's documented left-to-right application order."""
+    if len(args) != 2:
+        raise NotImplementedError("addTupleOfIntervals expects (date, tuple)")
+    base, tup = args[0], args[1].strip()
+    if not (tup.startswith("(") and tup.endswith(")")):
+        raise NotImplementedError(
+            "addTupleOfIntervals needs an inline tuple literal of intervals - "
+            "spell a column tuple as chained + interval additions"
+        )
+    parts = _split_top(tup[1:-1])
+    return "(" + " + ".join([f"({base})"] + [f"({p})" for p in parts]) + ")"
+
+
+_PARAMETRIC.update(
+    {
+        "cramersV": _pm_assoc_agg("cramersV", "chCramersV"),
+        "cramersVBiasCorrected": _pm_assoc_agg(
+            "cramersVBiasCorrected", "chCramersVBC"
+        ),
+        "theilsU": _pm_assoc_agg("theilsU", "chTheilsU"),
+        "contingency": _pm_assoc_agg("contingency", "chContingency"),
+        # countWords: maximal alphanumeric runs (CH's word definition)
+        "countWords": _pm_1arg(
+            r"size(filter(split({x}, '[^\\p{{L}}\\p{{N}}]+'), __cw -> __cw <> ''))"
+        ),
+        "JSONMergePatch": _pm_json_merge_patch,
+        "jsonMergePatch": _pm_json_merge_patch,  # pre-24.4 CH spelling
+        "addTupleOfIntervals": _pm_add_tuple_of_intervals,
+        "arrayLevenshteinDistance": _pm_2arg_fa(
+            "chArrayLevenshtein(CAST({f} AS ARRAY<STRING>), CAST({a} AS ARRAY<STRING>))"
         ),
     }
 )

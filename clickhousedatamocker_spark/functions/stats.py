@@ -324,3 +324,196 @@ def register_stats_functions(spark: SparkSession) -> None:
     spark.udf.register("chMannWhitneyU", ch_mann_whitney)
     spark.udf.register("chKSTest", ch_ks_test)
     spark.udf.register("chLTTB", ch_lttb)
+
+
+# ---------------------------------------------------------------------------
+# categorical-association family (batch 25): Cramér's V (plain and
+# Bergsma-bias-corrected) and Theil's U over one collected group — the same
+# O(group) aggregate state the native implementations hold.
+
+
+def cramers_v(pairs: list[tuple], bias_corrected: bool) -> float:
+    """Cramér's V from the (a, b) contingency table; the corrected form is
+    Bergsma 2013's φ²/df adjustment (the one ClickHouse ships as
+    cramersVBiasCorrected)."""
+    from collections import Counter
+
+    n = len(pairs)
+    if n == 0:
+        return float("nan")
+    joint = Counter(pairs)
+    ca = Counter(a for a, _ in pairs)
+    cb = Counter(b for _, b in pairs)
+    r, c = len(ca), len(cb)
+    if r < 2 or c < 2:
+        return float("nan")
+    # the full r x c table: ZERO cells contribute (0 - e)^2 / e too —
+    # iterating only observed cells halves chi^2 on perfect association
+    chi2 = 0.0
+    for a, na in ca.items():
+        for b, nb in cb.items():
+            e = na * nb / n
+            o = joint.get((a, b), 0)
+            chi2 += (o - e) ** 2 / e
+    if not bias_corrected:
+        return math.sqrt(chi2 / (n * (min(r, c) - 1)))
+    if n <= 1:
+        return float("nan")
+    phi2 = chi2 / n
+    phi2c = max(0.0, phi2 - (r - 1) * (c - 1) / (n - 1))
+    rc = r - (r - 1) ** 2 / (n - 1)
+    cc = c - (c - 1) ** 2 / (n - 1)
+    denom = min(rc, cc) - 1
+    if denom <= 0:
+        return float("nan")
+    return math.sqrt(phi2c / denom)
+
+
+def contingency_coefficient(pairs: list[tuple]) -> float:
+    """Pearson's contingency coefficient C = sqrt(chi² / (chi² + n))."""
+    from collections import Counter
+
+    n = len(pairs)
+    if n == 0:
+        return float("nan")
+    joint = Counter(pairs)
+    ca = Counter(a for a, _ in pairs)
+    cb = Counter(b for _, b in pairs)
+    chi2 = 0.0
+    for a, na in ca.items():
+        for b, nb in cb.items():
+            e = na * nb / n
+            o = joint.get((a, b), 0)
+            chi2 += (o - e) ** 2 / e
+    return math.sqrt(chi2 / (chi2 + n))
+
+
+def theils_u(pairs: list[tuple]) -> float:
+    """Theil's uncertainty coefficient U(X|Y) for (x, y) pairs: the
+    fraction of X's entropy explained by Y — (H(X) - H(X|Y)) / H(X),
+    in [0, 1]; NaN when H(X) = 0 (X constant)."""
+    from collections import Counter
+
+    n = len(pairs)
+    if n == 0:
+        return float("nan")
+    cx = Counter(x for x, _ in pairs)
+    hx = -sum(k / n * math.log(k / n) for k in cx.values())
+    if hx <= 0.0:
+        return float("nan")
+    cy = Counter(y for _, y in pairs)
+    joint = Counter(pairs)
+    hxy = 0.0
+    for (x, y), k in joint.items():
+        p_xy = k / n
+        p_x_given_y = k / cy[y]
+        hxy -= p_xy * math.log(p_x_given_y)
+    return (hx - hxy) / hx
+
+
+def _array_levenshtein(a: list, b: list) -> int:
+    """Levenshtein over element sequences (equality on the elements)."""
+    n, m = len(a), len(b)
+    if n == 0 or m == 0:
+        return n or m
+    prev = list(range(m + 1))
+    for i in range(1, n + 1):
+        cur = [i] + [0] * m
+        for j in range(1, m + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+        prev = cur
+    return prev[m]
+
+
+def _json_merge_patch(docs: list) -> str | None:
+    """RFC 7386 JSON Merge Patch folded left-to-right over the documents."""
+    import json
+
+    def patch(target, p):
+        if not isinstance(p, dict):
+            return p
+        if not isinstance(target, dict):
+            target = {}
+        out = dict(target)
+        for k, v in p.items():
+            if v is None:
+                out.pop(k, None)
+            else:
+                out[k] = patch(out.get(k), v)
+        return out
+
+    acc = None
+    first = True
+    for d in docs:
+        if d is None:
+            return None
+        parsed = json.loads(d)
+        acc = parsed if first else patch(acc, parsed)
+        first = False
+    return json.dumps(acc, separators=(",", ":")) if not first else None
+
+
+def register_stats25_functions(spark: SparkSession) -> None:
+    @pandas_udf("double")
+    def ch_cramers_v(pairs: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None if arr is None else cramers_v([(e["a"], e["b"]) for e in arr], False)
+                for arr in pairs
+            ],
+            dtype="float64",
+        )
+
+    @pandas_udf("double")
+    def ch_cramers_v_bc(pairs: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None if arr is None else cramers_v([(e["a"], e["b"]) for e in arr], True)
+                for arr in pairs
+            ],
+            dtype="float64",
+        )
+
+    @pandas_udf("double")
+    def ch_theils_u(pairs: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None if arr is None else theils_u([(e["a"], e["b"]) for e in arr])
+                for arr in pairs
+            ],
+            dtype="float64",
+        )
+
+    @pandas_udf("int")
+    def ch_array_levenshtein(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None if (x is None or y is None) else _array_levenshtein(list(x), list(y))
+                for x, y in zip(a, b)
+            ],
+            dtype="object",
+        )
+
+    @pandas_udf("string")
+    def ch_json_merge_patch_var(docs: pd.Series) -> pd.Series:
+        return docs.map(lambda arr: None if arr is None else _json_merge_patch(list(arr)))
+
+    @pandas_udf("double")
+    def ch_contingency(pairs: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None
+                if arr is None
+                else contingency_coefficient([(e["a"], e["b"]) for e in arr])
+                for arr in pairs
+            ],
+            dtype="float64",
+        )
+
+    spark.udf.register("chCramersV", ch_cramers_v)
+    spark.udf.register("chCramersVBC", ch_cramers_v_bc)
+    spark.udf.register("chTheilsU", ch_theils_u)
+    spark.udf.register("chContingency", ch_contingency)
+    spark.udf.register("chArrayLevenshtein", ch_array_levenshtein)
+    spark.udf.register("chJSONMergePatch", ch_json_merge_patch_var)

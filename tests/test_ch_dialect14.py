@@ -110,8 +110,8 @@ def test_misc_and_morton(eng):
 def test_batch14_loud_gates(eng):
     for q, msg in [
         ("SELECT tuplePlus((1, 2), (3, 4)) AS a", "zip_with"),
-        ("SELECT cramersV(a, b) AS a FROM VALUES (1, 1) AS t(a, b)", "contingency"),
-        ("SELECT theilsU(a, b) AS a FROM VALUES (1, 1) AS t(a, b)", "entropies"),
+        # cramersV / theilsU graduated to collect+UDF aggregates in
+        # batch 25 — goldens in tests/test_ch_dialect25.py
         # damerauLevenshteinDistance / jaroWinklerSimilarity graduated to
         # Arrow UDFs in batch 23 — goldens in tests/test_ch_dialect23.py
         # arraySplit graduated from a gate to a shim in batch 21 — goldens
