@@ -4172,8 +4172,11 @@ _PARAMETRIC.update(
         "JSONMergePatch": _pm_json_merge_patch,
         "jsonMergePatch": _pm_json_merge_patch,  # pre-24.4 CH spelling
         "addTupleOfIntervals": _pm_add_tuple_of_intervals,
+        # raw arrays, no string cast: Python's numeric equality coerces
+        # across int/float like CH's common-supertype comparison, where a
+        # string rendering ('1.5E9' vs '1500000000') would drift
         "arrayLevenshteinDistance": _pm_2arg_fa(
-            "chArrayLevenshtein(CAST({f} AS ARRAY<STRING>), CAST({a} AS ARRAY<STRING>))"
+            "chArrayLevenshtein({f}, {a})"
         ),
     }
 )

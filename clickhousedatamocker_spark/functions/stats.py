@@ -332,29 +332,31 @@ def register_stats_functions(spark: SparkSession) -> None:
 # O(group) aggregate state the native implementations hold.
 
 
+def _chi2_table(pairs: list[tuple]) -> tuple[float, int, int, int]:
+    """(chi², r, c, n) of the (a, b) contingency table, via the
+    observed-cells identity chi² = n·Σ_observed o²/(nₐ·n_b) − n — exactly
+    the full-r×c chi² INCLUDING zero cells (they enter through the −n
+    term), without materializing the r×c product (which is a 10¹⁰-step
+    Python loop on two 100k-cardinality columns)."""
+    from collections import Counter
+
+    n = len(pairs)
+    joint = Counter(pairs)
+    ca = Counter(a for a, _ in pairs)
+    cb = Counter(b for _, b in pairs)
+    chi2 = n * sum(o * o / (ca[a] * cb[b]) for (a, b), o in joint.items()) - n
+    return chi2, len(ca), len(cb), n
+
+
 def cramers_v(pairs: list[tuple], bias_corrected: bool) -> float:
     """Cramér's V from the (a, b) contingency table; the corrected form is
     Bergsma 2013's φ²/df adjustment (the one ClickHouse ships as
     cramersVBiasCorrected)."""
-    from collections import Counter
-
-    n = len(pairs)
-    if n == 0:
+    if not pairs:
         return float("nan")
-    joint = Counter(pairs)
-    ca = Counter(a for a, _ in pairs)
-    cb = Counter(b for _, b in pairs)
-    r, c = len(ca), len(cb)
+    chi2, r, c, n = _chi2_table(pairs)
     if r < 2 or c < 2:
         return float("nan")
-    # the full r x c table: ZERO cells contribute (0 - e)^2 / e too —
-    # iterating only observed cells halves chi^2 on perfect association
-    chi2 = 0.0
-    for a, na in ca.items():
-        for b, nb in cb.items():
-            e = na * nb / n
-            o = joint.get((a, b), 0)
-            chi2 += (o - e) ** 2 / e
     if not bias_corrected:
         return math.sqrt(chi2 / (n * (min(r, c) - 1)))
     if n <= 1:
@@ -371,27 +373,20 @@ def cramers_v(pairs: list[tuple], bias_corrected: bool) -> float:
 
 def contingency_coefficient(pairs: list[tuple]) -> float:
     """Pearson's contingency coefficient C = sqrt(chi² / (chi² + n))."""
-    from collections import Counter
-
-    n = len(pairs)
-    if n == 0:
+    if not pairs:
         return float("nan")
-    joint = Counter(pairs)
-    ca = Counter(a for a, _ in pairs)
-    cb = Counter(b for _, b in pairs)
-    chi2 = 0.0
-    for a, na in ca.items():
-        for b, nb in cb.items():
-            e = na * nb / n
-            o = joint.get((a, b), 0)
-            chi2 += (o - e) ** 2 / e
+    chi2, _, _, n = _chi2_table(pairs)
     return math.sqrt(chi2 / (chi2 + n))
 
 
 def theils_u(pairs: list[tuple]) -> float:
-    """Theil's uncertainty coefficient U(X|Y) for (x, y) pairs: the
-    fraction of X's entropy explained by Y — (H(X) - H(X|Y)) / H(X),
-    in [0, 1]; NaN when H(X) = 0 (X constant)."""
+    """Theil's U for (x, y) pairs, with CLICKHOUSE'S SIGN CONVENTION: its
+    implementation divides by Σp·log p (which is NEGATIVE), so real
+    ClickHouse returns the NEGATED textbook uncertainty coefficient —
+    perfect association is -1, independence 0 (docs example
+    theilsU(number % 10, number % 4) over 150 rows = -0.3019572...,
+    reproduced in tests). Parity beats the textbook here. NaN when X is
+    constant (H(X) = 0)."""
     from collections import Counter
 
     n = len(pairs)
@@ -408,11 +403,28 @@ def theils_u(pairs: list[tuple]) -> float:
         p_xy = k / n
         p_x_given_y = k / cy[y]
         hxy -= p_xy * math.log(p_x_given_y)
-    return (hx - hxy) / hx
+    return -(hx - hxy) / hx
+
+
+def _norm_elem(v):
+    """Normalize an Arrow-delivered element for Python equality: numpy
+    scalars -> native (C decimal refuses to compare against np.int64:
+    'argument must be an integer'), Decimal -> float (CH compares numerics
+    under a common supertype)."""
+    import decimal
+
+    if hasattr(v, "item"):
+        v = v.item()
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
+    return v
 
 
 def _array_levenshtein(a: list, b: list) -> int:
-    """Levenshtein over element sequences (equality on the elements)."""
+    """Levenshtein over element sequences (equality on the elements,
+    numerics normalized — see _norm_elem)."""
+    a = [_norm_elem(v) for v in a]
+    b = [_norm_elem(v) for v in b]
     n, m = len(a), len(b)
     if n == 0 or m == 0:
         return n or m

@@ -37,7 +37,8 @@ def test_association_family_goldens(eng):
     )
     assert r["v"] == pytest.approx(1.0)
     assert r["vc"] == pytest.approx(1.0)
-    assert r["u"] == pytest.approx(1.0)
+    # CH's theilsU divides by the NEGATIVE entropy sum: perfect = -1
+    assert r["u"] == pytest.approx(-1.0)
     assert r["c"] == pytest.approx(math.sqrt(10 / 20))  # sqrt(chi2/(chi2+n))
 
     # exact independence: chi² = 0, conditional entropy = marginal entropy
@@ -60,7 +61,15 @@ def test_association_family_goldens(eng):
         f"SELECT theilsU(a, b) AS u FROM (SELECT a, b FROM {_PERFECT} "
         "UNION ALL SELECT NULL, 1 UNION ALL SELECT 1, NULL)",
     )
-    assert r["u"] == pytest.approx(1.0)
+    assert r["u"] == pytest.approx(-1.0)
+
+    # the public CH docs example, sign included:
+    # theilsU(number % 10, number % 4) over numbers(150) = -0.301957...
+    r = one(
+        eng,
+        "SELECT theilsU(id % 10, id % 4) AS u FROM range(150)",
+    )
+    assert r["u"] == pytest.approx(-0.30195720557678846, rel=1e-12)
 
 
 def test_json_merge_patch(eng):
@@ -82,10 +91,12 @@ def test_array_levenshtein_and_count_words(eng):
         eng,
         "SELECT arrayLevenshteinDistance(array(1, 2, 3), array(1, 3)) AS a, "
         "arrayLevenshteinDistance(array('a', 'b'), array('b', 'a')) AS b, "
+        "arrayLevenshteinDistance(array(1.0, 2.0), array(1, 2)) AS mixed, "
         "countWords('Hello, world!') AS c, countWords('a1 b-c') AS d, "
         "countWords('') AS e",
     )
     assert (r["a"], r["b"]) == (1, 2)
+    assert r["mixed"] == 0  # numeric coercion, not string-rendering compare
     assert (r["c"], r["d"], r["e"]) == (2, 3, 0)
 
 
