@@ -305,21 +305,49 @@ def main() -> None:
     normalized = {k: round(v / ratio, 4) for k, v in timings.items()}
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline queries + 100k-batch partitioned ingest + monitoring, seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_normalized": normalized,
-                "runs": all_runs,
-                "breakdown": breakdown,
-                "conditions": conditions,
-                "sf": sf,
-            }
-        )
+    # Two-artifact emission (the r8 verdict's top task): the driver
+    # archives only the LAST ~2 KB of stdout, so the fat record (raw run
+    # arrays, breakdown, full conditions) goes to a sidecar file and the
+    # ONE stdout line is a compact record — per-key medians, normalized
+    # medians, calibration ratio — guaranteed to fit the tail window.
+    full_record = {
+        "metric": "headline queries + 100k-batch partitioned ingest + monitoring, seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_normalized": normalized,
+        "runs": all_runs,
+        "breakdown": breakdown,
+        "conditions": conditions,
+        "sf": sf,
+    }
+    sidecar = os.environ.get(
+        "SPARK_GRAFT_BENCH_RUNS", os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_RUNS.json")
     )
+    try:
+        with open(sidecar, "w") as f:
+            json.dump(full_record, f, indent=1)
+    except OSError as e:  # read-only checkout: the stdout line still carries the medians
+        print(f"bench: could not write sidecar {sidecar}: {e}", file=sys.stderr)
+    compact = {
+        "metric": "headline+ingest+monitoring sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_normalized": normalized,
+        "calibration_ratio": conditions["calibration_ratio"],
+        "load_1m": conditions["loadavg_1m"],
+        "sf": sf,
+        "runs_file": os.path.basename(sidecar),
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:
+        # stay under the tail window no matter how many keys future rounds
+        # add: drop the normalized map first (ratio lets a reader rebuild
+        # it), then raw medians would be next — never reached today.
+        compact.pop("queries_normalized")
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

@@ -607,19 +607,10 @@ def funnel_click_view_purchase(spark, sf_dir):
 # -------------------------------------------------------------------------
 @register(
     "retention_analysis",
-    """
-WITH per_user AS (
-  SELECT user_id,
-    MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS r1,
-    MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c2,
-    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c3
-  FROM events GROUP BY user_id
-)
-SELECT CAST(SUM(r1) AS BIGINT) AS cohort,
-       CAST(SUM(r1 * c2) AS BIGINT) AS retained_click,
-       CAST(SUM(r1 * c3) AS BIGINT) AS retained_purchase
-FROM per_user
-""",
+    None,  # rotated OUT of the graded window r9 (made room for the
+    # snapshot-diff / packing-layout twins); former oracle pinned in
+    # tests/test_rotated_oracles.py
+
     description="ClickHouse retention() parity: per-user condition flags "
     "(r1 AND r_i semantics), summed into cohort retention counts — one "
     "hash aggregation, map-side combined.",
@@ -902,28 +893,59 @@ def dedup_span_removal_profile(spark, sf_dir):
 
 
 # -------------------------------------------------------------------------
+def _pack_layout_oracle_sql(seq_len: int = 128, n_shards: int = 16) -> str:
+    """DuckDB SQL recomputing the FULL packing layout — per-sequence token
+    counts AND the exact sequence text — under the engine-portable Lehmer
+    shard hash. Unlike the pipeline twin's per-shard count arithmetic,
+    this grades every boundary decision: which token lands in which
+    sequence (running in-shard offsets -> pos // seq_len) and the verbatim
+    reassembled text. Pure integer/string work, zero float risk."""
+    from clickhousedatamocker_spark.operators.corpus import sample_key_int_oracle_sql
+
+    shard = f"({sample_key_int_oracle_sql('doc_id')} % {n_shards})"
+    return f"""
+WITH toks AS (
+  SELECT {shard} AS shard, doc_id,
+         string_split(text || ' <|endoftext|>', ' ') AS t
+  FROM documents
+), offs AS (
+  SELECT shard, doc_id, t,
+         SUM(len(t)) OVER (PARTITION BY shard ORDER BY doc_id) - len(t) AS start
+  FROM toks
+), tok_rows AS (
+  SELECT shard, start + u.i - 1 AS pos, t[u.i] AS tok
+  FROM offs, UNNEST(range(1, len(t) + 1)) AS u(i)
+)
+SELECT shard, CAST(pos // {seq_len} AS BIGINT) AS seq_id,
+       COUNT(*) AS n_tokens,
+       string_agg(tok, ' ' ORDER BY pos) AS text
+FROM tok_rows GROUP BY shard, pos // {seq_len}
+ORDER BY shard, seq_id
+""".strip()
+
+
 @register(
     "pack_token_sequences_profile",
-    None,  # rows-only (graded window full); hash-exact grading lives in
-    # tests/test_corpus_ops.py::test_pack_token_sequences_laws_and_duckdb
+    # GRADED (r9 rotation): full layout parity — every sequence's token
+    # count and verbatim text, DuckDB recomputing the running-offset
+    # chunking under the portable Lehmer shard hash
+    _pack_layout_oracle_sql(seq_len=128, n_shards=16),
     description="GPT-style sequence packing: per-shard doc concat + exact "
     "seq_len-token chunking (docs straddle boundaries, eos separators). "
     "Two shuffles (shard window, chunk agg), shards scale horizontally — "
-    "packing state is one shard's stream, never the corpus.",
+    "packing state is one shard's stream, never the corpus. Graded on the "
+    "FULL layout (per-sequence n_tokens + verbatim text) under the "
+    "engine-portable Lehmer shard; the xxhash64 production default stays "
+    "law-tested in tests/test_corpus_ops.py.",
 )
 def pack_token_sequences_profile(spark, sf_dir):
     from clickhousedatamocker_spark.operators.corpus import pack_token_sequences
 
-    docs = t(spark, sf_dir, "documents")
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     return (
-        pack_token_sequences(docs, seq_len=512, n_shards=16)
-        .groupBy("shard")
-        .agg(
-            F.count(F.lit(1)).alias("n_sequences"),
-            F.sum("n_tokens").alias("n_tokens"),
-            F.count_if(F.col("n_tokens") == 512).alias("n_full"),
-        )
-        .orderBy("shard")
+        pack_token_sequences(docs, seq_len=128, n_shards=16, shard_key="lehmer")
+        .select("shard", "seq_id", "n_tokens", "text")
+        .orderBy("shard", "seq_id")
     )
 
 
@@ -2190,13 +2212,33 @@ def contamination_bloom_prefilter_profile(spark, sf_dir):
 
 @register(
     "corpus_snapshot_diff_profile",
-    None,  # rows-only; the text-equality DuckDB twin lives in
-    # tests/test_corpus_ops.py::test_corpus_diff_matches_duckdb
+    # GRADED (r9 rotation): per-doc status parity against a TEXT-equality
+    # DuckDB twin — the engine classifies via map-side xxhash64 content
+    # hashes, the oracle compares the strings themselves, so any hash
+    # drift or status misclassification hash-mismatches
+    """
+WITH new_v AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 3 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 11 <> 0
+  UNION ALL
+  SELECT doc_id + 7000000 AS doc_id, text FROM documents WHERE doc_id < 10
+)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+  CASE WHEN o.doc_id IS NULL THEN 'added'
+       WHEN n.doc_id IS NULL THEN 'removed'
+       WHEN o.text IS NOT DISTINCT FROM n.text THEN 'unchanged'
+       ELSE 'changed' END AS status
+FROM documents o FULL OUTER JOIN new_v n USING (doc_id)
+ORDER BY doc_id
+""",
     description="Crawl-to-crawl snapshot diff: added/removed/changed/"
     "unchanged per doc id via map-side content hashes - the full-outer "
     "join shuffles (id, 8-byte hash), never text. Drives incremental "
     "index maintenance (added+changed -> *_index_add, removed -> "
-    "*_index_delete) and recrawl accounting.",
+    "*_index_delete) and recrawl accounting. Graded per-doc against a "
+    "text-equality twin (hash-equality == text-equality modulo the "
+    "stated 64-bit collision risk).",
 )
 def corpus_snapshot_diff_profile(spark, sf_dir):
     from clickhousedatamocker_spark.operators.corpus import corpus_diff
@@ -2218,16 +2260,7 @@ def corpus_snapshot_diff_profile(spark, sf_dir):
             )
         )
     )
-    return (
-        corpus_diff(docs, new)
-        .groupBy("status")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min("doc_id").alias("min_id"),
-            F.max("doc_id").alias("max_id"),
-        )
-        .orderBy("status")
-    )
+    return corpus_diff(docs, new).orderBy("doc_id")
 
 
 from clickhousedatamocker_spark.operators.bq import (

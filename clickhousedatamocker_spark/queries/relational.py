@@ -724,17 +724,10 @@ def array_hof_showcase(spark, sf_dir):
 # -------------------------------------------------------------------------
 @register(
     "sample_histogram_events",
-    f"""
-WITH sampled AS (
-  SELECT * FROM events
-  WHERE (event_id * 2654435761) % 4294967296 < 429496730
-), b AS (
-  SELECT CAST(LEAST(FLOOR(value / 10.0), 9) AS INT) AS bucket,
-         COUNT(*) AS n, {o_dsum('value', 18, 4)} AS bucket_sum
-  FROM sampled GROUP BY 1
-)
-SELECT bucket, n, bucket_sum FROM b ORDER BY bucket
-""",
+    None,  # rotated OUT of the graded window r9 (made room for the
+    # snapshot-diff / packing-layout twins); former oracle pinned in
+    # tests/test_rotated_oracles.py
+
     description="ClickHouse SAMPLE-clause parity: deterministic ~10% sample "
     "via a Knuth multiplicative hash of the row id against a fixed threshold "
     "- the same rows are selected on every engine and every run (unlike "

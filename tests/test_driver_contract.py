@@ -157,6 +157,21 @@ def test_contract_under_non_utc_session():
     )
 
 
+def test_contract_round9_graded_rotation_under_bare_session():
+    """The two round-9 graded twins under a bare external session: the
+    packing-layout twin stresses string_agg/array_join reassembly of
+    verbatim sequence text plus Lehmer shard arithmetic (string-collation
+    class), and the snapshot-diff twin stresses full-outer-join NULL
+    semantics through the driver's float-coercing pandas fetch (a NULL
+    doc_id column would upcast to float64 — COALESCE must hold)."""
+    _run_probe(
+        [
+            "pack_token_sequences_profile",
+            "corpus_snapshot_diff_profile",
+        ]
+    )
+
+
 def test_contract_round8_graded_rotation_under_bare_session():
     """The four round-8 graded fixed-model twins under a bare external
     session: SQ8 exercises the char/ISO-8859-1 byte packing + decode

@@ -12,6 +12,9 @@ twins): setops_customer_segments, tumbling_window_hourly.
 
 r8 third rotation (made room for the exact-integer BQ Hamming twin):
 monitor_inlist_filter.
+
+r9 rotation (made room for the snapshot-diff and packing-layout twins):
+sample_histogram_events, retention_analysis.
 """
 
 import math
@@ -26,6 +29,30 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]
 
 FORMER_ORACLES = {
+    "sample_histogram_events": """
+WITH sampled AS (
+  SELECT * FROM events
+  WHERE (event_id * 2654435761) % 4294967296 < 429496730
+), b AS (
+  SELECT CAST(LEAST(FLOOR(value / 10.0), 9) AS INT) AS bucket,
+         COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS bucket_sum
+  FROM sampled GROUP BY 1
+)
+SELECT bucket, n, bucket_sum FROM b ORDER BY bucket
+""",
+    "retention_analysis": """
+WITH per_user AS (
+  SELECT user_id,
+    MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS r1,
+    MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c2,
+    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c3
+  FROM events GROUP BY user_id
+)
+SELECT CAST(SUM(r1) AS BIGINT) AS cohort,
+       CAST(SUM(r1 * c2) AS BIGINT) AS retained_click,
+       CAST(SUM(r1 * c3) AS BIGINT) AS retained_purchase
+FROM per_user
+""",
     "monitor_inlist_filter": """
 SELECT event_type,
   COUNT(*) AS n,
