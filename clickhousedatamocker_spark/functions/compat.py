@@ -2038,11 +2038,9 @@ _PARAMETRIC.update(
             "groupArrayMovingAvg",
             "avg(x) OVER (ORDER BY ... ROWS BETWEEN n PRECEDING AND CURRENT ROW)",
         ),
-        "exponentialMovingAverage": _pm_order_dependent(
-            "exponentialMovingAverage",
-            "a two-pass time-decay: max(t) OVER () then "
-            "sum(v * pow(2, (t - tmax)/halflife)) / sum(pow(2, (t - tmax)/halflife))",
-        ),
+        # exponentialMovingAverage: REAL rewrite in _PARAMETRIC2 (r9) — it
+        # is time-anchored, not arrival-order-dependent, so the old gate
+        # here was wrong to lump it with the neighbor family
         "deltaSum": _pm_order_dependent(
             "deltaSum", "sum(greatest(x - lag(x) OVER (ORDER BY ...), 0))"
         ),
@@ -3997,8 +3995,11 @@ for _rfc, _base in (
     if _base in _PARAMETRIC:
         _PARAMETRIC[_rfc] = _PARAMETRIC[_base]
 
-# window-frame time decay: genuinely needs a frame-relative reference time;
-# the two-pass spelling is exact — gate with the recipe
+# window-frame time decay: the frame-relative reference time cannot be
+# reached by this textual rewriter (it would need OVER-clause surgery),
+# and the naive max-shift two-pass under/overflows once the partition's
+# time span exceeds ~700·lambda — the exact segmented-renormalization
+# scan lives in operators/ema.py. Gate with that pointer.
 for _etd in (
     "exponentialTimeDecayedSum",
     "exponentialTimeDecayedAvg",
@@ -4007,13 +4008,54 @@ for _etd in (
 ):
     _PARAMETRIC[_etd] = _pm_gate(
         _etd,
-        "frame-relative decay has no direct Spark spelling; use the exact "
-        "two-pass form: tmax = max(t) OVER (frame), then aggregate "
-        "v * exp((t - tmax) / lambda) OVER (frame)",
+        "frame-relative decay has no direct Spark spelling; use "
+        "operators/ema.py exponential_time_decayed(df, decay, value_col, "
+        "time_col, partition_cols) — the exact per-key segmented scan — or, "
+        "for short bounded spans only, the two-pass form: tmax = max(t) "
+        "OVER (frame), then aggregate v * exp((t - tmax) / lambda) OVER (frame)",
     )
+
+def _pm2_exponential_moving_average(params: list[str] | None, args: list[str]) -> str:
+    """exponentialMovingAverage(x)(value, timeunit) — exact aggregate
+    rewrite: EMA = (1 − 2^(−1/x)) · Σ v_i·2^((t_i−T)/x), T = max(t) (the
+    normalizer is CH's limit weight-sum of unit-spaced events). The max
+    can't nest inside the sum in SQL, so the group is collected ONCE and
+    folded with T bound via a 1-element transform; weights are in (0, 1]
+    (graceful underflow, no overflow). NULL value/time rows are skipped
+    (CH aggregate NULL rule); an all-NULL/empty group yields NULL.
+    O(group) memory in the collected array — the dialect convenience
+    path; operators/ema.py exponential_moving_average is the zero-collect
+    two-pass for big groups."""
+    if len(args) != 2:
+        raise NotImplementedError(
+            "exponentialMovingAverage expects (value, timeunit)"
+        )
+    x = params[0] if params else "1"  # CH default half-life is 1
+    if params is not None and len(params) != 1:
+        raise NotImplementedError(
+            "exponentialMovingAverage takes exactly one parameter (half-life)"
+        )
+    v, t = args
+    pair = (
+        f"CASE WHEN ({v}) IS NOT NULL AND ({t}) IS NOT NULL THEN "
+        f"named_struct('t', CAST({t} AS DOUBLE), 'v', CAST({v} AS DOUBLE)) END"
+    )
+    fold = (
+        f"(1.0D - pow(2.0D, -1.0D / ({x}))) * aggregate(__ema_a, "
+        f"CAST(0.0 AS DOUBLE), (__ema_s, __ema_e) -> "
+        f"__ema_s + __ema_e.v * pow(2.0D, (__ema_e.t - __ema_T) / ({x})))"
+    )
+    return (
+        f"element_at(transform(array(collect_list({pair})), __ema_a -> "
+        f"CASE WHEN size(__ema_a) = 0 THEN CAST(NULL AS DOUBLE) "
+        f"ELSE element_at(transform(array(array_max(__ema_a.t)), "
+        f"__ema_T -> {fold}), 1) END), 1)"
+    )
+
 
 _PARAMETRIC2.update(
     {
+        "exponentialMovingAverage": _pm2_exponential_moving_average,
         "studentTTest": _pm2_student_ttest,
         "welchTTest": _pm2_welch_ttest,
         "meanZTest": _pm2_mean_ztest,

@@ -125,3 +125,57 @@ def asof_join_last_click(spark, sf_dir):
         .select("event_id", "user_id", "ts", "ts_asof")
         .orderBy("event_id")
     )
+
+
+# -------------------------------------------------------------------------
+@register(
+    "ema_time_decay_profile",
+    None,  # rows-only: decayed exp sums are float-order-sensitive in the
+    # low bits; value-exactness is pinned against an O(n^2) brute-force
+    # reference AND a DuckDB self-join twin in tests/test_ema.py
+    headline=True,
+    description="ClickHouse exponentialMovingAverage + exponentialTime"
+    "Decayed* parity (operators/ema.py, r9): per-user decayed activity "
+    "state at each user's LAST event - decayed sum/count/avg/max via the "
+    "exact segmented-renormalization scan (one shuffle on user_id, Arrow "
+    "batches, survives unbounded time spans where the naive max-shift "
+    "spelling under/overflows) joined with the per-user base-2 half-life "
+    "EMA aggregate (pure window max + agg, zero Python). The monitoring "
+    "read a CH dashboard computes with exponentialMovingAverage(3600).",
+)
+def ema_time_decay_profile(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from clickhousedatamocker_spark.operators.ema import (
+        exponential_moving_average,
+        exponential_time_decayed,
+    )
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "value",
+        F.unix_timestamp("ts").cast("double").alias("tsec"),
+    )
+    etd = exponential_time_decayed(ev, 1800.0, "value", "tsec", ["user_id"])
+    w = Window.partitionBy("user_id").orderBy(F.desc("tsec"), F.desc("event_id"))
+    last = (
+        etd.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "etd_sum", "etd_count", "etd_avg", "etd_max")
+    )
+    ema = exponential_moving_average(
+        ev, 3600.0, "value", "tsec", ["user_id"], out_col="ema_value"
+    )
+    return (
+        last.join(ema, "user_id")
+        .select(
+            "user_id",
+            F.round("etd_sum", 6).alias("decayed_sum"),
+            F.round("etd_count", 6).alias("decayed_count"),
+            F.round("etd_avg", 6).alias("decayed_avg"),
+            F.round("etd_max", 6).alias("decayed_max"),
+            F.round("ema_value", 6).alias("ema_value"),
+        )
+        .orderBy("user_id")
+    )

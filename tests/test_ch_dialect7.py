@@ -249,7 +249,8 @@ def test_order_dependent_family_refuses_with_window_recipe(eng):
         "runningAccumulate(value)",
         "groupArrayMovingSum(value)",
         "groupArrayMovingAvg(value)",
-        "exponentialMovingAverage(1)(value, 1)",
+        # exponentialMovingAverage graduated to a real rewrite in r9 —
+        # covered by tests/test_ema.py
         "deltaSum(value)",
         "deltaSumTimestamp(value, value)",
     ):
