@@ -112,18 +112,30 @@ def train_bpe(
     return merges
 
 
+def _make_word_encoder(end: str):
+    """Greedy BPE segmenter factory. NESTED on purpose: cloudpickle ships a
+    nested function BY VALUE inside the mapInPandas closure, so executors
+    need no importable copy of this package (the bare-session driver
+    contract — an external SparkSession has no PYTHONPATH pointing here)."""
+
+    def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+        syms = list(word) + [end]
+        while len(syms) > 1:
+            best_rank, best_i = None, None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_i is None:
+                break
+            syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        return syms
+
+    return encode_word
+
+
 def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
-    syms = list(word) + [_END]
-    while len(syms) > 1:
-        best_rank, best_i = None, None
-        for i in range(len(syms) - 1):
-            r = ranks.get((syms[i], syms[i + 1]))
-            if r is not None and (best_rank is None or r < best_rank):
-                best_rank, best_i = r, i
-        if best_i is None:
-            break
-        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
-    return syms
+    return _make_word_encoder(_END)(word, ranks)
 
 
 def bpe_encode(
@@ -146,6 +158,11 @@ def bpe_encode(
     bc = df.sparkSession.sparkContext.broadcast(
         {tuple(p): i for i, p in enumerate(merges)}
     )
+    # captured locals only (string + nested function): the closure must not
+    # reference module globals, which cloudpickle would serialize as an
+    # import of this package — absent on bare-session executors
+    end = _END
+    enc_word = _make_word_encoder(end)
 
     def encode(batches):
         import pandas as pd
@@ -156,12 +173,12 @@ def bpe_encode(
             pdf = pdf.copy()
             toks = []
             for text in pdf[text_col]:
-                words = [w for w in (text or "").replace(_END, "").split() if w]
+                words = [w for w in (text or "").replace(end, "").split() if w]
                 out: list[str] = []
                 for w in words:
                     got = cache.get(w)
                     if got is None:
-                        got = cache[w] = _encode_word(w, ranks)
+                        got = cache[w] = enc_word(w, ranks)
                     out.extend(got)
                 toks.append(out)
             pdf[out_col] = pd.Series(toks, index=pdf.index, dtype=object)

@@ -584,7 +584,9 @@ _FUNNEL_WINDOW_S = 2 * 86400
 
 @register(
     "funnel_click_view_purchase",
-    funnel_oracle_sql(_FUNNEL_STEPS, _FUNNEL_WINDOW_S, seq_match_col="seq_match_cvp"),
+    None,  # rotated OUT of the graded window r9 (made room for the BPE
+    # segmenter twin); the former funnel_oracle_sql oracle is pinned in
+    # tests/test_rotated_oracles.py
     description="ClickHouse windowFunnel parity: per-user deepest "
     "click->view->purchase prefix completed within a 2-day window of the "
     "chain's anchor click — max depth over chains anchored at ANY click "
@@ -1087,19 +1089,135 @@ def dedup_semantic_profile(spark, sf_dir):
 
 
 # -------------------------------------------------------------------------
+# Fixed BPE merge table for the GRADED encode twin — the same fixed-model
+# device that graded PQ (fixed codebook) and SQ8: learned ONCE from the
+# sf0.01 fixture via train_bpe(num_merges=48, max_vocab_words=50_000) and
+# frozen, so the DuckDB twin grades the SEGMENTER (greedy leftmost
+# min-rank merging, one merge per step) value-exact; training itself
+# stays pinned by the Sennrich golden + word-count parity in
+# tests/test_bpe.py and by bpe_tokenize_trained_profile below.
+_BPE_END = ""  # operators/bpe.py end-of-word sentinel
+_BPE_FIXED_MERGES: list[tuple[str, str]] = [
+    ("e", "r"), ("e", _BPE_END), ("n", _BPE_END), ("er", _BPE_END),
+    ("o", "w"), ("ow", _BPE_END), ("o", "r"), ("s", "t"),
+    ("h", _BPE_END), ("a", "t"), ("l", "u"), ("i", "n"),
+    ("a", _BPE_END), ("g", _BPE_END), ("y", _BPE_END), ("a", "r"),
+    ("p", "ar"), ("t", _BPE_END), ("i", "n" + _BPE_END), ("j", "o"),
+    ("jo", "in" + _BPE_END), ("a", "s"), ("as", "h" + _BPE_END),
+    ("h", "ash" + _BPE_END), ("r", "ow" + _BPE_END), ("at", "c"),
+    ("atc", "h" + _BPE_END), ("b", "atch" + _BPE_END), ("a", "n" + _BPE_END),
+    ("c", "an" + _BPE_END), ("s", "can" + _BPE_END), ("c", "o"),
+    ("c", "u"), ("co", "lu"), ("colu", "m"), ("colum", "n" + _BPE_END),
+    ("cu", "st"), ("cust", "o"), ("custo", "m"), ("custom", "er" + _BPE_END),
+    ("f", "i"), ("fi", "l"), ("fil", "t"), ("filt", "er" + _BPE_END),
+    ("a", "l"), ("al", "l"), ("all", _BPE_END), ("m", "all" + _BPE_END),
+]
+
+
+def _bpe_encode_oracle_sql(merges: list[tuple[str, str]]) -> str:
+    """DuckDB SQL recomputing the ENTIRE fixed-merges BPE profile: the
+    greedy segmenter as a recursive CTE (each step merges the LEFTMOST
+    occurrence of the lowest-rank adjacent pair — exactly
+    operators/bpe.py _encode_word; each merge shrinks the list by one, so
+    the word with the minimum final length per key IS the fixpoint), then
+    the per-token usage report weighted by word frequency. Pair keys use
+    a chr(1) separator: the fixed merge tokens are ASCII, so a corpus
+    token containing chr(1) can never alias a merge key. Encoding is per
+    DISTINCT word (same memoization the Spark encoder applies)."""
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    mk = ", ".join("'" + esc(a) + chr(1) + esc(b) + "'" for a, b in merges)
+    return f"""
+WITH RECURSIVE
+pr AS (SELECT [{mk}] AS mk),
+raw AS (
+  SELECT unnest(string_split_regex(replace(text, chr(57344), ''), '\\s+')) AS word
+  FROM documents
+),
+wcount AS (SELECT word, COUNT(*) AS n FROM raw WHERE word <> '' GROUP BY word),
+init AS (
+  SELECT word,
+         list_append(list_transform(generate_series(1, length(word)), i -> word[i:i]),
+                     chr(57344)) AS ts
+  FROM wcount
+),
+step(word, ts) AS (
+  SELECT word, ts FROM init
+  UNION ALL
+  SELECT word,
+         list_concat(list_concat(ts[1:bi-1], [ts[bi] || ts[bi+1]]), ts[bi+2:]) AS ts
+  FROM (
+    SELECT word, ts,
+           list_position(rl, list_min(list_filter(rl, r -> r > 0))) AS bi
+    FROM (
+      SELECT word, ts,
+             list_transform(generate_series(1, len(ts) - 1),
+                            i -> list_position(mk, ts[i] || chr(1) || ts[i+1])) AS rl
+      FROM step, pr
+    )
+  ) WHERE bi IS NOT NULL
+),
+final AS (
+  SELECT word, ts
+  FROM (SELECT word, ts, ROW_NUMBER() OVER (PARTITION BY word ORDER BY len(ts)) AS rn
+        FROM step)
+  WHERE rn = 1
+),
+tok AS (SELECT word, unnest(ts) AS token FROM final)
+SELECT token, CAST(SUM(w.n) AS BIGINT) AS n_uses
+FROM tok JOIN wcount w USING (word)
+WHERE length(token) > 3
+GROUP BY token
+ORDER BY n_uses DESC, token
+LIMIT 20
+""".strip()
+
+
 @register(
     "bpe_tokenize_profile",
-    None,  # rows-only (graded window full); hash-exact grading lives in
-    # tests/test_bpe.py (Sennrich-example merge order, Python word-count
-    # parity, decode(encode(x))==x law fuzzed, reference segmenter parity)
-    description="Trainable BPE tokenizer (Sennrich 2016): distributed "
+    # GRADED (r9 rotation): the greedy BPE segmenter recomputed in DuckDB
+    # as a bounded recursive CTE under the fixed merge table above —
+    # pure integer/string work, zero float risk
+    _bpe_encode_oracle_sql(_BPE_FIXED_MERGES),
+    description="BPE tokenizer encode (Sennrich 2016) under a FIXED merge "
+    "table: Arrow-batched row-local segmentation with the merge ranks as "
+    "ONE broadcast (plan size O(1) in vocab, zero shuffle before the "
+    "report agg). Report: the 20 most-used learned tokens by usage. "
+    "Graded value-exact against a recursive-CTE DuckDB twin of the "
+    "greedy leftmost-min-rank segmenter; training stays pinned by the "
+    "Sennrich golden (tests/test_bpe.py) and the trained twin below.",
+)
+def bpe_tokenize_profile(spark, sf_dir):
+    from clickhousedatamocker_spark.operators.bpe import bpe_encode
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    enc = bpe_encode(docs, "text", _BPE_FIXED_MERGES)
+    return (
+        enc.select(F.explode("bpe_tokens").alias("token"))
+        .filter(F.length("token") > 3)  # learned multi-char tokens, not base chars
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_uses"))
+        .orderBy(F.desc("n_uses"), "token")
+        .limit(20)
+    )
+
+
+@register(
+    "bpe_tokenize_trained_profile",
+    None,  # rows-only: in-query training is the production path; merge
+    # learning is pinned by tests/test_bpe.py (Sennrich-example merge
+    # order, word-count parity, decode(encode(x))==x law fuzzed)
+    description="Trainable BPE tokenizer, end to end: distributed "
     "word-count pass (one shuffle, Zipf-capped vocabulary) -> driver-side "
     "deterministic merge learning (lexicographic tiebreaks, same split as "
     "HF/SentencePiece trainers) -> Arrow-batched row-local encoding with "
-    "the merge ranks as ONE broadcast (plan size O(1) in vocab). Report: "
-    "the 20 most-used learned tokens with usage counts and mean length.",
+    "the merge ranks as ONE broadcast. Report: the 20 most-used learned "
+    "tokens. The fixed-merges twin above grades the segmenter; this "
+    "entry exercises train_bpe in the same lineage.",
 )
-def bpe_tokenize_profile(spark, sf_dir):
+def bpe_tokenize_trained_profile(spark, sf_dir):
     from clickhousedatamocker_spark.operators.bpe import bpe_encode, train_bpe
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")

@@ -69,7 +69,10 @@ SMOKE_KEYS = (
     # BPE tokenizer (distributed word-count pass + Arrow encode)
     "dedup_semantic_profile",
     "dsir_selection_profile",
-    "bpe_tokenize_profile",
+    # the TRAINED variant: scale interest is the distributed word-count
+    # pass + merge learning (the graded bpe_tokenize_profile encodes under
+    # a small fixed table — cheaper, but not the scaling story)
+    "bpe_tokenize_trained_profile",
     # round-6: hybrid BM25+cosine RRF — the postings build is the linear
     # part (explode+agg over corpus tokens); fusion stays candidate-sized
     "hybrid_retrieval_rrf",
@@ -240,7 +243,16 @@ def main() -> None:
     # separates them: linear => sf3/sf1 ratio ~= 3. Only documents.parquet
     # is built — these two queries read nothing else.
     REPLICAS2 = 30
-    gram_keys = ("crossdoc_dup_span_profile", "dedup_span_removal_profile")
+    gram_keys = (
+        "crossdoc_dup_span_profile",
+        "dedup_span_removal_profile",
+        # round-9 (verdict ask #7): the quantization tier's second decade —
+        # shortlist growth (rank-window candidates per query) is the effect
+        # one decade can hide; ~3x at 3x the sf1 embeddings corpus = linear
+        "similarity_topk_sq8",
+        "similarity_topk_pq",
+        "similarity_topk_bq",
+    )
     dst2 = os.environ.get("SPARK_GRAFT_SF3_DIR", "/tmp/spark_graft_sf3_docs")
     os.makedirs(dst2, exist_ok=True)
     if "--rebuild" in sys.argv or not os.path.exists(os.path.join(dst2, "documents.parquet")):
@@ -254,6 +266,16 @@ def main() -> None:
             n_replicas=REPLICAS2,
         )
         print(f"built sf3 documents at {dst2} in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    if "--rebuild" in sys.argv or not os.path.exists(os.path.join(dst2, "embeddings.parquet")):
+        t0 = time.perf_counter()
+        _replicate(
+            spark,
+            os.path.join(src_dir, "embeddings.parquet"),
+            os.path.join(dst2, "embeddings.parquet"),
+            {"vec_id": KEY_OFFSET},
+            n_replicas=REPLICAS2,
+        )
+        print(f"built sf3 embeddings at {dst2} in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
     decade2: dict[str, dict] = {}
     for name in gram_keys:
         fn = REGISTRY[name].fn
@@ -319,10 +341,11 @@ def main() -> None:
         )
     lines += [
         "",
-        "## Gram-space scalers: second decade (documents-only sf3, 30x sf0.1)",
+        "## Second decade (sf3: documents+embeddings at 30x sf0.1)",
         "",
-        "Separates 'linear in grams' from 'superlinear in docs': a linear",
-        "operator shows ~3x at 3x the sf1 corpus.",
+        "Separates 'linear in grams' from 'superlinear in docs' for the gram",
+        "scalers, and exposes shortlist growth for the quantization tier: a",
+        "linear operator shows ~3x at 3x the sf1 corpus.",
         "",
         "| query | sf1 sec | sf3 sec | ratio (3x data) | sf3 rows |",
         "|---|---|---|---|---|",

@@ -168,6 +168,10 @@ def test_contract_round9_graded_rotation_under_bare_session():
         [
             "pack_token_sequences_profile",
             "corpus_snapshot_diff_profile",
+            # BPE twin: private-use-plane sentinel (U+E000) in token
+            # strings through ORDER BY + the driver's pandas fetch —
+            # collation/charset class
+            "bpe_tokenize_profile",
         ]
     )
 

@@ -15,6 +15,10 @@ monitor_inlist_filter.
 
 r9 rotation (made room for the snapshot-diff and packing-layout twins):
 sample_histogram_events, retention_analysis.
+
+r9 second rotation (made room for the BPE segmenter twin):
+funnel_click_view_purchase (oracle built by funnel_oracle_sql, imported
+rather than frozen so the fold stays in lockstep with the operator).
 """
 
 import math
@@ -28,7 +32,12 @@ from clickhousedatamocker_spark.queries import REGISTRY
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]
 
+from clickhousedatamocker_spark.operators.funnel import funnel_oracle_sql
+
 FORMER_ORACLES = {
+    "funnel_click_view_purchase": funnel_oracle_sql(
+        ["click", "view", "purchase"], 2 * 86400, seq_match_col="seq_match_cvp"
+    ),
     "sample_histogram_events": """
 WITH sampled AS (
   SELECT * FROM events
