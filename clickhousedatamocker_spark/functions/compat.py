@@ -3802,21 +3802,23 @@ def _pm2_mann_whitney(params: list[str] | None, args: list[str]) -> str:
 
 
 def _pm2_ks_test(params: list[str] | None, args: list[str]) -> str:
-    """kolmogorovSmirnovTest([alternative[, computation_method]]) — the
-    D statistic is exact; the p-value is ALWAYS the Stephens-adjusted
-    asymptotic tail. 'exact' and 'auto' (which means exact below 10k
-    samples in CH) are refused rather than silently approximated; the
-    bare default computes asymptotic, documented here."""
+    """kolmogorovSmirnovTest([alternative[, computation_method]]) — the D
+    statistic is exact (integer h/(n0·n1)). p-value per the method param:
+    'asymptotic' (default) = Stephens-adjusted Kolmogorov tail; 'exact' =
+    the big-int Hodges lattice DP (r9 — tie-free, n0+n1 ≤ 1000, loud
+    refusal otherwise); 'auto' = exact where it applies, else asymptotic
+    (CH's auto switches on sample size the same way)."""
+    m = "asymptotic"
     if params is not None:
         _check_alt_two_sided("kolmogorovSmirnovTest", params)
         for p in params[1:]:
-            if p.strip().strip("'\"").lower() != "asymptotic":
+            m = p.strip().strip("'\"").lower()
+            if m not in ("asymptotic", "exact", "auto"):
                 raise NotImplementedError(
-                    "kolmogorovSmirnovTest: only the 'asymptotic' computation "
-                    "method is shimmed ('auto'/'exact' would need the exact "
-                    "two-sample KS distribution - evaluate small groups offline)"
+                    "kolmogorovSmirnovTest: computation method must be "
+                    "'asymptotic', 'exact' or 'auto'"
                 )
-    return f"chKSTest({_rank_test_pairs('kolmogorovSmirnovTest', args)})"
+    return f"chKSTest({_rank_test_pairs('kolmogorovSmirnovTest', args)}, '{m}')"
 
 
 def _pm2_lttb(params: list[str] | None, args: list[str]) -> str:

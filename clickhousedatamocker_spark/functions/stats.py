@@ -208,9 +208,55 @@ def mann_whitney_u(
     return u, normal_two_sided_p(z)
 
 
-def ks_two_sample(vals: np.ndarray, groups: np.ndarray) -> tuple[float, float]:
-    """Two-sample KS: exact D, asymptotic p with the Stephens small-sample
-    adjustment λ = (√nₑ + 0.12 + 0.11/√nₑ)·D (Numerical Recipes §14.3)."""
+# Cap for the exact two-sample KS DP: the big-integer lattice-path count
+# is O(n0·n1) additions of ~(n0+n1)·log10(2)-digit integers — exact and
+# fast to ~1000 pooled samples, then cost grows cubically. ClickHouse's
+# 'exact'/'auto' switch covers larger n with a different recursion; past
+# the cap this implementation REFUSES loudly rather than approximating
+# (recipe: use 'asymptotic' — at n0+n1 > 1000 the Stephens-adjusted tail
+# and the exact tail agree to ~3 decimals anyway).
+_KS_EXACT_CAP = 1000
+
+
+def ks_exact_p(n0: int, n1: int, h: int) -> float:
+    """Exact two-sample KS tail P(D ≥ h/(n0·n1)) under H0 for TIE-FREE
+    samples (Hodges 1958): count monotone lattice paths (0,0)→(n0,n1)
+    whose every vertex keeps |i·n1 − j·n0| < h, all in Python big-int
+    arithmetic (no float error); p = 1 − inside/C(n0+n1, n0)."""
+    from math import comb
+
+    if h <= 0:
+        return 1.0
+    col = [0] * (n1 + 1)
+    col[0] = 1
+    for j in range(1, n1 + 1):
+        col[j] = col[j - 1] if j * n0 < h else 0
+    for i in range(1, n0 + 1):
+        nxt = [col[0] if i * n1 < h else 0]
+        for j in range(1, n1 + 1):
+            if abs(i * n1 - j * n0) < h:
+                nxt.append(nxt[j - 1] + col[j])
+            else:
+                nxt.append(0)
+        col = nxt
+    return min(1.0, max(0.0, 1.0 - col[n1] / comb(n0 + n1, n0)))
+
+
+def ks_two_sample(
+    vals: np.ndarray, groups: np.ndarray, method: str = "asymptotic"
+) -> tuple[float, float]:
+    """Two-sample KS: exact D (integer arithmetic: D = h/(n0·n1) with
+    h = max|c0·n1 − c1·n0| over pooled points), and a p-value per
+    ``method``:
+
+    - ``asymptotic`` — Kolmogorov tail with the Stephens small-sample
+      adjustment λ = (√nₑ + 0.12 + 0.11/√nₑ)·D (Numerical Recipes §14.3).
+    - ``exact`` — the Hodges lattice DP (tie-free only, n0+n1 ≤ 1000;
+      refuses loudly otherwise: ties break the distribution-free exact
+      null — R and SciPy refuse the same way rather than drift).
+    - ``auto`` — exact when it applies (tie-free, under the cap), else
+      the asymptotic tail (CH's 'auto' spirit: exact where affordable).
+    """
     g0 = groups == 0
     x0 = np.sort(vals[g0])
     x1 = np.sort(vals[~g0])
@@ -218,9 +264,33 @@ def ks_two_sample(vals: np.ndarray, groups: np.ndarray) -> tuple[float, float]:
     if n0 == 0 or n1 == 0:
         return float("nan"), float("nan")
     pooled = np.concatenate([x0, x1])
-    f0 = np.searchsorted(x0, pooled, side="right") / n0
-    f1 = np.searchsorted(x1, pooled, side="right") / n1
-    d = float(np.abs(f0 - f1).max())
+    c0 = np.searchsorted(x0, pooled, side="right").astype(np.int64)
+    c1 = np.searchsorted(x1, pooled, side="right").astype(np.int64)
+    h = int(np.abs(c0 * n1 - c1 * n0).max())
+    d = h / (n0 * n1)
+    if method in ("exact", "auto"):
+        ties = len(np.unique(pooled)) < n0 + n1
+        fits = n0 + n1 <= _KS_EXACT_CAP
+        if method == "exact":
+            if not fits:
+                raise NotImplementedError(
+                    f"kolmogorovSmirnovTest 'exact': n0+n1 = {n0 + n1} exceeds "
+                    f"the big-int DP cap ({_KS_EXACT_CAP}) - use 'asymptotic' "
+                    f"(the Stephens tail agrees to ~3 decimals at this size)"
+                )
+            if ties:
+                raise NotImplementedError(
+                    "kolmogorovSmirnovTest 'exact': pooled samples contain "
+                    "ties, which break the distribution-free exact null - "
+                    "use 'asymptotic' (R and SciPy refuse the same way)"
+                )
+            return d, ks_exact_p(n0, n1, h)
+        if fits and not ties:
+            return d, ks_exact_p(n0, n1, h)
+    elif method != "asymptotic":
+        raise NotImplementedError(
+            f"kolmogorovSmirnovTest: unknown computation method {method!r}"
+        )
     ne = n0 * n1 / (n0 + n1)
     sq = math.sqrt(ne)
     return d, kolmogorov_q((sq + 0.12 + 0.11 / sq) * d)
@@ -293,15 +363,15 @@ def register_stats_functions(spark: SparkSession) -> None:
         return pd.DataFrame({"u_statistic": us, "p_value": ps})
 
     @pandas_udf("d_statistic double, p_value double")
-    def ch_ks_test(pairs: pd.Series) -> pd.DataFrame:
+    def ch_ks_test(pairs: pd.Series, method: pd.Series) -> pd.DataFrame:
         ds, ps = [], []
-        for arr in pairs:
+        for arr, m in zip(pairs, method):
             if arr is None or len(arr) == 0:
                 ds.append(None), ps.append(None)
                 continue
             vals = np.array([e["v"] for e in arr], dtype=np.float64)
             grp = np.array([e["g"] for e in arr], dtype=np.int64)
-            d, p = ks_two_sample(vals, grp)
+            d, p = ks_two_sample(vals, grp, method=str(m))
             ds.append(d), ps.append(p)
         return pd.DataFrame({"d_statistic": ds, "p_value": ps})
 

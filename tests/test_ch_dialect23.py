@@ -150,14 +150,13 @@ def test_refused_test_forms(eng):
         eng.sql(f"SELECT studentTTest(0.95)(v, g) FROM {_TWO_SAMPLE}").collect()
     with pytest.raises(Exception, match="two-sided"):
         eng.sql(f"SELECT mannWhitneyUTest('greater')(v, g) FROM {_TWO_SAMPLE}").collect()
-    # 'exact' AND 'auto' both refuse: 'auto' means exact below 10k samples
-    # in CH, so accepting it would silently approximate
-    for method in ("exact", "auto"):
-        with pytest.raises(Exception, match="asymptotic"):
-            eng.sql(
-                f"SELECT kolmogorovSmirnovTest('two-sided', '{method}')(v, g) "
-                f"FROM {_TWO_SAMPLE}"
-            ).collect()
+    # r9: 'exact'/'auto' are now REAL (the big-int lattice DP, see
+    # test_ks_exact_* below); an unknown method still refuses at translate
+    with pytest.raises(Exception, match="asymptotic"):
+        eng.sql(
+            f"SELECT kolmogorovSmirnovTest('two-sided', 'montecarlo')(v, g) "
+            f"FROM {_TWO_SAMPLE}"
+        ).collect()
     with pytest.raises(Exception, match="literal numeric"):
         eng.sql("SELECT minSampleSizeConversion(v, 0.03, 0.8, 0.05) FROM ev").collect()
     with pytest.raises(Exception, match="two-pass"):
@@ -319,3 +318,92 @@ def test_misc_batch23(eng):
     assert r["a"] is True
     assert r["b"] == "example.com"
     assert [str(t) for t in r["c"]] == ["2012-01-01 12:00:00", "2012-01-01 12:30:00"]
+
+
+# ---------------------------------------------------------------------------
+# r9: kolmogorovSmirnovTest 'exact'/'auto' — the big-int lattice DP
+
+
+def test_ks_exact_matches_full_enumeration():
+    """The Hodges DP == brute-force enumeration over ALL C(n0+n1, n0)
+    group labelings (the literal definition of the exact null), on a
+    tie-free pool — symmetric and asymmetric splits."""
+    from itertools import combinations
+
+    import numpy as np
+
+    from clickhousedatamocker_spark.functions.stats import ks_two_sample
+
+    pool = np.array(_S0 + _S1)  # 10 distinct values
+    for n0 in (5, 4, 3):
+        g_obs = np.array([0] * n0 + [1] * (len(pool) - n0), dtype=np.int64)
+        d_obs, p_exact = ks_two_sample(pool, g_obs, method="exact")
+        worse = total = 0
+        for idx in combinations(range(len(pool)), n0):
+            g = np.ones(len(pool), dtype=np.int64)
+            g[list(idx)] = 0
+            d, _ = ks_two_sample(pool, g)
+            total += 1
+            if d >= d_obs - 1e-12:
+                worse += 1
+        assert p_exact == pytest.approx(worse / total, abs=1e-12), n0
+
+
+def test_ks_exact_and_auto_through_dialect(eng):
+    """Fully separated samples: D = 1 and the exact p is the textbook
+    2/C(10,5) (only the two extreme interleavings reach D = 1). 'auto'
+    picks the same exact branch at this size."""
+    want_p = 2.0 / math.comb(10, 5)
+    for method in ("exact", "auto"):
+        r = one(
+            eng,
+            f"SELECT kolmogorovSmirnovTest('two-sided', '{method}')(v, g) AS r "
+            f"FROM {_TWO_SAMPLE}",
+        )["r"]
+        assert r["d_statistic"] == 1.0
+        assert r["p_value"] == pytest.approx(want_p, rel=1e-12)
+
+
+def test_ks_exact_refusals_and_auto_fallback(eng):
+    import numpy as np
+
+    from clickhousedatamocker_spark.functions.stats import ks_two_sample
+
+    # ties: 'exact' refuses loudly, through the engine too
+    with pytest.raises(Exception, match="ties"):
+        eng.sql(
+            "SELECT kolmogorovSmirnovTest('two-sided', 'exact')(v, g) FROM "
+            "(VALUES (1.0, 0),(2.0, 0),(2.0, 1),(3.0, 1)) AS t(v, g)"
+        ).collect()
+    # cap: past 1000 pooled samples the DP refuses with the recipe
+    big_v = np.arange(1002, dtype=np.float64)
+    big_g = np.array([0, 1] * 501, dtype=np.int64)
+    with pytest.raises(NotImplementedError, match="cap"):
+        ks_two_sample(big_v, big_g, method="exact")
+    # 'auto' degrades to the asymptotic tail in both refusal cases
+    tied_v = np.array([1.0, 2.0, 2.0, 3.0])
+    tied_g = np.array([0, 0, 1, 1])
+    d_a, p_a = ks_two_sample(tied_v, tied_g, method="auto")
+    d_s, p_s = ks_two_sample(tied_v, tied_g, method="asymptotic")
+    assert (d_a, p_a) == (d_s, p_s)
+    d_b, p_b = ks_two_sample(big_v, big_g, method="auto")
+    assert p_b == ks_two_sample(big_v, big_g)[1]
+
+
+def test_ks_exact_agrees_with_asymptotic_at_moderate_n():
+    """Sanity: at n0 = n1 = 50 the Stephens-adjusted tail tracks the
+    exact DP to ~10% mid-distribution (this fixture: exact 0.3959,
+    asymptotic 0.3584; a 200k-permutation Monte Carlo pins the DP at
+    0.3948 ± 0.0033, so the gap is the asymptotic's, not the DP's)."""
+    import numpy as np
+
+    from clickhousedatamocker_spark.functions.stats import ks_two_sample
+
+    rng = np.random.default_rng(23)
+    v = rng.permutation(np.arange(100, dtype=np.float64))  # tie-free
+    g = np.array([0] * 50 + [1] * 50, dtype=np.int64)
+    d_e, p_e = ks_two_sample(v, g, method="exact")
+    d_s, p_s = ks_two_sample(v, g, method="asymptotic")
+    assert d_e == d_s
+    assert p_e == pytest.approx(0.3959398631708505, rel=1e-12)  # MC-pinned
+    assert p_e == pytest.approx(p_s, rel=0.15)
