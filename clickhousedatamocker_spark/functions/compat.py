@@ -4055,9 +4055,126 @@ def _pm2_exponential_moving_average(params: list[str] | None, args: list[str]) -
     )
 
 
+def _pm2_sequence_next_node(params: list[str] | None, args: list[str]) -> str:
+    """sequenceNextNode(direction, base)(timestamp, event_column,
+    base_condition, event1[, event2, ...]) — the value of event_column one
+    step past a CONSECUTIVELY-matched event chain, over the per-group
+    time-sorted event array (CH's experimental funnel-family aggregate).
+
+    The four documented combos: ('forward','head') anchors at the first
+    event, ('backward','tail') at the last, ('forward','first_match') at
+    the first event1 match, ('backward','last_match') at the last event1
+    match; backward walks the chain toward older events and returns the
+    value just before it. In every mode the base event must satisfy
+    base_condition (NULL conditions read as false, CH bitset parity), the
+    chain events must satisfy event1..eventN on consecutive positions,
+    and a chain running off the array yields NULL. Time ties sort by
+    (t, v) for determinism (CH's own tie order is arrival-dependent).
+    State is one collect_list per group — the same O(group) bound CH's
+    implementation carries; all post-aggregation logic is JVM array ops.
+    """
+    if params is None or len(params) != 2:
+        raise NotImplementedError(
+            "sequenceNextNode expects (direction, base) parameters"
+        )
+    direction = params[0].strip().strip("'\"").lower()
+    base = params[1].strip().strip("'\"").lower()
+    if (direction, base) not in {
+        ("forward", "head"),
+        ("backward", "tail"),
+        ("forward", "first_match"),
+        ("backward", "last_match"),
+    }:
+        raise NotImplementedError(
+            "sequenceNextNode: supported (direction, base) combos are "
+            "(forward, head), (backward, tail), (forward, first_match), "
+            "(backward, last_match)"
+        )
+    if len(args) < 4:
+        raise NotImplementedError(
+            "sequenceNextNode expects (timestamp, event_column, "
+            "base_condition, event1[, event2, ...])"
+        )
+    t, v, bcond, *evconds = args
+    n = len(evconds)
+    cond_fields = ", ".join(
+        f"'c{j + 1}', COALESCE(CAST(({c}) AS BOOLEAN), false)"
+        for j, c in enumerate(evconds)
+    )
+    row = (
+        f"CASE WHEN ({t}) IS NOT NULL THEN named_struct("
+        f"'t', ({t}), 'v', ({v}), "
+        f"'b', COALESCE(CAST(({bcond}) AS BOOLEAN), false), {cond_fields}) END"
+    )
+    # ANSI discipline: element_at beyond the array (or at index <= 0)
+    # ABORTS the query, and Spark's AND does not short-circuit — so every
+    # data-dependent index sits inside a CASE branch that its own guard
+    # proves in-range, or goes through try_element_at with a provably
+    # POSITIVE index (a negative index would silently wrap from the end).
+    a = "__snn"
+    sz = f"size({a})"
+    if base == "head":
+        # size > n proves indices 1..n+1 in range
+        chain = " AND ".join(
+            f"element_at({a}, {j + 1}).c{j + 1}" for j in range(n)
+        )
+        logic = (
+            f"CASE WHEN {sz} > {n} THEN "
+            f"CASE WHEN element_at({a}, 1).b AND {chain} "
+            f"THEN element_at({a}, {n + 1}).v END END"
+        )
+    elif base == "tail":
+        # size > n proves indices size-n..size in range
+        chain = " AND ".join(
+            f"element_at({a}, {sz} - {j}).c{j + 1}" for j in range(n)
+        )
+        logic = (
+            f"CASE WHEN {sz} > {n} THEN "
+            f"CASE WHEN element_at({a}, {sz}).b AND {chain} "
+            f"THEN element_at({a}, {sz} - {n}).v END END"
+        )
+    else:
+        if base == "first_match":
+            bi = f"array_position({a}.c1, true)"
+            # __bi >= 1 inside the branch, so __bi + j stays positive;
+            # past-the-end reads come back NULL via try_element_at
+            chain = " AND ".join(
+                f"COALESCE(try_element_at({a}, __bi + {j}).c{j + 1}, false)"
+                for j in range(1, n)
+            ) or "true"
+            res = f"try_element_at({a}, __bi + {n}).v"
+        else:  # last_match, backward
+            bi = (
+                f"(CASE WHEN array_position(reverse({a}.c1), true) > 0 "
+                f"THEN {sz} - array_position(reverse({a}.c1), true) + 1 "
+                f"ELSE 0 END)"
+            )
+            # indices walk DOWN: each read is CASE-guarded >= 1
+            chain = " AND ".join(
+                f"(CASE WHEN __bi - {j} >= 1 "
+                f"THEN element_at({a}, __bi - {j}).c{j + 1} ELSE false END)"
+                for j in range(1, n)
+            ) or "true"
+            res = (
+                f"CASE WHEN __bi - {n} >= 1 "
+                f"THEN element_at({a}, __bi - {n}).v END"
+            )
+        logic = (
+            f"element_at(transform(array(CAST({bi} AS INT)), __bi -> "
+            f"CASE WHEN __bi > 0 THEN "
+            f"CASE WHEN element_at({a}, __bi).b AND {chain} "
+            f"THEN {res} END END), 1)"
+        )
+    return (
+        f"element_at(transform(array(array_sort(collect_list({row}))), "
+        f"{a} -> {logic}), 1)"
+    )
+
+
 _PARAMETRIC2.update(
     {
         "exponentialMovingAverage": _pm2_exponential_moving_average,
+        "sequenceNextNode": _pm2_sequence_next_node,
         "studentTTest": _pm2_student_ttest,
         "welchTTest": _pm2_welch_ttest,
         "meanZTest": _pm2_mean_ztest,
@@ -4141,14 +4258,9 @@ _PARAMETRIC.update(
             "yandexConsistentHash",
             "use jumpConsistentHash (same moved-keys guarantee)",
         ),
-        # experimental in CH (allow_experimental_funnel_functions); the
-        # deterministic spelling is a per-user ordered-event window
-        "sequenceNextNode": _pm_gate(
-            "sequenceNextNode",
-            "order events per user with a window (lead(event) OVER "
-            "(PARTITION BY user ORDER BY ts)) and filter on the base "
-            "condition; windowFunnel covers the funnel-depth case",
-        ),
+        # sequenceNextNode: REAL rewrite in _PARAMETRIC2 (r9) — the four
+        # documented (direction, base) combos over the sorted per-group
+        # event array, all-JVM array logic
     }
 )
 

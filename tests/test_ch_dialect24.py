@@ -104,10 +104,13 @@ def test_batch24_loud_gates(eng):
         ("SELECT seriesDecomposeSTL(array(1.0,2,3), 3) AS a", "LOESS"),
         ("SELECT tupleHammingDistance((1,2), (2,2)) AS a", "zip_with"),
         ("SELECT kostikConsistentHash(42, 2) AS a", "jumpConsistentHash"),
+        # sequenceNextNode graduated to a real rewrite in r9 — covered by
+        # tests/test_ch_dialect26.py; an unsupported combo still refuses
         (
-            "SELECT sequenceNextNode('forward', 'head')(ts, event_type, "
-            "event_type = 'click') AS a FROM (SELECT 1 AS ts, 'click' AS event_type)",
-            "windowFunnel",
+            "SELECT sequenceNextNode('forward', 'tail')(ts, event_type, "
+            "true, event_type = 'click') AS a "
+            "FROM (SELECT 1 AS ts, 'click' AS event_type)",
+            "combos",
         ),
     ]:
         with pytest.raises(NotImplementedError, match=frag):

@@ -1,0 +1,140 @@
+"""Dialect batch 26 (round 9): sequenceNextNode — CH's experimental
+funnel-family aggregate, graduated from a gate to a real rewrite (all
+four documented (direction, base) combos over the sorted per-group event
+array, pure JVM array logic, ANSI-safe indexing).
+
+Golden sources: the ClickHouse docs' test_flow head example (flow
+A->B->C at the head with base/event conditions page='A', page='A',
+page='B' → 'C'), plus an in-test brute-force reference implementing the
+documented semantics verbatim for every combo over adversarial flows
+(single-event users, no-match users, chains running off either end).
+"""
+
+import pytest
+
+from clickhousedatamocker_spark.engine import Engine
+
+
+@pytest.fixture(scope="module")
+def eng(spark, tmp_path_factory):
+    return Engine(spark, str(tmp_path_factory.mktemp("wh26")))
+
+
+_FLOWS = {
+    1: list("ABCEF"),   # the docs' head-example shape
+    2: list("BAABC"),
+    3: list("AABCA"),
+    4: ["B"],           # single event: every chain runs off an end
+    5: ["X"],           # no condition ever matches
+}
+
+
+@pytest.fixture(scope="module")
+def flow_view(spark):
+    rows = [
+        (i, s + 1, p) for i, fl in _FLOWS.items() for s, p in enumerate(fl)
+    ]
+    spark.createDataFrame(rows, "id int, dt int, page string").createOrReplaceTempView(
+        "snn_flow"
+    )
+
+
+def _ref(base, bcond, conds):
+    """Brute force straight from the documented semantics."""
+    out = {}
+    for i, evs in _FLOWS.items():
+        n = len(conds)
+        r = None
+
+        def c(j, idx):
+            return 0 <= idx < len(evs) and conds[j](evs[idx])
+
+        if base == "head":
+            if bcond(evs[0]) and all(c(j, j) for j in range(n)) and len(evs) > n:
+                r = evs[n]
+        elif base == "tail":
+            last = len(evs) - 1
+            if bcond(evs[-1]) and all(c(j, last - j) for j in range(n)) and len(evs) > n:
+                r = evs[last - n]
+        elif base == "first_match":
+            bi = next((k for k in range(len(evs)) if conds[0](evs[k])), None)
+            if bi is not None and bcond(evs[bi]) and all(c(j, bi + j) for j in range(n)):
+                r = evs[bi + n] if bi + n < len(evs) else None
+        else:  # last_match
+            bi = next((k for k in range(len(evs) - 1, -1, -1) if conds[0](evs[k])), None)
+            if bi is not None and bcond(evs[bi]) and all(c(j, bi - j) for j in range(n)):
+                r = evs[bi - n] if bi - n >= 0 else None
+        out[i] = r
+    return out
+
+
+def _run(eng, direction, base, bcond_sql, cond_sqls):
+    q = (
+        f"SELECT id, sequenceNextNode('{direction}', '{base}')(dt, page, "
+        f"{bcond_sql}, " + ", ".join(cond_sqls) + ") AS nx FROM snn_flow GROUP BY id"
+    )
+    return {r["id"]: r["nx"] for r in eng.sql(q).collect()}
+
+
+def test_snn_ch_docs_head_golden(eng, flow_view):
+    """CH docs: sequenceNextNode('forward','head')(dt, page, page='A',
+    page='A', page='B') over flow A->B->C->... returns 'C'."""
+    got = _run(eng, "forward", "head", "page = 'A'", ["page = 'A'", "page = 'B'"])
+    assert got[1] == "C"
+    assert got[2] is None  # head is 'B': base_condition fails
+    assert got[3] is None  # head 'A' matches but second event is 'A', not 'B'
+
+
+@pytest.mark.parametrize(
+    "direction,base,bcond_sql,cond_sqls,bcond,conds",
+    [
+        ("forward", "head", "true", ["page = 'B'"], lambda p: True, [lambda p: p == "B"]),
+        (
+            "backward", "tail", "true", ["page IN ('F','C','A')"],
+            lambda p: True, [lambda p: p in "FCA"],
+        ),
+        (
+            "backward", "tail", "true", ["page = 'C'", "page = 'B'"],
+            lambda p: True, [lambda p: p == "C", lambda p: p == "B"],
+        ),
+        ("forward", "first_match", "true", ["page = 'B'"], lambda p: True, [lambda p: p == "B"]),
+        (
+            "forward", "first_match", "true", ["page = 'B'", "page = 'C'"],
+            lambda p: True, [lambda p: p == "B", lambda p: p == "C"],
+        ),
+        # base_condition can veto the matched base point
+        ("forward", "first_match", "page = 'B'", ["page = 'A'"], lambda p: p == "B", [lambda p: p == "A"]),
+        ("backward", "last_match", "true", ["page = 'B'"], lambda p: True, [lambda p: p == "B"]),
+        (
+            "backward", "last_match", "true", ["page = 'B'", "page = 'A'"],
+            lambda p: True, [lambda p: p == "B", lambda p: p == "A"],
+        ),
+    ],
+)
+def test_snn_matches_brute_force(eng, flow_view, direction, base, bcond_sql, cond_sqls, bcond, conds):
+    assert _run(eng, direction, base, bcond_sql, cond_sqls) == _ref(base, bcond, conds)
+
+
+def test_snn_null_rules_and_refusals(eng, flow_view):
+    # NULL conditions read as false (CH bitset parity), NULL timestamps drop
+    got = {
+        r["id"]: r["nx"]
+        for r in eng.sql(
+            "SELECT id, sequenceNextNode('forward', 'head')("
+            "CASE WHEN dt = 3 THEN NULL ELSE dt END, page, true, "
+            "CASE WHEN page = 'A' THEN true END) AS nx "
+            "FROM snn_flow GROUP BY id"
+        ).collect()
+    }
+    # id 1: event at dt=3 ('C') dropped -> flow A,B,E,F; head 'A' matches -> 'B'
+    assert got[1] == "B"
+    assert got[2] is None  # head 'B': NULL condition = false, not a crash
+    with pytest.raises(Exception, match="combos"):
+        eng.sql(
+            "SELECT sequenceNextNode('backward', 'head')(dt, page, true, "
+            "page = 'A') FROM snn_flow"
+        ).collect()
+    with pytest.raises(Exception, match="direction, base"):
+        eng.sql(
+            "SELECT sequenceNextNode(dt, page, true, page = 'A') FROM snn_flow"
+        ).collect()
