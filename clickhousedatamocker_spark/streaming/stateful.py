@@ -289,3 +289,173 @@ def stream_weighted_reservoir(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# exponentially time-decayed running stats over an unbounded stream (r9) —
+# the streaming twin of operators/ema.py exponential_time_decayed. Keep the
+# segmented-renormalization arithmetic in LOCKSTEP with the batch scan: the
+# only structural difference is that the carry seeds from persisted state
+# (the decayed values AT the key's last processed time) instead of zero.
+
+ETD_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("key", LongType()),
+        StructField("t", DoubleType()),
+        StructField("v", DoubleType()),
+        StructField("etd_sum", DoubleType()),
+        StructField("etd_count", DoubleType()),
+        StructField("etd_avg", DoubleType()),
+        StructField("etd_max", DoubleType()),
+    ]
+)
+
+ETD_STATE_SCHEMA = StructType(
+    [
+        StructField("last_t", DoubleType()),
+        StructField("s_sum", DoubleType()),
+        StructField("s_cnt", DoubleType()),
+        StructField("s_cntv", DoubleType()),
+        StructField("s_max", DoubleType()),
+        StructField("has_max", LongType()),  # 0/1 (no -inf through the store)
+    ]
+)
+
+_ETD_LOG_SPAN = 200.0  # same bound as operators/ema.py _LOG_SPAN
+
+
+def _mk_decay(x: float):
+    import math
+
+    log_span = _ETD_LOG_SPAN * x
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        import numpy as np
+
+        if state.exists:
+            last_t, cs, cc, ccv, cm_raw, has_m = state.get
+            cm = cm_raw if has_m else -math.inf
+        else:
+            last_t, cs, cc, ccv, cm = None, 0.0, 0.0, 0.0, -math.inf
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        t = pd.to_numeric(pdf["t"], errors="coerce").to_numpy("float64")
+        v = pd.to_numeric(pdf["v"], errors="coerce").to_numpy("float64")
+        order = np.argsort(t, kind="stable")
+        t, v = t[order], v[order]
+        valid = ~np.isnan(t)
+        if last_t is not None:
+            # LATE rows (older than the key's processed frontier) are
+            # dropped: their true frame excludes contributions the state
+            # has already absorbed, so no exact answer exists with O(1)
+            # state. Rows AT the frontier are fine (decay factor 1).
+            valid &= t >= last_t
+        tv, vv = t[valid], v[valid]
+        m = len(tv)
+        if m == 0:
+            return
+        has_v = ~np.isnan(vv)
+        v0 = np.where(has_v, vv, 0.0)
+        carry_sum, carry_cnt, carry_cntv, carry_max = cs, cc, ccv, cm
+        if last_t is not None:
+            f = math.exp((last_t - tv[0]) / x)
+            carry_sum, carry_cnt, carry_cntv = carry_sum * f, carry_cnt * f, carry_cntv * f
+            carry_max = carry_max * f if math.isfinite(carry_max) else carry_max
+        s_sum = np.empty(m)
+        s_cnt = np.empty(m)
+        s_cntv = np.empty(m)
+        s_max = np.empty(m)
+        start = 0
+        while start < m:
+            end = int(np.searchsorted(tv, tv[start] + log_span, side="right"))
+            a = np.exp((tv[start:end] - tv[start]) / x)
+            s_sum[start:end] = (carry_sum + np.cumsum(v0[start:end] * a)) / a
+            s_cnt[start:end] = (carry_cnt + np.cumsum(a)) / a
+            s_cntv[start:end] = (
+                carry_cntv + np.cumsum(np.where(has_v[start:end], a, 0.0))
+            ) / a
+            rm = np.maximum.accumulate(
+                np.where(has_v[start:end], vv[start:end] * a, -math.inf)
+            )
+            s_max[start:end] = np.maximum(carry_max, rm) / a
+            if end < m:
+                f = math.exp((tv[end - 1] - tv[end]) / x)
+                carry_sum = s_sum[end - 1] * f
+                carry_cnt = s_cnt[end - 1] * f
+                carry_cntv = s_cntv[end - 1] * f
+                carry_max = s_max[end - 1] * f
+            start = end
+        last = np.searchsorted(tv, tv, side="right") - 1
+        o_sum, o_cnt, o_cntv, o_max = s_sum[last], s_cnt[last], s_cntv[last], s_max[last]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            o_avg = np.where(o_cntv > 0.0, o_sum / o_cntv, np.nan)
+        state.update(
+            (
+                float(tv[-1]),
+                float(s_sum[-1]),
+                float(s_cnt[-1]),
+                float(s_cntv[-1]),
+                float(s_max[-1]) if math.isfinite(s_max[-1]) else 0.0,
+                1 if math.isfinite(s_max[-1]) else 0,
+            )
+        )
+        out = pd.DataFrame(
+            {
+                "key": [key[0]] * m,
+                "t": tv,
+                "v": [None if not has_v[i] else float(vv[i]) for i in range(m)],
+                "etd_sum": o_sum,
+                "etd_count": o_cnt,
+                "etd_avg": [None if np.isnan(o_avg[i]) else float(o_avg[i]) for i in range(m)],
+                "etd_max": [None if not math.isfinite(o_max[i]) else float(o_max[i]) for i in range(m)],
+            }
+        )
+        yield out
+
+    return update
+
+
+def stream_time_decayed(
+    events: DataFrame,
+    decay: float,
+    value_col: str = "value",
+    time_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """exponentialTimeDecayedSum/Count/Avg/Max over an UNBOUNDED stream:
+    per-key decayed running stats at every event, exactly the batch
+    operator's semantics as long as each key's events arrive in
+    nondecreasing time order across micro-batches (rows inside one batch
+    are sorted; a row older than the key's processed frontier is DROPPED
+    — no exact answer exists for it with O(1) state, the same trade a
+    watermark makes).
+
+    Scale shape: state per key is five doubles + a flag (the decayed
+    values at the frontier) — the store grows with |keys|, never the
+    stream; the per-batch math is the identical segmented-renormalization
+    scan the batch operator runs, so unbounded time spans stay exact.
+    stream == batch law (same rows, outputs equal to ~1e-12 rel — segment
+    boundaries differ so the float association differs) pinned in
+    tests/test_streaming.py.
+    """
+    x = float(decay)
+    if not x > 0:
+        raise ValueError(f"decay must be > 0, got {decay!r}")
+    keyed = events.select(
+        F.col(key_col).cast("long").alias("key"),
+        F.unix_timestamp(F.col(time_col)).cast("double").alias("t")
+        if dict(events.dtypes)[time_col].startswith("timestamp")
+        else F.col(time_col).cast("double").alias("t"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    return keyed.groupBy("key").applyInPandasWithState(
+        _mk_decay(x),
+        outputStructType=ETD_OUTPUT_SCHEMA,
+        stateStructType=ETD_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -588,3 +588,107 @@ def test_stream_weighted_reservoir_equals_batch(spark, tmp_path):
         for r in weighted_sample(docs, 15, weight_col="n_chars", salt=2).collect()
     )
     assert got_ids == want_ids
+
+
+def test_stream_time_decayed_equals_batch(spark, tmp_path):
+    """Streaming exponentialTimeDecayed* == the batch operator on the same
+    rows when each key's events arrive in nondecreasing time order across
+    micro-batches: state (five doubles at the frontier) carries exactly,
+    so outputs match to float-association noise (segment boundaries
+    differ between one full scan and three carry-seeded scans)."""
+    import os
+    import time as _time
+
+    from clickhousedatamocker_spark.operators.ema import exponential_time_decayed
+    from clickhousedatamocker_spark.streaming.stateful import stream_time_decayed
+
+    ev = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .filter(F.col("user_id") <= 15)
+        .select("user_id", "value", "ts")
+    )
+    lo, hi = [
+        r["p"]
+        for r in ev.selectExpr(
+            "explode(percentile(unix_timestamp(ts), array(0.33, 0.66))) AS p"
+        ).collect()
+    ]
+    src = str(tmp_path / "ev_time_chunks")
+    t_ev = F.unix_timestamp("ts")
+    chunks = [t_ev <= lo, (t_ev > lo) & (t_ev <= hi), t_ev > hi]
+    stamped: set[str] = set()
+    for i, cond in enumerate(chunks):
+        ev.filter(cond).coalesce(1).write.mode("append").parquet(src)
+        # strictly increasing mtimes: FileStreamSource must discover the
+        # chunks in time order for the operator's ordered-arrival contract
+        for f in os.listdir(src):
+            p = os.path.join(src, f)
+            if p not in stamped and not f.startswith("_"):
+                os.utime(p, (_time.time() - 100 + i * 10,) * 2)
+                stamped.add(p)
+
+    x = 1800.0
+    fn = lambda df: stream_time_decayed(df, x, "value", "ts", "user_id")  # noqa: E731
+    got = _run_stream(spark, src, fn, "etd_stream_out", ev.schema, output_mode="append")
+    want = exponential_time_decayed(
+        ev.withColumn("t", F.unix_timestamp("ts").cast("double")),
+        x, "value", "t", ["user_id"],
+    )
+    g = sorted(
+        (r["key"], r["t"], r["v"], r["etd_sum"], r["etd_count"], r["etd_avg"], r["etd_max"])
+        for r in got.collect()
+    )
+    w = sorted(
+        (r["user_id"], r["t"], r["value"], r["etd_sum"], r["etd_count"], r["etd_avg"], r["etd_max"])
+        for r in want.collect()
+    )
+    assert len(g) == len(w) and len(g) > 0
+    for a, b in zip(g, w):
+        assert a[0] == b[0] and a[1] == b[1]
+        assert a[2] == pytest.approx(b[2], rel=1e-12)
+        for i in range(3, 7):
+            assert a[i] == pytest.approx(b[i], rel=1e-9), (a[0], a[1], i)
+
+
+def test_stream_time_decayed_drops_late_rows(spark, tmp_path):
+    """A row older than its key's processed frontier is dropped (no exact
+    answer exists for it with O(1) state) — everything else still matches
+    the batch operator run WITHOUT the late row."""
+    import os
+    import time as _time
+
+    from clickhousedatamocker_spark.operators.ema import exponential_time_decayed
+    from clickhousedatamocker_spark.streaming.stateful import stream_time_decayed
+
+    on_time = spark.createDataFrame(
+        [(1, 10.0, 100.0), (1, 20.0, 200.0)], "user_id long, value double, ts double"
+    )
+    late = spark.createDataFrame(
+        [(1, 99.0, 150.0), (1, 5.0, 250.0)], "user_id long, value double, ts double"
+    )
+    src = str(tmp_path / "late_chunks")
+    stamped: set[str] = set()
+    for i, df in enumerate((on_time, late)):
+        df.coalesce(1).write.mode("append").parquet(src)
+        for f in os.listdir(src):
+            p = os.path.join(src, f)
+            if p not in stamped and not f.startswith("_"):
+                os.utime(p, (_time.time() - 100 + i * 10,) * 2)
+                stamped.add(p)
+
+    fn = lambda df: stream_time_decayed(df, 50.0, "value", "ts", "user_id")  # noqa: E731
+    got = _run_stream(
+        spark, src, fn, "etd_late_out", on_time.schema, output_mode="append"
+    )
+    rows = {r["t"]: r for r in got.collect()}
+    assert set(rows) == {100.0, 200.0, 250.0}  # the t=150 late row is gone
+    keep = on_time.unionByName(
+        spark.createDataFrame([(1, 5.0, 250.0)], on_time.schema)
+    )
+    want = {
+        r["ts"]: r
+        for r in exponential_time_decayed(keep, 50.0, "value", "ts", ["user_id"]).collect()
+    }
+    for t, r in rows.items():
+        assert r["etd_sum"] == pytest.approx(want[t]["etd_sum"], rel=1e-9)
+        assert r["etd_max"] == pytest.approx(want[t]["etd_max"], rel=1e-9)
