@@ -1890,10 +1890,7 @@ _PARAMETRIC.update(
         "countIfOrNull": _pm_2arg("nullif(count_if({a} AND ({f}) IS NOT NULL), 0)"),
         "avgMap": _pm_map_agg("avg"),
         "countMap": _pm_map_agg("count"),
-        "sumMapFiltered": _pm_gate(
-            "sumMapFiltered",
-            "filter the map first: sumMap(map_filter(m, (k, v) -> array_contains(keys, k)))",
-        ),
+        # sumMapFiltered: REAL rewrite in _PARAMETRIC2 (r9, batch 26)
         "groupConcat": _pm_order_dependent_late(
             "groupConcat",
             "array_join(groupArraySorted(n)(x), sep) or "
@@ -1902,11 +1899,8 @@ _PARAMETRIC.update(
         "aggThrow": _pm_gate(
             "aggThrow", "CH's fault-injection test aggregate; nothing to compute"
         ),
-        "analysisOfVariance": _pm_gate(
-            "analysisOfVariance",
-            "compute per-group means/variances with avgIf/varSampIf and "
-            "assemble the F statistic over the grouped counts",
-        ),
+        # analysisOfVariance: REAL rewrite in batch 26 (chANOVA Arrow UDF
+        # with a real incomplete-beta p-value) — registered below
         # meanZTest: implemented in batch 23 (_PARAMETRIC2, two-group form)
         "rankCorr": _pm_gate(
             "rankCorr",
@@ -4171,10 +4165,30 @@ def _pm2_sequence_next_node(params: list[str] | None, args: list[str]) -> str:
     )
 
 
+def _pm2_sum_map_filtered(params: list[str] | None, args: list[str]) -> str:
+    """sumMapFiltered(keys_to_keep)(keys, values) — filter the zipped
+    (key, value) pairs to the kept-key list, then emit the plain
+    sumMap(keys, values) SPELLING: _rewrite_parametric runs after this
+    pass and applies the map-aggregate rewrite to it."""
+    if params is None or len(params) != 1 or len(args) != 2:
+        raise NotImplementedError(
+            "sumMapFiltered expects (keys_to_keep)(keys, values)"
+        )
+    kl = params[0]
+    k, v = args
+    fp = (
+        f"filter(zip_with({k}, {v}, (__smf_k, __smf_v) -> "
+        f"named_struct('k', __smf_k, 'v', __smf_v)), "
+        f"__smf_p -> array_contains({kl}, __smf_p.k))"
+    )
+    return f"sumMap({fp}.k, {fp}.v)"
+
+
 _PARAMETRIC2.update(
     {
         "exponentialMovingAverage": _pm2_exponential_moving_average,
         "sequenceNextNode": _pm2_sequence_next_node,
+        "sumMapFiltered": _pm2_sum_map_filtered,
         "studentTTest": _pm2_student_ttest,
         "welchTTest": _pm2_welch_ttest,
         "meanZTest": _pm2_mean_ztest,
@@ -4356,6 +4370,138 @@ def _pm_or_default(chty: str, body: str):
 
 for _chty, _body in _CHECKED_CONV.items():
     _PARAMETRIC[f"to{_chty}OrDefault"] = _pm_or_default(_chty, _body)
+
+
+# vocab batch 26 (probe-driven, round 9): modulo/datetime/vector-normalize
+# stragglers, ULID generation, one-way ANOVA with a real p-value (the
+# sumMapFiltered real rewrite lives in _PARAMETRIC2 above), and a loud
+# runningConcurrency gate (it previously fell through to Spark's
+# UNRESOLVED_ROUTINE — the one failure mode this layer bans).
+
+
+def _pm_positive_modulo(args: list[str]) -> str:
+    if len(args) != 2:
+        raise NotImplementedError("positiveModulo expects (a, b)")
+    return f"pmod({args[0]}, {args[1]})"
+
+
+def _pm_make_datetime64(args: list[str]) -> str:
+    """makeDateTime64(y, m, d, h, mi, s[, fraction[, precision]]) —
+    fraction is in 10^-precision-second units (CH default precision 3);
+    Spark TIMESTAMP holds micros, so precision <= 6 is lossless and
+    higher precisions refuse rather than silently truncate. The timezone
+    form is not shimmed (session zone applies)."""
+    if not 6 <= len(args) <= 8:
+        raise NotImplementedError(
+            "makeDateTime64 expects (year, month, day, hour, minute, "
+            "second[, fraction[, precision]]) - the timezone form is not shimmed"
+        )
+    y, m, d, h, mi, s = args[:6]
+    sec = f"CAST({s} AS DOUBLE)"
+    if len(args) >= 7:
+        prec = "3"
+        if len(args) == 8:
+            prec = args[7].strip()
+            if not re.fullmatch(r"[0-6]", prec):
+                raise NotImplementedError(
+                    "makeDateTime64 precision must be a literal 0..6 "
+                    "(Spark TIMESTAMP is microseconds)"
+                )
+        sec = f"(CAST({s} AS DOUBLE) + CAST({args[6]} AS DOUBLE) / pow(10, {prec}))"
+    return f"make_timestamp({y}, {m}, {d}, {h}, {mi}, {sec})"
+
+
+def _pm_vec_normalize(p: str):
+    """L1Normalize / L2Normalize / LinfNormalize(arr) — divide every
+    element by the vector norm, norm bound ONCE via a 1-element transform
+    (no per-element re-aggregation). Zero vectors yield NaN elements
+    (double division — ANSI only aborts integer division), CH parity."""
+
+    def rw(args: list[str]) -> str:
+        if len(args) != 1:
+            raise NotImplementedError(f"L{p}Normalize takes one array")
+        a = args[0]
+        if p == "1":
+            norm = f"aggregate({a}, 0.0D, (__vn_s, __vn_x) -> __vn_s + abs(CAST(__vn_x AS DOUBLE)))"
+        elif p == "2":
+            norm = (
+                f"sqrt(aggregate({a}, 0.0D, (__vn_s, __vn_x) -> "
+                f"__vn_s + CAST(__vn_x AS DOUBLE) * CAST(__vn_x AS DOUBLE)))"
+            )
+        else:  # inf
+            norm = f"array_max(transform({a}, __vn_x -> abs(CAST(__vn_x AS DOUBLE))))"
+        return (
+            f"element_at(transform(array({norm}), __vn_n -> "
+            f"transform({a}, __vn_e -> CAST(__vn_e AS DOUBLE) / __vn_n)), 1)"
+        )
+
+    return rw
+
+
+def _pm_generate_ulid(args: list[str]) -> str:
+    """generateULID([x]) → 26-char Crockford-base32 ULID: 48-bit
+    unix-millis prefix (10 chars, top char carries 3 bits) + 80 random
+    bits (2×40 from xxhash64 over fresh UUIDs). The optional argument is
+    CH's CSE-breaker — accepted and ignored (the uuid() calls here are
+    nondeterministic already)."""
+    if len(args) > 1:
+        raise NotImplementedError("generateULID takes at most one (ignored) argument")
+    alpha = "'0123456789ABCDEFGHJKMNPQRSTVWXYZ'"
+
+    def b32(field: str, nchars: int) -> str:
+        return (
+            f"array_join(transform(sequence({nchars - 1}, 0, -1), __ul_i -> "
+            f"substr({alpha}, CAST((shiftrightunsigned(__ul_r.{field}, __ul_i * 5) & 31) AS INT) + 1, 1)), '')"
+        )
+
+    mask40 = (1 << 40) - 1
+    seed = (
+        f"named_struct('t', unix_millis(current_timestamp()), "
+        f"'a', xxhash64(uuid()) & {mask40}, 'b', xxhash64(uuid()) & {mask40})"
+    )
+    return (
+        f"element_at(transform(array({seed}), __ul_r -> "
+        f"concat({b32('t', 10)}, {b32('a', 8)}, {b32('b', 8)})), 1)"
+    )
+
+
+def _pm_anova(args: list[str]) -> str:
+    """analysisOfVariance(value, group) → (f_statistic, p_value): one-way
+    ANOVA over the observed integer group labels via the per-group
+    collect + chANOVA Arrow UDF (real p from the regularized incomplete
+    beta). O(group rows) aggregate state — the same bound the rank tests
+    (and CH's own moments-per-group state, asymptotically) carry."""
+    if len(args) != 2:
+        raise NotImplementedError("analysisOfVariance expects (value, group)")
+    v, g = args
+    pairs = (
+        f"collect_list(CASE WHEN ({v}) IS NOT NULL AND ({g}) IS NOT NULL "
+        f"THEN named_struct('v', CAST(({v}) AS DOUBLE), "
+        f"'g', CAST(({g}) AS BIGINT)) END)"
+    )
+    return f"chANOVA({pairs})"
+
+
+_PARAMETRIC.update(
+    {
+        "positiveModulo": _pm_positive_modulo,
+        "positive_modulo": _pm_positive_modulo,
+        "makeDateTime64": _pm_make_datetime64,
+        "L1Normalize": _pm_vec_normalize("1"),
+        "L2Normalize": _pm_vec_normalize("2"),
+        "LinfNormalize": _pm_vec_normalize("inf"),
+        "generateULID": _pm_generate_ulid,
+        "analysisOfVariance": _pm_anova,
+        "anova": _pm_anova,
+        "runningConcurrency": _pm_gate(
+            "runningConcurrency",
+            "count open intervals per point with the bucketed range join "
+            "(operators/rangejoin.py range_join_points) or the sweep "
+            "spelling: explode (begin, +1), (end, -1) events and "
+            "sum(delta) OVER (ORDER BY t)",
+        ),
+    }
+)
 
 
 _PARAMETRIC_RE = re.compile(

@@ -296,6 +296,31 @@ def ks_two_sample(
     return d, kolmogorov_q((sq + 0.12 + 0.11 / sq) * d)
 
 
+def one_way_anova(vals: np.ndarray, groups: np.ndarray) -> tuple[float, float]:
+    """One-way ANOVA (CH ``analysisOfVariance``): F = (SSB/(k−1)) /
+    (SSW/(N−k)) over the observed group labels, p = P(F_{k−1,N−k} > F)
+    via the regularized incomplete beta (betainc_reg(d2/2, d1/2,
+    d2/(d1·F + d2))). Degenerate inputs (k < 2, N ≤ k, zero
+    within-group variance) yield (nan, nan) rather than aborting."""
+    uniq = np.unique(groups)
+    k, n = len(uniq), len(vals)
+    if k < 2 or n <= k:
+        return float("nan"), float("nan")
+    grand = float(vals.mean())
+    ssb = ssw = 0.0
+    for g in uniq:
+        x = vals[groups == g]
+        m = float(x.mean())
+        ssb += len(x) * (m - grand) ** 2
+        ssw += float(((x - m) ** 2).sum())
+    d1, d2 = k - 1, n - k
+    if ssw <= 0.0:
+        return float("nan"), float("nan")
+    f = (ssb / d1) / (ssw / d2)
+    p = betainc_reg(d2 / 2.0, d1 / 2.0, d2 / (d1 * f + d2))
+    return f, min(1.0, max(0.0, p))
+
+
 def lttb(xs: np.ndarray, ys: np.ndarray, n_out: int) -> list[tuple[float, float]]:
     """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013):
     keep the endpoints, split the interior into n_out-2 buckets, and from
@@ -389,6 +414,21 @@ def register_stats_functions(spark: SparkSession) -> None:
             )
         return pd.Series(out)
 
+    @pandas_udf("f_statistic double, p_value double")
+    def ch_anova(pairs: pd.Series) -> pd.DataFrame:
+        fs, ps = [], []
+        for arr in pairs:
+            if arr is None or len(arr) == 0:
+                fs.append(None), ps.append(None)
+                continue
+            vals = np.array([e["v"] for e in arr], dtype=np.float64)
+            grp = np.array([e["g"] for e in arr], dtype=np.int64)
+            f, p = one_way_anova(vals, grp)
+            fs.append(None if math.isnan(f) else f)
+            ps.append(None if math.isnan(p) else p)
+        return pd.DataFrame({"f_statistic": fs, "p_value": ps})
+
+    spark.udf.register("chANOVA", ch_anova)
     spark.udf.register("chStudentTP", ch_student_t_p)
     spark.udf.register("chNormal2P", ch_normal_2p)
     spark.udf.register("chMannWhitneyU", ch_mann_whitney)

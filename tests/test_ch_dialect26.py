@@ -20,6 +20,12 @@ def eng(spark, tmp_path_factory):
     return Engine(spark, str(tmp_path_factory.mktemp("wh26")))
 
 
+def one(eng, sql):
+    rows = eng.sql(sql).collect()
+    assert len(rows) == 1
+    return rows[0]
+
+
 _FLOWS = {
     1: list("ABCEF"),   # the docs' head-example shape
     2: list("BAABC"),
@@ -137,4 +143,89 @@ def test_snn_null_rules_and_refusals(eng, flow_view):
     with pytest.raises(Exception, match="direction, base"):
         eng.sql(
             "SELECT sequenceNextNode(dt, page, true, page = 'A') FROM snn_flow"
+        ).collect()
+
+
+# ---------------------------------------------------------------------------
+# batch 26: probe-driven stragglers (the probe found five spellings falling
+# through to Spark's UNRESOLVED_ROUTINE — the one failure mode this layer
+# bans — plus two implementable gates)
+
+
+def test_positive_modulo_and_make_datetime64(eng):
+    assert one(eng, "SELECT positiveModulo(-5, 3) AS a")["a"] == 1
+    assert one(eng, "SELECT positive_modulo(7, 3) AS a")["a"] == 1
+    assert (
+        str(one(eng, "SELECT makeDateTime64(2026, 1, 1, 12, 30, 5) AS a")["a"])
+        == "2026-01-01 12:30:05"
+    )
+    # fraction in 10^-precision units, CH default precision 3
+    assert (
+        str(one(eng, "SELECT makeDateTime64(2026, 1, 1, 12, 30, 5, 250) AS a")["a"])
+        == "2026-01-01 12:30:05.250000"
+    )
+    assert (
+        str(one(eng, "SELECT makeDateTime64(2026, 1, 1, 12, 30, 5, 7, 1) AS a")["a"])
+        == "2026-01-01 12:30:05.700000"
+    )
+    with pytest.raises(Exception, match="microseconds"):
+        eng.sql("SELECT makeDateTime64(2026, 1, 1, 12, 30, 5, 1, 9)").collect()
+
+
+def test_vector_normalize_family(eng):
+    assert one(eng, "SELECT L2Normalize([3.0, 4.0]) AS a")["a"] == [0.6, 0.8]
+    assert one(eng, "SELECT L1Normalize([1.0, -3.0]) AS a")["a"] == [0.25, -0.75]
+    assert one(eng, "SELECT LinfNormalize([2.0, -4.0]) AS a")["a"] == [0.5, -1.0]
+
+
+def test_generate_ulid_shape(eng):
+    import re
+
+    r = one(eng, "SELECT generateULID() AS a, generateULID(1) AS b")
+    for v in (r["a"], r["b"]):
+        assert re.fullmatch(r"[0-9A-HJKMNP-TV-Z]{26}", v), v
+    assert r["a"] != r["b"]  # independent randomness per call
+    # the 10-char prefix decodes to unix-millis near now (within a day)
+    import time
+
+    alpha = "0123456789ABCDEFGHJKMNPQRSTVWXYZ"
+    ms = 0
+    for c in r["a"][:10]:
+        ms = ms * 32 + alpha.index(c)
+    assert abs(ms / 1000.0 - time.time()) < 86400
+
+
+def test_anova_textbook_golden(eng):
+    """Groups (1,2,3), (4,5,6), (7,8,9): SSB = 54 (df 2), SSW = 6 (df 6)
+    -> F = 27.0, and the 0.1% critical value of F(2,6) is exactly 27.0
+    (classic table value), so p = 0.001."""
+    r = one(
+        eng,
+        "SELECT analysisOfVariance(v, g) AS a FROM (VALUES "
+        "(1.0,0),(2.0,0),(3.0,0),(4.0,1),(5.0,1),(6.0,1),"
+        "(7.0,2),(8.0,2),(9.0,2)) AS t(v, g)",
+    )["a"]
+    assert r["f_statistic"] == pytest.approx(27.0, rel=1e-12)
+    assert r["p_value"] == pytest.approx(0.001, rel=1e-6)
+    # the 'anova' alias and the degenerate single-group NULL contract
+    r2 = one(
+        eng,
+        "SELECT anova(v, g) AS a FROM (VALUES (1.0,0),(2.0,0)) AS t(v, g)",
+    )["a"]
+    assert r2["f_statistic"] is None and r2["p_value"] is None
+
+
+def test_sum_map_filtered(eng):
+    r = one(
+        eng,
+        "SELECT sumMapFiltered([1, 3])([1, 2, 3], [10.0, 20.0, 30.0]) AS a",
+    )["a"]
+    assert list(r["keys"]) == [1, 3]
+    assert list(r["values"]) == [10.0, 30.0]
+
+
+def test_running_concurrency_gate(eng):
+    with pytest.raises(NotImplementedError, match="range join|sweep"):
+        eng.sql(
+            "SELECT runningConcurrency(ts, ts) FROM (SELECT current_timestamp() AS ts)"
         ).collect()
