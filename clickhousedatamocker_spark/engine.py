@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from clickhousedatamocker_spark.functions.geo import (
     register_batch23_functions,
     register_batch24_functions,
+    register_batch26_functions,
     register_python_functions,
 )
 from clickhousedatamocker_spark.functions.stats import (
@@ -107,6 +108,7 @@ class Engine:
         register_python_functions(spark)
         register_batch23_functions(spark)
         register_batch24_functions(spark)
+        register_batch26_functions(spark)
         register_stats_functions(spark)
         register_stats25_functions(spark)
 

@@ -4170,11 +4170,16 @@ def _pm2_sum_map_filtered(params: list[str] | None, args: list[str]) -> str:
     (key, value) pairs to the kept-key list, then emit the plain
     sumMap(keys, values) SPELLING: _rewrite_parametric runs after this
     pass and applies the map-aggregate rewrite to it."""
-    if params is None or len(params) != 1 or len(args) != 2:
+    if params is None or len(params) != 1 or len(args) not in (1, 2):
         raise NotImplementedError(
-            "sumMapFiltered expects (keys_to_keep)(keys, values)"
+            "sumMapFiltered expects (keys_to_keep)(map) or (keys_to_keep)(keys, values)"
         )
     kl = params[0]
+    if len(args) == 1:  # Map-column form
+        return (
+            f"sumMap(map_filter({args[0]}, "
+            f"(__smf_k, __smf_v) -> array_contains({kl}, __smf_k)))"
+        )
     k, v = args
     fp = (
         f"filter(zip_with({k}, {v}, (__smf_k, __smf_v) -> "
@@ -4482,10 +4487,82 @@ def _pm_anova(args: list[str]) -> str:
     return f"chANOVA({pairs})"
 
 
+def _pm_json_type(args: list[str]) -> str:
+    """JSONType(json[, key]) → 'Object'/'Array'/'String'/'Int64'/'Double'/
+    'Bool'/'Null' via a real JSON parse (chJSONType Arrow UDF — the only
+    way to keep '123'-the-string distinct from 123-the-number). Nested
+    index paths are not shimmed (use JSONExtractRaw + JSONType)."""
+    if len(args) == 1:
+        return f"chJSONType({args[0]}, CAST(NULL AS STRING))"
+    if len(args) == 2:
+        return f"chJSONType({args[0]}, {args[1]})"
+    raise NotImplementedError(
+        "JSONType with nested index paths is not shimmed - slice first "
+        "with JSONExtractRaw, then JSONType the slice"
+    )
+
+
+def _pm_ip_in_range(args: list[str]) -> str:
+    if len(args) != 2:
+        raise NotImplementedError("isIPAddressInRange expects (address, cidr)")
+    return f"chIPInRange({args[0]}, {args[1]})"
+
+
+_DEFAULT_OF_TYPE = {
+    "string": "''",
+    "fixedstring": "''",
+    "float32": "CAST(0.0 AS FLOAT)",
+    "float64": "CAST(0.0 AS DOUBLE)",
+    "date": "DATE'1970-01-01'",
+    "date32": "DATE'1970-01-01'",
+    "datetime": "TIMESTAMP'1970-01-01 00:00:00'",
+    "datetime64": "TIMESTAMP'1970-01-01 00:00:00'",
+    "uuid": "'00000000-0000-0000-0000-000000000000'",
+    "bool": "false",
+    **{
+        t: f"CAST(0 AS {'BIGINT' if '64' in t else 'INT'})"
+        for t in ("uint8", "uint16", "uint32", "uint64", "int8", "int16", "int32", "int64")
+    },
+}
+
+
+def _pm_default_value_of_type_name(args: list[str]) -> str:
+    """defaultValueOfTypeName('T') → the type's zero value, resolved at
+    translation time (literal type names only, like CH)."""
+    if len(args) != 1:
+        raise NotImplementedError("defaultValueOfTypeName takes one literal type name")
+    t = args[0].strip().strip("'\"").split("(")[0].lower()
+    got = _DEFAULT_OF_TYPE.get(t)
+    if got is None:
+        raise NotImplementedError(
+            f"defaultValueOfTypeName: no default mapped for type {t!r} - "
+            f"supported: {sorted(_DEFAULT_OF_TYPE)}"
+        )
+    return got
+
+
 _PARAMETRIC.update(
     {
         "positiveModulo": _pm_positive_modulo,
         "positive_modulo": _pm_positive_modulo,
+        "JSONType": _pm_json_type,
+        "isIPAddressInRange": _pm_ip_in_range,
+        "defaultValueOfTypeName": _pm_default_value_of_type_name,
+        # visitParam* = the documented aliases of the simpleJSON* family
+        # (both are registered SQL macros, so a direct spelling swap)
+        "visitParamExtractRaw": lambda a: f"JSONExtractRaw({', '.join(a)})",
+        "visitParamExtractString": lambda a: f"simpleJSONExtractString({', '.join(a)})",
+        "visitParamExtractInt": lambda a: f"simpleJSONExtractInt({', '.join(a)})",
+        "visitParamExtractUInt": lambda a: f"simpleJSONExtractInt({', '.join(a)})",
+        "visitParamExtractFloat": lambda a: f"simpleJSONExtractFloat({', '.join(a)})",
+        "visitParamExtractBool": lambda a: f"simpleJSONExtractBool({', '.join(a)})",
+        "visitParamHas": lambda a: f"simpleJSONHas({', '.join(a)})",
+        "tupleConcat": _pm_gate(
+            "tupleConcat",
+            "struct concatenation needs field introspection this textual "
+            "layer lacks; use arrays (concat(a, b)) or name the fields "
+            "explicitly in a struct() literal",
+        ),
         "makeDateTime64": _pm_make_datetime64,
         "L1Normalize": _pm_vec_normalize("1"),
         "L2Normalize": _pm_vec_normalize("2"),

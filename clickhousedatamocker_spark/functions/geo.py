@@ -597,3 +597,78 @@ def register_batch24_functions(spark: SparkSession) -> None:
     spark.udf.register(
         "chJumpConsistentHash", pandas_udf(_jump_consistent_hash, "bigint")
     )
+
+
+# ---------------------------------------------------------------------------
+# vocab batch 26 (round 9): JSON type introspection + IP range membership
+
+
+def _json_type(j: pd.Series, k: pd.Series) -> pd.Series:
+    """CH JSONType: the JSON type name of the document (or of key k).
+    Real parse (json.loads), so '123'-the-string and 123-the-number are
+    distinguished — get_json_object cannot (it strips quoting). Missing
+    key → '' (CH's default-of-String contract); unparseable/NULL input →
+    NULL. bool checks BEFORE int: Python bools are ints."""
+    import json as _json
+
+    out = []
+    for doc, key in zip(j, k):
+        if doc is None:
+            out.append(None)
+            continue
+        try:
+            v = _json.loads(doc)
+        except (ValueError, TypeError):
+            out.append(None)
+            continue
+        if key is not None and key != "":
+            if not isinstance(v, dict) or key not in v:
+                out.append("")
+                continue
+            v = v[key]
+        if isinstance(v, dict):
+            out.append("Object")
+        elif isinstance(v, list):
+            out.append("Array")
+        elif isinstance(v, bool):
+            out.append("Bool")
+        elif isinstance(v, str):
+            out.append("String")
+        elif isinstance(v, int):
+            out.append("Int64")
+        elif isinstance(v, float):
+            out.append("Double")
+        else:
+            out.append("Null")
+    return pd.Series(out, dtype=object)
+
+
+def _ip_in_range(a: pd.Series, c: pd.Series) -> pd.Series:
+    """CH isIPAddressInRange via the stdlib ipaddress module — correct for
+    IPv4 AND IPv6 (mixed families → false). Invalid address → false (CH
+    contract); invalid/NULL CIDR → NULL (CH throws — a per-row NULL keeps
+    the rest of the block alive, documented deviation)."""
+    import ipaddress
+
+    out = []
+    for addr, cidr in zip(a, c):
+        if addr is None or cidr is None:
+            out.append(None)
+            continue
+        try:
+            net = ipaddress.ip_network(cidr, strict=False)
+        except ValueError:
+            out.append(None)
+            continue
+        try:
+            ip = ipaddress.ip_address(addr)
+        except ValueError:
+            out.append(False)
+            continue
+        out.append(ip.version == net.version and ip in net)
+    return pd.Series(out, dtype=object)
+
+
+def register_batch26_functions(spark: SparkSession) -> None:
+    spark.udf.register("chJSONType", pandas_udf(_json_type, "string"))
+    spark.udf.register("chIPInRange", pandas_udf(_ip_in_range, "boolean"))

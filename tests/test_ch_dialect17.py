@@ -110,9 +110,9 @@ def test_map_family_avg_count(eng):
         ("SELECT rankCorr(x, x) AS v FROM (SELECT 1 AS x)", "Spearman"),
         # meanZTest graduated to a real z + p + CI in batch 23 —
         # goldens in tests/test_ch_dialect23.py
-        ("SELECT analysisOfVariance(x, x) AS v FROM (SELECT 1 AS x)", "F statistic"),
+        # analysisOfVariance and sumMapFiltered graduated to REAL rewrites
+        # in batch 26 — goldens in tests/test_ch_dialect26.py
         ("SELECT aggThrow(0.0) AS v FROM (SELECT 1)", "fault-injection"),
-        ("SELECT sumMapFiltered([1])(map(1, 10)) AS v FROM (SELECT 1)", "map_filter"),
     ],
 )
 def test_batch17_loud_gates(eng, sql, frag):

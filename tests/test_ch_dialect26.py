@@ -229,3 +229,64 @@ def test_running_concurrency_gate(eng):
         eng.sql(
             "SELECT runningConcurrency(ts, ts) FROM (SELECT current_timestamp() AS ts)"
         ).collect()
+
+
+def test_sum_map_filtered_map_form(eng):
+    # the Map-column form keeps sumMap's modern Map return shape
+    r = one(
+        eng,
+        "SELECT sumMapFiltered([1, 3])(m) AS a FROM "
+        "(SELECT map(1, 10.0, 2, 20.0) AS m UNION ALL SELECT map(3, 5.0, 1, 1.0))",
+    )["a"]
+    assert r == {1: 11.0, 3: 5.0}
+
+
+def test_json_type_and_visitparam_aliases(eng):
+    r = one(
+        eng,
+        "SELECT JSONType('{\"a\": 1}') AS o, JSONType('{\"a\": 1}', 'a') AS i, "
+        "JSONType('{\"a\": \"123\"}', 'a') AS s, JSONType('{\"a\": null}', 'a') AS n, "
+        "JSONType('{\"a\": 1}', 'zz') AS miss, JSONType('not json') AS bad",
+    )
+    # real parse: '123'-the-string stays String (get_json_object cannot tell)
+    assert (r["o"], r["i"], r["s"], r["n"]) == ("Object", "Int64", "String", "Null")
+    assert r["miss"] == "" and r["bad"] is None
+    v = one(
+        eng,
+        "SELECT visitParamExtractString('{\"k\": \"v\"}', 'k') AS a, "
+        "visitParamExtractInt('{\"k\": 7}', 'k') AS b, "
+        "visitParamHas('{\"k\": 7}', 'k') AS c, "
+        "visitParamExtractRaw('{\"k\": {\"x\": 1}}', 'k') AS d",
+    )
+    assert (v["a"], v["b"], v["c"]) == ("v", 7, True)
+    assert v["d"].replace(" ", "") == '{"x":1}'
+
+
+def test_ip_address_in_range(eng):
+    r = one(
+        eng,
+        "SELECT isIPAddressInRange('127.0.0.1', '127.0.0.0/8') AS a, "
+        "isIPAddressInRange('128.0.0.1', '127.0.0.0/8') AS b, "
+        "isIPAddressInRange('::ffff:192.168.0.1', '::ffff:192.168.0.0/120') AS c, "
+        "isIPAddressInRange('192.168.0.1', '::/0') AS d, "  # mixed families
+        "isIPAddressInRange('not-an-ip', '10.0.0.0/8') AS e, "
+        "isIPAddressInRange('10.0.0.1', 'garbage') AS f",
+    )
+    assert (r["a"], r["b"], r["c"], r["d"], r["e"]) == (True, False, True, False, False)
+    assert r["f"] is None  # invalid CIDR: NULL, documented CH-throws deviation
+
+
+def test_default_value_of_type_name(eng):
+    r = one(
+        eng,
+        "SELECT defaultValueOfTypeName('UInt8') AS a, "
+        "defaultValueOfTypeName('String') AS b, "
+        "defaultValueOfTypeName('DateTime64(3)') AS c, "
+        "defaultValueOfTypeName('Float64') AS d",
+    )
+    assert r["a"] == 0 and r["b"] == "" and r["d"] == 0.0
+    assert str(r["c"]) == "1970-01-01 00:00:00"
+    with pytest.raises(NotImplementedError, match="no default mapped"):
+        eng.sql("SELECT defaultValueOfTypeName('AggregateFunction(sum, UInt64)')").collect()
+    with pytest.raises(NotImplementedError, match="field introspection"):
+        eng.sql("SELECT tupleConcat((1, 2), (3, 4))").collect()
