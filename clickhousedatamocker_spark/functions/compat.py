@@ -4541,10 +4541,46 @@ def _pm_default_value_of_type_name(args: list[str]) -> str:
     return got
 
 
+def _pm_to_year_week(args: list[str]) -> str:
+    """toYearWeek(date[, mode]) → YYYYWW (MySQL WEEK-mode semantics, the
+    CH contract). Mode 0 (default): weeks start Sunday, week 1 starts at
+    the year's FIRST Sunday, earlier days belong to the previous year's
+    last week. Mode 3 = ISO 8601 (Spark's native weekofyear/YEAROFWEEK).
+    Other literal modes refuse loudly rather than drift in edge weeks."""
+    if len(args) not in (1, 2):
+        raise NotImplementedError("toYearWeek expects (date[, mode])")
+    d = f"CAST({args[0]} AS DATE)"
+    mode = args[1].strip() if len(args) == 2 else "0"
+    if mode == "3":
+        return f"(extract(YEAROFWEEK FROM {d}) * 100 + weekofyear({d}))"
+    if mode != "0":
+        raise NotImplementedError(
+            "toYearWeek: only literal modes 0 (MySQL default) and 3 (ISO) "
+            "are shimmed - other modes differ only in edge weeks, which is "
+            "exactly where a guessed shim would silently drift"
+        )
+
+    def first_sunday(y: str) -> str:
+        jan1 = f"make_date({y}, 1, 1)"
+        return f"date_add({jan1}, (8 - dayofweek({jan1})) % 7)"
+
+    return (
+        f"element_at(transform(array({d}), __yw_d -> "
+        f"element_at(transform(array(CASE WHEN __yw_d >= {first_sunday('year(__yw_d)')} "
+        f"THEN year(__yw_d) ELSE year(__yw_d) - 1 END), __yw_y -> "
+        f"__yw_y * 100 + CAST(floor(datediff(__yw_d, {first_sunday('__yw_y')}) / 7) AS INT) + 1"
+        f"), 1)), 1)"
+    )
+
+
 _PARAMETRIC.update(
     {
         "positiveModulo": _pm_positive_modulo,
         "positive_modulo": _pm_positive_modulo,
+        "toYearWeek": _pm_to_year_week,
+        # same-engine hash values only (the cityHash64 policy): xxhash64
+        # over the registered normalizeQuery macro, not CH's SipHash
+        "normalizedQueryHash": lambda a: f"xxhash64(normalizeQuery({', '.join(a)}))",
         "JSONType": _pm_json_type,
         "isIPAddressInRange": _pm_ip_in_range,
         "defaultValueOfTypeName": _pm_default_value_of_type_name,

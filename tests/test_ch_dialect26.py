@@ -290,3 +290,33 @@ def test_default_value_of_type_name(eng):
         eng.sql("SELECT defaultValueOfTypeName('AggregateFunction(sum, UInt64)')").collect()
     with pytest.raises(NotImplementedError, match="field introspection"):
         eng.sql("SELECT tupleConcat((1, 2), (3, 4))").collect()
+
+
+def test_to_year_week_modes(eng):
+    """Mode 0 = MySQL YEARWEEK default: 2026's first Sunday is Jan 4, so
+    Jan 3 still belongs to 2025's week 52; mode 3 = ISO (2026-01-01 is a
+    Thursday -> ISO week 1 of 2026, and 2027-01-01 a Friday -> ISO week
+    53 of 2026)."""
+    r = one(
+        eng,
+        "SELECT toYearWeek(toDate('2026-01-04')) AS a, "
+        "toYearWeek(toDate('2026-01-03')) AS b, "
+        "toYearWeek(toDate('2026-12-31')) AS c, "
+        "toYearWeek(toDate('2026-01-01'), 3) AS d, "
+        "toYearWeek(toDate('2027-01-01'), 3) AS e",
+    )
+    assert (r["a"], r["b"], r["c"]) == (202601, 202552, 202652)
+    assert (r["d"], r["e"]) == (202601, 202653)
+    with pytest.raises(NotImplementedError, match="edge weeks"):
+        eng.sql("SELECT toYearWeek(toDate('2026-01-01'), 1)").collect()
+    # normalizedQueryHash: stable per engine, sensitive to the normalized
+    # shape only (the cityHash64 same-engine policy)
+    h = one(
+        eng,
+        "SELECT normalizedQueryHash('SELECT 1 + 2') AS a, "
+        "normalizedQueryHash('SELECT 3 + 4') AS b, "
+        "normalizedQueryHash('SELECT a FROM t') AS c, "
+        "normalizedQueryHash('SELECT b FROM t') AS d",
+    )
+    assert h["a"] == h["b"]  # literals normalize away
+    assert h["c"] != h["d"]  # identifiers do not
