@@ -3804,9 +3804,14 @@ def _pm2_ks_test(params: list[str] | None, args: list[str]) -> str:
     (CH's auto switches on sample size the same way)."""
     m = "asymptotic"
     if params is not None:
+        if len(params) > 2:
+            raise NotImplementedError(
+                "kolmogorovSmirnovTest takes at most (alternative, "
+                "computation_method) parameters"
+            )
         _check_alt_two_sided("kolmogorovSmirnovTest", params)
-        for p in params[1:]:
-            m = p.strip().strip("'\"").lower()
+        if len(params) == 2:
+            m = params[1].strip().strip("'\"").lower()
             if m not in ("asymptotic", "exact", "auto"):
                 raise NotImplementedError(
                     "kolmogorovSmirnovTest: computation method must be "
@@ -4030,6 +4035,18 @@ def _pm2_exponential_moving_average(params: list[str] | None, args: list[str]) -
     if params is not None and len(params) != 1:
         raise NotImplementedError(
             "exponentialMovingAverage takes exactly one parameter (half-life)"
+        )
+    try:
+        x_val = float(x)
+    except ValueError:
+        raise NotImplementedError(
+            "exponentialMovingAverage: the half-life must be a literal number"
+        ) from None
+    if not x_val > 0:
+        # x <= 0 would produce a finite, plausible-looking, WRONG value
+        # (weights growing with age / NaN norm) — refuse like the operator
+        raise NotImplementedError(
+            f"exponentialMovingAverage: half-life must be > 0, got {x}"
         )
     v, t = args
     pair = (
@@ -4589,7 +4606,12 @@ _PARAMETRIC.update(
         "visitParamExtractRaw": lambda a: f"JSONExtractRaw({', '.join(a)})",
         "visitParamExtractString": lambda a: f"simpleJSONExtractString({', '.join(a)})",
         "visitParamExtractInt": lambda a: f"simpleJSONExtractInt({', '.join(a)})",
-        "visitParamExtractUInt": lambda a: f"simpleJSONExtractInt({', '.join(a)})",
+        # UInt parse: CH reads an UNSIGNED integer, so '-7' parses as 0 —
+        # clamp the signed extraction (CASE keeps NULL-on-missing intact)
+        "visitParamExtractUInt": lambda a: (
+            f"(CASE WHEN simpleJSONExtractInt({', '.join(a)}) < 0 THEN 0 "
+            f"ELSE simpleJSONExtractInt({', '.join(a)}) END)"
+        ),
         "visitParamExtractFloat": lambda a: f"simpleJSONExtractFloat({', '.join(a)})",
         "visitParamExtractBool": lambda a: f"simpleJSONExtractBool({', '.join(a)})",
         "visitParamHas": lambda a: f"simpleJSONHas({', '.join(a)})",

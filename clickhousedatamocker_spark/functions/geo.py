@@ -607,8 +607,10 @@ def _json_type(j: pd.Series, k: pd.Series) -> pd.Series:
     """CH JSONType: the JSON type name of the document (or of key k).
     Real parse (json.loads), so '123'-the-string and 123-the-number are
     distinguished — get_json_object cannot (it strips quoting). Missing
-    key → '' (CH's default-of-String contract); unparseable/NULL input →
-    NULL. bool checks BEFORE int: Python bools are ints."""
+    key → 'Null' (the CH docs contract: "if the value does not exist,
+    Null will be returned" — same answer as an explicit JSON null);
+    unparseable/NULL input → NULL. bool checks BEFORE int: Python bools
+    are ints."""
     import json as _json
 
     out = []
@@ -623,7 +625,7 @@ def _json_type(j: pd.Series, k: pd.Series) -> pd.Series:
             continue
         if key is not None and key != "":
             if not isinstance(v, dict) or key not in v:
-                out.append("")
+                out.append("Null")
                 continue
             v = v[key]
         if isinstance(v, dict):

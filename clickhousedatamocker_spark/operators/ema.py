@@ -140,6 +140,79 @@ def _etd_schema(df: DataFrame, outputs: Sequence[str], prefix: str) -> T.StructT
     return T.StructType(fields)
 
 
+def _make_time_to_seconds():
+    """Column → float64 seconds converter factory. NESTED so cloudpickle
+    ships it BY VALUE inside executor closures (no repo import needed on a
+    bare session). Timestamp columns arrive in pandas as datetime64[ns]:
+    pd.to_numeric would silently yield NANOSECONDS (mis-scaling every
+    decay) and map NaT to int64-min (a 'valid' time at -9.2e18) — the
+    round-9 review finding. This converts datetimes to epoch SECONDS and
+    NaT/unparseable to NaN."""
+
+    def to_seconds(col):
+        import numpy as np
+        import pandas as pd
+
+        if pd.api.types.is_datetime64_any_dtype(col):
+            vals = col.to_numpy(dtype="datetime64[ns]")
+            out = vals.view("int64").astype("float64") / 1e9
+            out[np.isnat(vals)] = np.nan
+            return out
+        return pd.to_numeric(col, errors="coerce").to_numpy(dtype="float64")
+
+    return to_seconds
+
+
+def _make_decay_kernel(x: float):
+    """Segmented-renormalization decayed-prefix kernel factory — THE single
+    copy of the float math shared by the batch operator below and
+    streaming/stateful.py stream_time_decayed (which seeds the carries
+    from persisted state). NESTED so cloudpickle ships it by value.
+
+    Input: time-sorted ``tv`` (no NaN), raw values ``vv`` (NaN = NULL),
+    and the decayed carries AT ``tv[0]``'s reference. Output: per-row
+    decayed (sum, count, value-count, max) arrays plus the same four
+    carries at the LAST row's time (for streaming state)."""
+
+    def kernel(tv, vv, carry_sum=0.0, carry_cnt=0.0, carry_cntv=0.0, carry_max=None):
+        import math as _m
+
+        import numpy as np
+
+        log_span = 200.0 * x  # _LOG_SPAN — inlined: closure must be self-contained
+        m = len(tv)
+        has_v = ~np.isnan(vv)
+        v0 = np.where(has_v, vv, 0.0)
+        cm = -_m.inf if carry_max is None else carry_max
+        s_sum = np.empty(m)
+        s_cnt = np.empty(m)
+        s_cntv = np.empty(m)  # decayed count of value-bearing rows (Avg denominator)
+        s_max = np.empty(m)
+        start = 0
+        while start < m:
+            end = int(np.searchsorted(tv, tv[start] + log_span, side="right"))
+            a = np.exp((tv[start:end] - tv[start]) / x)
+            s_sum[start:end] = (carry_sum + np.cumsum(v0[start:end] * a)) / a
+            s_cnt[start:end] = (carry_cnt + np.cumsum(a)) / a
+            s_cntv[start:end] = (
+                carry_cntv + np.cumsum(np.where(has_v[start:end], a, 0.0))
+            ) / a
+            rm = np.maximum.accumulate(
+                np.where(has_v[start:end], vv[start:end] * a, -_m.inf)
+            )
+            s_max[start:end] = np.maximum(cm, rm) / a
+            if end < m:
+                c = _m.exp((tv[end - 1] - tv[end]) / x)  # < 1 by construction
+                carry_sum = s_sum[end - 1] * c
+                carry_cnt = s_cnt[end - 1] * c
+                carry_cntv = s_cntv[end - 1] * c
+                cm = s_max[end - 1] * c
+            start = end
+        return s_sum, s_cnt, s_cntv, s_max
+
+    return kernel
+
+
 def exponential_time_decayed(
     df: DataFrame,
     decay: float,
@@ -184,13 +257,13 @@ def exponential_time_decayed(
         )
     outputs = tuple(outputs)
     schema = _etd_schema(df, outputs, prefix)
-    out_names = [f"{prefix}{k}" for k in outputs]
     value_name, time_name = value_col, time_col
-    log_span = _LOG_SPAN * x
+    kernel = _make_decay_kernel(x)  # nested fn: pickled by value
+    to_seconds = _make_time_to_seconds()
 
     def scan(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
-        t_raw = pd.to_numeric(pdf[time_name], errors="coerce").to_numpy(dtype="float64")
+        t_raw = to_seconds(pdf[time_name])
         v_raw = pd.to_numeric(pdf[value_name], errors="coerce").to_numpy(dtype="float64")
         order = np.argsort(t_raw, kind="stable")  # NaN times sort last
         t = t_raw[order]
@@ -200,34 +273,7 @@ def exponential_time_decayed(
         res = {k: np.full(n, np.nan) for k in outputs}
         if m:
             tv, vv = t[:m], v[:m]
-            has_v = ~np.isnan(vv)
-            v0 = np.where(has_v, vv, 0.0)
-            s_sum = np.empty(m)
-            s_cnt = np.empty(m)
-            s_cntv = np.empty(m)  # decayed count of value-bearing rows (Avg denominator)
-            s_max = np.empty(m)
-            carry_sum = carry_cnt = carry_cntv = 0.0
-            carry_max = -math.inf
-            start = 0
-            while start < m:
-                end = int(np.searchsorted(tv, tv[start] + log_span, side="right"))
-                a = np.exp((tv[start:end] - tv[start]) / x)
-                s_sum[start:end] = (carry_sum + np.cumsum(v0[start:end] * a)) / a
-                s_cnt[start:end] = (carry_cnt + np.cumsum(a)) / a
-                s_cntv[start:end] = (
-                    carry_cntv + np.cumsum(np.where(has_v[start:end], a, 0.0))
-                ) / a
-                rm = np.maximum.accumulate(
-                    np.where(has_v[start:end], vv[start:end] * a, -math.inf)
-                )
-                s_max[start:end] = np.maximum(carry_max, rm) / a
-                if end < m:
-                    c = math.exp((tv[end - 1] - tv[end]) / x)  # < 1 by construction
-                    carry_sum = s_sum[end - 1] * c
-                    carry_cnt = s_cnt[end - 1] * c
-                    carry_cntv = s_cntv[end - 1] * c
-                    carry_max = s_max[end - 1] * c
-                start = end
+            s_sum, s_cnt, s_cntv, s_max = kernel(tv, vv)
             # RANGE frame: every time-tie reads the value at its last peer
             last = np.searchsorted(tv, tv, side="right") - 1
             if "sum" in res:

@@ -327,7 +327,12 @@ _ETD_LOG_SPAN = 200.0  # same bound as operators/ema.py _LOG_SPAN
 def _mk_decay(x: float):
     import math
 
-    log_span = _ETD_LOG_SPAN * x
+    from clickhousedatamocker_spark.operators.ema import _make_decay_kernel
+
+    # built ON THE DRIVER; the nested kernel is captured by value, so the
+    # float math has exactly ONE copy (operators/ema.py) and executors
+    # need no repo import
+    kernel = _make_decay_kernel(x)
 
     def update(
         key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
@@ -347,7 +352,8 @@ def _mk_decay(x: float):
         v = pd.to_numeric(pdf["v"], errors="coerce").to_numpy("float64")
         order = np.argsort(t, kind="stable")
         t, v = t[order], v[order]
-        valid = ~np.isnan(t)
+        null_t = np.isnan(t)
+        valid = ~null_t
         if last_t is not None:
             # LATE rows (older than the key's processed frontier) are
             # dropped: their true frame excludes contributions the state
@@ -356,65 +362,66 @@ def _mk_decay(x: float):
             valid &= t >= last_t
         tv, vv = t[valid], v[valid]
         m = len(tv)
-        if m == 0:
-            return
-        has_v = ~np.isnan(vv)
-        v0 = np.where(has_v, vv, 0.0)
-        carry_sum, carry_cnt, carry_cntv, carry_max = cs, cc, ccv, cm
-        if last_t is not None:
-            f = math.exp((last_t - tv[0]) / x)
-            carry_sum, carry_cnt, carry_cntv = carry_sum * f, carry_cnt * f, carry_cntv * f
-            carry_max = carry_max * f if math.isfinite(carry_max) else carry_max
-        s_sum = np.empty(m)
-        s_cnt = np.empty(m)
-        s_cntv = np.empty(m)
-        s_max = np.empty(m)
-        start = 0
-        while start < m:
-            end = int(np.searchsorted(tv, tv[start] + log_span, side="right"))
-            a = np.exp((tv[start:end] - tv[start]) / x)
-            s_sum[start:end] = (carry_sum + np.cumsum(v0[start:end] * a)) / a
-            s_cnt[start:end] = (carry_cnt + np.cumsum(a)) / a
-            s_cntv[start:end] = (
-                carry_cntv + np.cumsum(np.where(has_v[start:end], a, 0.0))
-            ) / a
-            rm = np.maximum.accumulate(
-                np.where(has_v[start:end], vv[start:end] * a, -math.inf)
+        frames = []
+        if m:
+            carry_sum, carry_cnt, carry_cntv, carry_max = cs, cc, ccv, cm
+            if last_t is not None:
+                f = math.exp((last_t - tv[0]) / x)
+                carry_sum, carry_cnt, carry_cntv = carry_sum * f, carry_cnt * f, carry_cntv * f
+                carry_max = carry_max * f if math.isfinite(carry_max) else carry_max
+            s_sum, s_cnt, s_cntv, s_max = kernel(
+                tv, vv, carry_sum, carry_cnt, carry_cntv, carry_max
             )
-            s_max[start:end] = np.maximum(carry_max, rm) / a
-            if end < m:
-                f = math.exp((tv[end - 1] - tv[end]) / x)
-                carry_sum = s_sum[end - 1] * f
-                carry_cnt = s_cnt[end - 1] * f
-                carry_cntv = s_cntv[end - 1] * f
-                carry_max = s_max[end - 1] * f
-            start = end
-        last = np.searchsorted(tv, tv, side="right") - 1
-        o_sum, o_cnt, o_cntv, o_max = s_sum[last], s_cnt[last], s_cntv[last], s_max[last]
-        with np.errstate(invalid="ignore", divide="ignore"):
-            o_avg = np.where(o_cntv > 0.0, o_sum / o_cntv, np.nan)
-        state.update(
-            (
-                float(tv[-1]),
-                float(s_sum[-1]),
-                float(s_cnt[-1]),
-                float(s_cntv[-1]),
-                float(s_max[-1]) if math.isfinite(s_max[-1]) else 0.0,
-                1 if math.isfinite(s_max[-1]) else 0,
+            last = np.searchsorted(tv, tv, side="right") - 1
+            o_sum, o_cnt, o_cntv, o_max = (
+                s_sum[last], s_cnt[last], s_cntv[last], s_max[last],
             )
-        )
-        out = pd.DataFrame(
-            {
-                "key": [key[0]] * m,
-                "t": tv,
-                "v": [None if not has_v[i] else float(vv[i]) for i in range(m)],
-                "etd_sum": o_sum,
-                "etd_count": o_cnt,
-                "etd_avg": [None if np.isnan(o_avg[i]) else float(o_avg[i]) for i in range(m)],
-                "etd_max": [None if not math.isfinite(o_max[i]) else float(o_max[i]) for i in range(m)],
-            }
-        )
-        yield out
+            with np.errstate(invalid="ignore", divide="ignore"):
+                o_avg = np.where(o_cntv > 0.0, o_sum / o_cntv, np.nan)
+            state.update(
+                (
+                    float(tv[-1]),
+                    float(s_sum[-1]),
+                    float(s_cnt[-1]),
+                    float(s_cntv[-1]),
+                    float(s_max[-1]) if math.isfinite(s_max[-1]) else 0.0,
+                    1 if math.isfinite(s_max[-1]) else 0,
+                )
+            )
+            has_v = ~np.isnan(vv)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "key": [key[0]] * m,
+                        "t": tv,
+                        "v": [None if not has_v[i] else float(vv[i]) for i in range(m)],
+                        "etd_sum": o_sum,
+                        "etd_count": o_cnt,
+                        "etd_avg": [None if np.isnan(o_avg[i]) else float(o_avg[i]) for i in range(m)],
+                        "etd_max": [None if not math.isfinite(o_max[i]) else float(o_max[i]) for i in range(m)],
+                    }
+                )
+            )
+        n_null = int(null_t.sum())
+        if n_null:
+            # NULL-time rows come back with NULL outputs (batch parity —
+            # only LATE rows are dropped); they touch no state
+            vn = v[null_t]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "key": [key[0]] * n_null,
+                        "t": [None] * n_null,
+                        "v": [None if np.isnan(x_) else float(x_) for x_ in vn],
+                        "etd_sum": [None] * n_null,
+                        "etd_count": [None] * n_null,
+                        "etd_avg": [None] * n_null,
+                        "etd_max": [None] * n_null,
+                    }
+                )
+            )
+        if frames:
+            yield pd.concat(frames, ignore_index=True)
 
     return update
 

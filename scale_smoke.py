@@ -237,11 +237,12 @@ def main() -> None:
         print(f"{name:32s} {elapsed:7.3f}s  ({elapsed / base:4.1f}x of sf0.1)  {rows} rows",
               file=sys.stderr)
 
-    # --- second decade (round-6 verdict ask #6): the gram-space scalers.
-    # At ONE decade "linear in grams" and "superlinear in docs" are
-    # indistinguishable; a second point (documents-only 30x = sf3)
-    # separates them: linear => sf3/sf1 ratio ~= 3. Only documents.parquet
-    # is built — these two queries read nothing else.
+    # --- second decade (round-6 verdict ask #6 + round-9 ask #7): the
+    # gram-space scalers and the quantization tier. At ONE decade "linear
+    # in grams" and "superlinear in docs" are indistinguishable; a second
+    # point (30x = sf3) separates them: linear => sf3/sf1 ratio ~= 3.
+    # The sf3 dir holds documents.parquet (gram scalers) AND
+    # embeddings.parquet (SQ8/PQ/BQ) — nothing else.
     REPLICAS2 = 30
     gram_keys = (
         "crossdoc_dup_span_profile",

@@ -250,16 +250,23 @@ def test_json_type_and_visitparam_aliases(eng):
     )
     # real parse: '123'-the-string stays String (get_json_object cannot tell)
     assert (r["o"], r["i"], r["s"], r["n"]) == ("Object", "Int64", "String", "Null")
-    assert r["miss"] == "" and r["bad"] is None
+    # CH docs: a value that does not exist reads as 'Null' (same as an
+    # explicit JSON null); unparseable input is SQL NULL
+    assert r["miss"] == "Null" and r["bad"] is None
     v = one(
         eng,
         "SELECT visitParamExtractString('{\"k\": \"v\"}', 'k') AS a, "
         "visitParamExtractInt('{\"k\": 7}', 'k') AS b, "
         "visitParamHas('{\"k\": 7}', 'k') AS c, "
-        "visitParamExtractRaw('{\"k\": {\"x\": 1}}', 'k') AS d",
+        "visitParamExtractRaw('{\"k\": {\"x\": 1}}', 'k') AS d, "
+        "visitParamExtractUInt('{\"k\": -7}', 'k') AS u, "
+        "visitParamExtractUInt('{\"k\": 7}', 'k') AS u2, "
+        "visitParamExtractUInt('{\"k\": 7}', 'zz') AS u3",
     )
     assert (v["a"], v["b"], v["c"]) == ("v", 7, True)
     assert v["d"].replace(" ", "") == '{"x":1}'
+    # UInt parses UNSIGNED: '-7' reads as 0 (CH contract); missing stays NULL
+    assert (v["u"], v["u2"], v["u3"]) == (0, 7, None)
 
 
 def test_ip_address_in_range(eng):
@@ -320,3 +327,18 @@ def test_to_year_week_modes(eng):
     )
     assert h["a"] == h["b"]  # literals normalize away
     assert h["c"] != h["d"]  # identifiers do not
+
+
+def test_review_fix_arity_and_sign_refusals(eng):
+    """Round-9 review findings: a non-positive EMA half-life must refuse
+    (a finite wrong value would come back otherwise), and KS must reject
+    a third parameter instead of letting the last method win."""
+    with pytest.raises(NotImplementedError, match="half-life must be > 0"):
+        eng.sql("SELECT exponentialMovingAverage(-2)(v, t) FROM (VALUES (1.0, 1.0)) AS x(v, t)").collect()
+    with pytest.raises(NotImplementedError, match="half-life must be > 0"):
+        eng.sql("SELECT exponentialMovingAverage(0)(v, t) FROM (VALUES (1.0, 1.0)) AS x(v, t)").collect()
+    with pytest.raises(NotImplementedError, match="at most"):
+        eng.sql(
+            "SELECT kolmogorovSmirnovTest('two-sided', 'exact', 'asymptotic')(v, g) "
+            "FROM (VALUES (1.0, 0), (2.0, 1)) AS t(v, g)"
+        ).collect()

@@ -264,3 +264,23 @@ def test_ema_operator_plan_has_no_python_stage(spark):
     )
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "collect_list" not in plan
+
+
+def test_etd_timestamp_column_scales_as_seconds(spark):
+    """Round-9 review finding: a TIMESTAMP time column must decay in
+    SECONDS (pd.to_numeric on datetime64 silently yields nanoseconds and
+    maps NaT to int64-min) — the operator converts to epoch seconds and
+    turns NULL timestamps into NULL-output rows."""
+    df = spark.createDataFrame(
+        [(1, 2.0, "2026-01-01 00:00:00"), (1, 3.0, "2026-01-01 00:00:50"),
+         (1, 9.0, None)],
+        "k int, v double, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {(r["k"], str(r["ts"])): r for r in
+           exponential_time_decayed(df, 50.0, "v", "ts", ["k"]).collect()}
+    want = 3.0 + 2.0 * math.exp(-1.0)  # 50s gap at decay 50 = e^-1, NOT e^-1e9
+    got = out[(1, "2026-01-01 00:00:50")]
+    assert got["etd_sum"] == pytest.approx(want, rel=1e-12)
+    null_row = out[(1, "None")]
+    for c in ("etd_sum", "etd_count", "etd_avg", "etd_max"):
+        assert null_row[c] is None

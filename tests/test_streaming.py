@@ -692,3 +692,24 @@ def test_stream_time_decayed_drops_late_rows(spark, tmp_path):
     for t, r in rows.items():
         assert r["etd_sum"] == pytest.approx(want[t]["etd_sum"], rel=1e-9)
         assert r["etd_max"] == pytest.approx(want[t]["etd_max"], rel=1e-9)
+
+
+def test_stream_time_decayed_null_time_rows_survive(spark, tmp_path):
+    """Round-9 review finding: NULL-time rows must come back with NULL
+    outputs (batch parity) — only LATE rows are dropped."""
+    from clickhousedatamocker_spark.streaming.stateful import stream_time_decayed
+
+    df = spark.createDataFrame(
+        [(1, 10.0, 100.0), (1, 7.0, None), (1, 20.0, 200.0)],
+        "user_id long, value double, ts double",
+    )
+    src = str(tmp_path / "nullt_chunks")
+    df.coalesce(1).write.parquet(src)
+    fn = lambda d: stream_time_decayed(d, 50.0, "value", "ts", "user_id")  # noqa: E731
+    got = _run_stream(spark, src, fn, "etd_nullt_out", df.schema, output_mode="append")
+    rows = got.collect()
+    assert len(rows) == 3
+    nt = [r for r in rows if r["t"] is None]
+    assert len(nt) == 1 and nt[0]["v"] == 7.0
+    for c in ("etd_sum", "etd_count", "etd_avg", "etd_max"):
+        assert nt[0][c] is None
