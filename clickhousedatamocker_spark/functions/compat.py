@@ -2839,12 +2839,9 @@ _PARAMETRIC.update(
         ),
         # map HOFs (CH lambda-first arg order → Spark map-first)
         "mapFilter": _pm_2arg("map_filter({a}, {f})"),
-        "mapApply": _pm_stats_test_refusal(
-            "mapApply",
-            "use transform_keys/transform_values (Spark splits the "
-            "key/value rewrites; a tuple-returning lambda has no direct "
-            "Spark form)",
-        ),
+        # mapApply: REAL rewrite (r9) — textual lambda parse over
+        # map_entries; defined below the dict (called at rewrite time)
+        "mapApply": lambda args: _pm_map_apply(args),
         "mapConcat": lambda args: "map_concat(" + ", ".join(args) + ")",
         # mapUpdate: right side wins on key collisions (map_concat would
         # throw under Spark's EXCEPTION dedup policy)
@@ -4502,6 +4499,58 @@ def _pm_anova(args: list[str]) -> str:
         f"'g', CAST(({g}) AS BIGINT)) END)"
     )
     return f"chANOVA({pairs})"
+
+
+def _pm_map_apply(args: list[str]) -> str:
+    """mapApply((k, v) -> (key_expr, value_expr), m) — CH's tuple-returning
+    map lambda. Spark has no one-pass equivalent (transform_keys and
+    transform_values can't see each other's outputs), so the lambda is
+    PARSED textually: the two parameter names substitute for the entry's
+    key/value fields and the tuple body becomes a struct over
+    map_entries. Substitution applies outside string literals only;
+    lambda params shadow outer columns of the same name (CH's own
+    shadowing rule, so the textual substitution is semantics-preserving)."""
+    if len(args) != 2:
+        raise NotImplementedError("mapApply expects (lambda, map)")
+    lam, m = args[0].strip(), args[1]
+    arrow = lam.find("->")
+    if arrow < 0:
+        raise NotImplementedError("mapApply's first argument must be a lambda")
+    params = lam[:arrow].strip()
+    body = lam[arrow + 2 :].strip()
+    if params.startswith("(") and params.endswith(")"):
+        params = params[1:-1]
+    names = [p.strip() for p in _split_top(params)]
+    if len(names) != 2 or not all(re.fullmatch(r"[A-Za-z_]\w*", n) for n in names):
+        raise NotImplementedError(
+            "mapApply lambda must be (k, v) -> (key_expr, value_expr)"
+        )
+    low = body.lower()
+    if low.startswith("tuple(") and body.endswith(")"):
+        inner = body[6:-1]
+    elif low.startswith("struct(") and body.endswith(")"):
+        # the generic tuple(...) -> struct(...) rewrite runs before this one
+        inner = body[7:-1]
+    elif body.startswith("(") and body.endswith(")"):
+        inner = body[1:-1]
+    else:
+        raise NotImplementedError(
+            "mapApply lambda body must be a (key_expr, value_expr) tuple"
+        )
+    parts = _split_top(inner)
+    if len(parts) != 2:
+        raise NotImplementedError(
+            "mapApply lambda body must return exactly (key_expr, value_expr)"
+        )
+    ke, ve = parts
+    for name, field in ((names[0], "__ma_e.key"), (names[1], "__ma_e.value")):
+        pat = re.compile(rf"\b{re.escape(name)}\b")
+        ke = _sub_outside_strings(pat, field, ke)
+        ve = _sub_outside_strings(pat, field, ve)
+    return (
+        f"map_from_entries(transform(map_entries({m}), "
+        f"__ma_e -> struct(({ke}) AS key, ({ve}) AS value)))"
+    )
 
 
 def _pm_json_type(args: list[str]) -> str:

@@ -141,7 +141,11 @@ def asof_join_last_click(spark, sf_dir):
     "batches, survives unbounded time spans where the naive max-shift "
     "spelling under/overflows) joined with the per-user base-2 half-life "
     "EMA aggregate (pure window max + agg, zero Python). The monitoring "
-    "read a CH dashboard computes with exponentialMovingAverage(3600).",
+    "read a CH dashboard computes with exponentialMovingAverage(3600). "
+    "Bench note: the benched seconds are dominated by applyInPandas "
+    "per-GROUP Arrow dispatch (~2.5 ms x 1500 toy 67-row users at sf0.1; "
+    "the numpy kernel itself is microseconds) - overhead amortizes with "
+    "real per-key series lengths, and the EMA half is 0.25 s of the total.",
 )
 def ema_time_decay_profile(spark, sf_dir):
     from pyspark.sql import Window

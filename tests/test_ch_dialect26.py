@@ -342,3 +342,25 @@ def test_review_fix_arity_and_sign_refusals(eng):
             "SELECT kolmogorovSmirnovTest('two-sided', 'exact', 'asymptotic')(v, g) "
             "FROM (VALUES (1.0, 0), (2.0, 1)) AS t(v, g)"
         ).collect()
+
+
+def test_map_apply_real_rewrite(eng):
+    """mapApply's tuple-returning lambda graduates: parsed textually over
+    map_entries (params shadow outer names, CH rule)."""
+    r = one(
+        eng,
+        "SELECT mapApply((k, v) -> (k, v * 2), map('a', 1, 'b', 2)) AS a, "
+        "mapApply((k, v) -> (concat(k, '!'), v + 1), map('x', 10)) AS b, "
+        "mapApply((k, v) -> tuple(upper(k), v), map('y', 5)) AS c",
+    )
+    assert r["a"] == {"a": 2, "b": 4}
+    assert r["b"] == {"x!": 11}
+    assert r["c"] == {"Y": 5}
+    # param substitution must not touch string literals in the body
+    r2 = one(
+        eng,
+        "SELECT mapApply((k, v) -> (concat(k, 'k'), v), map('z', 1)) AS a",
+    )["a"]
+    assert r2 == {"zk": 1}
+    with pytest.raises(NotImplementedError, match="tuple"):
+        eng.sql("SELECT mapApply((k, v) -> k, map('a', 1))").collect()
