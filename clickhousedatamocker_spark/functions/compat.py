@@ -4639,11 +4639,89 @@ def _pm_to_year_week(args: list[str]) -> str:
     )
 
 
+def _pm_point_in_ellipses(args: list[str]) -> str:
+    """pointInEllipses(x, y, x0, y0, a0, b0[, x1, y1, a1, b1, ...]) — 1 if
+    the point lies inside AT LEAST one axis-aligned ellipse (CH contract),
+    pure arithmetic OR-chain."""
+    if len(args) < 6 or (len(args) - 2) % 4 != 0:
+        raise NotImplementedError(
+            "pointInEllipses expects (x, y) + one or more (x0, y0, a, b) quads"
+        )
+    x, y = args[0], args[1]
+    terms = []
+    for i in range(2, len(args), 4):
+        x0, y0, a, b = args[i : i + 4]
+        terms.append(
+            f"(pow((CAST({x} AS DOUBLE) - ({x0})) / ({a}), 2) + "
+            f"pow((CAST({y} AS DOUBLE) - ({y0})) / ({b}), 2) <= 1.0D)"
+        )
+    return f"CAST(({' OR '.join(terms)}) AS INT)"
+
+
+def _pm_best_effort(or_zero: bool = False):
+    """parseDateTime[32|64]BestEffort[OrNull|OrZero] tails: the base form
+    is already try_to_timestamp (null on unparseable — CH's throwing base
+    is intentionally softened, documented at the base rename), so OrNull
+    is the same expression and OrZero coalesces to the epoch."""
+
+    def rw(args: list[str]) -> str:
+        if len(args) not in (1, 2):
+            raise NotImplementedError(
+                "parseDateTimeBestEffort variants take (value[, timezone]); "
+                "the timezone argument is not shimmed (session zone applies)"
+            )
+        if len(args) == 2:
+            raise NotImplementedError(
+                "parseDateTimeBestEffort timezone argument is not shimmed"
+            )
+        e = f"try_to_timestamp({args[0]})"
+        if or_zero:
+            return f"coalesce({e}, TIMESTAMP'1970-01-01 00:00:00')"
+        return e
+
+    return rw
+
+
 _PARAMETRIC.update(
     {
         "positiveModulo": _pm_positive_modulo,
         "positive_modulo": _pm_positive_modulo,
         "toYearWeek": _pm_to_year_week,
+        # probe wave 4 (r9): BestEffort parse tails, Joda formatting (Spark's
+        # date_format IS the Java/Joda pattern dialect), bitmap slice,
+        # NUL-terminated string cut, nullability no-op, multi-ellipse test
+        "parseDateTimeBestEffortOrNull": _pm_best_effort(),
+        "parseDateTimeBestEffortOrZero": _pm_best_effort(or_zero=True),
+        "parseDateTime32BestEffort": _pm_best_effort(),
+        "parseDateTime32BestEffortOrNull": _pm_best_effort(),
+        "parseDateTime32BestEffortOrZero": _pm_best_effort(or_zero=True),
+        "parseDateTime64BestEffort": _pm_best_effort(),
+        "parseDateTime64BestEffortOrNull": _pm_best_effort(),
+        "parseDateTime64BestEffortOrZero": _pm_best_effort(or_zero=True),
+        "formatDateTimeInJodaSyntax": lambda a: (
+            f"date_format({a[0]}, {a[1]})"
+            if len(a) == 2
+            else (_ for _ in ()).throw(
+                NotImplementedError(
+                    "formatDateTimeInJodaSyntax expects (datetime, format) - "
+                    "the timezone argument is not shimmed"
+                )
+            )
+        ),
+        # bitmaps are sorted distinct arrays here; CH offset is 0-based
+        "subBitmap": lambda a: (
+            f"slice({a[0]}, CAST({a[1]} AS INT) + 1, CAST({a[2]} AS INT))"
+            if len(a) == 3
+            else (_ for _ in ()).throw(
+                NotImplementedError("subBitmap expects (bitmap, offset, cardinality)")
+            )
+        ),
+        "toStringCutToZero": lambda a: (
+            f"(CASE WHEN instr({a[0]}, chr(0)) > 0 "
+            f"THEN substr({a[0]}, 1, instr({a[0]}, chr(0)) - 1) ELSE {a[0]} END)"
+        ),
+        "toNullable": lambda a: f"({a[0]})",  # every Spark column is nullable
+        "pointInEllipses": _pm_point_in_ellipses,
         # same-engine hash values only (the cityHash64 policy): xxhash64
         # over the registered normalizeQuery macro, not CH's SipHash
         "normalizedQueryHash": lambda a: f"xxhash64(normalizeQuery({', '.join(a)}))",

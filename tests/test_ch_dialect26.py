@@ -364,3 +364,31 @@ def test_map_apply_real_rewrite(eng):
     assert r2 == {"zk": 1}
     with pytest.raises(NotImplementedError, match="tuple"):
         eng.sql("SELECT mapApply((k, v) -> k, map('a', 1))").collect()
+
+
+def test_probe_wave4_stragglers(eng):
+    r = one(
+        eng,
+        "SELECT formatDateTimeInJodaSyntax(toDateTime('2026-01-02 03:04:05'), 'yyyy-MM-dd HH:mm') AS j, "
+        "parseDateTimeBestEffortOrNull('2026-01-02T03:04:05Z') AS p, "
+        "parseDateTimeBestEffortOrNull('garbage') AS pn, "
+        "parseDateTimeBestEffortOrZero('garbage') AS pz, "
+        "parseDateTime32BestEffort('2026-01-02 03:04:05') AS p32, "
+        "bitmapToArray(subBitmap(bitmapBuild([1,2,3,4,5]), toUInt32(1), toUInt32(3))) AS sb, "
+        "toStringCutToZero(concat('ab', chr(0), 'cd')) AS z, "
+        "toStringCutToZero('plain') AS z2, "
+        "toNullable(7) AS tn, "
+        "pointInEllipses(10.0, 10.0, 10.0, 9.5, 1.0, 1.0) AS e1, "
+        "pointInEllipses(5.0, 5.0, 10.0, 9.5, 1.0, 1.0) AS e0, "
+        "pointInEllipses(5.0, 5.0, 10.0, 9.5, 1.0, 1.0, 5.0, 5.0, 2.0, 2.0) AS e2",
+    )
+    assert r["j"] == "2026-01-02 03:04"
+    assert str(r["p"]).startswith("2026-01-02") and r["pn"] is None
+    assert str(r["pz"]) == "1970-01-01 00:00:00"
+    assert str(r["p32"]) == "2026-01-02 03:04:05"
+    assert list(r["sb"]) == [2, 3, 4]  # CH docs example shape: 0-based offset
+    assert r["z"] == "ab" and r["z2"] == "plain"
+    assert r["tn"] == 7
+    assert (r["e1"], r["e0"], r["e2"]) == (1, 0, 1)
+    with pytest.raises(NotImplementedError, match="timezone"):
+        eng.sql("SELECT parseDateTimeBestEffortOrNull('x', 'UTC')").collect()
