@@ -101,6 +101,11 @@ SMOKE_KEYS = (
     # 1-bit BQ Hamming scan — compare directly against
     # similarity_topk_bruteforce at the same decade
     "similarity_topk_bq",
+    # round-9: the exponential time-decay tier. Cost at sf0.1 is dominated
+    # by per-GROUP Arrow dispatch (1500 tiny users); at sf1 the group count
+    # grows 10x with the same group size, so ~10x is the honest expectation
+    # — the number to watch is that it stays LINEAR in groups, not worse
+    "ema_time_decay_profile",
 )
 
 
