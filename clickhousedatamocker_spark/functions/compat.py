@@ -374,7 +374,8 @@ _REWRITES = [
     # array vocabulary: name-only rewrites where Spark's builtin shares the
     # argument shape. Lambda-first CH spellings (arrayMap/Filter/...) are
     # paren-aware _PARAMETRIC rewrites below.
-    (re.compile(r"\barraySlice\(", re.IGNORECASE), "slice("),
+    # arraySlice: parametric (batch 26) — the 2-arg to-the-end form needs
+    # a computed length, a plain rename to slice() cannot supply it
     (re.compile(r"\barrayReverse\(", re.IGNORECASE), "reverse("),
     (re.compile(r"\barrayConcat\(", re.IGNORECASE), "concat("),
     (re.compile(r"\barrayFlatten\(", re.IGNORECASE), "flatten("),
@@ -1132,7 +1133,8 @@ _PARAMETRIC: dict[str, object] = {
     "arrayReverseSort": _pm_sort(asc=False),
     "arrayMin": _pm_minmax("array_min"),
     "arrayMax": _pm_minmax("array_max"),
-    "arrayUniq": _pm_1arg("size(array_distinct({x}))"),
+    # arrayUniq: parametric (batch 26) — the multi-array form counts
+    # unique POSITION TUPLES, not a single array's distinct elements
     "arrayFirstIndex": _pm_2arg(
         "coalesce(array_position(transform({a}, {f}), true), 0)"
     ),
@@ -4639,6 +4641,70 @@ def _pm_to_year_week(args: list[str]) -> str:
     )
 
 
+def _pm_array_uniq(args: list[str]) -> str:
+    """arrayUniq(arr[, arr2, ...]) — one array: distinct element count;
+    multiple arrays: distinct count of POSITION TUPLES across them (the CH
+    multi-key form). Length mismatches read missing positions as NULL via
+    try_element_at (CH throws; the NULL-tuple read keeps the block alive,
+    documented deviation)."""
+    if not args:
+        raise NotImplementedError("arrayUniq takes 1+ array arguments")
+    if len(args) == 1:
+        return f"size(array_distinct({args[0]}))"
+    fields = ", ".join(
+        f"try_element_at({a}, CAST(__au_i AS INT)) AS f{i}" for i, a in enumerate(args)
+    )
+    n = "GREATEST(" + ", ".join(f"size({a})" for a in args) + ")"
+    return (
+        f"(CASE WHEN {n} <= 0 THEN 0 ELSE size(array_distinct("
+        f"transform(sequence(1, {n}), __au_i -> struct({fields})))) END)"
+    )
+
+
+_DATE_UNITS = {
+    "year", "quarter", "month", "week", "day", "hour", "minute", "second",
+}
+
+
+def _pm_date_sub_unit(args: list[str]) -> str:
+    """date_sub/dateSub: Spark's native date_sub is (date, days) — only the
+    CH 3-arg unit-keyword form needs rewriting, to dateadd with a negated
+    interval count. The 2-arg form re-emits as date_add with a negated
+    count (emitting 'date_sub' verbatim would never converge: the
+    parametric pass rescans from the start)."""
+    if len(args) == 2:
+        return f"date_add({args[0]}, -({args[1]}))"
+    if len(args) == 3 and args[0].strip().strip("'\"").lower() in _DATE_UNITS:
+        unit = args[0].strip().strip("'\"").upper()
+        return f"dateadd({unit}, -({args[1]}), {args[2]})"
+    raise NotImplementedError(
+        "date_sub expects (date, days) or (UNIT, count, date)"
+    )
+
+
+def _pm_decimal_or(kind: str, precision: int):
+    """toDecimalNN[OrNull|OrZero](value, scale) — checked casts into the
+    family's full precision (Decimal32=9, 64=18, 128=38 digits; 256 would
+    exceed Spark's DECIMAL(38) and is not registered). Scale must be a
+    literal (it becomes part of the type)."""
+
+    def rw(args: list[str]) -> str:
+        if len(args) != 2 or not re.fullmatch(r"\d+", args[1].strip()):
+            raise NotImplementedError(
+                "toDecimal*OrNull/OrZero expect (value, literal_scale)"
+            )
+        s = int(args[1])
+        if s > precision:
+            raise NotImplementedError("decimal scale exceeds the family precision")
+        t = f"DECIMAL({precision}, {s})"
+        e = f"try_cast({args[0]} AS {t})"
+        if kind == "zero":
+            return f"coalesce({e}, CAST(0 AS {t}))"
+        return e
+
+    return rw
+
+
 def _pm_point_in_ellipses(args: list[str]) -> str:
     """pointInEllipses(x, y, x0, y0, a0, b0[, x1, y1, a1, b1, ...]) — 1 if
     the point lies inside AT LEAST one axis-aligned ellipse (CH contract),
@@ -4687,6 +4753,43 @@ _PARAMETRIC.update(
         "positiveModulo": _pm_positive_modulo,
         "positive_modulo": _pm_positive_modulo,
         "toYearWeek": _pm_to_year_week,
+        # probe wave 5 (r9): arity/variadic gaps the earlier waves' shims
+        # were too narrow for, logical xor, checked decimal casts, and the
+        # unit-keyword date_sub form
+        "xor": lambda a: (
+            "CAST(("
+            + " != ".join(f"CAST(({x}) AS BOOLEAN)" for x in a)
+            + ") AS INT)"
+            if len(a) >= 2
+            else (_ for _ in ()).throw(
+                NotImplementedError("xor takes 2+ arguments")
+            )
+        ),
+        "arraySlice": lambda a: (
+            f"slice({a[0]}, {a[1]}, {a[2]})"
+            if len(a) == 3
+            else f"slice({a[0]}, {a[1]}, size({a[0]}))"
+            if len(a) == 2
+            else (_ for _ in ()).throw(
+                NotImplementedError("arraySlice expects (array, offset[, length])")
+            )
+        ),
+        "arrayStringConcat": lambda a: (
+            f"array_join({a[0]}, {a[1] if len(a) == 2 else chr(39) * 2})"
+            if len(a) in (1, 2)
+            else (_ for _ in ()).throw(
+                NotImplementedError("arrayStringConcat expects (array[, separator])")
+            )
+        ),
+        "arrayUniq": _pm_array_uniq,
+        "dateSub": _pm_date_sub_unit,
+        "date_sub": _pm_date_sub_unit,
+        "toDecimal32OrNull": _pm_decimal_or("try_cast", 9),
+        "toDecimal64OrNull": _pm_decimal_or("try_cast", 18),
+        "toDecimal128OrNull": _pm_decimal_or("try_cast", 38),
+        "toDecimal32OrZero": _pm_decimal_or("zero", 9),
+        "toDecimal64OrZero": _pm_decimal_or("zero", 18),
+        "toDecimal128OrZero": _pm_decimal_or("zero", 38),
         # probe wave 4 (r9): BestEffort parse tails, Joda formatting (Spark's
         # date_format IS the Java/Joda pattern dialect), bitmap slice,
         # NUL-terminated string cut, nullability no-op, multi-ellipse test

@@ -392,3 +392,27 @@ def test_probe_wave4_stragglers(eng):
     assert (r["e1"], r["e0"], r["e2"]) == (1, 0, 1)
     with pytest.raises(NotImplementedError, match="timezone"):
         eng.sql("SELECT parseDateTimeBestEffortOrNull('x', 'UTC')").collect()
+
+
+def test_probe_wave5_arity_and_variadic_gaps(eng):
+    r = one(
+        eng,
+        "SELECT xor(1, 0) AS x1, xor(1, 1) AS x0, xor(1, 0, 1) AS x3, "
+        "arraySlice([1,2,3,4], 2, 2) AS s3, arraySlice([1,2,3,4], 2) AS s2, "
+        "arraySlice([1,2,3,4], -2) AS sn, "
+        "arrayStringConcat(['a','b']) AS c1, arrayStringConcat(['a','b'], '-') AS c2, "
+        "arrayUniq([1,1,2]) AS u1, arrayUniq([1,2,1], [3,3,3]) AS u2, "
+        "date_sub(DAY, 3, toDate('2026-01-10')) AS d3, "
+        "date_sub(toDate('2026-01-10'), 3) AS d2, "
+        "dateSub(MONTH, 1, toDate('2026-03-15')) AS dm, "
+        "toDecimal32OrNull('42.125', 2) AS dn, toDecimal32OrNull('xx', 2) AS dnn, "
+        "toDecimal64OrZero('xx', 3) AS dz",
+    )
+    assert (r["x1"], r["x0"], r["x3"]) == (1, 0, 0)
+    assert list(r["s3"]) == [2, 3] and list(r["s2"]) == [2, 3, 4] and list(r["sn"]) == [3, 4]
+    assert (r["c1"], r["c2"]) == ("ab", "a-b")
+    # multi-array arrayUniq counts distinct POSITION TUPLES: (1,3),(2,3),(1,3) -> 2
+    assert (r["u1"], r["u2"]) == (2, 2)
+    assert str(r["d3"]).startswith("2026-01-07") and str(r["d2"]) == "2026-01-07"
+    assert str(r["dm"]).startswith("2026-02-15")
+    assert str(r["dn"]) == "42.13" and r["dnn"] is None and str(r["dz"]) == "0.000"
