@@ -4181,6 +4181,18 @@ def _pm2_sequence_next_node(params: list[str] | None, args: list[str]) -> str:
     )
 
 
+def _pm2_weighted_quantiles(params: list[str] | None, args: list[str]) -> str:
+    """quantiles*Weighted (PLURAL) → one exact weighted percentile call
+    returning the array (the approximate families answered exactly — the
+    same documented deviation as the singular forms)."""
+    if params is None or len(params) < 1 or len(args) != 2:
+        raise NotImplementedError(
+            "plural weighted quantiles need the (p1, p2, ...)(x, w) form"
+        )
+    ps = ", ".join(params)
+    return f"percentile({args[0]}, array({ps}), CAST({args[1]} AS BIGINT))"
+
+
 def _pm2_sum_map_filtered(params: list[str] | None, args: list[str]) -> str:
     """sumMapFiltered(keys_to_keep)(keys, values) — filter the zipped
     (key, value) pairs to the kept-key list, then emit the plain
@@ -4210,6 +4222,11 @@ _PARAMETRIC2.update(
         "exponentialMovingAverage": _pm2_exponential_moving_average,
         "sequenceNextNode": _pm2_sequence_next_node,
         "sumMapFiltered": _pm2_sum_map_filtered,
+        "quantilesExactWeighted": _pm2_weighted_quantiles,
+        "quantilesInterpolatedWeighted": _pm2_weighted_quantiles,
+        "quantilesTimingWeighted": _pm2_weighted_quantiles,
+        "quantilesTDigestWeighted": _pm2_weighted_quantiles,
+        "quantilesBFloat16Weighted": _pm2_weighted_quantiles,
         "studentTTest": _pm2_student_ttest,
         "welchTTest": _pm2_welch_ttest,
         "meanZTest": _pm2_mean_ztest,
@@ -4753,6 +4770,38 @@ _PARAMETRIC.update(
         "positiveModulo": _pm_positive_modulo,
         "positive_modulo": _pm_positive_modulo,
         "toYearWeek": _pm_to_year_week,
+        # probe wave 6 (r9): element-wise average, MAC codecs, settings gate
+        "avgForEach": lambda a: (
+            f"zip_with(sumForEach({a[0]}), "
+            f"sumForEach(transform({a[0]}, __af_x -> "
+            f"CASE WHEN __af_x IS NULL THEN CAST(NULL AS DOUBLE) ELSE 1.0D END)), "
+            f"(__af_s, __af_c) -> CASE WHEN __af_c > 0 THEN __af_s / __af_c END)"
+            if len(a) == 1
+            else (_ for _ in ()).throw(
+                NotImplementedError("avgForEach takes one array column")
+            )
+        ),
+        "MACNumToString": lambda a: (
+            "lower(concat_ws(':', "
+            + ", ".join(
+                f"lpad(hex(shiftright({a[0]}, {s}) & 255), 2, '0')"
+                for s in (40, 32, 24, 16, 8, 0)
+            )
+            + "))"
+        ),
+        "MACStringToNum": lambda a: (
+            f"CAST(conv(replace({a[0]}, ':', ''), 16, 10) AS BIGINT)"
+        ),
+        "MACStringToOUI": lambda a: (
+            f"CAST(conv(replace(substr({a[0]}, 1, 8), ':', ''), 16, 10) AS BIGINT)"
+        ),
+        "getSetting": _pm_gate(
+            "getSetting",
+            "engine settings live per TABLE (system.tables settings column, "
+            "ALTER TABLE ... MODIFY SETTING) and per QUERY (the SETTINGS "
+            "clause) here - there is no mutable session-settings store to "
+            "read a scalar from",
+        ),
         # probe wave 5 (r9): arity/variadic gaps the earlier waves' shims
         # were too narrow for, logical xor, checked decimal casts, and the
         # unit-keyword date_sub form

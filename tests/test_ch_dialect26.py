@@ -416,3 +416,30 @@ def test_probe_wave5_arity_and_variadic_gaps(eng):
     assert str(r["d3"]).startswith("2026-01-07") and str(r["d2"]) == "2026-01-07"
     assert str(r["dm"]).startswith("2026-02-15")
     assert str(r["dn"]) == "42.13" and r["dnn"] is None and str(r["dz"]) == "0.000"
+
+
+def test_probe_wave6_combinators_and_mac(eng):
+    r = one(
+        eng,
+        "SELECT avgForEach(arr) AS a FROM "
+        "(SELECT [1.0, 2.0] AS arr UNION ALL SELECT [3.0, 6.0])",
+    )["a"]
+    assert list(r) == [2.0, 4.0]
+    r = one(
+        eng,
+        # CH docs: MACNumToString(1108152157446) = '01:02:03:04:05:06'
+        "SELECT MACNumToString(1108152157446) AS a, "
+        "MACStringToNum('01:02:03:04:05:06') AS b, "
+        "MACStringToOUI('01:02:03:04:05:06') AS c",
+    )
+    assert r["a"] == "01:02:03:04:05:06"
+    assert r["b"] == 1108152157446
+    assert r["c"] == 66051  # 0x010203
+    q = one(
+        eng,
+        "SELECT quantilesTimingWeighted(0.5, 0.9)(v, w) AS a FROM "
+        "(VALUES (1.0, 1), (2.0, 1), (3.0, 2)) AS t(v, w)",
+    )["a"]
+    assert len(q) == 2 and q[0] <= q[1]
+    with pytest.raises(NotImplementedError, match="SETTINGS"):
+        eng.sql("SELECT getSetting('max_threads')").collect()
