@@ -246,8 +246,9 @@ def test_map_hofs(eng):
     ) is True
     assert one(eng, "SELECT mapAll((k, v) -> v > 0, map('a', 1, 'b', 2)) AS a") is True
     assert one(eng, "SELECT mapAll((k, v) -> v > 1, map('a', 1, 'b', 2)) AS a") is False
-    with pytest.raises(NotImplementedError):
-        eng.sql("SELECT mapApply((k, v) -> (k, v * 2), map('a', 1)) AS a")
+    # mapApply graduated to a real rewrite in r9 — goldens in
+    # tests/test_ch_dialect26.py::test_map_apply_real_rewrite
+    assert one(eng, "SELECT mapApply((k, v) -> (k, v * 2), map('a', 1)) AS a") == {"a": 2}
 
 
 def test_array_enumerate_variants(eng):
