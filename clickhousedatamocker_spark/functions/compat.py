@@ -4561,11 +4561,25 @@ def _pm_map_apply(args: list[str]) -> str:
         raise NotImplementedError(
             "mapApply lambda body must return exactly (key_expr, value_expr)"
         )
+    if "->" in inner:
+        # a nested lambda's parameters would be blindly rewritten too
+        # (scope-unaware textual substitution) — refuse rather than emit
+        # unparseable SQL
+        raise NotImplementedError(
+            "mapApply with a NESTED lambda in the body is not shimmed - "
+            "hoist the inner higher-order call out of the tuple"
+        )
     ke, ve = parts
-    for name, field in ((names[0], "__ma_e.key"), (names[1], "__ma_e.value")):
+    # two-phase substitution: params named 'key'/'value' must not re-match
+    # the field references the OTHER param's pass just wrote
+    phases = (
+        (names[0], "__ma_p0__"), (names[1], "__ma_p1__"),
+        ("__ma_p0__", "__ma_e.key"), ("__ma_p1__", "__ma_e.value"),
+    )
+    for name, target in phases:
         pat = re.compile(rf"\b{re.escape(name)}\b")
-        ke = _sub_outside_strings(pat, field, ke)
-        ve = _sub_outside_strings(pat, field, ve)
+        ke = _sub_outside_strings(pat, target, ke)
+        ve = _sub_outside_strings(pat, target, ve)
     return (
         f"map_from_entries(transform(map_entries({m}), "
         f"__ma_e -> struct(({ke}) AS key, ({ve}) AS value)))"
@@ -4658,6 +4672,26 @@ def _pm_to_year_week(args: list[str]) -> str:
     )
 
 
+def _pm_array_slice(args: list[str]) -> str:
+    """arraySlice(arr, offset[, length]) — CH's 1-based offset (negative
+    from the end); a NEGATIVE length means 'to the end minus |length|'
+    (arraySlice([1..5], 2, -1) = [2,3,4]), which Spark's slice() rejects
+    at runtime, so the negative branch computes the count from the
+    normalized start (CASE keeps slice() from ever seeing a negative
+    length)."""
+    if len(args) == 2:
+        return f"slice({args[0]}, {args[1]}, size({args[0]}))"
+    if len(args) != 3:
+        raise NotImplementedError("arraySlice expects (array, offset[, length])")
+    a, off, ln = args
+    start = f"(CASE WHEN ({off}) > 0 THEN ({off}) ELSE size({a}) + ({off}) + 1 END)"
+    neg_count = f"greatest(size({a}) + ({ln}) - {start} + 1, 0)"
+    return (
+        f"(CASE WHEN ({ln}) >= 0 THEN slice({a}, {off}, {ln}) "
+        f"ELSE slice({a}, {off}, {neg_count}) END)"
+    )
+
+
 def _pm_array_uniq(args: list[str]) -> str:
     """arrayUniq(arr[, arr2, ...]) — one array: distinct element count;
     multiple arrays: distinct count of POSITION TUPLES across them (the CH
@@ -4686,11 +4720,10 @@ _DATE_UNITS = {
 def _pm_date_sub_unit(args: list[str]) -> str:
     """date_sub/dateSub: Spark's native date_sub is (date, days) — only the
     CH 3-arg unit-keyword form needs rewriting, to dateadd with a negated
-    interval count. The 2-arg form re-emits as date_add with a negated
-    count (emitting 'date_sub' verbatim would never converge: the
-    parametric pass rescans from the start)."""
+    interval count. The 2-arg form DECLINES (returns None): the spelling
+    is already a valid Spark call and the dispatcher leaves it verbatim."""
     if len(args) == 2:
-        return f"date_add({args[0]}, -({args[1]}))"
+        return None
     if len(args) == 3 and args[0].strip().strip("'\"").lower() in _DATE_UNITS:
         unit = args[0].strip().strip("'\"").upper()
         return f"dateadd({unit}, -({args[1]}), {args[2]})"
@@ -4714,7 +4747,22 @@ def _pm_decimal_or(kind: str, precision: int):
         if s > precision:
             raise NotImplementedError("decimal scale exceeds the family precision")
         t = f"DECIMAL({precision}, {s})"
-        e = f"try_cast({args[0]} AS {t})"
+        # CH TRUNCATES excess fractional digits where a plain cast would
+        # round half-up (42.125 @ scale 2 -> CH 42.12, cast 42.13): cut the
+        # extra digits on the string form first. Plain decimal strings
+        # (and doubles via their shortest repr) truncate exactly;
+        # scientific-notation strings fall through to the rounding cast
+        # (documented deviation for that rare spelling).
+        v = f"CAST({args[0]} AS STRING)"
+        if s == 0:
+            cut = f"regexp_replace({v}, '\\\\.[0-9]+$', '')"
+        else:
+            cut = f"regexp_replace({v}, '(\\\\.[0-9]{{{s}}})[0-9]+$', '$1')"
+        guarded = (
+            f"(CASE WHEN {v} RLIKE '^-?[0-9]+(\\\\.[0-9]+)?$' "
+            f"THEN {cut} ELSE {v} END)"
+        )
+        e = f"try_cast({guarded} AS {t})"
         if kind == "zero":
             return f"coalesce({e}, CAST(0 AS {t}))"
         return e
@@ -4748,14 +4796,10 @@ def _pm_best_effort(or_zero: bool = False):
     is the same expression and OrZero coalesces to the epoch."""
 
     def rw(args: list[str]) -> str:
-        if len(args) not in (1, 2):
+        if len(args) != 1:
             raise NotImplementedError(
-                "parseDateTimeBestEffort variants take (value[, timezone]); "
-                "the timezone argument is not shimmed (session zone applies)"
-            )
-        if len(args) == 2:
-            raise NotImplementedError(
-                "parseDateTimeBestEffort timezone argument is not shimmed"
+                "parseDateTimeBestEffort variants take (value) - the "
+                "timezone argument is not shimmed (session zone applies)"
             )
         e = f"try_to_timestamp({args[0]})"
         if or_zero:
@@ -4781,13 +4825,15 @@ _PARAMETRIC.update(
                 NotImplementedError("avgForEach takes one array column")
             )
         ),
+        # uppercase hex: CH's documented MAC format ('AA:BB:CC:DD:EE:FF');
+        # Spark's hex() is already uppercase
         "MACNumToString": lambda a: (
-            "lower(concat_ws(':', "
+            "concat_ws(':', "
             + ", ".join(
                 f"lpad(hex(shiftright({a[0]}, {s}) & 255), 2, '0')"
                 for s in (40, 32, 24, 16, 8, 0)
             )
-            + "))"
+            + ")"
         ),
         "MACStringToNum": lambda a: (
             f"CAST(conv(replace({a[0]}, ':', ''), 16, 10) AS BIGINT)"
@@ -4814,15 +4860,7 @@ _PARAMETRIC.update(
                 NotImplementedError("xor takes 2+ arguments")
             )
         ),
-        "arraySlice": lambda a: (
-            f"slice({a[0]}, {a[1]}, {a[2]})"
-            if len(a) == 3
-            else f"slice({a[0]}, {a[1]}, size({a[0]}))"
-            if len(a) == 2
-            else (_ for _ in ()).throw(
-                NotImplementedError("arraySlice expects (array, offset[, length])")
-            )
-        ),
+        "arraySlice": _pm_array_slice,
         "arrayStringConcat": lambda a: (
             f"array_join({a[0]}, {a[1] if len(a) == 2 else chr(39) * 2})"
             if len(a) in (1, 2)

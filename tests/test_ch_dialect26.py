@@ -415,7 +415,9 @@ def test_probe_wave5_arity_and_variadic_gaps(eng):
     assert (r["u1"], r["u2"]) == (2, 2)
     assert str(r["d3"]).startswith("2026-01-07") and str(r["d2"]) == "2026-01-07"
     assert str(r["dm"]).startswith("2026-02-15")
-    assert str(r["dn"]) == "42.13" and r["dnn"] is None and str(r["dz"]) == "0.000"
+    # CH TRUNCATES excess fractional digits (42.125 @ 2 -> 42.12, not the
+    # cast's half-up 42.13) — round-9 second-review finding
+    assert str(r["dn"]) == "42.12" and r["dnn"] is None and str(r["dz"]) == "0.000"
 
 
 def test_probe_wave6_combinators_and_mac(eng):
@@ -427,14 +429,17 @@ def test_probe_wave6_combinators_and_mac(eng):
     assert list(r) == [2.0, 4.0]
     r = one(
         eng,
-        # CH docs: MACNumToString(1108152157446) = '01:02:03:04:05:06'
+        # CH docs: MACNumToString(1108152157446) = '01:02:03:04:05:06';
+        # letter digits are UPPERCASE hex (the second golden catches casing)
         "SELECT MACNumToString(1108152157446) AS a, "
         "MACStringToNum('01:02:03:04:05:06') AS b, "
-        "MACStringToOUI('01:02:03:04:05:06') AS c",
+        "MACStringToOUI('01:02:03:04:05:06') AS c, "
+        "MACNumToString(281474976710655) AS d",
     )
     assert r["a"] == "01:02:03:04:05:06"
     assert r["b"] == 1108152157446
     assert r["c"] == 66051  # 0x010203
+    assert r["d"] == "FF:FF:FF:FF:FF:FF"
     q = one(
         eng,
         "SELECT quantilesTimingWeighted(0.5, 0.9)(v, w) AS a FROM "
@@ -443,3 +448,39 @@ def test_probe_wave6_combinators_and_mac(eng):
     assert len(q) == 2 and q[0] <= q[1]
     with pytest.raises(NotImplementedError, match="SETTINGS"):
         eng.sql("SELECT getSetting('max_threads')").collect()
+
+
+def test_second_review_fixes(eng):
+    """Round-9 second-review findings: mapApply params named key/value must
+    not corrupt each other's substitutions; nested lambdas refuse loudly;
+    arraySlice accepts CH's negative-length open-slice form; decimal
+    truncation is exact on plain decimal strings."""
+    r = one(
+        eng,
+        "SELECT mapApply((value, key) -> (concat(value, '!'), key), map('a', 1)) AS a, "
+        "mapApply((k, key) -> (k, key + 1), map('b', 5)) AS b",
+    )
+    assert r["a"] == {"a!": 1}
+    assert r["b"] == {"b": 6}
+    with pytest.raises(NotImplementedError, match="NESTED lambda"):
+        eng.sql(
+            "SELECT mapApply((k, v) -> (k, aggregate(array(v), 0, (acc, x) -> acc + x)), map('a', 1))"
+        ).collect()
+    s = one(
+        eng,
+        "SELECT arraySlice([1,2,3,4,5], 2, -1) AS a, "
+        "arraySlice([1,2,3,4,5], -4, -2) AS b, "
+        "arraySlice([1,2,3], 1, -5) AS c",
+    )
+    assert list(s["a"]) == [2, 3, 4]
+    assert list(s["b"]) == [2, 3]      # start at 2nd-from... -4 -> index 2; end 5-2=3
+    assert list(s["c"]) == []          # length collapses below zero -> empty
+    d = one(
+        eng,
+        "SELECT toDecimal32OrNull('-42.129', 2) AS a, "
+        "toDecimal64OrNull('7.999999', 0) AS b, "
+        "toDecimal32OrNull(42.125, 2) AS c",
+    )
+    assert str(d["a"]) == "-42.12"  # toward zero, not half-up
+    assert str(d["b"]) == "7"       # s=0: the whole fraction is discarded
+    assert str(d["c"]) == "42.12"
