@@ -1743,11 +1743,8 @@ _PARAMETRIC.update(
         "tryIdnaEncode": _pm_1arg(
             "(CASE WHEN ({x}) IS NOT NULL THEN coalesce(chIdnaEncode({x}), '') END)"
         ),
-        "groupArrayInsertAt": _pm_gate(
-            "groupArrayInsertAt",
-            "collect (pos, x) with collect_list(struct(pos, x)), dedupe "
-            "positions, then transform(sequence(0, size-1), i -> lookup)",
-        ),
+        # groupArrayInsertAt: REAL rewrite in _PARAMETRIC2 (r9) — position
+        # is an explicit argument, so the aggregate is NOT order-dependent
     }
 )
 
@@ -1904,10 +1901,16 @@ _PARAMETRIC.update(
         # analysisOfVariance: REAL rewrite in batch 26 (chANOVA Arrow UDF
         # with a real incomplete-beta p-value) — registered below
         # meanZTest: implemented in batch 23 (_PARAMETRIC2, two-group form)
-        "rankCorr": _pm_gate(
-            "rankCorr",
-            "Spearman = corr of ranks: rank() OVER (ORDER BY x), rank() "
-            "OVER (ORDER BY y) in a subquery, then corr of the two ranks",
+        # rankCorr: REAL (r9) — Spearman over midrank-tied ranks via the
+        # chRankCorr Arrow UDF (collect-pairs state, the rank-test bound)
+        "rankCorr": lambda a: (
+            f"chRankCorr(collect_list(CASE WHEN ({a[0]}) IS NOT NULL AND "
+            f"({a[1]}) IS NOT NULL THEN named_struct("
+            f"'x', CAST(({a[0]}) AS DOUBLE), 'y', CAST(({a[1]}) AS DOUBLE)) END))"
+            if len(a) == 2
+            else (_ for _ in ()).throw(
+                NotImplementedError("rankCorr expects (x, y)")
+            )
         ),
     }
 )
@@ -4181,6 +4184,52 @@ def _pm2_sequence_next_node(params: list[str] | None, args: list[str]) -> str:
     )
 
 
+def _pm2_group_array_insert_at(params: list[str] | None, args: list[str]) -> str:
+    """groupArrayInsertAt[(default[, size])](x, pos) — place each value at
+    its EXPLICIT 0-based position (order-independent, unlike the
+    neighbor family); gaps fill with ``default``. With no params the gaps
+    fill with NULL (CH fills with the TYPE default — '' / 0 — which a
+    textual layer cannot infer; pass the default explicitly for parity,
+    documented). Position collisions keep the MINIMUM value (CH keeps an
+    arbitrary one; min is the deterministic choice, same rule as the
+    merge-collapse families). Per-group state is the collected (pos, v)
+    pairs; the fill is O(positions × pairs) — bounded by the explicit
+    size, the same shape CH's own state carries."""
+    if len(args) != 2:
+        raise NotImplementedError("groupArrayInsertAt expects (x, pos)")
+    default = "NULL"
+    size = None
+    if params:
+        if len(params) > 2:
+            raise NotImplementedError(
+                "groupArrayInsertAt takes at most (default, size) parameters"
+            )
+        default = params[0]
+        if len(params) == 2:
+            size = params[1]
+    x, pos = args
+    pairs = (
+        f"collect_list(CASE WHEN ({pos}) IS NOT NULL THEN "
+        f"named_struct('p', CAST(({pos}) AS INT), 'v', ({x})) END)"
+    )
+    n = size if size is not None else "coalesce(array_max(__ga_a.p) + 1, 0)"
+    lookup = (
+        # try_element_at: gap positions filter to an EMPTY array, where
+        # element_at(…, 1) aborts under ANSI
+        "try_element_at(array_sort(transform(filter(__ga_a, "
+        "__ga_e -> __ga_e.p = __ga_i), __ga_e -> __ga_e.v)), 1)"
+    )
+    # sequence(0, -1) DESCENDS in Spark, so the empty case needs a guard;
+    # slice(values, 1, 0) is an empty array of the RIGHT element type
+    return (
+        f"element_at(transform(array({pairs}), __ga_a -> "
+        f"CASE WHEN CAST(({n}) AS INT) <= 0 "
+        f"THEN slice(transform(__ga_a, __ga_e -> __ga_e.v), 1, 0) "
+        f"ELSE transform(sequence(0, CAST(({n}) AS INT) - 1), "
+        f"__ga_i -> coalesce({lookup}, {default})) END), 1)"
+    )
+
+
 def _pm2_weighted_quantiles(params: list[str] | None, args: list[str]) -> str:
     """quantiles*Weighted (PLURAL) → one exact weighted percentile call
     returning the array (the approximate families answered exactly — the
@@ -4222,6 +4271,7 @@ _PARAMETRIC2.update(
         "exponentialMovingAverage": _pm2_exponential_moving_average,
         "sequenceNextNode": _pm2_sequence_next_node,
         "sumMapFiltered": _pm2_sum_map_filtered,
+        "groupArrayInsertAt": _pm2_group_array_insert_at,
         "quantilesExactWeighted": _pm2_weighted_quantiles,
         "quantilesInterpolatedWeighted": _pm2_weighted_quantiles,
         "quantilesTimingWeighted": _pm2_weighted_quantiles,

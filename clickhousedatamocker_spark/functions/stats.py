@@ -296,6 +296,20 @@ def ks_two_sample(
     return d, kolmogorov_q((sq + 0.12 + 0.11 / sq) * d)
 
 
+def rank_corr(xs: np.ndarray, ys: np.ndarray) -> float:
+    """Spearman rank correlation (CH ``rankCorr``): Pearson correlation of
+    the midrank-tied ranks. Degenerate inputs (n < 2, zero rank variance
+    on either side) yield nan."""
+    if len(xs) < 2:
+        return float("nan")
+    rx, _ = _avg_ranks(xs)
+    ry, _ = _avg_ranks(ys)
+    sx, sy = rx.std(), ry.std()
+    if sx == 0.0 or sy == 0.0:
+        return float("nan")
+    return float(((rx - rx.mean()) * (ry - ry.mean())).mean() / (sx * sy))
+
+
 def one_way_anova(vals: np.ndarray, groups: np.ndarray) -> tuple[float, float]:
     """One-way ANOVA (CH ``analysisOfVariance``): F = (SSB/(k−1)) /
     (SSW/(N−k)) over the observed group labels, p = P(F_{k−1,N−k} > F)
@@ -428,6 +442,20 @@ def register_stats_functions(spark: SparkSession) -> None:
             ps.append(None if math.isnan(p) else p)
         return pd.DataFrame({"f_statistic": fs, "p_value": ps})
 
+    @pandas_udf("double")
+    def ch_rank_corr(pairs: pd.Series) -> pd.Series:
+        out = []
+        for arr in pairs:
+            if arr is None or len(arr) == 0:
+                out.append(None)
+                continue
+            xs = np.array([e["x"] for e in arr], dtype=np.float64)
+            ys = np.array([e["y"] for e in arr], dtype=np.float64)
+            r = rank_corr(xs, ys)
+            out.append(None if math.isnan(r) else r)
+        return pd.Series(out, dtype="float64")
+
+    spark.udf.register("chRankCorr", ch_rank_corr)
     spark.udf.register("chANOVA", ch_anova)
     spark.udf.register("chStudentTP", ch_student_t_p)
     spark.udf.register("chNormal2P", ch_normal_2p)

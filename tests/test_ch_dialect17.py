@@ -107,7 +107,8 @@ def test_map_family_avg_count(eng):
     "sql,frag",
     [
         ("SELECT groupConcat(',')(x) AS v FROM (SELECT 1 AS x)", "arrival order"),
-        ("SELECT rankCorr(x, x) AS v FROM (SELECT 1 AS x)", "Spearman"),
+        # rankCorr and groupArrayInsertAt graduated to REAL rewrites in
+        # batch 26 — goldens in tests/test_ch_dialect26.py
         # meanZTest graduated to a real z + p + CI in batch 23 —
         # goldens in tests/test_ch_dialect23.py
         # analysisOfVariance and sumMapFiltered graduated to REAL rewrites

@@ -484,3 +484,49 @@ def test_second_review_fixes(eng):
     assert str(d["a"]) == "-42.12"  # toward zero, not half-up
     assert str(d["b"]) == "7"       # s=0: the whole fraction is discarded
     assert str(d["c"]) == "42.12"
+
+
+def test_rank_corr_and_group_array_insert_at(eng):
+    """Two more gate graduations: Spearman rankCorr (textbook golden:
+    perfectly monotone -> 1.0, reversed -> -1.0; tied data vs the
+    hand-computed midrank value) and groupArrayInsertAt (explicit
+    positions, gap fill, min-collision rule)."""
+    r = one(
+        eng,
+        "SELECT rankCorr(x, y) AS up FROM (VALUES (1.0, 10.0), (2.0, 20.0), (3.0, 25.0)) AS t(x, y)",
+    )["up"]
+    assert r == pytest.approx(1.0, abs=1e-12)
+    r = one(
+        eng,
+        "SELECT rankCorr(x, y) AS dn FROM (VALUES (1.0, 9.0), (2.0, 5.0), (3.0, 1.0)) AS t(x, y)",
+    )["dn"]
+    assert r == pytest.approx(-1.0, abs=1e-12)
+    # ties: x=(1,2,2,4), y=(1,2,3,4): x midranks (1, 2.5, 2.5, 4) vs
+    # y ranks (1,2,3,4) -> rho = 0.9486832980505138 (hand-computed)
+    r = one(
+        eng,
+        "SELECT rankCorr(x, y) AS t FROM (VALUES (1.0,1.0),(2.0,2.0),(2.0,3.0),(4.0,4.0)) AS t(x, y)",
+    )["t"]
+    assert r == pytest.approx(0.9486832980505138, rel=1e-12)
+    # degenerate: constant side -> NULL
+    r = one(
+        eng,
+        "SELECT rankCorr(x, y) AS c FROM (VALUES (1.0, 5.0), (2.0, 5.0)) AS t(x, y)",
+    )["c"]
+    assert r is None
+
+    g = one(
+        eng,
+        "SELECT groupArrayInsertAt('-', 5)(v, p) AS a, "
+        "groupArrayInsertAt(v, p) AS b "
+        "FROM (VALUES ('x', 1), ('y', 3)) AS t(v, p)",
+    )
+    assert list(g["a"]) == ["-", "x", "-", "y", "-"]
+    assert list(g["b"]) == [None, "x", None, "y"]  # no default: NULL gaps
+    # collision keeps the MINIMUM (deterministic where CH is arbitrary)
+    g2 = one(
+        eng,
+        "SELECT groupArrayInsertAt('z', 2)(v, p) AS a "
+        "FROM (VALUES ('b', 0), ('a', 0)) AS t(v, p)",
+    )["a"]
+    assert list(g2) == ["a", "z"]
