@@ -128,7 +128,8 @@ def test_sparkbar_explicit_range(eng):
         # punycodeEncode / idnaEncode graduated to stdlib-codec Arrow UDFs
         # in batch 23 — goldens in tests/test_ch_dialect23.py
         ("SELECT groupArrayLast(2)(x) AS a FROM VALUES (1) AS t(x)", "arrival order"),
-        ("SELECT groupArrayInsertAt(0, 3)(x, 0) AS a FROM VALUES (1) AS t(x)", "groupArrayInsertAt"),
+        # groupArrayInsertAt graduated to a real rewrite in batch 26 —
+        # goldens in tests/test_ch_dialect26.py
         ("SELECT untuple((1, 2)) AS a", "untuple"),
         ("SELECT toDecimalString(1.0, 40) AS a", "DECIMAL(38)"),
     ],
