@@ -4033,11 +4033,14 @@ def _pm2_exponential_moving_average(params: list[str] | None, args: list[str]) -
         raise NotImplementedError(
             "exponentialMovingAverage expects (value, timeunit)"
         )
-    x = params[0] if params else "1"  # CH default half-life is 1
-    if params is not None and len(params) != 1:
+    if params is None or len(params) != 1:
+        # the half-life parameter is REQUIRED in CH — inventing a default
+        # would answer a query CH itself rejects (round-9 ADVICE)
         raise NotImplementedError(
-            "exponentialMovingAverage takes exactly one parameter (half-life)"
+            "exponentialMovingAverage takes exactly one parameter (half-life): "
+            "exponentialMovingAverage(x)(value, timeunit)"
         )
+    x = params[0]
     try:
         x_val = float(x)
     except ValueError:
@@ -4208,11 +4211,27 @@ def _pm2_group_array_insert_at(params: list[str] | None, args: list[str]) -> str
         if len(params) == 2:
             size = params[1]
     x, pos = args
+    # CH's position is UInt32 — a negative value errors at parse/insert
+    # time there; silently dropping it here would drift (round-9 ADVICE)
+    pos_guard = (
+        f"CASE WHEN ({pos}) < 0 THEN CAST(raise_error(concat("
+        f"'groupArrayInsertAt: negative position ', CAST(({pos}) AS STRING), "
+        f"' (CH UInt32 position would refuse)')) AS INT) "
+        f"ELSE CAST(({pos}) AS INT) END"
+    )
     pairs = (
         f"collect_list(CASE WHEN ({pos}) IS NOT NULL THEN "
-        f"named_struct('p', CAST(({pos}) AS INT), 'v', ({x})) END)"
+        f"named_struct('p', {pos_guard}, 'v', ({x})) END)"
     )
     n = size if size is not None else "coalesce(array_max(__ga_a.p) + 1, 0)"
+    # a huge position would materialize an equally huge per-group array —
+    # cap like CH's max_array_size_as_field-style limits (round-9 ADVICE)
+    n = (
+        f"CASE WHEN ({n}) > 1048576 THEN CAST(raise_error("
+        f"'groupArrayInsertAt: derived array length exceeds the 1048576 "
+        f"sanity cap (CH max_array_size_as_field-style limit)') AS INT) "
+        f"ELSE ({n}) END"
+    )
     lookup = (
         # try_element_at: gap positions filter to an EMPTY array, where
         # element_at(…, 1) aborts under ANSI
@@ -4644,6 +4663,15 @@ def _pm_json_type(args: list[str]) -> str:
     if len(args) == 1:
         return f"chJSONType({args[0]}, CAST(NULL AS STRING))"
     if len(args) == 2:
+        # CH's integer second argument is 1-based array/member INDEXING
+        # (negative = from the end) — a silent string coercion would
+        # answer 'Null' for a valid index (round-9 ADVICE). Refuse loudly.
+        if re.fullmatch(r"[+-]?\d+", args[1].strip()):
+            raise NotImplementedError(
+                "JSONType with an integer index (1-based element/member "
+                "access) is not shimmed - slice first with JSONExtractRaw"
+                "(json, idx), then JSONType the slice"
+            )
         return f"chJSONType({args[0]}, {args[1]})"
     raise NotImplementedError(
         "JSONType with nested index paths is not shimmed - slice first "

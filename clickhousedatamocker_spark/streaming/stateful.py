@@ -321,9 +321,6 @@ ETD_STATE_SCHEMA = StructType(
     ]
 )
 
-_ETD_LOG_SPAN = 200.0  # same bound as operators/ema.py _LOG_SPAN
-
-
 def _mk_decay(x: float):
     import math
 
@@ -436,10 +433,15 @@ def stream_time_decayed(
     """exponentialTimeDecayedSum/Count/Avg/Max over an UNBOUNDED stream:
     per-key decayed running stats at every event, exactly the batch
     operator's semantics as long as each key's events arrive in
-    nondecreasing time order across micro-batches (rows inside one batch
-    are sorted; a row older than the key's processed frontier is DROPPED
-    — no exact answer exists for it with O(1) state, the same trade a
-    watermark makes).
+    nondecreasing time order across micro-batches AND a key's time TIES
+    land in the same micro-batch (rows inside one batch are sorted; a row
+    older than the key's processed frontier is DROPPED — no exact answer
+    exists for it with O(1) state, the same trade a watermark makes).
+    Ties split across batches satisfy nondecreasing arrival but the
+    earlier-arriving peer is emitted WITHOUT the later peer's
+    contribution, while the batch operator's RANGE frame gives all
+    time-tied peers identical outputs — so the stream==batch law needs
+    the one-batch-per-tie condition (round-9 ADVICE).
 
     Scale shape: state per key is five doubles + a flag (the decayed
     values at the frontier) — the store grows with |keys|, never the

@@ -530,3 +530,40 @@ def test_rank_corr_and_group_array_insert_at(eng):
         "FROM (VALUES ('b', 0), ('a', 0)) AS t(v, p)",
     )["a"]
     assert list(g2) == ["a", "z"]
+
+
+def test_group_array_insert_at_guards(eng):
+    """r9 ADVICE guards: a negative position errors loudly (CH's UInt32
+    position refuses at parse/insert time — silently vanishing rows would
+    drift), and a huge derived array length hits the 1048576 sanity cap
+    instead of materializing."""
+    with pytest.raises(Exception, match="negative position"):
+        eng.sql(
+            "SELECT groupArrayInsertAt(v, p) AS a "
+            "FROM (VALUES ('x', 1), ('y', -2)) AS t(v, p)"
+        ).collect()
+    with pytest.raises(Exception, match="sanity cap"):
+        eng.sql(
+            "SELECT groupArrayInsertAt(v, p) AS a "
+            "FROM (VALUES ('x', 2000000)) AS t(v, p)"
+        ).collect()
+    # the guards must not disturb the valid path
+    g = one(
+        eng,
+        "SELECT groupArrayInsertAt('-', 3)(v, p) AS a "
+        "FROM (VALUES ('x', 0), ('y', 2)) AS t(v, p)",
+    )["a"]
+    assert list(g) == ["x", "-", "y"]
+
+
+def test_json_type_integer_index_gate(eng):
+    """r9 ADVICE: CH's integer second argument to JSONType is 1-based
+    indexing — refuse loudly instead of coercing it to a string key and
+    answering 'Null' for a valid index."""
+    with pytest.raises(NotImplementedError, match="integer index"):
+        eng.sql("SELECT JSONType('[1, \"a\"]', 2) AS t")
+    with pytest.raises(NotImplementedError, match="integer index"):
+        eng.sql("SELECT JSONType('[1, \"a\"]', -1) AS t")
+    # string keys keep working
+    r = one(eng, "SELECT JSONType('{\"a\": [1]}', 'a') AS t")["t"]
+    assert r == "Array"

@@ -68,13 +68,15 @@ def test_ema_dialect_default_param_and_null_skip(eng):
     assert abs(rows["a"] - want_a) < 1e-12
     assert abs(rows["b"] - (1 - 2 ** -0.5) * 5) < 1e-12
     assert rows["c"] is None
-    # single-group form without params: half-life 1
-    got = one(
-        eng,
-        "SELECT exponentialMovingAverage(v, t) AS ema FROM (VALUES "
-        "(1.0, 0.0), (1.0, 1.0)) AS x(v, t)",
-    )["ema"]
-    assert abs(got - 0.5 * (0.5 + 1.0)) < 1e-12
+    # no-parameter form is INVALID ClickHouse (half-life is required) —
+    # inventing a default would answer a query CH rejects (r9 ADVICE)
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="exactly one parameter"):
+        eng.sql(
+            "SELECT exponentialMovingAverage(v, t) AS ema FROM (VALUES "
+            "(1.0, 0.0), (1.0, 1.0)) AS x(v, t)"
+        )
 
 
 def test_ema_operator_matches_dialect_and_duckdb(spark):
