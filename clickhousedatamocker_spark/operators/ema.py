@@ -221,6 +221,7 @@ def exponential_time_decayed(
     partition_cols: Sequence[str] = (),
     outputs: Sequence[str] = _ETD_KINDS,
     prefix: str = "etd_",
+    key_buckets: int | None = None,
 ) -> DataFrame:
     """CH ``exponentialTimeDecayedSum/Count/Avg/Max(decay)(value, time)
     OVER (PARTITION BY partition_cols ORDER BY time_col)`` — appends one
@@ -238,7 +239,17 @@ def exponential_time_decayed(
     C' = S_last·e^((t_last − s')/x) (a factor < 1). Max commutes with the
     positive per-row scale 1/a_j, so the same machinery serves Max via
     maximum.accumulate. No Python-per-row work; one shuffle on
-    ``partition_cols``.
+    ``hash(partition_cols) % key_buckets``.
+
+    Dispatch shape (round-9 verdict task: per-GROUP Arrow dispatch over
+    many small keys cost ~2.5 ms/key): keys are coalesced into
+    ``key_buckets`` hash buckets (default 4× the session's shuffle
+    partitions) and ONE ``applyInPandas`` call scans a whole bucket —
+    key segments found by factorize+lexsort, the numpy kernel runs per
+    segment (microseconds), one pandas frame built per BUCKET, not per
+    key. Memory contract: a bucket (not a key) must fit one executor's
+    Arrow batch — raise ``key_buckets`` for very fat corpora; a single
+    giant key is one group either way (the window-function contract).
     """
     import numpy as np
     import pandas as pd
@@ -255,40 +266,58 @@ def exponential_time_decayed(
             "single-task series — window semantics demand a PARTITION BY at "
             "scale (add a constant column deliberately if you mean it)"
         )
+    if "__etd_bucket" in df.columns:
+        raise ValueError("column name __etd_bucket is reserved by this operator")
     outputs = tuple(outputs)
     schema = _etd_schema(df, outputs, prefix)
     value_name, time_name = value_col, time_col
+    key_names = list(partition_cols)
     kernel = _make_decay_kernel(x)  # nested fn: pickled by value
     to_seconds = _make_time_to_seconds()
+    if key_buckets is None:
+        try:
+            key_buckets = 4 * int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        except Exception:
+            key_buckets = 128
+    nb = max(1, int(key_buckets))
 
     def scan(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
         t_raw = to_seconds(pdf[time_name])
         v_raw = pd.to_numeric(pdf[value_name], errors="coerce").to_numpy(dtype="float64")
-        order = np.argsort(t_raw, kind="stable")  # NaN times sort last
+        # one integer code per key tuple (NULL keys are a group of their own)
+        codes = pdf.groupby(key_names, dropna=False, sort=False).ngroup().to_numpy()
+        # stable sort by (key, time); NaN times sort last within their key
+        order = np.lexsort((t_raw, codes))
         t = t_raw[order]
         v = v_raw[order]
-        valid = ~np.isnan(t)
-        m = int(valid.sum())
+        c = codes[order]
         res = {k: np.full(n, np.nan) for k in outputs}
-        if m:
-            tv, vv = t[:m], v[:m]
+        starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+        bounds = np.r_[starts, n]
+        for gi in range(len(starts)):
+            i0, i1 = int(bounds[gi]), int(bounds[gi + 1])
+            tg = t[i0:i1]
+            m = int(np.searchsorted(np.isnan(tg), True))  # NaNs are the tail
+            if not m:
+                continue
+            tv, vv = tg[:m], v[i0 : i0 + m]
             s_sum, s_cnt, s_cntv, s_max = kernel(tv, vv)
             # RANGE frame: every time-tie reads the value at its last peer
             last = np.searchsorted(tv, tv, side="right") - 1
             if "sum" in res:
-                res["sum"][:m] = s_sum[last]
+                res["sum"][i0 : i0 + m] = s_sum[last]
             if "count" in res:
-                res["count"][:m] = s_cnt[last]
+                res["count"][i0 : i0 + m] = s_cnt[last]
             if "avg" in res:
                 with np.errstate(invalid="ignore", divide="ignore"):
-                    res["avg"][:m] = np.where(
+                    res["avg"][i0 : i0 + m] = np.where(
                         s_cntv[last] > 0.0, s_sum[last] / s_cntv[last], np.nan
                     )
             if "max" in res:
                 mx = s_max[last]
-                res["max"][:m] = np.where(np.isfinite(mx), mx, np.nan)
-        out = pdf.iloc[order].reset_index(drop=True)
+                res["max"][i0 : i0 + m] = np.where(np.isfinite(mx), mx, np.nan)
+        out = pdf.iloc[order].reset_index(drop=True).drop(columns=["__etd_bucket"])
         for k in outputs:
             # nullable Float64 so a NaN (NULL-time row, empty max/avg frame)
             # round-trips to a true SQL NULL, not the double NaN value
@@ -297,7 +326,11 @@ def exponential_time_decayed(
             out[f"{prefix}{k}"] = col
         return out
 
-    return df.groupBy(*[F.col(c) for c in partition_cols]).applyInPandas(scan, schema)
+    bucketed = df.withColumn(
+        "__etd_bucket",
+        F.pmod(F.hash(*[F.col(k) for k in key_names]), F.lit(nb)),
+    )
+    return bucketed.groupBy("__etd_bucket").applyInPandas(scan, schema)
 
 
 def etd_oracle_sql(

@@ -339,23 +339,10 @@ def pipeline_clean_corpus(spark, sf_dir):
 # -------------------------------------------------------------------------
 @register(
     "dedup_ngram_jaccard_pairs",
-    """
-WITH dd AS (
-  SELECT doc_id, lang, string_split(text,' ') tk FROM documents
-), sh AS (
-  SELECT doc_id, lang,
-    list_distinct(list_transform(generate_series(1, len(tk)-2),
-                                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) sg
-  FROM dd WHERE len(tk) >= 3
-)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-  len(list_intersect(a.sg, b.sg)) * 1.0
-    / (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))) AS jaccard
-FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND a.lang = b.lang
-WHERE len(list_intersect(a.sg, b.sg)) * 1.0
-    / (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))) >= 0.2
-ORDER BY id_a, id_b
-""",
+    None,  # rotated OUT of the graded window r10 (made room for the
+    # trained-classifier / IVF-PQ / EMA twins); former oracle value-pinned
+    # in tests/test_rotated_oracles.py. The near-dup family keeps
+    # minhash-LSH, simhash, embedding-cosine and fuzzy-clusters graded.
     description="Exact near-dup pairs by 3-gram-shingle Jaccard >= 0.2 with "
     "language blocking + lossless size-ratio prefilter (operators/dedup.py). "
     "The quadratic verifier; minhash_lsh below is the linear-ish scale path.",

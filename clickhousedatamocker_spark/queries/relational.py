@@ -176,25 +176,10 @@ def q5_local_supplier_volume(spark, sf_dir):
 # -------------------------------------------------------------------------
 @register(
     "q7_volume_shipping",
-    f"""
-SELECT supp_nation, cust_nation, l_year, {o_dsum('volume', 14, 4)} AS revenue
-FROM (
-  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-         EXTRACT(year FROM CAST(l_shipdate AS TIMESTAMP)) AS l_year,
-         CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS volume
-  FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
-                JOIN orders ON o_orderkey = l_orderkey
-                JOIN customer ON c_custkey = o_custkey
-                JOIN nation n1 ON s_nationkey = n1.n_nationkey
-                JOIN nation n2 ON c_nationkey = n2.n_nationkey
-  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
-    AND CAST(l_shipdate AS TIMESTAMP) >= TIMESTAMP '1995-01-01'
-    AND CAST(l_shipdate AS TIMESTAMP) < TIMESTAMP '1997-01-01'
-) shipping
-GROUP BY supp_nation, cust_nation, l_year
-ORDER BY supp_nation, cust_nation, l_year
-""",
+    None,  # rotated OUT of the graded window r10 (made room for the
+    # trained-classifier / IVF-PQ / EMA twins); former oracle value-pinned
+    # in tests/test_rotated_oracles.py. The TPC-H class keeps q1/q3/q5/
+    # q6/q10 graded + 15 more value-exact in test_tpch_extra.py.
     description="TPC-H Q7: bi-national shipping volume — 6-table join with a "
     "disjunctive cross-nation predicate, year extraction, 3-key aggregation.",
 )
@@ -281,14 +266,10 @@ def q10_returned_items(spark, sf_dir):
 
 @register(
     "join_broadcast_dims",
-    f"""
-SELECT r_name, COUNT(*) AS n_customers, {o_dsum('c_acctbal', 12, 2)} AS total_acctbal
-FROM customer
-JOIN nation ON c_nationkey = n_nationkey
-JOIN region ON n_regionkey = r_regionkey
-GROUP BY r_name
-ORDER BY r_name
-""",
+    None,  # rotated OUT of the graded window r10 (made room for the
+    # trained-classifier / IVF-PQ / EMA twins); former oracle value-pinned
+    # in tests/test_rotated_oracles.py. The join family keeps
+    # join_salted_skew, join_range_bucketed and asof_join graded.
     description="Star join of fact->two dims. Scale: both dims broadcast; zero "
     "shuffle until the 5-group aggregate.",
 )

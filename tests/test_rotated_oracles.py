@@ -19,6 +19,10 @@ sample_histogram_events, retention_analysis.
 r9 second rotation (made room for the BPE segmenter twin):
 funnel_click_view_purchase (oracle built by funnel_oracle_sql, imported
 rather than frozen so the fold stays in lockstep with the operator).
+
+r10 rotation (made room for the trained-classifier, IVF-PQ and EMA
+time-decay twins): q7_volume_shipping, join_broadcast_dims,
+dedup_ngram_jaccard_pairs.
 """
 
 import math
@@ -139,6 +143,52 @@ SELECT 'gsets' AS tag, o_orderstatus AS k1, o_orderpriority AS k2, COUNT(*) AS n
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 ORDER BY tag, k1 NULLS FIRST, k2 NULLS FIRST
+""",
+    "q7_volume_shipping": """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(CAST(volume AS DECIMAL(14,4))) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         EXTRACT(year FROM CAST(l_shipdate AS TIMESTAMP)) AS l_year,
+         CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS volume
+  FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+                JOIN orders ON o_orderkey = l_orderkey
+                JOIN customer ON c_custkey = o_custkey
+                JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND CAST(l_shipdate AS TIMESTAMP) >= TIMESTAMP '1995-01-01'
+    AND CAST(l_shipdate AS TIMESTAMP) < TIMESTAMP '1997-01-01'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""",
+    "join_broadcast_dims": """
+SELECT r_name, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+""",
+    "dedup_ngram_jaccard_pairs": """
+WITH dd AS (
+  SELECT doc_id, lang, string_split(text,' ') tk FROM documents
+), sh AS (
+  SELECT doc_id, lang,
+    list_distinct(list_transform(generate_series(1, len(tk)-2),
+                                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) sg
+  FROM dd WHERE len(tk) >= 3
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  len(list_intersect(a.sg, b.sg)) * 1.0
+    / (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND a.lang = b.lang
+WHERE len(list_intersect(a.sg, b.sg)) * 1.0
+    / (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))) >= 0.2
+ORDER BY id_a, id_b
 """,
     "q18_large_volume_customers": """
 SELECT c_name, c_custkey, o_orderkey,
