@@ -640,3 +640,251 @@ def classifier_predict_class(
             )
         df = df.drop(f"__m_{i}")
     return df
+
+
+# ---------------------------------------------------------------------------
+# Cross-engine EXACT trainer (round-10: grades the TRAINED path)
+#
+# The production trainer above is float-trajectory state: gradient sums run
+# in shuffle order, so two runs agree only to ~1e-8 and no SQL twin can
+# hash-match it. This variant makes full-batch GD itself cross-engine
+# bit-exact, so the DuckDB oracle RECOMPUTES training epoch by epoch:
+#
+# - count features over the xengine (positional-ascii) gram hashes,
+#   aggregated once to an exploded (id, bucket, cnt) relation with one
+#   synthetic bucket=-1 cnt=1 row per doc carrying the bias gradient;
+# - weights live on the 6-decimal grid: margins are exact DECIMAL(38,6)
+#   sums of w·cnt (order-independent — both engines sum integers), the
+#   residual sigmoid(z)−y is floored to the grid (floor(x·1e6+0.5)/1e6 —
+#   the half-up discipline both engines share), gradients are exact
+#   decimal sums of r6·cnt, and the update w−lr·(g/n) is a fixed chain of
+#   correctly-rounded IEEE double ops — identical in Python, Spark and
+#   DuckDB — floored back to the grid;
+# - the only transcendental is exp() inside the sigmoid, always evaluated
+#   at the SAME double z in both engines, so an engine-libm ulp moves the
+#   residual ~1e-16 — 10 orders below the 1e-6 rounding grid.
+#
+# Scale shape: identical to the production trainer (featurize once +
+# persist; per epoch one broadcast-lookup join and ONE (bucket, grad)
+# aggregation collected as a bounded vector) — the decimal casts ride the
+# same exchanges. Train-small/score-big still applies upstream.
+
+
+def xengine_count_features(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 512,
+) -> DataFrame:
+    """(id, b, cnt) count-feature relation over the xengine gram hashes,
+    plus one (id, -1, 1) row per doc for the bias term. NULL-text docs
+    are excluded (no features, no bias row — they are unscorable)."""
+    base = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__t")
+    )
+    feats = _with_gram_buckets(base, "__t", num_buckets, "__qb", use_xengine_hash=True)
+    grams = (
+        feats.select("__id", F.explode("__qb").alias("b"))
+        .groupBy("__id", "b")
+        .agg(F.count(F.lit(1)).cast("int").alias("cnt"))
+    )
+    bias_rows = feats.select(
+        "__id", F.lit(-1).cast("bigint").alias("b"), F.lit(1).cast("int").alias("cnt")
+    )
+    return grams.unionByName(bias_rows)
+
+
+def _grid6(col: Column) -> Column:
+    """floor(x·1e6 + 0.5)/1e6 — the shared 6-decimal half-up grid. Spark
+    floor() yields LONG, /1e6 promotes to double; DuckDB floor() yields
+    double — the VALUES are identical (grid longs are exact doubles)."""
+    return F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
+
+def exact_margins(
+    ex: DataFrame,
+    labels: DataFrame,
+    weights: list[float],
+    bias: float,
+) -> DataFrame:
+    """Per-doc exact-decimal margin under grid weights: mdec =
+    Σ w[b]·cnt as DECIMAL(38,6) (exact, order-independent), z = bias +
+    double(mdec) — ONE IEEE add, identical across engines. ``labels``
+    carries (__id, __y); docs with no feature rows get mdec = 0."""
+    wl = F.lit([float(w) for w in weights])
+    mar = (
+        ex.filter(F.col("b") >= 0)
+        .groupBy("__id")
+        .agg(
+            F.sum(
+                F.element_at(wl, (F.col("b") + 1).cast("int")).cast("decimal(18,6)")
+                * F.col("cnt")
+            ).alias("__mdec")
+        )
+    )
+    zero = F.lit(0).cast("decimal(38,6)")
+    return labels.join(mar, "__id", "left").select(
+        "__id",
+        "__y",
+        (F.lit(float(bias)) + F.coalesce(F.col("__mdec"), zero).cast("double")).alias("__z"),
+    )
+
+
+def train_text_classifier_xengine(
+    docs: DataFrame,
+    label_col: str | Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 2048,
+    epochs: int = 20,
+    lr: float = 0.08,
+    l2: float = 0.02,
+) -> tuple[list[float], float]:
+    """Cross-engine bit-exact full-batch GD (see block comment above).
+    Returns (weights, bias) on the 6-decimal grid — the values
+    :func:`classifier_trained_oracle_sql`'s chained CTEs recompute.
+    ``lr``/``l2`` need not be binary-representable: both engines parse
+    the same decimal literal to the same nearest double (repr round-
+    trips), and the update chain is the same IEEE op sequence."""
+    if epochs < 1:
+        raise ValueError("epochs must be >= 1")
+    if lr <= 0:
+        raise ValueError(f"lr must be > 0, got {lr!r}")
+    lc = F.col(label_col) if isinstance(label_col, str) else label_col
+    train = docs.filter(F.col(text_col).isNotNull() & lc.isNotNull())
+    labels = train.select(
+        F.col(id_col).alias("__id"), lc.cast("double").alias("__y")
+    ).persist()
+    ex = xengine_count_features(train, text_col, id_col, num_buckets).persist()
+    try:
+        n_docs = labels.count()
+        if n_docs == 0:
+            raise ValueError("train_text_classifier_xengine: no labeled rows with text")
+        weights = [0.0] * num_buckets
+        bias = 0.0
+        for _ in range(epochs):
+            zdf = exact_margins(ex, labels, weights, bias)
+            res = zdf.select(
+                "__id",
+                _grid6(
+                    F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("__z"))) - F.col("__y")
+                ).alias("__r6"),
+            )
+            rows = (
+                ex.join(res, "__id")
+                .groupBy("b")
+                .agg(F.sum(F.col("__r6").cast("decimal(18,6)") * F.col("cnt")).alias("g"))
+                .collect()
+            )
+            for r in rows:
+                g = float(r["g"])
+                w_old = weights[r["b"]] if r["b"] >= 0 else bias
+                # the SAME IEEE op chain classifier_trained_oracle_sql
+                # emits: g/n, l2*w, +, *lr, -, grid. No l2 on the bias.
+                reg = l2 * w_old if r["b"] >= 0 else 0.0
+                step = math.floor(
+                    (w_old - lr * (g / n_docs + reg)) * 1000000.0 + 0.5
+                ) / 1000000.0
+                if r["b"] >= 0:
+                    weights[r["b"]] = step
+                else:
+                    bias = step
+        return weights, bias
+    finally:
+        ex.unpersist()
+        labels.unpersist()
+
+
+def classifier_trained_oracle_sql(
+    num_buckets: int,
+    epochs: int,
+    lr: float,
+    l2: float = 0.0,
+    table: str = "documents",
+    id_expr: str = "doc_id",
+    text_expr: str = "text",
+    label_expr: str = "CASE WHEN doc_id % 3 = 0 THEN 1.0 ELSE 0.0 END",
+) -> str:
+    """DuckDB CTE chain recomputing :func:`train_text_classifier_xengine`
+    EPOCH BY EPOCH (w0 = 0 → ... → w{epochs}) and returning the final
+    per-doc (doc_id, z, p6, kept) scoring relation. Keep every arithmetic
+    step in lockstep with the Spark trainer — the grid/decimal discipline
+    is what makes the two trajectories bit-identical."""
+    from clickhousedatamocker_spark.operators.dedup import _XA, _XP
+    from clickhousedatamocker_spark.operators.importance import _pos_ascii_hash_duckdb
+
+    parts = [
+        f"""txt AS MATERIALIZED (
+  SELECT {id_expr} AS id, {text_expr} AS t, CAST({label_expr} AS DOUBLE) AS y
+  FROM {table} WHERE {text_expr} IS NOT NULL
+), wh AS MATERIALIZED (
+  SELECT id, y,
+         list_transform(list_filter(string_split(t, ' '), x -> x <> ''),
+                        w -> {_pos_ascii_hash_duckdb('w')}) AS th
+  FROM txt
+), gb AS MATERIALIZED (
+  SELECT id, y, list_concat(
+    list_transform(th, h -> h % {num_buckets}),
+    CASE WHEN len(th) >= 2 THEN list_transform(
+      generate_series(1, len(th) - 1),
+      i -> ((th[i] * {_XA} + th[i + 1]) % {_XP}) % {num_buckets}
+    ) ELSE [] END
+  ) AS buckets
+  FROM wh
+), gx AS MATERIALIZED (
+  SELECT id, b, CAST(COUNT(*) AS INT) AS cnt
+  FROM (SELECT id, unnest(buckets) AS b FROM gb) GROUP BY id, b
+  UNION ALL SELECT id, -1, 1 FROM gb
+), labels AS MATERIALIZED (
+  SELECT id, y FROM txt
+), nn AS (SELECT COUNT(*) AS nd FROM labels),
+w0 AS MATERIALIZED (
+  SELECT DISTINCT b, CAST(0.0 AS DOUBLE) AS w FROM gx
+)"""
+    ]
+    for k in range(epochs):
+        parts.append(
+            f"""m{k} AS MATERIALIZED (
+  SELECT l.id, l.y,
+         COALESCE(SUM(CAST(w.w AS DECIMAL(18,6)) * g.cnt), 0) AS mdec
+  FROM labels l
+  LEFT JOIN (SELECT * FROM gx WHERE b >= 0) g ON g.id = l.id
+  LEFT JOIN w{k} w ON w.b = g.b
+  GROUP BY l.id, l.y
+), r{k} AS MATERIALIZED (
+  SELECT id,
+    floor((1.0 / (1.0 + exp(-((SELECT w FROM w{k} WHERE b = -1)
+                              + CAST(mdec AS DOUBLE)))) - y)
+          * 1000000.0 + 0.5) / 1000000.0 AS r6
+  FROM m{k}
+), g{k} AS MATERIALIZED (
+  SELECT g.b, SUM(CAST(r.r6 AS DECIMAL(18,6)) * g.cnt) AS gd
+  FROM gx g JOIN r{k} r USING (id) GROUP BY g.b
+), w{k + 1} AS MATERIALIZED (
+  SELECT w.b,
+    floor((w.w - {lr!r} * (CAST(COALESCE(g.gd, 0) AS DOUBLE)
+                           / (SELECT nd FROM nn)
+                           + CASE WHEN w.b = -1 THEN 0.0
+                                  ELSE {l2!r} * w.w END))
+          * 1000000.0 + 0.5) / 1000000.0 AS w
+  FROM w{k} w LEFT JOIN g{k} g USING (b)
+)"""
+        )
+    wf = f"w{epochs}"
+    parts.append(
+        f"""scored AS MATERIALIZED (
+  SELECT l.id, l.y,
+    (SELECT w FROM {wf} WHERE b = -1)
+      + CAST(COALESCE(SUM(CAST(w.w AS DECIMAL(18,6)) * g.cnt), 0) AS DOUBLE) AS z
+  FROM labels l
+  LEFT JOIN (SELECT * FROM gx WHERE b >= 0) g ON g.id = l.id
+  LEFT JOIN {wf} w ON w.b = g.b
+  GROUP BY l.id, l.y
+)"""
+    )
+    body = ",\n".join(parts)
+    return f"""WITH {body}
+SELECT id AS doc_id, z,
+       floor((1.0 / (1.0 + exp(-z))) * 1000000.0 + 0.5) / 1000000.0 AS p6,
+       CASE WHEN z >= 0 THEN 1 ELSE 0 END AS kept
+FROM scored"""

@@ -716,3 +716,411 @@ def pq_query_indexed(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "score")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-engine TRAINED IVF-PQ (round-10: grades the trained-codebook path)
+#
+# fixed_pq_codebooks made the PQ *operator* gradable; this makes the PQ
+# *training* gradable. The device is INTEGER k-means: subvectors are
+# quantized to ints (floor(u·1e6) of the L2-normalized vector — sqrt and
+# divide are correctly-rounded IEEE ops, so both engines produce the same
+# doubles and therefore the same ints), centroids stay integer vectors
+# (Lloyd means rounded half-up to ints — a 1e-6 relative perturbation,
+# nothing for codebook quality), and assignment is exact integer L2
+# argmin with first-minimum ties. Every training step is integer
+# arithmetic → a DuckDB CTE chain replays the whole trajectory
+# bit-identically, epoch by epoch, like the classifier's exact trainer.
+#
+# Scale shape: training is n_iters bounded rounds over the (id, s, sub)
+# relation — one argmin projection + ONE (s, c, j) aggregation collected
+# as m·ksub·dsub rows (the codebook, driver-bounded); encode/ADC/rerank
+# reuse the graded pq_topk_xengine discipline (codes in the scan
+# projection, broadcast query side, bucketed candidates, no cartesian).
+
+
+def pq_train_xengine(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+    n_iters: int = 2,
+    dim: int = 64,
+) -> list[list[list[int]]]:
+    """Integer Lloyd k-means per subspace over quantized normalized
+    subvectors; returns ``codebooks[s][c] = dsub ints`` (quantized space,
+    scale 1e6) — the values :func:`ivfpq_xengine_oracle_sql` recomputes.
+    Init = the ksub corpus rows with smallest (h(id), id) (the IVF
+    sample-codebook hash); empty clusters keep their previous centroid."""
+    import math
+
+    from clickhousedatamocker_spark.operators.similarity import (
+        _IVF_HA,
+        _IVF_HB,
+        _IVF_HP,
+        materialize_col,
+        quantize_vec,
+    )
+
+    dsub = _check_dims(dim, m)
+    e = corpus.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("__id"), as_double(vec_col).alias("__v")
+    )
+    e = materialize_col(e, F.sqrt(dot(F.col("__v"), F.col("__v"))), "__n", keep=["__id", "__v"])
+    e = materialize_col(
+        e,
+        quantize_vec(
+            F.when(F.col("__n") == 0.0, F.col("__v")).otherwise(
+                F.transform(F.col("__v"), lambda x: x / F.col("__n"))
+            )
+        ),
+        "__qu",
+        keep=["__id"],
+    )
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("s"),
+                F.slice(F.col("__qu"), s * dsub + 1, dsub).alias("sub"),
+            )
+            for s in range(m)
+        ]
+    )
+    sub = e.select("__id", F.explode(subs).alias("x")).select(
+        "__id", F.col("x.s").alias("s"), F.col("x.sub").alias("sub")
+    ).persist()
+    try:
+        h = (F.lit(_IVF_HA) * F.col("__id") + F.lit(_IVF_HB)) % F.lit(_IVF_HP)
+        seed_ids = [
+            r["__id"]
+            for r in e.select("__id").withColumn("__h", h).orderBy("__h", "__id").limit(ksub).collect()
+        ]
+        if len(seed_ids) < ksub:
+            raise ValueError(f"pq_train_xengine: corpus smaller than ksub={ksub}")
+        seed_rows = {
+            (r["s"], r["__id"]): list(r["sub"])
+            for r in sub.filter(F.col("__id").isin(seed_ids)).collect()
+        }
+        books = [
+            [[int(x) for x in seed_rows[(s, vid)]] for vid in seed_ids]
+            for s in range(m)
+        ]
+        for _ in range(n_iters):
+            b_lit = F.array(
+                *[
+                    F.array(*[F.lit([int(x) for x in books[s][c]]).cast("array<bigint>") for c in range(ksub)])
+                    for s in range(m)
+                ]
+            )
+            d2 = lambda cv: F.aggregate(  # noqa: E731
+                F.zip_with(F.col("sub"), cv, lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            )
+            scores = F.transform(
+                F.sequence(F.lit(0), F.lit(ksub - 1)),
+                lambda c: F.struct(
+                    d2(
+                        F.element_at(
+                            F.element_at(b_lit, (F.col("s") + 1).cast("int")),
+                            (c + 1).cast("int"),
+                        )
+                    ).alias("d"),
+                    c.cast("int").alias("c"),
+                ),
+            )
+            stats = (
+                sub.withColumn("c", F.array_min(scores)["c"])
+                .select("s", "c", F.posexplode("sub").alias("j", "x"))
+                .groupBy("s", "c", "j")
+                .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("cnt"))
+                .collect()
+            )
+            new_books = [[list(books[s][c]) for c in range(ksub)] for s in range(m)]
+            for r in stats:
+                # floor(double(sum)/count + 0.5): the same IEEE chain the
+                # oracle emits — sums fit a double exactly (≤ ~5e9)
+                new_books[r["s"]][r["c"]][r["j"]] = int(
+                    math.floor(float(r["sx"]) / r["cnt"] + 0.5)
+                )
+            books = new_books
+        return books
+    finally:
+        sub.unpersist()
+
+
+def ivfpq_topk_xengine(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    n_iters: int = 2,
+    rerank_depth: int = 100,
+    dim: int = 64,
+) -> DataFrame:
+    """TRAINED IVF-PQ, cross-engine exact end to end: integer sample-
+    codebook coarse buckets (the graded IVF discipline) bound candidates,
+    integer-k-means PQ codebooks (:func:`pq_train_xengine`) score them by
+    ADC over the reconstruction (round-6 cross-engine float discipline),
+    exact cosine rerank of the top ``rerank_depth``. Same plan shape as
+    the production :func:`ivfpq_topk`: codes in the scan projection,
+    broadcast query side, bucketed equi-join, never a cartesian."""
+    from clickhousedatamocker_spark.operators.similarity import (
+        _int_probe_cids,
+        ivf_codebook_xengine,
+        materialize_col,
+        quantize_vec,
+    )
+
+    dsub = _check_dims(dim, m)
+    centroids = ivf_codebook_xengine(corpus, id_col, vec_col, n_centroids)
+    books = pq_train_xengine(corpus, id_col, vec_col, m, ksub, n_iters, dim)
+    b_lit = F.array(
+        *[
+            F.array(*[F.lit([int(x) for x in books[s][c]]).cast("array<bigint>") for c in range(ksub)])
+            for s in range(m)
+        ]
+    )
+
+    base = corpus.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("__v")
+    )
+    base = base.withColumn(
+        "bucket", F.element_at(_int_probe_cids(quantize_vec(F.col("__v")), centroids, 1), 1)
+    )
+    base = materialize_col(
+        base,
+        F.sqrt(dot(F.col("__v"), F.col("__v"))),
+        "__n",
+        keep=["neighbor_id", "bucket", "__v"],
+    )
+    c = materialize_col(
+        base,
+        quantize_vec(
+            F.when(F.col("__n") == 0.0, F.col("__v")).otherwise(
+                F.transform(F.col("__v"), lambda x: x / F.col("__n"))
+            )
+        ),
+        "__qu",
+        keep=["neighbor_id", "bucket"],
+    )
+
+    def per_subspace_code(s: Column) -> Column:
+        sv = F.slice(F.col("__qu"), s.cast("int") * dsub + 1, dsub)
+        d2 = lambda cv: F.aggregate(  # noqa: E731
+            F.zip_with(sv, cv, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+        scores = F.transform(
+            F.sequence(F.lit(0), F.lit(ksub - 1)),
+            lambda cc: F.struct(
+                d2(
+                    F.element_at(
+                        F.element_at(b_lit, (s + 1).cast("int")), (cc + 1).cast("int")
+                    )
+                ).alias("d"),
+                cc.cast("int").alias("c"),
+            ),
+        )
+        return F.array_min(scores)["c"]
+
+    c = materialize_col(
+        c,
+        F.transform(F.sequence(F.lit(0), F.lit(m - 1)), per_subspace_code),
+        "__codes",
+        keep=["neighbor_id", "bucket"],
+    )
+    recon = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda s: F.transform(
+                F.element_at(
+                    F.element_at(b_lit, (s + 1).cast("int")),
+                    (F.element_at(F.col("__codes"), (s + 1).cast("int")) + 1).cast("int"),
+                ),
+                lambda x: x.cast("double") / F.lit(1000000.0),
+            ),
+        )
+    )
+    c = materialize_col(c, recon, "__r", keep=["neighbor_id", "bucket"])
+
+    qbase = queries.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
+    )
+    qn = F.sqrt(dot(F.col("qv"), F.col("qv")))
+    q = qbase.withColumn(
+        "qn",
+        F.when(qn == 0.0, F.col("qv")).otherwise(
+            F.transform(F.col("qv"), lambda x: x / qn)
+        ),
+    ).withColumn(
+        "bucket", F.explode(_int_probe_cids(quantize_vec(F.col("qv")), centroids, nprobe))
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id", "qv",
+            F.round(dot(F.col("qn"), F.col("__r")), 6).alias("adc"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.col("neighbor_id"))
+    depth = max(k, rerank_depth)
+    top = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= depth)
+    cv = corpus.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
+    )
+    exact = top.select("query_id", "neighbor_id", "qv").join(cv, "neighbor_id").select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("score"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score")
+    )
+
+
+def ivfpq_xengine_oracle_sql(
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    n_iters: int = 2,
+    rerank_depth: int = 100,
+    dim: int = 64,
+    query_pred: str = "vec_id < 5",
+    table: str = "embeddings",
+) -> str:
+    """DuckDB twin of :func:`ivfpq_topk_xengine` — replays the integer
+    k-means TRAINING (c0 → c{n_iters} chained CTEs), the coarse sample-
+    codebook assignment, encode, ADC and the exact rerank. Keep every
+    step in lockstep with the Spark operator."""
+    from clickhousedatamocker_spark.operators.similarity import (
+        _IVF_HA,
+        _IVF_HB,
+        _IVF_HP,
+        _QSCALE,
+    )
+
+    dsub = dim // m
+    hid = f"({_IVF_HA} * vec_id + {_IVF_HB}) % {_IVF_HP}"
+    d2_pq = (
+        f"list_sum(list_transform(generate_series(1, {dsub}), "
+        "j -> (sub.sub[j] - c.cv[j]) * (sub.sub[j] - c.cv[j])))"
+    )
+    d2_coarse = (
+        f"list_sum(list_transform(generate_series(1, {dim}), "
+        "j -> CAST(e.qv[j] - ccb.cv[j] AS DOUBLE) * CAST(e.qv[j] - ccb.cv[j] AS DOUBLE)))"
+    )
+    cos = (
+        "round(list_dot_product({a}, {b}) / sqrt(list_dot_product({a}, {a}) "
+        "* list_dot_product({b}, {b})), 6)"
+    )
+    parts = [
+        f"""e AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_transform(embedding::DOUBLE[], x -> CAST(floor(x * {_QSCALE}) AS BIGINT)) AS qv
+  FROM {table} WHERE embedding IS NOT NULL
+), n AS MATERIALIZED (
+  SELECT vec_id, v,
+    list_transform(
+      CASE WHEN list_dot_product(v, v) = 0 THEN v
+           ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v))) END,
+      x -> CAST(floor(x * {_QSCALE}) AS BIGINT)) AS qu
+  FROM e
+), sub AS MATERIALIZED (
+  SELECT vec_id, s, qu[((s-1)*{dsub}+1):((s-1)*{dsub}+{dsub})] AS sub
+  FROM n CROSS JOIN (SELECT unnest(generate_series(1, {m})) AS s)
+), seed AS MATERIALIZED (
+  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY {hid}, vec_id) AS INT) - 1 AS c
+  FROM e QUALIFY ROW_NUMBER() OVER (ORDER BY {hid}, vec_id) <= {ksub}
+), c0 AS MATERIALIZED (
+  SELECT sub.s, seed.c, sub.sub AS cv FROM seed JOIN sub USING (vec_id)
+)"""
+    ]
+    for it in range(n_iters):
+        parts.append(
+            f"""a{it} AS MATERIALIZED (
+  SELECT vec_id, s, c FROM (
+    SELECT sub.vec_id, sub.s, c.c, {d2_pq} AS d
+    FROM sub JOIN c{it} c ON c.s = sub.s
+  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, c) = 1
+), u{it} AS MATERIALIZED (
+  SELECT a.s, a.c, j,
+         CAST(floor(CAST(SUM(sub.sub[j]) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS x
+  FROM a{it} a JOIN sub ON sub.vec_id = a.vec_id AND sub.s = a.s
+  CROSS JOIN (SELECT unnest(generate_series(1, {dsub})) AS j)
+  GROUP BY a.s, a.c, j
+), c{it + 1} AS MATERIALIZED (
+  SELECT c.s, c.c, COALESCE(nl.cv, c.cv) AS cv
+  FROM c{it} c LEFT JOIN (
+    SELECT s, c, list(x ORDER BY j) AS cv FROM u{it} GROUP BY s, c
+  ) nl USING (s, c)
+)"""
+        )
+    cf = f"c{n_iters}"
+    parts.append(
+        f"""codes AS MATERIALIZED (
+  SELECT vec_id, s, c FROM (
+    SELECT sub.vec_id, sub.s, c.c, {d2_pq} AS d
+    FROM sub JOIN {cf} c ON c.s = sub.s
+  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, c) = 1
+), recon AS MATERIALIZED (
+  SELECT codes.vec_id,
+         flatten(list(list_transform(cb.cv, x -> CAST(x AS DOUBLE) / 1000000.0)
+                      ORDER BY codes.s)) AS r
+  FROM codes JOIN {cf} cb ON cb.s = codes.s AND cb.c = codes.c
+  GROUP BY codes.vec_id
+), ccb AS MATERIALIZED (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY {hid}, vec_id) AS INT) - 1 AS cid, qv AS cv
+  FROM e QUALIFY ROW_NUMBER() OVER (ORDER BY {hid}, vec_id) <= {n_centroids}
+), cad AS MATERIALIZED (
+  SELECT e.vec_id, ccb.cid, {d2_coarse} AS d2 FROM e CROSS JOIN ccb
+), cassign AS MATERIALIZED (
+  SELECT vec_id, cid AS bucket FROM cad
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1
+), ciq AS MATERIALIZED (
+  SELECT vec_id AS query_id, cid AS bucket FROM cad WHERE {query_pred}
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) <= {nprobe}
+), qn AS MATERIALIZED (
+  SELECT vec_id AS query_id,
+    CASE WHEN list_dot_product(v, v) = 0 THEN v
+         ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v))) END AS u
+  FROM e WHERE {query_pred}
+), adc AS MATERIALIZED (
+  SELECT q.query_id, a.vec_id AS neighbor_id,
+         round(list_dot_product(qn.u, r.r), 6) AS adc
+  FROM ciq q
+  JOIN cassign a ON a.bucket = q.bucket AND a.vec_id <> q.query_id
+  JOIN recon r ON r.vec_id = a.vec_id
+  JOIN qn ON qn.query_id = q.query_id
+), top AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM adc
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id)
+          <= {max(k, rerank_depth)}
+), rer AS (
+  SELECT t.query_id, t.neighbor_id, {cos.format(a='qe.v', b='ce.v')} AS score
+  FROM top t
+  JOIN e qe ON qe.vec_id = t.query_id
+  JOIN e ce ON ce.vec_id = t.neighbor_id
+)"""
+    )
+    body = ",\n".join(parts)
+    return f"""WITH {body}
+SELECT query_id, rank, neighbor_id, score FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank
+  FROM rer
+) WHERE rank <= {k}
+ORDER BY query_id, rank"""

@@ -1341,19 +1341,66 @@ def dsir_selection_profile(spark, sf_dir):
 
 
 # -------------------------------------------------------------------------
+from clickhousedatamocker_spark.operators.pq import (  # noqa: E402
+    ivfpq_xengine_oracle_sql,
+)
+
+
 @register(
     "similarity_topk_ivfpq",
-    None,  # rows-only (graded window full); hash-exact grading lives in
-    # tests/test_pq.py (numpy encode parity, ADC+rerank recall vs brute
-    # force, exact-cosine rerank score check, no-cartesian plan pin)
-    description="IVF-PQ ANN (Jegou et al. 2011, the FAISS stack): coarse "
-    "IVF buckets bound candidates (bucketed equi-join), product-quantized "
-    "codes (m=8 bytes/vector, ~64x vs float64) score candidates via ADC "
-    "lookup tables carried as data (plan O(1) in the model), exact rerank "
-    "of the top-R restores recall while reading R/corpus raw vectors. "
-    "Codebooks train once on a deterministic hash sample.",
+    # GRADED r10 (verdict task 1): the TRAINED-codebook IVF-PQ stack gets
+    # a driver-graded row via INTEGER k-means — quantized normalized
+    # subvectors, integer centroids (Lloyd means rounded half-up),
+    # exact-integer argmin — so the DuckDB oracle replays coarse
+    # assignment, PQ TRAINING (c0 -> c2 chained CTEs), encode, ADC and
+    # the exact rerank bit-identically. The float/numpy production stack
+    # stays registered below (similarity_topk_ivfpq_float) with recall
+    # pinned in tests/test_pq.py.
+    ivfpq_xengine_oracle_sql(
+        k=10, n_centroids=8, nprobe=4, m=8, ksub=16, n_iters=2, rerank_depth=100
+    ),
+    description="IVF-PQ ANN with TRAINED codebooks (Jegou et al. 2011, "
+    "the FAISS stack), driver-graded END-TO-END INCLUDING TRAINING (r10): "
+    "coarse integer sample-codebook buckets bound candidates (bucketed "
+    "equi-join, never cartesian), PQ codebooks trained by integer Lloyd "
+    "k-means (2 iterations over the (id, subspace) relation - one argmin "
+    "projection + ONE bounded (s, c, dim) aggregation per round, "
+    "driver-bounded codebook state), candidates scored by ADC over the "
+    "literal-codebook reconstruction, exact cosine rerank of the top-100. "
+    "Every training step is integer arithmetic, so the DuckDB twin "
+    "replays the whole trajectory bit-identically.",
 )
 def similarity_topk_ivfpq(spark, sf_dir):
+    from clickhousedatamocker_spark.operators.pq import ivfpq_topk_xengine
+
+    emb = t(spark, sf_dir, "embeddings")
+    return ivfpq_topk_xengine(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        k=10,
+        n_centroids=8,
+        nprobe=4,
+        m=8,
+        ksub=16,
+        n_iters=2,
+        rerank_depth=100,
+    ).orderBy("query_id", "rank")
+
+
+# -------------------------------------------------------------------------
+@register(
+    "similarity_topk_ivfpq_float",
+    None,  # rows-only: the float k-means production stack (xxhash-free
+    # numpy training) has no hash-exact SQL twin; encode parity, ADC+
+    # rerank recall vs brute force and the no-cartesian plan pin live in
+    # tests/test_pq.py. The trained path is driver-graded above via the
+    # integer-k-means twin.
+    description="IVF-PQ ANN, float production stack: numpy k-means "
+    "codebooks on a deterministic hash sample, Arrow-broadcast encode, "
+    "ADC lookup tables carried as data (plan O(1) in the model), exact "
+    "rerank of the top-R.",
+)
+def similarity_topk_ivfpq_float(spark, sf_dir):
     from clickhousedatamocker_spark.operators.pq import ivfpq_topk, pq_train
     from clickhousedatamocker_spark.operators.similarity import ivf_train
 
@@ -1823,32 +1870,75 @@ def quality_classifier_profile(spark, sf_dir):
 
 
 # -------------------------------------------------------------------------
+_QCT_TEXT_SQL = (
+    "CASE WHEN doc_id % 3 = 0 "
+    "THEN COALESCE(text, '') || ' qcmarker qcmarker qcmarker' ELSE text END"
+)
+_QCT_NB, _QCT_EPOCHS, _QCT_LR, _QCT_L2 = 2048, 20, 0.08, 0.02
+
+
+def _quality_classifier_trained_oracle_sql() -> str:
+    """END-TO-END DuckDB twin: recompute the full-batch GD TRAINING epoch
+    by epoch (classifier_trained_oracle_sql's chained CTEs — the
+    decimal-exact/6dp-grid discipline makes the two weight trajectories
+    bit-identical), then the per-source profile over the final model."""
+    from clickhousedatamocker_spark.operators.classifier import (
+        classifier_trained_oracle_sql,
+    )
+
+    per_doc = classifier_trained_oracle_sql(
+        _QCT_NB, _QCT_EPOCHS, _QCT_LR, _QCT_L2, text_expr=_QCT_TEXT_SQL
+    )
+    return f"""
+WITH per_doc AS (
+{per_doc}
+)
+SELECT d.source,
+  COUNT(*) AS n_total,
+  CAST(SUM(CASE WHEN d.doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rule_pos,
+  COUNT(*) FILTER (WHERE s.kept = 1) AS n_clf_kept,
+  COUNT(*) FILTER (WHERE (s.kept = 1) = (d.doc_id % 3 = 0)) AS n_agree,
+  CAST(SUM(CAST(s.p6 AS DECIMAL(18,6))) AS DOUBLE) / COUNT(s.p6) AS mean_prob
+FROM documents d LEFT JOIN per_doc s ON s.doc_id = d.doc_id
+GROUP BY d.source
+ORDER BY d.source
+""".strip()
+
+
 @register(
     "quality_classifier_trained_profile",
-    None,  # rows-only: GD training is float-trajectory state no SQL oracle
-    # can replay; it is pinned step-for-step by tests/test_classifier.py's
-    # numpy parity suite, and the INFERENCE half is driver-graded above
-    # (quality_classifier_profile's fixed-weights DuckDB twin)
+    # GRADED r10 (verdict task 1): the TRAINED path gets a driver-graded
+    # row via the cross-engine EXACT trainer — 6dp-grid weights, exact-
+    # decimal margin/gradient sums (order-independent in BOTH engines),
+    # residuals/updates floored to the grid with the identical IEEE op
+    # chain — so the DuckDB oracle RECOMPUTES all 20 GD epochs and lands
+    # on bit-identical weights. The float-trajectory production trainer
+    # stays pinned by tests/test_classifier.py's numpy parity suite.
+    _quality_classifier_trained_oracle_sql(),
     description="fastText-style quality classifier (Joulin et al. 2016) — "
     "the CCNet/LLaMA-lineage 'reference-like page' filter: logistic "
-    "regression over hashed uni+bigram features, trained by full-batch GD "
-    "(per epoch: one row-local scoring projection + ONE (bucket,grad) "
-    "shuffle collected as a bounded num_buckets vector), then a "
-    "zero-shuffle scoring/selection pass (literal weight array small / "
-    "Arrow broadcast large, same auto-selection as DSIR). The fixture's "
-    "source/lang labels are text-independent noise (unlearnable by "
-    "construction — verified: every source scores the base rate), so the "
-    "profile plants the signal it trains on: docs with doc_id%3==0 get a "
-    "boilerplate marker token appended, the label is the marker rule, and "
-    "count features (bag-of-words LR — mean features put ~1/n_grams mass "
-    "on the marker and need |w|~n_grams to separate) learn it in 20 "
-    "epochs. Self-checking: per-source agreement at the 0.5 gate must "
-    "track the planted split, and probabilities spread to the rails.",
+    "regression over hashed uni+bigram count features, trained by "
+    "full-batch GD (per epoch: one exact-decimal margin join + ONE "
+    "(bucket, grad) aggregation collected as a bounded vector), scored "
+    "and profiled per source. Driver-graded END-TO-END INCLUDING "
+    "TRAINING (r10): weights live on a 6-decimal grid, margins and "
+    "gradients are exact DECIMAL sums, and updates are a fixed IEEE op "
+    "chain, so DuckDB replays the whole 20-epoch trajectory "
+    "bit-identically in chained CTEs. The fixture's source/lang labels "
+    "are text-independent noise (unlearnable by construction), so the "
+    "profile plants the signal it trains on: docs with doc_id%3==0 get "
+    "a boilerplate marker appended and the label is the marker rule. "
+    "Self-checking: per-source agreement at the z>=0 gate tracks the "
+    "planted split (>=99% on the fixture) and probabilities spread "
+    "toward the rails. Production scoring stays the zero-shuffle "
+    "classifier_score path (graded by quality_classifier_profile).",
 )
 def quality_classifier_trained_profile(spark, sf_dir):
     from clickhousedatamocker_spark.operators.classifier import (
-        classifier_score,
-        train_text_classifier,
+        _grid6,
+        exact_margins,
+        train_text_classifier_xengine,
+        xengine_count_features,
     )
 
     docs = t(spark, sf_dir, "documents")
@@ -1859,20 +1949,32 @@ def quality_classifier_trained_profile(spark, sf_dir):
             F.concat(F.coalesce("text", F.lit("")), F.lit(" qcmarker qcmarker qcmarker")),
         ).otherwise(F.col("text")),
     )
-    weights, bias = train_text_classifier(
-        labeled, "__rule", num_buckets=2048, epochs=20, lr=0.08, l2=0.02, feature="count"
+    weights, bias = train_text_classifier_xengine(
+        labeled, "__rule", num_buckets=_QCT_NB, epochs=_QCT_EPOCHS, lr=_QCT_LR, l2=_QCT_L2
     )
-    scored = classifier_score(labeled, weights, bias, out_col="__p", feature="count")
+    labels = labeled.filter(F.col("text").isNotNull()).select(
+        F.col("doc_id").alias("__id"), F.col("__rule").cast("double").alias("__y")
+    )
+    ex = xengine_count_features(labeled, num_buckets=_QCT_NB)
+    scored = exact_margins(ex, labels, weights, bias).select(
+        "__id",
+        F.col("__z"),
+        _grid6(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("__z")))).alias("__p6"),
+    )
+    joined = labeled.join(scored, labeled.doc_id == scored.__id, "left")
     return (
-        scored.groupBy("source")
+        joined.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_total"),
-            F.sum("__rule").alias("n_rule_pos"),
-            F.count_if(F.col("__p") >= 0.5).alias("n_clf_kept"),
+            F.sum("__rule").cast("long").alias("n_rule_pos"),
+            F.count_if(F.col("__z") >= 0).alias("n_clf_kept"),
             F.count_if(
-                (F.col("__p") >= 0.5).cast("int") == F.col("__rule")
+                (F.col("__z") >= 0) == (F.col("__rule") == 1)
             ).alias("n_agree"),
-            F.round(F.avg("__p"), 4).alias("mean_prob"),
+            (
+                F.sum(F.col("__p6").cast("decimal(18,6)")).cast("double")
+                / F.count("__p6")
+            ).alias("mean_prob"),
         )
         .orderBy("source")
     )

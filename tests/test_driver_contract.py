@@ -207,3 +207,21 @@ def test_contract_round7_graded_rotation_under_bare_session():
             "pipeline_select_dedup_pack_xengine",
         ]
     )
+
+
+def test_contract_round10_graded_rotation_under_bare_session():
+    """The three round-10 graded twins under a bare external session:
+    the trained-classifier twin replays 20 GD epochs in MATERIALIZED
+    chained CTEs (exact-decimal sums + 6dp-grid floor arithmetic through
+    the driver's float-coercing pandas fetch), the trained IVF-PQ twin
+    replays integer k-means (list(x ORDER BY j) reassembly + HUGEINT
+    integer distances), and the EMA twin derives epoch seconds with
+    epoch_us // 1000000 against Spark's unix_timestamp on the loader's
+    UTC-instant read — the timezone class."""
+    _run_probe(
+        [
+            "quality_classifier_trained_profile",
+            "similarity_topk_ivfpq",
+            "ema_time_decay_profile",
+        ]
+    )
