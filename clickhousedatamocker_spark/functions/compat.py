@@ -4360,10 +4360,12 @@ _PARAMETRIC.update(
             "CAST(unix_timestamp({x}) "
             "- unix_timestamp(to_utc_timestamp({x}, current_timezone())) AS INT)"
         ),
-        "seriesDecomposeSTL": _pm_gate(
-            "seriesDecomposeSTL",
-            "STL needs LOESS (statsmodels), absent here; decompose offline "
-            "or use seriesPeriodDetectFFT + a moving-average detrend",
+        # r10 graduation: faithful numpy Cleveland-STL port
+        # (functions/stl.py) — [seasonal, trend, residue, baseline]
+        # Float32 arrays; decomposition identity exact, stl-cpp bit
+        # parity NOT guaranteed (documented), recovery laws golden-tested
+        "seriesDecomposeSTL": _pm_2arg_fa(
+            "chSeriesDecomposeSTL(CAST({f} AS ARRAY<DOUBLE>), CAST({a} AS INT))"
         ),
         "tupleHammingDistance": _pm_gate(
             "tupleHammingDistance",

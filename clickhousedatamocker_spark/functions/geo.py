@@ -487,6 +487,34 @@ def _extract_all_groups(s: pd.Series, pat: pd.Series, horizontal: bool) -> pd.Se
     return pd.Series([one(x, p) for x, p in zip(s, pat)])
 
 
+def _series_decompose_stl(s: pd.Series, p: pd.Series) -> pd.Series:
+    """seriesDecomposeSTL(series, period) → [seasonal, trend, residue,
+    baseline] as Float32 arrays (the CH docs contract) via the faithful
+    numpy Cleveland-STL port (functions/stl.py — decomposition identity
+    exact, bit parity with stl-cpp NOT guaranteed, see the module
+    docstring). NULL series → NULL; CH's refusals (period < 2, series
+    shorter than two periods, non-finite values) surface as errors."""
+    import numpy as np
+
+    from clickhousedatamocker_spark.functions.stl import stl_decompose
+
+    out = []
+    for series, period in zip(s, p):
+        if series is None or period is None:
+            out.append(None)
+            continue
+        season, trend, resid = stl_decompose(series, int(period))
+        out.append(
+            [
+                np.asarray(season, dtype=np.float32),
+                np.asarray(trend, dtype=np.float32),
+                np.asarray(resid, dtype=np.float32),
+                np.asarray(season + trend, dtype=np.float32),
+            ]
+        )
+    return pd.Series(out, dtype=object)
+
+
 def _tukey_outliers(s: pd.Series) -> pd.Series:
     """seriesOutliersDetectTukey: per element, the signed distance beyond
     the 1.5*IQR Tukey fences (0 inside). Quartiles via linear
@@ -593,6 +621,9 @@ def register_batch24_functions(spark: SparkSession) -> None:
         "chSeriesOutliersTukey", pandas_udf(_tukey_outliers, "array<double>")
     )
     spark.udf.register("chSeriesPeriodFFT", pandas_udf(_fft_period, "double"))
+    spark.udf.register(
+        "chSeriesDecomposeSTL", pandas_udf(_series_decompose_stl, "array<array<float>>")
+    )
     spark.udf.register("chArrayAUCPR", pandas_udf(_array_aucpr, "double"))
     spark.udf.register(
         "chJumpConsistentHash", pandas_udf(_jump_consistent_hash, "bigint")

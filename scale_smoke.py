@@ -258,6 +258,12 @@ def main() -> None:
         "similarity_topk_sq8",
         "similarity_topk_pq",
         "similarity_topk_bq",
+        # round-10 (verdict ask #7): the time-decay tier's second decade —
+        # the sf1 row showed 0.5x at 10x (Arrow-dispatch amortization over
+        # fixed users); sf3 gives the same two-decade evidence standard.
+        # Since r10 the dispatch is key-bucketed, so the expected shape is
+        # plain ~3x-at-3x linearity in rows.
+        "ema_time_decay_profile",
     )
     dst2 = os.environ.get("SPARK_GRAFT_SF3_DIR", "/tmp/spark_graft_sf3_docs")
     os.makedirs(dst2, exist_ok=True)
@@ -282,6 +288,16 @@ def main() -> None:
             n_replicas=REPLICAS2,
         )
         print(f"built sf3 embeddings at {dst2} in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    if "--rebuild" in sys.argv or not os.path.exists(os.path.join(dst2, "events.parquet")):
+        t0 = time.perf_counter()
+        _replicate(
+            spark,
+            os.path.join(src_dir, "events.parquet"),
+            os.path.join(dst2, "events.parquet"),
+            {"event_id": KEY_OFFSET},
+            n_replicas=REPLICAS2,
+        )
+        print(f"built sf3 events at {dst2} in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
     decade2: dict[str, dict] = {}
     for name in gram_keys:
         fn = REGISTRY[name].fn

@@ -101,7 +101,8 @@ def test_misc_batch24(eng):
 
 def test_batch24_loud_gates(eng):
     for sql, frag in [
-        ("SELECT seriesDecomposeSTL(array(1.0,2,3), 3) AS a", "LOESS"),
+        # seriesDecomposeSTL graduated to a real rewrite in r10 — covered
+        # by tests/test_stl.py (the gate row here became the rewrite)
         ("SELECT tupleHammingDistance((1,2), (2,2)) AS a", "zip_with"),
         ("SELECT kostikConsistentHash(42, 2) AS a", "jumpConsistentHash"),
         # sequenceNextNode graduated to a real rewrite in r9 — covered by
