@@ -20,6 +20,7 @@ from clickhousedatamocker_spark.functions.geo import (
     register_batch23_functions,
     register_batch24_functions,
     register_batch26_functions,
+    register_batch27_functions,
     register_python_functions,
 )
 from clickhousedatamocker_spark.functions.stats import (
@@ -109,6 +110,7 @@ class Engine:
         register_batch23_functions(spark)
         register_batch24_functions(spark)
         register_batch26_functions(spark)
+        register_batch27_functions(spark)
         register_stats_functions(spark)
         register_stats25_functions(spark)
 

@@ -2043,9 +2043,9 @@ _PARAMETRIC.update(
         "deltaSum": _pm_order_dependent(
             "deltaSum", "sum(greatest(x - lag(x) OVER (ORDER BY ...), 0))"
         ),
-        "deltaSumTimestamp": _pm_order_dependent(
-            "deltaSumTimestamp", "sum(greatest(x - lag(x) OVER (ORDER BY ts), 0))"
-        ),
+        # deltaSumTimestamp: REAL rewrite in batch 27 (r10) — it carries
+        # its own ordering column, so the old arrival-order gate here was
+        # wrong to lump it with the neighbor family
     }
 )
 
@@ -2731,6 +2731,346 @@ _PARAMETRIC.update(
 )
 
 
+# -- vocab batch 27 (round 10, probe wave 27) --------------------------------
+
+
+def _pm_throw_if(args: list[str]) -> str:
+    """throwIf(cond[, message]) → per-row raise when cond is non-zero,
+    else 0 (CH's UInt8 zero)."""
+    if len(args) not in (1, 2):
+        raise NotImplementedError("throwIf expects (condition[, message])")
+    msg = args[1] if len(args) == 2 else "'throwIf: condition is non-zero'"
+    return (
+        f"(CASE WHEN CAST({args[0]} AS BOOLEAN) "
+        f"THEN CAST(raise_error({msg}) AS INT) ELSE 0 END)"
+    )
+
+
+def _pm_ulid_to_datetime(args: list[str]) -> str:
+    """ULIDStringToDateTime(ulid) → the 48-bit unix-millis prefix (10
+    Crockford-base32 chars) as a timestamp. Length-checked loudly;
+    charset is trusted (generateULID's own alphabet — a foreign char
+    yields a garbage instant rather than a throw, documented)."""
+    if len(args) not in (1, 2):
+        raise NotImplementedError("ULIDStringToDateTime expects (ulid[, timezone])")
+    if len(args) == 2:
+        raise NotImplementedError(
+            "ULIDStringToDateTime with a timezone argument is not supported - "
+            "timestamps here are session-zone instants"
+        )
+    x = args[0]
+    alpha = "'0123456789ABCDEFGHJKMNPQRSTVWXYZ'"
+    ms = (
+        f"aggregate(sequence(1, 10), CAST(0 AS BIGINT), (__ul_a, __ul_i) -> "
+        f"__ul_a * 32 + instr({alpha}, substr(upper({x}), __ul_i, 1)) - 1)"
+    )
+    return (
+        f"(CASE WHEN ({x}) IS NULL THEN CAST(NULL AS TIMESTAMP) "
+        f"WHEN length({x}) = 26 THEN timestamp_millis({ms}) "
+        f"ELSE CAST(raise_error('ULIDStringToDateTime: a ULID is exactly "
+        f"26 characters') AS TIMESTAMP) END)"
+    )
+
+
+def _pm_categorical_iv(args: list[str]) -> str:
+    """categoricalInformationValue(cat1, ..., tag) → Array(Float64): per
+    binary category column k, ((a/t1) − (b/t0))·ln((a/t1)/(b/t0)) with
+    a = count(cat_k≠0 & tag≠0), b = count(cat_k≠0 & tag=0) — the CH docs
+    formula. Rows with any NULL argument are skipped (CH aggregate NULL
+    rule). Float edge cases (empty class, zero counts) surface as
+    NULL/NaN rather than CH's ±inf — documented."""
+    if len(args) < 2:
+        raise NotImplementedError(
+            "categoricalInformationValue expects (category1, ..., tag)"
+        )
+    tag = args[-1]
+    nn = " AND ".join(f"({a}) IS NOT NULL" for a in args)
+    t1 = f"sum(CASE WHEN {nn} AND ({tag}) != 0 THEN 1.0D ELSE 0.0D END)"
+    t0 = f"sum(CASE WHEN {nn} AND ({tag}) = 0 THEN 1.0D ELSE 0.0D END)"
+    vals = []
+    for c in args[:-1]:
+        a = f"sum(CASE WHEN {nn} AND ({tag}) != 0 AND ({c}) != 0 THEN 1.0D ELSE 0.0D END)"
+        b = f"sum(CASE WHEN {nn} AND ({tag}) = 0 AND ({c}) != 0 THEN 1.0D ELSE 0.0D END)"
+        # every count must be positive or the IV term is undefined (ln of
+        # 0/inf; ANSI division would abort the block) — NULL those terms
+        vals.append(
+            f"(CASE WHEN ({a}) > 0 AND ({b}) > 0 AND ({t1}) > 0 AND ({t0}) > 0 "
+            f"THEN (({a}) / ({t1}) - ({b}) / ({t0})) "
+            f"* ln((({a}) / ({t1})) / (({b}) / ({t0}))) END)"
+        )
+    return f"array({', '.join(vals)})"
+
+
+def _pm_max_intersections_position(args: list[str]) -> str:
+    """maxIntersectionsPosition(start, end): the LEFT endpoint where the
+    maximum interval overlap is first reached — the same +1/−1 sweep as
+    maxIntersections, additionally recording the event position whenever
+    the running count sets a new maximum (which can only happen on a
+    start event)."""
+    if len(args) != 2:
+        raise NotImplementedError("maxIntersectionsPosition expects (start, end)")
+    s, e = args
+    evs = (
+        f"array_sort(flatten(collect_list(array("
+        f"named_struct('t', CAST({s} AS BIGINT), 'd', 1), "
+        f"named_struct('t', CAST({e} AS BIGINT), 'd', -1)))))"
+    )
+    return (
+        f"aggregate({evs}, named_struct('c', 0, 'm', 0, 'p', CAST(NULL AS BIGINT)), "
+        f"(__mp_a, __mp_v) -> named_struct("
+        f"'c', __mp_a.c + __mp_v.d, "
+        f"'m', greatest(__mp_a.m, __mp_a.c + __mp_v.d), "
+        f"'p', CASE WHEN __mp_a.c + __mp_v.d > __mp_a.m THEN __mp_v.t ELSE __mp_a.p END), "
+        f"__mp_a -> __mp_a.p)"
+    )
+
+
+def _pm_delta_sum_timestamp(args: list[str]) -> str:
+    """deltaSumTimestamp(value, timestamp) — REAL rewrite (r10 graduation
+    from the arrival-order gate: unlike deltaSum, this form carries its
+    own ordering column): sort the group by timestamp, sum the POSITIVE
+    consecutive deltas (decreases ignored, first value is the baseline).
+    Time ties order by value (CH keeps arrival order there — undefined
+    distributed; the deterministic tiebreak is documented). DOUBLE out."""
+    if len(args) != 2:
+        raise NotImplementedError("deltaSumTimestamp expects (value, timestamp)")
+    v, t = args
+    pairs = (
+        f"array_sort(collect_list(CASE WHEN ({v}) IS NOT NULL AND ({t}) IS NOT NULL "
+        f"THEN named_struct('t', {t}, 'v', CAST({v} AS DOUBLE)) END))"
+    )
+    return (
+        f"aggregate({pairs}, "
+        f"named_struct('acc', CAST(0.0 AS DOUBLE), 'prev', CAST(NULL AS DOUBLE)), "
+        f"(__dst_a, __dst_e) -> named_struct("
+        f"'acc', __dst_a.acc + CASE WHEN __dst_a.prev IS NOT NULL "
+        f"AND __dst_e.v > __dst_a.prev THEN __dst_e.v - __dst_a.prev "
+        f"ELSE CAST(0.0 AS DOUBLE) END, "
+        f"'prev', __dst_e.v), __dst_a -> __dst_a.acc)"
+    )
+
+
+def _pm_cut_ipv6(args: list[str]) -> str:
+    if len(args) != 3:
+        raise NotImplementedError(
+            "cutIPv6 expects (addr, bytesToCutForIPv6, bytesToCutForIPv4)"
+        )
+    return (
+        f"chCutIPv6({args[0]}, CAST({args[1]} AS INT), CAST({args[2]} AS INT))"
+    )
+
+
+# the isIPv4String pattern + octet fold, inlined so the OrNull/OrZero
+# tails stay one expression (the SQL-UDF toIPv4 keeps the throwing form).
+# Braces doubled: these strings pass through _pm_1arg's .format().
+_IPV4_PAT = (
+    r"'^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\.){{3}}"
+    r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$'"
+)
+_IPV4_FOLD = (
+    "aggregate(transform(split({x}, '\\\\.'), __ip_o -> CAST(__ip_o AS BIGINT)), "
+    "CAST(0 AS BIGINT), (__ip_a, __ip_o) -> __ip_a * 256 + __ip_o)"
+)
+
+_PARAMETRIC.update(
+    {
+        "throwIf": _pm_throw_if,
+        "ULIDStringToDateTime": _pm_ulid_to_datetime,
+        "categoricalInformationValue": _pm_categorical_iv,
+        "maxIntersectionsPosition": _pm_max_intersections_position,
+        # r10 graduation: unlike deltaSum, this form carries its own
+        # ordering column — overrides the batch-13 arrival-order gate
+        "deltaSumTimestamp": _pm_delta_sum_timestamp,
+        # any/anyLast are arbitrary-pick aggregates; the RESPECT NULLS
+        # spellings keep the first/last value INCLUDING NULLs
+        "any_respect_nulls": _pm_1arg("first({x})"),
+        "anyLast_respect_nulls": _pm_1arg("last({x})"),
+        "toIPv6": _pm_1arg("chToIPv6({x})"),
+        "toIPv6OrNull": _pm_1arg("chToIPv6({x})"),
+        "toIPv6OrZero": _pm_1arg("coalesce(chToIPv6({x}), '::')"),
+        "toIPv4OrNull": _pm_1arg(
+            f"(CASE WHEN ({{x}}) RLIKE {_IPV4_PAT} THEN {_IPV4_FOLD} "
+            f"ELSE CAST(NULL AS BIGINT) END)"
+        ),
+        "toIPv4OrZero": _pm_1arg(
+            f"(CASE WHEN ({{x}}) RLIKE {_IPV4_PAT} THEN {_IPV4_FOLD} "
+            f"ELSE CAST(0 AS BIGINT) END)"
+        ),
+        "IPv6CIDRToRange": _pm_2arg("chIPv6CIDRToRange({f}, CAST({a} AS INT))"),
+        "cutIPv6": _pm_cut_ipv6,
+        "parseTimeDelta": _pm_1arg("chParseTimeDelta({x})"),
+        # introspection/curve gates (loud, with recipes)
+        "blockSize": _pm_gate(
+            "blockSize",
+            "blocks are a ClickHouse pipeline concept with no Spark "
+            "equivalent - count rows explicitly (count() over the scope "
+            "you mean)",
+        ),
+        # rowNumberInBlock: already gated by the arrival-order family
+        "dumpColumnStructure": _pm_gate(
+            "dumpColumnStructure",
+            "column chunk layout is engine-specific - toTypeName gives "
+            "the portable type name",
+        ),
+        "getMacro": _pm_gate(
+            "getMacro",
+            "server config macros do not exist here - inline the value "
+            "or use a session variable",
+        ),
+        "isDecimalOverflow": _pm_gate(
+            "isDecimalOverflow",
+            "compare digits explicitly: countDigits(d) > p (countDigits "
+            "is implemented)",
+        ),
+        "arrayEnumerateUniqRanked": _pm_gate(
+            "arrayEnumerateUniqRanked",
+            "ranked enumeration over nested arrays is not shimmed - "
+            "flatten + arrayEnumerateUniq per level",
+        ),
+        "arrayEnumerateDenseRanked": _pm_gate(
+            "arrayEnumerateDenseRanked",
+            "ranked enumeration over nested arrays is not shimmed - "
+            "flatten + arrayEnumerateDense per level",
+        ),
+        "hilbertEncode": _pm_gate(
+            "hilbertEncode",
+            "ClickHouse's Hilbert curve orientation comes from its own "
+            "lookup tables (bit parity unverifiable here) - use "
+            "mortonEncode for space-filling locality bucketing",
+        ),
+        "hilbertDecode": _pm_gate(
+            "hilbertDecode",
+            "ClickHouse's Hilbert curve orientation comes from its own "
+            "lookup tables (bit parity unverifiable here) - use "
+            "mortonDecode for space-filling locality bucketing",
+        ),
+    }
+)
+
+
+# -- vocab batch 27b (round 10, probe wave 27b) -------------------------------
+
+
+def _pm_string_compare(args: list[str]) -> str:
+    """stringCompare(a, b) → -1/0/1 (byte order == Spark's binary string
+    collation). The 5-arg offset/length form needs slicing CH counts in
+    BYTES — refused with the substr recipe."""
+    if len(args) == 2:
+        a, b = args
+        return (
+            f"(CASE WHEN ({a}) < ({b}) THEN -1 WHEN ({a}) > ({b}) THEN 1 ELSE 0 END)"
+        )
+    raise NotImplementedError(
+        "stringCompare with offsets/lengths is not shimmed - slice "
+        "explicitly with substr first"
+    )
+
+
+_UUID_PAT = (
+    "'^[0-9a-fA-F]{{8}}-[0-9a-fA-F]{{4}}-[0-9a-fA-F]{{4}}"
+    "-[0-9a-fA-F]{{4}}-[0-9a-fA-F]{{12}}$'"
+)
+
+_TUPLE_MATH_RECIPE = "use arrays: zip_with(a, b, (x, y) -> x {op} y)"
+
+_PARAMETRIC.update(
+    {
+        # CH's [sic] spelling is 'Continous'; both resolve (lambda: the
+        # canonical handler is defined later in the module)
+        "minSampleSizeContinous": lambda a: _pm_min_sample_size_continuous(a),
+        "subtractTupleOfIntervals": lambda a: _pm_add_tuple_of_intervals(a, "-"),
+        # UTF8 string variants: Spark strings are already UTF-8/codepoint
+        # semantics, so the plain builtins ARE the UTF8 forms
+        "startsWithUTF8": _pm_2arg("startswith({f}, {a})"),
+        "endsWithUTF8": _pm_2arg("endswith({f}, {a})"),
+        "substringIndexUTF8": lambda a: (
+            f"substring_index({', '.join(a)})"
+            if len(a) == 3
+            else _raise_nie("substringIndexUTF8 expects (s, delim, count)")
+        ),
+        "stringCompare": _pm_string_compare,
+        # -OrNull on argMax/argMin: Spark max_by/min_by already return
+        # NULL on an empty group
+        "argMaxOrNull": _pm_2arg("max_by({f}, {a})"),
+        "argMinOrNull": _pm_2arg("min_by({f}, {a})"),
+        # UUID checked conversions (CH zero UUID on failure for OrZero)
+        "toUUIDOrNull": _pm_1arg(
+            f"(CASE WHEN ({{x}}) RLIKE {_UUID_PAT} THEN lower({{x}}) END)"
+        ),
+        "toUUIDOrZero": _pm_1arg(
+            f"(CASE WHEN ({{x}}) RLIKE {_UUID_PAT} THEN lower({{x}}) "
+            f"ELSE '00000000-0000-0000-0000-000000000000' END)"
+        ),
+        # UUIDs are canonical strings here, so the UUID-typed form is the
+        # string form (the 2-arg variant flag reorders bytes - gated)
+        "UUIDToNum": lambda a: (
+            f"unhex(replace({a[0]}, '-', ''))"
+            if len(a) == 1
+            else _raise_nie(
+                "UUIDToNum with a variant argument is not shimmed - byte "
+                "order variants need binary surgery (unhex + reverse slices)"
+            )
+        ),
+        # isNullable: every Spark column is nullable (same convention as
+        # toNullable's identity)
+        "isNullable": _pm_1arg("(CASE WHEN ({x}) IS NULL THEN true ELSE true END)"),
+        "isNotDistinctFrom": _pm_2arg("(({f}) <=> ({a}))"),
+        # tuple arithmetic: struct arity is type metadata a textual shim
+        # cannot inspect (the tuplePlus/tupleConcat family's gate)
+        **{
+            name: _pm_gate(name, _TUPLE_MATH_RECIPE.format(op=op))
+            for name, op in [
+                ("tupleMultiply", "*"),
+                ("tupleDivide", "/"),
+                ("tupleIntDiv", "div"),
+                ("tupleModulo", "%"),
+            ]
+        },
+        "tupleNegate": _pm_gate(
+            "tupleNegate", "use arrays: transform(a, x -> -x)"
+        ),
+        "tupleDivideByNumber": _pm_gate(
+            "tupleDivideByNumber", "use arrays: transform(a, x -> x / n)"
+        ),
+        "arrayReduceInRanges": _pm_gate(
+            "arrayReduceInRanges",
+            "per-range reduction is not shimmed - transform the ranges "
+            "array with slice() + aggregate() (arrayReduce itself is "
+            "implemented)",
+        ),
+        "sparseGrams": _pm_gate(
+            "sparseGrams",
+            "experimental CH tokenizer without a published stable "
+            "contract - use ngrams()/tokens()",
+        ),
+        "javaHashUTF16LE": _pm_gate(
+            "javaHashUTF16LE",
+            "byte-reinterpreting hash - encode explicitly (javaHash over "
+            "the UTF-16LE bytes you mean); javaHash itself is bit-exact",
+        ),
+        "reinterpretAsString": _pm_gate(
+            "reinterpretAsString",
+            "byte reinterpretation needs the value's in-memory width - "
+            "use char()/chr() for codepoints or unhex(hex(x)) for bytes",
+        ),
+        "structureToProtobufSchema": _pm_gate(
+            "structureToProtobufSchema",
+            "schema transpilers are out of scope - derive from "
+            "df.schema programmatically",
+        ),
+        "formatQuery": _pm_gate(
+            "formatQuery",
+            "SQL pretty-printing is a client concern - this engine has "
+            "no CH-parity formatter (normalizeQuery is implemented)",
+        ),
+    }
+)
+
+
+def _raise_nie(msg: str):
+    raise NotImplementedError(msg)
+
+
 def _pm2_histogram(params: list[str] | None, args: list[str]) -> str:
     """histogram(n)(x) → Spark's histogram_numeric(x, n) — the same
     adaptive (Ben-Haim/Tom-Tov-style) histogram sketch. Shape deviation,
@@ -3099,6 +3439,26 @@ def _pm2_quantile_gk(params: list[str] | None, args: list[str]) -> str:
     return f"approx_percentile({args[0]}, {level}, {acc})"
 
 
+def _pm2_quantile_if(params: list[str] | None, args: list[str]) -> str:
+    """quantileIf(level)(x, cond) — the -If combinator over the exact
+    percentile (CASE filters exactly: non-matching rows contribute
+    nothing, the same device topKIf uses)."""
+    if params is None or len(params) != 1 or len(args) != 2:
+        raise NotImplementedError("quantileIf needs the (level)(x, cond) form")
+    return f"percentile(CASE WHEN {args[1]} THEN {args[0]} END, {params[0]})"
+
+
+def _pm2_quantiles_gk(params: list[str] | None, args: list[str]) -> str:
+    """quantilesGK(accuracy, p1, p2, ...)(x) — the plural GK sketch:
+    one approx_percentile call returning the level array."""
+    if params is None or len(params) < 2 or len(args) != 1:
+        raise NotImplementedError(
+            "quantilesGK needs the (accuracy, level1, ...)(x) form"
+        )
+    acc, levels = params[0], ", ".join(params[1:])
+    return f"approx_percentile({args[0]}, array({levels}), {acc})"
+
+
 def _pm2_sparkbar(params: list[str] | None, args: list[str]) -> str:
     """sparkbar(buckets[, min_x, max_x])(x, y) → unicode frequency bar:
     y-mass per equal-width x bucket, heights scaled to the max bucket over
@@ -3139,6 +3499,13 @@ def _pm2_sparkbar(params: list[str] | None, args: list[str]) -> str:
 _PARAMETRIC2: dict[str, object] = {
     "groupArraySorted": _pm2_group_array_sorted,
     "quantileGK": _pm2_quantile_gk,
+    # r10 wave 27: CH aliases of the heavy-hitter family + the plural GK
+    "approx_top_k": _pm2_topk,
+    "approxTopK": _pm2_topk,
+    "approx_top_sum": _pm2_topk_weighted,
+    "approxTopSum": _pm2_topk_weighted,
+    "quantilesGK": _pm2_quantiles_gk,
+    "quantileIf": _pm2_quantile_if,
     "sparkbar": _pm2_sparkbar,
     "windowFunnel": _pm2_window_funnel,
     "quantileDeterministic": _pm2_quantile_deterministic,
@@ -4419,21 +4786,23 @@ def _pm_json_merge_patch(args: list[str]) -> str:
     return f"chJSONMergePatch(array({', '.join(args)}))"
 
 
-def _pm_add_tuple_of_intervals(args: list[str]) -> str:
+def _pm_add_tuple_of_intervals(args: list[str], op: str = "+") -> str:
     """addTupleOfIntervals(date, (i1, i2, ...)) — the interval tuple must
     be an inline literal (struct arity is type metadata a textual shim
     cannot inspect otherwise); rewrites to chained addition, which is
-    exactly CH's documented left-to-right application order."""
+    exactly CH's documented left-to-right application order.
+    ``op='-'`` serves subtractTupleOfIntervals (batch 27b)."""
+    name = "addTupleOfIntervals" if op == "+" else "subtractTupleOfIntervals"
     if len(args) != 2:
-        raise NotImplementedError("addTupleOfIntervals expects (date, tuple)")
+        raise NotImplementedError(f"{name} expects (date, tuple)")
     base, tup = args[0], args[1].strip()
     if not (tup.startswith("(") and tup.endswith(")")):
         raise NotImplementedError(
-            "addTupleOfIntervals needs an inline tuple literal of intervals - "
-            "spell a column tuple as chained + interval additions"
+            f"{name} needs an inline tuple literal of intervals - "
+            f"spell a column tuple as chained {op} interval operations"
         )
     parts = _split_top(tup[1:-1])
-    return "(" + " + ".join([f"({base})"] + [f"({p})" for p in parts]) + ")"
+    return "(" + f" {op} ".join([f"({base})"] + [f"({p})" for p in parts]) + ")"
 
 
 _PARAMETRIC.update(

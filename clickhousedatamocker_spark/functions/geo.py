@@ -705,3 +705,134 @@ def _ip_in_range(a: pd.Series, c: pd.Series) -> pd.Series:
 def register_batch26_functions(spark: SparkSession) -> None:
     spark.udf.register("chJSONType", pandas_udf(_json_type, "string"))
     spark.udf.register("chIPInRange", pandas_udf(_ip_in_range, "boolean"))
+
+
+# ---------------------------------------------------------------------------
+# vocab batch 27 (round 10): IPv6 conversions + time-delta parsing
+
+
+def _to_ipv6(s: pd.Series) -> pd.Series:
+    """CH toIPv6: canonical (compressed lowercase) IPv6 text via the
+    stdlib ipaddress module; IPv4 input maps to ::ffff:a.b.c.d (the CH
+    contract). Invalid input → NULL per row (CH throws — the documented
+    per-row-NULL deviation the rest of the IP family carries)."""
+    import ipaddress
+
+    out = []
+    for v in s:
+        if v is None:
+            out.append(None)
+            continue
+        try:
+            a = ipaddress.ip_address(v)
+            if isinstance(a, ipaddress.IPv4Address):
+                a = ipaddress.IPv6Address("::ffff:" + str(a))
+            out.append(_ipv6_text(a))
+        except ValueError:
+            out.append(None)
+    return pd.Series(out, dtype=object)
+
+
+def _ipv6_text(a) -> str:
+    """Canonical text with CH's dotted-quad form for IPv4-mapped
+    addresses ('::ffff:192.168.0.1', where Python prints '::ffff:c0a8:1')."""
+    v4 = a.ipv4_mapped
+    return f"::ffff:{v4}" if v4 is not None else str(a)
+
+
+def _ipv6_cidr_to_range(s: pd.Series, b: pd.Series) -> pd.DataFrame:
+    """CH IPv6CIDRToRange(addr, bits) → (lower, upper) canonical strings
+    (the IPv4 sibling's struct shape; struct-returning pandas_udf wants a
+    DataFrame with one column per field). Invalid addr/bits → NULL row."""
+    import ipaddress
+
+    lo, hi = [], []
+    for addr, bits in zip(s, b):
+        if addr is None or bits is None:
+            lo.append(None)
+            hi.append(None)
+            continue
+        try:
+            net = ipaddress.IPv6Network((addr, max(0, min(128, int(bits)))), strict=False)
+            lo.append(_ipv6_text(net.network_address))
+            hi.append(_ipv6_text(net.broadcast_address))
+        except ValueError:
+            lo.append(None)
+            hi.append(None)
+    return pd.DataFrame({"lower": lo, "upper": hi})
+
+
+def _cut_ipv6(s: pd.Series, b6: pd.Series, b4: pd.Series) -> pd.Series:
+    """CH cutIPv6(addr, bytesToCutForIPv6, bytesToCutForIPv4): zero the
+    low N bytes — N chosen by whether the address is IPv4-mapped — and
+    return the canonical text. Invalid input → NULL row."""
+    import ipaddress
+
+    out = []
+    for addr, n6, n4 in zip(s, b6, b4):
+        if addr is None or n6 is None or n4 is None:
+            out.append(None)
+            continue
+        try:
+            a = ipaddress.ip_address(addr)
+            if isinstance(a, ipaddress.IPv4Address):
+                a = ipaddress.IPv6Address("::ffff:" + str(a))
+            cut = int(n4) if a.ipv4_mapped is not None else int(n6)
+            cut = max(0, min(16, cut))
+            raw = bytearray(a.packed)
+            for i in range(cut):
+                raw[15 - i] = 0
+            out.append(_ipv6_text(ipaddress.IPv6Address(bytes(raw))))
+        except ValueError:
+            out.append(None)
+    return pd.Series(out, dtype=object)
+
+
+# CH parseTimeDelta unit table (seconds; month = 30.5 d, year = 365 d —
+# the constants the CH docs examples imply: '1yr2mo' = 36806400)
+_TIMEDELTA_UNITS = {
+    "ns": 1e-9, "nanosecond": 1e-9, "nanoseconds": 1e-9,
+    "us": 1e-6, "microsecond": 1e-6, "microseconds": 1e-6,
+    "ms": 1e-3, "millisecond": 1e-3, "milliseconds": 1e-3,
+    "s": 1.0, "sec": 1.0, "secs": 1.0, "second": 1.0, "seconds": 1.0,
+    "m": 60.0, "min": 60.0, "mins": 60.0, "minute": 60.0, "minutes": 60.0,
+    "h": 3600.0, "hr": 3600.0, "hrs": 3600.0, "hour": 3600.0, "hours": 3600.0,
+    "d": 86400.0, "day": 86400.0, "days": 86400.0,
+    "w": 604800.0, "week": 604800.0, "weeks": 604800.0,
+    "mo": 2635200.0, "month": 2635200.0, "months": 2635200.0,
+    "y": 31536000.0, "yr": 31536000.0, "year": 31536000.0, "years": 31536000.0,
+}
+
+
+def _parse_time_delta(s: pd.Series) -> pd.Series:
+    """CH parseTimeDelta('1yr2mo', '11s+22min', ...) → Float64 seconds.
+    Number+unit pairs with arbitrary separators; unknown unit or no pair
+    → NULL per row (CH throws — the documented per-row-NULL deviation)."""
+    import re
+
+    pat = re.compile(r"(\d+(?:\.\d+)?)\s*([a-zA-Zμ]+)")
+    out = []
+    for v in s:
+        if v is None:
+            out.append(None)
+            continue
+        pairs = pat.findall(str(v))
+        total, ok = 0.0, bool(pairs)
+        for num, unit in pairs:
+            mult = _TIMEDELTA_UNITS.get(unit.lower().replace("μ", "u"))
+            if mult is None:
+                ok = False
+                break
+            total += float(num) * mult
+        out.append(total if ok else None)
+    return pd.Series(out, dtype="float64")
+
+
+def register_batch27_functions(spark: SparkSession) -> None:
+    spark.udf.register("chToIPv6", pandas_udf(_to_ipv6, "string"))
+    spark.udf.register(
+        "chIPv6CIDRToRange",
+        pandas_udf(_ipv6_cidr_to_range, "struct<lower: string, upper: string>"),
+    )
+    spark.udf.register("chCutIPv6", pandas_udf(_cut_ipv6, "string"))
+    spark.udf.register("chParseTimeDelta", pandas_udf(_parse_time_delta, "double"))

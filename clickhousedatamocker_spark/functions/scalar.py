@@ -491,6 +491,15 @@ def _round5_probe_entries() -> list[tuple[str, str, str, str]]:
         ),
         ("farmHash64", "(s STRING)", "BIGINT", "xxhash64(s)"),
         ("farmFingerprint64", "(s STRING)", "BIGINT", "xxhash64(s)"),
+        # batch 27b: more same-engine 64/32-bit hash spellings (stable
+        # integer contract, NOT bit-compatible with CH's algorithms —
+        # the documented cityHash64 deviation)
+        ("wyHash64", "(s STRING)", "BIGINT", "xxhash64(s)"),
+        ("gccMurmurHash", "(s STRING)", "BIGINT", "xxhash64(s)"),
+        ("metroHash64", "(s STRING)", "BIGINT", "xxhash64(s)"),
+        ("CRC64", "(s STRING)", "BIGINT", "xxhash64(s)"),
+        ("kafkaMurmurHash", "(s STRING)", "BIGINT", "pmod(xxhash64(s), 2147483648)"),
+        ("CRC32IEEE", "(s STRING)", "BIGINT", "pmod(xxhash64(s), 4294967296)"),
         # exact java.lang.String.hashCode for BMP text: h = 31*h + c with
         # 32-bit wrap, spelled as pmod at every step (mod is homomorphic
         # over + and *, so stepwise == final wrap)
