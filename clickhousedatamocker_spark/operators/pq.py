@@ -879,6 +879,10 @@ def ivfpq_topk_xengine(
     )
 
     dsub = _check_dims(dim, m)
+    # null embeddings drop BEFORE codebook seed selection: the oracle's
+    # e CTE filters them, so the (h(id), id)-smallest seed rows must be
+    # chosen from the same filtered set
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
     centroids = ivf_codebook_xengine(corpus, id_col, vec_col, n_centroids)
     books = pq_train_xengine(corpus, id_col, vec_col, m, ksub, n_iters, dim)
     b_lit = F.array(

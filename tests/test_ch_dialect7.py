@@ -250,9 +250,9 @@ def test_order_dependent_family_refuses_with_window_recipe(eng):
         "groupArrayMovingSum(value)",
         "groupArrayMovingAvg(value)",
         # exponentialMovingAverage graduated to a real rewrite in r9 —
-        # covered by tests/test_ema.py
+        # covered by tests/test_ema.py; deltaSumTimestamp graduated in
+        # r10 (it carries its own ordering column) — test_ch_dialect27.py
         "deltaSum(value)",
-        "deltaSumTimestamp(value, value)",
     ):
         with pytest.raises(NotImplementedError, match="window|OVER"):
             one(eng, f"SELECT {fn} AS a FROM ev7")
