@@ -7228,3 +7228,418 @@ def predicate_identifiers(pred: str) -> set[str]:
                 out.add(w)
     return out
 
+
+
+# -- vocab batch 27c (round 10, probe wave 27c): State/Merge grid, bitmap
+# subset ops, remaining statistics, server introspection ---------------------
+
+
+def _pm_bitmap_subset_in_range(args: list[str]) -> str:
+    """bitmapSubsetInRange(bm, start, end) — values in [start, end)."""
+    if len(args) != 3:
+        raise NotImplementedError("bitmapSubsetInRange expects (bitmap, start, end)")
+    bm, lo, hi = args
+    return f"filter({bm}, __bs_v -> __bs_v >= ({lo}) AND __bs_v < ({hi}))"
+
+
+def _pm_bitmap_subset_limit(args: list[str]) -> str:
+    """bitmapSubsetLimit(bm, start, limit) — the `limit` smallest values
+    >= start (the bitmap is sorted by construction)."""
+    if len(args) != 3:
+        raise NotImplementedError("bitmapSubsetLimit expects (bitmap, start, limit)")
+    bm, lo, lim = args
+    return f"slice(filter({bm}, __bs_v -> __bs_v >= ({lo})), 1, CAST({lim} AS INT))"
+
+
+def _pm_bitmap_transform(args: list[str]) -> str:
+    """bitmapTransform(bm, from_arr, to_arr) — replace values found in
+    from_arr with the matching to_arr element; result re-normalized to a
+    sorted distinct set (it is a bitmap)."""
+    if len(args) != 3:
+        raise NotImplementedError("bitmapTransform expects (bitmap, from, to)")
+    bm, frm, to = args
+    return (
+        f"array_sort(array_distinct(transform({bm}, __bt_v -> "
+        f"CASE WHEN array_position({frm}, __bt_v) > 0 "
+        f"THEN element_at({to}, CAST(array_position({frm}, __bt_v) AS INT)) "
+        f"ELSE __bt_v END)))"
+    )
+
+
+def _pm_group_bitmap_and(args: list[str]) -> str:
+    """groupBitmapAnd(bm) → CARDINALITY of the intersection of all group
+    bitmaps (the CH return contract). Fold over the collected bitmaps;
+    empty group → 0."""
+    if len(args) != 1:
+        raise NotImplementedError("groupBitmapAnd expects one bitmap expression")
+    bm = args[0]
+    fold = (
+        f"aggregate(collect_list({bm}), CAST(NULL AS ARRAY<BIGINT>), "
+        f"(__gb_a, __gb_x) -> CASE WHEN __gb_a IS NULL THEN __gb_x "
+        f"ELSE array_intersect(__gb_a, __gb_x) END)"
+    )
+    return f"coalesce(size({fold}), 0)"
+
+
+def _pm_group_bitmap_or(args: list[str]) -> str:
+    if len(args) != 1:
+        raise NotImplementedError("groupBitmapOr expects one bitmap expression")
+    return f"size(array_distinct(flatten(collect_list({args[0]}))))"
+
+
+def _pm_group_bitmap_xor(args: list[str]) -> str:
+    """groupBitmapXor: symmetric-difference fold → cardinality."""
+    if len(args) != 1:
+        raise NotImplementedError("groupBitmapXor expects one bitmap expression")
+    fold = (
+        f"aggregate(collect_list({args[0]}), CAST(array() AS ARRAY<BIGINT>), "
+        f"(__gb_a, __gb_x) -> array_sort(concat("
+        f"array_except(__gb_a, __gb_x), array_except(__gb_x, __gb_a))))"
+    )
+    return f"size({fold})"
+
+
+def _pm_finalize_aggregation(args: list[str]) -> str:
+    """finalizeAggregation(fState(args)) == f(args). The regex -State
+    rewrites run BEFORE this parametric pass, so the argument arrives in
+    one of three shapes: a still-literal fState(...) (the parametric
+    states — strip the suffix and let the fixpoint resolve the direct
+    aggregate), the avg (sum, count) struct (finish = s/c), or the uniq
+    HLL sketch (finish = estimate). Anything else (sum/min/max/count)
+    already IS the final value — identity."""
+    if len(args) != 1:
+        raise NotImplementedError("finalizeAggregation expects one state expression")
+    arg = args[0]
+    m = re.search(r"\b([A-Za-z0-9_]+)State\s*\(", arg)
+    if m:
+        # bases whose direct spelling is a REGEX rewrite (that pass has
+        # already run) map straight to the Spark aggregate
+        finish = {
+            "uniqexact": "count(DISTINCT ",
+            "uniq": "approx_count_distinct(",
+            "grouparray": "collect_list(",
+            "groupuniqarray": "collect_set(",
+            "anylast": "last(",
+            "any": "any_value(",
+        }
+        repl = finish.get(m.group(1).lower(), m.group(1) + "(")
+        return arg[: m.start()] + repl + arg[m.end():]
+    if "hll_sketch_agg(" in arg:
+        return f"hll_sketch_estimate({arg})"
+    if re.match(r"\s*named_struct\('s',", arg) or re.match(
+        r"\s*initializeAggregation\s*\(\s*'avgState'", arg, re.IGNORECASE
+    ):
+        return f"try_divide(({arg}).s, ({arg}).c)"
+    return f"({arg})"
+
+
+def _pm_initialize_aggregation(args: list[str]) -> str:
+    """initializeAggregation('fState', v) → the state of aggregating the
+    single value v, for the algebraic states whose state IS the value."""
+    if len(args) < 2:
+        raise NotImplementedError("initializeAggregation expects ('fState', value, ...)")
+    nm = re.fullmatch(r"\s*'(\w+)'\s*", args[0])
+    if not nm:
+        raise NotImplementedError("initializeAggregation: the state name must be a literal")
+    base = nm.group(1).lower()
+    v = args[1]
+    if base in ("sumstate", "minstate", "maxstate", "anystate", "anyvaluestate"):
+        return f"({v})"
+    if base == "countstate":
+        return "CAST(1 AS BIGINT)"
+    if base == "avgstate":
+        return f"named_struct('s', CAST({v} AS DOUBLE), 'c', CAST(1 AS BIGINT))"
+    raise NotImplementedError(
+        f"initializeAggregation: state {args[0]} has no literal form here - "
+        "aggregate over a one-row relation instead"
+    )
+
+
+def _moment_state(x: str) -> str:
+    """(n, Σx, Σx²) — the algebraic state behind var/stddev State/Merge."""
+    xd = f"CAST({x} AS DOUBLE)"
+    return (
+        f"named_struct('n', CAST(count({x}) AS DOUBLE), "
+        f"'s', sum({xd}), 'q', sum({xd} * {xd}))"
+    )
+
+
+def _moment_merge(x: str, pop: bool, sqrt: bool) -> str:
+    n = f"sum(({x}).n)"
+    s = f"sum(({x}).s)"
+    q = f"sum(({x}).q)"
+    denom = n if pop else f"({n} - 1)"
+    var = f"try_divide({q} - try_divide({s} * {s}, {n}), {denom})"
+    return f"sqrt({var})" if sqrt else f"({var})"
+
+
+def _pm_covar_matrix(fn: str):
+    """covarSampMatrix/covarPopMatrix — corrMatrix's expansion with the
+    covariance aggregate (diagonal = covar(a, a) = variance)."""
+
+    def rw(args: list[str]) -> str:
+        if len(args) < 2:
+            raise NotImplementedError("covariance matrices need at least two columns")
+        rows = ", ".join(
+            "array(" + ", ".join(f"{fn}({a}, {b})" for b in args) + ")"
+            for a in args
+        )
+        return f"array({rows})"
+
+    return rw
+
+
+def _pm_great_circle_angle(args: list[str]) -> str:
+    """greatCircleAngle(lon1, lat1, lon2, lat2) → central angle in DEGREES
+    (the haversine central angle, no radius)."""
+    if len(args) != 4:
+        raise NotImplementedError("greatCircleAngle: expected (lon1, lat1, lon2, lat2)")
+    lon1, lat1, lon2, lat2 = args
+    return (
+        f"degrees(2.0D * asin(sqrt("
+        f"pow(sin(radians(({lat2}) - ({lat1})) / 2), 2) + "
+        f"cos(radians({lat1})) * cos(radians({lat2})) * "
+        f"pow(sin(radians(({lon2}) - ({lon1})) / 2), 2))))"
+    )
+
+
+def _pm_random_chars(base: int, span: int, note: str):
+    """Deterministic-free random text: one char per sequence position from
+    xxhash64(uuid(), i) — `note` documents the charset contract."""
+
+    def rw(args: list[str]) -> str:
+        if len(args) != 1:
+            raise NotImplementedError(f"expected (length) - {note}")
+        n = args[0]
+        return (
+            f"(CASE WHEN CAST({n} AS INT) <= 0 THEN '' ELSE "
+            f"array_join(transform(sequence(1, CAST({n} AS INT)), __rc_i -> "
+            f"chr({base} + pmod(xxhash64(uuid(), __rc_i), {span}))), '') END)"
+        )
+
+    return rw
+
+
+_PARAMETRIC.update(
+    {
+        "bitmapSubsetInRange": _pm_bitmap_subset_in_range,
+        "bitmapSubsetLimit": _pm_bitmap_subset_limit,
+        "bitmapTransform": _pm_bitmap_transform,
+        "groupBitmapAnd": _pm_group_bitmap_and,
+        "groupBitmapOr": _pm_group_bitmap_or,
+        "groupBitmapXor": _pm_group_bitmap_xor,
+        "finalizeAggregation": _pm_finalize_aggregation,
+        "initializeAggregation": _pm_initialize_aggregation,
+        # State/Merge grid completion (the AggregatingMergeTree discipline;
+        # sum/min/max/count/avg/uniq live in the regex section)
+        "uniqExactState": _pm_1arg("collect_set({x})"),
+        "uniqExactMerge": _pm_1arg(
+            "size(array_distinct(flatten(collect_list({x}))))"
+        ),
+        "groupArrayState": _pm_1arg("collect_list({x})"),
+        "groupArrayMerge": _pm_1arg("flatten(collect_list({x}))"),
+        "argMaxState": _pm_2arg("named_struct('a', max_by({f}, {a}), 'k', max({a}))"),
+        "argMaxMerge": _pm_1arg("max_by(({x}).a, ({x}).k)"),
+        "argMinState": _pm_2arg("named_struct('a', min_by({f}, {a}), 'k', min({a}))"),
+        "argMinMerge": _pm_1arg("min_by(({x}).a, ({x}).k)"),
+        "varSampState": lambda a: _moment_state(_one(a, "varSampState")),
+        "varPopState": lambda a: _moment_state(_one(a, "varPopState")),
+        "stddevSampState": lambda a: _moment_state(_one(a, "stddevSampState")),
+        "stddevPopState": lambda a: _moment_state(_one(a, "stddevPopState")),
+        "varSampMerge": lambda a: _moment_merge(_one(a, "varSampMerge"), False, False),
+        "varPopMerge": lambda a: _moment_merge(_one(a, "varPopMerge"), True, False),
+        "stddevSampMerge": lambda a: _moment_merge(
+            _one(a, "stddevSampMerge"), False, True
+        ),
+        "stddevPopMerge": lambda a: _moment_merge(
+            _one(a, "stddevPopMerge"), True, True
+        ),
+        # covariance matrices (corrMatrix's expansion)
+        "covarSampMatrix": _pm_covar_matrix("covar_samp"),
+        "covarPopMatrix": _pm_covar_matrix("covar_pop"),
+        "greatCircleAngle": _pm_great_circle_angle,
+        "toLowCardinality": _pm_1arg("({x})"),  # an encoding hint, not a type
+        # random text: printable-charset contract (CH randomString emits
+        # arbitrary BYTES — unrepresentable in a UTF-8 string column;
+        # documented deviation), UTF8 form emits CJK code points
+        "randomPrintableASCII": _pm_random_chars(32, 95, "randomPrintableASCII"),
+        "randomString": _pm_random_chars(32, 95, "randomString (printable deviation)"),
+        "randomFixedString": _pm_random_chars(32, 95, "randomFixedString (printable)"),
+        "randomStringUTF8": _pm_random_chars(19968, 20902, "randomStringUTF8"),
+        # access control does not exist here: the truthful answers
+        "currentProfiles": lambda a: "CAST(array() AS ARRAY<STRING>)",
+        "currentRoles": lambda a: "CAST(array() AS ARRAY<STRING>)",
+        "enabledProfiles": lambda a: "CAST(array() AS ARRAY<STRING>)",
+        "enabledRoles": lambda a: "CAST(array() AS ARRAY<STRING>)",
+        "defaultProfiles": lambda a: "CAST(array() AS ARRAY<STRING>)",
+        "defaultRoles": lambda a: "CAST(array() AS ARRAY<STRING>)",
+        "currentSchemas": lambda a: "array(current_database())",
+        # CH's display_name defaults to the hostname (hostName's regex
+        # rewrite has already run by this pass — inline the same constant)
+        "displayName": lambda a: "'" + _socket.gethostname().replace("'", "") + "'",
+        # server/fs introspection without an equivalent: loud gates
+        "revision": _pm_gate(
+            "revision", "there is no ClickHouse build revision here - "
+            "version() returns the engine version string"
+        ),
+        "zookeeperSessionUptime": _pm_gate(
+            "zookeeperSessionUptime", "no ZooKeeper in this engine"
+        ),
+        "transactionID": _pm_gate(
+            "transactionID", "CH experimental transactions do not exist here"
+        ),
+        "showCertificate": _pm_gate(
+            "showCertificate", "no TLS termination inside the engine"
+        ),
+        "filesystemCapacity": _pm_gate(
+            "filesystemCapacity", "filesystem stats are a deployment "
+            "concern - query the storage layer directly"
+        ),
+        "filesystemAvailable": _pm_gate(
+            "filesystemAvailable", "filesystem stats are a deployment "
+            "concern - query the storage layer directly"
+        ),
+        "filesystemUnreserved": _pm_gate(
+            "filesystemUnreserved", "filesystem stats are a deployment "
+            "concern - query the storage layer directly"
+        ),
+        "generateRandomStructure": _pm_gate(
+            "generateRandomStructure", "schema fuzzing is out of scope - "
+            "generateRandom('explicit schema') is implemented"
+        ),
+        "formatRow": _pm_gate(
+            "formatRow", "per-row format rendering is a client concern - "
+            "Spark's to_csv(struct(...)) / to_json(struct(...)) cover the "
+            "common cases (quoting rules differ from CH's)"
+        ),
+        "formatRowNoNewline": _pm_gate(
+            "formatRowNoNewline", "per-row format rendering is a client "
+            "concern - Spark's to_csv(struct(...)) / to_json(struct(...))"
+        ),
+        "geohashesInBox": _pm_gate(
+            "geohashesInBox", "grid enumeration is not shimmed - enumerate "
+            "the box with sequence() + geohashEncode (implemented)"
+        ),
+        "geoToH3": _pm_gate(
+            "geoToH3", "the h3 library is not available in this "
+            "environment - use geohashEncode for cell bucketing"
+        ),
+        "h3ToGeo": _pm_gate(
+            "h3ToGeo", "the h3 library is not available in this "
+            "environment - use geohashDecode for cell centers"
+        ),
+    }
+)
+
+
+def _one(args: list[str], name: str) -> str:
+    if len(args) != 1:
+        raise NotImplementedError(f"{name} expects one expression")
+    return args[0]
+
+
+def _pm_accurate_cast_or_default(args: list[str]) -> str:
+    """accurateCastOrDefault(x, 'T', default) → coalesce over the
+    range-guarded try_cast (accurateCastOrNull's machinery)."""
+    if len(args) != 3:
+        raise NotImplementedError(
+            "accurateCastOrDefault expects (value, 'Type', default) - the "
+            "2-arg type-zero form is the to<T>OrZero family"
+        )
+    inner = _pm_accurate_cast_or_null(args[:2])
+    return f"coalesce({inner}, {args[2]})"
+
+
+_PARAMETRIC["accurateCastOrDefault"] = _pm_accurate_cast_or_default
+
+
+def _pm2_student_ttest_one_sample(params: list[str] | None, args: list[str]) -> str:
+    """studentTTestOneSample(popmean)(x) → (t_statistic, p_value): one
+    sample against a population mean, algebraic moments + the same
+    incomplete-beta p as the two-sample test."""
+    if params is None or len(params) != 1 or len(args) != 1:
+        raise NotImplementedError(
+            "studentTTestOneSample needs the (population_mean)(sample) form"
+        )
+    mu, x = params[0], args[0]
+    n = f"CAST(count({x}) AS DOUBLE)"
+    t = (
+        f"try_divide(avg(CAST({x} AS DOUBLE)) - ({mu}), "
+        f"sqrt(try_divide(var_samp(CAST({x} AS DOUBLE)), {n})))"
+    )
+    return (
+        f"named_struct('t_statistic', {t}, "
+        f"'p_value', chStudentTP({t}, {n} - 1))"
+    )
+
+
+def _pm2_quantile_state(params: list[str] | None, args: list[str]) -> str:
+    """quantileState(p)(x) → the collected value list (exact state — a
+    valid superset of CH's sketch state, the documented quantile
+    deviation). The level parameter rides in quantileMerge."""
+    if len(args) != 1:
+        raise NotImplementedError("quantileState needs the (level)(x) form")
+    return f"collect_list(CAST({args[0]} AS DOUBLE))"
+
+
+def _pm2_quantile_merge(params: list[str] | None, args: list[str]) -> str:
+    """quantileMerge(p)(state) → exact R-7 interpolated percentile over
+    the merged value lists (== Spark's percentile() plotting position)."""
+    if params is None or len(params) != 1 or len(args) != 1:
+        raise NotImplementedError("quantileMerge needs the (level)(state) form")
+    p, s = params[0], args[0]
+    body = (
+        f"CASE WHEN size(__qm_a) = 0 THEN CAST(NULL AS DOUBLE) "
+        f"ELSE element_at(__qm_a, CAST(floor((size(__qm_a) - 1) * ({p})) AS INT) + 1) "
+        f"+ ((size(__qm_a) - 1) * ({p}) - floor((size(__qm_a) - 1) * ({p}))) "
+        f"* (element_at(__qm_a, least(CAST(floor((size(__qm_a) - 1) * ({p})) AS INT) + 2, "
+        f"size(__qm_a))) "
+        f"- element_at(__qm_a, CAST(floor((size(__qm_a) - 1) * ({p})) AS INT) + 1)) END"
+    )
+    return (
+        f"element_at(transform(array(array_sort(flatten(collect_list({s})))), "
+        f"__qm_a -> {body}), 1)"
+    )
+
+
+def _pm2_gate_param(name: str, recipe: str):
+    def rw(params, args):
+        raise NotImplementedError(f"{name} is not shimmed - {recipe}")
+
+    return rw
+
+
+_PARAMETRIC2.update(
+    {
+        "studentTTestOneSample": _pm2_student_ttest_one_sample,
+        "quantileState": _pm2_quantile_state,
+        "quantileMerge": _pm2_quantile_merge,
+        "stochasticLinearRegression": _pm2_gate_param(
+            "stochasticLinearRegression",
+            "SGD state depends on row arrival order - "
+            "simpleLinearRegression (exact closed form) is implemented",
+        ),
+        "stochasticLogisticRegression": _pm2_gate_param(
+            "stochasticLogisticRegression",
+            "SGD state depends on row arrival order - the exact-GD "
+            "classifier (operators/classifier.py) is the trained surface",
+        ),
+        "sequenceMatchEvents": _pm2_gate_param(
+            "sequenceMatchEvents",
+            "matched-event timestamp extraction is not shimmed - "
+            "sequenceMatch/sequenceCount cover the predicate surface",
+        ),
+    }
+)
+
+# batch 27c registers AFTER the one-time registry snapshots above — rebuild
+# them so the new names resolve (the snapshot pattern exists for scan speed;
+# keep this rebuild as the LAST registry mutation in the module)
+_PARAMETRIC_RE = re.compile(
+    r"\b(" + "|".join(_PARAMETRIC) + r")\s*\(", re.IGNORECASE
+)
+_PARAMETRIC_LOWER = {k.lower(): v for k, v in _PARAMETRIC.items()}
+_PARAMETRIC2_RE = re.compile(
+    r"\b(" + "|".join(_PARAMETRIC2) + r")\s*\(", re.IGNORECASE
+)
+_PARAMETRIC2_LOWER = {k.lower(): v for k, v in _PARAMETRIC2.items()}

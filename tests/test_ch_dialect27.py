@@ -292,3 +292,166 @@ def test_wave27b_loud_gates(eng):
     ]:
         with pytest.raises(NotImplementedError, match=frag.replace("(", r"\(")):
             eng.sql(sql).collect()
+
+
+# ---------------------------------------------------------------------------
+# wave 27c (third probe wave: State/Merge grid, bitmap subset ops,
+# remaining statistics, server introspection — 32/78 already answered)
+
+
+def test_bitmap_subset_and_group_aggregates(eng):
+    r = one(
+        eng,
+        "SELECT bitmapToArray(bitmapSubsetInRange(bitmapBuild(array(1,5,9)), 2, 9)) AS a, "
+        "bitmapToArray(bitmapSubsetLimit(bitmapBuild(array(1,5,9)), 2, 2)) AS b, "
+        "bitmapToArray(bitmapTransform(bitmapBuild(array(1,2)), array(1), array(9))) AS c",
+    )
+    assert list(r["a"]) == [5] and list(r["b"]) == [5, 9] and list(r["c"]) == [2, 9]
+    r = one(
+        eng,
+        "SELECT groupBitmapAnd(b) AS a FROM ("
+        "SELECT bitmapBuild(array(1,2,3)) AS b UNION ALL SELECT bitmapBuild(array(2,3,4)))",
+    )
+    assert r["a"] == 2  # {2,3}
+    r = one(
+        eng,
+        "SELECT groupBitmapOr(b) AS a, groupBitmapXor(b) AS x FROM ("
+        "SELECT bitmapBuild(array(1,2)) AS b UNION ALL SELECT bitmapBuild(array(2,3)))",
+    )
+    assert r["a"] == 3 and r["x"] == 2  # union {1,2,3}; xor {1,3}
+
+
+def test_state_merge_grid_completion(eng):
+    """The AggregatingMergeTree discipline over the newly covered bases:
+    merging partial states == the direct aggregate."""
+    r = one(
+        eng,
+        "SELECT uniqExactMerge(s) AS a FROM ("
+        "SELECT uniqExactState(x) AS s FROM VALUES (1),(2),(2) AS t(x) "
+        "UNION ALL SELECT uniqExactState(x) FROM VALUES (2),(3) AS t(x))",
+    )
+    assert r["a"] == 3
+    r = one(
+        eng,
+        "SELECT array_sort(groupArrayMerge(s)) AS a FROM ("
+        "SELECT groupArrayState(x) AS s FROM VALUES (2),(1) AS t(x))",
+    )
+    assert list(r["a"]) == [1, 2]
+    r = one(
+        eng,
+        "SELECT argMaxMerge(s) AS a FROM ("
+        "SELECT argMaxState(x, y) AS s FROM VALUES (1, 10),(2, 20) AS t(x, y) "
+        "UNION ALL SELECT argMaxState(x, y) FROM VALUES (7, 30) AS t(x, y))",
+    )
+    assert r["a"] == 7
+    # moments state: merged stddev over {1,2} ∪ {3} == stddev over {1,2,3}
+    r = one(
+        eng,
+        "SELECT round(stddevSampMerge(s), 9) AS a FROM ("
+        "SELECT stddevSampState(x) AS s FROM VALUES (1.0),(2.0) AS t(x) "
+        "UNION ALL SELECT stddevSampState(x) FROM VALUES (3.0) AS t(x))",
+    )
+    assert float(r["a"]) == 1.0
+    r = one(
+        eng,
+        "SELECT round(varPopMerge(s), 9) AS a FROM ("
+        "SELECT varPopState(x) AS s FROM VALUES (1.0),(2.0),(3.0) AS t(x))",
+    )
+    assert float(r["a"]) == pytest.approx(2.0 / 3.0, rel=1e-9)
+    # quantile: exact R-7 percentile over the merged value lists
+    r = one(
+        eng,
+        "SELECT quantileMerge(0.5)(s) AS a FROM ("
+        "SELECT quantileState(0.5)(x) AS s FROM VALUES (1.0),(2.0) AS t(x) "
+        "UNION ALL SELECT quantileState(0.5)(x) FROM VALUES (3.0) AS t(x))",
+    )
+    assert r["a"] == 2.0
+    # finalizeAggregation across the three state shapes + initialize
+    r = one(
+        eng,
+        "SELECT finalizeAggregation(sumState(x)) AS a, "
+        "round(finalizeAggregation(avgState(x)), 9) AS b, "
+        "finalizeAggregation(uniqState(x)) AS c, "
+        "finalizeAggregation(uniqExactState(x)) AS d "
+        "FROM VALUES (1),(2),(2) AS t(x)",
+    )
+    assert r["a"] == 5 and float(r["b"]) == pytest.approx(5.0 / 3.0) and r["c"] == 2 and r["d"] == 2
+    r = one(
+        eng,
+        "SELECT finalizeAggregation(initializeAggregation('sumState', 3)) AS a, "
+        "finalizeAggregation(initializeAggregation('avgState', 4.0)) AS b",
+    )
+    assert r["a"] == 3 and r["b"] == 4.0
+
+
+def test_one_sample_ttest_and_covar_matrices(eng):
+    """t hand-computed: x=(1,2,3,2.5), mu=1.5 -> t = 0.625/sqrt((2.1875/3)/4)."""
+    t_want = 0.625 / math.sqrt((2.1875 / 3.0) / 4.0)
+    r = one(
+        eng,
+        "SELECT studentTTestOneSample(1.5)(x) AS a "
+        "FROM VALUES (1.0),(2.0),(3.0),(2.5) AS t(x)",
+    )
+    assert r["a"]["t_statistic"] == pytest.approx(t_want, rel=1e-12)
+    assert 0.2 < r["a"]["p_value"] < 0.28  # scipy: 0.2394
+    r = one(
+        eng,
+        "SELECT covarSampMatrix(x, y) AS a FROM "
+        "VALUES (1.0, 2.0),(2.0, 4.0),(3.0, 5.0) AS t(x, y)",
+    )
+    m = [[float(v) for v in row] for row in r["a"]]
+    assert m[0][0] == pytest.approx(1.0) and m[0][1] == pytest.approx(1.5)
+    assert m[1][1] == pytest.approx(7.0 / 3.0)
+
+
+def test_wave27c_misc(eng):
+    # central angle of a quarter arc along the equator is exactly 45 deg
+    r = one(eng, "SELECT round(greatCircleAngle(0.0, 0.0, 45.0, 0.0), 9) AS a")
+    assert float(r["a"]) == 45.0
+    r = one(
+        eng,
+        "SELECT toLowCardinality('x') AS a, "
+        "accurateCastOrDefault(300, 'UInt8', 7) AS b, "
+        "accurateCastOrDefault(30, 'UInt8', 7) AS c",
+    )
+    assert r["a"] == "x" and r["b"] == 7 and r["c"] == 30
+    r = one(
+        eng,
+        "SELECT length(randomPrintableASCII(10)) AS a, randomFixedString(0) AS b, "
+        "length(randomStringUTF8(4)) AS c",
+    )
+    assert r["a"] == 10 and r["b"] == "" and r["c"] == 4
+    r = one(
+        eng,
+        "SELECT currentProfiles() AS a, currentSchemas(true) AS b, "
+        "displayName() IS NOT NULL AS c",
+    )
+    assert list(r["a"]) == [] and len(r["b"]) == 1 and r["c"] is True
+
+
+def test_wave27c_loud_gates(eng):
+    for sql, frag in [
+        (
+            "SELECT stochasticLinearRegression(0.1, 0.0, 5, 'SGD')(y, x) AS a "
+            "FROM VALUES (1.0, 1.0) AS t(y, x)",
+            "simpleLinearRegression",
+        ),
+        (
+            "SELECT stochasticLogisticRegression(0.1, 0.0, 5, 'SGD')(y, x) AS a "
+            "FROM VALUES (0.0, 1.0) AS t(y, x)",
+            "arrival order",
+        ),
+        ("SELECT sequenceMatchEvents('(?1)')(1, true) AS a", "sequenceMatch"),
+        ("SELECT revision() AS a", "version"),
+        ("SELECT zookeeperSessionUptime() AS a", "ZooKeeper"),
+        ("SELECT transactionID() AS a", "transactions"),
+        ("SELECT filesystemCapacity() AS a", "storage layer"),
+        ("SELECT formatRow('CSV', 1, 'a') AS a", "to_csv"),
+        ("SELECT geohashesInBox(-1.0, -1.0, 1.0, 1.0, 3) AS a", "geohashEncode"),
+        ("SELECT geoToH3(37.79, 55.71, 15) AS a", "h3 library"),
+        ("SELECT h3ToGeo(644325524701193974) AS a", "h3 library"),
+        ("SELECT generateRandomStructure(3) AS a", "generateRandom"),
+        ("SELECT initializeAggregation('uniqState', 3) AS a", "one-row relation"),
+    ]:
+        with pytest.raises(NotImplementedError, match=frag.replace("(", r"\(")):
+            eng.sql(sql).collect()
