@@ -286,3 +286,33 @@ def test_etd_timestamp_column_scales_as_seconds(spark):
     null_row = out[(1, "None")]
     for c in ("etd_sum", "etd_count", "etd_avg", "etd_max"):
         assert null_row[c] is None
+
+
+def test_etd_bucketed_dispatch_edges(spark):
+    """The r10 key-bucketed dispatch path: NULL partition keys form their
+    own group (pandas groupby dropna=False inside the bucket kernel — the
+    nullable-long Arrow round-trip must hold), and forcing EVERY key into
+    ONE bucket (key_buckets=1) still segments per key correctly."""
+    import math
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    df = spark.createDataFrame(
+        [(1, 10.0, 1.0), (1, 20.0, 2.0), (None, 5.0, 1.0), (None, 7.0, 3.0), (2, 1.0, 1.0)],
+        "k long, v double, t double",
+    )
+    for nb in (None, 1, 1000):
+        rows = {
+            (r["k"], r["t"]): r
+            for r in exponential_time_decayed(
+                df, 1.0, "v", "t", ["k"], key_buckets=nb
+            ).collect()
+        }
+        assert len(rows) == 5
+        # NULL-key group decays independently: 5*e^-2 + 7 at t=3
+        r = rows[(None, 3.0)]
+        assert r["etd_sum"] == pytest.approx(5.0 * math.exp(-2.0) + 7.0, rel=1e-12)
+        # key 1 untouched by the NULL group or key 2
+        r = rows[(1, 2.0)]
+        assert r["etd_sum"] == pytest.approx(10.0 * math.exp(-1.0) + 20.0, rel=1e-12)
+        assert rows[(2, 1.0)]["etd_sum"] == 1.0
