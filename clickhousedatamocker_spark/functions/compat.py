@@ -7632,6 +7632,182 @@ _PARAMETRIC2.update(
     }
 )
 
+
+
+# -- vocab batch 27d (round 10, probe wave 27d): Resample combinator, map
+# aliases, sub-second date arithmetic, typed JSONExtract ---------------------
+
+
+def _pm2_resample(base: str):
+    """countResample(start, end, step)(key) / sum|min|max|avgResample
+    (start, end, step)(value, key) -> one array entry per [b, b+step)
+    bucket (the CH -Resample combinator). Integer literal bounds only;
+    per-group state is the collected (key, value) list - the same bound
+    CH's resample state carries."""
+
+    def rw(params, args):
+        if params is None or len(params) != 3:
+            raise NotImplementedError(
+                f"{base}Resample needs the (start, end, step)(...) form"
+            )
+        lo, hi, step = params
+        for pval in (lo, hi, step):
+            if not re.fullmatch(r"\s*-?\d+\s*", pval):
+                raise NotImplementedError(
+                    f"{base}Resample: start/end/step must be integer literals"
+                )
+        buckets = (
+            f"sequence(CAST({lo} AS BIGINT), CAST({hi} AS BIGINT) - 1, "
+            f"CAST({step} AS BIGINT))"
+        )
+        if base == "count":
+            if len(args) != 1:
+                raise NotImplementedError("countResample takes (key)")
+            lst = f"collect_list(CAST({args[0]} AS BIGINT))"
+            per = (
+                f"size(filter({lst}, __rs_v -> "
+                f"__rs_v >= __rs_b AND __rs_v < __rs_b + ({step})))"
+            )
+        else:
+            if len(args) != 2:
+                raise NotImplementedError(f"{base}Resample takes (value, key)")
+            v, key = args
+            lst = (
+                f"collect_list(CASE WHEN ({key}) IS NOT NULL AND ({v}) IS NOT NULL "
+                f"THEN named_struct('k', CAST({key} AS BIGINT), "
+                f"'v', CAST({v} AS DOUBLE)) END)"
+            )
+            flt = (
+                f"filter({lst}, __rs_e -> "
+                f"__rs_e.k >= __rs_b AND __rs_e.k < __rs_b + ({step}))"
+            )
+            vals = f"transform({flt}, __rs_e -> __rs_e.v)"
+            if base == "sum":
+                per = (
+                    f"aggregate({flt}, CAST(0.0 AS DOUBLE), "
+                    f"(__rs_a, __rs_e) -> __rs_a + __rs_e.v)"
+                )
+            elif base == "min":
+                per = f"array_min({vals})"
+            elif base == "max":
+                per = f"array_max({vals})"
+            else:  # avg
+                per = (
+                    f"try_divide(aggregate({flt}, CAST(0.0 AS DOUBLE), "
+                    f"(__rs_a, __rs_e) -> __rs_a + __rs_e.v), size({flt}))"
+                )
+        return f"transform({buckets}, __rs_b -> {per})"
+
+    return rw
+
+
+_JSON_EXTRACT_TYPES = {
+    "Int8": "INT", "Int16": "INT", "Int32": "INT", "Int64": "BIGINT",
+    "UInt8": "INT", "UInt16": "INT", "UInt32": "BIGINT", "UInt64": "BIGINT",
+    "Float32": "FLOAT", "Float64": "DOUBLE", "Bool": "BOOLEAN",
+}
+
+
+def _pm_json_extract_typed(args: list[str]) -> str:
+    """JSONExtract(json, key, 'Type') -> typed get_json_object cast.
+    Literal string key + scalar type only (nested paths and composite
+    types are refused with the JSONExtractRaw recipe)."""
+    if len(args) != 3:
+        raise NotImplementedError(
+            "JSONExtract is shimmed for the (json, key, 'Type') form - "
+            "deeper paths: JSONExtractRaw then parse"
+        )
+    j, key, ty = args
+    km = re.fullmatch(r"\s*'([^']*)'\s*", key)
+    tm = re.fullmatch(r"\s*'(\w+)'\s*", ty)
+    if not km or not tm:
+        raise NotImplementedError(
+            "JSONExtract needs a literal string key and type name"
+        )
+    raw = f"get_json_object({j}, '$.{km.group(1)}')"
+    if tm.group(1) == "String":
+        return raw
+    if tm.group(1) not in _JSON_EXTRACT_TYPES:
+        raise NotImplementedError(
+            f"JSONExtract: type {ty} is not shimmed - supported: "
+            f"{sorted(_JSON_EXTRACT_TYPES)} and String"
+        )
+    return f"CAST({raw} AS {_JSON_EXTRACT_TYPES[tm.group(1)]})"
+
+
+_PARAMETRIC.update(
+    {
+        # CH aliases of the (keys[], values[]) map-aggregate form
+        "sumMappedArrays": _pm_map_agg("sum"),
+        "minMappedArrays": _pm_map_agg("min"),
+        "maxMappedArrays": _pm_map_agg("max"),
+        # sub-second starts: Spark timestamps are fixed microseconds
+        "toStartOfMicrosecond": _pm_1arg("({x})"),
+        "toStartOfNanosecond": _pm_1arg("({x})"),  # micros floor, documented
+        "toStartOfMillisecond": _pm_1arg("timestamp_millis(unix_millis({x}))"),
+        "fromUnixTimestamp64Nano": _pm_1arg(
+            "timestamp_micros(CAST({x} AS BIGINT) div 1000)"
+        ),
+        "fromUnixTimestamp64Micro": _pm_1arg("timestamp_micros(CAST({x} AS BIGINT))"),
+        "dateTime64ToSnowflakeID": _pm_1arg("shiftleft(unix_millis({x}), 22)"),
+        "dateTime64ToSnowflake": _pm_1arg(
+            "shiftleft(unix_millis({x}) - 1288834974657, 22)"
+        ),
+        # integer micros arithmetic — emitting Spark's timestampadd() would
+        # re-match the CH timestampAdd handler forever (the unhex fixpoint
+        # trap: the scan is case-insensitive and name-keyed)
+        "addMilliseconds": _pm_2arg(
+            "timestamp_micros(unix_micros({f}) + CAST({a} AS BIGINT) * 1000)"
+        ),
+        "subtractMilliseconds": _pm_2arg(
+            "timestamp_micros(unix_micros({f}) - CAST({a} AS BIGINT) * 1000)"
+        ),
+        "addMicroseconds": _pm_2arg(
+            "timestamp_micros(unix_micros({f}) + CAST({a} AS BIGINT))"
+        ),
+        "subtractMicroseconds": _pm_2arg(
+            "timestamp_micros(unix_micros({f}) - CAST({a} AS BIGINT))"
+        ),
+        "addNanoseconds": _pm_gate(
+            "addNanoseconds",
+            "timestamps here are microsecond precision - addMicroseconds "
+            "covers the representable range",
+        ),
+        "subtractNanoseconds": _pm_gate(
+            "subtractNanoseconds",
+            "timestamps here are microsecond precision - "
+            "subtractMicroseconds covers the representable range",
+        ),
+        "JSONExtract": _pm_json_extract_typed,
+        "addInterval": _pm_gate(
+            "addInterval",
+            "CH's interval-tuple arithmetic has no Spark type - chain "
+            "additions on the date directly (addTupleOfIntervals is "
+            "implemented for literal tuples)",
+        ),
+        "subtractInterval": _pm_gate(
+            "subtractInterval",
+            "CH's interval-tuple arithmetic has no Spark type - chain "
+            "subtractions on the date directly",
+        ),
+        "JSONExtractKeysAndValuesRaw": _pm_gate(
+            "JSONExtractKeysAndValuesRaw",
+            "dynamic key enumeration with raw values is not shimmed - "
+            "JSONExtractKeys + JSONExtractRaw per key",
+        ),
+    }
+)
+
+_PARAMETRIC2.update(
+    {
+        "countResample": _pm2_resample("count"),
+        "sumResample": _pm2_resample("sum"),
+        "minResample": _pm2_resample("min"),
+        "maxResample": _pm2_resample("max"),
+        "avgResample": _pm2_resample("avg"),
+    }
+)
+
 # batch 27c registers AFTER the one-time registry snapshots above — rebuild
 # them so the new names resolve (the snapshot pattern exists for scan speed;
 # keep this rebuild as the LAST registry mutation in the module)

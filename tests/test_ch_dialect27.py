@@ -455,3 +455,79 @@ def test_wave27c_loud_gates(eng):
     ]:
         with pytest.raises(NotImplementedError, match=frag.replace("(", r"\(")):
             eng.sql(sql).collect()
+
+
+# ---------------------------------------------------------------------------
+# wave 27d (fourth probe wave: -Resample combinator, map aliases,
+# sub-second date arithmetic, typed JSONExtract — 35/53 already answered)
+
+
+def test_resample_combinator(eng):
+    """CH -Resample: one array entry per [b, b+step) bucket of the key."""
+    r = one(
+        eng,
+        "SELECT countResample(0, 10, 5)(x) AS a FROM VALUES (1),(2),(7) AS t(x)",
+    )
+    assert list(r["a"]) == [2, 1]
+    r = one(
+        eng,
+        "SELECT sumResample(0, 10, 5)(v, x) AS a, avgResample(0, 10, 5)(v, x) AS b, "
+        "minResample(0, 10, 5)(v, x) AS c, maxResample(0, 10, 5)(v, x) AS d "
+        "FROM VALUES (1.0, 1),(3.0, 2),(2.0, 7) AS t(v, x)",
+    )
+    assert list(r["a"]) == [4.0, 2.0]
+    assert list(r["b"]) == [2.0, 2.0]
+    assert list(r["c"]) == [1.0, 2.0] and list(r["d"]) == [3.0, 2.0]
+    with pytest.raises(NotImplementedError, match="integer literals"):
+        eng.sql(
+            "SELECT countResample(0, x, 5)(x) AS a FROM VALUES (1) AS t(x)"
+        ).collect()
+
+
+def test_wave27d_dates_and_json(eng):
+    r = one(
+        eng,
+        "SELECT addMilliseconds(toDateTime64('2024-01-01 00:00:00', 3), 1500) AS a, "
+        "subtractMicroseconds(toDateTime64('2024-01-01 00:00:00', 6), 1) AS b, "
+        "toStartOfMillisecond(toDateTime64('2024-01-01 00:00:00.1239', 4)) AS c",
+    )
+    assert r["a"] == datetime.datetime(2024, 1, 1, 0, 0, 1, 500000)
+    assert r["b"] == datetime.datetime(2023, 12, 31, 23, 59, 59, 999999)
+    assert r["c"] == datetime.datetime(2024, 1, 1, 0, 0, 0, 123000)
+    r = one(
+        eng,
+        "SELECT fromUnixTimestamp64Nano(1704067200000000000) AS a, "
+        "dateTime64ToSnowflakeID(toDateTime64('2021-08-15 18:57:56.123', 3)) AS b",
+    )
+    assert r["a"] == datetime.datetime(2024, 1, 1, 0, 0)
+    assert r["b"] == (1629053876123 << 22)
+    r = one(
+        eng,
+        "SELECT JSONExtract('{\"a\": 3}', 'a', 'Int64') AS a, "
+        "JSONExtract('{\"s\": \"x\"}', 's', 'String') AS b, "
+        "JSONExtract('{\"f\": 1.5}', 'f', 'Float64') AS c",
+    )
+    assert r["a"] == 3 and r["b"] == "x" and r["c"] == 1.5
+    # sumMappedArrays == the sumMap (keys[], values[]) form
+    r = one(
+        eng,
+        "SELECT sumMappedArrays(ks, vs) AS a FROM ("
+        "SELECT array(1, 2) AS ks, array(10, 20) AS vs "
+        "UNION ALL SELECT array(2), array(5))",
+    )
+    assert list(r["a"]["keys"]) == [1, 2]
+    assert [float(v) for v in r["a"]["values"]] == [10.0, 25.0]
+
+
+def test_wave27d_loud_gates(eng):
+    for sql, frag in [
+        ("SELECT addInterval(INTERVAL 1 DAY, INTERVAL 1 MONTH) AS a", "interval-tuple"),
+        ("SELECT addNanoseconds(now(), 5) AS a", "microsecond precision"),
+        ("SELECT JSONExtract('{}', 'a', 'Array(Int64)') AS a", "literal string key"),
+        (
+            "SELECT JSONExtractKeysAndValuesRaw('{\"a\": 1}') AS a",
+            "JSONExtractKeys",
+        ),
+    ]:
+        with pytest.raises(NotImplementedError, match=frag.replace("(", r"\(")):
+            eng.sql(sql).collect()
