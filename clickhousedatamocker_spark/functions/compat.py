@@ -3388,6 +3388,52 @@ def _pm2_topk_weighted(params: list[str] | None, args: list[str]) -> str:
     return f"slice(transform({ranked}, __ts -> __ts.v), 1, {k})"
 
 
+def _pm2_approx_top_k(params: list[str] | None, args: list[str]) -> str:
+    """approx_top_k(k)(x) / approxTopK — CH returns
+    Array(Tuple(item, count, error)), NOT topK's bare value array (r10
+    ADVICE: queries reading t.2/t.3 silently got the wrong type when these
+    were aliased to topK). Counts here are exact, so error is always 0."""
+    if len(args) != 1:
+        raise NotImplementedError("approx_top_k takes exactly one expression")
+    k = params[0] if params else "10"
+    x = args[0]
+    lst = f"collect_list({x})"
+    cnt = f"size(filter({lst}, __te -> __te <=> __tv))"
+    ranked = (
+        f"array_sort(transform(array_distinct({lst}), __tv -> "
+        f"struct(-{cnt} AS negn, __tv AS v)))"
+    )
+    return (
+        f"slice(transform({ranked}, __ts -> named_struct("
+        f"'item', __ts.v, 'count', CAST(-__ts.negn AS BIGINT), "
+        f"'error', CAST(0 AS BIGINT))), 1, {k})"
+    )
+
+
+def _pm2_approx_top_sum(params: list[str] | None, args: list[str]) -> str:
+    """approx_top_sum(k)(x, weight) / approxTopSum —
+    Array(Tuple(item, count, error)) where count is the weight sum (CH
+    weights are UInt64, so the sum stays BIGINT); error = 0 (exact)."""
+    if len(args) != 2:
+        raise NotImplementedError("approx_top_sum takes (x, weight)")
+    k = params[0] if params else "10"
+    x, w = args
+    lst = f"collect_list(struct({x} AS x, CAST({w} AS BIGINT) AS w))"
+    wt = (
+        f"aggregate(filter({lst}, __te -> __te.x <=> __tv), "
+        f"CAST(0 AS BIGINT), (__ta, __te) -> __ta + __te.w)"
+    )
+    ranked = (
+        f"array_sort(transform(array_distinct(transform({lst}, __te -> __te.x)), "
+        f"__tv -> struct(-{wt} AS negw, __tv AS v)))"
+    )
+    return (
+        f"slice(transform({ranked}, __ts -> named_struct("
+        f"'item', __ts.v, 'count', -__ts.negw, "
+        f"'error', CAST(0 AS BIGINT))), 1, {k})"
+    )
+
+
 def _pm2_weighted_quantile(params: list[str] | None, args: list[str]) -> str:
     """All weighted-quantile spellings → Spark's exact weighted percentile
     (the approximate families are answered exactly — documented deviation,
@@ -3499,11 +3545,12 @@ def _pm2_sparkbar(params: list[str] | None, args: list[str]) -> str:
 _PARAMETRIC2: dict[str, object] = {
     "groupArraySorted": _pm2_group_array_sorted,
     "quantileGK": _pm2_quantile_gk,
-    # r10 wave 27: CH aliases of the heavy-hitter family + the plural GK
-    "approx_top_k": _pm2_topk,
-    "approxTopK": _pm2_topk,
-    "approx_top_sum": _pm2_topk_weighted,
-    "approxTopSum": _pm2_topk_weighted,
+    # r10 wave 27 / r11 ADVICE: the approx_top_* family returns
+    # Array(Tuple(item, count, error)) in CH — NOT topK's bare value array
+    "approx_top_k": _pm2_approx_top_k,
+    "approxTopK": _pm2_approx_top_k,
+    "approx_top_sum": _pm2_approx_top_sum,
+    "approxTopSum": _pm2_approx_top_sum,
     "quantilesGK": _pm2_quantiles_gk,
     "quantileIf": _pm2_quantile_if,
     "sparkbar": _pm2_sparkbar,
@@ -7656,17 +7703,32 @@ def _pm2_resample(base: str):
                 raise NotImplementedError(
                     f"{base}Resample: start/end/step must be integer literals"
                 )
-        buckets = (
-            f"sequence(CAST({lo} AS BIGINT), CAST({hi} AS BIGINT) - 1, "
-            f"CAST({step} AS BIGINT))"
-        )
+        lo_i, hi_i, step_i = int(lo), int(hi), int(step)
+        if step_i <= 0:
+            raise NotImplementedError(
+                f"{base}Resample: step must be a positive integer"
+            )
+        if hi_i <= lo_i:
+            # CH yields an empty result; Spark's sequence() would throw.
+            # filter(array(agg), false) keeps this an aggregate expression
+            # with the right element type.
+            elem = (
+                "CAST(count(1) AS BIGINT)"
+                if base == "count"
+                else "CAST(count(1) AS DOUBLE)"
+            )
+            return f"filter(array({elem}), __rs_x -> false)"
+        # CH restricts keys to [start, end): the LAST bucket clamps at end
+        # when step does not divide (end - start)
+        upper = f"least(__rs_b + {step_i}, {hi_i})"
+        buckets = f"sequence({lo_i}L, {hi_i - 1}L, {step_i}L)"
         if base == "count":
             if len(args) != 1:
                 raise NotImplementedError("countResample takes (key)")
             lst = f"collect_list(CAST({args[0]} AS BIGINT))"
             per = (
                 f"size(filter({lst}, __rs_v -> "
-                f"__rs_v >= __rs_b AND __rs_v < __rs_b + ({step})))"
+                f"__rs_v >= __rs_b AND __rs_v < {upper}))"
             )
         else:
             if len(args) != 2:
@@ -7679,7 +7741,7 @@ def _pm2_resample(base: str):
             )
             flt = (
                 f"filter({lst}, __rs_e -> "
-                f"__rs_e.k >= __rs_b AND __rs_e.k < __rs_b + ({step}))"
+                f"__rs_e.k >= __rs_b AND __rs_e.k < {upper})"
             )
             vals = f"transform({flt}, __rs_e -> __rs_e.v)"
             if base == "sum":
@@ -7724,6 +7786,14 @@ def _pm_json_extract_typed(args: list[str]) -> str:
         raise NotImplementedError(
             "JSONExtract needs a literal string key and type name"
         )
+    if not re.fullmatch(r"[A-Za-z0-9_ -]+", km.group(1)):
+        # '.', '[', '*', '$' would be read as JSONPath syntax by
+        # get_json_object and silently address a different member
+        raise NotImplementedError(
+            "JSONExtract key must be a plain member name ([A-Za-z0-9_ -]+) "
+            "- JSONPath metacharacters would address a different member; "
+            "use JSONExtractRaw and parse for exotic keys"
+        )
     raw = f"get_json_object({j}, '$.{km.group(1)}')"
     if tm.group(1) == "String":
         return raw
@@ -7745,8 +7815,12 @@ _PARAMETRIC.update(
         "toStartOfMicrosecond": _pm_1arg("({x})"),
         "toStartOfNanosecond": _pm_1arg("({x})"),  # micros floor, documented
         "toStartOfMillisecond": _pm_1arg("timestamp_millis(unix_millis({x}))"),
+        # floor division, not `div` (truncate-toward-zero): pre-epoch
+        # negative nanos must land on the earlier microsecond, matching
+        # the documented micros-floor of toStartOfNanosecond
         "fromUnixTimestamp64Nano": _pm_1arg(
-            "timestamp_micros(CAST({x} AS BIGINT) div 1000)"
+            "timestamp_micros((CAST({x} AS BIGINT) - "
+            "pmod(CAST({x} AS BIGINT), 1000)) div 1000)"
         ),
         "fromUnixTimestamp64Micro": _pm_1arg("timestamp_micros(CAST({x} AS BIGINT))"),
         "dateTime64ToSnowflakeID": _pm_1arg("shiftleft(unix_millis({x}), 22)"),

@@ -162,17 +162,23 @@ def test_parse_time_delta(eng):
 
 
 def test_approx_top_aliases_and_plural_gk(eng):
+    # r11 ADVICE: CH's approx_top_* return Array(Tuple(item, count, error)),
+    # not topK's bare value array — counts exact here, error always 0
     r = one(
         eng,
         "SELECT approx_top_k(2)(x) AS a FROM "
         "(SELECT 'x' AS x UNION ALL SELECT 'x' UNION ALL SELECT 'y')",
     )
-    assert list(r["a"]) == ["x", "y"]
+    assert [(e["item"], e["count"], e["error"]) for e in r["a"]] == [
+        ("x", 2, 0),
+        ("y", 1, 0),
+    ]
     r = one(
         eng,
         "SELECT approx_top_sum(1)(x, w) AS a FROM (VALUES ('a', 1), ('b', 5)) AS t(x, w)",
     )
-    assert list(r["a"]) == ["b"]  # weight-ranked, not count-ranked
+    # weight-ranked, not count-ranked; count field carries the weight sum
+    assert [(e["item"], e["count"], e["error"]) for e in r["a"]] == [("b", 5, 0)]
     r = one(
         eng,
         "SELECT quantilesGK(100, 0.25, 0.75)(x) AS a "
@@ -484,6 +490,31 @@ def test_resample_combinator(eng):
         ).collect()
 
 
+def test_resample_clamp_and_empty(eng):
+    """r11 ADVICE: keys live in [start, end) — a non-dividing step must NOT
+    let the last bucket swallow keys >= end; end <= start yields empty."""
+    r = one(
+        eng,
+        "SELECT countResample(0, 7, 5)(x) AS a, sumResample(0, 7, 5)(v, x) AS s "
+        "FROM VALUES (1, 10.0), (6, 20.0), (8, 40.0) AS t(x, v)",
+    )
+    # key 8 >= end=7 is excluded from the clamped last bucket [5, 7)
+    assert list(r["a"]) == [1, 1]
+    assert list(r["s"]) == [10.0, 20.0]
+    r = one(
+        eng,
+        "SELECT countResample(5, 5, 2)(x) AS a, avgResample(9, 4, 2)(v, x) AS b, "
+        "count(1) AS n FROM VALUES (1, 1.0), (2, 2.0) AS t(x, v)",
+    )
+    # end <= start: CH yields empty arrays (Spark's sequence would throw);
+    # still ONE aggregate row, not per-input-row literals
+    assert list(r["a"]) == [] and list(r["b"]) == [] and r["n"] == 2
+    with pytest.raises(NotImplementedError, match="positive integer"):
+        eng.sql(
+            "SELECT countResample(0, 10, 0)(x) AS a FROM VALUES (1) AS t(x)"
+        ).collect()
+
+
 def test_wave27d_dates_and_json(eng):
     r = one(
         eng,
@@ -497,9 +528,13 @@ def test_wave27d_dates_and_json(eng):
     r = one(
         eng,
         "SELECT fromUnixTimestamp64Nano(1704067200000000000) AS a, "
-        "dateTime64ToSnowflakeID(toDateTime64('2021-08-15 18:57:56.123', 3)) AS b",
+        "dateTime64ToSnowflakeID(toDateTime64('2021-08-15 18:57:56.123', 3)) AS b, "
+        "fromUnixTimestamp64Nano(-1) AS c",
     )
     assert r["a"] == datetime.datetime(2024, 1, 1, 0, 0)
+    # r11 ADVICE: pre-epoch nanos floor to the EARLIER microsecond
+    # (truncate-toward-zero landed them 1 us late)
+    assert r["c"] == datetime.datetime(1969, 12, 31, 23, 59, 59, 999999)
     assert r["b"] == (1629053876123 << 22)
     r = one(
         eng,
@@ -524,6 +559,10 @@ def test_wave27d_loud_gates(eng):
         ("SELECT addInterval(INTERVAL 1 DAY, INTERVAL 1 MONTH) AS a", "interval-tuple"),
         ("SELECT addNanoseconds(now(), 5) AS a", "microsecond precision"),
         ("SELECT JSONExtract('{}', 'a', 'Array(Int64)') AS a", "literal string key"),
+        # r11 ADVICE: JSONPath metacharacters in the key would silently
+        # address a different member through get_json_object
+        ("SELECT JSONExtract('{}', 'a.b', 'Int64') AS a", "plain member name"),
+        ("SELECT JSONExtract('{}', 'a[0]', 'Int64') AS a", "plain member name"),
         (
             "SELECT JSONExtractKeysAndValuesRaw('{\"a\": 1}') AS a",
             "JSONExtractKeys",
