@@ -75,6 +75,15 @@ class HarnessResult:
     throw_triggered: bool
     final_active_parts: int
     per_batch_seconds: list[float] = field(default_factory=list)
+    # one record per iteration — the observability the reference's loop
+    # prints per insert (setup.sh:125-151 + check_flow_control_status):
+    # {i, rows, new_parts, elapsed_s, delay_s, active_parts, zone,
+    #  delayed_inserts} — so a run IS its own artifact
+    iterations: list[dict] = field(default_factory=list)
+    # final full-report rows (monitor_metrics.sh:114-126's three sections;
+    # the flow-status section is final_active_parts + the thresholds)
+    final_metrics: list[dict] = field(default_factory=list)
+    final_parts: list[dict] = field(default_factory=list)
 
 
 def run_harness(
@@ -134,6 +143,20 @@ def run_harness(
                 log.warning("insert %d rejected: %s", i, e)
                 result.throw_triggered = True
                 result.flow_control_triggered = True
+                st = engine.flow_status(cfg.table)
+                result.iterations.append(
+                    {
+                        "i": i,
+                        "rows": 0,
+                        "new_parts": 0,
+                        "elapsed_s": 0.0,
+                        "delay_s": 0.0,
+                        "active_parts": st.active_parts,
+                        "zone": "throw",
+                        "delayed_inserts": st.delayed_inserts,
+                        "rejected": True,
+                    }
+                )
                 break
             result.inserts_succeeded = i
             result.rows_inserted += ins.rows
@@ -152,6 +175,18 @@ def run_harness(
 
             # flow status check + early stop (setup.sh:137-145)
             status = engine.flow_status(cfg.table)
+            result.iterations.append(
+                {
+                    "i": i,
+                    "rows": ins.rows,
+                    "new_parts": ins.new_parts,
+                    "elapsed_s": round(ins.elapsed_s, 4),
+                    "delay_s": round(ins.delay_s, 4),
+                    "active_parts": status.active_parts,
+                    "zone": status.zone,
+                    "delayed_inserts": status.delayed_inserts,
+                }
+            )
             if status.zone == "throw":
                 log.warning("active parts %d >= throw threshold %d — stopping", status.active_parts, status.parts_to_throw_insert)
                 result.flow_control_triggered = True
@@ -172,5 +207,7 @@ def run_harness(
     if show_reports:
         metrics_df.show(truncate=False)
         parts_df.show(truncate=False)
+    result.final_metrics = [r.asDict() for r in metrics_df.collect()]
+    result.final_parts = [r.asDict() for r in parts_df.collect()]
     result.final_active_parts = engine.flow_status(cfg.table).active_parts
     return result
