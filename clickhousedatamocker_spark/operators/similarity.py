@@ -790,6 +790,196 @@ ORDER BY l.query_id, l.rank
 """.strip()
 
 
+def ivf_train_xengine(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    n_iters: int = 2,
+) -> list[list[int]]:
+    """INTEGER Lloyd k-means over the full quantized vectors — the r10
+    exact-trainer device (operators/pq.py pq_train_xengine) generalized to
+    the IVF coarse quantizer, so the TRAINED coarse codebook itself is
+    cross-engine replayable: centroids stay integer vectors (floor(x*1e6)
+    quantization of the raw doubles; no normalization needed — the raw
+    parquet doubles are already identical in both engines), assignment is
+    exact integer L2 argmin with first-minimum (cid) ties, and the Lloyd
+    mean is floor(double(sum)/count + 0.5) — one fixed IEEE op chain both
+    engines evaluate identically (component sums stay far below 2^53).
+    Init = the n_centroids corpus rows with smallest (h(id), id); empty
+    clusters keep their previous centroid.
+
+    Scale shape: per epoch ONE bounded (cid, j) aggregation over the
+    corpus (k*dim rows collected — driver state is the codebook, never
+    data); assignment is a zero-shuffle map against broadcast literals."""
+    import math
+
+    e = corpus.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("__id"), as_double(vec_col).alias("__v")
+    )
+    e = materialize_col(e, quantize_vec(F.col("__v")), "__qv", keep=["__id"]).persist()
+    try:
+        h = (F.lit(_IVF_HA) * F.col("__id") + F.lit(_IVF_HB)) % F.lit(_IVF_HP)
+        seed_rows = (
+            e.select("__id", "__qv").withColumn("__h", h)
+            .orderBy("__h", "__id").limit(n_centroids).collect()
+        )
+        if len(seed_rows) < n_centroids:
+            raise ValueError(
+                f"ivf_train_xengine: corpus smaller than n_centroids={n_centroids}"
+            )
+        centroids = [[int(x) for x in r["__qv"]] for r in seed_rows]
+        for _ in range(n_iters):
+            cid = F.element_at(_int_probe_cids(F.col("__qv"), centroids, 1), 1)
+            stats = (
+                e.withColumn("__c", cid)
+                .select("__c", F.posexplode("__qv").alias("__j", "__x"))
+                .groupBy("__c", "__j")
+                .agg(F.sum("__x").alias("sx"), F.count(F.lit(1)).alias("cnt"))
+                .collect()
+            )
+            new_centroids = [list(c) for c in centroids]
+            for r in stats:
+                # floor(double(sum)/count + 0.5) — the exact chain the
+                # oracle's u{it} CTE emits
+                new_centroids[r["__c"]][r["__j"]] = int(
+                    math.floor(float(r["sx"]) / r["cnt"] + 0.5)
+                )
+            centroids = new_centroids
+        return centroids
+    finally:
+        e.unpersist()
+
+
+def ivf_topk_trained_xengine(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 3,
+    n_iters: int = 2,
+) -> DataFrame:
+    """IVF ANN under a TRAINED integer-k-means codebook
+    (:func:`ivf_train_xengine`), cross-engine exact end to end — the last
+    trained path without a graded sibling (r10 verdict task). Same join
+    discipline as the production :func:`ivf_topk`: broadcast query side,
+    bucketed equi-join, exact cosine rerank rounded to 6 places, never a
+    cartesian. Output: (query_id, rank, neighbor_id, cosine)."""
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
+    centroids = ivf_train_xengine(corpus, id_col, vec_col, n_centroids, n_iters)
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"))
+    c = c.withColumn(
+        "bucket", F.element_at(_int_probe_cids(quantize_vec(F.col("cv")), centroids, 1), 1)
+    )
+    q = queries.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
+    )
+    q = q.withColumn(
+        "bucket", F.explode(_int_probe_cids(quantize_vec(F.col("qv")), centroids, nprobe))
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def ivf_trained_oracle_sql(
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 3,
+    n_iters: int = 2,
+    dim: int = 64,
+    query_pred: str = "vec_id < 5",
+    table: str = "embeddings",
+) -> str:
+    """DuckDB twin of :func:`ivf_topk_trained_xengine` — replays the
+    integer Lloyd TRAINING epoch by epoch (c0 → c{n_iters} chained
+    MATERIALIZED CTEs), the final argmin assignment, the nprobe query
+    probes, and the exact cosine rerank. Keep in lockstep with the Spark
+    operator."""
+    hid = f"({_IVF_HA} * vec_id + {_IVF_HB}) % {_IVF_HP}"
+    # exact integer squared-L2 (diffs ≤ ~2e7 → squares < 2^53, so the
+    # Spark long fold and DuckDB's widened arithmetic agree exactly)
+    d2 = (
+        f"list_sum(list_transform(generate_series(1, {dim}), "
+        "j -> (e.qv[j] - c.cv[j]) * (e.qv[j] - c.cv[j])))"
+    )
+    cos = (
+        "round(list_dot_product({a}, {b}) / sqrt(list_dot_product({a}, {a}) "
+        "* list_dot_product({b}, {b})), 6)"
+    )
+    parts = [
+        f"""e AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_transform(embedding::DOUBLE[], x -> CAST(floor(x * {_QSCALE}) AS BIGINT)) AS qv
+  FROM {table} WHERE embedding IS NOT NULL
+), seed AS MATERIALIZED (
+  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY {hid}, vec_id) AS INT) - 1 AS c
+  FROM e QUALIFY ROW_NUMBER() OVER (ORDER BY {hid}, vec_id) <= {n_centroids}
+), c0 AS MATERIALIZED (
+  SELECT seed.c, e.qv AS cv FROM seed JOIN e USING (vec_id)
+)"""
+    ]
+    for it in range(n_iters):
+        parts.append(
+            f"""a{it} AS MATERIALIZED (
+  SELECT vec_id, c FROM (
+    SELECT e.vec_id, c.c, {d2} AS d FROM e CROSS JOIN c{it} c
+  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) = 1
+), u{it} AS MATERIALIZED (
+  SELECT a.c, j,
+         CAST(floor(CAST(SUM(e.qv[j]) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS x
+  FROM a{it} a JOIN e USING (vec_id)
+  CROSS JOIN (SELECT unnest(generate_series(1, {dim})) AS j)
+  GROUP BY a.c, j
+), c{it + 1} AS MATERIALIZED (
+  SELECT c.c, COALESCE(nl.cv, c.cv) AS cv
+  FROM c{it} c LEFT JOIN (
+    SELECT c, list(x ORDER BY j) AS cv FROM u{it} GROUP BY c
+  ) nl USING (c)
+)"""
+        )
+    cf = f"c{n_iters}"
+    parts.append(
+        f"""cad AS MATERIALIZED (
+  SELECT e.vec_id, c.c AS cid, {d2} AS d FROM e CROSS JOIN {cf} c
+), cassign AS MATERIALIZED (
+  SELECT vec_id, cid AS bucket FROM cad
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+), ciq AS MATERIALIZED (
+  SELECT vec_id AS query_id, cid AS bucket FROM cad WHERE {query_pred}
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) <= {nprobe}
+)"""
+    )
+    body = ",\n".join(parts)
+    return f"""WITH {body}
+SELECT query_id, rank, neighbor_id, cosine FROM (
+  SELECT q.query_id,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY q.query_id ORDER BY {cos.format(a='qe.v', b='ce.v')} DESC,
+           ca.vec_id) AS INT) AS rank,
+         ca.vec_id AS neighbor_id,
+         {cos.format(a='qe.v', b='ce.v')} AS cosine
+  FROM ciq q
+  JOIN e qe ON qe.vec_id = q.query_id
+  JOIN cassign ca ON ca.bucket = q.bucket AND ca.vec_id <> q.query_id
+  JOIN e ce ON ce.vec_id = ca.vec_id
+) WHERE rank <= {k}
+ORDER BY query_id, rank"""
+
+
 def ann_index_add(
     spark,
     path: str,

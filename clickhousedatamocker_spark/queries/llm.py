@@ -535,6 +535,38 @@ def similarity_topk_ivf(spark, sf_dir):
 
 
 # -------------------------------------------------------------------------
+def _ivf_trained_oracle():
+    from clickhousedatamocker_spark.operators.similarity import ivf_trained_oracle_sql
+
+    return ivf_trained_oracle_sql(k=10, n_centroids=8, nprobe=3, n_iters=2)
+
+
+@register(
+    "similarity_topk_ivf_trained",
+    _ivf_trained_oracle(),
+    description="TRAINED-codebook IVF ANN, graded end to end via the "
+    "INTEGER k-means device (r10's pq_train_xengine discipline generalized "
+    "to the coarse quantizer): floor(x*1e6) quantization, 2 integer Lloyd "
+    "epochs (exact integer L2 argmin, first-min ties, floor(sum/n + 0.5) "
+    "means, empty clusters keep their centroid), nprobe=3 probes, exact "
+    "cosine rerank. The DuckDB oracle REPLAYS the training epoch by epoch "
+    "in chained MATERIALIZED CTEs — the k-means trajectory itself is "
+    "graded, closing the last trained path without a graded sibling. The "
+    "float-k-means production stack stays rows-only as similarity_topk_ivf "
+    "with recall pinned in tests/test_llm_ops.py.",
+)
+def similarity_topk_ivf_trained(spark, sf_dir):
+    from clickhousedatamocker_spark.operators.similarity import (
+        ivf_topk_trained_xengine,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    return ivf_topk_trained_xengine(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, n_centroids=8, nprobe=3, n_iters=2
+    ).orderBy("query_id", "rank")
+
+
+# -------------------------------------------------------------------------
 @register(
     "dedup_embedding_cosine_pairs",
     """

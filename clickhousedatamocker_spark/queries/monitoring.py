@@ -229,3 +229,113 @@ def ema_time_decay_profile(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "series_decompose_profile",
+    None,  # rows-only: bit parity with stl-cpp is NOT guaranteed by design
+    # (LOESS accumulation order differs across ports — functions/stl.py
+    # module docstring), so the STL surface stays outside the hash window;
+    # recovery laws are golden-tested in tests/test_stl.py and the
+    # decomposition-identity law is asserted IN the result here.
+    description="seriesDecomposeSTL over a deterministic daily event-count "
+    "series per event_type (dense day spine, zero-filled gaps, period 7): "
+    "returns per-series recovery aggregates — point count, seasonal "
+    "amplitude, trend range, residual RMS, and the exact decomposition "
+    "identity max|series - (seasonal+trend+residue)| — the same laws "
+    "tests/test_stl.py pins on planted fixtures, here under the driver's "
+    "rows-only smoke discipline (r10 verdict task 5).",
+)
+def series_decompose_profile(spark, sf_dir):
+    import os as _os
+
+    from pyspark.sql.functions import pandas_udf
+
+    # worker-side bootstrap (the operators/multimodal.py discipline): the
+    # closure is NESTED and carries the repo root as a plain string, so a
+    # bare external session's workers can import functions/stl.py
+    repo_root = _os.path.dirname(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    )
+
+    def _stl3(s, p):
+        import sys as _sys
+
+        if repo_root not in _sys.path:
+            _sys.path.insert(0, repo_root)
+        import numpy as np
+        import pandas as pd
+
+        from clickhousedatamocker_spark.functions.stl import stl_decompose
+
+        out = []
+        for series, period in zip(s, p):
+            if series is None or period is None:
+                out.append(None)
+                continue
+            season, trend, resid = stl_decompose(series, int(period))
+            out.append(
+                [
+                    np.asarray(season, dtype=np.float32),
+                    np.asarray(trend, dtype=np.float32),
+                    np.asarray(resid, dtype=np.float32),
+                ]
+            )
+        return pd.Series(out, dtype=object)
+
+    stl_udf = pandas_udf(_stl3, "array<array<float>>")
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # dense series over each type's [min_day, max_day] span, gaps -> 0
+    # (STL needs a contiguous equally-spaced series)
+    b = daily.groupBy("event_type").agg(
+        F.min("d").alias("d0"),
+        F.max("d").alias("d1"),
+        F.map_from_entries(F.collect_list(F.struct("d", "n"))).alias("m"),
+    )
+    series = b.select(
+        "event_type",
+        F.transform(
+            F.sequence(F.lit(0), F.datediff("d1", "d0")),
+            lambda i: F.coalesce(
+                F.element_at(F.col("m"), F.date_add(F.col("d0"), i)), F.lit(0)
+            ).cast("double"),
+        ).alias("series"),
+    )
+    dec = series.withColumn("dec", stl_udf(F.col("series"), F.lit(7)))
+    seasonal = F.element_at("dec", 1)
+    trend = F.element_at("dec", 2)
+    resid = F.element_at("dec", 3)
+    recon = F.zip_with(
+        F.zip_with(seasonal, trend, lambda a, b2: a.cast("double") + b2.cast("double")),
+        resid,
+        lambda st, r: st + r.cast("double"),
+    )
+    identity_err = F.aggregate(
+        F.zip_with(F.col("series"), recon, lambda x, y: F.abs(x - y)),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    resid_rms = F.sqrt(
+        F.aggregate(
+            resid,
+            F.lit(0.0),
+            lambda a, x: a + x.cast("double") * x.cast("double"),
+        )
+        / F.size(resid)
+    )
+    return dec.select(
+        "event_type",
+        F.size("series").alias("n_points"),
+        F.round(
+            (F.array_max(seasonal) - F.array_min(seasonal)).cast("double"), 3
+        ).alias("seasonal_amplitude"),
+        F.round((F.array_max(trend) - F.array_min(trend)).cast("double"), 3).alias(
+            "trend_range"
+        ),
+        F.round(resid_rms, 3).alias("resid_rms"),
+        (identity_err < 1e-3).alias("identity_ok"),
+    ).orderBy("event_type")

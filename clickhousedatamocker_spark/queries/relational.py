@@ -220,22 +220,10 @@ def q7_volume_shipping(spark, sf_dir):
 
 @register(
     "q10_returned_items",
-    f"""
-SELECT c_custkey, c_name, {o_dsum('volume', 14, 4)} AS revenue, n_name
-FROM (
-  SELECT c_custkey, c_name, n_name,
-         CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS volume
-  FROM customer JOIN orders ON c_custkey = o_custkey
-                JOIN lineitem ON l_orderkey = o_orderkey
-                JOIN nation ON c_nationkey = n_nationkey
-  WHERE l_returnflag = 'R'
-    AND CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '1995-10-01'
-    AND CAST(o_orderdate AS TIMESTAMP) < TIMESTAMP '1996-01-01'
-)
-GROUP BY c_custkey, c_name, n_name
-ORDER BY revenue DESC, c_custkey
-LIMIT 20
-""",
+    None,  # rotated OUT of the graded window r11 (made room for the
+    # trained-IVF integer-k-means twin); former oracle value-pinned in
+    # tests/test_rotated_oracles.py. The TPC-H class keeps q1/q3/q5/q6
+    # graded + 15 more value-exact in test_tpch_extra.py.
     description="TPC-H Q10: returned-item reporting — selective fact filter, "
     "4-table join, revenue agg, top-20 by revenue (TakeOrderedAndProject).",
 )

@@ -225,3 +225,11 @@ def test_contract_round10_graded_rotation_under_bare_session():
             "ema_time_decay_profile",
         ]
     )
+
+
+def test_contract_round11_graded_rotation_under_bare_session():
+    """The round-11 graded twin under a bare external session: the
+    trained-IVF coarse codebook replays full-vector integer Lloyd k-means
+    (chained MATERIALIZED CTEs, list(x ORDER BY j) reassembly, integer L2
+    argmin with (d, cid) ties) and reranks by 6dp-rounded cosine."""
+    _run_probe(["similarity_topk_ivf_trained"])

@@ -23,6 +23,9 @@ rather than frozen so the fold stays in lockstep with the operator).
 r10 rotation (made room for the trained-classifier, IVF-PQ and EMA
 time-decay twins): q7_volume_shipping, join_broadcast_dims,
 dedup_ngram_jaccard_pairs.
+
+r11 rotation (made room for the trained-IVF integer-k-means twin):
+q10_returned_items.
 """
 
 import math
@@ -189,6 +192,23 @@ FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND a.lang = b.lang
 WHERE len(list_intersect(a.sg, b.sg)) * 1.0
     / (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))) >= 0.2
 ORDER BY id_a, id_b
+""",
+    "q10_returned_items": """
+SELECT c_custkey, c_name,
+       CAST(SUM(CAST(volume AS DECIMAL(14,4))) AS DOUBLE) AS revenue, n_name
+FROM (
+  SELECT c_custkey, c_name, n_name,
+         CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS volume
+  FROM customer JOIN orders ON c_custkey = o_custkey
+                JOIN lineitem ON l_orderkey = o_orderkey
+                JOIN nation ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+    AND CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '1995-10-01'
+    AND CAST(o_orderdate AS TIMESTAMP) < TIMESTAMP '1996-01-01'
+)
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
 """,
     "q18_large_volume_customers": """
 SELECT c_name, c_custkey, o_orderkey,

@@ -103,3 +103,22 @@ def test_dialect_spelling_end_to_end(eng):
         f"SELECT seriesDecomposeSTL(CAST(NULL AS ARRAY<DOUBLE>), {period}) AS d"
     ).collect()[0]
     assert null_row["d"] is None
+
+
+def test_series_decompose_profile_registry_slot(spark):
+    """r11: the STL surface under the driver's rows-only smoke discipline —
+    stable schema, one row per event_type, the decomposition identity
+    holding on real data (bit parity with stl-cpp stays out of the hash
+    window by design; see the module docstring)."""
+    from clickhousedatamocker_spark.queries import REGISTRY
+
+    spec = REGISTRY["series_decompose_profile"]
+    assert spec.oracle is None  # rows-only by design
+    df = spec.fn(spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    assert df.columns == [
+        "event_type", "n_points", "seasonal_amplitude",
+        "trend_range", "resid_rms", "identity_ok",
+    ]
+    assert len(rows) == 5 and all(r["identity_ok"] for r in rows)
+    assert all(r["n_points"] >= 14 for r in rows)  # >= 2 periods of 7

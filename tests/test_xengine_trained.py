@@ -177,3 +177,87 @@ def test_pq_train_xengine_guards(spark):
         pq_train_xengine(emb, m=7)
     with pytest.raises(ValueError, match="smaller than ksub"):
         pq_train_xengine(emb.filter(F.col("vec_id") < 3), ksub=16)
+
+
+# ---------------------------------------------------------------------------
+# trained IVF coarse quantizer (r11): full-vector integer Lloyd k-means
+
+
+def test_ivf_train_xengine_centroids_match_duckdb_replay(spark, duck):
+    """The trained coarse codebook itself replays bit-identically: the
+    DuckDB chain (the oracle's c0 -> cN CTEs) lands on the SAME integer
+    centroid vectors the Spark trainer returns."""
+    from clickhousedatamocker_spark.operators.similarity import (
+        ivf_train_xengine,
+        ivf_trained_oracle_sql,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    centroids = ivf_train_xengine(emb, n_centroids=8, n_iters=2)
+    # reuse the oracle's WITH chain, selecting the trained codebook CTE
+    full = ivf_trained_oracle_sql(n_centroids=8, n_iters=2)
+    with_chain = full[: full.rindex("\nSELECT query_id")]
+    rows = duck.sql(with_chain + "\nSELECT c, cv FROM c2 ORDER BY c").fetchall()
+    replay = [list(cv) for _, cv in rows]
+    assert replay == centroids
+
+
+def test_ivf_trained_xengine_matches_duckdb_replay(spark, duck):
+    from clickhousedatamocker_spark.operators.similarity import (
+        ivf_topk_trained_xengine,
+        ivf_trained_oracle_sql,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    sdf = ivf_topk_trained_xengine(emb, emb.filter(F.col("vec_id") < 5)).orderBy(
+        "query_id", "rank"
+    )
+    srows = [tuple(r) for r in sdf.collect()]
+    rel = duck.sql(ivf_trained_oracle_sql())
+    orows = [tuple(r) for r in rel.fetchall()]
+    assert sdf.columns == list(rel.columns)
+    assert srows == orows
+
+
+def test_ivf_trained_xengine_recall_vs_brute_force(spark):
+    """Trained coarse cells must be USEFUL: nprobe=3 of 8 trained cells
+    with exact rerank should keep recall@10 against exact cosine."""
+    from clickhousedatamocker_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk_trained_xengine,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk_trained_xengine(emb, q, k=10).collect()
+    }
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, q, k=10).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.6, f"recall@10 {recall}"
+
+
+def test_ivf_trained_improves_on_seed_codebook(spark):
+    """Lloyd epochs must actually MOVE the codebook off the sampled seeds
+    (a no-op trainer would silently re-grade the r8 sample-codebook path)."""
+    from clickhousedatamocker_spark.operators.similarity import (
+        ivf_codebook_xengine,
+        ivf_train_xengine,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    seeds = ivf_codebook_xengine(emb, n_centroids=8)
+    trained = ivf_train_xengine(emb, n_centroids=8, n_iters=2)
+    assert trained != seeds
+
+
+def test_ivf_train_xengine_guards(spark):
+    from clickhousedatamocker_spark.operators.similarity import ivf_train_xengine
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    with pytest.raises(ValueError, match="smaller than n_centroids"):
+        ivf_train_xengine(emb.filter(F.col("vec_id") < 3), n_centroids=8)
