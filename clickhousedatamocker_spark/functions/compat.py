@@ -658,6 +658,11 @@ _REWRITES = [
         re.compile(r"\bhostName\(\s*\)", re.IGNORECASE),
         lambda m: "'" + _socket.gethostname().replace("'", "") + "'",
     ),
+    # FQDN = the fully-qualified driver name (wave 28b)
+    (
+        re.compile(r"\bFQDN\(\s*\)", re.IGNORECASE),
+        lambda m: "'" + _socket.getfqdn().replace("'", "") + "'",
+    ),
     (
         re.compile(r"\buptime\(\s*\)", re.IGNORECASE),
         lambda m: str(int(_time.time() - _MODULE_START)),
@@ -7879,6 +7884,158 @@ _PARAMETRIC2.update(
         "minResample": _pm2_resample("min"),
         "maxResample": _pm2_resample("max"),
         "avgResample": _pm2_resample("avg"),
+    }
+)
+
+
+# -- vocab batch 28 (round 11, probe wave 28): the -ArgMin/-ArgMax
+# combinator family, port(), tupleNames gate ---------------------------------
+
+
+def _pm_arg_extremum(base: str, is_min: bool):
+    """<base>ArgMin/ArgMax(value, key): the CH combinator — the base
+    aggregate over ONLY the rows whose key attains the group extremum.
+    The extremum is taken over non-NULL keys; NULL values are then skipped
+    by the base aggregate (the CH aggregate-NULL convention). 'any'
+    answers deterministically with the MINIMUM qualifying value (the same
+    rule as the documented argMax collision policy); sum/avg cast to
+    DOUBLE (the dialect's combinator convention, as in -Resample)."""
+    name = f"{base}Arg{'Min' if is_min else 'Max'}"
+
+    def rw(args: list[str]) -> str:
+        if len(args) != 2:
+            raise NotImplementedError(f"{name} takes (value, key)")
+        v, k = args
+        ext = f"{'array_min' if is_min else 'array_max'}(collect_list({k}))"
+        pairs = (
+            f"collect_list(CASE WHEN ({k}) IS NOT NULL THEN "
+            f"named_struct('v', {v}, 'k', {k}) END)"
+        )
+        vals = (
+            f"transform(filter({pairs}, __ae_p -> __ae_p.k <=> {ext} "
+            f"AND __ae_p.v IS NOT NULL), __ae_p -> __ae_p.v)"
+        )
+        if base == "sum":
+            return (
+                f"aggregate({vals}, CAST(0.0 AS DOUBLE), "
+                f"(__ae_a, __ae_x) -> __ae_a + CAST(__ae_x AS DOUBLE))"
+            )
+        if base == "avg":
+            return (
+                f"try_divide(aggregate({vals}, CAST(0.0 AS DOUBLE), "
+                f"(__ae_a, __ae_x) -> __ae_a + CAST(__ae_x AS DOUBLE)), "
+                f"size({vals}))"
+            )
+        if base == "count":
+            return f"CAST(size({vals}) AS BIGINT)"
+        if base in ("min", "any"):
+            return f"array_min({vals})"
+        return f"array_max({vals})"
+
+    return rw
+
+
+def _pm_port(args: list[str]) -> str:
+    """port(url[, default]) — the numeric port from the URL authority,
+    else the default (0). parse_url yields NULL on unparseable input,
+    which also falls to the default — CH's 0-on-unparseable behavior."""
+    if len(args) not in (1, 2):
+        raise NotImplementedError("port takes (url[, default_port])")
+    url = args[0]
+    default = args[1] if len(args) == 2 else "0"
+    return (
+        f"CAST(coalesce(nullif(regexp_extract(parse_url({url}, 'AUTHORITY'), "
+        f"':([0-9]+)$', 1), ''), CAST(({default}) AS STRING)) AS INT)"
+    )
+
+
+_PARAMETRIC.update(
+    {
+        "port": _pm_port,
+        "tupleNames": _pm_gate(
+            "tupleNames",
+            "struct-field introspection is not available to the textual "
+            "layer - SELECT the fields you need by name",
+        ),
+        **{
+            f"{b}Arg{d}": _pm_arg_extremum(b, d == "Min")
+            for b in ("sum", "min", "max", "avg", "count", "any")
+            for d in ("Min", "Max")
+        },
+        # -- wave 28b ---------------------------------------------------
+        "notILike": _pm_2arg("(NOT ilike({f}, {a}))"),
+        "randLogNormal": _pm_2arg_fa("exp(randn() * ({a}) + ({f}))"),
+        "randChiSquared": _pm_gate(
+            "randChiSquared",
+            "no closed-form transform of a uniform; "
+            "randUniform/randNormal/randExponential/randLogNormal are "
+            "implemented",
+        ),
+        "randStudentT": _pm_gate(
+            "randStudentT",
+            "no closed-form transform of a uniform; "
+            "randUniform/randNormal/randExponential/randLogNormal are "
+            "implemented",
+        ),
+        "randFisherF": _pm_gate(
+            "randFisherF",
+            "no closed-form transform of a uniform; "
+            "randUniform/randNormal/randExponential/randLogNormal are "
+            "implemented",
+        ),
+        # single-engine: the local session is shard 1 of 1 (same
+        # convention as the Distributed alias routing)
+        "shardNum": lambda args: "CAST(1 AS INT)",
+        "shardCount": lambda args: "CAST(1 AS INT)",
+        # CH's column-type introspection collapses to the data type here
+        # (no LowCardinality/Const wrappers exist in Spark)
+        "toColumnTypeName": _pm_1arg("typeof({x})"),
+        "sqidEncode": _pm_gate(
+            "sqidEncode",
+            "the Sqids alphabet-shuffling codec needs the sqids library, "
+            "not available in this environment",
+        ),
+        "sqidDecode": _pm_gate(
+            "sqidDecode",
+            "the Sqids alphabet-shuffling codec needs the sqids library, "
+            "not available in this environment",
+        ),
+        # Spark's date_format IS the Java/Joda pattern dialect (the r9
+        # formatDateTimeInJodaSyntax note)
+        "fromUnixTimestampInJodaSyntax": _pm_2arg(
+            "date_format(timestamp_seconds(CAST({f} AS BIGINT)), {a})"
+        ),
+        # CH: 1-based, negative from the end, 0 or out-of-range -> NULL
+        "arrayElementOrNull": _pm_2arg(
+            "(CASE WHEN CAST(({a}) AS INT) = 0 THEN NULL "
+            "ELSE try_element_at({f}, CAST(({a}) AS INT)) END)"
+        ),
+        "lemmatize": _pm_gate(
+            "lemmatize",
+            "needs a lemmatizer dictionary, not available in this "
+            "environment",
+        ),
+        "synonyms": _pm_gate(
+            "synonyms",
+            "needs a synonym-extension dictionary, not available in this "
+            "environment",
+        ),
+        "detectLanguage": _pm_gate(
+            "detectLanguage",
+            "CH's detectLanguage needs its CLD-style model; the engine's "
+            "n-gram langid operator (operators/text_analysis.py) is the "
+            "language-ID surface",
+        ),
+        "detectLanguageMixed": _pm_gate(
+            "detectLanguageMixed",
+            "CH's language detector model is unavailable; "
+            "operators/text_analysis.py langid is the surface",
+        ),
+        "detectCharset": _pm_gate(
+            "detectCharset",
+            "charset detection model unavailable; strings here are "
+            "already unicode",
+        ),
     }
 )
 

@@ -41,7 +41,11 @@ def _geohash_encode(lon: pd.Series, lat: pd.Series, prec: pd.Series) -> pd.Serie
     hi_lat = np.full(n, 90.0)
     lonv = lon.to_numpy(dtype=np.float64)
     latv = lat.to_numpy(dtype=np.float64)
-    precv = np.clip(prec.fillna(12).to_numpy(dtype=np.int64), 1, 12)
+    # CH contract: any precision outside [1, 12] is silently converted to
+    # 12 (r11 wave-28b finding — a low clamp answered geohashEncode(.., 0)
+    # with a 1-char hash where CH emits 12 chars)
+    rawp = prec.fillna(12).to_numpy(dtype=np.int64)
+    precv = np.where((rawp < 1) | (rawp > 12), 12, rawp)
     max_bits = int(precv.max()) * 5 if n else 0
     codes = np.zeros((n, (max_bits + 4) // 5), dtype=np.int64)
     for bit in range(max_bits):

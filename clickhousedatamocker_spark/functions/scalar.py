@@ -371,6 +371,27 @@ def _round6_probe_entries() -> list[tuple[str, str, str, str]]:
             "WHEN 'TB' THEN 1000000000000 WHEN 'PB' THEN 1000000000000000 "
             "END) AS BIGINT)",
         ),
+        # wave 28b: the OrNull/OrZero tails — try_cast makes a malformed
+        # number NULL, the ELSE-less CASE makes an unknown unit NULL
+        (
+            "parseReadableSizeOrNull",
+            "(s STRING)",
+            "BIGINT",
+            "CAST(ceil(try_cast(regexp_extract(s, '^([0-9.]+)', 1) AS DOUBLE) * "
+            "CASE trim(regexp_extract(s, '[0-9.\\\\s]+(.*)$', 1)) "
+            "WHEN 'B' THEN 1 WHEN 'KiB' THEN 1024 WHEN 'MiB' THEN 1048576 "
+            "WHEN 'GiB' THEN 1073741824 WHEN 'TiB' THEN 1099511627776 "
+            "WHEN 'PiB' THEN 1125899906842624 "
+            "WHEN 'KB' THEN 1000 WHEN 'MB' THEN 1000000 WHEN 'GB' THEN 1000000000 "
+            "WHEN 'TB' THEN 1000000000000 WHEN 'PB' THEN 1000000000000000 "
+            "END) AS BIGINT)",
+        ),
+        (
+            "parseReadableSizeOrZero",
+            "(s STRING)",
+            "BIGINT",
+            "coalesce(parseReadableSizeOrNull(s), CAST(0 AS BIGINT))",
+        ),
     ]
 
 
@@ -573,6 +594,33 @@ def _round5_probe_entries() -> list[tuple[str, str, str, str]]:
             "ELSE aggregate(sequence(1, length(h)), 0, "
             "(__hs_a, __hs_i) -> IF(__hs_a < length(n) AND "
             "substring(h, __hs_i, 1) = substring(n, __hs_a + 1, 1), "
+            "__hs_a + 1, __hs_a), __hs_a -> __hs_a = length(n)) END",
+        ),
+        # batch 28: the remaining hasSubsequence spellings. Spark strings
+        # are codepoint sequences, so the UTF8 variants coincide with the
+        # base forms (CH's non-UTF8 forms walk bytes — identical on ASCII)
+        (
+            "hasSubsequenceCaseInsensitive", "(h STRING, n STRING)", "BOOLEAN",
+            "CASE WHEN length(n) = 0 THEN true WHEN length(h) = 0 THEN false "
+            "ELSE aggregate(sequence(1, length(h)), 0, "
+            "(__hs_a, __hs_i) -> IF(__hs_a < length(n) AND "
+            "substring(lower(h), __hs_i, 1) = substring(lower(n), __hs_a + 1, 1), "
+            "__hs_a + 1, __hs_a), __hs_a -> __hs_a = length(n)) END",
+        ),
+        (
+            "hasSubsequenceUTF8", "(h STRING, n STRING)", "BOOLEAN",
+            "CASE WHEN length(n) = 0 THEN true WHEN length(h) = 0 THEN false "
+            "ELSE aggregate(sequence(1, length(h)), 0, "
+            "(__hs_a, __hs_i) -> IF(__hs_a < length(n) AND "
+            "substring(h, __hs_i, 1) = substring(n, __hs_a + 1, 1), "
+            "__hs_a + 1, __hs_a), __hs_a -> __hs_a = length(n)) END",
+        ),
+        (
+            "hasSubsequenceCaseInsensitiveUTF8", "(h STRING, n STRING)", "BOOLEAN",
+            "CASE WHEN length(n) = 0 THEN true WHEN length(h) = 0 THEN false "
+            "ELSE aggregate(sequence(1, length(h)), 0, "
+            "(__hs_a, __hs_i) -> IF(__hs_a < length(n) AND "
+            "substring(lower(h), __hs_i, 1) = substring(lower(n), __hs_a + 1, 1), "
             "__hs_a + 1, __hs_a), __hs_a -> __hs_a = length(n)) END",
         ),
         # Jaccard over the CHARACTER sets (CH computes over byte sets —
