@@ -8039,6 +8039,103 @@ _PARAMETRIC.update(
     }
 )
 
+# -- vocab batch 28c (round 11, third probe wave): encryption family onto
+# Spark's aes_encrypt/aes_decrypt, URLHash, geo-IP region gates --------------
+
+_AES_MODES = {"ecb": "ECB", "cbc": "CBC", "gcm": "GCM"}
+
+
+def _pm_encrypt_family(name: str, decrypt: bool, try_mode: bool = False):
+    """encrypt/decrypt/tryDecrypt/aes_*_mysql(mode, input, key[, iv[, aad]])
+    onto Spark's native AES expressions. Contract notes (documented):
+    - mode must be a literal 'aes-<128|192|256>-<ecb|cbc|gcm>'; CH's
+      cfb/ofb/ctr modes have no Spark counterpart and refuse loudly.
+    - the declared key width is ENFORCED at runtime (CH refuses mismatched
+      keys too; the MySQL variants do NOT fold long keys here — Spark
+      validates instead, a documented deviation).
+    - ECB ciphertext is bit-compatible with CH (PKCS7). For CBC/GCM Spark
+      PREPENDS the IV to the ciphertext where CH does not — round-trips
+      within this engine are exact; raw blobs are not portable to a CH
+      server. decrypt's iv argument is therefore accepted and ignored
+      (Spark reads the IV from the blob prefix this engine's encrypt
+      wrote)."""
+
+    def rw(args: list[str]) -> str:
+        if not 3 <= len(args) <= 5:
+            raise NotImplementedError(f"{name} takes (mode, input, key[, iv[, aad]])")
+        mode_lit, data, key = args[0], args[1], args[2]
+        m = re.fullmatch(r"\s*'aes-(128|192|256)-([a-z0-9]+)'\s*", mode_lit.strip(), re.IGNORECASE)
+        if not m:
+            raise NotImplementedError(
+                f"{name}: mode must be a literal 'aes-<128|192|256>-<ecb|cbc|gcm>'"
+            )
+        if m.group(2).lower() not in _AES_MODES:
+            raise NotImplementedError(
+                f"{name}: only ecb/cbc/gcm map onto Spark's aes functions - "
+                f"'{m.group(2)}' is not available"
+            )
+        nbytes = int(m.group(1)) // 8
+        smode = _AES_MODES[m.group(2).lower()]
+        keyb = (
+            f"(CASE WHEN octet_length(CAST({key} AS BINARY)) = {nbytes} "
+            f"THEN CAST({key} AS BINARY) ELSE CAST(raise_error(concat("
+            f"'{name}: key must be exactly {nbytes} bytes for {m.group(1)}-bit AES, got ', "
+            f"CAST(octet_length(CAST({key} AS BINARY)) AS STRING))) AS BINARY) END)"
+        )
+        if decrypt:
+            fn = "try_aes_decrypt" if try_mode else "aes_decrypt"
+            tail = f", '{smode}', 'DEFAULT'"
+            if len(args) == 5:  # aad rides through; iv is in the blob prefix
+                tail += f", {args[4]}"
+            return f"{fn}(CAST({data} AS BINARY), {keyb}{tail})"
+        tail = f", '{smode}', 'DEFAULT'"
+        if len(args) >= 4:
+            tail += f", CAST({args[3]} AS BINARY)"
+        if len(args) == 5:
+            tail += f", {args[4]}"
+        return f"aes_encrypt(CAST({data} AS BINARY), {keyb}{tail})"
+
+    return rw
+
+
+def _pm_url_hash(args: list[str]) -> str:
+    """URLHash(url): same-engine hash (the cityHash64 policy) of the URL
+    with trailing /# trimmed — CH's documented normalization."""
+    if len(args) == 1:
+        return f"xxhash64(regexp_replace({args[0]}, '[/#]+$', ''))"
+    raise NotImplementedError(
+        "URLHash(url, N) level hashes are not shimmed - compose "
+        "xxhash64(element_at(URLPathHierarchy(url), N)) directly"
+    )
+
+
+_PARAMETRIC.update(
+    {
+        "encrypt": _pm_encrypt_family("encrypt", decrypt=False),
+        "decrypt": _pm_encrypt_family("decrypt", decrypt=True),
+        "tryDecrypt": _pm_encrypt_family("tryDecrypt", decrypt=True, try_mode=True),
+        "aes_encrypt_mysql": _pm_encrypt_family("aes_encrypt_mysql", decrypt=False),
+        "aes_decrypt_mysql": _pm_encrypt_family("aes_decrypt_mysql", decrypt=True),
+        "URLHash": _pm_url_hash,
+        # geo-IP region hierarchy: needs CH's regions_hierarchy files,
+        # not available in this environment
+        **{
+            rname: _pm_gate(
+                rname,
+                "CH's embedded regions hierarchy files are not available "
+                "in this environment - join your own region dimension "
+                "table instead",
+            )
+            for rname in (
+                "regionToCity", "regionToArea", "regionToDistrict",
+                "regionToCountry", "regionToContinent",
+                "regionToTopContinent", "regionToPopulation",
+                "regionIn", "regionHierarchy",
+            )
+        },
+    }
+)
+
 # batch 27c registers AFTER the one-time registry snapshots above — rebuild
 # them so the new names resolve (the snapshot pattern exists for scan speed;
 # keep this rebuild as the LAST registry mutation in the module)

@@ -512,6 +512,16 @@ def _round5_probe_entries() -> list[tuple[str, str, str, str]]:
         ),
         ("farmHash64", "(s STRING)", "BIGINT", "xxhash64(s)"),
         ("farmFingerprint64", "(s STRING)", "BIGINT", "xxhash64(s)"),
+        # wave 28c: more same-engine hash spellings (stable contract, NOT
+        # bit-compatible with CH — the documented cityHash64 deviation).
+        # sipHash128 keeps the 16-byte BINARY shape via two xxhash64 lanes.
+        (
+            "sipHash128", "(s STRING)", "BINARY",
+            "unhex(concat(lpad(hex(xxhash64(s)), 16, '0'), "
+            "lpad(hex(xxhash64(s, 1)), 16, '0')))",
+        ),
+        ("intHash64", "(n BIGINT)", "BIGINT", "xxhash64(n)"),
+        ("intHash32", "(n BIGINT)", "BIGINT", "pmod(xxhash64(n), 4294967296)"),
         # batch 27b: more same-engine 64/32-bit hash spellings (stable
         # integer contract, NOT bit-compatible with CH's algorithms —
         # the documented cityHash64 deviation)

@@ -164,3 +164,55 @@ def test_wave28b_loud_gates(eng):
     ]:
         with pytest.raises(NotImplementedError, match=frag.replace("(", r"\(")):
             eng.sql(sql).collect()
+
+
+# ---------------------------------------------------------------------------
+# wave 28c (third probe wave: encryption family onto Spark AES, URLHash,
+# same-engine hash tails, geo-IP region gates — 30/34 answered)
+
+
+def test_encryption_family(eng):
+    """encrypt/decrypt/tryDecrypt onto Spark's native AES expressions.
+    ECB is bit-compatible with CH (PKCS7, no IV); CBC/GCM round-trip
+    exactly within the engine (Spark prepends the IV to the blob where CH
+    does not — documented)."""
+    K32 = "'01234567890123456789012345678901'"
+    K16 = "'0123456789012345'"
+    r = one(
+        eng,
+        f"SELECT CAST(decrypt('aes-256-ecb', encrypt('aes-256-ecb', 'secret', {K32}), {K32}) AS STRING) AS a, "
+        f"CAST(decrypt('aes-256-cbc', encrypt('aes-256-cbc', 'secret', {K32}, {K16}), {K32}, {K16}) AS STRING) AS b, "
+        f"CAST(decrypt('aes-256-gcm', encrypt('aes-256-gcm', 'secret', {K32}), {K32}) AS STRING) AS c, "
+        f"CAST(aes_decrypt_mysql('aes-128-ecb', aes_encrypt_mysql('aes-128-ecb', 'x', {K16}), {K16}) AS STRING) AS d, "
+        f"tryDecrypt('aes-256-ecb', unhex('00'), {K32}) AS e, "
+        f"hex(encrypt('aes-256-ecb', 'secret', {K32})) AS f",
+    )
+    assert r["a"] == "secret" and r["b"] == "secret" and r["c"] == "secret"
+    assert r["d"] == "x" and r["e"] is None
+    # deterministic PKCS7-ECB: any correct AES gives these bytes (CH parity)
+    assert r["f"] == "8735C1E4B2C1EA1251E60FF2A5F485D9"
+    # declared key width is enforced at runtime
+    with pytest.raises(Exception, match="32 bytes"):
+        eng.sql(f"SELECT encrypt('aes-256-ecb', 'x', {K16}) AS a").collect()
+    with pytest.raises(NotImplementedError, match="ecb/cbc/gcm"):
+        eng.sql(f"SELECT encrypt('aes-128-ofb', 'x', {K16}) AS a").collect()
+
+
+def test_wave28c_hashes_and_urlhash(eng):
+    r = one(
+        eng,
+        "SELECT length(sipHash128('x')) AS a, intHash32(5) AS b, "
+        "intHash64(5) AS c, URLHash('http://x.io/a/') AS d, "
+        "URLHash('http://x.io/a') AS e",
+    )
+    assert r["a"] == 16  # FixedString(16) shape
+    assert 0 <= r["b"] < 2**32 and isinstance(r["c"], int)
+    assert r["d"] == r["e"]  # trailing-slash normalization
+    with pytest.raises(NotImplementedError, match="URLPathHierarchy"):
+        eng.sql("SELECT URLHash('http://x.io/a', 2) AS a").collect()
+
+
+def test_wave28c_region_gates(eng):
+    for fn in ("regionToCity", "regionToCountry", "regionIn"):
+        with pytest.raises(NotImplementedError, match="regions hierarchy"):
+            eng.sql(f"SELECT {fn}(213) AS a").collect()
