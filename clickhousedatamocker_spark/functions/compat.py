@@ -1118,13 +1118,23 @@ def _pm_bar(args: list[str]) -> str:
     )
 
 
+def _pm_array_count(args: list[str]) -> str:
+    """2-arg = (lambda, arr); 1-arg (wave 28d) counts truthy elements —
+    CH's arrayCount(arr) counts elements != 0 (NULLs never count)."""
+    if len(args) == 2:
+        return f"size(filter({args[1]}, {args[0]}))"
+    if len(args) == 1:
+        return f"size(filter({args[0]}, __ac_e -> CAST(__ac_e AS BOOLEAN)))"
+    raise NotImplementedError("arrayCount takes (arr) or (lambda, arr)")
+
+
 _PARAMETRIC: dict[str, object] = {
     "multiIf": _pm_multi_if,
     "arrayMap": _pm_array_map,
     "arrayFilter": _pm_2arg("filter({a}, {f})"),
     "arrayExists": _pm_2arg("exists({a}, {f})"),
     "arrayAll": _pm_2arg("forall({a}, {f})"),
-    "arrayCount": _pm_2arg("size(filter({a}, {f}))"),
+    "arrayCount": _pm_array_count,
     "arrayFirst": _pm_2arg("element_at(filter({a}, {f}), 1)"),
     # -If aggregate combinators: <agg>If(x, cond) == <agg> over the rows
     # where cond holds — the CASE form keeps NULL for non-matching rows, so
@@ -7580,6 +7590,14 @@ _PARAMETRIC.update(
             "h3ToGeo", "the h3 library is not available in this "
             "environment - use geohashDecode for cell centers"
         ),
+        "stringToH3": _pm_gate(
+            "stringToH3", "the h3 library is not available in this "
+            "environment - use geohashEncode for cell bucketing"
+        ),
+        "h3ToString": _pm_gate(
+            "h3ToString", "the h3 library is not available in this "
+            "environment - use geohashEncode for cell bucketing"
+        ),
     }
 )
 
@@ -8117,6 +8135,34 @@ _PARAMETRIC.update(
         "aes_encrypt_mysql": _pm_encrypt_family("aes_encrypt_mysql", decrypt=False),
         "aes_decrypt_mysql": _pm_encrypt_family("aes_decrypt_mysql", decrypt=True),
         "URLHash": _pm_url_hash,
+        # -- wave 28d: Date32/DateTime64 OrNull/OrZero tails ---------------
+        # (scale argument accepted and ignored — Spark timestamps are fixed
+        # microseconds, the toDateTime64 convention; OrZero falls to the
+        # type's CH zero: 1900-01-01 for Date32, the epoch for DateTime64)
+        "toDateTime64OrNull": lambda args: (
+            f"try_cast({args[0]} AS TIMESTAMP)"
+            if len(args) in (1, 2)
+            else (_ for _ in ()).throw(
+                NotImplementedError(
+                    "toDateTime64OrNull expects (expr[, precision]) - "
+                    "timezone arguments are not supported (session is UTC)"
+                )
+            )
+        ),
+        "toDateTime64OrZero": lambda args: (
+            f"coalesce(try_cast({args[0]} AS TIMESTAMP), timestamp_seconds(0))"
+            if len(args) in (1, 2)
+            else (_ for _ in ()).throw(
+                NotImplementedError(
+                    "toDateTime64OrZero expects (expr[, precision]) - "
+                    "timezone arguments are not supported (session is UTC)"
+                )
+            )
+        ),
+        "toDate32OrNull": _pm_1arg("try_cast({x} AS DATE)"),
+        "toDate32OrZero": _pm_1arg(
+            "coalesce(try_cast({x} AS DATE), DATE'1900-01-01')"
+        ),
         # geo-IP region hierarchy: needs CH's regions_hierarchy files,
         # not available in this environment
         **{

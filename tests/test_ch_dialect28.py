@@ -216,3 +216,36 @@ def test_wave28c_region_gates(eng):
     for fn in ("regionToCity", "regionToCountry", "regionIn"):
         with pytest.raises(NotImplementedError, match="regions hierarchy"):
             eng.sql(f"SELECT {fn}(213) AS a").collect()
+
+
+# ---------------------------------------------------------------------------
+# wave 28d (fourth probe wave: aggregate/array/rounding/type tails — 65/69
+# answered, remaining 4 are loud gates)
+
+
+def test_wave28d_rewrites(eng):
+    r = one(
+        eng,
+        "SELECT arrayCount(array(true, false, true)) AS a, "
+        "arrayCount(array(0, 1, 2)) AS b, "
+        "arrayCount(x -> x > 1, array(1, 2, 3)) AS c, "
+        "toDate32OrNull('junk') AS d, toDate32OrZero('junk') AS e, "
+        "toDate32OrNull('2024-01-02') AS f, "
+        "toDateTime64OrNull('junk', 3) AS g, toDateTime64OrZero('junk', 3) AS h",
+    )
+    assert r["a"] == 2 and r["b"] == 2 and r["c"] == 2
+    assert r["d"] is None
+    assert r["e"] == datetime.date(1900, 1, 1)  # CH Date32 zero
+    assert r["f"] == datetime.date(2024, 1, 2)
+    assert r["g"] is None
+    assert r["h"] == datetime.datetime(1970, 1, 1, 0, 0)
+
+
+def test_wave28d_loud_gates(eng):
+    for sql, frag in [
+        ("SELECT stringToH3('8f283473fffffff') AS a", "h3 library"),
+        ("SELECT h3ToString(599686042433355775) AS a", "h3 library"),
+        ("SELECT aggThrow(0.0) AS a FROM VALUES (1) AS t(x)", "fault-injection"),
+    ]:
+        with pytest.raises(NotImplementedError, match=frag.replace("(", r"\(")):
+            eng.sql(sql).collect()
