@@ -21,6 +21,7 @@ from clickhousedatamocker_spark.functions.geo import (
     register_batch24_functions,
     register_batch26_functions,
     register_batch27_functions,
+    register_batch29_functions,
     register_python_functions,
 )
 from clickhousedatamocker_spark.functions.stats import (
@@ -111,6 +112,7 @@ class Engine:
         register_batch24_functions(spark)
         register_batch26_functions(spark)
         register_batch27_functions(spark)
+        register_batch29_functions(spark)
         register_stats_functions(spark)
         register_stats25_functions(spark)
 

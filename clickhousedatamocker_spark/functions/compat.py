@@ -3265,7 +3265,13 @@ def _pm2_window_funnel(params: list[str] | None, args: list[str]) -> str:
     w, ts, conds = params[0], args[0], args[1:]
     k = len(conds)
     cs = ", ".join(f"({c})" for c in conds)
-    evs = f"array_sort(collect_list(struct(unix_timestamp({ts}) AS t, array({cs}) AS cs)))"
+    # CAST→TIMESTAMP first: CH accepts DateTime OR plain UInt epoch
+    # timestamps here; a bare unix_timestamp() rejects numeric columns
+    # (wave-29 finding)
+    evs = (
+        f"array_sort(collect_list(struct("
+        f"unix_timestamp(CAST({ts} AS TIMESTAMP)) AS t, array({cs}) AS cs)))"
+    )
     anchors = f"filter(sequence(1, size({evs})), __wfp -> element_at(element_at({evs}, __wfp).cs, 1))"
     seed = ", ".join(
         [f"element_at({evs}, __wfp).t AS t1"]
@@ -3337,7 +3343,12 @@ def _pm2_sequence(count: bool):
         if len(conds) > 26:
             raise NotImplementedError(f"{name} supports at most 26 conditions")
         cs = ", ".join(f"({c})" for c in conds)
-        evs = f"array_sort(collect_list(struct(unix_timestamp({ts}) AS t, array({cs}) AS cs)))"
+        # t only orders the chain; CAST→TIMESTAMP keeps CH's UInt-epoch
+        # timestamp columns working (wave-29 finding)
+        evs = (
+            f"array_sort(collect_list(struct("
+            f"unix_timestamp(CAST({ts} AS TIMESTAMP)) AS t, array({cs}) AS cs)))"
+        )
         # an event matching several conditions codes as its FIRST match —
         # exact when conditions are mutually exclusive (the common case)
         code_case = "CASE " + " ".join(
@@ -8179,6 +8190,121 @@ _PARAMETRIC.update(
                 "regionIn", "regionHierarchy",
             )
         },
+    }
+)
+
+# ---------------------------------------------------------------------------
+# vocab batch 29 (round 11, fifth probe wave; tools/probe_wave29.py): 175 of
+# 193 probed spellings were already answered — this batch closes every
+# remaining UNRESOLVED_ROUTINE fall-through (Julian-day OrNull tails,
+# YYYYMMDDToDate32, the URL cut stragglers, IPv4/IPv6 codec tails, the Joda
+# parse family) plus the quantileExactWeightedInterpolated parametric miss.
+# The wave's two real handler fixes (sequenceMatch/windowFunnel rejecting
+# CH's UInt-epoch timestamp columns) live at those handlers.
+
+
+def _pm_cut_url_parameter(args: list[str]) -> str:
+    """CH cutURLParameter(url, name): remove name=value plus ONE adjoining
+    separator from the query string (docs golden: '?a=b&c=d' minus 'a' →
+    '?c=d'). The name must be a plain string literal of URL-identifier
+    chars — an arbitrary expression would be interpolated into a regex
+    (the JSONExtract refusal contract)."""
+    if len(args) != 2:
+        raise NotImplementedError("cutURLParameter expects (url, name)")
+    m = re.fullmatch(r"\s*'([A-Za-z0-9_\-]+)'\s*", args[1])
+    if not m:
+        raise NotImplementedError(
+            "cutURLParameter: the parameter name must be a plain string "
+            "literal of [A-Za-z0-9_-] chars (the array-of-names and "
+            "expression forms are not shimmed - chain scalar calls instead)"
+        )
+    name = m.group(1)
+    inner = f"regexp_replace({args[0]}, '([?&]){name}=[^&#]*&', '$1')"
+    return f"regexp_replace({inner}, '[?&]{name}=[^&#]*', '')"
+
+
+def _pm_parse_joda(or_null: bool = False, or_zero: bool = False):
+    """parseDateTimeInJodaSyntax[OrNull/OrZero](value, format): Spark's
+    datetime patterns ARE the Java/Joda dialect (the
+    formatDateTimeInJodaSyntax precedent), so the format passes through
+    verbatim. Timezone third arguments refuse (session is UTC)."""
+
+    def rw(args: list[str]) -> str:
+        if len(args) != 2:
+            raise NotImplementedError(
+                "parseDateTimeInJodaSyntax expects (value, format) - "
+                "timezone arguments are not supported (session is UTC)"
+            )
+        f, fmt = args
+        if or_null:
+            return f"try_to_timestamp({f}, {fmt})"
+        if or_zero:
+            return f"coalesce(try_to_timestamp({f}, {fmt}), timestamp_seconds(0))"
+        return f"to_timestamp({f}, {fmt})"
+
+    return rw
+
+
+# octet = 0-255 with optional leading zeros up to 3 digits (CH accepts
+# '192.168.00.1'); anchored 4-octet shape for the OrNull guard
+_IPV4_OCTET_RE = "(25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])"
+_IPV4_SHAPE_RE = f"'^({_IPV4_OCTET_RE}\\\\.){{{{3}}}}{_IPV4_OCTET_RE}$'"
+_IPV4_TO_NUM = (
+    "aggregate(transform(split({x}, '\\\\.'), __ip_o -> CAST(__ip_o AS BIGINT)), "
+    "CAST(0 AS BIGINT), (acc, __ip_o) -> acc * 256 + __ip_o)"
+)
+
+_PARAMETRIC.update(
+    {
+        # MJD epoch 1858-11-17; OrNull bounds = Spark's DATE range
+        # [0001-01-01, 9999-12-31] as day offsets (CH's Date32-extended
+        # contract: out-of-range → NULL instead of a throw)
+        "toModifiedJulianDayOrNull": _pm_1arg(
+            "datediff(try_cast({x} AS DATE), DATE '1858-11-17')"
+        ),
+        "fromModifiedJulianDayOrNull": _pm_1arg(
+            "(CASE WHEN CAST({x} AS BIGINT) BETWEEN -678575 AND 2973483 "
+            "THEN date_add(DATE '1858-11-17', CAST({x} AS INT)) END)"
+        ),
+        # Spark DATE covers the whole Date32 range — same expr as the
+        # YYYYMMDDToDate scalar row
+        "YYYYMMDDToDate32": _pm_1arg("to_date(CAST({x} AS STRING), 'yyyyMMdd')"),
+        # WithWWW = the no-www-special-casing cut. Our plain variant does
+        # not www-strip before picking the significant label (documented
+        # deviation), so plain and WithWWW coincide except on hosts where
+        # 'www' abuts the effective TLD — where WithWWW's answer
+        # ('www.tr' → 'www.tr', the docs golden) is exactly this expr.
+        "cutToFirstSignificantSubdomainWithWWW": _pm_first_significant_subdomain(
+            cut=True
+        ),
+        "cutToFirstSignificantSubdomainWithWWWRFC": _pm_first_significant_subdomain(
+            cut=True
+        ),
+        "cutURLParameter": _pm_cut_url_parameter,
+        "IPv4StringToNumOrNull": _pm_1arg(
+            "(CASE WHEN {x} RLIKE " + _IPV4_SHAPE_RE + " THEN " + _IPV4_TO_NUM + " END)"
+        ),
+        "IPv4NumToStringClassC": _pm_1arg(
+            "concat_ws('.', CAST(({x}) div 16777216 % 256 AS STRING), "
+            "CAST(({x}) div 65536 % 256 AS STRING), "
+            "CAST(({x}) div 256 % 256 AS STRING), 'xxx')"
+        ),
+        # binary 16-byte forms via the stdlib-ipaddress Arrow UDFs
+        # (functions/geo.py batch 29); CH's FixedString(16) ↔ Spark BINARY
+        "IPv6StringToNum": _pm_1arg("chIPv6StringToNum({x})"),
+        "IPv6NumToString": _pm_1arg("chIPv6NumToString({x})"),
+        "parseDateTimeInJodaSyntax": _pm_parse_joda(),
+        "parseDateTimeInJodaSyntaxOrNull": _pm_parse_joda(or_null=True),
+        "parseDateTimeInJodaSyntaxOrZero": _pm_parse_joda(or_zero=True),
+    }
+)
+
+_PARAMETRIC2.update(
+    {
+        # interpolated sibling of quantileExactWeighted — same linear
+        # interpolation over the exact weighted distribution the
+        # quantileInterpolatedWeighted handler computes
+        "quantileExactWeightedInterpolated": _pm2_weighted_quantile,
     }
 )
 

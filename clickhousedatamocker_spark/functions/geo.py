@@ -840,3 +840,50 @@ def register_batch27_functions(spark: SparkSession) -> None:
     )
     spark.udf.register("chCutIPv6", pandas_udf(_cut_ipv6, "string"))
     spark.udf.register("chParseTimeDelta", pandas_udf(_parse_time_delta, "double"))
+
+
+# ---------------------------------------------------------------------------
+# vocab batch 29 (round 11, fifth probe wave): IPv6 binary codecs
+
+
+def _ipv6_string_to_num(s: pd.Series) -> pd.Series:
+    """CH IPv6StringToNum: text → the address's 16 bytes (CH returns
+    FixedString(16); BINARY is Spark's equivalent). A valid IPv4 string
+    maps to its ::ffff:a.b.c.d bytes (the CH contract). Invalid input →
+    NULL per row (CH throws — the documented per-row-NULL deviation the
+    rest of the IP family carries)."""
+    import ipaddress
+
+    out = []
+    for v in s:
+        if v is None:
+            out.append(None)
+            continue
+        try:
+            a = ipaddress.ip_address(v)
+            if isinstance(a, ipaddress.IPv4Address):
+                a = ipaddress.IPv6Address("::ffff:" + str(a))
+            out.append(a.packed)
+        except ValueError:
+            out.append(None)
+    return pd.Series(out, dtype=object)
+
+
+def _ipv6_num_to_string(s: pd.Series) -> pd.Series:
+    """CH IPv6NumToString: 16 address bytes → canonical compressed text,
+    with the dotted-quad form for IPv4-mapped addresses (the chToIPv6
+    convention). Wrong-length input → NULL per row."""
+    import ipaddress
+
+    out = []
+    for v in s:
+        if v is None or len(v) != 16:
+            out.append(None)
+            continue
+        out.append(_ipv6_text(ipaddress.IPv6Address(bytes(v))))
+    return pd.Series(out, dtype=object)
+
+
+def register_batch29_functions(spark: SparkSession) -> None:
+    spark.udf.register("chIPv6StringToNum", pandas_udf(_ipv6_string_to_num, "binary"))
+    spark.udf.register("chIPv6NumToString", pandas_udf(_ipv6_num_to_string, "string"))

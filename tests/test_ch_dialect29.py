@@ -1,0 +1,182 @@
+"""Dialect batch 29 (round 11, fifth probe wave — tools/probe_wave29.py):
+closes the wave's UNRESOLVED_ROUTINE fall-throughs (Julian-day OrNull
+tails, YYYYMMDDToDate32, cutToFirstSignificantSubdomainWithWWW,
+cutURLParameter, IPv4/IPv6 codec tails, the Joda parse family,
+quantileExactWeightedInterpolated) and pins the wave's two handler fixes:
+sequenceMatch/sequenceCount/windowFunnel now accept CH's plain
+UInt-epoch timestamp columns (they rejected everything unix_timestamp()
+could not read)."""
+
+import datetime
+
+import pytest
+
+
+def one(eng, sql):
+    return eng.sql(sql).collect()[0]
+
+
+@pytest.fixture(scope="module")
+def eng(spark, tmp_path_factory):
+    from clickhousedatamocker_spark.engine import Engine
+
+    return Engine(spark, str(tmp_path_factory.mktemp("wh29")))
+
+
+def test_modified_julian_day_or_null(eng):
+    """OrNull tails: parse failure / out-of-DATE-range → NULL (CH's
+    Date32-extended contract), valid inputs match the strict siblings."""
+    r = one(
+        eng,
+        "SELECT toModifiedJulianDayOrNull('2020-01-01') AS a, "
+        "toModifiedJulianDayOrNull('nope') AS b, "
+        "fromModifiedJulianDayOrNull(58849) AS c, "
+        "fromModifiedJulianDayOrNull(2973484) AS d, "
+        "fromModifiedJulianDayOrNull(-678575) AS e",
+    )
+    assert r["a"] == 58849 and r["b"] is None
+    assert r["c"] == datetime.date(2020, 1, 1) and r["d"] is None
+    assert r["e"] == datetime.date(1, 1, 1)
+
+
+def test_yyyymmdd_to_date32(eng):
+    r = one(eng, "SELECT YYYYMMDDToDate32(20240115) AS a")
+    assert r["a"] == datetime.date(2024, 1, 15)
+
+
+def test_cut_to_first_significant_subdomain_with_www(eng):
+    """CH docs goldens: the WithWWW variant keeps 'www' as a candidate
+    significant label ('www.tr' → 'www.tr')."""
+    r = one(
+        eng,
+        "SELECT cutToFirstSignificantSubdomainWithWWW('www.tr') AS a, "
+        "cutToFirstSignificantSubdomainWithWWW("
+        "'https://news.clickhouse.com.tr/') AS b, "
+        "cutToFirstSignificantSubdomainWithWWWRFC('www.tr') AS c",
+    )
+    assert r["a"] == "www.tr" and r["b"] == "clickhouse.com.tr"
+    assert r["c"] == "www.tr"
+
+
+def test_cut_url_parameter(eng):
+    """CH docs golden shape: removing a parameter drops name=value plus
+    one adjoining separator, first/middle/last positions all clean."""
+    r = one(
+        eng,
+        "SELECT cutURLParameter('http://bigmir.net/?a=b&c=d', 'a') AS a, "
+        "cutURLParameter('http://bigmir.net/?a=b&c=d', 'c') AS b, "
+        "cutURLParameter('http://x.io/?a=b&bb=2&c=d', 'bb') AS c, "
+        "cutURLParameter('http://x.io/?a=b#frag', 'a') AS d, "
+        "cutURLParameter('http://x.io/?ab=1', 'a') AS e",
+    )
+    assert r["a"] == "http://bigmir.net/?c=d"
+    assert r["b"] == "http://bigmir.net/?a=b"
+    assert r["c"] == "http://x.io/?a=b&c=d"
+    assert r["d"] == "http://x.io/#frag"
+    # name must not match a prefix of a longer parameter name
+    assert r["e"] == "http://x.io/?ab=1"
+    with pytest.raises(Exception, match="string literal"):
+        eng.sql("SELECT cutURLParameter('http://x.io/?a=1', name) AS a "
+                "FROM VALUES ('a') AS t(name)").collect()
+
+
+def test_ipv4_codec_tails(eng):
+    r = one(
+        eng,
+        "SELECT IPv4StringToNumOrNull('192.168.0.1') AS a, "
+        "IPv4StringToNumOrNull('abc') AS b, "
+        "IPv4StringToNumOrNull('999.1.1.1') AS c, "
+        "IPv4NumToStringClassC(3232235521) AS d",
+    )
+    assert r["a"] == 3232235521 and r["b"] is None and r["c"] is None
+    assert r["d"] == "192.168.0.xxx"
+
+
+def test_ipv6_binary_codecs(eng):
+    """IPv6StringToNum → the 16 address bytes (CH FixedString(16) ≙ Spark
+    BINARY); NumToString round-trips to canonical compressed text with the
+    CH dotted-quad form for IPv4-mapped input."""
+    r = one(
+        eng,
+        "SELECT IPv6NumToString(IPv6StringToNum('2001:db8::1')) AS a, "
+        "IPv6NumToString(IPv6StringToNum('192.168.0.1')) AS b, "
+        "hex(IPv6StringToNum('::1')) AS c, "
+        "IPv6StringToNum('not-an-ip') AS d",
+    )
+    assert r["a"] == "2001:db8::1"
+    assert r["b"] == "::ffff:192.168.0.1"
+    assert r["c"] == "00000000000000000000000000000001"
+    assert r["d"] is None
+
+
+def test_parse_datetime_joda_family(eng):
+    r = one(
+        eng,
+        "SELECT parseDateTimeInJodaSyntax('2024-01-15 10:20:30', "
+        "'yyyy-MM-dd HH:mm:ss') AS a, "
+        "parseDateTimeInJodaSyntaxOrNull('nope', 'yyyy-MM-dd') AS b, "
+        "parseDateTimeInJodaSyntaxOrZero('nope', 'yyyy-MM-dd') AS c",
+    )
+    assert r["a"] == datetime.datetime(2024, 1, 15, 10, 20, 30)
+    assert r["b"] is None
+    assert r["c"] == datetime.datetime(1970, 1, 1, 0, 0)
+    with pytest.raises(Exception, match="timezone"):
+        eng.sql(
+            "SELECT parseDateTimeInJodaSyntax('x', 'y', 'UTC') AS a"
+        ).collect()
+
+
+def test_quantile_exact_weighted_interpolated(eng):
+    r = one(
+        eng,
+        "SELECT quantileExactWeightedInterpolated(0.5)(x, w) AS a "
+        "FROM VALUES (1.0, 1),(2.0, 1) AS t(x, w)",
+    )
+    assert r["a"] == 1.5
+
+
+def test_sequence_and_funnel_accept_uint_timestamps(eng):
+    """CH's sequence/funnel aggregates take DateTime OR plain UInt epoch
+    columns; the old handlers fed the raw column to unix_timestamp(),
+    which rejects numerics (wave-29 fix: CAST→TIMESTAMP first)."""
+    r = one(
+        eng,
+        "SELECT sequenceCount('(?1)(?2)')(t2, e = 'a', e = 'b') AS a, "
+        "sequenceMatch('(?1)(?2)')(t2, e = 'a', e = 'b') AS b, "
+        "windowFunnel(10)(t2, e = 'a', e = 'b') AS c "
+        "FROM VALUES (1, 'a'),(2, 'b'),(3, 'a'),(4, 'b') AS t(t2, e)",
+    )
+    assert r["a"] == 2 and r["b"] == 1 and r["c"] == 2
+    # timestamp columns still work (regression guard for the CAST)
+    r = one(
+        eng,
+        "SELECT windowFunnel(3600)(ts, e = 'a', e = 'b') AS a, "
+        "sequenceMatch('(?1)(?2)')(ts, e = 'a', e = 'b') AS b "
+        "FROM VALUES (TIMESTAMP'2024-01-01 00:00:01', 'a'),"
+        "(TIMESTAMP'2024-01-01 00:10:00', 'b') AS t(ts, e)",
+    )
+    assert r["a"] == 2 and r["b"] == 1
+    # windowFunnel window still binds on the numeric epoch: gap > window
+    r = one(
+        eng,
+        "SELECT windowFunnel(2)(t2, e = 'a', e = 'b') AS a "
+        "FROM VALUES (1, 'a'),(10, 'b') AS t(t2, e)",
+    )
+    assert r["a"] == 1
+
+
+def test_wave29_already_answered_goldens(eng):
+    """Docs-example pins for a sample of wave-29 probes that resolved
+    without new code — byteSwap's CH docs golden, mapPopulateSeries'
+    gap fill, bitmaskToList, arrayRotateLeft, sparkbar shape."""
+    r = one(
+        eng,
+        "SELECT byteSwap(3351772109) AS a, "
+        "mapPopulateSeries(map(1, 10, 4, 40)) AS b, "
+        "bitmaskToList(50) AS c, "
+        "arrayRotateLeft(array(1, 2, 3, 4), 1) AS d",
+    )
+    assert r["a"] == 3455829959
+    assert r["b"] == {1: 10, 2: 0, 3: 0, 4: 40}
+    assert r["c"] == "2,16,32"
+    assert r["d"] == [2, 3, 4, 1]
