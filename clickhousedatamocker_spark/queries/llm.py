@@ -2423,6 +2423,64 @@ def mixture_epochs_profile(spark, sf_dir):
     )
 
 
+def _shuffle_shard_oracle_sql() -> str:
+    """DuckDB twin of shuffle_shard_export_profile END-TO-END: the salted
+    Lehmer key, the modular shard id, the within-shard (key, id)
+    row_number and the position-weighted checksum are all exact-integer —
+    SUM(doc_id * pos) pins EVERY position in the permutation, so a single
+    swapped pair anywhere hash-mismatches. CAST sums to BIGINT (DuckDB
+    SUM(BIGINT) is HUGEINT)."""
+    from clickhousedatamocker_spark.operators.corpus import (
+        shuffle_key_int_oracle_sql,
+    )
+
+    key = shuffle_key_int_oracle_sql("doc_id", 7)
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, ({key}) AS k FROM documents
+), ranked AS (
+  SELECT ((k % 16) + 16) % 16 AS shard, doc_id, k,
+    ROW_NUMBER() OVER (PARTITION BY ((k % 16) + 16) % 16 ORDER BY k, doc_id) AS pos
+  FROM keyed
+)
+SELECT CAST(shard AS INT) AS shard, COUNT(*) AS n_docs, MAX(pos) AS max_pos,
+  MIN(CASE WHEN pos = 1 THEN doc_id END) AS first_doc_id,
+  CAST(SUM(doc_id * pos) AS BIGINT) AS perm_checksum
+FROM ranked GROUP BY shard ORDER BY shard
+"""
+
+
+@register(
+    "shuffle_shard_export_profile",
+    # GRADED (r11 second rotation): exact-integer permutation twin — the
+    # position-weighted checksum grades every boundary decision of the
+    # global shuffle, not just per-shard counts
+    _shuffle_shard_oracle_sql(),
+    description="Deterministic global shuffle-shard export: the "
+    "pre-training 'shuffle once' step - salted integer-Lehmer key, "
+    "hash-balanced shard = key % n (NO global-rank barrier), "
+    "within-shard (key, id) row_number. One exchange + per-shard "
+    "external sort; engine-portable (DuckDB replays the permutation "
+    "bit-for-bit). Profile = per-shard count, max pos, first doc and "
+    "the position-weighted checksum sum(doc_id*pos).",
+)
+def shuffle_shard_export_profile(spark, sf_dir):
+    from clickhousedatamocker_spark.operators.corpus import global_shuffle
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    sh = global_shuffle(docs, id_col="doc_id", n_shards=16, salt=7)
+    return (
+        sh.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("pos").alias("max_pos"),
+            F.min(F.when(F.col("pos") == 1, F.col("doc_id"))).alias("first_doc_id"),
+            F.sum(F.col("doc_id") * F.col("pos")).alias("perm_checksum"),
+        )
+        .orderBy("shard")
+    )
+
+
 @register(
     "contamination_bloom_prefilter_profile",
     None,  # rows-only (xxhash64 bitmap not DuckDB-computable); the

@@ -1071,25 +1071,11 @@ def tumbling_window_hourly(spark, sf_dir):
 # -------------------------------------------------------------------------
 @register(
     "sessionize_events",
-    """
-WITH marked AS (
-  SELECT user_id, ts, event_id,
-    CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-         OR epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
-         THEN 1 ELSE 0 END AS is_new_session
-  FROM events
-),
-sessions AS (
-  SELECT user_id, ts, event_id,
-    SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-  FROM marked
-)
-SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events, min(ts) AS session_start
-FROM sessions
-GROUP BY user_id, session_id
-ORDER BY user_id, session_id
-""",
+    None,  # rotated OUT of the graded window r11 (made room for the
+    # global-shuffle permutation twin); former oracle value-pinned in
+    # tests/test_rotated_oracles.py. Session-window semantics stay graded
+    # via stream_session_windows (the streaming sibling of this exact
+    # 30-min-gap shape).
     description="Gap-based sessionization (30-min inactivity) via lag + running "
     "sum — the batch shape of a session window; one shuffle on user_id. "
     "Hot-key-safe by construction: sort-based Window operators stream rows "

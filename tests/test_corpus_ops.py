@@ -770,3 +770,89 @@ FROM old_v o FULL OUTER JOIN new_pdf n USING (doc_id)
     for _, s in got:
         by[s] = by.get(s, 0) + 1
     assert by["removed"] == 20 and by["added"] == 7 and by["changed"] == 20
+
+
+def test_global_shuffle_matches_duckdb(spark, duck):
+    """The full permutation — every (doc_id, shard, pos) triple — matches
+    DuckDB's replay of the salted Lehmer key + modular shard + (key, id)
+    row_number. Exact integers end to end, so equality is bitwise."""
+    from clickhousedatamocker_spark.operators.corpus import (
+        global_shuffle,
+        shuffle_key_int_oracle_sql,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id")
+    got = sorted(
+        (r["doc_id"], r["shard"], r["pos"])
+        for r in global_shuffle(docs, id_col="doc_id", n_shards=8, salt=11).collect()
+    )
+    key = shuffle_key_int_oracle_sql("doc_id", 11)
+    want = sorted(
+        duck.execute(
+            f"""
+WITH keyed AS (SELECT doc_id, ({key}) AS k FROM documents)
+SELECT doc_id, CAST(((k % 8) + 8) % 8 AS INT) AS shard,
+  ROW_NUMBER() OVER (PARTITION BY ((k % 8) + 8) % 8 ORDER BY k, doc_id) AS pos
+FROM keyed
+"""
+        ).fetchall()
+    )
+    assert got == want
+    assert len(got) == docs.count()
+
+
+def test_global_shuffle_laws(spark):
+    """Determinism, totality (each shard's positions are 1..n contiguous),
+    salt sensitivity (different salt → different permutation), and
+    hash-balance (no empty shard on a corpus >> n_shards)."""
+    from clickhousedatamocker_spark.operators.corpus import global_shuffle
+
+    docs = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    a = global_shuffle(docs, id_col="doc_id", n_shards=4, salt=1).collect()
+    b = global_shuffle(docs, id_col="doc_id", n_shards=4, salt=1).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) == {0, 1, 2, 3}
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    c = global_shuffle(docs, id_col="doc_id", n_shards=4, salt=2).collect()
+    assert sorted((r["doc_id"], r["shard"], r["pos"]) for r in a) != sorted(
+        (r["doc_id"], r["shard"], r["pos"]) for r in c
+    )
+    # within a shard the order must not be the id order (it IS shuffled)
+    s0 = [r["doc_id"] for r in sorted(a, key=lambda r: (r["shard"], r["pos"])) if r["shard"] == 0]
+    assert s0 != sorted(s0)
+
+
+def test_write_shuffle_shards_layout(spark, tmp_path):
+    """The parquet export: one directory per shard, rows inside each
+    shard file come back in pos order without sorting (parquet preserves
+    write order within a file)."""
+    import glob
+
+    from clickhousedatamocker_spark.operators.corpus import (
+        global_shuffle,
+        write_shuffle_shards,
+    )
+
+    docs = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    sh = global_shuffle(docs, id_col="doc_id", n_shards=4, salt=5)
+    out = str(tmp_path / "shards")
+    write_shuffle_shards(sh, out)
+    dirs = sorted(glob.glob(f"{out}/shard=*"))
+    assert [d.rsplit("=", 1)[1] for d in dirs] == ["0", "1", "2", "3"]
+    import pyarrow.parquet as pq
+
+    for d in dirs:
+        files = sorted(glob.glob(f"{d}/*.parquet"))
+        rows = []
+        for f in files:
+            rows.extend(pq.read_table(f, columns=["pos"]).column("pos").to_pylist())
+        assert rows == sorted(rows)
+    # round-trip: reading all shards reproduces the full permutation
+    back = spark.read.parquet(out)
+    assert sorted(
+        (r["doc_id"], int(r["shard"]), r["pos"]) for r in back.collect()
+    ) == sorted((r["doc_id"], r["shard"], r["pos"]) for r in sh.collect())

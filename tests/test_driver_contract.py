@@ -233,3 +233,11 @@ def test_contract_round11_graded_rotation_under_bare_session():
     (chained MATERIALIZED CTEs, list(x ORDER BY j) reassembly, integer L2
     argmin with (d, cid) ties) and reranks by 6dp-rounded cosine."""
     _run_probe(["similarity_topk_ivf_trained"])
+
+
+def test_contract_round11b_graded_rotation_under_bare_session():
+    """The round-11 second graded twin under a bare external session: the
+    global-shuffle permutation (salted integer-Lehmer key, modular shard,
+    within-shard (key, id) row_number, position-weighted checksum) is
+    exact-integer end to end."""
+    _run_probe(["shuffle_shard_export_profile"])

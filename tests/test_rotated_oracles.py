@@ -26,6 +26,11 @@ dedup_ngram_jaccard_pairs.
 
 r11 rotation (made room for the trained-IVF integer-k-means twin):
 q10_returned_items.
+
+r11 second rotation (made room for the global-shuffle permutation twin):
+sessionize_events (session-window semantics stay graded via
+stream_session_windows, the streaming sibling of the same 30-min-gap
+shape).
 """
 
 import math
@@ -68,6 +73,25 @@ SELECT CAST(SUM(r1) AS BIGINT) AS cohort,
        CAST(SUM(r1 * c2) AS BIGINT) AS retained_click,
        CAST(SUM(r1 * c3) AS BIGINT) AS retained_purchase
 FROM per_user
+""",
+    "sessionize_events": """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         OR epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+         THEN 1 ELSE 0 END AS is_new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts, event_id,
+    SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events, min(ts) AS session_start
+FROM sessions
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
 """,
     "monitor_inlist_filter": """
 SELECT event_type,
