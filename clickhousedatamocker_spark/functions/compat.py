@@ -8308,6 +8308,65 @@ _PARAMETRIC2.update(
     }
 )
 
+# -- wave 29b (tools/probe_wave29b.py; 71 of 92 probed spellings already
+# answered): median sketch aliases, uniqCombined -If, toUUIDOrDefault,
+# the plural quantilesDeterministic, visibleWidth; Lp norms, byte-level
+# string stats, cartesian polygon measures and WKT points land as scalar
+# SQL rows (functions/scalar.py); multiFuzzyMatchAny gates loudly
+# (hyperscan's fuzzy-regex semantics have no Spark equivalent).
+
+_PARAMETRIC.update(
+    {
+        # median aliases of the sketch quantile families: 0.5 through the
+        # same mapping the quantile* spellings use (sketch → approx,
+        # deterministic → exact; documented deviations live there)
+        "medianTiming": _pm_1arg("percentile_approx({x}, 0.5)"),
+        "medianTDigest": _pm_1arg("percentile_approx({x}, 0.5)"),
+        "medianBFloat16": _pm_1arg("percentile_approx({x}, 0.5)"),
+        "medianTimingWeighted": lambda a: _pm2_weighted_quantile(["0.5"], a),
+        "medianTDigestWeighted": lambda a: _pm2_weighted_quantile(["0.5"], a),
+        "medianBFloat16Weighted": lambda a: _pm2_weighted_quantile(["0.5"], a),
+        "medianDeterministic": lambda a: _pm2_quantile_deterministic(["0.5"], a),
+        "medianInterpolatedWeighted": lambda a: _pm2_weighted_quantile(["0.5"], a),
+        # _UUID_PAT carries .format-escaped braces — route through
+        # .format like the OrNull/OrZero siblings do via _pm_1arg
+        "toUUIDOrDefault": lambda a: (
+            (
+                "coalesce((CASE WHEN ({x}) RLIKE " + _UUID_PAT + " "
+                "THEN lower({x}) END), {d})"
+            ).format(x=a[0], d=a[1])
+            if len(a) == 2
+            else _raise_nie("toUUIDOrDefault expects (value, default)")
+        ),
+        # exact distinct count is uniqCombined's documented mapping; -If
+        # folds the predicate into the counted expression
+        "uniqCombinedIf": _pm_2arg("count(DISTINCT CASE WHEN {a} THEN {f} END)"),
+        "uniqCombined64If": _pm_2arg("count(DISTINCT CASE WHEN {a} THEN {f} END)"),
+        "visibleWidth": _pm_1arg("length(coalesce(CAST({x} AS STRING), 'NULL'))"),
+        "multiFuzzyMatchAny": _pm_gate(
+            "multiFuzzyMatchAny",
+            "hyperscan's edit-distance regex matching has no Spark "
+            "equivalent - approximate with editDistance(s, needle) <= d "
+            "or ngramDistance thresholds, or exact-match via "
+            "multiSearchAny",
+        ),
+    }
+)
+
+_PARAMETRIC2.update(
+    {
+        # plural sibling of quantileDeterministic: exact percentile array,
+        # determinism seed unused (exact computation needs no reservoir)
+        "quantilesDeterministic": lambda params, args: (
+            f"percentile({args[0]}, array({', '.join(params)}))"
+            if params and len(args) == 2
+            else _raise_nie(
+                "quantilesDeterministic needs the (p1, ...)(x, det) form"
+            )
+        ),
+    }
+)
+
 # batch 27c registers AFTER the one-time registry snapshots above — rebuild
 # them so the new names resolve (the snapshot pattern exists for scan speed;
 # keep this rebuild as the LAST registry mutation in the module)

@@ -918,6 +918,65 @@ def register_sql_functions(spark: SparkSession) -> None:
         ("cosineDistance", "(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>)", "DOUBLE",
          "CAST(1.0 AS DOUBLE) - arrayDotProduct(a, b) / (L2Norm(a) * L2Norm(b))"),
         ("normalizeL2", "(a ARRAY<DOUBLE>)", "ARRAY<DOUBLE>", "transform(a, __x -> __x / L2Norm(a))"),
+        # -- wave 29b: Lp norm/distance stragglers (L2/L1/Linf distances
+        # and L2Norm predate these; same fold conventions) ---------------
+        ("L1Norm", "(a ARRAY<DOUBLE>)", "DOUBLE",
+         "aggregate(a, CAST(0.0 AS DOUBLE), (__ac, __v) -> __ac + abs(__v))"),
+        ("LinfNorm", "(a ARRAY<DOUBLE>)", "DOUBLE", "array_max(transform(a, __v -> abs(__v)))"),
+        ("LpNorm", "(a ARRAY<DOUBLE>, p DOUBLE)", "DOUBLE",
+         "pow(aggregate(a, CAST(0.0 AS DOUBLE), (__ac, __v) -> __ac + pow(abs(__v), p)), 1.0 / p)"),
+        ("LpDistance", "(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>, p DOUBLE)", "DOUBLE",
+         "pow(aggregate(zip_with(a, b, (__x, __y) -> pow(abs(__x - __y), p)), "
+         "CAST(0.0 AS DOUBLE), (__ac, __v) -> __ac + __v), 1.0 / p)"),
+        # -- wave 29b: byte-level string statistics (CH operates on BYTES,
+        # so the string is sliced as BINARY; empty input → 0 like CH) ----
+        ("stringBytesUniq", "(s STRING)", "INT",
+         "CASE WHEN s IS NULL THEN NULL WHEN octet_length(s) = 0 THEN 0 ELSE "
+         "size(array_distinct(transform(sequence(1, octet_length(s)), "
+         "__i -> substring(CAST(s AS BINARY), __i, 1)))) END"),
+        ("stringBytesEntropy", "(s STRING)", "DOUBLE",
+         "CASE WHEN s IS NULL THEN NULL WHEN octet_length(s) = 0 THEN CAST(0.0 AS DOUBLE) ELSE "
+         "-aggregate(transform(array_distinct(transform(sequence(1, octet_length(s)), "
+         "__i -> substring(CAST(s AS BINARY), __i, 1))), "
+         "__b -> CAST(size(filter(transform(sequence(1, octet_length(s)), "
+         "__j -> substring(CAST(s AS BINARY), __j, 1)), __x -> __x = __b)) AS DOUBLE) "
+         "/ octet_length(s)), CAST(0.0 AS DOUBLE), "
+         "(__ac, __p) -> __ac + __p * log2(__p)) END"),
+        # -- wave 29b: cartesian polygon measures over CH's nested
+        # Polygon = Array(Ring) shape (ring auto-closed; area = outer ring
+        # minus holes, both as absolute shoelace values; perimeter sums
+        # every ring — boost::geometry's convention CH delegates to) -----
+        ("polygonAreaCartesian",
+         "(poly ARRAY<ARRAY<STRUCT<col1: DOUBLE, col2: DOUBLE>>>)", "DOUBLE",
+         "aggregate(transform(sequence(1, size(poly)), __r -> "
+         "(CASE WHEN __r = 1 THEN 1.0 ELSE -1.0 END) * 0.5 * abs("
+         "aggregate(sequence(1, size(element_at(poly, __r))), CAST(0.0 AS DOUBLE), "
+         "(__ac, __i) -> __ac "
+         "+ element_at(element_at(poly, __r), __i).col1 "
+         "* element_at(element_at(poly, __r), CASE WHEN __i = size(element_at(poly, __r)) THEN 1 ELSE __i + 1 END).col2 "
+         "- element_at(element_at(poly, __r), CASE WHEN __i = size(element_at(poly, __r)) THEN 1 ELSE __i + 1 END).col1 "
+         "* element_at(element_at(poly, __r), __i).col2))), "
+         "CAST(0.0 AS DOUBLE), (__as, __a) -> __as + __a)"),
+        ("polygonPerimeterCartesian",
+         "(poly ARRAY<ARRAY<STRUCT<col1: DOUBLE, col2: DOUBLE>>>)", "DOUBLE",
+         "aggregate(transform(sequence(1, size(poly)), __r -> "
+         "aggregate(sequence(1, size(element_at(poly, __r))), CAST(0.0 AS DOUBLE), "
+         "(__ac, __i) -> __ac + sqrt("
+         "pow(element_at(element_at(poly, __r), __i).col1 "
+         "- element_at(element_at(poly, __r), CASE WHEN __i = size(element_at(poly, __r)) THEN 1 ELSE __i + 1 END).col1, 2) "
+         "+ pow(element_at(element_at(poly, __r), __i).col2 "
+         "- element_at(element_at(poly, __r), CASE WHEN __i = size(element_at(poly, __r)) THEN 1 ELSE __i + 1 END).col2, 2)))), "
+         "CAST(0.0 AS DOUBLE), (__ps, __p) -> __ps + __p)"),
+        # -- wave 29b: WKT point forms (integral coordinates print without
+        # a decimal tail, the CH text convention: POINT(1 2)) ------------
+        ("readWKTPoint", "(s STRING)", "STRUCT<col1: DOUBLE, col2: DOUBLE>",
+         "struct(CAST(regexp_extract(s, 'POINT\\\\s*\\\\(\\\\s*([-+0-9.eE]+)\\\\s+([-+0-9.eE]+)\\\\s*\\\\)', 1) AS DOUBLE) AS col1, "
+         "CAST(regexp_extract(s, 'POINT\\\\s*\\\\(\\\\s*([-+0-9.eE]+)\\\\s+([-+0-9.eE]+)\\\\s*\\\\)', 2) AS DOUBLE) AS col2)"),
+        ("wkt", "(p STRUCT<col1: DOUBLE, col2: DOUBLE>)", "STRING",
+         "concat('POINT(', "
+         "CASE WHEN p.col1 = floor(p.col1) THEN CAST(CAST(p.col1 AS BIGINT) AS STRING) ELSE CAST(p.col1 AS STRING) END, "
+         "' ', "
+         "CASE WHEN p.col2 = floor(p.col2) THEN CAST(CAST(p.col2 AS BIGINT) AS STRING) ELSE CAST(p.col2 AS STRING) END, ')')"),
         # pairwise-comparison AUC (ties count 0.5) - O(P*N) per row, the
         # per-row arrays a metrics column carries are small by construction
         ("arrayAUC", "(sc ARRAY<DOUBLE>, lb ARRAY<BIGINT>)", "DOUBLE",

@@ -180,3 +180,116 @@ def test_wave29_already_answered_goldens(eng):
     assert r["b"] == {1: 10, 2: 0, 3: 0, 4: 40}
     assert r["c"] == "2,16,32"
     assert r["d"] == [2, 3, 4, 1]
+
+
+# ---- wave 29b (tools/probe_wave29b.py) ------------------------------------
+
+
+def test_median_sketch_aliases(eng):
+    """median* aliases of the sketch quantile families: 0.5 through the
+    same exact/approx mapping the quantile* spellings use."""
+    r = one(
+        eng,
+        "SELECT medianTiming(x) AS a, medianTDigest(x) AS b, "
+        "medianBFloat16(x) AS c FROM VALUES (10.0),(20.0),(30.0) AS t(x)",
+    )
+    assert float(r["a"]) == 20.0 and float(r["b"]) == 20.0 and float(r["c"]) == 20.0
+    r = one(
+        eng,
+        "SELECT medianTimingWeighted(x, w) AS a, medianDeterministic(x, x) AS b, "
+        "medianInterpolatedWeighted(x, w) AS c "
+        "FROM VALUES (1.0, 1),(2.0, 1) AS t(x, w)",
+    )
+    assert r["a"] == 1.5 and r["b"] == 1.5 and r["c"] == 1.5
+
+
+def test_quantiles_deterministic_plural(eng):
+    r = one(
+        eng,
+        "SELECT quantilesDeterministic(0.25, 0.5)(x, x) AS a "
+        "FROM VALUES (1.0),(2.0),(3.0),(4.0) AS t(x)",
+    )
+    assert r["a"] == [1.75, 2.5]
+
+
+def test_to_uuid_or_default(eng):
+    r = one(
+        eng,
+        "SELECT toUUIDOrDefault('nope', "
+        "toUUID('61f0c404-5cb3-11e7-907b-a6006ad3dba0')) AS a, "
+        "toUUIDOrDefault('61F0C404-5CB3-11E7-907B-A6006AD3DBA0', 'x') AS b",
+    )
+    assert r["a"] == "61f0c404-5cb3-11e7-907b-a6006ad3dba0"
+    assert r["b"] == "61f0c404-5cb3-11e7-907b-a6006ad3dba0"
+
+
+def test_uniq_combined_if(eng):
+    r = one(
+        eng,
+        "SELECT uniqCombinedIf(x, x > 1) AS a, uniqCombined64If(x, x > 0) AS b "
+        "FROM VALUES (1),(2),(3),(3) AS t(x)",
+    )
+    assert r["a"] == 2 and r["b"] == 3
+
+
+def test_visible_width(eng):
+    """CH visibleWidth: text-format width; NULL renders 4 cells."""
+    r = one(
+        eng,
+        "SELECT visibleWidth('abc') AS a, visibleWidth(123) AS b, "
+        "visibleWidth(CAST(NULL AS STRING)) AS c",
+    )
+    assert r["a"] == 3 and r["b"] == 3 and r["c"] == 4
+
+
+def test_lp_norms_and_distances(eng):
+    r = one(
+        eng,
+        "SELECT L1Norm(array(1.0, -2.0)) AS a, LinfNorm(array(1.0, -7.0)) AS b, "
+        "round(LpNorm(array(3.0, 4.0), 3.0), 6) AS c, "
+        "round(LpDistance(array(1.0, 2.0), array(2.0, 4.0), 3.0), 6) AS d",
+    )
+    assert r["a"] == 3.0 and r["b"] == 7.0
+    assert r["c"] == round((27.0 + 64.0) ** (1.0 / 3.0), 6)
+    assert r["d"] == round((1.0 + 8.0) ** (1.0 / 3.0), 6)
+
+
+def test_string_bytes_stats(eng):
+    """Byte-level string statistics; 'aabb' entropy = 1 bit exactly."""
+    r = one(
+        eng,
+        "SELECT stringBytesUniq('hello') AS a, stringBytesUniq('') AS b, "
+        "round(stringBytesEntropy('aabb'), 4) AS c, "
+        "stringBytesEntropy('') AS d",
+    )
+    assert r["a"] == 4 and r["b"] == 0
+    assert r["c"] == 1.0 and r["d"] == 0.0
+
+
+def test_polygon_cartesian_measures(eng):
+    """CH docs golden: polygonAreaCartesian([[(0,0),(0,5),(5,5)]]) = 12.5;
+    perimeter of the 3-4-5 triangle = 12; holes subtract from area."""
+    r = one(
+        eng,
+        "SELECT polygonAreaCartesian(array(array((0.0, 0.0), (0.0, 5.0), (5.0, 5.0)))) AS a, "
+        "polygonPerimeterCartesian(array(array((0.0, 0.0), (0.0, 3.0), (4.0, 0.0)))) AS b, "
+        "polygonAreaCartesian(array("
+        "array((0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0)), "
+        "array((2.0, 2.0), (2.0, 4.0), (4.0, 4.0), (4.0, 2.0)))) AS c",
+    )
+    assert r["a"] == 12.5 and r["b"] == 12.0 and r["c"] == 96.0
+
+
+def test_wkt_point_forms(eng):
+    r = one(
+        eng,
+        "SELECT readWKTPoint('POINT (1.5 2)') AS a, wkt((1.0, 2.0)) AS b, "
+        "wkt((1.25, -2.0)) AS c",
+    )
+    assert (r["a"]["col1"], r["a"]["col2"]) == (1.5, 2.0)
+    assert r["b"] == "POINT(1 2)" and r["c"] == "POINT(1.25 -2)"
+
+
+def test_multi_fuzzy_match_gate(eng):
+    with pytest.raises(NotImplementedError, match="hyperscan"):
+        eng.sql("SELECT multiFuzzyMatchAny('hello', 1, array('helo')) AS a").collect()
