@@ -387,6 +387,62 @@ def split_corpus_oracle_sql(fractions: dict[str, float], id_expr: str = "doc_id"
     return "CASE " + " ".join(whens) + f" ELSE '{names[-1]}' END"
 
 
+def split_corpus_grouped(
+    df: DataFrame,
+    fractions: dict[str, float],
+    group_col: str = "source",
+) -> DataFrame:
+    """GROUP-aware (leakage-safe) train/val/test assignment: every row of
+    a group gets the same ``split`` label. Near-duplicates cluster within
+    groups (one URL domain, one repository, one base document), so a
+    doc-keyed split leaks train text into test through siblings — the
+    standard fix is to split on the group key, and this is that split.
+
+    Key = portable Lehmer mix of the group string's polynomial rolling
+    hash (both halves have exact DuckDB twins), thresholded into the same
+    adjacent half-open intervals as :func:`split_corpus` — deterministic
+    per (group value, fractions) on any engine, zero shuffle (one derived
+    column; no group aggregation is needed because equal strings hash
+    equal). A NULL group falls to the LAST interval in both engines
+    (NULL comparisons propagate through the CASE identically).
+
+    Fraction accuracy is group-weighted, not row-weighted: a group lands
+    wholly in one split, so realized row fractions track the targets only
+    as far as group sizes allow (the price of zero leakage — documented,
+    not a bug)."""
+    from clickhousedatamocker_spark.operators.dedup import _poly_hash
+
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    key = _sample_key(_poly_hash(F.col(group_col)))
+    expr = None
+    upper = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        upper += fractions[name]
+        cond = key < F.lit(upper)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)
+
+
+def split_corpus_grouped_oracle_sql(
+    fractions: dict[str, float], group_expr: str = "source"
+) -> str:
+    """DuckDB-dialect twin of :func:`split_corpus_grouped`'s label."""
+    from clickhousedatamocker_spark.operators.dedup import _o_poly_hash
+
+    key = sample_key_oracle_sql(_o_poly_hash(group_expr))
+    names = list(fractions)
+    whens, upper = [], 0.0
+    for name in names[:-1]:
+        upper += fractions[name]
+        whens.append(f"WHEN {key} < {upper!r} THEN '{name}'")
+    return "CASE " + " ".join(whens) + f" ELSE '{names[-1]}' END"
+
+
 # ---------------------------------------------------------------------------
 # weighted reservoir sampling (Efraimidis & Spirtes 2006, A-ES)
 

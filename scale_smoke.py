@@ -106,6 +106,10 @@ SMOKE_KEYS = (
     # grows 10x with the same group size, so ~10x is the honest expectation
     # — the number to watch is that it stays LINEAR in groups, not worse
     "ema_time_decay_profile",
+    # round-11: the global shuffle-shard export — one hash exchange +
+    # per-shard external sort + a 5-column aggregate; expect ~linear in
+    # corpus rows (the permutation never touches the driver)
+    "shuffle_shard_export_profile",
 )
 
 

@@ -856,3 +856,50 @@ def test_write_shuffle_shards_layout(spark, tmp_path):
     assert sorted(
         (r["doc_id"], int(r["shard"]), r["pos"]) for r in back.collect()
     ) == sorted((r["doc_id"], r["shard"], r["pos"]) for r in sh.collect())
+
+
+def test_split_corpus_grouped_matches_duckdb(spark, duck):
+    """Group-keyed split labels match DuckDB's replay of the polynomial
+    hash + Lehmer mix + interval thresholds, per document."""
+    from clickhousedatamocker_spark.operators.corpus import (
+        split_corpus_grouped,
+        split_corpus_grouped_oracle_sql,
+    )
+
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = sorted(
+        (r["doc_id"], r["split"])
+        for r in split_corpus_grouped(docs, fr, group_col="source").collect()
+    )
+    label = split_corpus_grouped_oracle_sql(fr, "source")
+    want = sorted(
+        duck.execute(f"SELECT doc_id, {label} AS split FROM documents").fetchall()
+    )
+    assert got == want
+
+
+def test_split_corpus_grouped_laws(spark):
+    """No group straddles two splits (the leakage guard — the point of
+    the operator); labels are deterministic; every fraction-name appears
+    given enough distinct groups; fraction-sum validation raises."""
+    import pytest as _pytest
+
+    from clickhousedatamocker_spark.operators.corpus import split_corpus_grouped
+
+    rows = [(i, f"domain{i % 40}.com") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id: long, source: string")
+    fr = {"train": 0.6, "val": 0.2, "test": 0.2}
+    out = split_corpus_grouped(df, fr, group_col="source").collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["source"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_group.values())
+    assert {r["split"] for r in out} == {"train", "val", "test"}
+    again = split_corpus_grouped(df, fr, group_col="source").collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # a NULL group falls to the LAST interval (documented contract)
+    null_df = spark.createDataFrame([(1, None)], "doc_id: long, source: string")
+    assert split_corpus_grouped(null_df, fr, group_col="source").collect()[0]["split"] == "test"
+    with _pytest.raises(ValueError, match="sum to 1"):
+        split_corpus_grouped(df, {"a": 0.5}, group_col="source")
