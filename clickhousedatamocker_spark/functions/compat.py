@@ -386,10 +386,10 @@ _REWRITES = [
     (re.compile(r"\bhas\(", re.IGNORECASE), "array_contains("),
     (re.compile(r"\bhasAny\(", re.IGNORECASE), "arrays_overlap("),
     (re.compile(r"\btoTypeName\(", re.IGNORECASE), "typeof("),
-    # arrayElement(arr, i) is EXACTLY element_at's contract (1-based,
-    # negative from the end); same for the statistics/bit aggregates and
-    # map accessors — name-only moves
-    (re.compile(r"\barrayElement\(", re.IGNORECASE), "element_at("),
+    # arrayElement moved to a parametric handler in wave 29c: element_at's
+    # in-bounds contract matches (1-based, negative from the end, map
+    # keys), but CH returns a typed DEFAULT on out-of-bounds where ANSI
+    # element_at aborts the query
     (re.compile(r"\bisNaN\(", re.IGNORECASE), "isnan("),
     (re.compile(r"\bstddevPop\(", re.IGNORECASE), "stddev_pop("),
     (re.compile(r"\bstddevSamp\(", re.IGNORECASE), "stddev_samp("),
@@ -8363,6 +8363,79 @@ _PARAMETRIC2.update(
             else _raise_nie(
                 "quantilesDeterministic needs the (p1, ...)(x, det) form"
             )
+        ),
+    }
+)
+
+
+# -- wave 29c (tools/probe_wave29c.py; 61 of 75 probed spellings already
+# answered): the functional comparison family, MySQL-alias strings,
+# checked IP/datetime tails, and the arrayElement out-of-bounds fix.
+# and()/or()/not() function forms stay UNregistered deliberately: their
+# names followed by '(' occur constantly as infix operators before a
+# parenthesized group ("WHERE a AND (b OR c)") — a registry entry would
+# rewrite ordinary SQL. Spark natively parses the function spelling for
+# boolean args; only CH's UInt8-condition form errs, loudly.
+
+
+def _pm_array_element(args: list[str]) -> str:
+    """CH arrayElement(arr, i) / map access: try_element_at matches CH
+    in-bounds (1-based, negative from the end, map keys) and yields NULL
+    out-of-bounds where CH yields a typed default (0/'' — unknowable in a
+    textual layer; documented deviation, arrayElementOrNull is the exact
+    spelling). A LITERAL index 0 folds to NULL at rewrite time; a runtime
+    0 from a column still aborts (Spark's element_at contract)."""
+    if len(args) != 2:
+        raise NotImplementedError("arrayElement expects (array_or_map, index_or_key)")
+    if re.fullmatch(r"\s*[+-]?0+\s*", args[1]):
+        return "NULL"
+    return f"try_element_at({args[0]}, {args[1]})"
+
+
+_PARAMETRIC.update(
+    {
+        "arrayElement": _pm_array_element,
+        # functional comparison spellings (UInt8 in CH; booleans here so
+        # they compose under WHERE/AND without ANSI int-condition errors)
+        "equals": _pm_2arg("(({f}) = ({a}))"),
+        "notEquals": _pm_2arg("(({f}) <> ({a}))"),
+        "less": _pm_2arg("(({f}) < ({a}))"),
+        "greater": _pm_2arg("(({f}) > ({a}))"),
+        "lessOrEquals": _pm_2arg("(({f}) <= ({a}))"),
+        "greaterOrEquals": _pm_2arg("(({f}) >= ({a}))"),
+        "notLike": _pm_2arg("(({f}) NOT LIKE ({a}))"),
+        # MySQL-alias strings
+        "mid": lambda a: (
+            f"substring({', '.join(a)})"
+            if len(a) in (2, 3)
+            else _raise_nie("mid expects (s, pos[, len])")
+        ),
+        # field(x, a1, a2, ...) → 1-based position of x in the list, 0 if
+        # absent or x NULL (array_position's exact contract; NULL needle
+        # guarded — Spark raises where MySQL/CH answer 0)
+        "field": lambda a: (
+            f"(CASE WHEN ({a[0]}) IS NULL THEN 0 "
+            f"ELSE array_position(array({', '.join(a[1:])}), {a[0]}) END)"
+            if len(a) >= 2
+            else _raise_nie("field expects (needle, v1[, v2, ...])")
+        ),
+        # checked tails
+        "toDateTime32": lambda a: f"toDateTime({', '.join(a)})",
+        "toIPv4OrDefault": lambda a: (
+            f"coalesce(toIPv4OrNull({a[0]}), {a[1]})"
+            if len(a) == 2
+            else _raise_nie("toIPv4OrDefault expects (value, default)")
+        ),
+        "toIPv6OrDefault": lambda a: (
+            f"coalesce(toIPv6OrNull({a[0]}), {a[1]})"
+            if len(a) == 2
+            else _raise_nie("toIPv6OrDefault expects (value, default)")
+        ),
+        "BLAKE3": _pm_gate(
+            "BLAKE3",
+            "no BLAKE3 implementation ships with Spark or this python "
+            "environment - use sha2(x, 256) for a stable cryptographic "
+            "hash or xxhash64 for a fast non-cryptographic one",
         ),
     }
 )

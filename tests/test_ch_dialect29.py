@@ -293,3 +293,82 @@ def test_wkt_point_forms(eng):
 def test_multi_fuzzy_match_gate(eng):
     with pytest.raises(NotImplementedError, match="hyperscan"):
         eng.sql("SELECT multiFuzzyMatchAny('hello', 1, array('helo')) AS a").collect()
+
+
+# ---- wave 29c (tools/probe_wave29c.py) ------------------------------------
+
+
+def test_array_element_out_of_bounds(eng):
+    """CH arrayElement never aborts: out-of-bounds → NULL here (CH's typed
+    default is unknowable textually — documented deviation), negative
+    indexes from the end, map keys pass through, literal 0 folds to NULL.
+    The old name-only element_at move aborted the whole query on OOB."""
+    r = one(
+        eng,
+        "SELECT arrayElement(array(1, 2), 2) AS a, "
+        "arrayElement(array(1), 5) AS b, "
+        "arrayElement(array(1), -1) AS c, "
+        "arrayElement(array(1), 0) AS d, "
+        "arrayElement(map('a', 1), 'a') AS e, "
+        "arrayElement(map('a', 1), 'zz') AS f",
+    )
+    assert r["a"] == 2 and r["b"] is None and r["c"] == 1 and r["d"] is None
+    assert r["e"] == 1 and r["f"] is None
+
+
+def test_functional_comparisons(eng):
+    r = one(
+        eng,
+        "SELECT equals(1, 1) AS a, notEquals(1, 2) AS b, less(1, 2) AS c, "
+        "greater(2, 1) AS d, lessOrEquals(1, 1) AS e, greaterOrEquals(2, 2) AS f, "
+        "notLike('abc', 'b%') AS g",
+    )
+    assert all(r[k] for k in "abcdefg")
+    # composes under WHERE (the reason these emit booleans, not UInt8)
+    rows = eng.sql(
+        "SELECT x FROM VALUES (1),(2),(3) AS t(x) WHERE equals(x, 2)"
+    ).collect()
+    assert [r["x"] for r in rows] == [2]
+    # the infix keywords stay untouched by the registry (and/or/not are
+    # deliberately NOT registered - see the wave-29c comment)
+    assert one(
+        eng,
+        "SELECT count(*) AS a FROM VALUES (1),(2) AS t(x) "
+        "WHERE x = 1 AND (x < 5 OR x > 9)",
+    )["a"] == 1
+
+
+def test_mysql_alias_strings(eng):
+    r = one(
+        eng,
+        "SELECT mid('hello', 2, 3) AS a, field('b', 'a', 'b', 'c') AS b, "
+        "field('z', 'a', 'b') AS c, field(CAST(NULL AS STRING), 'a') AS d, "
+        "elt(2, 'a', 'b', 'c') AS e",
+    )
+    assert r["a"] == "ell" and r["b"] == 2 and r["c"] == 0 and r["d"] == 0
+    assert r["e"] == "b"
+
+
+def test_checked_tails_29c(eng):
+    import datetime as _dt
+
+    r = one(
+        eng,
+        "SELECT toDateTime32('2024-01-01 00:00:05') AS a, "
+        "toIPv6OrDefault('nope', toIPv6('::1')) AS b",
+    )
+    assert r["a"] == _dt.datetime(2024, 1, 1, 0, 0, 5)
+    assert r["b"] == "::1"
+    with pytest.raises(NotImplementedError, match="BLAKE3"):
+        eng.sql("SELECT BLAKE3('x') AS a").collect()
+
+
+def test_array_join_multiplies_rows(eng):
+    """arrayJoin's row multiplication (the CH explode) — pinned with
+    counts, not just first-row shape."""
+    rows = eng.sql("SELECT arrayJoin(array(1, 2, 3)) AS a").collect()
+    assert sorted(r["a"] for r in rows) == [1, 2, 3]
+    rows = eng.sql(
+        "SELECT arrayJoin(xs) AS a, n FROM (SELECT array(1, 2) AS xs, 'x' AS n)"
+    ).collect()
+    assert sorted((r["a"], r["n"]) for r in rows) == [(1, "x"), (2, "x")]
