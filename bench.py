@@ -201,6 +201,11 @@ def main() -> None:
         # the brute-force key; a regression means the fold/codegen path
         # slipped into interpretation)
         "similarity_topk_bq",
+        # round-11: the graded global shuffle-shard export — one hash
+        # exchange + per-shard sort + a 5-column aggregate; should sit in
+        # the cheapest tier (a regression means the permutation grew a
+        # driver dependency or an extra exchange)
+        "shuffle_shard_export_profile",
     ):
         timed(extra, lambda extra=extra: REGISTRY[extra].fn(spark, sf_dir))
 
