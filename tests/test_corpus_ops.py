@@ -903,3 +903,19 @@ def test_split_corpus_grouped_laws(spark):
     assert split_corpus_grouped(null_df, fr, group_col="source").collect()[0]["split"] == "test"
     with _pytest.raises(ValueError, match="sum to 1"):
         split_corpus_grouped(df, {"a": 0.5}, group_col="source")
+
+
+def test_global_shuffle_plan_one_exchange(spark):
+    """The scale claim, pinned: ONE hash exchange on shard, a per-shard
+    sort + window, zero extra shuffles and zero Python stages — the
+    permutation never needs a global rank barrier."""
+    from clickhousedatamocker_spark.operators.corpus import global_shuffle
+
+    docs = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    sh = global_shuffle(docs, id_col="doc_id", n_shards=8, salt=3)
+    plan = sh._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "hashpartitioning(shard" in plan
+    assert "row_number()" in plan
+    for banned in ("ArrowEvalPython", "BatchEvalPython", "CartesianProduct"):
+        assert banned not in plan
