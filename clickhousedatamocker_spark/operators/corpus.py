@@ -515,6 +515,8 @@ def global_shuffle(
     determines every (shard, pos) pair — exact-integer arithmetic only,
     so DuckDB recomputes the permutation bit-for-bit (the graded
     shuffle_shard_export_profile twin)."""
+    if int(n_shards) < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     key = _shuffle_key_int(F.col(id_col), salt)
     w = Window.partitionBy("shard").orderBy("__shuffle_key", id_col)
     return (

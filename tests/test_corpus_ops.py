@@ -905,6 +905,16 @@ def test_split_corpus_grouped_laws(spark):
         split_corpus_grouped(df, {"a": 0.5}, group_col="source")
 
 
+def test_global_shuffle_rejects_bad_shard_count(spark):
+    import pytest as _pytest
+
+    from clickhousedatamocker_spark.operators.corpus import global_shuffle
+
+    docs = spark.range(0, 10).withColumnRenamed("id", "doc_id")
+    with _pytest.raises(ValueError, match="n_shards"):
+        global_shuffle(docs, id_col="doc_id", n_shards=0)
+
+
 def test_global_shuffle_plan_one_exchange(spark):
     """The scale claim, pinned: ONE hash exchange on shard, a per-shard
     sort + window, zero extra shuffles and zero Python stages — the
