@@ -517,6 +517,145 @@ def remove_duplicated_spans(
     )
 
 
+# Gopher §A1.1 (Rae et al. 2021) required stop words: a doc must contain
+# at least 2 of these 8 to pass the rule-set's "real prose" check
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+# bullet glyphs Gopher's line rule checks for (leading whitespace ignored)
+_BULLET_CLASS = "^[-*•‣▪]"
+
+
+def gopher_rules(
+    df,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_required_stopwords: int = 2,
+) -> "DataFrame":
+    """The FULL Gopher §A1.1 quality rule set (Rae et al. 2021) as pure
+    column expressions — the published thresholds are the defaults. Adds
+    one boolean per rule (True = violated), the numeric signals behind
+    them, and ``gopher_keep`` (no rule violated). Map-only scan: zero
+    shuffle, zero Python, formula-identical to the DuckDB snippets in
+    :func:`gopher_oracle_snippets` (whitespace tokens, raw case — the
+    cross-engine discipline of the module's other signals).
+
+    Rules: word count ∈ [50, 100k]; mean word length ∈ [3, 10]; symbol-
+    to-word ratio ('#' and ellipses) ≤ 0.1; ≤ 90% of lines start with a
+    bullet; ≤ 30% of lines end with an ellipsis; ≥ 80% of words contain
+    an alphabetic character; ≥ 2 of the 8 required stop words present."""
+    c = F.col(text_col)
+    tk = tokens(text_col)
+    n_words = token_count(text_col)
+    mean_len = mean_token_len(text_col)
+    # non-overlapping occurrence counts via the replace-shrink scan
+    n_hash = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    n_dots = (F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))) / F.lit(3)
+    n_hellip = F.length(c) - F.length(F.replace(c, F.lit("…"), F.lit("")))
+    symbol_ratio = (n_hash + n_dots + n_hellip).cast("double") / n_words
+    lines = F.split(c, "\n")
+    n_lines = F.size(lines)
+    bullet_frac = (
+        F.size(F.filter(lines, lambda l: F.ltrim(l).rlike(_BULLET_CLASS))).cast("double")
+        / n_lines
+    )
+    ellipsis_frac = (
+        F.size(
+            F.filter(
+                lines,
+                lambda l: F.rtrim(l).endswith("...") | F.rtrim(l).endswith("…"),
+            )
+        ).cast("double")
+        / n_lines
+    )
+    alpha_frac = (
+        F.size(F.filter(tk, lambda t: t.rlike("[A-Za-z]"))).cast("double") / n_words
+    )
+    n_req_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(tk), F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+        )
+    )
+    return (
+        df.withColumn("n_words", n_words)
+        .withColumn("mean_word_len", mean_len)
+        .withColumn("symbol_word_ratio", symbol_ratio)
+        .withColumn("bullet_line_frac", bullet_frac)
+        .withColumn("ellipsis_line_frac", ellipsis_frac)
+        .withColumn("alpha_word_frac", alpha_frac)
+        .withColumn("n_required_stopwords", n_req_stop)
+        .withColumn("viol_too_few_words", n_words < F.lit(min_words))
+        .withColumn("viol_too_many_words", n_words > F.lit(max_words))
+        .withColumn(
+            "viol_mean_word_len",
+            (mean_len < F.lit(min_mean_word_len)) | (mean_len > F.lit(max_mean_word_len)),
+        )
+        .withColumn("viol_symbol_ratio", symbol_ratio > F.lit(max_symbol_word_ratio))
+        .withColumn("viol_bullet_lines", bullet_frac > F.lit(max_bullet_line_frac))
+        .withColumn("viol_ellipsis_lines", ellipsis_frac > F.lit(max_ellipsis_line_frac))
+        .withColumn("viol_alpha_words", alpha_frac < F.lit(min_alpha_word_frac))
+        .withColumn(
+            "viol_stopwords", n_req_stop < F.lit(min_required_stopwords)
+        )
+        .withColumn(
+            "gopher_keep",
+            ~(
+                F.col("viol_too_few_words")
+                | F.col("viol_too_many_words")
+                | F.col("viol_mean_word_len")
+                | F.col("viol_symbol_ratio")
+                | F.col("viol_bullet_lines")
+                | F.col("viol_ellipsis_lines")
+                | F.col("viol_alpha_words")
+                | F.col("viol_stopwords")
+            ),
+        )
+    )
+
+
+def gopher_oracle_snippets() -> dict[str, str]:
+    """DuckDB-dialect twins of :func:`gopher_rules`'s signal expressions —
+    keep formula-identical (same tokenizer, same replace-shrink counts,
+    same line splitting on chr(10))."""
+    tk = "string_split(text, ' ')"
+    n_words = f"len({tk})"
+    mean_len = f"((length(text) * 1.0 - ({n_words} - 1)) / {n_words})"
+    n_hash = "(length(text) - length(replace(text, '#', '')))"
+    n_dots = "((length(text) - length(replace(text, '...', ''))) / 3)"
+    n_hellip = "(length(text) - length(replace(text, chr(8230), '')))"
+    symbol_ratio = f"(({n_hash} + {n_dots} + {n_hellip}) * 1.0 / {n_words})"
+    lines = "string_split(text, chr(10))"
+    n_lines = f"len({lines})"
+    bullet_frac = (
+        f"(len(list_filter({lines}, l -> regexp_matches(ltrim(l), "
+        f"'^[-*' || chr(8226) || chr(8227) || chr(9642) || ']'))) * 1.0 / {n_lines})"
+    )
+    ellipsis_frac = (
+        f"(len(list_filter({lines}, l -> ends_with(rtrim(l), '...') "
+        f"OR ends_with(rtrim(l), chr(8230)))) * 1.0 / {n_lines})"
+    )
+    alpha_frac = (
+        f"(len(list_filter({tk}, t -> regexp_matches(t, '[A-Za-z]'))) * 1.0 / {n_words})"
+    )
+    sw = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    n_req_stop = f"len(list_filter(list_distinct({tk}), t -> t IN ({sw})))"
+    return {
+        "n_words": f"CAST({n_words} AS BIGINT)",
+        "mean_word_len": mean_len,
+        "symbol_word_ratio": symbol_ratio,
+        "bullet_line_frac": bullet_frac,
+        "ellipsis_line_frac": ellipsis_frac,
+        "alpha_word_frac": alpha_frac,
+        "n_required_stopwords": f"CAST({n_req_stop} AS BIGINT)",
+    }
+
+
 def corpus_quality_gate(
     docs,
     text_col: str = "text",

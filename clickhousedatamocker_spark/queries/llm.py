@@ -2482,6 +2482,45 @@ def shuffle_shard_export_profile(spark, sf_dir):
 
 
 @register(
+    "quality_gopher_rules_profile",
+    None,  # rows-only for now (rotation candidate: every summary column
+    # is an integer count over exact-arithmetic signals; the DuckDB twin
+    # lives in tests/test_text_analysis_gopher.py)
+    description="The FULL Gopher quality rule set (Rae et al. 2021 "
+    "SA1.1, published thresholds): word count in [50, 100k], mean word "
+    "length in [3, 10], symbol-to-word ratio <= 0.1, <= 90% bullet "
+    "lines, <= 30% ellipsis lines, >= 80% alphabetic words, >= 2 of the "
+    "8 required stop words. Map-only column expressions, zero shuffle; "
+    "profile = per-rule violation counts + kept count (all integers).",
+)
+def quality_gopher_rules_profile(spark, sf_dir):
+    from clickhousedatamocker_spark.operators.text_analysis import gopher_rules
+
+    docs = t(spark, sf_dir, "documents")
+    # two relaxations for the synthetic fixture (documented, threshold
+    # params exist for exactly this): min_words 50→5 (short-doc-heavy
+    # corpus) and required stop words 2→1 (the generator's vocabulary
+    # carries only 'the' from Gopher's 8-word list) — the rule LOGIC is
+    # unchanged and golden-tested at the published thresholds
+    g = gopher_rules(docs, text_col="text", min_words=5, min_required_stopwords=1)
+    viol_cols = [
+        "viol_too_few_words",
+        "viol_too_many_words",
+        "viol_mean_word_len",
+        "viol_symbol_ratio",
+        "viol_bullet_lines",
+        "viol_ellipsis_lines",
+        "viol_alpha_words",
+        "viol_stopwords",
+    ]
+    return g.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("gopher_keep").cast("long")).alias("n_kept"),
+        *[F.sum(F.col(v).cast("long")).alias(f"n_{v}") for v in viol_cols],
+    )
+
+
+@register(
     "contamination_bloom_prefilter_profile",
     None,  # rows-only (xxhash64 bitmap not DuckDB-computable); the
     # prefilter==exact identity is pinned in
