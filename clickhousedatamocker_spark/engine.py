@@ -2873,6 +2873,19 @@ class Engine:
             rest = _re.sub(rf"\b(?:{lali}|{rali})\.", "", rest)
             return self.spark.sql(translate_ch_sql(rest))
 
+        # an ASOF spelling neither matcher served must refuse LOUDLY —
+        # falling through hands Spark a keyword it cannot parse (a bare
+        # ParseException, the banned silent-fall-through mode; wave-30
+        # finding: subquery right-hand sides land here)
+        if _re.search(r"\bASOF\s+(?:LEFT\s+|INNER\s+)?JOIN\b", query, _re.IGNORECASE):
+            raise NotImplementedError(
+                "this ASOF JOIN form is not supported - use "
+                "<table> ASOF [LEFT] JOIN <table> with ON l.k = r.k AND "
+                "l.ts >= r.ts (or USING (k, ts)); register subqueries as "
+                "temp views first, or call operators/asof.py asof_join "
+                "directly for composite keys"
+            )
+
         ddl = parse_ch_ddl(query)
         if ddl is not None:
             if ddl["op"] == "create":

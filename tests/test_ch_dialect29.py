@@ -372,3 +372,44 @@ def test_array_join_multiplies_rows(eng):
         "SELECT arrayJoin(xs) AS a, n FROM (SELECT array(1, 2) AS xs, 'x' AS n)"
     ).collect()
     assert sorted((r["a"], r["n"]) for r in rows) == [(1, "x"), (2, "x")]
+
+
+# ---- wave 30 (tools/probe_wave30.py) --------------------------------------
+
+
+def test_asof_join_unsupported_form_refuses_loudly(eng):
+    """Wave-30 fix: an ASOF spelling the matchers cannot serve (subquery
+    right-hand side) must raise a recipe, not hand Spark an unparseable
+    keyword (the bare-ParseException silent fall-through mode)."""
+    with pytest.raises(NotImplementedError, match="ASOF JOIN form"):
+        eng.sql(
+            "SELECT t.k FROM (SELECT 1 AS k, 5 AS t2) t "
+            "ASOF LEFT JOIN (SELECT 1 AS k, 3 AS t2) q "
+            "ON t.k = q.k AND t.t2 >= q.t2"
+        ).collect()
+
+
+def test_wave30_select_dialect_pins(eng):
+    """Already-answered wave-30 probes pinned: WITH TOTALS (NULL totals
+    row), ORDER BY WITH FILL FROM/TO gap filling, LIMIT WITH TIES,
+    DISTINCT ON, QUALIFY, tuple IN."""
+    rows = eng.sql(
+        "SELECT k, count(*) AS n FROM "
+        "(SELECT 1 AS k UNION ALL SELECT 1 UNION ALL SELECT 2) t "
+        "GROUP BY k WITH TOTALS ORDER BY k"
+    ).collect()
+    pairs = [(r["k"], r["n"]) for r in rows]
+    assert (None, 3) in pairs and (1, 2) in pairs and (2, 1) in pairs
+    rows = eng.sql("SELECT k FROM (SELECT 2 AS k) t ORDER BY k WITH FILL FROM 1 TO 5").collect()
+    assert [r["k"] for r in rows] == [1, 2, 3, 4]
+    rows = eng.sql(
+        "SELECT k FROM (SELECT 1 AS k UNION ALL SELECT 1 UNION ALL SELECT 2) t "
+        "ORDER BY k LIMIT 1 WITH TIES"
+    ).collect()
+    assert [r["k"] for r in rows] == [1, 1]
+    rows = eng.sql(
+        "SELECT DISTINCT ON (k) k, v FROM (SELECT 1 AS k, 'x' AS v "
+        "UNION ALL SELECT 1, 'y' UNION ALL SELECT 2, 'z') ORDER BY k, v"
+    ).collect()
+    assert [(r["k"], r["v"]) for r in rows] == [(1, "x"), (2, "z")]
+    assert eng.sql("SELECT (1, 'a') IN ((1, 'a'), (2, 'b')) AS a").collect()[0]["a"]
