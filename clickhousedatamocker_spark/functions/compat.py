@@ -2181,22 +2181,48 @@ _ARRAY_REDUCE_FOLDS = {
     "any": "element_at({a}, 1)",
     "anylast": "element_at({a}, -1)",
     "uniqexact": "size(array_distinct({a}))",
+    # CH's uniq is sampling-approximate; exact is this repo's documented
+    # mapping for the family (same deviation as the uniq aggregate)
+    "uniq": "size(array_distinct({a}))",
     "groupuniqarray": "array_distinct({a})",
 }
 
 
 def _pm_array_reduce(args: list[str]) -> str:
     """arrayReduce('agg', arr) for the algebraic aggregates (sum/min/max/
-    avg/count/any/anyLast/uniqExact/groupUniqArray); sum/avg fold in DOUBLE
-    (same widening rule as arrayCumSum). Other aggregate names refuse with
-    the explode recipe."""
+    avg/count/any/anyLast/uniq/uniqExact/groupUniqArray) plus the
+    parametric 'quantile[Exact](p)' spelling (exact interpolated quantile
+    over the sorted array — CH's default is sampling-approximate, exact
+    is the documented family deviation); sum/avg fold in DOUBLE (same
+    widening rule as arrayCumSum). Other aggregate names refuse with the
+    explode recipe."""
     if len(args) != 2:
         raise NotImplementedError("arrayReduce expects ('agg', arr)")
+    qm = re.fullmatch(
+        r"\s*'(?:quantile|quantileExact|median)\s*(?:\(\s*(0?\.\d+|[01])\s*\))?'\s*",
+        args[0],
+        re.IGNORECASE,
+    )
+    if qm:
+        p = qm.group(1) or "0.5"
+        a = args[1]
+        # R-7 linear interpolation over the sorted array, pure JVM:
+        # h = (n-1)*p; x[floor(h)] + (h - floor(h)) * (x[floor(h)+1] - x[floor(h)])
+        srt = f"array_sort({a})"
+        h = f"((size({a}) - 1) * CAST({p} AS DOUBLE))"
+        lo = f"element_at({srt}, CAST(floor({h}) AS INT) + 1)"
+        hi = f"element_at({srt}, least(CAST(floor({h}) AS INT) + 2, size({a})))"
+        return (
+            f"(CASE WHEN size({a}) > 0 THEN "
+            f"CAST({lo} AS DOUBLE) + ({h} - floor({h})) * "
+            f"(CAST({hi} AS DOUBLE) - CAST({lo} AS DOUBLE)) END)"
+        )
     m = re.fullmatch(r"\s*'(\w+)'\s*", args[0])
-    if not m or m.group(1).lower() not in _ARRAY_REDUCE_FOLDS:
+    if not m or m.group(1).lower() not in _ARRAY_REDUCE_FOLDS or m.group(1).lower() == "median":
         raise NotImplementedError(
             "arrayReduce supports 'sum','min','max','avg','count','any',"
-            "'anyLast','uniqExact','groupUniqArray' - for other aggregates "
+            "'anyLast','uniq','uniqExact','groupUniqArray' and "
+            "'quantile[Exact](p)'/'median' - for other aggregates "
             "explode the array and aggregate (LATERAL VIEW / arrayJoin)"
         )
     return "(" + _ARRAY_REDUCE_FOLDS[m.group(1).lower()].format(a=args[1]) + ")"

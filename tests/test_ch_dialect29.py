@@ -413,3 +413,22 @@ def test_wave30_select_dialect_pins(eng):
     ).collect()
     assert [(r["k"], r["v"]) for r in rows] == [(1, "x"), (2, "z")]
     assert eng.sql("SELECT (1, 'a') IN ((1, 'a'), (2, 'b')) AS a").collect()[0]["a"]
+
+
+def test_array_reduce_uniq_and_quantile(eng):
+    """Wave-30b graduations: arrayReduce 'uniq' (exact, the family's
+    documented deviation) and the parametric 'quantile[Exact](p)' /
+    'median' spellings — R-7 interpolation over the sorted array."""
+    r = one(
+        eng,
+        "SELECT arrayReduce('uniq', array(1, 1, 2)) AS a, "
+        "arrayReduce('quantile(0.5)', array(1.0, 2.0, 3.0)) AS b, "
+        "arrayReduce('quantile(0.25)', array(1.0, 2.0, 3.0, 4.0)) AS c, "
+        "arrayReduce('quantileExact(0.5)', array(3.0, 1.0, 2.0)) AS d, "
+        "arrayReduce('median', array(1.0, 3.0)) AS e, "
+        "arrayReduce('quantile(0.5)', CAST(array() AS ARRAY<DOUBLE>)) AS f",
+    )
+    assert r["a"] == 2 and r["b"] == 2.0 and r["c"] == 1.75
+    assert r["d"] == 2.0 and r["e"] == 2.0 and r["f"] is None
+    with pytest.raises(NotImplementedError, match="arrayReduce supports"):
+        eng.sql("SELECT arrayReduce('argMax', array(1)) AS a").collect()
