@@ -219,8 +219,9 @@ def test_array_vocabulary_batch3(eng):
     assert one(eng, "SELECT arrayReduce('sum', [1, 2, 3]) AS a") == 6.0
     assert one(eng, "SELECT arrayReduce('max', [1, 5, 3]) AS a") == 5
     assert one(eng, "SELECT arrayReduce('uniqExact', [1, 1, 2]) AS a") == 2
-    with pytest.raises(NotImplementedError):
-        eng.sql("SELECT arrayReduce('median', [1, 2]) AS a")
+    # 'median' graduated to a real rewrite (wave 30b, R-7 interpolation);
+    # the graduation's own goldens live in test_ch_dialect29.py
+    assert one(eng, "SELECT arrayReduce('median', [1, 2]) AS a") == 1.5
     assert one(eng, "SELECT arrayCompact([1, 1, 2, 2, 1]) AS a") == [1, 2, 1]
     assert one(eng, "SELECT arrayCompact(CAST(array() AS ARRAY<INT>)) AS a") == []
     assert one(eng, "SELECT arrayResize([1, 2], 4, 0) AS a") == [1, 2, 0, 0]
