@@ -316,29 +316,56 @@ def pack_token_sequences(
     toks = docs.select(
         shard,
         F.col(id_col),
-        F.concat(F.col(text_col), F.lit(" " + eos)).alias("__t"),
+        F.split(F.concat(F.col(text_col), F.lit(" " + eos)), " ").alias("__tk"),
     )
-    toks = toks.withColumn("__n", F.size(F.split(F.col("__t"), " ")))
+    toks = toks.withColumn("__n", F.size("__tk"))
     w = W.partitionBy("shard").orderBy(id_col)
     # end-exclusive running offset of each doc's token block within its shard
     toks = toks.withColumn("__start", F.sum("__n").over(w) - F.col("__n"))
-    # one row per token, carrying its global in-shard position — explode is
-    # linear and the downstream chunk grouping is a plain hash aggregate
-    tok_rows = toks.select(
-        "shard",
-        F.posexplode(F.split(F.col("__t"), " ")).alias("__i", "tok"),
-        F.col("__start"),
-    ).select(
-        "shard",
-        (F.col("__start") + F.col("__i")).alias("pos"),
-        "tok",
+    # one row per (doc, overlapped sequence) carrying the doc's token SLICE
+    # for that sequence — NOT one row per token: the sequence grouping then
+    # aggregates ~(n_docs + n_sequences) slice rows instead of shuffling
+    # every token with its own (shard, pos, tok) row. Same layout to the
+    # byte (each token keeps its global in-shard position via the slice's
+    # start_pos; flatten of the position-sorted slices == the token stream).
+    # At 100 TB this is guide §2.3's "shuffle fewer bytes": per-token row
+    # overhead (~24 B of key+pos per token) disappears and the aggregate's
+    # collect_list holds O(docs-per-seq) slices, not O(seq_len) tokens.
+    L = F.lit(seq_len).cast("long")
+    first_seq = (F.col("__start") / L).cast("long")
+    last_seq = ((F.col("__start") + F.col("__n") - 1) / L).cast("long")
+    slices = (
+        toks.filter(F.col("__n") > 0)
+        .select(
+            "shard",
+            "__tk",
+            "__start",
+            "__n",
+            F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"),
+        )
+        .select(
+            "shard",
+            "seq_id",
+            F.greatest(F.col("seq_id") * L, F.col("__start")).alias("__from"),
+            # slice(arr, pos, len): pos is 1-based within the doc's tokens
+            F.slice(
+                "__tk",
+                (F.greatest(F.col("seq_id") * L, F.col("__start")) - F.col("__start") + 1).cast("int"),
+                (
+                    F.least((F.col("seq_id") + 1) * L, F.col("__start") + F.col("__n"))
+                    - F.greatest(F.col("seq_id") * L, F.col("__start"))
+                ).cast("int"),
+            ).alias("__toks"),
+        )
     )
     return (
-        tok_rows.withColumn("seq_id", (F.col("pos") / F.lit(seq_len)).cast("long"))
-        .groupBy("shard", "seq_id")
+        slices.groupBy("shard", "seq_id")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.array_join(F.array_sort(F.collect_list(F.struct("pos", "tok"))).tok, " ").alias("text"),
+            F.sum(F.size("__toks")).alias("n_tokens"),
+            F.array_join(
+                F.flatten(F.array_sort(F.collect_list(F.struct("__from", "__toks")))["__toks"]),
+                " ",
+            ).alias("text"),
         )
     )
 

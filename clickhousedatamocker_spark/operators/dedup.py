@@ -468,8 +468,16 @@ def minhash_lsh_pairs_xengine(
     only shuffles in the whole plan are the band-bucket self-join and the
     final verify joins.
     """
+    from clickhousedatamocker_spark.operators.parallelism import (
+        ensure_scan_parallelism,
+    )
+
     r = num_hashes // bands
     params = _mh_params(num_hashes)
+    # per-character rolling hashes over every token are the plan's hottest
+    # map stage; guard against an unsplittable single-file scan running it
+    # on one task (no-op when the input is already split — guide §2.5)
+    docs = ensure_scan_parallelism(docs, key=id_col)
     base = (
         docs.select(F.col(id_col), tokens(text_col).alias("__tk"))
         .filter(F.size("__tk") >= n)
@@ -728,16 +736,18 @@ def connected_components(
 
     Adaptive execution (the AQE-broadcast-threshold idea applied to graph
     iteration): the edge list is the NEAR-DUP MASS — orders of magnitude
-    below the corpus — and its size is known after one cheap count. At or
-    under ``driver_threshold`` edges (default 100k ≈ a few MB) the
-    iterative plan is pure scheduling overhead: each propagation round
-    costs two joins + a materialization + an action, seconds of fixed
-    latency for a graph union-find resolves in milliseconds. So small
-    graphs run exact union-find on the driver (same (node, min-reachable)
-    output, pinned equal by test), and only above the threshold does the
-    distributed propagation below engage — at 100 TB, where it is the
-    right shape. Pass ``driver_threshold=0`` to force the distributed
-    path.
+    below the corpus. At or under ``driver_threshold`` edges (default
+    100k ≈ a few MB) the iterative plan is pure scheduling overhead: each
+    propagation round costs two joins + a materialization + an action,
+    seconds of fixed latency for a graph union-find resolves in
+    milliseconds. So small graphs run exact union-find on the driver
+    (same (node, min-reachable) output, pinned equal by test), and only
+    above the threshold does the distributed propagation below engage —
+    at 100 TB, where it is the right shape. The size check IS the
+    edge-collect: one ``limit(threshold+1).collect()`` probe (r11 — the
+    former count+cache+collect triple was three jobs of fixed latency
+    before any component existed). Pass ``driver_threshold=0`` to force
+    the distributed path.
 
     Min-label propagation WITH pointer doubling: each round every node takes
     min(own label, neighbors' labels, its label's label). The label-of-label
@@ -763,39 +773,53 @@ def connected_components(
     - The standard 100 TB alternative (large-star/small-star) swaps in here
       if diameters ever grow.
     """
+    # ONE probe job decides the path AND, for small graphs, already holds
+    # the whole edge list: limit(threshold+1).collect() of the RAW pairs.
+    # The previous shape (union both directions -> distinct -> cache ->
+    # count -> collect) cost three extra jobs plus a distinct shuffle and
+    # a cache materialization before a single component was computed —
+    # pure fixed latency for the overwhelmingly common small near-dup
+    # graph. Union-find needs neither direction-doubling nor dedup (it is
+    # symmetric and idempotent per edge), so raw pairs suffice.
+    if driver_threshold > 0:
+        probe = (
+            pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+            .limit(driver_threshold + 1)
+            .collect()
+        )
+        if len(probe) <= driver_threshold:
+            parent: dict = {}
+
+            def find(x):
+                root = x
+                while parent[root] != root:
+                    root = parent[root]
+                while parent[x] != root:  # path compression
+                    parent[x], x = root, parent[x]
+                return root
+
+            for r in probe:
+                a, b = r["src"], r["dst"]
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # min-label union keeps component == min reachable node
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
+            out = [(n, find(n)) for n in parent]
+            spark = pairs.sparkSession
+            schema = pairs.select(
+                F.col(id_a).alias("node"), F.col(id_a).alias("component")
+            ).schema
+            return spark.createDataFrame(out, schema)
+        # big graph: fall through — the probe's partial evaluation is the
+        # price of one limit-scan; the distributed path below recomputes
+        # pairs once into the cached edge list exactly as before
     edges = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     ).union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
     edges = edges.distinct().cache()
-    n_edges = edges.count()
-    if n_edges <= driver_threshold:
-        rows = edges.collect()  # bounded by driver_threshold — a few MB max
-        parent: dict = {}
-
-        def find(x):
-            root = x
-            while parent[root] != root:
-                root = parent[root]
-            while parent[x] != root:  # path compression
-                parent[x], x = root, parent[x]
-            return root
-
-        for r in rows:
-            a, b = r["src"], r["dst"]
-            parent.setdefault(a, a)
-            parent.setdefault(b, b)
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                # min-label union keeps component == min reachable node
-                lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                parent[hi] = lo
-        out = [(n, find(n)) for n in parent]
-        edges.unpersist()
-        spark = pairs.sparkSession
-        schema = pairs.select(
-            F.col(id_a).alias("node"), F.col(id_a).alias("component")
-        ).schema
-        return spark.createDataFrame(out, schema)
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()

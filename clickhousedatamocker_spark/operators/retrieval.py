@@ -46,6 +46,17 @@ def _postings_and_counts(
     is the EXACT integer token-count sum, so index increments can merge
     corpus stats losslessly (avgdl = total_dl / n_docs reconstructs the
     one-shot double exactly — both are the same sum/count division)."""
+    from clickhousedatamocker_spark.operators.parallelism import (
+        ensure_scan_parallelism,
+    )
+
+    # unsplittable-input guard (guide §2.5): both the postings explode and
+    # the corpus-stats pass tokenize every document — serialized on one
+    # task when the source is a single file. Repartitioning BY DOC keeps
+    # each document's (doc, term) rows in one map partition, so the
+    # per-doc float score sums downstream stay single-partial and
+    # deterministic exactly as in the unsplit layout.
+    docs = ensure_scan_parallelism(docs, key=id_col)
     tok = F.filter(tokens(text_col), lambda t: t != "")
     base = docs.select(
         F.col(id_col).alias("doc_id"),

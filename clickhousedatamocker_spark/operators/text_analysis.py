@@ -382,6 +382,13 @@ def cross_doc_dup_stats(
     approx-free two-level agg (doc-distinct first) so no single reducer
     sees a gram's full occurrence list.
     """
+    from clickhousedatamocker_spark.operators.parallelism import (
+        ensure_scan_parallelism,
+    )
+
+    # unsplittable-input guard (guide §2.5): tokenize + gram hashing is the
+    # hottest map stage and must not serialize on a single-file scan
+    docs = ensure_scan_parallelism(docs, key=id_col)
     occ = _with_tokens(docs.select(F.col(id_col), F.col(text_col)), text_col).select(
         F.col(id_col),
         F.explode(_ngram_hashes_of_tokens(F.col("__ng_tk"), n)).alias("__g"),
@@ -446,6 +453,13 @@ def remove_duplicated_spans(
     min_run = min_dup_tokens - n + 1
     if min_run < 1:
         raise ValueError("min_dup_tokens must be >= the gram size n")
+    from clickhousedatamocker_spark.operators.parallelism import (
+        ensure_scan_parallelism,
+    )
+
+    # same unsplittable-input guard as cross_doc_dup_stats: the gram pass
+    # AND the final token filter + rejoin read `docs` — both parallelize
+    docs = ensure_scan_parallelism(docs, key=id_col)
     occ = _with_tokens(docs.select(F.col(id_col), F.col(text_col)), text_col).select(
         F.col(id_col),
         F.posexplode(_ngram_hashes_of_tokens(F.col("__ng_tk"), n)).alias("__p", "__g"),

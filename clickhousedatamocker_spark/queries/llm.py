@@ -1339,10 +1339,14 @@ kept AS (
 def dsir_selection_profile(spark, sf_dir):
     from clickhousedatamocker_spark.operators.importance import (
         dsir_score,
+        topk_threshold_filter,
         train_hashed_ngram_model_pair,
     )
+    from clickhousedatamocker_spark.operators.parallelism import (
+        ensure_scan_parallelism,
+    )
 
-    docs = t(spark, sf_dir, "documents")
+    docs = ensure_scan_parallelism(t(spark, sf_dir, "documents"), key="doc_id")
     # both models from ONE gram pass (value-identical to separate training
     # — pinned by test_train_model_pair_equals_separate_training)
     tm, bm = train_hashed_ngram_model_pair(
@@ -1352,9 +1356,9 @@ def dsir_selection_profile(spark, sf_dir):
     # floor(x+0.5) == the oracle's half-away-from-zero round (Python
     # round() is banker's — diverges on exact .5 counts)
     k = max(1, int(math.floor(docs.count() * 0.25 + 0.5)))
-    kept = (
-        scored.orderBy(F.desc(F.round("importance", 6)), F.asc("doc_id")).limit(k)
-    )
+    # threshold filter == the former (round(score,6) DESC, doc_id) sort-
+    # limit cut, without collapsing the kept slice to one partition
+    kept = topk_threshold_filter(scored, F.round("importance", 6), "doc_id", k)
     return (
         docs.groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_total"))
@@ -1531,10 +1535,26 @@ def pipeline_select_dedup_pack(spark, sf_dir):
         train_hashed_ngram_model_pair,
     )
 
-    docs = t(spark, sf_dir, "documents")
+    from clickhousedatamocker_spark.operators.parallelism import (
+        ensure_scan_parallelism,
+    )
+
+    # unsplittable-input guard ONCE at the head: every stage below (gram
+    # hashing, scoring, shingling, packing) inherits the restored
+    # parallelism; selection itself is a threshold filter (dsir_select)
+    # that PRESERVES partitioning instead of collapsing to one partition
+    docs = ensure_scan_parallelism(t(spark, sf_dir, "documents"), key="doc_id")
     tm, bm = train_hashed_ngram_model_pair(docs, F.col("source") == "src0", num_buckets=4096)
-    # persist: the selected slice feeds BOTH the pair join and the packing
-    selected = dsir_select(docs, tm, bm, keep_fraction=0.5).persist()
+    # localCheckpoint, not persist: the selected slice feeds BOTH the pair
+    # join and the packing, and every downstream action (CC probe, report)
+    # re-ANALYZES its full lineage — scan -> 4096-bucket scoring -> filter
+    # — on the driver each time. Checkpointing materializes the slice once
+    # AND truncates the plan, so downstream queries optimize a small tree
+    # (guide §3.3: very large plans make planning itself the bottleneck;
+    # measured ~half the pipeline wall was between-stage driver time). On
+    # a real cluster swap in checkpoint()/a write if executor loss must be
+    # survivable mid-query — the CC docstring's existing contract.
+    selected = dsir_select(docs, tm, bm, keep_fraction=0.5).localCheckpoint()
     pairs = minhash_lsh_pairs(selected, threshold=0.5)
     survivors = fuzzy_dedup_canonical(selected, pairs)
     report = (
@@ -1690,17 +1710,29 @@ def pipeline_select_dedup_pack_xengine(spark, sf_dir):
         train_hashed_ngram_model_pair,
     )
 
-    docs = t(spark, sf_dir, "documents")
+    from clickhousedatamocker_spark.operators.importance import (
+        topk_threshold_filter,
+    )
+    from clickhousedatamocker_spark.operators.parallelism import (
+        ensure_scan_parallelism,
+    )
+
+    # same two shapes as the production pipeline above: one unsplittable-
+    # input guard at the head, and a threshold-filter selection that keeps
+    # the corpus partitioning (the sort-limit collapsed the selected slice
+    # to ONE partition and serialized every downstream stage)
+    docs = ensure_scan_parallelism(t(spark, sf_dir, "documents"), key="doc_id")
     tm, bm = train_hashed_ngram_model_pair(
         docs, F.col("source") == "src0", num_buckets=4096, use_xengine_hash=True
     )
     scored = dsir_score(docs, tm, bm, use_xengine_hash=True)
     k = max(1, int(math.floor(docs.count() * 0.5 + 0.5)))
-    selected = (
-        scored.orderBy(F.desc(F.round("importance", 6)), F.asc("doc_id"))
-        .limit(k)
-        .persist()
-    )
+    # localCheckpoint for the same two reasons as the production pipeline
+    # above: one materialization, and a truncated plan under the xengine
+    # MinHash's 32-signature expression tree (the heaviest tree to analyze)
+    selected = topk_threshold_filter(
+        scored, F.round("importance", 6), "doc_id", k
+    ).localCheckpoint()
     pairs = minhash_lsh_pairs_xengine(
         selected, num_hashes=32, bands=8, n=3, threshold=0.5
     )
