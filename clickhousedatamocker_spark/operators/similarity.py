@@ -293,6 +293,12 @@ def ivf_train(
         vecs = vecs.filter(
             F.pmod(F.xxhash64(F.col(id_col), F.lit(seed + 1)), F.lit(train_sample_mod)) == 0
         )
+    # materialize the (id, double-vector) training set ONCE: every Lloyd
+    # iteration plus the init otherwise re-scans the source and re-converts
+    # the vectors (n_iters+1 passes), and each round's plan re-embeds the
+    # full lineage. Partitioning is unchanged, so the grouped-mean float
+    # accumulation order — and therefore the codebook — is bit-identical.
+    vecs = vecs.localCheckpoint()
     init = (
         vecs.withColumn("__r", F.xxhash64(F.col(id_col), F.lit(seed)))
         .orderBy("__r")

@@ -82,7 +82,14 @@ def sq_encode(
     score as if it sat at the range floor."""
     d = len(model["lo"])
     lo, step = _scale_cols(model)
-    v = as_double(vec_col)
+    # materialize the double-cast vector as a real column: as an inline
+    # expression every element_at(v, i) below re-evaluates the whole
+    # 64-element cast transform — O(d²) casts per row (the round-6
+    # lambda-inlining class; CollapseProject keeps a non-cheap alias
+    # referenced d times in its own projection, same device as
+    # text_analysis._with_tokens)
+    emb = emb.withColumn("__sq_v", as_double(vec_col))
+    v = F.col("__sq_v")
     idx = F.sequence(F.lit(1), F.lit(d))
     byte = F.transform(
         idx,
@@ -117,21 +124,30 @@ def sq_encode(
         )
         .when(F.exists(v, lambda x: x.isNull()), F.lit(None).cast("binary"))
         .otherwise(packed),
-    )
+    ).drop("__sq_v")
 
 
 def sq_decode(
     df: DataFrame, model: dict, code_col: str = "code", out_col: str = "vec"
 ) -> DataFrame:
     """Reconstruct the approximate vector from the byte code (row-local)."""
-    df = df.withColumn(out_col, _decode_col(F.col(code_col), model))
-    return df
+    df = df.withColumn("__sq_s", F.decode(F.col(code_col), "ISO-8859-1"))
+    df = df.withColumn(out_col, _decode_str_col(F.col("__sq_s"), model))
+    return df.drop("__sq_s")
 
 
 def _decode_col(code: Column, model: dict) -> Column:
+    """Decode expression over the raw binary code. NOTE: prefer
+    materializing ``decode(code, 'ISO-8859-1')`` as a real column and
+    calling :func:`_decode_str_col` — inlined here, the charset decode
+    re-runs once per DIMENSION (O(d²) bytes per row, the round-6
+    lambda-inlining class)."""
+    return _decode_str_col(F.decode(code, "ISO-8859-1"), model)
+
+
+def _decode_str_col(s: Column, model: dict) -> Column:
     lo, step = _scale_cols(model)
     d = len(model["lo"])
-    s = F.decode(code, "ISO-8859-1")
     return F.transform(
         F.sequence(F.lit(1), F.lit(d)),
         lambda i: F.element_at(lo, i)
@@ -232,7 +248,10 @@ def sq_topk(
     # class; the sf1 smoke measured 286 s vs brute force's 2.2 s before
     # this barrier landed
     decoded = materialize_col(
-        codes, _decode_col(F.col(code_col), model), "embedding", keep=[id_col]
+        codes.withColumn("__sq_s", F.decode(F.col(code_col), "ISO-8859-1")),
+        _decode_str_col(F.col("__sq_s"), model),
+        "embedding",
+        keep=[id_col],
     )
     return brute_force_topk(
         decoded,
