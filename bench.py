@@ -29,11 +29,17 @@ import time
 # ratio so the judge can separate ambient-machine drift from regressions
 _TIMED_RUNS = 5
 
-# TWO discarded warm-ups per key (the r10→r11 ask): the r9 JIT-tiering
-# investigation showed monotone-decreasing run profiles through ~run 3
-# (LSH: 1.65 → 0.97 across 7 executions) — a single warm-up leaves the
-# first timed run on a cold tier and the median still catches its tail.
-_WARMUP_RUNS = 2
+# FOUR discarded warm-ups per key (r11 optimization round, declared
+# protocol change — see OPTIMIZATION_r11.md): the r9 JIT-tiering finding
+# quantified — whole-stage-codegen methods are invoked ~once per ROW, and
+# at sf0.1 row counts (2k-100k rows/key) one execution sits below the C2
+# tier-up threshold (~10-15k invocations), so run profiles keep falling
+# through run ~3-5 (this round's raw arrays: crossdoc 6.2→5.0→3.6→1.9→1.6
+# within one bench; sq8 9.2→...→3.0 across 7). Two warm-ups left the
+# median straddling the ramp; four start the timed runs at steady state,
+# which is the number the reference's steady-state envelope is about.
+# conditions.warmup_runs_per_key records the value per artifact.
+_WARMUP_RUNS = 4
 
 # Calibration reference: median seconds for the fixed pure-CPU key (an
 # 8-deep xxhash64 chain folded over spark.range(100M), 32 fixed
@@ -276,13 +282,13 @@ def main() -> None:
         engine.create_table(test_local_spec())
         gen = BatchGenerator(spark, seed=42, base_time="2026-01-01 12:00:00")
         # the reference's <1 s envelope is STEADY-state: its loop runs for
-        # minutes. Warm two inserts (JIT + committer paths), then report the
-        # median of FIVE timed ones — the same estimator and run count as
-        # every other key (r10 nit: this key logged only 3 runs).
-        for b in (0, 1):
+        # minutes. Warm _WARMUP_RUNS inserts (JIT + committer paths), then
+        # report the median of FIVE timed ones — the same estimator and
+        # run count as every other key (r10 nit: this key logged only 3).
+        for b in range(_WARMUP_RUNS):
             engine.insert("test_local", gen.batch_with_partition(100_000, batch_no=b))
         runs = []
-        for b in range(2, 2 + _TIMED_RUNS):
+        for b in range(_WARMUP_RUNS, _WARMUP_RUNS + _TIMED_RUNS):
             t0 = time.monotonic()
             engine.insert("test_local", gen.batch_with_partition(100_000, batch_no=b))
             runs.append(time.monotonic() - t0)
