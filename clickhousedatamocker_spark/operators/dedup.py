@@ -74,8 +74,20 @@ def ngram_jaccard_pairs(
     - blocking on ``block_cols`` (e.g. language) — near-dups share them;
     - size ratio: J(A,B) >= t  ⇒  t·|A| <= |B| and t·|B| <= |A|
       (since |A∩B| <= min and >= t·max), so wildly different-size pairs
-      are skipped without changing the result set.
+      are skipped without changing the result set;
+    - length BUCKETING turns the size-ratio bound into an equi-join key
+      (guide §3.1 — pick the strategy deliberately): docs land in
+      geometric buckets of width ln(1/t), where any ratio-qualifying pair
+      sits at most one bucket apart, so the a-side fans out to its three
+      neighboring buckets and candidates meet in a hash/sort-merge
+      equi-join instead of the former BroadcastNestedLoopJoin comparing
+      every same-block pair. The bucket width carries a 1e-9 widening so
+      floating-point ``ln`` rounding provably cannot push a qualifying
+      pair two buckets apart; the exact ratio + Jaccard filters still run,
+      so the result set is unchanged to the byte.
     """
+    import math
+
     block_cols = block_cols or []
     base = (
         docs.select(F.col(id_col), *[F.col(c) for c in block_cols], tokens(text_col).alias("__tk"))
@@ -87,10 +99,24 @@ def ngram_jaccard_pairs(
         .withColumn("__n", F.size("__sg"))
         .filter(F.col("__n") > 0)
     )
+    if 0.0 < threshold < 1.0:
+        w = math.log(1.0 / threshold) * (1.0 + 1e-9)
+        bkt = F.floor(F.log(F.col("__n").cast("double")) / F.lit(w)).cast("long")
+        a_rel = base.withColumn("__lb", F.explode(F.array(bkt - 1, bkt, bkt + 1)))
+        b_rel = base.withColumn("__lb", bkt)
+    elif threshold >= 1.0:
+        # t >= 1 forces |A| == |B| exactly: the size itself is the bucket
+        a_rel = base.withColumn("__lb", F.col("__n").cast("long"))
+        b_rel = a_rel
+    else:
+        # t <= 0: the ratio bound is vacuous — no lossless bucketing exists
+        a_rel = base.withColumn("__lb", F.lit(0))
+        b_rel = a_rel
 
-    a = base.alias("a")
-    b = base.alias("b")
-    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    a = a_rel.alias("a")
+    b = b_rel.alias("b")
+    cond = F.col("a.__lb") == F.col("b.__lb")
+    cond = cond & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
     for c in block_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     cond = cond & (F.col("a.__n") * threshold <= F.col("b.__n"))
@@ -179,8 +205,8 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return candidates
-    sg = docs.select(F.col(id_col), tokens(text_col).alias("__tk")).select(
-        F.col(id_col), shingles_of_tokens(F.col("__tk"), n).alias("__sg")
+    candidates, sg = _verify_prefilter(
+        docs.select(F.col(id_col), F.col(text_col)), candidates, id_col, text_col, n
     )
     return (
         candidates.join(sg.select(F.col(id_col).alias("id_a"), F.col("__sg").alias("__sga")), "id_a")
@@ -188,6 +214,55 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b", jaccard(F.col("__sga"), F.col("__sgb")).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+# at or under this many candidate ids, the verify prefilter's semi-join
+# broadcasts them (8-byte ids; 1M ≈ tens of MB built) — above it, the
+# semi-join shuffles instead, which still moves (id, text) rows once in
+# place of two full shingle-array shuffles. Near-dup candidate mass is
+# orders of magnitude below the corpus (the CC adaptive-path contract),
+# so the broadcast branch is the overwhelmingly common one.
+_VERIFY_BROADCAST_MAX = 1_000_000
+
+
+def _verify_prefilter(
+    docs: DataFrame, candidates: DataFrame, id_col: str, text_col: str, n: int
+) -> tuple[DataFrame, DataFrame]:
+    """Semi-join prefilter for the exact-Jaccard verify stage (guide §3.2,
+    applied as a broadcast semi-join: PySpark has no DataFrame Bloom-filter
+    builder, and the exact id set is small enough to broadcast whole).
+
+    The verify joins previously shuffled EVERY document's shingle array —
+    the corpus's heaviest payload, ~3× the text bytes — to meet a candidate
+    set that is orders of magnitude smaller. Now the candidate pairs are
+    materialized once (``localCheckpoint`` — they are also what connected
+    components consumes downstream), their distinct ids prefilter the doc
+    scan BEFORE shingling, and only candidates' shingles are computed or
+    moved. Returns ``(candidates, shingle_table)`` with candidates
+    checkpointed so the id-set build does not recompute the signature
+    pipeline.
+
+    Result-identical: every verified pair's both ids are in the candidate
+    id set by construction, so dropping non-candidate rows cannot change
+    the join output. Lazy checkpoint: plan-only consumers (explain) build
+    no job; the first action materializes it.
+    """
+    candidates = candidates.localCheckpoint(eager=False)
+    ids = (
+        candidates.select(F.col("id_a").alias(id_col))
+        .union(candidates.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    # the count is the checkpoint's materializing action (cheap: id pairs)
+    if candidates.count() * 2 <= _VERIFY_BROADCAST_MAX:
+        ids = F.broadcast(ids)
+    sg = (
+        docs.join(ids, id_col, "left_semi")
+        .select(F.col(id_col), tokens(text_col).alias("__tk"))
+        .filter(F.size("__tk") >= n)
+        .select(F.col(id_col), shingles_of_tokens(F.col("__tk"), n).alias("__sg"))
+    )
+    return candidates, sg
 
 
 # -- incremental dedup index ------------------------------------------------
@@ -478,13 +553,15 @@ def minhash_lsh_pairs_xengine(
     # map stage; guard against an unsplittable single-file scan running it
     # on one task (no-op when the input is already split — guide §2.5)
     docs = ensure_scan_parallelism(docs, key=id_col)
+    # shingles are NOT carried here: the verify stage recomputes them for
+    # candidate ids only (_verify_prefilter below), so the signature branch
+    # stays a narrow (id, digest-array) projection
     base = (
         docs.select(F.col(id_col), tokens(text_col).alias("__tk"))
         .filter(F.size("__tk") >= n)
         .select(
             F.col(id_col),
             F.transform(F.col("__tk"), lambda tok: _poly_hash(tok)).alias("__th"),
-            shingles_of_tokens(F.col("__tk"), n).alias("__sg"),
         )
     )
 
@@ -497,7 +574,6 @@ def minhash_lsh_pairs_xengine(
     idx = F.sequence(F.lit(1), F.size("__th") - (n - 1))
     dg = base.select(
         F.col(id_col),
-        F.col("__sg"),
         F.array_distinct(F.transform(idx, gram_digest)).alias("__dg"),
     )
     def affine(a: int, b: int):
@@ -507,7 +583,7 @@ def minhash_lsh_pairs_xengine(
         F.array_min(F.transform(F.col("__dg"), affine(a, b))).alias(f"s{i}")
         for i, (a, b) in enumerate(params)
     ]
-    sig = dg.select(F.col(id_col), F.col("__sg"), *sig_cols)
+    sig = dg.select(F.col(id_col), *sig_cols)
 
     def band_hash(j: int) -> Column:
         acc = F.col(f"s{j * r}")
@@ -532,7 +608,13 @@ def minhash_lsh_pairs_xengine(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
-    sg = dg.select(F.col(id_col), F.col("__sg"))
+    # semi-join prefilter (guide §3.2): shingle only the candidate ids —
+    # the full-corpus shingle arrays no longer shuffle into the verify
+    # joins (same rows as the former dg.select(id, __sg) join: every
+    # verified pair's ids are candidates by construction)
+    candidates, sg = _verify_prefilter(
+        docs.select(F.col(id_col), F.col(text_col)), candidates, id_col, text_col, n
+    )
     return (
         candidates.join(sg.select(F.col(id_col).alias("id_a"), F.col("__sg").alias("__sga")), "id_a")
         .join(sg.select(F.col(id_col).alias("id_b"), F.col("__sg").alias("__sgb")), "id_b")
@@ -736,8 +818,12 @@ def connected_components(
 
     Adaptive execution (the AQE-broadcast-threshold idea applied to graph
     iteration): the edge list is the NEAR-DUP MASS — orders of magnitude
-    below the corpus. At or under ``driver_threshold`` edges (default
-    100k ≈ a few MB) the iterative plan is pure scheduling overhead: each
+    below the corpus. At or under ``driver_threshold`` RAW pair rows —
+    one direction, duplicate pairs included, i.e. the row count of
+    ``pairs`` itself, NOT distinct bidirectional edges (default 100k ≈ a
+    few MB; a duplicate-heavy pair list therefore trips to the
+    distributed path earlier than its distinct-edge count alone would) —
+    the iterative plan is pure scheduling overhead: each
     propagation round costs two joins + a materialization + an action,
     seconds of fixed latency for a graph union-find resolves in
     milliseconds. So small graphs run exact union-find on the driver

@@ -259,7 +259,12 @@ def dsir_score(
 
 
 def topk_threshold_filter(
-    df: DataFrame, score_col: str | Column, id_col: str, k: int
+    df: DataFrame,
+    score_col: str | Column,
+    id_col: str,
+    k: int,
+    n_rows: int | None = None,
+    bracket_error: float = 1e-4,
 ) -> DataFrame:
     """The rows ranking in the top ``k`` by (score DESC, id ASC) — as a
     map-only FILTER instead of a global ``orderBy().limit(k)``.
@@ -268,31 +273,131 @@ def topk_threshold_filter(
     (TakeOrderedAndProject merges per-partition top-k into a single
     output), so every downstream stage over the selected slice runs
     serially — measured 3× on the composed pipeline at sf0.1, and at
-    100 TB a single task holding half the corpus is fatal. Instead:
-    find the k-th (score, id) pair from a NARROW projection (the only
-    data that moves is 16 bytes/row into a per-partition top-k), then
-    keep the top-k set with a filter that preserves the input's
-    partitioning end to end. Result set is EXACTLY the sort-limit's:
-    ids are unique, so (score DESC, id ASC) is a total order.
+    100 TB a single task holding half the corpus is fatal. The r11 shape
+    probed the k-th element with an exact ``orderBy().limit(k)`` over a
+    16-byte projection — per-partition top-k, then ONE reducer merging k
+    rows, which with k ≈ n/2 is itself an O(n) single task at scale. The
+    probe is now quantile-BRACKETED (guide §2.4): ``approxQuantile`` with
+    relative error ``bracket_error`` lands a pivot within ε·n ranks of
+    the k-th element, one narrow aggregate counts the pivot's exact rank
+    band, and only the ≤ ε·n + 1 residual rows between pivot and true
+    threshold flow through a bounded TakeOrdered — at ε = 1e-4 and
+    10^11 rows that is a 10^7-row probe instead of a 5·10^10-row funnel.
+    The result is still EXACT: the counts pin which side of the pivot the
+    k-th element is on, and the residual probe resolves it precisely.
+
+    Internally the order (score DESC, id ASC) is re-expressed as plain
+    ascending (−score, id), so min/max struct aggregates need no negation
+    of the id — the tie-break id keeps its own type end to end (a string
+    id would previously have been cast by ``-id``).
 
     NULL scores sort last (Spark's DESC default) in both forms: the
-    threshold pass coalesces NULL to -inf, which no finite score ties.
+    threshold pass coalesces NULL to −inf (probe key +inf), which no
+    finite score ties. NaN scores rank first, like Spark's DESC (NaN is
+    the largest double in Spark's total order).
+
+    ``n_rows``: ``df``'s exact row count if the caller already has it
+    (every current call site does) — skips one counting pass.
     """
     s = F.col(score_col) if isinstance(score_col, str) else score_col
     key = F.coalesce(s.cast("double"), F.lit(float("-inf")))
-    thr = (
-        df.select(key.alias("__s"), F.col(id_col).alias("__i"))
-        .orderBy(F.desc("__s"), F.asc("__i"))
-        .limit(k)
-        # the k-th element under (s DESC, i ASC) is the MIN of the top-k
-        # under (s ASC, -i ASC): smallest score, largest id among ties
-        .agg(F.min(F.struct(F.col("__s"), (-F.col("__i")).alias("__ni"))).alias("t"))
-        .first()["t"]
-    )
-    if thr is None:  # empty input
-        return df
-    ts, tid = thr["__s"], -thr["__ni"]
-    return df.filter((key > ts) | ((key == ts) & (F.col(id_col) <= tid)))
+    # ns = the DESCENDING rank key, ascending: smaller ns = better row.
+    # NaN maps to -inf explicitly (plain negation would leave it NaN =
+    # largest = WORST, flipping Spark's NaN-first DESC order).
+    ns = F.when(F.isnan(key), F.lit(float("-inf"))).otherwise(-key)
+    probe = df.select(ns.alias("__ns"), F.col(id_col).alias("__i"))
+    n = n_rows if n_rows is not None else probe.count()
+    if n == 0 or k >= n:
+        return df  # the whole input ranks in the top-k
+    eps = bracket_error
+    # pivot within eps*n ranks of the k-th smallest (__ns, __i)
+    a0 = probe.approxQuantile("__ns", [k / n], eps)[0]
+    cnt = probe.agg(
+        F.sum((F.col("__ns") < a0).cast("long")).alias("lt"),
+        F.sum((F.col("__ns") <= a0).cast("long")).alias("le"),
+    ).first()
+    c_lt, c_le = int(cnt["lt"] or 0), int(cnt["le"] or 0)
+    pair = F.struct(F.col("__ns").alias("ns"), F.col("__i").alias("i"))
+    if k <= c_lt:
+        # k-th smallest lies strictly below the pivot: it is the
+        # (c_lt - k + 1)-th largest there — a bounded (<= eps*n + 1 rows)
+        # per-partition TakeOrdered, then the min of that set
+        m = c_lt - k + 1
+        t = (
+            probe.filter(F.col("__ns") < a0)
+            .orderBy(F.desc("__ns"), F.desc("__i"))
+            .limit(m)
+            .agg(F.min(pair).alias("t"))
+            .first()["t"]
+        )
+        ts_ns, tid = t["ns"], t["i"]
+    elif k <= c_le:
+        # threshold score is exactly the pivot; the k-th element is the
+        # (k - c_lt)-th smallest id among the score ties (ids unique)
+        ts_ns = a0
+        tid = _kth_id_among_ties(
+            probe.filter(F.col("__ns") == a0), k - c_lt, c_le - c_lt, eps, n
+        )
+    else:
+        # k-th smallest lies strictly above the pivot: the (k - c_le)-th
+        # smallest there (<= eps*n rows by the quantile's rank guarantee)
+        m = k - c_le
+        t = (
+            probe.filter(F.col("__ns") > a0)
+            .orderBy(F.asc("__ns"), F.asc("__i"))
+            .limit(m)
+            .agg(F.max(pair).alias("t"))
+            .first()["t"]
+        )
+        ts_ns, tid = t["ns"], t["i"]
+    return df.filter((ns < ts_ns) | ((ns == ts_ns) & (F.col(id_col) <= tid)))
+
+
+def _kth_id_among_ties(ties: DataFrame, j: int, n_ties: int, eps: float, n: int):
+    """The ``j``-th smallest ``__i`` among ``n_ties`` score-tied rows.
+
+    Common case (a handful of ties): one bounded limit probe from the
+    cheaper end. Degenerate case (a huge tie plateau whose cut lands far
+    from both ends): bracket the id itself with ``approxQuantile`` first,
+    so no probe exceeds ~eps*n rows — possible only for numeric ids
+    (every current call site); non-numeric ids fall back to the cheaper-
+    end probe, which is exact but unbounded on pathological plateaus.
+    """
+    budget = max(4096, int(eps * n) + 1)
+    j_rev = n_ties - j + 1  # rank from the top end
+    if min(j, j_rev) > budget:
+        try:
+            pivot = ties.approxQuantile("__i", [j / n_ties], eps)[0]
+        except Exception:  # non-numeric id: documented fallback below
+            pivot = None
+        if pivot is not None:
+            c = ties.agg(
+                F.sum((F.col("__i") < pivot).cast("long")).alias("lt"),
+                F.sum((F.col("__i") <= pivot).cast("long")).alias("le"),
+            ).first()
+            i_lt, i_le = int(c["lt"] or 0), int(c["le"] or 0)
+            if j <= i_lt:
+                return (
+                    ties.filter(F.col("__i") < pivot)
+                    .orderBy(F.desc("__i"))
+                    .limit(i_lt - j + 1)
+                    .agg(F.min("__i"))
+                    .first()[0]
+                )
+            if j > i_le:
+                return (
+                    ties.filter(F.col("__i") > pivot)
+                    .orderBy(F.asc("__i"))
+                    .limit(j - i_le)
+                    .agg(F.max("__i"))
+                    .first()[0]
+                )
+            # ids are unique, so i_lt < j <= i_le pins the pivot row itself;
+            # return the id column's native value, not the float pivot
+            return ties.filter(F.col("__i") <= pivot).agg(F.max("__i")).first()[0]
+    if j <= j_rev:
+        return ties.orderBy(F.asc("__i")).limit(j).agg(F.max("__i")).first()[0]
+    return ties.orderBy(F.desc("__i")).limit(j_rev).agg(F.min("__i")).first()[0]
 
 
 def dsir_select(
@@ -305,12 +410,10 @@ def dsir_select(
 ) -> DataFrame:
     """Keep the ``keep_fraction`` most target-like documents by DSIR score
     (score DESC, id ASC — deterministic zero-temperature resampling).
-    Selection is a threshold FILTER (k-th score found from a narrow
-    16-byte/row top-k), not a global sort-limit: the selected slice keeps
-    the corpus's partitioning instead of collapsing to one partition —
-    see :func:`topk_threshold_filter`. The count() + narrow top-k pair is
-    exact; at 100 TB swap the top-k for an approx-quantile threshold scan
-    if it ever dominates."""
+    Selection is a threshold FILTER (k-th score found from a quantile-
+    bracketed probe over a narrow 16-byte/row projection), not a global
+    sort-limit: the selected slice keeps the corpus's partitioning instead
+    of collapsing to one partition — see :func:`topk_threshold_filter`."""
     if not 0.0 < keep_fraction <= 1.0:
         raise ValueError("keep_fraction must be in (0, 1]")
     scored = dsir_score(docs, target_model, background_model, text_col)
@@ -318,8 +421,10 @@ def dsir_select(
     # == 2) while the DuckDB oracle's round() is half-away-from-zero — the
     # established double->int discipline (queries/base.py). Diverges only
     # when count * fraction lands on an exact .5.
-    k = max(1, int(math.floor(docs.count() * keep_fraction + 0.5)))
-    return topk_threshold_filter(scored, "importance", id_col, k)
+    n = docs.count()
+    k = max(1, int(math.floor(n * keep_fraction + 0.5)))
+    # scoring is row-preserving, so the corpus count doubles as n_rows
+    return topk_threshold_filter(scored, "importance", id_col, k, n_rows=n)
 
 
 def train_hashed_ngram_model_pair(

@@ -1355,10 +1355,12 @@ def dsir_selection_profile(spark, sf_dir):
     scored = dsir_score(docs, tm, bm, use_xengine_hash=True)
     # floor(x+0.5) == the oracle's half-away-from-zero round (Python
     # round() is banker's — diverges on exact .5 counts)
-    k = max(1, int(math.floor(docs.count() * 0.25 + 0.5)))
+    n = docs.count()
+    k = max(1, int(math.floor(n * 0.25 + 0.5)))
     # threshold filter == the former (round(score,6) DESC, doc_id) sort-
-    # limit cut, without collapsing the kept slice to one partition
-    kept = topk_threshold_filter(scored, F.round("importance", 6), "doc_id", k)
+    # limit cut, without collapsing the kept slice to one partition;
+    # scoring is row-preserving, so the corpus count doubles as n_rows
+    kept = topk_threshold_filter(scored, F.round("importance", 6), "doc_id", k, n_rows=n)
     return (
         docs.groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_total"))
@@ -1726,12 +1728,13 @@ def pipeline_select_dedup_pack_xengine(spark, sf_dir):
         docs, F.col("source") == "src0", num_buckets=4096, use_xengine_hash=True
     )
     scored = dsir_score(docs, tm, bm, use_xengine_hash=True)
-    k = max(1, int(math.floor(docs.count() * 0.5 + 0.5)))
+    n = docs.count()
+    k = max(1, int(math.floor(n * 0.5 + 0.5)))
     # localCheckpoint for the same two reasons as the production pipeline
     # above: one materialization, and a truncated plan under the xengine
     # MinHash's 32-signature expression tree (the heaviest tree to analyze)
     selected = topk_threshold_filter(
-        scored, F.round("importance", 6), "doc_id", k
+        scored, F.round("importance", 6), "doc_id", k, n_rows=n
     ).localCheckpoint()
     pairs = minhash_lsh_pairs_xengine(
         selected, num_hashes=32, bands=8, n=3, threshold=0.5

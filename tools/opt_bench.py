@@ -1,14 +1,15 @@
 #!/usr/bin/env python3
-"""Round-11 optimization helper: time individual registry keys (same
-methodology as bench.py — 2 discarded warm-ups, median of 5 collect()s)
-and/or dump .explain('formatted') plans to plans/r11/.
+"""Optimization-round helper: time individual registry keys (same
+methodology as bench.py — OPT_WARMUPS discarded warm-ups, default 4 to
+match bench.py's declared protocol, then the median of OPT_RUNS
+collect()s) and/or dump .explain('formatted') plans to plans/<OPT_ROUND>/
+(default r12).
 
 Usage:
   python tools/opt_bench.py time KEY [KEY ...]      # per-key medians
-  python tools/opt_bench.py plan SUFFIX KEY [...]   # plans/r11/<key>_<SUFFIX>.txt
-  python tools/opt_bench.py profile KEY             # per-run breakdown via job timing
+  python tools/opt_bench.py plan SUFFIX KEY [...]   # plans/<round>/<key>_<SUFFIX>.txt
 
-Keys resolve against the registry; the three bench-only labels
+Keys resolve against the registry; the bench-only labels
 (dedup_minhash_lsh_pairs production twin etc.) are not reproduced here —
 use bench.py for the full artifact.
 """
@@ -26,8 +27,9 @@ from clickhousedatamocker_spark.queries import REGISTRY  # noqa: E402
 from clickhousedatamocker_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-WARMUPS = int(os.environ.get("OPT_WARMUPS", "2"))
+WARMUPS = int(os.environ.get("OPT_WARMUPS", "4"))
 RUNS = int(os.environ.get("OPT_RUNS", "5"))
+ROUND = os.environ.get("OPT_ROUND", "r12")
 
 
 def main() -> None:
@@ -53,7 +55,7 @@ def main() -> None:
     elif mode == "plan":
         suffix = sys.argv[2]
         keys = sys.argv[3:]
-        outdir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r11")
+        outdir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", ROUND)
         os.makedirs(outdir, exist_ok=True)
         for key in keys:
             df = REGISTRY[key].fn(spark, SF_DIR)
