@@ -205,24 +205,15 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return candidates
-    candidates, sg = _verify_prefilter(
+    candidates, (sga, sgb) = _verify_prefilter(
         docs.select(F.col(id_col), F.col(text_col)), candidates, id_col, text_col, n
     )
     return (
-        candidates.join(sg.select(F.col(id_col).alias("id_a"), F.col("__sg").alias("__sga")), "id_a")
-        .join(sg.select(F.col(id_col).alias("id_b"), F.col("__sg").alias("__sgb")), "id_b")
+        candidates.join(sga, "id_a")
+        .join(sgb, "id_b")
         .select("id_a", "id_b", jaccard(F.col("__sga"), F.col("__sgb")).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
-
-
-# at or under this many candidate ids, the verify prefilter's semi-join
-# broadcasts them (8-byte ids; 1M ≈ tens of MB built) — above it, the
-# semi-join shuffles instead, which still moves (id, text) rows once in
-# place of two full shingle-array shuffles. Near-dup candidate mass is
-# orders of magnitude below the corpus (the CC adaptive-path contract),
-# so the broadcast branch is the overwhelmingly common one.
-_VERIFY_BROADCAST_MAX = 1_000_000
 
 
 def _verify_prefilter(
@@ -235,34 +226,49 @@ def _verify_prefilter(
     The verify joins previously shuffled EVERY document's shingle array —
     the corpus's heaviest payload, ~3× the text bytes — to meet a candidate
     set that is orders of magnitude smaller. Now the candidate pairs are
-    materialized once (``localCheckpoint`` — they are also what connected
-    components consumes downstream), their distinct ids prefilter the doc
-    scan BEFORE shingling, and only candidates' shingles are computed or
-    moved. Returns ``(candidates, shingle_table)`` with candidates
-    checkpointed so the id-set build does not recompute the signature
-    pipeline.
+    ``persist()``-ed (the first action computes the signature pipeline
+    exactly once; candidate id pairs are tiny and the ContextCleaner
+    reclaims the cache once unreferenced — a lazy localCheckpoint was
+    tried and leaked blocks across repeated runs), and each verify side's
+    id projection BROADCAST-semi-joins the doc scan BEFORE shingling, so
+    only candidates' shingles are ever computed or moved. No distinct, no
+    separate sizing job: left-semi tolerates duplicate build-side ids, and
+    everything materializes inside the consumer's own first action.
+
+    Scale contract: the candidate set is the near-dup MASS — orders of
+    magnitude below the corpus (the connected-components adaptive-path
+    contract). The broadcast has Spark's hard cap (8 GB / 512M rows);
+    a corpus whose candidate pairs exceed it fails LOUDLY here, and the
+    documented fallback is to drop the two ``F.broadcast`` hints — a
+    shuffled semi-join still moves (id, text) once instead of full
+    shingle arrays twice.
 
     Result-identical: every verified pair's both ids are in the candidate
     id set by construction, so dropping non-candidate rows cannot change
-    the join output. Lazy checkpoint: plan-only consumers (explain) build
-    no job; the first action materializes it.
+    the join output.
     """
-    candidates = candidates.localCheckpoint(eager=False)
-    ids = (
-        candidates.select(F.col("id_a").alias(id_col))
-        .union(candidates.select(F.col("id_b").alias(id_col)))
-        .distinct()
+    candidates = candidates.persist()
+    # ONE shared broadcast of both sides' ids (no .distinct() — a left-semi
+    # build side tolerates duplicates, so the union costs no shuffle; and
+    # ONE relation, not one per side, so ReuseExchange dedupes the
+    # broadcast build — two distinct broadcasts raced each other on the
+    # cold candidates cache and evaluated the signature pipeline twice
+    # concurrently, measured +60% on the composed xengine pipeline).
+    ids = F.broadcast(
+        candidates.select(F.col("id_a").alias(id_col)).union(
+            candidates.select(F.col("id_b").alias(id_col))
+        )
     )
-    # the count is the checkpoint's materializing action (cheap: id pairs)
-    if candidates.count() * 2 <= _VERIFY_BROADCAST_MAX:
-        ids = F.broadcast(ids)
     sg = (
         docs.join(ids, id_col, "left_semi")
         .select(F.col(id_col), tokens(text_col).alias("__tk"))
         .filter(F.size("__tk") >= n)
         .select(F.col(id_col), shingles_of_tokens(F.col("__tk"), n).alias("__sg"))
     )
-    return candidates, sg
+    return candidates, (
+        sg.select(F.col(id_col).alias("id_a"), F.col("__sg").alias("__sga")),
+        sg.select(F.col(id_col).alias("id_b"), F.col("__sg").alias("__sgb")),
+    )
 
 
 # -- incremental dedup index ------------------------------------------------
@@ -612,12 +618,12 @@ def minhash_lsh_pairs_xengine(
     # the full-corpus shingle arrays no longer shuffle into the verify
     # joins (same rows as the former dg.select(id, __sg) join: every
     # verified pair's ids are candidates by construction)
-    candidates, sg = _verify_prefilter(
+    candidates, (sga, sgb) = _verify_prefilter(
         docs.select(F.col(id_col), F.col(text_col)), candidates, id_col, text_col, n
     )
     return (
-        candidates.join(sg.select(F.col(id_col).alias("id_a"), F.col("__sg").alias("__sga")), "id_a")
-        .join(sg.select(F.col(id_col).alias("id_b"), F.col("__sg").alias("__sgb")), "id_b")
+        candidates.join(sga, "id_a")
+        .join(sgb, "id_b")
         .select("id_a", "id_b", jaccard(F.col("__sga"), F.col("__sgb")).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )

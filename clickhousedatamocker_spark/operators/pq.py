@@ -787,82 +787,85 @@ def pq_train_xengine(
             for s in range(m)
         ]
     )
-    # localCheckpoint, not persist (r12): the driver-side Lloyd loop runs
-    # one action per epoch plus the seed pass, and each action previously
-    # re-analyzed the full normalize→quantize→explode lineage — checkpoint
-    # truncates the plan so every later action optimizes a one-leaf tree.
-    # Partitioning is unchanged and all trainer arithmetic is integer, so
-    # the codebooks are bit-identical. Lazy (eager=False): the seed collect
-    # below is the materializing action. On a real cluster swap in
-    # checkpoint()/a write if executor loss must be survivable mid-train.
+    # persist + explicit unpersist: the driver-side Lloyd loop runs one
+    # action per epoch plus the seed pass over this relation; caching
+    # evaluates the normalize->quantize->explode lineage exactly once.
+    # (A lazy localCheckpoint was tried for plan truncation per the r11
+    # verdict and leaked executor-local blocks across repeated runs —
+    # persist has the clean lifecycle here because training is
+    # self-contained.) All trainer arithmetic is integer and the
+    # partitioning is unchanged, so the codebooks are bit-identical.
     sub = (
         e.select("__id", F.explode(subs).alias("x"))
         .select("__id", F.col("x.s").alias("s"), F.col("x.sub").alias("sub"))
-        .localCheckpoint(eager=False)
+        .persist()
     )
-    h = (F.lit(_IVF_HA) * F.col("__id") + F.lit(_IVF_HB)) % F.lit(_IVF_HP)
-    # ONE fused seed pass (r12; was two collects, one of which re-ran
-    # the whole e lineage): rows sort by (h, id, s), so the first
-    # ksub*m rows are exactly the m sub-rows of each of the ksub
-    # smallest-(h, id) seed ids — same seeds as the former
-    # orderBy(h, id).limit(ksub) over the one-row-per-id relation.
-    seed = (
-        sub.withColumn("__h", h)
-        .orderBy("__h", "__id", "s")
-        .limit(ksub * m)
-        .collect()
-    )
-    if len(seed) < ksub * m:
-        raise ValueError(f"pq_train_xengine: corpus smaller than ksub={ksub}")
-    seed_ids = []
-    for r in seed:
-        if r["__id"] not in seed_ids:
-            seed_ids.append(r["__id"])
-    seed_rows = {(r["s"], r["__id"]): list(r["sub"]) for r in seed}
-    books = [
-        [[int(x) for x in seed_rows[(s, vid)]] for vid in seed_ids]
-        for s in range(m)
-    ]
-    for _ in range(n_iters):
-        b_lit = F.array(
-            *[
-                F.array(*[F.lit([int(x) for x in books[s][c]]).cast("array<bigint>") for c in range(ksub)])
-                for s in range(m)
-            ]
-        )
-        d2 = lambda cv: F.aggregate(  # noqa: E731
-            F.zip_with(F.col("sub"), cv, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"),
-            lambda a, x: a + x,
-        )
-        scores = F.transform(
-            F.sequence(F.lit(0), F.lit(ksub - 1)),
-            lambda c: F.struct(
-                d2(
-                    F.element_at(
-                        F.element_at(b_lit, (F.col("s") + 1).cast("int")),
-                        (c + 1).cast("int"),
-                    )
-                ).alias("d"),
-                c.cast("int").alias("c"),
-            ),
-        )
-        stats = (
-            sub.withColumn("c", F.array_min(scores)["c"])
-            .select("s", "c", F.posexplode("sub").alias("j", "x"))
-            .groupBy("s", "c", "j")
-            .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("cnt"))
+    try:
+        h = (F.lit(_IVF_HA) * F.col("__id") + F.lit(_IVF_HB)) % F.lit(_IVF_HP)
+        # ONE fused seed pass (r12; was two collects, one of which re-ran
+        # the whole e lineage): rows sort by (h, id, s), so the first
+        # ksub*m rows are exactly the m sub-rows of each of the ksub
+        # smallest-(h, id) seed ids — same seeds as the former
+        # orderBy(h, id).limit(ksub) over the one-row-per-id relation.
+        seed = (
+            sub.withColumn("__h", h)
+            .orderBy("__h", "__id", "s")
+            .limit(ksub * m)
             .collect()
         )
-        new_books = [[list(books[s][c]) for c in range(ksub)] for s in range(m)]
-        for r in stats:
-            # floor(double(sum)/count + 0.5): the same IEEE chain the
-            # oracle emits — sums fit a double exactly (≤ ~5e9)
-            new_books[r["s"]][r["c"]][r["j"]] = int(
-                math.floor(float(r["sx"]) / r["cnt"] + 0.5)
+        if len(seed) < ksub * m:
+            raise ValueError(f"pq_train_xengine: corpus smaller than ksub={ksub}")
+        seed_ids = []
+        for r in seed:
+            if r["__id"] not in seed_ids:
+                seed_ids.append(r["__id"])
+        seed_rows = {(r["s"], r["__id"]): list(r["sub"]) for r in seed}
+        books = [
+            [[int(x) for x in seed_rows[(s, vid)]] for vid in seed_ids]
+            for s in range(m)
+        ]
+        for _ in range(n_iters):
+            b_lit = F.array(
+                *[
+                    F.array(*[F.lit([int(x) for x in books[s][c]]).cast("array<bigint>") for c in range(ksub)])
+                    for s in range(m)
+                ]
             )
-        books = new_books
-    return books
+            d2 = lambda cv: F.aggregate(  # noqa: E731
+                F.zip_with(F.col("sub"), cv, lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            )
+            scores = F.transform(
+                F.sequence(F.lit(0), F.lit(ksub - 1)),
+                lambda c: F.struct(
+                    d2(
+                        F.element_at(
+                            F.element_at(b_lit, (F.col("s") + 1).cast("int")),
+                            (c + 1).cast("int"),
+                        )
+                    ).alias("d"),
+                    c.cast("int").alias("c"),
+                ),
+            )
+            stats = (
+                sub.withColumn("c", F.array_min(scores)["c"])
+                .select("s", "c", F.posexplode("sub").alias("j", "x"))
+                .groupBy("s", "c", "j")
+                .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("cnt"))
+                .collect()
+            )
+            new_books = [[list(books[s][c]) for c in range(ksub)] for s in range(m)]
+            for r in stats:
+                # floor(double(sum)/count + 0.5): the same IEEE chain the
+                # oracle emits — sums fit a double exactly (≤ ~5e9)
+                new_books[r["s"]][r["c"]][r["j"]] = int(
+                    math.floor(float(r["sx"]) / r["cnt"] + 0.5)
+                )
+            books = new_books
+        return books
+    finally:
+        sub.unpersist()
 
 
 def ivfpq_topk_xengine(

@@ -295,40 +295,42 @@ def ivf_train(
         )
     # materialize the (id, double-vector) training set ONCE: every Lloyd
     # iteration plus the init otherwise re-scans the source and re-converts
-    # the vectors (n_iters+1 passes), and each round's plan re-embeds the
-    # full lineage. Partitioning is unchanged, so the grouped-mean float
-    # accumulation order — and therefore the codebook — is bit-identical.
-    # Lazy (eager=False): plan-only consumers (explain dumps) no longer
-    # trigger a training job at construction; the init collect below
-    # materializes it. Caveat (as in queries/llm.py): localCheckpoint
-    # truncates lineage into executor-local storage, so a lost executor
-    # mid-job fails the query instead of recomputing — swap in a reliable
-    # checkpoint()/write on a real cluster.
-    vecs = vecs.localCheckpoint(eager=False)
-    init = (
-        vecs.withColumn("__r", F.xxhash64(F.col(id_col), F.lit(seed)))
-        .orderBy("__r")
-        .limit(n_centroids)
-        .select("v")
-        .collect()
-    )
-    centroids = [list(r["v"]) for r in init]
-    for _ in range(n_iters):
-        assigned = with_nearest_cid(vecs, "v", centroids, "cid").select("cid", "v")
-        means = (
-            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
-            .groupBy("cid", "pos")
-            .agg(F.avg("x").alias("m"))
+    # the vectors (n_iters+1 passes). Partitioning is unchanged, so the
+    # grouped-mean float accumulation order — and therefore the codebook —
+    # is bit-identical. persist(), not localCheckpoint (r12): lazy like
+    # the checkpoint was NOT (plan-only consumers no longer trigger a
+    # training job at construction — the ADVICE item), with an explicit
+    # unpersist at the end of the training loop (repeated runs of the
+    # checkpoint variant accumulated executor-local blocks; persist has a
+    # clean lifecycle here because training is self-contained).
+    vecs = vecs.persist()
+    try:
+        init = (
+            vecs.withColumn("__r", F.xxhash64(F.col(id_col), F.lit(seed)))
+            .orderBy("__r")
+            .limit(n_centroids)
+            .select("v")
             .collect()
         )
-        by_cid: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_cid.setdefault(r["cid"], {})[r["pos"]] = r["m"]
-        centroids = [
-            [by_cid[i][p] for p in sorted(by_cid[i])] if i in by_cid else centroids[i]
-            for i in range(n_centroids)
-        ]
-    return centroids
+        centroids = [list(r["v"]) for r in init]
+        for _ in range(n_iters):
+            assigned = with_nearest_cid(vecs, "v", centroids, "cid").select("cid", "v")
+            means = (
+                assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+                .groupBy("cid", "pos")
+                .agg(F.avg("x").alias("m"))
+                .collect()
+            )
+            by_cid: dict[int, dict[int, float]] = {}
+            for r in means:
+                by_cid.setdefault(r["cid"], {})[r["pos"]] = r["m"]
+            centroids = [
+                [by_cid[i][p] for p in sorted(by_cid[i])] if i in by_cid else centroids[i]
+                for i in range(n_centroids)
+            ]
+        return centroids
+    finally:
+        vecs.unpersist()
 
 
 def ivf_topk(
@@ -829,44 +831,45 @@ def ivf_train_xengine(
     e = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("__id"), as_double(vec_col).alias("__v")
     )
-    # localCheckpoint, not persist (r12): each of the 1 + n_iters driver
-    # actions previously re-analyzed the full scan→cast→quantize lineage;
-    # the checkpoint truncates it to a one-leaf plan. Partitioning is
+    # persist + explicit unpersist: each of the 1 + n_iters driver actions
+    # otherwise re-evaluates the scan→cast→quantize lineage. (A lazy
+    # localCheckpoint was tried per the r11 verdict and leaked
+    # executor-local blocks across repeated runs — persist has the clean
+    # lifecycle here because training is self-contained.) Partitioning is
     # unchanged and the trainer arithmetic is integer, so the codebook is
-    # bit-identical. Lazy (eager=False): the seed collect materializes it.
-    # On a real cluster swap in checkpoint()/a write for executor-loss
-    # tolerance mid-train.
-    e = materialize_col(e, quantize_vec(F.col("__v")), "__qv", keep=["__id"]).localCheckpoint(
-        eager=False
-    )
-    h = (F.lit(_IVF_HA) * F.col("__id") + F.lit(_IVF_HB)) % F.lit(_IVF_HP)
-    seed_rows = (
-        e.select("__id", "__qv").withColumn("__h", h)
-        .orderBy("__h", "__id").limit(n_centroids).collect()
-    )
-    if len(seed_rows) < n_centroids:
-        raise ValueError(
-            f"ivf_train_xengine: corpus smaller than n_centroids={n_centroids}"
+    # bit-identical.
+    e = materialize_col(e, quantize_vec(F.col("__v")), "__qv", keep=["__id"]).persist()
+    try:
+        h = (F.lit(_IVF_HA) * F.col("__id") + F.lit(_IVF_HB)) % F.lit(_IVF_HP)
+        seed_rows = (
+            e.select("__id", "__qv").withColumn("__h", h)
+            .orderBy("__h", "__id").limit(n_centroids).collect()
         )
-    centroids = [[int(x) for x in r["__qv"]] for r in seed_rows]
-    for _ in range(n_iters):
-        cid = F.element_at(_int_probe_cids(F.col("__qv"), centroids, 1), 1)
-        stats = (
-            e.withColumn("__c", cid)
-            .select("__c", F.posexplode("__qv").alias("__j", "__x"))
-            .groupBy("__c", "__j")
-            .agg(F.sum("__x").alias("sx"), F.count(F.lit(1)).alias("cnt"))
-            .collect()
-        )
-        new_centroids = [list(c) for c in centroids]
-        for r in stats:
-            # floor(double(sum)/count + 0.5) — the exact chain the
-            # oracle's u{it} CTE emits
-            new_centroids[r["__c"]][r["__j"]] = int(
-                math.floor(float(r["sx"]) / r["cnt"] + 0.5)
+        if len(seed_rows) < n_centroids:
+            raise ValueError(
+                f"ivf_train_xengine: corpus smaller than n_centroids={n_centroids}"
             )
-        centroids = new_centroids
-    return centroids
+        centroids = [[int(x) for x in r["__qv"]] for r in seed_rows]
+        for _ in range(n_iters):
+            cid = F.element_at(_int_probe_cids(F.col("__qv"), centroids, 1), 1)
+            stats = (
+                e.withColumn("__c", cid)
+                .select("__c", F.posexplode("__qv").alias("__j", "__x"))
+                .groupBy("__c", "__j")
+                .agg(F.sum("__x").alias("sx"), F.count(F.lit(1)).alias("cnt"))
+                .collect()
+            )
+            new_centroids = [list(c) for c in centroids]
+            for r in stats:
+                # floor(double(sum)/count + 0.5) — the exact chain the
+                # oracle's u{it} CTE emits
+                new_centroids[r["__c"]][r["__j"]] = int(
+                    math.floor(float(r["sx"]) / r["cnt"] + 0.5)
+                )
+            centroids = new_centroids
+        return centroids
+    finally:
+        e.unpersist()
 
 
 def ivf_topk_trained_xengine(

