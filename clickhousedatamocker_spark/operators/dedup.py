@@ -223,9 +223,11 @@ def _verify_prefilter(
     applied as a broadcast semi-join: PySpark has no DataFrame Bloom-filter
     builder, and the exact id set is small enough to broadcast whole).
 
-    The verify joins previously shuffled EVERY document's shingle array —
-    the corpus's heaviest payload, ~3× the text bytes — to meet a candidate
-    set that is orders of magnitude smaller. Now the candidate pairs are
+    The verify joins previously moved EVERY document's shingle array —
+    the corpus's heaviest payload, ~3× the text bytes — in full (broadcast
+    whole under the fixture-scale size guess; a full corpus shuffle with
+    honest stats) to meet a candidate set that is orders of magnitude
+    smaller. Now the candidate pairs are
     ``persist()``-ed (the first action computes the signature pipeline
     exactly once; candidate id pairs are tiny and the ContextCleaner
     reclaims the cache once unreferenced — a lazy localCheckpoint was
